@@ -1,0 +1,204 @@
+"""Driver-checkable queries for the PU-learning core (SURVEY.md §2A).
+
+Relational pieces of the reference's algorithms (relabel, both binarize
+expressions, fused iteration stats, label cast) are SQL-expressible and
+get DuckDB oracles; the ML pieces (zero step / full learners) are
+rows-only checks.
+
+The binarize oracles need a probability column that both engines compute
+identically; we use an exact integer pseudo-score
+``((vec_id * 2654435761) % 1000) / 1000.0`` (Knuth multiplicative hash —
+deterministic, overflow-free in int64, bit-exact as a double in both
+engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pu4spark_spark.labels import (
+    REL_NEG_LABEL,
+    UNDEF_LABEL,
+    binarize_gradual,
+    binarize_traditional,
+    iteration_stats_df,
+    relabel_keep,
+)
+from pu4spark_spark.sources import load_table
+
+_KNUTH = 2654435761
+
+#: SQL fragment for the deterministic pseudo-probability
+_P_SQL = f"((vec_id * {_KNUTH}) % 1000) / 1000.0"
+#: SQL fragment for prevLabel: class 9 = positive, classes 0-2 = reliable
+#: negative, rest unlabeled (a realistic mid-iteration sentinel mix)
+_PREV_SQL = "CASE WHEN label = 9 THEN 1 WHEN label <= 2 THEN 0 ELSE -1 END"
+
+
+def _p_col() -> F.Column:
+    return ((F.col("vec_id") * F.lit(_KNUTH)) % F.lit(1000)) / F.lit(1000.0)
+
+
+def _prev_col() -> F.Column:
+    return (
+        F.when(F.col("label") == 9, 1)
+        .when(F.col("label") <= 2, REL_NEG_LABEL)
+        .otherwise(UNDEF_LABEL)
+        .cast("int")
+    )
+
+
+def q_pu_relabel_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    df = emb.withColumn(
+        "pu_label", F.when(F.col("label") == 9, F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    out = relabel_keep(df, "pu_label", "prev_label", float(UNDEF_LABEL))
+    return out.select(
+        "vec_id", F.col("prev_label").cast("int").alias("prev_label")
+    )
+
+
+SQL_PU_RELABEL_KEEP = """
+SELECT vec_id,
+       CAST(CASE WHEN (CASE WHEN label = 9 THEN 1.0 ELSE 0.0 END) = 1.0
+                 THEN 1 ELSE -1 END AS INTEGER) AS prev_label
+FROM embeddings
+"""
+
+
+def q_pu_binarize_traditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    df = emb.withColumn("p", _p_col()).withColumn("prev_label", _prev_col())
+    return df.select(
+        "vec_id",
+        binarize_traditional(F.col("p"), F.col("prev_label"), 0.5).alias("cur_label"),
+    )
+
+
+SQL_PU_BINARIZE_TRADITIONAL = f"""
+SELECT vec_id,
+       CAST(CASE WHEN prev_label = -1
+                 THEN CASE WHEN p < 0.5 THEN 0 ELSE -1 END
+                 ELSE prev_label END AS INTEGER) AS cur_label
+FROM (SELECT vec_id, {_P_SQL} AS p, {_PREV_SQL} AS prev_label FROM embeddings)
+"""
+
+
+def q_pu_binarize_gradual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    df = emb.withColumn("p", _p_col()).withColumn("prev_label", _prev_col())
+    return df.select(
+        "vec_id",
+        binarize_gradual(
+            F.col("p"), F.col("prev_label"), 0.5, REL_NEG_LABEL
+        ).alias("cur_label"),
+    )
+
+
+SQL_PU_BINARIZE_GRADUAL = f"""
+SELECT vec_id,
+       CAST(CASE WHEN prev_label = 0
+                 THEN CASE WHEN p < 0.5 THEN 0 ELSE -1 END
+                 ELSE prev_label END AS INTEGER) AS cur_label
+FROM (SELECT vec_id, {_P_SQL} AS p, {_PREV_SQL} AS prev_label FROM embeddings)
+"""
+
+
+def q_pu_iteration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    df = emb.withColumn("p", _p_col()).withColumn("prevLabel", _prev_col())
+    df = df.withColumn(
+        "curLabel", binarize_traditional(F.col("p"), F.col("prevLabel"), 0.5)
+    )
+    return iteration_stats_df(df)
+
+
+SQL_PU_ITERATION_STATS = f"""
+WITH cur AS (
+  SELECT prev_label,
+         CAST(CASE WHEN prev_label = -1
+                   THEN CASE WHEN p < 0.5 THEN 0 ELSE -1 END
+                   ELSE prev_label END AS INTEGER) AS cur_label
+  FROM (SELECT vec_id, {_P_SQL} AS p, {_PREV_SQL} AS prev_label FROM embeddings)
+)
+SELECT CAST(SUM(CASE WHEN prev_label = -1 AND cur_label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS new_rel_neg,
+       CAST(SUM(CASE WHEN cur_label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS total_pos,
+       CAST(SUM(CASE WHEN cur_label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS total_rel_neg,
+       CAST(SUM(CASE WHEN cur_label = -1 THEN 1 ELSE 0 END) AS BIGINT) AS total_undef,
+       COUNT(*) AS total_rows
+FROM cur
+"""
+
+
+def q_pu_label_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pu4spark_spark.labels import index_label
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = index_label(emb, "label", "label_d", ["0", "1"])
+    return out.select("vec_id", "label_d")
+
+
+SQL_PU_LABEL_INDEX = """
+SELECT vec_id, CAST(label AS DOUBLE) AS label_d FROM embeddings
+"""
+
+
+# -- ML queries (rows-only: fit/transform are not SQL-expressible) -------
+
+def _pu_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return emb.withColumn(
+        "pu_label", F.when(F.col("label") == 9, 1).otherwise(0)
+    )
+
+
+def q_pu_zero_step_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pu4spark_spark.config import (
+        LogisticRegressionConfig,
+        TraditionalPULearnerConfig,
+    )
+
+    learner = TraditionalPULearnerConfig(
+        maxIters=0, classifierConfig=LogisticRegressionConfig()
+    ).build()
+    out = learner.weight(_pu_input(spark, sf_dir), "pu_label", "embedding")
+    return out.select("vec_id", "finalLabel")
+
+
+def q_pu_traditional_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pu4spark_spark.config import TraditionalPULearnerConfig
+
+    learner = TraditionalPULearnerConfig(maxIters=2).build()
+    out = learner.weight(_pu_input(spark, sf_dir), "pu_label", "embedding")
+    return out.select("vec_id", "finalLabel")
+
+
+def q_pu_gradual_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pu4spark_spark.config import GradualReductionPULearnerConfig
+
+    learner = GradualReductionPULearnerConfig().build()
+    out = learner.weight(_pu_input(spark, sf_dir), "pu_label", "embedding")
+    return out.select("vec_id", "finalLabel")
+
+
+QUERIES = {
+    "pu_relabel_keep": q_pu_relabel_keep,
+    "pu_binarize_traditional": q_pu_binarize_traditional,
+    "pu_binarize_gradual": q_pu_binarize_gradual,
+    "pu_iteration_stats": q_pu_iteration_stats,
+    "pu_label_index": q_pu_label_index,
+    "pu_zero_step_lr": q_pu_zero_step_lr,
+    "pu_traditional_lr": q_pu_traditional_lr,
+    "pu_gradual_lr": q_pu_gradual_lr,
+}
+
+ORACLE_SQL = {
+    "pu_relabel_keep": SQL_PU_RELABEL_KEEP,
+    "pu_binarize_traditional": SQL_PU_BINARIZE_TRADITIONAL,
+    "pu_binarize_gradual": SQL_PU_BINARIZE_GRADUAL,
+    "pu_iteration_stats": SQL_PU_ITERATION_STATS,
+    "pu_label_index": SQL_PU_LABEL_INDEX,
+    # pu_zero_step_lr / pu_traditional_lr / pu_gradual_lr: ML, rows-only
+}

@@ -1,0 +1,56 @@
+"""SparkSession construction with scale-aware defaults.
+
+The reference (ispras/pu4spark) leaves all session/physical decisions to
+the caller (SURVEY.md §4).  We centralize them here so every entry point —
+tests, bench, driver harness — runs with the same, 100-TB-minded config:
+
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing)
+- UTC session timezone (duckdb-oracle comparability; duckdb timestamps
+  are UTC-naive)
+- Arrow enabled for the few pandas-UDF paths (multimodal decode)
+- shuffle partitions sized to the local core count; on a real cluster
+  AQE coalesces from an intentionally-high initial number instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "pu4spark_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    ``master``/``shuffle_partitions`` default from env
+    (``SPARK_GRAFT_CPUS``) so the driver harness and bench.py agree.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def tune_for_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to an externally-created
+    session (the driver passes us its own SparkSession)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark

@@ -1,0 +1,108 @@
+"""Algorithmic property tests on synthetic separable data (SURVEY.md §5.3)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pu4spark_spark.config import (
+    GradualReductionPULearnerConfig,
+    LogisticRegressionConfig,
+    RandomForestConfig,
+    TraditionalPULearnerConfig,
+    from_json,
+    to_json,
+)
+
+
+def separable_cloud(spark, n=400, labeled_frac=0.2, seed=7):
+    """Two 2-D Gaussian blobs; ~labeled_frac of the positive blob labeled 1,
+    everything else 0 (the PU setting)."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        positive = i % 2 == 0
+        cx = 3.0 if positive else -3.0
+        x = rng.gauss(cx, 1.0)
+        y = rng.gauss(cx, 1.0)
+        lab = 1 if positive and rng.random() < labeled_frac else 0
+        rows.append((i, positive, [float(x), float(y)], lab))
+    return spark.createDataFrame(rows, ["id", "truly_pos", "features", "label"])
+
+
+@pytest.fixture(scope="module")
+def cloud(spark):
+    return separable_cloud(spark).cache()
+
+
+def _mean_by_truth(result):
+    rows = (
+        result.groupBy("truly_pos")
+        .agg(F.avg("finalLabel").alias("m"))
+        .collect()
+    )
+    return {r["truly_pos"]: r["m"] for r in rows}
+
+
+def test_traditional_separates_and_terminates(cloud):
+    learner = TraditionalPULearnerConfig(
+        relNegThreshold=0.5, maxIters=3, classifierConfig=LogisticRegressionConfig()
+    ).build()
+    out = learner.weight(cloud, "label", "features", "finalLabel")
+    assert out.count() == cloud.count()
+    means = _mean_by_truth(out)
+    assert means[True] > means[False]
+    # clean output schema: input columns + finalLabel
+    assert set(out.columns) == {"id", "truly_pos", "features", "finalLabel"}
+
+
+def test_traditional_positive_passthrough(cloud):
+    learner = TraditionalPULearnerConfig(maxIters=2).build()
+    out = learner.weight(cloud, "label", "features", keep_internal=True)
+    # labeled positives keep sentinel 1 in every iteration
+    n_pos = cloud.filter(F.col("label") == 1).count()
+    kept = out.filter(F.col("prevLabel") == 1).count()
+    assert kept == n_pos
+
+
+def test_gradual_separates(cloud):
+    learner = GradualReductionPULearnerConfig(
+        relNegThreshold=0.5, classifierConfig=LogisticRegressionConfig()
+    ).build()
+    out = learner.weight(cloud, "label", "features", "finalLabel")
+    assert out.count() == cloud.count()
+    means = _mean_by_truth(out)
+    assert means[True] > means[False]
+
+
+def test_deterministic_lr(cloud):
+    cfg = TraditionalPULearnerConfig(maxIters=1)
+    a = cfg.build().weight(cloud, "label", "features").orderBy("id").collect()
+    b = cfg.build().weight(cloud, "label", "features").orderBy("id").collect()
+    assert [r["finalLabel"] for r in a] == [r["finalLabel"] for r in b]
+
+
+def test_config_json_roundtrip():
+    cfg = TraditionalPULearnerConfig(
+        relNegThreshold=0.4, maxIters=5, classifierConfig=RandomForestConfig(numTrees=8)
+    )
+    s = to_json(cfg)
+    back = from_json(s)
+    assert back == cfg
+    cfg2 = GradualReductionPULearnerConfig(classifierConfig=LogisticRegressionConfig())
+    assert from_json(to_json(cfg2)) == cfg2
+
+
+def test_zero_step_on_real_embeddings(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pu_input = emb.withColumn(
+        "pu_label", F.when(F.col("label") == 9, 1).otherwise(0)
+    )
+    learner = TraditionalPULearnerConfig(maxIters=1).build()
+    out = learner.weight(pu_input, "pu_label", "embedding", "finalLabel")
+    assert out.count() == emb.count()
+    assert "finalLabel" in out.columns
+    # embedding column preserved as the original array type
+    assert out.schema["embedding"].dataType.simpleString() == "array<float>"
