@@ -1,0 +1,410 @@
+"""Relational operator surface (SURVEY.md §2B): scans, filters, joins,
+aggregations, windows, set ops, scalar functions, rollup, pivot-style
+conditional aggregation — all absent from the reference (it consumes a
+prebuilt DataFrame; README.md:74) and required of a complete engine.
+
+Every query is DataFrame-first so Catalyst gets predicate pushdown,
+column pruning and join planning; small dimensions (region/nation/
+supplier — SURVEY.md §2B joins row) are explicitly ``broadcast()`` so the
+fact-side scan never shuffles for them even at 100 TB.  All money/measure
+aggregates use the exact-decimal discipline from
+:mod:`pu4spark_spark.functions.exact` so results are partition-order
+independent (and hash-match DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pu4spark_spark.functions.exact import (
+    avg_exact,
+    dec,
+    sql_avg_exact,
+    sql_sum_exact,
+    sum_exact,
+)
+from pu4spark_spark.sources import load_table
+
+MONEY = "decimal(12,2)"
+RATE = "decimal(4,2)"
+
+
+# -- q1: full-scan aggregation (TPC-H Q1 shape) --------------------------
+
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    price, disc, tax = dec("l_extendedprice", MONEY), dec("l_discount", RATE), dec("l_tax", RATE)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            sum_exact("l_quantity", MONEY).alias("sum_qty"),
+            sum_exact("l_extendedprice", MONEY).alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
+            .cast("double")
+            .alias("sum_charge"),
+            avg_exact("l_quantity", MONEY).alias("avg_qty"),
+            avg_exact("l_extendedprice", MONEY).alias("avg_price"),
+            avg_exact("l_discount", RATE).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_sum_exact('l_quantity', MONEY)} AS sum_qty,
+       {sql_sum_exact('l_extendedprice', MONEY)} AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+       {sql_avg_exact('l_quantity', MONEY)} AS avg_qty,
+       {sql_avg_exact('l_extendedprice', MONEY)} AS avg_price,
+       {sql_avg_exact('l_discount', RATE)} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# -- q3: selective 3-way join + top-k (TPC-H Q3 shape) -------------------
+
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    cust = load_table(spark, "customer", sf_dir).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_shipdate") > cutoff)
+    revenue = F.sum(
+        dec("l_extendedprice", MONEY) * (F.lit(1) - dec("l_discount", RATE))
+    ).cast("double")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_Q3 = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# -- q5: star join with broadcast dims ----------------------------------
+
+def q_q5_region_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = F.broadcast(load_table(spark, "supplier", sf_dir))
+    nation = F.broadcast(load_table(spark, "nation", sf_dir))
+    region = F.broadcast(
+        load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    )
+    revenue = F.sum(
+        dec("l_extendedprice", MONEY) * (F.lit(1) - dec("l_discount", RATE))
+    ).cast("double")
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(revenue.alias("revenue"), F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
+SQL_Q5 = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+# -- window: top-k per group --------------------------------------------
+
+def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    nation = F.broadcast(load_table(spark, "nation", sf_dir))
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("n_name", "c_custkey", "c_acctbal", "rn")
+    )
+
+
+SQL_TOP_CUSTOMERS = """
+SELECT n_name, c_custkey, c_acctbal, rn
+FROM (
+  SELECT n_name, c_custkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY n_name
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+WHERE rn <= 3
+"""
+
+
+# -- window: running aggregate ------------------------------------------
+
+def q_customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice", MONEY)).over(w).cast("double").alias("running_spend"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+SQL_RUNNING_SPEND = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS running_spend,
+       ROW_NUMBER() OVER w AS order_seq
+FROM orders
+WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+# -- time-bucketed aggregation ------------------------------------------
+
+def q_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(
+            sum_exact("o_totalprice", MONEY).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+SQL_MONTHLY_REVENUE = f"""
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+       {sql_sum_exact('o_totalprice', MONEY)} AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY 1
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation — the batch analogue of the streaming
+    pipeline in :mod:`pu4spark_spark.streaming.events` (same grouping)."""
+    events = load_table(spark, "events", sf_dir)
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            sum_exact("value", MONEY).alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_HOURLY = f"""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+       COUNT(*) AS n_events,
+       {sql_sum_exact('value', MONEY)} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# -- semi-structured: JSON extraction -----------------------------------
+
+def q_events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count("k").alias("n"),
+        )
+    )
+
+
+SQL_EVENTS_JSON = """
+SELECT event_type,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k,
+       COUNT(k) AS n
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type
+"""
+
+
+# -- set operations ------------------------------------------------------
+
+def q_parts_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large parts (size > 40) that were sold, minus those ever sold at a
+    discount ≥ 8% — exercises INTERSECT and EXCEPT."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    sold = li.select(F.col("l_partkey").alias("p_partkey")).distinct()
+    large = part.filter(F.col("p_size") > 40).select("p_partkey")
+    discounted = (
+        li.filter(F.col("l_discount") >= 0.08)
+        .select(F.col("l_partkey").alias("p_partkey"))
+        .distinct()
+    )
+    return sold.intersect(large).exceptAll(discounted)
+
+
+SQL_PARTS_SETOPS = """
+SELECT l_partkey AS p_partkey FROM lineitem
+INTERSECT
+SELECT p_partkey FROM part WHERE p_size > 40
+EXCEPT ALL
+SELECT DISTINCT l_partkey AS p_partkey FROM lineitem WHERE l_discount >= 0.08
+"""
+
+
+# -- pivot-style conditional aggregation --------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def q_segment_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    aggs = [
+        F.sum((F.col("o_orderpriority") == p).cast("long")).alias(
+            f"n_p{i + 1}"
+        )
+        for i, p in enumerate(_PRIORITIES)
+    ]
+    return joined.groupBy("c_mktsegment").agg(*aggs)
+
+
+SQL_SEGMENT_PRIORITY = """
+SELECT c_mktsegment,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_p1,
+       CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_p2,
+       CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS n_p3,
+       CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS n_p4,
+       CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_p5
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# -- rollup --------------------------------------------------------------
+
+def q_rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        sum_exact("o_totalprice", MONEY).alias("total"),
+    )
+
+
+SQL_ROLLUP = f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       {sql_sum_exact('o_totalprice', MONEY)} AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+# -- scalar functions (dates / strings) ----------------------------------
+
+def q_order_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.upper(F.col("o_orderstatus")).alias("status_u"),
+        F.substring(F.col("o_orderpriority"), 1, 1).cast("int").alias("prio_num"),
+        F.concat_ws("|", F.col("o_orderstatus"), F.col("o_orderpriority")).alias(
+            "status_prio"
+        ),
+        F.length(F.col("o_orderpriority")).alias("prio_len"),
+    )
+
+
+SQL_SCALAR_FUNCTIONS = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+       CAST(month(o_orderdate) AS INTEGER) AS mo,
+       CAST(day(o_orderdate) AS INTEGER) AS dom,
+       upper(o_orderstatus) AS status_u,
+       CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_num,
+       concat_ws('|', o_orderstatus, o_orderpriority) AS status_prio,
+       CAST(length(o_orderpriority) AS INTEGER) AS prio_len
+FROM orders
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q_q1_pricing_summary,
+    "q3_shipping_priority": q_q3_shipping_priority,
+    "q5_region_supplier_revenue": q_q5_region_supplier_revenue,
+    "top_customers_per_nation": q_top_customers_per_nation,
+    "customer_running_spend": q_customer_running_spend,
+    "monthly_revenue": q_monthly_revenue,
+    "events_hourly": q_events_hourly,
+    "events_json_stats": q_events_json_stats,
+    "parts_setops": q_parts_setops,
+    "segment_priority_matrix": q_segment_priority_matrix,
+    "rollup_order_status": q_rollup_order_status,
+    "order_scalar_functions": q_order_scalar_functions,
+}
+
+ORACLE_SQL = {
+    "q1_pricing_summary": SQL_Q1,
+    "q3_shipping_priority": SQL_Q3,
+    "q5_region_supplier_revenue": SQL_Q5,
+    "top_customers_per_nation": SQL_TOP_CUSTOMERS,
+    "customer_running_spend": SQL_RUNNING_SPEND,
+    "monthly_revenue": SQL_MONTHLY_REVENUE,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "events_json_stats": SQL_EVENTS_JSON,
+    "parts_setops": SQL_PARTS_SETOPS,
+    "segment_priority_matrix": SQL_SEGMENT_PRIORITY,
+    "rollup_order_status": SQL_ROLLUP,
+    "order_scalar_functions": SQL_SCALAR_FUNCTIONS,
+}

@@ -37,11 +37,25 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
-    """Load one test table as a DataFrame (lazy parquet scan)."""
+    """Load one test table as a DataFrame (lazy parquet scan).
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects outright; we read it as a nanosecond long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and surface a proper
+    microsecond timestamp column, matching DuckDB's own ns→µs truncation.
+    """
     sf_dir = sf_dir or DEFAULT_SF_DIR
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        return spark.read.parquet(path).withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
