@@ -1,0 +1,99 @@
+"""Text column-expression builders shared by dedup and text-analysis
+operators — all native Catalyst expressions (no UDFs), with matching
+DuckDB SQL fragment generators so every operator is oracle-checkable.
+
+Cross-engine hashing: both Spark and DuckDB expose ``md5`` over UTF-8
+strings with identical lowercase-hex output, so minhash/fingerprint
+operators hash with md5 and compare/min lexicographically — bit-identical
+in both engines, and cheap JVM-side in Spark (whole-stage codegen).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (the fixtures are space-separated word
+    soup, FIXTURES.md)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def word_shingles(tok: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as strings; empty array when < n tokens.
+
+    Native ``transform(sequence(...))`` — per-row array op, no shuffle.
+    """
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(tok, i + F.lit(j)) for j in range(n)]
+    )
+    return F.when(
+        F.size(tok) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(tok) - (n - 1)), gram),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def sql_word_shingles(text_expr: str, n: int = 3) -> str:
+    """DuckDB fragment mirroring :func:`word_shingles` (1-based list
+    indexing; ``range(1, m)`` is empty when m ≤ 1)."""
+    ws = f"string_split({text_expr}, ' ')"
+    concat = " || ' ' || ".join(f"{ws}[i+{j}]" for j in range(n))
+    return f"list_transform(range(1, len({ws}) - {n - 2}), i -> {concat})"
+
+
+def minhash_component(shingle_arr: Column, seed: int) -> Column:
+    """One minhash signature component: lexicographic min of
+    ``md5(seed ':' shingle)`` over the shingle set.
+
+    Standard minhash with the hash family h_seed(x) = md5(seed||x); the
+    min of a permutation-like hash over the set, so
+    P[minhash_a == minhash_b] ≈ Jaccard(a, b).  Stays array-native —
+    signature computation is embarrassingly parallel, no shuffle.
+    """
+    return F.array_min(
+        F.transform(shingle_arr, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
+    )
+
+
+def sql_minhash_component(shingles_sql: str, seed: int) -> str:
+    return (
+        f"list_min(list_transform({shingles_sql}, s -> md5('{seed}:' || s)))"
+    )
+
+
+def jaccard_sets(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two *distinct-element* string arrays; integer
+    set sizes divided once → deterministic double in both engines."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return inter / union
+
+
+def sql_jaccard_sets(a: str, b: str) -> str:
+    inter = f"len(list_filter({a}, x -> list_contains({b}, x)))"
+    return f"({inter} / (len({a}) + len({b}) - {inter}))"
+
+
+#: hex-nibble value of character i (1-based) of an md5 hex digest —
+#: portable hex→int without engine-specific conv()
+_HEX = "0123456789abcdef"
+
+
+def nibble(md5_col: Column, i: int) -> Column:
+    c = F.substring(md5_col, i, 1)
+    expr = F.lit(15)
+    out = None
+    for v, ch in enumerate(_HEX[:-1]):
+        out = (
+            F.when(c == ch, v) if out is None else out.when(c == ch, v)
+        )
+    return out.otherwise(expr).cast("int")
+
+
+def sql_nibble(md5_expr: str, i: int) -> str:
+    whens = " ".join(
+        f"WHEN '{ch}' THEN {v}" for v, ch in enumerate(_HEX[:-1])
+    )
+    return f"(CASE substr({md5_expr}, {i}, 1) {whens} ELSE 15 END)"

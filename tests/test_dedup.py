@@ -1,0 +1,64 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pu4spark_spark.operators.dedup import (
+    dedup_keep_first,
+    minhash_bands,
+    q_dedup_minhash_lsh,
+    simhash_fingerprints,
+)
+from pu4spark_spark.functions.textfns import tokens, word_shingles
+
+
+def test_dedup_keep_first_planted(spark):
+    df = spark.createDataFrame(
+        [(1, "k", 10), (2, "k", 5), (3, "j", 7)], ["id", "key", "v"]
+    )
+    out = dedup_keep_first(df, ["key"], [F.asc("v"), F.asc("id")])
+    got = {r["key"]: r["id"] for r in out.collect()}
+    assert got == {"k": 2, "j": 3}
+
+
+def test_minhash_detects_planted_near_dup(spark):
+    text = " ".join(f"w{i}" for i in range(50))
+    near = " ".join(f"w{i}" for i in range(49)) + " zz"  # 1-token edit
+    far = " ".join(f"x{i}" for i in range(50))
+    docs = spark.createDataFrame(
+        [(1, text), (2, near), (3, far)], ["doc_id", "text"]
+    )
+    base = docs.select(
+        "doc_id", F.array_distinct(word_shingles(tokens("text"))).alias("sh")
+    )
+    bands = minhash_bands(base)
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_pos") == F.col("b.band_pos"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .collect()
+    )
+    assert {(r[0], r[1]) for r in pairs} == {(1, 2)}
+
+
+def test_simhash_identical_docs_share_fingerprint(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "q r s t u v")],
+        ["doc_id", "text"],
+    )
+    fp = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
+    assert fp[1] == fp[2] != fp[3]
+    assert 0 <= fp[1] < (1 << 32)
+
+
+def test_minhash_lsh_query_on_fixture(spark):
+    out = q_dedup_minhash_lsh(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    # every reported pair must meet the verification threshold
+    assert all(r["jaccard"] >= 0.5 for r in rows)
+    assert all(r["a_id"] < r["b_id"] for r in rows)
