@@ -346,22 +346,9 @@ WHERE {sql_jaccard_sets('a.sh', 'b.sh')} >= {NGRAM_JACCARD_THRESHOLD}
 
 # -- embedding-cosine near-dup ------------------------------------------
 
+from pu4spark_spark.functions.vectors import QUANT, int_dot, quantized  # noqa: E402
+
 COSINE_DUP_THRESHOLD = 0.4
-QUANT = 1000
-
-
-def quantized(col: Column) -> Column:
-    """floor(x·1000) as exact integers — IEEE floor is identical in both
-    engines, and integer dot products are order-independent."""
-    return F.transform(col, lambda x: F.floor(x.cast("double") * QUANT).cast("long"))
-
-
-def int_dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

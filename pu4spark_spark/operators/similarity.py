@@ -1,0 +1,199 @@
+"""Similarity search over embeddings (north-star extension, SURVEY.md
+§2B): brute-force exact cosine top-k as the baseline, a sign-bucket LSH
+variant as the scale path, and Spark ML's BucketedRandomProjectionLSH as
+the built-in alternative.
+
+Scale design (100 TB):
+- the query set is small and **broadcast** — the big embeddings table is
+  scanned once, never shuffled for the join;
+- top-k per query is a window ``row_number ≤ k`` after a per-partition
+  map-side candidate cut would be the next refinement (AQE handles the
+  skew today);
+- the LSH variant prunes the scan to one sign-pattern bucket per query:
+  at B buckets this is ~1/B of the comparisons, the standard
+  recall-for-cost trade, and the bucket is a plain integer column —
+  partition/bucket pruning applies if the table is written bucketed.
+
+All cosine math uses the quantized-integer discipline from
+:mod:`pu4spark_spark.functions.vectors` (engine-exact, order-free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pu4spark_spark.functions.vectors import (
+    cosine_from_quantized,
+    int_dot,
+    quantized,
+    sign_bucket,
+    sql_quantized,
+    sql_sign_bucket,
+)
+from pu4spark_spark.sources import load_table
+
+TOP_K = 5
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+LSH_DIMS = [0, 7, 21, 42]
+
+
+def _quantized_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return emb.select(
+        "vec_id", quantized("embedding").alias("q")
+    ).withColumn("norm2", int_dot(F.col("q"), F.col("q")))
+
+
+def cosine_topk(
+    base: DataFrame, queries: DataFrame, k: int = TOP_K
+) -> DataFrame:
+    """Exact top-k neighbors for each (broadcast) query vector."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("norm2").alias("qnorm2"),
+    )
+    scored = base.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = cosine_from_quantized(
+        int_dot(F.col("q"), F.col("qq")), F.col("norm2"), F.col("qnorm2")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _quantized_base(spark, sf_dir)
+    queries = base.filter(F.col("vec_id") < N_QUERIES)
+    return cosine_topk(base, queries)
+
+
+_Q_SQL = sql_quantized("embedding")
+
+SQL_ANN_COSINE_TOPK = f"""
+WITH base AS (
+  SELECT vec_id, {_Q_SQL} AS q FROM embeddings
+),
+normed AS (
+  SELECT vec_id, q, list_dot_product(q, q) AS norm2 FROM base
+),
+scored AS (
+  SELECT qs.vec_id AS query_id, n.vec_id AS neighbor_id,
+         list_dot_product(n.q, qs.q) / (sqrt(n.norm2) * sqrt(qs.norm2)) AS cosine
+  FROM normed n, (SELECT * FROM normed WHERE vec_id < {N_QUERIES}) qs
+  WHERE n.vec_id <> qs.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bucket LSH ANN: each query probes only its own bucket —
+    ~1/16 of the comparisons at 4 sign bits; top-k within the bucket."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = (
+        emb.select(
+            "vec_id",
+            quantized("embedding").alias("q"),
+            sign_bucket("embedding", LSH_DIMS).alias("bucket"),
+        )
+        .withColumn("norm2", int_dot(F.col("q"), F.col("q")))
+    )
+    qset = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("norm2").alias("qnorm2"),
+        F.col("bucket"),
+    )
+    scored = base.join(F.broadcast(qset), "bucket").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = cosine_from_quantized(
+        int_dot(F.col("q"), F.col("qq")), F.col("norm2"), F.col("qnorm2")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+    )
+
+
+_BUCKET_SQL = sql_sign_bucket("embedding", LSH_DIMS)
+
+SQL_ANN_LSH_BUCKETED = f"""
+WITH base AS (
+  SELECT vec_id, {_Q_SQL} AS q, {_BUCKET_SQL} AS bucket FROM embeddings
+),
+normed AS (
+  SELECT vec_id, q, bucket, list_dot_product(q, q) AS norm2 FROM base
+),
+scored AS (
+  SELECT qs.vec_id AS query_id, n.vec_id AS neighbor_id,
+         list_dot_product(n.q, qs.q) / (sqrt(n.norm2) * sqrt(qs.norm2)) AS cosine
+  FROM normed n
+  JOIN (SELECT * FROM normed WHERE vec_id < {N_QUERIES}) qs
+    ON n.bucket = qs.bucket
+  WHERE n.vec_id <> qs.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+def q_ann_brp_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in BucketedRandomProjectionLSH (euclidean) similarity join
+    between the query set and the table — rows-only check."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", array_to_vector(F.col("embedding")).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0,
+        numHashTables=3, seed=42,
+    )
+    model = lsh.fit(emb)
+    qset = emb.filter(F.col("vec_id") < N_QUERIES)
+    pairs = model.approxSimilarityJoin(qset, emb, 8.0, distCol="dist")
+    return (
+        pairs.filter(F.col("datasetA.vec_id") != F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("query_id"),
+            F.col("datasetB.vec_id").alias("neighbor_id"),
+            F.col("dist"),
+        )
+    )
+
+
+QUERIES = {
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_bucketed": q_ann_lsh_bucketed,
+    "ann_brp_lsh_ml": q_ann_brp_lsh_ml,
+}
+
+ORACLE_SQL = {
+    "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "ann_lsh_bucketed": SQL_ANN_LSH_BUCKETED,
+    # ann_brp_lsh_ml: ML internals — rows-only
+}

@@ -1,0 +1,293 @@
+"""Text-analysis operators for LLM-data pipelines (north-star extension,
+SURVEY.md §2B): token statistics, quality scoring, language-ID heuristic,
+document fingerprinting, regex (BPE-ish) token counting, corpus group
+stats, and a TF-IDF ML pipeline.
+
+All scoring is per-row array-native arithmetic (whole-stage codegen, no
+shuffle except the final group-stats query) and sticks to exact integer
+counts + single IEEE float ops so every query is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pu4spark_spark.functions.textfns import tokens, word_shingles
+from pu4spark_spark.sources import load_table
+
+# -- token statistics ----------------------------------------------------
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tok = tokens("text")
+    total_len = F.aggregate(
+        F.transform(tok, lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(tok).alias("n_tokens"),
+        F.size(F.array_distinct(tok)).alias("n_distinct"),
+        (total_len.cast("double") / F.size(tok)).alias("avg_token_len"),
+    )
+
+
+SQL_TOKEN_STATS = """
+SELECT doc_id,
+       CAST(len(ws) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(ws)) AS INTEGER) AS n_distinct,
+       CAST(list_sum(list_transform(ws, t -> len(t))) AS DOUBLE) / len(ws) AS avg_token_len
+FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+"""
+
+
+# -- quality scoring -----------------------------------------------------
+
+#: high-frequency filler terms in the fixture vocabulary — the quality
+#: heuristic treats them like stopwords
+STOPWORDS = ["table", "row", "value", "data", "query"]
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality score ∈ [0,1]: length component (≥50 tokens saturates),
+    lexical diversity, and stopword-ratio penalty — the standard cheap
+    pre-filter shape for pretraining corpora."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = tokens("text")
+    n = F.size(tok)
+    stop_n = F.size(F.filter(tok, lambda t: t.isin(STOPWORDS)))
+    distinct_ratio = F.size(F.array_distinct(tok)).cast("double") / n
+    stop_ratio = stop_n.cast("double") / n
+    length_score = F.least(n.cast("double") / F.lit(50.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * length_score
+        + F.lit(0.3) * distinct_ratio
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang"),
+        stop_ratio.alias("stop_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+_STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+SQL_TEXT_QUALITY = f"""
+SELECT doc_id, lang,
+       CAST(len(list_filter(ws, t -> t IN ({_STOP_IN}))) AS DOUBLE) / len(ws) AS stop_ratio,
+       CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS distinct_ratio,
+       0.4 * least(CAST(len(ws) AS DOUBLE) / 50.0, 1.0)
+       + 0.3 * (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws))
+       + 0.3 * (1.0 - CAST(len(list_filter(ws, t -> t IN ({_STOP_IN}))) AS DOUBLE) / len(ws))
+         AS quality_score
+FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents)
+"""
+
+
+# -- language-ID heuristic ----------------------------------------------
+
+#: demo marker profiles over the fixture vocabulary (synthetic corpora
+#: share one vocabulary, so these act as a deterministic n-gram-profile
+#: stand-in; real profiles would be per-language char n-grams)
+LANG_MARKERS = {
+    "en": ["table", "row", "join"],
+    "es": ["query", "scan", "hash"],
+    "de": ["data", "batch", "spark"],
+    "fr": ["value", "column", "agg"],
+    "zh": ["key", "part", "fast"],
+}
+_LANG_ORDER = ["en", "es", "de", "fr", "zh"]
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-count language ID with deterministic argmax tie-break in
+    ``_LANG_ORDER`` — returns the prediction and whether it matches the
+    labeled ``lang`` column."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = tokens("text")
+
+    # NB: the lambda must be unary — a second (even defaulted) parameter
+    # makes PySpark treat it as an (element, index) lambda and bind the
+    # array index to it
+    def marker_count(markers: list[str]):
+        return F.size(F.filter(tok, lambda t: t.isin(markers)))
+
+    scores = {lang: marker_count(m) for lang, m in LANG_MARKERS.items()}
+    best = None
+    for lang in _LANG_ORDER:
+        cond = None
+        for other in _LANG_ORDER:
+            if other == lang:
+                continue
+            # strictly greater than every earlier lang, >= every later one
+            c = (
+                scores[lang] > scores[other]
+                if _LANG_ORDER.index(other) < _LANG_ORDER.index(lang)
+                else scores[lang] >= scores[other]
+            )
+            cond = c if cond is None else (cond & c)
+        best = (
+            F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
+        )
+    pred = best.otherwise(F.lit(_LANG_ORDER[0]))
+    return docs.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("is_match"),
+    )
+
+
+def _sql_lang_scores() -> str:
+    return ", ".join(
+        f"len(list_filter(ws, t -> t IN ({', '.join(repr(w) for w in m)}))) AS s_{lang}"
+        for lang, m in LANG_MARKERS.items()
+    )
+
+
+def _sql_lang_pred() -> str:
+    clauses = []
+    for lang in _LANG_ORDER:
+        conds = []
+        for other in _LANG_ORDER:
+            if other == lang:
+                continue
+            op = ">" if _LANG_ORDER.index(other) < _LANG_ORDER.index(lang) else ">="
+            conds.append(f"s_{lang} {op} s_{other}")
+        clauses.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + f" ELSE '{_LANG_ORDER[0]}' END"
+
+
+SQL_TEXT_LANG_ID = f"""
+WITH scored AS (
+  SELECT doc_id, lang, {_sql_lang_scores()}
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents)
+)
+SELECT doc_id,
+       {_sql_lang_pred()} AS pred_lang,
+       ({_sql_lang_pred()}) = lang AS is_match
+FROM scored
+"""
+
+
+# -- document fingerprint ------------------------------------------------
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint: the minimum shingle hash anchors the
+    document (robust to small edits), combined with the token count."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = tokens("text")
+    sh = word_shingles(tok)
+    min_shingle = F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    fp = F.md5(F.concat_ws(":", min_shingle, F.size(tok).cast("string")))
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+SQL_TEXT_FINGERPRINT = """
+SELECT doc_id,
+       md5(list_min(list_transform(sh, s -> md5(s)))
+           || ':' || CAST(len(ws) AS VARCHAR)) AS fingerprint
+FROM (SELECT doc_id, string_split(text, ' ') AS ws,
+             list_transform(range(1, len(string_split(text, ' ')) - 1),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i+1] || ' ' ||
+                    string_split(text, ' ')[i+2]) AS sh
+      FROM documents)
+"""
+
+
+# -- regex (BPE-ish) token counting -------------------------------------
+
+TOKEN_REGEX = "[a-z]+|[0-9]+"
+
+
+def q_text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), 0)).alias(
+            "n_regex_tokens"
+        ),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+SQL_TEXT_REGEX_TOKENS = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS INTEGER) AS n_regex_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars_actual
+FROM documents
+"""
+
+
+# -- corpus group statistics --------------------------------------------
+
+def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tok = tokens("text")
+    return (
+        docs.select("lang", "source", F.col("n_chars"), F.size(tok).alias("nt"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("nt").alias("total_tokens"),
+            (F.sum("nt").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        )
+    )
+
+
+SQL_TEXT_CORPUS_STATS = """
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens
+FROM documents
+GROUP BY lang, source
+"""
+
+
+# -- TF-IDF pipeline (built-in ML; rows-only) ----------------------------
+
+def q_text_tfidf_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize → HashingTF → IDF; returns each doc's max TF-IDF weight.
+    Spark ML pipeline — rows-only check."""
+    from pyspark.ml.feature import IDF, HashingTF
+    from pyspark.ml.functions import vector_to_array
+
+    docs = load_table(spark, "documents", sf_dir)
+    tok_df = docs.select("doc_id", tokens("text").alias("toks"))
+    tf = HashingTF(inputCol="toks", outputCol="tf", numFeatures=1 << 12)
+    tf_df = tf.transform(tok_df)
+    idf = IDF(inputCol="tf", outputCol="tfidf").fit(tf_df)
+    out = idf.transform(tf_df)
+    return out.select(
+        "doc_id",
+        F.array_max(vector_to_array(F.col("tfidf"))).alias("max_tfidf"),
+    )
+
+
+QUERIES = {
+    "text_token_stats": q_text_token_stats,
+    "text_quality": q_text_quality,
+    "text_lang_id": q_text_lang_id,
+    "text_fingerprint": q_text_fingerprint,
+    "text_regex_tokens": q_text_regex_tokens,
+    "text_corpus_stats": q_text_corpus_stats,
+    "text_tfidf_ml": q_text_tfidf_ml,
+}
+
+ORACLE_SQL = {
+    "text_token_stats": SQL_TOKEN_STATS,
+    "text_quality": SQL_TEXT_QUALITY,
+    "text_lang_id": SQL_TEXT_LANG_ID,
+    "text_fingerprint": SQL_TEXT_FINGERPRINT,
+    "text_regex_tokens": SQL_TEXT_REGEX_TOKENS,
+    "text_corpus_stats": SQL_TEXT_CORPUS_STATS,
+    # text_tfidf_ml: ML — rows-only
+}

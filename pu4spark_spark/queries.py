@@ -12,14 +12,16 @@ from pu4spark_spark.operators import pu_queries
 
 _MODULES = [pu_queries]
 
-# widened as operator modules land (relational, dedup, similarity, text,
-# multimodal) — keep imports explicit so a broken module fails loudly
-for _name in ("relational", "dedup", "similarity", "text", "multimodal"):
-    try:
-        _mod = __import__(f"pu4spark_spark.operators.{_name}", fromlist=[_name])
-    except ImportError:
-        continue
-    _MODULES.append(_mod)
+from pu4spark_spark.operators import (  # noqa: E402
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    text,
+)
+from pu4spark_spark.streaming import events as streaming_events  # noqa: E402
+
+_MODULES += [relational, dedup, similarity, text, multimodal, streaming_events]
 
 QUERIES = {}
 ORACLE_SQL = {}

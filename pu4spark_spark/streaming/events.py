@@ -1,0 +1,123 @@
+"""Structured Streaming pipeline over the events table (SURVEY.md §2B
+streaming row — the reference has no streaming at all).
+
+The events parquet is treated as a file-source stream (exactly how a
+100 TB event feed lands: files appearing in a directory), aggregated with
+watermarked tumbling windows.  ``run_hourly_counts_available_now``
+drains the source with the availableNow trigger into a memory sink and
+returns the finished batch DataFrame, so the same pipeline is usable
+both as a long-running stream and as a driver-checkable query (its
+output matches the batch ``events_hourly`` oracle).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: events parquet physical schema (ts is TIMESTAMP(NANOS) → read as ns
+#: long, same trick as sources.tables.load_table)
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    """The parquet file source wants a *directory*; build one holding a
+    symlink to the (read-only) events file.  In production this is just
+    the landing directory new event files arrive in."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    tag = hashlib.md5(src.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"pu4spark_events_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_events_stream_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def hourly_counts(stream: DataFrame) -> DataFrame:
+    """Watermarked tumbling-window aggregation: the streaming analogue of
+    the batch ``events_hourly`` query (same grouping, same exact-decimal
+    sum)."""
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("hour"), "event_type", "n_events", "sum_value"
+        )
+    )
+
+
+def run_hourly_counts_available_now(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Drain the stream with trigger(availableNow) into a memory sink and
+    return the final table — a real streaming execution with a batch
+    result."""
+    name = f"events_hourly_stream_{uuid.uuid4().hex[:8]}"
+    agg = hourly_counts(read_events_stream(spark, sf_dir))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name)
+
+
+def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_hourly_counts_available_now(spark, sf_dir)
+
+
+#: identical result contract to the batch query — the streaming pipeline
+#: must agree with the same DuckDB oracle
+SQL_STREAMING_EVENTS_HOURLY = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+QUERIES = {"streaming_events_hourly": q_streaming_events_hourly}
+ORACLE_SQL = {"streaming_events_hourly": SQL_STREAMING_EVENTS_HOURLY}

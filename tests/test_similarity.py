@@ -1,0 +1,47 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pu4spark_spark.operators.similarity import (
+    TOP_K,
+    q_ann_cosine_topk,
+    q_ann_lsh_bucketed,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_topk_shape_and_ordering(spark):
+    out = q_ann_cosine_topk(spark, SF).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(10))
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, TOP_K + 1))
+        cosines = [r["cosine"] for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r["neighbor_id"] != r["query_id"] for r in rows)
+
+
+def test_lsh_candidates_are_a_sound_subset(spark):
+    """LSH prunes candidates, so its best cosine per query can never
+    beat the exact top-1, and every reported cosine must equal the
+    exactly-computed cosine for that pair (same quantized math)."""
+    exact = q_ann_cosine_topk(spark, SF)
+    lsh = q_ann_lsh_bucketed(spark, SF)
+    e_best = {
+        r["query_id"]: r["cosine"]
+        for r in exact.filter(F.col("rank") == 1).collect()
+    }
+    exact_all = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact.collect()
+    }
+    l_rows = lsh.collect()
+    assert len(l_rows) > 0
+    for r in l_rows:
+        assert r["cosine"] <= e_best[r["query_id"]] + 1e-12
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_all:  # overlap pairs must agree bit-for-bit
+            assert r["cosine"] == exact_all[key]

@@ -1,0 +1,77 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pu4spark_spark.operators.multimodal import (
+    decode_image,
+    extract_features,
+    fake_features,
+    pack_documents,
+)
+from pu4spark_spark.operators.text import q_text_lang_id, q_text_quality
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_quality_score_bounds(spark):
+    rows = q_text_quality(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["quality_score"] <= 1.0
+        assert 0.0 <= r["stop_ratio"] <= 1.0
+
+
+def test_lang_id_deterministic(spark):
+    a = {r["doc_id"]: r["pred_lang"] for r in q_text_lang_id(spark, SF).collect()}
+    b = {r["doc_id"]: r["pred_lang"] for r in q_text_lang_id(spark, SF).collect()}
+    assert a == b
+    assert set(a.values()) <= {"en", "es", "de", "fr", "zh"}
+
+
+def test_multimodal_pack_and_decode(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world", "s1"), (2, "abc", "s2")],
+        ["doc_id", "text", "source"],
+    )
+    packed = pack_documents(docs)
+    assert [f.name for f in packed.schema.fields] == ["doc_id", "payload", "meta"]
+    assert packed.schema["payload"].dataType.typeName() == "binary"
+    feats = {r["doc_id"]: r for r in extract_features(packed).collect()}
+    n, head, frames = fake_features(b"hello world")
+    assert feats[1]["n_bytes"] == n == 11
+    assert feats[1]["head_sum"] == head
+    assert feats[1]["n_frames"] == frames
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_streaming_matches_batch(spark):
+    from pu4spark_spark.operators.relational import q_events_hourly
+    from pu4spark_spark.streaming.events import run_hourly_counts_available_now
+
+    stream_rows = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in run_hourly_counts_available_now(spark, SF).collect()
+    }
+    batch_rows = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in q_events_hourly(spark, SF).collect()
+    }
+    assert stream_rows == batch_rows
+
+
+def test_registry_consistency():
+    import __spark_entry__ as m
+
+    qs, oracles = m.queries(), m.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 30
+    # every callable takes (spark, sf_dir)
+    import inspect
+
+    for fn in qs.values():
+        assert len(inspect.signature(fn).parameters) == 2
