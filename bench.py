@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value" (total sec), "unit", "queries" (per-query
+sec), "sf"}.
+
+Results are materialized with the noop sink (full execution, no driver
+collect bottleneck).  One warmup query first so JVM/codegen startup isn't
+billed to the first measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pu4spark_spark.queries import QUERIES  # noqa: E402
+from pu4spark_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: headline set: one per operator family, heaviest shapes included
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_supplier_revenue",
+    "top_customers_per_nation",
+    "monthly_revenue",
+    "events_hourly",
+    "events_json_stats",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "text_quality",
+    "text_corpus_stats",
+    "pu_zero_step_lr",
+]
+
+
+def run_one(spark, name: str) -> float:
+    df = QUERIES[name](spark, SF_DIR)
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    spark = get_spark(app_name="pu4spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warmup: JVM + codegen + parquet footer caches
+    run_one(spark, "q1_pricing_summary")
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        per_query[name] = round(run_one(spark, name), 3)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(per_query.values()), 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -104,7 +104,9 @@ _SH_SQL = sql_word_shingles("text")
 
 
 def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
+    from pu4spark_spark.plans import spread
+
+    docs = spread(load_table(spark, "documents", sf_dir))
     return docs.select(
         "doc_id",
         "lang",
@@ -214,7 +216,9 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     nibbles is set else −1; bit j of the fingerprint is 1 iff the sum is
     positive.  One shuffle on doc_id; 32 conditional sums.
     """
-    tok = docs.select("doc_id", F.explode(tokens("text")).alias("t"))
+    from pu4spark_spark.plans import spread
+
+    tok = spread(docs).select("doc_id", F.explode(tokens("text")).alias("t"))
     tok = tok.withColumn("h", F.md5(F.col("t")))
     # nibble value for hex char i (1-based) via conv-free arithmetic:
     # ascii('0'..'9') → 48..57; 'a'..'f' → 97..102
@@ -354,7 +358,9 @@ COSINE_DUP_THRESHOLD = 0.4
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-identical embedding pairs (quantized cosine ≥ 0.99), blocked
     by the label column."""
-    emb = load_table(spark, "embeddings", sf_dir)
+    from pu4spark_spark.plans import spread
+
+    emb = spread(load_table(spark, "embeddings", sf_dir))
     base = emb.select(
         "vec_id", "label", quantized(F.col("embedding")).alias("q")
     ).withColumn("norm2", int_dot(F.col("q"), F.col("q")))

@@ -39,7 +39,9 @@ LSH_DIMS = [0, 7, 21, 42]
 
 
 def _quantized_base(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, "embeddings", sf_dir)
+    from pu4spark_spark.plans import spread
+
+    emb = spread(load_table(spark, "embeddings", sf_dir))
     return emb.select(
         "vec_id", quantized("embedding").alias("q")
     ).withColumn("norm2", int_dot(F.col("q"), F.col("q")))
@@ -103,7 +105,9 @@ WHERE rank <= {TOP_K}
 def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-bucket LSH ANN: each query probes only its own bucket —
     ~1/16 of the comparisons at 4 sign bits; top-k within the bucket."""
-    emb = load_table(spark, "embeddings", sf_dir)
+    from pu4spark_spark.plans import spread
+
+    emb = spread(load_table(spark, "embeddings", sf_dir))
     base = (
         emb.select(
             "vec_id",

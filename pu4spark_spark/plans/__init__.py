@@ -1,0 +1,30 @@
+"""Physical-plan helpers: partitioning hygiene and plan inspection.
+
+The driver fixtures arrive as one small parquet file per table, so a
+scan yields ONE input partition — and any operator doing expensive
+per-row array work (md5 shingling, 64-dim dot products) or a pairwise
+block join serializes on a single core.  ``spread`` guarantees a minimum
+parallelism without ever *shrinking* a real cluster's partitioning: at
+100 TB the scan already has thousands of partitions and ``spread`` is a
+no-op; on a single small file it fans out to every core.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def spread(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Round-robin repartition up to ``defaultParallelism × factor`` iff
+    the current plan has fewer partitions; never reduces partitioning."""
+    target = df.sparkSession.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    """The formatted physical plan as a string (for tests/inspection)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode
+    )
