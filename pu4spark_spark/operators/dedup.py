@@ -135,8 +135,12 @@ def minhash_bands(df: DataFrame, shingle_col: str = "sh") -> DataFrame:
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs: MinHash-LSH candidates (any shared band) verified
     with exact shingle-set Jaccard ≥ 0.5."""
-    base = _doc_shingle_sets(spark, sf_dir)
-    bands = minhash_bands(base)
+    from pu4spark_spark.plans import cached
+
+    # the shingle-set table feeds three consumers (band explode + both
+    # verify joins) — persist it once instead of re-shingling per use
+    base = cached(_doc_shingle_sets(spark, sf_dir))
+    bands = cached(minhash_bands(base))
     left = bands.alias("a")
     right = bands.alias("b")
     cand = (
@@ -309,8 +313,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks — the quadratic verify is confined to small blocks; standard
     blocking tradeoff: near-dups straddling a bucket boundary are missed.
     """
-    base = _doc_shingle_sets(spark, sf_dir).withColumn(
-        "bucket", F.floor(F.size("sh") / 10).cast("int")
+    from pu4spark_spark.plans import cached
+
+    base = cached(
+        _doc_shingle_sets(spark, sf_dir).withColumn(
+            "bucket", F.floor(F.size("sh") / 10).cast("int")
+        )
     )
     a = base.select(
         F.col("doc_id").alias("a_id"),
@@ -358,12 +366,14 @@ COSINE_DUP_THRESHOLD = 0.4
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-identical embedding pairs (quantized cosine ≥ 0.99), blocked
     by the label column."""
-    from pu4spark_spark.plans import spread
+    from pu4spark_spark.plans import cached, spread
 
     emb = spread(load_table(spark, "embeddings", sf_dir))
-    base = emb.select(
-        "vec_id", "label", quantized(F.col("embedding")).alias("q")
-    ).withColumn("norm2", int_dot(F.col("q"), F.col("q")))
+    base = cached(
+        emb.select(
+            "vec_id", "label", quantized(F.col("embedding")).alias("q")
+        ).withColumn("norm2", int_dot(F.col("q"), F.col("q")))
+    )
     a = base.select(
         F.col("vec_id").alias("a_id"),
         F.col("label").alias("lab"),

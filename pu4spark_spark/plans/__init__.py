@@ -23,6 +23,19 @@ def spread(df: DataFrame, factor: int = 2) -> DataFrame:
     return df
 
 
+def cached(df: DataFrame) -> DataFrame:
+    """MEMORY_AND_DISK-persist a DataFrame that a query plan consumes
+    more than once (self-joins, candidate-verify joins).  Spark's
+    ReusedExchange only kicks in for identical exchanges; a subtree
+    consumed through *different* downstream shuffles is otherwise
+    recomputed per consumer — at 100 TB that's re-reading the scan and
+    re-hashing every shingle N times.  Spilling to disk keeps the
+    operator safe when the intermediate exceeds executor memory."""
+    from pyspark.storagelevel import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     """The formatted physical plan as a string (for tests/inspection)."""
     return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
