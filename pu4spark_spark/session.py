@@ -39,6 +39,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE coalesce/re-plan ON TOP of persisted intermediates —
+        # the dedup/similarity operators persist multiply-consumed
+        # subtrees, and without this flag every downstream stage of a
+        # cached plan keeps the cache's full partition count even when
+        # the shuffled data is tiny (default false pins cached layout)
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
@@ -53,4 +62,11 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
     session (the driver passes us its own SparkSession)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
+    except Exception:
+        pass  # static conf in some deployments; best-effort
     return spark
