@@ -23,6 +23,16 @@ from pyspark.sql import functions as F
 MONEY = "decimal(18,2)"
 RATE = "decimal(18,2)"  # discount / tax, 2-decimal rates
 
+#: narrow variants for multi-factor arithmetic chains such as
+#: ``price * (1 - disc) * (1 + tax)``: decimal multiplication grows
+#: precision as p1+p2+1, and exactness (identical in Spark and DuckDB)
+#: holds only while every intermediate stays within precision 38.
+#: (12,2)·(5,2)·(5,2) → (24,6) fits; starting from (18,2) the second
+#: product would exceed 38 and both engines would round — differently.
+#: Single source of truth: operators must import these, never redefine.
+MONEY_ARITH = "decimal(12,2)"
+RATE_ARITH = "decimal(4,2)"
+
 
 def dec(col: Column | str, typ: str = MONEY) -> Column:
     return F.col(col).cast(typ) if isinstance(col, str) else col.cast(typ)

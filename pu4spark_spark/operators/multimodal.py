@@ -23,7 +23,10 @@ from pyspark.sql import functions as F
 
 from pu4spark_spark.sources import load_table
 
-#: width of the fake "pixel head" window the stub decoder reads
+#: width of the fake "pixel head" window the stub decoder reads —
+#: measured in *characters* of the UTF-8-decoded payload (not raw bytes)
+#: so the head sum is well-defined for any unicode payload and matches
+#: the oracle's per-character code-point sum exactly
 HEAD_BYTES = 16
 
 
@@ -54,9 +57,10 @@ def decode_image(payload: bytes) -> object:
 
 def fake_features(payload: bytes) -> tuple[int, int, int]:
     """Deterministic stand-in for decode+feature-extract: byte length,
-    sum of the first HEAD_BYTES byte values, and a fake frame count."""
-    head = payload[:HEAD_BYTES]
-    return len(payload), int(sum(head)), len(payload) % 7 + 1
+    code-point sum of the first HEAD_BYTES decoded characters, and a
+    fake frame count."""
+    head = payload.decode("utf-8")[:HEAD_BYTES]
+    return len(payload), sum(ord(c) for c in head), len(payload) % 7 + 1
 
 
 def extract_features(packed: DataFrame) -> DataFrame:

@@ -7,9 +7,11 @@ rows-only checks.
 
 The binarize oracles need a probability column that both engines compute
 identically; we use an exact integer pseudo-score
-``((vec_id * 2654435761) % 1000) / 1000.0`` (Knuth multiplicative hash —
-deterministic, overflow-free in int64, bit-exact as a double in both
-engines).
+``(((vec_id % 1000003) * 2654435761) % 1000) / 1000.0`` (Knuth
+multiplicative hash over a pre-reduced id — the product is provably
+< 2^53, so it is overflow-free in int64 in Spark AND in DuckDB's
+range-checked arithmetic, at any table cardinality; bit-exact as a
+double in both engines).
 """
 
 from __future__ import annotations
@@ -28,16 +30,20 @@ from pu4spark_spark.labels import (
 from pu4spark_spark.sources import load_table
 
 _KNUTH = 2654435761
+#: pre-reduction modulus: 1000003 * KNUTH < 2^52 — never overflows
+_PREMOD = 1000003
 
 #: SQL fragment for the deterministic pseudo-probability
-_P_SQL = f"((vec_id * {_KNUTH}) % 1000) / 1000.0"
+_P_SQL = f"(((vec_id % {_PREMOD}) * {_KNUTH}) % 1000) / 1000.0"
 #: SQL fragment for prevLabel: class 9 = positive, classes 0-2 = reliable
 #: negative, rest unlabeled (a realistic mid-iteration sentinel mix)
 _PREV_SQL = "CASE WHEN label = 9 THEN 1 WHEN label <= 2 THEN 0 ELSE -1 END"
 
 
 def _p_col() -> F.Column:
-    return ((F.col("vec_id") * F.lit(_KNUTH)) % F.lit(1000)) / F.lit(1000.0)
+    return (
+        ((F.col("vec_id") % F.lit(_PREMOD)) * F.lit(_KNUTH)) % F.lit(1000)
+    ) / F.lit(1000.0)
 
 
 def _prev_col() -> F.Column:

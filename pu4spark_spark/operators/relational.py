@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pu4spark_spark.functions.exact import (
+    MONEY_ARITH as MONEY,  # narrow: exact through multi-factor products
+    RATE_ARITH as RATE,
     avg_exact,
     dec,
     sql_avg_exact,
@@ -26,8 +28,9 @@ from pu4spark_spark.functions.exact import (
 )
 from pu4spark_spark.sources import load_table
 
-MONEY = "decimal(12,2)"
-RATE = "decimal(4,2)"
+#: SQL spellings of the shared arithmetic decimal types (oracle side)
+_M = MONEY.upper()
+_R = RATE.upper()
 
 
 # -- q1: full-scan aggregation (TPC-H Q1 shape) --------------------------
@@ -57,8 +60,8 @@ SQL_Q1 = f"""
 SELECT l_returnflag, l_linestatus,
        {sql_sum_exact('l_quantity', MONEY)} AS sum_qty,
        {sql_sum_exact('l_extendedprice', MONEY)} AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_extendedprice AS {_M}) * (1 - CAST(l_discount AS {_R}))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS {_M}) * (1 - CAST(l_discount AS {_R})) * (1 + CAST(l_tax AS {_R}))) AS DOUBLE) AS sum_charge,
        {sql_avg_exact('l_quantity', MONEY)} AS avg_qty,
        {sql_avg_exact('l_extendedprice', MONEY)} AS avg_price,
        {sql_avg_exact('l_discount', RATE)} AS avg_disc,
@@ -91,9 +94,9 @@ def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_Q3 = """
+SQL_Q3 = f"""
 SELECT o_orderkey, o_orderdate, o_orderpriority,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+       CAST(SUM(CAST(l_extendedprice AS {_M}) * (1 - CAST(l_discount AS {_R}))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -127,9 +130,9 @@ def q_q5_region_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_Q5 = """
+SQL_Q5 = f"""
 SELECT n_name,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       CAST(SUM(CAST(l_extendedprice AS {_M}) * (1 - CAST(l_discount AS {_R}))) AS DOUBLE) AS revenue,
        COUNT(*) AS n_lineitems
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
@@ -185,9 +188,9 @@ def q_customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_RUNNING_SPEND = """
+SQL_RUNNING_SPEND = f"""
 SELECT o_custkey, o_orderkey,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS running_spend,
+       CAST(SUM(CAST(o_totalprice AS {_M})) OVER w AS DOUBLE) AS running_spend,
        ROW_NUMBER() OVER w AS order_seq
 FROM orders
 WHERE o_custkey < 100

@@ -182,14 +182,19 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     tok = tokens("text")
     sh = word_shingles(tok)
-    min_shingle = F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    # docs with <3 tokens have no shingle: coalesce the missing min to ''
+    # on BOTH sides (DuckDB '||' would otherwise propagate NULL while
+    # concat_ws skips it — divergent fingerprints for short docs)
+    min_shingle = F.coalesce(
+        F.array_min(F.transform(sh, lambda s: F.md5(s))), F.lit("")
+    )
     fp = F.md5(F.concat_ws(":", min_shingle, F.size(tok).cast("string")))
     return docs.select("doc_id", fp.alias("fingerprint"))
 
 
 SQL_TEXT_FINGERPRINT = """
 SELECT doc_id,
-       md5(list_min(list_transform(sh, s -> md5(s)))
+       md5(coalesce(list_min(list_transform(sh, s -> md5(s))), '')
            || ':' || CAST(len(ws) AS VARCHAR)) AS fingerprint
 FROM (SELECT doc_id, string_split(text, ' ') AS ws,
              list_transform(range(1, len(string_split(text, ' ')) - 1),

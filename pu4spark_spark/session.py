@@ -10,6 +10,11 @@ tests, bench, driver harness — runs with the same, 100-TB-minded config:
 - Arrow enabled for the few pandas-UDF paths (multimodal decode)
 - shuffle partitions sized to the local core count; on a real cluster
   AQE coalesces from an intentionally-high initial number instead.
+
+Driver/executor JVM memory is deliberately NOT set here:
+``spark.driver.memory`` is a static JVM option that ``getOrCreate`` on an
+already-started JVM silently ignores — it belongs in ``spark-submit`` /
+``SPARK_DRIVER_MEMORY`` environment configuration, never in builder code.
 """
 
 from __future__ import annotations
@@ -51,7 +56,6 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
