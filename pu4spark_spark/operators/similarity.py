@@ -6,9 +6,10 @@ the built-in alternative.
 Scale design (100 TB):
 - the query set is small and **broadcast** — the big embeddings table is
   scanned once, never shuffled for the join;
-- top-k per query is a window ``row_number ≤ k`` after a per-partition
-  map-side candidate cut would be the next refinement (AQE handles the
-  skew today);
+- top-k per query is two-phase: a local window over
+  ``(query_id, spark_partition_id())`` cuts each partition to k rows
+  per query map-side, then the global per-query window ranks only the
+  k·P survivors — no task ever sorts a query's full candidate set;
 - the LSH variant prunes the scan to one sign-pattern bucket per query:
   at B buckets this is ~1/B of the comparisons, the standard
   recall-for-cost trade, and the bucket is a plain integer column —
@@ -47,6 +48,37 @@ def _quantized_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("norm2", int_dot(F.col("q"), F.col("q")))
 
 
+def two_phase_topk(scored: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Top-k per query in two phases so no task ever sorts a query's
+    full candidate set.
+
+    Phase 1 windows over ``(query_id, spark_partition_id())`` — a
+    map-side cut: each task sorts only its own partition's slice and
+    keeps ≤ k rows per query.  Phase 2's global per-query window then
+    ranks at most k·P survivors instead of the entire scan.  With a
+    single-phase ``Window.partitionBy(query_id)`` the plan has exactly
+    n_queries partitions, so each task sorts ~n/selectivity rows — a
+    single-task bottleneck at 100× scale.  Output is identical: every
+    true global top-k row is also in its partition's top-k under the
+    same (cosine DESC, vec_id ASC) total order.
+    """
+    wl = Window.partitionBy("query_id", "__part").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    local = (
+        scored.withColumn("__part", F.spark_partition_id())
+        .withColumn("__lr", F.row_number().over(wl))
+        .filter(F.col("__lr") <= k)
+        .drop("__part", "__lr")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+    )
+
+
 def cosine_topk(
     base: DataFrame, queries: DataFrame, k: int = TOP_K
 ) -> DataFrame:
@@ -62,13 +94,7 @@ def cosine_topk(
     cos = cosine_from_quantized(
         int_dot(F.col("q"), F.col("qq")), F.col("norm2"), F.col("qnorm2")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("cosine", cos)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
-    )
+    return two_phase_topk(scored.withColumn("cosine", cos), k)
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -128,13 +154,7 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = cosine_from_quantized(
         int_dot(F.col("q"), F.col("qq")), F.col("norm2"), F.col("qnorm2")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("cosine", cos)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
-    )
+    return two_phase_topk(scored.withColumn("cosine", cos), TOP_K)
 
 
 _BUCKET_SQL = sql_sign_bucket("embedding", LSH_DIMS)
