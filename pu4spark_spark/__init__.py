@@ -5,8 +5,10 @@ text analysis) designed for 100 TB scale.
 
 Layout
 ------
+- ``api``          : the ``PositiveUnlabeledLearner`` contract
 - ``session``      : SparkSession builder with scale-aware defaults
 - ``sources``      : parquet table loaders for the driver test schema
+- ``features``     : multi-column feature assembly (VectorAssembler flow)
 - ``labels``       : sentinel-label relational core (pure Catalyst exprs)
 - ``config``       : JSON-round-trippable learner/classifier configs
 - ``two_step``     : shared zero-step (train-on-all, score-all)
@@ -23,12 +25,14 @@ reference — the algorithms are re-derived Spark-first in Python.
 
 __version__ = "0.1.0"
 
+from pu4spark_spark.api import PositiveUnlabeledLearner
 from pu4spark_spark.config import (
     GradualReductionPULearnerConfig,
     LogisticRegressionConfig,
     RandomForestConfig,
     TraditionalPULearnerConfig,
 )
+from pu4spark_spark.features import assemble_features
 from pu4spark_spark.gradual import GradualReductionPULearner
 from pu4spark_spark.traditional import TraditionalPULearner
 
@@ -36,8 +40,10 @@ __all__ = [
     "GradualReductionPULearner",
     "GradualReductionPULearnerConfig",
     "LogisticRegressionConfig",
+    "PositiveUnlabeledLearner",
     "RandomForestConfig",
     "TraditionalPULearner",
     "TraditionalPULearnerConfig",
+    "assemble_features",
     "__version__",
 ]

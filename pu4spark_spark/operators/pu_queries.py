@@ -189,6 +189,65 @@ def q_pu_gradual_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "finalLabel")
 
 
+def q_pu_traditional_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's SECOND classifier, end-to-end: Traditional PU
+    with RandomForest (ProbabilisticClassifierConfig.scala:22-29;
+    registry at PositiveUnlabeledLearner.scala:31-40).  numTrees is
+    scaled down from the reference default 512 for the fixture size;
+    the seed is pinned so the rows-only check is stable."""
+    from pu4spark_spark.config import (
+        RandomForestConfig,
+        TraditionalPULearnerConfig,
+    )
+
+    learner = TraditionalPULearnerConfig(
+        maxIters=1, classifierConfig=RandomForestConfig(numTrees=16, seed=42)
+    ).build()
+    out = learner.weight(_pu_input(spark, sf_dir), "pu_label", "embedding")
+    return out.select("vec_id", "finalLabel")
+
+
+def q_pu_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented onboarding flow (reference README.md:82-89):
+    VectorAssembler over N scalar columns.  The assembled vector is
+    surfaced back as per-element double columns so DuckDB can verify
+    the projection value-exactly."""
+    from pyspark.ml.functions import vector_to_array
+
+    from pu4spark_spark.features import assemble_features
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+    )
+    assembled = assemble_features(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+    arr = vector_to_array(F.col("features"))
+    return assembled.select(
+        "l_orderkey",
+        "l_linenumber",
+        arr[0].alias("f_quantity"),
+        arr[1].alias("f_extendedprice"),
+        arr[2].alias("f_discount"),
+        arr[3].alias("f_tax"),
+    )
+
+
+SQL_PU_FEATURE_ASSEMBLY = """
+SELECT l_orderkey, l_linenumber,
+       CAST(l_quantity AS DOUBLE) AS f_quantity,
+       CAST(l_extendedprice AS DOUBLE) AS f_extendedprice,
+       CAST(l_discount AS DOUBLE) AS f_discount,
+       CAST(l_tax AS DOUBLE) AS f_tax
+FROM lineitem
+"""
+
+
 QUERIES = {
     "pu_relabel_keep": q_pu_relabel_keep,
     "pu_binarize_traditional": q_pu_binarize_traditional,
@@ -198,6 +257,8 @@ QUERIES = {
     "pu_zero_step_lr": q_pu_zero_step_lr,
     "pu_traditional_lr": q_pu_traditional_lr,
     "pu_gradual_lr": q_pu_gradual_lr,
+    "pu_traditional_rf": q_pu_traditional_rf,
+    "pu_feature_assembly": q_pu_feature_assembly,
 }
 
 ORACLE_SQL = {
@@ -206,5 +267,7 @@ ORACLE_SQL = {
     "pu_binarize_gradual": SQL_PU_BINARIZE_GRADUAL,
     "pu_iteration_stats": SQL_PU_ITERATION_STATS,
     "pu_label_index": SQL_PU_LABEL_INDEX,
-    # pu_zero_step_lr / pu_traditional_lr / pu_gradual_lr: ML, rows-only
+    "pu_feature_assembly": SQL_PU_FEATURE_ASSEMBLY,
+    # pu_zero_step_lr / pu_traditional_lr / pu_gradual_lr /
+    # pu_traditional_rf: ML fit/transform, rows-only
 }

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType
 
+from pu4spark_spark.api import PositiveUnlabeledLearner
 from pu4spark_spark.config import INDEXED_FEATURES_NAME, LABEL_NAME
 from pu4spark_spark.labels import index_label
 
@@ -78,8 +79,10 @@ def ensure_vector(df: DataFrame, features_col: str) -> tuple[DataFrame, str]:
     return df, features_col
 
 
-class TwoStepPULearner:
-    """Base for the two PU algorithms; holds the shared step-0 logic."""
+class TwoStepPULearner(PositiveUnlabeledLearner):
+    """Base for the two PU algorithms; holds the shared step-0 logic
+    (``weight`` itself stays abstract — ≡ the trait/skeleton split at
+    PositiveUnlabeledLearner.scala:22-25 / TwoStepPULearner.scala:20)."""
 
     def __init__(self, rel_neg_threshold: float, classifier):
         self.rel_neg_threshold = float(rel_neg_threshold)

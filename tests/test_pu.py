@@ -84,6 +84,75 @@ def test_deterministic_lr(cloud):
     assert [r["finalLabel"] for r in a] == [r["finalLabel"] for r in b]
 
 
+def test_traditional_rf_separates_and_deterministic(cloud):
+    """The reference's second classifier (RandomForest,
+    ProbabilisticClassifierConfig.scala:22-29) through the full
+    weight() path — separation on the synthetic cloud, and pinned-seed
+    determinism across two fresh builds."""
+    cfg = TraditionalPULearnerConfig(
+        relNegThreshold=0.5,
+        maxIters=1,
+        classifierConfig=RandomForestConfig(numTrees=16, seed=42),
+    )
+    out = cfg.build().weight(cloud, "label", "features", "finalLabel")
+    assert out.count() == cloud.count()
+    means = _mean_by_truth(out)
+    assert means[True] > means[False]
+    a = cfg.build().weight(cloud, "label", "features").orderBy("id").collect()
+    b = cfg.build().weight(cloud, "label", "features").orderBy("id").collect()
+    assert [r["finalLabel"] for r in a] == [r["finalLabel"] for r in b]
+
+
+def test_feature_assembly_into_weight(spark):
+    """Reference onboarding flow (README.md:82-89): N scalar columns →
+    VectorAssembler → weight()."""
+    from pu4spark_spark.features import assemble_features
+
+    base = separable_cloud(spark, n=200)
+    scalar = base.select(
+        "id",
+        "truly_pos",
+        "label",
+        F.col("features")[0].alias("x"),
+        F.col("features")[1].alias("y"),
+    )
+    assembled = assemble_features(scalar, ["x", "y"], "features")
+    assert assembled.schema["features"].dataType.simpleString() == "vector"
+    learner = TraditionalPULearnerConfig(maxIters=1).build()
+    out = learner.weight(assembled, "label", "features", "finalLabel")
+    assert out.count() == 200
+    means = _mean_by_truth(out)
+    assert means[True] > means[False]
+
+
+def test_early_exit_keeps_reference_columns(cloud):
+    """Schema parity with the reference's early-exit path
+    (TraditionalPULearner.scala:53-55, which returns prev+cur label
+    columns): relNegThreshold=0 mines zero reliable negatives, so the
+    loop exits on iteration 1; keep_internal=True must expose both
+    sentinel columns, the normalized exit only input+finalLabel."""
+    cfg = TraditionalPULearnerConfig(relNegThreshold=0.0, maxIters=3)
+    internal = cfg.build().weight(
+        cloud, "label", "features", keep_internal=True
+    )
+    assert {"prevLabel", "curLabel", "finalLabel"} <= set(internal.columns)
+    clean = cfg.build().weight(cloud, "label", "features")
+    assert set(clean.columns) == {"id", "truly_pos", "features", "finalLabel"}
+
+
+def test_learner_api_contract():
+    """Both algorithms implement the one-method trait
+    (≡ PositiveUnlabeledLearner.scala:22-25)."""
+    from pu4spark_spark.api import PositiveUnlabeledLearner
+
+    t = TraditionalPULearnerConfig().build()
+    g = GradualReductionPULearnerConfig().build()
+    assert isinstance(t, PositiveUnlabeledLearner)
+    assert isinstance(g, PositiveUnlabeledLearner)
+    with pytest.raises(TypeError):
+        PositiveUnlabeledLearner()  # abstract — not instantiable
+
+
 def test_config_json_roundtrip():
     cfg = TraditionalPULearnerConfig(
         relNegThreshold=0.4, maxIters=5, classifierConfig=RandomForestConfig(numTrees=8)
