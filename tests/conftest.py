@@ -12,6 +12,7 @@ def spark() -> SparkSession:
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.warehouse.dir", "file:///tmp/pu4spark-warehouse")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -1,0 +1,72 @@
+"""Write-path round-trips (SURVEY.md §2B sinks row): what is written
+must re-read value-identical, partitioning must prune, bucketing must
+survive as table metadata."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pu4spark_spark.functions.vectors import sign_bucket
+from pu4spark_spark.operators.dedup import q_dedup_exact_docs
+from pu4spark_spark.sources import load_table, write_bucketed_table, write_parquet
+
+SF01_DIR = "/root/testdata/sf0.01"
+
+
+def _rowset(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_parquet_roundtrip_dedup_output(spark, tmp_path):
+    """Dedup output written to parquet re-reads hash-identical."""
+    out = q_dedup_exact_docs(spark, SF01_DIR)
+    expected = _rowset(out)
+    path = str(tmp_path / "dedup_exact")
+    write_parquet(out, path, max_records_per_file=10_000)
+    back = spark.read.parquet(path)
+    # parquet re-reads are always nullable; names+types must match
+    assert [(f.name, f.dataType) for f in back.schema] == [
+        (f.name, f.dataType) for f in out.schema
+    ]
+    assert _rowset(back) == expected
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    """Embeddings written partitioned by LSH bucket: values round-trip
+    and a bucket-filtered scan reads only that bucket's directory."""
+    emb = load_table(spark, "embeddings", SF01_DIR).select(
+        "vec_id",
+        "label",
+        sign_bucket("embedding", [0, 10, 20, 30, 40, 50]).alias("bucket"),
+    )
+    path = str(tmp_path / "emb_bucketed")
+    write_parquet(emb, path, partition_by=["bucket"])
+    back = spark.read.parquet(path)
+    assert _rowset(back.select("vec_id", "label", "bucket")) == _rowset(
+        emb.select("vec_id", "label", "bucket")
+    )
+    one = back.filter(F.col("bucket") == 0)
+    # partition filter must reach the scan (directory pruning, not a row filter)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert one.count() == emb.filter(F.col("bucket") == 0).count()
+
+
+def test_bucketed_table_roundtrip(spark):
+    """saveAsTable with bucketBy: values round-trip and the catalog
+    records the bucket spec (the no-shuffle-join precondition)."""
+    docs = load_table(spark, "documents", SF01_DIR).select(
+        "doc_id", F.md5(F.col("text")).alias("text_hash")
+    )
+    spark.sql("DROP TABLE IF EXISTS t_docs_bucketed")
+    write_bucketed_table(
+        docs, "t_docs_bucketed", ["text_hash"], 8, sort_cols=["text_hash"]
+    )
+    try:
+        back = spark.table("t_docs_bucketed")
+        assert _rowset(back) == _rowset(docs)
+        ddl = spark.sql("DESCRIBE TABLE EXTENDED t_docs_bucketed").collect()
+        info = {r["col_name"]: r["data_type"] for r in ddl}
+        assert info.get("Num Buckets") == "8"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_docs_bucketed")
