@@ -35,13 +35,18 @@ HEADLINE = [
     "dedup_exact_docs",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_simhash_hamming",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "text_quality",
     "text_corpus_stats",
+    "text_tfidf_ml",
+    "streaming_events_hourly",
     "pu_zero_step_lr",
+    "pu_traditional_rf",
+    "pu_feature_assembly",
 ]
 
 
