@@ -1,0 +1,161 @@
+"""As-of (point-in-time) join — a core time-series operator the
+reference lacks entirely (SURVEY.md §2B gap; the north-star brief names
+it explicitly as an operator Spark has no built-in for).
+
+Semantics: for every left row, attach the single right row with the
+largest ``right.ts ≤ left.ts`` within the same key — i.e. the state
+"as of" the left row's timestamp.  Equal timestamps match.
+
+Spark-first design — the union+window trick, NOT a range join:
+
+    tag left rows side=1 and right rows side=0, union them, then one
+    window per key ordered by (ts, side, order_col) computes a running
+    ``last(right_value, ignoreNulls)`` — right rows deposit their
+    values, left rows pick up the latest deposit.  Filter back to left
+    rows.
+
+Cost: ONE shuffle on the key column + a per-partition sort — the same
+price as a plain equi-join aggregation.  A naive
+``l.join(r, key && r.ts <= l.ts)`` range join produces O(|matches|)
+intermediate rows (every earlier right row per left row, quadratic per
+key in the worst case) before the max-filter; BroadcastNestedLoopJoin
+at 100 TB is a non-starter.  The union+window form is linear in
+|left|+|right| and AQE's skew handling applies to the single shuffle.
+
+The right side is first deduplicated to one row per (key, ts) with a
+deterministic tiebreak (max order_col) because "the" as-of match is
+otherwise undefined under timestamp collisions — DuckDB's native ASOF
+JOIN (the oracle) has the same ambiguity, so both engines see a
+collision-free right side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pu4spark_spark.sources import load_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_cols: list[str],
+    order_col: str,
+) -> DataFrame:
+    """Left as-of join: every ``left`` row gains ``value_cols`` from the
+    latest ``right`` row with ``right.ts_col <= left.ts_col`` per key
+    (NULLs when no prior right row exists).
+
+    ``order_col`` must be a unique right-side column; it breaks ties
+    deterministically when two right rows share (key, ts).
+    """
+    # one row per (key, ts) on the right — deterministic as-of target
+    wd = Window.partitionBy(*key_cols, ts_col).orderBy(F.desc(order_col))
+    right_d = (
+        right.withColumn("__rn", F.row_number().over(wd))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    tagged_r = right_d.select(
+        *key_cols,
+        F.col(ts_col),
+        F.lit(0).alias("__side"),
+        F.col(order_col).alias("__ord"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    left_cols = [c for c in left.columns]
+    tagged_l = left.select(
+        *key_cols,
+        F.col(ts_col),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(tagged_r.schema["__ord"].dataType).alias("__ord"),
+        *[F.lit(None).cast(right_d.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        *[F.col(c).alias(f"__l_{c}") for c in left_cols],
+    )
+    tagged_r = tagged_r.select(
+        *key_cols,
+        ts_col,
+        "__side",
+        "__ord",
+        *[f"__r_{c}" for c in value_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in left_cols],
+    )
+
+    # right rows sort BEFORE left rows at equal ts (side 0 < 1) so an
+    # exact-timestamp match is visible to the left row, per ASOF <=
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.asc(ts_col), F.asc("__side"), F.asc_nulls_first("__ord"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged_l.unionByName(tagged_r)
+    for c in value_cols:
+        carried = carried.withColumn(
+            f"__asof_{c}", F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w)
+        )
+    out = carried.filter(F.col("__side") == 1)
+    return out.select(
+        *[F.col(f"__l_{c}").alias(c) for c in left_cols],
+        *[F.col(f"__asof_{c}").alias(f"asof_{c}") for c in value_cols],
+    )
+
+
+def q_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click event: the same user's most recent purchase at or
+    before the click (event id and value), NULL when none yet."""
+    events = load_table(spark, "events", sf_dir)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        key_cols=["user_id"],
+        ts_col="ts",
+        value_cols=["event_id", "value"],
+        order_col="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_event_id").alias("purchase_event_id"),
+        F.col("asof_value").alias("purchase_value"),
+    )
+
+
+SQL_ASOF_CLICK_PURCHASE = """
+WITH purchases AS (
+  SELECT user_id, ts, event_id, value
+  FROM (SELECT user_id, ts, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase')
+  WHERE rn = 1
+),
+clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id,
+       c.user_id,
+       p.event_id AS purchase_event_id,
+       p.value AS purchase_value
+FROM clicks c
+ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+QUERIES = {
+    "asof_click_purchase": q_asof_click_purchase,
+}
+
+ORACLE_SQL = {
+    "asof_click_purchase": SQL_ASOF_CLICK_PURCHASE,
+}

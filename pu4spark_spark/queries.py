@@ -13,6 +13,7 @@ from pu4spark_spark.operators import pu_queries
 _MODULES = [pu_queries]
 
 from pu4spark_spark.operators import (  # noqa: E402
+    asof,
     dedup,
     multimodal,
     relational,
@@ -21,7 +22,7 @@ from pu4spark_spark.operators import (  # noqa: E402
 )
 from pu4spark_spark.streaming import events as streaming_events  # noqa: E402
 
-_MODULES += [relational, dedup, similarity, text, multimodal, streaming_events]
+_MODULES += [relational, asof, dedup, similarity, text, multimodal, streaming_events]
 
 QUERIES = {}
 ORACLE_SQL = {}

@@ -1,0 +1,64 @@
+"""As-of join semantics on hand-built rows: equal-ts match, strictly
+later rows excluded, NULL when no prior right row, timestamp-collision
+tiebreak."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pu4spark_spark.operators.asof import asof_join
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01 10:00:00")),  # before any right row
+            (2, 10, _ts("2024-01-01 12:00:00")),  # equal-ts match
+            (3, 10, _ts("2024-01-01 13:30:00")),  # between rights
+            (4, 20, _ts("2024-01-01 09:00:00")),  # other key, no right
+        ],
+        ["lid", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, _ts("2024-01-01 12:00:00"), 1.0),
+            (101, 10, _ts("2024-01-01 13:00:00"), 2.0),
+            (102, 10, _ts("2024-01-01 14:00:00"), 3.0),
+        ],
+        ["rid", "k", "ts", "v"],
+    )
+    out = asof_join(
+        left, right, key_cols=["k"], ts_col="ts", value_cols=["rid", "v"],
+        order_col="rid",
+    )
+    got = {r["lid"]: (r["asof_rid"], r["asof_v"]) for r in out.collect()}
+    assert got[1] == (None, None)      # nothing at or before 10:00
+    assert got[2] == (100, 1.0)        # equal ts matches (<= semantics)
+    assert got[3] == (101, 2.0)        # latest at-or-before 13:30
+    assert got[4] == (None, None)      # key with no right rows
+    assert len(got) == 4               # every left row survives
+
+
+def test_asof_join_collision_tiebreak(spark):
+    """Two right rows at the identical (key, ts): the max-order_col row
+    wins deterministically."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01 12:30:00"))], ["lid", "k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, _ts("2024-01-01 12:00:00"), 1.0),
+            (105, 10, _ts("2024-01-01 12:00:00"), 9.0),
+        ],
+        ["rid", "k", "ts", "v"],
+    )
+    out = asof_join(
+        left, right, key_cols=["k"], ts_col="ts", value_cols=["rid", "v"],
+        order_col="rid",
+    )
+    row = out.collect()[0]
+    assert (row["asof_rid"], row["asof_v"]) == (105, 9.0)
