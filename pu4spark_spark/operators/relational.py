@@ -300,6 +300,74 @@ SELECT DISTINCT l_partkey AS p_partkey FROM lineitem WHERE l_discount >= 0.08
 """
 
 
+# -- semi / anti joins ----------------------------------------------------
+
+def q_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left SEMI join: customers having ≥1 urgent order — existence
+    probe only, never multiplies rows (the fact side is reduced to a
+    distinct key set during the join, no fan-out to re-aggregate)."""
+    cust = load_table(spark, "customer", sf_dir)
+    urgent = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+SQL_SEMI_URGENT = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left ANTI join: lapsed customers — no order since 2001
+    (NOT EXISTS with a pushed-down date filter on the fact side)."""
+    cutoff = F.lit("2001-01-01").cast("timestamp")
+    cust = load_table(spark, "customer", sf_dir)
+    recent = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") >= cutoff
+    )
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+SQL_ANTI_NO_ORDERS = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+"""
+
+
+# -- cube ------------------------------------------------------------------
+
+def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping sets in one pass —
+    Spark expands the sets map-side, still a single shuffle."""
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        sum_exact("o_totalprice", MONEY).alias("total"),
+    )
+
+
+SQL_CUBE = f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       {sql_sum_exact('o_totalprice', MONEY)} AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 # -- pivot-style conditional aggregation --------------------------------
 
 _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
@@ -394,6 +462,9 @@ QUERIES = {
     "parts_setops": q_parts_setops,
     "segment_priority_matrix": q_segment_priority_matrix,
     "rollup_order_status": q_rollup_order_status,
+    "cube_status_priority": q_cube_status_priority,
+    "customers_with_urgent_orders": q_customers_with_urgent_orders,
+    "customers_without_orders": q_customers_without_orders,
     "order_scalar_functions": q_order_scalar_functions,
 }
 
@@ -409,5 +480,8 @@ ORACLE_SQL = {
     "parts_setops": SQL_PARTS_SETOPS,
     "segment_priority_matrix": SQL_SEGMENT_PRIORITY,
     "rollup_order_status": SQL_ROLLUP,
+    "cube_status_priority": SQL_CUBE,
+    "customers_with_urgent_orders": SQL_SEMI_URGENT,
+    "customers_without_orders": SQL_ANTI_NO_ORDERS,
     "order_scalar_functions": SQL_SCALAR_FUNCTIONS,
 }
