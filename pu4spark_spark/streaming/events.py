@@ -119,5 +119,80 @@ FROM events
 GROUP BY 1, 2
 """
 
-QUERIES = {"streaming_events_hourly": q_streaming_events_hourly}
-ORACLE_SQL = {"streaming_events_hourly": SQL_STREAMING_EVENTS_HOURLY}
+# -- session windows -----------------------------------------------------
+
+SESSION_GAP = "30 minutes"
+
+
+def sessionized_counts(stream: DataFrame) -> DataFrame:
+    """Per-user session windows (30-min inactivity gap): Spark merges
+    events into a session while each next event starts strictly before
+    ``latest_event + gap``; the window spans
+    ``[min ts, max ts + gap)``."""
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.session_window("ts", SESSION_GAP).alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization drained with availableNow — a custom
+    stateful-window operator no fixed bucketing can express."""
+    name = f"events_sessions_stream_{uuid.uuid4().hex[:8]}"
+    agg = sessionized_counts(read_events_stream(spark, sf_dir))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name)
+
+
+#: gap-and-island sessionization: a session break is a gap ≥ the 30-min
+#: window (Spark merges only while the next event starts STRICTLY before
+#: latest+gap, so an exactly-gap-sized silence starts a new session in
+#: both formulations); session_end mirrors Spark's max(ts)+gap
+SQL_STREAMING_SESSIONS = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+islands AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM islands
+GROUP BY user_id, sid
+"""
+
+QUERIES = {
+    "streaming_events_hourly": q_streaming_events_hourly,
+    "streaming_sessions": q_streaming_sessions,
+}
+ORACLE_SQL = {
+    "streaming_events_hourly": SQL_STREAMING_EVENTS_HOURLY,
+    "streaming_sessions": SQL_STREAMING_SESSIONS,
+}
