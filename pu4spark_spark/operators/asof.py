@@ -152,10 +152,108 @@ ASOF LEFT JOIN purchases p
 """
 
 
+# -- banded range join ----------------------------------------------------
+
+def range_join_lookback(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    lookback_micros: int,
+) -> DataFrame:
+    """Inner range join: all (left, right) pairs with
+    ``left.ts - lookback <= right.ts <= left.ts`` per key — banded, not
+    nested-loop.
+
+    Time is chunked into fixed bands of exactly the lookback width.  A
+    right row lives in one band; a left row's window spans at most two
+    consecutive bands, so the left side explodes to ≤2 band keys and the
+    join becomes a plain equi-join on ``(key, band)`` followed by the
+    exact BETWEEN filter.  One shuffle, ×2 left amplification, zero
+    quadratic blowup — versus Spark's default for pure inequality
+    predicates (BroadcastNestedLoopJoin), which is quadratic and
+    broadcast-bound at 100 TB.  Band arithmetic is exact integer
+    microseconds, so the DuckDB oracle reproduces pairs bit-identically.
+    """
+    lb = int(lookback_micros)
+    # integer `div`, not float `/`: band keys at ~1e15 micros must be
+    # exact or boundary rows land in the wrong band
+    rband = F.expr(f"unix_micros({right_ts}) div {lb}")
+    lband_hi = F.expr(f"unix_micros({left_ts}) div {lb}")
+    lband_lo = F.expr(f"(unix_micros({left_ts}) - {lb}) div {lb}")
+    lx = left.withColumn(
+        "__band", F.explode(F.array_distinct(F.array(lband_lo, lband_hi)))
+    )
+    rx = right.withColumn("__band", rband)
+    cond = [lx[c] == rx[c] for c in key_cols] + [
+        lx["__band"] == rx["__band"],
+        rx[right_ts] <= lx[left_ts],
+        F.unix_micros(rx[right_ts]) >= F.unix_micros(lx[left_ts]) - F.lit(lb),
+    ]
+    joined = lx.join(rx, cond, "inner")
+    return joined
+
+
+LOOKBACK_MICROS = 6 * 3600 * 1_000_000  # 6 hours
+
+
+def q_range_click_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every (click, purchase) pair of the same user where the purchase
+    happened within the 6 hours up to the click — attribution-window
+    style range join."""
+    events = load_table(spark, "events", sf_dir)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("pts"),
+    )
+    purchases = purchases.withColumnRenamed("p_user_id", "user_id")
+    joined = range_join_lookback(
+        clicks.alias("c"),
+        purchases.alias("p"),
+        key_cols=["user_id"],
+        left_ts="cts",
+        right_ts="pts",
+        lookback_micros=LOOKBACK_MICROS,
+    )
+    return joined.select(
+        F.col("c.click_id").alias("click_id"),
+        F.col("p.purchase_id").alias("purchase_id"),
+        F.col("c.user_id").alias("user_id"),
+        (F.unix_micros(F.col("cts")) - F.unix_micros(F.col("pts"))).alias(
+            "gap_micros"
+        ),
+    )
+
+
+SQL_RANGE_CLICK_PURCHASES = f"""
+WITH clicks AS (
+  SELECT event_id AS click_id, user_id, ts AS cts
+  FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT event_id AS purchase_id, user_id, ts AS pts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.click_id, p.purchase_id, c.user_id,
+       epoch_us(c.cts) - epoch_us(p.pts) AS gap_micros
+FROM clicks c JOIN purchases p
+  ON c.user_id = p.user_id
+ AND p.pts <= c.cts
+ AND epoch_us(p.pts) >= epoch_us(c.cts) - {LOOKBACK_MICROS}
+"""
+
+
 QUERIES = {
     "asof_click_purchase": q_asof_click_purchase,
+    "range_click_purchases": q_range_click_purchases,
 }
 
 ORACLE_SQL = {
     "asof_click_purchase": SQL_ASOF_CLICK_PURCHASE,
+    "range_click_purchases": SQL_RANGE_CLICK_PURCHASES,
 }
