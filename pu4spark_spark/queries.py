@@ -21,8 +21,18 @@ from pu4spark_spark.operators import (  # noqa: E402
     text,
 )
 from pu4spark_spark.streaming import events as streaming_events  # noqa: E402
+from pu4spark_spark.streaming import stateful as streaming_stateful  # noqa: E402
 
-_MODULES += [relational, asof, dedup, similarity, text, multimodal, streaming_events]
+_MODULES += [
+    relational,
+    asof,
+    dedup,
+    similarity,
+    text,
+    multimodal,
+    streaming_events,
+    streaming_stateful,
+]
 
 QUERIES = {}
 ORACLE_SQL = {}

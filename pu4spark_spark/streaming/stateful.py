@@ -1,0 +1,86 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``
+(SURVEY.md §2B streaming/UDAF rows — the arbitrary-state API the
+north-star brief calls out for operators watermarked windows can't
+express).
+
+The operator keeps one state tuple per user — event count and an exact
+running total in integer cents — updated Arrow-batch-wise.  Money is
+accumulated as ``int(round(value·100))`` so the state is an associative
+integer sum: partition- and batch-order independent, restart-safe, and
+bit-identical to the DuckDB oracle (floats would drift per ordering).
+
+Scale: state lives in the state store partitioned by the grouping key
+(one shuffle); each microbatch touches only keys present in the batch.
+The availableNow drain makes the same operator driver-checkable as a
+batch-equivalent query.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pu4spark_spark.streaming.events import read_events_stream
+
+OUTPUT_SCHEMA = "user_id long, n_events long, total_cents long"
+STATE_SCHEMA = "n long, cents long"
+
+
+def _update_user_totals(key, pdf_iter: Iterator, state) -> Iterator:
+    """Fold this batch's rows for one user into (count, cents) state."""
+    (uid,) = key
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+    state.update((n, cents))
+    import pandas as pd
+
+    yield pd.DataFrame(
+        {"user_id": [uid], "n_events": [n], "total_cents": [cents]}
+    )
+
+
+def user_totals_stateful(stream: DataFrame) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _update_user_totals,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def q_streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the stateful per-user totals with availableNow; with the
+    whole fixture in the stream, the final update per user equals the
+    batch aggregate, so the DuckDB oracle fully value-checks the
+    stateful path."""
+    name = f"user_totals_stream_{uuid.uuid4().hex[:8]}"
+    out = user_totals_stateful(read_events_stream(spark, sf_dir))
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name)
+
+
+SQL_STREAMING_USER_TOTALS = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS total_cents
+FROM events
+GROUP BY user_id
+"""
+
+QUERIES = {"streaming_user_totals": q_streaming_user_totals}
+ORACLE_SQL = {"streaming_user_totals": SQL_STREAMING_USER_TOTALS}
