@@ -32,6 +32,11 @@ HEADLINE = [
     "monthly_revenue",
     "events_hourly",
     "events_json_stats",
+    "cube_status_priority",
+    "customers_with_urgent_orders",
+    "customers_without_orders",
+    "asof_click_purchase",
+    "range_click_purchases",
     "dedup_exact_docs",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -44,6 +49,8 @@ HEADLINE = [
     "text_corpus_stats",
     "text_tfidf_ml",
     "streaming_events_hourly",
+    "streaming_sessions",
+    "streaming_user_totals",
     "pu_zero_step_lr",
     "pu_traditional_rf",
     "pu_feature_assembly",
