@@ -45,6 +45,7 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
+    "ann_ivf",
     "text_quality",
     "text_corpus_stats",
     "text_tfidf_ml",

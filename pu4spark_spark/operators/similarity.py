@@ -210,14 +210,93 @@ def q_ann_brp_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- IVF (inverted-file) ANN ---------------------------------------------
+
+IVF_CLUSTERS = 16
+IVF_NPROBE = 2
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN — the centroid-partitioned alternative to sign-bucket
+    LSH: KMeans (seeded) learns IVF_CLUSTERS centroids, every vector is
+    assigned to its nearest centroid (the inverted file), and each
+    query probes only its IVF_NPROBE closest cells.
+
+    Scale shape: the tiny centroid table broadcasts everywhere (k
+    vectors, independent of n); cell assignment is one map pass; the
+    probe is an equi-join on the integer cell id covering
+    ~nprobe/k of the table.  On disk the cell id is the natural
+    partition/bucket column (see ``sources/sinks.py``), making repeated
+    probes partition-pruned scans.  KMeans internals aren't
+    SQL-expressible — rows-only check, seeded for stability.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from pu4spark_spark.plans import cached, spread
+
+    emb = spread(load_table(spark, "embeddings", sf_dir)).select(
+        "vec_id",
+        quantized("embedding").alias("q"),
+        array_to_vector(F.col("embedding")).alias("fv"),
+    )
+    km = KMeans(k=IVF_CLUSTERS, seed=42, featuresCol="fv", predictionCol="cell")
+    model = km.fit(emb)
+    assigned = cached(
+        model.transform(emb)
+        .withColumn("norm2", int_dot(F.col("q"), F.col("q")))
+        .drop("fv")
+    )
+
+    # nprobe nearest cells per query vector, by distance to centroid
+    centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    centroids = spark.createDataFrame(centers, ["cell", "centroid"])
+    qs = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("norm2").alias("qnorm2"),
+    )
+    emb_q = load_table(spark, "embeddings", sf_dir).filter(
+        F.col("vec_id") < N_QUERIES
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    dist2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("centroid"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
+    probe = (
+        emb_q.crossJoin(F.broadcast(centroids))
+        .withColumn("d2", dist2)
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= IVF_NPROBE)
+        .select("query_id", "cell")
+    )
+    targets = F.broadcast(probe.join(qs, "query_id"))
+
+    scored = assigned.join(targets, "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = cosine_from_quantized(
+        int_dot(F.col("q"), F.col("qq")), F.col("norm2"), F.col("qnorm2")
+    )
+    return two_phase_topk(scored.withColumn("cosine", cos), TOP_K)
+
+
 QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
+    "ann_ivf": q_ann_ivf,
     "ann_brp_lsh_ml": q_ann_brp_lsh_ml,
 }
 
 ORACLE_SQL = {
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_lsh_bucketed": SQL_ANN_LSH_BUCKETED,
+    # ann_ivf: KMeans centroids — rows-only
     # ann_brp_lsh_ml: ML internals — rows-only
 }

@@ -5,6 +5,7 @@ from pyspark.sql import functions as F
 from pu4spark_spark.operators.similarity import (
     TOP_K,
     q_ann_cosine_topk,
+    q_ann_ivf,
     q_ann_lsh_bucketed,
 )
 
@@ -44,4 +45,27 @@ def test_lsh_candidates_are_a_sound_subset(spark):
         assert r["cosine"] <= e_best[r["query_id"]] + 1e-12
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_all:  # overlap pairs must agree bit-for-bit
+            assert r["cosine"] == exact_all[key]
+
+
+def test_ivf_deterministic_and_sound(spark):
+    """Seeded KMeans makes IVF fully deterministic; like LSH, a pruned
+    search can never beat the exact top-1, and overlapping pairs carry
+    bit-identical cosines (same quantized-integer math)."""
+    a = sorted(tuple(r) for r in q_ann_ivf(spark, SF).collect())
+    b = sorted(tuple(r) for r in q_ann_ivf(spark, SF).collect())
+    assert a == b
+    assert len(a) > 0
+    exact = q_ann_cosine_topk(spark, SF)
+    e_best = {
+        r["query_id"]: r["cosine"]
+        for r in exact.filter(F.col("rank") == 1).collect()
+    }
+    exact_all = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact.collect()
+    }
+    for r in q_ann_ivf(spark, SF).collect():
+        assert r["cosine"] <= e_best[r["query_id"]] + 1e-12
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_all:
             assert r["cosine"] == exact_all[key]
