@@ -300,6 +300,40 @@ SELECT DISTINCT l_partkey AS p_partkey FROM lineitem WHERE l_discount >= 0.08
 """
 
 
+# -- distinct-count aggregation -------------------------------------------
+
+def q_events_user_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type distinct users.  COUNT(DISTINCT) expands to a
+    two-stage partial-dedup aggregate in Spark — still a single logical
+    pass; use :func:`q_events_user_cardinality_approx` when a ±2% HLL
+    answer is acceptable at 100 TB (no dedup state, fixed memory)."""
+    events = load_table(spark, "events", sf_dir)
+    return events.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SQL_USER_CARDINALITY = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_events_user_cardinality_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ sketch counterpart — fixed-size state per group
+    instead of a dedup hash table, mergeable across partitions (the
+    100 TB default for cardinality dashboards).  Sketch estimates are
+    engine-specific: rows-only check."""
+    events = load_table(spark, "events", sf_dir)
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+    )
+
+
 # -- semi / anti joins ----------------------------------------------------
 
 def q_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -463,6 +497,8 @@ QUERIES = {
     "segment_priority_matrix": q_segment_priority_matrix,
     "rollup_order_status": q_rollup_order_status,
     "cube_status_priority": q_cube_status_priority,
+    "events_user_cardinality": q_events_user_cardinality,
+    "events_user_cardinality_approx": q_events_user_cardinality_approx,
     "customers_with_urgent_orders": q_customers_with_urgent_orders,
     "customers_without_orders": q_customers_without_orders,
     "order_scalar_functions": q_order_scalar_functions,
@@ -481,6 +517,8 @@ ORACLE_SQL = {
     "segment_priority_matrix": SQL_SEGMENT_PRIORITY,
     "rollup_order_status": SQL_ROLLUP,
     "cube_status_priority": SQL_CUBE,
+    "events_user_cardinality": SQL_USER_CARDINALITY,
+    # events_user_cardinality_approx: HLL sketch, engine-specific — rows-only
     "customers_with_urgent_orders": SQL_SEMI_URGENT,
     "customers_without_orders": SQL_ANTI_NO_ORDERS,
     "order_scalar_functions": SQL_SCALAR_FUNCTIONS,
