@@ -12,6 +12,7 @@ no-op; on a single small file it fans out to every core.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def spread(df: DataFrame, factor: int = 2) -> DataFrame:
@@ -41,3 +42,38 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
         df._jdf.queryExecution(), mode
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Equi-join with the hot-key shuffle split ``salt`` ways.
+
+    AQE's skew-join splitting (enabled in ``session.get_spark``) handles
+    most skew at runtime, but it only splits *partitions*, not a single
+    monster key inside one partition, and it can't help a sort-merge
+    join's sort spill on that key.  Manual salting is the standard
+    pre-emptive fix: the fact side appends a deterministic salt
+    ``pmod(hash(<all fact columns>), salt)`` and the (smaller) dim side
+    is exploded ``salt``× so every (key, salt) bucket still finds its
+    match.  Join output is row-identical to the unsalted join.
+
+    Use when one key holds ≫ 1/numPartitions of the fact table (null
+    keys, default values, celebrity users).  The dim side is replicated
+    ``salt``× — keep it the smaller input.
+    """
+    fact_salted = fact.withColumn(
+        "__salt",
+        F.pmod(F.hash(*[F.col(c) for c in fact.columns]), F.lit(salt)).cast(
+            "int"
+        ),
+    )
+    dim_exploded = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = fact_salted.join(dim_exploded, [key, "__salt"], how)
+    return out.drop("__salt")

@@ -66,3 +66,24 @@ def test_no_row_udfs_anywhere():
         if re.search(r"F\.udf\(|@udf|functions\.udf\(|\budf\(lambda", src):
             offenders.append(str(p))
     assert offenders == []
+
+
+def test_salted_join_row_identical(spark):
+    """Salting redistributes the shuffle but must not change the join
+    result."""
+    from pu4spark_spark.plans import salted_join
+    from pu4spark_spark.sources import load_table
+
+    orders = load_table(spark, "orders", SF_DIR)
+    cust = load_table(spark, "customer", SF_DIR).withColumnRenamed(
+        "c_custkey", "o_custkey"
+    ).select("o_custkey", "c_name", "c_mktsegment")
+    plain = orders.join(cust, "o_custkey").select(
+        "o_orderkey", "c_name", "c_mktsegment"
+    )
+    salted = salted_join(orders, cust, "o_custkey", salt=8).select(
+        "o_orderkey", "c_name", "c_mktsegment"
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
