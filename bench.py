@@ -51,6 +51,7 @@ HEADLINE = [
     "text_tfidf_ml",
     "streaming_events_hourly",
     "streaming_sessions",
+    "streaming_range_join",
     "streaming_user_totals",
     "pu_zero_step_lr",
     "pu_traditional_rf",

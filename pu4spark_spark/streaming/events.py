@@ -188,11 +188,93 @@ FROM islands
 GROUP BY user_id, sid
 """
 
+# -- stream-stream join ---------------------------------------------------
+
+STREAM_JOIN_LOOKBACK = "6 hours"
+
+
+def q_streaming_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with a watermarked time-range condition:
+    clicks joined to the same user's purchases within the 6 hours before
+    the click — the streaming twin of the batch ``range_click_purchases``
+    query, checked against the SAME oracle.
+
+    Both sides carry watermarks so Spark can bound the join state: a
+    buffered purchase is dropped once the click watermark passes its
+    ts + lookback (state is O(in-flight window), not O(stream))."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("cts"),
+        )
+        .withWatermark("cts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("pts"),
+        )
+        .withWatermark("pts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"c_user_id = p_user_id AND pts <= cts "
+            f"AND pts >= cts - interval {STREAM_JOIN_LOOKBACK}"
+        ),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user_id").alias("user_id"),
+        (F.unix_micros(F.col("cts")) - F.unix_micros(F.col("pts"))).alias(
+            "gap_micros"
+        ),
+    )
+    name = f"events_range_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name)
+
+
+#: identical contract to the batch banded range join
+SQL_STREAMING_RANGE_JOIN = """
+WITH clicks AS (
+  SELECT event_id AS click_id, user_id, ts AS cts
+  FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT event_id AS purchase_id, user_id, ts AS pts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.click_id, p.purchase_id, c.user_id,
+       epoch_us(c.cts) - epoch_us(p.pts) AS gap_micros
+FROM clicks c JOIN purchases p
+  ON c.user_id = p.user_id
+ AND p.pts <= c.cts
+ AND epoch_us(p.pts) >= epoch_us(c.cts) - 21600000000
+"""
+
 QUERIES = {
     "streaming_events_hourly": q_streaming_events_hourly,
     "streaming_sessions": q_streaming_sessions,
+    "streaming_range_join": q_streaming_range_join,
 }
 ORACLE_SQL = {
     "streaming_events_hourly": SQL_STREAMING_EVENTS_HOURLY,
     "streaming_sessions": SQL_STREAMING_SESSIONS,
+    "streaming_range_join": SQL_STREAMING_RANGE_JOIN,
 }
