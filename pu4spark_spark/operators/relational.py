@@ -300,6 +300,35 @@ SELECT DISTINCT l_partkey AS p_partkey FROM lineitem WHERE l_discount >= 0.08
 """
 
 
+# -- percentiles -----------------------------------------------------------
+
+def q_lineitem_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per return flag.  Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the
+    p·(n−1)-index linear interpolation, so results are bit-identical.
+    Exact percentile buffers each group's values — at 100 TB switch to
+    ``approx_percentile`` (t-digest sketch, mergeable fixed state) when
+    ±ε error is acceptable."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+SQL_PRICE_PERCENTILES = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS median_price,
+       quantile_cont(l_extendedprice, 0.95) AS p95_price,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 # -- distinct-count aggregation -------------------------------------------
 
 def q_events_user_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -497,6 +526,7 @@ QUERIES = {
     "segment_priority_matrix": q_segment_priority_matrix,
     "rollup_order_status": q_rollup_order_status,
     "cube_status_priority": q_cube_status_priority,
+    "lineitem_price_percentiles": q_lineitem_price_percentiles,
     "events_user_cardinality": q_events_user_cardinality,
     "events_user_cardinality_approx": q_events_user_cardinality_approx,
     "customers_with_urgent_orders": q_customers_with_urgent_orders,
@@ -517,6 +547,7 @@ ORACLE_SQL = {
     "segment_priority_matrix": SQL_SEGMENT_PRIORITY,
     "rollup_order_status": SQL_ROLLUP,
     "cube_status_priority": SQL_CUBE,
+    "lineitem_price_percentiles": SQL_PRICE_PERCENTILES,
     "events_user_cardinality": SQL_USER_CARDINALITY,
     # events_user_cardinality_approx: HLL sketch, engine-specific — rows-only
     "customers_with_urgent_orders": SQL_SEMI_URGENT,
