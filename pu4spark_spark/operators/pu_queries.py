@@ -207,6 +207,22 @@ def q_pu_traditional_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "finalLabel")
 
 
+def q_pu_gradual_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradual Reduction × RandomForest — completes the 2 algorithms ×
+    2 classifiers matrix of the reference registry
+    (PositiveUnlabeledLearner.scala:31-40)."""
+    from pu4spark_spark.config import (
+        GradualReductionPULearnerConfig,
+        RandomForestConfig,
+    )
+
+    learner = GradualReductionPULearnerConfig(
+        classifierConfig=RandomForestConfig(numTrees=16, seed=42)
+    ).build()
+    out = learner.weight(_pu_input(spark, sf_dir), "pu_label", "embedding")
+    return out.select("vec_id", "finalLabel")
+
+
 def q_pu_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documented onboarding flow (reference README.md:82-89):
     VectorAssembler over N scalar columns.  The assembled vector is
@@ -258,6 +274,7 @@ QUERIES = {
     "pu_traditional_lr": q_pu_traditional_lr,
     "pu_gradual_lr": q_pu_gradual_lr,
     "pu_traditional_rf": q_pu_traditional_rf,
+    "pu_gradual_rf": q_pu_gradual_rf,
     "pu_feature_assembly": q_pu_feature_assembly,
 }
 
@@ -269,5 +286,5 @@ ORACLE_SQL = {
     "pu_label_index": SQL_PU_LABEL_INDEX,
     "pu_feature_assembly": SQL_PU_FEATURE_ASSEMBLY,
     # pu_zero_step_lr / pu_traditional_lr / pu_gradual_lr /
-    # pu_traditional_rf: ML fit/transform, rows-only
+    # pu_traditional_rf / pu_gradual_rf: ML fit/transform, rows-only
 }
