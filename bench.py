@@ -46,6 +46,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "ann_ivf",
+    "pipeline_docs_clean",
     "text_quality",
     "text_corpus_stats",
     "text_tfidf_ml",

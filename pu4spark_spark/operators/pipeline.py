@@ -1,0 +1,188 @@
+"""End-to-end training-data cleaning pipeline (north-star composition
+demo): quality-score → threshold filter → exact dedup → MinHash near-dup
+removal, all composed into ONE lazy DataFrame plan.
+
+This is the shape a pretraining-corpus job actually runs; composing it
+from the engine's own operators proves they chain without
+materialization barriers: Catalyst sees the whole tree, pushes the
+quality filter beneath the dedup window, prunes ``text`` out of the
+final projection, and the only shuffles are the two the algorithms
+require (hash-partition by content hash; band-key join).  Every stage is
+SQL-expressible, so the WHOLE pipeline is value-checked against one
+DuckDB oracle — not just its pieces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pu4spark_spark.functions.textfns import (
+    jaccard_sets,
+    sql_jaccard_sets,
+    sql_word_shingles,
+    tokens,
+    word_shingles,
+)
+from pu4spark_spark.operators.dedup import (
+    JACCARD_THRESHOLD,
+    _sql_minhash_bands,
+    minhash_bands,
+)
+from pu4spark_spark.operators.text import STOPWORDS
+from pu4spark_spark.sources import load_table
+
+MIN_TOKENS = 10
+MIN_QUALITY = 0.5
+
+
+def _quality_score(tok) -> F.Column:
+    """Same formula as q_text_quality (length, diversity, stopword
+    penalty) — duplicated as a column builder so the pipeline composes
+    it without re-reading documents."""
+    n = F.size(tok)
+    stop_n = F.size(F.filter(tok, lambda t: t.isin(STOPWORDS)))
+    distinct_ratio = F.size(F.array_distinct(tok)).cast("double") / n
+    stop_ratio = stop_n.cast("double") / n
+    length_score = F.least(n.cast("double") / F.lit(50.0), F.lit(1.0))
+    return (
+        F.lit(0.4) * length_score
+        + F.lit(0.3) * distinct_ratio
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+    )
+
+
+def q_pipeline_docs_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surviving documents after the full cleaning chain, with their
+    quality metadata."""
+    from pu4spark_spark.plans import cached, spread
+
+    docs = spread(load_table(spark, "documents", sf_dir))
+    tok = tokens("text")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(tok).alias("n_tokens"),
+        _quality_score(tok).alias("quality_score"),
+    )
+    kept = scored.filter(
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("quality_score") >= MIN_QUALITY)
+    )
+
+    # exact dedup: keep the lowest doc_id per identical text
+    wx = Window.partitionBy(F.md5(F.col("text"))).orderBy(F.asc("doc_id"))
+    exact = (
+        kept.withColumn("__rn", F.row_number().over(wx))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    # near-dup removal on MinHash-band candidates: of every verified
+    # pair (a < b), the higher id is dropped (keep-lowest heuristic)
+    base = cached(
+        exact.select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "quality_score",
+            F.array_distinct(word_shingles(tokens("text"))).alias("sh"),
+        )
+    )
+    bands = minhash_bands(base)
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_pos") == F.col("b.band_pos"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    sa = base.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
+    sb = base.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
+    dropped = (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .filter(
+            jaccard_sets(F.col("sh_a"), F.col("sh_b")) >= JACCARD_THRESHOLD
+        )
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+    )
+    return base.join(dropped, "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_tokens", "quality_score"
+    )
+
+
+_SH = sql_word_shingles("text")
+_STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+SQL_PIPELINE_DOCS_CLEAN = f"""
+WITH scored AS (
+  SELECT doc_id, lang, text,
+         CAST(len(ws) AS INTEGER) AS n_tokens,
+         0.4 * least(CAST(len(ws) AS DOUBLE) / 50.0, 1.0)
+         + 0.3 * (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws))
+         + 0.3 * (1.0 - CAST(len(list_filter(ws, t -> t IN ({_STOP_IN}))) AS DOUBLE) / len(ws))
+           AS quality_score
+  FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS ws FROM documents)
+),
+kept AS (
+  SELECT * FROM scored
+  WHERE n_tokens >= {MIN_TOKENS} AND quality_score >= {MIN_QUALITY}
+),
+exact AS (
+  SELECT doc_id, lang, text, n_tokens, quality_score
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id ASC) AS rn
+        FROM kept)
+  WHERE rn = 1
+),
+base AS (
+  SELECT doc_id, lang, n_tokens, quality_score,
+         list_distinct({_SH}) AS sh
+  FROM exact
+),
+sigs AS (
+  SELECT doc_id, sh, {_sql_minhash_bands()} FROM base
+),
+bands AS (
+  SELECT doc_id, u.band_pos, u.band_hash
+  FROM sigs, UNNEST([
+      {{'band_pos': 0, 'band_hash': band0}},
+      {{'band_pos': 1, 'band_hash': band1}},
+      {{'band_pos': 2, 'band_hash': band2}},
+      {{'band_pos': 3, 'band_hash': band3}}]) AS t(u)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band_pos = b.band_pos AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+dropped AS (
+  SELECT DISTINCT b_id AS doc_id
+  FROM cand
+  JOIN base sa ON sa.doc_id = a_id
+  JOIN base sb ON sb.doc_id = b_id
+  WHERE {sql_jaccard_sets('sa.sh', 'sb.sh')} >= {JACCARD_THRESHOLD}
+)
+SELECT doc_id, lang, n_tokens, quality_score
+FROM base
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
+QUERIES = {
+    "pipeline_docs_clean": q_pipeline_docs_clean,
+}
+
+ORACLE_SQL = {
+    "pipeline_docs_clean": SQL_PIPELINE_DOCS_CLEAN,
+}

@@ -16,6 +16,7 @@ from pu4spark_spark.operators import (  # noqa: E402
     asof,
     dedup,
     multimodal,
+    pipeline,
     relational,
     similarity,
     text,
@@ -30,6 +31,7 @@ _MODULES += [
     similarity,
     text,
     multimodal,
+    pipeline,
     streaming_events,
     streaming_stateful,
 ]

@@ -146,7 +146,13 @@ def sessionized_counts(stream: DataFrame) -> DataFrame:
 
 def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sessionization drained with availableNow — a custom
-    stateful-window operator no fixed bucketing can express."""
+    stateful-window operator no fixed bucketing can express.
+
+    Output mode is ``complete`` so the one-shot drain emits every
+    session for the oracle comparison; a long-running production stream
+    would run ``append`` + the 2-hour watermark instead, letting Spark
+    evict closed sessions from the state store (state stays
+    O(open sessions), not O(history))."""
     name = f"events_sessions_stream_{uuid.uuid4().hex[:8]}"
     agg = sessionized_counts(read_events_stream(spark, sf_dir))
     q = (
