@@ -120,12 +120,78 @@ FROM documents
 """
 
 
+# -- frame sampling (1-to-N decode) ---------------------------------------
+
+#: fixed frame width in decoded characters — the stand-in for video
+#: frame extraction / audio windowing (real decoders slot into the same
+#: 1-to-N mapInPandas shape)
+FRAME_CHARS = 64
+
+
+def sample_frames(packed: DataFrame) -> DataFrame:
+    """Arrow-batched 1-to-N frame sampling: every payload explodes into
+    fixed-width frames with per-frame features.  This is the row-count-
+    changing UDTF shape (decode → many frames) that tumbling substring
+    logic can't express column-wise; output rows stay on the executors.
+    """
+    schema = "doc_id long, frame_idx int, frame_len int, code_sum long"
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, lens, sums = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                text = bytes(payload).decode("utf-8")
+                for i in range(0, len(text), FRAME_CHARS):
+                    fr = text[i : i + FRAME_CHARS]
+                    ids.append(doc_id)
+                    idxs.append(i // FRAME_CHARS)
+                    lens.append(len(fr))
+                    sums.append(sum(ord(c) for c in fr))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_len": pd.Series(lens, dtype="int32"),
+                    "code_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return packed.mapInPandas(run, schema=schema)
+
+
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return sample_frames(pack_documents(docs))
+
+
+SQL_MM_FRAME_SAMPLE = f"""
+WITH frames AS (
+  SELECT doc_id, CAST(t.i AS INTEGER) AS frame_idx,
+         substr(text, CAST(t.i AS INTEGER) * {FRAME_CHARS} + 1,
+                {FRAME_CHARS}) AS frame
+  FROM documents,
+       UNNEST(range(0, CAST(ceil(length(text) / {FRAME_CHARS}.0) AS BIGINT)))
+         AS t(i)
+)
+SELECT doc_id, frame_idx,
+       CAST(length(frame) AS INTEGER) AS frame_len,
+       CAST(coalesce(list_sum(list_transform(range(1, length(frame) + 1),
+                                             j -> ascii(substr(frame, j, 1)))),
+                     0) AS BIGINT) AS code_sum
+FROM frames
+"""
+
+
 QUERIES = {
     "mm_pack_stats": q_mm_pack_stats,
     "mm_decode_features": q_mm_decode_features,
+    "mm_frame_sample": q_mm_frame_sample,
 }
 
 ORACLE_SQL = {
     "mm_pack_stats": SQL_MM_PACK_STATS,
     "mm_decode_features": SQL_MM_DECODE_FEATURES,
+    "mm_frame_sample": SQL_MM_FRAME_SAMPLE,
 }
