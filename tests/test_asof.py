@@ -62,3 +62,43 @@ def test_asof_join_collision_tiebreak(spark):
     )
     row = out.collect()[0]
     assert (row["asof_rid"], row["asof_v"]) == (105, 9.0)
+
+
+def test_asof_join_matches_bruteforce_random(spark):
+    """Randomized cross-check: the union+window as-of join must agree
+    with a brute-force per-row reference on clustered random data
+    (duplicate timestamps and sparse keys included)."""
+    import random
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=5, deadline=None)
+    @given(seed=st.integers(min_value=0, max_value=10_000))
+    def check(seed):
+        rng = random.Random(seed)
+        keys = [0, 1, 2]
+        left = [
+            (i, rng.choice(keys), _ts(f"2024-01-01 {rng.randrange(24):02d}:{rng.randrange(60):02d}:00"))
+            for i in range(20)
+        ]
+        right = [
+            (100 + i, rng.choice(keys + [9]),  # key 9 never on the left
+             _ts(f"2024-01-01 {rng.randrange(24):02d}:{rng.randrange(60):02d}:00"),
+             float(i))
+            for i in range(15)
+        ]
+        ldf = spark.createDataFrame(left, ["lid", "k", "ts"])
+        rdf = spark.createDataFrame(right, ["rid", "k", "ts", "v"])
+        out = asof_join(
+            ldf, rdf, key_cols=["k"], ts_col="ts", value_cols=["rid", "v"],
+            order_col="rid",
+        )
+        got = {r["lid"]: r["asof_rid"] for r in out.collect()}
+
+        for lid, k, lts in left:
+            cands = [(ts, rid) for rid, rk, ts, _ in right if rk == k and ts <= lts]
+            expect = max(cands)[1] if cands else None
+            assert got[lid] == expect, (seed, lid)
+
+    check()
