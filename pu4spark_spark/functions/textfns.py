@@ -63,6 +63,40 @@ def sql_minhash_component(shingles_sql: str, seed: int) -> str:
     )
 
 
+#: sliced minhash family: one md5 per (seed, shingle) yields FOUR
+#: independent 8-hex-char components (32-hex digest / 8) — 4× fewer
+#: digest computations than one-md5-per-component for the same number
+#: of signature components
+SLICES_PER_MD5 = 4
+SLICE_OFFSETS = (1, 9, 17, 25)
+
+
+def minhash_component_sliced(hashed_arr: Column, offset: int) -> Column:
+    """Min over one 8-hex-char slice of per-shingle md5 digests.
+
+    ``hashed_arr`` must be the PRE-COMPUTED ``transform(sh, md5(...))``
+    array, projected once per seed so the digest work is shared by all
+    four slice components (Catalyst evaluates a named projection column
+    once per row).  The slice is taken per-shingle BEFORE the min — a
+    slice of the min digest would be a different (wrong) statistic.
+    """
+    return F.array_min(
+        F.transform(hashed_arr, lambda h: F.substring(h, offset, 8))
+    )
+
+
+def sql_minhash_component_sliced(
+    shingles_sql: str, seed: int, offset: int
+) -> str:
+    """DuckDB mirror of the sliced component, inlined over the raw
+    shingle list (the oracle runs at sf0.01 — clarity over digest
+    reuse there)."""
+    return (
+        f"list_min(list_transform({shingles_sql},"
+        f" s -> substr(md5('{seed}:' || s), {offset}, 8)))"
+    )
+
+
 def jaccard_sets(a: Column, b: Column) -> Column:
     """Exact Jaccard over two *distinct-element* string arrays; integer
     set sizes divided once → deterministic double in both engines."""
