@@ -175,3 +175,34 @@ def test_zero_step_on_real_embeddings(spark):
     assert "finalLabel" in out.columns
     # embedding column preserved as the original array type
     assert out.schema["embedding"].dataType.simpleString() == "array<float>"
+
+
+def test_golden_output_hashes(spark):
+    """Golden-output regression (SURVEY.md §5.4): pinned hashes of the
+    per-row P(positive) (rounded to 6 decimals to absorb partition-level
+    ULP noise) on a tiny fixed cloud, per algorithm/classifier combo.
+    A hash change means the numeric behavior of the learners changed."""
+    import hashlib
+
+    cloud = separable_cloud(spark, n=60, seed=11).cache()
+
+    def h(learner):
+        out = learner.weight(cloud, "label", "features", "finalLabel")
+        rows = out.orderBy("id").collect()
+        s = ";".join(f"{r['id']}:{round(r['finalLabel'], 6):.6f}" for r in rows)
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert h(TraditionalPULearnerConfig(maxIters=1).build()) == (
+        "096e4c3e1a2fdf3f85589f553ffe7746"
+    )
+    # gradual converges to the same scoring on this separable cloud —
+    # the shared hash is itself part of the pinned behavior
+    assert h(GradualReductionPULearnerConfig().build()) == (
+        "096e4c3e1a2fdf3f85589f553ffe7746"
+    )
+    assert h(
+        TraditionalPULearnerConfig(
+            maxIters=1,
+            classifierConfig=RandomForestConfig(numTrees=16, seed=42),
+        ).build()
+    ) == "d01e7d3d351b527990d36f5552ee4912"
