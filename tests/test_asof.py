@@ -102,3 +102,49 @@ def test_asof_join_matches_bruteforce_random(spark):
             assert got[lid] == expect, (seed, lid)
 
     check()
+
+
+def test_range_join_matches_bruteforce_random(spark):
+    """Randomized cross-check of the banded range join, with timestamps
+    clustered near band boundaries (multiples of the lookback) where an
+    off-by-one in the integer band arithmetic would lose or duplicate
+    pairs."""
+    import random
+    from datetime import timedelta
+
+    from pu4spark_spark.operators.asof import range_join_lookback
+
+    LOOKBACK_US = 3600 * 1_000_000  # 1 hour bands
+    base = _ts("2024-01-01 00:00:00")
+
+    for seed in range(5):
+        rng = random.Random(seed)
+
+        def near_boundary_ts():
+            band = rng.randrange(0, 5)
+            jitter = rng.choice([0, 1, -1, rng.randrange(LOOKBACK_US)])
+            us = band * LOOKBACK_US + jitter
+            return base + timedelta(microseconds=max(us, 0))
+
+        left = [
+            (i, rng.randrange(3), near_boundary_ts()) for i in range(25)
+        ]
+        right = [
+            (100 + i, rng.randrange(3), near_boundary_ts()) for i in range(25)
+        ]
+        ldf = spark.createDataFrame(left, ["lid", "k", "lts"])
+        rdf = spark.createDataFrame(right, ["rid", "k", "rts"])
+        out = range_join_lookback(
+            ldf.alias("l"), rdf.alias("r"), ["k"], "lts", "rts", LOOKBACK_US
+        )
+        got = sorted((r["lid"], r["rid"]) for r in out.collect())
+
+        expect = sorted(
+            (lid, rid)
+            for lid, lk, lts in left
+            for rid, rk, rts in right
+            if lk == rk
+            and rts <= lts
+            and (lts - rts) <= timedelta(microseconds=LOOKBACK_US)
+        )
+        assert got == expect, seed
