@@ -90,7 +90,7 @@ def q_pipeline_docs_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(word_shingles(tokens("text"))).alias("sh"),
         )
     )
-    bands = minhash_bands(base)
+    bands = cached(minhash_bands(base))
     cand = (
         bands.alias("a")
         .join(
