@@ -513,8 +513,33 @@ FROM orders
 """
 
 
+# -- SQL front-end ---------------------------------------------------------
+
+#: dialect-common ANSI SQL — the SAME text is the Spark implementation
+#: (spark.sql over registered views) AND the DuckDB oracle, proving the
+#: engine's SQL entry point end-to-end rather than only the DataFrame API
+SQL_PARTS_BY_BRAND = """
+SELECT p_brand,
+       COUNT(*) AS n_parts,
+       CAST(MAX(p_size) AS INTEGER) AS max_size,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM part
+WHERE p_size >= 10
+GROUP BY p_brand
+"""
+
+
+def q_sql_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end: register the table as a temp view and run the
+    exact oracle text through spark.sql — Catalyst parses/plans it like
+    any DataFrame query (same pushdown, same exact-decimal discipline)."""
+    load_table(spark, "part", sf_dir).createOrReplaceTempView("part")
+    return spark.sql(SQL_PARTS_BY_BRAND)
+
+
 QUERIES = {
     "q1_pricing_summary": q_q1_pricing_summary,
+    "sql_parts_by_brand": q_sql_parts_by_brand,
     "q3_shipping_priority": q_q3_shipping_priority,
     "q5_region_supplier_revenue": q_q5_region_supplier_revenue,
     "top_customers_per_nation": q_top_customers_per_nation,
@@ -536,6 +561,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "q1_pricing_summary": SQL_Q1,
+    "sql_parts_by_brand": SQL_PARTS_BY_BRAND,
     "q3_shipping_priority": SQL_Q3,
     "q5_region_supplier_revenue": SQL_Q5,
     "top_customers_per_nation": SQL_TOP_CUSTOMERS,

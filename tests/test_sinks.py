@@ -70,3 +70,48 @@ def test_bucketed_table_roundtrip(spark):
         assert info.get("Num Buckets") == "8"
     finally:
         spark.sql("DROP TABLE IF EXISTS t_docs_bucketed")
+
+
+def test_streaming_parquet_file_sink(spark, tmp_path):
+    """Streaming file sink: the watermarked hourly aggregation written
+    as parquet files (append mode + checkpoint) re-reads equal to the
+    batch events_hourly result — the durable-output path a production
+    stream would use instead of the memory sink."""
+    from pu4spark_spark.operators.relational import q_events_hourly
+    from pu4spark_spark.streaming.events import (
+        hourly_counts,
+        read_events_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    agg = hourly_counts(read_events_stream(spark, sf))
+    out_dir = str(tmp_path / "hourly_out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    back = spark.read.parquet(out_dir)
+    batch = q_events_hourly(spark, sf)
+    # append mode only flushes windows CLOSED by the final watermark
+    # (max ts - 2h); the in-flight tail correctly stays in state
+    from datetime import timedelta
+
+    from pu4spark_spark.sources import load_table
+
+    max_ts = load_table(spark, "events", sf).agg(F.max("ts")).collect()[0][0]
+    wm = max_ts - timedelta(hours=2)
+    closed = [
+        r for r in batch.collect() if r["hour"] + timedelta(hours=1) < wm
+    ]
+    got = _rowset(back)
+    assert got == sorted(tuple(r) for r in closed)
+    assert len(got) > 0
+    # and everything emitted agrees with the batch result row-for-row
+    assert set(got) <= set(_rowset(batch))
