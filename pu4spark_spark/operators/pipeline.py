@@ -80,9 +80,12 @@ def q_pipeline_docs_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # near-dup removal on MinHash-band candidates: of every verified
-    # pair (a < b), the higher id is dropped (keep-lowest heuristic)
+    # pair (a < b), the higher id is dropped (keep-lowest heuristic).
+    # spread() again after the window: AQE coalesces the tiny dedup
+    # shuffle to one partition, which would serialize the expensive
+    # shingling projection onto a single core
     base = cached(
-        exact.select(
+        spread(exact).select(
             "doc_id",
             "lang",
             "n_tokens",
