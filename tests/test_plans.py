@@ -87,3 +87,14 @@ def test_salted_join_row_identical(spark):
     assert sorted(map(tuple, salted.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+def test_simhash_is_shuffle_free(spark):
+    """The array-native SimHash must contain no aggregation exchange:
+    the only exchange allowed is spread()'s scan fan-out (a no-op on
+    real partitioned data), and no HashAggregate at all."""
+    from pu4spark_spark.operators.dedup import q_dedup_simhash
+
+    plan = explain_str(q_dedup_simhash(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1  # spread only
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 0
