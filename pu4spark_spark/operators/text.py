@@ -257,6 +257,132 @@ GROUP BY lang, source
 """
 
 
+# -- winnowing fingerprint (rolling hash) --------------------------------
+
+POLY_B = 31
+POLY_P = (1 << 31) - 1  # Mersenne prime keeps all arithmetic in int64
+WINNOW_W = 4  # winnowing window over consecutive shingle hashes
+
+
+def q_text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True winnowing (Schleimer et al.) with a polynomial rolling hash:
+    per-token integer codes → 3-gram shingle hashes
+    ``((c1·B + c2)·B + c3) mod P`` → min of every window of W
+    consecutive hashes → distinct mins = the fingerprint set.
+
+    All arithmetic is exact int64 (codes < 2³², so the products stay
+    < 2⁴² before the mod), per-row array-native, zero shuffle — and
+    bit-identical in DuckDB.  The set is summarized to scalars
+    (count/min/max/sum) so the oracle comparison stays scalar-typed.
+
+    Each stage (codes → shingle hashes → window mins → distinct) is
+    materialized as its own projected column: higher-order-function
+    lambdas are evaluated interpreted, so inlining a stage that the
+    next stage references k times would multiply the work k-fold per
+    nesting level.  Catalyst's CollapseProject keeps multi-referenced
+    non-trivial projections separate, so each array is computed once
+    per row.
+    """
+    from pu4spark_spark.functions.textfns import nibble
+
+    docs = load_table(spark, "documents", sf_dir)
+
+    def tok_code(t):
+        h = F.md5(t)
+        code = F.lit(0).cast("long")
+        for i in range(1, 9):  # first 8 md5 nibbles → 32-bit code
+            code = code * 16 + nibble(h, i)
+        return code
+
+    coded = docs.select(
+        "doc_id", F.transform(tokens("text"), tok_code).alias("cs")
+    )
+    cs, n = F.col("cs"), F.size("cs")
+    shingled = coded.select(
+        "doc_id",
+        F.when(
+            n >= 3,
+            F.transform(
+                F.sequence(F.lit(1), n - 2),
+                lambda i: (
+                    (F.element_at(cs, i) * POLY_B + F.element_at(cs, i + 1))
+                    * POLY_B
+                    + F.element_at(cs, i + 2)
+                )
+                % POLY_P,
+            ),
+        )
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("sh"),
+    )
+    sh, n_sh = F.col("sh"), F.size("sh")
+    winnowed = shingled.select(
+        "doc_id",
+        F.array_distinct(
+            F.when(
+                n_sh >= WINNOW_W,
+                F.transform(
+                    F.sequence(F.lit(1), n_sh - (WINNOW_W - 1)),
+                    lambda i: F.array_min(F.slice(sh, i, WINNOW_W)),
+                ),
+            ).otherwise(sh)  # fewer hashes than a window → keep them all
+        ).alias("fps"),
+    )
+    fps = F.col("fps")
+    return winnowed.select(
+        "doc_id",
+        F.size(fps).alias("n_fp"),
+        F.array_min(fps).alias("fp_min"),
+        F.array_max(fps).alias("fp_max"),
+        F.aggregate(
+            fps, F.lit(0).cast("long"), lambda acc, v: acc + v
+        ).alias("fp_sum"),
+    )
+
+
+def _sql_winnow() -> str:
+    from pu4spark_spark.functions.textfns import sql_nibble
+
+    code = "CAST(0 AS BIGINT)"
+    for i in range(1, 9):
+        code = f"({code} * 16 + {sql_nibble('md5(t)', i)})"
+    return f"""
+coded AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '), t -> {code}) AS cs
+  FROM documents
+),
+shingled AS (
+  SELECT doc_id,
+         CASE WHEN len(cs) >= 3 THEN
+           list_transform(range(1, len(cs) - 1),
+             i -> ((cs[i] * {POLY_B} + cs[i+1]) * {POLY_B} + cs[i+2]) % {POLY_P})
+         ELSE [] END AS sh
+  FROM coded
+),
+winnowed AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(sh) >= {WINNOW_W} THEN
+             list_transform(range(1, len(sh) - {WINNOW_W - 1} + 1),
+               i -> list_min(sh[i:i+{WINNOW_W - 1}]))
+           ELSE sh END) AS fps
+  FROM shingled
+)
+"""
+
+
+SQL_TEXT_WINNOW = f"""
+WITH {_sql_winnow()}
+SELECT doc_id,
+       CAST(len(fps) AS INTEGER) AS n_fp,
+       CAST(list_min(fps) AS BIGINT) AS fp_min,
+       CAST(list_max(fps) AS BIGINT) AS fp_max,
+       CAST(coalesce(list_sum(fps), 0) AS BIGINT) AS fp_sum
+FROM winnowed
+"""
+
+
 # -- TF-IDF pipeline (built-in ML; rows-only) ----------------------------
 
 def q_text_tfidf_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,6 +408,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "text_fingerprint": q_text_fingerprint,
+    "text_winnow_fingerprint": q_text_winnow_fingerprint,
     "text_regex_tokens": q_text_regex_tokens,
     "text_corpus_stats": q_text_corpus_stats,
     "text_tfidf_ml": q_text_tfidf_ml,
@@ -292,6 +419,7 @@ ORACLE_SQL = {
     "text_quality": SQL_TEXT_QUALITY,
     "text_lang_id": SQL_TEXT_LANG_ID,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
+    "text_winnow_fingerprint": SQL_TEXT_WINNOW,
     "text_regex_tokens": SQL_TEXT_REGEX_TOKENS,
     "text_corpus_stats": SQL_TEXT_CORPUS_STATS,
     # text_tfidf_ml: ML — rows-only
