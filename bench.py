@@ -51,6 +51,10 @@ HEADLINE = [
     "ann_lsh_bucketed",
     "ann_ivf",
     "pipeline_docs_clean",
+    "curation_pii_redact",
+    "curation_decontaminate",
+    "curation_shard_pack",
+    "curation_repetition",
     "text_quality",
     "text_corpus_stats",
     "text_tfidf_ml",

@@ -1,0 +1,354 @@
+"""Corpus-curation operators for LLM-data pipelines (north-star
+extension, SURVEY.md §2B): PII redaction, test-set decontamination,
+deterministic domain-mixture sampling, token-budget shard packing, and
+intra-document repetition statistics.
+
+These are the cleaning/packaging stages a pretraining pipeline runs
+after dedup (operators/dedup.py) and quality scoring (operators/text.py).
+Every operator is pure Catalyst (no UDFs) and deterministic, so each is
+oracle-checkable against DuckDB.
+
+Scale notes (100 TB):
+- redaction / repetition / packing are per-row or per-group — no global
+  state, shuffles only on (doc_id, gram) or (lang) keys with map-side
+  combine;
+- decontamination broadcasts the benchmark shingle set (test sets are
+  small by construction) so the contamination probe is a broadcast
+  semi-probe + one groupBy(doc_id) shuffle;
+- mixture sampling is a stateless hash filter — evaluates inside the
+  scan, fully pushdown-friendly, no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pu4spark_spark.functions.textfns import (
+    sql_word_shingles,
+    tokens,
+    word_shingles,
+)
+from pu4spark_spark.sources import load_table
+
+# -- PII / sensitive-term redaction --------------------------------------
+
+#: patterns use the common RE2 ⊆ Java-regex subset so Spark (Java regex)
+#: and DuckDB (RE2) match identically
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+#: fixture text is word soup without emails/IPs, so a term denylist
+#: ("secret-like" tokens) exercises the replace path on real matches
+SECRET_TERMS_RE = r"\b(hash|key)\b"
+REDACTED = "[REDACTED]"
+
+
+def q_curation_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count PII-pattern hits and produce the scrubbed text's md5 — the
+    standard pre-release redaction pass.  Pure per-row regex work: at
+    100 TB this runs inside the scan stage, zero shuffle."""
+    docs = load_table(spark, "documents", sf_dir)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), EMAIL_RE, REDACTED),
+            IPV4_RE,
+            REDACTED,
+        ),
+        SECRET_TERMS_RE,
+        REDACTED,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(EMAIL_RE), 0)).alias(
+            "n_email"
+        ),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(IPV4_RE), 0)).alias(
+            "n_ipv4"
+        ),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(SECRET_TERMS_RE), 0)
+        ).alias("n_secret"),
+        F.length(scrubbed).alias("redacted_len"),
+        F.md5(scrubbed).alias("redacted_md5"),
+    )
+
+
+SQL_PII_REDACT = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INTEGER) AS n_email,
+       CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS INTEGER) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '{SECRET_TERMS_RE}')) AS INTEGER) AS n_secret,
+       CAST(length(scrubbed) AS INTEGER) AS redacted_len,
+       md5(scrubbed) AS redacted_md5
+FROM (
+  SELECT doc_id,
+         text,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '{EMAIL_RE}', '{REDACTED}', 'g'),
+             '{IPV4_RE}', '{REDACTED}', 'g'),
+           '{SECRET_TERMS_RE}', '{REDACTED}', 'g') AS scrubbed
+  FROM documents)
+"""
+
+
+# -- test-set decontamination --------------------------------------------
+
+#: every MOD-th doc is the held-out "benchmark" set; the rest is the
+#: training corpus to be decontaminated against it
+BENCH_MOD = 25
+#: word n-gram size for the overlap probe (5-grams are the usual
+#: published decontamination unit; long enough to be meaningful even in
+#: a small fixture vocabulary)
+CONTAM_N = 5
+#: a training doc sharing at least this many distinct benchmark shingles
+#: is flagged
+CONTAM_THRESHOLD = 3
+
+
+def q_curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training documents whose word 5-grams overlap the held-out
+    benchmark set — published-benchmark decontamination.
+
+    Plan shape: the benchmark shingle set is DISTINCT'd and broadcast
+    (test sets are fixed-size, not corpus-proportional at 100 TB); the
+    training side explodes per-doc distinct shingles, probes the
+    broadcast, and aggregates hits per doc — one groupBy(doc_id)
+    shuffle with map-side combine, then a broadcast left join back so
+    untainted docs report 0.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    sh = word_shingles(tokens("text"), CONTAM_N)
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+
+    bench_sh = (
+        docs.filter(is_bench)
+        .select(F.explode(F.array_distinct(sh)).alias("sh"))
+        .distinct()
+    )
+    train = docs.filter(~is_bench)
+    hits = (
+        train.select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
+        .join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contam"))
+    )
+    return (
+        train.select("doc_id")
+        .join(F.broadcast(hits), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_contam"), F.lit(0))
+            .cast("int")
+            .alias("n_contam"),
+        )
+        .withColumn("flagged", F.col("n_contam") >= CONTAM_THRESHOLD)
+    )
+
+
+_SH = sql_word_shingles("text", CONTAM_N)
+
+SQL_DECONTAMINATE = f"""
+WITH bench AS (
+  SELECT DISTINCT unnest(list_distinct({_SH})) AS sh
+  FROM documents WHERE doc_id % {BENCH_MOD} = 0
+),
+train AS (
+  SELECT doc_id, list_distinct({_SH}) AS shs
+  FROM documents WHERE doc_id % {BENCH_MOD} <> 0
+),
+hits AS (
+  SELECT t.doc_id, COUNT(*) AS n_contam
+  FROM (SELECT doc_id, unnest(shs) AS sh FROM train) t
+  JOIN bench USING (sh)
+  GROUP BY t.doc_id
+)
+SELECT train.doc_id,
+       CAST(coalesce(hits.n_contam, 0) AS INTEGER) AS n_contam,
+       coalesce(hits.n_contam, 0) >= {CONTAM_THRESHOLD} AS flagged
+FROM train LEFT JOIN hits USING (doc_id)
+"""
+
+
+# -- deterministic domain-mixture sampling --------------------------------
+
+#: per-language keep rates in per-mille — the "domain mixture weights"
+#: of a pretraining recipe
+MIX_PER_MILLE = {"en": 900, "es": 700, "de": 500, "fr": 300, "zh": 100}
+#: Knuth multiplicative hash on the pre-reduced id: 1000003 * 2654435761
+#: < 2^52, so the product is exact int64 in both engines
+_KNUTH = 2654435761
+_PREMOD = 1000003
+
+
+def _keep(doc_id: Column) -> Column:
+    return ((doc_id % _PREMOD) * _KNUTH) % 1000
+
+
+def q_curation_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Bernoulli sampling with deterministic hash coins —
+    reproducible domain mixing (every run, every engine draws the same
+    sample; no RNG state to coordinate across 1000 executors).
+
+    The keep-filter is a stateless row predicate: it evaluates inside
+    the scan stage (pushdown-friendly), needs no shuffle, and the final
+    per-language report is one map-side-combined groupBy(lang)."""
+    docs = load_table(spark, "documents", sf_dir)
+    coin = _keep(F.col("doc_id"))
+    rate = None
+    for lang, pm in MIX_PER_MILLE.items():
+        rate = (
+            F.when(F.col("lang") == lang, pm)
+            if rate is None
+            else rate.when(F.col("lang") == lang, pm)
+        )
+    rate = rate.otherwise(F.lit(0))
+    return (
+        docs.select("lang", (coin < rate).cast("int").alias("kept"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("kept").alias("n_sampled"),
+            (F.sum("kept").cast("double") / F.count(F.lit(1))).alias(
+                "achieved_rate"
+            ),
+        )
+    )
+
+
+_RATE_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in MIX_PER_MILLE.items())
+    + " ELSE 0 END"
+)
+
+SQL_DOMAIN_MIX = f"""
+SELECT lang,
+       COUNT(*) AS n_total,
+       CAST(SUM(kept) AS BIGINT) AS n_sampled,
+       CAST(SUM(kept) AS DOUBLE) / COUNT(*) AS achieved_rate
+FROM (
+  SELECT lang,
+         CASE WHEN ((doc_id % {_PREMOD}) * {_KNUTH}) % 1000 < {_RATE_CASE}
+              THEN 1 ELSE 0 END AS kept
+  FROM documents)
+GROUP BY lang
+"""
+
+
+# -- token-budget shard packing ------------------------------------------
+
+#: target tokens per output shard (tiny for the fixture; the operator
+#: shape is budget-independent)
+SHARD_TOKEN_BUDGET = 2000
+
+
+def q_curation_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed-token-budget shards: within each
+    language, a running token total in doc_id order assigns
+    ``shard_id = floor(tokens_before_doc / budget)`` — the layout step
+    that turns a cleaned corpus into training shards.
+
+    Scale shape: the running sum is a window PARTITIONED BY lang (or any
+    balanced partition key at 100 TB — never a global ORDER BY), so each
+    partition packs independently; the shard report is one further
+    map-side-combined groupBy."""
+    docs = load_table(spark, "documents", sf_dir)
+    nt = F.size(tokens("text"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_shard = docs.select(
+        "lang", "doc_id", nt.alias("nt")
+    ).withColumn(
+        "shard_id",
+        F.floor((F.sum("nt").over(w) - F.col("nt")) / SHARD_TOKEN_BUDGET),
+    )
+    return with_shard.groupBy("lang", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("shard_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+SQL_SHARD_PACK = f"""
+WITH sized AS (
+  SELECT lang, doc_id, len(string_split(text, ' ')) AS nt
+  FROM documents
+),
+packed AS (
+  SELECT lang, doc_id, nt,
+         CAST(floor((SUM(nt) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - nt)
+                    / {SHARD_TOKEN_BUDGET}) AS BIGINT) AS shard_id
+  FROM sized
+)
+SELECT lang, shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS shard_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM packed
+GROUP BY lang, shard_id
+"""
+
+
+# -- intra-document repetition statistics --------------------------------
+
+def q_curation_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent-bigram concentration per document (the Gopher-style
+    repetition filter signal): explode word 2-grams, count per (doc,
+    gram), keep each doc's max count and total — ``top_ratio`` near 1
+    means the doc is one phrase repeated.
+
+    Two map-side-combined shuffles on high-cardinality keys
+    ((doc_id, gram) then doc_id) — no skew pivot, scale-safe."""
+    docs = load_table(spark, "documents", sf_dir)
+    grams = word_shingles(tokens("text"), 2)
+    per_gram = (
+        docs.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("c").cast("int").alias("n_grams"),
+        F.max("c").cast("int").alias("top_gram_count"),
+        (F.max("c").cast("double") / F.sum("c")).alias("top_ratio"),
+    )
+
+
+_SH2 = sql_word_shingles("text", 2)
+
+SQL_REPETITION = f"""
+WITH per_gram AS (
+  SELECT doc_id, gram, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest({_SH2}) AS gram FROM documents)
+  GROUP BY doc_id, gram
+)
+SELECT doc_id,
+       CAST(SUM(c) AS INTEGER) AS n_grams,
+       CAST(MAX(c) AS INTEGER) AS top_gram_count,
+       CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_ratio
+FROM per_gram
+GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "curation_pii_redact": q_curation_pii_redact,
+    "curation_decontaminate": q_curation_decontaminate,
+    "curation_domain_mix": q_curation_domain_mix,
+    "curation_shard_pack": q_curation_shard_pack,
+    "curation_repetition": q_curation_repetition,
+}
+
+ORACLE_SQL = {
+    "curation_pii_redact": SQL_PII_REDACT,
+    "curation_decontaminate": SQL_DECONTAMINATE,
+    "curation_domain_mix": SQL_DOMAIN_MIX,
+    "curation_shard_pack": SQL_SHARD_PACK,
+    "curation_repetition": SQL_REPETITION,
+}

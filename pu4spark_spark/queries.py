@@ -14,6 +14,7 @@ _MODULES = [pu_queries]
 
 from pu4spark_spark.operators import (  # noqa: E402
     asof,
+    curation,
     dedup,
     multimodal,
     pipeline,
@@ -27,6 +28,7 @@ from pu4spark_spark.streaming import stateful as streaming_stateful  # noqa: E40
 _MODULES += [
     relational,
     asof,
+    curation,
     dedup,
     similarity,
     text,

@@ -1,0 +1,101 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pu4spark_spark.operators.curation import (
+    BENCH_MOD,
+    CONTAM_THRESHOLD,
+    MIX_PER_MILLE,
+    REDACTED,
+    SHARD_TOKEN_BUDGET,
+    q_curation_decontaminate,
+    q_curation_domain_mix,
+    q_curation_pii_redact,
+    q_curation_repetition,
+    q_curation_shard_pack,
+)
+from pu4spark_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_redaction_removes_all_denylist_terms(spark):
+    # a doc with secret terms redacted must not count them afterwards:
+    # rebuild the scrubbed text length bound — every 'hash'/'key' hit
+    # is replaced by the longer [REDACTED] marker
+    docs = load_table(spark, "documents", SF)
+    raw = docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r"\b(hash|key)\b"), 0)
+        ).alias("n_raw"),
+        F.length("text").alias("len_raw"),
+    )
+    out = q_curation_pii_redact(spark, SF)
+    joined = {r["doc_id"]: r for r in out.join(raw, "doc_id").collect()}
+    assert joined
+    hits = 0
+    for r in joined.values():
+        assert r["n_secret"] == r["n_raw"]
+        # both denylist terms are shorter than the [REDACTED] marker, so
+        # the scrubbed text is strictly longer exactly when hits exist
+        if r["n_raw"]:
+            hits += 1
+            assert r["redacted_len"] > r["len_raw"]
+        else:
+            assert r["redacted_len"] == r["len_raw"]
+    assert hits > 0  # fixture actually exercises the replace path
+
+
+def test_decontaminate_benchmark_docs_excluded(spark):
+    out = q_curation_decontaminate(spark, SF).collect()
+    ids = {r["doc_id"] for r in out}
+    assert ids, "no training docs"
+    assert all(i % BENCH_MOD != 0 for i in ids)
+    flagged = [r for r in out if r["flagged"]]
+    for r in out:
+        assert (r["n_contam"] >= CONTAM_THRESHOLD) == r["flagged"]
+    # tiny shared vocabulary ⇒ overlap must exist somewhere
+    assert flagged
+
+
+def test_domain_mix_rates_ordered(spark):
+    rows = {r["lang"]: r for r in q_curation_domain_mix(spark, SF).collect()}
+    assert set(rows) == set(MIX_PER_MILLE)
+    for lang, r in rows.items():
+        assert 0 <= r["n_sampled"] <= r["n_total"]
+        # deterministic: re-running draws the identical sample
+    again = {r["lang"]: r for r in q_curation_domain_mix(spark, SF).collect()}
+    assert {k: v["n_sampled"] for k, v in rows.items()} == {
+        k: v["n_sampled"] for k, v in again.items()
+    }
+    # achieved rates should roughly order like the configured rates:
+    # en (900‰) must keep a larger fraction than zh (100‰)
+    assert rows["en"]["achieved_rate"] > rows["zh"]["achieved_rate"]
+
+
+def test_shard_pack_respects_budget(spark):
+    docs = load_table(spark, "documents", SF)
+    max_doc_tokens = docs.select(
+        F.max(F.size(F.split(F.col("text"), " "))).alias("m")
+    ).collect()[0]["m"]
+    shards = q_curation_shard_pack(spark, SF).collect()
+    assert shards
+    for s in shards:
+        assert s["n_docs"] >= 1
+        # a shard overshoots the budget by at most one document
+        assert s["shard_tokens"] < SHARD_TOKEN_BUDGET + max_doc_tokens
+    # shard ids are dense from 0 within each language
+    by_lang: dict[str, list[int]] = {}
+    for s in shards:
+        by_lang.setdefault(s["lang"], []).append(s["shard_id"])
+    for lang, ids in by_lang.items():
+        assert sorted(ids) == list(range(len(ids)))
+
+
+def test_repetition_ratio_bounds(spark):
+    rows = q_curation_repetition(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["top_gram_count"] <= r["n_grams"]
+        assert 0.0 < r["top_ratio"] <= 1.0
