@@ -62,6 +62,7 @@ HEADLINE = [
     "streaming_sessions",
     "streaming_range_join",
     "streaming_user_totals",
+    "streaming_dedup_keys",
     "pu_zero_step_lr",
     "pu_traditional_rf",
     "pu_feature_assembly",

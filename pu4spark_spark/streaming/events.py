@@ -274,13 +274,54 @@ FROM clicks c JOIN purchases p
  AND epoch_us(p.pts) >= epoch_us(c.cts) - 21600000000
 """
 
+# -- streaming dedup ------------------------------------------------------
+
+def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup via ``dropDuplicatesWithinWatermark`` — the
+    streaming twin of the batch keep-first dedup family
+    (``dedup_events_first``): the first arrival per
+    (user_id, event_type) passes, later duplicates are dropped while
+    the key is inside the watermark horizon.
+
+    State is evicted once the watermark passes a key's last-seen event
+    (O(keys in flight), not O(stream)) — the semantics a 100 TB event
+    feed needs, where an exact global dedup would retain unbounded
+    state.  The output projects ONLY the key columns: *which* duplicate
+    survives depends on arrival order, but the surviving key set is
+    arrival-order independent, so the query stays value-checkable
+    against a ``SELECT DISTINCT`` oracle."""
+    stream = read_events_stream(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = f"events_dedup_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name)
+
+
+SQL_STREAMING_DEDUP_KEYS = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
 QUERIES = {
     "streaming_events_hourly": q_streaming_events_hourly,
     "streaming_sessions": q_streaming_sessions,
     "streaming_range_join": q_streaming_range_join,
+    "streaming_dedup_keys": q_streaming_dedup_keys,
 }
 ORACLE_SQL = {
     "streaming_events_hourly": SQL_STREAMING_EVENTS_HOURLY,
     "streaming_sessions": SQL_STREAMING_SESSIONS,
     "streaming_range_join": SQL_STREAMING_RANGE_JOIN,
+    "streaming_dedup_keys": SQL_STREAMING_DEDUP_KEYS,
 }

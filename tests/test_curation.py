@@ -99,3 +99,24 @@ def test_repetition_ratio_bounds(spark):
     for r in rows:
         assert 1 <= r["top_gram_count"] <= r["n_grams"]
         assert 0.0 < r["top_ratio"] <= 1.0
+
+
+def test_streaming_dedup_matches_batch_distinct(spark):
+    from pu4spark_spark.sources import load_table
+    from pu4spark_spark.streaming.events import q_streaming_dedup_keys
+
+    streamed = {
+        (r["user_id"], r["event_type"])
+        for r in q_streaming_dedup_keys(spark, SF).collect()
+    }
+    batch = {
+        (r["user_id"], r["event_type"])
+        for r in load_table(spark, "events", SF)
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert streamed == batch
+    # one row per key — no duplicate re-emission in the one-shot drain
+    n_rows = q_streaming_dedup_keys(spark, SF).count()
+    assert n_rows == len(batch)
