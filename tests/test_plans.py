@@ -98,3 +98,33 @@ def test_simhash_is_shuffle_free(spark):
     plan = explain_str(q_dedup_simhash(spark, SF_DIR))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1  # spread only
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 0
+
+
+def test_pii_redact_zero_exchange(spark):
+    """Redaction is a pure scan-stage projection — no exchange at all."""
+    from pu4spark_spark.operators.curation import q_curation_pii_redact
+
+    plan = explain_str(q_curation_pii_redact(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark shingle set is fixed-size: both contamination joins
+    must be broadcast, never sort-merge on the corpus side."""
+    from pu4spark_spark.operators.curation import q_curation_decontaminate
+
+    plan = explain_str(q_curation_decontaminate(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_shard_pack_single_exchange(spark):
+    """The shard groupBy must reuse the window's hash partitioning on
+    lang — exactly one exchange, no global sort."""
+    from pu4spark_spark.operators.curation import q_curation_shard_pack
+
+    plan = explain_str(q_curation_shard_pack(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    # the only Sort is the window's partition-local sort (no global
+    # Exchange rangepartitioning anywhere)
+    assert "rangepartitioning" not in plan
