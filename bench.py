@@ -43,6 +43,7 @@ HEADLINE = [
     "range_click_purchases",
     "dedup_exact_docs",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "dedup_simhash",
     "dedup_simhash_hamming",
     "dedup_ngram_jaccard",

@@ -62,3 +62,26 @@ def test_minhash_lsh_query_on_fixture(spark):
     # every reported pair must meet the verification threshold
     assert all(r["jaccard"] >= 0.5 for r in rows)
     assert all(r["a_id"] < r["b_id"] for r in rows)
+
+
+def test_connected_components_path_star_disjoint(spark):
+    """Min-label propagation must reach the fixpoint on a long path
+    (needs multiple rounds), a star, and keep disjoint components
+    apart."""
+    from pu4spark_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # path 1-2-3-4-5 (worst case for propagation depth), star
+        # 10-{11,12,13}, disjoint pair 20-21
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12), (10, 13), (20, 21)],
+        ["a_id", "b_id"],
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10, 12: 10, 13: 10,
+        20: 20, 21: 20,
+    }
