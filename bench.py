@@ -51,6 +51,8 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "ann_ivf",
+    "embedding_quantize_int8",
+    "text_heavy_hitters",
     "pipeline_docs_clean",
     "curation_pii_redact",
     "curation_decontaminate",

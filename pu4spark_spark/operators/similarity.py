@@ -287,8 +287,75 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_phase_topk(scored.withColumn("cosine", cos), TOP_K)
 
 
+# -- int8 storage quantization -------------------------------------------
+
+INT8_MAX = 127
+
+
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage form a
+    100 TB embedding table actually ships (4× smaller than float32, and
+    int8 dot products are SIMD-friendly downstream).
+
+    Per vector: ``scale = 127 / max|x|``, ``q_i = floor(x_i · scale)``
+    clamped to [-127, 127].  Floor (not round) keeps the repo's
+    cross-engine exactness discipline — IEEE floor is identical in
+    Spark and DuckDB, with no round-half tie-rule divergence.  Pure
+    per-row array math: zero shuffle, runs inside the scan stage.
+    The quantized vector is summarized to scalars (min/max/sum) so the
+    oracle comparison stays scalar-typed."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.lit(float(INT8_MAX)) / F.col("amax")
+    qv = F.transform(
+        v,
+        lambda x: F.greatest(
+            F.lit(-INT8_MAX),
+            F.least(
+                F.lit(INT8_MAX), F.floor(x * scale).cast("int")
+            ),
+        ),
+    )
+    staged = emb.select("vec_id", v.alias("embedding"), amax.alias("amax"))
+    qd = staged.select(
+        "vec_id", "amax", qv.alias("qv")
+    )
+    return qd.select(
+        "vec_id",
+        "amax",
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+        F.aggregate(
+            F.col("qv"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("q_sum"),
+    )
+
+
+SQL_EMBEDDING_QUANTIZE_INT8 = f"""
+WITH staged AS (
+  SELECT vec_id,
+         CAST(embedding AS DOUBLE[]) AS v,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS amax
+  FROM embeddings
+),
+qd AS (
+  SELECT vec_id, amax,
+         list_transform(v, x -> greatest(-{INT8_MAX},
+             least({INT8_MAX}, CAST(floor(x * ({INT8_MAX}.0 / amax)) AS INTEGER)))) AS qv
+  FROM staged
+)
+SELECT vec_id, amax,
+       CAST(list_min(qv) AS INTEGER) AS q_min,
+       CAST(list_max(qv) AS INTEGER) AS q_max,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum
+FROM qd
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
+    "embedding_quantize_int8": q_embedding_quantize_int8,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "ann_ivf": q_ann_ivf,
     "ann_brp_lsh_ml": q_ann_brp_lsh_ml,
@@ -296,6 +363,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "embedding_quantize_int8": SQL_EMBEDDING_QUANTIZE_INT8,
     "ann_lsh_bucketed": SQL_ANN_LSH_BUCKETED,
     # ann_ivf: KMeans centroids — rows-only
     # ann_brp_lsh_ml: ML internals — rows-only

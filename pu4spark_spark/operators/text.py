@@ -383,6 +383,64 @@ FROM winnowed
 """
 
 
+# -- corpus heavy hitters (two-phase top-k) ------------------------------
+
+HEAVY_HITTER_K = 10
+
+
+def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K most frequent tokens per language — the vocabulary/boiler-
+    plate report every corpus audit starts with.
+
+    Scale shape: explode → map-side-combined groupBy(lang, token) is the
+    only data-size shuffle.  The final ranking is two-phase (same
+    pattern as ``similarity.two_phase_topk``): a single window
+    PARTITION BY lang would create exactly n_languages partitions — one
+    task sorting an entire language's vocabulary — so phase 1 cuts to
+    ≤ K rows per (lang, input partition) and the global window ranks
+    only K·P survivors.  Ties break lexicographically so the result is
+    a deterministic total order."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    counts = (
+        docs.select("lang", F.explode(tokens("text")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wl = Window.partitionBy("lang", "__part").orderBy(
+        F.desc("n"), F.asc("token")
+    )
+    local = (
+        counts.withColumn("__part", F.spark_partition_id())
+        .withColumn("__lr", F.row_number().over(wl))
+        .filter(F.col("__lr") <= HEAVY_HITTER_K)
+        .drop("__part", "__lr")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HEAVY_HITTER_K)
+        .select("lang", "token", F.col("n").cast("bigint").alias("n"), "rank")
+    )
+
+
+SQL_TEXT_HEAVY_HITTERS = f"""
+WITH counts AS (
+  SELECT lang, token, COUNT(*) AS n
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY lang, token
+)
+SELECT lang, token, CAST(n AS BIGINT) AS n,
+       CAST(rank AS INTEGER) AS rank
+FROM (SELECT lang, token, n,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n DESC, token ASC) AS rank
+      FROM counts)
+WHERE rank <= {HEAVY_HITTER_K}
+"""
+
+
 # -- TF-IDF pipeline (built-in ML; rows-only) ----------------------------
 
 def q_text_tfidf_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -411,6 +469,7 @@ QUERIES = {
     "text_winnow_fingerprint": q_text_winnow_fingerprint,
     "text_regex_tokens": q_text_regex_tokens,
     "text_corpus_stats": q_text_corpus_stats,
+    "text_heavy_hitters": q_text_heavy_hitters,
     "text_tfidf_ml": q_text_tfidf_ml,
 }
 
@@ -422,5 +481,6 @@ ORACLE_SQL = {
     "text_winnow_fingerprint": SQL_TEXT_WINNOW,
     "text_regex_tokens": SQL_TEXT_REGEX_TOKENS,
     "text_corpus_stats": SQL_TEXT_CORPUS_STATS,
+    "text_heavy_hitters": SQL_TEXT_HEAVY_HITTERS,
     # text_tfidf_ml: ML — rows-only
 }

@@ -120,3 +120,20 @@ def test_streaming_dedup_matches_batch_distinct(spark):
     # one row per key — no duplicate re-emission in the one-shot drain
     n_rows = q_streaming_dedup_keys(spark, SF).count()
     assert n_rows == len(batch)
+
+
+def test_heavy_hitters_ranked_and_complete(spark):
+    from pu4spark_spark.operators.text import HEAVY_HITTER_K, q_text_heavy_hitters
+
+    rows = q_text_heavy_hitters(spark, SF).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= HEAVY_HITTER_K
+        # counts are non-increasing with rank; ties broken by token asc
+        for a, b in zip(rs, rs[1:]):
+            assert (a["n"], b["token"]) >= (b["n"], a["token"]) or a["n"] > b["n"]
+            assert a["n"] >= b["n"]

@@ -69,3 +69,17 @@ def test_ivf_deterministic_and_sound(spark):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_all:
             assert r["cosine"] == exact_all[key]
+
+
+def test_int8_quantization_bounds(spark):
+    from pu4spark_spark.operators.similarity import q_embedding_quantize_int8
+
+    rows = q_embedding_quantize_int8(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert -127 <= r["q_min"] <= r["q_max"] <= 127
+        assert r["amax"] > 0
+        # the max-magnitude coordinate lands within one step of a rail:
+        # amax·(127/amax) evaluates to 127 ± 1 ulp, so its floor is 126
+        # or 127 (mirrored for negative)
+        assert r["q_max"] >= 126 or r["q_min"] <= -126
