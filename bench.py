@@ -90,10 +90,19 @@ def prime_page_cache(sf_dir: str) -> None:
 
 
 def run_one(spark, name: str, sf_dir: str = None) -> float:
-    df = QUERIES[name](spark, sf_dir or SF_DIR)
+    # time construction AND execution: driver-loop operators (PU
+    # learners, connected components) and streaming drains do their
+    # Spark jobs while the query callable builds the result, not in
+    # the final write — timing only the write would undercount them
     t0 = time.time()
+    df = QUERIES[name](spark, sf_dir or SF_DIR)
     df.write.format("noop").mode("overwrite").save()
-    return time.time() - t0
+    elapsed = time.time() - t0
+    # measure each query cold: operators that persist() intermediates
+    # (minhash base/bands) must not subsidize later queries or pile up
+    # memory pressure across the run
+    spark.catalog.clearCache()
+    return elapsed
 
 
 def main() -> None:

@@ -118,15 +118,19 @@ def q_curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     untainted docs report 0.
     """
     docs = load_table(spark, "documents", sf_dir)
-    sh = word_shingles(tokens("text"), CONTAM_N)
+    # stage tokens before shingling: the shingle lambda's element_at
+    # calls would otherwise re-split the text per element (no CSE in
+    # interpreted HOFs)
+    toked = docs.select("doc_id", tokens("text").alias("__t"))
+    sh = word_shingles(F.col("__t"), CONTAM_N)
     is_bench = F.col("doc_id") % BENCH_MOD == 0
 
     bench_sh = (
-        docs.filter(is_bench)
+        toked.filter(is_bench)
         .select(F.explode(F.array_distinct(sh)).alias("sh"))
         .distinct()
     )
-    train = docs.filter(~is_bench)
+    train = toked.filter(~is_bench)
     hits = (
         train.select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
         .join(F.broadcast(bench_sh), "sh")
@@ -307,9 +311,10 @@ def q_curation_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two map-side-combined shuffles on high-cardinality keys
     ((doc_id, gram) then doc_id) — no skew pivot, scale-safe."""
     docs = load_table(spark, "documents", sf_dir)
-    grams = word_shingles(tokens("text"), 2)
+    toked = docs.select("doc_id", tokens("text").alias("__t"))
+    grams = word_shingles(F.col("__t"), 2)
     per_gram = (
-        docs.select("doc_id", F.explode(grams).alias("gram"))
+        toked.select("doc_id", F.explode(grams).alias("gram"))
         .groupBy("doc_id", "gram")
         .agg(F.count(F.lit(1)).alias("c"))
     )

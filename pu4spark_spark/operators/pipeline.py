@@ -84,13 +84,24 @@ def q_pipeline_docs_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread() again after the window: AQE coalesces the tiny dedup
     # shuffle to one partition, which would serialize the expensive
     # shingling projection onto a single core
+    # token array staged as a named projection before shingling — an
+    # inlined split() would be re-evaluated per element_at inside the
+    # shingle lambda (no CSE in interpreted HOFs)
     base = cached(
-        spread(exact).select(
+        spread(exact)
+        .select(
             "doc_id",
             "lang",
             "n_tokens",
             "quality_score",
-            F.array_distinct(word_shingles(tokens("text"))).alias("sh"),
+            tokens("text").alias("__t"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "quality_score",
+            F.array_distinct(word_shingles(F.col("__t"))).alias("sh"),
         )
     )
     bands = cached(minhash_bands(base))

@@ -180,7 +180,10 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprint: the minimum shingle hash anchors the
     document (robust to small edits), combined with the token count."""
     docs = load_table(spark, "documents", sf_dir)
-    tok = tokens("text")
+    # tokens staged as a named projection: word_shingles' element_at
+    # calls would re-split the text per element if inlined
+    toked = docs.select("doc_id", tokens("text").alias("__t"))
+    tok = F.col("__t")
     sh = word_shingles(tok)
     # docs with <3 tokens have no shingle: coalesce the missing min to ''
     # on BOTH sides (DuckDB '||' would otherwise propagate NULL while
@@ -189,7 +192,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(F.transform(sh, lambda s: F.md5(s))), F.lit("")
     )
     fp = F.md5(F.concat_ws(":", min_shingle, F.size(tok).cast("string")))
-    return docs.select("doc_id", fp.alias("fingerprint"))
+    return toked.select("doc_id", fp.alias("fingerprint"))
 
 
 SQL_TEXT_FINGERPRINT = """
