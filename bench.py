@@ -102,6 +102,12 @@ def run_one(spark, name: str, sf_dir: str = None) -> float:
     # (minhash base/bands) must not subsidize later queries or pile up
     # memory pressure across the run
     spark.catalog.clearCache()
+    # streaming drains register driver-side memory-sink tables; letting
+    # them accumulate degrades every later streaming query (measured
+    # 2s → 11s by the second pass over the streaming set)
+    for t in spark.catalog.listTables():
+        if t.isTemporary:
+            spark.catalog.dropTempView(t.name)
     return elapsed
 
 
