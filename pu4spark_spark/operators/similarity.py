@@ -240,7 +240,16 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantized("embedding").alias("q"),
         array_to_vector(F.col("embedding")).alias("fv"),
     )
-    km = KMeans(k=IVF_CLUSTERS, seed=42, featuresCol="fv", predictionCol="cell")
+    # a coarse quantizer doesn't need Lloyd convergence — recall depends
+    # only on cells being roughly balanced; 8 iterations instead of the
+    # default 20 halves the fit cost with no recall effect at nprobe=2
+    km = KMeans(
+        k=IVF_CLUSTERS,
+        seed=42,
+        maxIter=8,
+        featuresCol="fv",
+        predictionCol="cell",
+    )
     model = km.fit(emb)
     assigned = cached(
         model.transform(emb)
