@@ -37,6 +37,8 @@ HEADLINE = [
     "events_hourly",
     "events_json_stats",
     "cube_status_priority",
+    "grouping_sets_orders",
+    "salted_segment_revenue",
     "customers_with_urgent_orders",
     "customers_without_orders",
     "asof_click_purchase",

@@ -537,8 +537,65 @@ def q_sql_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_PARTS_BY_BRAND)
 
 
+def q_salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-market-segment order revenue through a SALTED customer join —
+    the skew-safe join form as a first-class, value-checked query.
+
+    ``salted_join`` (plans/__init__.py) splits each key's shuffle rows
+    ``salt`` ways and explodes the smaller side to match, so a hot
+    custkey can no longer pin one task; the join output is row-identical
+    to the plain join, which is exactly what the oracle (an unsalted
+    join) asserts."""
+    from pu4spark_spark.plans import salted_join
+
+    orders = load_table(spark, "orders", sf_dir)
+    cust = (
+        load_table(spark, "customer", sf_dir)
+        .withColumnRenamed("c_custkey", "o_custkey")
+        .select("o_custkey", "c_mktsegment")
+    )
+    joined = salted_join(orders, cust, "o_custkey", salt=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(_M))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+SQL_SALTED_SEGMENT_REVENUE = f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS {_M})) AS DOUBLE) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+#: dialect-common GROUPING SETS text — run verbatim through both engines
+SQL_GROUPING_SETS = """
+SELECT o_orderstatus,
+       o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form beneath rollup/cube):
+    per-status totals, per-priority totals, and the grand total in one
+    pass — Spark expands to a single Expand + hash aggregate, one
+    shuffle."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
+    return spark.sql(SQL_GROUPING_SETS)
+
+
 QUERIES = {
     "q1_pricing_summary": q_q1_pricing_summary,
+    "salted_segment_revenue": q_salted_segment_revenue,
+    "grouping_sets_orders": q_grouping_sets_orders,
     "sql_parts_by_brand": q_sql_parts_by_brand,
     "q3_shipping_priority": q_q3_shipping_priority,
     "q5_region_supplier_revenue": q_q5_region_supplier_revenue,
@@ -561,6 +618,8 @@ QUERIES = {
 
 ORACLE_SQL = {
     "q1_pricing_summary": SQL_Q1,
+    "salted_segment_revenue": SQL_SALTED_SEGMENT_REVENUE,
+    "grouping_sets_orders": SQL_GROUPING_SETS,
     "sql_parts_by_brand": SQL_PARTS_BY_BRAND,
     "q3_shipping_priority": SQL_Q3,
     "q5_region_supplier_revenue": SQL_Q5,
