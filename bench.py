@@ -39,6 +39,7 @@ HEADLINE = [
     "cube_status_priority",
     "grouping_sets_orders",
     "salted_segment_revenue",
+    "profile_orders",
     "customers_with_urgent_orders",
     "customers_without_orders",
     "asof_click_purchase",

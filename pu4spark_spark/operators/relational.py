@@ -592,10 +592,56 @@ def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_GROUPING_SETS)
 
 
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data profile of the orders table — row count, null
+    counts, min/max ranges, and exact distinct cardinalities in ONE
+    aggregation job (the first query every ingest pipeline runs on a
+    new 100 TB drop; one scan, map-side partials, one shuffle of a
+    single partial-agg row per task — distinct columns add Expand
+    passes, not extra scans)."""
+    orders = load_table(spark, "orders", sf_dir)
+
+    def nulls(c: str):
+        return F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint")
+
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        nulls("o_custkey").alias("null_custkey"),
+        nulls("o_orderdate").alias("null_orderdate"),
+        F.min(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("min_price"),
+        F.max(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("max_price"),
+        F.min(F.col("o_orderdate")).alias("min_date"),
+        F.max(F.col("o_orderdate")).alias("max_date"),
+        F.countDistinct("o_orderstatus").alias("n_status"),
+        F.countDistinct("o_orderpriority").alias("n_priority"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+SQL_PROFILE_ORDERS = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+       CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderdate,
+       CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS min_price,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price,
+       MIN(o_orderdate) AS min_date,
+       MAX(o_orderdate) AS max_date,
+       COUNT(DISTINCT o_orderstatus) AS n_status,
+       COUNT(DISTINCT o_orderpriority) AS n_priority,
+       COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q_q1_pricing_summary,
     "salted_segment_revenue": q_salted_segment_revenue,
     "grouping_sets_orders": q_grouping_sets_orders,
+    "profile_orders": q_profile_orders,
     "sql_parts_by_brand": q_sql_parts_by_brand,
     "q3_shipping_priority": q_q3_shipping_priority,
     "q5_region_supplier_revenue": q_q5_region_supplier_revenue,
@@ -620,6 +666,7 @@ ORACLE_SQL = {
     "q1_pricing_summary": SQL_Q1,
     "salted_segment_revenue": SQL_SALTED_SEGMENT_REVENUE,
     "grouping_sets_orders": SQL_GROUPING_SETS,
+    "profile_orders": SQL_PROFILE_ORDERS,
     "sql_parts_by_brand": SQL_PARTS_BY_BRAND,
     "q3_shipping_priority": SQL_Q3,
     "q5_region_supplier_revenue": SQL_Q5,
