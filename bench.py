@@ -57,6 +57,7 @@ HEADLINE = [
     "embedding_quantize_int8",
     "text_heavy_hitters",
     "pipeline_docs_clean",
+    "pipeline_corpus_release",
     "curation_pii_redact",
     "curation_decontaminate",
     "curation_shard_pack",

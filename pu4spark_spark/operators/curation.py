@@ -342,8 +342,131 @@ GROUP BY doc_id
 """
 
 
+# -- end-to-end corpus-release pipeline ----------------------------------
+
+PIPE_MIN_TOKENS = 10
+
+
+def q_pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation chain as ONE lazy Catalyst plan: quality gate
+    (≥ 10 tokens) → benchmark decontamination → exact dedup keep-first
+    → redaction audit → token-budget shard packing, ending in per-shard
+    release stats.  Composing the stages proves they chain without
+    materialization barriers; every stage is SQL-expressible, so the
+    WHOLE pipeline value-checks against a single composed oracle.
+
+    Shuffle census at 100 TB: benchmark probe (broadcast + one
+    groupBy), dedup window (one hash partition on content md5), pack
+    window + shard groupBy (one hash partition on lang, reused by the
+    groupBy) — four data-size shuffles total, none all-pairs."""
+    docs = load_table(spark, "documents", sf_dir)
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    toked = docs.select(
+        "doc_id", "lang", "text", tokens("text").alias("__t")
+    )
+    kept = toked.withColumn("nt", F.size("__t")).filter(
+        (F.col("nt") >= PIPE_MIN_TOKENS) & ~is_bench
+    )
+
+    sh = word_shingles(F.col("__t"), CONTAM_N)
+    bench_sh = (
+        toked.filter(is_bench)
+        .select(F.explode(F.array_distinct(sh)).alias("sh"))
+        .distinct()
+    )
+    flagged = (
+        kept.select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
+        .join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contam"))
+        .filter(F.col("n_contam") >= CONTAM_THRESHOLD)
+        .select("doc_id")
+    )
+    clean = kept.join(F.broadcast(flagged), "doc_id", "left_anti")
+
+    wx = Window.partitionBy(F.md5(F.col("text"))).orderBy(F.asc("doc_id"))
+    ded = (
+        clean.withColumn("__rn", F.row_number().over(wx))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            "nt",
+            F.size(
+                F.regexp_extract_all(
+                    F.col("text"), F.lit(SECRET_TERMS_RE), 0
+                )
+            ).alias("n_secret"),
+        )
+    )
+
+    wp = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = ded.withColumn(
+        "shard_id",
+        F.floor((F.sum("nt").over(wp) - F.col("nt")) / SHARD_TOKEN_BUDGET),
+    )
+    return packed.groupBy("lang", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("shard_tokens"),
+        F.sum("n_secret").cast("bigint").alias("n_redactions"),
+    )
+
+
+SQL_PIPELINE_CORPUS_RELEASE = f"""
+WITH kept AS (
+  SELECT doc_id, lang, text,
+         len(string_split(text, ' ')) AS nt
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {PIPE_MIN_TOKENS}
+    AND doc_id % {BENCH_MOD} <> 0
+),
+bench AS (
+  SELECT DISTINCT unnest(list_distinct({_SH})) AS sh
+  FROM documents WHERE doc_id % {BENCH_MOD} = 0
+),
+flagged AS (
+  SELECT k.doc_id
+  FROM (SELECT doc_id,
+               unnest(list_distinct({sql_word_shingles('text', CONTAM_N)})) AS sh
+        FROM kept) k
+  JOIN bench USING (sh)
+  GROUP BY k.doc_id
+  HAVING COUNT(*) >= {CONTAM_THRESHOLD}
+),
+clean AS (
+  SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+),
+ded AS (
+  SELECT doc_id, lang, nt,
+         len(regexp_extract_all(text, '{SECRET_TERMS_RE}')) AS n_secret
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id ASC) AS rn
+        FROM clean)
+  WHERE rn = 1
+),
+packed AS (
+  SELECT lang, doc_id, nt, n_secret,
+         CAST(floor((SUM(nt) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - nt)
+                    / {SHARD_TOKEN_BUDGET}) AS BIGINT) AS shard_id
+  FROM ded
+)
+SELECT lang, shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS shard_tokens,
+       CAST(SUM(n_secret) AS BIGINT) AS n_redactions
+FROM packed
+GROUP BY lang, shard_id
+"""
+
+
 QUERIES = {
     "curation_pii_redact": q_curation_pii_redact,
+    "pipeline_corpus_release": q_pipeline_corpus_release,
     "curation_decontaminate": q_curation_decontaminate,
     "curation_domain_mix": q_curation_domain_mix,
     "curation_shard_pack": q_curation_shard_pack,
@@ -352,6 +475,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "curation_pii_redact": SQL_PII_REDACT,
+    "pipeline_corpus_release": SQL_PIPELINE_CORPUS_RELEASE,
     "curation_decontaminate": SQL_DECONTAMINATE,
     "curation_domain_mix": SQL_DOMAIN_MIX,
     "curation_shard_pack": SQL_SHARD_PACK,
