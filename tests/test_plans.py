@@ -128,3 +128,15 @@ def test_shard_pack_single_exchange(spark):
     # the only Sort is the window's partition-local sort (no global
     # Exchange rangepartitioning anywhere)
     assert "rangepartitioning" not in plan
+
+
+def test_corpus_release_pipeline_shuffle_census(spark):
+    """The composed release chain must stay broadcast + four data-size
+    exchanges (benchmark-probe groupBys, md5 dedup window, lang pack
+    window) with no sort-merge join or nested loop."""
+    from pu4spark_spark.operators.curation import q_pipeline_corpus_release
+
+    plan = explain_str(q_pipeline_corpus_release(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # probe join + 2 anti/left
