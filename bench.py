@@ -112,23 +112,35 @@ def run_one(spark, name: str, sf_dir: str = None) -> float:
     for t in spark.catalog.listTables():
         if t.isTemporary:
             spark.catalog.dropTempView(t.name)
+    # unload state-store providers left by stopped streaming queries:
+    # Spark keeps every provider (with its in-memory state) in
+    # loadedProviders and has one maintenance thread walk them all —
+    # accumulation over a run made later stateful queries erratically
+    # 3-6× slower.  Internal API, so best-effort.
+    try:
+        spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    except Exception:
+        pass
     return elapsed
 
 
 def main() -> None:
     spark = get_spark(app_name="pu4spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # warm each query's generated code once at the smallest sf (JIT is
-    # per-plan, not per-data; the measured run below is data-cold)
+    prime_page_cache(SF_DIR)
+    per_query: dict[str, float] = {}
     for name in HEADLINE:
+        # warm THIS query at the smallest sf immediately before its
+        # measured run: absorbs per-plan JIT (a fixed cost, not a
+        # per-data one) AND keeps Spark's Python worker pool alive —
+        # idle workers are reaped after ~1 min, so a single up-front
+        # warmup phase leaves the lone Python-using query (stateful
+        # streaming) paying a full 32-worker respawn (measured 2s vs
+        # up to 37s).  The measured run stays data-cold at target sf.
         try:
             run_one(spark, name, WARMUP_SF_DIR)
         except Exception:
             pass  # a warmup failure must not kill the measurement
-
-    prime_page_cache(SF_DIR)
-    per_query: dict[str, float] = {}
-    for name in HEADLINE:
         per_query[name] = round(run_one(spark, name), 3)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)

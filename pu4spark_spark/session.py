@@ -11,10 +11,14 @@ tests, bench, driver harness — runs with the same, 100-TB-minded config:
 - shuffle partitions sized to the local core count; on a real cluster
   AQE coalesces from an intentionally-high initial number instead.
 
-Driver/executor JVM memory is deliberately NOT set here:
-``spark.driver.memory`` is a static JVM option that ``getOrCreate`` on an
-already-started JVM silently ignores — it belongs in ``spark-submit`` /
-``SPARK_DRIVER_MEMORY`` environment configuration, never in builder code.
+``spark.driver.memory`` is a static JVM option: it takes effect only when
+``getOrCreate`` actually COLD-STARTS the JVM (which is exactly what the
+bench, tests, and oracle checker do) and is silently ignored when the
+driver harness hands us an already-running session — where that harness's
+own submit-time setting governs.  Leaving it unset was measured to leave
+a 1 GiB default heap under local[32]: GC pressure from ML models +
+cached intermediates degraded later stateful-streaming queries up to 9×.
+``SPARK_GRAFT_DRIVER_MEM`` overrides the default.
 """
 
 from __future__ import annotations
@@ -57,6 +61,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        # static JVM option — effective on cold start only (see module
+        # docstring); the 1 GiB default is far too small for local[32]
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
     )
     return builder.getOrCreate()
 
