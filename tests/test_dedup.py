@@ -85,3 +85,52 @@ def test_connected_components_path_star_disjoint(spark):
         10: 10, 11: 10, 12: 10, 13: 10,
         20: 20, 21: 20,
     }
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """Hypothesis: min-label propagation must equal a driver-side
+    union-find on random edge lists (few examples — each spins Spark
+    jobs)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pu4spark_spark.operators.dedup import connected_components
+
+    def uf_components(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=15),
+                st.integers(min_value=0, max_value=15),
+            ).filter(lambda p: p[0] != p[1]),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def check(edges):
+        pairs = spark.createDataFrame(
+            [(min(a, b), max(a, b)) for a, b in edges], ["a_id", "b_id"]
+        )
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(pairs).collect()
+        }
+        assert got == uf_components(edges)
+
+    check()
