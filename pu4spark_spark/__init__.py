@@ -1,7 +1,8 @@
 """pu4spark_spark — a PySpark-native analytics engine with the query and
 data-processing capabilities of ispras/pu4spark, extended with
-LLM-data-pipeline operators (dedup, similarity search, multimodal columns,
-text analysis) designed for 100 TB scale.
+LLM-data-pipeline operators (dedup + near-dup clustering, similarity
+search, multimodal columns, text analysis, corpus curation) designed for
+100 TB scale.
 
 Layout
 ------
@@ -14,7 +15,8 @@ Layout
 - ``two_step``     : shared zero-step (train-on-all, score-all)
 - ``traditional``  : Traditional PU learner (Liu et al. 2002)
 - ``gradual``      : Gradual Reduction PU learner (PU-LEA, Fusilier 2015)
-- ``operators``    : dedup / similarity / text / relational / multimodal
+- ``operators``    : dedup / similarity / text / relational / multimodal /
+  curation / as-of & range joins / composed cleaning pipelines
 - ``functions``    : reusable column-expression builders (vectors, text)
 - ``streaming``    : Structured Streaming pipelines over the events table
 
