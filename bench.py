@@ -47,6 +47,7 @@ HEADLINE = [
     "dedup_exact_docs",
     "dedup_minhash_lsh",
     "dedup_clusters",
+    "dedup_incremental",
     "dedup_simhash",
     "dedup_simhash_hamming",
     "dedup_ngram_jaccard",
