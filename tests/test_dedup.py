@@ -134,3 +134,41 @@ def test_connected_components_random_vs_union_find(spark):
         assert got == uf_components(edges)
 
     check()
+
+
+def test_incremental_verdicts_partition_batch(spark):
+    """Every batch doc gets exactly one verdict, and verdicts are
+    consistent: exact dups share a content hash with the corpus, kept
+    docs never do."""
+    from pyspark.sql import functions as F
+
+    from pu4spark_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+        q_dedup_incremental,
+    )
+    from pu4spark_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = q_dedup_incremental(spark, sf).collect()
+    verdicts = {}
+    for r in out:
+        assert r["doc_id"] not in verdicts, "doc judged twice"
+        verdicts[r["doc_id"]] = r["verdict"]
+    docs = load_table(spark, "documents", sf)
+    batch_ids = {
+        r["doc_id"]
+        for r in docs.filter(F.col("doc_id") % INCR_BATCH_MOD == 0).collect()
+    }
+    assert set(verdicts) == batch_ids
+    assert set(verdicts.values()) <= {"kept", "exact_dup", "near_dup"}
+    # exact verdicts agree with a direct hash comparison
+    hashes = {
+        r["doc_id"]: r["h"]
+        for r in docs.select("doc_id", F.md5("text").alias("h")).collect()
+    }
+    corpus_hashes = {h for d, h in hashes.items() if d not in batch_ids}
+    for d, v in verdicts.items():
+        if v == "exact_dup":
+            assert hashes[d] in corpus_hashes
+        elif v == "kept":
+            assert hashes[d] not in corpus_hashes
