@@ -56,7 +56,9 @@ HEADLINE = [
     "ann_lsh_bucketed",
     "ann_ivf",
     "embedding_quantize_int8",
+    "embedding_label_centroids",
     "text_heavy_hitters",
+    "text_commonness",
     "pipeline_docs_clean",
     "pipeline_corpus_release",
     "curation_pii_redact",

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pu4spark_spark.functions.vectors import (
+    QUANT as QUANT_SCALE,
     cosine_from_quantized,
     int_dot,
     quantized,
@@ -362,9 +363,58 @@ FROM qd
 """
 
 
+# -- per-label centroids (exact integer means) ----------------------------
+
+CENTROID_DIMS = 4  # leading components reported as columns
+
+
+def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid statistics over the quantized embeddings —
+    the building block of class prototypes / IVF-per-label layouts.
+    Sums are exact int64 over floor-quantized components (associative,
+    partition-order independent); each centroid coordinate is one final
+    double division, bit-equal in DuckDB.  One map-side-combined
+    groupBy(label) — no other shuffle."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = quantized("embedding")
+    staged = emb.select(
+        "label",
+        *[
+            F.element_at(q, d + 1).alias(f"__q{d}")
+            for d in range(CENTROID_DIMS)
+        ],
+    )
+    n = F.count(F.lit(1))
+    return staged.groupBy("label").agg(
+        n.alias("n_vecs"),
+        *[
+            (F.sum(f"__q{d}").cast("double") / n / F.lit(float(QUANT_SCALE)))
+            .alias(f"c{d}")
+            for d in range(CENTROID_DIMS)
+        ],
+    )
+
+
+def _sql_centroids() -> str:
+    comps = ", ".join(
+        "CAST(SUM(CAST(floor(CAST(embedding[{i}] AS DOUBLE) * {s}) AS BIGINT)) AS DOUBLE)"
+        " / COUNT(*) / {s} AS c{d}".format(i=d + 1, d=d, s=QUANT_SCALE)
+        for d in range(CENTROID_DIMS)
+    )
+    return f"""
+SELECT label, COUNT(*) AS n_vecs, {comps}
+FROM embeddings
+GROUP BY label
+"""
+
+
+SQL_EMBEDDING_LABEL_CENTROIDS = _sql_centroids()
+
+
 QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_quantize_int8": q_embedding_quantize_int8,
+    "embedding_label_centroids": q_embedding_label_centroids,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "ann_ivf": q_ann_ivf,
     "ann_brp_lsh_ml": q_ann_brp_lsh_ml,
@@ -373,6 +423,7 @@ QUERIES = {
 ORACLE_SQL = {
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "embedding_quantize_int8": SQL_EMBEDDING_QUANTIZE_INT8,
+    "embedding_label_centroids": SQL_EMBEDDING_LABEL_CENTROIDS,
     "ann_lsh_bucketed": SQL_ANN_LSH_BUCKETED,
     # ann_ivf: KMeans centroids — rows-only
     # ann_brp_lsh_ml: ML internals — rows-only

@@ -444,6 +444,50 @@ WHERE rank <= {HEAVY_HITTER_K}
 """
 
 
+# -- corpus-frequency commonness score -----------------------------------
+
+def q_text_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram corpus-frequency score per document: the mean corpus
+    count of the doc's tokens — the cheap stand-in for unigram-LM
+    quality scoring (a low score means the doc is full of rare/noisy
+    tokens).  Exactness discipline: the score is an exact integer sum
+    divided once, so it is partition-order independent and bit-equal in
+    DuckDB (a float log-prob would drift per engine's libm).
+
+    Scale shape: token counts are one map-side-combined explode +
+    groupBy; the vocabulary table is small relative to the corpus and
+    broadcasts into the scoring join; per-doc reduce is the second and
+    final shuffle."""
+    docs = load_table(spark, "documents", sf_dir)
+    toked = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    vocab = toked.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        toked.join(F.broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cnt").cast("bigint").alias("sum_freq"),
+            (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias(
+                "avg_token_freq"
+            ),
+        )
+    )
+
+
+SQL_TEXT_COMMONNESS = """
+WITH toked AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+vocab AS (SELECT token, COUNT(*) AS cnt FROM toked GROUP BY token)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(cnt) AS BIGINT) AS sum_freq,
+       CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS avg_token_freq
+FROM toked JOIN vocab USING (token)
+GROUP BY doc_id
+"""
+
+
 # -- TF-IDF pipeline (built-in ML; rows-only) ----------------------------
 
 def q_text_tfidf_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -473,6 +517,7 @@ QUERIES = {
     "text_regex_tokens": q_text_regex_tokens,
     "text_corpus_stats": q_text_corpus_stats,
     "text_heavy_hitters": q_text_heavy_hitters,
+    "text_commonness": q_text_commonness,
     "text_tfidf_ml": q_text_tfidf_ml,
 }
 
@@ -485,5 +530,6 @@ ORACLE_SQL = {
     "text_regex_tokens": SQL_TEXT_REGEX_TOKENS,
     "text_corpus_stats": SQL_TEXT_CORPUS_STATS,
     "text_heavy_hitters": SQL_TEXT_HEAVY_HITTERS,
+    "text_commonness": SQL_TEXT_COMMONNESS,
     # text_tfidf_ml: ML — rows-only
 }
