@@ -43,6 +43,7 @@ HEADLINE = [
     "customers_with_urgent_orders",
     "customers_without_orders",
     "asof_click_purchase",
+    "asof_next_purchase",
     "range_click_purchases",
     "dedup_exact_docs",
     "dedup_minhash_lsh",

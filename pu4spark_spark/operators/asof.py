@@ -152,6 +152,127 @@ ASOF LEFT JOIN purchases p
 """
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_cols: list[str],
+    order_col: str,
+) -> DataFrame:
+    """Forward as-of join: every ``left`` row gains ``value_cols`` from
+    the EARLIEST ``right`` row with ``right.ts_col >= left.ts_col`` per
+    key (NULLs when no later right row exists) — the mirror of
+    :func:`asof_join`, same single-shuffle union+window shape with the
+    frame flipped to ``first(ignoreNulls)`` over the FOLLOWING rows.
+    Collisions on (key, ts) keep the MIN ``order_col`` row (the
+    earliest deterministic match)."""
+    wd = Window.partitionBy(*key_cols, ts_col).orderBy(F.asc(order_col))
+    right_d = (
+        right.withColumn("__rn", F.row_number().over(wd))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    tagged_r = right_d.select(
+        *key_cols,
+        F.col(ts_col),
+        F.lit(1).alias("__side"),
+        F.col(order_col).alias("__ord"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    left_cols = [c for c in left.columns]
+    tagged_l = left.select(
+        *key_cols,
+        F.col(ts_col),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(tagged_r.schema["__ord"].dataType).alias("__ord"),
+        *[
+            F.lit(None).cast(right_d.schema[c].dataType).alias(f"__r_{c}")
+            for c in value_cols
+        ],
+        *[F.col(c).alias(f"__l_{c}") for c in left_cols],
+    )
+    tagged_r = tagged_r.select(
+        *key_cols,
+        ts_col,
+        "__side",
+        "__ord",
+        *[f"__r_{c}" for c in value_cols],
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}")
+            for c in left_cols
+        ],
+    )
+
+    # left rows sort BEFORE right rows at equal ts (side 0 < 1) so an
+    # exact-timestamp match is inside the left row's FOLLOWING frame
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.asc(ts_col), F.asc("__side"), F.asc_nulls_last("__ord"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = tagged_l.unionByName(tagged_r)
+    for c in value_cols:
+        carried = carried.withColumn(
+            f"__asof_{c}", F.first(F.col(f"__r_{c}"), ignorenulls=True).over(w)
+        )
+    out = carried.filter(F.col("__side") == 0)
+    return out.select(
+        *[F.col(f"__l_{c}").alias(c) for c in left_cols],
+        *[F.col(f"__asof_{c}").alias(f"asof_{c}") for c in value_cols],
+    )
+
+
+def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click event: the same user's EARLIEST purchase at or
+    after the click — forward attribution (which purchase did this
+    click lead to)."""
+    events = load_table(spark, "events", sf_dir)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join_forward(
+        clicks,
+        purchases,
+        key_cols=["user_id"],
+        ts_col="ts",
+        value_cols=["event_id", "value"],
+        order_col="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_event_id").alias("next_purchase_id"),
+        F.col("asof_value").alias("next_purchase_value"),
+    )
+
+
+SQL_ASOF_NEXT_PURCHASE = """
+WITH purchases AS (
+  SELECT user_id, ts, event_id, value
+  FROM (SELECT user_id, ts, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id ASC) AS rn
+        FROM events WHERE event_type = 'purchase')
+  WHERE rn = 1
+),
+clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id,
+       c.user_id,
+       p.event_id AS next_purchase_id,
+       p.value AS next_purchase_value
+FROM clicks c
+ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+"""
+
+
 # -- banded range join ----------------------------------------------------
 
 def range_join_lookback(
@@ -250,10 +371,12 @@ FROM clicks c JOIN purchases p
 
 QUERIES = {
     "asof_click_purchase": q_asof_click_purchase,
+    "asof_next_purchase": q_asof_next_purchase,
     "range_click_purchases": q_range_click_purchases,
 }
 
 ORACLE_SQL = {
     "asof_click_purchase": SQL_ASOF_CLICK_PURCHASE,
+    "asof_next_purchase": SQL_ASOF_NEXT_PURCHASE,
     "range_click_purchases": SQL_RANGE_CLICK_PURCHASES,
 }

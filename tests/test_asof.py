@@ -148,3 +148,37 @@ def test_range_join_matches_bruteforce_random(spark):
             and (lts - rts) <= timedelta(microseconds=LOOKBACK_US)
         )
         assert got == expect, seed
+
+
+def test_asof_forward_semantics(spark):
+    from datetime import datetime
+
+    from pu4spark_spark.operators.asof import asof_join_forward
+
+    t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    left = spark.createDataFrame(
+        [
+            (1, 10, t("2024-01-01 10:00:00")),  # before all rights → first
+            (2, 10, t("2024-01-01 12:00:00")),  # equal-ts match
+            (3, 10, t("2024-01-01 14:30:00")),  # after all rights → NULL
+            (4, 20, t("2024-01-01 09:00:00")),  # other key, no right
+        ],
+        ["lid", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, t("2024-01-01 12:00:00"), 1.0),
+            (101, 10, t("2024-01-01 13:00:00"), 2.0),
+            (102, 10, t("2024-01-01 14:00:00"), 3.0),
+        ],
+        ["rid", "k", "ts", "v"],
+    )
+    out = asof_join_forward(
+        left, right, key_cols=["k"], ts_col="ts", value_cols=["rid", "v"],
+        order_col="rid",
+    )
+    got = {r["lid"]: (r["asof_rid"], r["asof_v"]) for r in out.collect()}
+    assert got[1] == (100, 1.0)   # earliest right at/after 10:00
+    assert got[2] == (100, 1.0)   # equal ts matches (>= semantics)
+    assert got[3] == (None, None) # nothing after 14:30
+    assert got[4] == (None, None) # key has no rights
