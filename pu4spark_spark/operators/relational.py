@@ -146,14 +146,30 @@ GROUP BY n_name
 # -- window: top-k per group --------------------------------------------
 
 def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by balance per nation, TWO-PHASE: a single
+    ``PARTITION BY n_name`` window would create exactly n_nations
+    partitions (one task sorting an entire nation's customers at
+    100 TB), so phase 1 cuts each input partition to ≤3 rows per nation
+    map-side and the global window ranks only the 3·P survivors —
+    identical output under the same (balance DESC, custkey ASC) total
+    order."""
     cust = load_table(spark, "customer", sf_dir)
     nation = F.broadcast(load_table(spark, "nation", sf_dir))
+    joined = cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+    wl = Window.partitionBy("n_name", "__part").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    local = (
+        joined.withColumn("__part", F.spark_partition_id())
+        .withColumn("__lr", F.row_number().over(wl))
+        .filter(F.col("__lr") <= 3)
+        .drop("__part", "__lr")
+    )
     w = Window.partitionBy("n_name").orderBy(
         F.desc("c_acctbal"), F.asc("c_custkey")
     )
     return (
-        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
-        .withColumn("rn", F.row_number().over(w))
+        local.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("n_name", "c_custkey", "c_acctbal", "rn")
     )
