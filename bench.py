@@ -35,6 +35,7 @@ HEADLINE = [
     "top_customers_per_nation",
     "monthly_revenue",
     "events_hourly",
+    "events_sessionized",
     "events_json_stats",
     "cube_status_priority",
     "grouping_sets_orders",

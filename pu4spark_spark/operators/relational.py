@@ -187,6 +187,69 @@ WHERE rn <= 3
 """
 
 
+def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gap-and-island): a session break is a
+    ≥30-minute silence per user — ``lag`` marks session starts, a
+    running sum numbers the islands, and one aggregate emits each
+    session's span.  The batch twin of ``streaming_sessions`` (same
+    oracle): both windows and the final groupBy hash-partition on
+    user_id (high cardinality), and the groupBy reuses the windows'
+    partitioning — ONE exchange total."""
+    events = load_table(spark, "events", sf_dir)
+    wo = Window.partitionBy("user_id").orderBy("ts")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = 30 * 60 * 1_000_000
+    marked = events.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(wo).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wo))
+                >= gap_us
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    islands = marked.withColumn("sid", F.sum("is_new").over(wrun))
+    return (
+        islands.groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            (F.max("ts") + F.expr("interval 30 minutes")).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("sid")
+    )
+
+
+#: identical contract to the streaming session-window query
+SQL_EVENTS_SESSIONIZED = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+islands AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM islands
+GROUP BY user_id, sid
+"""
+
+
 # -- window: running aggregate ------------------------------------------
 
 def q_customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -665,6 +728,7 @@ QUERIES = {
     "customer_running_spend": q_customer_running_spend,
     "monthly_revenue": q_monthly_revenue,
     "events_hourly": q_events_hourly,
+    "events_sessionized": q_events_sessionized,
     "events_json_stats": q_events_json_stats,
     "parts_setops": q_parts_setops,
     "segment_priority_matrix": q_segment_priority_matrix,
@@ -690,6 +754,7 @@ ORACLE_SQL = {
     "customer_running_spend": SQL_RUNNING_SPEND,
     "monthly_revenue": SQL_MONTHLY_REVENUE,
     "events_hourly": SQL_EVENTS_HOURLY,
+    "events_sessionized": SQL_EVENTS_SESSIONIZED,
     "events_json_stats": SQL_EVENTS_JSON,
     "parts_setops": SQL_PARTS_SETOPS,
     "segment_priority_matrix": SQL_SEGMENT_PRIORITY,

@@ -137,3 +137,15 @@ def test_heavy_hitters_ranked_and_complete(spark):
         for a, b in zip(rs, rs[1:]):
             assert (a["n"], b["token"]) >= (b["n"], a["token"]) or a["n"] > b["n"]
             assert a["n"] >= b["n"]
+
+
+def test_batch_sessionization_matches_streaming(spark):
+    from pu4spark_spark.operators.relational import q_events_sessionized
+    from pu4spark_spark.streaming.events import q_streaming_sessions
+
+    key = lambda r: (  # noqa: E731
+        r["user_id"], r["session_start"], r["session_end"], r["n_events"]
+    )
+    batch = sorted(map(key, q_events_sessionized(spark, SF).collect()))
+    stream = sorted(map(key, q_streaming_sessions(spark, SF).collect()))
+    assert batch == stream
