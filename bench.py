@@ -98,7 +98,9 @@ def prime_page_cache(sf_dir: str) -> None:
                 pass
 
 
-def run_one(spark, name: str, sf_dir: str = None) -> float:
+def run_one(
+    spark, name: str, sf_dir: str = None, unload_state: bool = True
+) -> float:
     # time construction AND execution: driver-loop operators (PU
     # learners, connected components) and streaming drains do their
     # Spark jobs while the query callable builds the result, not in
@@ -121,11 +123,15 @@ def run_one(spark, name: str, sf_dir: str = None) -> float:
     # Spark keeps every provider (with its in-memory state) in
     # loadedProviders and has one maintenance thread walk them all —
     # accumulation over a run made later stateful queries erratically
-    # 3-6× slower.  Internal API, so best-effort.
-    try:
-        spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-    except Exception:
-        pass
+    # 3-6× slower.  Skipped after WARMUP runs: re-initializing the
+    # state-store subsystem costs several seconds, and it must be the
+    # (unmeasured) warmup that pays it, not the measured run that
+    # follows.  Internal API, so best-effort.
+    if unload_state:
+        try:
+            spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        except Exception:
+            pass
     return elapsed
 
 
@@ -143,7 +149,7 @@ def main() -> None:
         # streaming) paying a full 32-worker respawn (measured 2s vs
         # up to 37s).  The measured run stays data-cold at target sf.
         try:
-            run_one(spark, name, WARMUP_SF_DIR)
+            run_one(spark, name, WARMUP_SF_DIR, unload_state=False)
         except Exception:
             pass  # a warmup failure must not kill the measurement
         per_query[name] = round(run_one(spark, name), 3)
