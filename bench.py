@@ -61,6 +61,7 @@ HEADLINE = [
     "embedding_label_centroids",
     "text_heavy_hitters",
     "text_commonness",
+    "text_bigram_lm",
     "pipeline_docs_clean",
     "pipeline_corpus_release",
     "curation_pii_redact",

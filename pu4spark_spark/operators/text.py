@@ -13,7 +13,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pu4spark_spark.functions.textfns import tokens, word_shingles
+from pu4spark_spark.functions.textfns import (
+    sql_word_shingles,
+    tokens,
+    word_shingles,
+)
 from pu4spark_spark.sources import load_table
 
 # -- token statistics ----------------------------------------------------
@@ -488,6 +492,51 @@ GROUP BY doc_id
 """
 
 
+# -- bigram conditional-probability table --------------------------------
+
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram table with conditional probabilities — the
+    count-based LM artifact (next-token statistics) used for cheap
+    perplexity-style scoring and contamination probes.  All counts are
+    exact integers from two map-side-combined groupBys; ``p_next`` is
+    one double division, engine-exact.
+
+    Scale shape: explode word bigrams → groupBy(w1, w2); the per-w1
+    totals come from a second aggregation of the (much smaller) bigram
+    table itself, broadcast back — the corpus is scanned once."""
+    docs = load_table(spark, "documents", sf_dir)
+    toked = docs.select(tokens("text").alias("__t"))
+    grams = word_shingles(F.col("__t"), 2)
+    pairs = toked.select(F.explode(grams).alias("g")).select(
+        F.split(F.col("g"), " ")[0].alias("w1"),
+        F.split(F.col("g"), " ")[1].alias("w2"),
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    tot = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    return big.join(F.broadcast(tot), "w1").select(
+        "w1",
+        "w2",
+        F.col("c12").cast("bigint").alias("c12"),
+        F.col("c1").cast("bigint").alias("c1"),
+        (F.col("c12").cast("double") / F.col("c1")).alias("p_next"),
+    )
+
+
+SQL_TEXT_BIGRAM_LM = f"""
+WITH pairs AS (
+  SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2
+  FROM (SELECT unnest({sql_word_shingles('text', 2)}) AS g FROM documents)
+),
+big AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2),
+tot AS (SELECT w1, SUM(c12) AS c1 FROM big GROUP BY w1)
+SELECT w1, w2,
+       CAST(c12 AS BIGINT) AS c12,
+       CAST(c1 AS BIGINT) AS c1,
+       CAST(c12 AS DOUBLE) / c1 AS p_next
+FROM big JOIN tot USING (w1)
+"""
+
+
 # -- TF-IDF pipeline (built-in ML; rows-only) ----------------------------
 
 def q_text_tfidf_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -518,6 +567,7 @@ QUERIES = {
     "text_corpus_stats": q_text_corpus_stats,
     "text_heavy_hitters": q_text_heavy_hitters,
     "text_commonness": q_text_commonness,
+    "text_bigram_lm": q_text_bigram_lm,
     "text_tfidf_ml": q_text_tfidf_ml,
 }
 
@@ -531,5 +581,6 @@ ORACLE_SQL = {
     "text_corpus_stats": SQL_TEXT_CORPUS_STATS,
     "text_heavy_hitters": SQL_TEXT_HEAVY_HITTERS,
     "text_commonness": SQL_TEXT_COMMONNESS,
+    "text_bigram_lm": SQL_TEXT_BIGRAM_LM,
     # text_tfidf_ml: ML — rows-only
 }
