@@ -41,6 +41,7 @@ HEADLINE = [
     "grouping_sets_orders",
     "salted_segment_revenue",
     "profile_orders",
+    "orders_upsert_compact",
     "customers_with_urgent_orders",
     "customers_without_orders",
     "asof_click_purchase",

@@ -671,6 +671,81 @@ def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_GROUPING_SETS)
 
 
+def q_orders_upsert_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert compaction (SCD-1 keep-latest) on plain parquet — the
+    MERGE pattern without a table format: base snapshot unioned with an
+    update batch (every 7th order re-priced +100.00, a flat exact-decimal
+    adjustment so no multiply-rounding can diverge between engines),
+    then one keep-max-version window per key.  The post-merge per-status totals
+    prove value-level correctness, not just row counts.
+
+    Scale shape: one union (no shuffle) + one hash-partitioned window
+    on the key + a groupBy that AQE plans off the window's partitioning
+    — the compaction cost is a single shuffle of base+updates."""
+    orders = load_table(spark, "orders", sf_dir)
+    base = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+        F.lit(0).alias("version"),
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            (
+                F.col("o_totalprice").cast("decimal(12,2)")
+                + F.lit("100.00").cast("decimal(12,2)")
+            )
+            .cast("decimal(12,2)")
+            .alias("price"),
+            F.lit(1).alias("version"),
+        )
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("version"))
+    latest = (
+        base.unionByName(updates)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    return latest.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("version") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_updated"),
+        F.sum("price").cast("double").alias("total_price"),
+    )
+
+
+SQL_ORDERS_UPSERT_COMPACT = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS price, 0 AS version
+  FROM orders
+),
+updates AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) + CAST('100.00' AS DECIMAL(12,2)) AS DECIMAL(12,2)) AS price,
+         1 AS version
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                 ORDER BY version DESC) AS rn
+    FROM (SELECT * FROM base UNION ALL SELECT * FROM updates)
+  ) WHERE rn = 1
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN version = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+       CAST(SUM(price) AS DOUBLE) AS total_price
+FROM latest
+GROUP BY o_orderstatus
+"""
+
+
 def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass data profile of the orders table — row count, null
     counts, min/max ranges, and exact distinct cardinalities in ONE
@@ -721,6 +796,7 @@ QUERIES = {
     "salted_segment_revenue": q_salted_segment_revenue,
     "grouping_sets_orders": q_grouping_sets_orders,
     "profile_orders": q_profile_orders,
+    "orders_upsert_compact": q_orders_upsert_compact,
     "sql_parts_by_brand": q_sql_parts_by_brand,
     "q3_shipping_priority": q_q3_shipping_priority,
     "q5_region_supplier_revenue": q_q5_region_supplier_revenue,
@@ -747,6 +823,7 @@ ORACLE_SQL = {
     "salted_segment_revenue": SQL_SALTED_SEGMENT_REVENUE,
     "grouping_sets_orders": SQL_GROUPING_SETS,
     "profile_orders": SQL_PROFILE_ORDERS,
+    "orders_upsert_compact": SQL_ORDERS_UPSERT_COMPACT,
     "sql_parts_by_brand": SQL_PARTS_BY_BRAND,
     "q3_shipping_priority": SQL_Q3,
     "q5_region_supplier_revenue": SQL_Q5,
