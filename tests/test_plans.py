@@ -140,3 +140,12 @@ def test_corpus_release_pipeline_shuffle_census(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 3  # probe join + 2 anti/left
+
+
+def test_sessionization_single_exchange(spark):
+    """Batch sessionization: lag window, island sum window, and the
+    session groupBy must all reuse one hash partitioning on user_id."""
+    from pu4spark_spark.operators.relational import q_events_sessionized
+
+    plan = explain_str(q_events_sessionized(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1

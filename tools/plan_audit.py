@@ -85,6 +85,16 @@ AUDITED = {
         "back-to-back HashAggregates with no second exchange, and no "
         "global sort anywhere."
     ),
+    "events_sessionized": (
+        "Gap-and-island sessionization: both windows and the final "
+        "groupBy hash-partition on user_id and the groupBy reuses the "
+        "windows' partitioning — ONE exchange total."
+    ),
+    "orders_upsert_compact": (
+        "CDC compaction: union is shuffle-free, the keep-max-version "
+        "window is the single key shuffle, and the status rollup "
+        "aggregates its output — no join anywhere."
+    ),
     "dedup_incremental": (
         "Batch-sized work only: the exact stage is a hash left-anti "
         "probe of the batch against corpus content hashes; the near-dup "
