@@ -42,6 +42,7 @@ HEADLINE = [
     "salted_segment_revenue",
     "profile_orders",
     "orders_upsert_compact",
+    "orders_zorder_layout",
     "customers_with_urgent_orders",
     "customers_without_orders",
     "asof_click_purchase",

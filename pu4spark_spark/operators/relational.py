@@ -746,6 +746,82 @@ GROUP BY o_orderstatus
 """
 
 
+ZORDER_BITS = 16
+
+
+def zorder_key(a, b, bits: int = ZORDER_BITS):
+    """Morton (Z-order) key: interleave the low ``bits`` of two
+    non-negative int columns — writing data sorted by this key
+    clusters BOTH dimensions, so parquet min/max row-group pruning
+    works for predicates on either column (the multi-dimensional
+    data-skipping layout).  Pure integer shifts, exact in int64."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)).cast("long"), 2 * i)
+            + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)).cast("long"), 2 * i + 1)
+        )
+    return z
+
+
+def _sql_zorder(a: str, b: str, bits: int = ZORDER_BITS) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def q_orders_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit for orders clustered on (custkey, order
+    date): per coarse z-range, row count and the min/max of BOTH
+    dimensions — tight per-bucket ranges on each column are exactly
+    what makes row-group skipping effective for either predicate.
+    One map-side-combined groupBy on the derived key."""
+    orders = load_table(spark, "orders", sf_dir)
+    ck = F.pmod(F.col("o_custkey"), F.lit(1 << ZORDER_BITS)).cast("long")
+    dd = F.pmod(
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")),
+        F.lit(1 << ZORDER_BITS),
+    ).cast("long")
+    z = zorder_key(ck, dd)
+    return (
+        orders.select(
+            F.shiftright(z, 18).alias("z_bucket"),
+            F.col("o_custkey"),
+            F.col("o_orderdate"),
+        )
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_custkey").alias("min_custkey"),
+            F.max("o_custkey").alias("max_custkey"),
+            F.min("o_orderdate").alias("min_date"),
+            F.max("o_orderdate").alias("max_date"),
+        )
+    )
+
+
+SQL_ORDERS_ZORDER_LAYOUT = f"""
+WITH keyed AS (
+  SELECT o_custkey, o_orderdate,
+         {_sql_zorder(f"(o_custkey % {1 << ZORDER_BITS})",
+                      f"(datediff('day', DATE '1992-01-01', o_orderdate) % {1 << ZORDER_BITS})")}
+           >> 18 AS z_bucket
+  FROM orders
+)
+SELECT z_bucket,
+       COUNT(*) AS n_orders,
+       MIN(o_custkey) AS min_custkey,
+       MAX(o_custkey) AS max_custkey,
+       MIN(o_orderdate) AS min_date,
+       MAX(o_orderdate) AS max_date
+FROM keyed
+GROUP BY z_bucket
+"""
+
+
 def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass data profile of the orders table — row count, null
     counts, min/max ranges, and exact distinct cardinalities in ONE
@@ -797,6 +873,7 @@ QUERIES = {
     "grouping_sets_orders": q_grouping_sets_orders,
     "profile_orders": q_profile_orders,
     "orders_upsert_compact": q_orders_upsert_compact,
+    "orders_zorder_layout": q_orders_zorder_layout,
     "sql_parts_by_brand": q_sql_parts_by_brand,
     "q3_shipping_priority": q_q3_shipping_priority,
     "q5_region_supplier_revenue": q_q5_region_supplier_revenue,
@@ -824,6 +901,7 @@ ORACLE_SQL = {
     "grouping_sets_orders": SQL_GROUPING_SETS,
     "profile_orders": SQL_PROFILE_ORDERS,
     "orders_upsert_compact": SQL_ORDERS_UPSERT_COMPACT,
+    "orders_zorder_layout": SQL_ORDERS_ZORDER_LAYOUT,
     "sql_parts_by_brand": SQL_PARTS_BY_BRAND,
     "q3_shipping_priority": SQL_Q3,
     "q5_region_supplier_revenue": SQL_Q5,
