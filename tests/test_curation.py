@@ -149,3 +149,63 @@ def test_batch_sessionization_matches_streaming(spark):
     batch = sorted(map(key, q_events_sessionized(spark, SF).collect()))
     stream = sorted(map(key, q_streaming_sessions(spark, SF).collect()))
     assert batch == stream
+
+
+def test_heavy_hitters_vs_python_counter(spark):
+    """Independent reference: recompute per-language top-K with
+    collections.Counter on the collected fixture and compare exactly
+    (count DESC, token ASC order)."""
+    from collections import Counter, defaultdict
+
+    from pu4spark_spark.operators.text import HEAVY_HITTER_K, q_text_heavy_hitters
+
+    docs = load_table(spark, "documents", SF).select("lang", "text").collect()
+    counts: dict[str, Counter] = defaultdict(Counter)
+    for r in docs:
+        counts[r["lang"]].update(r["text"].split(" "))
+    expected = {}
+    for lang, c in counts.items():
+        ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        for rank, (tok, n) in enumerate(ranked[:HEAVY_HITTER_K], start=1):
+            expected[(lang, rank)] = (tok, n)
+    got = {
+        (r["lang"], r["rank"]): (r["token"], r["n"])
+        for r in q_text_heavy_hitters(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_shard_pack_vs_python_simulation(spark):
+    """Independent reference: simulate the per-language running-sum
+    packing in plain Python and compare shard stats exactly."""
+    from collections import defaultdict
+
+    from pu4spark_spark.operators.curation import (
+        SHARD_TOKEN_BUDGET,
+        q_curation_shard_pack,
+    )
+
+    docs = sorted(
+        load_table(spark, "documents", SF)
+        .select("lang", "doc_id", "text")
+        .collect(),
+        key=lambda r: (r["lang"], r["doc_id"]),
+    )
+    stats = defaultdict(lambda: [0, 0, None, None])  # n_docs, toks, first, last
+    running = defaultdict(int)
+    for r in docs:
+        nt = len(r["text"].split(" "))
+        shard = running[r["lang"]] // SHARD_TOKEN_BUDGET
+        running[r["lang"]] += nt
+        s = stats[(r["lang"], shard)]
+        s[0] += 1
+        s[1] += nt
+        s[2] = r["doc_id"] if s[2] is None else s[2]
+        s[3] = r["doc_id"]
+    got = {
+        (r["lang"], r["shard_id"]): (
+            r["n_docs"], r["shard_tokens"], r["first_doc"], r["last_doc"]
+        )
+        for r in q_curation_shard_pack(spark, SF).collect()
+    }
+    assert got == {k: tuple(v) for k, v in stats.items()}
