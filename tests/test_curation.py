@@ -209,3 +209,77 @@ def test_shard_pack_vs_python_simulation(spark):
         for r in q_curation_shard_pack(spark, SF).collect()
     }
     assert got == {k: tuple(v) for k, v in stats.items()}
+
+
+def test_zorder_key_vs_python(spark):
+    """Bit-interleave reference: the Morton key must equal a plain
+    Python implementation for representative values."""
+    from pyspark.sql import functions as F
+
+    from pu4spark_spark.operators.relational import ZORDER_BITS, zorder_key
+
+    def py_z(a: int, b: int) -> int:
+        z = 0
+        for i in range(ZORDER_BITS):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    vals = [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321), (7, 8)]
+    df = spark.createDataFrame(vals, ["a", "b"]).select(
+        "a", "b", zorder_key(F.col("a").cast("long"), F.col("b").cast("long")).alias("z")
+    )
+    got = {(r["a"], r["b"]): r["z"] for r in df.collect()}
+    assert got == {(a, b): py_z(a, b) for a, b in vals}
+
+
+def test_winnow_fingerprint_vs_python(spark):
+    """Winnowing reference: recompute the fingerprint-set summary in
+    plain Python (md5 token codes → rolling poly hash → window mins →
+    distinct) and compare all four scalars for every fixture doc."""
+    import hashlib
+
+    from pu4spark_spark.operators.text import (
+        POLY_B,
+        POLY_P,
+        WINNOW_W,
+        q_text_winnow_fingerprint,
+    )
+
+    def py_winnow(text: str):
+        toks = text.split(" ")
+        codes = [
+            int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in toks
+        ]
+        if len(codes) >= 3:
+            sh = [
+                ((codes[i] * POLY_B + codes[i + 1]) * POLY_B + codes[i + 2])
+                % POLY_P
+                for i in range(len(codes) - 2)
+            ]
+        else:
+            sh = []
+        if len(sh) >= WINNOW_W:
+            mins = [
+                min(sh[i : i + WINNOW_W])
+                for i in range(len(sh) - WINNOW_W + 1)
+            ]
+        else:
+            mins = sh
+        fps = list(dict.fromkeys(mins))  # array_distinct keeps first-seen
+        return (
+            len(fps),
+            min(fps) if fps else None,
+            max(fps) if fps else None,
+            sum(fps),
+        )
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, "documents", SF).collect()
+    }
+    got = {
+        r["doc_id"]: (r["n_fp"], r["fp_min"], r["fp_max"], r["fp_sum"])
+        for r in q_text_winnow_fingerprint(spark, SF).collect()
+    }
+    assert got == {d: py_winnow(t) for d, t in docs.items()}
