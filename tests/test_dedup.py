@@ -46,6 +46,28 @@ def test_minhash_detects_planted_near_dup(spark):
     assert {(r[0], r[1]) for r in pairs} == {(1, 2)}
 
 
+def _py_simhash64(text: str) -> int:
+    """Independent CPython reference: 64-bit SimHash over whitespace
+    tokens, bit j from nibble j//4 / sub-bit j%4 of md5(token), result
+    as a SIGNED 64-bit int (bit 63 = sign bit, matching Spark's long
+    and DuckDB's BIGINT)."""
+    import hashlib
+
+    toks = text.split(" ")
+    n = len(toks)
+    cnt = [0] * 64
+    for t in toks:
+        h = hashlib.md5(t.encode()).hexdigest()
+        for j in range(64):
+            if (int(h[j // 4], 16) >> (j % 4)) & 1:
+                cnt[j] += 1
+    fp = 0
+    for j in range(64):
+        if 2 * cnt[j] > n:
+            fp |= 1 << j
+    return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+
 def test_simhash_identical_docs_share_fingerprint(spark):
     docs = spark.createDataFrame(
         [(1, "a b c d e f"), (2, "a b c d e f"), (3, "q r s t u v")],
@@ -53,7 +75,11 @@ def test_simhash_identical_docs_share_fingerprint(spark):
     )
     fp = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
     assert fp[1] == fp[2] != fp[3]
-    assert 0 <= fp[1] < (1 << 32)
+    # exact agreement with the independent CPython reference (third
+    # engine beside the DuckDB oracle), including the signed bit-63
+    # encoding
+    assert fp[1] == _py_simhash64("a b c d e f")
+    assert fp[3] == _py_simhash64("q r s t u v")
 
 
 def test_minhash_lsh_query_on_fixture(spark):

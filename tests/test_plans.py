@@ -89,15 +89,20 @@ def test_salted_join_row_identical(spark):
     )
 
 
-def test_simhash_is_shuffle_free(spark):
-    """The array-native SimHash must contain no aggregation exchange:
-    the only exchange allowed is spread()'s scan fan-out (a no-op on
-    real partitioned data), and no HashAggregate at all."""
+def test_simhash_stays_in_codegen_with_preshuffle_reduce(spark):
+    """SimHash must run as ONE map-side-combined aggregation in
+    whole-stage codegen (no interpreted higher-order functions — they
+    are CodegenFallback and measured 10-50× slower): a partial
+    HashAggregate must pre-reduce each doc's tokens BEFORE the exchange,
+    so the shuffle carries one 64-counter row per doc, not per token;
+    the only other exchange allowed is spread()'s scan fan-out."""
     from pu4spark_spark.operators.dedup import q_dedup_simhash
 
     plan = explain_str(q_dedup_simhash(spark, SF_DIR))
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1  # spread only
-    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 0
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+    assert "partial_count" in plan  # map-side combine before the shuffle
+    # no interpreted HOFs anywhere in the fingerprint path
+    assert "ArrayFilter" not in plan and "ArrayAggregate" not in plan
 
 
 def test_pii_redact_zero_exchange(spark):
