@@ -114,8 +114,11 @@ def q_curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (test sets are fixed-size, not corpus-proportional at 100 TB); the
     training side explodes per-doc distinct shingles, probes the
     broadcast, and aggregates hits per doc — one groupBy(doc_id)
-    shuffle with map-side combine, then a broadcast left join back so
-    untainted docs report 0.
+    shuffle with map-side combine, then a plain left join back so
+    untainted docs report 0.  The report-back join carries NO
+    broadcast hint: ``hits`` is usually tiny but worst-case
+    corpus-proportional (every doc contaminated), so the hint is AQE's
+    call, not a hard-coded driver broadcast.
     """
     docs = load_table(spark, "documents", sf_dir)
     # stage tokens before shingling: the shingle lambda's element_at
@@ -139,7 +142,7 @@ def q_curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         train.select("doc_id")
-        .join(F.broadcast(hits), "doc_id", "left")
+        .join(hits, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("n_contam"), F.lit(0))
@@ -382,7 +385,9 @@ def q_pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_contam") >= CONTAM_THRESHOLD)
         .select("doc_id")
     )
-    clean = kept.join(F.broadcast(flagged), "doc_id", "left_anti")
+    # no broadcast hint on `flagged`: it is corpus-derived (worst case
+    # every doc is contaminated) — AQE broadcasts iff measured small
+    clean = kept.join(flagged, "doc_id", "left_anti")
 
     wx = Window.partitionBy(F.md5(F.col("text"))).orderBy(F.asc("doc_id"))
     ded = (

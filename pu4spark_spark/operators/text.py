@@ -459,14 +459,16 @@ def q_text_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB (a float log-prob would drift per engine's libm).
 
     Scale shape: token counts are one map-side-combined explode +
-    groupBy; the vocabulary table is small relative to the corpus and
-    broadcasts into the scoring join; per-doc reduce is the second and
-    final shuffle."""
+    groupBy; the scoring join is a plain equi-join on the token — the
+    vocabulary is CORPUS-DERIVED and grows with the data, so it must
+    not carry a mandatory broadcast hint (a multi-GB driver-hosted
+    broadcast at 100 TB); AQE still broadcasts it at runtime whenever
+    it is actually small.  Per-doc reduce is the final shuffle."""
     docs = load_table(spark, "documents", sf_dir)
     toked = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
     vocab = toked.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     return (
-        toked.join(F.broadcast(vocab), "token")
+        toked.join(vocab, "token")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -503,7 +505,10 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: explode word bigrams → groupBy(w1, w2); the per-w1
     totals come from a second aggregation of the (much smaller) bigram
-    table itself, broadcast back — the corpus is scanned once."""
+    table itself, joined back WITHOUT a broadcast hint — the totals
+    table is vocabulary-sized, i.e. corpus-derived, so forcing it onto
+    the driver is the 100 TB anti-pattern; AQE picks broadcast at
+    runtime iff it measures small.  The corpus is scanned once."""
     docs = load_table(spark, "documents", sf_dir)
     toked = docs.select(tokens("text").alias("__t"))
     grams = word_shingles(F.col("__t"), 2)
@@ -513,7 +518,7 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     tot = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    return big.join(F.broadcast(tot), "w1").select(
+    return big.join(tot, "w1").select(
         "w1",
         "w2",
         F.col("c12").cast("bigint").alias("c12"),

@@ -123,6 +123,36 @@ def test_decontaminate_broadcasts_benchmark(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_no_corpus_derived_broadcast_hints(spark):
+    """A mandatory broadcast hint is only legitimate on tables whose
+    size does NOT grow with the corpus (query sets, benchmark shingle
+    sets, centroids).  Corpus-derived tables — vocabulary counts,
+    per-w1 bigram totals, per-doc contamination counts — must reach
+    the join unhinted, leaving broadcast-vs-shuffle to AQE's runtime
+    size measurement.  The analyzed logical plan makes hints explicit
+    as ResolvedHint nodes."""
+    from pu4spark_spark.operators.curation import (
+        q_curation_decontaminate,
+        q_pipeline_corpus_release,
+    )
+    from pu4spark_spark.operators.text import (
+        q_text_bigram_lm,
+        q_text_commonness,
+    )
+
+    def n_hints(df):
+        return df._jdf.queryExecution().analyzed().toString().count(
+            "ResolvedHint"
+        )
+
+    assert n_hints(q_text_commonness(spark, SF_DIR)) == 0
+    assert n_hints(q_text_bigram_lm(spark, SF_DIR)) == 0
+    # decontaminate / release keep exactly ONE hint each: the
+    # fixed-size benchmark shingle probe
+    assert n_hints(q_curation_decontaminate(spark, SF_DIR)) == 1
+    assert n_hints(q_pipeline_corpus_release(spark, SF_DIR)) == 1
+
+
 def test_shard_pack_single_exchange(spark):
     """The shard groupBy must reuse the window's hash partitioning on
     lang — exactly one exchange, no global sort."""
