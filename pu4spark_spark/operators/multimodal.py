@@ -42,17 +42,28 @@ def pack_documents(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", payload.alias("payload"), meta.alias("meta"))
 
 
-def decode_image(payload: bytes) -> object:
-    """Real media decode — requires an image library absent from this
-    container; the fake path below is used instead."""
+def decode_image(payload: bytes) -> tuple[int, int, float]:
+    """Real media decode: ``(width, height, mean_luma)`` via
+    Pillow + numpy when importable at runtime; otherwise raises
+    ``NotImplementedError`` (this container ships no decoder, so the
+    deterministic ``fake_features`` path below is what the harness
+    exercises).  The import is attempted per call on purpose — the
+    decision must be made inside the executor-side Python worker, where
+    the library may or may not be installed, not at driver import."""
     try:
-        import PIL.Image  # noqa: F401
-    except ImportError as e:  # pragma: no cover - always taken here
+        import PIL.Image
+    except ImportError as e:
         raise NotImplementedError(
             "media decoding requires an image library (e.g. Pillow); "
             "use fake_features (deterministic stub) in this environment"
         ) from e
-    raise NotImplementedError("real decode path not implemented")
+    import io
+
+    import numpy as np
+
+    img = PIL.Image.open(io.BytesIO(payload)).convert("L")
+    arr = np.asarray(img, dtype="float64")
+    return int(img.width), int(img.height), float(arr.mean())
 
 
 def fake_features(payload: bytes) -> tuple[int, int, int]:

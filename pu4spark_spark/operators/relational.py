@@ -803,11 +803,21 @@ def q_orders_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# pmod-equivalent ((x % m) + m) % m in the oracle: Spark's pmod and
+# DuckDB's % disagree on negative inputs (a custkey < 0 or an order
+# date before 1992-01-01), so the oracle must not silently assume the
+# non-negative domain
+_ZM = 1 << ZORDER_BITS
+_SQL_PMOD_CK = f"(((o_custkey % {_ZM}) + {_ZM}) % {_ZM})"
+_SQL_PMOD_DD = (
+    f"(((datediff('day', DATE '1992-01-01', o_orderdate) % {_ZM})"
+    f" + {_ZM}) % {_ZM})"
+)
+
 SQL_ORDERS_ZORDER_LAYOUT = f"""
 WITH keyed AS (
   SELECT o_custkey, o_orderdate,
-         {_sql_zorder(f"(o_custkey % {1 << ZORDER_BITS})",
-                      f"(datediff('day', DATE '1992-01-01', o_orderdate) % {1 << ZORDER_BITS})")}
+         {_sql_zorder(_SQL_PMOD_CK, _SQL_PMOD_DD)}
            >> 18 AS z_bucket
   FROM orders
 )

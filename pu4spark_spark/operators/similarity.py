@@ -317,10 +317,21 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row array math: zero shuffle, runs inside the scan stage.
     The quantized vector is summarized to scalars (min/max/sum) so the
     oracle comparison stays scalar-typed."""
-    emb = load_table(spark, "embeddings", sf_dir)
+    return quantize_int8_stats(load_table(spark, "embeddings", sf_dir))
+
+
+def quantize_int8_stats(emb: DataFrame) -> DataFrame:
+    """Int8-quantization summary over any (vec_id, embedding) frame —
+    see :func:`q_embedding_quantize_int8` for the discipline."""
     v = F.col("embedding").cast("array<double>")
     amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = F.lit(float(INT8_MAX)) / F.col("amax")
+    # all-zero vector guard: amax = 0 would give scale = inf and
+    # 0·inf = NaN, where Spark's floor(NaN)→NULL silently clamps but
+    # DuckDB's CAST errors — scale 0 makes both engines emit an
+    # all-zero quantized vector instead
+    scale = F.when(F.col("amax") == 0.0, F.lit(0.0)).otherwise(
+        F.lit(float(INT8_MAX)) / F.col("amax")
+    )
     qv = F.transform(
         v,
         lambda x: F.greatest(
@@ -355,7 +366,9 @@ WITH staged AS (
 qd AS (
   SELECT vec_id, amax,
          list_transform(v, x -> greatest(-{INT8_MAX},
-             least({INT8_MAX}, CAST(floor(x * ({INT8_MAX}.0 / amax)) AS INTEGER)))) AS qv
+             least({INT8_MAX}, CAST(floor(x *
+                 (CASE WHEN amax = 0 THEN 0.0 ELSE {INT8_MAX}.0 / amax END))
+               AS INTEGER)))) AS qv
   FROM staged
 )
 SELECT vec_id, amax,

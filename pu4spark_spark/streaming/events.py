@@ -289,7 +289,12 @@ def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     state.  The output projects ONLY the key columns: *which* duplicate
     survives depends on arrival order, but the surviving key set is
     arrival-order independent, so the query stays value-checkable
-    against a ``SELECT DISTINCT`` oracle."""
+    against a ``SELECT DISTINCT`` oracle.  The drained table gets a
+    final ``distinct()``: duplicates of a key arriving in a LATER
+    micro-batch, after the watermark evicted its state, are re-emitted
+    by design (that's the watermark-bounded contract) — the reduction
+    makes the key-set comparison hold for any landing-file layout, not
+    just a single-batch directory."""
     stream = read_events_stream(spark, sf_dir)
     deduped = (
         stream.withWatermark("ts", "2 hours")
@@ -306,11 +311,68 @@ def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     q.stop()
-    return spark.table(name)
+    return spark.table(name).distinct()
 
 
 SQL_STREAMING_DEDUP_KEYS = """
 SELECT DISTINCT user_id, event_type FROM events
+"""
+
+# -- production file sink --------------------------------------------------
+
+def q_streaming_hourly_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION drain of the hourly aggregation: append-mode
+    ``writeStream.format("parquet")`` with a checkpoint, then a re-read
+    of the committed files — no row ever passes through the driver
+    (the memory-sink drains above are the oracle harness, not the
+    deployment shape; this is the deployment shape, value-checked).
+
+    Append mode + watermark semantics: a window is written once the
+    watermark (max event ts − 2 h) passes its end — exactly-once via
+    the checkpoint + file-sink commit log.  Windows still in flight at
+    end-of-stream correctly remain in state, so the oracle filters the
+    batch aggregate to closed windows.  Restarting the same stream
+    resumes from the checkpoint instead of re-emitting (idempotent
+    re-run = the 100 TB operational requirement)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"pu4spark_hourly_sink_{tag}")
+    # fresh run each invocation: the checkpoint would otherwise treat
+    # the (static) fixture as already-processed and emit nothing new
+    shutil.rmtree(base, ignore_errors=True)
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    agg = hourly_counts(read_events_stream(spark, sf_dir))
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.read.parquet(out_dir)
+
+
+#: the batch aggregate restricted to windows the final watermark closed
+SQL_STREAMING_HOURLY_FILE_SINK = """
+WITH agg AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+  FROM events
+  GROUP BY 1, 2
+),
+wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM events)
+SELECT hour, event_type, n_events, sum_value
+FROM agg, wm
+WHERE hour + INTERVAL 1 HOUR < w
 """
 
 QUERIES = {
@@ -318,10 +380,12 @@ QUERIES = {
     "streaming_sessions": q_streaming_sessions,
     "streaming_range_join": q_streaming_range_join,
     "streaming_dedup_keys": q_streaming_dedup_keys,
+    "streaming_hourly_file_sink": q_streaming_hourly_file_sink,
 }
 ORACLE_SQL = {
     "streaming_events_hourly": SQL_STREAMING_EVENTS_HOURLY,
     "streaming_sessions": SQL_STREAMING_SESSIONS,
     "streaming_range_join": SQL_STREAMING_RANGE_JOIN,
     "streaming_dedup_keys": SQL_STREAMING_DEDUP_KEYS,
+    "streaming_hourly_file_sink": SQL_STREAMING_HOURLY_FILE_SINK,
 }

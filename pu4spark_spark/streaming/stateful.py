@@ -56,12 +56,26 @@ def user_totals_stateful(stream: DataFrame) -> DataFrame:
 
 
 def q_streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Drain the stateful per-user totals with availableNow; with the
-    whole fixture in the stream, the final update per user equals the
-    batch aggregate, so the DuckDB oracle fully value-checks the
-    stateful path."""
+    """Drain the stateful per-user totals with availableNow and reduce
+    the update-mode output to the LAST update per user, which equals
+    the batch aggregate over the whole fixture — so the DuckDB oracle
+    fully value-checks the stateful path.
+
+    The last-update reduction matters: in update mode the memory sink
+    holds one row per (user, micro-batch that touched the user), so
+    with ``maxFilesPerTrigger=1`` and a multi-file landing directory a
+    re-updated user appears once per batch.  ``n_events`` is strictly
+    increasing for a user across its updates (the state folds batches
+    in), so max(n_events) + max_by(total_cents, n_events) selects the
+    final state row exactly."""
+    return drain_user_totals(spark, read_events_stream(spark, sf_dir))
+
+
+def drain_user_totals(spark: SparkSession, stream: DataFrame) -> DataFrame:
+    """availableNow-drain ``user_totals_stateful`` over any event
+    stream and reduce the update-mode sink to last-update-per-user."""
     name = f"user_totals_stream_{uuid.uuid4().hex[:8]}"
-    out = user_totals_stateful(read_events_stream(spark, sf_dir))
+    out = user_totals_stateful(stream)
     q = (
         out.writeStream.format("memory")
         .queryName(name)
@@ -71,7 +85,16 @@ def q_streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     q.stop()
-    return spark.table(name)
+    from pyspark.sql import functions as F
+
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_cents", "n_events").alias("total_cents"),
+        )
+    )
 
 
 SQL_STREAMING_USER_TOTALS = """

@@ -123,6 +123,44 @@ def test_decontaminate_broadcasts_benchmark(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_band_artifact_probe_corpus_side_shuffle_free(spark):
+    """Probing the precomputed band artifact must NOT shuffle the
+    corpus side: the bucketed table's layout is the join distribution,
+    so the only exchanges are batch-sized (spread fan-out, the batch
+    band shuffle, the candidate distinct) — and the scan reports the
+    bucket layout as actually used."""
+    from pyspark.sql import functions as F
+
+    from pu4spark_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+        _doc_shingle_sets,
+        build_band_artifacts,
+        minhash_bands,
+        probe_band_candidates,
+    )
+
+    # other tests persist() identical shingle-set subtrees; a cached
+    # InMemoryRelation substituted into this plan changes its exchange
+    # census — inspect the clean plan
+    spark.catalog.clearCache()
+    sh = _doc_shingle_sets(spark, SF_DIR)
+    is_batch = F.col("doc_id") % INCR_BATCH_MOD == 0
+    bands_tbl, _ = build_band_artifacts(spark, sh.filter(~is_batch), "gate")
+    cand = probe_band_candidates(
+        minhash_bands(sh.filter(is_batch)), spark.table(bands_tbl)
+    )
+    plan = explain_str(cand)
+    assert "Bucketed: true" in plan  # layout exploited, not just present
+    assert "SortMergeJoin" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 3
+    # none of the exchanges sits on the corpus branch: the bucketed
+    # scan's subtree (everything after the join's second child) must be
+    # exchange-free
+    tree = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    corpus_branch = tree[tree.index("+- Sort (") :]
+    assert "Exchange" not in corpus_branch
+
+
 def test_no_corpus_derived_broadcast_hints(spark):
     """A mandatory broadcast hint is only legitimate on tables whose
     size does NOT grow with the corpus (query sets, benchmark shingle

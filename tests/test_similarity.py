@@ -83,3 +83,20 @@ def test_int8_quantization_bounds(spark):
         # amax·(127/amax) evaluates to 127 ± 1 ulp, so its floor is 126
         # or 127 (mirrored for negative)
         assert r["q_max"] >= 126 or r["q_min"] <= -126
+
+
+def test_quantize_int8_zero_vector_guard(spark):
+    """An all-zero embedding must quantize to the all-zero int8 vector
+    (scale guard), not NaN-floor NULLs silently clamped away."""
+    from pu4spark_spark.operators.similarity import quantize_int8_stats
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        ["vec_id", "embedding"],
+    )
+    out = {r["vec_id"]: r for r in quantize_int8_stats(df).collect()}
+    assert out[1]["amax"] == 0.0
+    assert (out[1]["q_min"], out[1]["q_max"], out[1]["q_sum"]) == (0, 0, 0)
+    # sanity on a normal vector (amax=2, scale=63.5, floor discipline):
+    # q = [63, -127, 31]
+    assert (out[2]["q_min"], out[2]["q_max"], out[2]["q_sum"]) == (-127, 63, -33)

@@ -115,3 +115,58 @@ def test_streaming_parquet_file_sink(spark, tmp_path):
     assert len(got) > 0
     # and everything emitted agrees with the batch result row-for-row
     assert set(got) <= set(_rowset(batch))
+
+
+def test_stateful_totals_multi_batch_landing_dir(spark, tmp_path):
+    """Two-file landing directory + maxFilesPerTrigger=1 ⇒ two
+    micro-batches: users present in both files get TWO update-mode
+    sink rows, and drain_user_totals' last-update reduction must still
+    equal the batch aggregate."""
+    import shutil
+
+    from pu4spark_spark.sources import load_table
+    from pu4spark_spark.streaming.events import EVENTS_SCHEMA
+    from pu4spark_spark.streaming.stateful import drain_user_totals
+
+    sf = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.schema(EVENTS_SCHEMA).parquet(f"{sf}/events.parquet")
+    land = tmp_path / "land"
+    land.mkdir()
+    for i, half in enumerate(
+        (F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1)
+    ):
+        part_dir = tmp_path / f"half{i}"
+        raw.filter(half).coalesce(1).write.parquet(str(part_dir))
+        (src,) = part_dir.glob("part-*.parquet")
+        shutil.copy(src, land / f"events_{i}.parquet")
+
+    # the scenario is only meaningful if some user spans both files
+    spans = (
+        raw.select("user_id", (F.col("event_id") % 2).alias("h"))
+        .distinct()
+        .groupBy("user_id")
+        .count()
+        .filter(F.col("count") == 2)
+        .count()
+    )
+    assert spans > 0
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    got = _rowset(drain_user_totals(spark, stream))
+
+    ev = load_table(spark, "events", sf)
+    expected = _rowset(
+        ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("total_cents"),
+        )
+    )
+    assert got == expected

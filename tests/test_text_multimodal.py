@@ -75,3 +75,57 @@ def test_registry_consistency():
 
     for fn in qs.values():
         assert len(inspect.signature(fn).parameters) == 2
+
+
+def test_decode_image_stub_branch_without_pillow():
+    """Without Pillow the real decode path must refuse loudly (the
+    Arrow pipeline then runs on fake_features), not half-work."""
+    import builtins
+    import sys
+
+    import pytest
+
+    from pu4spark_spark.operators.multimodal import decode_image
+
+    assert "PIL" not in sys.modules or sys.modules["PIL"] is not None
+    if "PIL" in sys.modules and not isinstance(
+        sys.modules["PIL"], Exception
+    ):
+        try:
+            import PIL  # noqa: F401
+
+            pytest.skip("Pillow unexpectedly present")
+        except ImportError:
+            pass
+    with pytest.raises(NotImplementedError):
+        decode_image(b"not-an-image")
+
+
+def test_decode_image_real_branch_via_fake_pillow(monkeypatch):
+    """With an importable PIL, decode_image runs the real branch:
+    inject a minimal fake Pillow and check (width, height, mean_luma)."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from pu4spark_spark.operators.multimodal import decode_image
+
+    class _FakeImg:
+        width, height = 2, 2
+
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def __array__(self, dtype=None, copy=None):
+            return np.array([[0, 255], [255, 0]], dtype="float64")
+
+    pil = types.ModuleType("PIL")
+    pil_image = types.ModuleType("PIL.Image")
+    pil_image.open = lambda fh: _FakeImg()
+    pil.Image = pil_image
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", pil_image)
+
+    assert decode_image(b"\x89PNG...") == (2, 2, 127.5)
