@@ -223,6 +223,59 @@ def q_pu_gradual_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "finalLabel")
 
 
+def q_pu_doc_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star composition: the reference's PU loop re-targeted at
+    CORPUS QUALITY SCORING.  A 100 TB curation pipeline typically has a
+    small trusted 'good documents' seed (here: long docs of the
+    dominant language) and NO labeled negatives — exactly the
+    positive-unlabeled setting pu4spark exists for
+    (TraditionalPULearner.scala:22-96).  Features are cheap native text
+    statistics (token count, mean token length, distinct-token ratio,
+    punctuation share) computed in the scan stage; the learner returns
+    P(good) for every document, the score a quality-filter stage
+    thresholds on.  Rows-only check (LR fit inside)."""
+    from pu4spark_spark.config import (
+        LogisticRegressionConfig,
+        TraditionalPULearnerConfig,
+    )
+    from pu4spark_spark.functions.textfns import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokens("text")
+    n_tok = F.size(toks).cast("double")
+    feat = docs.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("f_ntok"),
+        (F.length("text").cast("double") / n_tok).alias("f_toklen"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_tok).alias(
+            "f_distinct"
+        ),
+        (
+            F.length(F.regexp_replace("text", r"[a-z0-9 ]", "")).cast("double")
+            / F.length("text")
+        ).alias("f_punct"),
+    )
+    seeded = feat.withColumn(
+        "pu_label",
+        F.when((F.col("lang") == "en") & (F.col("f_ntok") >= 40), 1).otherwise(0),
+    ).withColumn(
+        "qfeat",
+        F.array("f_ntok", "f_toklen", "f_distinct", "f_punct").cast(
+            "array<double>"
+        ),
+    )
+    # maxIter=20: the seed rule is (deliberately) a function of the
+    # features, so the data is separable and LR would otherwise spend
+    # the full default 100 LBFGS steps chasing an unbounded margin —
+    # ~100 driver-scheduled jobs per fit for no score benefit
+    learner = TraditionalPULearnerConfig(
+        maxIters=1, classifierConfig=LogisticRegressionConfig(maxIter=20)
+    ).build()
+    out = learner.weight(seeded, "pu_label", "qfeat")
+    return out.select("doc_id", F.col("finalLabel").alias("p_good"))
+
+
 def q_pu_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documented onboarding flow (reference README.md:82-89):
     VectorAssembler over N scalar columns.  The assembled vector is
@@ -275,6 +328,7 @@ QUERIES = {
     "pu_gradual_lr": q_pu_gradual_lr,
     "pu_traditional_rf": q_pu_traditional_rf,
     "pu_gradual_rf": q_pu_gradual_rf,
+    "pu_doc_quality_lr": q_pu_doc_quality_lr,
     "pu_feature_assembly": q_pu_feature_assembly,
 }
 

@@ -187,6 +187,102 @@ WHERE rn <= 3
 """
 
 
+# -- q10: returned-items report (TPC-H Q10 shape) ------------------------
+
+def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer in
+    one quarter.  Both selective filters (return flag on the fact,
+    date window on orders) evaluate at the scans; nation broadcasts;
+    the orders↔lineitem join shuffles only the filtered quarter; final
+    top-20 is a small orderBy+limit on the aggregated (customer-sized)
+    result."""
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1996-04-01").cast("timestamp")
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    cust = load_table(spark, "customer", sf_dir)
+    nation = F.broadcast(load_table(spark, "nation", sf_dir))
+    revenue = F.sum(
+        dec("l_extendedprice", MONEY) * (F.lit(1) - dec("l_discount", RATE))
+    ).cast("double")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_Q10 = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(SUM(CAST(l_extendedprice AS {_M}) * (1 - CAST(l_discount AS {_R}))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# -- q14: promo revenue share (TPC-H Q14 shape) --------------------------
+
+def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of one month's revenue from PROMO parts —
+    conditional aggregation over a fact↔dim join.  part broadcasts (a
+    true dimension, fixed-size); the month filter prunes the fact scan;
+    the whole query is one agg job with no shuffle beyond the final
+    single-row reduce.  The share is one double division of two
+    exact-decimal sums (engine-exact)."""
+    lo = F.lit("1996-09-01").cast("timestamp")
+    hi = F.lit("1996-10-01").cast("timestamp")
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    part = F.broadcast(load_table(spark, "part", sf_dir))
+    rev = dec("l_extendedprice", MONEY) * (F.lit(1) - dec("l_discount", RATE))
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(MONEY))
+    )
+    total = F.sum(rev)
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            promo.cast("double").alias("promo_revenue"),
+            total.cast("double").alias("total_revenue"),
+            (promo.cast("double") / total.cast("double")).alias(
+                "promo_share"
+            ),
+        )
+    )
+
+
+SQL_Q14 = f"""
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS {_M}) * (1 - CAST(l_discount AS {_R}))
+                     ELSE 0 END) AS DOUBLE) AS promo_revenue,
+       CAST(SUM(CAST(l_extendedprice AS {_M}) * (1 - CAST(l_discount AS {_R}))) AS DOUBLE) AS total_revenue,
+       CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS {_M}) * (1 - CAST(l_discount AS {_R}))
+                     ELSE 0 END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS {_M}) * (1 - CAST(l_discount AS {_R}))) AS DOUBLE) AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+
 def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization (gap-and-island): a session break is a
     ≥30-minute silence per user — ``lag`` marks session starts, a
@@ -887,6 +983,8 @@ QUERIES = {
     "sql_parts_by_brand": q_sql_parts_by_brand,
     "q3_shipping_priority": q_q3_shipping_priority,
     "q5_region_supplier_revenue": q_q5_region_supplier_revenue,
+    "q10_returned_items": q_q10_returned_items,
+    "q14_promo_revenue": q_q14_promo_revenue,
     "top_customers_per_nation": q_top_customers_per_nation,
     "customer_running_spend": q_customer_running_spend,
     "monthly_revenue": q_monthly_revenue,
@@ -915,6 +1013,8 @@ ORACLE_SQL = {
     "sql_parts_by_brand": SQL_PARTS_BY_BRAND,
     "q3_shipping_priority": SQL_Q3,
     "q5_region_supplier_revenue": SQL_Q5,
+    "q10_returned_items": SQL_Q10,
+    "q14_promo_revenue": SQL_Q14,
     "top_customers_per_nation": SQL_TOP_CUSTOMERS,
     "customer_running_spend": SQL_RUNNING_SPEND,
     "monthly_revenue": SQL_MONTHLY_REVENUE,

@@ -542,6 +542,60 @@ FROM big JOIN tot USING (w1)
 """
 
 
+# -- bigram novelty scoring (LM artifact applied per doc) -----------------
+
+#: a bigram occurring ≤ this many times corpus-wide counts as "rare"
+RARE_BIGRAM_MAX = 2
+
+
+def q_text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score each document against the corpus bigram statistics — the
+    perplexity-proxy application of the `text_bigram_lm` artifact: docs
+    dominated by corpus-rare bigrams are novelty/noise candidates.
+    Exactness discipline: all three outputs are integers (occurrence
+    count, rare count, min corpus count), so the score is
+    partition-order independent and engine-exact — no float log-prob
+    sums.
+
+    Scale shape: one explode + map-side-combined groupBy builds the
+    corpus counts; the scoring join is unhinted (corpus-derived table —
+    AQE's broadcast call); one groupBy(doc_id) reduce.  Docs with no
+    bigram (< 2 tokens) are absent by construction in both engines."""
+    docs = load_table(spark, "documents", sf_dir)
+    toked = docs.select("doc_id", tokens("text").alias("__t"))
+    grams = toked.select(
+        "doc_id", F.explode(word_shingles(F.col("__t"), 2)).alias("g")
+    )
+    cnt = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        grams.join(cnt, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("c") <= RARE_BIGRAM_MAX, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_rare"),
+            F.min("c").cast("bigint").alias("min_pair_count"),
+        )
+    )
+
+
+SQL_TEXT_BIGRAM_NOVELTY = f"""
+WITH grams AS (
+  SELECT doc_id, unnest({sql_word_shingles('text', 2)}) AS g FROM documents
+),
+cnt AS (SELECT g, COUNT(*) AS c FROM grams GROUP BY g)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(CASE WHEN c <= {RARE_BIGRAM_MAX} THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       CAST(MIN(c) AS BIGINT) AS min_pair_count
+FROM grams JOIN cnt USING (g)
+GROUP BY doc_id
+"""
+
+
 # -- TF-IDF pipeline (built-in ML; rows-only) ----------------------------
 
 def q_text_tfidf_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -573,6 +627,7 @@ QUERIES = {
     "text_heavy_hitters": q_text_heavy_hitters,
     "text_commonness": q_text_commonness,
     "text_bigram_lm": q_text_bigram_lm,
+    "text_bigram_novelty": q_text_bigram_novelty,
     "text_tfidf_ml": q_text_tfidf_ml,
 }
 
@@ -587,5 +642,6 @@ ORACLE_SQL = {
     "text_heavy_hitters": SQL_TEXT_HEAVY_HITTERS,
     "text_commonness": SQL_TEXT_COMMONNESS,
     "text_bigram_lm": SQL_TEXT_BIGRAM_LM,
+    "text_bigram_novelty": SQL_TEXT_BIGRAM_NOVELTY,
     # text_tfidf_ml: ML — rows-only
 }
