@@ -152,13 +152,22 @@ def test_band_artifact_probe_corpus_side_shuffle_free(spark):
     plan = explain_str(cand)
     assert "Bucketed: true" in plan  # layout exploited, not just present
     assert "SortMergeJoin" in plan
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 3
-    # none of the exchanges sits on the corpus branch: the bucketed
-    # scan's subtree (everything after the join's second child) must be
-    # exchange-free
-    tree = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
-    corpus_branch = tree[tree.index("+- Sort (") :]
-    assert "Exchange" not in corpus_branch
+    # none of the exchanges sits on the corpus branch.  Formatted-plan
+    # node ids are depth-first, so the corpus subtree (the join's
+    # second child) is exactly the id range [corpus scan, join) —
+    # assert no Exchange node falls in it.  (The batch side legallly
+    # has several batch-sized exchanges: spread fan-out, the minhash
+    # signature groupBy, the band-key shuffle, the candidate distinct.)
+    scan_id = int(
+        re.search(
+            r"\((\d+)\) Scan parquet spark_catalog\.default\.corpus_bands",
+            plan,
+        ).group(1)
+    )
+    smj_id = int(re.search(r"\((\d+)\) SortMergeJoin", plan).group(1))
+    assert scan_id < smj_id
+    for ex in re.findall(r"\((\d+)\) Exchange", plan):
+        assert not (scan_id <= int(ex) < smj_id), plan
 
 
 def test_no_corpus_derived_broadcast_hints(spark):
