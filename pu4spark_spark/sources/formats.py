@@ -69,3 +69,24 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
         .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
         .json(path)
     )
+
+
+def load_orc(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """ORC scan — the other columnar format Spark ships natively.  ORC
+    files embed their schema (no inference pass either way), so
+    ``schema`` is optional and, when given, acts as projection +
+    type-check; predicate pushdown and column pruning reach the ORC
+    reader exactly as with parquet."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (zstd-compressed, matching the parquet default)."""
+    df.write.mode(mode).option("compression", "zstd").orc(path)

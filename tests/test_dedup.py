@@ -198,3 +198,50 @@ def test_incremental_verdicts_partition_batch(spark):
             assert hashes[d] in corpus_hashes
         elif v == "kept":
             assert hashes[d] not in corpus_hashes
+
+
+def test_minhash_tiny_docs_never_pair(spark):
+    """Docs with fewer than 3 tokens have an empty shingle set: they
+    must produce NO band rows (explode drops them) and therefore no
+    candidate pairs — while real duplicates beside them still pair.
+    This pins the documented output-equivalence of the explode-based
+    signature path for sub-shingle docs."""
+    from pyspark.sql import functions as F
+
+    from pu4spark_spark.operators.dedup import minhash_bands
+
+    docs = spark.createDataFrame(
+        [
+            (1, "only two"),
+            (2, "only two"),
+            (3, "a proper document with enough tokens to shingle"),
+            (4, "a proper document with enough tokens to shingle"),
+        ],
+        ["doc_id", "text"],
+    )
+    from pu4spark_spark.functions.textfns import tokens, word_shingles
+
+    base = docs.select(
+        "doc_id",
+        F.array_distinct(word_shingles(tokens("text"))).alias("sh"),
+    )
+    bands = minhash_bands(base)
+    by_doc = {
+        r["doc_id"]: r["n"]
+        for r in bands.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert 1 not in by_doc and 2 not in by_doc  # no bands for tiny docs
+    assert by_doc[3] == 4 and by_doc[4] == 4  # 4 bands each
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_pos") == F.col("b.band_pos"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .collect()
+    )
+    assert {(r[0], r[1]) for r in pairs} == {(3, 4)}

@@ -3,6 +3,8 @@ including timestamp fidelity at microsecond precision."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from pu4spark_spark.sources import load_table
 from pu4spark_spark.sources.formats import (
     load_csv,
@@ -62,3 +64,25 @@ def test_csv_permissive_quarantines_bad_rows(spark, tmp_path):
     rows = sorted(df.collect(), key=lambda r: (r["a"] is None, r["a"] or 0))
     assert (rows[0]["a"], rows[0]["b"]) == (1, 2)
     assert rows[-1]["a"] is None
+
+
+def test_orc_roundtrip_with_pruning(spark, tmp_path):
+    """ORC round-trip: values identical, and both a pushed filter and a
+    pruned column list must reach the ORC scan (same scan-quality bar
+    as parquet)."""
+    from pu4spark_spark.sources import load_table
+    from pu4spark_spark.sources.formats import load_orc, write_orc
+
+    orders = load_table(spark, "orders", "/root/testdata/sf0.001").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = load_orc(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, orders.collect())
+    )
+    pruned = back.filter(F.col("o_orderkey") == 7).select("o_orderkey", "o_orderstatus")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,7)]" in plan
+    assert "o_totalprice" not in plan.split("ReadSchema")[1].split("\n")[0]
