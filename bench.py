@@ -87,6 +87,7 @@ HEADLINE = [
     "mm_decode_features",
     "mm_frame_sample",
     "dedup_band_artifact_probe",
+    "events_user_gaps_pandas",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's

@@ -420,6 +420,76 @@ GROUP BY 1, 2
 """
 
 
+# -- custom UDAF surface: applyInPandas, value-checked -------------------
+
+def q_events_user_gaps_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregation the built-in operators can't express cleanly
+    — per-user inter-event gap statistics (max + median of sorted
+    deltas) — via Arrow-batched ``groupBy(...).applyInPandas``: the
+    UDAF shape of the engine's Python surface (beside ``mapInPandas``
+    decode and ``applyInPandasWithState``), and the only one computing
+    an order-statistic.
+
+    Scale shape: the grouping key is user_id, whose cardinality grows
+    with the data (never a 5-value column — that would cap parallelism
+    at 5 tasks); one hash exchange, each group's rows stream through
+    one Arrow batch.  Exactness: gaps are integer microseconds; the
+    median of ints is the midpoint of at most two ints, exactly
+    representable as a double — so even the pandas path value-checks
+    against DuckDB's interpolated median.  Users with a single event
+    have no gap and are absent in both engines."""
+    events = load_table(spark, "events", sf_dir)
+    staged = events.select("user_id", F.unix_micros("ts").alias("us"))
+
+    def gaps(key, pdf) -> "object":
+        import numpy as np
+        import pandas as pd
+
+        (uid,) = key
+        us = np.sort(pdf["us"].to_numpy(dtype="int64"))
+        if len(us) < 2:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                    "max_gap_micros": pd.Series([], dtype="int64"),
+                    "median_gap_micros": pd.Series([], dtype="float64"),
+                }
+            )
+        d = np.diff(us)
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_events": [len(us)],
+                "max_gap_micros": [int(d.max())],
+                "median_gap_micros": [float(np.median(d))],
+            }
+        )
+
+    return staged.groupBy("user_id").applyInPandas(
+        gaps,
+        "user_id long, n_events long, max_gap_micros long, "
+        "median_gap_micros double",
+    )
+
+
+SQL_EVENTS_USER_GAPS = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - LAG(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts) AS gap
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) + 1 AS BIGINT) AS n_events,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_micros,
+       CAST(median(gap) AS DOUBLE) AS median_gap_micros
+FROM g
+WHERE gap IS NOT NULL
+GROUP BY user_id
+"""
+
+
 # -- semi-structured: JSON extraction -----------------------------------
 
 def q_events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -991,6 +1061,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_sessionized": q_events_sessionized,
     "events_json_stats": q_events_json_stats,
+    "events_user_gaps_pandas": q_events_user_gaps_pandas,
     "parts_setops": q_parts_setops,
     "segment_priority_matrix": q_segment_priority_matrix,
     "rollup_order_status": q_rollup_order_status,
@@ -1021,6 +1092,7 @@ ORACLE_SQL = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sessionized": SQL_EVENTS_SESSIONIZED,
     "events_json_stats": SQL_EVENTS_JSON,
+    "events_user_gaps_pandas": SQL_EVENTS_USER_GAPS,
     "parts_setops": SQL_PARTS_SETOPS,
     "segment_priority_matrix": SQL_SEGMENT_PRIORITY,
     "rollup_order_status": SQL_ROLLUP,
