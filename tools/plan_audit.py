@@ -34,10 +34,16 @@ AUDITED = {
         "partial_min/partial_count before it — the minimal dedup plan."
     ),
     "dedup_simhash": (
-        "Array-native fingerprints: a pure map-side projection — no "
-        "explode, no HashAggregate, no aggregation exchange (the only "
-        "exchange is spread()'s scan fan-out, a no-op on partitioned "
-        "data)."
+        "64-bit fingerprints in whole-stage codegen: explode + ONE "
+        "map-side-combined HashAggregate (64 bit-sums) — the exchange "
+        "carries one pre-reduced counter row per doc, and no "
+        "interpreted higher-order function appears anywhere."
+    ),
+    "dedup_band_artifact_probe": (
+        "Probe of the bucketed band artifact: SortMergeJoin whose "
+        "corpus side reads Bucketed: true with ZERO exchange — only "
+        "batch-sized shuffles (spread, signature groupBy, band join, "
+        "distinct)."
     ),
     "dedup_minhash_lsh": (
         "Cached shingle base feeds band explode and both verify joins; "
