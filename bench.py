@@ -32,6 +32,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_supplier_revenue",
+    "q10_returned_items",
+    "q14_promo_revenue",
     "top_customers_per_nation",
     "monthly_revenue",
     "events_hourly",
@@ -64,6 +66,7 @@ HEADLINE = [
     "text_heavy_hitters",
     "text_commonness",
     "text_bigram_lm",
+    "text_bigram_novelty",
     "pipeline_docs_clean",
     "pipeline_corpus_release",
     "curation_pii_redact",

@@ -254,7 +254,15 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         featuresCol="fv",
         predictionCol="cell",
     )
-    model = km.fit(emb)
+    # fit on a coalesced view (narrow, no shuffle): each Lloyd
+    # iteration is a treeAggregate whose per-task overhead dominates on
+    # spread()'s fixture-sized partitions.  The target is tied to the
+    # cluster's parallelism (max(8, parallelism/4)), so on a real
+    # cluster with thousands of scan partitions this never collapses
+    # the fit onto a handful of cores.  The cell ASSIGNMENT below
+    # still runs over the full spread layout.
+    fit_parts = max(8, spark.sparkContext.defaultParallelism // 4)
+    model = km.fit(emb.coalesce(fit_parts))
     assigned = cached(
         model.transform(emb)
         .withColumn("norm2", int_dot(F.col("q"), F.col("q")))
