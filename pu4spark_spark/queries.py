@@ -22,6 +22,7 @@ from pu4spark_spark.operators import (  # noqa: E402
     similarity,
     text,
 )
+from pu4spark_spark.sources import formats as fmt_sources  # noqa: E402
 from pu4spark_spark.streaming import events as streaming_events  # noqa: E402
 from pu4spark_spark.streaming import stateful as streaming_stateful  # noqa: E402
 
@@ -34,6 +35,7 @@ _MODULES += [
     text,
     multimodal,
     pipeline,
+    fmt_sources,
     streaming_events,
     streaming_stateful,
 ]

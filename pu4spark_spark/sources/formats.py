@@ -31,6 +31,7 @@ def load_csv(
         .option("sep", delimiter)
         .option("mode", "FAILFAST" if strict else "PERMISSIVE")
         .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+        .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
         .csv(path)
     )
 
@@ -46,6 +47,7 @@ def load_json(
         spark.read.schema(schema)
         .option("mode", "FAILFAST" if strict else "PERMISSIVE")
         .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+        .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
         .json(path)
     )
 
@@ -58,6 +60,7 @@ def write_csv(
         df.write.mode(mode)
         .option("header", str(header).lower())
         .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+        .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
         .csv(path)
     )
 
@@ -67,6 +70,7 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     (
         df.write.mode(mode)
         .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+        .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
         .json(path)
     )
 
@@ -90,3 +94,144 @@ def load_orc(
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """ORC sink (zstd-compressed, matching the parquet default)."""
     df.write.mode(mode).option("compression", "zstd").orc(path)
+
+
+# -- registered round-trip queries ----------------------------------------
+# The format layer enters the driver's correctness artifact directly:
+# each query WRITES a fixture projection in the text/columnar format,
+# re-reads it with the schema-explicit reader, aggregates, and must
+# hash-match a DuckDB oracle computed straight from the parquet — an
+# end-to-end fidelity proof (timestamps at microsecond precision,
+# doubles, longs) rather than a unit-test-only claim.
+
+def _scratch(sf_dir: str, kind: str) -> str:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"pu4spark_fmt_{kind}_{tag}")
+    shutil.rmtree(d, ignore_errors=True)
+    return d
+
+
+def q_fmt_csv_roundtrip(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from pu4spark_spark.sources import load_table
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    path = _scratch(sf_dir, "csv")
+    write_csv(orders, path)
+    # o_orderdate is TIMESTAMP_NTZ (parquet ms timestamps with
+    # isAdjustedToUTC=false): the reader schema must say so, and the
+    # writer/reader pair round-trips it via timestampNTZFormat
+    back = load_csv(
+        spark,
+        path,
+        "o_orderkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz",
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_total"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+    )
+
+
+SQL_FMT_CSV_ROUNDTRIP = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+       CAST(MIN(o_orderdate) AS TIMESTAMP) AS first_date,
+       CAST(MAX(o_orderdate) AS TIMESTAMP) AS last_date
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def q_fmt_json_roundtrip(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from pu4spark_spark.sources import load_table
+
+    events = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    path = _scratch(sf_dir, "json")
+    write_json(events, path)
+    back = load_json(
+        spark,
+        path,
+        "event_id bigint, user_id bigint, event_type string, "
+        "value double, ts timestamp",
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+            "sum_value"
+        ),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+SQL_FMT_JSON_ROUNDTRIP = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       CAST(MAX(ts) AS TIMESTAMP) AS last_ts
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_fmt_orc_roundtrip(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from pu4spark_spark.sources import load_table
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate"
+    )
+    path = _scratch(sf_dir, "orc")
+    write_orc(li, path)
+    back = load_orc(spark, path).filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias(
+            "sum_qty"
+        ),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+SQL_FMT_ORC_ROUNDTRIP = """
+SELECT COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+WHERE l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+"""
+
+
+QUERIES = {
+    "fmt_csv_roundtrip": q_fmt_csv_roundtrip,
+    "fmt_json_roundtrip": q_fmt_json_roundtrip,
+    "fmt_orc_roundtrip": q_fmt_orc_roundtrip,
+}
+
+ORACLE_SQL = {
+    "fmt_csv_roundtrip": SQL_FMT_CSV_ROUNDTRIP,
+    "fmt_json_roundtrip": SQL_FMT_JSON_ROUNDTRIP,
+    "fmt_orc_roundtrip": SQL_FMT_ORC_ROUNDTRIP,
+}
