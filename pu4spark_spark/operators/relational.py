@@ -574,6 +574,27 @@ GROUP BY l_returnflag
 """
 
 
+def q_lineitem_price_percentiles_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB path of the query above: ``approx_percentile`` keeps
+    a mergeable fixed-size sketch per group (no per-group value
+    buffering), trading ±ε accuracy for bounded state — the same
+    exact-vs-sketch pairing as the HLL distinct-count queries.
+    Sketch internals differ per engine, so this is a rows-only check;
+    the exact twin above is the value-checked anchor."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, 0.5, 1000)"
+        ).alias("median_price_approx"),
+        F.expr(
+            "approx_percentile(l_extendedprice, 0.95, 1000)"
+        ).alias("p95_price_approx"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 # -- distinct-count aggregation -------------------------------------------
 
 def q_events_user_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1067,6 +1088,7 @@ QUERIES = {
     "rollup_order_status": q_rollup_order_status,
     "cube_status_priority": q_cube_status_priority,
     "lineitem_price_percentiles": q_lineitem_price_percentiles,
+    "lineitem_price_percentiles_approx": q_lineitem_price_percentiles_approx,
     "events_user_cardinality": q_events_user_cardinality,
     "events_user_cardinality_approx": q_events_user_cardinality_approx,
     "customers_with_urgent_orders": q_customers_with_urgent_orders,
