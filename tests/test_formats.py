@@ -86,3 +86,28 @@ def test_orc_roundtrip_with_pruning(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,7)]" in plan
     assert "o_totalprice" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_json_permissive_quarantine_and_failfast(spark, tmp_path):
+    """A malformed JSON line must be quarantined into _corrupt_record
+    under PERMISSIVE (the 1000-executor default: one bad file can't
+    kill the job), and must raise under strict=True (FAILFAST)."""
+    import pytest
+
+    p = tmp_path / "events.jsonl"
+    p.write_text(
+        '{"event_id": 1, "value": 2.5}\n'
+        '{"event_id": 2, "value": NOT_JSON}\n'
+        '{"event_id": 3, "value": 7.0}\n'
+    )
+    schema = "event_id bigint, value double, _corrupt_record string"
+    rows = load_json(spark, str(p), schema).collect()
+    good = {r["event_id"]: r["value"] for r in rows if r["_corrupt_record"] is None}
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert good == {1: 2.5, 3: 7.0}
+    assert len(bad) == 1 and "NOT_JSON" in bad[0]["_corrupt_record"]
+
+    with pytest.raises(Exception):
+        load_json(
+            spark, str(p), "event_id bigint, value double", strict=True
+        ).collect()

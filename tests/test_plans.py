@@ -231,3 +231,15 @@ def test_sessionization_single_exchange(spark):
 
     plan = explain_str(q_events_sessionized(spark, SF_DIR))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_q10_pushdown_and_broadcast(spark):
+    """q10: the return-flag filter must reach the fact scan as a pushed
+    filter, the date window must reach the orders scan, and nation must
+    join as a broadcast."""
+    from pu4spark_spark.operators.relational import q_q10_returned_items
+
+    plan = explain_str(q_q10_returned_items(spark, SF_DIR))
+    assert re.search(r"PushedFilters: \[[^\]]*l_returnflag", plan)
+    assert re.search(r"PushedFilters: \[[^\]]*o_orderdate", plan)
+    assert "BroadcastHashJoin" in plan
