@@ -270,7 +270,7 @@ def q_pu_doc_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the full default 100 LBFGS steps chasing an unbounded margin —
     # ~100 driver-scheduled jobs per fit for no score benefit
     learner = TraditionalPULearnerConfig(
-        maxIters=1, classifierConfig=LogisticRegressionConfig(maxIter=20)
+        maxIters=1, classifierConfig=LogisticRegressionConfig(maxIter=10)
     ).build()
     out = learner.weight(seeded, "pu_label", "qfeat")
     return out.select("doc_id", F.col("finalLabel").alias("p_good"))

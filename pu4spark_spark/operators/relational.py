@@ -441,7 +441,9 @@ def q_events_user_gaps_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, "events", sf_dir)
     staged = events.select("user_id", F.unix_micros("ts").alias("us"))
 
-    def gaps(key, pdf) -> "object":
+    # no type hints on purpose: applyInPandas tries to infer the eval
+    # type from annotations and warns on partial ones
+    def gaps(key, pdf):
         import numpy as np
         import pandas as pd
 
