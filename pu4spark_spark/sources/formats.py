@@ -235,3 +235,49 @@ ORACLE_SQL = {
     "fmt_json_roundtrip": SQL_FMT_JSON_ROUNDTRIP,
     "fmt_orc_roundtrip": SQL_FMT_ORC_ROUNDTRIP,
 }
+
+
+def q_fmt_partition_pruned_scan(spark: SparkSession, sf_dir: str):
+    """Directory-partitioned layout, driver-witnessed: embeddings are
+    written partitioned by their sign-LSH bucket, re-read with a
+    single-bucket filter (PartitionFilters prune the other directories
+    before a row is read — plan-gated in tests/test_sinks.py), and
+    aggregated per label.  The oracle computes the same bucket
+    predicate from the raw embeddings, so the partition column's
+    round-trip fidelity is value-checked, not assumed."""
+    from pyspark.sql import functions as F
+
+    from pu4spark_spark.functions.vectors import sign_bucket
+    from pu4spark_spark.sources import load_table, write_parquet
+
+    dims = [0, 10, 20, 30, 40, 50]
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "label", sign_bucket("embedding", dims).alias("bucket")
+    )
+    path = _scratch(sf_dir, "part")
+    write_parquet(emb, path, partition_by=["bucket"])
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("bucket") == 0)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+    )
+
+
+def _sql_fmt_partition_pruned() -> str:
+    from pu4spark_spark.functions.vectors import sql_sign_bucket
+
+    bucket = sql_sign_bucket("embedding", [0, 10, 20, 30, 40, 50])
+    return f"""
+SELECT label, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id
+FROM embeddings
+WHERE {bucket} = 0
+GROUP BY label
+"""
+
+
+QUERIES["fmt_partition_pruned_scan"] = q_fmt_partition_pruned_scan
+ORACLE_SQL["fmt_partition_pruned_scan"] = _sql_fmt_partition_pruned()
