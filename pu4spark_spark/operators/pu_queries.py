@@ -265,7 +265,7 @@ def q_pu_doc_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "array<double>"
         ),
     )
-    # maxIter=20: the seed rule is (deliberately) a function of the
+    # maxIter=10: the seed rule is (deliberately) a function of the
     # features, so the data is separable and LR would otherwise spend
     # the full default 100 LBFGS steps chasing an unbounded margin —
     # ~100 driver-scheduled jobs per fit for no score benefit

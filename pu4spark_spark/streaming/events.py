@@ -372,7 +372,7 @@ WITH agg AS (
 wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM events)
 SELECT hour, event_type, n_events, sum_value
 FROM agg, wm
-WHERE hour + INTERVAL 1 HOUR < w
+WHERE hour + INTERVAL 1 HOUR <= w
 """
 
 QUERIES = {
