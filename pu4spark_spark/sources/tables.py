@@ -39,10 +39,12 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Load one test table as a DataFrame (lazy parquet scan).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects outright; we read it as a nanosecond long
-    (``spark.sql.legacy.parquet.nanosAsLong``) and surface a proper
-    microsecond timestamp column, matching DuckDB's own ns→µs truncation.
+    ``events.ts`` has shipped as both parquet TIMESTAMP(NANOS) (which
+    Spark's vectorized reader rejects unless read as a nanosecond long
+    via ``spark.sql.legacy.parquet.nanosAsLong``) and plain
+    TIMESTAMP(MICROS).  Branch on the physical type actually in the file
+    and normalize to a session-tz ``timestamp`` either way, matching
+    DuckDB's view of the same file.
     """
     sf_dir = sf_dir or DEFAULT_SF_DIR
     if name not in TABLES:
@@ -51,10 +53,12 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        return spark.read.parquet(path).withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
+        df = spark.read.parquet(path)
+        if isinstance(df.schema["ts"].dataType, LongType):
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(path)
 
 

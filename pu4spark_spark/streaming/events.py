@@ -16,26 +16,13 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
+from pyspark.sql.types import LongType
 
-#: events parquet physical schema (ts is TIMESTAMP(NANOS) → read as ns
-#: long, same trick as sources.tables.load_table)
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+#: events parquet logical schema after ts normalization (the physical ts
+#: type has shipped as both TIMESTAMP(NANOS)-as-long and TIMESTAMP(MICROS);
+#: ``read_events_stream`` sniffs the real file schema via a batch footer
+#: read, so the stream never guesses)
+EVENTS_COLUMNS = ("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
 def _events_stream_dir(sf_dir: str) -> str:
@@ -56,14 +43,28 @@ def _events_stream_dir(sf_dir: str) -> str:
     return d
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to a session-tz timestamp
+    whatever the physical parquet type was (ns-long under
+    ``nanosAsLong`` or native TIMESTAMP(MICROS))."""
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = _events_stream_dir(sf_dir)
+    # Batch footer read (metadata only, no data scan) to learn the real
+    # physical ts type — the file has shipped as both TIMESTAMP(NANOS)
+    # (surfaces as a ns long under nanosAsLong) and TIMESTAMP(MICROS).
+    physical = spark.read.parquet(path).schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(physical)
         .option("maxFilesPerTrigger", 1)
-        .parquet(_events_stream_dir(sf_dir))
+        .parquet(path)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_event_ts(raw)
 
 
 def hourly_counts(stream: DataFrame) -> DataFrame:

@@ -125,12 +125,12 @@ def test_stateful_totals_multi_batch_landing_dir(spark, tmp_path):
     import shutil
 
     from pu4spark_spark.sources import load_table
-    from pu4spark_spark.streaming.events import EVENTS_SCHEMA
+    from pu4spark_spark.streaming.events import normalize_event_ts
     from pu4spark_spark.streaming.stateful import drain_user_totals
 
     sf = "/root/testdata/sf0.001"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.schema(EVENTS_SCHEMA).parquet(f"{sf}/events.parquet")
+    raw = spark.read.parquet(f"{sf}/events.parquet")
     land = tmp_path / "land"
     land.mkdir()
     for i, half in enumerate(
@@ -152,11 +152,10 @@ def test_stateful_totals_multi_batch_landing_dir(spark, tmp_path):
     )
     assert spans > 0
 
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    stream = normalize_event_ts(
+        spark.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(str(land))
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
     got = _rowset(drain_user_totals(spark, stream))
 
