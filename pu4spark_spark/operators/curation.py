@@ -25,6 +25,8 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pu4spark_spark.functions.textfns import (
+    nibble,
+    sql_nibble,
     sql_word_shingles,
     tokens,
     word_shingles,
@@ -469,6 +471,170 @@ GROUP BY lang, shard_id
 """
 
 
+# -- deterministic train/val/test hash split -----------------------------
+
+#: md5-derived decimal bucket (0..9): 8/1/1 → train/val/test.  The split
+#: is a pure function of doc_id, so it is stable across runs, engines,
+#: cluster sizes, and corpus growth — a doc never migrates between
+#: splits when new data arrives (the property random() sampling lacks).
+SPLIT_BUCKETS = 10
+SPLIT_SALT = "split:"
+
+
+def hash_split_bucket(doc_id: Column) -> Column:
+    """Bucket 0..9 from the first two md5 hex nibbles of the salted id.
+
+    Evaluates inside the scan stage (no shuffle, no state); the salt
+    decouples this hash from every other md5-of-id key in the pipeline
+    (band hashes, sample keys) so splits don't correlate with buckets.
+    """
+    d = F.md5(F.concat(F.lit(SPLIT_SALT), doc_id.cast("string")))
+    return (nibble(d, 1) * 16 + nibble(d, 2)) % SPLIT_BUCKETS
+
+
+def q_curation_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document to train/val/test by deterministic hash —
+    the standard leakage-safe split for a growing corpus.  Per-row
+    scan-stage math only; at 100 TB this costs one pass, zero shuffle
+    (the plan-gate asserts no Exchange)."""
+    docs = load_table(spark, "documents", sf_dir)
+    b = hash_split_bucket(F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        b.alias("bucket"),
+        F.when(b < 8, "train").when(b == 8, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+
+
+def _sql_split_bucket() -> str:
+    md5 = f"md5('{SPLIT_SALT}' || CAST(doc_id AS VARCHAR))"
+    return (
+        f"(({sql_nibble(md5, 1)} * 16 + {sql_nibble(md5, 2)})"
+        f" % {SPLIT_BUCKETS})"
+    )
+
+
+SQL_HASH_SPLIT = f"""
+SELECT doc_id, lang,
+       CAST({_sql_split_bucket()} AS INTEGER) AS bucket,
+       CASE WHEN {_sql_split_bucket()} < 8 THEN 'train'
+            WHEN {_sql_split_bucket()} = 8 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+# -- stratified deterministic sampling -----------------------------------
+
+#: docs kept per language stratum
+STRATUM_K = 25
+SAMPLE_SALT = "strat:"
+
+
+def q_curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-language sample, ordered by a salted hash of the
+    id — a deterministic reservoir: the chosen set only changes where
+    new docs hash below the current k-th, never on partitioning or
+    execution order.
+
+    Two-phase rank (the ``two_phase_topk`` discipline): phase 1 windows
+    over ``(lang, spark_partition_id())`` so each task cuts its own
+    slice to ≤ k rows per stratum; the global per-lang window then
+    ranks ≤ k·P survivors.  A single ``Window.partitionBy(lang)`` would
+    give the plan exactly n_langs partitions — a handful of tasks each
+    sorting a whole stratum of a 100 TB corpus.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    key = F.md5(F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string")))
+    wl = Window.partitionBy("lang", "__part").orderBy(
+        F.asc("__key"), F.asc("doc_id")
+    )
+    local = (
+        docs.withColumn("__key", key)
+        .withColumn("__part", F.spark_partition_id())
+        .withColumn("__lr", F.row_number().over(wl))
+        .filter(F.col("__lr") <= STRATUM_K)
+        .drop("__part", "__lr")
+    )
+    w = Window.partitionBy("lang").orderBy(F.asc("__key"), F.asc("doc_id"))
+    return (
+        local.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= STRATUM_K)
+        .select("doc_id", "lang", "sample_rank")
+    )
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY lang
+         ORDER BY md5('{SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS INTEGER) AS sample_rank
+FROM documents
+QUALIFY sample_rank <= {STRATUM_K}
+"""
+
+
+# -- sliding-window chunking ---------------------------------------------
+
+#: tokens per training chunk / stride between chunk starts (50% overlap)
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 16
+
+
+def q_curation_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into overlapping fixed-token windows — the
+    sequence-packing precursor every pretraining / RAG pipeline runs.
+
+    Contract: chunk starts at every multiple of the stride below the
+    token count; the tail chunk may be shorter.  The explode happens
+    where the tokens already live (no repartition), all chunk math is
+    codegen array ops, and the output carries an md5 of the chunk text
+    rather than the text itself, so the operator's exchange-free plan
+    reads the corpus once and writes chunk metadata.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", tokens("text").alias("__toks")
+    ).filter(F.size("__toks") > 0)
+    chunks = toks.select(
+        "doc_id",
+        F.expr(
+            f"posexplode(sequence(0, size(__toks) - 1, {CHUNK_STRIDE}))"
+        ).alias("__i", "__start"),
+        "__toks",
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__start") + 1, CHUNK_SIZE)
+    return chunks.select(
+        "doc_id",
+        F.col("__i").cast("long").alias("chunk_id"),
+        F.size(chunk).alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
+SQL_CHUNK_WINDOWS = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t
+  FROM documents
+  WHERE text IS NOT NULL AND len(string_split(text, ' ')) > 0
+),
+starts AS (
+  SELECT doc_id, t, unnest(range(0, len(t), {CHUNK_STRIDE})) AS g FROM toks
+)
+SELECT doc_id,
+       CAST(g / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(t, g + 1, g + {CHUNK_SIZE})) AS INTEGER)
+         AS n_tokens,
+       md5(array_to_string(list_slice(t, g + 1, g + {CHUNK_SIZE}), ' '))
+         AS chunk_md5
+FROM starts
+"""
+
+
 QUERIES = {
     "curation_pii_redact": q_curation_pii_redact,
     "pipeline_corpus_release": q_pipeline_corpus_release,
@@ -476,6 +642,9 @@ QUERIES = {
     "curation_domain_mix": q_curation_domain_mix,
     "curation_shard_pack": q_curation_shard_pack,
     "curation_repetition": q_curation_repetition,
+    "curation_hash_split": q_curation_hash_split,
+    "curation_stratified_sample": q_curation_stratified_sample,
+    "curation_chunk_windows": q_curation_chunk_windows,
 }
 
 ORACLE_SQL = {
@@ -485,4 +654,7 @@ ORACLE_SQL = {
     "curation_domain_mix": SQL_DOMAIN_MIX,
     "curation_shard_pack": SQL_SHARD_PACK,
     "curation_repetition": SQL_REPETITION,
+    "curation_hash_split": SQL_HASH_SPLIT,
+    "curation_stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "curation_chunk_windows": SQL_CHUNK_WINDOWS,
 }

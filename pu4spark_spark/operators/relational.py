@@ -1066,6 +1066,135 @@ FROM orders
 """
 
 
+# -- ordered funnel conversion -------------------------------------------
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel: a user converts a stage only
+    if the required prior stage happened STRICTLY EARLIER in their
+    event order — the product-analytics query sessionization feeds.
+
+    Execution shape: both "earliest qualifying prior stage" columns are
+    running-min window frames over the SAME (user_id, ts, event_id)
+    sort, so Catalyst plans ONE hash exchange + ONE sort feeding two
+    Window operators; the final distinct-user rollup is a single
+    map-side-combined aggregation.  Nothing here is per-stage-joins —
+    the k-stage funnel stays one shuffle regardless of k or corpus
+    size, and user_id is a cardinality-scaling key.
+    """
+    events = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    before = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = events.withColumn(
+        "__fv",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(before),
+    )
+    staged = staged.withColumn(
+        "__fc",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & F.col("__fv").isNotNull(),
+                F.col("ts"),
+            )
+        ).over(before),
+    )
+    return staged.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("n_view_users"),
+        F.countDistinct(
+            F.when(
+                (F.col("event_type") == "click") & F.col("__fv").isNotNull(),
+                F.col("user_id"),
+            )
+        ).alias("n_click_users"),
+        F.countDistinct(
+            F.when(
+                (F.col("event_type") == "purchase") & F.col("__fc").isNotNull(),
+                F.col("user_id"),
+            )
+        ).alias("n_purchase_users"),
+    )
+
+
+SQL_EVENTS_FUNNEL = """
+WITH f AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+),
+w1 AS (
+  SELECT *,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS fv
+  FROM f
+),
+w2 AS (
+  SELECT *,
+         MIN(CASE WHEN event_type = 'click' AND fv IS NOT NULL THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS fc
+  FROM w1
+)
+SELECT COUNT(DISTINCT CASE WHEN event_type = 'view' THEN user_id END)
+         AS n_view_users,
+       COUNT(DISTINCT CASE WHEN event_type = 'click' AND fv IS NOT NULL
+                           THEN user_id END) AS n_click_users,
+       COUNT(DISTINCT CASE WHEN event_type = 'purchase' AND fc IS NOT NULL
+                           THEN user_id END) AS n_purchase_users
+FROM w2
+"""
+
+
+# -- cohort retention ----------------------------------------------------
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention: users grouped by their first-ever active
+    day, counted on each later day they return.
+
+    The cohort day comes from an UNORDERED window min over user_id —
+    one hash exchange, no sort, and no self-join back onto the fact
+    (the groupBy-then-join formulation would shuffle the corpus twice).
+    The (cohort, offset) rollup's distinct-count partials combine
+    map-side.  Two data-size shuffles total, both on scaling keys.
+    """
+    events = load_table(spark, "events", sf_dir)
+    day = F.date_trunc("day", F.col("ts"))
+    cohort = F.min(day).over(Window.partitionBy("user_id"))
+    return (
+        events.select(
+            "user_id",
+            day.alias("__day"),
+            cohort.alias("cohort_day"),
+        )
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("__day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+SQL_EVENTS_RETENTION = """
+WITH d AS (
+  SELECT user_id,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         MIN(CAST(date_trunc('day', ts) AS TIMESTAMP))
+           OVER (PARTITION BY user_id) AS cohort_day
+  FROM events
+)
+SELECT cohort_day,
+       CAST(date_diff('day', cohort_day, day) AS INTEGER) AS day_offset,
+       COUNT(DISTINCT user_id) AS n_users
+FROM d
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q_q1_pricing_summary,
     "salted_segment_revenue": q_salted_segment_revenue,
@@ -1085,6 +1214,8 @@ QUERIES = {
     "events_sessionized": q_events_sessionized,
     "events_json_stats": q_events_json_stats,
     "events_user_gaps_pandas": q_events_user_gaps_pandas,
+    "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
     "parts_setops": q_parts_setops,
     "segment_priority_matrix": q_segment_priority_matrix,
     "rollup_order_status": q_rollup_order_status,
@@ -1117,6 +1248,8 @@ ORACLE_SQL = {
     "events_sessionized": SQL_EVENTS_SESSIONIZED,
     "events_json_stats": SQL_EVENTS_JSON,
     "events_user_gaps_pandas": SQL_EVENTS_USER_GAPS,
+    "events_funnel": SQL_EVENTS_FUNNEL,
+    "events_retention": SQL_EVENTS_RETENTION,
     "parts_setops": SQL_PARTS_SETOPS,
     "segment_priority_matrix": SQL_SEGMENT_PRIORITY,
     "rollup_order_status": SQL_ROLLUP,

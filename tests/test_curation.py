@@ -283,3 +283,69 @@ def test_winnow_fingerprint_vs_python(spark):
         for r in q_text_winnow_fingerprint(spark, SF).collect()
     }
     assert got == {d: py_winnow(t) for d, t in docs.items()}
+
+
+def test_hash_split_is_scan_stage_only_and_covers_all_docs(spark):
+    from pu4spark_spark.operators.curation import q_curation_hash_split
+
+    out = q_curation_hash_split(spark, SF)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure per-row math, no shuffle
+    rows = out.collect()
+    n_docs = load_table(spark, "documents", SF).count()
+    assert len(rows) == n_docs
+    by_split = {}
+    for r in rows:
+        assert (r["bucket"] < 8) == (r["split"] == "train")
+        by_split[r["split"]] = by_split.get(r["split"], 0) + 1
+    # all three splits are populated and train dominates (8/1/1 buckets)
+    assert set(by_split) == {"train", "val", "test"}
+    assert by_split["train"] > by_split["val"]
+    assert by_split["train"] > by_split["test"]
+
+
+def test_stratified_sample_exactly_k_per_lang(spark):
+    from pu4spark_spark.operators.curation import (
+        STRATUM_K,
+        q_curation_stratified_sample,
+    )
+
+    out = q_curation_stratified_sample(spark, SF).collect()
+    per_lang = {}
+    for r in out:
+        per_lang.setdefault(r["lang"], set()).add(r["sample_rank"])
+    docs = load_table(spark, "documents", SF)
+    stratum_sizes = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, ranks in per_lang.items():
+        want = min(STRATUM_K, stratum_sizes[lang])
+        assert ranks == set(range(1, want + 1))
+    assert set(per_lang) == set(stratum_sizes)
+
+
+def test_chunk_windows_cover_every_token_once_per_pass(spark):
+    from pu4spark_spark.operators.curation import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        q_curation_chunk_windows,
+    )
+
+    out = q_curation_chunk_windows(spark, SF)
+    docs = (
+        load_table(spark, "documents", SF)
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    )
+    n_by_doc = {r["doc_id"]: r["n"] for r in docs}
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append((r["chunk_id"], r["n_tokens"]))
+    for doc_id, n in n_by_doc.items():
+        chunks = sorted(got[doc_id])
+        # one chunk per stride-start below n
+        want_starts = list(range(0, n, CHUNK_STRIDE))
+        assert [c for c, _ in chunks] == list(range(len(want_starts)))
+        for (cid, ntok), start in zip(chunks, want_starts):
+            assert ntok == min(CHUNK_SIZE, n - start)
