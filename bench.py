@@ -91,6 +91,12 @@ HEADLINE = [
     "mm_frame_sample",
     "dedup_band_artifact_probe",
     "events_user_gaps_pandas",
+    "events_funnel",
+    "events_retention",
+    "curation_chunk_windows",
+    "dedup_chunk_spans",
+    "curation_temperature_mix",
+    "ann_lsh_recall",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's

@@ -635,6 +635,124 @@ FROM starts
 """
 
 
+# -- exact span-level dedup over chunk fingerprints ----------------------
+
+def q_dedup_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span detection: full-size chunk windows whose
+    md5 recurs anywhere in the corpus — the chunk-aligned approximation
+    of exact-substring dedup (Lee et al.'s "deduplicating training
+    data" span pass, at stride granularity).
+
+    Rides the chunking operator's plan: explode to stride windows,
+    md5 per window, ONE map-side-combined groupBy(chunk_md5) — the
+    exchange carries only (md5, partial counts), and the HAVING>1
+    filter means the output is just the duplicated spans.  At 100 TB
+    the key is a 128-bit hash (cardinality grows with data, no hot
+    key), and the keeper_doc min gives the canonical copy to keep.
+    """
+    chunks = q_curation_chunk_windows(spark, sf_dir)
+    return (
+        chunks.filter(F.col("n_tokens") == CHUNK_SIZE)
+        .groupBy("chunk_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+        .filter(F.col("n_spans") > 1)
+    )
+
+
+SQL_DEDUP_CHUNK_SPANS = f"""
+WITH chunks AS ({SQL_CHUNK_WINDOWS})
+SELECT chunk_md5,
+       COUNT(*) AS n_spans,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       MIN(doc_id) AS keeper_doc
+FROM chunks
+WHERE n_tokens = {CHUNK_SIZE}
+GROUP BY chunk_md5
+HAVING COUNT(*) > 1
+"""
+
+
+# -- temperature-scaled domain resampling --------------------------------
+
+#: alpha = 0.5 (temperature 2): keep probability per source ∝ n^(α-1),
+#: normalized so the SMALLEST source keeps everything — the standard
+#: up-weighting of rare domains/languages for pretraining mixes.  Only
+#: sqrt/divide are used (both IEEE-correctly-rounded, so the oracle's
+#: doubles match bit-for-bit; pow() would not be).
+MIX_TEMP_SALT = "mix:"
+
+
+def q_curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic temperature-2 domain resampling report: per-source
+    keep probability and the docs actually kept by the salted hash
+    coin.
+
+    Scale shape: per-source counts are one map-side-combined agg over a
+    BOUNDED key (sources are domains — a dimension, not data-scaled);
+    the 1-row max and the per-source weights join back onto the corpus
+    as AQE-chosen broadcasts (no explicit hint — the round-2 lesson on
+    corpus-derived sides).  The hash coin is scan-stage math, so the
+    whole operator costs one corpus pass + one tiny agg.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    w = F.lit(1.0) / F.sqrt(F.col("n_src").cast("double"))
+    weighted = counts.withColumn("__w", w)
+    wmax = weighted.agg(F.max("__w").alias("__wmax"))
+    probs = weighted.crossJoin(wmax).select(
+        "source", "n_src", (F.col("__w") / F.col("__wmax")).alias("p_keep")
+    )
+    d = F.md5(F.concat(F.lit(MIX_TEMP_SALT), F.col("doc_id").cast("string")))
+    coin = (
+        (nibble(d, 1) * 16 + nibble(d, 2)).cast("double") + F.lit(0.5)
+    ) / F.lit(256.0)
+    kept = docs.withColumn("__coin", coin).join(probs, "source").filter(
+        F.col("__coin") < F.col("p_keep")
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.first("n_src").alias("n_src"),
+            F.first("p_keep").alias("p_keep"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+
+
+def _sql_mix_coin() -> str:
+    md5 = f"md5('{MIX_TEMP_SALT}' || CAST(doc_id AS VARCHAR))"
+    return (
+        f"((CAST({sql_nibble(md5, 1)} * 16 + {sql_nibble(md5, 2)} AS DOUBLE)"
+        f" + 0.5) / 256.0)"
+    )
+
+
+SQL_TEMPERATURE_MIX = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source
+),
+weighted AS (
+  SELECT source, n_src, 1.0 / sqrt(CAST(n_src AS DOUBLE)) AS w FROM counts
+),
+probs AS (
+  SELECT source, n_src, w / (SELECT MAX(w) FROM weighted) AS p_keep
+  FROM weighted
+)
+SELECT d.source,
+       CAST(MIN(p.n_src) AS BIGINT) AS n_src,
+       MIN(p.p_keep) AS p_keep,
+       COUNT(*) AS n_kept
+FROM documents d
+JOIN probs p ON d.source = p.source
+WHERE {_sql_mix_coin()} < p.p_keep
+GROUP BY d.source
+"""
+
+
 QUERIES = {
     "curation_pii_redact": q_curation_pii_redact,
     "pipeline_corpus_release": q_pipeline_corpus_release,
@@ -645,6 +763,8 @@ QUERIES = {
     "curation_hash_split": q_curation_hash_split,
     "curation_stratified_sample": q_curation_stratified_sample,
     "curation_chunk_windows": q_curation_chunk_windows,
+    "dedup_chunk_spans": q_dedup_chunk_spans,
+    "curation_temperature_mix": q_curation_temperature_mix,
 }
 
 ORACLE_SQL = {
@@ -657,4 +777,6 @@ ORACLE_SQL = {
     "curation_hash_split": SQL_HASH_SPLIT,
     "curation_stratified_sample": SQL_STRATIFIED_SAMPLE,
     "curation_chunk_windows": SQL_CHUNK_WINDOWS,
+    "dedup_chunk_spans": SQL_DEDUP_CHUNK_SPANS,
+    "curation_temperature_mix": SQL_TEMPERATURE_MIX,
 }

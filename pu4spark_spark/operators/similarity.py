@@ -435,6 +435,55 @@ GROUP BY label
 SQL_EMBEDDING_LABEL_CENTROIDS = _sql_centroids()
 
 
+# -- ANN quality evaluation: recall@k of the LSH probe -------------------
+
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the sign-bucket LSH probe against the exact top-k —
+    the evaluation every ANN deployment runs before trusting the
+    approximate path.
+
+    Both sides are this engine's own registered operators composed into
+    one plan; matched counts are integers and k is a constant, so the
+    avg/min recalls are exact integer ratios (engine-portable doubles).
+    Scale shape: the per-(query, neighbor) probe join keys on the
+    query-set cross exact-k rows — query-set-sized, not corpus-sized.
+    """
+    exact = q_ann_cosine_topk(spark, sf_dir)
+    approx = q_ann_lsh_bucketed(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__m")
+    )
+    qm = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("__m").alias("matched"))
+    )
+    return qm.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        (
+            F.sum("matched").cast("double")
+            / (F.count(F.lit(1)) * F.lit(TOP_K))
+        ).alias("avg_recall"),
+        F.min("matched").cast("bigint").alias("min_matched"),
+    )
+
+
+SQL_ANN_LSH_RECALL = f"""
+WITH exact AS ({SQL_ANN_COSINE_TOPK}),
+approx AS ({SQL_ANN_LSH_BUCKETED}),
+qm AS (
+  SELECT e.query_id, COUNT(a.neighbor_id) AS matched
+  FROM exact e
+  LEFT JOIN approx a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT COUNT(*) AS n_queries,
+       CAST(SUM(matched) AS DOUBLE) / (COUNT(*) * {TOP_K}) AS avg_recall,
+       CAST(MIN(matched) AS BIGINT) AS min_matched
+FROM qm
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_quantize_int8": q_embedding_quantize_int8,
@@ -442,6 +491,7 @@ QUERIES = {
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "ann_ivf": q_ann_ivf,
     "ann_brp_lsh_ml": q_ann_brp_lsh_ml,
+    "ann_lsh_recall": q_ann_lsh_recall,
 }
 
 ORACLE_SQL = {
@@ -449,6 +499,7 @@ ORACLE_SQL = {
     "embedding_quantize_int8": SQL_EMBEDDING_QUANTIZE_INT8,
     "embedding_label_centroids": SQL_EMBEDDING_LABEL_CENTROIDS,
     "ann_lsh_bucketed": SQL_ANN_LSH_BUCKETED,
+    "ann_lsh_recall": SQL_ANN_LSH_RECALL,
     # ann_ivf: KMeans centroids — rows-only
     # ann_brp_lsh_ml: ML internals — rows-only
 }

@@ -616,6 +616,48 @@ def q_text_tfidf_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- document-length histogram -------------------------------------------
+
+#: fixed-width char buckets; the last bucket is open-ended
+HIST_WIDTH = 40
+HIST_LAST_BUCKET = 9
+
+
+def q_text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of document lengths (chars) — the
+    one-glance distribution check run before setting chunking/packing
+    budgets.  Pure scan-stage bucket math + one map-side-combined agg
+    over a BOUNDED key (≤10 buckets); output is bucket edges + counts,
+    never the corpus."""
+    docs = load_table(spark, "documents", sf_dir)
+    b = F.least(
+        F.floor(F.col("n_chars") / HIST_WIDTH), F.lit(HIST_LAST_BUCKET)
+    ).cast("int")
+    return (
+        docs.select(b.alias("bucket"), "n_chars")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .withColumn("lo_chars", F.col("bucket").cast("long") * HIST_WIDTH)
+    )
+
+
+SQL_TEXT_LENGTH_HISTOGRAM = f"""
+SELECT CAST(LEAST(floor(n_chars / {HIST_WIDTH}), {HIST_LAST_BUCKET}) AS INTEGER)
+         AS bucket,
+       COUNT(*) AS n_docs,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars,
+       CAST(LEAST(floor(n_chars / {HIST_WIDTH}), {HIST_LAST_BUCKET}) AS BIGINT)
+         * {HIST_WIDTH} AS lo_chars
+FROM documents
+GROUP BY 1, 5
+"""
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
@@ -629,6 +671,7 @@ QUERIES = {
     "text_bigram_lm": q_text_bigram_lm,
     "text_bigram_novelty": q_text_bigram_novelty,
     "text_tfidf_ml": q_text_tfidf_ml,
+    "text_length_histogram": q_text_length_histogram,
 }
 
 ORACLE_SQL = {
@@ -643,5 +686,6 @@ ORACLE_SQL = {
     "text_commonness": SQL_TEXT_COMMONNESS,
     "text_bigram_lm": SQL_TEXT_BIGRAM_LM,
     "text_bigram_novelty": SQL_TEXT_BIGRAM_NOVELTY,
+    "text_length_histogram": SQL_TEXT_LENGTH_HISTOGRAM,
     # text_tfidf_ml: ML — rows-only
 }
