@@ -97,6 +97,7 @@ HEADLINE = [
     "dedup_chunk_spans",
     "curation_temperature_mix",
     "ann_lsh_recall",
+    "fmt_pyds_jsonl_roundtrip",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's

@@ -643,12 +643,14 @@ def q_dedup_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     of exact-substring dedup (Lee et al.'s "deduplicating training
     data" span pass, at stride granularity).
 
-    Rides the chunking operator's plan: explode to stride windows,
-    md5 per window, ONE map-side-combined groupBy(chunk_md5) — the
-    exchange carries only (md5, partial counts), and the HAVING>1
-    filter means the output is just the duplicated spans.  At 100 TB
-    the key is a 128-bit hash (cardinality grows with data, no hot
-    key), and the keeper_doc min gives the canonical copy to keep.
+    Rides the chunking operator's plan: explode to stride windows, md5
+    per window, then two map-side-combined aggregations — a
+    (chunk_md5, doc_id) distinct feeding the chunk_md5 rollup (the
+    distinct-doc count forces the extra exchange; both carry
+    fingerprint rows, never token data) — and the HAVING>1 filter
+    means the output is just the duplicated spans.  At 100 TB the key
+    is a 128-bit hash (cardinality grows with data, no hot key), and
+    the keeper_doc min gives the canonical copy to keep.
     """
     chunks = q_curation_chunk_windows(spark, sf_dir)
     return (

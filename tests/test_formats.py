@@ -111,3 +111,24 @@ def test_json_permissive_quarantine_and_failfast(spark, tmp_path):
         load_json(
             spark, str(p), "event_id bigint, value double", strict=True
         ).collect()
+
+
+def test_pyds_jsonl_partitions_per_shard(spark):
+    """The custom Python data source fans out one input partition per
+    shard file and reproduces the documents table exactly."""
+    from pu4spark_spark.sources.pydatasource import (
+        N_SHARDS,
+        _jsonl_shard_dir,
+        JsonlDocsDataSource,
+    )
+    from pu4spark_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    d = _jsonl_shard_dir(spark, sf)
+    spark.dataSource.register(JsonlDocsDataSource)
+    back = spark.read.format("jsonl_docs").option("path", d).load()
+    assert back.rdd.getNumPartitions() == N_SHARDS
+    docs = load_table(spark, "documents", sf)
+    a = sorted(tuple(r) for r in back.collect())
+    b = sorted(tuple(r) for r in docs.select(*back.columns).collect())
+    assert a == b

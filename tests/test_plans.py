@@ -243,3 +243,47 @@ def test_q10_pushdown_and_broadcast(spark):
     assert re.search(r"PushedFilters: \[[^\]]*l_returnflag", plan)
     assert re.search(r"PushedFilters: \[[^\]]*o_orderdate", plan)
     assert "BroadcastHashJoin" in plan
+
+
+def test_chunk_windows_is_exchange_free(spark):
+    """Chunking explodes where the tokens live: no shuffle anywhere."""
+    from pu4spark_spark.operators.curation import q_curation_chunk_windows
+
+    plan = explain_str(q_curation_chunk_windows(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0
+    assert "Generate" in plan  # the posexplode runs in-place
+
+
+def test_chunk_span_dedup_two_bounded_shuffles(spark):
+    """Span dedup adds exactly two exchanges on top of the
+    exchange-free chunking — (chunk_md5, doc_id) distinct then
+    chunk_md5 rollup, both pre-reduced map-side so each carries
+    fingerprint rows, never token data."""
+    from pu4spark_spark.operators.curation import q_dedup_chunk_spans
+
+    plan = explain_str(q_dedup_chunk_spans(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    # map-side pre-aggregation before the first exchange
+    first_exchange = plan.index("Exchange")
+    assert "HashAggregate" in plan[:first_exchange]
+
+
+def test_funnel_single_sort_two_windows(spark):
+    """Both qualifying-prior-stage columns share ONE (user) exchange +
+    ONE sort; the k-stage funnel never joins per stage."""
+    from pu4spark_spark.operators.relational import q_events_funnel
+
+    plan = explain_str(q_events_funnel(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_retention_no_self_join(spark):
+    """Cohort day via unordered window min: no join back onto events,
+    no sort under the window."""
+    from pu4spark_spark.operators.relational import q_events_retention
+
+    plan = explain_str(q_events_retention(spark, SF_DIR))
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
