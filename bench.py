@@ -98,6 +98,7 @@ HEADLINE = [
     "curation_temperature_mix",
     "ann_lsh_recall",
     "fmt_pyds_jsonl_roundtrip",
+    "streaming_pyds_docs",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's

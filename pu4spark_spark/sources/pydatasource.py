@@ -25,7 +25,12 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 from pu4spark_spark.sources.tables import load_table
 
@@ -46,6 +51,9 @@ class JsonlDocsDataSource(DataSource):
 
     def reader(self, schema) -> "JsonlDocsReader":
         return JsonlDocsReader(self.options)
+
+    def streamReader(self, schema) -> "JsonlDocsStreamReader":
+        return JsonlDocsStreamReader(self.options)
 
 
 class JsonlDocsReader(DataSourceReader):
@@ -81,6 +89,65 @@ class JsonlDocsReader(DataSourceReader):
                     r.get("source"),
                     r.get("n_chars"),
                 )
+
+
+def _list_shards(path: str) -> list[str]:
+    return sorted(
+        f
+        for f in os.listdir(path)
+        if f.endswith((".json", ".jsonl")) and not f.startswith(".")
+    )
+
+
+class JsonlDocsStreamReader(DataSourceStreamReader):
+    """Incremental landing-directory feed over the same JSONL shards:
+    the offset is "how many shard files (in sorted order) have been
+    consumed", so each microbatch picks up exactly the files that
+    arrived since the last one — the file-source contract, expressed
+    through the custom-source API.
+
+    Distribution: ``partitions(start, end)`` emits one InputPartition
+    per NEW file and ``read`` runs on executor Python workers, so
+    ingest fans out like the batch reader; the driver never opens a
+    shard.  Offsets are durable dicts — the checkpoint replays
+    ``readBetweenOffsets`` deterministically because the sorted file
+    list is append-only in a landing directory.
+    """
+
+    def __init__(self, options) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("jsonl_docs requires option 'path'")
+        self.path = path
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        return {"index": len(_list_shards(self.path))}
+
+    def partitions(self, start: dict, end: dict):
+        files = _list_shards(self.path)[start["index"] : end["index"]]
+        return [InputPartition(os.path.join(self.path, f)) for f in files]
+
+    def read(self, partition):
+        import json
+
+        with open(partition.value) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                r = json.loads(line)
+                yield (
+                    r.get("doc_id"),
+                    r.get("text"),
+                    r.get("lang"),
+                    r.get("source"),
+                    r.get("n_chars"),
+                )
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 def _jsonl_shard_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -126,9 +193,56 @@ FROM documents
 GROUP BY lang
 """
 
+def q_streaming_pyds_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same per-lang aggregate computed INCREMENTALLY through the
+    custom source's stream reader (availableNow drain): offsets step
+    through the shard files, executors read only the new ones per
+    microbatch.  Complete-mode memory sink is legitimate here — the
+    output is the result-sized 5-row aggregate, not the corpus (the
+    production corpus-sized drain is ``streaming_hourly_file_sink``)."""
+    import uuid
+
+    shard_dir = _jsonl_shard_dir(spark, sf_dir)
+    spark.dataSource.register(JsonlDocsDataSource)
+    stream = (
+        spark.readStream.format("jsonl_docs").option("path", shard_dir).load()
+    )
+    # no countDistinct: distinct aggregation is unsupported on streams
+    agg = stream.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+    name = f"pyds_docs_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name)
+
+
 QUERIES = {
     "fmt_pyds_jsonl_roundtrip": q_fmt_pyds_jsonl_roundtrip,
+    "streaming_pyds_docs": q_streaming_pyds_docs,
 }
+SQL_STREAMING_PYDS_DOCS = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM documents
+GROUP BY lang
+"""
+
 ORACLE_SQL = {
     "fmt_pyds_jsonl_roundtrip": SQL_FMT_PYDS_JSONL_ROUNDTRIP,
+    # the incremental path must agree with the batch oracle
+    "streaming_pyds_docs": SQL_STREAMING_PYDS_DOCS,
 }

@@ -132,3 +132,60 @@ def test_pyds_jsonl_partitions_per_shard(spark):
     a = sorted(tuple(r) for r in back.collect())
     b = sorted(tuple(r) for r in docs.select(*back.columns).collect())
     assert a == b
+
+
+def test_pyds_stream_incremental_offsets_exactly_once(spark, tmp_path):
+    """New shard files arriving between availableNow drains are read
+    exactly once: the custom stream reader's offsets (files consumed)
+    checkpoint and resume without re-reading or skipping."""
+    import json as _json
+
+    from pu4spark_spark.sources.pydatasource import JsonlDocsDataSource
+
+    land = tmp_path / "land"
+    land.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def shard(name, ids):
+        with open(land / name, "w") as fh:
+            for i in ids:
+                fh.write(
+                    _json.dumps(
+                        {
+                            "doc_id": i,
+                            "text": f"doc {i}",
+                            "lang": "en",
+                            "source": "s",
+                            "n_chars": 5,
+                        }
+                    )
+                    + "\n"
+                )
+
+    spark.dataSource.register(JsonlDocsDataSource)
+
+    def drain():
+        q = (
+            spark.readStream.format("jsonl_docs")
+            .option("path", str(land))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    shard("a.jsonl", [1, 2, 3])
+    drain()
+    got1 = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got1 == [1, 2, 3]
+
+    shard("b.jsonl", [4, 5])
+    drain()
+    got2 = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got2 == [1, 2, 3, 4, 5]  # b read once, a NOT re-read
