@@ -99,6 +99,9 @@ HEADLINE = [
     "ann_lsh_recall",
     "fmt_pyds_jsonl_roundtrip",
     "streaming_pyds_docs",
+    "events_variant_stats",
+    "customer_spend_quartiles",
+    "q18_large_orders",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's

@@ -1066,6 +1066,144 @@ FROM orders
 """
 
 
+# -- VARIANT semi-structured path ----------------------------------------
+
+def q_events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path over the JSON props column: ``parse_json``
+    once into the binary variant encoding, then typed ``variant_get``
+    extraction — the modern semi-structured pipeline (vs the string
+    re-parse per access of ``get_json_object``).  Per-row scan-stage
+    work plus one map-side-combined agg on a (event_type, decile) key.
+    """
+    events = load_table(spark, "events", sf_dir)
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return (
+        events.select("event_type", k.alias("__k"))
+        .groupBy("event_type", (F.col("__k") % 10).alias("k_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__k").alias("sum_k"),
+        )
+    )
+
+
+SQL_EVENTS_VARIANT = """
+SELECT event_type,
+       CAST(k % 10 AS BIGINT) AS k_decile,
+       COUNT(*) AS n,
+       CAST(SUM(k) AS BIGINT) AS sum_k
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY 1, 2
+"""
+
+
+# -- scalable quartile assignment ----------------------------------------
+
+def q_customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global spend quartiles WITHOUT a global sort: exact interpolated
+    boundary values from one percentile aggregation (single reduce to
+    a 3-value row), broadcast back over the per-customer spend table,
+    bucket assignment as scan-stage comparisons.  ``ntile(4)`` over an
+    unpartitioned window would funnel every row through ONE task; this
+    shape is two map-side-combined aggs + a 1-row broadcast, and stays
+    that at any scale.  Boundary doubles are identical in both engines
+    (same p·(n−1) interpolation over exact-decimal-derived inputs), so
+    bucket assignment is deterministic."""
+    orders = load_table(spark, "orders", sf_dir)
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(dec("o_totalprice", MONEY)).cast("double").alias("spend")
+    )
+    bounds = spend.agg(
+        F.expr("percentile(spend, 0.25)").alias("q1"),
+        F.expr("percentile(spend, 0.50)").alias("q2"),
+        F.expr("percentile(spend, 0.75)").alias("q3"),
+    )
+    bucketed = spend.crossJoin(F.broadcast(bounds)).withColumn(
+        "quartile",
+        F.when(F.col("spend") <= F.col("q1"), 1)
+        .when(F.col("spend") <= F.col("q2"), 2)
+        .when(F.col("spend") <= F.col("q3"), 3)
+        .otherwise(4),
+    )
+    return bucketed.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("spend").alias("min_spend"),
+        F.max("spend").alias("max_spend"),
+    )
+
+
+SQL_SPEND_QUARTILES = f"""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS {MONEY})) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+),
+bounds AS (
+  SELECT quantile_cont(spend, 0.25) AS q1,
+         quantile_cont(spend, 0.50) AS q2,
+         quantile_cont(spend, 0.75) AS q3
+  FROM spend
+)
+SELECT CASE WHEN spend <= q1 THEN 1
+            WHEN spend <= q2 THEN 2
+            WHEN spend <= q3 THEN 3
+            ELSE 4 END AS quartile,
+       COUNT(*) AS n_customers,
+       MIN(spend) AS min_spend,
+       MAX(spend) AS max_spend
+FROM spend, bounds
+GROUP BY 1
+"""
+
+
+# -- q18: large-volume orders (TPC-H Q18 shape) --------------------------
+
+Q18_QTY_THRESHOLD = 250
+
+
+def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a
+    threshold, with customer context — the aggregation-driven semi-join
+    (HAVING feeds the probe side).  The qualifying-order set is
+    selectivity-bounded (top ~1%), so its join back onto orders is an
+    AQE broadcast; quantities sum as exact decimals."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity", MONEY)).alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_QTY_THRESHOLD)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+SQL_Q18 = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(total_qty AS DOUBLE) AS total_qty
+FROM orders
+JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS {_M})) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS {_M})) > {Q18_QTY_THRESHOLD}) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 # -- ordered funnel conversion -------------------------------------------
 
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1216,6 +1354,9 @@ QUERIES = {
     "events_user_gaps_pandas": q_events_user_gaps_pandas,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
+    "events_variant_stats": q_events_variant_stats,
+    "customer_spend_quartiles": q_customer_spend_quartiles,
+    "q18_large_orders": q_q18_large_orders,
     "parts_setops": q_parts_setops,
     "segment_priority_matrix": q_segment_priority_matrix,
     "rollup_order_status": q_rollup_order_status,
@@ -1250,6 +1391,9 @@ ORACLE_SQL = {
     "events_user_gaps_pandas": SQL_EVENTS_USER_GAPS,
     "events_funnel": SQL_EVENTS_FUNNEL,
     "events_retention": SQL_EVENTS_RETENTION,
+    "events_variant_stats": SQL_EVENTS_VARIANT,
+    "customer_spend_quartiles": SQL_SPEND_QUARTILES,
+    "q18_large_orders": SQL_Q18,
     "parts_setops": SQL_PARTS_SETOPS,
     "segment_priority_matrix": SQL_SEGMENT_PRIORITY,
     "rollup_order_status": SQL_ROLLUP,
