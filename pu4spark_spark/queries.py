@@ -132,7 +132,16 @@ if _missing_first:
 _no_oracle_first = [n for n in _first if n not in ORACLE_SQL]
 if _no_oracle_first:
     raise ValueError(f"DRIVER_FIRST lacks oracle: {_no_oracle_first}")
+# After the curated prefix: every remaining ORACLE-checked query (registry
+# order), then the rows-only ML/sketch entries — so WHEREVER a
+# time-budgeted driver run truncates, the artifact records the maximum
+# number of hash-checkable results.
+_rest_oracle = [
+    n for n in QUERIES if n not in set(_first) and n in ORACLE_SQL
+]
+_rest_rows_only = [
+    n for n in QUERIES if n not in set(_first) and n not in ORACLE_SQL
+]
 QUERIES = {
-    **{n: QUERIES[n] for n in _first},
-    **{n: q for n, q in QUERIES.items() if n not in set(_first)},
+    n: QUERIES[n] for n in (*_first, *_rest_oracle, *_rest_rows_only)
 }
