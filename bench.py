@@ -102,6 +102,8 @@ HEADLINE = [
     "events_variant_stats",
     "customer_spend_quartiles",
     "q18_large_orders",
+    "text_zscore_by_lang",
+    "text_inverted_index",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's

@@ -616,6 +616,107 @@ def q_text_tfidf_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- per-language z-score normalization ----------------------------------
+
+def q_text_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language standardization of document length — the grouped
+    feature-normalization pass quality classifiers train on.
+
+    Exactness discipline: group moments are EXACT decimal sums of
+    integers (count / Σx / Σx²), reduced in one map-side-combined agg
+    over the bounded lang key; mean/variance/z are then a fixed chain
+    of IEEE double ops replicated verbatim in the oracle, so values
+    match bit-for-bit (a stddev_samp() aggregate would NOT — engines
+    disagree on summation order for doubles).  The per-lang moment row
+    joins back as an AQE broadcast; z is scan-stage math.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    stats = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("n_chars").cast("decimal(38,0)")).alias("__s"),
+        F.sum(
+            (F.col("n_chars") * F.col("n_chars")).cast("decimal(38,0)")
+        ).alias("__sq"),
+    )
+    n = F.col("__n").cast("double")
+    s = F.col("__s").cast("double")
+    sq = F.col("__sq").cast("double")
+    mean = s / n
+    var = (n * sq - s * s) / (n * (n - F.lit(1.0)))
+    return (
+        docs.join(stats, "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            ((F.col("n_chars").cast("double") - mean) / F.sqrt(var)).alias(
+                "z_chars"
+            ),
+        )
+    )
+
+
+SQL_TEXT_ZSCORE = """
+WITH stats AS (
+  SELECT lang,
+         COUNT(*) AS n,
+         SUM(CAST(n_chars AS DECIMAL(38,0))) AS s,
+         SUM(CAST(n_chars * n_chars AS DECIMAL(38,0))) AS sq
+  FROM documents GROUP BY lang
+)
+SELECT doc_id, d.lang, n_chars,
+       (CAST(n_chars AS DOUBLE)
+          - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+         / sqrt((CAST(n AS DOUBLE) * CAST(sq AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+         AS z_chars
+FROM documents d JOIN stats USING (lang)
+"""
+
+
+# -- inverted index ------------------------------------------------------
+
+#: posting-list length cap in the REPORT (the artifact itself is the
+#: full grouped table; the registered query bounds its output)
+POSTINGS_CAP = 20
+
+
+def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token → posting-list build (the search-index artifact): explode
+    distinct tokens per doc, one map-side-combined groupBy(token).
+    Token cardinality grows with the corpus (vocabulary), so the
+    exchange key scales; posting lists are sorted for determinism and
+    the registered output caps each list at POSTINGS_CAP ids joined to
+    a string (the full list lives in the artifact, not the report).
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("token")
+    )
+    return toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, POSTINGS_CAP),
+            ",",
+        ).alias("postings_head"),
+    )
+
+
+SQL_TEXT_INVERTED_INDEX = f"""
+WITH t AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+)
+SELECT token,
+       COUNT(*) AS df,
+       array_to_string(list_slice(list_sort(list(doc_id)), 1,
+                                  {POSTINGS_CAP}), ',') AS postings_head
+FROM t
+GROUP BY token
+"""
+
+
 # -- document-length histogram -------------------------------------------
 
 #: fixed-width char buckets; the last bucket is open-ended
@@ -672,6 +773,8 @@ QUERIES = {
     "text_bigram_novelty": q_text_bigram_novelty,
     "text_tfidf_ml": q_text_tfidf_ml,
     "text_length_histogram": q_text_length_histogram,
+    "text_zscore_by_lang": q_text_zscore_by_lang,
+    "text_inverted_index": q_text_inverted_index,
 }
 
 ORACLE_SQL = {
@@ -687,5 +790,7 @@ ORACLE_SQL = {
     "text_bigram_lm": SQL_TEXT_BIGRAM_LM,
     "text_bigram_novelty": SQL_TEXT_BIGRAM_NOVELTY,
     "text_length_histogram": SQL_TEXT_LENGTH_HISTOGRAM,
+    "text_zscore_by_lang": SQL_TEXT_ZSCORE,
+    "text_inverted_index": SQL_TEXT_INVERTED_INDEX,
     # text_tfidf_ml: ML — rows-only
 }
