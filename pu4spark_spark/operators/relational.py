@@ -1110,7 +1110,11 @@ def q_customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape is two map-side-combined aggs + a 1-row broadcast, and stays
     that at any scale.  Boundary doubles are identical in both engines
     (same p·(n−1) interpolation over exact-decimal-derived inputs), so
-    bucket assignment is deterministic."""
+    bucket assignment is deterministic.  (Exact ``percentile`` buffers
+    the per-customer values on the final reduce — at 100 TB swap the
+    boundary agg for ``approx_percentile``'s mergeable sketch, as
+    ``lineitem_price_percentiles_approx`` demonstrates; the broadcast
+    shape is unchanged.)"""
     orders = load_table(spark, "orders", sf_dir)
     spend = orders.groupBy("o_custkey").agg(
         F.sum(dec("o_totalprice", MONEY)).cast("double").alias("spend")

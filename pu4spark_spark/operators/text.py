@@ -684,20 +684,41 @@ POSTINGS_CAP = 20
 
 def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token → posting-list build (the search-index artifact): explode
-    distinct tokens per doc, one map-side-combined groupBy(token).
-    Token cardinality grows with the corpus (vocabulary), so the
-    exchange key scales; posting lists are sorted for determinism and
-    the registered output caps each list at POSTINGS_CAP ids joined to
-    a string (the full list lives in the artifact, not the report).
+    distinct tokens per doc, then a TWO-PHASE capped collect.
+
+    A naive ``groupBy(token).collect_list(doc_id)`` is unbounded on hot
+    tokens — a stopword's posting list is corpus-sized, one reducer
+    row.  Phase 1 groups on (token, spark_partition_id()) — the salt
+    spreads a hot token across every input partition — and keeps only
+    each slice's sorted first POSTINGS_CAP ids plus a count; phase 2
+    merges counts and takes the min-k of the per-slice min-k heads
+    (identical to the global head, since every global-first-k id is
+    first-k in its own slice under the same ascending order).  Peak
+    per-group state is CAP·P ids regardless of token frequency; df
+    still combines map-side as plain longs.
     """
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("token")
     )
-    return toks.groupBy("token").agg(
-        F.count(F.lit(1)).alias("df"),
+    local = (
+        toks.withColumn("__part", F.spark_partition_id())
+        .groupBy("token", "__part")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.slice(
+                F.sort_array(F.collect_list("doc_id")), 1, POSTINGS_CAP
+            ).alias("__h"),
+        )
+    )
+    return local.groupBy("token").agg(
+        F.sum("__c").alias("df"),
         F.array_join(
-            F.slice(F.sort_array(F.collect_list("doc_id")), 1, POSTINGS_CAP),
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("__h"))),
+                1,
+                POSTINGS_CAP,
+            ),
             ",",
         ).alias("postings_head"),
     )

@@ -287,3 +287,15 @@ def test_retention_no_self_join(spark):
     plan = explain_str(q_events_retention(spark, SF_DIR))
     assert "Join" not in plan
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+
+
+def test_inverted_index_two_phase_capped_collect(spark):
+    """The posting-list build must be the salted two-phase shape: first
+    exchange on (token, partition-salt), second on token — never one
+    unbounded collect_list per token."""
+    from pu4spark_spark.operators.text import q_text_inverted_index
+
+    plan = explain_str(q_text_inverted_index(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert re.search(r"spark_partition_id", plan, re.IGNORECASE)
+    assert plan.count("slice") >= 2  # both phases cap before shipping
