@@ -118,6 +118,44 @@ AUDITED = {
         "Two exchanges on high-cardinality keys ((doc_id, gram), then "
         "doc_id), each preceded by partial aggregation — no skew pivot."
     ),
+    "curation_hash_split": (
+        "Deterministic train/val/test assignment is pure scan-stage "
+        "math: ZERO exchanges anywhere in the plan."
+    ),
+    "curation_chunk_windows": (
+        "Chunking explodes where the tokens live (Generate in-place): "
+        "zero exchanges; chunk md5s are computed in the scan stage."
+    ),
+    "dedup_chunk_spans": (
+        "Span dedup on top of exchange-free chunking: two exchanges "
+        "((chunk_md5, doc_id) distinct, then chunk_md5 rollup), both "
+        "pre-reduced map-side — fingerprint rows only, never tokens."
+    ),
+    "events_funnel": (
+        "Both qualifying-prior-stage columns are running-min frames "
+        "over the SAME (user_id, ts) sort: ONE exchange + ONE sort "
+        "feed two Window operators; no per-stage self-joins."
+    ),
+    "events_retention": (
+        "Cohort day via UNORDERED window min over user_id (one "
+        "exchange, no sort, no join back onto the fact), then a "
+        "map-side-combined (cohort, offset) distinct-count rollup."
+    ),
+    "customer_spend_quartiles": (
+        "Global quartiles without a global sort: percentile boundaries "
+        "reduce to ONE broadcast row; bucket assignment is scan-stage "
+        "comparison — no ntile window, no single-task sort."
+    ),
+    "text_inverted_index": (
+        "Salted two-phase capped collect: first exchange on (token, "
+        "partition-salt), second on token — per-group state bounded by "
+        "cap x partitions even for stopword-frequency tokens."
+    ),
+    "text_zscore_by_lang": (
+        "Exact decimal moments in one map-side-combined agg over the "
+        "bounded lang key; the moment row joins back as a broadcast; "
+        "z is scan-stage IEEE math replicated verbatim in the oracle."
+    ),
 }
 
 _TREE_RE = re.compile(r"^(.*?)\n\n\(1\)", re.DOTALL)
