@@ -104,6 +104,7 @@ HEADLINE = [
     "q18_large_orders",
     "text_zscore_by_lang",
     "text_inverted_index",
+    "streaming_upsert_compact",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's

@@ -26,6 +26,7 @@ from pu4spark_spark.sources import formats as fmt_sources  # noqa: E402
 from pu4spark_spark.sources import pydatasource as pyds_sources  # noqa: E402
 from pu4spark_spark.streaming import events as streaming_events  # noqa: E402
 from pu4spark_spark.streaming import stateful as streaming_stateful  # noqa: E402
+from pu4spark_spark.streaming import upsert as streaming_upsert  # noqa: E402
 
 _MODULES += [
     relational,
@@ -40,6 +41,7 @@ _MODULES += [
     pyds_sources,
     streaming_events,
     streaming_stateful,
+    streaming_upsert,
 ]
 
 QUERIES = {}

@@ -1,0 +1,150 @@
+"""Streaming CDC upsert via ``foreachBatch`` — the MERGE-at-ingest
+pattern (SURVEY.md §2B streaming row; the reference has no streaming).
+
+A landing directory holds a base snapshot file and an update-batch file;
+``maxFilesPerTrigger=1`` makes them two micro-batches.  Each micro-batch
+MERGEs into a parquet state directory: union current state with the
+batch, keep the max-version row per key, write to a fresh directory and
+atomically swap.  The final compacted state must hash-match the SAME
+DuckDB oracle as the batch ``orders_upsert_compact`` query — the
+streaming path and the batch path are required to agree row-for-row.
+
+Scale notes (100 TB):
+- the merge work per micro-batch is ONE hash-partitioned window over
+  state+batch — the same single-shuffle compaction as the batch op;
+- state lives in parquet files, not executor memory (contrast
+  ``stateful.py``'s keyed state store: right for high-rate per-key
+  updates, wrong for wide-snapshot MERGE);
+- the swap is directory-atomic on one host; on an object store the same
+  role is played by the table-format commit (Delta/Iceberg) this
+  pattern deliberately reproduces with plain parquet.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pu4spark_spark.operators.relational import SQL_ORDERS_UPSERT_COMPACT
+from pu4spark_spark.sources import load_table
+
+MERGE_KEY = "o_orderkey"
+
+
+def _cdc_landing_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Two-file landing dir: 0_base (all orders, version 0) then
+    1_updates (every 7th order re-priced +100.00, version 1) — the same
+    change-set as the batch upsert query, written once per sf_dir."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"pu4spark_cdc_{tag}")
+    marker = os.path.join(d, "_READY")
+    if os.path.exists(marker):
+        return d
+    orders = load_table(spark, "orders", sf_dir)
+    base = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+        F.lit(0).alias("version"),
+    )
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (
+            F.col("o_totalprice").cast("decimal(12,2)")
+            + F.lit("100.00").cast("decimal(12,2)")
+        )
+        .cast("decimal(12,2)")
+        .alias("price"),
+        F.lit(1).alias("version"),
+    )
+    os.makedirs(d, exist_ok=True)
+    for name, df in (("0_base", base), ("1_updates", updates)):
+        part_dir = os.path.join(d, f"__stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(part_dir)
+        (src,) = (
+            f for f in os.listdir(part_dir) if f.endswith(".parquet")
+        )
+        shutil.copy(
+            os.path.join(part_dir, src), os.path.join(d, f"{name}.parquet")
+        )
+        shutil.rmtree(part_dir)
+    open(marker, "w").close()
+    return d
+
+
+def merge_batch(
+    spark: SparkSession, batch: DataFrame, state_dir: str
+) -> None:
+    """MERGE one micro-batch into the parquet state: union + keep the
+    max-version row per key, write fresh, swap atomically."""
+    if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+        cur = spark.read.parquet(state_dir)
+        merged_src = cur.unionByName(batch)
+    else:
+        merged_src = batch
+    w = Window.partitionBy(MERGE_KEY).orderBy(F.desc("version"))
+    merged = (
+        merged_src.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    tmp = state_dir + ".next"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(state_dir):
+        shutil.rmtree(state_dir)
+    os.rename(tmp, state_dir)
+
+
+def q_streaming_upsert_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the CDC landing stream through the foreachBatch MERGE and
+    return the per-status totals of the FINAL compacted state — must
+    equal the batch upsert oracle exactly."""
+    land = _cdc_landing_dir(spark, sf_dir)
+    schema = spark.read.parquet(os.path.join(land, "0_base.parquet")).schema
+    state_dir = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_cdc_state_{uuid.uuid4().hex[:8]}"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, _id: merge_batch(spark, df, state_dir)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    out = (
+        spark.read.parquet(state_dir)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("version") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_updated"),
+            F.sum("price").cast("double").alias("total_price"),
+        )
+    )
+    # materialize before the state dir can be cleaned up by the caller
+    return out
+
+
+QUERIES = {
+    "streaming_upsert_compact": q_streaming_upsert_compact,
+}
+#: the streaming MERGE must agree with the batch compaction oracle
+ORACLE_SQL = {
+    "streaming_upsert_compact": SQL_ORDERS_UPSERT_COMPACT,
+}

@@ -203,3 +203,27 @@ def test_streaming_file_sink_restart_is_exactly_once(spark, tmp_path):
     assert len(first) > 0
     second = drain_once()  # same checkpoint, same (fully-consumed) input
     assert second == first
+
+
+def test_foreachbatch_merge_is_incremental(spark, tmp_path):
+    """merge_batch applies micro-batches one at a time: after the base
+    batch the state is the base; after the update batch only updated
+    keys carry version 1."""
+    from pu4spark_spark.streaming.upsert import merge_batch
+
+    state = str(tmp_path / "state")
+    base = spark.createDataFrame(
+        [(1, "A", 10.0, 0), (2, "B", 20.0, 0)],
+        "o_orderkey long, o_orderstatus string, price double, version int",
+    )
+    upd = spark.createDataFrame(
+        [(2, "B", 120.0, 1)],
+        "o_orderkey long, o_orderstatus string, price double, version int",
+    )
+    merge_batch(spark, base, state)
+    s1 = {r["o_orderkey"]: r for r in spark.read.parquet(state).collect()}
+    assert {k: v["version"] for k, v in s1.items()} == {1: 0, 2: 0}
+    merge_batch(spark, upd, state)
+    s2 = {r["o_orderkey"]: r for r in spark.read.parquet(state).collect()}
+    assert {k: v["version"] for k, v in s2.items()} == {1: 0, 2: 1}
+    assert s2[2]["price"] == 120.0 and s2[1]["price"] == 10.0
