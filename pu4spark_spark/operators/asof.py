@@ -152,6 +152,74 @@ ASOF LEFT JOIN purchases p
 """
 
 
+#: tolerance for the bounded-staleness as-of variant
+ASOF_TOLERANCE = "1 hour"
+
+
+def q_asof_click_purchase_tolerance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """As-of join with a staleness bound: the matched purchase must be
+    within ASOF_TOLERANCE of the click or the match is dropped (NULL) —
+    the contract market-data joins use (a quote older than the bound is
+    no quote).
+
+    Same single-shuffle union+window plan as the unbounded as-of; the
+    bound is a scan-stage post-filter on the carried match timestamp,
+    so tolerance costs nothing extra at any scale.
+    """
+    events = load_table(spark, "events", sf_dir)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", "value")
+        .withColumn("p_ts", F.col("ts"))
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        key_cols=["user_id"],
+        ts_col="ts",
+        value_cols=["event_id", "value", "p_ts"],
+        order_col="event_id",
+    )
+    fresh = F.col("asof_p_ts") >= F.col("ts") - F.expr(
+        f"INTERVAL {ASOF_TOLERANCE}"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.when(fresh, F.col("asof_event_id")).alias("purchase_event_id"),
+        F.when(fresh, F.col("asof_value")).alias("purchase_value"),
+    )
+
+
+SQL_ASOF_CLICK_PURCHASE_TOLERANCE = """
+WITH purchases AS (
+  SELECT user_id, ts, event_id, value
+  FROM (SELECT user_id, ts, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase')
+  WHERE rn = 1
+),
+clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id,
+       c.user_id,
+       CASE WHEN p.ts >= c.ts - INTERVAL 1 HOUR
+            THEN p.event_id END AS purchase_event_id,
+       CASE WHEN p.ts >= c.ts - INTERVAL 1 HOUR
+            THEN p.value END AS purchase_value
+FROM clicks c
+ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
 def asof_join_forward(
     left: DataFrame,
     right: DataFrame,
@@ -372,11 +440,13 @@ FROM clicks c JOIN purchases p
 QUERIES = {
     "asof_click_purchase": q_asof_click_purchase,
     "asof_next_purchase": q_asof_next_purchase,
+    "asof_click_purchase_tolerance": q_asof_click_purchase_tolerance,
     "range_click_purchases": q_range_click_purchases,
 }
 
 ORACLE_SQL = {
     "asof_click_purchase": SQL_ASOF_CLICK_PURCHASE,
     "asof_next_purchase": SQL_ASOF_NEXT_PURCHASE,
+    "asof_click_purchase_tolerance": SQL_ASOF_CLICK_PURCHASE_TOLERANCE,
     "range_click_purchases": SQL_RANGE_CLICK_PURCHASES,
 }
