@@ -86,6 +86,7 @@ HEADLINE = [
     "pu_traditional_rf",
     "pu_gradual_lr",
     "pu_gradual_rf",
+    "pu_spy_em_lr",
     "pu_feature_assembly",
     "mm_decode_features",
     "mm_frame_sample",

@@ -307,6 +307,23 @@ def q_pu_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pu_spy_em_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-EM spy-technique PU learning (extension beyond the reference's
+    two learners, same weight() API): spy-calibrated reliable-negative
+    threshold instead of a fixed one.  Rows-only check (two LR fits);
+    property tests pin the protocol (tests/test_pu.py)."""
+    from pu4spark_spark.config import LogisticRegressionConfig
+    from pu4spark_spark.spy import SpyEMPULearner
+
+    learner = SpyEMPULearner(
+        classifier=LogisticRegressionConfig(maxIter=10).build(),
+        spy_frac=0.15,
+        spy_quantile=0.05,
+    )
+    out = learner.weight(_pu_input(spark, sf_dir), "pu_label", "embedding")
+    return out.select("vec_id", "finalLabel")
+
+
 SQL_PU_FEATURE_ASSEMBLY = """
 SELECT l_orderkey, l_linenumber,
        CAST(l_quantity AS DOUBLE) AS f_quantity,
@@ -329,6 +346,7 @@ QUERIES = {
     "pu_traditional_rf": q_pu_traditional_rf,
     "pu_gradual_rf": q_pu_gradual_rf,
     "pu_doc_quality_lr": q_pu_doc_quality_lr,
+    "pu_spy_em_lr": q_pu_spy_em_lr,
     "pu_feature_assembly": q_pu_feature_assembly,
 }
 

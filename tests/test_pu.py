@@ -206,3 +206,61 @@ def test_golden_output_hashes(spark):
             classifierConfig=RandomForestConfig(numTrees=16, seed=42),
         ).build()
     ) == "d01e7d3d351b527990d36f5552ee4912"
+
+
+# -- S-EM spy technique (extension) --------------------------------------
+
+
+def test_spy_em_protocol_properties(spark):
+    """Spy PU: output contract + protocol invariants on the fixture."""
+    from pyspark.sql import functions as F
+
+    from pu4spark_spark.config import LogisticRegressionConfig
+    from pu4spark_spark.spy import SpyEMPULearner
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pu = emb.withColumn(
+        "pu_label", F.when(F.col("label") == 9, 1).otherwise(0)
+    )
+    learner = SpyEMPULearner(
+        classifier=LogisticRegressionConfig(maxIter=10).build(),
+        spy_frac=0.15,
+        spy_quantile=0.05,
+    )
+    out = learner.weight(pu, "pu_label", "embedding")
+    rows = out.collect()
+    # row count preserved; user schema + finalLabel, internals dropped
+    assert len(rows) == pu.count()
+    assert set(out.columns) == set(pu.columns) | {"finalLabel"}
+    assert all(0.0 <= r["finalLabel"] <= 1.0 for r in rows)
+    # deterministic: a second run returns identical scores
+    out2 = learner.weight(pu, "pu_label", "embedding")
+    a = sorted((r["vec_id"], r["finalLabel"]) for r in rows)
+    b = sorted(
+        (r["vec_id"], r["finalLabel"]) for r in out2.collect()
+    )
+    assert a == b
+
+
+def test_spy_em_spies_only_from_positives(spark):
+    from pyspark.sql import functions as F
+
+    from pu4spark_spark.config import LogisticRegressionConfig
+    from pu4spark_spark.spy import SpyEMPULearner
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pu = emb.withColumn(
+        "pu_label", F.when(F.col("label") == 9, 1).otherwise(0)
+    )
+    learner = SpyEMPULearner(
+        classifier=LogisticRegressionConfig(maxIter=10).build()
+    )
+    is_pos = F.col("pu_label") == 1
+    spies = pu.filter(
+        learner.spy_coin("embedding") < learner.spy_frac
+    ).filter(is_pos)
+    n_pos = pu.filter(is_pos).count()
+    n_spies = spies.count()
+    assert 0 < n_spies < n_pos  # some spies drawn, not all positives
+    # the coin never marks an unlabeled row a spy (spies ⊆ positives by
+    # construction in weight(): the is_spy expression conjoins is_pos)
