@@ -189,6 +189,14 @@ def run_one(
             spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
         except Exception:
             pass
+        # measurement hygiene: collect garbage from the PREVIOUS query
+        # before the next measured run — without this, late-run queries
+        # sporadically absorb multi-second GC pauses from 60+ queries'
+        # accumulated heap (measured: a 2s probe billed 9.6s)
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
     return elapsed, write_elapsed
 
 
