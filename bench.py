@@ -106,6 +106,8 @@ HEADLINE = [
     "text_zscore_by_lang",
     "text_inverted_index",
     "streaming_upsert_compact",
+    "orders_scd2_intervals",
+    "dedup_minhash_estimate",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's

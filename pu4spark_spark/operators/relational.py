@@ -1066,6 +1066,71 @@ FROM orders
 """
 
 
+# -- SCD2 validity intervals ---------------------------------------------
+
+def q_orders_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 over the CDC change set: each
+    key's versions become validity intervals via ``lead()`` per key —
+    the current row is the one with no successor.  (The SCD1 keep-latest
+    twin is ``orders_upsert_compact``; together they are the two MERGE
+    disciplines.)  One hash-partitioned window on the key, then a
+    map-side-combined rollup to the bounded (version, is_current)
+    report."""
+    orders = load_table(spark, "orders", sf_dir)
+    base = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+        F.lit(0).alias("version"),
+    )
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        (
+            F.col("o_totalprice").cast("decimal(12,2)")
+            + F.lit("100.00").cast("decimal(12,2)")
+        )
+        .cast("decimal(12,2)")
+        .alias("price"),
+        F.lit(1).alias("version"),
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.asc("version"))
+    hist = base.unionByName(updates).withColumn(
+        "valid_to", F.lead("version").over(w)
+    )
+    return (
+        hist.withColumn("is_current", F.col("valid_to").isNull())
+        .groupBy("version", "is_current")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price").cast("double").alias("sum_price"),
+        )
+    )
+
+
+SQL_ORDERS_SCD2 = """
+WITH base AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+         0 AS version
+  FROM orders
+),
+updates AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) + CAST('100.00' AS DECIMAL(12,2)) AS DECIMAL(12,2)) AS price,
+         1 AS version
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+hist AS (
+  SELECT *, LEAD(version) OVER (PARTITION BY o_orderkey
+                                ORDER BY version ASC) AS valid_to
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM updates)
+)
+SELECT version, valid_to IS NULL AS is_current,
+       COUNT(*) AS n_rows,
+       CAST(SUM(price) AS DOUBLE) AS sum_price
+FROM hist
+GROUP BY 1, 2
+"""
+
+
 # -- VARIANT semi-structured path ----------------------------------------
 
 def q_events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1361,6 +1426,7 @@ QUERIES = {
     "events_variant_stats": q_events_variant_stats,
     "customer_spend_quartiles": q_customer_spend_quartiles,
     "q18_large_orders": q_q18_large_orders,
+    "orders_scd2_intervals": q_orders_scd2_intervals,
     "parts_setops": q_parts_setops,
     "segment_priority_matrix": q_segment_priority_matrix,
     "rollup_order_status": q_rollup_order_status,
@@ -1398,6 +1464,7 @@ ORACLE_SQL = {
     "events_variant_stats": SQL_EVENTS_VARIANT,
     "customer_spend_quartiles": SQL_SPEND_QUARTILES,
     "q18_large_orders": SQL_Q18,
+    "orders_scd2_intervals": SQL_ORDERS_SCD2,
     "parts_setops": SQL_PARTS_SETOPS,
     "segment_priority_matrix": SQL_SEGMENT_PRIORITY,
     "rollup_order_status": SQL_ROLLUP,
