@@ -108,6 +108,8 @@ HEADLINE = [
     "streaming_upsert_compact",
     "orders_scd2_intervals",
     "dedup_minhash_estimate",
+    "events_sliding_windows",
+    "mm_arrow_payload_stats",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's

@@ -195,14 +195,60 @@ FROM frames
 """
 
 
+# -- mapInArrow: zero-copy columnar payload stats ------------------------
+
+def q_mm_arrow_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-payload byte statistics via ``mapInArrow`` — the LOWEST
+    Python boundary the engine exposes: RecordBatches flow into
+    ``pyarrow.compute`` kernels (vectorized C++, no pandas
+    materialization, no per-row Python) and straight back.  This is the
+    right boundary when the per-batch work is itself columnar — here
+    ``binary_length`` and ``count_substring`` over the opaque payload —
+    and the cheapest possible Python detour at 100 TB: payload bytes
+    are never copied into Python objects at all.
+    """
+    packed = pack_documents(load_table(spark, "documents", sf_dir))
+
+    def stats(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            doc = b.column(0)
+            pay = b.column(1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc,
+                    pc.cast(pc.binary_length(pay), pa.int64()),
+                    pc.cast(pc.count_substring(pay, " "), pa.int64()),
+                ],
+                names=["doc_id", "n_bytes", "n_spaces"],
+            )
+
+    return packed.select("doc_id", "payload").mapInArrow(
+        stats, "doc_id long, n_bytes long, n_spaces long"
+    )
+
+
+SQL_MM_ARROW_PAYLOAD_STATS = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)
+         AS n_spaces
+FROM documents
+"""
+
+
 QUERIES = {
     "mm_pack_stats": q_mm_pack_stats,
     "mm_decode_features": q_mm_decode_features,
     "mm_frame_sample": q_mm_frame_sample,
+    "mm_arrow_payload_stats": q_mm_arrow_payload_stats,
 }
 
 ORACLE_SQL = {
     "mm_pack_stats": SQL_MM_PACK_STATS,
     "mm_decode_features": SQL_MM_DECODE_FEATURES,
     "mm_frame_sample": SQL_MM_FRAME_SAMPLE,
+    "mm_arrow_payload_stats": SQL_MM_ARROW_PAYLOAD_STATS,
 }

@@ -1066,6 +1066,50 @@ FROM orders
 """
 
 
+# -- sliding time windows ------------------------------------------------
+
+def q_events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (1-hour windows every 15 minutes):
+    Spark's ``window(ts, size, slide)`` assigns each event to
+    size/slide = 4 overlapping windows — the rolling-rate view every
+    monitoring pipeline keeps.  The expansion happens in the scan stage
+    (Expand operator, no shuffle), then ONE map-side-combined agg on
+    (window, event_type); the oracle replicates the assignment by
+    exploding each event onto its 4 aligned window starts."""
+    events = load_table(spark, "events", sf_dir)
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            sum_exact("value", MONEY).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SQL_EVENTS_SLIDING = f"""
+WITH slid AS (
+  SELECT event_type, value,
+         time_bucket(INTERVAL 15 MINUTE, ts)
+           - (k * INTERVAL 15 MINUTE) AS w_start
+  FROM events, unnest(range(0, 4)) AS t(k)
+)
+SELECT CAST(w_start AS TIMESTAMP) AS w_start, event_type,
+       COUNT(*) AS n_events,
+       {sql_sum_exact('value', MONEY)} AS sum_value
+FROM slid
+GROUP BY 1, 2
+"""
+
+
 # -- SCD2 validity intervals ---------------------------------------------
 
 def q_orders_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1427,6 +1471,7 @@ QUERIES = {
     "customer_spend_quartiles": q_customer_spend_quartiles,
     "q18_large_orders": q_q18_large_orders,
     "orders_scd2_intervals": q_orders_scd2_intervals,
+    "events_sliding_windows": q_events_sliding_windows,
     "parts_setops": q_parts_setops,
     "segment_priority_matrix": q_segment_priority_matrix,
     "rollup_order_status": q_rollup_order_status,
@@ -1465,6 +1510,7 @@ ORACLE_SQL = {
     "customer_spend_quartiles": SQL_SPEND_QUARTILES,
     "q18_large_orders": SQL_Q18,
     "orders_scd2_intervals": SQL_ORDERS_SCD2,
+    "events_sliding_windows": SQL_EVENTS_SLIDING,
     "parts_setops": SQL_PARTS_SETOPS,
     "segment_priority_matrix": SQL_SEGMENT_PRIORITY,
     "rollup_order_status": SQL_ROLLUP,
