@@ -110,6 +110,8 @@ HEADLINE = [
     "dedup_minhash_estimate",
     "events_sliding_windows",
     "mm_arrow_payload_stats",
+    "q4_order_priority",
+    "q12_shipmode",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's

@@ -1066,6 +1066,86 @@ FROM orders
 """
 
 
+# -- q4: order priority checking (TPC-H Q4 shape) ------------------------
+
+def q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted to the fixture's lineitem columns):
+    orders in a quarter having AT LEAST ONE returned line — the EXISTS
+    correlated subquery, planned as a left-semi join so each order is
+    emitted once no matter how many lines qualify.  The quarter filter
+    prunes the orders scan; the semi join's build side is the filtered
+    lineitem keys."""
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1996-04-01").cast("timestamp")
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    returned = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        orders.join(
+            returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+SQL_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+# -- q12: shipmode service levels (TPC-H Q12 shape) ----------------------
+
+def q_q12_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted to the fixture's lineitem columns): per
+    line status, how many of a year's shipped lines belong to urgent vs
+    non-urgent orders — a fact→fact join whose aggregate is pure
+    conditional counting (two CASE sums, one agg on the bounded status
+    key), with the date-window predicate pushed into the lineitem
+    scan."""
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    orders = load_table(spark, "orders", sf_dir)
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
+
+
+SQL_Q12 = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+"""
+
+
 # -- sliding time windows ------------------------------------------------
 
 def q_events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1472,6 +1552,8 @@ QUERIES = {
     "q18_large_orders": q_q18_large_orders,
     "orders_scd2_intervals": q_orders_scd2_intervals,
     "events_sliding_windows": q_events_sliding_windows,
+    "q4_order_priority": q_q4_order_priority,
+    "q12_shipmode": q_q12_shipmode,
     "parts_setops": q_parts_setops,
     "segment_priority_matrix": q_segment_priority_matrix,
     "rollup_order_status": q_rollup_order_status,
@@ -1511,6 +1593,8 @@ ORACLE_SQL = {
     "q18_large_orders": SQL_Q18,
     "orders_scd2_intervals": SQL_ORDERS_SCD2,
     "events_sliding_windows": SQL_EVENTS_SLIDING,
+    "q4_order_priority": SQL_Q4,
+    "q12_shipmode": SQL_Q12,
     "parts_setops": SQL_PARTS_SETOPS,
     "segment_priority_matrix": SQL_SEGMENT_PRIORITY,
     "rollup_order_status": SQL_ROLLUP,

@@ -299,3 +299,24 @@ def test_inverted_index_two_phase_capped_collect(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
     assert re.search(r"spark_partition_id", plan, re.IGNORECASE)
     assert plan.count("slice") >= 2  # both phases cap before shipping
+
+
+def test_sliding_windows_expand_no_preshuffle(spark):
+    """Sliding-window assignment is the Expand operator in the scan
+    stage; exactly one exchange (the aggregation), map-side combined."""
+    from pu4spark_spark.operators.relational import q_events_sliding_windows
+
+    plan = explain_str(q_events_sliding_windows(spark, SF_DIR))
+    assert "Expand" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "partial_count" in plan
+
+
+def test_q4_plans_as_semi_join(spark):
+    """The EXISTS shape must plan as a left-semi join with the quarter
+    filter pushed into the orders scan."""
+    from pu4spark_spark.operators.relational import q_q4_order_priority
+
+    plan = explain_str(q_q4_order_priority(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert re.search(r"PushedFilters: \[[^\]]*o_orderdate", plan)
