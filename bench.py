@@ -112,6 +112,8 @@ HEADLINE = [
     "mm_arrow_payload_stats",
     "q4_order_priority",
     "q12_shipmode",
+    "streaming_sliding_windows",
+    "events_hourly_anomalies",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's

@@ -1190,6 +1190,70 @@ GROUP BY 1, 2
 """
 
 
+# -- rate-anomaly detection ----------------------------------------------
+
+ANOMALY_Z = 2.0
+
+
+def q_events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours whose event rate deviates ≥ 2σ from that event type's
+    hourly mean — the monitoring query every event pipeline runs over
+    its own hourly rollup.
+
+    Composition discipline: the hourly counts are the SAME aggregation
+    as ``events_hourly``; per-type moments are exact integer sums over
+    the (bounded-key) rollup, and the z chain is the verbatim IEEE
+    sqrt/divide replica of the oracle (the ``text_zscore_by_lang``
+    exactness discipline), so even the flag boundary is deterministic.
+    Two map-side-combined aggs + a broadcast-back join on event_type —
+    nothing touches the raw corpus twice.
+    """
+    events = load_table(spark, "events", sf_dir)
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("__nh"),
+        F.sum("n").alias("__s"),
+        F.sum(F.col("n") * F.col("n")).alias("__sq"),
+    )
+    nh = F.col("__nh").cast("double")
+    s = F.col("__s").cast("double")
+    sq = F.col("__sq").cast("double")
+    mean = s / nh
+    var = (nh * sq - s * s) / (nh * (nh - F.lit(1.0)))
+    z = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    return (
+        hourly.join(stats, "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= ANOMALY_Z)
+        .select("event_type", "hour", "n", "z")
+    )
+
+
+SQL_EVENTS_HOURLY_ANOMALIES = f"""
+WITH hourly AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, COUNT(*) AS nh, SUM(n) AS s, SUM(n * n) AS sq
+  FROM hourly GROUP BY event_type
+)
+SELECT event_type, hour, n, z
+FROM (
+  SELECT event_type, hour, n,
+         (CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / CAST(nh AS DOUBLE))
+           / sqrt((CAST(nh AS DOUBLE) * CAST(sq AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                  / (CAST(nh AS DOUBLE) * (CAST(nh AS DOUBLE) - 1.0))) AS z
+  FROM hourly JOIN stats USING (event_type)
+)
+WHERE abs(z) >= {ANOMALY_Z}
+"""
+
+
 # -- SCD2 validity intervals ---------------------------------------------
 
 def q_orders_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1554,6 +1618,7 @@ QUERIES = {
     "events_sliding_windows": q_events_sliding_windows,
     "q4_order_priority": q_q4_order_priority,
     "q12_shipmode": q_q12_shipmode,
+    "events_hourly_anomalies": q_events_hourly_anomalies,
     "parts_setops": q_parts_setops,
     "segment_priority_matrix": q_segment_priority_matrix,
     "rollup_order_status": q_rollup_order_status,
@@ -1595,6 +1660,7 @@ ORACLE_SQL = {
     "events_sliding_windows": SQL_EVENTS_SLIDING,
     "q4_order_priority": SQL_Q4,
     "q12_shipmode": SQL_Q12,
+    "events_hourly_anomalies": SQL_EVENTS_HOURLY_ANOMALIES,
     "parts_setops": SQL_PARTS_SETOPS,
     "segment_priority_matrix": SQL_SEGMENT_PRIORITY,
     "rollup_order_status": SQL_ROLLUP,

@@ -120,6 +120,68 @@ FROM events
 GROUP BY 1, 2
 """
 
+# -- sliding windows (streaming) ----------------------------------------
+
+def sliding_counts(stream: DataFrame) -> DataFrame:
+    """Watermarked SLIDING windows (1 hour every 15 minutes): each
+    event feeds size/slide = 4 overlapping windows; state is bounded by
+    the watermark exactly as for tumbling windows, just 4× the window
+    rows — the streaming rolling-rate view."""
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming twin of the batch ``events_sliding_windows`` —
+    complete-mode availableNow drain must reproduce the batch sliding
+    aggregate exactly (same 4-windows-per-event assignment, same exact
+    decimal sums)."""
+    name = f"events_sliding_stream_{uuid.uuid4().hex[:8]}"
+    agg = sliding_counts(read_events_stream(spark, sf_dir))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name)
+
+
+SQL_STREAMING_SLIDING = """
+WITH slid AS (
+  SELECT event_type, value,
+         time_bucket(INTERVAL 15 MINUTE, ts)
+           - (k * INTERVAL 15 MINUTE) AS w_start
+  FROM events, unnest(range(0, 4)) AS t(k)
+)
+SELECT CAST(w_start AS TIMESTAMP) AS w_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM slid
+GROUP BY 1, 2
+"""
+
+
 # -- session windows -----------------------------------------------------
 
 SESSION_GAP = "30 minutes"
@@ -378,6 +440,7 @@ WHERE hour + INTERVAL 1 HOUR <= w
 
 QUERIES = {
     "streaming_events_hourly": q_streaming_events_hourly,
+    "streaming_sliding_windows": q_streaming_sliding_windows,
     "streaming_sessions": q_streaming_sessions,
     "streaming_range_join": q_streaming_range_join,
     "streaming_dedup_keys": q_streaming_dedup_keys,
@@ -385,6 +448,7 @@ QUERIES = {
 }
 ORACLE_SQL = {
     "streaming_events_hourly": SQL_STREAMING_EVENTS_HOURLY,
+    "streaming_sliding_windows": SQL_STREAMING_SLIDING,
     "streaming_sessions": SQL_STREAMING_SESSIONS,
     "streaming_range_join": SQL_STREAMING_RANGE_JOIN,
     "streaming_dedup_keys": SQL_STREAMING_DEDUP_KEYS,
