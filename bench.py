@@ -114,6 +114,8 @@ HEADLINE = [
     "q12_shipmode",
     "streaming_sliding_windows",
     "events_hourly_anomalies",
+    "curation_oov_rate",
+    "embedding_inertia_by_label",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's

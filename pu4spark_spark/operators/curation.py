@@ -635,6 +635,71 @@ FROM starts
 """
 
 
+# -- out-of-vocabulary rate across the hash split ------------------------
+
+def q_curation_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-test-document out-of-vocabulary rate against the TRAIN
+    split's vocabulary — the distribution-shift check run before
+    trusting an eval split (composes the deterministic hash split with
+    a vocabulary build).
+
+    Scale shape: the vocabulary is corpus-derived, so the probe is a
+    token-key LEFT JOIN (cardinality grows with data, AQE decides
+    broadcast-vs-shuffle — never a mandatory hint), followed by one
+    map-side-combined per-doc rollup.  The rate is an exact integer
+    ratio."""
+    docs = load_table(spark, "documents", sf_dir)
+    b = hash_split_bucket(F.col("doc_id"))
+    train = docs.filter(b < 8)
+    test = docs.filter(b >= 8)
+    vocab = (
+        train.select(F.explode(tokens("text")).alias("token"))
+        .distinct()
+        .withColumn("__in_vocab", F.lit(1))
+    )
+    test_toks = test.select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("token")
+    )
+    return (
+        test_toks.join(vocab, "token", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+        )
+    )
+
+
+SQL_OOV_RATE = f"""
+WITH split AS (
+  SELECT doc_id, lang, text, {_sql_split_bucket()} AS b FROM documents
+),
+vocab AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS token
+  FROM split WHERE b < 8
+),
+test_toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+  FROM split WHERE b >= 8
+)
+SELECT doc_id, lang,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+FROM test_toks t
+LEFT JOIN vocab v ON t.token = v.token
+GROUP BY doc_id, lang
+"""
+
+
 # -- exact span-level dedup over chunk fingerprints ----------------------
 
 def q_dedup_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -767,6 +832,7 @@ QUERIES = {
     "curation_chunk_windows": q_curation_chunk_windows,
     "dedup_chunk_spans": q_dedup_chunk_spans,
     "curation_temperature_mix": q_curation_temperature_mix,
+    "curation_oov_rate": q_curation_oov_rate,
 }
 
 ORACLE_SQL = {
@@ -781,4 +847,5 @@ ORACLE_SQL = {
     "curation_chunk_windows": SQL_CHUNK_WINDOWS,
     "dedup_chunk_spans": SQL_DEDUP_CHUNK_SPANS,
     "curation_temperature_mix": SQL_TEMPERATURE_MIX,
+    "curation_oov_rate": SQL_OOV_RATE,
 }

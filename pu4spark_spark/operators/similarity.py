@@ -435,6 +435,71 @@ GROUP BY label
 SQL_EMBEDDING_LABEL_CENTROIDS = _sql_centroids()
 
 
+# -- exact clustering inertia per label ----------------------------------
+
+def q_embedding_inertia_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact within-cluster sum of squares per label over the quantized
+    embeddings — the clustering-quality number (k-means inertia)
+    computed WITHOUT materializing centroids:
+
+        Σᵢ ||qᵢ − s/n||² = Σᵢ||qᵢ||² − ||s||²/n
+
+    so the whole statistic reduces to integer sums: per-vector norms in
+    one agg, per-(label, dim) component sums in another (explode —
+    co-located, no pre-shuffle), then ||s||² = Σₖ sₖ².  Every addition
+    is exact integer math; the single division at the end is the only
+    IEEE op, replicated verbatim in the oracle.  This is the audit pair
+    for the rows-only KMeans/IVF path: sketch-free, engine-exact."""
+    base = _quantized_base(spark, sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "label")
+    labeled = base.join(emb, "vec_id")
+    direct = labeled.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("norm2").alias("__sum_norm2"),
+    )
+    comps = (
+        labeled.select("label", F.posexplode("q").alias("__k", "__x"))
+        .groupBy("label", "__k")
+        .agg(F.sum("__x").alias("__s"))
+        .groupBy("label")
+        .agg(F.sum(F.col("__s") * F.col("__s")).alias("__s2"))
+    )
+    return (
+        direct.join(comps, "label")
+        .select(
+            "label",
+            "n_vectors",
+            (
+                F.col("__sum_norm2").cast("double")
+                - F.col("__s2").cast("double")
+                / F.col("n_vectors").cast("double")
+            ).alias("inertia"),
+        )
+    )
+
+
+SQL_EMBEDDING_INERTIA = f"""
+WITH base AS (
+  SELECT e.label, {_Q_SQL} AS q FROM embeddings e
+),
+direct AS (
+  SELECT label, COUNT(*) AS n_vectors,
+         SUM(CAST(list_dot_product(q, q) AS BIGINT)) AS sum_norm2
+  FROM base GROUP BY label
+),
+comps AS (
+  SELECT label, k, SUM(q[k]) AS s
+  FROM base, unnest(range(1, len(q) + 1)) AS t(k)
+  GROUP BY label, k
+),
+s2 AS (SELECT label, SUM(s * s) AS s2 FROM comps GROUP BY label)
+SELECT label, n_vectors,
+       CAST(sum_norm2 AS DOUBLE)
+         - CAST(s2 AS DOUBLE) / CAST(n_vectors AS DOUBLE) AS inertia
+FROM direct JOIN s2 USING (label)
+"""
+
+
 # -- ANN quality evaluation: recall@k of the LSH probe -------------------
 
 def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -492,6 +557,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "ann_brp_lsh_ml": q_ann_brp_lsh_ml,
     "ann_lsh_recall": q_ann_lsh_recall,
+    "embedding_inertia_by_label": q_embedding_inertia_by_label,
 }
 
 ORACLE_SQL = {
@@ -500,6 +566,7 @@ ORACLE_SQL = {
     "embedding_label_centroids": SQL_EMBEDDING_LABEL_CENTROIDS,
     "ann_lsh_bucketed": SQL_ANN_LSH_BUCKETED,
     "ann_lsh_recall": SQL_ANN_LSH_RECALL,
+    "embedding_inertia_by_label": SQL_EMBEDDING_INERTIA,
     # ann_ivf: KMeans centroids — rows-only
     # ann_brp_lsh_ml: ML internals — rows-only
 }
