@@ -116,6 +116,7 @@ HEADLINE = [
     "events_hourly_anomalies",
     "curation_oov_rate",
     "embedding_inertia_by_label",
+    "orders_unpivot_metrics",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's

@@ -1190,6 +1190,44 @@ GROUP BY 1, 2
 """
 
 
+# -- unpivot (wide → long) -----------------------------------------------
+
+def q_orders_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-status metrics melted back to long (status, metric,
+    value) rows via ``DataFrame.unpivot`` — the metrics-table shape
+    monitoring stores ingest.  The wide aggregate is one
+    map-side-combined agg on the bounded status key; the unpivot is an
+    Expand in the same stage (no shuffle added)."""
+    orders = load_table(spark, "orders", sf_dir)
+    wide = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.sum(dec("o_totalprice", MONEY)).cast("double").alias("total_price"),
+        F.min(dec("o_totalprice", MONEY)).cast("double").alias("min_price"),
+        F.max(dec("o_totalprice", MONEY)).cast("double").alias("max_price"),
+    )
+    return wide.unpivot(
+        ids=["o_orderstatus"],
+        values=["n_orders", "total_price", "min_price", "max_price"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+SQL_ORDERS_UNPIVOT = f"""
+WITH wide AS (
+  SELECT o_orderstatus,
+         CAST(COUNT(*) AS DOUBLE) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS {MONEY})) AS DOUBLE) AS total_price,
+         CAST(MIN(CAST(o_totalprice AS {MONEY})) AS DOUBLE) AS min_price,
+         CAST(MAX(CAST(o_totalprice AS {MONEY})) AS DOUBLE) AS max_price
+  FROM orders GROUP BY o_orderstatus
+)
+UNPIVOT wide
+ON n_orders, total_price, min_price, max_price
+INTO NAME metric VALUE value
+"""
+
+
 # -- rate-anomaly detection ----------------------------------------------
 
 ANOMALY_Z = 2.0
@@ -1619,6 +1657,7 @@ QUERIES = {
     "q4_order_priority": q_q4_order_priority,
     "q12_shipmode": q_q12_shipmode,
     "events_hourly_anomalies": q_events_hourly_anomalies,
+    "orders_unpivot_metrics": q_orders_unpivot_metrics,
     "parts_setops": q_parts_setops,
     "segment_priority_matrix": q_segment_priority_matrix,
     "rollup_order_status": q_rollup_order_status,
@@ -1661,6 +1700,7 @@ ORACLE_SQL = {
     "q4_order_priority": SQL_Q4,
     "q12_shipmode": SQL_Q12,
     "events_hourly_anomalies": SQL_EVENTS_HOURLY_ANOMALIES,
+    "orders_unpivot_metrics": SQL_ORDERS_UNPIVOT,
     "parts_setops": SQL_PARTS_SETOPS,
     "segment_priority_matrix": SQL_SEGMENT_PRIORITY,
     "rollup_order_status": SQL_ROLLUP,
