@@ -320,29 +320,3 @@ def test_q4_plans_as_semi_join(spark):
     plan = explain_str(q_q4_order_priority(spark, SF_DIR))
     assert "LeftSemi" in plan
     assert re.search(r"PushedFilters: \[[^\]]*o_orderdate", plan)
-
-
-def test_observe_metrics_piggyback_on_release_pipeline(spark):
-    """df.observe(): pipeline health metrics (rows, token totals)
-    collected as a side effect of the SAME job that produces the
-    result — no second pass over the corpus.  The observed values must
-    equal an independent aggregation."""
-    from pyspark.sql import Observation
-    from pyspark.sql import functions as F
-
-    from pu4spark_spark.sources import load_table
-
-    docs = load_table(spark, "documents", SF_DIR)
-    obs = Observation("health")
-    observed = docs.observe(
-        obs,
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("total_chars"),
-    )
-    out = observed.filter(F.col("lang") == "en").count()  # any action
-    want = docs.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("t")
-    ).collect()[0]
-    assert obs.get["n_docs"] == want["n"]
-    assert obs.get["total_chars"] == want["t"]
-    assert out > 0
