@@ -117,6 +117,7 @@ HEADLINE = [
     "curation_oov_rate",
     "embedding_inertia_by_label",
     "orders_unpivot_metrics",
+    "text_search_tfdf",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's

@@ -10,7 +10,7 @@ counts + single IEEE float ops so every query is oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pu4spark_spark.functions.textfns import (
@@ -738,6 +738,103 @@ GROUP BY token
 """
 
 
+# -- keyword search (tf/df ranking) --------------------------------------
+
+#: fixed demo query; term count is a QUERY property (small constant),
+#: which is what makes the per-term pivot columns and the fixed-order
+#: score chain legitimate
+SEARCH_TERMS = ("table", "key", "spark")
+SEARCH_TOP_K = 20
+
+
+def q_text_search_tfdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword search over the corpus: score = Σ_t tf(t,d)/df(t) — the
+    idf-weighted ranking shape (log-free so both engines agree
+    bit-for-bit; log is not correctly-rounded IEEE, division is).
+
+    Exactness: per-term tf and df are integer aggregates; each term's
+    contribution is ONE IEEE division and the score sums the fixed
+    3-term chain in source order — deterministic, unlike a groupBy SUM
+    over doubles.  Scale shape: tf is one conditional agg per doc (the
+    term filter prunes the explode), df is a 1-row corpus aggregate
+    broadcast back, ranking is the two-phase top-k."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    ).filter(F.col("token").isin(*SEARCH_TERMS))
+    tf = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("token") == t, 1).otherwise(0)).alias(
+                f"tf_{i}"
+            )
+            for i, t in enumerate(SEARCH_TERMS)
+        ]
+    )
+    dfs = toks.distinct().groupBy().agg(
+        *[
+            F.sum(F.when(F.col("token") == t, 1).otherwise(0)).alias(
+                f"df_{i}"
+            )
+            for i, t in enumerate(SEARCH_TERMS)
+        ]
+    )
+    score = None
+    for i in range(len(SEARCH_TERMS)):
+        term = F.col(f"tf_{i}").cast("double") / F.col(f"df_{i}").cast(
+            "double"
+        )
+        score = term if score is None else score + term
+    scored = tf.crossJoin(F.broadcast(dfs)).select(
+        "doc_id", score.alias("score")
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    wl = Window.partitionBy("__part").orderBy(F.desc("score"), F.asc("doc_id"))
+    local = (
+        scored.withColumn("__part", F.spark_partition_id())
+        .withColumn("__lr", F.row_number().over(wl))
+        .filter(F.col("__lr") <= SEARCH_TOP_K)
+        .drop("__part", "__lr")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SEARCH_TOP_K)
+        .select("doc_id", "score", "rank")
+    )
+
+
+def _sql_search() -> str:
+    tf_cols = ", ".join(
+        f"SUM(CASE WHEN token = '{t}' THEN 1 ELSE 0 END) AS tf_{i}"
+        for i, t in enumerate(SEARCH_TERMS)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN token = '{t}' THEN 1 ELSE 0 END) AS df_{i}"
+        for i, t in enumerate(SEARCH_TERMS)
+    )
+    score = " + ".join(
+        f"(CAST(tf_{i} AS DOUBLE) / CAST(df_{i} AS DOUBLE))"
+        for i in range(len(SEARCH_TERMS))
+    )
+    terms_in = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+hits AS (SELECT * FROM toks WHERE token IN ({terms_in})),
+tf AS (SELECT doc_id, {tf_cols} FROM hits GROUP BY doc_id),
+dfs AS (SELECT {df_cols} FROM (SELECT DISTINCT doc_id, token FROM hits)),
+scored AS (SELECT doc_id, {score} AS score FROM tf, dfs)
+SELECT doc_id, score,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER)
+         AS rank
+FROM scored
+QUALIFY rank <= {SEARCH_TOP_K}
+"""
+
+
+SQL_TEXT_SEARCH_TFDF = _sql_search()
+
+
 # -- document-length histogram -------------------------------------------
 
 #: fixed-width char buckets; the last bucket is open-ended
@@ -796,6 +893,7 @@ QUERIES = {
     "text_length_histogram": q_text_length_histogram,
     "text_zscore_by_lang": q_text_zscore_by_lang,
     "text_inverted_index": q_text_inverted_index,
+    "text_search_tfdf": q_text_search_tfdf,
 }
 
 ORACLE_SQL = {
@@ -813,5 +911,6 @@ ORACLE_SQL = {
     "text_length_histogram": SQL_TEXT_LENGTH_HISTOGRAM,
     "text_zscore_by_lang": SQL_TEXT_ZSCORE,
     "text_inverted_index": SQL_TEXT_INVERTED_INDEX,
+    "text_search_tfdf": SQL_TEXT_SEARCH_TFDF,
     # text_tfidf_ml: ML — rows-only
 }

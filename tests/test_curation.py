@@ -349,3 +349,38 @@ def test_chunk_windows_cover_every_token_once_per_pass(spark):
         assert [c for c, _ in chunks] == list(range(len(want_starts)))
         for (cid, ntok), start in zip(chunks, want_starts):
             assert ntok == min(CHUNK_SIZE, n - start)
+
+
+def test_temperature_mix_smallest_source_keeps_all(spark):
+    """p_keep is normalized so the SMALLEST source has probability 1 —
+    its docs all survive; every p_keep is in (0, 1]; kept <= total."""
+    from pu4spark_spark.operators.curation import q_curation_temperature_mix
+
+    rows = {r["source"]: r for r in q_curation_temperature_mix(spark, SF).collect()}
+    assert rows
+    min_n = min(r["n_src"] for r in rows.values())
+    for r in rows.values():
+        assert 0.0 < r["p_keep"] <= 1.0
+        assert r["n_kept"] <= r["n_src"]
+        if r["n_src"] == min_n:
+            assert r["p_keep"] == 1.0 and r["n_kept"] == r["n_src"]
+    # rarer sources keep a HIGHER fraction (monotone up-weighting)
+    by_n = sorted(rows.values(), key=lambda r: r["n_src"])
+    for a, b in zip(by_n, by_n[1:]):
+        assert a["p_keep"] >= b["p_keep"]
+
+
+def test_oov_rate_bounds_and_split_disjointness(spark):
+    from pu4spark_spark.operators.curation import (
+        q_curation_hash_split,
+        q_curation_oov_rate,
+    )
+
+    split = {r["doc_id"]: r["split"] for r in q_curation_hash_split(spark, SF).collect()}
+    out = q_curation_oov_rate(spark, SF).collect()
+    assert out
+    for r in out:
+        # only non-train docs are scored, rate is a valid ratio
+        assert split[r["doc_id"]] in ("val", "test")
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        assert abs(r["oov_rate"] - r["n_oov"] / r["n_tokens"]) == 0.0

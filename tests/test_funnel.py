@@ -108,3 +108,21 @@ def test_retention_day_zero_counts_every_user(spark):
     # every user appears in their own cohort's day 0 exactly once
     assert day0 == n_users
     assert out.filter(F.col("day_offset") < 0).count() == 0
+
+
+def test_spend_quartiles_partition_all_customers(spark):
+    """The four buckets partition the customer set and respect boundary
+    ordering (max of quartile k <= min of quartile k+1)."""
+    from pu4spark_spark.operators.relational import q_customer_spend_quartiles
+
+    rows = sorted(
+        q_customer_spend_quartiles(spark, SF).collect(),
+        key=lambda r: r["quartile"],
+    )
+    assert [r["quartile"] for r in rows] == [1, 2, 3, 4]
+    n_cust = (
+        load_table(spark, "orders", SF).select("o_custkey").distinct().count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_spend"] <= b["min_spend"]
