@@ -118,6 +118,8 @@ HEADLINE = [
     "embedding_inertia_by_label",
     "orders_unpivot_metrics",
     "text_search_tfdf",
+    "events_locf_value",
+    "customer_rfm_segments",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's

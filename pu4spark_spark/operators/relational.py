@@ -1190,6 +1190,133 @@ GROUP BY 1, 2
 """
 
 
+# -- LOCF gap-fill -------------------------------------------------------
+
+def q_events_locf_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward: every event carries the most
+    recent purchase value of its user (NULL before the first purchase)
+    — the gap-fill every sparse time series needs before feature
+    extraction.  One hash exchange + one sort; the carry is a
+    ``last(ignoreNulls)`` running frame, never a self-join."""
+    events = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pv = F.when(
+        F.col("event_type") == "purchase",
+        F.col("value").cast("decimal(18,2)"),
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.last(pv, ignorenulls=True).over(w).cast("double").alias(
+            "last_purchase_value"
+        ),
+    )
+
+
+SQL_EVENTS_LOCF = """
+SELECT event_id, user_id, event_type,
+       CAST(LAST_VALUE(CASE WHEN event_type = 'purchase'
+                            THEN CAST(value AS DECIMAL(18,2)) END
+                       IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS last_purchase_value
+FROM events
+"""
+
+
+# -- RFM segmentation ----------------------------------------------------
+
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation: each
+    dimension quartiled with the same broadcast-boundary discipline as
+    ``customer_spend_quartiles`` (no ntile's single-task sort), then
+    rolled up per (r, f, m) cell.
+
+    Exactness: recency is integer days, frequency an integer count,
+    monetary an exact decimal sum cast once; all nine boundaries come
+    from one percentile aggregation and compare deterministically."""
+    orders = load_table(spark, "orders", sf_dir)
+    anchor = F.lit("1997-01-01").cast("timestamp")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.min(F.datediff(anchor, F.col("o_orderdate"))).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        # decimal sum kept exact for the downstream cell rollup (double
+        # summation is order-dependent); the double twin feeds the
+        # percentile boundaries
+        F.sum(dec("o_totalprice", MONEY)).alias("monetary_dec"),
+    ).withColumn("monetary", F.col("monetary_dec").cast("double"))
+    bounds = rfm.agg(
+        *[
+            F.expr(f"percentile({c}, {q})").alias(f"{c}_q{i}")
+            for c in ("recency_days", "frequency", "monetary")
+            for i, q in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+
+    def bucket(c: str) -> F.Column:
+        return (
+            F.when(F.col(c) <= F.col(f"{c}_q1"), 1)
+            .when(F.col(c) <= F.col(f"{c}_q2"), 2)
+            .when(F.col(c) <= F.col(f"{c}_q3"), 3)
+            .otherwise(4)
+        )
+
+    cells = rfm.crossJoin(F.broadcast(bounds)).select(
+        bucket("recency_days").alias("r"),
+        bucket("frequency").alias("f"),
+        bucket("monetary").alias("m"),
+        "monetary_dec",
+    )
+    return cells.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("monetary_dec")).cast("double").alias("cell_monetary"),
+    )
+
+
+SQL_CUSTOMER_RFM = f"""
+WITH rfm AS (
+  SELECT o_custkey,
+         MIN(date_diff('day', CAST(o_orderdate AS DATE),
+                       DATE '1997-01-01')) AS recency_days,
+         COUNT(*) AS frequency,
+         SUM(CAST(o_totalprice AS {MONEY})) AS monetary_dec,
+         CAST(SUM(CAST(o_totalprice AS {MONEY})) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+bounds AS (
+  SELECT quantile_cont(recency_days, 0.25) AS recency_days_q1,
+         quantile_cont(recency_days, 0.50) AS recency_days_q2,
+         quantile_cont(recency_days, 0.75) AS recency_days_q3,
+         quantile_cont(frequency, 0.25) AS frequency_q1,
+         quantile_cont(frequency, 0.50) AS frequency_q2,
+         quantile_cont(frequency, 0.75) AS frequency_q3,
+         quantile_cont(monetary, 0.25) AS monetary_q1,
+         quantile_cont(monetary, 0.50) AS monetary_q2,
+         quantile_cont(monetary, 0.75) AS monetary_q3
+  FROM rfm
+)
+SELECT CASE WHEN recency_days <= recency_days_q1 THEN 1
+            WHEN recency_days <= recency_days_q2 THEN 2
+            WHEN recency_days <= recency_days_q3 THEN 3 ELSE 4 END AS r,
+       CASE WHEN frequency <= frequency_q1 THEN 1
+            WHEN frequency <= frequency_q2 THEN 2
+            WHEN frequency <= frequency_q3 THEN 3 ELSE 4 END AS f,
+       CASE WHEN monetary <= monetary_q1 THEN 1
+            WHEN monetary <= monetary_q2 THEN 2
+            WHEN monetary <= monetary_q3 THEN 3 ELSE 4 END AS m,
+       COUNT(*) AS n_customers,
+       CAST(SUM(monetary_dec) AS DOUBLE) AS cell_monetary
+FROM rfm, bounds
+GROUP BY 1, 2, 3
+"""
+
+
 # -- unpivot (wide → long) -----------------------------------------------
 
 def q_orders_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1658,6 +1785,8 @@ QUERIES = {
     "q12_shipmode": q_q12_shipmode,
     "events_hourly_anomalies": q_events_hourly_anomalies,
     "orders_unpivot_metrics": q_orders_unpivot_metrics,
+    "events_locf_value": q_events_locf_value,
+    "customer_rfm_segments": q_customer_rfm_segments,
     "parts_setops": q_parts_setops,
     "segment_priority_matrix": q_segment_priority_matrix,
     "rollup_order_status": q_rollup_order_status,
@@ -1701,6 +1830,8 @@ ORACLE_SQL = {
     "q12_shipmode": SQL_Q12,
     "events_hourly_anomalies": SQL_EVENTS_HOURLY_ANOMALIES,
     "orders_unpivot_metrics": SQL_ORDERS_UNPIVOT,
+    "events_locf_value": SQL_EVENTS_LOCF,
+    "customer_rfm_segments": SQL_CUSTOMER_RFM,
     "parts_setops": SQL_PARTS_SETOPS,
     "segment_priority_matrix": SQL_SEGMENT_PRIORITY,
     "rollup_order_status": SQL_ROLLUP,
