@@ -156,6 +156,27 @@ AUDITED = {
         "bounded lang key; the moment row joins back as a broadcast; "
         "z is scan-stage IEEE math replicated verbatim in the oracle."
     ),
+    "q4_order_priority": (
+        "EXISTS planned as a left-semi join; the quarter filter is "
+        "pushed into the orders scan."
+    ),
+    "events_sliding_windows": (
+        "Overlapping-window assignment is the Expand operator in the "
+        "scan stage (4 rows per event); ONE map-side-combined exchange."
+    ),
+    "events_locf_value": (
+        "Carry-forward is a last(ignoreNulls) running frame: one "
+        "exchange + one sort, never a self-join."
+    ),
+    "customer_rfm_segments": (
+        "Three quartile boundaries reduce to ONE broadcast row; bucket "
+        "assignment is scan-stage comparison — no ntile, no "
+        "single-task sort; the cell rollup sums exact decimals."
+    ),
+    "text_search_tfdf": (
+        "df is a 1-row broadcast; scoring is a fixed-order double "
+        "chain in the scan stage; ranking is the two-phase top-k."
+    ),
 }
 
 _TREE_RE = re.compile(r"^(.*?)\n\n\(1\)", re.DOTALL)
