@@ -1,0 +1,112 @@
+"""Cross-operator consistency: independent operators that make
+overlapping claims must agree with EACH OTHER, not just with their own
+oracles — the strongest internal evidence the suite can produce."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pu4spark_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_locf_at_purchase_rows_equals_own_value(spark):
+    """At every purchase event, the carried-forward value IS that
+    purchase's value (the frame includes the current row)."""
+    from pu4spark_spark.operators.relational import q_events_locf_value
+
+    out = q_events_locf_value(spark, SF)
+    ev = load_table(spark, "events", SF).select(
+        "event_id", F.col("value").cast("decimal(18,2)").cast("double").alias("v")
+    )
+    joined = (
+        out.filter(F.col("event_type") == "purchase")
+        .join(ev, "event_id")
+        .collect()
+    )
+    assert joined
+    for r in joined:
+        assert r["last_purchase_value"] == r["v"]
+
+
+def test_sliding_with_slide_equal_size_is_tumbling(spark):
+    """window(size, slide=size) must equal the tumbling hourly query —
+    the sliding operator degenerates correctly."""
+    from pu4spark_spark.operators.relational import q_events_hourly
+
+    events = load_table(spark, "events", SF)
+    slid = (
+        events.groupBy(
+            F.window("ts", "1 hour", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("hour"), "event_type", "n_events")
+    )
+    hourly = q_events_hourly(spark, SF).select(
+        "hour", "event_type", "n_events"
+    )
+    a = sorted(tuple(r) for r in slid.collect())
+    b = sorted(tuple(r) for r in hourly.collect())
+    assert a == b
+
+
+def test_minhash_estimate_pairs_match_lsh_verified_pairs(spark):
+    """Every LSH-verified near-dup pair appears among the estimator's
+    candidate pairs, and estimates stay in [0, 1]."""
+    from pu4spark_spark.operators.dedup import (
+        q_dedup_minhash_estimate,
+        q_dedup_minhash_lsh,
+    )
+
+    est = {
+        (r["a_id"], r["b_id"]): r
+        for r in q_dedup_minhash_estimate(spark, SF).collect()
+    }
+    assert est
+    for r in est.values():
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert 0.0 <= r["jaccard"] <= 1.0
+    verified = q_dedup_minhash_lsh(spark, SF).collect()
+    for v in verified:
+        key = (v["a_id"], v["b_id"])
+        assert key in est
+        # the estimator's exact-jaccard column must agree with the
+        # verifier's for the same pair
+        assert est[key]["jaccard"] == v["jaccard"]
+
+
+def test_streaming_pyds_agrees_with_batch_pyds(spark):
+    """The custom source's incremental stream and batch reader must
+    report identical per-lang totals (shared columns)."""
+    from pu4spark_spark.sources.pydatasource import (
+        q_fmt_pyds_jsonl_roundtrip,
+        q_streaming_pyds_docs,
+    )
+
+    cols = ["lang", "n_docs", "sum_chars", "min_doc", "max_doc"]
+    batch = sorted(
+        tuple(r) for r in q_fmt_pyds_jsonl_roundtrip(spark, SF).select(*cols).collect()
+    )
+    stream = sorted(
+        tuple(r) for r in q_streaming_pyds_docs(spark, SF).select(*cols).collect()
+    )
+    assert batch == stream
+
+
+def test_scd2_current_rows_equal_scd1_compaction_totals(spark):
+    """SCD2's current-interval rows must total exactly what the SCD1
+    keep-latest compaction reports (same change set, two disciplines)."""
+    from pu4spark_spark.operators.relational import (
+        q_orders_scd2_intervals,
+        q_orders_upsert_compact,
+    )
+
+    scd2 = q_orders_scd2_intervals(spark, SF).filter(F.col("is_current"))
+    n_current = scd2.agg(F.sum("n_rows")).collect()[0][0]
+    total_current = round(
+        sum(r["sum_price"] for r in scd2.collect()), 2
+    )
+    scd1 = q_orders_upsert_compact(spark, SF).collect()
+    assert n_current == sum(r["n_orders"] for r in scd1)
+    assert total_current == round(sum(r["total_price"] for r in scd1), 2)
