@@ -120,6 +120,7 @@ HEADLINE = [
     "text_search_tfdf",
     "events_locf_value",
     "customer_rfm_segments",
+    "pipeline_chunk_release",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's

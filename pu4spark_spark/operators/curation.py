@@ -820,6 +820,134 @@ GROUP BY d.source
 """
 
 
+# -- chunk-level release pipeline (r4 capstone composition) ---------------
+
+def q_pipeline_chunk_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunk-granularity release chain as ONE Catalyst plan:
+    sliding-window chunking → exact span dedup (drop every chunk whose
+    full-size fingerprint recurs, keep the lowest (doc_id, chunk_id)
+    copy) → token-budget shard packing of the survivors.
+
+    Composition proof, same as ``pipeline_corpus_release``: Catalyst
+    sees the whole tree — the chunk explode runs once and feeds both
+    the duplicate-span aggregate and the keep side; the anti-join key
+    is the 128-bit chunk hash (scales with data); packing is the
+    per-lang running-sum window, never a global sort.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", "lang", tokens("text").alias("__toks")
+    ).filter(F.size("__toks") > 0)
+    chunks = toks.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            f"posexplode(sequence(0, size(__toks) - 1, {CHUNK_STRIDE}))"
+        ).alias("__i", "__start"),
+        "__toks",
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__start") + 1, CHUNK_SIZE)
+    flat = chunks.select(
+        "doc_id",
+        "lang",
+        F.col("__i").cast("long").alias("chunk_id"),
+        F.size(chunk).alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+    # duplicated full-size spans: keep only the (min doc, min chunk) copy
+    dup_keep = (
+        flat.filter(F.col("n_tokens") == CHUNK_SIZE)
+        .groupBy("chunk_md5")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min(F.struct("doc_id", "chunk_id")).alias("__keep"),
+        )
+        .filter(F.col("__n") > 1)
+        .select(
+            "chunk_md5",
+            F.col("__keep.doc_id").alias("__kd"),
+            F.col("__keep.chunk_id").alias("__kc"),
+        )
+    )
+    kept = (
+        flat.join(dup_keep, "chunk_md5", "left")
+        .filter(
+            F.col("__kd").isNull()
+            | (
+                (F.col("doc_id") == F.col("__kd"))
+                & (F.col("chunk_id") == F.col("__kc"))
+            )
+        )
+        .select("doc_id", "lang", "chunk_id", "n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = kept.withColumn(
+        "shard_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            / SHARD_TOKEN_BUDGET
+        ),
+    )
+    return packed.groupBy("lang", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+    )
+
+
+SQL_PIPELINE_CHUNK_RELEASE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS t
+  FROM documents
+  WHERE text IS NOT NULL AND len(string_split(text, ' ')) > 0
+),
+starts AS (
+  SELECT doc_id, lang, t, unnest(range(0, len(t), {CHUNK_STRIDE})) AS g
+  FROM toks
+),
+flat AS (
+  SELECT doc_id, lang,
+         CAST(g / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+         CAST(len(list_slice(t, g + 1, g + {CHUNK_SIZE})) AS INTEGER)
+           AS n_tokens,
+         md5(array_to_string(list_slice(t, g + 1, g + {CHUNK_SIZE}), ' '))
+           AS chunk_md5
+  FROM starts
+),
+dup_keep AS (
+  SELECT chunk_md5,
+         MIN({{'doc_id': doc_id, 'chunk_id': chunk_id}}) AS keep
+  FROM flat WHERE n_tokens = {CHUNK_SIZE}
+  GROUP BY chunk_md5
+  HAVING COUNT(*) > 1
+),
+kept AS (
+  SELECT f.doc_id, f.lang, f.chunk_id, f.n_tokens
+  FROM flat f LEFT JOIN dup_keep d USING (chunk_md5)
+  WHERE d.chunk_md5 IS NULL
+     OR (f.doc_id = d.keep.doc_id AND f.chunk_id = d.keep.chunk_id)
+),
+packed AS (
+  SELECT lang,
+         CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang
+                                         ORDER BY doc_id, chunk_id
+                                         ROWS UNBOUNDED PRECEDING)
+                     - n_tokens) / {SHARD_TOKEN_BUDGET}) AS BIGINT)
+           AS shard_id,
+         n_tokens
+  FROM kept
+)
+SELECT lang, shard_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+FROM packed
+GROUP BY lang, shard_id
+"""
+
+
 QUERIES = {
     "curation_pii_redact": q_curation_pii_redact,
     "pipeline_corpus_release": q_pipeline_corpus_release,
@@ -833,6 +961,7 @@ QUERIES = {
     "dedup_chunk_spans": q_dedup_chunk_spans,
     "curation_temperature_mix": q_curation_temperature_mix,
     "curation_oov_rate": q_curation_oov_rate,
+    "pipeline_chunk_release": q_pipeline_chunk_release,
 }
 
 ORACLE_SQL = {
@@ -848,4 +977,5 @@ ORACLE_SQL = {
     "dedup_chunk_spans": SQL_DEDUP_CHUNK_SPANS,
     "curation_temperature_mix": SQL_TEMPERATURE_MIX,
     "curation_oov_rate": SQL_OOV_RATE,
+    "pipeline_chunk_release": SQL_PIPELINE_CHUNK_RELEASE,
 }
