@@ -126,3 +126,55 @@ def test_spend_quartiles_partition_all_customers(spark):
     assert sum(r["n_customers"] for r in rows) == n_cust
     for a, b in zip(rows, rows[1:]):
         assert a["max_spend"] <= b["min_spend"]
+
+
+def test_funnel_matches_bruteforce_reference(spark):
+    """Randomized third-engine check: a plain-Python per-user scan must
+    agree with the windowed funnel on arbitrary event orderings."""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    eid = 0
+    for user in range(40):
+        n = rng.randint(1, 12)
+        for _ in range(n):
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    _ts("2024-01-01T00:00:00")
+                    + __import__("datetime").timedelta(
+                        minutes=rng.randint(0, 500)
+                    ),
+                    user,
+                    rng.choice(["view", "click", "purchase", "error"]),
+                )
+            )
+
+    # brute force: per user, scan in (ts, event_id) order
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for e, t, u, typ in rows:
+        if typ in ("view", "click", "purchase"):
+            by_user[u].append((t, e, typ))
+    v, c, p = set(), set(), set()
+    for u, evs in by_user.items():
+        evs.sort()
+        seen_view = seen_click_after_view = False
+        for _t, _e, typ in evs:
+            if typ == "view":
+                v.add(u)
+            elif typ == "click" and seen_view:
+                c.add(u)
+            elif typ == "purchase" and seen_click_after_view:
+                p.add(u)
+            # state updates AFTER the check: priors must be STRICTLY earlier
+            if typ == "view":
+                seen_view = True
+            if typ == "click" and seen_view and u in c:
+                seen_click_after_view = True
+
+    r = _funnel_on(spark, rows)
+    assert (r["v"], r["c"], r["p"]) == (len(v), len(c), len(p))
