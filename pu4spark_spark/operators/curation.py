@@ -700,6 +700,65 @@ GROUP BY doc_id, lang
 """
 
 
+# -- UDTF surface demo (chunking as a lateral table function) -------------
+
+def q_curation_chunk_windows_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME chunk tiling as a registered Python UDTF consumed with
+    LATERAL — completing the UDF/UDAF/UDTF surface literally.  Must
+    hash-match the same oracle as the native operator, proving the two
+    paths agree row-for-row.
+
+    This is an API-parity demo, NOT the production path: UDTF eval is
+    per-row Python, while ``q_curation_chunk_windows`` does the
+    identical work in whole-stage codegen (posexplode + array ops).
+    The engine's rule stands — per-row Python never in the hot path —
+    and the paired oracle makes the equivalence checkable.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id: bigint, n_tokens: int")
+    class ChunkWindows:
+        def eval(self, text: str):
+            from pu4spark_spark.operators.curation import (
+                CHUNK_SIZE,
+                CHUNK_STRIDE,
+            )
+
+            if text is None:
+                return
+            toks = text.split(" ")
+            if not toks:
+                return
+            for i, start in enumerate(range(0, len(toks), CHUNK_STRIDE)):
+                yield i, min(CHUNK_SIZE, len(toks) - start)
+
+    spark.udtf.register("chunk_windows_udtf", ChunkWindows)
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView(
+        "__docs_for_udtf"
+    )
+    return spark.sql(
+        "SELECT doc_id, c.chunk_id, c.n_tokens "
+        "FROM __docs_for_udtf, LATERAL chunk_windows_udtf(text) AS c"
+    )
+
+
+SQL_CHUNK_WINDOWS_UDTF = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t
+  FROM documents
+  WHERE text IS NOT NULL AND len(string_split(text, ' ')) > 0
+),
+starts AS (
+  SELECT doc_id, t, unnest(range(0, len(t), {CHUNK_STRIDE})) AS g FROM toks
+)
+SELECT doc_id,
+       CAST(g / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(t, g + 1, g + {CHUNK_SIZE})) AS INTEGER)
+         AS n_tokens
+FROM starts
+"""
+
+
 # -- exact span-level dedup over chunk fingerprints ----------------------
 
 def q_dedup_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -962,6 +1021,7 @@ QUERIES = {
     "curation_temperature_mix": q_curation_temperature_mix,
     "curation_oov_rate": q_curation_oov_rate,
     "pipeline_chunk_release": q_pipeline_chunk_release,
+    "curation_chunk_windows_udtf": q_curation_chunk_windows_udtf,
 }
 
 ORACLE_SQL = {
@@ -978,4 +1038,5 @@ ORACLE_SQL = {
     "curation_temperature_mix": SQL_TEMPERATURE_MIX,
     "curation_oov_rate": SQL_OOV_RATE,
     "pipeline_chunk_release": SQL_PIPELINE_CHUNK_RELEASE,
+    "curation_chunk_windows_udtf": SQL_CHUNK_WINDOWS_UDTF,
 }
