@@ -110,3 +110,25 @@ def test_scd2_current_rows_equal_scd1_compaction_totals(spark):
     scd1 = q_orders_upsert_compact(spark, SF).collect()
     assert n_current == sum(r["n_orders"] for r in scd1)
     assert total_current == round(sum(r["total_price"] for r in scd1), 2)
+
+
+def test_chunk_release_drops_exactly_the_duplicate_spans(spark):
+    """The chunks the release pipeline drops are exactly the non-keeper
+    members of dedup_chunk_spans' duplicate groups."""
+    from pu4spark_spark.operators.curation import (
+        q_curation_chunk_windows,
+        q_dedup_chunk_spans,
+        q_pipeline_chunk_release,
+    )
+
+    total_chunks = q_curation_chunk_windows(spark, SF).count()
+    kept_chunks = (
+        q_pipeline_chunk_release(spark, SF)
+        .agg(F.sum("n_chunks"))
+        .collect()[0][0]
+    )
+    dup_extra = sum(
+        r["n_spans"] - 1 for r in q_dedup_chunk_spans(spark, SF).collect()
+    )
+    assert total_chunks - kept_chunks == dup_extra
+    assert dup_extra > 0  # the fixture actually exercises the drop
