@@ -61,9 +61,16 @@ def main() -> int:
 
     import __spark_entry__ as entry_mod
 
-    only = set(sys.argv[1:])
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    only = set(argv)
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    results: dict[str, dict] = {}
 
     spark = (
         SparkSession.builder.appName("check_oracle")
@@ -93,6 +100,14 @@ def main() -> int:
             srows = [[r[c] for c in scols] for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
+            results[name] = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "spark_rows": None,
+                "oracle_rows": None,
+                "err": f"spark: {type(e).__name__}: {e}"[:300],
+            }
             n_fail += 1
             continue
         if name not in oracles:
@@ -101,6 +116,15 @@ def main() -> int:
                 f"ROWS-ONLY {name}: {len(srows)} rows [{status}] "
                 f"({time.time() - t0:.1f}s)"
             )
+            results[name] = {
+                "rows_match": None,
+                "schema_match": None,
+                "hash_match": None,
+                "spark_rows": len(srows),
+                "oracle_rows": None,
+                "err": "no_oracle",
+                "sec": round(time.time() - t0, 2),
+            }
             n_rows_only += 1
             continue
         try:
@@ -109,6 +133,14 @@ def main() -> int:
             drows_raw = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
+            results[name] = {
+                "rows_match": None,
+                "schema_match": None,
+                "hash_match": False,
+                "spark_rows": len(srows),
+                "oracle_rows": None,
+                "err": f"duckdb: {type(e).__name__}: {e}"[:300],
+            }
             n_fail += 1
             continue
         dorder = sorted(range(len(dcols_raw)), key=lambda i: dcols_raw[i])
@@ -139,6 +171,15 @@ def main() -> int:
                     f"values differ: {n_diff} rows (first spark={first[0]} "
                     f"duckdb={first[1]}; within-1e-6={near})"
                 )
+        results[name] = {
+            "rows_match": len(srows) == len(drows),
+            "schema_match": scols == dcols,
+            "hash_match": not problems,
+            "spark_rows": len(srows),
+            "oracle_rows": len(drows),
+            "err": " | ".join(problems)[:300] if problems else None,
+            "sec": round(time.time() - t0, 2),
+        }
         if problems:
             print(f"FAIL {name}: " + " | ".join(problems))
             n_fail += 1
@@ -147,6 +188,12 @@ def main() -> int:
             n_pass += 1
 
     print(f"\n{n_pass} pass, {n_rows_only} rows-only, {n_fail} fail")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {json_out} ({len(results)} entries)")
     return 1 if n_fail else 0
 
 
