@@ -121,6 +121,14 @@ HEADLINE = [
     "events_locf_value",
     "customer_rfm_segments",
     "pipeline_chunk_release",
+    # round-5 TPC-H completion (the heaviest of the 14 new shapes)
+    "q2_min_supplier",
+    "q7_nation_volume",
+    "q9_profit",
+    "q13_custdist",
+    "q17_small_quantity",
+    "q19_disjunctive",
+    "q21_sole_returns",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's

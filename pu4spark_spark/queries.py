@@ -21,6 +21,7 @@ from pu4spark_spark.operators import (  # noqa: E402
     relational,
     similarity,
     text,
+    tpch_extra,
 )
 from pu4spark_spark.sources import formats as fmt_sources  # noqa: E402
 from pu4spark_spark.sources import pydatasource as pyds_sources  # noqa: E402
@@ -30,6 +31,7 @@ from pu4spark_spark.streaming import upsert as streaming_upsert  # noqa: E402
 
 _MODULES += [
     relational,
+    tpch_extra,
     asof,
     curation,
     dedup,
