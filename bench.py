@@ -129,6 +129,7 @@ HEADLINE = [
     "q17_small_quantity",
     "q19_disjunctive",
     "q21_sole_returns",
+    "curation_bloom_decontaminate",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's

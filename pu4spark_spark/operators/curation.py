@@ -179,6 +179,161 @@ FROM train LEFT JOIN hits USING (doc_id)
 """
 
 
+# -- Bloom-filter decontamination (the 100 TB shape) ----------------------
+
+#: bloom geometry: 2^18 bits in 32-bit words (8192 words ≈ 32 KB), 4
+#: probes per key via Kirsch-Mitzenmacher double hashing — h_i = h1 +
+#: i·h2 (mod m) from the two md5 halves, so ONE digest per shingle
+#: covers all probes.  At a real benchmark size (say 10M shingles)
+#: m=2^27 keeps the same ~1% FP rate in a 16 MB broadcast — the
+#: geometry scales by widening m, never by rehashing the corpus.
+BLOOM_BITS = 1 << 18
+BLOOM_WORDS = BLOOM_BITS >> 5
+BLOOM_K = 4
+
+
+def _bloom_positions(sh: Column) -> Column:
+    """Array of BLOOM_K bit positions for one shingle.  h1/h2 come from
+    the md5 halves as exact int64 (< 2^32 each, so h1 + 3·h2 < 2^34 —
+    no overflow anywhere); h2 is forced odd so the probe stride never
+    collapses on the power-of-two modulus."""
+    h = F.md5(sh)
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").bitwiseOR(1)
+    return F.array(
+        *[((h1 + F.lit(i) * h2) % BLOOM_BITS) for i in range(BLOOM_K)]
+    )
+
+
+def _sql_bloom_positions(sh_expr: str) -> str:
+    terms = ", ".join(
+        f"(h1 + {i} * h2) % {BLOOM_BITS}" for i in range(BLOOM_K)
+    )
+    return (
+        f"(SELECT [{terms}] FROM (SELECT"
+        f" CAST(('0x' || substr(md5({sh_expr}), 1, 8)) AS BIGINT) AS h1,"
+        f" CAST(('0x' || substr(md5({sh_expr}), 9, 8)) AS BIGINT) | 1 AS h2))"
+    )
+
+
+def q_curation_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination through a DISTRIBUTED Bloom filter —
+    the shape that survives a benchmark set too large to broadcast as
+    raw shingles.  ``q_curation_decontaminate`` broadcasts the exact
+    shingle strings (fine for fixed test sets, ~GBs for a 10M-doc
+    benchmark suite); this variant compresses the same membership into
+    a 32 KB bit table, built and probed entirely with DataFrame ops:
+
+    1. build — benchmark shingles explode to (word, bit-mask) pairs,
+       one ``groupBy(word).agg(bit_or)`` makes the bloom a BLOOM_WORDS-
+       row table (fixed size, independent of corpus OR benchmark
+       cardinality — the aggregation's map-side combine reduces each
+       partition to ≤ BLOOM_WORDS rows before the exchange);
+    2. probe — training shingles compute the same BLOOM_K positions,
+       broadcast-join the word table, and a shingle counts as a maybe-
+       hit iff ALL K probed bits are set; per-doc maybe-hit counts
+       mirror the exact variant's ``n_contam``.
+
+    False positives are INTENTIONAL bloom semantics (rate (1-e^{-kn/m})^k
+    ≈ 1% here) and — because both engines run the identical md5 double-
+    hash arithmetic — bit-identical across Spark and DuckDB, so the
+    oracle hash-checks the false positives too, not just the exact hits.
+    Spark's own runtime shuffle-pruning blooms (spark.sql.optimizer.
+    runtime.bloomFilter) use this exact aggregate-then-reuse pattern.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    toked = docs.select("doc_id", tokens("text").alias("__t"))
+    sh = word_shingles(F.col("__t"), CONTAM_N)
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+
+    def positions(frame: DataFrame) -> DataFrame:
+        return frame.withColumn(
+            "pos", F.explode(_bloom_positions(F.col("sh")))
+        ).select(
+            *frame.columns,
+            F.shiftright(F.col("pos"), 5).alias("word"),
+            # shiftleft's bit-count arg must be a Column-free literal in
+            # the python API — spell the expression in SQL
+            F.expr(
+                "cast(shiftleft(cast(1 as bigint),"
+                " cast(pos % 32 as int)) as bigint)"
+            ).alias("mask"),
+        )
+
+    bench_sh = (
+        toked.filter(is_bench)
+        .select(F.explode(F.array_distinct(sh)).alias("sh"))
+        .distinct()
+    )
+    bloom = (
+        positions(bench_sh)
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    train = toked.filter(~is_bench)
+    train_sh = train.select(
+        "doc_id", F.explode(F.array_distinct(sh)).alias("sh")
+    )
+    maybe_hits = (
+        positions(train_sh)
+        .join(F.broadcast(bloom), "word")
+        .withColumn(
+            "bit_set",
+            (F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask")),
+        )
+        .groupBy("doc_id", "sh")
+        .agg(F.sum(F.col("bit_set").cast("int")).alias("n_set"))
+        .filter(F.col("n_set") == BLOOM_K)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contam"))
+    )
+    return (
+        train.select("doc_id")
+        .join(maybe_hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_contam"), F.lit(0))
+            .cast("int")
+            .alias("n_contam"),
+        )
+        .withColumn("flagged", F.col("n_contam") >= CONTAM_THRESHOLD)
+    )
+
+
+SQL_BLOOM_DECONTAMINATE = f"""
+WITH bench AS (
+  SELECT DISTINCT unnest(list_distinct({_SH})) AS sh
+  FROM documents WHERE doc_id % {BENCH_MOD} = 0
+),
+bench_pos AS (
+  SELECT u.pos // 32 AS word, (1::BIGINT << (u.pos % 32)) AS mask
+  FROM (SELECT sh, unnest({_sql_bloom_positions('sh')}) AS pos FROM bench) u(sh, pos)
+),
+bloom AS (SELECT word, bit_or(mask) AS bits FROM bench_pos GROUP BY word),
+train AS (
+  SELECT doc_id, list_distinct({_SH}) AS shs
+  FROM documents WHERE doc_id % {BENCH_MOD} <> 0
+),
+train_sh AS (SELECT doc_id, unnest(shs) AS sh FROM train),
+probe AS (
+  SELECT doc_id, sh, pos // 32 AS word, (1::BIGINT << (pos % 32)) AS mask
+  FROM (SELECT doc_id, sh, unnest({_sql_bloom_positions('sh')}) AS pos
+        FROM train_sh)
+),
+maybe AS (
+  SELECT doc_id, sh
+  FROM probe JOIN bloom USING (word)
+  GROUP BY doc_id, sh
+  HAVING SUM(CASE WHEN (bits & mask) = mask THEN 1 ELSE 0 END) = {BLOOM_K}
+),
+hits AS (SELECT doc_id, COUNT(*) AS n_contam FROM maybe GROUP BY doc_id)
+SELECT train.doc_id,
+       CAST(coalesce(hits.n_contam, 0) AS INTEGER) AS n_contam,
+       coalesce(hits.n_contam, 0) >= {CONTAM_THRESHOLD} AS flagged
+FROM train LEFT JOIN hits USING (doc_id)
+"""
+
+
 # -- deterministic domain-mixture sampling --------------------------------
 
 #: per-language keep rates in per-mille — the "domain mixture weights"
@@ -1022,6 +1177,7 @@ QUERIES = {
     "curation_oov_rate": q_curation_oov_rate,
     "pipeline_chunk_release": q_pipeline_chunk_release,
     "curation_chunk_windows_udtf": q_curation_chunk_windows_udtf,
+    "curation_bloom_decontaminate": q_curation_bloom_decontaminate,
 }
 
 ORACLE_SQL = {
@@ -1039,4 +1195,5 @@ ORACLE_SQL = {
     "curation_oov_rate": SQL_OOV_RATE,
     "pipeline_chunk_release": SQL_PIPELINE_CHUNK_RELEASE,
     "curation_chunk_windows_udtf": SQL_CHUNK_WINDOWS_UDTF,
+    "curation_bloom_decontaminate": SQL_BLOOM_DECONTAMINATE,
 }

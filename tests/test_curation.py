@@ -384,3 +384,33 @@ def test_oov_rate_bounds_and_split_disjointness(spark):
         assert split[r["doc_id"]] in ("val", "test")
         assert 0 <= r["n_oov"] <= r["n_tokens"]
         assert abs(r["oov_rate"] - r["n_oov"] / r["n_tokens"]) == 0.0
+
+
+def test_bloom_decontaminate_supersets_exact(spark):
+    """A Bloom filter admits false positives but NEVER false negatives:
+    every doc the exact shingle-set probe flags must be flagged (with
+    at least the same hit count) by the bloom variant, and the bloom's
+    extra maybe-hits at this geometry stay a small fraction."""
+    from pu4spark_spark.operators.curation import (
+        q_curation_bloom_decontaminate,
+        q_curation_decontaminate,
+    )
+
+    exact = {
+        r["doc_id"]: r["n_contam"]
+        for r in q_curation_decontaminate(spark, SF).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_contam"]
+        for r in q_curation_bloom_decontaminate(spark, SF).collect()
+    }
+    assert set(exact) == set(bloom)  # same training universe
+    extra = 0
+    for doc_id, n_exact in exact.items():
+        assert bloom[doc_id] >= n_exact, f"false negative at doc {doc_id}"
+        extra += bloom[doc_id] - n_exact
+    # FP budget: (1 - e^{-kn/m})^k ≈ 1% per probed shingle at this
+    # geometry — allow generous slack, but catch a broken bloom that
+    # flags everything
+    total_exact = sum(exact.values())
+    assert extra <= max(20, total_exact)
