@@ -130,6 +130,8 @@ HEADLINE = [
     "q19_disjunctive",
     "q21_sole_returns",
     "curation_bloom_decontaminate",
+    "embedding_gram_matrix",
+    "events_value_trend",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's

@@ -938,20 +938,29 @@ GROUP BY o_orderstatus
 ZORDER_BITS = 16
 
 
-def zorder_key(a, b, bits: int = ZORDER_BITS):
+def zorder_key(a_expr: str, b_expr: str, bits: int = ZORDER_BITS):
     """Morton (Z-order) key: interleave the low ``bits`` of two
-    non-negative int columns — writing data sorted by this key
-    clusters BOTH dimensions, so parquet min/max row-group pruning
-    works for predicates on either column (the multi-dimensional
-    data-skipping layout).  Pure integer shifts, exact in int64."""
-    z = F.lit(0).cast("long")
+    non-negative int SQL expressions (given as strings, e.g. staged
+    column names) — writing data sorted by this key clusters BOTH
+    dimensions, so parquet min/max row-group pruning works for
+    predicates on either column (the multi-dimensional data-skipping
+    layout).  Pure integer shifts, exact in int64.
+
+    The 2·bits-term interleave is assembled as ONE SQL string (same
+    construction discipline as dedup.simhash_fingerprints): the
+    previous Column-op-by-Column-op composition cost ~300 py4j
+    round-trips of pure DataFrame *construction* time, measured as a
+    dominant cost of the layout query.  Callers stage the operands as
+    plain columns first so codegen evaluates each once."""
+    terms = []
     for i in range(bits):
-        z = (
-            z
-            + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)).cast("long"), 2 * i)
-            + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)).cast("long"), 2 * i + 1)
+        terms.append(
+            f"shiftleft(cast(shiftright({a_expr}, {i}) & 1 as bigint), {2 * i})"
         )
-    return z
+        terms.append(
+            f"shiftleft(cast(shiftright({b_expr}, {i}) & 1 as bigint), {2 * i + 1})"
+        )
+    return F.expr("cast(" + " + ".join(terms) + " as bigint)")
 
 
 def _sql_zorder(a: str, b: str, bits: int = ZORDER_BITS) -> str:
@@ -969,14 +978,22 @@ def q_orders_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     what makes row-group skipping effective for either predicate.
     One map-side-combined groupBy on the derived key."""
     orders = load_table(spark, "orders", sf_dir)
-    ck = F.pmod(F.col("o_custkey"), F.lit(1 << ZORDER_BITS)).cast("long")
-    dd = F.pmod(
-        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")),
-        F.lit(1 << ZORDER_BITS),
-    ).cast("long")
-    z = zorder_key(ck, dd)
+    staged = orders.select(
+        "o_custkey",
+        "o_orderdate",
+        F.pmod(F.col("o_custkey"), F.lit(1 << ZORDER_BITS))
+        .cast("long")
+        .alias("__ck"),
+        F.pmod(
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")),
+            F.lit(1 << ZORDER_BITS),
+        )
+        .cast("long")
+        .alias("__dd"),
+    )
+    z = zorder_key("__ck", "__dd")
     return (
-        orders.select(
+        staged.select(
             F.shiftright(z, 18).alias("z_bucket"),
             F.col("o_custkey"),
             F.col("o_orderdate"),
@@ -1314,6 +1331,87 @@ SELECT CASE WHEN recency_days <= recency_days_q1 THEN 1
        CAST(SUM(monetary_dec) AS DOUBLE) AS cell_monetary
 FROM rfm, bounds
 GROUP BY 1, 2, 3
+"""
+
+
+# -- grouped closed-form OLS (trend per key) -----------------------------
+
+def q_events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type least-squares trend of ``value`` over time —
+    the "is this metric drifting" query, fit in CLOSED FORM from five
+    sufficient statistics (n, Σt, Σy, Σty, Σt²) in ONE map-side-
+    combined aggregation.  No ML-library fit loop, no second pass: the
+    regression over 100 TB costs exactly one aggregation shuffle of
+    five numbers per key.
+
+    Exactness discipline: t is integer hours since epoch, y is the
+    2-decimal value as DECIMAL — every sufficient statistic is an
+    exact integer/decimal sum, with operand widths chosen so no
+    product exceeds DECIMAL(38) (Spark and DuckDB both round once the
+    38-digit cap is hit, and not identically).  slope's numerator and
+    denominator are exact decimals; the slope itself is then ONE
+    double division, and the intercept re-uses that double in an
+    identical expression tree on both engines."""
+    ev = load_table(spark, "events", sf_dir)
+    staged = ev.select(
+        "event_type",
+        # hour index via date_trunc FIRST: truncating the timestamp
+        # before the epoch conversion keeps both engines in integer
+        # space (DuckDB's epoch() returns fractional seconds and its
+        # double→BIGINT cast ROUNDS where Spark's unix_timestamp
+        # floors — a one-second skew on sub-second events)
+        F.expr(
+            "cast(unix_timestamp(date_trunc('hour', ts)) as bigint) div 3600"
+        ).alias("t"),
+        dec("value", MONEY).alias("y"),
+    )
+    agg = staged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr(f"cast(t as decimal(14,0)) * cast(y as {MONEY})")).alias(
+            "sty"
+        ),
+        F.sum(F.expr("t * t")).alias("st2"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.expr(
+            "cast(cast(n as decimal(8,0)) * cast(sty as decimal(24,2))"
+            " - cast(st as decimal(14,0)) * cast(sy as decimal(20,2))"
+            " as double)"
+            " / cast(cast(n as decimal(8,0)) * cast(st2 as decimal(18,0))"
+            " - cast(st as decimal(14,0)) * cast(st as decimal(14,0))"
+            " as double)"
+        ).alias("slope_per_hour"),
+    ).select(
+        "event_type",
+        "n_events",
+        "slope_per_hour",
+    )
+
+
+SQL_EVENTS_VALUE_TREND = f"""
+WITH staged AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS t,
+         CAST(value AS {MONEY.upper()}) AS y
+  FROM events
+),
+agg AS (
+  SELECT event_type, COUNT(*) AS n, SUM(t) AS st, SUM(y) AS sy,
+         SUM(CAST(t AS DECIMAL(14,0)) * CAST(y AS {MONEY.upper()})) AS sty,
+         SUM(t * t) AS st2
+  FROM staged GROUP BY event_type
+)
+SELECT event_type, n AS n_events,
+       CAST(CAST(n AS DECIMAL(8,0)) * CAST(sty AS DECIMAL(24,2))
+            - CAST(st AS DECIMAL(14,0)) * CAST(sy AS DECIMAL(20,2)) AS DOUBLE)
+       / CAST(CAST(n AS DECIMAL(8,0)) * CAST(st2 AS DECIMAL(18,0))
+            - CAST(st AS DECIMAL(14,0)) * CAST(st AS DECIMAL(14,0)) AS DOUBLE)
+         AS slope_per_hour
+FROM agg
 """
 
 
@@ -1786,6 +1884,7 @@ QUERIES = {
     "events_hourly_anomalies": q_events_hourly_anomalies,
     "orders_unpivot_metrics": q_orders_unpivot_metrics,
     "events_locf_value": q_events_locf_value,
+    "events_value_trend": q_events_value_trend,
     "customer_rfm_segments": q_customer_rfm_segments,
     "parts_setops": q_parts_setops,
     "segment_priority_matrix": q_segment_priority_matrix,
@@ -1831,6 +1930,7 @@ ORACLE_SQL = {
     "events_hourly_anomalies": SQL_EVENTS_HOURLY_ANOMALIES,
     "orders_unpivot_metrics": SQL_ORDERS_UNPIVOT,
     "events_locf_value": SQL_EVENTS_LOCF,
+    "events_value_trend": SQL_EVENTS_VALUE_TREND,
     "customer_rfm_segments": SQL_CUSTOMER_RFM,
     "parts_setops": SQL_PARTS_SETOPS,
     "segment_priority_matrix": SQL_SEGMENT_PRIORITY,

@@ -549,8 +549,68 @@ FROM qm
 """
 
 
+# -- distributed Gram matrix (PCA / whitening building block) ------------
+
+def q_embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangular Gram matrix G[i,j] = Σ_vecs q_i·q_j over the
+    fixed-scale quantized embeddings — the sufficient statistic for
+    covariance/PCA/whitening of an embedding corpus, computed as pure
+    aggregation (the 100 TB path to "fit a projection on everything":
+    no driver-side matrix assembly, no ML-library fit loop).
+
+    Execution shape: two chained ``posexplode``s blow each vector up to
+    its d(d+1)/2 component pairs INSIDE the scan stage (pipelined
+    codegen — never materialized), then ONE map-side-combined
+    groupBy(i,j).  The exchange carries at most 2080 rows per map
+    partition regardless of corpus size, and the result is
+    2080 rows total for d=64 — aggregation state and output are both
+    O(d²), independent of row count.  All products/sums are exact
+    int64 (|q| ≤ 1000 ⇒ products ≤ 10⁶; 10¹² vectors stay < 2⁶³),
+    so the final double division is the only float op."""
+    from pu4spark_spark.plans import spread
+
+    emb = spread(load_table(spark, "embeddings", sf_dir))
+    q = emb.select(quantized("embedding").alias("q"))
+    qi = q.select(F.posexplode("q").alias("i", "qi"), "q")
+    pairs = qi.select("i", "qi", F.posexplode("q").alias("j", "qj")).filter(
+        F.col("j") >= F.col("i")
+    )
+    n = q.count()  # row count enters the mean as an exact int
+    return (
+        pairs.groupBy("i", "j")
+        .agg(F.sum(F.col("qi") * F.col("qj")).alias("dot"))
+        .select(
+            "i",
+            "j",
+            F.col("dot").alias("gram_int"),
+            (F.col("dot").cast("double") / F.lit(n) / F.lit(float(QUANT_SCALE)) ** 2)
+            .alias("gram_mean"),
+        )
+    )
+
+
+SQL_EMBEDDING_GRAM = f"""
+WITH q AS (
+  SELECT {sql_quantized('embedding')} AS q FROM embeddings
+),
+comp AS (
+  SELECT generate_subscripts(q, 1) - 1 AS i, unnest(q) AS qi, q FROM q
+),
+pairs AS (
+  SELECT i, qi, generate_subscripts(q, 1) - 1 AS j, unnest(q) AS qj FROM comp
+)
+SELECT i, j, SUM(qi * qj) AS gram_int,
+       CAST(SUM(qi * qj) AS DOUBLE) / (SELECT COUNT(*) FROM embeddings)
+         / ({QUANT_SCALE} * {QUANT_SCALE}) AS gram_mean
+FROM pairs
+WHERE j >= i
+GROUP BY i, j
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
+    "embedding_gram_matrix": q_embedding_gram_matrix,
     "embedding_quantize_int8": q_embedding_quantize_int8,
     "embedding_label_centroids": q_embedding_label_centroids,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
@@ -562,6 +622,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "embedding_gram_matrix": SQL_EMBEDDING_GRAM,
     "embedding_quantize_int8": SQL_EMBEDDING_QUANTIZE_INT8,
     "embedding_label_centroids": SQL_EMBEDDING_LABEL_CENTROIDS,
     "ann_lsh_bucketed": SQL_ANN_LSH_BUCKETED,

@@ -132,3 +132,37 @@ def test_chunk_release_drops_exactly_the_duplicate_spans(spark):
     )
     assert total_chunks - kept_chunks == dup_extra
     assert dup_extra > 0  # the fixture actually exercises the drop
+
+
+def test_events_value_trend_vs_numpy(spark):
+    """Closed-form grouped OLS must match numpy.polyfit on the same
+    (hour, value) points to float precision."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pu4spark_spark.operators.relational import q_events_value_trend
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.event_type: r for r in q_events_value_trend(spark, sf).collect()}
+    ev = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .select(
+            "event_type",
+            F.expr(
+                "cast(unix_timestamp(date_trunc('hour', cast(ts as timestamp)))"
+                " as bigint) div 3600"
+            ).alias("t"),
+            F.col("value").cast("double").alias("y"),
+        )
+        .collect()
+    )
+    by_type: dict[str, list] = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append((r.t, r.y))
+    assert set(got) == set(by_type)
+    for et, pts in by_type.items():
+        t = np.array([p[0] for p in pts], dtype=np.float64)
+        y = np.array([p[1] for p in pts], dtype=np.float64)
+        slope = np.polyfit(t, y, 1)[0]
+        assert got[et].n_events == len(pts)
+        assert abs(got[et].slope_per_hour - slope) <= 1e-9 * max(1.0, abs(slope)) + 1e-12

@@ -100,3 +100,28 @@ def test_quantize_int8_zero_vector_guard(spark):
     # sanity on a normal vector (amax=2, scale=63.5, floor discipline):
     # q = [63, -127, 31]
     assert (out[2]["q_min"], out[2]["q_max"], out[2]["q_sum"]) == (-127, 63, -33)
+
+
+def test_gram_matrix_vs_numpy(spark):
+    """The distributed Gram aggregation must equal numpy's q^T q over
+    the identically-quantized matrix (exact integer equality)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pu4spark_spark.operators.similarity import q_embedding_gram_matrix
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    vecs = np.array(
+        [r.embedding for r in emb.select("embedding").collect()], dtype=np.float64
+    )
+    q = np.floor(vecs * 1000).astype(np.int64)
+    ref = q.T @ q
+    got = {
+        (r.i, r.j): r.gram_int
+        for r in q_embedding_gram_matrix(spark, sf).collect()
+    }
+    d = vecs.shape[1]
+    assert len(got) == d * (d + 1) // 2
+    for (i, j), v in got.items():
+        assert v == ref[i, j], (i, j)
