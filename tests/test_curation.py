@@ -227,7 +227,7 @@ def test_zorder_key_vs_python(spark):
 
     vals = [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321), (7, 8)]
     df = spark.createDataFrame(vals, ["a", "b"]).select(
-        "a", "b", zorder_key(F.col("a").cast("long"), F.col("b").cast("long")).alias("z")
+        "a", "b", zorder_key("cast(a as bigint)", "cast(b as bigint)").alias("z")
     )
     got = {(r["a"], r["b"]): r["z"] for r in df.collect()}
     assert got == {(a, b): py_z(a, b) for a, b in vals}
