@@ -87,6 +87,7 @@ HEADLINE = [
     "pu_gradual_lr",
     "pu_gradual_rf",
     "pu_spy_em_lr",
+    "pu_elkan_noto_lr",
     "pu_feature_assembly",
     "mm_decode_features",
     "mm_frame_sample",

@@ -94,6 +94,21 @@ class GradualReductionPULearnerConfig:
         )
 
 
+@dataclass
+class ElkanNotoPULearnerConfig:
+    """Calibrated single-fit PU learner (Elkan & Noto, KDD 2008) — an
+    extension beyond the reference's registry; see elkan.py."""
+
+    classifierConfig: LogisticRegressionConfig | RandomForestConfig = field(
+        default_factory=LogisticRegressionConfig
+    )
+
+    def build(self):
+        from pu4spark_spark.elkan import ElkanNotoPULearner
+
+        return ElkanNotoPULearner(self.classifierConfig.build())
+
+
 #: polymorphic (de)serialization registry — mirrors the json4s
 #: ``subclasses`` lists (PositiveUnlabeledLearner.scala:36-40,
 #: ProbabilisticClassifierConfig.scala:34)
@@ -104,6 +119,7 @@ _REGISTRY: dict[str, type] = {
         RandomForestConfig,
         TraditionalPULearnerConfig,
         GradualReductionPULearnerConfig,
+        ElkanNotoPULearnerConfig,
     )
 }
 

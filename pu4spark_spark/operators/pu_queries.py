@@ -324,6 +324,25 @@ def q_pu_spy_em_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "finalLabel")
 
 
+def q_pu_elkan_noto_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elkan–Noto calibrated PU learning (extension beyond the
+    reference's registry, same weight() API): ONE labeled-vs-unlabeled
+    fit, then P(y=1|x) = g(x)/c with c estimated as mean g over the
+    labeled positives — no reliable-negative mining, no retrain.
+    Rows-only check (LR fit); property tests pin the calibration
+    algebra (tests/test_pu.py)."""
+    from pu4spark_spark.config import (
+        ElkanNotoPULearnerConfig,
+        LogisticRegressionConfig,
+    )
+
+    learner = ElkanNotoPULearnerConfig(
+        classifierConfig=LogisticRegressionConfig(maxIter=10)
+    ).build()
+    out = learner.weight(_pu_input(spark, sf_dir), "pu_label", "embedding")
+    return out.select("vec_id", "finalLabel")
+
+
 SQL_PU_FEATURE_ASSEMBLY = """
 SELECT l_orderkey, l_linenumber,
        CAST(l_quantity AS DOUBLE) AS f_quantity,
@@ -347,6 +366,7 @@ QUERIES = {
     "pu_gradual_rf": q_pu_gradual_rf,
     "pu_doc_quality_lr": q_pu_doc_quality_lr,
     "pu_spy_em_lr": q_pu_spy_em_lr,
+    "pu_elkan_noto_lr": q_pu_elkan_noto_lr,
     "pu_feature_assembly": q_pu_feature_assembly,
 }
 

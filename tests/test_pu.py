@@ -264,3 +264,53 @@ def test_spy_em_spies_only_from_positives(spark):
     assert 0 < n_spies < n_pos  # some spies drawn, not all positives
     # the coin never marks an unlabeled row a spy (spies ⊆ positives by
     # construction in weight(): the is_spy expression conjoins is_pos)
+
+
+def test_elkan_noto_calibration_algebra(spark):
+    """Elkan–Noto: finalLabel must equal min(1, g/c) where g is the
+    zero-step score and c the mean g over labeled positives — verified
+    by recomputing both from the learner's own building blocks."""
+    from pyspark.sql import functions as F
+
+    from pu4spark_spark.config import (
+        ElkanNotoPULearnerConfig,
+        LogisticRegressionConfig,
+        from_json,
+        to_json,
+    )
+
+    cfg = ElkanNotoPULearnerConfig(
+        classifierConfig=LogisticRegressionConfig(maxIter=10)
+    )
+    # registry round-trip covers the new config class
+    assert from_json(to_json(cfg)) == cfg
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pu = emb.withColumn(
+        "pu_label", F.when(F.col("label") == 9, 1).otherwise(0)
+    )
+    learner = cfg.build()
+    out = learner.weight(pu, "pu_label", "embedding")
+    rows = out.collect()
+    assert len(rows) == pu.count()
+    assert set(out.columns) == set(pu.columns) | {"finalLabel"}
+    assert all(0.0 <= r["finalLabel"] <= 1.0 for r in rows)
+
+    # independent recomputation: raw g from the shared zero_step, then
+    # the same e1 calibration
+    staged = pu.withColumn(
+        "__s", F.when(F.col("pu_label") == 1, 1).otherwise(0)
+    )
+    g = learner.zero_step(staged, "__s", "embedding", "g")
+    c = g.filter(F.col("pu_label") == 1).agg(F.avg("g")).collect()[0][0]
+    assert 0.0 < c <= 1.0
+    expect = {
+        r["vec_id"]: min(1.0, r["g"] / c) for r in g.collect()
+    }
+    got = {r["vec_id"]: r["finalLabel"] for r in rows}
+    assert got.keys() == expect.keys()
+    for k in got:
+        assert abs(got[k] - expect[k]) < 1e-12
+    # calibration can only scale scores UP (c ≤ 1)
+    raw = {r["vec_id"]: r["g"] for r in g.collect()}
+    assert all(got[k] >= raw[k] - 1e-12 for k in got)
