@@ -133,6 +133,7 @@ HEADLINE = [
     "curation_bloom_decontaminate",
     "embedding_gram_matrix",
     "events_value_trend",
+    "streaming_static_enrich",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's

@@ -120,6 +120,72 @@ FROM events
 GROUP BY 1, 2
 """
 
+# -- stream-static broadcast enrichment ----------------------------------
+
+def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–STATIC join: each arriving event is enriched with its
+    customer's market segment from the static dimension table, then
+    aggregated to hourly revenue per segment — the canonical
+    "enrich the firehose with reference data" pattern.
+
+    Scale shape: a stream-static join keeps NO join state (unlike
+    stream-stream, nothing waits for late matches — the static side is
+    simply available), and with the dimension broadcast the per-batch
+    cost is a hash probe in the scan stage.  The static side is
+    re-resolvable per micro-batch, which at 100 TB is how slowly-
+    changing dimensions refresh without restarting the stream.  The
+    watermarked hourly aggregate then carries bounded state exactly as
+    the plain hourly query."""
+    from pu4spark_spark.sources import load_table
+
+    stream = read_events_stream(spark, sf_dir)
+    dim = F.broadcast(
+        load_table(spark, "customer", sf_dir).select(
+            F.col("c_custkey"), F.col("c_mktsegment")
+        )
+    )
+    enriched = stream.join(dim, stream.user_id == dim.c_custkey)
+    agg = (
+        enriched.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("c_mktsegment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour"),
+            "c_mktsegment",
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"events_enrich_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name)
+
+
+SQL_STREAMING_STATIC_ENRICH = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, c_mktsegment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""
+
+
 # -- sliding windows (streaming) ----------------------------------------
 
 def sliding_counts(stream: DataFrame) -> DataFrame:
@@ -441,6 +507,7 @@ WHERE hour + INTERVAL 1 HOUR <= w
 QUERIES = {
     "streaming_events_hourly": q_streaming_events_hourly,
     "streaming_sliding_windows": q_streaming_sliding_windows,
+    "streaming_static_enrich": q_streaming_static_enrich,
     "streaming_sessions": q_streaming_sessions,
     "streaming_range_join": q_streaming_range_join,
     "streaming_dedup_keys": q_streaming_dedup_keys,
@@ -449,6 +516,7 @@ QUERIES = {
 ORACLE_SQL = {
     "streaming_events_hourly": SQL_STREAMING_EVENTS_HOURLY,
     "streaming_sliding_windows": SQL_STREAMING_SLIDING,
+    "streaming_static_enrich": SQL_STREAMING_STATIC_ENRICH,
     "streaming_sessions": SQL_STREAMING_SESSIONS,
     "streaming_range_join": SQL_STREAMING_RANGE_JOIN,
     "streaming_dedup_keys": SQL_STREAMING_DEDUP_KEYS,
