@@ -320,3 +320,49 @@ def test_q4_plans_as_semi_join(spark):
     plan = explain_str(q_q4_order_priority(spark, SF_DIR))
     assert "LeftSemi" in plan
     assert re.search(r"PushedFilters: \[[^\]]*o_orderdate", plan)
+
+
+def test_bloom_build_is_fixed_size_aggregate(spark):
+    """Bloom decontamination: the bit table is built by ONE bit_or
+    aggregation (map-side combined) and probed as a broadcast — no
+    corpus-proportional broadcast, no cartesian anywhere."""
+    from pu4spark_spark.operators.curation import (
+        q_curation_bloom_decontaminate,
+    )
+
+    plan = explain_str(q_curation_bloom_decontaminate(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "bit_or" in plan
+    assert "partial_bit_or" in plan  # map-side pre-reduction to ≤8192 rows
+    assert "BroadcastHashJoin" in plan
+
+
+def test_gram_matrix_explodes_in_scan_stage(spark):
+    """Gram matrix: both Generates pipeline before any exchange, and the
+    only data-size aggregation is map-side combined on (i, j)."""
+    from pu4spark_spark.operators.similarity import q_embedding_gram_matrix
+
+    plan = explain_str(q_embedding_gram_matrix(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 2
+    assert "partial_sum" in plan
+    # no exchange BETWEEN the two Generates — they pipeline in one stage
+    tree = plan.split("\n\n(1)")[0]
+    g_positions = [m.start() for m in re.finditer(r"Generate", tree)]
+    e_positions = [m.start() for m in re.finditer(r"Exchange", tree)]
+    assert not any(
+        g_positions[0] > e > g_positions[1]
+        for e in e_positions
+        if len(g_positions) == 2
+    )
+
+
+def test_value_trend_single_aggregation(spark):
+    """Grouped OLS: one exchange (the event_type aggregation) with
+    map-side partials; the slope math lives above the agg, not in a
+    second pass."""
+    from pu4spark_spark.operators.relational import q_events_value_trend
+
+    plan = explain_str(q_events_value_trend(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "Join" not in plan

@@ -177,6 +177,49 @@ AUDITED = {
         "df is a 1-row broadcast; scoring is a fixed-order double "
         "chain in the scan stage; ranking is the two-phase top-k."
     ),
+    "q6_forecast_revenue": (
+        "Scan → filter → 1-row aggregate: shipdate/quantity predicates "
+        "pushed into the parquet scan, ONE exchange total (the "
+        "SinglePartition gather) — the canonical pushdown probe."
+    ),
+    "q2_min_supplier": (
+        "The correlated min-acctbal subquery is ONE partitioned window "
+        "over the candidate set; lineitem is scanned exactly once (the "
+        "distinct part-supplier link)."
+    ),
+    "q15_top_supplier": (
+        "The scalar MAX joins back as a 1-row broadcast; Catalyst even "
+        "recovers the equality as a BroadcastHashJoin key — no sort, "
+        "no self-join on the aggregate."
+    ),
+    "q19_disjunctive": (
+        "The OR-of-ANDs predicate leaves the part join an equi-join "
+        "(l_partkey factored out, disjunction as residual filter) — "
+        "no CartesianProduct, no BroadcastNestedLoopJoin."
+    ),
+    "q22_dormant_customers": (
+        "Scalar avg enters as a 1-row broadcast; the recent-order "
+        "exclusion is a genuine anti-join; the nation rollup sums "
+        "exact decimals."
+    ),
+    "curation_bloom_decontaminate": (
+        "The bloom build is ONE bit_or aggregation whose output is "
+        "fixed-size (8192 words) regardless of benchmark cardinality; "
+        "the probe joins the word table as a BroadcastHashJoin — no "
+        "corpus-proportional broadcast anywhere."
+    ),
+    "embedding_gram_matrix": (
+        "Both posexplodes pipeline inside the scan stage (Generate "
+        "in-place, never materialized); ONE map-side-combined "
+        "groupBy(i,j) whose exchange carries O(d^2) rows per map "
+        "partition — corpus-size-independent aggregation state."
+    ),
+    "events_value_trend": (
+        "Grouped OLS from five sufficient statistics in ONE map-side-"
+        "combined aggregation on the bounded event_type key; slope is "
+        "scan-stage arithmetic over the agg output — no fit loop, no "
+        "second pass."
+    ),
 }
 
 _TREE_RE = re.compile(r"^(.*?)\n\n\(1\)", re.DOTALL)
