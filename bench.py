@@ -134,6 +134,7 @@ HEADLINE = [
     "embedding_gram_matrix",
     "events_value_trend",
     "streaming_static_enrich",
+    "text_bpe_pair_counts",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's

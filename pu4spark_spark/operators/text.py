@@ -877,8 +877,66 @@ GROUP BY 1, 5
 """
 
 
+# -- BPE merge-candidate counting ----------------------------------------
+
+def q_text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent character-pair frequencies weighted by word count — the
+    inner loop of BPE vocabulary training (each merge round picks the
+    most frequent pair; this is one round's statistics at character
+    granularity).
+
+    Scale shape — the reason real BPE trainers survive 100 TB: the
+    corpus collapses to its WORD VOCABULARY first (one map-side-
+    combined groupBy over exploded tokens; output is vocabulary-sized,
+    not corpus-sized), and all pair arithmetic runs over vocab rows ×
+    word length.  The pair explode happens where the vocab rows live
+    (Generate in the aggregation's output stage — no extra shuffle),
+    and the final pair rollup's key space is bounded by alphabet², so
+    its exchange is trivially small.  Counts are exact int64.
+
+    Output: (pair, n_positions, total_freq) for every adjacent pair —
+    alphabet²-bounded, no top-k tie ambiguity."""
+    docs = load_table(spark, "documents", sf_dir)
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pairs = vocab.select(
+        "wc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).alias("n_positions"),
+        F.sum("wc").alias("total_freq"),
+    )
+
+
+SQL_TEXT_BPE_PAIRS = """
+WITH vocab AS (
+  SELECT w, COUNT(*) AS wc
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE len(w) >= 2
+  GROUP BY w
+),
+pairs AS (
+  SELECT wc, unnest(list_transform(range(1, len(w)), i -> substr(w, i, 2))) AS pair
+  FROM vocab
+)
+SELECT pair, COUNT(*) AS n_positions, SUM(wc) AS total_freq
+FROM pairs GROUP BY pair
+"""
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
+    "text_bpe_pair_counts": q_text_bpe_pair_counts,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "text_fingerprint": q_text_fingerprint,
@@ -898,6 +956,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "text_token_stats": SQL_TOKEN_STATS,
+    "text_bpe_pair_counts": SQL_TEXT_BPE_PAIRS,
     "text_quality": SQL_TEXT_QUALITY,
     "text_lang_id": SQL_TEXT_LANG_ID,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,

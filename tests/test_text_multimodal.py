@@ -129,3 +129,34 @@ def test_decode_image_real_branch_via_fake_pillow(monkeypatch):
     monkeypatch.setitem(sys.modules, "PIL.Image", pil_image)
 
     assert decode_image(b"\x89PNG...") == (2, 2, 127.5)
+
+
+def test_bpe_pair_counts_vs_python(spark):
+    """Three-engine check: the BPE pair statistics must equal a plain
+    CPython Counter over the same corpus."""
+    from collections import Counter
+
+    from pu4spark_spark.operators.text import q_text_bpe_pair_counts
+
+    sf = "/root/testdata/sf0.001"
+    texts = [
+        r.text
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .select("text")
+        .collect()
+    ]
+    wc = Counter(
+        w for t in texts for w in t.split(" ") if len(w) >= 2
+    )
+    n_words: Counter = Counter()
+    total: Counter = Counter()
+    for w, c in wc.items():
+        for i in range(len(w) - 1):
+            pair = w[i : i + 2]
+            n_words[pair] += 1
+            total[pair] += c
+    got = {
+        r.pair: (r.n_positions, r.total_freq)
+        for r in q_text_bpe_pair_counts(spark, sf).collect()
+    }
+    assert got == {p: (n_words[p], total[p]) for p in n_words}
