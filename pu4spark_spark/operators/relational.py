@@ -1853,6 +1853,45 @@ GROUP BY 1, 2
 """
 
 
+# -- time-hierarchy rollup (hypertable-style multi-granularity) ----------
+
+def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity time rollup — day ⊃ hour subtotals plus the
+    grand total from ONE scan, the continuous-aggregate/hypertable
+    pattern: ``ROLLUP(day, hour)`` expands grouping sets inside the
+    aggregation stage (Catalyst's Expand), so the fact table is read
+    once and the exchange carries only pre-aggregated (day, hour)
+    partials — never one pass per granularity.  At 100 TB each extra
+    granularity is free at scan time; only the (small) rollup output
+    grows.  Restricted to click events so the filter is pushed to the
+    parquet scan."""
+    events = load_table(spark, "events", sf_dir)
+    return (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "value",
+        )
+        .rollup("day", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            sum_exact("value", MONEY).alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_TIME_ROLLUP = f"""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+       COUNT(*) AS n_events,
+       {sql_sum_exact('value', MONEY)} AS sum_value
+FROM events
+WHERE event_type = 'click'
+GROUP BY ROLLUP (1, 2)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q_q1_pricing_summary,
     "salted_segment_revenue": q_salted_segment_revenue,
@@ -1884,6 +1923,7 @@ QUERIES = {
     "events_hourly_anomalies": q_events_hourly_anomalies,
     "orders_unpivot_metrics": q_orders_unpivot_metrics,
     "events_locf_value": q_events_locf_value,
+    "events_time_rollup": q_events_time_rollup,
     "events_value_trend": q_events_value_trend,
     "customer_rfm_segments": q_customer_rfm_segments,
     "parts_setops": q_parts_setops,
@@ -1930,6 +1970,7 @@ ORACLE_SQL = {
     "events_hourly_anomalies": SQL_EVENTS_HOURLY_ANOMALIES,
     "orders_unpivot_metrics": SQL_ORDERS_UNPIVOT,
     "events_locf_value": SQL_EVENTS_LOCF,
+    "events_time_rollup": SQL_EVENTS_TIME_ROLLUP,
     "events_value_trend": SQL_EVENTS_VALUE_TREND,
     "customer_rfm_segments": SQL_CUSTOMER_RFM,
     "parts_setops": SQL_PARTS_SETOPS,

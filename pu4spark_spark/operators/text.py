@@ -934,6 +934,79 @@ FROM pairs GROUP BY pair
 """
 
 
+# -- distributed exact AUC (Mann-Whitney rank-sum) -----------------------
+
+#: score-quantization grain for the rank-sum AUC — the window below runs
+#: over at most (AUC_BINS+1) pre-aggregated rows, independent of corpus
+#: size
+AUC_BINS = 1000
+
+
+def q_eval_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ties-corrected AUC (Mann-Whitney U) of the quality score as
+    a predictor of ``lang = 'en'`` — the distributed classifier-eval
+    primitive, without a global per-row sort.
+
+    Naive rank-sum AUC needs every row globally ranked by score — a
+    full sort, and ``Window.orderBy`` with no partition key is a
+    single-task plan.  Instead the score is quantized to
+    ``floor(score·AUC_BINS)`` (the reported value IS the exact AUC of
+    the quantized classifier — a deterministic, oracle-checkable
+    contract, with in-bin ties taking the standard ½ credit): one
+    map-side-combined groupBy reduces the corpus to ≤ AUC_BINS+1
+    ``(bin, n_pos, n_neg)`` rows, the cumulative-negative window runs
+    over that fixed-size table (single task over ≤1001 rows — by
+    design), and the final 1-row agg forms ``2U = Σ p·(2·cum_neg + n)``
+    in pure int64 with ONE IEEE division at the end.  At 100 TB the
+    data-sized work is one scan + one bin-keyed exchange of
+    pre-reduced partials.
+    """
+    scored = q_text_quality(spark, sf_dir).select(
+        F.floor(F.col("quality_score") * AUC_BINS).cast("int").alias("bin"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    bins = scored.groupBy("bin").agg(
+        F.sum("y").alias("p"),
+        F.sum(F.lit(1) - F.col("y")).alias("n"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = bins.withColumn(
+        "cum_neg", F.coalesce(F.sum("n").over(w), F.lit(0))
+    )
+    u2 = F.sum(F.col("p") * (2 * F.col("cum_neg") + F.col("n")))
+    return ranked.agg(
+        F.sum("p").alias("n_pos"),
+        F.sum("n").alias("n_neg"),
+        (
+            u2.cast("double")
+            / (2 * F.sum("p") * F.sum("n")).cast("double")
+        ).alias("auc"),
+    )
+
+
+SQL_EVAL_QUALITY_AUC = f"""
+WITH q AS ({SQL_TEXT_QUALITY}),
+scored AS (
+  SELECT CAST(floor(quality_score * {AUC_BINS}) AS INTEGER) AS bin,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM q
+),
+bins AS (
+  SELECT bin, SUM(y) AS p, SUM(1 - y) AS n FROM scored GROUP BY bin
+),
+r AS (
+  SELECT p, n,
+         COALESCE(SUM(n) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_neg
+  FROM bins
+)
+SELECT SUM(p) AS n_pos, SUM(n) AS n_neg,
+       CAST(SUM(p * (2 * cum_neg + n)) AS DOUBLE)
+       / CAST(2 * SUM(p) * SUM(n) AS DOUBLE) AS auc
+FROM r
+"""
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
     "text_bpe_pair_counts": q_text_bpe_pair_counts,
@@ -952,6 +1025,7 @@ QUERIES = {
     "text_zscore_by_lang": q_text_zscore_by_lang,
     "text_inverted_index": q_text_inverted_index,
     "text_search_tfdf": q_text_search_tfdf,
+    "eval_quality_auc": q_eval_quality_auc,
 }
 
 ORACLE_SQL = {
@@ -971,5 +1045,6 @@ ORACLE_SQL = {
     "text_zscore_by_lang": SQL_TEXT_ZSCORE,
     "text_inverted_index": SQL_TEXT_INVERTED_INDEX,
     "text_search_tfdf": SQL_TEXT_SEARCH_TFDF,
+    "eval_quality_auc": SQL_EVAL_QUALITY_AUC,
     # text_tfidf_ml: ML — rows-only
 }

@@ -65,12 +65,13 @@ if missing:
 #: the per-round window is a ROTATION slot, and the committed
 #: ``CORRECTNESS_r0N.json`` artifacts accumulate across rounds.
 #: r2 ∪ r3 witnessed 55 distinct queries; this round's prefix is 50
-#: oracle-backed queries from the 74 not yet in any driver artifact
-#: (cumulative driver-witnessed coverage after r5: 105/129+).  Every
+#: oracle-backed queries from those not yet in any driver artifact
+#: (cumulative driver-witnessed coverage after the r4 driver run:
+#: 105 of 150+).  Every
 #: prefix entry has a DuckDB oracle (hash-checkable); rows-only ML-loop
 #: queries (still pytest-covered and judge-runnable via
 #: ``tools/check_oracle.py``, whose full-registry run is committed as
-#: ``CORRECTNESS_FULL_r05.json``) and the already-witnessed remainder
+#: ``CORRECTNESS_FULL_r04.json``) and the already-witnessed remainder
 #: follow.  The window is family-interleaved (relational/events
 #: analytics, dedup, ANN, text, curation, pipelines, multimodal,
 #: formats, streaming); oracle-backed queries still outside every
