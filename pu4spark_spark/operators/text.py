@@ -934,6 +934,105 @@ FROM pairs GROUP BY pair
 """
 
 
+# -- BPE merge learning (tokenizer training driver loop) -----------------
+
+#: merge rounds learned by ``text_bpe_learn_merges``
+BPE_MERGES = 10
+
+
+def _bpe_apply_merge(col, left: str, right: str):
+    """Left-to-right non-overlapping merge of adjacent symbols
+    ``(left, right) → left||right`` via one array fold — pure
+    expression, runs where the vocabulary rows live."""
+    merged = left + right
+    return F.aggregate(
+        col,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == left)
+            & (s == right),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def q_text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first ``BPE_MERGES`` byte-pair-encoding merges over the
+    corpus — tokenizer TRAINING as a Spark driver loop, the iterative
+    closure of ``text_bpe_pair_counts`` (which is one round's
+    statistics).
+
+    Scale shape: the corpus first collapses to its word vocabulary
+    (one map-side-combined groupBy; output vocabulary-sized, not
+    corpus-sized) exactly as real BPE trainers do; every round then
+    (1) explodes adjacent symbol pairs of the vocab rows weighted by
+    word count, (2) reduces them in one aggregation whose key space is
+    the live pair set, (3) pulls ONE argmax row to the driver (the
+    family's 1-row-agg driver-scalar protocol, deterministic
+    tie-break by pair lexicographic order), and (4) applies the merge
+    as a per-row array fold — no shuffle beyond the pair rollup.
+    Loop hygiene mirrors ``connected_components``: per-round persist +
+    unpersist-previous + lazy ``localCheckpoint`` so lineage stays
+    flat across rounds.
+
+    Output: (rank, left, right, merged, pair_freq) — the ordered merge
+    table a tokenizer ships.  Driver check is rows-only (an iterative
+    driver loop is not one SQL query); a CPython reference BPE trainer
+    must reproduce the exact merge sequence (``tests/test_text_bpe.py``).
+    """
+    from pu4spark_spark.plans import cached
+
+    docs = load_table(spark, "documents", sf_dir)
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .select("wc", chars.alias("syms"))
+    )
+    persisted = cached(vocab)
+    merges: list[tuple[int, str, str, str, int]] = []
+    adj = F.transform(
+        F.sequence(F.lit(1), F.size("syms") - 1),
+        lambda i: F.struct(
+            F.element_at("syms", i).alias("l"),
+            F.element_at("syms", i + 1).alias("r"),
+        ),
+    )
+    for rank in range(BPE_MERGES):
+        top = (
+            persisted.filter(F.size("syms") >= 2)
+            .select("wc", F.explode(adj).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("wc").alias("freq"))
+            .orderBy(F.desc("freq"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, freq = top[0]["l"], top[0]["r"], top[0]["freq"]
+        merges.append((rank, left, right, left + right, freq))
+        nxt = cached(
+            persisted.select(
+                "wc", _bpe_apply_merge(F.col("syms"), left, right).alias("syms")
+            ).localCheckpoint(eager=False)
+        )
+        persisted.unpersist()
+        persisted = nxt
+    persisted.unpersist()
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_freq bigint"
+    )
+
+
 # -- distributed exact AUC (Mann-Whitney rank-sum) -----------------------
 
 #: score-quantization grain for the rank-sum AUC — the window below runs
@@ -1010,6 +1109,8 @@ FROM r
 QUERIES = {
     "text_token_stats": q_text_token_stats,
     "text_bpe_pair_counts": q_text_bpe_pair_counts,
+    # rows-only: iterative driver loop (CPython reference-tested)
+    "text_bpe_learn_merges": q_text_bpe_learn_merges,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "text_fingerprint": q_text_fingerprint,
