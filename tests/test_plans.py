@@ -366,3 +366,84 @@ def test_value_trend_single_aggregation(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert "partial_count" in plan or "partial_sum" in plan
     assert "Join" not in plan
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Catalyst's runtime bloom-filter injection is live on the engine's
+    shuffle joins: a selective dim-filtered join whose big side is too
+    large to broadcast gets a bloom_filter_agg built on the filtered
+    side and a might_contain probe pushed into the fact scan — the
+    semi-join reduction that cuts shuffled fact bytes at 100 TB.  The
+    fixture-scale thresholds are lowered for the gate (production
+    defaults only inject past a 10 GB application-side scan — i.e.
+    exactly the regime this repo targets); broadcast is disabled so
+    the join actually plans as a shuffle join."""
+    from pyspark.sql import functions as F
+
+    from pu4spark_spark.sources import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": (
+            "100MB"
+        ),
+    }
+    old: dict[str, str | None] = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = load_table(spark, "orders", SF_DIR).filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, "lineitem", SF_DIR)
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = explain_str(j)
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan.lower()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_time_rollup_single_exchange_with_expand(spark):
+    """Multi-granularity rollup: grouping sets expand INSIDE the agg
+    stage (Expand operator), one map-side-combined exchange total, and
+    the event-type filter pushed to the parquet scan — one scan serves
+    every granularity."""
+    from pu4spark_spark.operators.relational import q_events_time_rollup
+
+    plan = explain_str(q_events_time_rollup(spark, SF_DIR))
+    assert "Expand" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "partial_" in plan
+    assert re.search(r"PushedFilters: \[[^\]]*event_type", plan)
+
+
+def test_auc_no_global_row_sort(spark):
+    """The rank-sum AUC must NOT globally sort rows: the corpus is
+    reduced by a map-side-combined bin groupBy, and only the
+    fixed-size bin table passes through the SinglePartition window —
+    two exchanges total, with the scan pruned to (text, lang)."""
+    from pu4spark_spark.operators.text import q_eval_quality_auc
+
+    plan = explain_str(q_eval_quality_auc(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert "partial_" in plan
+    m = re.search(r"ReadSchema: (\S+)", plan)
+    assert m and "doc_id" not in m.group(1) and "source" not in m.group(1)
