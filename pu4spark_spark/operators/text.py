@@ -934,6 +934,109 @@ FROM pairs GROUP BY pair
 """
 
 
+# -- KMV distinct-cardinality sketch (k-minimum-values) ------------------
+
+#: sketch size — the estimator touches only the K smallest hash values
+KMV_K = 256
+#: scan-stage hash-prefix filter: only hashes starting with '0' (1/16 of
+#: the space) ever reach the distinct/sort — the K global minima are all
+#: in that slice whenever ≥K distinct hashes land there (guarded below)
+KMV_PREFIX_BOUND = "1"
+
+
+def q_text_kmv_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values estimate of the corpus's distinct-shingle count,
+    side-by-side with the exact count — the sketch/audit pair for
+    "how big is the shingle space?" (shard-count planning for dedup
+    artifacts, LSH band sizing).
+
+    KMV: hash every shingle uniformly; if u_k is the k-th smallest
+    distinct hash mapped into [0,1), then (k-1)/u_k estimates the
+    distinct count (order statistics of uniform samples).  Scale
+    shape: a scan-stage prefix filter keeps only hashes in the lowest
+    1/16 of the space — the k minima are provably inside whenever ≥k
+    distinct hashes land there (a one-row guard asserts it), so the
+    distinct+sort runs over ~1/16 of the distinct-shingle space, and
+    the final k-smallest is a bounded TakeOrdered, not a global sort.
+    At 100 TB the prefix is lengthened (each nibble is another 16×
+    cut); the estimator's whole point is that only the tiny prefix
+    slice is ever deduplicated exactly.
+
+    Exactness: the k-th hash value is an integer (first 8 md5 nibbles);
+    the estimate is a fixed chain of two IEEE divisions — both engines
+    agree bit-for-bit, so even the ESTIMATE hash-checks against the
+    oracle (same discipline as the Bloom decontamination's false
+    positives).
+    """
+    from pu4spark_spark.functions.textfns import nibble
+
+    docs = load_table(spark, "documents", sf_dir)
+    sh = docs.select(
+        F.explode(F.array_distinct(word_shingles(tokens("text")))).alias("s")
+    )
+    h = (
+        sh.select(F.md5("s").alias("h"))
+        .filter(F.col("h") < KMV_PREFIX_BOUND)
+        .distinct()
+    )
+    n_low = h.count()  # 1-row guard scalar (driver-loop protocol)
+    if n_low < KMV_K:
+        raise RuntimeError(
+            f"KMV prefix slice holds only {n_low} distinct hashes (<"
+            f" {KMV_K}); shorten KMV_PREFIX_BOUND for this corpus size"
+        )
+    kth = h.orderBy("h").limit(KMV_K).orderBy(F.desc("h")).limit(1)
+    v = sum(
+        nibble(F.col("h"), i + 1).cast("long") * (16 ** (7 - i))
+        for i in range(8)
+    )
+    exact = sh.distinct().count()  # the audit side (exact distinct pass)
+    u = v.cast("double") / F.lit(float(1 << 32))
+    est = F.lit(float(KMV_K - 1)) / u
+    return kth.select(
+        F.lit(KMV_K).alias("k"),
+        F.lit(exact).alias("exact_distinct"),
+        v.alias("kth_hash_int"),
+        est.alias("kmv_estimate"),
+        (F.abs(est - F.lit(float(exact))) / F.lit(float(exact))).alias(
+            "rel_err"
+        ),
+    )
+
+
+def _sql_kmv() -> str:
+    from pu4spark_spark.functions.textfns import sql_nibble
+
+    v = " + ".join(
+        f"{sql_nibble('h', i + 1)} * {16 ** (7 - i)}" for i in range(8)
+    )
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT unnest(list_distinct({sql_word_shingles('text')})) AS s
+  FROM documents
+),
+hs AS (
+  SELECT DISTINCT md5(s) AS h FROM sh WHERE md5(s) < '{KMV_PREFIX_BOUND}'
+),
+kth AS (
+  SELECT h FROM hs ORDER BY h LIMIT 1 OFFSET {KMV_K - 1}
+),
+exact AS (SELECT COUNT(*) AS d FROM sh)
+SELECT {KMV_K} AS k,
+       exact.d AS exact_distinct,
+       CAST({v} AS BIGINT) AS kth_hash_int,
+       CAST({KMV_K - 1} AS DOUBLE)
+         / (CAST({v} AS DOUBLE) / 4294967296.0) AS kmv_estimate,
+       abs(CAST({KMV_K - 1} AS DOUBLE)
+           / (CAST({v} AS DOUBLE) / 4294967296.0) - CAST(exact.d AS DOUBLE))
+         / CAST(exact.d AS DOUBLE) AS rel_err
+FROM kth, exact
+"""
+
+
+SQL_TEXT_KMV = _sql_kmv()
+
+
 # -- BPE merge learning (tokenizer training driver loop) -----------------
 
 #: merge rounds learned by ``text_bpe_learn_merges``
@@ -1126,6 +1229,7 @@ QUERIES = {
     "text_zscore_by_lang": q_text_zscore_by_lang,
     "text_inverted_index": q_text_inverted_index,
     "text_search_tfdf": q_text_search_tfdf,
+    "text_kmv_distinct_shingles": q_text_kmv_distinct_shingles,
     "eval_quality_auc": q_eval_quality_auc,
 }
 
@@ -1146,6 +1250,8 @@ ORACLE_SQL = {
     "text_zscore_by_lang": SQL_TEXT_ZSCORE,
     "text_inverted_index": SQL_TEXT_INVERTED_INDEX,
     "text_search_tfdf": SQL_TEXT_SEARCH_TFDF,
+    "text_kmv_distinct_shingles": SQL_TEXT_KMV,
     "eval_quality_auc": SQL_EVAL_QUALITY_AUC,
     # text_tfidf_ml: ML — rows-only
+    # text_bpe_learn_merges: iterative driver loop — rows-only
 }
