@@ -239,11 +239,130 @@ FROM documents
 """
 
 
+# -- content-defined chunking (binary dedup primitive) -------------------
+
+#: gear table: 256 deterministic 64-bit values derived from md5 — the
+#: rolling-hash alphabet, identical across runs/engines/seeds
+def _gear_table() -> list[int]:
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"gear:{i}".encode()).hexdigest()[:16], 16)
+        for i in range(256)
+    ]
+
+
+GEAR = _gear_table()
+#: boundary when the low 6 bits of the rolling hash are zero → ~64-byte
+#: average chunks (fixture payloads are a few hundred bytes; production
+#: media would use KB-scale masks — one constant)
+CDC_MASK = 0x3F
+CDC_MIN, CDC_MAX = 16, 256
+_U64 = (1 << 64) - 1
+
+
+def cdc_boundaries(payload: bytes) -> list[tuple[int, int]]:
+    """Gear-hash content-defined chunking: cut-candidate positions
+    depend only on the trailing ≤64 bytes of content (the ``h << 1``
+    shift ages bytes out of the 64-bit state), so an insertion early in
+    the payload shifts at most the chunks up to the next candidate —
+    every later chunk keeps its hash (fixed-stride chunking would shift
+    EVERY later boundary, destroying dedup).  The hash deliberately
+    does NOT reset at cuts: a reset would make candidates depend on cut
+    phase and repetitive content would never resync after an edit
+    (measured: 0 shared chunks on a periodic payload with reset, full
+    resync without).  Min/max bounds cap pathological content; returns
+    (offset, length) pairs."""
+    chunks: list[tuple[int, int]] = []
+    start = 0
+    h = 0
+    for i, b in enumerate(payload):
+        h = ((h << 1) + GEAR[b]) & _U64
+        ln = i + 1 - start
+        if (ln >= CDC_MIN and (h & CDC_MASK) == 0) or ln >= CDC_MAX:
+            chunks.append((start, ln))
+            start = i + 1
+    if start < len(payload):
+        chunks.append((start, len(payload) - start))
+    return chunks
+
+
+def cdc_chunk_table(packed: DataFrame) -> DataFrame:
+    """Arrow-batched 1-to-N chunking of binary payloads: every payload
+    explodes into content-defined chunks with offsets and content
+    hashes — the substrate for byte-level dedup of image/audio/video
+    columns, where n-gram shingling has no meaning.  Payload bytes stay
+    executor-side; output is chunk metadata only (hashes + offsets),
+    which is what ships to the dedup join at 100 TB — never the bytes.
+    """
+    schema = (
+        "doc_id long, chunk_idx int, offset int, length int, "
+        "chunk_md5 string"
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, offs, lens, digs = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                for ci, (off, ln) in enumerate(cdc_boundaries(data)):
+                    ids.append(doc_id)
+                    idxs.append(ci)
+                    offs.append(off)
+                    lens.append(ln)
+                    digs.append(hashlib.md5(data[off : off + ln]).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "chunk_idx": pd.Series(idxs, dtype="int32"),
+                    "offset": pd.Series(offs, dtype="int32"),
+                    "length": pd.Series(lens, dtype="int32"),
+                    "chunk_md5": pd.Series(digs, dtype="object"),
+                }
+            )
+
+    return packed.select("doc_id", "payload").mapInPandas(run, schema=schema)
+
+
+def q_mm_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC chunk table over packed documents — rows-only (a rolling
+    hash is not SQL-expressible); a CPython reference chunker and
+    shift-invariance property tests pin the semantics
+    (``tests/test_text_multimodal.py``)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return cdc_chunk_table(pack_documents(docs))
+
+
+def q_mm_cdc_dup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate chunks: one map-side-combined groupBy
+    over the chunk hashes — ``dedup_bytes`` is what a content-addressed
+    store saves.  Composes the CDC explode with the exact-dedup shape;
+    only chunk METADATA is shuffled."""
+    chunks = q_mm_cdc_chunks(spark, sf_dir)
+    return (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.max("length").alias("length"),
+            (F.max("length") * (F.count(F.lit(1)) - 1)).alias("dedup_bytes"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
 QUERIES = {
     "mm_pack_stats": q_mm_pack_stats,
     "mm_decode_features": q_mm_decode_features,
     "mm_frame_sample": q_mm_frame_sample,
     "mm_arrow_payload_stats": q_mm_arrow_payload_stats,
+    # rows-only pair: rolling-hash chunking is not SQL-expressible;
+    # CPython reference + shift-invariance tests pin the semantics
+    "mm_cdc_chunks": q_mm_cdc_chunks,
+    "mm_cdc_dup_chunks": q_mm_cdc_dup_chunks,
 }
 
 ORACLE_SQL = {

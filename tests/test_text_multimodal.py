@@ -160,3 +160,111 @@ def test_bpe_pair_counts_vs_python(spark):
         for r in q_text_bpe_pair_counts(spark, sf).collect()
     }
     assert got == {p: (n_words[p], total[p]) for p in n_words}
+
+
+# -- content-defined chunking ---------------------------------------------
+
+def _reference_cdc(payload: bytes):
+    """Independent re-implementation of the gear-hash chunker (same
+    published algorithm, written from the definition)."""
+    import hashlib
+
+    gear = [
+        int(hashlib.md5(f"gear:{i}".encode()).hexdigest()[:16], 16)
+        for i in range(256)
+    ]
+    out, start, h = [], 0, 0
+    for i, b in enumerate(payload):
+        h = ((h * 2) % 2**64 + gear[b]) % 2**64
+        if (i + 1 - start >= 16 and h % 64 == 0) or i + 1 - start >= 256:
+            out.append((start, i + 1 - start))
+            start = i + 1
+    if start < len(payload):
+        out.append((start, len(payload) - start))
+    return out
+
+
+def test_cdc_chunks_match_reference_and_tile(spark):
+    import hashlib
+
+    from pu4spark_spark.operators.multimodal import q_mm_cdc_chunks
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_mm_cdc_chunks(spark, sf).collect()
+    docs = {
+        r["doc_id"]: r["text"].encode("utf-8")
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, payload in docs.items():
+        got = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+        ref = _reference_cdc(payload)
+        assert [(r["offset"], r["length"]) for r in got] == ref
+        # chunks tile the payload exactly, bounds hold for all but last
+        pos = 0
+        for r in got[:-1]:
+            assert r["offset"] == pos and 16 <= r["length"] <= 256
+            pos += r["length"]
+        assert got[-1]["offset"] + got[-1]["length"] == len(payload)
+        # hashes are of the actual chunk bytes
+        r0 = got[0]
+        assert (
+            hashlib.md5(payload[: r0["length"]]).hexdigest() == r0["chunk_md5"]
+        )
+
+
+def test_cdc_shift_invariance():
+    """The CDC motivation: prepending bytes must leave the chunk-hash
+    multiset mostly intact (only chunks up to the first re-synced
+    boundary change) — fixed-stride chunking would shift every chunk."""
+    import hashlib
+
+    from pu4spark_spark.operators.multimodal import cdc_boundaries
+
+    # deterministic high-entropy payload: a short-period text can have
+    # so few distinct 64-byte contexts that NO position satisfies the
+    # cut mask and every cut is a max-length force-cut (observed with a
+    # 45-byte-period sentence) — content-defined cuts need content
+    base = b"".join(
+        hashlib.md5(f"blk:{i}".encode()).digest() for i in range(120)
+    )
+    shifted = b"INSERTED-PREFIX-BYTES!" + base
+
+    def hashes(p: bytes) -> list[str]:
+        return [
+            hashlib.md5(p[o : o + ln]).hexdigest()
+            for o, ln in cdc_boundaries(p)
+        ]
+
+    hb, hs = hashes(base), hashes(shifted)
+    shared = len(set(hb) & set(hs))
+    assert shared >= int(0.7 * len(hb)), (shared, len(hb), len(hs))
+
+
+def test_cdc_dup_chunks_counts(spark):
+    """Two docs sharing a long run of identical bytes must surface
+    duplicate chunks with correct copy counts."""
+    from pu4spark_spark.operators.multimodal import cdc_chunk_table
+
+    import hashlib
+
+    common = b"".join(
+        hashlib.md5(f"shared:{i}".encode()).digest() for i in range(60)
+    )
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(b"unique-head-one " + common)),
+            (2, bytearray(b"a-different-head " + common)),
+        ],
+        "doc_id long, payload binary",
+    )
+    chunks = cdc_chunk_table(df).collect()
+    from collections import Counter
+
+    copies = Counter(r["chunk_md5"] for r in chunks)
+    assert max(copies.values()) == 2  # interior common chunks collide
+    n_dup = sum(1 for v in copies.values() if v == 2)
+    assert n_dup >= 3
