@@ -135,6 +135,17 @@ HEADLINE = [
     "events_value_trend",
     "streaming_static_enrich",
     "text_bpe_pair_counts",
+    # round-4 additions (driver round numbering)
+    "events_time_rollup",
+    "eval_quality_auc",
+    "dedup_containment",
+    "streaming_left_outer_join",
+    "embedding_pca_project",
+    "text_bpe_learn_merges",
+    "text_kmv_distinct_shingles",
+    "mm_cdc_dup_chunks",
+    "lineitem_winsorized_mean",
+    "pu_auc_zero_step",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's

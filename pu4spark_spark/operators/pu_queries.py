@@ -353,6 +353,41 @@ FROM lineitem
 """
 
 
+def q_pu_auc_zero_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed eval of the PU classifier itself: exact ties-corrected
+    AUC of the zero-step P(positive) against the held-out true class
+    (label == 9 — the class the PU seed was derived from) via the
+    shared rank-sum primitive (``functions/evalfns.py``): no global
+    sort, corpus reduced to ≤1001 bin rows before the window.  The
+    §2A↔eval composition — the reference trains the scorer
+    (TwoStepPULearner.scala:40-60), this measures it at scale.
+    Rows-only (the score is an ML output); the AUC arithmetic itself
+    is pinned by a NumPy reference test (``tests/test_pu.py``), and on
+    the separable fixture the AUC must be ≫ 0.5."""
+    from pu4spark_spark.config import (
+        LogisticRegressionConfig,
+        TraditionalPULearnerConfig,
+    )
+    from pu4spark_spark.functions.evalfns import ranksum_auc
+
+    learner = TraditionalPULearnerConfig(
+        maxIters=0, classifierConfig=LogisticRegressionConfig(maxIter=20)
+    ).build()
+    emb = load_table(spark, "embeddings", sf_dir)
+    scored = learner.weight(
+        emb.withColumn(
+            "pu_label", F.when(F.col("label") == 9, 1).otherwise(0)
+        ),
+        "pu_label",
+        "embedding",
+    )
+    return ranksum_auc(
+        scored,
+        F.col("finalLabel"),
+        F.when(F.col("label") == 9, 1).otherwise(0),
+    )
+
+
 QUERIES = {
     "pu_relabel_keep": q_pu_relabel_keep,
     "pu_binarize_traditional": q_pu_binarize_traditional,
@@ -368,6 +403,8 @@ QUERIES = {
     "pu_spy_em_lr": q_pu_spy_em_lr,
     "pu_elkan_noto_lr": q_pu_elkan_noto_lr,
     "pu_feature_assembly": q_pu_feature_assembly,
+    # rows-only: ML-scored input; AUC algebra NumPy-pinned in tests
+    "pu_auc_zero_step": q_pu_auc_zero_step,
 }
 
 ORACLE_SQL = {

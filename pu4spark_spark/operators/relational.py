@@ -1853,6 +1853,85 @@ GROUP BY 1, 2
 """
 
 
+# -- winsorized robust statistics ----------------------------------------
+
+def q_lineitem_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (P5/P95-clamped) mean price per return flag — the
+    robust-statistics shape that survives fat-tailed value columns.
+
+    Two passes: exact per-group percentile boundaries (3 groups — the
+    boundary table is group-cardinality-sized and broadcast, the
+    legitimate 1-row-per-group scalar pattern), then one
+    map-side-combined aggregation of the clamped values.  Exactness
+    discipline (SURVEY.md §5b lesson 8): summing clamped DOUBLES would
+    be order-dependent, so the mean is decomposed into an exact
+    decimal sum of the in-range prices plus count×boundary for each
+    clamped tail — integers and two multiplications, one final IEEE
+    division, bit-identical across engines."""
+    li = load_table(spark, "lineitem", sf_dir)
+    bounds = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("p05"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+    )
+    pr = F.col("l_extendedprice")
+    joined = li.select("l_returnflag", "l_extendedprice").join(
+        F.broadcast(bounds), "l_returnflag"
+    )
+    agg = joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (pr >= F.col("p05")) & (pr <= F.col("p95")),
+                    pr.cast(MONEY),
+                )
+            ),
+            F.lit(0).cast(MONEY),
+        ).alias("sum_mid"),
+        F.sum(F.when(pr < F.col("p05"), 1).otherwise(0)).alias("n_low"),
+        F.sum(F.when(pr > F.col("p95"), 1).otherwise(0)).alias("n_high"),
+        F.max("p05").alias("p05"),
+        F.max("p95").alias("p95"),
+    )
+    wins_mean = (
+        F.col("sum_mid").cast("double")
+        + F.col("n_low") * F.col("p05")
+        + F.col("n_high") * F.col("p95")
+    ) / F.col("n")
+    return agg.select(
+        "l_returnflag", "n", "n_low", "n_high", "p05", "p95",
+        wins_mean.alias("winsorized_mean"),
+    )
+
+
+SQL_LINEITEM_WINSORIZED = """
+WITH bounds AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.05) AS p05,
+         quantile_cont(l_extendedprice, 0.95) AS p95
+  FROM lineitem GROUP BY l_returnflag
+),
+agg AS (
+  SELECT l.l_returnflag,
+         COUNT(*) AS n,
+         COALESCE(SUM(CASE WHEN l_extendedprice >= p05
+                            AND l_extendedprice <= p95
+                           THEN CAST(l_extendedprice AS DECIMAL(18,2)) END),
+                  CAST(0 AS DECIMAL(18,2))) AS sum_mid,
+         SUM(CASE WHEN l_extendedprice < p05 THEN 1 ELSE 0 END) AS n_low,
+         SUM(CASE WHEN l_extendedprice > p95 THEN 1 ELSE 0 END) AS n_high,
+         MAX(p05) AS p05,
+         MAX(p95) AS p95
+  FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
+  GROUP BY l.l_returnflag
+)
+SELECT l_returnflag, n, n_low, n_high, p05, p95,
+       (CAST(sum_mid AS DOUBLE) + n_low * p05 + n_high * p95) / n
+         AS winsorized_mean
+FROM agg
+"""
+
+
 # -- time-hierarchy rollup (hypertable-style multi-granularity) ----------
 
 def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1932,6 +2011,7 @@ QUERIES = {
     "cube_status_priority": q_cube_status_priority,
     "lineitem_price_percentiles": q_lineitem_price_percentiles,
     "lineitem_price_percentiles_approx": q_lineitem_price_percentiles_approx,
+    "lineitem_winsorized_mean": q_lineitem_winsorized_mean,
     "events_user_cardinality": q_events_user_cardinality,
     "events_user_cardinality_approx": q_events_user_cardinality_approx,
     "customers_with_urgent_orders": q_customers_with_urgent_orders,
@@ -1978,6 +2058,7 @@ ORACLE_SQL = {
     "rollup_order_status": SQL_ROLLUP,
     "cube_status_priority": SQL_CUBE,
     "lineitem_price_percentiles": SQL_PRICE_PERCENTILES,
+    "lineitem_winsorized_mean": SQL_LINEITEM_WINSORIZED,
     "events_user_cardinality": SQL_USER_CARDINALITY,
     # events_user_cardinality_approx: HLL sketch, engine-specific — rows-only
     "customers_with_urgent_orders": SQL_SEMI_URGENT,

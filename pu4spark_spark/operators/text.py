@@ -1140,8 +1140,8 @@ def q_text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: score-quantization grain for the rank-sum AUC — the window below runs
 #: over at most (AUC_BINS+1) pre-aggregated rows, independent of corpus
-#: size
-AUC_BINS = 1000
+#: size (shared with every other AUC eval via functions/evalfns.py)
+from pu4spark_spark.functions.evalfns import AUC_BINS  # noqa: E402
 
 
 def q_eval_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1163,26 +1163,13 @@ def q_eval_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-sized work is one scan + one bin-keyed exchange of
     pre-reduced partials.
     """
-    scored = q_text_quality(spark, sf_dir).select(
-        F.floor(F.col("quality_score") * AUC_BINS).cast("int").alias("bin"),
-        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
-    )
-    bins = scored.groupBy("bin").agg(
-        F.sum("y").alias("p"),
-        F.sum(F.lit(1) - F.col("y")).alias("n"),
-    )
-    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = bins.withColumn(
-        "cum_neg", F.coalesce(F.sum("n").over(w), F.lit(0))
-    )
-    u2 = F.sum(F.col("p") * (2 * F.col("cum_neg") + F.col("n")))
-    return ranked.agg(
-        F.sum("p").alias("n_pos"),
-        F.sum("n").alias("n_neg"),
-        (
-            u2.cast("double")
-            / (2 * F.sum("p") * F.sum("n")).cast("double")
-        ).alias("auc"),
+    from pu4spark_spark.functions.evalfns import ranksum_auc
+
+    return ranksum_auc(
+        q_text_quality(spark, sf_dir),
+        F.col("quality_score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0),
+        bins=AUC_BINS,
     )
 
 

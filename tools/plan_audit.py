@@ -220,6 +220,22 @@ AUDITED = {
         "scan-stage arithmetic over the agg output — no fit loop, no "
         "second pass."
     ),
+    "events_time_rollup": (
+        "ROLLUP(day, hour) expands grouping sets inside the agg stage "
+        "(Expand operator): ONE pushed-filter scan and ONE map-side-"
+        "combined exchange serve every granularity."
+    ),
+    "eval_quality_auc": (
+        "Rank-sum AUC with NO global row sort: map-side-combined bin "
+        "groupBy reduces the corpus to <=1001 rows; only that "
+        "fixed-size table passes the SinglePartition window; scan "
+        "pruned to (text, lang)."
+    ),
+    "dedup_containment": (
+        "Same LSH band-key self-join as the Jaccard verify (one "
+        "band-key shuffle, O(candidates) verify); both containment "
+        "directions come from ONE array_intersect per candidate pair."
+    ),
 }
 
 _TREE_RE = re.compile(r"^(.*?)\n\n\(1\)", re.DOTALL)
