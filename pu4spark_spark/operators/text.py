@@ -1196,6 +1196,130 @@ FROM r
 """
 
 
+# -- Count-Min sketch (bounded-memory frequency estimates) ---------------
+
+#: sketch geometry — d×w counters; the sketch table is d·w rows TOTAL,
+#: independent of vocabulary or corpus size (the point of the sketch)
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+#: how many heavy tokens the probe stage estimates
+CMS_PROBE_K = 20
+
+
+def q_text_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over the token stream, audited against exact
+    counts — the bounded-memory frequency-estimation primitive (the
+    KMV/HLL sibling for POINT frequencies rather than cardinality).
+
+    Build: token counts reduce once (map-side-combined groupBy), then
+    each distinct token deposits its count into ``CMS_DEPTH`` buckets
+    via Kirsch–Mitzenmacher double hashing off the two md5 halves
+    (same discipline as the Bloom decontaminator — one digest per
+    token for all rows); a second groupBy over ``(depth, bucket)``
+    collapses the deposits into the d×w counter table, whose exchange
+    AND output are O(d·w) — 2048 rows here — regardless of corpus
+    size.  Probe: the exact top-``CMS_PROBE_K`` tokens (two-phase
+    rank, no global sort) recompute their bucket rows and broadcast-
+    join the fixed-size sketch; the estimate is the min counter over
+    depths.
+
+    The estimate is DETERMINISTIC (no sampling), so the DuckDB oracle
+    reproduces the identical sketch — collisions included — and
+    hash-checks the ESTIMATES, not just the exact counts; the
+    ``overcount`` column (estimate − truth, ≥ 0 by construction) is
+    the sketch-error audit a 100 TB run would monitor.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    h = F.md5(F.col("token"))
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").bitwiseOR(1)
+    buckets = F.array(
+        *[((h1 + F.lit(d) * h2) % CMS_WIDTH) for d in range(CMS_DEPTH)]
+    )
+    deposits = counts.select(
+        "token", "n", F.posexplode(buckets).alias("depth", "bucket")
+    )
+    sketch = deposits.groupBy("depth", "bucket").agg(
+        F.sum("n").alias("cnt")
+    )
+    # exact top-K probe set — two-phase rank over the vocab-sized table
+    wl = Window.partitionBy("__part").orderBy(F.desc("n"), F.asc("token"))
+    local = (
+        counts.withColumn("__part", F.spark_partition_id())
+        .withColumn("__lr", F.row_number().over(wl))
+        .filter(F.col("__lr") <= CMS_PROBE_K)
+        .drop("__part", "__lr")
+    )
+    wg = Window.orderBy(F.desc("n"), F.asc("token"))
+    probes = (
+        local.withColumn("__r", F.row_number().over(wg))
+        .filter(F.col("__r") <= CMS_PROBE_K)
+        .drop("__r")
+    )
+    probe_rows = probes.select(
+        "token",
+        F.col("n").alias("exact_n"),
+        F.posexplode(buckets).alias("depth", "bucket"),
+    )
+    est = (
+        probe_rows.join(F.broadcast(sketch), ["depth", "bucket"])
+        .groupBy("token", "exact_n")
+        .agg(F.min("cnt").alias("cms_n"))
+    )
+    return est.select(
+        "token",
+        F.col("exact_n").cast("bigint").alias("exact_n"),
+        F.col("cms_n").cast("bigint").alias("cms_n"),
+        (F.col("cms_n") - F.col("exact_n")).cast("bigint").alias("overcount"),
+    )
+
+
+_CMS_BUCKETS_SQL = ", ".join(
+    f"{{'depth': {d}, 'bucket': (h1 + {d} * h2) % {CMS_WIDTH}}}"
+    for d in range(CMS_DEPTH)
+)
+
+SQL_TEXT_CMS_FREQUENCY = f"""
+WITH counts AS (
+  SELECT token, COUNT(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+),
+hashed AS (
+  SELECT token, n,
+         CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(token), 9, 8)) AS BIGINT) | 1 AS h2
+  FROM counts
+),
+deposits AS (
+  SELECT token, n, u.depth AS depth, u.bucket AS bucket
+  FROM hashed, UNNEST([{_CMS_BUCKETS_SQL}]) AS t(u)
+),
+sketch AS (
+  SELECT depth, bucket, SUM(n) AS cnt FROM deposits GROUP BY depth, bucket
+),
+probes AS (
+  SELECT token, n AS exact_n FROM counts
+  ORDER BY n DESC, token ASC LIMIT {CMS_PROBE_K}
+),
+probe_rows AS (
+  SELECT p.token, p.exact_n, d.depth, d.bucket
+  FROM probes p JOIN deposits d USING (token)
+)
+SELECT token,
+       CAST(exact_n AS BIGINT) AS exact_n,
+       CAST(MIN(cnt) AS BIGINT) AS cms_n,
+       CAST(MIN(cnt) - exact_n AS BIGINT) AS overcount
+FROM probe_rows JOIN sketch USING (depth, bucket)
+GROUP BY token, exact_n
+"""
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
     "text_bpe_pair_counts": q_text_bpe_pair_counts,
@@ -1217,6 +1341,7 @@ QUERIES = {
     "text_inverted_index": q_text_inverted_index,
     "text_search_tfdf": q_text_search_tfdf,
     "text_kmv_distinct_shingles": q_text_kmv_distinct_shingles,
+    "text_cms_frequency": q_text_cms_frequency,
     "eval_quality_auc": q_eval_quality_auc,
 }
 
@@ -1238,6 +1363,7 @@ ORACLE_SQL = {
     "text_inverted_index": SQL_TEXT_INVERTED_INDEX,
     "text_search_tfdf": SQL_TEXT_SEARCH_TFDF,
     "text_kmv_distinct_shingles": SQL_TEXT_KMV,
+    "text_cms_frequency": SQL_TEXT_CMS_FREQUENCY,
     "eval_quality_auc": SQL_EVAL_QUALITY_AUC,
     # text_tfidf_ml: ML — rows-only
     # text_bpe_learn_merges: iterative driver loop — rows-only
