@@ -437,11 +437,253 @@ FROM clicks c JOIN purchases p
 """
 
 
+# -- interval-overlap join (banded, both sides interval-valued) ----------
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    band_micros: int,
+) -> DataFrame:
+    """All (left, right) pairs whose half-open intervals overlap:
+    ``l_start < r_end AND r_start < l_end`` — the third member of the
+    temporal-join family (as-of = point→latest-point, range = point→
+    window, THIS = interval→interval: sessions × incidents, validity
+    spans × validity spans).
+
+    Banded like :func:`range_join_lookback`, generalized to intervals
+    on BOTH sides: each interval explodes to every fixed-width time
+    band it touches (``sequence(start div B, end div B)``), the join is
+    a plain equi-join on the band key, and the exact overlap predicate
+    filters within band.  Two intervals can share several bands, so
+    each pair is emitted ONLY in the band where the later interval
+    begins (``band == greatest(l_start, r_start) div B``) — a
+    deduplication-free guard (that band is always a shared band, since
+    the later start lies inside both intervals).  Cost: one shuffle on
+    the band key, amplification = interval length / band width; no
+    BroadcastNestedLoopJoin, no O(|L|·|R|) blowup.  ``band_micros``
+    trades amplification (long intervals touch many bands) against
+    per-band pair density — size it near the typical interval length.
+    """
+    lb = int(band_micros)
+    # each side's own start band, computed BEFORE the join (floor
+    # division is monotone, so band(max(starts)) = max(start bands) —
+    # the guard below needs only these two per-side integers)
+    lx = left.withColumn(
+        "__sband_l", F.expr(f"unix_micros({l_start}) div {lb}")
+    ).withColumn(
+        "__band",
+        F.explode(
+            F.expr(
+                f"sequence(unix_micros({l_start}) div {lb},"
+                f" unix_micros({l_end}) div {lb})"
+            )
+        ),
+    )
+    rx = right.withColumn(
+        "__sband_r", F.expr(f"unix_micros({r_start}) div {lb}")
+    ).withColumn(
+        "__band",
+        F.explode(
+            F.expr(
+                f"sequence(unix_micros({r_start}) div {lb},"
+                f" unix_micros({r_end}) div {lb})"
+            )
+        ),
+    )
+    cond = [
+        lx["__band"] == rx["__band"],
+        lx[l_start] < rx[r_end],
+        rx[r_start] < lx[l_end],
+        # emit each overlapping pair exactly once: only in the band
+        # containing the LATER of the two starts (always a shared band
+        # — the later start lies inside both intervals)
+        lx["__band"] == F.greatest(lx["__sband_l"], rx["__sband_r"]),
+    ]
+    return (
+        lx.join(rx, cond, "inner").drop("__band", "__sband_l", "__sband_r")
+    )
+
+
+#: busy-period definition: hours whose event count is ≥ 6/5 of the
+#: corpus-wide mean events-per-active-hour (relative, so the same query
+#: is non-degenerate at every scale factor), runs of contiguous busy
+#: hours merged into one interval.  The comparison is cross-multiplied
+#: to stay all-integer: ``5·n·n_hours ≥ 6·n_events``.
+BUSY_NUM, BUSY_DEN = 6, 5
+#: band width for the session × busy-interval overlap join
+OVERLAP_BAND_MICROS = 4 * 3600 * 1_000_000
+
+
+def q_sessions_busy_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which user sessions overlapped a site-wide traffic spike — the
+    interval×interval join composed from two derived interval tables:
+    per-user sessions (gap-and-island, 30-min silence) and busy
+    periods (runs of hours with ≥ BUSY_MIN_EVENTS events, merged
+    island-style).  Overlap is half-open on both sides; the output
+    carries the intersection span so downstream can weight by exposure
+    seconds.  The DuckDB oracle joins on the raw inequality predicate
+    — a different plan shape that cross-checks the banding algebra
+    (band guard, half-open boundaries) pair-for-pair.
+    """
+    events = load_table(spark, "events", sf_dir)
+
+    wo = Window.partitionBy("user_id").orderBy("ts")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = 30 * 60 * 1_000_000
+    marked = events.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(wo).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wo))
+                >= gap_us
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sessions = (
+        marked.withColumn("sid", F.sum("is_new").over(wrun))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            (F.max("ts") + F.expr("interval 30 minutes")).alias(
+                "session_end"
+            ),
+        )
+        .drop("sid")
+    )
+
+    all_hours = events.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # 1-row global scalar (total events, active hours) broadcast back —
+    # the family's driver-free broadcast-scalar protocol; the busy
+    # predicate cross-multiplies so it never leaves integer arithmetic
+    totals = all_hours.agg(
+        F.sum("n").alias("__tot"), F.count(F.lit(1)).alias("__hrs")
+    )
+    hourly = (
+        all_hours.crossJoin(F.broadcast(totals))
+        .filter(
+            F.col("n") * F.col("__hrs") * BUSY_DEN
+            >= F.col("__tot") * BUSY_NUM
+        )
+        .select("hour", "n")
+    )
+    wh = Window.orderBy("hour")
+    hwrun = wh.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    busy = (
+        hourly.withColumn(
+            "is_new",
+            F.when(
+                F.lag("hour").over(wh).isNull()
+                | (
+                    F.unix_micros("hour")
+                    - F.unix_micros(F.lag("hour").over(wh))
+                    > 3600 * 1_000_000
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("bid", F.sum("is_new").over(hwrun))
+        .groupBy("bid")
+        .agg(
+            F.min("hour").alias("busy_start"),
+            (F.max("hour") + F.expr("interval 1 hour")).alias("busy_end"),
+        )
+        .drop("bid")
+    )
+
+    joined = interval_overlap_join(
+        sessions,
+        busy,
+        "session_start",
+        "session_end",
+        "busy_start",
+        "busy_end",
+        OVERLAP_BAND_MICROS,
+    )
+    return joined.select(
+        "user_id",
+        "session_start",
+        "busy_start",
+        F.greatest("session_start", "busy_start").alias("overlap_start"),
+        F.least("session_end", "busy_end").alias("overlap_end"),
+        (
+            F.unix_micros(F.least("session_end", "busy_end"))
+            - F.unix_micros(F.greatest("session_start", "busy_start"))
+        ).alias("overlap_micros"),
+    )
+
+
+SQL_SESSIONS_BUSY_OVERLAP = f"""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+islands AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+),
+sessions AS (
+  SELECT user_id, MIN(ts) AS session_start,
+         MAX(ts) + INTERVAL 30 MINUTE AS session_end
+  FROM islands GROUP BY user_id, sid
+),
+all_hours AS (
+  SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+totals AS (SELECT SUM(n) AS tot, COUNT(*) AS hrs FROM all_hours),
+hourly AS (
+  SELECT hour, n FROM all_hours, totals
+  WHERE n * hrs * {BUSY_DEN} >= tot * {BUSY_NUM}
+),
+hmarked AS (
+  SELECT hour,
+         CASE WHEN LAG(hour) OVER (ORDER BY hour) IS NULL
+                OR hour - LAG(hour) OVER (ORDER BY hour) > INTERVAL 1 HOUR
+              THEN 1 ELSE 0 END AS is_new
+  FROM hourly
+),
+hislands AS (
+  SELECT hour, SUM(is_new) OVER (ORDER BY hour
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bid
+  FROM hmarked
+),
+busy AS (
+  SELECT MIN(hour) AS busy_start, MAX(hour) + INTERVAL 1 HOUR AS busy_end
+  FROM hislands GROUP BY bid
+)
+SELECT s.user_id, s.session_start, b.busy_start,
+       greatest(s.session_start, b.busy_start) AS overlap_start,
+       least(s.session_end, b.busy_end) AS overlap_end,
+       epoch_us(least(s.session_end, b.busy_end))
+       - epoch_us(greatest(s.session_start, b.busy_start)) AS overlap_micros
+FROM sessions s JOIN busy b
+  ON s.session_start < b.busy_end AND b.busy_start < s.session_end
+"""
+
+
 QUERIES = {
     "asof_click_purchase": q_asof_click_purchase,
     "asof_next_purchase": q_asof_next_purchase,
     "asof_click_purchase_tolerance": q_asof_click_purchase_tolerance,
     "range_click_purchases": q_range_click_purchases,
+    "sessions_busy_overlap": q_sessions_busy_overlap,
 }
 
 ORACLE_SQL = {
@@ -449,4 +691,5 @@ ORACLE_SQL = {
     "asof_next_purchase": SQL_ASOF_NEXT_PURCHASE,
     "asof_click_purchase_tolerance": SQL_ASOF_CLICK_PURCHASE_TOLERANCE,
     "range_click_purchases": SQL_RANGE_CLICK_PURCHASES,
+    "sessions_busy_overlap": SQL_SESSIONS_BUSY_OVERLAP,
 }
