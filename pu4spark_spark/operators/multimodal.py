@@ -354,6 +354,194 @@ def q_mm_cdc_dup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- perceptual average-hash (aHash) near-dup over payloads --------------
+
+AHASH_BITS = 64
+#: pigeonhole band count = AHASH_HAMMING_K + 1 (two 32-bit halves)
+AHASH_HAMMING_K = 1
+_AHASH_BAND_MASK = (1 << (AHASH_BITS // 2)) - 1
+
+
+def ahash_fingerprints(packed: DataFrame) -> DataFrame:
+    """64-bit average-hash per payload — the perceptual-dedup shape for
+    media columns: downscale to a fixed 64-cell grid, then bit j = 1
+    iff cell j is brighter than the grid mean.  A real image pipeline
+    computes cells from decoded pixels (8×8 luma downscale); here the
+    deterministic stand-in "decodes" the payload as UTF-8 and averages
+    code points over 64 equal-length segments — same grid algebra,
+    same robustness property (a local edit perturbs a few cells, so
+    near-identical payloads land within small hamming distance, unlike
+    content hashes).  Contract: empty payloads have no fingerprint.
+
+    Execution shape mirrors ``dedup.simhash_fingerprints`` — explode
+    to one row per character inside whole-stage codegen, ONE
+    map-side-combined groupBy(doc_id) computes the 64 segment sums
+    (the exchange carries one 64-counter row per doc, not the payload
+    bytes), and the bit-pack is a single projected expression.  Bit 63
+    maps to the BIGINT sign bit (two's complement), matching the
+    SimHash convention so the same band/xor machinery applies.
+    """
+    txt = F.decode(F.col("payload"), "UTF-8")
+    base = packed.select(
+        "doc_id", txt.alias("__txt")
+    ).filter(F.char_length("__txt") > 0)
+    chars = base.select(
+        "doc_id",
+        F.char_length("__txt").alias("__n"),
+        F.posexplode(F.split("__txt", "")).alias("__q", "__c"),
+    )
+    segd = chars.select(
+        "doc_id",
+        F.expr(f"(__q * {AHASH_BITS}) div __n").alias("__seg"),
+        F.ascii("__c").alias("__cp"),
+    )
+    sums = segd.groupBy("doc_id").agg(
+        *[
+            F.expr(
+                f"sum(CASE WHEN __seg = {i} THEN __cp ELSE 0 END)"
+            ).alias(f"__p{i}")
+            for i in range(AHASH_BITS)
+        ]
+    )
+    tot = " + ".join(f"__p{i}" for i in range(AHASH_BITS))
+    staged = sums.selectExpr("*", f"({tot}) AS __tot")
+
+    def bit_term(j: int) -> str:
+        one = (
+            "(CAST(-9223372036854775807 AS BIGINT) - 1)"
+            if j == AHASH_BITS - 1
+            else f"CAST({1 << j} AS BIGINT)"
+        )
+        return (
+            f"(CASE WHEN {AHASH_BITS} * __p{j} > __tot"
+            f" THEN {one} ELSE CAST(0 AS BIGINT) END)"
+        )
+
+    fp = " | ".join(bit_term(j) for j in range(AHASH_BITS))
+    return staged.select("doc_id", F.expr(fp).alias("ahash"))
+
+
+def q_mm_ahash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return ahash_fingerprints(pack_documents(docs))
+
+
+def q_mm_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptually-near payload pairs at hamming ≤ 1 — the pigeonhole
+    band join (two 32-bit halves: any pair differing in ≤1 bit agrees
+    exactly on one half) over the aHash table, then exact
+    ``bit_count(xor)`` verify.  Identical scale shape to
+    ``dedup_simhash_hamming``: one equi-join shuffle on a band key
+    whose cardinality (2^32 per position) grows with fingerprint
+    width, never a quadratic all-pairs compare."""
+    fp = ahash_fingerprints(
+        pack_documents(load_table(spark, "documents", sf_dir))
+    )
+    h = F.col("ahash")
+    bands = fp.select(
+        "doc_id",
+        "ahash",
+        F.posexplode(
+            F.array(
+                h.bitwiseAND(F.lit(_AHASH_BAND_MASK)),
+                F.shiftright(h, AHASH_BITS // 2).bitwiseAND(
+                    F.lit(_AHASH_BAND_MASK)
+                ),
+            )
+        ).alias("band_pos", "band_val"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("ahash").alias("ha"),
+        "band_pos",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("ahash").alias("hb"),
+        "band_pos",
+        "band_val",
+    )
+    cand = (
+        a.join(b, ["band_pos", "band_val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "ha", "hb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= AHASH_HAMMING_K)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+def _sql_ahash_core() -> str:
+    sums = ",\n         ".join(
+        f"SUM(CASE WHEN seg = {i} THEN cp ELSE 0 END) AS p{i}"
+        for i in range(AHASH_BITS)
+    )
+    tot = " + ".join(f"p{i}" for i in range(AHASH_BITS))
+
+    def bit_term(j: int) -> str:
+        one = (
+            "(-9223372036854775807 - 1)"
+            if j == AHASH_BITS - 1
+            else f"CAST({1 << j} AS BIGINT)"
+        )
+        return (
+            f"(CASE WHEN {AHASH_BITS} * p{j} > tot"
+            f" THEN {one} ELSE CAST(0 AS BIGINT) END)"
+        )
+
+    fp = "\n       | ".join(bit_term(j) for j in range(AHASH_BITS))
+    return f"""abase AS (
+  SELECT doc_id, string_split(text, '') AS cs, length(text) AS n
+  FROM documents WHERE length(text) > 0
+),
+achars AS (
+  SELECT doc_id, n, unnest(range(n)) AS q, cs FROM abase
+),
+asegd AS (
+  SELECT doc_id, (q * {AHASH_BITS}) // n AS seg,
+         ascii(cs[CAST(q + 1 AS INT)]) AS cp
+  FROM achars
+),
+asums AS (SELECT doc_id, {sums} FROM asegd GROUP BY doc_id),
+afp AS (
+  SELECT doc_id, {fp} AS ahash
+  FROM (SELECT *, {tot} AS tot FROM asums)
+)"""
+
+
+SQL_MM_AHASH_FINGERPRINT = f"""
+WITH {_sql_ahash_core()}
+SELECT doc_id, ahash FROM afp
+"""
+
+SQL_MM_AHASH_NEAR_DUP = f"""
+WITH {_sql_ahash_core()},
+bands AS (
+  SELECT doc_id, ahash, u.band_pos, u.band_val
+  FROM afp, UNNEST([
+      {{'band_pos': 0, 'band_val': ahash & {_AHASH_BAND_MASK}}},
+      {{'band_pos': 1,
+        'band_val': (ahash >> {AHASH_BITS // 2}) & {_AHASH_BAND_MASK}}}
+  ]) AS t(u)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         a.ahash AS ha, b.ahash AS hb
+  FROM bands a JOIN bands b
+    ON a.band_pos = b.band_pos AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= {AHASH_HAMMING_K}
+"""
+
+
 QUERIES = {
     "mm_pack_stats": q_mm_pack_stats,
     "mm_decode_features": q_mm_decode_features,
@@ -363,6 +551,8 @@ QUERIES = {
     # CPython reference + shift-invariance tests pin the semantics
     "mm_cdc_chunks": q_mm_cdc_chunks,
     "mm_cdc_dup_chunks": q_mm_cdc_dup_chunks,
+    "mm_ahash_fingerprint": q_mm_ahash_fingerprint,
+    "mm_ahash_near_dup": q_mm_ahash_near_dup,
 }
 
 ORACLE_SQL = {
@@ -370,4 +560,6 @@ ORACLE_SQL = {
     "mm_decode_features": SQL_MM_DECODE_FEATURES,
     "mm_frame_sample": SQL_MM_FRAME_SAMPLE,
     "mm_arrow_payload_stats": SQL_MM_ARROW_PAYLOAD_STATS,
+    "mm_ahash_fingerprint": SQL_MM_AHASH_FINGERPRINT,
+    "mm_ahash_near_dup": SQL_MM_AHASH_NEAR_DUP,
 }
