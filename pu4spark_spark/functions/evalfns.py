@@ -50,3 +50,49 @@ def ranksum_auc(
             u2.cast("double") / (2 * F.sum("p") * F.sum("n")).cast("double")
         ).alias("auc"),
     )
+
+
+#: reliability-diagram grain — coarse on purpose (the standard 10-bin
+#: calibration report)
+CAL_BINS = 10
+
+
+def calibration_table(
+    df: DataFrame,
+    score: Column | str,
+    label: Column | str,
+    bins: int = CAL_BINS,
+) -> DataFrame:
+    """Reliability-diagram table ``(bin, n, n_pos, conf_mid, frac_pos)``
+    — the companion eval to :func:`ranksum_auc`: AUC measures ranking,
+    this measures whether the score VALUE means what it claims
+    (score ≈ P(positive)).  A top score at ``frac_pos`` far from
+    ``conf_mid`` is the signal to recalibrate (Platt/isotonic — or the
+    Elkan-Noto constant ``c``, which is exactly a one-bin version of
+    this table).
+
+    Scale/portability discipline: one map-side-combined groupBy over a
+    ≤ ``bins``-key space (corpus reduces to ≤ bins rows before the
+    exchange), all counts int64, and the only IEEE operations are one
+    division per bin and the exact mid-point constant — no double
+    summation anywhere, so the DuckDB oracle hash-matches bit-for-bit.
+    Scores exactly 1.0 clamp into the top bin.
+    """
+    s = F.col(score) if isinstance(score, str) else score
+    y = F.col(label) if isinstance(label, str) else label
+    binned = df.select(
+        F.least(F.floor(s * bins), F.lit(bins - 1)).cast("int").alias("bin"),
+        y.alias("y"),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos")
+    )
+    return agg.select(
+        "bin",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        ((F.col("bin") + F.lit(0.5)) / F.lit(float(bins))).alias("conf_mid"),
+        (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias(
+            "frac_pos"
+        ),
+    )

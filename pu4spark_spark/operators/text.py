@@ -1320,6 +1320,38 @@ GROUP BY token, exact_n
 """
 
 
+def q_eval_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the quality score against ``lang = 'en'``
+    — AUC's companion: is the score's VALUE trustworthy as a
+    probability, per 10-bin confidence band?  See
+    ``functions/evalfns.calibration_table`` for the exchange-bounded,
+    bit-portable construction."""
+    from pu4spark_spark.functions.evalfns import CAL_BINS, calibration_table
+
+    return calibration_table(
+        q_text_quality(spark, sf_dir),
+        F.col("quality_score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0),
+        bins=CAL_BINS,
+    )
+
+
+SQL_EVAL_QUALITY_CALIBRATION = f"""
+WITH q AS ({SQL_TEXT_QUALITY}),
+binned AS (
+  SELECT CAST(least(floor(quality_score * 10), 9) AS INTEGER) AS bin,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM q
+)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       (bin + 0.5) / 10.0 AS conf_mid,
+       CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS frac_pos
+FROM binned GROUP BY bin
+"""
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
     "text_bpe_pair_counts": q_text_bpe_pair_counts,
@@ -1343,6 +1375,7 @@ QUERIES = {
     "text_kmv_distinct_shingles": q_text_kmv_distinct_shingles,
     "text_cms_frequency": q_text_cms_frequency,
     "eval_quality_auc": q_eval_quality_auc,
+    "eval_quality_calibration": q_eval_quality_calibration,
 }
 
 ORACLE_SQL = {
@@ -1365,6 +1398,7 @@ ORACLE_SQL = {
     "text_kmv_distinct_shingles": SQL_TEXT_KMV,
     "text_cms_frequency": SQL_TEXT_CMS_FREQUENCY,
     "eval_quality_auc": SQL_EVAL_QUALITY_AUC,
+    "eval_quality_calibration": SQL_EVAL_QUALITY_CALIBRATION,
     # text_tfidf_ml: ML — rows-only
     # text_bpe_learn_merges: iterative driver loop — rows-only
 }
