@@ -182,3 +182,52 @@ def test_asof_forward_semantics(spark):
     assert got[2] == (100, 1.0)   # equal ts matches (>= semantics)
     assert got[3] == (None, None) # nothing after 14:30
     assert got[4] == (None, None) # key has no rights
+
+
+# -- interval-overlap join ------------------------------------------------
+
+def test_interval_overlap_matches_bruteforce(spark):
+    """Banded interval×interval join = nested-loop reference on random
+    intervals, including spans far longer than the band width (multi-
+    band explode), exact-touching endpoints (half-open: NOT a match),
+    and containment."""
+    import datetime
+    import random
+
+    rng = random.Random(7)
+    base = datetime.datetime(2024, 1, 1)
+
+    def mk(n, max_len_h):
+        rows = []
+        for i in range(n):
+            s = base + datetime.timedelta(minutes=rng.randrange(0, 14 * 24 * 60))
+            e = s + datetime.timedelta(minutes=rng.randrange(1, max_len_h * 60))
+            rows.append((i, s, e))
+        return rows
+
+    lrows = mk(60, 6)
+    rrows = mk(25, 48)  # long right intervals: many bands each
+    # force an exact-touch case: left ends exactly where a right starts
+    lrows.append((100, base, base + datetime.timedelta(hours=2)))
+    rrows.append((100, base + datetime.timedelta(hours=2),
+                  base + datetime.timedelta(hours=3)))
+
+    from pu4spark_spark.operators.asof import interval_overlap_join
+
+    ldf = spark.createDataFrame(lrows, "l_id long, ls timestamp, le timestamp")
+    rdf = spark.createDataFrame(rrows, "r_id long, rs timestamp, re timestamp")
+    rows = interval_overlap_join(
+        ldf, rdf, "ls", "le", "rs", "re", 4 * 3600 * 1_000_000
+    ).collect()
+    got = {(r.l_id, r.r_id) for r in rows}
+    # the band guard must emit each pair exactly once (no distinct in
+    # the operator) — a duplicate would hide inside the set compare
+    assert len(rows) == len(got)
+    want = {
+        (li, ri)
+        for li, ls, le in lrows
+        for ri, rs, re in rrows
+        if ls < re and rs < le
+    }
+    assert got == want
+    assert (100, 100) not in got  # half-open touch is not an overlap

@@ -447,3 +447,44 @@ def test_auc_no_global_row_sort(spark):
     assert "partial_" in plan
     m = re.search(r"ReadSchema: (\S+)", plan)
     assert m and "doc_id" not in m.group(1) and "source" not in m.group(1)
+
+
+def test_interval_overlap_join_is_banded(spark):
+    """The interval×interval join must stay a hash/merge equi-join on
+    the band key — never a nested-loop over the inequality predicate.
+    (The busy-threshold 1-ROW scalar append legitimately plans as a
+    broadcast nested loop — the correct constant-append shape, see the
+    BNLJ note in SURVEY §5b.10 — so the gate checks the interval join
+    node specifically, not a blanket BNLJ ban.)"""
+    import re as _re
+
+    from pu4spark_spark.operators.asof import q_sessions_busy_overlap
+
+    plan = explain_str(q_sessions_busy_overlap(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # the interval join itself is the hash join keyed on __band
+    assert _re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan)
+    assert "__band" in plan
+    # any nested-loop node must be the 1-row scalar cross join, and the
+    # band join must not be one: every BNLJ in the plan is a Cross of
+    # the totals row
+    for m in _re.finditer(r"\(\d+\) BroadcastNestedLoopJoin[^\n]*\nJoin type: (\w+)", plan):
+        assert m.group(1) == "Cross"
+
+
+def test_ahash_near_dup_is_banded(spark):
+    """Perceptual near-dup: pigeonhole band equi-join, no all-pairs."""
+    from pu4spark_spark.operators.multimodal import q_mm_ahash_near_dup
+
+    plan = explain_str(q_mm_ahash_near_dup(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cms_probe_broadcasts_sketch(spark):
+    """The Count-Min probe joins a FIXED-size (d×w) sketch — it must be
+    broadcast, never shuffled against the probe rows."""
+    from pu4spark_spark.operators.text import q_text_cms_frequency
+
+    plan = explain_str(q_text_cms_frequency(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
