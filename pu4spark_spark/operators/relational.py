@@ -1971,11 +1971,74 @@ GROUP BY ROLLUP (1, 2)
 """
 
 
+# -- referential-integrity audit ----------------------------------------
+
+#: every FK edge of the star schema: (edge name, child table, child key,
+#: parent table, parent key)
+_FK_EDGES = [
+    ("lineitem.orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.regionkey", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def q_audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per foreign-key edge of the star schema: child-row count
+    and orphan count (child keys with no parent) — the data-quality
+    gate every warehouse load runs before trusting a join.
+
+    Shape: per edge, a left-ANTI join of the child's key against the
+    parent counts the orphans; parents are dimension-sized, so every
+    anti-join broadcasts (no fact-table shuffle anywhere — for the
+    fact→fact edge the child side aggregates to DISTINCT keys first,
+    bounding the probe at key cardinality).  The seven per-edge 1-row
+    aggregates union into a single Catalyst plan, so the whole audit
+    is one job."""
+    from functools import reduce
+
+    out = []
+    for name, child_t, ckey, parent_t, pkey in _FK_EDGES:
+        child = load_table(spark, child_t, sf_dir)
+        parent = load_table(spark, parent_t, sf_dir).select(
+            F.col(pkey).alias("__pk")
+        )
+        n_child = child.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_child")
+        )
+        orphans = (
+            child.select(F.col(ckey).alias("__ck"))
+            .distinct()
+            .join(parent, F.col("__ck") == F.col("__pk"), "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphan_keys"))
+        )
+        out.append(
+            n_child.crossJoin(orphans).select(
+                F.lit(name).alias("fk_edge"), "n_child", "n_orphan_keys"
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), out)
+
+
+SQL_AUDIT_REFERENTIAL_INTEGRITY = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS fk_edge,
+       (SELECT COUNT(*) FROM {child_t}) AS n_child,
+       (SELECT COUNT(*) FROM (SELECT DISTINCT {ckey} FROM {child_t}) c
+         WHERE NOT EXISTS (SELECT 1 FROM {parent_t} p
+                           WHERE p.{pkey} = c.{ckey})) AS n_orphan_keys"""
+    for name, child_t, ckey, parent_t, pkey in _FK_EDGES
+)
+
+
 QUERIES = {
     "q1_pricing_summary": q_q1_pricing_summary,
     "salted_segment_revenue": q_salted_segment_revenue,
     "grouping_sets_orders": q_grouping_sets_orders,
     "profile_orders": q_profile_orders,
+    "audit_referential_integrity": q_audit_referential_integrity,
     "orders_upsert_compact": q_orders_upsert_compact,
     "orders_zorder_layout": q_orders_zorder_layout,
     "sql_parts_by_brand": q_sql_parts_by_brand,
@@ -2024,6 +2087,7 @@ ORACLE_SQL = {
     "salted_segment_revenue": SQL_SALTED_SEGMENT_REVENUE,
     "grouping_sets_orders": SQL_GROUPING_SETS,
     "profile_orders": SQL_PROFILE_ORDERS,
+    "audit_referential_integrity": SQL_AUDIT_REFERENTIAL_INTEGRITY,
     "orders_upsert_compact": SQL_ORDERS_UPSERT_COMPACT,
     "orders_zorder_layout": SQL_ORDERS_ZORDER_LAYOUT,
     "sql_parts_by_brand": SQL_PARTS_BY_BRAND,
