@@ -1206,6 +1206,41 @@ CMS_WIDTH = 512
 CMS_PROBE_K = 20
 
 
+def _cms_buckets(token) -> "F.Column":
+    """The CMS_DEPTH bucket positions for one token — Kirsch–
+    Mitzenmacher double hashing off the two md5 halves (one digest per
+    token for all depths; h2 forced odd)."""
+    h = F.md5(token)
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").bitwiseOR(1)
+    return F.array(
+        *[((h1 + F.lit(d) * h2) % CMS_WIDTH) for d in range(CMS_DEPTH)]
+    )
+
+
+def cms_token_counts(docs: DataFrame) -> DataFrame:
+    """``(token, n)`` exact token counts — one map-side-combined
+    groupBy over the exploded token stream."""
+    return (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_sketch_from_counts(counts: DataFrame) -> DataFrame:
+    """``(depth, bucket, cnt)`` — the d×w counter table.  LINEAR in the
+    input counts (sketch(A ∪ B) = sketch(A) + sketch(B)), which is what
+    makes the sketch mergeable across shards, partitions, and
+    micro-batches."""
+    deposits = counts.select(
+        "token", "n", F.posexplode(_cms_buckets(F.col("token"))).alias(
+            "depth", "bucket"
+        )
+    )
+    return deposits.groupBy("depth", "bucket").agg(F.sum("n").alias("cnt"))
+
+
 def q_text_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch over the token stream, audited against exact
     counts — the bounded-memory frequency-estimation primitive (the
@@ -1230,23 +1265,9 @@ def q_text_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sketch-error audit a 100 TB run would monitor.
     """
     docs = load_table(spark, "documents", sf_dir)
-    counts = (
-        docs.select(F.explode(tokens("text")).alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    h = F.md5(F.col("token"))
-    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
-    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").bitwiseOR(1)
-    buckets = F.array(
-        *[((h1 + F.lit(d) * h2) % CMS_WIDTH) for d in range(CMS_DEPTH)]
-    )
-    deposits = counts.select(
-        "token", "n", F.posexplode(buckets).alias("depth", "bucket")
-    )
-    sketch = deposits.groupBy("depth", "bucket").agg(
-        F.sum("n").alias("cnt")
-    )
+    counts = cms_token_counts(docs)
+    sketch = cms_sketch_from_counts(counts)
+    buckets = _cms_buckets(F.col("token"))
     # exact top-K probe set — two-phase rank over the vocab-sized table
     wl = Window.partitionBy("__part").orderBy(F.desc("n"), F.asc("token"))
     local = (

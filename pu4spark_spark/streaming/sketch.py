@@ -1,0 +1,165 @@
+"""Streaming mergeable-sketch maintenance via ``foreachBatch`` — the
+sketch-at-ingest pattern (SURVEY.md §2B streaming row; reference has no
+streaming).
+
+Count-Min sketches are LINEAR: sketch(A ∪ B) = sketch(A) + sketch(B)
+cell-wise.  So a stream can maintain the corpus-wide sketch by adding
+each micro-batch's partial sketch into a persisted d×w counter table —
+no token-level state, no rescan of history.  That is the whole point of
+sketches at 100 TB: the state carried between batches is the FIXED-SIZE
+counter table (2 048 rows here), regardless of how many tokens ever
+flowed.
+
+Correctness contract: after draining the sharded landing directory, the
+merged table must equal the batch-built sketch over all documents
+CELL-FOR-CELL — linearity makes the check exact, so the DuckDB oracle is
+the batch sketch SQL itself.  (Same discipline as
+``streaming_upsert_compact``: the streaming path and the batch path are
+required to agree row-for-row.)
+
+Mechanics mirror ``streaming/upsert.py``: a multi-file landing dir with
+``maxFilesPerTrigger=1`` (one shard per micro-batch), parquet state with
+an atomic directory swap per merge.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pu4spark_spark.operators.text import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    _CMS_BUCKETS_SQL,
+    cms_sketch_from_counts,
+    cms_token_counts,
+)
+from pu4spark_spark.sources import load_table
+
+#: number of landing-dir shards = number of micro-batches in the drain
+N_SHARDS = 3
+
+
+def _docs_landing_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Shard ``documents`` into N_SHARDS parquet files (doc_id mod) so
+    the stream reader sees N_SHARDS micro-batches; built once per
+    sf_dir."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"pu4spark_cms_land_{tag}")
+    marker = os.path.join(d, "_READY")
+    if os.path.exists(marker):
+        return d
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    os.makedirs(d, exist_ok=True)
+    for i in range(N_SHARDS):
+        shard = docs.filter(F.col("doc_id") % N_SHARDS == i)
+        stage = os.path.join(d, f"__stage_{i}")
+        shard.coalesce(1).write.mode("overwrite").parquet(stage)
+        (src,) = (f for f in os.listdir(stage) if f.endswith(".parquet"))
+        shutil.copy(
+            os.path.join(stage, src), os.path.join(d, f"{i}_shard.parquet")
+        )
+        shutil.rmtree(stage)
+    open(marker, "w").close()
+    return d
+
+
+def merge_sketch_batch(
+    spark: SparkSession, batch: DataFrame, state_dir: str
+) -> None:
+    """Add one micro-batch's partial sketch into the persisted counter
+    table: union + ONE groupBy(depth, bucket) sum (both inputs are
+    ≤ d·w rows — the merge cost is sketch-sized, not data-sized), then
+    an atomic directory swap."""
+    partial = cms_sketch_from_counts(cms_token_counts(batch))
+    if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+        cur = spark.read.parquet(state_dir)
+        merged = (
+            cur.unionByName(partial)
+            .groupBy("depth", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    else:
+        merged = partial
+    tmp = state_dir + ".next"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(state_dir):
+        shutil.rmtree(state_dir)
+    os.rename(tmp, state_dir)
+
+
+def q_streaming_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the sharded documents stream, maintaining the Count-Min
+    sketch incrementally; return the final merged counter table —
+    cell-for-cell equal to the batch sketch by linearity."""
+    land = _docs_landing_dir(spark, sf_dir)
+    schema = spark.read.parquet(
+        os.path.join(land, "0_shard.parquet")
+    ).schema
+    state_dir = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_cms_state_{uuid.uuid4().hex[:8]}"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, _eid: merge_sketch_batch(spark, b, state_dir)
+        )
+        .option(
+            "checkpointLocation",
+            os.path.join(state_dir + ".ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.read.parquet(state_dir).select(
+        F.col("depth").cast("int").alias("depth"),
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+    )
+
+
+#: the batch sketch over ALL documents — linearity of the sketch makes
+#: the streaming merge exactly reproduce it
+SQL_STREAMING_CMS_MERGE = f"""
+WITH counts AS (
+  SELECT token, COUNT(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+),
+hashed AS (
+  SELECT token, n,
+         CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(token), 9, 8)) AS BIGINT) | 1 AS h2
+  FROM counts
+),
+deposits AS (
+  SELECT token, n, u.depth AS depth, u.bucket AS bucket
+  FROM hashed, UNNEST([{_CMS_BUCKETS_SQL}]) AS t(u)
+)
+SELECT CAST(depth AS INTEGER) AS depth,
+       CAST(bucket AS BIGINT) AS bucket,
+       CAST(SUM(n) AS BIGINT) AS cnt
+FROM deposits GROUP BY depth, bucket
+"""
+
+
+QUERIES = {
+    "streaming_cms_merge": q_streaming_cms_merge,
+}
+
+ORACLE_SQL = {
+    "streaming_cms_merge": SQL_STREAMING_CMS_MERGE,
+}
