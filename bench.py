@@ -146,6 +146,15 @@ HEADLINE = [
     "mm_cdc_dup_chunks",
     "lineitem_winsorized_mean",
     "pu_auc_zero_step",
+    # this round's additions (driver round 4 in progress)
+    "dedup_triangles",
+    "dedup_canonical_docs",
+    "text_cms_frequency",
+    "sessions_busy_overlap",
+    "mm_ahash_near_dup",
+    "eval_quality_calibration",
+    "audit_referential_integrity",
+    "streaming_cms_merge",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's
