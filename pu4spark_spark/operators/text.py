@@ -1341,6 +1341,58 @@ GROUP BY token, exact_n
 """
 
 
+def q_text_lang_quality_median_pandas(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-language median quality score via a GROUPED_AGG pandas UDF —
+    the remaining rung of the Arrow UDF ladder (scalar mapInPandas /
+    mapInArrow, 1-to-N, applyInPandas UDAF, applyInPandasWithState,
+    UDTF are all registered elsewhere): the aggregate variant that
+    plugs a vectorized Python reduction straight into ``groupBy.agg``
+    beside native aggregates.
+
+    Arrow ships each language's score vector to one Python worker —
+    per-GROUP state, fine while groups are bounded (languages); for
+    unbounded groups the two-phase capped pattern of
+    ``text_inverted_index`` applies instead.  numpy's even-count
+    median (mean of the two middle values) is the same IEEE operation
+    DuckDB's ``median`` performs on the identical score values, so the
+    result hash-matches — same discipline as
+    ``events_user_gaps_pandas``.
+    """
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType is explicit because this module's
+    # ``from __future__ import annotations`` turns signature hints into
+    # strings, which pandas_udf's Series→scalar inference cannot read
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def median_udf(v):
+        return float(v.median())
+
+    # Spark disallows mixing a group-agg pandas UDF with native
+    # aggregates in one agg() — the count is a second pandas aggregate
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def count_udf(v):
+        return len(v)
+
+    quality = q_text_quality(spark, sf_dir)
+    return (
+        quality.groupBy("lang")
+        .agg(
+            count_udf("quality_score").alias("n_docs"),
+            median_udf("quality_score").alias("median_quality"),
+        )
+    )
+
+
+SQL_TEXT_LANG_QUALITY_MEDIAN = f"""
+WITH q AS ({SQL_TEXT_QUALITY})
+SELECT lang, COUNT(*) AS n_docs,
+       median(quality_score) AS median_quality
+FROM q GROUP BY lang
+"""
+
+
 def q_eval_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability diagram of the quality score against ``lang = 'en'``
     — AUC's companion: is the score's VALUE trustworthy as a
@@ -1397,6 +1449,7 @@ QUERIES = {
     "text_cms_frequency": q_text_cms_frequency,
     "eval_quality_auc": q_eval_quality_auc,
     "eval_quality_calibration": q_eval_quality_calibration,
+    "text_lang_quality_median_pandas": q_text_lang_quality_median_pandas,
 }
 
 ORACLE_SQL = {
@@ -1420,6 +1473,7 @@ ORACLE_SQL = {
     "text_cms_frequency": SQL_TEXT_CMS_FREQUENCY,
     "eval_quality_auc": SQL_EVAL_QUALITY_AUC,
     "eval_quality_calibration": SQL_EVAL_QUALITY_CALIBRATION,
+    "text_lang_quality_median_pandas": SQL_TEXT_LANG_QUALITY_MEDIAN,
     # text_tfidf_ml: ML — rows-only
     # text_bpe_learn_merges: iterative driver loop — rows-only
 }

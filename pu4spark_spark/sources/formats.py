@@ -116,6 +116,17 @@ def _scratch(sf_dir: str, kind: str) -> str:
     return d
 
 
+def _artifact(sf_dir: str, kind: str) -> str:
+    """Like :func:`_scratch` but NOT cleared on each call — for
+    build-once-probe-many layouts (the caller checks ``_SUCCESS``)."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"pu4spark_fmt_{kind}_{tag}")
+
+
 def q_fmt_csv_roundtrip(spark: SparkSession, sf_dir: str):
     from pyspark.sql import functions as F
 
@@ -281,3 +292,136 @@ GROUP BY label
 
 QUERIES["fmt_partition_pruned_scan"] = q_fmt_partition_pruned_scan
 ORACLE_SQL["fmt_partition_pruned_scan"] = _sql_fmt_partition_pruned()
+
+
+def q_fmt_schema_evolution_scan(spark: SparkSession, sf_dir: str):
+    """Schema-evolution read: a dataset whose early shards predate a
+    column (here ``o_orderpriority``, added mid-stream) is read as ONE
+    DataFrame with ``mergeSchema`` — pre-evolution rows surface the new
+    column as NULL, exactly the additive-column contract a 100 TB lake
+    lives with for years (a full rewrite of old shards being off the
+    table).  The aggregate folds NULLs into a sentinel group, so the
+    oracle value-checks the evolution semantics themselves: DuckDB
+    derives which rows must be NULL from the same shard predicate.
+
+    mergeSchema is a FOOTER-level union (schema reconciliation at
+    planning, no data rewrite); per-file pushdown and pruning still
+    apply to each shard's own columns."""
+    from pyspark.sql import functions as F
+
+    from pu4spark_spark.sources import load_table
+
+    orders = load_table(spark, "orders", sf_dir)
+    path = _scratch(sf_dir, "evolve")
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    v1.write.mode("overwrite").parquet(f"{path}/shard=0")
+    v2.write.mode("overwrite").parquet(f"{path}/shard=1")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/shard=0", f"{path}/shard=1"
+    )
+    return (
+        back.groupBy(
+            F.coalesce(F.col("o_orderpriority"), F.lit("<pre-evolution>"))
+            .alias("priority")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_total"),
+        )
+    )
+
+
+SQL_FMT_SCHEMA_EVOLUTION = """
+SELECT COALESCE(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END,
+                '<pre-evolution>') AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+FROM orders
+GROUP BY 1
+"""
+
+QUERIES["fmt_schema_evolution_scan"] = q_fmt_schema_evolution_scan
+ORACLE_SQL["fmt_schema_evolution_scan"] = SQL_FMT_SCHEMA_EVOLUTION
+
+
+def _dpp_fact_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotent per-sf_dir build of the supplier-partitioned lineitem
+    layout the DPP query probes (build once, probe per call — same
+    artifact discipline as ``dedup.ensure_band_artifacts``)."""
+    import os
+
+    from pu4spark_spark.sources import load_table, write_parquet
+
+    path = _artifact(sf_dir, "dppfact")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    write_parquet(li, path, partition_by=["l_suppkey"])
+    return path
+
+
+def q_fmt_dpp_fact_scan(spark: SparkSession, sf_dir: str):
+    """Dynamic partition pruning, witnessed end-to-end: the fact table
+    is laid out partitioned by ``l_suppkey``; a selective dimension
+    filter (suppliers of one nation) reaches the fact scan as a RUNTIME
+    partition filter — Catalyst injects ``dynamicpruning#`` into the
+    fact's PartitionFilters (plan-gated in tests/test_plans.py), reusing
+    the dimension's broadcast as the IN-set, so only the matching
+    partition directories are ever listed or read.  At 100 TB this is
+    the difference between scanning one supplier's shard and scanning
+    the table: static pruning can't help (the pruning values are known
+    only after the dim filter runs), and without DPP the fact scan is
+    full.  The oracle computes the same join from the raw tables."""
+    from pyspark.sql import functions as F
+
+    from pu4spark_spark.sources import load_table
+
+    fact = spark.read.parquet(_dpp_fact_dir(spark, sf_dir))
+    supp = (
+        load_table(spark, "supplier", sf_dir)
+        .filter(F.col("s_nationkey") == 13)
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        fact.join(supp, fact["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (
+                        F.lit("1.00").cast("decimal(18,2)")
+                        - F.col("l_discount").cast("decimal(18,2)")
+                    )
+                ).cast("decimal(28,4)")
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+SQL_FMT_DPP_FACT_SCAN = """
+SELECT s.s_name,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST('1.00' AS DECIMAL(18,2))
+                   - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4)))
+            AS DOUBLE) AS revenue
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE s.s_nationkey = 13
+GROUP BY s.s_name
+"""
+
+QUERIES["fmt_dpp_fact_scan"] = q_fmt_dpp_fact_scan
+ORACLE_SQL["fmt_dpp_fact_scan"] = SQL_FMT_DPP_FACT_SCAN

@@ -488,3 +488,14 @@ def test_cms_probe_broadcasts_sketch(spark):
 
     plan = explain_str(q_text_cms_frequency(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
+
+
+def test_dpp_fact_scan_prunes_at_runtime(spark):
+    """The supplier-partitioned fact scan must carry a dynamicpruning
+    PartitionFilter derived from the dimension filter — runtime
+    partition pruning, not a full-table scan."""
+    from pu4spark_spark.sources.formats import q_fmt_dpp_fact_scan
+
+    plan = explain_str(q_fmt_dpp_fact_scan(spark, SF_DIR))
+    assert "dynamicpruning" in plan
+    assert "PartitionFilters" in plan
