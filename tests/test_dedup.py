@@ -294,3 +294,43 @@ def test_triangle_enumerate_empty_graph(spark):
 
     df = spark.createDataFrame([(1, 2), (3, 4)], "a_id long, b_id long")
     assert triangle_enumerate(df).count() == 0
+
+
+# -- PageRank -------------------------------------------------------------
+
+def _ref_pagerank(edges, damping=0.85, n_iters=10):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n = len(adj)
+    pr = {v: 1.0 / n for v in adj}
+    for _ in range(n_iters):
+        new = {}
+        for v in adj:
+            s = sum(pr[u] / len(adj[u]) for u in adj[v])
+            new[v] = (1.0 - damping) / n + damping * s
+        pr = new
+    return pr
+
+
+def test_pagerank_matches_cpython_reference(spark):
+    """Fixed-iteration power iteration = the plain CPython loop to 1e-9
+    relative, on a graph with asymmetric degrees (star + chain + clique
+    bridge) where rank differences are material."""
+    from pu4spark_spark.operators.dedup import pagerank
+
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3),       # dense corner
+        (4, 5), (5, 6), (6, 7),               # chain
+        (8, 1), (8, 2), (8, 3), (8, 9),       # hub with a pendant
+    ]
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    got = {r.doc_id: r.pagerank for r in pagerank(df).collect()}
+    want = _ref_pagerank(edges)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) <= 1e-9 * max(1.0, abs(want[v]))
+    # ranks form a probability-ish distribution (mass conservation of
+    # the power iteration on a graph with no dangling nodes)
+    assert abs(sum(got.values()) - 1.0) < 1e-6
