@@ -141,10 +141,154 @@ def q_streaming_upsert_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# -- full MERGE semantics: upserts AND deletes ---------------------------
+
+def _cdc_del_landing_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Three-file landing dir for the full-MERGE drain: 0_base (all
+    orders, op='U', version 0), 1_updates (every 7th re-priced, op='U',
+    version 1), 2_deletes (every 11th order tombstoned, op='D',
+    version 2) — written once per sf_dir."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"pu4spark_cdcdel_{tag}")
+    marker = os.path.join(d, "_READY")
+    if os.path.exists(marker):
+        return d
+    orders = load_table(spark, "orders", sf_dir)
+
+    def shape(df, version, op):
+        return df.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+            F.lit(version).alias("version"),
+            F.lit(op).alias("op"),
+        )
+
+    base = shape(orders, 0, "U")
+    # decimal-exact re-pricing (same arithmetic as the batch oracle —
+    # a double +100.0 before the cast could round differently)
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (
+            F.col("o_totalprice").cast("decimal(12,2)")
+            + F.lit("100.00").cast("decimal(12,2)")
+        )
+        .cast("decimal(12,2)")
+        .alias("price"),
+        F.lit(1).alias("version"),
+        F.lit("U").alias("op"),
+    )
+    deletes = shape(orders.filter(F.col("o_orderkey") % 11 == 0), 2, "D")
+    os.makedirs(d, exist_ok=True)
+    for name, df in (
+        ("0_base", base),
+        ("1_updates", updates),
+        ("2_deletes", deletes),
+    ):
+        part_dir = os.path.join(d, f"__stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(part_dir)
+        (src,) = (f for f in os.listdir(part_dir) if f.endswith(".parquet"))
+        shutil.copy(
+            os.path.join(part_dir, src), os.path.join(d, f"{name}.parquet")
+        )
+        shutil.rmtree(part_dir)
+    open(marker, "w").close()
+    return d
+
+
+def merge_batch_with_deletes(
+    spark: SparkSession, batch: DataFrame, state_dir: str
+) -> None:
+    """Full MERGE per micro-batch: keep the max-version row per key,
+    then DROP keys whose winning row is a tombstone — the WHEN MATCHED
+    THEN DELETE arm a table format would run.  The tombstone must win
+    its key battle by version (not arrival order), so out-of-order CDC
+    replays converge to the same state; it is retained in state until a
+    higher-version upsert resurrects the key, exactly like a
+    table-format delete vector awaiting compaction — except here the
+    filter drops it from the materialized snapshot immediately."""
+    if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+        cur = spark.read.parquet(state_dir)
+        merged_src = cur.unionByName(batch)
+    else:
+        merged_src = batch
+    w = Window.partitionBy(MERGE_KEY).orderBy(F.desc("version"))
+    merged = (
+        merged_src.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .filter(F.col("op") != "D")
+    )
+    tmp = state_dir + ".next"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(state_dir):
+        shutil.rmtree(state_dir)
+    os.rename(tmp, state_dir)
+
+
+def q_streaming_upsert_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the base/updates/deletes CDC stream through the full-MERGE
+    foreachBatch; the final snapshot must equal the batch oracle: max-
+    version per key, tombstoned keys absent."""
+    land = _cdc_del_landing_dir(spark, sf_dir)
+    schema = spark.read.parquet(os.path.join(land, "0_base.parquet")).schema
+    state_dir = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_cdcdel_state_{uuid.uuid4().hex[:8]}"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, _id: merge_batch_with_deletes(spark, df, state_dir)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("version") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_updated"),
+            F.sum("price").cast("double").alias("total_price"),
+        )
+    )
+
+
+#: batch re-derivation of the same MERGE: delete keys vanish, update
+#: keys carry the re-priced value (deletes take precedence — higher
+#: version), everything else keeps version 0
+SQL_STREAMING_UPSERT_DELETES = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       SUM(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS n_updated,
+       CAST(SUM(CASE WHEN o_orderkey % 7 = 0
+                     THEN CAST(o_totalprice AS DECIMAL(12,2))
+                          + CAST('100.00' AS DECIMAL(12,2))
+                     ELSE CAST(o_totalprice AS DECIMAL(12,2)) END)
+            AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderkey % 11 <> 0
+GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
     "streaming_upsert_compact": q_streaming_upsert_compact,
+    "streaming_upsert_deletes": q_streaming_upsert_deletes,
 }
 #: the streaming MERGE must agree with the batch compaction oracle
 ORACLE_SQL = {
     "streaming_upsert_compact": SQL_ORDERS_UPSERT_COMPACT,
+    "streaming_upsert_deletes": SQL_STREAMING_UPSERT_DELETES,
 }
