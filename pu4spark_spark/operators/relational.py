@@ -2033,12 +2033,289 @@ SQL_AUDIT_REFERENTIAL_INTEGRITY = "\nUNION ALL\n".join(
 )
 
 
+# -- Merkle-style table reconciliation ----------------------------------
+
+DIFF_BUCKETS = 32
+
+
+def q_audit_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase table reconciliation — the anti-entropy check for
+    verifying a replicated / migrated / CDC-maintained copy without
+    shipping either table: hash every row to an int64, bucket rows by
+    key, and compare per-bucket (count, checksum) pairs; only buckets
+    whose digests disagree need row-level work.  Phase-1 state is
+    DIFF_BUCKETS rows per side regardless of table size (the Merkle
+    idea, one level deep), and the checksum is an order-independent
+    SUM of row hashes so it needs no sort.
+
+    Here the "replica" is the orders table after the CDC change-set
+    (every 7th re-priced, every 11th deleted — the same deltas as
+    ``streaming_upsert_deletes``), so exactly the buckets containing a
+    changed or deleted key must flag, and ``n_diff_keys`` counts the
+    rows a phase-2 repair would ship.  All arithmetic is exact int64:
+    48-bit row hashes (12 md5 hex chars) summed per bucket stay under
+    2^63 while buckets hold < 2^15 rows (true at every fixture sf); a
+    production run sizes DIFF_BUCKETS so buckets stay bounded, or
+    switches the checksum to ``bit_xor`` (order-independent and
+    overflow-free, at the cost of missing even-multiplicity identical
+    rows).  DuckDB reproduces the digests bit-for-bit."""
+    base = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    replica = (
+        base.filter(F.col("o_orderkey") % 11 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 7 == 0,
+                (F.col("price") + F.lit("100.00").cast("decimal(12,2)"))
+                .cast("decimal(12,2)"),
+            )
+            .otherwise(F.col("price"))
+            .alias("price"),
+        )
+    )
+
+    def digest(df: DataFrame) -> DataFrame:
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("price").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return (
+            df.withColumn("bucket", F.col("o_orderkey") % DIFF_BUCKETS)
+            .withColumn("__h", h)
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("__h").alias("checksum"),
+            )
+        )
+
+    a = digest(base).select(
+        "bucket", F.col("n").alias("n_base"), F.col("checksum").alias("ck_a")
+    )
+    b = digest(replica).select(
+        "bucket",
+        F.col("n").alias("n_replica"),
+        F.col("checksum").alias("ck_b"),
+    )
+    cmp = a.join(b, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("n_base", F.lit(0)).alias("n_base"),
+        F.coalesce("n_replica", F.lit(0)).alias("n_replica"),
+        (
+            F.coalesce("ck_a", F.lit(0)) == F.coalesce("ck_b", F.lit(0))
+        ).alias("in_sync"),
+    )
+    # phase 2, scoped to out-of-sync buckets only: count differing keys
+    diff_keys = (
+        base.withColumn("bucket", F.col("o_orderkey") % DIFF_BUCKETS)
+        .alias("l")
+        .join(
+            replica.withColumn(
+                "bucket", F.col("o_orderkey") % DIFF_BUCKETS
+            ).alias("r"),
+            "o_orderkey",
+            "full_outer",
+        )
+        .filter(
+            F.col("l.price").isNull()
+            | F.col("r.price").isNull()
+            | (F.col("l.price") != F.col("r.price"))
+        )
+        .select(
+            F.coalesce(F.col("l.bucket"), F.col("r.bucket")).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_diff_keys"))
+    )
+    return cmp.join(diff_keys, "bucket", "left").select(
+        "bucket",
+        "n_base",
+        "n_replica",
+        "in_sync",
+        F.coalesce("n_diff_keys", F.lit(0)).cast("bigint").alias(
+            "n_diff_keys"
+        ),
+    )
+
+
+SQL_AUDIT_TABLE_DIFF = f"""
+WITH base AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+  FROM orders
+),
+replica AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0
+              THEN CAST(price + CAST('100.00' AS DECIMAL(12,2))
+                        AS DECIMAL(12,2))
+              ELSE price END AS price
+  FROM base WHERE o_orderkey % 11 <> 0
+),
+da AS (
+  SELECT o_orderkey % {DIFF_BUCKETS} AS bucket, COUNT(*) AS n_base,
+         SUM(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|'
+             || CAST(price AS VARCHAR)), 1, 12)) AS BIGINT)) AS ck_a
+  FROM base GROUP BY 1
+),
+db AS (
+  SELECT o_orderkey % {DIFF_BUCKETS} AS bucket, COUNT(*) AS n_replica,
+         SUM(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|'
+             || CAST(price AS VARCHAR)), 1, 12)) AS BIGINT)) AS ck_b
+  FROM replica GROUP BY 1
+),
+cmp AS (
+  SELECT COALESCE(da.bucket, db.bucket) AS bucket,
+         COALESCE(n_base, 0) AS n_base,
+         COALESCE(n_replica, 0) AS n_replica,
+         COALESCE(ck_a, 0) = COALESCE(ck_b, 0) AS in_sync
+  FROM da FULL OUTER JOIN db ON da.bucket = db.bucket
+),
+diffs AS (
+  SELECT COALESCE(b.o_orderkey, r.o_orderkey) % {DIFF_BUCKETS} AS bucket,
+         COUNT(*) AS n_diff_keys
+  FROM base b FULL OUTER JOIN replica r ON b.o_orderkey = r.o_orderkey
+  WHERE b.price IS NULL OR r.price IS NULL OR b.price <> r.price
+  GROUP BY 1
+)
+SELECT c.bucket, c.n_base, c.n_replica, c.in_sync,
+       CAST(COALESCE(d.n_diff_keys, 0) AS BIGINT) AS n_diff_keys
+FROM cmp c LEFT JOIN diffs d ON c.bucket = d.bucket
+"""
+
+
+# -- histogram-quantile sketch -------------------------------------------
+
+HIST_BINS = 64
+HIST_PROBES = [0.5, 0.95, 0.99]
+
+
+def q_lineitem_histogram_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantile ESTIMATES from a fixed-memory equi-width histogram —
+    the deterministic mergeable-sketch alternative to
+    ``approx_percentile`` (whose GK sketch is neither engine-portable
+    nor layout-stable, hence rows-only in
+    ``lineitem_price_percentiles_approx``).  Here the sketch is a
+    64-bin count table: fixed size, mergeable by addition (same
+    property the streaming CMS drain exploits), and the estimate —
+    linear interpolation inside the containing bin — is a replicated
+    IEEE chain, so DuckDB hash-checks the ESTIMATES themselves, sketch
+    error included (the audit pair for the exact
+    ``lineitem_price_percentiles``).
+
+    Scale: one scan → 1-row (min, max) scalar broadcast back; one
+    map-side-combined groupBy over ≤64 bin keys; the cumulative window
+    and probe join run over the 64-row table (single tiny task by
+    design, like the AUC primitive)."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_extendedprice").alias("x")
+    )
+    bounds = li.agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    binned = (
+        li.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.floor(
+                    ((F.col("x") - F.col("mn")) * F.lit(float(HIST_BINS)))
+                    / (F.col("mx") - F.col("mn"))
+                ),
+                F.lit(HIST_BINS - 1).cast("bigint"),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    cum = binned.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    )
+    probes = bounds.select(
+        "mn",
+        "mx",
+        "n",
+        F.explode(
+            F.array(*[F.lit(p) for p in HIST_PROBES])
+        ).alias("p"),
+    ).withColumn("target", F.col("p") * F.col("n").cast("double"))
+    # the containing bin: 3 probes × ≤64 bins — a fixed-size join
+    hit = probes.join(
+        F.broadcast(cum),
+        (F.col("cum_before").cast("double") < F.col("target"))
+        & (
+            F.col("target")
+            <= (F.col("cum_before") + F.col("cnt")).cast("double")
+        ),
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(HIST_BINS))
+    frac = (
+        F.col("target") - F.col("cum_before").cast("double")
+    ) / F.col("cnt").cast("double")
+    return hit.select(
+        F.col("p"),
+        F.col("bin").cast("int").alias("bin"),
+        (
+            F.col("mn")
+            + (F.col("bin").cast("double") + frac) * width
+        ).alias("quantile_est"),
+    )
+
+
+SQL_LINEITEM_HISTOGRAM_QUANTILES = f"""
+WITH src AS (SELECT l_extendedprice AS x FROM lineitem),
+bounds AS (SELECT MIN(x) AS mn, MAX(x) AS mx, COUNT(*) AS n FROM src),
+binned AS (
+  SELECT least(floor(((x - mn) * {float(HIST_BINS)}) / (mx - mn)),
+               {HIST_BINS - 1}) AS bin,
+         COUNT(*) AS cnt
+  FROM src, bounds GROUP BY 1
+),
+cum AS (
+  SELECT bin, cnt,
+         COALESCE(SUM(cnt) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM binned
+),
+probes AS (
+  SELECT mn, mx, n, p, p * CAST(n AS DOUBLE) AS target
+  FROM bounds, UNNEST([{", ".join(str(p) for p in HIST_PROBES)}]) AS t(p)
+)
+SELECT p, CAST(bin AS INTEGER) AS bin,
+       mn + (CAST(bin AS DOUBLE)
+             + (target - CAST(cum_before AS DOUBLE)) / CAST(cnt AS DOUBLE))
+            * ((mx - mn) / {float(HIST_BINS)}) AS quantile_est
+FROM probes JOIN cum
+  ON CAST(cum_before AS DOUBLE) < target
+ AND target <= CAST(cum_before + cnt AS DOUBLE)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q_q1_pricing_summary,
     "salted_segment_revenue": q_salted_segment_revenue,
     "grouping_sets_orders": q_grouping_sets_orders,
     "profile_orders": q_profile_orders,
     "audit_referential_integrity": q_audit_referential_integrity,
+    "audit_table_diff": q_audit_table_diff,
+    "lineitem_histogram_quantiles": q_lineitem_histogram_quantiles,
     "orders_upsert_compact": q_orders_upsert_compact,
     "orders_zorder_layout": q_orders_zorder_layout,
     "sql_parts_by_brand": q_sql_parts_by_brand,
@@ -2088,6 +2365,8 @@ ORACLE_SQL = {
     "grouping_sets_orders": SQL_GROUPING_SETS,
     "profile_orders": SQL_PROFILE_ORDERS,
     "audit_referential_integrity": SQL_AUDIT_REFERENTIAL_INTEGRITY,
+    "audit_table_diff": SQL_AUDIT_TABLE_DIFF,
+    "lineitem_histogram_quantiles": SQL_LINEITEM_HISTOGRAM_QUANTILES,
     "orders_upsert_compact": SQL_ORDERS_UPSERT_COMPACT,
     "orders_zorder_layout": SQL_ORDERS_ZORDER_LAYOUT,
     "sql_parts_by_brand": SQL_PARTS_BY_BRAND,

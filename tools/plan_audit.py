@@ -236,6 +236,59 @@ AUDITED = {
         "band-key shuffle, O(candidates) verify); both containment "
         "directions come from ONE array_intersect per candidate pair."
     ),
+    "sessions_busy_overlap": (
+        "Interval×interval join stays a hash equi-join on the band key "
+        "(no BroadcastNestedLoopJoin over the inequality); the later-"
+        "start band guard dedups without a distinct; the only BNLJ is "
+        "the 1-row busy-threshold scalar append."
+    ),
+    "text_cms_frequency": (
+        "Sketch build: token counts map-side-combined, then a groupBy "
+        "whose exchange AND output are O(d*w)=2048 rows; probe joins "
+        "the fixed-size sketch via BroadcastHashJoin; top-K probes via "
+        "two-phase rank, no global sort."
+    ),
+    "dedup_triangles": (
+        "Degree-ordered orientation: wedge join fans out only over "
+        "out-degrees (arboricity-bounded); equi-joins on node ids plus "
+        "a left-semi close — no all-pairs product anywhere."
+    ),
+    "mm_ahash_near_dup": (
+        "aHash fingerprints: explode chars in codegen, ONE map-side-"
+        "combined groupBy carrying a 64-counter row per doc; pigeonhole "
+        "band equi-join + bit_count verify — no quadratic compare."
+    ),
+    "audit_table_diff": (
+        "Phase 1 reduces both tables to DIFF_BUCKETS (count, checksum) "
+        "rows via map-side-combined aggregation (order-independent sum "
+        "of row hashes — no sort); only out-of-sync buckets imply "
+        "phase-2 row work."
+    ),
+    "audit_referential_integrity": (
+        "Every parent is dimension-sized: each orphan anti-join is a "
+        "BroadcastHashJoin over the child's DISTINCT keys; seven 1-row "
+        "aggregates union into one plan."
+    ),
+    "lineitem_histogram_quantiles": (
+        "One scan -> 1-row (min,max,n) broadcast; bin assignment in "
+        "the scan stage; groupBy over <=64 bin keys; cumulative window "
+        "and probe join touch only the 64-row sketch."
+    ),
+    "eval_quality_calibration": (
+        "Corpus reduces to <=10 (bin, n, n_pos) rows before the "
+        "exchange; per-bin division is the only IEEE op — no double "
+        "summation, bit-portable."
+    ),
+    "fmt_schema_evolution_scan": (
+        "mergeSchema is a footer-level union: pre-evolution shards "
+        "NULL-extend the new column at planning time; per-shard "
+        "pushdown/pruning unaffected."
+    ),
+    "fmt_dpp_fact_scan": (
+        "Runtime partition pruning: the dim filter's build side feeds "
+        "dynamicpruning# into the fact scan's PartitionFilters — only "
+        "matching l_suppkey directories are listed or read."
+    ),
 }
 
 _TREE_RE = re.compile(r"^(.*?)\n\n\(1\)", re.DOTALL)
