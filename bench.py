@@ -155,6 +155,15 @@ HEADLINE = [
     "eval_quality_calibration",
     "audit_referential_integrity",
     "streaming_cms_merge",
+    "audit_table_diff",
+    "lineitem_histogram_quantiles",
+    "streaming_upsert_deletes",
+    "fmt_dpp_fact_scan",
+    "fmt_schema_evolution_scan",
+    "text_lang_quality_median_pandas",
+    "dedup_pagerank",
+    "events_audience_bitmap",
+    "events_transition_matrix",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's

@@ -2033,6 +2033,133 @@ SQL_AUDIT_REFERENTIAL_INTEGRITY = "\nUNION ALL\n".join(
 )
 
 
+# -- bitmap audience intersection ----------------------------------------
+
+def q_events_audience_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap via BITMAP words — the roaring-bitmap execution
+    shape for "users who did X and also Y" at 100 TB: each audience
+    compresses to one int64 word per 64-user-id block (``bit_or`` of
+    ``1 << (id mod 64)``, a map-side-combined aggregation whose output
+    is id-space/64 rows, independent of event volume), and the
+    intersection is a word-wise AND on a block-keyed equi-join —
+    multiplicity, timestamps, and event payloads never reach the join.
+    Contrast a COUNT(DISTINCT)-after-self-join plan, which shuffles
+    event-sized inputs twice and pays a distinct on top.
+
+    Output: one row per 64-id block where both audiences have members —
+    both words, the intersection count in that block, plus running
+    proof arithmetic (bit 63 maps to the sign bit, same two's-
+    complement convention as SimHash, so Spark and DuckDB agree
+    bit-for-bit).  ``SUM(n_both)`` over the result is the audience
+    overlap; keeping per-block rows makes the bitmap itself the
+    checked artifact, not just the scalar."""
+    events = load_table(spark, "events", sf_dir)
+
+    def words(event_type: str, word_alias: str) -> DataFrame:
+        # 1 << 63 must land on the sign bit of a BIGINT: shiftleft on a
+        # bigint literal does exactly that in two's complement
+        return (
+            events.filter(F.col("event_type") == event_type)
+            .select(
+                (F.col("user_id") % 64).cast("int").alias("__bit"),
+                F.expr("user_id div 64").alias("block"),
+            )
+            .distinct()
+            .groupBy("block")
+            .agg(
+                F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), __bit))").alias(
+                    word_alias
+                )
+            )
+        )
+
+    clicks = words("click", "word_click")
+    purchases = words("purchase", "word_purchase")
+    return (
+        clicks.join(purchases, "block")
+        .withColumn(
+            "n_both",
+            F.bit_count(
+                F.col("word_click").bitwiseAND(F.col("word_purchase"))
+            ).cast("int"),
+        )
+        .filter(F.col("n_both") > 0)
+    )
+
+
+SQL_EVENTS_AUDIENCE_BITMAP = """
+WITH c AS (
+  SELECT user_id // 64 AS block,
+         bit_or((CAST(1 AS BIGINT) << CAST(user_id % 64 AS INTEGER)))
+           AS word_click
+  FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+  GROUP BY 1
+),
+p AS (
+  SELECT user_id // 64 AS block,
+         bit_or((CAST(1 AS BIGINT) << CAST(user_id % 64 AS INTEGER)))
+           AS word_purchase
+  FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+  GROUP BY 1
+)
+SELECT c.block, c.word_click, p.word_purchase,
+       CAST(bit_count(c.word_click & p.word_purchase) AS INTEGER) AS n_both
+FROM c JOIN p USING (block)
+WHERE bit_count(c.word_click & p.word_purchase) > 0
+"""
+
+
+# -- event-type transition matrix ----------------------------------------
+
+def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts and probabilities between
+    consecutive event types per user — the behavioral fingerprint
+    (what follows a signup?) and the input to next-event prediction.
+    One window (lead over the per-user timeline) + one map-side-
+    combined groupBy on the tiny (from, to) key space; the probability
+    divides by the per-from total computed in the same pass via a
+    window over the aggregated (type×type)-sized table — integer
+    counts + one IEEE division, oracle-portable."""
+    events = load_table(spark, "events", sf_dir)
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(wo).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wt = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(wt).cast("double")
+        ).alias("p"),
+    )
+
+
+SQL_EVENTS_TRANSITION_MATRIX = """
+WITH steps AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM steps WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       CAST(n AS DOUBLE)
+       / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+FROM counts
+"""
+
+
 # -- Merkle-style table reconciliation ----------------------------------
 
 DIFF_BUCKETS = 32
@@ -2316,6 +2443,8 @@ QUERIES = {
     "audit_referential_integrity": q_audit_referential_integrity,
     "audit_table_diff": q_audit_table_diff,
     "lineitem_histogram_quantiles": q_lineitem_histogram_quantiles,
+    "events_audience_bitmap": q_events_audience_bitmap,
+    "events_transition_matrix": q_events_transition_matrix,
     "orders_upsert_compact": q_orders_upsert_compact,
     "orders_zorder_layout": q_orders_zorder_layout,
     "sql_parts_by_brand": q_sql_parts_by_brand,
@@ -2367,6 +2496,8 @@ ORACLE_SQL = {
     "audit_referential_integrity": SQL_AUDIT_REFERENTIAL_INTEGRITY,
     "audit_table_diff": SQL_AUDIT_TABLE_DIFF,
     "lineitem_histogram_quantiles": SQL_LINEITEM_HISTOGRAM_QUANTILES,
+    "events_audience_bitmap": SQL_EVENTS_AUDIENCE_BITMAP,
+    "events_transition_matrix": SQL_EVENTS_TRANSITION_MATRIX,
     "orders_upsert_compact": SQL_ORDERS_UPSERT_COMPACT,
     "orders_zorder_layout": SQL_ORDERS_ZORDER_LAYOUT,
     "sql_parts_by_brand": SQL_PARTS_BY_BRAND,

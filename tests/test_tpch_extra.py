@@ -134,3 +134,51 @@ def test_q22_anti_join_not_cartesian(spark):
     # the scalar avg enters as a 1-row broadcast; the orders exclusion
     # is a genuine anti-join
     assert "LeftAnti" in plan
+
+
+def test_histogram_quantiles_properties(spark):
+    """Estimates lie in [min, max], increase with p, and p50 sits near
+    the exact median (within one bin width)."""
+    from pu4spark_spark.operators.relational import (
+        HIST_BINS,
+        q_lineitem_histogram_quantiles,
+    )
+    from pu4spark_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.p: r.quantile_est for r in
+            q_lineitem_histogram_quantiles(spark, sf).collect()}
+    assert set(rows) == {0.5, 0.95, 0.99}
+    assert rows[0.5] < rows[0.95] < rows[0.99]
+    li = load_table(spark, "lineitem", sf)
+    mn, mx, med = li.agg(
+        F.min("l_extendedprice"), F.max("l_extendedprice"),
+        F.expr("percentile(l_extendedprice, 0.5)"),
+    ).collect()[0]
+    width = (mx - mn) / HIST_BINS
+    assert mn <= rows[0.5] <= mx
+    assert abs(rows[0.5] - med) <= width
+
+
+def test_table_diff_flags_exactly_changed_buckets(spark):
+    """A bucket is out of sync iff it contains a re-priced or deleted
+    key; n_diff_keys totals the full change-set."""
+    from pu4spark_spark.operators.relational import (
+        DIFF_BUCKETS,
+        q_audit_table_diff,
+    )
+    from pu4spark_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    out = {r.bucket: r for r in q_audit_table_diff(spark, sf).collect()}
+    keys = [
+        r.o_orderkey
+        for r in load_table(spark, "orders", sf).select("o_orderkey").collect()
+    ]
+    changed = {k % DIFF_BUCKETS for k in keys if k % 7 == 0 or k % 11 == 0}
+    n_changed = sum(1 for k in keys if k % 7 == 0 or k % 11 == 0)
+    for b, r in out.items():
+        assert r.in_sync == (b not in changed)
+    assert sum(r.n_diff_keys for r in out.values()) == n_changed
