@@ -258,10 +258,39 @@ def run_one(
     return elapsed, write_elapsed
 
 
+def calibrate(spark) -> dict[str, float]:
+    """Fixed-size machine-speed probes, emitted beside the totals so
+    cross-ROUND comparisons can be normalized: the same repo on the
+    same data measured 2-3× slower wall-clock between driver rounds
+    purely from host variability (VM placement / CPU frequency), which
+    is indistinguishable from a code regression without an in-artifact
+    yardstick.  Two probes: single-core deterministic NumPy matmuls
+    (pure CPU, no Spark), and a fixed Spark whole-stage-codegen
+    aggregation (JVM + scheduler path)."""
+    import numpy as np
+
+    a = np.random.RandomState(0).rand(1500, 1500)
+    t0 = time.time()
+    for _ in range(4):
+        a = 0.5 * (a @ a) / np.max(a) + 0.5
+    t_np = time.time() - t0
+    spark.range(100_000_000).selectExpr("sum(id * 3 + 1)").collect()
+    t0 = time.time()
+    spark.range(400_000_000).selectExpr(
+        "sum(id * 3 + 1)", "avg(id % 7)"
+    ).collect()
+    t_spark = time.time() - t0
+    return {
+        "calib_numpy_sec": round(t_np, 3),
+        "calib_spark_sec": round(t_spark, 3),
+    }
+
+
 def main() -> None:
     spark = get_spark(app_name="pu4spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
     prime_page_cache(SF_DIR)
+    calib = calibrate(spark)
     # one-off setup, untimed: the band-signature artifact is a
     # write-once corpus asset; the steady-state probe query must be
     # measured against an EXISTING artifact, not billed for its build
@@ -299,6 +328,9 @@ def main() -> None:
         # benched every round; BENCH_r01 value for the same set: 21.675
         "r1_convention_subset_total_sec": round(sum(r1_conv.values()), 3),
         "r1_convention_subset_queries": r1_conv,
+        # machine-speed yardsticks (fixed work, see calibrate()):
+        # divide totals by these before comparing across rounds
+        **calib,
     }
     # Full per-query detail: printed first (scrolls out of the driver's
     # 2000-char tail capture, harmless) and persisted to a repo file the
@@ -327,6 +359,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(per_query),
         "full_detail": "BENCH_DETAIL.json",
+        **calib,
     }
     for name, secs in per_query.items():
         out["queries"][name] = secs

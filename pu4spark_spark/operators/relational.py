@@ -2090,14 +2090,18 @@ def q_events_audience_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EVENTS_AUDIENCE_BITMAP = """
 WITH c AS (
   SELECT user_id // 64 AS block,
-         bit_or((CAST(1 AS BIGINT) << CAST(user_id % 64 AS INTEGER)))
+         bit_or(CASE WHEN user_id % 64 = 63 THEN (-9223372036854775807 - 1)
+                     ELSE (CAST(1 AS BIGINT)
+                           << CAST(user_id % 64 AS INTEGER)) END)
            AS word_click
   FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
   GROUP BY 1
 ),
 p AS (
   SELECT user_id // 64 AS block,
-         bit_or((CAST(1 AS BIGINT) << CAST(user_id % 64 AS INTEGER)))
+         bit_or(CASE WHEN user_id % 64 = 63 THEN (-9223372036854775807 - 1)
+                     ELSE (CAST(1 AS BIGINT)
+                           << CAST(user_id % 64 AS INTEGER)) END)
            AS word_purchase
   FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
   GROUP BY 1

@@ -166,3 +166,45 @@ def test_events_value_trend_vs_numpy(spark):
         slope = np.polyfit(t, y, 1)[0]
         assert got[et].n_events == len(pts)
         assert abs(got[et].slope_per_hour - slope) <= 1e-9 * max(1.0, abs(slope)) + 1e-12
+
+
+def test_bitmap_overlap_equals_exact_intersection(spark):
+    """SUM(n_both) over the bitmap blocks must equal the exact
+    |clickers ∩ purchasers| computed by a distinct-set intersection."""
+    from pyspark.sql import functions as F
+
+    from pu4spark_spark.operators.relational import q_events_audience_bitmap
+    from pu4spark_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q_events_audience_bitmap(spark, sf)
+        .agg(F.sum("n_both"))
+        .collect()[0][0]
+    )
+    ev = load_table(spark, "events", sf)
+    clickers = ev.filter(F.col("event_type") == "click").select(
+        "user_id"
+    ).distinct()
+    purchasers = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id"
+    ).distinct()
+    want = clickers.intersect(purchasers).count()
+    assert got == want
+
+
+def test_transition_matrix_probabilities_sum_to_one(spark):
+    """Per from_type, transition probabilities sum to 1 and counts sum
+    to n_events_of_type - n_users_ending_on_type (lead drops the last
+    step of each user)."""
+    from pyspark.sql import functions as F
+
+    from pu4spark_spark.operators.relational import (
+        q_events_transition_matrix,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    tm = q_events_transition_matrix(spark, sf)
+    sums = tm.groupBy("from_type").agg(F.sum("p").alias("sp")).collect()
+    for r in sums:
+        assert abs(r.sp - 1.0) < 1e-9
