@@ -2033,6 +2033,58 @@ SQL_AUDIT_REFERENTIAL_INTEGRITY = "\nUNION ALL\n".join(
 )
 
 
+# -- explicit join-strategy control (fact × fact) ------------------------
+
+def q_lineitem_orders_shj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact join with an explicit SHUFFLE_HASH hint — the
+    strategy lever for large×large joins where neither side broadcasts:
+    sort-merge (Spark's default) pays a full sort of BOTH shuffled
+    sides; a shuffled hash join builds a hash table from the smaller
+    side per partition and streams the larger — no sort at all.  Right
+    when the build side's per-partition slice fits executor memory
+    (orders ≈ ¼ of lineitem here; at 100 TB you size
+    ``spark.sql.shuffle.partitions`` so build slices stay bounded —
+    with AQE free to demote back if a slice spills).  The hint is the
+    documented DataFrame API (``DataFrame.hint('shuffle_hash')``), and
+    the plan gate asserts ShuffledHashJoin actually planned."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    joined = li.join(
+        orders.hint("shuffle_hash"),
+        li["l_orderkey"] == orders["o_orderkey"],
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(
+            (
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (
+                    F.lit("1.00").cast("decimal(18,2)")
+                    - F.col("l_discount").cast("decimal(18,2)")
+                )
+            ).cast("decimal(28,4)")
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+SQL_LINEITEM_ORDERS_SHJ = """
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST('1.00' AS DECIMAL(18,2))
+                   - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4)))
+            AS DOUBLE) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
 # -- bitmap audience intersection ----------------------------------------
 
 def q_events_audience_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2449,6 +2501,7 @@ QUERIES = {
     "lineitem_histogram_quantiles": q_lineitem_histogram_quantiles,
     "events_audience_bitmap": q_events_audience_bitmap,
     "events_transition_matrix": q_events_transition_matrix,
+    "lineitem_orders_shj": q_lineitem_orders_shj,
     "orders_upsert_compact": q_orders_upsert_compact,
     "orders_zorder_layout": q_orders_zorder_layout,
     "sql_parts_by_brand": q_sql_parts_by_brand,
@@ -2502,6 +2555,7 @@ ORACLE_SQL = {
     "lineitem_histogram_quantiles": SQL_LINEITEM_HISTOGRAM_QUANTILES,
     "events_audience_bitmap": SQL_EVENTS_AUDIENCE_BITMAP,
     "events_transition_matrix": SQL_EVENTS_TRANSITION_MATRIX,
+    "lineitem_orders_shj": SQL_LINEITEM_ORDERS_SHJ,
     "orders_upsert_compact": SQL_ORDERS_UPSERT_COMPACT,
     "orders_zorder_layout": SQL_ORDERS_ZORDER_LAYOUT,
     "sql_parts_by_brand": SQL_PARTS_BY_BRAND,

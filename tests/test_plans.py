@@ -499,3 +499,13 @@ def test_dpp_fact_scan_prunes_at_runtime(spark):
     plan = explain_str(q_fmt_dpp_fact_scan(spark, SF_DIR))
     assert "dynamicpruning" in plan
     assert "PartitionFilters" in plan
+
+
+def test_shuffle_hash_hint_plans_shj(spark):
+    """The shuffle_hash hint must actually plan a ShuffledHashJoin (no
+    sort-merge sorts on either fact side)."""
+    from pu4spark_spark.operators.relational import q_lineitem_orders_shj
+
+    plan = explain_str(q_lineitem_orders_shj(spark, SF_DIR))
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
