@@ -164,6 +164,7 @@ HEADLINE = [
     "dedup_pagerank",
     "events_audience_bitmap",
     "events_transition_matrix",
+    "lineitem_orders_shj",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's
