@@ -165,6 +165,7 @@ HEADLINE = [
     "events_audience_bitmap",
     "events_transition_matrix",
     "lineitem_orders_shj",
+    "customer_spend_distribution",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's

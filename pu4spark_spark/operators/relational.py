@@ -2033,6 +2033,75 @@ SQL_AUDIT_REFERENTIAL_INTEGRITY = "\nUNION ALL\n".join(
 )
 
 
+# -- rank-family window breadth ------------------------------------------
+
+def q_customer_spend_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The remaining rank-family window functions in one partitioned
+    pass — ``percent_rank``, ``cume_dist``, ``ntile(4)``, ``nth_value``
+    — computed per nation over each customer's exact-decimal total
+    spend (completing the window surface beyond row_number/rank/lead/
+    lag/frames used elsewhere).  Partitioning by nation keeps every
+    window task bounded (no global ORDER BY window — the single-task
+    trap the quartiles query avoids with broadcast boundaries);
+    orderBy includes the key for deterministic ties.  percent_rank and
+    cume_dist are count ratios (one IEEE division each), so DuckDB
+    reproduces them exactly."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "spend"
+            )
+        )
+        .join(
+            F.broadcast(
+                cust.select("c_custkey", "c_nationkey")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.asc("spend"), F.asc("c_custkey")
+    )
+    return spend.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("spend").cast("double").alias("spend"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.nth_value("spend", 1).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("double")
+        .alias("nation_min_spend"),
+    )
+
+
+SQL_CUSTOMER_SPEND_DISTRIBUTION = """
+WITH spend AS (
+  SELECT o.o_custkey AS custkey, c.c_nationkey AS nationkey,
+         SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS spend
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY o.o_custkey, c.c_nationkey
+)
+SELECT custkey, nationkey, CAST(spend AS DOUBLE) AS spend,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       ntile(4) OVER w AS quartile,
+       CAST(nth_value(spend, 1) OVER (PARTITION BY nationkey
+              ORDER BY spend ASC, custkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS nation_min_spend
+FROM spend
+WINDOW w AS (PARTITION BY nationkey ORDER BY spend ASC, custkey ASC)
+"""
+
+
 # -- explicit join-strategy control (fact × fact) ------------------------
 
 def q_lineitem_orders_shj(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2502,6 +2571,7 @@ QUERIES = {
     "events_audience_bitmap": q_events_audience_bitmap,
     "events_transition_matrix": q_events_transition_matrix,
     "lineitem_orders_shj": q_lineitem_orders_shj,
+    "customer_spend_distribution": q_customer_spend_distribution,
     "orders_upsert_compact": q_orders_upsert_compact,
     "orders_zorder_layout": q_orders_zorder_layout,
     "sql_parts_by_brand": q_sql_parts_by_brand,
@@ -2556,6 +2626,7 @@ ORACLE_SQL = {
     "events_audience_bitmap": SQL_EVENTS_AUDIENCE_BITMAP,
     "events_transition_matrix": SQL_EVENTS_TRANSITION_MATRIX,
     "lineitem_orders_shj": SQL_LINEITEM_ORDERS_SHJ,
+    "customer_spend_distribution": SQL_CUSTOMER_SPEND_DISTRIBUTION,
     "orders_upsert_compact": SQL_ORDERS_UPSERT_COMPACT,
     "orders_zorder_layout": SQL_ORDERS_ZORDER_LAYOUT,
     "sql_parts_by_brand": SQL_PARTS_BY_BRAND,
