@@ -166,6 +166,7 @@ HEADLINE = [
     "events_transition_matrix",
     "lineitem_orders_shj",
     "customer_spend_distribution",
+    "corpus_lang_similarity",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's
@@ -297,8 +298,12 @@ def main() -> None:
     # write-once corpus asset; the steady-state probe query must be
     # measured against an EXISTING artifact, not billed for its build
     from pu4spark_spark.operators.dedup import ensure_band_artifacts
+    from pu4spark_spark.sources.formats import _dpp_fact_dir
 
     ensure_band_artifacts(spark, SF_DIR)
+    # same discipline for the supplier-partitioned DPP layout: the
+    # write-once build is setup, the measured query is the probe
+    _dpp_fact_dir(spark, SF_DIR)
     per_query: dict[str, float] = {}
     r1_conv: dict[str, float] = {}
     for name in HEADLINE:

@@ -1393,6 +1393,191 @@ FROM q GROUP BY lang
 """
 
 
+# -- cross-corpus similarity from merged KMV sketches --------------------
+
+#: per-language sketch size (k smallest shingle hashes)
+LANGSIM_K = 128
+
+
+def q_corpus_lang_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jaccard similarity BETWEEN language sub-corpora — the
+    dataset-level contamination/overlap report ("how much does the
+    de-corpus share with the en-corpus?") — estimated from per-corpus
+    KMV sketches, beside the exact value as audit.
+
+    The sketch trick: KMV sketches are MERGEABLE under set union (the
+    k smallest of A ∪ B are among the k smallest of A plus the k
+    smallest of B), and the same k-minimum structure estimates Jaccard:
+    among the k smallest of the union, the fraction present in BOTH
+    sketches estimates |A∩B|/|A∪B| (min-hash agreement over k
+    independent order statistics).  So corpus-pair similarity needs
+    only the langs×K sketch table — each sub-corpus is scanned once,
+    ever, no cross-corpus join of raw shingles.  At 100 TB with many
+    sources this is THE way to get an all-pairs source-overlap matrix.
+
+    Per-lang k-smallest uses the capped two-phase rank (phase 1 keeps
+    ≤K per (lang, partition) — never one task per language); estimate
+    arithmetic is integer compares + one division, bit-portable, so
+    the oracle hash-checks estimates AND exact values.  The exact
+    columns are the fixture-scale audit; a production run drops them
+    (that's the point of the sketch).
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    dl = docs.select(
+        "lang",
+        F.explode(F.array_distinct(word_shingles(tokens("text")))).alias(
+            "s"
+        ),
+    ).distinct()
+    hashed = dl.select(
+        "lang",
+        F.conv(F.substring(F.md5("s"), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    ).distinct()
+    wl = Window.partitionBy("lang", "__part").orderBy("h")
+    local = (
+        hashed.withColumn("__part", F.spark_partition_id())
+        .withColumn("__lr", F.row_number().over(wl))
+        .filter(F.col("__lr") <= LANGSIM_K)
+        .drop("__part", "__lr")
+    )
+    wg = Window.partitionBy("lang").orderBy("h")
+    sk = (
+        local.withColumn("__r", F.row_number().over(wg))
+        .filter(F.col("__r") <= LANGSIM_K)
+        .drop("__r")
+    )
+    langs = sk.select("lang").distinct()
+    pairs = (
+        langs.select(F.col("lang").alias("lang_a"))
+        .crossJoin(langs.select(F.col("lang").alias("lang_b")))
+        .filter(F.col("lang_a") < F.col("lang_b"))
+    )
+    pa = pairs.join(sk, pairs["lang_a"] == sk["lang"]).select(
+        "lang_a", "lang_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    pb = pairs.join(sk, pairs["lang_b"] == sk["lang"]).select(
+        "lang_a", "lang_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    u = (
+        pa.unionByName(pb)
+        .groupBy("lang_a", "lang_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wu = Window.partitionBy("lang_a", "lang_b").orderBy("h")
+    est = (
+        u.withColumn("__r", F.row_number().over(wu))
+        .filter(F.col("__r") <= LANGSIM_K)
+        .groupBy("lang_a", "lang_b")
+        .agg(
+            (
+                F.sum(F.col("in_a") * F.col("in_b")).cast("double")
+                / F.lit(float(LANGSIM_K))
+            ).alias("kmv_jaccard")
+        )
+    )
+    # exact audit: distinct-shingle intersections per pair
+    sizes = dl.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    ea = dl.select(F.col("lang").alias("lang_a"), "s")
+    eb = dl.select(F.col("lang").alias("lang_b"), "s")
+    inter = (
+        ea.join(eb, "s")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col("lang").alias("lang_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("lang").alias("lang_b"), F.col("n").alias("n_b"))
+    exact = (
+        inter.join(na, "lang_a")
+        .join(nb, "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast(
+                    "double"
+                )
+            ).alias("exact_jaccard"),
+        )
+    )
+    return exact.join(est, ["lang_a", "lang_b"]).select(
+        "lang_a",
+        "lang_b",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        "exact_jaccard",
+        "kmv_jaccard",
+    )
+
+
+def _sql_lang_similarity() -> str:
+    return f"""
+WITH dl AS (
+  SELECT DISTINCT lang, unnest(list_distinct({sql_word_shingles('text')})) AS s
+  FROM documents
+),
+hashed AS (
+  SELECT DISTINCT lang,
+         CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS h
+  FROM dl
+),
+sk AS (
+  SELECT lang, h FROM (
+    SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS r
+    FROM hashed) WHERE r <= {LANGSIM_K}
+),
+langs AS (SELECT DISTINCT lang FROM sk),
+pairs AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b
+  FROM langs a JOIN langs b ON a.lang < b.lang
+),
+u AS (
+  SELECT lang_a, lang_b, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+  FROM (
+    SELECT p.lang_a, p.lang_b, s.h, 1 AS in_a, 0 AS in_b
+    FROM pairs p JOIN sk s ON s.lang = p.lang_a
+    UNION ALL
+    SELECT p.lang_a, p.lang_b, s.h, 0 AS in_a, 1 AS in_b
+    FROM pairs p JOIN sk s ON s.lang = p.lang_b
+  ) GROUP BY lang_a, lang_b, h
+),
+est AS (
+  SELECT lang_a, lang_b,
+         CAST(SUM(in_a * in_b) AS DOUBLE) / {float(LANGSIM_K)}
+           AS kmv_jaccard
+  FROM (
+    SELECT lang_a, lang_b, in_a, in_b,
+           ROW_NUMBER() OVER (PARTITION BY lang_a, lang_b ORDER BY h) AS r
+    FROM u) WHERE r <= {LANGSIM_K}
+  GROUP BY lang_a, lang_b
+),
+sizes AS (SELECT lang, COUNT(*) AS n FROM dl GROUP BY lang),
+inter AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS n_inter
+  FROM dl a JOIN dl b ON a.s = b.s AND a.lang < b.lang
+  GROUP BY a.lang, b.lang
+)
+SELECT i.lang_a, i.lang_b,
+       CAST(sa.n AS BIGINT) AS n_a,
+       CAST(sb.n AS BIGINT) AS n_b,
+       CAST(i.n_inter AS DOUBLE)
+       / CAST(sa.n + sb.n - i.n_inter AS DOUBLE) AS exact_jaccard,
+       e.kmv_jaccard
+FROM inter i
+JOIN sizes sa ON sa.lang = i.lang_a
+JOIN sizes sb ON sb.lang = i.lang_b
+JOIN est e ON e.lang_a = i.lang_a AND e.lang_b = i.lang_b
+"""
+
+
+SQL_CORPUS_LANG_SIMILARITY = _sql_lang_similarity()
+
+
 def q_eval_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability diagram of the quality score against ``lang = 'en'``
     — AUC's companion: is the score's VALUE trustworthy as a
@@ -1447,6 +1632,7 @@ QUERIES = {
     "text_search_tfdf": q_text_search_tfdf,
     "text_kmv_distinct_shingles": q_text_kmv_distinct_shingles,
     "text_cms_frequency": q_text_cms_frequency,
+    "corpus_lang_similarity": q_corpus_lang_similarity,
     "eval_quality_auc": q_eval_quality_auc,
     "eval_quality_calibration": q_eval_quality_calibration,
     "text_lang_quality_median_pandas": q_text_lang_quality_median_pandas,
@@ -1471,6 +1657,7 @@ ORACLE_SQL = {
     "text_search_tfdf": SQL_TEXT_SEARCH_TFDF,
     "text_kmv_distinct_shingles": SQL_TEXT_KMV,
     "text_cms_frequency": SQL_TEXT_CMS_FREQUENCY,
+    "corpus_lang_similarity": SQL_CORPUS_LANG_SIMILARITY,
     "eval_quality_auc": SQL_EVAL_QUALITY_AUC,
     "eval_quality_calibration": SQL_EVAL_QUALITY_CALIBRATION,
     "text_lang_quality_median_pandas": SQL_TEXT_LANG_QUALITY_MEDIAN,
