@@ -2033,6 +2033,129 @@ SQL_AUDIT_REFERENTIAL_INTEGRITY = "\nUNION ALL\n".join(
 )
 
 
+# -- market-basket co-purchase pairs -------------------------------------
+
+COPURCHASE_TOP_K = 25
+
+
+def q_part_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top co-purchased part pairs — the item-item co-occurrence matrix
+    behind "bought together" recommendations, built basket-wise: the
+    distinct parts of each order pair up WITHIN the basket (a<b), one
+    map-side-combined groupBy counts pairs across baskets, and the
+    global top-K resolves via the two-phase rank (no global sort).
+
+    Scale control is the basket bound: pair fan-out is
+    O(Σ basket_size²), quadratic in the LARGEST basket, not the
+    catalog — fine while baskets are small (retail orders: ≤ tens).
+    A degenerate mega-basket (one "order" holding 10⁶ items) must be
+    capped or sampled before the self-join; the fixture's 7-line
+    orders keep fan-out ≤ 21 pairs/order.  The within-basket pairing
+    is a self-equi-join on o_orderkey — co-partitioned after one
+    shuffle of the (order, part) list, never a catalog×catalog
+    product."""
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+    )
+    wl = Window.partitionBy("__part").orderBy(
+        F.desc("n_baskets"), F.asc("part_a"), F.asc("part_b")
+    )
+    local = (
+        pairs.withColumn("__part", F.spark_partition_id())
+        .withColumn("__lr", F.row_number().over(wl))
+        .filter(F.col("__lr") <= COPURCHASE_TOP_K)
+        .drop("__part", "__lr")
+    )
+    wg = Window.orderBy(F.desc("n_baskets"), F.asc("part_a"), F.asc("part_b"))
+    return (
+        local.withColumn("rank", F.row_number().over(wg))
+        .filter(F.col("rank") <= COPURCHASE_TOP_K)
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_baskets").cast("bigint").alias("n_baskets"),
+            "rank",
+        )
+    )
+
+
+SQL_PART_COPURCHASE_PAIRS = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         COUNT(*) AS n_baskets
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, CAST(n_baskets AS BIGINT) AS n_baskets,
+       CAST(rank AS INTEGER) AS rank
+FROM (SELECT part_a, part_b, n_baskets,
+             ROW_NUMBER() OVER (ORDER BY n_baskets DESC,
+                                part_a ASC, part_b ASC) AS rank
+      FROM pairs)
+WHERE rank <= {COPURCHASE_TOP_K}
+"""
+
+
+# -- join-key skew audit --------------------------------------------------
+
+def q_audit_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew report for the fact table's join keys — the number you
+    check BEFORE deciding to salt a join or trust AQE's skew split:
+    per key column, the distinct-key count, the heaviest key's row
+    share, and the ratio of the max key to the mean (1.0 = uniform).
+    One map-side-combined groupBy per key column; the max/mean reduce
+    to 1-row scalars (no sort, no collect of the frequency table);
+    integer counts + one division each, oracle-portable."""
+    li = load_table(spark, "lineitem", sf_dir)
+    out = []
+    for keycol in ("l_orderkey", "l_partkey", "l_suppkey"):
+        freq = li.groupBy(keycol).agg(F.count(F.lit(1)).alias("n"))
+        out.append(
+            freq.agg(
+                F.lit(keycol).alias("key_col"),
+                F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+                F.sum("n").cast("bigint").alias("n_rows"),
+                F.max("n").cast("bigint").alias("max_key_rows"),
+                (
+                    F.max("n").cast("double")
+                    * F.count(F.lit(1)).cast("double")
+                    / F.sum("n").cast("double")
+                ).alias("skew_ratio"),
+            )
+        )
+    from functools import reduce
+
+    return reduce(lambda x, y: x.unionByName(y), out)
+
+
+SQL_AUDIT_JOIN_KEY_SKEW = "\nUNION ALL\n".join(
+    f"""SELECT '{k}' AS key_col,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(MAX(n) AS BIGINT) AS max_key_rows,
+       CAST(MAX(n) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+         / CAST(SUM(n) AS DOUBLE) AS skew_ratio
+FROM (SELECT {k}, COUNT(*) AS n FROM lineitem GROUP BY {k})"""
+    for k in ("l_orderkey", "l_partkey", "l_suppkey")
+)
+
+
 # -- rank-family window breadth ------------------------------------------
 
 def q_customer_spend_distribution(
@@ -2572,6 +2695,8 @@ QUERIES = {
     "events_transition_matrix": q_events_transition_matrix,
     "lineitem_orders_shj": q_lineitem_orders_shj,
     "customer_spend_distribution": q_customer_spend_distribution,
+    "part_copurchase_pairs": q_part_copurchase_pairs,
+    "audit_join_key_skew": q_audit_join_key_skew,
     "orders_upsert_compact": q_orders_upsert_compact,
     "orders_zorder_layout": q_orders_zorder_layout,
     "sql_parts_by_brand": q_sql_parts_by_brand,
@@ -2627,6 +2752,8 @@ ORACLE_SQL = {
     "events_transition_matrix": SQL_EVENTS_TRANSITION_MATRIX,
     "lineitem_orders_shj": SQL_LINEITEM_ORDERS_SHJ,
     "customer_spend_distribution": SQL_CUSTOMER_SPEND_DISTRIBUTION,
+    "part_copurchase_pairs": SQL_PART_COPURCHASE_PAIRS,
+    "audit_join_key_skew": SQL_AUDIT_JOIN_KEY_SKEW,
     "orders_upsert_compact": SQL_ORDERS_UPSERT_COMPACT,
     "orders_zorder_layout": SQL_ORDERS_ZORDER_LAYOUT,
     "sql_parts_by_brand": SQL_PARTS_BY_BRAND,
