@@ -167,6 +167,8 @@ HEADLINE = [
     "lineitem_orders_shj",
     "customer_spend_distribution",
     "corpus_lang_similarity",
+    "part_copurchase_pairs",
+    "audit_join_key_skew",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's
