@@ -549,6 +549,95 @@ FROM qm
 """
 
 
+# -- Matryoshka-truncation recall ----------------------------------------
+
+MATRYOSHKA_DIMS = 16
+
+
+def q_ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of PREFIX-TRUNCATED embeddings against the full-width
+    exact top-k — the go/no-go eval for Matryoshka-style dimension
+    cutting (store/search the first 16 of 64 dims at ¼ the memory and
+    dot-product cost; how much neighbor quality survives?).  Same
+    composition discipline as ``ann_lsh_recall``: both sides are this
+    engine's own exact top-k operator — one over the full vectors, one
+    over ``slice(embedding, 1, 16)`` — joined per (query, neighbor);
+    matched counts are integers, so the recalls are exact ratios the
+    oracle hash-checks.  At scale the truncated pass scans ¼ the
+    bytes when the prefix is stored as its own column (columnar
+    layouts price exactly this trick)."""
+    base_full = _quantized_base(spark, sf_dir)
+    from pu4spark_spark.plans import spread
+
+    emb = spread(load_table(spark, "embeddings", sf_dir))
+    q16 = F.slice(quantized("embedding"), 1, MATRYOSHKA_DIMS)
+    base_t = emb.select("vec_id", q16.alias("q")).withColumn(
+        "norm2", int_dot(F.col("q"), F.col("q"))
+    )
+    exact = cosine_topk(
+        base_full, base_full.filter(F.col("vec_id") < N_QUERIES)
+    )
+    trunc = cosine_topk(
+        base_t, base_t.filter(F.col("vec_id") < N_QUERIES)
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__m"))
+    qm = (
+        exact.join(trunc, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("__m").alias("matched"))
+    )
+    return qm.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        (
+            F.sum("matched").cast("double")
+            / (F.count(F.lit(1)) * F.lit(TOP_K))
+        ).alias("avg_recall"),
+        F.min("matched").cast("bigint").alias("min_matched"),
+    )
+
+
+_Q16_SQL = (
+    f"list_transform(CAST(embedding AS DOUBLE[])[1:{MATRYOSHKA_DIMS}],"
+    f" x -> CAST(floor(x * 1000) AS BIGINT))"
+)
+
+SQL_ANN_MATRYOSHKA_RECALL = f"""
+WITH exact AS ({SQL_ANN_COSINE_TOPK}),
+base16 AS (
+  SELECT vec_id, {_Q16_SQL} AS q FROM embeddings
+),
+normed16 AS (
+  SELECT vec_id, q, list_dot_product(q, q) AS norm2 FROM base16
+),
+scored16 AS (
+  SELECT qs.vec_id AS query_id, n.vec_id AS neighbor_id,
+         list_dot_product(n.q, qs.q) / (sqrt(n.norm2) * sqrt(qs.norm2))
+           AS cosine
+  FROM normed16 n,
+       (SELECT * FROM normed16 WHERE vec_id < {N_QUERIES}) qs
+  WHERE n.vec_id <> qs.vec_id
+),
+trunc AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM scored16)
+  WHERE rank <= {TOP_K}
+),
+qm AS (
+  SELECT e.query_id, COUNT(t.neighbor_id) AS matched
+  FROM exact e
+  LEFT JOIN trunc t
+    ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT COUNT(*) AS n_queries,
+       CAST(SUM(matched) AS DOUBLE) / (COUNT(*) * {TOP_K}) AS avg_recall,
+       CAST(MIN(matched) AS BIGINT) AS min_matched
+FROM qm
+"""
+
+
 # -- distributed Gram matrix (PCA / whitening building block) ------------
 
 def q_embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -694,6 +783,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "ann_brp_lsh_ml": q_ann_brp_lsh_ml,
     "ann_lsh_recall": q_ann_lsh_recall,
+    "ann_matryoshka_recall": q_ann_matryoshka_recall,
     "embedding_inertia_by_label": q_embedding_inertia_by_label,
     # rows-only: driver-side eigensolve is not SQL-expressible; NumPy
     # reference test re-derives the projection (tests/test_similarity.py)
@@ -707,6 +797,7 @@ ORACLE_SQL = {
     "embedding_label_centroids": SQL_EMBEDDING_LABEL_CENTROIDS,
     "ann_lsh_bucketed": SQL_ANN_LSH_BUCKETED,
     "ann_lsh_recall": SQL_ANN_LSH_RECALL,
+    "ann_matryoshka_recall": SQL_ANN_MATRYOSHKA_RECALL,
     "embedding_inertia_by_label": SQL_EMBEDDING_INERTIA,
     # ann_ivf: KMeans centroids — rows-only
     # ann_brp_lsh_ml: ML internals — rows-only
