@@ -957,6 +957,58 @@ HAVING COUNT(*) > 1
 """
 
 
+# -- soft dedup: duplicate-count loss weights ----------------------------
+
+def q_curation_soft_dedup_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SOFT deduplication: instead of dropping duplicated spans, keep
+    ONE canonical copy per distinct chunk and assign it a loss weight
+    of ``1/n_copies`` — every piece of content contributes total
+    exposure 1.0 to training no matter how many times the crawl found
+    it (the count-based down-weighting alternative to hard dedup,
+    which loses the duplication signal entirely; ``repeat_count`` is
+    itself a useful quality feature — boilerplate repeats, prose
+    doesn't).
+
+    One map-side-combined groupBy on the 128-bit chunk fingerprint (a
+    key whose cardinality grows with data — no hot key), a min-struct
+    aggregate picks the deterministic keeper, and the weight is one
+    IEEE division.  Rides the chunking operator's exchange-free plan,
+    so the whole operator is chunk explode + ONE shuffle of
+    fingerprint rows."""
+    chunks = q_curation_chunk_windows(spark, sf_dir)
+    keeper = F.min(F.struct("doc_id", "chunk_id")).alias("__keep")
+    return (
+        chunks.filter(F.col("n_tokens") == CHUNK_SIZE)
+        .groupBy("chunk_md5")
+        .agg(keeper, F.count(F.lit(1)).alias("repeat_count"))
+        .select(
+            "chunk_md5",
+            F.col("__keep.doc_id").alias("keeper_doc"),
+            F.col("__keep.chunk_id").alias("keeper_chunk"),
+            F.col("repeat_count").cast("bigint").alias("repeat_count"),
+            (
+                F.lit(1.0) / F.col("repeat_count").cast("double")
+            ).alias("loss_weight"),
+        )
+    )
+
+
+SQL_CURATION_SOFT_DEDUP = f"""
+WITH chunks AS ({SQL_CHUNK_WINDOWS})
+SELECT chunk_md5,
+       MIN({{'doc_id': doc_id, 'chunk_id': chunk_id}}).doc_id AS keeper_doc,
+       MIN({{'doc_id': doc_id, 'chunk_id': chunk_id}}).chunk_id
+         AS keeper_chunk,
+       CAST(COUNT(*) AS BIGINT) AS repeat_count,
+       1.0 / CAST(COUNT(*) AS DOUBLE) AS loss_weight
+FROM chunks
+WHERE n_tokens = {CHUNK_SIZE}
+GROUP BY chunk_md5
+"""
+
+
 # -- temperature-scaled domain resampling --------------------------------
 
 #: alpha = 0.5 (temperature 2): keep probability per source ∝ n^(α-1),
@@ -1173,6 +1225,7 @@ QUERIES = {
     "curation_stratified_sample": q_curation_stratified_sample,
     "curation_chunk_windows": q_curation_chunk_windows,
     "dedup_chunk_spans": q_dedup_chunk_spans,
+    "curation_soft_dedup_weights": q_curation_soft_dedup_weights,
     "curation_temperature_mix": q_curation_temperature_mix,
     "curation_oov_rate": q_curation_oov_rate,
     "pipeline_chunk_release": q_pipeline_chunk_release,
@@ -1191,6 +1244,7 @@ ORACLE_SQL = {
     "curation_stratified_sample": SQL_STRATIFIED_SAMPLE,
     "curation_chunk_windows": SQL_CHUNK_WINDOWS,
     "dedup_chunk_spans": SQL_DEDUP_CHUNK_SPANS,
+    "curation_soft_dedup_weights": SQL_CURATION_SOFT_DEDUP,
     "curation_temperature_mix": SQL_TEMPERATURE_MIX,
     "curation_oov_rate": SQL_OOV_RATE,
     "pipeline_chunk_release": SQL_PIPELINE_CHUNK_RELEASE,
