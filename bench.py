@@ -169,6 +169,8 @@ HEADLINE = [
     "corpus_lang_similarity",
     "part_copurchase_pairs",
     "audit_join_key_skew",
+    "ann_matryoshka_recall",
+    "curation_soft_dedup_weights",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's
