@@ -90,6 +90,59 @@ def test_minhash_lsh_query_on_fixture(spark):
     assert all(r["a_id"] < r["b_id"] for r in rows)
 
 
+def test_minhash_capped_is_subset_of_uncapped(spark):
+    from pu4spark_spark.operators.dedup import q_dedup_minhash_capped
+
+    sf = "/root/testdata/sf0.001"
+    full = {
+        (r["a_id"], r["b_id"]) for r in q_dedup_minhash_lsh(spark, sf).collect()
+    }
+    capped_rows = q_dedup_minhash_capped(spark, sf).collect()
+    capped = {(r["a_id"], r["b_id"]) for r in capped_rows}
+    # skipping hot buckets can only LOSE pairs, never invent them, and
+    # every surviving pair still meets the verify threshold
+    assert capped <= full
+    assert all(r["jaccard"] >= 0.5 for r in capped_rows)
+
+
+def test_minhash_capped_drops_hot_bucket_pairs(spark):
+    from pu4spark_spark.operators.dedup import BAND_CAP, q_dedup_minhash_capped
+
+    # 4 identical docs: every band bucket they share has size 4 > cap,
+    # so ALL their pairs ride only hot buckets and must be dropped;
+    # the separate planted near-pair (5,6) lives in size-2 buckets and
+    # must survive
+    text = " ".join(f"w{i}" for i in range(50))
+    other = " ".join(f"y{i}" for i in range(49)) + " zz"
+    near = " ".join(f"y{i}" for i in range(49)) + " qq"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(1, 5)] + [(5, other), (6, near)],
+        ["doc_id", "text"],
+    )
+    import pu4spark_spark.operators.dedup as dd
+
+    assert BAND_CAP < 4
+    orig = dd._doc_shingle_sets
+
+    def fake(spark_, sf_dir):
+        from pu4spark_spark.functions.textfns import tokens, word_shingles
+
+        return docs.select(
+            "doc_id",
+            F.array_distinct(word_shingles(tokens("text"))).alias("sh"),
+        )
+
+    dd._doc_shingle_sets = fake
+    try:
+        got = {
+            (r["a_id"], r["b_id"])
+            for r in q_dedup_minhash_capped(spark, "ignored").collect()
+        }
+    finally:
+        dd._doc_shingle_sets = orig
+    assert got == {(5, 6)}
+
+
 def test_connected_components_path_star_disjoint(spark):
     """Min-label propagation must reach the fixpoint on a long path
     (needs multiple rounds), a star, and keep disjoint components
