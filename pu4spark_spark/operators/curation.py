@@ -1214,6 +1214,102 @@ GROUP BY lang, shard_id
 """
 
 
+# -- weight-proportional systematic sampling ------------------------------
+
+#: systematic sample size (docs picked ∝ token count); fixture-scale
+SAMPLE_K = 40
+#: doc_ids per prefix-sum bucket.  Production tuning: pick the span so
+#: n_buckets ≈ corpus_rows / 10^6 — the bucket table stays a few MB and
+#: its cumulative window is driver-trivial while each bucket's in-range
+#: window is executor-local.
+PS_BUCKET_SPAN = 100
+
+
+def q_curation_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional SYSTEMATIC sampling: pick ~``SAMPLE_K`` docs
+    with probability proportional to token count, by walking the global
+    token axis and taking one doc every ``total_tokens / k`` tokens —
+    the classic importance-sampling layout step (upsample long docs,
+    never pick empty ones) with ZERO per-item randomness: all integer
+    arithmetic, so the sample is reproducible across engines and runs.
+
+    Scale shape — a global prefix sum WITHOUT a global sort: doc_ids
+    are range-bucketed (``doc_id DIV span``); per-bucket token totals
+    are one map-side-combined agg over a tiny table; bucket offsets are
+    a window over that bucket table only (bucket-count rows, never
+    corpus rows); each doc's global cumulative position is then its
+    bucket offset + an in-bucket running sum partitioned BY bucket.
+    The final pick predicate ``(cum·k) DIV W > ((cum−w)·k) DIV W`` is
+    pure scan-stage integer math (``cum·k`` fits BIGINT up to ~9·10¹⁸;
+    at extreme scale widen to DECIMAL(38,0) — same algebra).
+
+    The DuckDB oracle deliberately uses the naive single global window
+    formulation, so the two engines cross-check the *algorithm*, not
+    the decomposition.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    sized = docs.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("w"),
+        F.expr(f"doc_id DIV {PS_BUCKET_SPAN}").alias("__b"),
+    )
+    boff = (
+        sized.groupBy("__b")
+        .agg(F.sum("w").alias("__bw"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__bw").over(
+                    Window.orderBy("__b").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("__bw")
+    )
+    wtot = sized.agg(F.sum("w").alias("__W"))
+    win = (
+        Window.partitionBy("__b")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        sized.withColumn("__incum", F.sum("w").over(win))
+        .join(boff, "__b")
+        .withColumn("cum", F.col("__off") + F.col("__incum"))
+        .crossJoin(wtot)
+    )
+    picked = cum.filter(
+        F.expr(f"(cum * {SAMPLE_K}) DIV __W")
+        > F.expr(f"((cum - w) * {SAMPLE_K}) DIV __W")
+    )
+    return picked.select(
+        "doc_id",
+        F.col("w").alias("n_tokens"),
+        F.expr(f"((cum - w) * {SAMPLE_K}) DIV __W").alias("sample_slot"),
+    )
+
+
+SQL_IMPORTANCE_SAMPLE = f"""
+WITH sized AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+  FROM documents
+),
+c AS (
+  SELECT doc_id, w,
+         SUM(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM sized
+),
+t AS (SELECT SUM(w) AS tw FROM sized)
+SELECT doc_id, w AS n_tokens,
+       CAST(((cum - w) * {SAMPLE_K}) // tw AS BIGINT) AS sample_slot
+FROM c, t
+WHERE (cum * {SAMPLE_K}) // tw > ((cum - w) * {SAMPLE_K}) // tw
+"""
+
+
 QUERIES = {
     "curation_pii_redact": q_curation_pii_redact,
     "pipeline_corpus_release": q_pipeline_corpus_release,
@@ -1231,6 +1327,7 @@ QUERIES = {
     "pipeline_chunk_release": q_pipeline_chunk_release,
     "curation_chunk_windows_udtf": q_curation_chunk_windows_udtf,
     "curation_bloom_decontaminate": q_curation_bloom_decontaminate,
+    "curation_importance_sample": q_curation_importance_sample,
 }
 
 ORACLE_SQL = {
@@ -1250,4 +1347,5 @@ ORACLE_SQL = {
     "pipeline_chunk_release": SQL_PIPELINE_CHUNK_RELEASE,
     "curation_chunk_windows_udtf": SQL_CHUNK_WINDOWS_UDTF,
     "curation_bloom_decontaminate": SQL_BLOOM_DECONTAMINATE,
+    "curation_importance_sample": SQL_IMPORTANCE_SAMPLE,
 }

@@ -414,3 +414,28 @@ def test_bloom_decontaminate_supersets_exact(spark):
     # flags everything
     total_exact = sum(exact.values())
     assert extra <= max(20, total_exact)
+
+
+def test_importance_sample_systematic_properties(spark):
+    from pu4spark_spark.operators.curation import (
+        SAMPLE_K,
+        q_curation_importance_sample,
+    )
+
+    rows = q_curation_importance_sample(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    # telescoping slot sum: exactly K slots exist; each picked doc owns
+    # ≥1 of them, so picks ∈ [1, K] and every pick has weight > 0
+    assert 1 <= len(rows) <= SAMPLE_K
+    assert all(r["n_tokens"] > 0 for r in rows)
+    slots = [r["sample_slot"] for r in sorted(rows, key=lambda r: r["doc_id"])]
+    # doc order walks the token axis, so owned first-slots are strictly
+    # increasing and within range
+    assert slots == sorted(slots) and len(set(slots)) == len(slots)
+    assert 0 <= slots[0] and slots[-1] < SAMPLE_K
+    # deterministic: a second run is identical
+    again = q_curation_importance_sample(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
