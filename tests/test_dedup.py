@@ -387,3 +387,28 @@ def test_pagerank_matches_cpython_reference(spark):
     # ranks form a probability-ish distribution (mass conservation of
     # the power iteration on a graph with no dangling nodes)
     assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_semantic_keep_verdicts_match_pair_graph(spark):
+    from pu4spark_spark.operators.dedup import (
+        q_dedup_embedding_cosine,
+        q_dedup_semantic_keep,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    verdicts = q_dedup_semantic_keep(spark, sf).collect()
+    pairs = q_dedup_embedding_cosine(spark, sf).collect()
+    dominated = {}
+    for r in pairs:
+        cur = dominated.get(r["b_id"])
+        dominated[r["b_id"]] = r["a_id"] if cur is None else min(cur, r["a_id"])
+    assert len(verdicts) == 500  # one verdict per vector
+    for v in verdicts:
+        if v["vec_id"] in dominated:
+            assert v["action"] == "drop"
+            assert v["kept_by"] == dominated[v["vec_id"]] < v["vec_id"]
+        else:
+            assert v["action"] == "keep" and v["kept_by"] is None
+    # the fixture must actually exercise both verdicts
+    acts = {v["action"] for v in verdicts}
+    assert acts == {"keep", "drop"}
