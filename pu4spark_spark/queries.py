@@ -26,6 +26,7 @@ from pu4spark_spark.operators import (  # noqa: E402
 from pu4spark_spark.sources import formats as fmt_sources  # noqa: E402
 from pu4spark_spark.sources import pydatasource as pyds_sources  # noqa: E402
 from pu4spark_spark.streaming import events as streaming_events  # noqa: E402
+from pu4spark_spark.streaming import ingest as streaming_ingest  # noqa: E402
 from pu4spark_spark.streaming import sketch as streaming_sketch  # noqa: E402
 from pu4spark_spark.streaming import stateful as streaming_stateful  # noqa: E402
 from pu4spark_spark.streaming import upsert as streaming_upsert  # noqa: E402
@@ -43,6 +44,7 @@ _MODULES += [
     fmt_sources,
     pyds_sources,
     streaming_events,
+    streaming_ingest,
     streaming_sketch,
     streaming_stateful,
     streaming_upsert,

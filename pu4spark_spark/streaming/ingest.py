@@ -1,0 +1,152 @@
+"""Streaming dedup-at-ingest: each arriving micro-batch of documents
+probes the PRECOMPUTED bucketed corpus band artifact
+(:func:`pu4spark_spark.operators.dedup.ensure_band_artifacts`) and
+appends verified near-dup pairs to a parquet sink — the 100 TB arrival
+pattern run as a STREAM instead of a scheduled batch.
+
+Scale shape: all stateful relational work (the signature groupBy, the
+candidate ``distinct``, the verify joins) happens INSIDE ``foreachBatch``
+with full batch semantics over the batch-sized micro-batch, so the
+streaming engine itself carries ZERO state (no watermark, no state
+store); the corpus side is only ever touched through the bucketed
+artifact tables, whose layout serves the band join with no corpus-side
+exchange.  The sink is an append-only parquet directory — no row ever
+passes through the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _docs_stream_dir(sf_dir: str) -> str:
+    """Landing directory holding a symlink to the (read-only) documents
+    file — in production, the directory new document files arrive in."""
+    src = os.path.abspath(f"{sf_dir}/documents.parquet")
+    tag = hashlib.md5(src.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"pu4spark_docs_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return d
+
+
+def probe_micro_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    bands_tbl: str,
+    sh_tbl: str,
+    out_dir: str,
+) -> None:
+    """One micro-batch of arriving docs → verified near-dup pairs vs the
+    corpus artifact, appended to the parquet sink.  Batch-sized work
+    only: the corpus is touched through its bucketed tables."""
+    from pu4spark_spark.functions.textfns import (
+        jaccard_sets,
+        tokens,
+        word_shingles,
+    )
+    from pu4spark_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        minhash_bands,
+        probe_band_candidates,
+    )
+    from pu4spark_spark.plans import cached, spread
+
+    shingled = cached(
+        spread(batch).select(
+            "doc_id",
+            F.array_distinct(word_shingles(tokens("text"))).alias("sh"),
+        )
+    )
+    try:
+        cand = probe_band_candidates(
+            minhash_bands(shingled), spark.table(bands_tbl)
+        )
+        sa = shingled.select(
+            F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b")
+        )
+        sc = spark.table(sh_tbl).select(
+            F.col("doc_id").alias("c_id"), F.col("sh").alias("sh_c")
+        )
+        out = (
+            cand.join(sa, "b_id")
+            .join(sc, "c_id")
+            .withColumn("jaccard", jaccard_sets(F.col("sh_b"), F.col("sh_c")))
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .select("b_id", "c_id", "jaccard")
+        )
+        out.write.mode("append").parquet(out_dir)
+    finally:
+        shingled.unpersist()
+
+
+def q_streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the document landing stream through the foreachBatch probe
+    and return the appended pair sink — must equal the batch
+    ``dedup_band_artifact_probe`` oracle exactly (same batch split:
+    ``doc_id % INCR_BATCH_MOD == 0`` plays the arriving docs, the rest
+    are the corpus behind the bucketed artifact)."""
+    from pu4spark_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+        ensure_band_artifacts,
+    )
+
+    bands_tbl, sh_tbl = ensure_band_artifacts(spark, sf_dir)
+    land = _docs_stream_dir(sf_dir)
+    schema = spark.read.parquet(land).schema
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"pu4spark_ingest_dedup_{hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]}",
+    )
+    # fresh run each invocation: the checkpoint would otherwise treat
+    # the (static) fixture as already-processed and append nothing
+    shutil.rmtree(base, ignore_errors=True)
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+        .filter(F.col("doc_id") % INCR_BATCH_MOD == 0)
+        .select("doc_id", "text")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, _id: probe_micro_batch(
+                spark, df, bands_tbl, sh_tbl, out_dir
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.read.parquet(out_dir)
+
+
+#: identical contract to the batch artifact probe — the stream must
+#: reproduce it bit-for-bit
+def _probe_sql() -> str:
+    from pu4spark_spark.operators.dedup import SQL_DEDUP_BAND_ARTIFACT_PROBE
+
+    return SQL_DEDUP_BAND_ARTIFACT_PROBE
+
+
+SQL_STREAMING_INGEST_DEDUP = _probe_sql()
+
+QUERIES = {
+    "streaming_ingest_dedup": q_streaming_ingest_dedup,
+}
+
+ORACLE_SQL = {
+    "streaming_ingest_dedup": SQL_STREAMING_INGEST_DEDUP,
+}

@@ -227,3 +227,21 @@ def test_foreachbatch_merge_is_incremental(spark, tmp_path):
     s2 = {r["o_orderkey"]: r for r in spark.read.parquet(state).collect()}
     assert {k: v["version"] for k, v in s2.items()} == {1: 0, 2: 1}
     assert s2[2]["price"] == 120.0 and s2[1]["price"] == 10.0
+
+
+def test_streaming_ingest_dedup_equals_batch_probe(spark):
+    """The foreachBatch ingest probe must reproduce the batch artifact
+    probe bit-for-bit (same batch split, same artifact)."""
+    from pu4spark_spark.operators.dedup import q_dedup_band_artifact_probe
+    from pu4spark_spark.streaming.ingest import q_streaming_ingest_dedup
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["b_id"], r["c_id"], round(r["jaccard"], 12))
+        for r in q_streaming_ingest_dedup(spark, sf).collect()
+    }
+    want = {
+        (r["b_id"], r["c_id"], round(r["jaccard"], 12))
+        for r in q_dedup_band_artifact_probe(spark, sf).collect()
+    }
+    assert got == want
