@@ -1136,6 +1136,48 @@ def q_text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE the corpus with the merge table
+    :func:`q_text_bpe_learn_merges` learned — tokenizer APPLICATION at
+    scale, closing the BPE loop (pair stats → learned merges → encoded
+    corpus).  Output: per-doc word count and post-BPE piece count, the
+    token-budget numbers a shard packer consumes.
+
+    Scale shape — encode via the vocabulary, never per occurrence: the
+    merge folds (interpreted HOF lambdas, the slow path) run ONCE PER
+    DISTINCT WORD over the vocabulary table, not once per corpus token;
+    the corpus is then priced by a word→n_pieces equi-join (vocab side
+    unhinted — AQE broadcasts the map when it is actually small) and
+    one map-side-combined groupBy(doc_id).  The merge table itself is
+    a ≤``BPE_MERGES``-row driver scalar, exactly the family's
+    driver-loop protocol.
+
+    Rows-only (the merge table comes from an iterative driver loop);
+    the encoding algebra is pinned by the CPython reference tokenizer
+    in ``tests/test_text_bpe.py``.
+    """
+    merge_rows = q_text_bpe_learn_merges(spark, sf_dir).collect()
+    merges = [(r["left"], r["right"]) for r in sorted(merge_rows, key=lambda r: r["rank"])]
+    docs = load_table(spark, "documents", sf_dir)
+    words = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    syms = chars
+    for left, right in merges:
+        syms = _bpe_apply_merge(syms, left, right)
+    vocab = words.select("w").distinct().select("w", F.size(syms).alias("__np"))
+    return (
+        words.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("__np").cast("bigint").alias("n_pieces"),
+        )
+    )
+
+
 # -- distributed exact AUC (Mann-Whitney rank-sum) -----------------------
 
 #: score-quantization grain for the rank-sum AUC — the window below runs
@@ -1615,6 +1657,8 @@ QUERIES = {
     "text_bpe_pair_counts": q_text_bpe_pair_counts,
     # rows-only: iterative driver loop (CPython reference-tested)
     "text_bpe_learn_merges": q_text_bpe_learn_merges,
+    # rows-only: encodes with the driver-loop-learned merge table
+    "text_bpe_encode": q_text_bpe_encode,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "text_fingerprint": q_text_fingerprint,

@@ -85,3 +85,50 @@ def test_bpe_apply_merge_overlapping_runs(spark):
     assert out[1] == ["aa", "aa"]
     assert out[2] == ["aa", "a"]
     assert out[3] == ["b", "a"]
+
+
+def test_bpe_encode_matches_cpython(spark):
+    """Encoding with the learned merge table must match the reference
+    tokenizer applied per doc (vocab-level apply ≡ occurrence-level
+    apply, since merges never cross word boundaries)."""
+    import duckdb
+
+    from pu4spark_spark.operators.text import BPE_MERGES, q_text_bpe_encode
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    wc_rows = con.execute(
+        f"""
+        SELECT w, COUNT(*) FROM (
+          SELECT unnest(string_split(text, ' ')) AS w
+          FROM '{sf}/documents.parquet')
+        WHERE len(w) >= 2 GROUP BY w
+        """
+    ).fetchall()
+    merges = _reference_bpe(dict(wc_rows), BPE_MERGES)
+
+    def encode(word: str) -> int:
+        syms = [c for c in word]
+        for _rank, left, right, _m, _f in merges:
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            syms = out
+        return len(syms)
+
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
+    ).fetchall()
+    want = {}
+    for doc_id, text in docs:
+        words = text.split(" ")
+        want[doc_id] = (len(words), sum(encode(w) for w in words))
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_pieces"])
+        for r in q_text_bpe_encode(spark, sf).collect()
+    }
+    assert got == want
