@@ -1214,6 +1214,121 @@ GROUP BY lang, shard_id
 """
 
 
+# -- fuzzy (near-match) decontamination -----------------------------------
+
+#: a train doc whose verified shingle Jaccard vs ANY benchmark doc
+#: reaches this is contamination — deliberately far below the dedup
+#: threshold (0.5): paraphrased test leakage shares far fewer shingles
+#: than a near-duplicate
+FUZZY_CONTAM_JACCARD = 0.3
+
+
+def q_curation_fuzzy_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NEAR-match benchmark decontamination: train docs that are
+    MinHash-LSH candidates of a benchmark doc with verified 3-gram
+    Jaccard ≥ ``FUZZY_CONTAM_JACCARD`` — the fuzzy companion to
+    :func:`q_curation_decontaminate`, which only catches verbatim
+    shingle overlap (paraphrased or lightly-edited test leakage slips
+    an exact-shingle probe but not a near-dup one).
+
+    Scale shape: the benchmark side is fixed-size by construction, so
+    its band table and shingle sets are legitimately broadcast (same
+    argument as the exact probe); the train side does the usual
+    band-key candidate join + candidate-only verify — O(candidates),
+    never O(train × bench).  One groupBy(doc_id) reduce produces the
+    per-doc contamination report.
+    """
+    from pu4spark_spark.functions.textfns import jaccard_sets
+    from pu4spark_spark.operators.dedup import minhash_bands
+    from pu4spark_spark.plans import cached, spread
+
+    docs = spread(load_table(spark, "documents", sf_dir))
+    toked = docs.select("doc_id", tokens("text").alias("__t"))
+    base = toked.select(
+        "doc_id", F.array_distinct(word_shingles(F.col("__t"))).alias("sh")
+    )
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    bench = cached(base.filter(is_bench))
+    train = cached(base.filter(~is_bench))
+    cand = (
+        minhash_bands(train)
+        .join(
+            F.broadcast(
+                minhash_bands(bench).select(
+                    F.col("doc_id").alias("bench_id"), "band_pos", "band_hash"
+                )
+            ),
+            ["band_pos", "band_hash"],
+        )
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
+    verified = (
+        cand.join(train.select("doc_id", F.col("sh").alias("sh_t")), "doc_id")
+        .join(
+            F.broadcast(
+                bench.select(
+                    F.col("doc_id").alias("bench_id"), F.col("sh").alias("sh_b")
+                )
+            ),
+            "bench_id",
+        )
+        .withColumn("jaccard", jaccard_sets(F.col("sh_t"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= FUZZY_CONTAM_JACCARD)
+    )
+    return verified.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bench_matches"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+
+
+def _sql_fuzzy_decontaminate() -> str:
+    from pu4spark_spark.functions.textfns import (
+        sql_jaccard_sets,
+        sql_word_shingles,
+    )
+    from pu4spark_spark.operators.dedup import (
+        _sql_minhash_bands,
+        _UNNEST_BANDS,
+    )
+
+    sh3 = sql_word_shingles("text")
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_distinct({sh3}) AS sh FROM documents
+),
+sigs AS (SELECT doc_id, sh, {_sql_minhash_bands()} FROM base),
+t_bands AS (
+  SELECT doc_id, u.band_pos, u.band_hash
+  FROM sigs, {_UNNEST_BANDS}
+  WHERE doc_id % {BENCH_MOD} <> 0
+),
+b_bands AS (
+  SELECT doc_id AS bench_id, u.band_pos, u.band_hash
+  FROM sigs, {_UNNEST_BANDS}
+  WHERE doc_id % {BENCH_MOD} = 0
+),
+cand AS (
+  SELECT DISTINCT t.doc_id, b.bench_id
+  FROM t_bands t JOIN b_bands b
+    ON t.band_pos = b.band_pos AND t.band_hash = b.band_hash
+)
+SELECT c.doc_id,
+       COUNT(*) AS n_bench_matches,
+       MAX({sql_jaccard_sets('st.sh', 'sb.sh')}) AS max_jaccard
+FROM cand c
+JOIN base st ON st.doc_id = c.doc_id
+JOIN base sb ON sb.doc_id = c.bench_id
+WHERE {sql_jaccard_sets('st.sh', 'sb.sh')} >= {FUZZY_CONTAM_JACCARD}
+GROUP BY c.doc_id
+"""
+
+
+SQL_FUZZY_DECONTAMINATE = _sql_fuzzy_decontaminate()
+
+
 # -- weight-proportional systematic sampling ------------------------------
 
 #: systematic sample size (docs picked ∝ token count); fixture-scale
@@ -1328,6 +1443,7 @@ QUERIES = {
     "curation_chunk_windows_udtf": q_curation_chunk_windows_udtf,
     "curation_bloom_decontaminate": q_curation_bloom_decontaminate,
     "curation_importance_sample": q_curation_importance_sample,
+    "curation_fuzzy_decontaminate": q_curation_fuzzy_decontaminate,
 }
 
 ORACLE_SQL = {
@@ -1348,4 +1464,5 @@ ORACLE_SQL = {
     "curation_chunk_windows_udtf": SQL_CHUNK_WINDOWS_UDTF,
     "curation_bloom_decontaminate": SQL_BLOOM_DECONTAMINATE,
     "curation_importance_sample": SQL_IMPORTANCE_SAMPLE,
+    "curation_fuzzy_decontaminate": SQL_FUZZY_DECONTAMINATE,
 }

@@ -1238,6 +1238,83 @@ FROM r
 """
 
 
+def q_eval_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-tuning sweep: for every quality-score decile threshold,
+    the docs kept, the TOKEN yield (the number a pretraining budget
+    actually cares about), and the English fraction of the kept set —
+    the one-table answer to "where do we set the quality cutoff?".
+
+    Scale shape: one corpus scan reduces to ≤10 ``(bin, n_docs,
+    n_tokens, n_en)`` rows via a map-side-combined groupBy; the
+    reverse-cumulative window then runs over that fixed-size table
+    (single task over ≤10 rows — by design, the same ≤-bins contract
+    as the AUC/calibration evals).  Counts are exact int64; the only
+    IEEE op is one division per output row.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    toked = docs.select("doc_id", "lang", tokens("text").alias("__t"))
+    t = F.col("__t")
+    n = F.size(t)
+    stop_n = F.size(F.filter(t, lambda x: x.isin(STOPWORDS)))
+    distinct_ratio = F.size(F.array_distinct(t)).cast("double") / n
+    stop_ratio = stop_n.cast("double") / n
+    length_score = F.least(n.cast("double") / F.lit(50.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * length_score
+        + F.lit(0.3) * distinct_ratio
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+    )
+    binned = toked.select(
+        F.least(F.floor(score * 10), F.lit(9)).cast("int").alias("bin"),
+        n.cast("long").alias("n"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("n").alias("nt"),
+        F.sum("y").alias("ne"),
+    )
+    w = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_bin.select(
+        F.col("bin").alias("thr_bin"),
+        (F.col("bin").cast("double") / F.lit(10.0)).alias("thr"),
+        F.sum("nd").over(w).cast("bigint").alias("n_docs_kept"),
+        F.sum("nt").over(w).cast("bigint").alias("n_tokens_kept"),
+        (
+            F.sum("ne").over(w).cast("double")
+            / F.sum("nd").over(w).cast("double")
+        ).alias("en_frac"),
+    )
+
+
+SQL_EVAL_QUALITY_THRESHOLD_SWEEP = f"""
+WITH q AS ({SQL_TEXT_QUALITY}),
+sized AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+),
+b AS (
+  SELECT CAST(least(floor(q.quality_score * 10), 9) AS INTEGER) AS bin,
+         sized.n AS n,
+         CASE WHEN q.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM q JOIN sized ON q.doc_id = sized.doc_id
+),
+pb AS (
+  SELECT bin, COUNT(*) AS nd, SUM(n) AS nt, SUM(y) AS ne
+  FROM b GROUP BY bin
+)
+SELECT bin AS thr_bin,
+       CAST(bin AS DOUBLE) / 10.0 AS thr,
+       CAST(SUM(nd) OVER wdesc AS BIGINT) AS n_docs_kept,
+       CAST(SUM(nt) OVER wdesc AS BIGINT) AS n_tokens_kept,
+       CAST(SUM(ne) OVER wdesc AS DOUBLE)
+       / CAST(SUM(nd) OVER wdesc AS DOUBLE) AS en_frac
+FROM pb
+WINDOW wdesc AS (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING)
+"""
+
+
 # -- Count-Min sketch (bounded-memory frequency estimates) ---------------
 
 #: sketch geometry — d×w counters; the sketch table is d·w rows TOTAL,
@@ -1679,6 +1756,7 @@ QUERIES = {
     "corpus_lang_similarity": q_corpus_lang_similarity,
     "eval_quality_auc": q_eval_quality_auc,
     "eval_quality_calibration": q_eval_quality_calibration,
+    "eval_quality_threshold_sweep": q_eval_quality_threshold_sweep,
     "text_lang_quality_median_pandas": q_text_lang_quality_median_pandas,
 }
 
@@ -1704,6 +1782,7 @@ ORACLE_SQL = {
     "corpus_lang_similarity": SQL_CORPUS_LANG_SIMILARITY,
     "eval_quality_auc": SQL_EVAL_QUALITY_AUC,
     "eval_quality_calibration": SQL_EVAL_QUALITY_CALIBRATION,
+    "eval_quality_threshold_sweep": SQL_EVAL_QUALITY_THRESHOLD_SWEEP,
     "text_lang_quality_median_pandas": SQL_TEXT_LANG_QUALITY_MEDIAN,
     # text_tfidf_ml: ML — rows-only
     # text_bpe_learn_merges: iterative driver loop — rows-only

@@ -439,3 +439,40 @@ def test_importance_sample_systematic_properties(spark):
         spark, "/root/testdata/sf0.001"
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_fuzzy_decontaminate_contract(spark):
+    from pu4spark_spark.operators.curation import (
+        BENCH_MOD,
+        FUZZY_CONTAM_JACCARD,
+        q_curation_fuzzy_decontaminate,
+    )
+
+    rows = q_curation_fuzzy_decontaminate(spark, SF).collect()
+    # only TRAIN docs are ever flagged, every flag meets the verified
+    # threshold, and the match count is positive
+    for r in rows:
+        assert r["doc_id"] % BENCH_MOD != 0
+        assert r["max_jaccard"] >= FUZZY_CONTAM_JACCARD
+        assert r["n_bench_matches"] >= 1
+
+
+def test_quality_threshold_sweep_monotone(spark):
+    from pu4spark_spark.operators.text import (
+        q_eval_quality_threshold_sweep,
+        q_text_quality,
+    )
+
+    rows = sorted(
+        q_eval_quality_threshold_sweep(spark, SF).collect(),
+        key=lambda r: r["thr_bin"],
+    )
+    # raising the threshold can only shrink the kept set
+    docs = [r["n_docs_kept"] for r in rows]
+    toks = [r["n_tokens_kept"] for r in rows]
+    assert docs == sorted(docs, reverse=True)
+    assert toks == sorted(toks, reverse=True)
+    # the loosest threshold keeps the whole corpus
+    n_total = q_text_quality(spark, SF).count()
+    assert docs[0] == n_total
+    assert all(0.0 <= r["en_frac"] <= 1.0 for r in rows)
