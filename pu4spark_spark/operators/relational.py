@@ -420,6 +420,89 @@ GROUP BY 1, 2
 """
 
 
+# -- incremental aggregate maintenance (materialized-view merge) ---------
+
+#: events whose id hits this modulus play the "newly arrived" slice
+ROLLUP_ARRIVAL_MOD = 10
+
+
+def ensure_hourly_rollup_artifact(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotent build of the corpus's hourly PARTIAL-aggregate table
+    (count + exact decimal sum per (hour, event_type)) — the
+    materialized rollup a 100 TB pipeline maintains instead of
+    re-scanning history.  Keyed by ``sf_dir``; reused when present.
+    In production this table is partitioned by day so maintenance
+    touches only the arriving partitions."""
+    import hashlib
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    from pu4spark_spark.functions.exact import MONEY, dec
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    tbl = f"events_hourly_rollup_{tag}"
+    if spark.catalog.tableExists(tbl):
+        return tbl
+    warehouse = urlparse(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    ).path
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    shutil.rmtree(f"{warehouse}/{tbl}", ignore_errors=True)
+    events = load_table(spark, "events", sf_dir)
+    corpus = events.filter(F.col("event_id") % ROLLUP_ARRIVAL_MOD != 0)
+    partial = corpus.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value", MONEY)).alias("sum_value_dec"),
+    )
+    partial.write.saveAsTable(tbl)
+    return tbl
+
+
+def q_events_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: merge the PRECOMPUTED hourly
+    partial-aggregate artifact with the newly-arrived slice's partials
+    and return the refreshed rollup — must equal the full recompute
+    (the ``events_hourly`` oracle) exactly.
+
+    This is the materialized-view pattern every long-lived 100 TB rollup
+    uses: work per refresh is O(arriving batch) + O(rollup), never a
+    history re-scan.  Exactness under merging is why the artifact
+    stores the DECIMAL sum partial (associative, order-independent)
+    and casts to double only at the final read-out — partial counts
+    and sums merge with plain ``SUM``, the mergeability Spark's own
+    partial aggregation relies on.
+    """
+    from pu4spark_spark.functions.exact import MONEY, dec
+
+    tbl = ensure_hourly_rollup_artifact(spark, sf_dir)
+    events = load_table(spark, "events", sf_dir)
+    arriving = events.filter(F.col("event_id") % ROLLUP_ARRIVAL_MOD == 0)
+    delta = arriving.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value", MONEY)).alias("sum_value_dec"),
+    )
+    return (
+        spark.table(tbl)
+        .unionByName(delta)
+        .groupBy("hour", "event_type")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("sum_value_dec").cast("double").alias("sum_value"),
+        )
+    )
+
+
+#: full recompute over ALL events — merged partials must reproduce it
+SQL_EVENTS_ROLLUP_MAINTENANCE = SQL_EVENTS_HOURLY
+
+
 # -- custom UDAF surface: applyInPandas, value-checked -------------------
 
 def q_events_user_gaps_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2277,6 +2360,98 @@ GROUP BY o.o_orderpriority
 """
 
 
+# -- bucketed fact-fact join (co-located layout, zero join exchange) -----
+
+#: bucket count for the co-located fact layout (fixture-scale; at
+#: 100 TB this is sized so a bucket ≈ one task's comfortable input)
+FACT_BUCKETS = 16
+
+
+def ensure_bucketed_fact_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str]:
+    """Idempotent build of lineitem/orders as managed tables bucketed
+    (and in-bucket sorted) on the order key — the write-once layout
+    investment that makes every later orderkey join shuffle-free.
+    Keyed by ``sf_dir``; reused when present."""
+    import hashlib
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    from pu4spark_spark.sources import write_bucketed_table
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    li_tbl = f"lineitem_bkt_{tag}"
+    o_tbl = f"orders_bkt_{tag}"
+    if spark.catalog.tableExists(li_tbl) and spark.catalog.tableExists(o_tbl):
+        return li_tbl, o_tbl
+    warehouse = urlparse(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    ).path
+    for t in (li_tbl, o_tbl):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    write_bucketed_table(
+        load_table(spark, "lineitem", sf_dir).select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        li_tbl,
+        ["l_orderkey"],
+        FACT_BUCKETS,
+        sort_cols=["l_orderkey"],
+    )
+    write_bucketed_table(
+        load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderpriority"
+        ),
+        o_tbl,
+        ["o_orderkey"],
+        FACT_BUCKETS,
+        sort_cols=["o_orderkey"],
+    )
+    return li_tbl, o_tbl
+
+
+def q_lineitem_orders_bucketed_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The same fact-to-fact revenue join as
+    :func:`q_lineitem_orders_shj`, but against the CO-LOCATED bucketed
+    layout: both sides bucketed (and sorted) on the order key with the
+    same bucket count, so the sort-merge join consumes the bucket
+    layout directly — ZERO exchange below the join (plan-gated; a
+    task-local per-bucket sort remains because Spark ignores sortBy
+    order at read time by default, SPARK-28595 — pipelined and
+    spill-safe, never a shuffle).  The ``merge`` hint pins SMJ so toy-scale AQE doesn't
+    broadcast the orders side and idle the layout; at 100 TB SMJ is
+    what the planner picks anyway.  The only exchange in the query is
+    the output-sized priority rollup."""
+    li_tbl, o_tbl = ensure_bucketed_fact_tables(spark, sf_dir)
+    li = spark.table(li_tbl)
+    orders = spark.table(o_tbl)
+    joined = li.hint("merge").join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(
+            (
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (
+                    F.lit("1.00").cast("decimal(18,2)")
+                    - F.col("l_discount").cast("decimal(18,2)")
+                )
+            ).cast("decimal(28,4)")
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+SQL_LINEITEM_ORDERS_BUCKETED = SQL_LINEITEM_ORDERS_SHJ
+
+
 # -- bitmap audience intersection ----------------------------------------
 
 def q_events_audience_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2694,6 +2869,7 @@ QUERIES = {
     "events_audience_bitmap": q_events_audience_bitmap,
     "events_transition_matrix": q_events_transition_matrix,
     "lineitem_orders_shj": q_lineitem_orders_shj,
+    "lineitem_orders_bucketed_join": q_lineitem_orders_bucketed_join,
     "customer_spend_distribution": q_customer_spend_distribution,
     "part_copurchase_pairs": q_part_copurchase_pairs,
     "audit_join_key_skew": q_audit_join_key_skew,
@@ -2724,6 +2900,7 @@ QUERIES = {
     "orders_unpivot_metrics": q_orders_unpivot_metrics,
     "events_locf_value": q_events_locf_value,
     "events_time_rollup": q_events_time_rollup,
+    "events_rollup_maintenance": q_events_rollup_maintenance,
     "events_value_trend": q_events_value_trend,
     "customer_rfm_segments": q_customer_rfm_segments,
     "parts_setops": q_parts_setops,
@@ -2751,6 +2928,7 @@ ORACLE_SQL = {
     "events_audience_bitmap": SQL_EVENTS_AUDIENCE_BITMAP,
     "events_transition_matrix": SQL_EVENTS_TRANSITION_MATRIX,
     "lineitem_orders_shj": SQL_LINEITEM_ORDERS_SHJ,
+    "lineitem_orders_bucketed_join": SQL_LINEITEM_ORDERS_BUCKETED,
     "customer_spend_distribution": SQL_CUSTOMER_SPEND_DISTRIBUTION,
     "part_copurchase_pairs": SQL_PART_COPURCHASE_PAIRS,
     "audit_join_key_skew": SQL_AUDIT_JOIN_KEY_SKEW,
@@ -2781,6 +2959,7 @@ ORACLE_SQL = {
     "orders_unpivot_metrics": SQL_ORDERS_UNPIVOT,
     "events_locf_value": SQL_EVENTS_LOCF,
     "events_time_rollup": SQL_EVENTS_TIME_ROLLUP,
+    "events_rollup_maintenance": SQL_EVENTS_ROLLUP_MAINTENANCE,
     "events_value_trend": SQL_EVENTS_VALUE_TREND,
     "customer_rfm_segments": SQL_CUSTOMER_RFM,
     "parts_setops": SQL_PARTS_SETOPS,

@@ -509,3 +509,29 @@ def test_shuffle_hash_hint_plans_shj(spark):
     plan = explain_str(q_lineitem_orders_shj(spark, SF_DIR))
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_fact_join_zero_exchange_zero_sort(spark):
+    """Both fact sides read their bucket layout: nothing below the
+    SortMergeJoin may EXCHANGE — the bucket layout is the join
+    distribution, so the only exchange in the query is the
+    output-sized priority rollup.  (A per-bucket in-task Sort remains:
+    Spark ignores sortBy order at read time unless the legacy
+    ``bucketedTableScan.outputOrdering`` conf is on — SPARK-28595 — and
+    that sort is task-local, pipelined, and spill-safe, not a shuffle.)
+    """
+    from pu4spark_spark.operators.relational import (
+        q_lineitem_orders_bucketed_join,
+    )
+
+    spark.catalog.clearCache()
+    df = q_lineitem_orders_bucketed_join(spark, SF_DIR)
+    plan = explain_str(df)
+    assert plan.count("Bucketed: true") == 2, plan
+    assert "SortMergeJoin" in plan
+    smj_id = int(re.search(r"\((\d+)\) SortMergeJoin", plan).group(1))
+    # depth-first ids: everything below the join has id < smj_id
+    for ex in re.findall(r"\((\d+)\) Exchange", plan):
+        assert int(ex) > smj_id, plan
+    # every bucket participates and the layout is actually consumed
+    assert plan.count("SelectedBucketsCount: 16 out of 16") == 2, plan

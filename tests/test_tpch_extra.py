@@ -182,3 +182,24 @@ def test_table_diff_flags_exactly_changed_buckets(spark):
     for b, r in out.items():
         assert r.in_sync == (b not in changed)
     assert sum(r.n_diff_keys for r in out.values()) == n_changed
+
+
+def test_rollup_maintenance_equals_full_recompute(spark):
+    """Merged partial aggregates (artifact + arriving delta) must equal
+    the one-shot rollup over all events, bit-for-bit (decimal partials
+    merge exactly)."""
+    from pu4spark_spark.operators.relational import (
+        q_events_hourly,
+        q_events_rollup_maintenance,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in q_events_rollup_maintenance(spark, sf).collect()
+    }
+    want = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in q_events_hourly(spark, sf).collect()
+    }
+    assert got == want
