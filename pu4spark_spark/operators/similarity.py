@@ -532,6 +532,32 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF probe against the exact top-k — the
+    companion eval to ``ann_lsh_recall`` for the centroid-partitioned
+    path, answering "is nprobe=2 enough?" before anyone trusts the
+    inverted file at scale.  Same query-set-sized probe join and exact
+    integer ratios; rows-only (the IVF side embeds the seeded KMeans
+    fit), with the recall floor pinned by a pytest property."""
+    exact = q_ann_cosine_topk(spark, sf_dir)
+    approx = q_ann_ivf(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__m")
+    )
+    qm = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("__m").alias("matched"))
+    )
+    return qm.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        (
+            F.sum("matched").cast("double")
+            / (F.count(F.lit(1)) * F.lit(TOP_K))
+        ).alias("avg_recall"),
+        F.min("matched").cast("bigint").alias("min_matched"),
+    )
+
+
 SQL_ANN_LSH_RECALL = f"""
 WITH exact AS ({SQL_ANN_COSINE_TOPK}),
 approx AS ({SQL_ANN_LSH_BUCKETED}),
@@ -783,6 +809,8 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "ann_brp_lsh_ml": q_ann_brp_lsh_ml,
     "ann_lsh_recall": q_ann_lsh_recall,
+    # rows-only: composes the seeded-KMeans IVF side
+    "ann_ivf_recall": q_ann_ivf_recall,
     "ann_matryoshka_recall": q_ann_matryoshka_recall,
     "embedding_inertia_by_label": q_embedding_inertia_by_label,
     # rows-only: driver-side eigensolve is not SQL-expressible; NumPy

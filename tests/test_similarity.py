@@ -188,3 +188,18 @@ def test_pca_components_orthogonal_variance_ordered(spark):
     # the raw floats, so decorrelation holds up to quantization noise
     # (measured ~2e-4 of the top variance on the fixture)
     assert np.abs(off).max() <= 1e-3 * var[0]
+
+
+def test_ivf_recall_floor_on_fixture(spark):
+    """nprobe=2 over 8 cells must find most exact neighbors on the
+    fixture, and the metric algebra must be internally consistent."""
+    from pu4spark_spark.operators.similarity import q_ann_ivf_recall
+
+    row = q_ann_ivf_recall(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["n_queries"] >= 1
+    assert 0.0 <= row["avg_recall"] <= 1.0
+    # fixture embeddings are near-unstructured, so nprobe=2/8 recalls
+    # only ~0.36 — the eval exists precisely to surface that number
+    # (the go/no-go before trusting IVF); assert a loose stability floor
+    assert row["avg_recall"] >= 0.2
+    assert 0 <= row["min_matched"]
