@@ -308,6 +308,70 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_phase_topk(scored.withColumn("cosine", cos), TOP_K)
 
 
+def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table sanity audit: per-label z-score of the quantized
+    squared norm, flagging |z| ≥ 2 vectors — the broken-row detector
+    (zeroed, truncated, or mis-scaled embeddings land in the tails) a
+    pipeline runs before training on a 100 TB embedding table.
+
+    Exactness discipline (the ``text_zscore_by_lang`` chain): norms
+    are exact quantized-integer dot products; per-label moments are
+    exact DECIMAL sums in one map-side-combined agg over the bounded
+    label key; mean/var/z are a fixed IEEE chain replicated verbatim
+    in the oracle.  The moment row joins back as an AQE broadcast; z
+    and the flag are scan-stage math."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = emb.select(
+        "vec_id", "label", quantized("embedding").alias("__q")
+    ).select("vec_id", "label", int_dot(F.col("__q"), F.col("__q")).alias("norm2"))
+    stats = base.groupBy("label").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("norm2").cast("decimal(38,0)")).alias("__s"),
+        F.sum((F.col("norm2") * F.col("norm2")).cast("decimal(38,0)")).alias(
+            "__sq"
+        ),
+    )
+    n = F.col("__n").cast("double")
+    s = F.col("__s").cast("double")
+    sq = F.col("__sq").cast("double")
+    mean = s / n
+    var = (n * sq - s * s) / (n * (n - F.lit(1.0)))
+    z = (F.col("norm2").cast("double") - mean) / F.sqrt(var)
+    return base.join(stats, "label").select(
+        "vec_id",
+        "label",
+        "norm2",
+        z.alias("z_norm"),
+        (F.abs(z) >= F.lit(2.0)).alias("is_outlier"),
+    )
+
+
+SQL_EMBEDDING_NORM_OUTLIERS = f"""
+WITH base AS (
+  SELECT vec_id, label, list_dot_product({_Q_SQL}, {_Q_SQL}) AS norm2
+  FROM embeddings
+),
+stats AS (
+  SELECT label,
+         COUNT(*) AS n,
+         SUM(CAST(norm2 AS DECIMAL(38,0))) AS s,
+         SUM(CAST(norm2 * norm2 AS DECIMAL(38,0))) AS sq
+  FROM base GROUP BY label
+)
+SELECT vec_id, b.label, norm2,
+       (CAST(norm2 AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+         / sqrt((CAST(n AS DOUBLE) * CAST(sq AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS z_norm,
+       abs((CAST(norm2 AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+         / sqrt((CAST(n AS DOUBLE) * CAST(sq AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))) >= 2.0
+         AS is_outlier
+FROM base b JOIN stats USING (label)
+"""
+
+
 # -- int8 storage quantization -------------------------------------------
 
 INT8_MAX = 127
@@ -805,6 +869,7 @@ QUERIES = {
     "embedding_gram_matrix": q_embedding_gram_matrix,
     "embedding_quantize_int8": q_embedding_quantize_int8,
     "embedding_label_centroids": q_embedding_label_centroids,
+    "embedding_norm_outliers": q_embedding_norm_outliers,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "ann_ivf": q_ann_ivf,
     "ann_brp_lsh_ml": q_ann_brp_lsh_ml,
@@ -823,6 +888,7 @@ ORACLE_SQL = {
     "embedding_gram_matrix": SQL_EMBEDDING_GRAM,
     "embedding_quantize_int8": SQL_EMBEDDING_QUANTIZE_INT8,
     "embedding_label_centroids": SQL_EMBEDDING_LABEL_CENTROIDS,
+    "embedding_norm_outliers": SQL_EMBEDDING_NORM_OUTLIERS,
     "ann_lsh_bucketed": SQL_ANN_LSH_BUCKETED,
     "ann_lsh_recall": SQL_ANN_LSH_RECALL,
     "ann_matryoshka_recall": SQL_ANN_MATRYOSHKA_RECALL,

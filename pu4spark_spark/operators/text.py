@@ -10,7 +10,7 @@ counts + single IEEE float ops so every query is oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pu4spark_spark.functions.textfns import (
@@ -108,12 +108,10 @@ LANG_MARKERS = {
 _LANG_ORDER = ["en", "es", "de", "fr", "zh"]
 
 
-def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-count language ID with deterministic argmax tie-break in
-    ``_LANG_ORDER`` — returns the prediction and whether it matches the
-    labeled ``lang`` column."""
-    docs = load_table(spark, "documents", sf_dir)
-    tok = tokens("text")
+def lang_pred(tok) -> Column:
+    """Marker-count language prediction as a pure Column expression
+    (deterministic argmax tie-break in ``_LANG_ORDER``) — shared by the
+    per-doc query and the confusion-matrix eval."""
 
     # NB: the lambda must be unary — a second (even defaulted) parameter
     # makes PySpark treat it as an (element, index) lambda and bind the
@@ -138,7 +136,15 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         best = (
             F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
         )
-    pred = best.otherwise(F.lit(_LANG_ORDER[0]))
+    return best.otherwise(F.lit(_LANG_ORDER[0]))
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-count language ID with deterministic argmax tie-break in
+    ``_LANG_ORDER`` — returns the prediction and whether it matches the
+    labeled ``lang`` column."""
+    docs = load_table(spark, "documents", sf_dir)
+    pred = lang_pred(tokens("text"))
     return docs.select(
         "doc_id",
         pred.alias("pred_lang"),
@@ -175,6 +181,52 @@ SELECT doc_id,
        {_sql_lang_pred()} AS pred_lang,
        ({_sql_lang_pred()}) = lang AS is_match
 FROM scored
+"""
+
+
+def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language-ID against the
+    labeled ``lang`` — the classifier-quality table that decides
+    whether the cheap n-gram router is good enough per language before
+    it gates a 100 TB pipeline.
+
+    Scale shape: ONE map-side-combined groupBy over the bounded
+    (true_lang × pred_lang) key space — the corpus reduces to ≤ L²
+    rows before any window; the per-true-language recall share is a
+    window over that tiny table only.  Counts exact int64; one IEEE
+    division per cell."""
+    docs = load_table(spark, "documents", sf_dir)
+    pred = lang_pred(tokens("text"))
+    cells = docs.groupBy(
+        F.col("lang").alias("true_lang"), pred.alias("pred_lang")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("true_lang")
+    return cells.select(
+        "true_lang",
+        "pred_lang",
+        "n_docs",
+        (
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w).cast("double")
+        ).alias("frac_of_true"),
+    )
+
+
+SQL_TEXT_LANGID_CONFUSION = f"""
+WITH scored AS (
+  SELECT doc_id, lang, {_sql_lang_scores()}
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents)
+),
+cells AS (
+  SELECT lang AS true_lang, {_sql_lang_pred()} AS pred_lang,
+         COUNT(*) AS n_docs
+  FROM scored GROUP BY 1, 2
+)
+SELECT true_lang, pred_lang, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_docs AS DOUBLE)
+       / CAST(SUM(n_docs) OVER (PARTITION BY true_lang) AS DOUBLE)
+         AS frac_of_true
+FROM cells
 """
 
 
@@ -1738,6 +1790,7 @@ QUERIES = {
     "text_bpe_encode": q_text_bpe_encode,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
+    "text_langid_confusion": q_text_langid_confusion,
     "text_fingerprint": q_text_fingerprint,
     "text_winnow_fingerprint": q_text_winnow_fingerprint,
     "text_regex_tokens": q_text_regex_tokens,
@@ -1765,6 +1818,7 @@ ORACLE_SQL = {
     "text_bpe_pair_counts": SQL_TEXT_BPE_PAIRS,
     "text_quality": SQL_TEXT_QUALITY,
     "text_lang_id": SQL_TEXT_LANG_ID,
+    "text_langid_confusion": SQL_TEXT_LANGID_CONFUSION,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "text_winnow_fingerprint": SQL_TEXT_WINNOW,
     "text_regex_tokens": SQL_TEXT_REGEX_TOKENS,

@@ -203,3 +203,15 @@ def test_ivf_recall_floor_on_fixture(spark):
     # (the go/no-go before trusting IVF); assert a loose stability floor
     assert row["avg_recall"] >= 0.2
     assert 0 <= row["min_matched"]
+
+
+def test_norm_outliers_flag_consistency(spark):
+    from pu4spark_spark.operators.similarity import q_embedding_norm_outliers
+
+    rows = q_embedding_norm_outliers(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r["is_outlier"] == (abs(r["z_norm"]) >= 2.0)
+    # per-label z-scores are standardized: roughly centered, few outliers
+    n_out = sum(r["is_outlier"] for r in rows)
+    assert 0 < n_out < len(rows) * 0.2
