@@ -171,6 +171,19 @@ HEADLINE = [
     "audit_join_key_skew",
     "ann_matryoshka_recall",
     "curation_soft_dedup_weights",
+    # this round's additions (driver round 5 in progress)
+    "dedup_minhash_capped",
+    "curation_importance_sample",
+    "dedup_semantic_keep",
+    "streaming_ingest_dedup",
+    "text_bpe_encode",
+    "curation_fuzzy_decontaminate",
+    "eval_quality_threshold_sweep",
+    "events_rollup_maintenance",
+    "lineitem_orders_bucketed_join",
+    "ann_ivf_recall",
+    "text_langid_confusion",
+    "embedding_norm_outliers",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's
@@ -308,6 +321,15 @@ def main() -> None:
     # same discipline for the supplier-partitioned DPP layout: the
     # write-once build is setup, the measured query is the probe
     _dpp_fact_dir(spark, SF_DIR)
+    # ... and for the co-located fact buckets and the hourly rollup
+    # partials (maintenance measures the MERGE, not the history build)
+    from pu4spark_spark.operators.relational import (
+        ensure_bucketed_fact_tables,
+        ensure_hourly_rollup_artifact,
+    )
+
+    ensure_bucketed_fact_tables(spark, SF_DIR)
+    ensure_hourly_rollup_artifact(spark, SF_DIR)
     per_query: dict[str, float] = {}
     r1_conv: dict[str, float] = {}
     for name in HEADLINE:

@@ -476,3 +476,45 @@ def test_quality_threshold_sweep_monotone(spark):
     n_total = q_text_quality(spark, SF).count()
     assert docs[0] == n_total
     assert all(0.0 <= r["en_frac"] <= 1.0 for r in rows)
+
+
+def test_importance_sample_matches_cpython_reference(spark):
+    """The bucketed prefix-sum decomposition must equal a naive CPython
+    systematic sampler on synthetic corpora (three-engine discipline),
+    including sparse/gappy doc_id spaces and zero-weight docs."""
+    import pu4spark_spark.operators.curation as cu
+
+    cases = [
+        # (doc_id, text) — weights are token counts
+        [(i, " ".join(["w"] * (1 + (i * 7) % 13))) for i in range(0, 300, 3)],
+        [(1, "a"), (2, ""), (500, " ".join(["b"] * 400)), (501, "c d e")],
+        [(i * 97, " ".join(["t"] * ((i % 5) + 1))) for i in range(120)],
+    ]
+    orig = cu.load_table
+    try:
+        for rows in cases:
+            df = spark.createDataFrame(rows, ["doc_id", "text"])
+            cu.load_table = lambda s, t, d, _df=df: _df
+            got = {
+                (r["doc_id"], r["n_tokens"], r["sample_slot"])
+                for r in cu.q_curation_importance_sample(spark, "x").collect()
+            }
+            # CPython reference: naive global cumulative walk
+            k = cu.SAMPLE_K
+            sized = sorted(
+                (doc_id, len(text.split(" ")) if text else 1)
+                for doc_id, text in rows
+            )
+            # NB split(" ") on "" yields [""] → weight 1, same as Spark's
+            # split/size semantics on empty string
+            w_total = sum(w for _, w in sized)
+            want, cum = set(), 0
+            for doc_id, w in sized:
+                before = cum * k // w_total
+                cum += w
+                after = cum * k // w_total
+                if after > before:
+                    want.add((doc_id, w, (cum - w) * k // w_total))
+            assert got == want, (got - want, want - got)
+    finally:
+        cu.load_table = orig

@@ -289,6 +289,55 @@ AUDITED = {
         "dynamicpruning# into the fact scan's PartitionFilters — only "
         "matching l_suppkey directories are listed or read."
     ),
+    "dedup_minhash_capped": (
+        "Hot-bucket skew control: the bucket-size window partitions on "
+        "the SAME (band_pos, band_hash) key the candidate self-join "
+        "hashes on, so count, filter, and join share one band-key "
+        "exchange; per-bucket pair work is bounded by cap² regardless "
+        "of corpus size."
+    ),
+    "curation_importance_sample": (
+        "Global prefix sum without a global sort: per-bucket running "
+        "sums partition on the range bucket; the cumulative-offset "
+        "window runs over the bucket table only (corpus/span rows); "
+        "the pick predicate is scan-stage integer math."
+    ),
+    "lineitem_orders_bucketed_join": (
+        "Both fact scans report Bucketed: true and SelectedBucketsCount "
+        "16/16; NO exchange below the SortMergeJoin — the bucket layout "
+        "is the join distribution.  Only the output-sized priority "
+        "rollup exchanges."
+    ),
+    "events_rollup_maintenance": (
+        "Materialized-view merge: the history side is the precomputed "
+        "partial-aggregate table scan (no re-aggregation of raw "
+        "history); the arriving slice aggregates map-side; one "
+        "union + merge agg on the (hour, event_type) key."
+    ),
+    "eval_quality_threshold_sweep": (
+        "Corpus reduces to ≤10 decile rows in one map-side-combined "
+        "aggregation; the single-partition cumulative window runs over "
+        "that fixed-size table only — by design, never over data."
+    ),
+    "text_langid_confusion": (
+        "One map-side-combined groupBy over the bounded lang×lang key "
+        "space; the recall-share window sees ≤ L² rows."
+    ),
+    "embedding_norm_outliers": (
+        "Exact decimal moments in one bounded-key aggregation; the "
+        "per-label stats join back as an AQE broadcast; z and the "
+        "outlier flag are scan-stage math."
+    ),
+    "curation_fuzzy_decontaminate": (
+        "Benchmark side (fixed-size by construction) broadcast for both "
+        "the band-candidate join and the verify join; train side pays "
+        "one band shuffle + candidate-only verification — O(candidates)."
+    ),
+    "dedup_semantic_keep": (
+        "Pair graph stays LSH-candidate-bounded; the domination reduce "
+        "is one map-side-combined groupBy(b_id); the verdict left join "
+        "builds on the dropped set with no forced broadcast."
+    ),
 }
 
 _TREE_RE = re.compile(r"^(.*?)\n\n\(1\)", re.DOTALL)
