@@ -184,6 +184,7 @@ HEADLINE = [
     "ann_ivf_recall",
     "text_langid_confusion",
     "embedding_norm_outliers",
+    "pu_bagging_lr",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's

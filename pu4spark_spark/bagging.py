@@ -1,0 +1,140 @@
+"""PU bagging learner (Mordelet & Vert, "A bagging SVM to learn from
+positive and unlabeled examples", Pattern Recognition Letters 2014) — an
+EXTENSION beyond the reference's two learners, dropping into the same
+``weight(df, label, features)`` API (PositiveUnlabeledLearner.scala:16-25)
+via the shared TwoStepPULearner machinery (two_step.py).
+
+Protocol (T rounds, deterministic):
+
+1. Round t draws a bootstrap-style subsample U_t of the unlabeled via a
+   per-round hash coin (``pmod(hash(features, t), 1000)`` — no RNG) and
+   trains the classifier on P(=1) vs U_t(=0).
+2. Every round scores ALL rows; each row accumulates (a) the sum over
+   all rounds and (b) the OUT-OF-BAG sum/count — rounds where the row
+   was NOT drawn as a pseudo-negative, the scores bagging actually
+   aggregates (in-bag rounds bias an unlabeled row's own score down).
+3. ``final_label`` = OOB mean when the row has ≥1 OOB round, else the
+   all-rounds mean (a row drawn every round — probability
+   ``sample_frac^T`` — still gets a defined score).
+
+Scale shape: T classifier fits + T scans; the bag coin and the
+accumulator algebra are scan-stage expressions (no shuffle beyond what
+the classifier itself does); loop state follows the family's
+persist/unpersist + periodic ``localCheckpoint`` hygiene
+(``roll_state``).  Determinism: hash coins + deterministic LR fits ⇒
+stable rows-only checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pu4spark_spark.config import INDEXED_FEATURES_NAME, LABEL_NAME
+from pu4spark_spark.two_step import (
+    VEC_FEATURES_NAME,
+    TwoStepPULearner,
+    ensure_vector,
+)
+
+BAG_COIN_MOD = 1000
+
+
+class PUBaggingLearner(TwoStepPULearner):
+    """Bagged PU scores from T deterministic unlabeled subsamples.
+    ``rel_neg_threshold`` is unused — bagging never mines reliable
+    negatives; aggregation over random pseudo-negative draws replaces
+    the mining step entirely."""
+
+    def __init__(self, classifier, n_rounds: int = 5, sample_frac: float = 0.5):
+        super().__init__(rel_neg_threshold=0.0, classifier=classifier)
+        if n_rounds < 1:
+            raise ValueError("n_rounds must be >= 1")
+        if not 0.0 < sample_frac <= 1.0:
+            raise ValueError("sample_frac must be in (0, 1]")
+        self.n_rounds = int(n_rounds)
+        self.sample_frac = float(sample_frac)
+
+    def bag_coin(self, features_col: str, t: int) -> F.Column:
+        """Deterministic per-round in-(0,1) coin from the feature hash."""
+        return (
+            F.pmod(F.hash(F.col(features_col), F.lit(t)), F.lit(BAG_COIN_MOD))
+            / F.lit(float(BAG_COIN_MOD))
+        )
+
+    def weight(
+        self,
+        df: DataFrame,
+        label_col: str = "label",
+        features_col: str = "features",
+        final_label: str = "finalLabel",
+    ) -> DataFrame:
+        from pyspark.ml import Pipeline
+        from pyspark.ml.feature import VectorIndexer
+
+        is_pos = F.col(label_col) == 1
+        df, vec_col = ensure_vector(df, features_col)
+        # feature prep ONCE (zero_step's VectorIndexer, without its
+        # fit): every round reuses indexedFeatures, same as the loop
+        # learners' single-indexing discipline
+        feature_indexer = VectorIndexer(
+            inputCol=vec_col,
+            outputCol=INDEXED_FEATURES_NAME,
+            maxCategories=4,
+        )
+        state = (
+            Pipeline(stages=[feature_indexer]).fit(df).transform(df)
+            .withColumn("__all_s", F.lit(0.0))
+            .withColumn("__oob_s", F.lit(0.0))
+            .withColumn("__oob_n", F.lit(0))
+        )
+        prev: DataFrame | None = None
+        for t in range(self.n_rounds):
+            in_bag = ~is_pos & (
+                self.bag_coin(features_col, t) < F.lit(self.sample_frac)
+            )
+            cur = (
+                F.when(is_pos, 1).when(in_bag, 0).otherwise(-1)
+            )
+            model = self.fit_on_current(state.withColumn("__cur", cur), "__cur")
+            scored = self.score_all(
+                model, state.withColumn("__in_bag", in_bag), "__score"
+            )
+            state = (
+                scored.withColumn(
+                    "__all_s", F.col("__all_s") + F.col("__score")
+                )
+                .withColumn(
+                    "__oob_s",
+                    F.when(
+                        F.col("__in_bag"), F.col("__oob_s")
+                    ).otherwise(F.col("__oob_s") + F.col("__score")),
+                )
+                .withColumn(
+                    "__oob_n",
+                    F.when(F.col("__in_bag"), F.col("__oob_n")).otherwise(
+                        F.col("__oob_n") + F.lit(1)
+                    ),
+                )
+                .drop("__cur", "__in_bag", "__score")
+            )
+            state = self.roll_state(state, prev, t)
+            prev = state
+        out = state.withColumn(
+            final_label,
+            F.when(
+                F.col("__oob_n") > 0,
+                F.col("__oob_s") / F.col("__oob_n"),
+            ).otherwise(F.col("__all_s") / F.lit(float(self.n_rounds))),
+        )
+        # final state stays persisted for the caller (family convention:
+        # traditional.py leaves the last iteration's cache in place)
+        return self.cleanup(
+            out,
+            "__all_s",
+            "__oob_s",
+            "__oob_n",
+            INDEXED_FEATURES_NAME,
+            VEC_FEATURES_NAME,
+            LABEL_NAME,
+        )

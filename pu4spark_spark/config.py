@@ -109,6 +109,48 @@ class ElkanNotoPULearnerConfig:
         return ElkanNotoPULearner(self.classifierConfig.build())
 
 
+@dataclass
+class SpyEMPULearnerConfig:
+    """S-EM spy-technique PU learner (Liu et al. 2002) — an extension
+    beyond the reference's registry; see spy.py."""
+
+    spyFrac: float = 0.15
+    spyQuantile: float = 0.05
+    classifierConfig: LogisticRegressionConfig | RandomForestConfig = field(
+        default_factory=LogisticRegressionConfig
+    )
+
+    def build(self):
+        from pu4spark_spark.spy import SpyEMPULearner
+
+        return SpyEMPULearner(
+            self.classifierConfig.build(),
+            spy_frac=self.spyFrac,
+            spy_quantile=self.spyQuantile,
+        )
+
+
+@dataclass
+class PUBaggingLearnerConfig:
+    """Bagged PU learner (Mordelet & Vert 2014) — an extension beyond
+    the reference's registry; see bagging.py."""
+
+    nRounds: int = 5
+    sampleFrac: float = 0.5
+    classifierConfig: LogisticRegressionConfig | RandomForestConfig = field(
+        default_factory=LogisticRegressionConfig
+    )
+
+    def build(self):
+        from pu4spark_spark.bagging import PUBaggingLearner
+
+        return PUBaggingLearner(
+            self.classifierConfig.build(),
+            n_rounds=self.nRounds,
+            sample_frac=self.sampleFrac,
+        )
+
+
 #: polymorphic (de)serialization registry — mirrors the json4s
 #: ``subclasses`` lists (PositiveUnlabeledLearner.scala:36-40,
 #: ProbabilisticClassifierConfig.scala:34)
@@ -120,6 +162,8 @@ _REGISTRY: dict[str, type] = {
         TraditionalPULearnerConfig,
         GradualReductionPULearnerConfig,
         ElkanNotoPULearnerConfig,
+        SpyEMPULearnerConfig,
+        PUBaggingLearnerConfig,
     )
 }
 

@@ -343,6 +343,26 @@ def q_pu_elkan_noto_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "finalLabel")
 
 
+def q_pu_bagging_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bagged PU learning (Mordelet & Vert 2014; extension beyond the
+    reference's registry, same weight() API): 5 deterministic unlabeled
+    subsamples, each trained P-vs-U_t, out-of-bag score aggregation.
+    Rows-only check (5 LR fits); property tests pin the OOB algebra
+    and determinism (tests/test_pu.py)."""
+    from pu4spark_spark.config import (
+        LogisticRegressionConfig,
+        PUBaggingLearnerConfig,
+    )
+
+    learner = PUBaggingLearnerConfig(
+        nRounds=5,
+        sampleFrac=0.5,
+        classifierConfig=LogisticRegressionConfig(maxIter=10),
+    ).build()
+    out = learner.weight(_pu_input(spark, sf_dir), "pu_label", "embedding")
+    return out.select("vec_id", "finalLabel")
+
+
 SQL_PU_FEATURE_ASSEMBLY = """
 SELECT l_orderkey, l_linenumber,
        CAST(l_quantity AS DOUBLE) AS f_quantity,
@@ -402,6 +422,7 @@ QUERIES = {
     "pu_doc_quality_lr": q_pu_doc_quality_lr,
     "pu_spy_em_lr": q_pu_spy_em_lr,
     "pu_elkan_noto_lr": q_pu_elkan_noto_lr,
+    "pu_bagging_lr": q_pu_bagging_lr,
     "pu_feature_assembly": q_pu_feature_assembly,
     # rows-only: ML-scored input; AUC algebra NumPy-pinned in tests
     "pu_auc_zero_step": q_pu_auc_zero_step,

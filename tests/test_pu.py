@@ -353,3 +353,57 @@ def test_pu_auc_zero_step_separable(spark):
     # zero-step) — well above chance; the gate guards ranking skill,
     # not a specific operating point
     assert row["auc"] > 0.7, row["auc"]
+
+
+def test_pu_bagging_protocol_properties(spark):
+    """PU bagging: output contract, determinism, and signal on the
+    separable fixture (positives outscore unlabeled on average)."""
+    from pyspark.sql import functions as F
+
+    from pu4spark_spark.config import LogisticRegressionConfig
+    from pu4spark_spark.bagging import PUBaggingLearner
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pu = emb.withColumn(
+        "pu_label", F.when(F.col("label") == 9, 1).otherwise(0)
+    )
+    learner = PUBaggingLearner(
+        LogisticRegressionConfig(maxIter=10).build(),
+        n_rounds=3,
+        sample_frac=0.5,
+    )
+    out = learner.weight(pu, "pu_label", "embedding")
+    rows = out.collect()
+    assert len(rows) == pu.count()
+    assert set(out.columns) == set(pu.columns) | {"finalLabel"}
+    assert all(0.0 <= r["finalLabel"] <= 1.0 for r in rows)
+    by_id = {r["vec_id"]: r for r in rows}
+    pos = [r["finalLabel"] for r in rows if r["label"] == 9]
+    rest = [r["finalLabel"] for r in rows if r["label"] != 9]
+    assert sum(pos) / len(pos) > sum(rest) / len(rest)
+    # deterministic hash coins + deterministic LR ⇒ identical reruns
+    again = {r["vec_id"]: r["finalLabel"] for r in learner.weight(
+        pu, "pu_label", "embedding"
+    ).collect()}
+    assert all(again[v] == by_id[v]["finalLabel"] for v in again)
+
+
+def test_pu_bagging_and_spy_config_roundtrip():
+    from pu4spark_spark.config import (
+        LogisticRegressionConfig,
+        PUBaggingLearnerConfig,
+        SpyEMPULearnerConfig,
+        from_json,
+        to_json,
+    )
+
+    for cfg in (
+        PUBaggingLearnerConfig(
+            nRounds=7,
+            sampleFrac=0.3,
+            classifierConfig=LogisticRegressionConfig(maxIter=25),
+        ),
+        SpyEMPULearnerConfig(spyFrac=0.2, spyQuantile=0.1),
+    ):
+        assert from_json(to_json(cfg)) == cfg
+        cfg.build()  # constructible from the registry form
