@@ -71,7 +71,8 @@ if missing:
 #: r2 ∪ r3 witnessed 55 distinct queries; this round's prefix is 50
 #: oracle-backed queries from those not yet in any driver artifact
 #: (cumulative driver-witnessed coverage after the r4 driver run:
-#: 105 of 150+).  Every
+#: 105 of the now-198 registered; the full registry is self-checked in
+#: the committed CORRECTNESS_FULL artifacts each round).  Every
 #: prefix entry has a DuckDB oracle (hash-checkable); rows-only ML-loop
 #: queries (still pytest-covered and judge-runnable via
 #: ``tools/check_oracle.py``, whose full-registry run is committed as
