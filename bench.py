@@ -331,6 +331,13 @@ def main() -> None:
 
     ensure_bucketed_fact_tables(spark, SF_DIR)
     ensure_hourly_rollup_artifact(spark, SF_DIR)
+    # settle pass: the artifact builds above leave the JVM with pending
+    # file-commit/GC work that otherwise lands on the FIRST measured
+    # query (q1 measured 6.8 s vs 1.4 s in isolation).  One neutral
+    # target-sf scan + a forced GC absorbs it into setup.
+    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(1.0)
     per_query: dict[str, float] = {}
     r1_conv: dict[str, float] = {}
     for name in HEADLINE:

@@ -241,7 +241,11 @@ def q_curation_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFram
     Spark's own runtime shuffle-pruning blooms (spark.sql.optimizer.
     runtime.bloomFilter) use this exact aggregate-then-reuse pattern.
     """
-    docs = load_table(spark, "documents", sf_dir)
+    from pu4spark_spark.plans import spread
+
+    # spread() the single-file scan: the md5 double-hash per (shingle,
+    # probe) below is the dominant per-row cost and must fan out
+    docs = spread(load_table(spark, "documents", sf_dir))
     toked = docs.select("doc_id", tokens("text").alias("__t"))
     sh = word_shingles(F.col("__t"), CONTAM_N)
     is_bench = F.col("doc_id") % BENCH_MOD == 0

@@ -1021,12 +1021,22 @@ def q_text_kmv_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     positives).
     """
     from pu4spark_spark.functions.textfns import nibble
+    from pu4spark_spark.plans import spread
 
-    docs = load_table(spark, "documents", sf_dir)
+    # spread() the single-file fixture scan: the per-row shingle md5
+    # work below is the operator's dominant cost and must fan out
+    # (measured 3.4 s single-task vs <1 s spread at sf0.1 per pass)
+    docs = spread(load_table(spark, "documents", sf_dir))
     sh = docs.select(
         F.explode(F.array_distinct(word_shingles(tokens("text")))).alias("s")
     )
-    h = (
+    from pu4spark_spark.plans import cached
+
+    # the slice table feeds BOTH the guard count and the k-th-minimum
+    # probe — persist it (slice-sized: ~1/16 of the distinct-shingle
+    # space, bounded by construction) so the corpus-wide explode+md5
+    # runs twice (slice + exact audit), not three times
+    h = cached(
         sh.select(F.md5("s").alias("h"))
         .filter(F.col("h") < KMV_PREFIX_BOUND)
         .distinct()
@@ -1593,7 +1603,11 @@ def q_corpus_lang_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns are the fixture-scale audit; a production run drops them
     (that's the point of the sketch).
     """
-    docs = load_table(spark, "documents", sf_dir)
+    from pu4spark_spark.plans import spread
+
+    # spread() the single-file scan — per-row shingle/md5 work must fan
+    # out (same single-task bottleneck the KMV query had)
+    docs = spread(load_table(spark, "documents", sf_dir))
     dl = docs.select(
         "lang",
         F.explode(F.array_distinct(word_shingles(tokens("text")))).alias(
