@@ -185,6 +185,8 @@ HEADLINE = [
     "text_langid_confusion",
     "embedding_norm_outliers",
     "pu_bagging_lr",
+    "audit_join_explosion",
+    "text_vocab_growth",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's

@@ -2239,6 +2239,53 @@ FROM (SELECT {k}, COUNT(*) AS n FROM lineitem GROUP BY {k})"""
 )
 
 
+def q_audit_join_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planning-time join-cardinality audit: the EXACT output size of
+    the lineitem×lineitem self-join on ``l_partkey`` computed WITHOUT
+    running the join — ``|A⋈B| = Σ_k n_a(k)·n_b(k)`` over per-key
+    counts.  The number you check before launching a 100 TB join that
+    might explode: per-side counts are one map-side-combined groupBy
+    each (key-cardinality-sized output), the product-sum is a join of
+    the two tiny count tables — total cost two scans + one
+    counts-sized join, versus materializing a potentially quadratic
+    result.  Also reports the hottest key's contribution (the AQE
+    skew-split / salting decision input) and the amplification factor
+    vs the fact row count.  All-integer arithmetic; one IEEE division."""
+    li = load_table(spark, "lineitem", sf_dir)
+    a = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    b = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    prod = a.join(b, "k").select(
+        "k", (F.col("na") * F.col("nb")).alias("p"), "na"
+    )
+    return prod.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("na").cast("bigint").alias("fact_rows"),
+        F.sum("p").cast("bigint").alias("join_rows"),
+        F.max("p").cast("bigint").alias("hottest_key_rows"),
+        (F.sum("p").cast("double") / F.sum("na").cast("double")).alias(
+            "amplification"
+        ),
+    )
+
+
+SQL_AUDIT_JOIN_EXPLOSION = """
+WITH c AS (
+  SELECT l_partkey AS k, COUNT(*) AS n FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(a.n) AS BIGINT) AS fact_rows,
+       CAST(SUM(a.n * b.n) AS BIGINT) AS join_rows,
+       CAST(MAX(a.n * b.n) AS BIGINT) AS hottest_key_rows,
+       CAST(SUM(a.n * b.n) AS DOUBLE) / CAST(SUM(a.n) AS DOUBLE)
+         AS amplification
+FROM c a JOIN c b USING (k)
+"""
+
+
 # -- rank-family window breadth ------------------------------------------
 
 def q_customer_spend_distribution(
@@ -2873,6 +2920,7 @@ QUERIES = {
     "customer_spend_distribution": q_customer_spend_distribution,
     "part_copurchase_pairs": q_part_copurchase_pairs,
     "audit_join_key_skew": q_audit_join_key_skew,
+    "audit_join_explosion": q_audit_join_explosion,
     "orders_upsert_compact": q_orders_upsert_compact,
     "orders_zorder_layout": q_orders_zorder_layout,
     "sql_parts_by_brand": q_sql_parts_by_brand,
@@ -2932,6 +2980,7 @@ ORACLE_SQL = {
     "customer_spend_distribution": SQL_CUSTOMER_SPEND_DISTRIBUTION,
     "part_copurchase_pairs": SQL_PART_COPURCHASE_PAIRS,
     "audit_join_key_skew": SQL_AUDIT_JOIN_KEY_SKEW,
+    "audit_join_explosion": SQL_AUDIT_JOIN_EXPLOSION,
     "orders_upsert_compact": SQL_ORDERS_UPSERT_COMPACT,
     "orders_zorder_layout": SQL_ORDERS_ZORDER_LAYOUT,
     "sql_parts_by_brand": SQL_PARTS_BY_BRAND,

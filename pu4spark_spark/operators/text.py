@@ -230,6 +230,72 @@ FROM cells
 """
 
 
+VOCAB_GROWTH_STEPS = 8
+
+
+def q_text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve — cumulative distinct-token
+    count at each ⅛-corpus prefix (doc_id order as the arrival proxy)
+    — the curve that predicts tokenizer-vocabulary and dedup-artifact
+    sizes at 100 TB from a prefix.
+
+    ONE corpus pass, no per-prefix re-scan: each token's FIRST-SEEN
+    prefix step is ``min(step)`` over one map-side-combined
+    groupBy(token); the cumulative vocabulary at step s is then the
+    count of tokens with first_step ≤ s — an ≤STEPS-row rollup +
+    window, never a distinct per prefix (the naive formulation scans
+    the corpus STEPS times).  Token-volume x-axis comes from the same
+    scan.  All-integer; engine-exact."""
+    from pu4spark_spark.plans import spread
+
+    docs = spread(load_table(spark, "documents", sf_dir))
+    mx = docs.agg(F.max("doc_id").alias("__mx"))
+    stepped = docs.crossJoin(mx).select(
+        F.expr(f"(doc_id * {VOCAB_GROWTH_STEPS}) DIV (__mx + 1)").alias(
+            "step"
+        ),
+        F.explode(tokens("text")).alias("__tok"),
+    )
+    first_seen = stepped.groupBy("__tok").agg(F.min("step").alias("fs"))
+    vocab_by_step = first_seen.groupBy(F.col("fs").alias("step")).agg(
+        F.count(F.lit(1)).alias("new_vocab")
+    )
+    toks_by_step = stepped.groupBy("step").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    w = Window.orderBy("step").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    joined = toks_by_step.join(vocab_by_step, "step", "left").select(
+        "step",
+        "n_tokens",
+        F.coalesce(F.col("new_vocab"), F.lit(0)).alias("new_vocab"),
+    )
+    return joined.select(
+        "step",
+        F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+        F.sum("new_vocab").over(w).cast("bigint").alias("cum_vocab"),
+    )
+
+
+SQL_TEXT_VOCAB_GROWTH = f"""
+WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+stepped AS (
+  SELECT (doc_id * {VOCAB_GROWTH_STEPS}) // (m + 1) AS step,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents, mx
+),
+fs AS (SELECT tok, MIN(step) AS fs FROM stepped GROUP BY tok),
+vb AS (SELECT fs AS step, COUNT(*) AS new_vocab FROM fs GROUP BY fs),
+tb AS (SELECT step, COUNT(*) AS n_tokens FROM stepped GROUP BY step)
+SELECT tb.step,
+       CAST(SUM(tb.n_tokens) OVER w AS BIGINT) AS cum_tokens,
+       CAST(SUM(COALESCE(vb.new_vocab, 0)) OVER w AS BIGINT) AS cum_vocab
+FROM tb LEFT JOIN vb ON tb.step = vb.step
+WINDOW w AS (ORDER BY tb.step ROWS UNBOUNDED PRECEDING)
+"""
+
+
 # -- document fingerprint ------------------------------------------------
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1805,6 +1871,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "text_langid_confusion": q_text_langid_confusion,
+    "text_vocab_growth": q_text_vocab_growth,
     "text_fingerprint": q_text_fingerprint,
     "text_winnow_fingerprint": q_text_winnow_fingerprint,
     "text_regex_tokens": q_text_regex_tokens,
@@ -1833,6 +1900,7 @@ ORACLE_SQL = {
     "text_quality": SQL_TEXT_QUALITY,
     "text_lang_id": SQL_TEXT_LANG_ID,
     "text_langid_confusion": SQL_TEXT_LANGID_CONFUSION,
+    "text_vocab_growth": SQL_TEXT_VOCAB_GROWTH,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "text_winnow_fingerprint": SQL_TEXT_WINNOW,
     "text_regex_tokens": SQL_TEXT_REGEX_TOKENS,

@@ -518,3 +518,27 @@ def test_importance_sample_matches_cpython_reference(spark):
             assert got == want, (got - want, want - got)
     finally:
         cu.load_table = orig
+
+
+def test_vocab_growth_monotone_and_consistent(spark):
+    """Cumulative curves are nondecreasing; the final point equals the
+    whole-corpus totals (one-pass min-step trick == naive distinct)."""
+    import duckdb
+
+    from pu4spark_spark.operators.text import q_text_vocab_growth
+
+    rows = sorted(
+        q_text_vocab_growth(spark, SF).collect(), key=lambda r: r["step"]
+    )
+    toks = [r["cum_tokens"] for r in rows]
+    voc = [r["cum_vocab"] for r in rows]
+    assert toks == sorted(toks) and voc == sorted(voc)
+    con = duckdb.connect()
+    n_tok, n_voc = con.execute(
+        f"""SELECT COUNT(*), COUNT(DISTINCT tok) FROM (
+             SELECT unnest(string_split(text,' ')) AS tok
+             FROM '{SF}/documents.parquet')"""
+    ).fetchone()
+    assert toks[-1] == n_tok and voc[-1] == n_voc
+    # Heaps-law shape: vocabulary grows sublinearly vs tokens
+    assert voc[-1] < toks[-1]
