@@ -187,6 +187,9 @@ HEADLINE = [
     "pu_bagging_lr",
     "audit_join_explosion",
     "text_vocab_growth",
+    "dedup_graph_degree_histogram",
+    "curation_dup_rate_by_source",
+    "text_stopword_discovery",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's

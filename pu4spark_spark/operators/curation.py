@@ -1218,6 +1218,49 @@ GROUP BY lang, shard_id
 """
 
 
+def q_curation_dup_rate_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dedup observability: per-source exact-duplicate rate (docs whose
+    content hash appears elsewhere in the corpus) — the table that says
+    WHICH feed is flooding the corpus with copies, before any dedup
+    runs.  Two map-side-combined aggregations: content-hash group
+    sizes, then per-source rollup; the hash-size join back is
+    hash-keyed (corpus-sized but 1:1, no amplification).  Counts exact;
+    one IEEE division per source."""
+    docs = load_table(spark, "documents", sf_dir)
+    h = docs.select("source", F.md5("text").alias("h"))
+    sizes = h.groupBy("h").agg(F.count(F.lit(1)).alias("n_copies"))
+    return (
+        h.join(sizes, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("n_copies") > 1).cast("int"))
+            .cast("bigint")
+            .alias("n_duplicated"),
+            (
+                F.sum((F.col("n_copies") > 1).cast("int")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("dup_rate"),
+        )
+    )
+
+
+SQL_DUP_RATE_BY_SOURCE = """
+WITH h AS (SELECT source, md5(text) AS h FROM documents),
+sizes AS (SELECT h, COUNT(*) AS n_copies FROM h GROUP BY h)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_duplicated,
+       CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+FROM h JOIN sizes USING (h)
+GROUP BY source
+"""
+
+
 # -- fuzzy (near-match) decontamination -----------------------------------
 
 #: a train doc whose verified shingle Jaccard vs ANY benchmark doc
@@ -1448,6 +1491,7 @@ QUERIES = {
     "curation_bloom_decontaminate": q_curation_bloom_decontaminate,
     "curation_importance_sample": q_curation_importance_sample,
     "curation_fuzzy_decontaminate": q_curation_fuzzy_decontaminate,
+    "curation_dup_rate_by_source": q_curation_dup_rate_by_source,
 }
 
 ORACLE_SQL = {
@@ -1469,4 +1513,5 @@ ORACLE_SQL = {
     "curation_bloom_decontaminate": SQL_BLOOM_DECONTAMINATE,
     "curation_importance_sample": SQL_IMPORTANCE_SAMPLE,
     "curation_fuzzy_decontaminate": SQL_FUZZY_DECONTAMINATE,
+    "curation_dup_rate_by_source": SQL_DUP_RATE_BY_SOURCE,
 }

@@ -230,6 +230,56 @@ FROM cells
 """
 
 
+#: a token present in at least this fraction of docs is a stopword
+#: candidate
+STOPWORD_DF_FRAC = 0.30
+
+
+def q_text_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-driven stopword discovery: tokens whose DOCUMENT
+    frequency exceeds ``STOPWORD_DF_FRAC`` of the corpus — the
+    df-side companion to the term-frequency heavy hitters, and the
+    list quality scoring / inverted-index pruning should be driven by
+    at scale (hand-picked stopword lists don't transfer across
+    domains).
+
+    Scale shape: per-doc DISTINCT tokens explode once (array_distinct
+    runs in the scan stage), ONE map-side-combined groupBy(token)
+    counts document frequency, and the corpus doc count joins in as a
+    1-row broadcast.  Integer counts; one IEEE division per token."""
+    from pu4spark_spark.plans import spread
+
+    docs = spread(load_table(spark, "documents", sf_dir))
+    ndocs = docs.agg(F.count(F.lit(1)).alias("__nd"))
+    df_tbl = (
+        docs.select(F.explode(F.array_distinct(tokens("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return (
+        df_tbl.crossJoin(ndocs)
+        .withColumn(
+            "df_frac", F.col("df").cast("double") / F.col("__nd").cast("double")
+        )
+        .filter(F.col("df_frac") >= STOPWORD_DF_FRAC)
+        .select("tok", F.col("df").cast("bigint").alias("df"), "df_frac")
+    )
+
+
+SQL_TEXT_STOPWORD_DISCOVERY = f"""
+WITH d AS (
+  SELECT unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+),
+df_tbl AS (SELECT tok, COUNT(*) AS df FROM d GROUP BY tok),
+nd AS (SELECT COUNT(*) AS n FROM documents)
+SELECT tok, CAST(df AS BIGINT) AS df,
+       CAST(df AS DOUBLE) / CAST(n AS DOUBLE) AS df_frac
+FROM df_tbl, nd
+WHERE CAST(df AS DOUBLE) / CAST(n AS DOUBLE) >= {STOPWORD_DF_FRAC}
+"""
+
+
 VOCAB_GROWTH_STEPS = 8
 
 
@@ -1872,6 +1922,7 @@ QUERIES = {
     "text_lang_id": q_text_lang_id,
     "text_langid_confusion": q_text_langid_confusion,
     "text_vocab_growth": q_text_vocab_growth,
+    "text_stopword_discovery": q_text_stopword_discovery,
     "text_fingerprint": q_text_fingerprint,
     "text_winnow_fingerprint": q_text_winnow_fingerprint,
     "text_regex_tokens": q_text_regex_tokens,
@@ -1901,6 +1952,7 @@ ORACLE_SQL = {
     "text_lang_id": SQL_TEXT_LANG_ID,
     "text_langid_confusion": SQL_TEXT_LANGID_CONFUSION,
     "text_vocab_growth": SQL_TEXT_VOCAB_GROWTH,
+    "text_stopword_discovery": SQL_TEXT_STOPWORD_DISCOVERY,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "text_winnow_fingerprint": SQL_TEXT_WINNOW,
     "text_regex_tokens": SQL_TEXT_REGEX_TOKENS,
