@@ -190,6 +190,7 @@ HEADLINE = [
     "dedup_graph_degree_histogram",
     "curation_dup_rate_by_source",
     "text_stopword_discovery",
+    "pipeline_incremental_release",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's

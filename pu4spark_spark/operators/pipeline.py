@@ -193,10 +193,201 @@ WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
 """
 
 
+def q_pipeline_incremental_release(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The DAILY-INGEST job end-to-end: the arriving batch
+    (``doc_id % INCR_BATCH_MOD == 0``) flows through quality gate →
+    exact dedup AGAINST THE CORPUS (anti-join on content hash) →
+    near-dup removal against the PRECOMPUTED bucketed band artifact →
+    token-budget shard packing, and the result is the per-shard
+    release report.  This is the steady-state arrival pattern composed
+    from the engine's own operators: every stage's work is
+    batch-sized; the corpus is only ever touched through its content
+    hashes (one distinct projection) and its write-once bucketed
+    artifact tables (no corpus-side exchange — the
+    ``dedup_band_artifact_probe`` layout argument).
+
+    One composed DuckDB oracle value-checks the whole chain, exactly
+    like ``pipeline_docs_clean``; the corpus-bands side of the oracle
+    re-derives what the artifact tables hold (the artifact IS that
+    derivation, persisted)."""
+    from pu4spark_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+        ensure_band_artifacts,
+        probe_band_candidates,
+    )
+    from pu4spark_spark.plans import cached, spread
+
+    bands_tbl, sh_tbl = ensure_band_artifacts(spark, sf_dir)
+    docs = spread(load_table(spark, "documents", sf_dir))
+    is_batch = F.col("doc_id") % INCR_BATCH_MOD == 0
+
+    tok = tokens("text")
+    batch_q = docs.filter(is_batch).select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(tok).alias("n_tokens"),
+        _quality_score(tok).alias("quality_score"),
+    ).filter(
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("quality_score") >= MIN_QUALITY)
+    )
+    # exact dedup vs corpus: content hashes of the corpus, distinct'd
+    # (hash-sized projection, the only raw-corpus touch)
+    corpus_h = (
+        docs.filter(~is_batch).select(F.md5("text").alias("__h")).distinct()
+    )
+    ex = batch_q.join(
+        corpus_h, F.md5(batch_q["text"]) == corpus_h["__h"], "left_anti"
+    )
+    # near-dup vs the bucketed artifact: candidates by band equality,
+    # candidate-only verify against the corpus shingle table
+    shingled = cached(
+        ex.select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "quality_score",
+            tokens("text").alias("__t"),
+        ).select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "quality_score",
+            F.array_distinct(word_shingles(F.col("__t"))).alias("sh"),
+        )
+    )
+    cand = probe_band_candidates(
+        minhash_bands(shingled), spark.table(bands_tbl)
+    )
+    sa = shingled.select(
+        F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b")
+    )
+    sc = spark.table(sh_tbl).select(
+        F.col("doc_id").alias("c_id"), F.col("sh").alias("sh_c")
+    )
+    dropped = (
+        cand.join(sa, "b_id")
+        .join(sc, "c_id")
+        .filter(
+            jaccard_sets(F.col("sh_b"), F.col("sh_c")) >= JACCARD_THRESHOLD
+        )
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+    )
+    keep = shingled.join(dropped, "doc_id", "left_anti")
+    # shard pack the survivors (per-lang running token sum, doc order)
+    from pu4spark_spark.operators.curation import SHARD_TOKEN_BUDGET
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = keep.withColumn(
+        "shard_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            / SHARD_TOKEN_BUDGET
+        ),
+    )
+    return packed.groupBy("lang", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+def _sql_incremental_release() -> str:
+    from pu4spark_spark.operators.curation import SHARD_TOKEN_BUDGET
+    from pu4spark_spark.operators.dedup import (
+        _UNNEST_BANDS,
+        INCR_BATCH_MOD,
+    )
+
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, text,
+         CAST(len(ws) AS INTEGER) AS n_tokens,
+         0.4 * least(CAST(len(ws) AS DOUBLE) / 50.0, 1.0)
+         + 0.3 * (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws))
+         + 0.3 * (1.0 - CAST(len(list_filter(ws, t -> t IN ({_STOP_IN}))) AS DOUBLE) / len(ws))
+           AS quality_score
+  FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS ws
+        FROM documents WHERE doc_id % {INCR_BATCH_MOD} = 0)
+),
+kept AS (
+  SELECT * FROM scored
+  WHERE n_tokens >= {MIN_TOKENS} AND quality_score >= {MIN_QUALITY}
+),
+corpus_h AS (
+  SELECT DISTINCT md5(text) AS h FROM documents
+  WHERE doc_id % {INCR_BATCH_MOD} <> 0
+),
+ex AS (
+  SELECT * FROM kept WHERE md5(text) NOT IN (SELECT h FROM corpus_h)
+),
+bsh AS (
+  SELECT doc_id, lang, n_tokens, quality_score,
+         list_distinct({_SH}) AS sh
+  FROM ex
+),
+csh AS (
+  SELECT doc_id, list_distinct({_SH}) AS sh FROM documents
+  WHERE doc_id % {INCR_BATCH_MOD} <> 0
+),
+b_sigs AS (SELECT doc_id, sh, {_sql_minhash_bands()} FROM bsh),
+c_sigs AS (SELECT doc_id, sh, {_sql_minhash_bands()} FROM csh),
+b_bands AS (
+  SELECT doc_id, u.band_pos, u.band_hash FROM b_sigs, {_UNNEST_BANDS}
+),
+c_bands AS (
+  SELECT doc_id, u.band_pos, u.band_hash FROM c_sigs, {_UNNEST_BANDS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS b_id, b.doc_id AS c_id
+  FROM b_bands a JOIN c_bands b ON a.band_hash = b.band_hash
+),
+dropped AS (
+  SELECT DISTINCT b_id AS doc_id
+  FROM cand
+  JOIN bsh ON bsh.doc_id = b_id
+  JOIN csh ON csh.doc_id = c_id
+  WHERE {sql_jaccard_sets('bsh.sh', 'csh.sh')} >= {JACCARD_THRESHOLD}
+),
+keep AS (
+  SELECT * FROM bsh WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+),
+packed AS (
+  SELECT lang, doc_id, n_tokens,
+         CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING)
+                     - n_tokens) / {SHARD_TOKEN_BUDGET}) AS BIGINT)
+           AS shard_id
+  FROM keep
+)
+SELECT lang, shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM packed
+GROUP BY lang, shard_id
+"""
+
+
+SQL_PIPELINE_INCREMENTAL_RELEASE = _sql_incremental_release()
+
+
 QUERIES = {
     "pipeline_docs_clean": q_pipeline_docs_clean,
+    "pipeline_incremental_release": q_pipeline_incremental_release,
 }
 
 ORACLE_SQL = {
     "pipeline_docs_clean": SQL_PIPELINE_DOCS_CLEAN,
+    "pipeline_incremental_release": SQL_PIPELINE_INCREMENTAL_RELEASE,
 }

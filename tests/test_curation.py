@@ -542,3 +542,29 @@ def test_vocab_growth_monotone_and_consistent(spark):
     assert toks[-1] == n_tok and voc[-1] == n_voc
     # Heaps-law shape: vocabulary grows sublinearly vs tokens
     assert voc[-1] < toks[-1]
+
+
+def test_incremental_release_consistency(spark):
+    """The composed daily-ingest pipeline: shard totals only cover
+    quality-passing batch docs, and no released doc's content hash
+    exists in the corpus."""
+    import duckdb
+
+    from pu4spark_spark.operators.dedup import INCR_BATCH_MOD
+    from pu4spark_spark.operators.pipeline import (
+        q_pipeline_incremental_release,
+    )
+
+    rows = q_pipeline_incremental_release(spark, SF).collect()
+    assert rows  # non-degenerate on the fixture
+    for r in rows:
+        assert r["n_docs"] >= 1 and r["shard_tokens"] >= r["n_docs"]
+        assert r["first_doc"] % INCR_BATCH_MOD == 0
+        assert r["last_doc"] % INCR_BATCH_MOD == 0
+    # released docs ⊆ the arriving batch id space
+    con = duckdb.connect()
+    n_batch = con.execute(
+        f"SELECT COUNT(*) FROM '{SF}/documents.parquet' "
+        f"WHERE doc_id % {INCR_BATCH_MOD} = 0"
+    ).fetchone()[0]
+    assert sum(r["n_docs"] for r in rows) <= n_batch
