@@ -191,6 +191,8 @@ HEADLINE = [
     "curation_dup_rate_by_source",
     "text_stopword_discovery",
     "pipeline_incremental_release",
+    "pu_class_prior",
+    "pu_f1_proxy",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's

@@ -363,6 +363,99 @@ def q_pu_bagging_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "finalLabel")
 
 
+def q_pu_class_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-prior estimation π = P(y=1) from positive-unlabeled data —
+    the Elkan–Noto e1 identity π = P(s=1)/c with c = E[g | s=1]
+    (KDD 2008 §3): the number that tells you HOW MANY positives hide
+    in the unlabeled mass, which every PU deployment needs before
+    trusting its output rates.
+
+    The fixture makes it a real estimation problem: only HALF the true
+    positives (class 9, even vec_id — a deterministic coin) are
+    labeled, so labeled_rate ≈ π/2 and the estimator must recover the
+    full π ≈ 0.1 through c ≈ 0.5.  One zero-step fit; every scalar is
+    a column aggregate — the output IS the 1-row report, nothing is
+    collected.  Rows-only (ML fit); the recovery property is pinned in
+    ``tests/test_pu.py``."""
+    from pu4spark_spark.config import (
+        LogisticRegressionConfig,
+        TraditionalPULearnerConfig,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    s = (F.col("label") == 9) & (F.col("vec_id") % 2 == 0)
+    staged = emb.withColumn("pu_label", s.cast("int"))
+    learner = TraditionalPULearnerConfig(
+        maxIters=0, classifierConfig=LogisticRegressionConfig(maxIter=20)
+    ).build()
+    g = learner.weight(staged, "pu_label", "embedding")
+    # weight() returns the clean user schema (the label roll drops the
+    # input label column) — re-derive s from its defining expression
+    s_out = ((F.col("label") == 9) & (F.col("vec_id") % 2 == 0)).cast("int")
+    agg = g.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(s_out).cast("bigint").alias("n_labeled"),
+        F.avg(F.when(s_out == 1, F.col("finalLabel"))).alias("c_hat"),
+    )
+    return agg.select(
+        "n_rows",
+        "n_labeled",
+        "c_hat",
+        (F.col("n_labeled").cast("double") / F.col("n_rows")).alias(
+            "labeled_rate"
+        ),
+        (
+            F.col("n_labeled").cast("double")
+            / F.col("n_rows")
+            / F.col("c_hat")
+        ).alias("prior_hat"),
+    )
+
+
+def q_pu_f1_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PU-setting F1 proxy (Lee & Liu, ICML 2003): r²/P(ŷ=1), where r
+    is recall over the LABELED positives and P(ŷ=1) the predicted-
+    positive rate — the model-selection criterion computable WITHOUT
+    negative labels (true F1 needs precision; this ranks models the
+    same way under SCAR).  Decisions threshold the Elkan-Noto
+    CALIBRATED P(y=1|x) at 0.5 (raw labeled-vs-unlabeled scores
+    cluster below 0.5 under a ~10% labeled rate — thresholding them
+    is the classic PU mistake this eval exists to catch); one fit +
+    ONE aggregate, the output is the 1-row report.  Rows-only;
+    algebra pinned in ``tests/test_pu.py``."""
+    from pu4spark_spark.config import (
+        ElkanNotoPULearnerConfig,
+        LogisticRegressionConfig,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    staged = emb.withColumn(
+        "pu_label", F.when(F.col("label") == 9, 1).otherwise(0)
+    )
+    learner = ElkanNotoPULearnerConfig(
+        classifierConfig=LogisticRegressionConfig(maxIter=20)
+    ).build()
+    g = learner.weight(staged, "pu_label", "embedding")
+    yhat = (F.col("finalLabel") >= 0.5).cast("int")
+    s_out = (F.col("label") == 9).cast("int")  # weight() drops pu_label
+    agg = g.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(s_out).cast("bigint").alias("n_pos_labeled"),
+        F.sum(yhat).cast("bigint").alias("n_pred_pos"),
+        F.sum(yhat * s_out).cast("bigint").alias("n_hit"),
+    )
+    r = F.col("n_hit").cast("double") / F.col("n_pos_labeled")
+    ppos = F.col("n_pred_pos").cast("double") / F.col("n_rows")
+    return agg.select(
+        "n_rows",
+        "n_pos_labeled",
+        "n_pred_pos",
+        r.alias("recall_labeled"),
+        ppos.alias("pred_pos_rate"),
+        (r * r / ppos).alias("f1_proxy"),
+    )
+
+
 SQL_PU_FEATURE_ASSEMBLY = """
 SELECT l_orderkey, l_linenumber,
        CAST(l_quantity AS DOUBLE) AS f_quantity,
@@ -423,6 +516,8 @@ QUERIES = {
     "pu_spy_em_lr": q_pu_spy_em_lr,
     "pu_elkan_noto_lr": q_pu_elkan_noto_lr,
     "pu_bagging_lr": q_pu_bagging_lr,
+    "pu_class_prior": q_pu_class_prior,
+    "pu_f1_proxy": q_pu_f1_proxy,
     "pu_feature_assembly": q_pu_feature_assembly,
     # rows-only: ML-scored input; AUC algebra NumPy-pinned in tests
     "pu_auc_zero_step": q_pu_auc_zero_step,

@@ -407,3 +407,30 @@ def test_pu_bagging_and_spy_config_roundtrip():
     ):
         assert from_json(to_json(cfg)) == cfg
         cfg.build()  # constructible from the registry form
+
+
+def test_class_prior_recovers_hidden_positives(spark):
+    """Half the true positives are labeled; the Elkan-Noto e1 identity
+    must recover the FULL prior (~0.1) from the labeled half via
+    c ≈ 0.5 — not just echo the labeled rate."""
+    from pu4spark_spark.operators.pu_queries import q_pu_class_prior
+
+    row = q_pu_class_prior(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["n_rows"] == 500
+    true_prior = 50 / 500  # class 9 is ~10% of the fixture
+    assert row["labeled_rate"] < true_prior * 0.75  # only half labeled
+    assert 0.5 * true_prior < row["prior_hat"] < 2.0 * true_prior
+    assert row["prior_hat"] > row["labeled_rate"]
+
+
+def test_f1_proxy_algebra(spark):
+    from pu4spark_spark.operators.pu_queries import q_pu_f1_proxy
+
+    row = q_pu_f1_proxy(spark, "/root/testdata/sf0.001").collect()[0]
+    r = row["n_hit"] / row["n_pos_labeled"] if "n_hit" in row else None
+    assert 0.0 <= row["recall_labeled"] <= 1.0
+    assert 0.0 < row["pred_pos_rate"] <= 1.0
+    expect = row["recall_labeled"] ** 2 / row["pred_pos_rate"]
+    assert abs(row["f1_proxy"] - expect) < 1e-12
+    # separable fixture: the zero-step classifier must be informative
+    assert row["recall_labeled"] > 0.5
