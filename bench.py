@@ -193,6 +193,7 @@ HEADLINE = [
     "pipeline_incremental_release",
     "pu_class_prior",
     "pu_f1_proxy",
+    "text_lang_divergence",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's

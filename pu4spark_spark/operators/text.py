@@ -280,6 +280,106 @@ WHERE CAST(df AS DOUBLE) / CAST(n AS DOUBLE) >= {STOPWORD_DF_FRAC}
 """
 
 
+def q_text_lang_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise TOTAL-VARIATION distance between language unigram
+    distributions — the domain-shift / mixture-design audit ("how
+    different is the de sub-corpus from en?"), computed with EXACT
+    integer arithmetic so the oracle hash-checks the distances
+    themselves (a KL/JS variant needs ln(), whose last-ulp behavior
+    differs across libms — TVD needs only |·|, +, ×, and ONE final
+    division).
+
+    Identity that avoids any full-outer join over the union
+    vocabulary: with per-lang token counts c and totals T,
+    ``TVD = [Σ_common |c₁T₂ − c₂T₁| + (T₁−S₁)T₂ + (T₂−S₂)T₁] /
+    (2T₁T₂)`` where S is each side's count mass on the SHARED tokens —
+    tokens unique to one language contribute their whole mass, folded
+    in closed form.  Shapes: one groupBy(lang, tok), an inner
+    token-keyed join between lang slices, a langs²-row rollup; totals
+    join as broadcasts (bounded key).  Per-term products are int64
+    (widen intermediates to DECIMAL for corpora past ~10⁹ tokens —
+    same algebra); the DECIMAL sum keeps the reduce exact."""
+    from pu4spark_spark.plans import spread
+
+    docs = spread(load_table(spark, "documents", sf_dir))
+    c = docs.select(
+        "lang", F.explode(tokens("text")).alias("tok")
+    ).groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    t = c.groupBy("lang").agg(F.sum("c").cast("bigint").alias("T"))
+    a = c.select(F.col("lang").alias("la"), "tok", F.col("c").alias("c1"))
+    b = c.select(F.col("lang").alias("lb"), "tok", F.col("c").alias("c2"))
+    ta = t.select(F.col("lang").alias("la"), F.col("T").alias("T1"))
+    tb = t.select(F.col("lang").alias("lb"), F.col("T").alias("T2"))
+    common = (
+        a.join(b, "tok")
+        .filter(F.col("la") < F.col("lb"))
+        .join(F.broadcast(ta), "la")
+        .join(F.broadcast(tb), "lb")
+        .groupBy("la", "lb")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("c1") * F.col("T2") - F.col("c2") * F.col("T1")
+                ).cast("decimal(38,0)")
+            ).alias("sum_abs"),
+            F.sum("c1").cast("bigint").alias("S1"),
+            F.sum("c2").cast("bigint").alias("S2"),
+        )
+    )
+    pairs = (
+        ta.crossJoin(tb)
+        .filter(F.col("la") < F.col("lb"))
+        .join(common, ["la", "lb"], "left")
+        .select(
+            "la",
+            "lb",
+            "T1",
+            "T2",
+            F.coalesce(F.col("sum_abs"), F.lit(0).cast("decimal(38,0)")).alias("sum_abs"),
+            F.coalesce(F.col("S1"), F.lit(0)).alias("S1"),
+            F.coalesce(F.col("S2"), F.lit(0)).alias("S2"),
+        )
+    )
+    num = (
+        F.col("sum_abs").cast("double")
+        + (F.col("T1") - F.col("S1")).cast("double") * F.col("T2").cast("double")
+        + (F.col("T2") - F.col("S2")).cast("double") * F.col("T1").cast("double")
+    )
+    return pairs.select(
+        "la",
+        "lb",
+        (num / (F.lit(2.0) * F.col("T1").cast("double") * F.col("T2").cast("double"))).alias("tvd"),
+    )
+
+
+SQL_TEXT_LANG_DIVERGENCE = """
+WITH c AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+cc AS (SELECT lang, tok, COUNT(*) AS c FROM c GROUP BY lang, tok),
+t AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS T FROM cc GROUP BY lang),
+common AS (
+  SELECT a.lang AS la, b.lang AS lb,
+         SUM(CAST(abs(a.c * tb.T - b.c * ta.T) AS DECIMAL(38,0))) AS sum_abs,
+         CAST(SUM(a.c) AS BIGINT) AS S1,
+         CAST(SUM(b.c) AS BIGINT) AS S2
+  FROM cc a
+  JOIN cc b ON a.tok = b.tok AND a.lang < b.lang
+  JOIN t ta ON ta.lang = a.lang
+  JOIN t tb ON tb.lang = b.lang
+  GROUP BY a.lang, b.lang
+)
+SELECT ta.lang AS la, tb.lang AS lb,
+       (CAST(COALESCE(sum_abs, 0) AS DOUBLE)
+        + CAST(ta.T - COALESCE(S1, 0) AS DOUBLE) * CAST(tb.T AS DOUBLE)
+        + CAST(tb.T - COALESCE(S2, 0) AS DOUBLE) * CAST(ta.T AS DOUBLE))
+       / (2.0 * CAST(ta.T AS DOUBLE) * CAST(tb.T AS DOUBLE)) AS tvd
+FROM t ta
+JOIN t tb ON ta.lang < tb.lang
+LEFT JOIN common ON common.la = ta.lang AND common.lb = tb.lang
+"""
+
+
 VOCAB_GROWTH_STEPS = 8
 
 
@@ -1923,6 +2023,7 @@ QUERIES = {
     "text_langid_confusion": q_text_langid_confusion,
     "text_vocab_growth": q_text_vocab_growth,
     "text_stopword_discovery": q_text_stopword_discovery,
+    "text_lang_divergence": q_text_lang_divergence,
     "text_fingerprint": q_text_fingerprint,
     "text_winnow_fingerprint": q_text_winnow_fingerprint,
     "text_regex_tokens": q_text_regex_tokens,
@@ -1953,6 +2054,7 @@ ORACLE_SQL = {
     "text_langid_confusion": SQL_TEXT_LANGID_CONFUSION,
     "text_vocab_growth": SQL_TEXT_VOCAB_GROWTH,
     "text_stopword_discovery": SQL_TEXT_STOPWORD_DISCOVERY,
+    "text_lang_divergence": SQL_TEXT_LANG_DIVERGENCE,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "text_winnow_fingerprint": SQL_TEXT_WINNOW,
     "text_regex_tokens": SQL_TEXT_REGEX_TOKENS,

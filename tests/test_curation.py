@@ -568,3 +568,35 @@ def test_incremental_release_consistency(spark):
         f"WHERE doc_id % {INCR_BATCH_MOD} = 0"
     ).fetchone()[0]
     assert sum(r["n_docs"] for r in rows) <= n_batch
+
+
+def test_lang_divergence_is_metric_like(spark):
+    """TVD ∈ [0,1]; identical distributions give 0 (checked via a
+    CPython reference on the fixture)."""
+    import duckdb
+
+    from pu4spark_spark.operators.text import q_text_lang_divergence
+
+    rows = q_text_lang_divergence(spark, SF).collect()
+    assert len(rows) >= 1
+    assert all(0.0 <= r["tvd"] <= 1.0 for r in rows)
+    # CPython reference: naive distribution TVD per pair
+    con = duckdb.connect()
+    counts = con.execute(
+        f"""SELECT lang, tok, COUNT(*) FROM (
+             SELECT lang, unnest(string_split(text,' ')) AS tok
+             FROM '{SF}/documents.parquet') GROUP BY lang, tok"""
+    ).fetchall()
+    from collections import defaultdict
+
+    dist = defaultdict(dict)
+    for lang, tok, n in counts:
+        dist[lang][tok] = n
+    for r in rows:
+        pa, pb = dist[r["la"]], dist[r["lb"]]
+        ta, tb = sum(pa.values()), sum(pb.values())
+        toks = set(pa) | set(pb)
+        want = sum(
+            abs(pa.get(k, 0) / ta - pb.get(k, 0) / tb) for k in toks
+        ) / 2
+        assert abs(r["tvd"] - want) < 1e-9
