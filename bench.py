@@ -194,6 +194,8 @@ HEADLINE = [
     "pu_class_prior",
     "pu_f1_proxy",
     "text_lang_divergence",
+    "streaming_lang_router",
+    "sql_docs_clean",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's

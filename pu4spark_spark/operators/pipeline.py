@@ -193,6 +193,105 @@ WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
 """
 
 
+def _sparksql_docs_clean() -> str:
+    """The ENTIRE cleaning pipeline in Spark's OWN SQL dialect (HOF
+    lambdas, 1-based element_at, LATERAL VIEW posexplode) — proof the
+    engine's SQL front-end carries the full composition, not just
+    simple scans.  Same algorithm constants as the DataFrame version;
+    the DuckDB oracle is the shared ``SQL_PIPELINE_DOCS_CLEAN``."""
+    stop_in = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+    def comp(seed: int, off: int) -> str:
+        return (
+            "array_min(transform(sh, s -> "
+            f"substring(md5(concat('{seed}:', s)), {off}, 8)))"
+        )
+
+    comp_cols = ", ".join(
+        f"{comp(k, off)} AS __m{k * 4 + j}"
+        for k in range(2)
+        for j, off in enumerate((1, 9, 17, 25))
+    )
+    band_exprs = ", ".join(
+        f"md5(concat_ws(':', '{b}', __m{2 * b}, __m{2 * b + 1})) AS band{b}"
+        for b in range(4)
+    )
+    jac = (
+        "(CAST(size(array_intersect(sa.sh, sb.sh)) AS DOUBLE)"
+        " / (size(sa.sh) + size(sb.sh)"
+        " - size(array_intersect(sa.sh, sb.sh))))"
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, text,
+         size(ws) AS n_tokens,
+         0.4 * least(CAST(size(ws) AS DOUBLE) / 50.0, 1.0)
+         + 0.3 * (CAST(size(array_distinct(ws)) AS DOUBLE) / size(ws))
+         + 0.3 * (1.0 - CAST(size(filter(ws, t -> t IN ({stop_in}))) AS DOUBLE) / size(ws))
+           AS quality_score
+  FROM (SELECT doc_id, lang, text, split(text, ' ') AS ws FROM documents)
+),
+kept AS (
+  SELECT * FROM scored
+  WHERE n_tokens >= {MIN_TOKENS} AND quality_score >= {MIN_QUALITY}
+),
+exact AS (
+  SELECT doc_id, lang, text, n_tokens, quality_score
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id ASC) AS rn
+        FROM kept)
+  WHERE rn = 1
+),
+base AS (
+  SELECT doc_id, lang, n_tokens, quality_score,
+         array_distinct(
+           CASE WHEN size(ws) >= 3
+                THEN transform(sequence(1, size(ws) - 2),
+                       i -> concat_ws(' ', element_at(ws, i),
+                                      element_at(ws, i + 1),
+                                      element_at(ws, i + 2)))
+                ELSE CAST(array() AS array<string>) END) AS sh
+  FROM (SELECT *, split(text, ' ') AS ws FROM exact)
+),
+sigs AS (SELECT doc_id, sh, {comp_cols} FROM base),
+banded AS (SELECT doc_id, {band_exprs} FROM sigs),
+bands AS (
+  SELECT doc_id, band_pos, band_hash
+  FROM banded
+  LATERAL VIEW posexplode(array(band0, band1, band2, band3))
+    t AS band_pos, band_hash
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band_pos = b.band_pos AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+dropped AS (
+  SELECT DISTINCT b_id AS doc_id
+  FROM cand
+  JOIN base sa ON sa.doc_id = a_id
+  JOIN base sb ON sb.doc_id = b_id
+  WHERE {jac} >= {JACCARD_THRESHOLD}
+)
+SELECT doc_id, lang, n_tokens, quality_score
+FROM base
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
+def q_sql_docs_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-front-end twin of :func:`q_pipeline_docs_clean`: the whole
+    quality → exact-dedup → near-dup chain submitted as ONE
+    ``spark.sql`` statement in Spark's dialect, value-checked against
+    the same DuckDB oracle — a reference user who writes SQL, not
+    DataFrames, gets the identical engine."""
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_sparksql_docs_clean())
+
+
 def q_pipeline_incremental_release(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -385,9 +484,11 @@ SQL_PIPELINE_INCREMENTAL_RELEASE = _sql_incremental_release()
 QUERIES = {
     "pipeline_docs_clean": q_pipeline_docs_clean,
     "pipeline_incremental_release": q_pipeline_incremental_release,
+    "sql_docs_clean": q_sql_docs_clean,
 }
 
 ORACLE_SQL = {
     "pipeline_docs_clean": SQL_PIPELINE_DOCS_CLEAN,
     "pipeline_incremental_release": SQL_PIPELINE_INCREMENTAL_RELEASE,
+    "sql_docs_clean": SQL_PIPELINE_DOCS_CLEAN,
 }

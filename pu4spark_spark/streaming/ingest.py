@@ -133,6 +133,59 @@ def q_streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
+def q_streaming_lang_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-routed streaming ingest: arriving documents stream into
+    a parquet sink PARTITIONED BY ``lang`` (``writeStream.partitionBy``)
+    — the landing layout that makes every later per-language job a
+    partition-pruned scan (the hash-split/temperature-mix consumers
+    never touch other languages' files).  Stateless (pure routing: no
+    watermark, no state store); exactly-once via checkpoint + sink
+    commit log.  The result re-reads the committed sink and reports
+    per-language doc and token counts — which must equal the batch
+    aggregate exactly, value-checking that routing loses or duplicates
+    nothing."""
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"pu4spark_lang_router_{hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    land = _docs_stream_dir(sf_dir)
+    schema = spark.read.parquet(land).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+        .select("doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens"))
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .partitionBy("lang")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    routed = spark.read.parquet(out_dir)
+    return routed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
+SQL_STREAMING_LANG_ROUTER = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+FROM documents
+GROUP BY lang
+"""
+
+
 #: identical contract to the batch artifact probe — the stream must
 #: reproduce it bit-for-bit
 def _probe_sql() -> str:
@@ -145,8 +198,10 @@ SQL_STREAMING_INGEST_DEDUP = _probe_sql()
 
 QUERIES = {
     "streaming_ingest_dedup": q_streaming_ingest_dedup,
+    "streaming_lang_router": q_streaming_lang_router,
 }
 
 ORACLE_SQL = {
     "streaming_ingest_dedup": SQL_STREAMING_INGEST_DEDUP,
+    "streaming_lang_router": SQL_STREAMING_LANG_ROUTER,
 }
