@@ -2239,6 +2239,93 @@ FROM (SELECT {k}, COUNT(*) AS n FROM lineitem GROUP BY {k})"""
 )
 
 
+def q_events_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-policy audit: how many events ARRIVE later than a
+    30-minute / 1-hour / 2-hour watermark would tolerate, i.e. how
+    much data each policy would silently drop — the number to check
+    BEFORE picking the streaming pipeline's watermark, computed in
+    batch over the same feed.
+
+    Arrival order is a deterministic shuffle of the feed
+    (``md5(event_id)`` — the fixture's event_ids are ts-ordered, so
+    id-order arrival would make every policy trivially lossless; a
+    production run substitutes the real ingest sequence number, same
+    plan).  An event is late under watermark W iff its ts precedes
+    the running max event-time of everything that arrived before it
+    by more than W.  The running prefix max uses the range-bucket
+    two-phase shape (per-arrival-bucket max → bucket-table cumulative
+    offsets → in-bucket window), never a global ORDER BY window;
+    ``greatest`` of the two parts handles bucket boundaries, with
+    first-ever arrivals never late.  One corpus pass; the output is
+    the 1-row policy report."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "ts",
+        F.md5(F.col("event_id").cast("string")).alias("__ak"),
+    ).withColumn("__b", F.substring("__ak", 1, 2))
+    boff = (
+        ev.groupBy("__b")
+        .agg(F.max("ts").alias("__bm"))
+        .withColumn(
+            "__prev_max",
+            F.max("__bm").over(
+                Window.orderBy("__b").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+        )
+        .drop("__bm")
+    )
+    w_in = (
+        Window.partitionBy("__b")
+        .orderBy("__ak")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = (
+        ev.withColumn("__in_max", F.max("ts").over(w_in))
+        .join(boff, "__b")
+        .withColumn("__rmb", F.greatest("__prev_max", "__in_max"))
+    )
+
+    def late(minutes: int):
+        return F.sum(
+            F.when(
+                F.col("ts")
+                < F.col("__rmb") - F.expr(f"INTERVAL {minutes} MINUTE"),
+                1,
+            ).otherwise(0)
+        ).cast("bigint")
+
+    return r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        late(30).alias("late_30m"),
+        late(60).alias("late_1h"),
+        late(120).alias("late_2h"),
+        (late(120).cast("double") / F.count(F.lit(1))).alias("frac_late_2h"),
+    )
+
+
+SQL_EVENTS_WATERMARK_LATENESS = """
+WITH r AS (
+  SELECT event_id, ts,
+         MAX(ts) OVER (ORDER BY md5(CAST(event_id AS VARCHAR))
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS rmb
+  FROM events
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN ts < rmb - INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+            AS BIGINT) AS late_30m,
+       CAST(SUM(CASE WHEN ts < rmb - INTERVAL 60 MINUTE THEN 1 ELSE 0 END)
+            AS BIGINT) AS late_1h,
+       CAST(SUM(CASE WHEN ts < rmb - INTERVAL 120 MINUTE THEN 1 ELSE 0 END)
+            AS BIGINT) AS late_2h,
+       CAST(SUM(CASE WHEN ts < rmb - INTERVAL 120 MINUTE THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS frac_late_2h
+FROM r
+"""
+
+
 def q_audit_join_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planning-time join-cardinality audit: the EXACT output size of
     the lineitem×lineitem self-join on ``l_partkey`` computed WITHOUT
@@ -2921,6 +3008,7 @@ QUERIES = {
     "part_copurchase_pairs": q_part_copurchase_pairs,
     "audit_join_key_skew": q_audit_join_key_skew,
     "audit_join_explosion": q_audit_join_explosion,
+    "events_watermark_lateness": q_events_watermark_lateness,
     "orders_upsert_compact": q_orders_upsert_compact,
     "orders_zorder_layout": q_orders_zorder_layout,
     "sql_parts_by_brand": q_sql_parts_by_brand,
@@ -2981,6 +3069,7 @@ ORACLE_SQL = {
     "part_copurchase_pairs": SQL_PART_COPURCHASE_PAIRS,
     "audit_join_key_skew": SQL_AUDIT_JOIN_KEY_SKEW,
     "audit_join_explosion": SQL_AUDIT_JOIN_EXPLOSION,
+    "events_watermark_lateness": SQL_EVENTS_WATERMARK_LATENESS,
     "orders_upsert_compact": SQL_ORDERS_UPSERT_COMPACT,
     "orders_zorder_layout": SQL_ORDERS_ZORDER_LAYOUT,
     "sql_parts_by_brand": SQL_PARTS_BY_BRAND,

@@ -235,14 +235,61 @@ WHERE l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
 """
 
 
+def q_fmt_text_roundtrip(spark: SparkSession, sf_dir: str):
+    """Raw-text source/sink (``spark.read/write.text``) — the line-
+    oriented landing format a scrape pipeline starts from.  Documents
+    serialize as TAB-joined lines (the word-soup text contains no
+    tabs), round-trip through the text format, and are re-parsed with
+    scan-stage split/cast — the aggregate must match the parquet
+    truth.  The text source is splittable at newlines, so at 100 TB
+    the read parallelizes exactly like any other line format."""
+    from pyspark.sql import functions as F
+
+    from pu4spark_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        F.concat_ws(
+            "\t", F.col("doc_id"), F.col("lang"), F.col("text")
+        ).alias("value")
+    )
+    path = _scratch(sf_dir, "text")
+    docs.write.mode("overwrite").text(path)
+    back = spark.read.text(path).select(
+        F.split_part(F.col("value"), F.lit("\t"), F.lit(1))
+        .cast("bigint")
+        .alias("doc_id"),
+        F.split_part(F.col("value"), F.lit("\t"), F.lit(2)).alias("lang"),
+        F.split_part(F.col("value"), F.lit("\t"), F.lit(3)).alias("text"),
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+SQL_FMT_TEXT_ROUNDTRIP = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM documents
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "fmt_csv_roundtrip": q_fmt_csv_roundtrip,
+    "fmt_text_roundtrip": q_fmt_text_roundtrip,
     "fmt_json_roundtrip": q_fmt_json_roundtrip,
     "fmt_orc_roundtrip": q_fmt_orc_roundtrip,
 }
 
 ORACLE_SQL = {
     "fmt_csv_roundtrip": SQL_FMT_CSV_ROUNDTRIP,
+    "fmt_text_roundtrip": SQL_FMT_TEXT_ROUNDTRIP,
     "fmt_json_roundtrip": SQL_FMT_JSON_ROUNDTRIP,
     "fmt_orc_roundtrip": SQL_FMT_ORC_ROUNDTRIP,
 }
