@@ -198,6 +198,8 @@ HEADLINE = [
     "sql_docs_clean",
     "fmt_text_roundtrip",
     "events_watermark_lateness",
+    "dedup_band_tuning",
+    "embedding_dim_variance",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's

@@ -372,6 +372,63 @@ FROM base b JOIN stats USING (label)
 """
 
 
+def q_embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance profile of the embedding table (64
+    rows) — the feature-health audit that catches dead dimensions
+    (variance ≈ 0: wasted storage, degenerate for PCA/LSH) and
+    mis-scaled ones before any index is built on them.
+
+    Shape: posexplode to (dim, value) → ONE map-side-combined groupBy
+    over the bounded dim key; moments are exact DECIMAL sums of the
+    quantized integers (the table's own exactness discipline), so
+    mean/variance are the fixed two-division IEEE chain and the oracle
+    hash-checks them.  The explode carries 64 rows per vector but each
+    reduces in-place — the exchange is 64 rows total per partition."""
+    from pu4spark_spark.plans import spread
+
+    emb = spread(load_table(spark, "embeddings", sf_dir))
+    d = emb.select(
+        F.posexplode(quantized("embedding")).alias("dim", "q")
+    )
+    stats = d.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("__s"),
+        F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")).alias("__sq"),
+    )
+    n = F.col("__n").cast("double")
+    sm = F.col("__s").cast("double")
+    sq = F.col("__sq").cast("double")
+    mean = sm / n
+    var = (n * sq - sm * sm) / (n * (n - F.lit(1.0)))
+    return stats.select(
+        "dim",
+        F.col("__n").cast("bigint").alias("n"),
+        mean.alias("mean_q"),
+        var.alias("var_q"),
+    )
+
+
+SQL_EMBEDDING_DIM_VARIANCE = f"""
+WITH b AS (SELECT {_Q_SQL} AS qv FROM embeddings),
+d AS (
+  SELECT CAST(u.i AS INTEGER) - 1 AS dim, qv[u.i] AS q
+  FROM b, UNNEST(range(1, len(qv) + 1)) AS u(i)
+),
+stats AS (
+  SELECT dim, COUNT(*) AS n,
+         SUM(CAST(q AS DECIMAL(38,0))) AS s,
+         SUM(CAST(q * q AS DECIMAL(38,0))) AS sq
+  FROM d GROUP BY dim
+)
+SELECT dim, CAST(n AS BIGINT) AS n,
+       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q,
+       (CAST(n AS DOUBLE) * CAST(sq AS DOUBLE)
+          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var_q
+FROM stats
+"""
+
+
 # -- int8 storage quantization -------------------------------------------
 
 INT8_MAX = 127
@@ -870,6 +927,7 @@ QUERIES = {
     "embedding_quantize_int8": q_embedding_quantize_int8,
     "embedding_label_centroids": q_embedding_label_centroids,
     "embedding_norm_outliers": q_embedding_norm_outliers,
+    "embedding_dim_variance": q_embedding_dim_variance,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "ann_ivf": q_ann_ivf,
     "ann_brp_lsh_ml": q_ann_brp_lsh_ml,
@@ -889,6 +947,7 @@ ORACLE_SQL = {
     "embedding_quantize_int8": SQL_EMBEDDING_QUANTIZE_INT8,
     "embedding_label_centroids": SQL_EMBEDDING_LABEL_CENTROIDS,
     "embedding_norm_outliers": SQL_EMBEDDING_NORM_OUTLIERS,
+    "embedding_dim_variance": SQL_EMBEDDING_DIM_VARIANCE,
     "ann_lsh_bucketed": SQL_ANN_LSH_BUCKETED,
     "ann_lsh_recall": SQL_ANN_LSH_RECALL,
     "ann_matryoshka_recall": SQL_ANN_MATRYOSHKA_RECALL,

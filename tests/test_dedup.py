@@ -412,3 +412,18 @@ def test_semantic_keep_verdicts_match_pair_graph(spark):
     # the fixture must actually exercise both verdicts
     acts = {v["action"] for v in verdicts}
     assert acts == {"keep", "drop"}
+
+
+def test_band_tuning_monotone_tradeoffs(spark):
+    """More rows per band (higher precision) can only shrink the
+    candidate volume; (r=1,b=8) upper-bounds everything."""
+    from pu4spark_spark.operators.dedup import q_dedup_band_tuning
+
+    rows = {
+        r["rows_per_band"]: r
+        for r in q_dedup_band_tuning(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert set(rows) == {1, 2, 4, 8}
+    cands = [rows[r]["candidate_pairs"] for r in (1, 2, 4, 8)]
+    assert cands == sorted(cands, reverse=True)
+    assert all(rows[r]["hottest_bucket"] >= 1 for r in rows)

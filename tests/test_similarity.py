@@ -215,3 +215,11 @@ def test_norm_outliers_flag_consistency(spark):
     # per-label z-scores are standardized: roughly centered, few outliers
     n_out = sum(r["is_outlier"] for r in rows)
     assert 0 < n_out < len(rows) * 0.2
+
+
+def test_dim_variance_profile(spark):
+    from pu4spark_spark.operators.similarity import q_embedding_dim_variance
+
+    rows = q_embedding_dim_variance(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 64 and {r["dim"] for r in rows} == set(range(64))
+    assert all(r["n"] == 500 and r["var_q"] > 0 for r in rows)
