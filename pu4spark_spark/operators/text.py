@@ -1237,16 +1237,22 @@ def q_text_kmv_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     positives).
     """
     from pu4spark_spark.functions.textfns import nibble
-    from pu4spark_spark.plans import spread
+    from pu4spark_spark.plans import cached, spread
 
-    # spread() the single-file fixture scan: the per-row shingle md5
-    # work below is the operator's dominant cost and must fan out
-    # (measured 3.4 s single-task vs <1 s spread at sf0.1 per pass)
+    # spread() the single-file fixture scan AND cache the shingle-ARRAY
+    # frame before any explode: Generate inlines an interpreted HOF
+    # child and re-evaluates it per OUTPUT row (per shingle), so an
+    # uncached explode(word_shingles(...)) is quadratic per doc
+    # (measured 9.2 s vs 0.4 s for one explode pass at sf0.1); both
+    # corpus passes below read the materialized arrays instead
     docs = spread(load_table(spark, "documents", sf_dir))
-    sh = docs.select(
-        F.explode(F.array_distinct(word_shingles(tokens("text")))).alias("s")
+    toked = docs.select("doc_id", tokens("text").alias("__t"))
+    arr = cached(
+        toked.select(
+            F.array_distinct(word_shingles(F.col("__t"))).alias("sh")
+        )
     )
-    from pu4spark_spark.plans import cached
+    sh = arr.select(F.explode("sh").alias("s"))
 
     # the slice table feeds BOTH the guard count and the k-th-minimum
     # probe — persist it (slice-sized: ~1/16 of the distinct-shingle
@@ -1822,7 +1828,10 @@ def q_corpus_lang_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pu4spark_spark.plans import spread
 
     # spread() the single-file scan — per-row shingle/md5 work must fan
-    # out (same single-task bottleneck the KMV query had)
+    # out.  NOT cached: this query's many small downstream stages rely
+    # on AQE partition coalescing, which a 64-partition cached frame
+    # defeats (measured 6.5 s cached vs 2.9 s spread-only; the
+    # quadratic-explode penalty here is paid once and parallelized)
     docs = spread(load_table(spark, "documents", sf_dir))
     dl = docs.select(
         "lang",
