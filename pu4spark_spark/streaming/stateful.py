@@ -107,3 +107,110 @@ GROUP BY user_id
 
 QUERIES = {"streaming_user_totals": q_streaming_user_totals}
 ORACLE_SQL = {"streaming_user_totals": SQL_STREAMING_USER_TOTALS}
+
+
+# -- transformWithStateInPandas (Spark 4 arbitrary-state API) ------------
+
+def q_streaming_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same exact-integer per-user totals through Spark 4's NEW
+    arbitrary-state API — ``transformWithStateInPandas`` with a
+    ``StatefulProcessor`` and typed ``ValueState`` — beside the
+    ``applyInPandasWithState`` twin above, so both stateful surfaces
+    are exercised and value-checked against the same batch oracle.
+
+    TWS requires the RocksDB state-store provider (set for the query,
+    restored after): at 100 TB keyed state that is the production
+    choice anyway — state lives off-heap/on-disk per key-partition and
+    task memory stays bounded.
+
+    Environment gate: TWS's worker protocol needs ``google.protobuf``
+    (pyspark's StateMessage protos); the query registers only when the
+    import succeeds, so containers without protobuf simply don't list
+    it (same import-try discipline as the multimodal decode stub)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n long, cents long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = (
+                self._state.get() if self._state.exists() else (0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(
+                    (pdf["value"] * 100).round().astype("int64").sum()
+                )
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_cents": [cents],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, sf_dir)
+        out = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=UserTotals(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+        name = f"user_totals_tws_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev)
+    from pyspark.sql import functions as F
+
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_cents", "n_events").alias("total_cents"),
+        )
+    )
+
+
+def _tws_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+if _tws_available():  # pragma: no cover — environment-dependent
+    QUERIES["streaming_user_totals_tws"] = q_streaming_user_totals_tws
+    ORACLE_SQL["streaming_user_totals_tws"] = SQL_STREAMING_USER_TOTALS

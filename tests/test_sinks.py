@@ -245,3 +245,40 @@ def test_streaming_ingest_dedup_equals_batch_probe(spark):
         for r in q_dedup_band_artifact_probe(spark, sf).collect()
     }
     assert got == want
+
+
+def test_tws_totals_when_protobuf_available(spark):
+    """transformWithStateInPandas twin of the applyInPandasWithState
+    totals — runs only where pyspark's TWS worker protocol deps
+    (google.protobuf) exist; must equal the batch aggregate exactly."""
+    import pytest
+
+    from pu4spark_spark.streaming.stateful import (
+        _tws_available,
+        q_streaming_user_totals_tws,
+    )
+
+    if not _tws_available():
+        pytest.skip("google.protobuf absent — TWS worker protocol unavailable")
+    from pyspark.sql import functions as F
+
+    from pu4spark_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["user_id"]: (r["n_events"], r["total_cents"])
+        for r in q_streaming_user_totals_tws(spark, sf).collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], r["total_cents"])
+        for r in load_table(spark, "events", sf)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        .collect()
+    }
+    assert got == want
