@@ -200,6 +200,7 @@ HEADLINE = [
     "events_watermark_lateness",
     "dedup_band_tuning",
     "embedding_dim_variance",
+    "fmt_pyds_jsonl_write_roundtrip",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's

@@ -29,7 +29,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from pu4spark_spark.sources.tables import load_table
@@ -55,6 +57,63 @@ class JsonlDocsDataSource(DataSource):
     def streamReader(self, schema) -> "JsonlDocsStreamReader":
         return JsonlDocsStreamReader(self.options)
 
+    def writer(self, schema, overwrite: bool) -> "JsonlDocsWriter":
+        return JsonlDocsWriter(self.options, schema, overwrite)
+
+
+class JsonlDocsWriter(DataSourceWriter):
+    """Executor-side JSONL shard writer: each input partition streams
+    its rows to one ``part-*.jsonl`` file (no driver materialization —
+    the commit message carries only (path, row-count)); the driver-side
+    ``commit`` writes a manifest naming every committed shard, the
+    poor-man's commit log (underscore-prefixed, so readers skip it by
+    the usual metadata-file convention).  This is the WRITE half of the custom-connector surface
+    (reader + stream reader above)."""
+
+    def __init__(self, options, schema, overwrite: bool) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_docs writer requires option 'path'")
+        self.fields = [f.name for f in schema.fields]
+
+    def write(self, iterator) -> WriterCommitMessage:
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        _os.makedirs(self.path, exist_ok=True)
+        fname = f"part-{pid:05d}-{_uuid.uuid4().hex[:8]}.jsonl"
+        full = _os.path.join(self.path, fname)
+        n = 0
+        with open(full, "w") as fh:
+            for row in iterator:
+                d = {k: row[k] for k in self.fields}
+                fh.write(_json.dumps(d) + "\n")
+                n += 1
+        return JsonlCommit(fname, n)
+
+    def commit(self, messages) -> None:
+        import json as _json
+        import os as _os
+
+        manifest = {
+            m.file: m.rows for m in messages if m is not None
+        }
+        with open(_os.path.join(self.path, "_MANIFEST"), "w") as fh:
+            _json.dump(manifest, fh)
+
+    def abort(self, messages) -> None:
+        pass
+
+
+class JsonlCommit(WriterCommitMessage):
+    def __init__(self, file: str, rows: int) -> None:
+        self.file = file
+        self.rows = rows
+
 
 class JsonlDocsReader(DataSourceReader):
     def __init__(self, options) -> None:
@@ -69,7 +128,7 @@ class JsonlDocsReader(DataSourceReader):
         files = sorted(
             f
             for f in os.listdir(self.path)
-            if f.endswith((".json", ".jsonl")) and not f.startswith(".")
+            if f.endswith((".json", ".jsonl")) and not f.startswith((".", "_"))
         )
         return [InputPartition(os.path.join(self.path, f)) for f in files]
 
@@ -95,7 +154,7 @@ def _list_shards(path: str) -> list[str]:
     return sorted(
         f
         for f in os.listdir(path)
-        if f.endswith((".json", ".jsonl")) and not f.startswith(".")
+        if f.endswith((".json", ".jsonl")) and not f.startswith((".", "_"))
     )
 
 
@@ -193,6 +252,40 @@ FROM documents
 GROUP BY lang
 """
 
+def q_fmt_pyds_jsonl_write_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """documents → the CUSTOM Python writer (executor-side JSONL shards
+    + driver manifest) → the custom reader → per-lang aggregate — the
+    write half of the connector surface, value-checked end to end
+    against the parquet truth (any row the writer drops, mangles, or
+    double-writes hash-mismatches)."""
+    import hashlib
+    import shutil
+    import uuid as _uuid
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"pu4spark_pyds_w_{tag}")
+    shutil.rmtree(out, ignore_errors=True)
+    spark.dataSource.register(JsonlDocsDataSource)
+    docs = load_table(spark, "documents", sf_dir)
+    (
+        docs.repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out)
+        .mode("append")
+        .save()
+    )
+    back = spark.read.format("jsonl_docs").option("path", out).load()
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
 def q_streaming_pyds_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same per-lang aggregate computed INCREMENTALLY through the
     custom source's stream reader (availableNow drain): offsets step
@@ -229,6 +322,7 @@ def q_streaming_pyds_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "fmt_pyds_jsonl_roundtrip": q_fmt_pyds_jsonl_roundtrip,
+    "fmt_pyds_jsonl_write_roundtrip": q_fmt_pyds_jsonl_write_roundtrip,
     "streaming_pyds_docs": q_streaming_pyds_docs,
 }
 SQL_STREAMING_PYDS_DOCS = """
@@ -243,6 +337,7 @@ GROUP BY lang
 
 ORACLE_SQL = {
     "fmt_pyds_jsonl_roundtrip": SQL_FMT_PYDS_JSONL_ROUNDTRIP,
+    "fmt_pyds_jsonl_write_roundtrip": SQL_FMT_PYDS_JSONL_ROUNDTRIP,
     # the incremental path must agree with the batch oracle
     "streaming_pyds_docs": SQL_STREAMING_PYDS_DOCS,
 }
