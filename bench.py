@@ -201,6 +201,8 @@ HEADLINE = [
     "dedup_band_tuning",
     "embedding_dim_variance",
     "fmt_pyds_jsonl_write_roundtrip",
+    "fmt_file_metadata_audit",
+    "fmt_json_corrupt_quarantine",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's

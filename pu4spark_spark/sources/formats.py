@@ -416,6 +416,105 @@ def _dpp_fact_dir(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+N_CORRUPT_LINES = 7
+
+
+def q_fmt_json_corrupt_quarantine(spark: SparkSession, sf_dir: str):
+    """PERMISSIVE ingestion with corrupt-record quarantine, end to end:
+    the events feed lands as JSONL with ``N_CORRUPT_LINES`` malformed
+    lines injected (truncated JSON, bare garbage — what real feeds
+    contain), the schema-explicit reader quarantines them into
+    ``_corrupt_record`` instead of failing the job, and the report
+    proves NOTHING ELSE was lost: good-row count and exact-decimal
+    value sum must match the parquet truth, corrupt count must equal
+    the injected constant.  At 1000 executors a FAILFAST ingest dies on
+    the first bad line of a 100 TB feed; this is the production mode.
+    """
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from pu4spark_spark.sources import load_table
+
+    events = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = _scratch(sf_dir, "jsonq")
+    write_json(events, path)
+    bad = _os.path.join(path, "zz_corrupt.jsonl")
+    with open(bad, "w") as fh:
+        for i in range(N_CORRUPT_LINES):
+            fh.write('{"event_id": %d, "user_id": ' % i + "@@garbage@@\n")
+    back = load_json(
+        spark,
+        path,
+        "event_id bigint, user_id bigint, event_type string, "
+        "value double, _corrupt_record string",
+    )
+    # caching is REQUIRED before referencing only-corrupt-column
+    # predicates (Spark's documented raw-scan restriction)
+    back = back.cache()
+    return back.agg(
+        F.sum(F.col("_corrupt_record").isNull().cast("int"))
+        .cast("bigint")
+        .alias("n_good"),
+        F.sum(F.col("_corrupt_record").isNotNull().cast("int"))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.sum(
+            F.when(
+                F.col("_corrupt_record").isNull(),
+                F.col("value").cast("decimal(18,2)"),
+            )
+        )
+        .cast("double")
+        .alias("good_value_sum"),
+    )
+
+
+SQL_FMT_JSON_CORRUPT = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_good,
+       CAST({N_CORRUPT_LINES} AS BIGINT) AS n_corrupt,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS good_value_sum
+FROM events
+"""
+
+
+def q_fmt_file_metadata_audit(spark: SparkSession, sf_dir: str):
+    """Small-file / layout audit over the partitioned fact layout via
+    Spark's hidden ``_metadata`` struct (file_path, file_size,
+    file_modification_time — metadata-only, no extra I/O per row): per
+    partition directory, the file count, total bytes, and how many
+    files fall under a compaction target — the table an OPTIMIZE /
+    compaction job consumes.  At 100 TB small-file proliferation is a
+    top-3 operational problem; this is the detector.  Rows-only: file
+    sizes depend on compression and are not reproducible in the
+    oracle engine (pytest pins the invariants instead)."""
+    from pyspark.sql import functions as F
+
+    #: files smaller than this are compaction candidates (tiny for the
+    #: fixture; production ≈ 100-512 MB)
+    target = 64 * 1024
+    fact = spark.read.parquet(_dpp_fact_dir(spark, sf_dir))
+    per_file = (
+        fact.select(
+            F.col("l_suppkey"),
+            F.col("_metadata.file_path").alias("fp"),
+            F.col("_metadata.file_size").alias("fsz"),
+        )
+        .groupBy("l_suppkey", "fp")
+        .agg(F.first("fsz").alias("fsz"), F.count(F.lit(1)).alias("rows"))
+    )
+    return per_file.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("fsz").cast("bigint").alias("bytes"),
+        F.sum("rows").cast("bigint").alias("n_rows"),
+        F.sum((F.col("fsz") < target).cast("int"))
+        .cast("bigint")
+        .alias("n_small_files"),
+    )
+
+
 def q_fmt_dpp_fact_scan(spark: SparkSession, sf_dir: str):
     """Dynamic partition pruning, witnessed end-to-end: the fact table
     is laid out partitioned by ``l_suppkey``; a selective dimension
@@ -471,4 +570,8 @@ GROUP BY s.s_name
 """
 
 QUERIES["fmt_dpp_fact_scan"] = q_fmt_dpp_fact_scan
+# rows-only: physical file sizes are compression-dependent
+QUERIES["fmt_file_metadata_audit"] = q_fmt_file_metadata_audit
+QUERIES["fmt_json_corrupt_quarantine"] = q_fmt_json_corrupt_quarantine
+ORACLE_SQL["fmt_json_corrupt_quarantine"] = SQL_FMT_JSON_CORRUPT
 ORACLE_SQL["fmt_dpp_fact_scan"] = SQL_FMT_DPP_FACT_SCAN

@@ -189,3 +189,28 @@ def test_pyds_stream_incremental_offsets_exactly_once(spark, tmp_path):
     drain()
     got2 = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert got2 == [1, 2, 3, 4, 5]  # b read once, a NOT re-read
+
+
+def test_file_metadata_audit_invariants(spark):
+    from pu4spark_spark.sources.formats import q_fmt_file_metadata_audit
+
+    rows = q_fmt_file_metadata_audit(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["n_files"] >= 1 and r["bytes"] > 0 and r["n_rows"] >= 1
+        assert 0 <= r["n_small_files"] <= r["n_files"]
+
+
+def test_json_corrupt_quarantine_loses_nothing(spark):
+    from pu4spark_spark.sources.formats import (
+        N_CORRUPT_LINES,
+        q_fmt_json_corrupt_quarantine,
+    )
+    from pu4spark_spark.sources import load_table
+
+    row = q_fmt_json_corrupt_quarantine(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    n_events = load_table(spark, "events", "/root/testdata/sf0.001").count()
+    assert row["n_good"] == n_events
+    assert row["n_corrupt"] == N_CORRUPT_LINES
