@@ -203,6 +203,8 @@ HEADLINE = [
     "fmt_pyds_jsonl_write_roundtrip",
     "fmt_file_metadata_audit",
     "fmt_json_corrupt_quarantine",
+    "curation_epoch_shuffle",
+    "events_dow_hour_matrix",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's

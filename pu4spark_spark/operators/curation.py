@@ -1376,6 +1376,62 @@ GROUP BY c.doc_id
 SQL_FUZZY_DECONTAMINATE = _sql_fuzzy_decontaminate()
 
 
+#: training shards per epoch (fixture-scale; production O(1000s))
+EPOCH_SHARDS = 8
+EPOCH_SEED = "epoch0"
+
+
+def q_curation_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EPOCH SHUFFLE: every doc gets a training shard and
+    an intra-shard position from ``md5(seed ‖ doc_id)`` — the global
+    random-order layout a training run consumes, reproducible bit-for-
+    bit from the seed (restartable epochs, no RNG state to persist;
+    epoch 2 is just a different seed).
+
+    Scale shape: the shard key is scan-stage hash math (uniform across
+    ``EPOCH_SHARDS``), and the intra-shard position is a rank window
+    PARTITIONED BY shard — with shards sized for the cluster, each
+    window task orders one shard, and there is never a global ORDER BY.
+    Output: (doc_id, shard, pos) — the manifest a loader walks."""
+    docs = load_table(spark, "documents", sf_dir)
+    key = F.md5(F.concat(F.lit(EPOCH_SEED), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("shard").orderBy("__k", "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            key.alias("__k"),
+        )
+        .withColumn(
+            "shard",
+            (
+                F.conv(F.substring("__k", 1, 4), 16, 10).cast("long")
+                % EPOCH_SHARDS
+            ).cast("int"),
+        )
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+SQL_EPOCH_SHUFFLE = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         md5('{EPOCH_SEED}' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+),
+sharded AS (
+  SELECT doc_id, k,
+         CAST(CAST('0x' || substr(k, 1, 4) AS INTEGER)
+              % {EPOCH_SHARDS} AS INTEGER) AS shard
+  FROM keyed
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) - 1
+            AS BIGINT) AS pos
+FROM sharded
+"""
+
+
 # -- weight-proportional systematic sampling ------------------------------
 
 #: systematic sample size (docs picked ∝ token count); fixture-scale
@@ -1490,6 +1546,7 @@ QUERIES = {
     "curation_chunk_windows_udtf": q_curation_chunk_windows_udtf,
     "curation_bloom_decontaminate": q_curation_bloom_decontaminate,
     "curation_importance_sample": q_curation_importance_sample,
+    "curation_epoch_shuffle": q_curation_epoch_shuffle,
     "curation_fuzzy_decontaminate": q_curation_fuzzy_decontaminate,
     "curation_dup_rate_by_source": q_curation_dup_rate_by_source,
 }
@@ -1512,6 +1569,7 @@ ORACLE_SQL = {
     "curation_chunk_windows_udtf": SQL_CHUNK_WINDOWS_UDTF,
     "curation_bloom_decontaminate": SQL_BLOOM_DECONTAMINATE,
     "curation_importance_sample": SQL_IMPORTANCE_SAMPLE,
+    "curation_epoch_shuffle": SQL_EPOCH_SHUFFLE,
     "curation_fuzzy_decontaminate": SQL_FUZZY_DECONTAMINATE,
     "curation_dup_rate_by_source": SQL_DUP_RATE_BY_SOURCE,
 }

@@ -2326,6 +2326,33 @@ FROM r
 """
 
 
+def q_events_dow_hour_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity matrix (the operations
+    heatmap behind capacity planning and anomaly baselines): ONE
+    map-side-combined groupBy over the bounded 7×24 key space — the
+    corpus reduces to ≤168 rows on the exchange.  Weekday encoding is
+    0=Monday (Spark ``weekday`` ≡ DuckDB ``isodow − 1``), the only
+    dow convention both engines express without a modular dance."""
+    events = load_table(spark, "events", sf_dir)
+    return events.groupBy(
+        F.weekday("ts").alias("dow"),
+        F.hour("ts").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        sum_exact("value", MONEY).alias("sum_value"),
+    )
+
+
+SQL_EVENTS_DOW_HOUR_MATRIX = f"""
+SELECT CAST(isodow(ts) - 1 AS INTEGER) AS dow,
+       CAST(hour(ts) AS INTEGER) AS hod,
+       COUNT(*) AS n_events,
+       {sql_sum_exact('value', MONEY)} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def q_audit_join_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planning-time join-cardinality audit: the EXACT output size of
     the lineitem×lineitem self-join on ``l_partkey`` computed WITHOUT
@@ -3009,6 +3036,7 @@ QUERIES = {
     "audit_join_key_skew": q_audit_join_key_skew,
     "audit_join_explosion": q_audit_join_explosion,
     "events_watermark_lateness": q_events_watermark_lateness,
+    "events_dow_hour_matrix": q_events_dow_hour_matrix,
     "orders_upsert_compact": q_orders_upsert_compact,
     "orders_zorder_layout": q_orders_zorder_layout,
     "sql_parts_by_brand": q_sql_parts_by_brand,
@@ -3070,6 +3098,7 @@ ORACLE_SQL = {
     "audit_join_key_skew": SQL_AUDIT_JOIN_KEY_SKEW,
     "audit_join_explosion": SQL_AUDIT_JOIN_EXPLOSION,
     "events_watermark_lateness": SQL_EVENTS_WATERMARK_LATENESS,
+    "events_dow_hour_matrix": SQL_EVENTS_DOW_HOUR_MATRIX,
     "orders_upsert_compact": SQL_ORDERS_UPSERT_COMPACT,
     "orders_zorder_layout": SQL_ORDERS_ZORDER_LAYOUT,
     "sql_parts_by_brand": SQL_PARTS_BY_BRAND,

@@ -600,3 +600,23 @@ def test_lang_divergence_is_metric_like(spark):
             abs(pa.get(k, 0) / ta - pb.get(k, 0) / tb) for k in toks
         ) / 2
         assert abs(r["tvd"] - want) < 1e-9
+
+
+def test_epoch_shuffle_is_complete_and_reproducible(spark):
+    from pu4spark_spark.operators.curation import (
+        EPOCH_SHARDS,
+        q_curation_epoch_shuffle,
+    )
+
+    rows = q_curation_epoch_shuffle(spark, SF).collect()
+    assert len(rows) == 500 and len({r["doc_id"] for r in rows}) == 500
+    by_shard = {}
+    for r in rows:
+        assert 0 <= r["shard"] < EPOCH_SHARDS
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    # positions are a dense 0..n-1 sequence within every shard
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss)))
+    # deterministic across runs
+    again = q_curation_epoch_shuffle(spark, SF).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
