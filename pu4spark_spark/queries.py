@@ -68,8 +68,12 @@ if missing:
 #: registry order decides which queries get driver-recorded evidence —
 #: the per-round window is a ROTATION slot, and the committed
 #: ``CORRECTNESS_r0N.json`` artifacts accumulate across rounds.
-#: r2 ∪ r3 witnessed 55 distinct queries; this round's prefix is 50
-#: oracle-backed queries from those not yet in any driver artifact
+#: r2 ∪ r3 witnessed 55 distinct queries; this round's prefix mixes
+#: 40 never-witnessed queries carried from the r4 rotation plan with 10
+#: of the current round's flagship additions (capped LSH, fuzzy
+#: decontamination, threshold sweep, rollup maintenance, bucketed fact
+#: join, systematic sampling, TVD, lang-ID confusion, watermark
+#: lateness, band tuning) — all oracle-backed
 #: (cumulative driver-witnessed coverage after the r4 driver run:
 #: 105 of the now-198 registered; the full registry is self-checked in
 #: the committed CORRECTNESS_FULL artifacts each round).  Every
@@ -84,14 +88,14 @@ if missing:
 DRIVER_FIRST = [
     # relational / TPC-H shapes not yet driver-witnessed
     "q4_order_priority",
-    "q12_shipmode",
-    "q18_large_orders",
+    "events_watermark_lateness",
+    "dedup_band_tuning",
     "orders_scd2_intervals",
     "customer_rfm_segments",
     "events_funnel",
     "events_retention",
-    "events_variant_stats",
-    "events_sliding_windows",
+    "text_langid_confusion",
+    "eval_quality_threshold_sweep",
     "events_locf_value",
     # dedup family
     "dedup_simhash",
@@ -112,8 +116,8 @@ DRIVER_FIRST = [
     "text_heavy_hitters",
     "text_lang_id",
     "text_winnow_fingerprint",
-    "text_commonness",
-    "text_bigram_lm",
+    "curation_importance_sample",
+    "text_lang_divergence",
     "text_inverted_index",
     # curation + composed pipelines
     "curation_hash_split",
@@ -127,14 +131,14 @@ DRIVER_FIRST = [
     "asof_click_purchase_tolerance",
     # multimodal + formats
     "mm_decode_features",
-    "mm_pack_stats",
+    "lineitem_orders_bucketed_join",
     "mm_frame_sample",
     "fmt_partition_pruned_scan",
-    "fmt_csv_roundtrip",
-    "fmt_orc_roundtrip",
+    "dedup_minhash_capped",
+    "curation_fuzzy_decontaminate",
     # streaming drains (batch-oracle-checked)
     "streaming_events_hourly",
-    "streaming_sliding_windows",
+    "events_rollup_maintenance",
     "streaming_sessions",
     "streaming_range_join",
     "streaming_dedup_keys",
