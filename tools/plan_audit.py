@@ -338,6 +338,47 @@ AUDITED = {
         "is one map-side-combined groupBy(b_id); the verdict left join "
         "builds on the dropped set with no forced broadcast."
     ),
+    "events_watermark_lateness": (
+        "Global running prefix max WITHOUT a global sort: per-arrival-"
+        "bucket max, cumulative offsets over the bucket table only, "
+        "in-bucket window partitioned by bucket; greatest() stitches "
+        "the boundary."
+    ),
+    "text_lang_divergence": (
+        "No full-outer join over the union vocabulary: closed-form "
+        "folding of one-language tokens means only the shared-token "
+        "inner join runs; DECIMAL sum keeps the reduce exact; totals "
+        "broadcast on the bounded lang key."
+    ),
+    "text_vocab_growth": (
+        "One corpus pass for all 8 prefixes: per-token first-seen step "
+        "via a single map-side-combined groupBy(token); the cumulative "
+        "window runs over ≤8 rows — never a distinct per prefix."
+    ),
+    "curation_epoch_shuffle": (
+        "Shard key is scan-stage hash math; the intra-shard position "
+        "window partitions BY shard, so each task orders one shard and "
+        "no global ORDER BY exists."
+    ),
+    "events_dow_hour_matrix": (
+        "One map-side-combined groupBy over the bounded 7×24 key space "
+        "— the exchange carries ≤168 pre-reduced rows."
+    ),
+    "dedup_graph_degree_histogram": (
+        "Two map-side-combined aggregations over pair-sized data "
+        "beyond the existing pair pipeline; the histogram key space is "
+        "bounded by the max degree."
+    ),
+    "curation_dup_rate_by_source": (
+        "Content-hash group sizes then per-source rollup — two "
+        "map-side-combined aggregations; the size join back is 1:1 on "
+        "the hash key, no amplification."
+    ),
+    "text_stopword_discovery": (
+        "Per-doc DISTINCT tokens explode once; ONE groupBy(token) "
+        "computes document frequency; the corpus doc count joins as a "
+        "1-row broadcast."
+    ),
 }
 
 _TREE_RE = re.compile(r"^(.*?)\n\n\(1\)", re.DOTALL)
