@@ -205,6 +205,7 @@ HEADLINE = [
     "fmt_json_corrupt_quarantine",
     "curation_epoch_shuffle",
     "events_dow_hour_matrix",
+    "curation_mix_planner",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's

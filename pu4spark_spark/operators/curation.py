@@ -1376,6 +1376,82 @@ GROUP BY c.doc_id
 SQL_FUZZY_DECONTAMINATE = _sql_fuzzy_decontaminate()
 
 
+#: target token shares per language for the mixture planner (sums to
+#: 1000 per mille; a deliberately non-uniform target so the report is
+#: non-degenerate on the near-uniform fixture)
+TARGET_MIX_PER_MILLE = {"en": 400, "de": 200, "fr": 200, "es": 100, "zh": 100}
+
+
+def q_curation_mix_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture PLANNING report: given target token shares per language
+    and the corpus's actual shares, the keep-rate each language needs
+    so the sampled corpus hits the target with NO upsampling (rates
+    are scaled so the most over-demanded language keeps 100% and
+    everything else downsamples proportionally) — the table that turns
+    a mixture spec into the hash-coin thresholds ``domain_mix``-style
+    sampling actually runs with.
+
+    Scale shape: one map-side-combined groupBy(lang) for actual token
+    counts; all planning arithmetic happens on the L-row result (scan-
+    stage math after a 1-row total broadcast).  Exact integer counts;
+    the rates are fixed chains of IEEE divisions, so the oracle
+    hash-checks the plan itself."""
+    docs = load_table(spark, "documents", sf_dir)
+    counts = docs.groupBy("lang").agg(
+        F.sum(F.size(tokens("text"))).cast("bigint").alias("n_tokens")
+    )
+    tgt = None
+    for lang, pm in TARGET_MIX_PER_MILLE.items():
+        tgt = (
+            F.when(F.col("lang") == lang, pm)
+            if tgt is None
+            else tgt.when(F.col("lang") == lang, pm)
+        )
+    tgt = tgt.otherwise(F.lit(0))
+    tot = counts.agg(F.sum("n_tokens").alias("__T"))
+    base = counts.crossJoin(tot).select(
+        "lang",
+        "n_tokens",
+        (tgt.cast("double") / F.lit(1000.0)).alias("target_share"),
+        (F.col("n_tokens").cast("double") / F.col("__T")).alias(
+            "actual_share"
+        ),
+    )
+    # demand ratio: how over-demanded each language is vs its supply
+    demand = F.col("target_share") / F.col("actual_share")
+    mx = base.agg(F.max(demand).alias("__dmax"))
+    return base.crossJoin(mx).select(
+        "lang",
+        "n_tokens",
+        "target_share",
+        "actual_share",
+        ((F.col("target_share") / F.col("actual_share")) / F.col("__dmax")).alias(
+            "keep_rate"
+        ),
+    )
+
+
+SQL_MIX_PLANNER = f"""
+WITH counts AS (
+  SELECT lang,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+base AS (
+  SELECT lang, n_tokens,
+         CAST(CASE {' '.join(f"WHEN lang = '{lang}' THEN {pm}" for lang, pm in TARGET_MIX_PER_MILLE.items())} ELSE 0 END AS DOUBLE) / 1000.0
+           AS target_share,
+         CAST(n_tokens AS DOUBLE) / (SELECT SUM(n_tokens) FROM counts)
+           AS actual_share
+  FROM counts
+)
+SELECT lang, n_tokens, target_share, actual_share,
+       (target_share / actual_share)
+       / (SELECT MAX(target_share / actual_share) FROM base) AS keep_rate
+FROM base
+"""
+
+
 #: training shards per epoch (fixture-scale; production O(1000s))
 EPOCH_SHARDS = 8
 EPOCH_SEED = "epoch0"
@@ -1547,6 +1623,7 @@ QUERIES = {
     "curation_bloom_decontaminate": q_curation_bloom_decontaminate,
     "curation_importance_sample": q_curation_importance_sample,
     "curation_epoch_shuffle": q_curation_epoch_shuffle,
+    "curation_mix_planner": q_curation_mix_planner,
     "curation_fuzzy_decontaminate": q_curation_fuzzy_decontaminate,
     "curation_dup_rate_by_source": q_curation_dup_rate_by_source,
 }
@@ -1570,6 +1647,7 @@ ORACLE_SQL = {
     "curation_bloom_decontaminate": SQL_BLOOM_DECONTAMINATE,
     "curation_importance_sample": SQL_IMPORTANCE_SAMPLE,
     "curation_epoch_shuffle": SQL_EPOCH_SHUFFLE,
+    "curation_mix_planner": SQL_MIX_PLANNER,
     "curation_fuzzy_decontaminate": SQL_FUZZY_DECONTAMINATE,
     "curation_dup_rate_by_source": SQL_DUP_RATE_BY_SOURCE,
 }

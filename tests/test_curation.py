@@ -620,3 +620,22 @@ def test_epoch_shuffle_is_complete_and_reproducible(spark):
     # deterministic across runs
     again = q_curation_epoch_shuffle(spark, SF).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_mix_planner_properties(spark):
+    """keep_rate=1 for the most over-demanded language, all rates in
+    (0,1], and applying the rates yields EXACT target proportions."""
+    from pu4spark_spark.operators.curation import q_curation_mix_planner
+
+    rows = q_curation_mix_planner(spark, SF).collect()
+    rates = {r["lang"]: r for r in rows}
+    assert abs(max(r["keep_rate"] for r in rows) - 1.0) < 1e-12
+    assert all(0.0 < r["keep_rate"] <= 1.0 for r in rows if r["target_share"] > 0)
+    # sampled tokens ∝ target shares: n_tokens·keep_rate / target_share
+    # must be a constant across in-target languages
+    ratios = [
+        r["n_tokens"] * r["keep_rate"] / r["target_share"]
+        for r in rows
+        if r["target_share"] > 0
+    ]
+    assert max(ratios) / min(ratios) < 1.0 + 1e-9
