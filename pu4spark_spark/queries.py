@@ -68,82 +68,69 @@ if missing:
 #: registry order decides which queries get driver-recorded evidence —
 #: the per-round window is a ROTATION slot, and the committed
 #: ``CORRECTNESS_r0N.json`` artifacts accumulate across rounds.
-#: r2 ∪ r3 witnessed 55 distinct queries; this round's prefix mixes
-#: 40 never-witnessed queries carried from the r4 rotation plan with 10
-#: of the current round's flagship additions (capped LSH, fuzzy
-#: decontamination, threshold sweep, rollup maintenance, bucketed fact
-#: join, systematic sampling, TVD, lang-ID confusion, watermark
-#: lateness, band tuning) — all oracle-backed
-#: (cumulative driver-witnessed coverage after the r4 driver run:
-#: 105 of the now-198 registered; the full registry is self-checked in
-#: the committed CORRECTNESS_FULL artifacts each round).  Every
-#: prefix entry has a DuckDB oracle (hash-checkable); rows-only ML-loop
-#: queries (still pytest-covered and judge-runnable via
-#: ``tools/check_oracle.py``, whose full-registry run is committed as
-#: ``CORRECTNESS_FULL_r04.json``) and the already-witnessed remainder
-#: follow.  The window is family-interleaved (relational/events
-#: analytics, dedup, ANN, text, curation, pipelines, multimodal,
-#: formats, streaming); oracle-backed queries still outside every
-#: driver window after this round rotate into round 6's prefix.
+#: Round-5 rotation: the r1∪r2∪r3∪r4 driver artifacts witness 113 of
+#: the 219 registered queries.  This prefix is built EXCLUSIVELY from
+#: the 106 never-witnessed remainder — the 50 cheapest oracle-backed
+#: ones by measured sf0.1 bench time (BENCH_DETAIL.json), cheapest
+#: first, so the driver's time budget reaches the whole window and
+#: cumulative driver-recorded coverage lands at 163/219.  The ~41
+#: oracle-backed never-witnessed queries still outside (heavier
+#: streaming drains, corpus_lang_similarity, sql_docs_clean, …) rotate
+#: into round 6's prefix; the 15 rows-only ML-loop entries keep their
+#: pytest property/golden coverage plus the committed full-registry
+#: self-check (``tools/check_oracle.py`` → ``CORRECTNESS_FULL_r0N``).
 DRIVER_FIRST = [
-    # relational / TPC-H shapes not yet driver-witnessed
-    "q4_order_priority",
-    "events_watermark_lateness",
-    "dedup_band_tuning",
-    "orders_scd2_intervals",
-    "customer_rfm_segments",
-    "events_funnel",
-    "events_retention",
-    "text_langid_confusion",
-    "eval_quality_threshold_sweep",
-    "events_locf_value",
-    # dedup family
-    "dedup_simhash",
-    "dedup_simhash_hamming",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_chunk_spans",
-    "dedup_band_artifact_probe",
-    # similarity / embeddings
-    "ann_cosine_topk",
-    "ann_lsh_bucketed",
-    "ann_lsh_recall",
-    "embedding_quantize_int8",
-    "embedding_label_centroids",
-    # text analysis
-    "text_quality",
-    "text_corpus_stats",
-    "text_heavy_hitters",
-    "text_lang_id",
-    "text_winnow_fingerprint",
-    "curation_importance_sample",
-    "text_lang_divergence",
-    "text_inverted_index",
-    # curation + composed pipelines
-    "curation_hash_split",
-    "curation_stratified_sample",
-    "curation_chunk_windows",
-    "curation_temperature_mix",
-    "curation_oov_rate",
-    "pipeline_docs_clean",
-    "pipeline_chunk_release",
-    # as-of variant
-    "asof_click_purchase_tolerance",
-    # multimodal + formats
-    "mm_decode_features",
-    "lineitem_orders_bucketed_join",
-    "mm_frame_sample",
-    "fmt_partition_pruned_scan",
-    "dedup_minhash_capped",
-    "curation_fuzzy_decontaminate",
-    # streaming drains (batch-oracle-checked)
-    "streaming_events_hourly",
-    "events_rollup_maintenance",
-    "streaming_sessions",
-    "streaming_range_join",
-    "streaming_dedup_keys",
-    "streaming_hourly_file_sink",
-    "streaming_user_totals",
+    # cheapest never-witnessed first (sf0.1 bench seconds in comments)
+    "curation_epoch_shuffle",          # 0.13
+    "text_zscore_by_lang",             # 0.18
+    "text_bpe_pair_counts",            # 0.20
+    "events_audience_bitmap",          # 0.21
+    "events_time_rollup",              # 0.25
+    "eval_quality_calibration",        # 0.25
+    "events_hourly_anomalies",         # 0.26
+    "curation_mix_planner",            # 0.27
+    "curation_dup_rate_by_source",     # 0.27
+    "fmt_text_roundtrip",              # 0.27
+    "orders_unpivot_metrics",          # 0.28
+    "events_dow_hour_matrix",          # 0.29
+    "embedding_norm_outliers",         # 0.30
+    "eval_quality_auc",                # 0.30
+    "q13_custdist",                    # 0.32
+    "q19_disjunctive",                 # 0.35
+    "audit_join_explosion",            # 0.36
+    "text_commonness",                 # 0.37
+    "text_lang_quality_median_pandas", # 0.38
+    "events_value_trend",              # 0.39
+    "text_cms_frequency",              # 0.39
+    "events_transition_matrix",        # 0.39
+    "mm_arrow_payload_stats",          # 0.40
+    "text_search_tfdf",                # 0.46
+    "q17_small_quantity",              # 0.47
+    "lineitem_histogram_quantiles",    # 0.47
+    "audit_join_key_skew",             # 0.49
+    "customer_spend_distribution",     # 0.49
+    "events_sliding_windows",          # 0.53
+    "customer_spend_quartiles",        # 0.54
+    "dedup_semantic_keep",             # 0.58
+    "fmt_schema_evolution_scan",       # 0.59
+    "embedding_dim_variance",          # 0.59
+    "text_stopword_discovery",         # 0.59
+    "q7_nation_volume",                # 0.61
+    "fmt_pyds_jsonl_roundtrip",        # 0.61
+    "events_variant_stats",            # 0.62
+    "text_bigram_lm",                  # 0.63
+    "streaming_lang_router",           # 0.64
+    "q12_shipmode",                    # 0.68
+    "sessions_busy_overlap",           # 0.70
+    "fmt_json_corrupt_quarantine",     # 0.72
+    "audit_table_diff",                # 0.78
+    "lineitem_orders_shj",             # 0.82
+    "embedding_gram_matrix",           # 0.85
+    "embedding_inertia_by_label",      # 0.89
+    "q9_profit",                       # 0.91
+    "q18_large_orders",                # 0.93
+    "curation_soft_dedup_weights",     # 0.94
+    "text_bigram_novelty",             # 0.97
 ]
 
 _first = [n for n in DRIVER_FIRST if n in QUERIES]
