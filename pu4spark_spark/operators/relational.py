@@ -32,6 +32,14 @@ from pu4spark_spark.sources import load_table
 _M = MONEY.upper()
 _R = RATE.upper()
 
+#: Fixed-memory equi-width histogram sketch parameters, shared by
+#: ``lineitem_histogram_quantiles`` and the winsorized-mean boundary
+#: pass — 64 counters per group regardless of corpus size.
+HIST_BINS = 64
+HIST_PROBES = [0.5, 0.95, 0.99]
+_BINS_F = float(HIST_BINS)
+_BINS_M1 = HIST_BINS - 1
+
 
 # -- q1: full-scan aggregation (TPC-H Q1 shape) --------------------------
 
@@ -1942,21 +1950,83 @@ def q_lineitem_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized (P5/P95-clamped) mean price per return flag — the
     robust-statistics shape that survives fat-tailed value columns.
 
-    Two passes: exact per-group percentile boundaries (3 groups — the
-    boundary table is group-cardinality-sized and broadcast, the
-    legitimate 1-row-per-group scalar pattern), then one
-    map-side-combined aggregation of the clamped values.  Exactness
-    discipline (SURVEY.md §5b lesson 8): summing clamped DOUBLES would
-    be order-dependent, so the mean is decomposed into an exact
-    decimal sum of the in-range prices plus count×boundary for each
-    clamped tail — integers and two multiplications, one final IEEE
-    division, bit-identical across engines."""
+    The P5/P95 boundaries come from a per-group 64-bin equi-width
+    histogram sketch (the ``lineitem_histogram_quantiles`` chain, here
+    partitioned by group), NOT Spark's exact ``percentile()``: the
+    exact aggregate buffers a value→count map per group whose state is
+    unbounded on a fat-tailed value column at 100 TB, while the
+    histogram is a fixed 64-counter row per group, mergeable by
+    addition, map-side combined (plan-gated in
+    ``tests/test_plans.py`` — no ``percentile(`` in this plan).  Three
+    scans total: per-group (min, max, n) scalars; the binned counts
+    (≤ groups×64 rows) interpolated into boundary ESTIMATES; then one
+    map-side-combined aggregation of the clamped values.  The
+    interpolation is a replicated IEEE chain, so DuckDB hash-checks
+    the sketch-derived boundaries themselves.  Exactness discipline
+    (SURVEY.md §5b lesson 8): summing clamped DOUBLES would be
+    order-dependent, so the mean is decomposed into an exact decimal
+    sum of the in-range prices plus count×boundary for each clamped
+    tail — integers and two multiplications, one final IEEE division,
+    bit-identical across engines."""
     li = load_table(spark, "lineitem", sf_dir)
-    bounds = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.05)").alias("p05"),
-        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
-    )
     pr = F.col("l_extendedprice")
+    gb = li.groupBy("l_returnflag").agg(
+        F.min(pr).alias("mn"),
+        F.max(pr).alias("mx"),
+        F.count(F.lit(1)).alias("n_grp"),
+    )
+    binned = (
+        li.select("l_returnflag", pr.alias("x"))
+        .join(F.broadcast(gb), "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.least(
+                F.floor(
+                    ((F.col("x") - F.col("mn")) * F.lit(float(HIST_BINS)))
+                    / (F.col("mx") - F.col("mn"))
+                ),
+                F.lit(HIST_BINS - 1).cast("bigint"),
+            ).alias("bin"),
+        )
+        .groupBy("l_returnflag", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wc = Window.partitionBy("l_returnflag").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = binned.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(wc), F.lit(0))
+    )
+    probes = gb.select(
+        "l_returnflag",
+        "mn",
+        "mx",
+        "n_grp",
+        F.explode(F.array(F.lit(0.05), F.lit(0.95))).alias("p"),
+    ).withColumn("target", F.col("p") * F.col("n_grp").cast("double"))
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(HIST_BINS))
+    frac = (
+        F.col("target") - F.col("cum_before").cast("double")
+    ) / F.col("cnt").cast("double")
+    est = probes.join(
+        F.broadcast(cum),
+        (probes["l_returnflag"] == cum["l_returnflag"])
+        & (F.col("cum_before").cast("double") < F.col("target"))
+        & (
+            F.col("target")
+            <= (F.col("cum_before") + F.col("cnt")).cast("double")
+        ),
+    ).select(
+        probes["l_returnflag"],
+        "p",
+        (
+            F.col("mn") + (F.col("bin").cast("double") + frac) * width
+        ).alias("q_est"),
+    )
+    bounds = est.groupBy("l_returnflag").agg(
+        F.max(F.when(F.col("p") == 0.05, F.col("q_est"))).alias("p05"),
+        F.max(F.when(F.col("p") == 0.95, F.col("q_est"))).alias("p95"),
+    )
     joined = li.select("l_returnflag", "l_extendedprice").join(
         F.broadcast(bounds), "l_returnflag"
     )
@@ -1987,12 +2057,53 @@ def q_lineitem_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_LINEITEM_WINSORIZED = """
+SQL_LINEITEM_WINSORIZED = f"""
 WITH bounds AS (
   SELECT l_returnflag,
-         quantile_cont(l_extendedprice, 0.05) AS p05,
-         quantile_cont(l_extendedprice, 0.95) AS p95
-  FROM lineitem GROUP BY l_returnflag
+         p05, p95
+  FROM (
+    SELECT l_returnflag,
+           MAX(CASE WHEN p = 0.05 THEN q_est END) AS p05,
+           MAX(CASE WHEN p = 0.95 THEN q_est END) AS p95
+    FROM (
+      SELECT pr.l_returnflag, pr.p,
+             mn + (CAST(bin AS DOUBLE)
+                   + (target - CAST(cum_before AS DOUBLE))
+                     / CAST(cnt AS DOUBLE))
+                  * ((mx - mn) / {_BINS_F}) AS q_est
+      FROM (
+        SELECT g.l_returnflag, g.mn, g.mx, g.n_grp, t.p,
+               t.p * CAST(g.n_grp AS DOUBLE) AS target
+        FROM (
+          SELECT l_returnflag, MIN(l_extendedprice) AS mn,
+                 MAX(l_extendedprice) AS mx, COUNT(*) AS n_grp
+          FROM lineitem GROUP BY l_returnflag
+        ) g, UNNEST([0.05, 0.95]) AS t(p)
+      ) pr
+      JOIN (
+        SELECT l_returnflag, bin, cnt,
+               COALESCE(SUM(cnt) OVER (PARTITION BY l_returnflag
+                 ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cum_before
+        FROM (
+          SELECT l.l_returnflag,
+                 least(floor(((l.l_extendedprice - g.mn) * {_BINS_F})
+                             / (g.mx - g.mn)), {_BINS_M1}) AS bin,
+                 COUNT(*) AS cnt
+          FROM lineitem l JOIN (
+            SELECT l_returnflag, MIN(l_extendedprice) AS mn,
+                   MAX(l_extendedprice) AS mx
+            FROM lineitem GROUP BY l_returnflag
+          ) g ON l.l_returnflag = g.l_returnflag
+          GROUP BY 1, 2
+        )
+      ) cm ON pr.l_returnflag = cm.l_returnflag
+          AND CAST(cum_before AS DOUBLE) < target
+          AND target <= CAST(cum_before + cnt AS DOUBLE)
+    )
+    GROUP BY l_returnflag
+  )
 ),
 agg AS (
   SELECT l.l_returnflag,
@@ -2908,11 +3019,7 @@ FROM cmp c LEFT JOIN diffs d ON c.bucket = d.bucket
 """
 
 
-# -- histogram-quantile sketch -------------------------------------------
-
-HIST_BINS = 64
-HIST_PROBES = [0.5, 0.95, 0.99]
-
+# -- histogram-quantile sketch (HIST_BINS/HIST_PROBES at module top) -----
 
 def q_lineitem_histogram_quantiles(
     spark: SparkSession, sf_dir: str

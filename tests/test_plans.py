@@ -535,3 +535,21 @@ def test_bucketed_fact_join_zero_exchange_zero_sort(spark):
         assert int(ex) > smj_id, plan
     # every bucket participates and the layout is actually consumed
     assert plan.count("SelectedBucketsCount: 16 out of 16") == 2, plan
+
+
+def test_winsorized_boundaries_are_sketch_not_exact_percentile(spark):
+    """The winsorized-mean P5/P95 boundary pass must come from the
+    fixed-memory 64-bin histogram sketch, never Spark's exact
+    ``percentile`` aggregate (whose value→count state is unbounded on
+    a fat-tailed value column at 100 TB) nor the GK
+    ``approx_percentile`` (engine-specific layout, not oracle
+    hash-checkable)."""
+    from pu4spark_spark.operators.relational import (
+        q_lineitem_winsorized_mean,
+    )
+
+    plan = explain_str(q_lineitem_winsorized_mean(spark, SF_DIR))
+    assert "percentile" not in plan.lower(), plan
+    # the sketch's fingerprints: equi-width binning + cumulative window
+    assert re.search(r"\bFLOOR\(", plan, re.IGNORECASE), plan
+    assert "specifiedwindowframe" in plan.lower() or "Window" in plan, plan
