@@ -62,19 +62,29 @@ class JsonlDocsDataSource(DataSource):
 
 
 class JsonlDocsWriter(DataSourceWriter):
-    """Executor-side JSONL shard writer: each input partition streams
-    its rows to one ``part-*.jsonl`` file (no driver materialization —
-    the commit message carries only (path, row-count)); the driver-side
-    ``commit`` writes a manifest naming every committed shard, the
-    poor-man's commit log (underscore-prefixed, so readers skip it by
-    the usual metadata-file convention).  This is the WRITE half of the custom-connector surface
-    (reader + stream reader above)."""
+    """Executor-side JSONL shard writer with TRANSACTIONAL commit: each
+    task streams its rows to an underscore-prefixed temp shard (hidden
+    from every reader by the metadata-file convention), and only the
+    driver-side ``commit`` renames the shards named in the task commit
+    messages to their final ``part-*.jsonl`` names and writes the
+    ``_MANIFEST`` commit log.  A failed, retried, or speculatively
+    executed task therefore leaves at most an orphan ``_tmp-*`` file —
+    swept by ``commit``/``abort`` and invisible to readers either way —
+    never a duplicate visible shard (the exactly-once contract the
+    round-trip query value-checks).  ``overwrite`` mode clears the
+    target directory driver-side before the job starts."""
 
     def __init__(self, options, schema, overwrite: bool) -> None:
         self.path = options.get("path")
         if not self.path:
             raise ValueError("jsonl_docs writer requires option 'path'")
         self.fields = [f.name for f in schema.fields]
+        if overwrite:
+            # runs on the driver, pre-job (the writer is constructed
+            # once driver-side before being pickled to tasks)
+            import shutil
+
+            shutil.rmtree(self.path, ignore_errors=True)
 
     def write(self, iterator) -> WriterCommitMessage:
         import json as _json
@@ -85,32 +95,56 @@ class JsonlDocsWriter(DataSourceWriter):
 
         pid = TaskContext.get().partitionId()
         _os.makedirs(self.path, exist_ok=True)
-        fname = f"part-{pid:05d}-{_uuid.uuid4().hex[:8]}.jsonl"
-        full = _os.path.join(self.path, fname)
+        final = f"part-{pid:05d}-{_uuid.uuid4().hex[:8]}.jsonl"
+        tmp = "_tmp-" + final
         n = 0
-        with open(full, "w") as fh:
+        with open(_os.path.join(self.path, tmp), "w") as fh:
             for row in iterator:
                 d = {k: row[k] for k in self.fields}
                 fh.write(_json.dumps(d) + "\n")
                 n += 1
-        return JsonlCommit(fname, n)
+        return JsonlCommit(tmp, final, n)
+
+    def _sweep_tmp(self, keep: set[str]) -> None:
+        import os as _os
+
+        for f in _os.listdir(self.path):
+            if f.startswith("_tmp-") and f not in keep:
+                try:
+                    _os.remove(_os.path.join(self.path, f))
+                except OSError:
+                    pass
 
     def commit(self, messages) -> None:
         import json as _json
         import os as _os
 
-        manifest = {
-            m.file: m.rows for m in messages if m is not None
-        }
+        manifest = {}
+        committed_tmp = set()
+        for m in messages:
+            if m is None:
+                continue
+            _os.rename(
+                _os.path.join(self.path, m.tmp),
+                _os.path.join(self.path, m.file),
+            )
+            committed_tmp.add(m.tmp)
+            manifest[m.file] = m.rows
+        # orphans from failed/speculative task attempts
+        self._sweep_tmp(committed_tmp)
         with open(_os.path.join(self.path, "_MANIFEST"), "w") as fh:
             _json.dump(manifest, fh)
 
     def abort(self, messages) -> None:
-        pass
+        import os as _os
+
+        if _os.path.isdir(self.path):
+            self._sweep_tmp(set())
 
 
 class JsonlCommit(WriterCommitMessage):
-    def __init__(self, file: str, rows: int) -> None:
+    def __init__(self, tmp: str, file: str, rows: int) -> None:
+        self.tmp = tmp
         self.file = file
         self.rows = rows
 
@@ -123,13 +157,25 @@ class JsonlDocsReader(DataSourceReader):
         self.path = path
 
     def partitions(self):
-        # driver-side work is ONE directory listing; each shard becomes
-        # an independent task (ordering fixed for determinism)
-        files = sorted(
-            f
-            for f in os.listdir(self.path)
-            if f.endswith((".json", ".jsonl")) and not f.startswith((".", "_"))
-        )
+        # driver-side work is ONE metadata read: when the directory was
+        # produced by JsonlDocsWriter, the shard list comes from its
+        # _MANIFEST commit log (so orphan shards from failed jobs are
+        # never ingested); external directories (e.g. Spark's own JSON
+        # writer output) fall back to a listing.  Each shard becomes an
+        # independent task (ordering fixed for determinism).
+        import json as _json
+
+        manifest = os.path.join(self.path, "_MANIFEST")
+        if os.path.exists(manifest):
+            with open(manifest) as fh:
+                files = sorted(_json.load(fh))
+        else:
+            files = sorted(
+                f
+                for f in os.listdir(self.path)
+                if f.endswith((".json", ".jsonl"))
+                and not f.startswith((".", "_"))
+            )
         return [InputPartition(os.path.join(self.path, f)) for f in files]
 
     def read(self, partition):
@@ -261,19 +307,16 @@ def q_fmt_pyds_jsonl_write_roundtrip(
     against the parquet truth (any row the writer drops, mangles, or
     double-writes hash-mismatches)."""
     import hashlib
-    import shutil
-    import uuid as _uuid
 
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     out = os.path.join(tempfile.gettempdir(), f"pu4spark_pyds_w_{tag}")
-    shutil.rmtree(out, ignore_errors=True)
     spark.dataSource.register(JsonlDocsDataSource)
     docs = load_table(spark, "documents", sf_dir)
     (
         docs.repartition(N_SHARDS, "doc_id")
         .write.format("jsonl_docs")
         .option("path", out)
-        .mode("append")
+        .mode("overwrite")  # writer clears the target driver-side
         .save()
     )
     back = spark.read.format("jsonl_docs").option("path", out).load()

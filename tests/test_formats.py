@@ -214,3 +214,57 @@ def test_json_corrupt_quarantine_loses_nothing(spark):
     n_events = load_table(spark, "events", "/root/testdata/sf0.001").count()
     assert row["n_good"] == n_events
     assert row["n_corrupt"] == N_CORRUPT_LINES
+
+
+def test_pyds_writer_transactional_commit(spark, tmp_path):
+    """The custom writer's commit protocol (ADVICE r4): shards land as
+    hidden _tmp-* files, commit renames exactly the task-message set
+    and writes _MANIFEST, and the reader ingests ONLY manifest-listed
+    shards — so orphans from failed/speculative attempts (simulated
+    here as a stray _tmp file and a stray visible .jsonl not in the
+    manifest) never duplicate or extend the committed rows."""
+    import json
+
+    from pu4spark_spark.sources.pydatasource import JsonlDocsDataSource
+
+    spark.dataSource.register(JsonlDocsDataSource)
+    out = str(tmp_path / "docs_out")
+    df = spark.createDataFrame(
+        [(i, f"t{i}", "en", "s", 2) for i in range(10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.repartition(2).write.format("jsonl_docs").option(
+        "path", out
+    ).mode("overwrite").save()
+
+    import os
+
+    files = os.listdir(out)
+    assert "_MANIFEST" in files
+    assert not [f for f in files if f.startswith("_tmp-")]
+    manifest = json.load(open(os.path.join(out, "_MANIFEST")))
+    assert sum(manifest.values()) == 10
+
+    # simulate orphans: a leftover temp shard and an uncommitted
+    # visible shard (e.g. from a crashed concurrent job)
+    with open(os.path.join(out, "_tmp-part-zz.jsonl"), "w") as fh:
+        fh.write('{"doc_id": 99}\n')
+    with open(os.path.join(out, "part-99999-dead.jsonl"), "w") as fh:
+        fh.write(
+            '{"doc_id": 77, "text": "x", "lang": "en",'
+            ' "source": "s", "n_chars": 1}\n'
+        )
+    back = spark.read.format("jsonl_docs").option("path", out).load()
+    assert back.count() == 10
+    assert back.filter("doc_id IN (77, 99)").count() == 0
+
+    # overwrite clears previous shards AND previous orphans
+    df2 = spark.createDataFrame(
+        [(100, "y", "de", "s2", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df2.write.format("jsonl_docs").option("path", out).mode(
+        "overwrite"
+    ).save()
+    back2 = spark.read.format("jsonl_docs").option("path", out).load()
+    assert [r["doc_id"] for r in back2.collect()] == [100]
