@@ -55,10 +55,26 @@ class PUBaggingLearner(TwoStepPULearner):
         self.n_rounds = int(n_rounds)
         self.sample_frac = float(sample_frac)
 
-    def bag_coin(self, features_col: str, t: int) -> F.Column:
-        """Deterministic per-round in-(0,1) coin from the feature hash."""
+    #: stable row-identifier columns auto-detected for the bag coin
+    ID_CANDIDATES = ("vec_id", "doc_id", "id", "row_id")
+
+    def bag_coin(
+        self, features_col: str, t: int, id_col: str | None = None
+    ) -> F.Column:
+        """Deterministic per-round in-(0,1) coin.  Keyed on a STABLE
+        row identifier (when the frame has one) alongside the feature
+        hash and round number: hashing features alone makes rows with
+        identical vectors perfectly correlated — all in-bag or all
+        out-of-bag together every round — which skews the OOB
+        aggregation exactly on the duplicated-row corpora this engine
+        targets (ADVICE r4).  ``monotonically_increasing_id`` is NOT a
+        substitute: it depends on partition layout, which would break
+        the family's determinism contract."""
+        keys = [F.col(features_col), F.lit(t)]
+        if id_col is not None:
+            keys.insert(0, F.col(id_col))
         return (
-            F.pmod(F.hash(F.col(features_col), F.lit(t)), F.lit(BAG_COIN_MOD))
+            F.pmod(F.hash(*keys), F.lit(BAG_COIN_MOD))
             / F.lit(float(BAG_COIN_MOD))
         )
 
@@ -88,10 +104,14 @@ class PUBaggingLearner(TwoStepPULearner):
             .withColumn("__oob_s", F.lit(0.0))
             .withColumn("__oob_n", F.lit(0))
         )
+        id_col = next(
+            (c for c in self.ID_CANDIDATES if c in df.columns), None
+        )
         prev: DataFrame | None = None
         for t in range(self.n_rounds):
             in_bag = ~is_pos & (
-                self.bag_coin(features_col, t) < F.lit(self.sample_frac)
+                self.bag_coin(features_col, t, id_col)
+                < F.lit(self.sample_frac)
             )
             cur = (
                 F.when(is_pos, 1).when(in_bag, 0).otherwise(-1)

@@ -33,8 +33,14 @@ def _docs_stream_dir(sf_dir: str) -> str:
     d = os.path.join(tempfile.gettempdir(), f"pu4spark_docs_{tag}")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "documents.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    # lexists, not exists: a DANGLING symlink (fixture path moved)
+    # reports exists()=False but still blocks os.symlink (ADVICE r4);
+    # recreate whenever the target changed.
+    if os.path.lexists(link):
+        if os.path.islink(link) and os.readlink(link) == src:
+            return d
+        os.remove(link)
+    os.symlink(src, link)
     return d
 
 
@@ -104,7 +110,9 @@ def q_streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(land).schema
     base = os.path.join(
         tempfile.gettempdir(),
-        f"pu4spark_ingest_dedup_{hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]}",
+        # per-process suffix: concurrent sessions (bench + pytest)
+        # must not rmtree each other's live out/ckpt dirs (ADVICE r4)
+        f"pu4spark_ingest_dedup_{hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]}_{os.getpid()}",
     )
     # fresh run each invocation: the checkpoint would otherwise treat
     # the (static) fixture as already-processed and append nothing
@@ -146,7 +154,7 @@ def q_streaming_lang_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing."""
     base = os.path.join(
         tempfile.gettempdir(),
-        f"pu4spark_lang_router_{hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]}",
+        f"pu4spark_lang_router_{hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]}_{os.getpid()}",
     )
     shutil.rmtree(base, ignore_errors=True)
     out_dir = os.path.join(base, "out")
