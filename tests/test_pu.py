@@ -434,3 +434,87 @@ def test_f1_proxy_algebra(spark):
     assert abs(row["f1_proxy"] - expect) < 1e-12
     # separable fixture: the zero-step classifier must be informative
     assert row["recall_labeled"] > 0.5
+
+
+def test_golden_output_hashes_extensions(spark):
+    """Golden-output regression for the EXTENSION learners (Spy-EM,
+    Elkan–Noto, Bagging) — same pinned-hash tier as the reference pair
+    in ``test_golden_output_hashes``: per-row scores rounded to 6
+    decimals on a tiny fixed cloud, md5 over the (id, score) string.
+    A hash change means the numeric behavior changed."""
+    import hashlib
+
+    from pu4spark_spark.bagging import PUBaggingLearner
+    from pu4spark_spark.elkan import ElkanNotoPULearner
+    from pu4spark_spark.spy import SpyEMPULearner
+
+    # n=200 so the spy draw (spy_frac × ~20 labeled positives) is
+    # non-empty — the 60-row cloud of the reference-pair golden has
+    # too few labeled positives for S-EM
+    cloud = separable_cloud(spark, n=200, seed=11).cache()
+
+    def h(learner):
+        out = learner.weight(cloud, "label", "features", "finalLabel")
+        rows = out.orderBy("id").collect()
+        s = ";".join(
+            f"{r['id']}:{round(r['finalLabel'], 6):.6f}" for r in rows
+        )
+        return hashlib.md5(s.encode()).hexdigest()
+
+    def lr():
+        return LogisticRegressionConfig(maxIter=10).build()
+
+    assert h(SpyEMPULearner(classifier=lr())) == (
+        "81ad15c45668f2dc3e756d33dd5006c3"
+    )
+    assert h(ElkanNotoPULearner(classifier=lr())) == (
+        "1ac6f882c1fb39cd4c3c32cb0019afa3"
+    )
+    assert h(PUBaggingLearner(classifier=lr(), n_rounds=3)) == (
+        "39f1b0e8cdf1e8566f14a30fb0ca6898"
+    )
+
+
+def test_elkan_c_matches_class_prior_c_hat(spark):
+    """Cross-learner consistency: Elkan–Noto's internal calibration
+    constant c = E[g | s=1] and ``pu_class_prior``'s ``c_hat`` are the
+    SAME quantity computed through two different paths (the learner's
+    driver-scalar protocol vs the query's column aggregate).  On one
+    fixture with one classifier config, Elkan's output must equal
+    least(1, g/c_hat) row-for-row, where g is the zero-step score and
+    c_hat the labeled-positive mean of g."""
+    from pu4spark_spark.elkan import ElkanNotoPULearner
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    s = (F.col("label") == 9) & (F.col("vec_id") % 2 == 0)
+    staged = emb.withColumn("pu_label", s.cast("int"))
+
+    # path 1: the class-prior query's formulation — zero-step g via
+    # Traditional(maxIters=0), then a column-aggregate c_hat
+    g = (
+        TraditionalPULearnerConfig(
+            maxIters=0,
+            classifierConfig=LogisticRegressionConfig(maxIter=20),
+        )
+        .build()
+        .weight(staged, "pu_label", "embedding")
+    )
+    s_out = ((F.col("label") == 9) & (F.col("vec_id") % 2 == 0)).cast("int")
+    c_hat = g.agg(
+        F.avg(F.when(s_out == 1, F.col("finalLabel")))
+    ).collect()[0][0]
+    assert 0.0 < c_hat <= 1.0
+
+    # path 2: the Elkan learner end-to-end
+    elkan = ElkanNotoPULearner(
+        classifier=LogisticRegressionConfig(maxIter=20).build()
+    ).weight(staged, "pu_label", "embedding")
+
+    expected = {
+        r["vec_id"]: min(1.0, r["finalLabel"] / c_hat)
+        for r in g.collect()
+    }
+    got = {r["vec_id"]: r["finalLabel"] for r in elkan.collect()}
+    assert set(got) == set(expected)
+    for k in got:
+        assert abs(got[k] - expected[k]) < 1e-9, k
