@@ -206,6 +206,55 @@ HEADLINE = [
     "curation_epoch_shuffle",
     "events_dow_hour_matrix",
     "curation_mix_planner",
+    # round-5 completion: every remaining registered query (VERDICT r4
+    # next #4 — a perf regression anywhere must be visible
+    # round-over-round, so HEADLINE now equals the full registry)
+    "ann_brp_lsh_ml",
+    "asof_click_purchase_tolerance",
+    "curation_chunk_windows_udtf",
+    "curation_domain_mix",
+    "curation_hash_split",
+    "curation_stratified_sample",
+    "customer_running_spend",
+    "dedup_events_first",
+    "dedup_minhash_ml",
+    "dedup_simhash_groups",
+    "events_user_cardinality",
+    "events_user_cardinality_approx",
+    "fmt_csv_roundtrip",
+    "fmt_json_roundtrip",
+    "fmt_orc_roundtrip",
+    "fmt_partition_pruned_scan",
+    "lineitem_price_percentiles",
+    "lineitem_price_percentiles_approx",
+    "mm_ahash_fingerprint",
+    "mm_cdc_chunks",
+    "mm_pack_stats",
+    "order_scalar_functions",
+    "parts_setops",
+    "pu_binarize_gradual",
+    "pu_binarize_traditional",
+    "pu_doc_quality_lr",
+    "pu_iteration_stats",
+    "pu_label_index",
+    "pu_relabel_keep",
+    "pu_traditional_lr",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q20_dominant_shippers",
+    "q22_dormant_customers",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "rollup_order_status",
+    "segment_priority_matrix",
+    "sql_parts_by_brand",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_length_histogram",
+    "text_regex_tokens",
+    "text_token_stats",
+    "text_winnow_fingerprint",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's
