@@ -377,6 +377,15 @@ def calibrate(spark) -> dict[str, float]:
     }
 
 
+def _probe_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def main() -> None:
     spark = get_spark(app_name="pu4spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -442,6 +451,11 @@ def main() -> None:
         # machine-speed yardsticks (fixed work, see calibrate()):
         # divide totals by these before comparing across rounds
         **calib,
+        # per-round environment probe (VERDICT r2/r4): the
+        # transformWithStateInPandas twin stays env-gated until the
+        # container ships google.protobuf — record the probe so the
+        # artifact trail shows it was re-checked, not forgotten
+        "protobuf_available": _probe_protobuf(),
     }
     # Full per-query detail: printed first (scrolls out of the driver's
     # 2000-char tail capture, harmless) and persisted to a repo file the
