@@ -559,8 +559,12 @@ def q_text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     per row.
     """
     from pu4spark_spark.functions.textfns import nibble
+    from pu4spark_spark.plans import spread
 
-    docs = load_table(spark, "documents", sf_dir)
+    # single-file scan + interpreted HOF chain = the spread() case
+    # (SURVEY §5b): without it the whole corpus's rolling hashes run
+    # in ONE task (measured 9.1 s at sf0.1)
+    docs = spread(load_table(spark, "documents", sf_dir))
 
     def tok_code(t):
         h = F.md5(t)

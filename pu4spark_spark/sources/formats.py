@@ -132,8 +132,17 @@ def q_fmt_csv_roundtrip(spark: SparkSession, sf_dir: str):
 
     from pu4spark_spark.sources import load_table
 
-    orders = load_table(spark, "orders", sf_dir).select(
-        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    from pu4spark_spark.plans import spread
+
+    # single-file fixture scans arrive as ONE partition; the per-row
+    # timestamp formatting + IO of a text-format write is exactly the
+    # "heavy per-row work" case SURVEY §5b prescribes spread() for
+    # (measured 8.4 s -> ~1 s at sf0.1), and a distributed write is
+    # the correct 100 TB shape anyway
+    orders = spread(
+        load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+        )
     )
     path = _scratch(sf_dir, "csv")
     write_csv(orders, path)
@@ -172,8 +181,12 @@ def q_fmt_json_roundtrip(spark: SparkSession, sf_dir: str):
 
     from pu4spark_spark.sources import load_table
 
-    events = load_table(spark, "events", sf_dir).select(
-        "event_id", "user_id", "event_type", "value", "ts"
+    from pu4spark_spark.plans import spread
+
+    events = spread(
+        load_table(spark, "events", sf_dir).select(
+            "event_id", "user_id", "event_type", "value", "ts"
+        )
     )
     path = _scratch(sf_dir, "json")
     write_json(events, path)
@@ -207,8 +220,12 @@ def q_fmt_orc_roundtrip(spark: SparkSession, sf_dir: str):
 
     from pu4spark_spark.sources import load_table
 
-    li = load_table(spark, "lineitem", sf_dir).select(
-        "l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate"
+    from pu4spark_spark.plans import spread
+
+    li = spread(
+        load_table(spark, "lineitem", sf_dir).select(
+            "l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate"
+        )
     )
     path = _scratch(sf_dir, "orc")
     write_orc(li, path)

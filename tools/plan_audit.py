@@ -20,6 +20,19 @@ SF_DIR = "/root/testdata/sf0.001"  # plan shape is sf-independent
 
 #: query → what the plan must show (the audit claim)
 AUDITED = {
+    "lineitem_winsorized_mean": (
+        "P5/P95 boundaries from the per-group 64-bin histogram sketch "
+        "(fixed 64-counter aggregation state, map-side combined) — no "
+        "exact percentile aggregate anywhere in the plan; the clamp "
+        "pass is one map-side-combined aggregation over the broadcast "
+        "3-row boundary table."
+    ),
+    "events_user_gaps_pandas": (
+        "Hot-key-bounded UDAF: gaps and median-candidate ranks via "
+        "native Window (external-sort, spillable); only the <=2 "
+        "middle-ranked rows per user reach FlatMapGroupsInPandas — "
+        "per-group Arrow state is constant regardless of user size."
+    ),
     "q1_pricing_summary": (
         "Filter pushed into the parquet scan (PushedFilters on "
         "l_shipdate); ReadSchema pruned to the 7 touched columns; one "
