@@ -255,6 +255,9 @@ HEADLINE = [
     "text_regex_tokens",
     "text_token_stats",
     "text_winnow_fingerprint",
+    # round-5 additions: budgeted selection + quantile calibration
+    "curation_token_budget_threshold",
+    "text_quality_quantile_normalize",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's

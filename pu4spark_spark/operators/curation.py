@@ -31,6 +31,7 @@ from pu4spark_spark.functions.textfns import (
     tokens,
     word_shingles,
 )
+from pu4spark_spark.operators.text import SQL_QSCORE as _SQL_QSCORE
 from pu4spark_spark.sources import load_table
 
 # -- PII / sensitive-term redaction --------------------------------------
@@ -1604,6 +1605,150 @@ WHERE (cum * {SAMPLE_K}) // tw > ((cum - w) * {SAMPLE_K}) // tw
 """
 
 
+# -- token-budget quality threshold (data selection under budget) --------
+
+#: fraction of total corpus tokens the selection may keep
+BUDGET_FRAC = 0.4
+BUDGET_BINS = 64
+
+
+def q_curation_token_budget_threshold(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Data selection under a token budget: find the quality threshold
+    t* such that keeping docs with quality ≥ t* consumes ≈
+    ``BUDGET_FRAC`` of the corpus's tokens — the "best N tokens"
+    selection every budget-constrained pretraining run needs.
+
+    The naive formulation is a GLOBAL sort by quality with a running
+    token sum — a single-task sort at 100 TB.  Instead, the threshold
+    comes from a token-WEIGHTED 64-bin histogram of the quality score
+    (fixed sketch state, map-side combined; same chain as
+    ``lineitem_winsorized_mean``): cumulate token mass from the TOP
+    bin down, find the bin where the budget lands, interpolate t*
+    linearly in token mass.  A second exact pass filters ``quality ≥
+    t*`` and reports the realized selection — so the output carries
+    both the estimate and its exact outcome, and the whole chain
+    (binning, DESC cumulation, interpolation, filter) is replicated
+    IEEE arithmetic that DuckDB hash-checks bit-for-bit."""
+    docs = load_table(spark, "documents", sf_dir)
+    from pu4spark_spark.operators.text import quality_score_expr
+
+    tok = tokens("text")
+    base = docs.select(
+        "doc_id",
+        F.size(tok).cast("bigint").alias("n_tokens"),
+        quality_score_expr(tok).alias("q"),
+    )
+    gb = base.agg(
+        F.min("q").alias("mn"),
+        F.max("q").alias("mx"),
+        F.sum("n_tokens").alias("tot"),
+    )
+    binned = (
+        base.crossJoin(F.broadcast(gb))
+        .select(
+            F.least(
+                F.floor(
+                    ((F.col("q") - F.col("mn")) * F.lit(float(BUDGET_BINS)))
+                    / (F.col("mx") - F.col("mn"))
+                ),
+                F.lit(BUDGET_BINS - 1).cast("bigint"),
+            ).alias("bin"),
+            "n_tokens",
+        )
+        .groupBy("bin")
+        .agg(F.sum("n_tokens").alias("w"))
+    )
+    # cumulate token mass from the TOP (highest-quality bin first)
+    wdesc = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = binned.withColumn(
+        "cum_above", F.coalesce(F.sum("w").over(wdesc), F.lit(0))
+    )
+    probes = gb.withColumn(
+        "target", F.lit(BUDGET_FRAC) * F.col("tot").cast("double")
+    )
+    hit = probes.join(
+        F.broadcast(cum),
+        (F.col("cum_above").cast("double") < F.col("target"))
+        & (
+            F.col("target")
+            <= (F.col("cum_above") + F.col("w")).cast("double")
+        ),
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(BUDGET_BINS))
+    frac = (
+        F.col("target") - F.col("cum_above").cast("double")
+    ) / F.col("w").cast("double")
+    # taking `frac` of the bin's token mass from its TOP edge
+    thr = hit.select(
+        "mn",
+        "mx",
+        "tot",
+        "target",
+        (
+            F.col("mn")
+            + (F.col("bin").cast("double") + F.lit(1.0) - frac) * width
+        ).alias("threshold_est"),
+    )
+    picked = base.crossJoin(F.broadcast(thr)).filter(
+        F.col("q") >= F.col("threshold_est")
+    )
+    return picked.groupBy("threshold_est", "target", "tot").agg(
+        F.count(F.lit(1)).alias("n_docs_selected"),
+        F.sum("n_tokens").alias("tokens_selected"),
+    ).select(
+        "threshold_est",
+        F.col("target").alias("target_tokens"),
+        F.col("tot").alias("total_tokens"),
+        "n_docs_selected",
+        "tokens_selected",
+    )
+
+
+SQL_CURATION_TOKEN_BUDGET = f"""
+WITH base AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, {{QSCORE}} AS q
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+),
+gb AS (SELECT MIN(q) AS mn, MAX(q) AS mx, SUM(n_tokens) AS tot FROM base),
+binned AS (
+  SELECT least(floor(((q - mn) * {float(BUDGET_BINS)}) / (mx - mn)),
+               {BUDGET_BINS - 1}) AS bin,
+         SUM(n_tokens) AS w
+  FROM base, gb GROUP BY 1
+),
+cum AS (
+  SELECT bin, w,
+         COALESCE(SUM(w) OVER (ORDER BY bin DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_above
+  FROM binned
+),
+thr AS (
+  SELECT mn, mx, tot, {BUDGET_FRAC} * CAST(tot AS DOUBLE) AS target,
+         mn + (CAST(bin AS DOUBLE) + 1.0
+               - (({BUDGET_FRAC} * CAST(tot AS DOUBLE)
+                   - CAST(cum_above AS DOUBLE)) / CAST(w AS DOUBLE)))
+              * ((mx - mn) / {float(BUDGET_BINS)}) AS threshold_est
+  FROM gb, cum
+  WHERE CAST(cum_above AS DOUBLE) < {BUDGET_FRAC} * CAST(tot AS DOUBLE)
+    AND {BUDGET_FRAC} * CAST(tot AS DOUBLE)
+        <= CAST(cum_above + w AS DOUBLE)
+)
+SELECT t.threshold_est,
+       t.target AS target_tokens,
+       t.tot AS total_tokens,
+       COUNT(*) AS n_docs_selected,
+       CAST(SUM(b.n_tokens) AS BIGINT) AS tokens_selected
+FROM base b, thr t
+WHERE b.q >= t.threshold_est
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "curation_pii_redact": q_curation_pii_redact,
     "pipeline_corpus_release": q_pipeline_corpus_release,
@@ -1622,6 +1767,7 @@ QUERIES = {
     "curation_chunk_windows_udtf": q_curation_chunk_windows_udtf,
     "curation_bloom_decontaminate": q_curation_bloom_decontaminate,
     "curation_importance_sample": q_curation_importance_sample,
+    "curation_token_budget_threshold": q_curation_token_budget_threshold,
     "curation_epoch_shuffle": q_curation_epoch_shuffle,
     "curation_mix_planner": q_curation_mix_planner,
     "curation_fuzzy_decontaminate": q_curation_fuzzy_decontaminate,
@@ -1646,6 +1792,9 @@ ORACLE_SQL = {
     "curation_chunk_windows_udtf": SQL_CHUNK_WINDOWS_UDTF,
     "curation_bloom_decontaminate": SQL_BLOOM_DECONTAMINATE,
     "curation_importance_sample": SQL_IMPORTANCE_SAMPLE,
+    "curation_token_budget_threshold": SQL_CURATION_TOKEN_BUDGET.replace(
+        "{QSCORE}", _SQL_QSCORE
+    ),
     "curation_epoch_shuffle": SQL_EPOCH_SHUFFLE,
     "curation_mix_planner": SQL_MIX_PLANNER,
     "curation_fuzzy_decontaminate": SQL_FUZZY_DECONTAMINATE,

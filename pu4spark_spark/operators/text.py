@@ -54,6 +54,22 @@ FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
 STOPWORDS = ["table", "row", "value", "data", "query"]
 
 
+def quality_score_expr(tok) -> "F.Column":
+    """The corpus quality score ∈ [0,1] as a Column over a token array
+    — factored so the budget-threshold and quantile-normalize ops
+    score with EXACTLY the expression ``text_quality`` reports."""
+    n = F.size(tok)
+    stop_n = F.size(F.filter(tok, lambda t: t.isin(STOPWORDS)))
+    distinct_ratio = F.size(F.array_distinct(tok)).cast("double") / n
+    stop_ratio = stop_n.cast("double") / n
+    length_score = F.least(n.cast("double") / F.lit(50.0), F.lit(1.0))
+    return (
+        F.lit(0.4) * length_score
+        + F.lit(0.3) * distinct_ratio
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality score ∈ [0,1]: length component (≥50 tokens saturates),
     lexical diversity, and stopword-ratio penalty — the standard cheap
@@ -64,12 +80,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_n = F.size(F.filter(tok, lambda t: t.isin(STOPWORDS)))
     distinct_ratio = F.size(F.array_distinct(tok)).cast("double") / n
     stop_ratio = stop_n.cast("double") / n
-    length_score = F.least(n.cast("double") / F.lit(50.0), F.lit(1.0))
-    score = (
-        F.lit(0.4) * length_score
-        + F.lit(0.3) * distinct_ratio
-        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
-    )
+    score = quality_score_expr(tok)
     return docs.select(
         "doc_id",
         F.col("lang"),
@@ -81,13 +92,20 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
 
+#: the quality score as a DuckDB expression over a token list ``ws`` —
+#: kept verbatim-identical to :func:`quality_score_expr`'s IEEE chain
+SQL_QSCORE = (
+    "0.4 * least(CAST(len(ws) AS DOUBLE) / 50.0, 1.0)"
+    " + 0.3 * (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws))"
+    " + 0.3 * (1.0 - CAST(len(list_filter(ws, t -> t IN"
+    f" ({_STOP_IN}))) AS DOUBLE) / len(ws))"
+)
+
 SQL_TEXT_QUALITY = f"""
 SELECT doc_id, lang,
        CAST(len(list_filter(ws, t -> t IN ({_STOP_IN}))) AS DOUBLE) / len(ws) AS stop_ratio,
        CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS distinct_ratio,
-       0.4 * least(CAST(len(ws) AS DOUBLE) / 50.0, 1.0)
-       + 0.3 * (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws))
-       + 0.3 * (1.0 - CAST(len(list_filter(ws, t -> t IN ({_STOP_IN}))) AS DOUBLE) / len(ws))
+       {SQL_QSCORE}
          AS quality_score
 FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents)
 """
@@ -2024,6 +2042,128 @@ FROM binned GROUP BY bin
 """
 
 
+#: per-language quantile-normalization sketch width (shared shape with
+#: the winsorized/histogram-quantile chain in relational.py)
+QNORM_BINS = 64
+
+
+def q_text_quality_quantile_normalize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-language QUANTILE normalization of the quality score — the
+    calibration step before cross-language quality filtering: raw
+    scores aren't comparable across languages (stopword lists, length
+    norms and tokenizers bias them), so each doc is mapped to its
+    within-language quantile and one global threshold then means the
+    same thing in every language.
+
+    Scale shape: the per-language 64-bin histogram sketch (fixed
+    64-counter state per language, map-side combined — the same
+    fixed-memory chain as ``lineitem_winsorized_mean``) is built in
+    one pass; the per-doc assignment joins the langs×64-row cumulative
+    table back BROADCAST, so the normalize step itself is scan-stage
+    only — no data-sized shuffle anywhere.  The quantile estimate
+    interpolates linearly inside the containing bin; the whole chain
+    is replicated IEEE arithmetic, so DuckDB hash-checks the estimates
+    themselves (degenerate single-value languages pin bin 0 /
+    quantile 1.0 identically on both sides)."""
+    docs = load_table(spark, "documents", sf_dir)
+    base = docs.select(
+        "doc_id", "lang", quality_score_expr(tokens("text")).alias("q")
+    )
+    gb = base.groupBy("lang").agg(
+        F.min("q").alias("mn"),
+        F.max("q").alias("mx"),
+        F.count(F.lit(1)).alias("n_lang"),
+    )
+    degenerate = F.col("mx") == F.col("mn")
+    bin_expr = F.when(degenerate, F.lit(0).cast("bigint")).otherwise(
+        F.least(
+            F.floor(
+                ((F.col("q") - F.col("mn")) * F.lit(float(QNORM_BINS)))
+                / (F.col("mx") - F.col("mn"))
+            ),
+            F.lit(QNORM_BINS - 1).cast("bigint"),
+        )
+    )
+    binned = (
+        base.join(F.broadcast(gb), "lang")
+        .select("lang", bin_expr.alias("bin"))
+        .groupBy("lang", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wc = Window.partitionBy("lang").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = binned.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(wc), F.lit(0))
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(QNORM_BINS))
+    frac = F.when(degenerate, F.lit(1.0)).otherwise(
+        F.least(
+            (
+                F.col("q")
+                - (F.col("mn") + F.col("bin").cast("double") * width)
+            )
+            / width,
+            F.lit(1.0),
+        )
+    )
+    return (
+        base.join(F.broadcast(gb), "lang")
+        .withColumn("bin", bin_expr)
+        .join(F.broadcast(cum), ["lang", "bin"])
+        .select(
+            "doc_id",
+            "lang",
+            F.col("q").alias("quality_score"),
+            (
+                (
+                    F.col("cum_before").cast("double")
+                    + frac * F.col("cnt").cast("double")
+                )
+                / F.col("n_lang").cast("double")
+            ).alias("quantile_est"),
+        )
+    )
+
+
+SQL_TEXT_QUALITY_QUANTILE_NORMALIZE = f"""
+WITH base AS (
+  SELECT doc_id, lang, {SQL_QSCORE} AS q
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents)
+),
+gb AS (
+  SELECT lang, MIN(q) AS mn, MAX(q) AS mx, COUNT(*) AS n_lang
+  FROM base GROUP BY lang
+),
+assigned AS (
+  SELECT b.doc_id, b.lang, b.q, g.mn, g.mx, g.n_lang,
+         CASE WHEN g.mx = g.mn THEN 0
+              ELSE least(floor(((b.q - g.mn) * {float(QNORM_BINS)})
+                               / (g.mx - g.mn)), {QNORM_BINS - 1})
+         END AS bin
+  FROM base b JOIN gb g ON b.lang = g.lang
+),
+cum AS (
+  SELECT lang, bin, cnt,
+         COALESCE(SUM(cnt) OVER (PARTITION BY lang ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM (SELECT lang, bin, COUNT(*) AS cnt FROM assigned GROUP BY 1, 2)
+)
+SELECT a.doc_id, a.lang, a.q AS quality_score,
+       (CAST(c.cum_before AS DOUBLE)
+        + (CASE WHEN a.mx = a.mn THEN 1.0
+                ELSE least((a.q - (a.mn + CAST(a.bin AS DOUBLE)
+                                   * ((a.mx - a.mn) / {float(QNORM_BINS)})))
+                           / ((a.mx - a.mn) / {float(QNORM_BINS)}), 1.0)
+           END) * CAST(c.cnt AS DOUBLE))
+       / CAST(a.n_lang AS DOUBLE) AS quantile_est
+FROM assigned a JOIN cum c ON a.lang = c.lang AND a.bin = c.bin
+"""
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
     "text_bpe_pair_counts": q_text_bpe_pair_counts,
@@ -2057,6 +2197,7 @@ QUERIES = {
     "eval_quality_calibration": q_eval_quality_calibration,
     "eval_quality_threshold_sweep": q_eval_quality_threshold_sweep,
     "text_lang_quality_median_pandas": q_text_lang_quality_median_pandas,
+    "text_quality_quantile_normalize": q_text_quality_quantile_normalize,
 }
 
 ORACLE_SQL = {
@@ -2087,6 +2228,7 @@ ORACLE_SQL = {
     "eval_quality_calibration": SQL_EVAL_QUALITY_CALIBRATION,
     "eval_quality_threshold_sweep": SQL_EVAL_QUALITY_THRESHOLD_SWEEP,
     "text_lang_quality_median_pandas": SQL_TEXT_LANG_QUALITY_MEDIAN,
+    "text_quality_quantile_normalize": SQL_TEXT_QUALITY_QUANTILE_NORMALIZE,
     # text_tfidf_ml: ML — rows-only
     # text_bpe_learn_merges: iterative driver loop — rows-only
 }

@@ -27,6 +27,18 @@ AUDITED = {
         "pass is one map-side-combined aggregation over the broadcast "
         "3-row boundary table."
     ),
+    "curation_token_budget_threshold": (
+        "Budgeted selection WITHOUT a global quality sort: token-"
+        "weighted 64-bin histogram (fixed sketch state, map-side "
+        "combined), DESC cumulation + interpolation over the 64-row "
+        "table, then one broadcast of the 1-row threshold back over "
+        "the scan for the exact selection pass."
+    ),
+    "text_quality_quantile_normalize": (
+        "Per-language quantile assignment is scan-stage only: the "
+        "langs×64-row cumulative sketch joins back BROADCAST — no "
+        "data-sized shuffle in the normalize step."
+    ),
     "events_user_gaps_pandas": (
         "Hot-key-bounded UDAF: gaps and median-candidate ranks via "
         "native Window (external-sort, spillable); only the <=2 "
