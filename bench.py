@@ -217,7 +217,7 @@ HEADLINE = [
     "curation_stratified_sample",
     "customer_running_spend",
     "dedup_events_first",
-    "dedup_minhash_ml",
+    "dedup_minhash_ml_slice",
     "dedup_simhash_groups",
     "events_user_cardinality",
     "events_user_cardinality_approx",

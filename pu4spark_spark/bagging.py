@@ -46,7 +46,20 @@ class PUBaggingLearner(TwoStepPULearner):
     negatives; aggregation over random pseudo-negative draws replaces
     the mining step entirely."""
 
-    def __init__(self, classifier, n_rounds: int = 5, sample_frac: float = 0.5):
+    def __init__(
+        self,
+        classifier,
+        n_rounds: int = 5,
+        sample_frac: float = 0.5,
+        id_col: str | None = None,
+    ):
+        """``id_col`` names the stable row identifier the bag coin is
+        keyed on.  When ``None`` (default) it is auto-detected from
+        ``ID_CANDIDATES`` at ``weight()`` time — a documented
+        convenience fallback; pass it explicitly whenever the frame
+        carries an unrelated column named ``id``/``doc_id``/… (ADVICE
+        r5: silent auto-detection changes bag assignments).  The key
+        actually used is recorded on ``self.resolved_id_col_``."""
         super().__init__(rel_neg_threshold=0.0, classifier=classifier)
         if n_rounds < 1:
             raise ValueError("n_rounds must be >= 1")
@@ -54,6 +67,9 @@ class PUBaggingLearner(TwoStepPULearner):
             raise ValueError("sample_frac must be in (0, 1]")
         self.n_rounds = int(n_rounds)
         self.sample_frac = float(sample_frac)
+        self.id_col = id_col
+        #: the bag-coin key chosen by the last ``weight()`` call
+        self.resolved_id_col_: str | None = None
 
     #: stable row-identifier columns auto-detected for the bag coin
     ID_CANDIDATES = ("vec_id", "doc_id", "id", "row_id")
@@ -104,9 +120,18 @@ class PUBaggingLearner(TwoStepPULearner):
             .withColumn("__oob_s", F.lit(0.0))
             .withColumn("__oob_n", F.lit(0))
         )
-        id_col = next(
-            (c for c in self.ID_CANDIDATES if c in df.columns), None
-        )
+        if self.id_col is not None:
+            if self.id_col not in df.columns:
+                raise ValueError(
+                    f"id_col {self.id_col!r} not in input columns "
+                    f"{df.columns}"
+                )
+            id_col = self.id_col
+        else:
+            id_col = next(
+                (c for c in self.ID_CANDIDATES if c in df.columns), None
+            )
+        self.resolved_id_col_ = id_col
         prev: DataFrame | None = None
         for t in range(self.n_rounds):
             in_bag = ~is_pos & (

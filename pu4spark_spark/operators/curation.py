@@ -1645,18 +1645,23 @@ def q_curation_token_budget_threshold(
         F.max("q").alias("mx"),
         F.sum("n_tokens").alias("tot"),
     )
+    # degenerate all-equal-score corpus: pin bin 0 (the same guard as
+    # q_text_quality_quantile_normalize — an unguarded (mx-mn) division
+    # NULLs every bin and silently empties the result)
+    bin_expr = F.when(
+        F.col("mx") == F.col("mn"), F.lit(0).cast("bigint")
+    ).otherwise(
+        F.least(
+            F.floor(
+                ((F.col("q") - F.col("mn")) * F.lit(float(BUDGET_BINS)))
+                / (F.col("mx") - F.col("mn"))
+            ),
+            F.lit(BUDGET_BINS - 1).cast("bigint"),
+        )
+    )
     binned = (
         base.crossJoin(F.broadcast(gb))
-        .select(
-            F.least(
-                F.floor(
-                    ((F.col("q") - F.col("mn")) * F.lit(float(BUDGET_BINS)))
-                    / (F.col("mx") - F.col("mn"))
-                ),
-                F.lit(BUDGET_BINS - 1).cast("bigint"),
-            ).alias("bin"),
-            "n_tokens",
-        )
+        .select(bin_expr.alias("bin"), "n_tokens")
         .groupBy("bin")
         .agg(F.sum("n_tokens").alias("w"))
     )
@@ -1715,8 +1720,10 @@ WITH base AS (
 ),
 gb AS (SELECT MIN(q) AS mn, MAX(q) AS mx, SUM(n_tokens) AS tot FROM base),
 binned AS (
-  SELECT least(floor(((q - mn) * {float(BUDGET_BINS)}) / (mx - mn)),
-               {BUDGET_BINS - 1}) AS bin,
+  SELECT CASE WHEN mx = mn THEN 0
+              ELSE least(floor(((q - mn) * {float(BUDGET_BINS)}) / (mx - mn)),
+                         {BUDGET_BINS - 1})
+         END AS bin,
          SUM(n_tokens) AS w
   FROM base, gb GROUP BY 1
 ),
@@ -1740,7 +1747,7 @@ thr AS (
 )
 SELECT t.threshold_est,
        t.target AS target_tokens,
-       t.tot AS total_tokens,
+       CAST(t.tot AS BIGINT) AS total_tokens,
        COUNT(*) AS n_docs_selected,
        CAST(SUM(b.n_tokens) AS BIGINT) AS tokens_selected
 FROM base b, thr t

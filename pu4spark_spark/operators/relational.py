@@ -187,8 +187,9 @@ SQL_TOP_CUSTOMERS = """
 SELECT n_name, c_custkey, c_acctbal, rn
 FROM (
   SELECT n_name, c_custkey, c_acctbal,
-         ROW_NUMBER() OVER (PARTITION BY n_name
-                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+         CAST(ROW_NUMBER() OVER (PARTITION BY n_name
+                            ORDER BY c_acctbal DESC, c_custkey ASC)
+              AS INTEGER) AS rn
   FROM customer JOIN nation ON c_nationkey = n_nationkey
 )
 WHERE rn <= 3
@@ -374,7 +375,7 @@ def q_customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_RUNNING_SPEND = f"""
 SELECT o_custkey, o_orderkey,
        CAST(SUM(CAST(o_totalprice AS {_M})) OVER w AS DOUBLE) AS running_spend,
-       ROW_NUMBER() OVER w AS order_seq
+       CAST(ROW_NUMBER() OVER w AS INTEGER) AS order_seq
 FROM orders
 WHERE o_custkey < 100
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
@@ -2013,12 +2014,19 @@ def q_lineitem_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(gb), "l_returnflag")
         .select(
             "l_returnflag",
-            F.least(
-                F.floor(
-                    ((F.col("x") - F.col("mn")) * F.lit(float(HIST_BINS)))
-                    / (F.col("mx") - F.col("mn"))
-                ),
-                F.lit(HIST_BINS - 1).cast("bigint"),
+            # degenerate all-equal group: pin bin 0 (the quantile-
+            # normalize guard — unguarded (mx-mn) division NULLs the
+            # bins and the group vanishes from the output)
+            F.when(
+                F.col("mx") == F.col("mn"), F.lit(0).cast("bigint")
+            ).otherwise(
+                F.least(
+                    F.floor(
+                        ((F.col("x") - F.col("mn")) * F.lit(float(HIST_BINS)))
+                        / (F.col("mx") - F.col("mn"))
+                    ),
+                    F.lit(HIST_BINS - 1).cast("bigint"),
+                )
             ).alias("bin"),
         )
         .groupBy("l_returnflag", "bin")
@@ -2121,8 +2129,10 @@ WITH bounds AS (
                  AS cum_before
         FROM (
           SELECT l.l_returnflag,
-                 least(floor(((l.l_extendedprice - g.mn) * {_BINS_F})
-                             / (g.mx - g.mn)), {_BINS_M1}) AS bin,
+                 CASE WHEN g.mx = g.mn THEN 0
+                      ELSE least(floor(((l.l_extendedprice - g.mn) * {_BINS_F})
+                                       / (g.mx - g.mn)), {_BINS_M1})
+                 END AS bin,
                  COUNT(*) AS cnt
           FROM lineitem l JOIN (
             SELECT l_returnflag, MIN(l_extendedprice) AS mn,
@@ -2145,8 +2155,10 @@ agg AS (
                             AND l_extendedprice <= p95
                            THEN CAST(l_extendedprice AS DECIMAL(18,2)) END),
                   CAST(0 AS DECIMAL(18,2))) AS sum_mid,
-         SUM(CASE WHEN l_extendedprice < p05 THEN 1 ELSE 0 END) AS n_low,
-         SUM(CASE WHEN l_extendedprice > p95 THEN 1 ELSE 0 END) AS n_high,
+         CAST(SUM(CASE WHEN l_extendedprice < p05 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_low,
+         CAST(SUM(CASE WHEN l_extendedprice > p95 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_high,
          MAX(p05) AS p05,
          MAX(p95) AS p95
   FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
@@ -2603,7 +2615,7 @@ WITH spend AS (
 SELECT custkey, nationkey, CAST(spend AS DOUBLE) AS spend,
        percent_rank() OVER w AS pct_rank,
        cume_dist() OVER w AS cume,
-       ntile(4) OVER w AS quartile,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
        CAST(nth_value(spend, 1) OVER (PARTITION BY nationkey
               ORDER BY spend ASC, custkey ASC
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -3146,7 +3158,10 @@ cum AS (
   FROM binned
 ),
 probes AS (
-  SELECT mn, mx, n, p, p * CAST(n AS DOUBLE) AS target
+  -- DuckDB types the 0.25 literals DECIMAL(3,2); Spark's lit() is a
+  -- double — cast so the output's p column type-matches the driver
+  SELECT mn, mx, n, CAST(p AS DOUBLE) AS p,
+         CAST(p AS DOUBLE) * CAST(n AS DOUBLE) AS target
   FROM bounds, UNNEST([{", ".join(str(p) for p in HIST_PROBES)}]) AS t(p)
 )
 SELECT p, CAST(bin AS INTEGER) AS bin,

@@ -119,7 +119,7 @@ scored AS (
   FROM normed n, (SELECT * FROM normed WHERE vec_id < {N_QUERIES}) qs
   WHERE n.vec_id <> qs.vec_id
 )
-SELECT query_id, neighbor_id, cosine, rank FROM (
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
   SELECT query_id, neighbor_id, cosine,
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY cosine DESC, neighbor_id ASC) AS rank
@@ -175,7 +175,7 @@ scored AS (
     ON n.bucket = qs.bucket
   WHERE n.vec_id <> qs.vec_id
 )
-SELECT query_id, neighbor_id, cosine, rank FROM (
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
   SELECT query_id, neighbor_id, cosine,
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY cosine DESC, neighbor_id ASC) AS rank
@@ -348,7 +348,8 @@ def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_EMBEDDING_NORM_OUTLIERS = f"""
 WITH base AS (
-  SELECT vec_id, label, list_dot_product({_Q_SQL}, {_Q_SQL}) AS norm2
+  SELECT vec_id, label,
+         CAST(list_dot_product({_Q_SQL}, {_Q_SQL}) AS BIGINT) AS norm2
   FROM embeddings
 ),
 stats AS (
@@ -835,7 +836,8 @@ comp AS (
 pairs AS (
   SELECT i, qi, generate_subscripts(q, 1) - 1 AS j, unnest(q) AS qj FROM comp
 )
-SELECT i, j, SUM(qi * qj) AS gram_int,
+SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+       CAST(SUM(qi * qj) AS BIGINT) AS gram_int,
        CAST(SUM(qi * qj) AS DOUBLE) / (SELECT COUNT(*) FROM embeddings)
          / ({QUANT_SCALE} * {QUANT_SCALE}) AS gram_mean
 FROM pairs

@@ -1219,7 +1219,8 @@ pairs AS (
   SELECT wc, unnest(list_transform(range(1, len(w)), i -> substr(w, i, 2))) AS pair
   FROM vocab
 )
-SELECT pair, COUNT(*) AS n_positions, SUM(wc) AS total_freq
+SELECT pair, COUNT(*) AS n_positions,
+       CAST(SUM(wc) AS BIGINT) AS total_freq
 FROM pairs GROUP BY pair
 """
 
@@ -1301,7 +1302,7 @@ def q_text_kmv_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = F.lit(float(KMV_K - 1)) / u
     return kth.select(
         F.lit(KMV_K).alias("k"),
-        F.lit(exact).alias("exact_distinct"),
+        F.lit(exact).cast("long").alias("exact_distinct"),
         v.alias("kth_hash_int"),
         est.alias("kmv_estimate"),
         (F.abs(est - F.lit(float(exact))) / F.lit(float(exact))).alias(
@@ -1537,7 +1538,7 @@ r AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_neg
   FROM bins
 )
-SELECT SUM(p) AS n_pos, SUM(n) AS n_neg,
+SELECT CAST(SUM(p) AS BIGINT) AS n_pos, CAST(SUM(n) AS BIGINT) AS n_neg,
        CAST(SUM(p * (2 * cum_neg + n)) AS DOUBLE)
        / CAST(2 * SUM(p) * SUM(n) AS DOUBLE) AS auc
 FROM r

@@ -79,6 +79,7 @@ class JsonlDocsWriter(DataSourceWriter):
         if not self.path:
             raise ValueError("jsonl_docs writer requires option 'path'")
         self.fields = [f.name for f in schema.fields]
+        self.overwrite = overwrite
         if overwrite:
             # runs on the driver, pre-job (the writer is constructed
             # once driver-side before being pickled to tasks)
@@ -119,7 +120,15 @@ class JsonlDocsWriter(DataSourceWriter):
         import json as _json
         import os as _os
 
+        # append mode commits ON TOP of the existing log: start from the
+        # prior _MANIFEST so earlier jobs' shards stay visible to the
+        # manifest-preferring reader (overwrite already cleared the dir)
         manifest = {}
+        if not self.overwrite:
+            mpath = _os.path.join(self.path, "_MANIFEST")
+            if _os.path.exists(mpath):
+                with open(mpath) as fh:
+                    manifest = _json.load(fh)
         committed_tmp = set()
         for m in messages:
             if m is None:

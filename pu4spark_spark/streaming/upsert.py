@@ -271,7 +271,8 @@ def q_streaming_upsert_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAMING_UPSERT_DELETES = """
 SELECT o_orderstatus,
        COUNT(*) AS n_orders,
-       SUM(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS n_updated,
+       CAST(SUM(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_updated,
        CAST(SUM(CASE WHEN o_orderkey % 7 = 0
                      THEN CAST(o_totalprice AS DECIMAL(12,2))
                           + CAST('100.00' AS DECIMAL(12,2))

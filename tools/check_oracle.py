@@ -27,7 +27,10 @@ TABLES = (
 
 def canon(v):
     if isinstance(v, Decimal):
-        return float(v)
+        # Decimal stays Decimal (driver-grade strictness — no float
+        # coercion that could mask a type mismatch); normalize() gives a
+        # canonical exponent so '5' and '5.0' sort/compare identically
+        return v.normalize()
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, date):
@@ -46,6 +49,48 @@ def rowset(rows):
         (tuple(canon(v) for v in r) for r in rows),
         key=lambda t: tuple(str(x) for x in t),
     )
+
+
+#: DuckDB type-string → canonical Spark-style type name.  HUGEINT /
+#: UBIGINT deliberately map to names NO Spark type produces, so an
+#: uncast SUM(BIGINT) oracle column can never silently "pass" — the
+#: driver's hasher sees the physical type, so the self-check must too.
+_DUCK_BASE = {
+    "BIGINT": "bigint",
+    "INTEGER": "int",
+    "INT": "int",
+    "SMALLINT": "smallint",
+    "TINYINT": "tinyint",
+    "HUGEINT": "hugeint",
+    "UBIGINT": "ubigint",
+    "UINTEGER": "uint",
+    "DOUBLE": "double",
+    "FLOAT": "float",
+    "REAL": "float",
+    "VARCHAR": "string",
+    "BOOLEAN": "boolean",
+    "DATE": "date",
+    "TIMESTAMP": "timestamp",
+    "TIMESTAMP WITH TIME ZONE": "timestamp",
+    "TIMESTAMP_NS": "timestamp",
+    "BLOB": "binary",
+}
+
+
+def duck_canon_type(t: str) -> str:
+    t = t.strip()
+    if t.endswith("[]"):
+        return f"array<{duck_canon_type(t[:-2])}>"
+    u = t.upper()
+    if u in _DUCK_BASE:
+        return _DUCK_BASE[u]
+    if u.startswith("DECIMAL"):
+        return u.lower().replace(" ", "")
+    return u.lower()
+
+
+def spark_canon_type(simple: str) -> str:
+    return simple.replace("timestamp_ntz", "timestamp")
 
 
 def approx_equal(a, b, tol=1e-9):
@@ -97,6 +142,10 @@ def main() -> int:
         try:
             sdf = fn(spark, SF_DIR)
             scols = sorted(sdf.columns)
+            stypes = {
+                f.name: spark_canon_type(f.dataType.simpleString())
+                for f in sdf.schema.fields
+            }
             srows = [[r[c] for c in scols] for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
@@ -128,8 +177,12 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
-            rel = con.execute(oracles[name])
-            dcols_raw = [d[0] for d in rel.description]
+            rel = con.sql(oracles[name])
+            dcols_raw = list(rel.columns)
+            dtypes = {
+                c: duck_canon_type(str(t))
+                for c, t in zip(rel.columns, rel.types)
+            }
             drows_raw = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
@@ -150,6 +203,17 @@ def main() -> int:
         problems = []
         if scols != dcols:
             problems.append(f"columns differ: spark={scols} duckdb={dcols}")
+        else:
+            # driver-grade TYPE parity: the driver hashes the physical
+            # output types, so an oracle HUGEINT/DOUBLE against a Spark
+            # BIGINT is a failure even when every value is equal
+            tdiff = {
+                c: (stypes[c], dtypes[c])
+                for c in scols
+                if stypes[c] != dtypes[c]
+            }
+            if tdiff:
+                problems.append(f"types differ: {tdiff}")
         if len(srows) != len(drows):
             problems.append(f"rowcount differs: spark={len(srows)} duckdb={len(drows)}")
         if not problems:
