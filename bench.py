@@ -258,6 +258,9 @@ HEADLINE = [
     # round-5 additions: budgeted selection + quantile calibration
     "curation_token_budget_threshold",
     "text_quality_quantile_normalize",
+    # round-6 additions: driver-hash-witnessed PU loop convergence traces
+    "pu_traditional_trace",
+    "pu_gradual_trace",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's
@@ -380,6 +383,66 @@ def calibrate(spark) -> dict[str, float]:
     }
 
 
+#: frozen workload-shaped calibration suite (VERDICT r5 next #3): the
+#: numpy and spark-range probes disagreed 1.68× vs 1.05× on the same
+#: host slowdown, leaving a ±60% normalization band.  These three are
+#: FROZEN (inline SQL over the frozen sf0.01 snapshot, independent of
+#: the query registry, never edited once committed in r6) and shaped
+#: like the workload itself: a scan-agg, a shuffle join, and an
+#: explode-groupBy.  Each is measured best-of-2 (GC/scheduler noise
+#: lands on one run, not both) both BEFORE and AFTER the headline loop,
+#: so cross-round reads normalize by a yardstick that moves with the
+#: same machine subsystems the workload uses — and intra-run drift
+#: (heap pressure accumulating over 200+ queries) is visible as
+#: post/pre ratio.
+CALIB_SF_DIR = "/root/testdata/sf0.01"
+_CALIB_QUERIES = {
+    "calib_scan_agg": """
+        SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sq,
+               sum(l_extendedprice * (1 - l_discount)) AS srev,
+               count(*) AS n
+        FROM {li} GROUP BY l_returnflag, l_linestatus
+    """,
+    "calib_shuffle_join": """
+        SELECT o.o_orderpriority, count(DISTINCT o.o_orderkey) AS n_orders,
+               sum(l.l_extendedprice) AS srev
+        FROM {ord} o JOIN {li} l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+    "calib_explode_group": """
+        SELECT tok, count(*) AS n
+        FROM (SELECT explode(split(text, ' ')) AS tok FROM {docs})
+        GROUP BY tok ORDER BY n DESC, tok LIMIT 50
+    """,
+}
+
+
+def calibrate_workload(spark) -> dict[str, float]:
+    """Best-of-2 per frozen probe query; returns per-probe seconds plus
+    their total."""
+    li = os.path.join(CALIB_SF_DIR, "lineitem.parquet")
+    orders = os.path.join(CALIB_SF_DIR, "orders.parquet")
+    docs = os.path.join(CALIB_SF_DIR, "documents.parquet")
+    views = {
+        "li": f"parquet.`{li}`",
+        "ord": f"parquet.`{orders}`",
+        "docs": f"parquet.`{docs}`",
+    }
+    out: dict[str, float] = {}
+    for name, sql in _CALIB_QUERIES.items():
+        q = sql.format(**views)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            spark.sql(q).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        out[name] = round(best, 3)
+    out["calib_workload_sec"] = round(
+        sum(v for k, v in out.items() if k != "calib_workload_sec"), 3
+    )
+    return out
+
+
 def _probe_protobuf() -> bool:
     try:
         import google.protobuf  # noqa: F401
@@ -393,7 +456,11 @@ def main() -> None:
     spark = get_spark(app_name="pu4spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
     prime_page_cache(SF_DIR)
+    prime_page_cache(CALIB_SF_DIR)
     calib = calibrate(spark)
+    calib_pre = {
+        f"{k}_pre": v for k, v in calibrate_workload(spark).items()
+    }
     # one-off setup, untimed: the band-signature artifact is a
     # write-once corpus asset; the steady-state probe query must be
     # measured against an EXISTING artifact, not billed for its build
@@ -439,6 +506,9 @@ def main() -> None:
         if name in R1_SUBSET:
             r1_conv[name] = round(write_elapsed, 3)
 
+    calib_post = {
+        f"{k}_post": v for k, v in calibrate_workload(spark).items()
+    }
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
     detail = {
@@ -454,6 +524,12 @@ def main() -> None:
         # machine-speed yardsticks (fixed work, see calibrate()):
         # divide totals by these before comparing across rounds
         **calib,
+        # PRIMARY cross-round yardstick (r6+): frozen workload-shaped
+        # mini-suite, best-of-2, run before and after the headline
+        # loop — normalize round-over-round totals by
+        # calib_workload_sec_pre (or its pre/post mean)
+        **calib_pre,
+        **calib_post,
         # per-round environment probe (VERDICT r2/r4): the
         # transformWithStateInPandas twin stays env-gated until the
         # container ships google.protobuf — record the probe so the

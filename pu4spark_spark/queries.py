@@ -80,57 +80,64 @@ if missing:
 #: pytest property/golden coverage plus the committed full-registry
 #: self-check (``tools/check_oracle.py`` → ``CORRECTNESS_FULL_r0N``).
 DRIVER_FIRST = [
-    # cheapest never-witnessed first (sf0.1 bench seconds in comments)
-    "curation_epoch_shuffle",          # 0.13
-    "text_zscore_by_lang",             # 0.18
-    "text_bpe_pair_counts",            # 0.20
-    "events_audience_bitmap",          # 0.21
-    "events_time_rollup",              # 0.25
-    "eval_quality_calibration",        # 0.25
-    "events_hourly_anomalies",         # 0.26
-    "curation_mix_planner",            # 0.27
-    "curation_dup_rate_by_source",     # 0.27
-    "fmt_text_roundtrip",              # 0.27
-    "orders_unpivot_metrics",          # 0.28
-    "events_dow_hour_matrix",          # 0.29
-    "embedding_norm_outliers",         # 0.30
-    "eval_quality_auc",                # 0.30
-    "q13_custdist",                    # 0.32
-    "q19_disjunctive",                 # 0.35
-    "audit_join_explosion",            # 0.36
-    "text_commonness",                 # 0.37
-    "text_lang_quality_median_pandas", # 0.38
-    "events_value_trend",              # 0.39
-    "text_cms_frequency",              # 0.39
-    "events_transition_matrix",        # 0.39
-    "mm_arrow_payload_stats",          # 0.40
-    "text_search_tfdf",                # 0.46
-    "q17_small_quantity",              # 0.47
-    "lineitem_histogram_quantiles",    # 0.47
-    "audit_join_key_skew",             # 0.49
-    "customer_spend_distribution",     # 0.49
-    "events_sliding_windows",          # 0.53
-    "customer_spend_quartiles",        # 0.54
-    "dedup_semantic_keep",             # 0.58
-    "fmt_schema_evolution_scan",       # 0.59
-    "embedding_dim_variance",          # 0.59
-    "text_stopword_discovery",         # 0.59
-    "q7_nation_volume",                # 0.61
-    "fmt_pyds_jsonl_roundtrip",        # 0.61
-    "events_variant_stats",            # 0.62
-    "text_bigram_lm",                  # 0.63
-    "streaming_lang_router",           # 0.64
-    "q12_shipmode",                    # 0.68
-    "sessions_busy_overlap",           # 0.70
-    "fmt_json_corrupt_quarantine",     # 0.72
-    "audit_table_diff",                # 0.78
-    "lineitem_orders_shj",             # 0.82
-    "embedding_gram_matrix",           # 0.85
-    "embedding_inertia_by_label",      # 0.89
-    "q9_profit",                       # 0.91
-    "q18_large_orders",                # 0.93
-    "curation_soft_dedup_weights",     # 0.94
-    "text_bigram_novelty",             # 0.97
+    # Round-6 rotation (tools/rotation.py over r01-r05 artifacts +
+    # BENCH_DETAIL): r01∪…∪r05 witness 162 of 223.  First the 4 queries
+    # the r05 driver hash-FAILED on output type (now cast to Spark's
+    # exact types; the fix itself must get driver-witnessed), then ALL
+    # 45 remaining never-witnessed oracle-backed queries cheapest-first
+    # (sf0.1 bench seconds in comments) incl. the two new r6 PU loop
+    # traces — after this window, every oracle-backed query in the
+    # registry has driver-recorded evidence (only the 15 rows-only ML
+    # entries remain self-check-only).
+    "text_bpe_pair_counts",            # 0.20  r05 type-red, re-cast
+    "embedding_norm_outliers",         # 0.30  r05 type-red, re-cast
+    "eval_quality_auc",                # 0.30  r05 type-red, re-cast
+    "embedding_gram_matrix",           # 0.85  r05 type-red, re-cast
+    "text_length_histogram",           # 0.155
+    "q6_forecast_revenue",             # 0.254
+    "curation_chunk_windows_udtf",     # 0.34
+    "q22_dormant_customers",           # 0.343
+    "q15_top_supplier",                # 0.478
+    "q20_dominant_shippers",           # 0.61
+    "text_quality_quantile_normalize", # 0.675
+    "fmt_json_roundtrip",              # 0.784
+    "q11_important_parts",             # 0.79
+    "ann_matryoshka_recall",           # 0.855
+    "q8_market_share",                 # 0.91
+    "text_vocab_growth",               # 0.921
+    "fmt_csv_roundtrip",               # 0.967
+    "curation_token_budget_threshold", # 0.995
+    "q2_min_supplier",                 # 1.026
+    "fmt_pyds_jsonl_write_roundtrip",  # 1.069
+    "streaming_ingest_dedup",          # 1.118
+    "dedup_containment",               # 1.147
+    "q16_supplier_counts",             # 1.185
+    "mm_ahash_fingerprint",            # 1.292
+    "streaming_static_enrich",         # 1.301
+    "fmt_orc_roundtrip",               # 1.312
+    "audit_referential_integrity",     # 1.362
+    "pipeline_incremental_release",    # 1.433
+    "dedup_graph_degree_histogram",    # 1.467
+    "streaming_cms_merge",             # 1.501
+    "lineitem_winsorized_mean",        # 1.507  + r6 type re-cast
+    "dedup_minhash_estimate",          # 1.547
+    "streaming_sliding_windows",       # 1.565
+    "q21_sole_returns",                # 1.602
+    "fmt_dpp_fact_scan",               # 1.721
+    "dedup_triangles",                 # 1.787
+    "text_kmv_distinct_shingles",      # 1.792  + r6 type re-cast
+    "part_copurchase_pairs",           # 1.824
+    "streaming_upsert_compact",        # 2.066
+    "streaming_upsert_deletes",        # 2.079  + r6 type re-cast
+    "mm_ahash_near_dup",               # 2.296
+    "dedup_canonical_docs",            # 2.554
+    "curation_bloom_decontaminate",    # 3.612
+    "streaming_pyds_docs",             # 3.627
+    "sql_docs_clean",                  # 3.999
+    "streaming_left_outer_join",       # 5.868
+    "corpus_lang_similarity",          # 6.51
+    "pu_traditional_trace",            # new in r6
+    "pu_gradual_trace",                # new in r6
 ]
 
 _first = [n for n in DRIVER_FIRST if n in QUERIES]

@@ -268,3 +268,31 @@ def test_pyds_writer_transactional_commit(spark, tmp_path):
     ).save()
     back2 = spark.read.format("jsonl_docs").option("path", out).load()
     assert [r["doc_id"] for r in back2.collect()] == [100]
+
+
+def test_pyds_writer_append_merges_manifest(spark, tmp_path):
+    """ADVICE r5: a second job in mode('append') must MERGE its shards
+    into the existing _MANIFEST — before the fix, commit() overwrote
+    the manifest with only the new job's shards and, since the reader
+    prefers the manifest over directory listing, every previously
+    committed row silently vanished."""
+    import json
+    import os
+
+    from pu4spark_spark.sources.pydatasource import JsonlDocsDataSource
+
+    spark.dataSource.register(JsonlDocsDataSource)
+    out = str(tmp_path / "docs_append")
+    ddl = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(
+        [(i, f"t{i}", "en", "s", 2) for i in range(5)], ddl
+    ).write.format("jsonl_docs").option("path", out).mode("overwrite").save()
+    spark.createDataFrame(
+        [(i, f"t{i}", "de", "s", 2) for i in range(100, 103)], ddl
+    ).write.format("jsonl_docs").option("path", out).mode("append").save()
+
+    manifest = json.load(open(os.path.join(out, "_MANIFEST")))
+    assert sum(manifest.values()) == 8
+    back = spark.read.format("jsonl_docs").option("path", out).load()
+    got = sorted(r["doc_id"] for r in back.collect())
+    assert got == [0, 1, 2, 3, 4, 100, 101, 102]

@@ -518,3 +518,93 @@ def test_elkan_c_matches_class_prior_c_hat(spark):
     assert set(got) == set(expected)
     for k in got:
         assert abs(got[k] - expected[k]) < 1e-9, k
+
+
+def test_traditional_trace_protocol(spark):
+    """The driver-witnessed convergence trace replays the exact loop
+    protocol: monotone non-increasing mining, invariant totals, and
+    the new_rel_neg==0 early exit strictly inside the bound."""
+    from pu4spark_spark.operators.pu_queries import (
+        _TRACE_MAX_ITERS,
+        q_pu_traditional_trace,
+    )
+
+    rows = q_pu_traditional_trace(spark, "/root/testdata/sf0.001").collect()
+    assert 2 <= len(rows) <= _TRACE_MAX_ITERS
+    assert [r["iteration"] for r in rows] == list(range(1, len(rows) + 1))
+    # positives never change; total_rows constant
+    assert len({r["total_pos"] for r in rows}) == 1
+    assert len({r["total_rows"] for r in rows}) == 1
+    # rel-neg mass only grows; undef only shrinks (Traditional never
+    # demotes), and the trace ends exactly at the first dry iteration
+    for a, b in zip(rows, rows[1:]):
+        assert b["total_rel_neg"] >= a["total_rel_neg"]
+        assert b["total_undef"] <= a["total_undef"]
+        assert a["new_rel_neg"] > 0  # only the LAST row may be 0
+    assert rows[-1]["new_rel_neg"] == 0  # scorer freezes at iter 3
+    # conservation each iteration
+    for r in rows:
+        assert (
+            r["total_pos"] + r["total_rel_neg"] + r["total_undef"]
+            == r["total_rows"]
+        )
+
+
+def test_gradual_trace_protocol(spark):
+    """The GradRed trace honors the verbatim 3-clause do-while: every
+    non-terminal body iteration satisfied it, the terminal one broke
+    it; positives invariant; iterations 2+ only demote."""
+    from pu4spark_spark.operators.pu_queries import (
+        _TRACE_MAX_ITERS,
+        q_pu_gradual_trace,
+    )
+
+    rows = q_pu_gradual_trace(spark, "/root/testdata/sf0.001").collect()
+    assert 2 <= len(rows) <= _TRACE_MAX_ITERS
+    assert len({r["total_pos"] for r in rows}) == 1
+    total_pos = rows[0]["total_pos"]
+    # iteration 1 mines from UNDEF: gain = mined count
+    assert rows[0]["cur_gain"] == rows[0]["new_rel_neg"] > 0
+    # iterations 2+ re-threshold REL_NEG only: nothing newly mined,
+    # rel-neg mass shrinks by exactly cur_gain
+    for a, b in zip(rows, rows[1:]):
+        assert b["new_rel_neg"] == 0
+        assert b["cur_gain"] == a["total_rel_neg"] - b["total_rel_neg"]
+    # the do-while held for every non-terminal body row, broke at the end
+    def cond(prev_gain, r):
+        return (
+            r["cur_gain"] > 0
+            and r["cur_gain"] < prev_gain
+            and total_pos < r["total_rel_neg"]
+        )
+
+    prev_gain = float("inf")
+    for r in rows[1:-1]:
+        assert cond(rows[rows.index(r) - 1]["cur_gain"], r)
+    if len(rows) < _TRACE_MAX_ITERS:
+        assert not cond(rows[-2]["cur_gain"], rows[-1])
+
+
+def test_bagging_explicit_id_col(spark):
+    """ADVICE r5: id_col is an explicit constructor parameter; the
+    chosen key is recorded, an unknown key raises, and changing the
+    key changes bag assignments (so auto-detection is auditable)."""
+    import pytest as _pytest
+
+    from pu4spark_spark.bagging import PUBaggingLearner
+    from pu4spark_spark.config import LogisticRegressionConfig
+
+    df = separable_cloud(spark, n=120)
+    clf = LogisticRegressionConfig(maxIter=5).build()
+    auto = PUBaggingLearner(clf, n_rounds=2)
+    auto.weight(df, "label", "features")
+    assert auto.resolved_id_col_ == "id"  # auto-detected
+
+    explicit = PUBaggingLearner(clf, n_rounds=2, id_col="id")
+    explicit.weight(df, "label", "features")
+    assert explicit.resolved_id_col_ == "id"
+
+    with _pytest.raises(ValueError, match="id_col"):
+        PUBaggingLearner(clf, n_rounds=2, id_col="nope").weight(
+            df, "label", "features"
+        )
