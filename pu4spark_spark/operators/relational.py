@@ -2900,6 +2900,92 @@ FROM counts
 """
 
 
+# -- corpus drift audit: early-vs-late event-type distribution -----------
+
+def q_events_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal drift audit: the event-type distribution of the stream's
+    EARLY half vs its LATE half, per-type share deltas, and the total-
+    variation distance — the "did the data change under me?" check a
+    pipeline runs before assuming a sample (or a trained filter) from
+    last month still represents this month.
+
+    The halves split at the midpoint of the observed time RANGE —
+    ``(min_us + max_us) div 2`` in exact integer microseconds (a true
+    median needs a global order statistic; the range midpoint is one
+    1-row agg and deterministic in both engines; epoch sums stay well
+    under 2^63).  Scale shape: one 1-row bounds agg broadcast back,
+    then ONE map-side-combined groupBy over the ≤|types| key space;
+    the share/TVD windows run over that ≤|types|-row table (single
+    tiny task by design).  Counts exact int64; shares and the TVD are
+    replicated IEEE chains, so the oracle hash-checks the distances."""
+    ev = load_table(spark, "events", sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    # `div` = exact integer division on both sides (a double `/2` then
+    # cast would TRUNCATE in Spark but ROUND in DuckDB on odd sums)
+    bounds = ev.agg(
+        F.min(us).alias("__mn"), F.max(us).alias("__mx")
+    ).select(F.expr("(__mn + __mx) div 2").alias("__cut"))
+    counts = (
+        ev.select("event_type", us.alias("__us"))
+        .crossJoin(F.broadcast(bounds))
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("__us") <= F.col("__cut")).cast("long")).alias(
+                "n_early"
+            ),
+            F.sum((F.col("__us") > F.col("__cut")).cast("long")).alias(
+                "n_late"
+            ),
+        )
+    )
+    w = Window.partitionBy()
+    share_e = F.col("n_early").cast("double") / F.sum("n_early").over(w)
+    share_l = F.col("n_late").cast("double") / F.sum("n_late").over(w)
+    # two projection layers: window expressions can't nest inside the
+    # TVD's own window aggregate
+    shares = counts.select(
+        "event_type",
+        "n_early",
+        "n_late",
+        share_e.alias("share_early"),
+        share_l.alias("share_late"),
+        F.abs(share_e - share_l).alias("drift_abs"),
+    )
+    return shares.withColumn(
+        "tvd", F.lit(0.5) * F.sum("drift_abs").over(w)
+    )
+
+
+SQL_EVENTS_TYPE_DRIFT = """
+WITH cut AS (
+  SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS c
+  FROM events
+),
+counts AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN epoch_us(ts) <= c THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_early,
+         CAST(SUM(CASE WHEN epoch_us(ts) > c THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_late
+  FROM events, cut GROUP BY event_type
+),
+shares AS (
+  SELECT event_type, n_early, n_late,
+         CAST(n_early AS DOUBLE) / CAST(SUM(n_early) OVER () AS DOUBLE)
+           AS share_early,
+         CAST(n_late AS DOUBLE) / CAST(SUM(n_late) OVER () AS DOUBLE)
+           AS share_late,
+         abs(CAST(n_early AS DOUBLE) / CAST(SUM(n_early) OVER () AS DOUBLE)
+             - CAST(n_late AS DOUBLE) / CAST(SUM(n_late) OVER () AS DOUBLE))
+           AS drift_abs
+  FROM counts
+)
+SELECT event_type, n_early, n_late, share_early, share_late, drift_abs,
+       0.5 * SUM(drift_abs) OVER () AS tvd
+FROM shares
+"""
+
+
 # -- Merkle-style table reconciliation ----------------------------------
 
 DIFF_BUCKETS = 32
@@ -3184,6 +3270,7 @@ QUERIES = {
     "lineitem_histogram_quantiles": q_lineitem_histogram_quantiles,
     "events_audience_bitmap": q_events_audience_bitmap,
     "events_transition_matrix": q_events_transition_matrix,
+    "events_type_drift": q_events_type_drift,
     "lineitem_orders_shj": q_lineitem_orders_shj,
     "lineitem_orders_bucketed_join": q_lineitem_orders_bucketed_join,
     "customer_spend_distribution": q_customer_spend_distribution,
@@ -3246,6 +3333,7 @@ ORACLE_SQL = {
     "lineitem_histogram_quantiles": SQL_LINEITEM_HISTOGRAM_QUANTILES,
     "events_audience_bitmap": SQL_EVENTS_AUDIENCE_BITMAP,
     "events_transition_matrix": SQL_EVENTS_TRANSITION_MATRIX,
+    "events_type_drift": SQL_EVENTS_TYPE_DRIFT,
     "lineitem_orders_shj": SQL_LINEITEM_ORDERS_SHJ,
     "lineitem_orders_bucketed_join": SQL_LINEITEM_ORDERS_BUCKETED,
     "customer_spend_distribution": SQL_CUSTOMER_SPEND_DISTRIBUTION,

@@ -2165,8 +2165,83 @@ FROM assigned a JOIN cum c ON a.lang = c.lang AND a.bin = c.bin
 """
 
 
+# -- within-doc duplicated n-gram fraction (Gopher repetition rules) -----
+
+#: keep thresholds: docs whose duplicate 4-gram occurrence fraction or
+#: duplicate 8-gram fraction exceed these are repetition-flagged (the
+#: Gopher-family "fraction of duplicate n-grams" rules; Rae et al. 2021
+#: use char-weighted 0.14-0.18 bounds for n=5..10 — occurrence-fraction
+#: analogues here, same filter intent)
+DUP4_MAX = 0.30
+DUP8_MAX = 0.15
+
+
+def q_text_intradoc_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document duplicated n-gram fractions (n=4 and n=8) plus
+    the keep/flag verdict — the Gopher repetition rule family member
+    that ``curation_repetition`` (top-bigram CONCENTRATION) doesn't
+    cover: a doc can have low top-gram concentration yet be stitched
+    from repeated long spans, which the duplicate-8-gram fraction
+    catches.
+
+    Scale shape — the cheapest operator in the repo: the n-gram
+    arrays, their distinct counts, and both fractions are PURE per-row
+    array expressions (``word_shingles`` → ``array_distinct`` →
+    ``size``), so the whole rule runs in the scan stage with ZERO
+    exchanges — at 100 TB this is a free rider on any corpus pass
+    (contrast: the concentration rule needs a (doc,gram)-keyed
+    shuffle).  Counts are exact ints; the two divisions are the only
+    IEEE ops, replicated verbatim in the oracle."""
+    docs = load_table(spark, "documents", sf_dir)
+    toked = docs.select("doc_id", tokens("text").alias("__t"))
+    out_cols = ["doc_id"]
+    fracs = []
+    for n in (4, 8):
+        sh = word_shingles(F.col("__t"), n)
+        total = F.size(sh)
+        dup = total - F.size(F.array_distinct(sh))
+        frac = F.when(
+            total > 0, dup.cast("double") / total.cast("double")
+        ).otherwise(F.lit(0.0))
+        out_cols += [
+            total.alias(f"n_grams{n}"),
+            dup.alias(f"n_dup{n}"),
+            frac.alias(f"dup_frac{n}"),
+        ]
+        fracs.append(frac)
+    keep = (fracs[0] <= DUP4_MAX) & (fracs[1] <= DUP8_MAX)
+    return toked.select(*out_cols, keep.alias("keep"))
+
+
+def _sql_intradoc_dup() -> str:
+    parts, keeps = [], []
+    for n, mx in ((4, DUP4_MAX), (8, DUP8_MAX)):
+        sh = sql_word_shingles("text", n)
+        total = f"CAST(len({sh}) AS INTEGER)"
+        dup = f"CAST(len({sh}) - len(list_distinct({sh})) AS INTEGER)"
+        frac = (
+            f"CASE WHEN {total} > 0 THEN CAST({dup} AS DOUBLE)"
+            f" / CAST({total} AS DOUBLE) ELSE 0.0 END"
+        )
+        parts.append(
+            f"{total} AS n_grams{n}, {dup} AS n_dup{n}, {frac} AS dup_frac{n}"
+        )
+        keeps.append(f"({frac}) <= {mx}")
+    return (
+        "SELECT doc_id, "
+        + ", ".join(parts)
+        + ", ("
+        + " AND ".join(keeps)
+        + ") AS keep FROM documents"
+    )
+
+
+SQL_TEXT_INTRADOC_DUP = _sql_intradoc_dup()
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
+    "text_intradoc_dup_ngrams": q_text_intradoc_dup_ngrams,
     "text_bpe_pair_counts": q_text_bpe_pair_counts,
     # rows-only: iterative driver loop (CPython reference-tested)
     "text_bpe_learn_merges": q_text_bpe_learn_merges,
@@ -2204,6 +2279,7 @@ QUERIES = {
 ORACLE_SQL = {
     "text_token_stats": SQL_TOKEN_STATS,
     "text_bpe_pair_counts": SQL_TEXT_BPE_PAIRS,
+    "text_intradoc_dup_ngrams": SQL_TEXT_INTRADOC_DUP,
     "text_quality": SQL_TEXT_QUALITY,
     "text_lang_id": SQL_TEXT_LANG_ID,
     "text_langid_confusion": SQL_TEXT_LANGID_CONFUSION,

@@ -138,6 +138,7 @@ DRIVER_FIRST = [
     "corpus_lang_similarity",          # 6.51
     "pu_traditional_trace",            # new in r6
     "pu_gradual_trace",                # new in r6
+    "text_intradoc_dup_ngrams",        # new in r6 (fills the 50th slot)
 ]
 
 _first = [n for n in DRIVER_FIRST if n in QUERIES]

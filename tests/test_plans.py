@@ -553,3 +553,33 @@ def test_winsorized_boundaries_are_sketch_not_exact_percentile(spark):
     # the sketch's fingerprints: equi-width binning + cumulative window
     assert re.search(r"\bFLOOR\(", plan, re.IGNORECASE), plan
     assert "specifiedwindowframe" in plan.lower() or "Window" in plan, plan
+
+
+def test_intradoc_dup_ngrams_zero_exchange(spark):
+    """The Gopher dup-ngram rule must be a pure scan-stage projection:
+    n-gram arrays, distinct counts, fractions, and the keep flag are
+    per-row array expressions — ZERO exchanges, so at 100 TB the rule
+    rides any corpus pass for free."""
+    from pu4spark_spark.operators.text import q_text_intradoc_dup_ngrams
+
+    plan = explain_str(q_text_intradoc_dup_ngrams(spark, SF_DIR))
+    assert ") Exchange" not in plan, plan
+    assert "BroadcastExchange" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_events_type_drift_shape(spark):
+    """Drift audit: one 1-row scalar broadcast (the BNLJ-cross scalar
+    pattern), one map-side-combined groupBy over the ≤|types| key
+    space, windows only over that tiny aggregated table — exactly two
+    data-bearing exchanges (agg partials + the single-partition window
+    feed), never a data-sized join or sort."""
+    from pu4spark_spark.operators.relational import q_events_type_drift
+
+    plan = explain_str(q_events_type_drift(spark, SF_DIR))
+    # scalar broadcast join is the only join; no data-sized SMJ
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin Cross BuildRight" in plan, plan
+    # partial->final aggregation (map-side combine) present
+    assert plan.lower().count("hashaggregate") >= 2, plan
