@@ -264,6 +264,8 @@ HEADLINE = [
     "pu_gradual_trace",
     "text_intradoc_dup_ngrams",
     "events_type_drift",
+    "ann_binary_hamming_recall",
+    "dedup_cluster_size_histogram",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's

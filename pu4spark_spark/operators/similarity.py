@@ -786,6 +786,147 @@ FROM qm
 """
 
 
+# -- binary (1-bit) quantization + hamming ANN ---------------------------
+
+EMB_DIMS = 64
+
+
+def _sign_code(col: str, lo: int, hi: int) -> F.Column:
+    """Bits ``lo..hi-1`` of the sign code as an exact integer sum of
+    distinct powers of two (< 2^32, no shifts, no overflow): bit i set
+    iff ``embedding[i] >= 0``."""
+    c = F.col(col)
+    terms = [
+        F.when(F.element_at(c, i + 1) >= 0, F.lit(1 << (i - lo)))
+        .otherwise(F.lit(0))
+        .cast("long")
+        for i in range(lo, hi)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _sql_sign_code(expr: str, lo: int, hi: int) -> str:
+    parts = " + ".join(
+        f"(CASE WHEN {expr}[{i + 1}] >= 0 THEN {1 << (i - lo)} ELSE 0 END)"
+        for i in range(lo, hi)
+    )
+    return f"CAST({parts} AS BIGINT)"
+
+
+def q_ann_binary_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of 1-BIT (sign) quantized embeddings under hamming
+    distance against the full-precision exact top-k — the go/no-go
+    eval for binary quantization, the current production answer to
+    "the embedding table doesn't fit": 64 dims compress to 8 BYTES
+    per vector (32× vs float32), and the scan compares codes with
+    xor+popcount instead of a float dot product.
+
+    The code is two 32-bit halves (exact sums of distinct powers of
+    two — no 64-bit shift edge cases in either engine); hamming =
+    ``bit_count(lo⊕lo') + bit_count(hi⊕hi')``.  The hamming scan is
+    deliberately EXHAUSTIVE (that is binary quantization's deal — the
+    compressed scan is cheap enough to be brute-force) with the same
+    broadcast-queries + two-phase top-k shape as the exact path, ties
+    broken by neighbor id so both engines rank identically.  Matched
+    counts are integers ⇒ the recalls are exact ratios the oracle
+    hash-checks — same eval contract as ``ann_lsh_recall`` /
+    ``ann_matryoshka_recall``."""
+    from pu4spark_spark.plans import spread
+
+    exact = q_ann_cosine_topk(spark, sf_dir)
+    emb = spread(load_table(spark, "embeddings", sf_dir))
+    codes = emb.select(
+        "vec_id",
+        _sign_code("embedding", 0, 32).alias("lo"),
+        _sign_code("embedding", 32, EMB_DIMS).alias("hi"),
+    )
+    qcodes = codes.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    scored = codes.crossJoin(F.broadcast(qcodes)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    ham = F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo"))) + F.bit_count(
+        F.col("hi").bitwiseXOR(F.col("qhi"))
+    )
+    # two-phase top-k under (hamming ASC, vec_id ASC) — the same
+    # no-single-task-sort shape as two_phase_topk, inverted order
+    hs = scored.withColumn("hamming", ham)
+    wl = Window.partitionBy("query_id", "__part").orderBy(
+        F.asc("hamming"), F.asc("vec_id")
+    )
+    local = (
+        hs.withColumn("__part", F.spark_partition_id())
+        .withColumn("__lr", F.row_number().over(wl))
+        .filter(F.col("__lr") <= TOP_K)
+        .drop("__part", "__lr")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("vec_id")
+    )
+    approx = (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .withColumn("__m", F.lit(1))
+    )
+    qm = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("__m").alias("matched"))
+    )
+    return qm.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        (
+            F.sum("matched").cast("double")
+            / (F.count(F.lit(1)) * F.lit(TOP_K))
+        ).alias("avg_recall"),
+        F.min("matched").cast("bigint").alias("min_matched"),
+    )
+
+
+_LO_SQL = _sql_sign_code("embedding", 0, 32)
+_HI_SQL = _sql_sign_code("embedding", 32, EMB_DIMS)
+
+SQL_ANN_BINARY_HAMMING_RECALL = f"""
+WITH exact AS ({SQL_ANN_COSINE_TOPK}),
+codes AS (
+  SELECT vec_id, {_LO_SQL} AS lo, {_HI_SQL} AS hi FROM embeddings
+),
+scored AS (
+  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+         bit_count(xor(c.lo, qs.lo)) + bit_count(xor(c.hi, qs.hi))
+           AS hamming
+  FROM codes c, (SELECT * FROM codes WHERE vec_id < {N_QUERIES}) qs
+  WHERE c.vec_id <> qs.vec_id
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY hamming ASC, neighbor_id ASC) AS rank
+    FROM scored)
+  WHERE rank <= {TOP_K}
+),
+qm AS (
+  SELECT e.query_id, COUNT(a.neighbor_id) AS matched
+  FROM exact e
+  LEFT JOIN approx a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT COUNT(*) AS n_queries,
+       CAST(SUM(matched) AS DOUBLE) / (COUNT(*) * {TOP_K}) AS avg_recall,
+       CAST(MIN(matched) AS BIGINT) AS min_matched
+FROM qm
+"""
+
+
 # -- distributed Gram matrix (PCA / whitening building block) ------------
 
 def q_embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -937,6 +1078,7 @@ QUERIES = {
     # rows-only: composes the seeded-KMeans IVF side
     "ann_ivf_recall": q_ann_ivf_recall,
     "ann_matryoshka_recall": q_ann_matryoshka_recall,
+    "ann_binary_hamming_recall": q_ann_binary_hamming_recall,
     "embedding_inertia_by_label": q_embedding_inertia_by_label,
     # rows-only: driver-side eigensolve is not SQL-expressible; NumPy
     # reference test re-derives the projection (tests/test_similarity.py)
@@ -953,6 +1095,7 @@ ORACLE_SQL = {
     "ann_lsh_bucketed": SQL_ANN_LSH_BUCKETED,
     "ann_lsh_recall": SQL_ANN_LSH_RECALL,
     "ann_matryoshka_recall": SQL_ANN_MATRYOSHKA_RECALL,
+    "ann_binary_hamming_recall": SQL_ANN_BINARY_HAMMING_RECALL,
     "embedding_inertia_by_label": SQL_EMBEDDING_INERTIA,
     # ann_ivf: KMeans centroids — rows-only
     # ann_brp_lsh_ml: ML internals — rows-only

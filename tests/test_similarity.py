@@ -223,3 +223,52 @@ def test_dim_variance_profile(spark):
     rows = q_embedding_dim_variance(spark, "/root/testdata/sf0.001").collect()
     assert len(rows) == 64 and {r["dim"] for r in rows} == set(range(64))
     assert all(r["n"] == 500 and r["var_q"] > 0 for r in rows)
+
+
+def test_binary_hamming_recall_bounds_and_codes(spark):
+    """Recall of the 1-bit hamming path is a valid ratio, and the sign
+    codes are exact: a vector's code halves must reproduce NumPy's
+    bit-packing of its sign pattern."""
+    import numpy as np
+
+    from pu4spark_spark.operators.similarity import (
+        _sign_code,
+        q_ann_binary_hamming_recall,
+    )
+    from pu4spark_spark.sources import load_table
+
+    row = q_ann_binary_hamming_recall(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["n_queries"] == 10
+    assert 0.0 <= row["avg_recall"] <= 1.0
+    assert 0 <= row["min_matched"] <= 5
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    got = emb.select(
+        "vec_id",
+        "embedding",
+        _sign_code("embedding", 0, 32).alias("lo"),
+        _sign_code("embedding", 32, 64).alias("hi"),
+    ).limit(20).collect()
+    for r in got:
+        v = np.array(r["embedding"])
+        lo = sum(1 << i for i in range(32) if v[i] >= 0)
+        hi = sum(1 << (i - 32) for i in range(32, 64) if v[i] >= 0)
+        assert (r["lo"], r["hi"]) == (lo, hi), r["vec_id"]
+
+
+def test_cluster_size_histogram_conservation(spark):
+    """The size histogram must conserve the corpus: Σ n_docs equals the
+    document count, Σ(size·n_clusters) = Σ n_docs, and docs removed by
+    keep-one-per-cluster = Σ (n_docs - n_clusters) over sizes ≥ 2."""
+    from pu4spark_spark.operators.dedup import (
+        q_dedup_cluster_size_histogram,
+    )
+    from pu4spark_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_dedup_cluster_size_histogram(spark, sf).collect()
+    n_docs_total = load_table(spark, "documents", sf).count()
+    assert sum(r["n_docs"] for r in rows) == n_docs_total
+    for r in rows:
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+    assert any(r["cluster_size"] == 1 for r in rows)  # singletons present
