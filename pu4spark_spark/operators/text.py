@@ -2193,13 +2193,29 @@ def q_text_intradoc_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle).  Counts are exact ints; the two divisions are the only
     IEEE ops, replicated verbatim in the oracle."""
     docs = load_table(spark, "documents", sf_dir)
+    # each HOF staged as a NAMED projection referenced once per count:
+    # CollapseProject declines to inline non-cheap expressions with
+    # multiple downstream references, so the shingle transforms and
+    # array_distinct each evaluate ONCE per row (inlining them into
+    # every count/fraction expression measured ~4× slower)
     toked = docs.select("doc_id", tokens("text").alias("__t"))
+    staged = toked.select(
+        "doc_id",
+        word_shingles(F.col("__t"), 4).alias("__s4"),
+        word_shingles(F.col("__t"), 8).alias("__s8"),
+    )
+    counted = staged.select(
+        "doc_id",
+        F.size("__s4").alias("n_grams4"),
+        F.size(F.array_distinct("__s4")).alias("__u4"),
+        F.size("__s8").alias("n_grams8"),
+        F.size(F.array_distinct("__s8")).alias("__u8"),
+    )
     out_cols = ["doc_id"]
     fracs = []
     for n in (4, 8):
-        sh = word_shingles(F.col("__t"), n)
-        total = F.size(sh)
-        dup = total - F.size(F.array_distinct(sh))
+        total = F.col(f"n_grams{n}")
+        dup = total - F.col(f"__u{n}")
         frac = F.when(
             total > 0, dup.cast("double") / total.cast("double")
         ).otherwise(F.lit(0.0))
@@ -2210,7 +2226,7 @@ def q_text_intradoc_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         fracs.append(frac)
     keep = (fracs[0] <= DUP4_MAX) & (fracs[1] <= DUP8_MAX)
-    return toked.select(*out_cols, keep.alias("keep"))
+    return counted.select(*out_cols, keep.alias("keep"))
 
 
 def _sql_intradoc_dup() -> str:
