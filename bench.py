@@ -266,6 +266,8 @@ HEADLINE = [
     "events_type_drift",
     "ann_binary_hamming_recall",
     "dedup_cluster_size_histogram",
+    "dedup_bow_cosine",
+    "part_association_rules",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's

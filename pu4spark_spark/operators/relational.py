@@ -2351,6 +2351,89 @@ WHERE rank <= {COPURCHASE_TOP_K}
 """
 
 
+# -- association-rule metrics over the co-purchase pairs ------------------
+
+def q_part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support / confidence / lift for the top co-purchased part pairs
+    — the association-rule metrics that turn raw co-occurrence counts
+    into deployable "bought together" rules: confidence(a→b) is the
+    recommendation's hit rate, lift > 1 separates genuine affinity
+    from two independently-popular items colliding by volume.
+
+    Scale shape: pair counts ride the same basket self-join as
+    ``part_copurchase_pairs`` and the top-K resolves via the two-phase
+    rank FIRST, so the per-item basket counts join onto a K-row
+    broadcast side — the item-frequency table is scanned, never
+    shuffled against the full pair matrix.  All inputs are exact int64
+    basket counts; support/confidence/lift are fixed IEEE divisions
+    replicated in the oracle."""
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_baskets_total = li.select("l_orderkey").distinct().count()
+    topk = q_part_copurchase_pairs(spark, sf_dir)
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
+    # the K-row top-K side broadcasts; the item-frequency table is only
+    # ever scanned, never shuffled against the pair matrix
+    joined = F.broadcast(topk).join(ia, "part_a").join(ib, "part_b")
+    n = F.lit(float(n_baskets_total))
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    return joined.select(
+        "part_a",
+        "part_b",
+        "n_baskets",
+        "n_a",
+        "n_b",
+        "rank",
+        (dbl("n_baskets") / n).alias("support"),
+        (dbl("n_baskets") / dbl("n_a")).alias("conf_a_to_b"),
+        (dbl("n_baskets") / dbl("n_b")).alias("conf_b_to_a"),
+        (n * dbl("n_baskets") / (dbl("n_a") * dbl("n_b"))).alias("lift"),
+    )
+
+
+SQL_PART_ASSOCIATION_RULES = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+total AS (SELECT COUNT(DISTINCT l_orderkey) AS nb FROM li),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         COUNT(*) AS n_baskets
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+topk AS (
+  SELECT part_a, part_b, CAST(n_baskets AS BIGINT) AS n_baskets,
+         CAST(rank AS INTEGER) AS rank
+  FROM (SELECT part_a, part_b, n_baskets,
+               ROW_NUMBER() OVER (ORDER BY n_baskets DESC,
+                                  part_a ASC, part_b ASC) AS rank
+        FROM pairs)
+  WHERE rank <= {COPURCHASE_TOP_K}
+),
+item AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item FROM li GROUP BY 1
+)
+SELECT t.part_a, t.part_b, t.n_baskets,
+       ia.n_item AS n_a, ib.n_item AS n_b, t.rank,
+       CAST(t.n_baskets AS DOUBLE) / CAST(nb AS DOUBLE) AS support,
+       CAST(t.n_baskets AS DOUBLE) / CAST(ia.n_item AS DOUBLE)
+         AS conf_a_to_b,
+       CAST(t.n_baskets AS DOUBLE) / CAST(ib.n_item AS DOUBLE)
+         AS conf_b_to_a,
+       CAST(nb AS DOUBLE) * CAST(t.n_baskets AS DOUBLE)
+         / (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE)) AS lift
+FROM topk t
+JOIN item ia ON ia.l_partkey = t.part_a
+JOIN item ib ON ib.l_partkey = t.part_b
+CROSS JOIN total
+"""
+
+
 # -- join-key skew audit --------------------------------------------------
 
 def q_audit_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3275,6 +3358,7 @@ QUERIES = {
     "lineitem_orders_bucketed_join": q_lineitem_orders_bucketed_join,
     "customer_spend_distribution": q_customer_spend_distribution,
     "part_copurchase_pairs": q_part_copurchase_pairs,
+    "part_association_rules": q_part_association_rules,
     "audit_join_key_skew": q_audit_join_key_skew,
     "audit_join_explosion": q_audit_join_explosion,
     "events_watermark_lateness": q_events_watermark_lateness,
@@ -3338,6 +3422,7 @@ ORACLE_SQL = {
     "lineitem_orders_bucketed_join": SQL_LINEITEM_ORDERS_BUCKETED,
     "customer_spend_distribution": SQL_CUSTOMER_SPEND_DISTRIBUTION,
     "part_copurchase_pairs": SQL_PART_COPURCHASE_PAIRS,
+    "part_association_rules": SQL_PART_ASSOCIATION_RULES,
     "audit_join_key_skew": SQL_AUDIT_JOIN_KEY_SKEW,
     "audit_join_explosion": SQL_AUDIT_JOIN_EXPLOSION,
     "events_watermark_lateness": SQL_EVENTS_WATERMARK_LATENESS,

@@ -427,3 +427,39 @@ def test_band_tuning_monotone_tradeoffs(spark):
     cands = [rows[r]["candidate_pairs"] for r in (1, 2, 4, 8)]
     assert cands == sorted(cands, reverse=True)
     assert all(rows[r]["hottest_bucket"] >= 1 for r in rows)
+
+
+def test_bow_cosine_agrees_with_numpy(spark):
+    """The sparse postings dot product must equal NumPy's dense
+    bag-of-words cosine for every emitted pair (and the threshold
+    must hold)."""
+    from collections import Counter
+
+    import numpy as np
+
+    from pu4spark_spark.operators.dedup import (
+        BOW_COSINE_THRESHOLD,
+        q_dedup_bow_cosine,
+    )
+    from pu4spark_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_dedup_bow_cosine(spark, sf).collect()
+    assert rows, "fixture has near-dup candidates; expected verdicts"
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, "documents", sf).collect()
+    }
+
+    def cos(a, b):
+        ca, cb = Counter(a.split(" ")), Counter(b.split(" "))
+        dot = sum(ca[t] * cb[t] for t in ca.keys() & cb.keys())
+        na = np.sqrt(sum(v * v for v in ca.values()))
+        nb = np.sqrt(sum(v * v for v in cb.values()))
+        return dot, dot / (na * nb)
+
+    for r in rows:
+        dot, c = cos(texts[r["a_id"]], texts[r["b_id"]])
+        assert r["dot"] == dot
+        assert abs(r["cosine"] - c) < 1e-12
+        assert r["cosine"] >= BOW_COSINE_THRESHOLD

@@ -101,3 +101,30 @@ def test_pandas_boundary_receives_at_most_two_rows_per_user(spark):
         .collect()[0]["mx"]
     )
     assert mid_counts <= 2
+
+
+def test_association_rules_algebra(spark):
+    """support/confidence/lift must reproduce from the raw basket
+    counts, and lift must be symmetric in its inputs."""
+    from pu4spark_spark.operators.relational import (
+        q_part_association_rules,
+    )
+    from pu4spark_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_part_association_rules(spark, sf).collect()
+    assert len(rows) == 25
+    li = (
+        load_table(spark, "lineitem", sf)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    nb = li.select("l_orderkey").distinct().count()
+    for r in rows[:5]:
+        assert abs(r["support"] - r["n_baskets"] / nb) < 1e-12
+        assert abs(r["conf_a_to_b"] - r["n_baskets"] / r["n_a"]) < 1e-12
+        assert abs(r["conf_b_to_a"] - r["n_baskets"] / r["n_b"]) < 1e-12
+        assert abs(
+            r["lift"] - nb * r["n_baskets"] / (r["n_a"] * r["n_b"])
+        ) < 1e-9
+        assert r["n_baskets"] <= min(r["n_a"], r["n_b"])
