@@ -2293,11 +2293,19 @@ def q_part_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a self-equi-join on o_orderkey — co-partitioned after one
     shuffle of the (order, part) list, never a catalog×catalog
     product."""
-    li = (
+    li = _basket_items(spark, sf_dir)
+    return _copurchase_topk(li)
+
+
+def _basket_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
         load_table(spark, "lineitem", sf_dir)
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
+
+
+def _copurchase_topk(li: DataFrame) -> DataFrame:
     a = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
     )
@@ -2367,13 +2375,14 @@ def q_part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled against the full pair matrix.  All inputs are exact int64
     basket counts; support/confidence/lift are fixed IEEE divisions
     replicated in the oracle."""
-    li = (
-        load_table(spark, "lineitem", sf_dir)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    from pu4spark_spark.plans import cached
+
+    # the distinct basket list feeds FOUR consumers (basket total, both
+    # sides of the pair self-join, and the item counts) — persist it so
+    # the distinct runs once
+    li = cached(_basket_items(spark, sf_dir))
     n_baskets_total = li.select("l_orderkey").distinct().count()
-    topk = q_part_copurchase_pairs(spark, sf_dir)
+    topk = _copurchase_topk(li)
     item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
     ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
     ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
