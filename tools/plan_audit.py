@@ -20,6 +20,25 @@ SF_DIR = "/root/testdata/sf0.001"  # plan shape is sf-independent
 
 #: query → what the plan must show (the audit claim)
 AUDITED = {
+    "text_intradoc_dup_ngrams": (
+        "The Gopher duplicated-n-gram rule as a pure scan-stage "
+        "projection: shingle arrays staged as named projections "
+        "(each HOF evaluates once per row), distinct counts and "
+        "fractions are per-row array math — ZERO exchanges; the rule "
+        "rides any corpus pass for free."
+    ),
+    "events_type_drift": (
+        "Early/late split at the integer-microsecond range midpoint: "
+        "one 1-row scalar broadcast (BNLJ-cross scalar pattern), one "
+        "map-side-combined groupBy over the <=|types| key space, "
+        "share/TVD windows over that tiny table only."
+    ),
+    "dedup_bow_cosine": (
+        "Sparse term-frequency cosine through the postings: the "
+        "band-key candidate self-join plus tf joins on doc/token "
+        "keys; the inner join IS the sparsity (absent tokens never "
+        "materialize); int64 dots and norms, fixed IEEE cosine."
+    ),
     "lineitem_winsorized_mean": (
         "P5/P95 boundaries from the per-group 64-bin histogram sketch "
         "(fixed 64-counter aggregation state, map-side combined) — no "
