@@ -608,3 +608,111 @@ def test_bagging_explicit_id_col(spark):
         PUBaggingLearner(clf, n_rounds=2, id_col="nope").weight(
             df, "label", "features"
         )
+
+
+def test_ranksum_auc_random_vs_naive_pairs(spark):
+    """Hypothesis: the distributed bin-quantized rank-sum AUC must equal
+    the O(n²) pairwise Mann-Whitney AUC computed over the QUANTIZED
+    scores (ties take ½ credit) for random score/label sets — the
+    contract 'exact AUC of the quantized classifier' verified from
+    first principles, not just against one NumPy fixture."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pu4spark_spark.functions.evalfns import ranksum_auc
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=999),  # score grain
+                st.integers(min_value=0, max_value=1),
+            ),
+            min_size=4,
+            max_size=40,
+        ).filter(
+            lambda rows: 0 < sum(y for _, y in rows) < len(rows)
+        )
+    )
+    def check(rows):
+        bins = 50
+        df = spark.createDataFrame(
+            [(s / 1000.0, y) for s, y in rows], "score double, y int"
+        )
+        got = ranksum_auc(df, "score", "y", bins=bins).collect()[0]
+        q = [(int((s / 1000.0) * bins), y) for s, y in rows]
+        pos = [b for b, y in q if y == 1]
+        neg = [b for b, y in q if y == 0]
+        u = sum(
+            1.0 if p > n else (0.5 if p == n else 0.0)
+            for p in pos
+            for n in neg
+        )
+        naive = u / (len(pos) * len(neg))
+        assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+        assert abs(got["auc"] - naive) < 1e-12, (rows, got["auc"], naive)
+
+    check()
+
+
+def test_binarize_algebra_random(spark):
+    """Hypothesis: both binarize expressions obey the sentinel algebra
+    for arbitrary (probability, previous-label) combinations —
+    positives are sticky, only the targeted class is re-thresholded,
+    and the output is always a valid sentinel."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pu4spark_spark.labels import (
+        REL_NEG_LABEL,
+        UNDEF_LABEL,
+        binarize_gradual,
+        binarize_traditional,
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=100),  # p·100
+                st.sampled_from([1, 0, -1]),
+            ),
+            min_size=1,
+            max_size=30,
+        ),
+        st.integers(min_value=1, max_value=99),  # threshold·100
+    )
+    def check(rows, thr100):
+        thr = thr100 / 100.0
+        df = spark.createDataFrame(
+            [(p / 100.0, prev) for p, prev in rows], "p double, prev int"
+        )
+        trad = [
+            r["t"]
+            for r in df.select(
+                binarize_traditional(F.col("p"), F.col("prev"), thr).alias("t")
+            ).collect()
+        ]
+        grad = [
+            r["g"]
+            for r in df.select(
+                binarize_gradual(
+                    F.col("p"), F.col("prev"), thr, REL_NEG_LABEL
+                ).alias("g")
+            ).collect()
+        ]
+        for (p100, prev), t, g in zip(rows, trad, grad):
+            p = p100 / 100.0
+            # traditional: only UNDEF re-thresholds; labels pass through
+            if prev == UNDEF_LABEL:
+                assert t == (REL_NEG_LABEL if p < thr else UNDEF_LABEL)
+            else:
+                assert t == prev
+            # gradual(REL_NEG): only rel-negs re-threshold (demote path)
+            if prev == REL_NEG_LABEL:
+                assert g == (REL_NEG_LABEL if p < thr else UNDEF_LABEL)
+            else:
+                assert g == prev
+            assert t in (1, 0, -1) and g in (1, 0, -1)
+
+    check()

@@ -128,3 +128,34 @@ def test_association_rules_algebra(spark):
             r["lift"] - nb * r["n_baskets"] / (r["n_a"] * r["n_b"])
         ) < 1e-9
         assert r["n_baskets"] <= min(r["n_a"], r["n_b"])
+
+
+def test_histogram_quantile_sketch_error_bound(spark):
+    """The 64-bin sketch's interpolated quantile estimates must land
+    within ONE bin width of the true (numpy) quantiles — the sketch's
+    mathematical accuracy contract, independent of the oracle's
+    replicated-arithmetic check."""
+    import numpy as np
+
+    from pu4spark_spark.operators.relational import (
+        q_lineitem_histogram_quantiles,
+    )
+    from pu4spark_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_lineitem_histogram_quantiles(spark, sf).collect()
+    x = np.array(
+        [
+            float(r["x"])
+            for r in load_table(spark, "lineitem", sf)
+            .selectExpr("l_extendedprice AS x")
+            .collect()
+        ]
+    )
+    bin_w = (x.max() - x.min()) / 64.0
+    assert len(rows) == 3
+    for r in rows:
+        true_q = float(np.quantile(x, r["p"]))
+        assert abs(r["quantile_est"] - true_q) <= bin_w + 1e-9, (
+            r["p"], r["quantile_est"], true_q, bin_w,
+        )
