@@ -268,6 +268,7 @@ HEADLINE = [
     "dedup_cluster_size_histogram",
     "dedup_bow_cosine",
     "part_association_rules",
+    "pipeline_observed_metrics",
 ]
 
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's

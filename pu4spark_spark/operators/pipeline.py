@@ -481,14 +481,119 @@ GROUP BY lang, shard_id
 SQL_PIPELINE_INCREMENTAL_RELEASE = _sql_incremental_release()
 
 
+def q_pipeline_observed_metrics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pipeline observability via ``Observation`` — quality counters
+    collected DURING the cleaning pass, not by re-scanning: three
+    observation points (input profile, post-filter, post-dedup) ride
+    the same single job the pipeline already runs, so at 100 TB the
+    run's data-quality report (input volume, filter drop reasons,
+    dedup win, surviving token mass) costs ZERO extra scans — the
+    alternative, one aggregate query per counter, is four more full
+    passes.  Every observed metric is an exact int64 (counts and
+    integer token sums — no order-dependent double aggregation), so
+    the 1-row report hash-checks against the oracle's plain
+    aggregates."""
+    from pyspark.sql import Observation
+
+    docs = load_table(spark, "documents", sf_dir)
+    tok = tokens("text")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        F.size(tok).alias("n_tokens"),
+        _quality_score(tok).alias("quality_score"),
+    )
+    obs_in = Observation("pipeline_in")
+    scored = scored.observe(
+        obs_in,
+        F.count(F.lit(1)).alias("n_docs_in"),
+        F.sum(
+            (F.col("quality_score") < MIN_QUALITY).cast("long")
+        ).alias("n_low_quality"),
+        F.sum((F.col("n_tokens") < MIN_TOKENS).cast("long")).alias(
+            "n_short"
+        ),
+    )
+    kept = scored.filter(
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("quality_score") >= MIN_QUALITY)
+    )
+    obs_kept = Observation("pipeline_kept")
+    kept = kept.observe(obs_kept, F.count(F.lit(1)).alias("n_kept"))
+    wx = Window.partitionBy(F.md5(F.col("text"))).orderBy(F.asc("doc_id"))
+    exact = (
+        kept.withColumn("__rn", F.row_number().over(wx))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    obs_out = Observation("pipeline_out")
+    exact = exact.observe(
+        obs_out,
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum(F.col("n_tokens").cast("long")).alias("tokens_out"),
+    )
+    # ONE action drives the whole chain; the observations fill as a
+    # side effect of that job
+    exact.write.format("noop").mode("overwrite").save()
+    m = {**obs_in.get, **obs_kept.get, **obs_out.get}
+    row = [(
+        int(m["n_docs_in"]),
+        int(m["n_low_quality"] or 0),
+        int(m["n_short"] or 0),
+        int(m["n_kept"]),
+        int(m["n_unique"]),
+        int(m["tokens_out"] or 0),
+    )]
+    return spark.createDataFrame(
+        row,
+        "n_docs_in bigint, n_low_quality bigint, n_short bigint, "
+        "n_kept bigint, n_unique bigint, tokens_out bigint",
+    )
+
+
+SQL_PIPELINE_OBSERVED_METRICS = f"""
+WITH scored AS (
+  SELECT doc_id, text,
+         CAST(len(ws) AS INTEGER) AS n_tokens,
+         0.4 * least(CAST(len(ws) AS DOUBLE) / 50.0, 1.0)
+         + 0.3 * (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws))
+         + 0.3 * (1.0 - CAST(len(list_filter(ws, t -> t IN ({_STOP_IN}))) AS DOUBLE) / len(ws))
+           AS quality_score
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+),
+kept AS (
+  SELECT * FROM scored
+  WHERE n_tokens >= {MIN_TOKENS} AND quality_score >= {MIN_QUALITY}
+),
+uniq AS (
+  SELECT md5(text) AS h, MIN(n_tokens) AS n_tokens
+  FROM kept GROUP BY md5(text)
+)
+SELECT (SELECT COUNT(*) FROM scored) AS n_docs_in,
+       (SELECT CAST(SUM(CASE WHEN quality_score < {MIN_QUALITY}
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM scored) AS n_low_quality,
+       (SELECT CAST(SUM(CASE WHEN n_tokens < {MIN_TOKENS}
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM scored) AS n_short,
+       (SELECT COUNT(*) FROM kept) AS n_kept,
+       (SELECT COUNT(*) FROM uniq) AS n_unique,
+       (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM uniq) AS tokens_out
+"""
+
+
 QUERIES = {
     "pipeline_docs_clean": q_pipeline_docs_clean,
+    "pipeline_observed_metrics": q_pipeline_observed_metrics,
     "pipeline_incremental_release": q_pipeline_incremental_release,
     "sql_docs_clean": q_sql_docs_clean,
 }
 
 ORACLE_SQL = {
     "pipeline_docs_clean": SQL_PIPELINE_DOCS_CLEAN,
+    "pipeline_observed_metrics": SQL_PIPELINE_OBSERVED_METRICS,
     "pipeline_incremental_release": SQL_PIPELINE_INCREMENTAL_RELEASE,
     "sql_docs_clean": SQL_PIPELINE_DOCS_CLEAN,
 }

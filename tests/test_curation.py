@@ -639,3 +639,37 @@ def test_mix_planner_properties(spark):
         if r["target_share"] > 0
     ]
     assert max(ratios) / min(ratios) < 1.0 + 1e-9
+
+
+def test_observed_metrics_match_recomputation(spark):
+    """The Observation counters collected during the pipeline's single
+    job must equal independently recomputed aggregates."""
+    from pyspark.sql import functions as F
+
+    from pu4spark_spark.operators.pipeline import (
+        MIN_QUALITY,
+        MIN_TOKENS,
+        _quality_score,
+        q_pipeline_observed_metrics,
+    )
+    from pu4spark_spark.functions.textfns import tokens
+    from pu4spark_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    row = q_pipeline_observed_metrics(spark, sf).collect()[0]
+    docs = load_table(spark, "documents", sf)
+    tok = tokens("text")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        F.size(tok).alias("n"),
+        _quality_score(tok).alias("q"),
+    )
+    assert row["n_docs_in"] == docs.count()
+    kept = scored.filter((F.col("n") >= MIN_TOKENS) & (F.col("q") >= MIN_QUALITY))
+    assert row["n_kept"] == kept.count()
+    assert row["n_unique"] == kept.select(F.md5("text")).distinct().count()
+    assert row["n_low_quality"] == scored.filter(F.col("q") < MIN_QUALITY).count()
+    assert row["n_short"] == scored.filter(F.col("n") < MIN_TOKENS).count()
+    assert row["n_unique"] <= row["n_kept"] <= row["n_docs_in"]
+    assert row["tokens_out"] > 0
