@@ -359,17 +359,9 @@ def q_streaming_pyds_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
-    name = f"pyds_docs_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
-    return spark.table(name)
+    from pu4spark_spark.streaming.drain import drain_to_memory
+
+    return drain_to_memory(spark, agg, "pyds_docs_stream", "complete")
 
 
 QUERIES = {

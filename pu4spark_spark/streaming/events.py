@@ -12,11 +12,11 @@ output matches the batch ``events_hourly`` oracle).
 
 from __future__ import annotations
 
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
+
+from pu4spark_spark.streaming.drain import drain_partitions, drain_to_memory
 
 #: events parquet logical schema after ts normalization (the physical ts
 #: type has shipped as both TIMESTAMP(NANOS)-as-long and TIMESTAMP(MICROS);
@@ -92,18 +92,8 @@ def run_hourly_counts_available_now(
     """Drain the stream with trigger(availableNow) into a memory sink and
     return the final table — a real streaming execution with a batch
     result."""
-    name = f"events_hourly_stream_{uuid.uuid4().hex[:8]}"
     agg = hourly_counts(read_events_stream(spark, sf_dir))
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
-    return spark.table(name)
+    return drain_to_memory(spark, agg, "events_hourly_stream", "complete")
 
 
 def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,17 +153,7 @@ def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    name = f"events_enrich_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
-    return spark.table(name)
+    return drain_to_memory(spark, agg, "events_enrich_stream", "complete")
 
 
 SQL_STREAMING_STATIC_ENRICH = """
@@ -219,18 +199,8 @@ def q_streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     complete-mode availableNow drain must reproduce the batch sliding
     aggregate exactly (same 4-windows-per-event assignment, same exact
     decimal sums)."""
-    name = f"events_sliding_stream_{uuid.uuid4().hex[:8]}"
     agg = sliding_counts(read_events_stream(spark, sf_dir))
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
-    return spark.table(name)
+    return drain_to_memory(spark, agg, "events_sliding_stream", "complete")
 
 
 SQL_STREAMING_SLIDING = """
@@ -282,18 +252,8 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     would run ``append`` + the 2-hour watermark instead, letting Spark
     evict closed sessions from the state store (state stays
     O(open sessions), not O(history))."""
-    name = f"events_sessions_stream_{uuid.uuid4().hex[:8]}"
     agg = sessionized_counts(read_events_stream(spark, sf_dir))
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
-    return spark.table(name)
+    return drain_to_memory(spark, agg, "events_sessions_stream", "complete")
 
 
 #: gap-and-island sessionization: a session break is a gap ≥ the 30-min
@@ -372,17 +332,7 @@ def q_streaming_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gap_micros"
         ),
     )
-    name = f"events_range_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
-    return spark.table(name)
+    return drain_to_memory(spark, joined, "events_range_stream", "append")
 
 
 #: identical contract to the batch banded range join
@@ -459,17 +409,7 @@ def q_streaming_left_outer_join(
             "gap_micros"
         ),
     )
-    name = f"events_louter_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
-    return spark.table(name)
+    return drain_to_memory(spark, joined, "events_louter_stream", "append")
 
 
 SQL_STREAMING_LEFT_OUTER_JOIN = """
@@ -529,17 +469,9 @@ def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    name = f"events_dedup_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
-    return spark.table(name).distinct()
+    return drain_to_memory(
+        spark, deduped, "events_dedup_stream", "append"
+    ).distinct()
 
 
 SQL_STREAMING_DEDUP_KEYS = """
@@ -575,16 +507,17 @@ def q_streaming_hourly_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
     agg = hourly_counts(read_events_stream(spark, sf_dir))
-    q = (
-        agg.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
+    with drain_partitions(spark):
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
     return spark.read.parquet(out_dir)
 
 

@@ -24,6 +24,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pu4spark_spark.streaming.drain import drain_partitions
+
 
 def _docs_stream_dir(sf_dir: str) -> str:
     """Landing directory holding a symlink to the (read-only) documents
@@ -126,18 +128,19 @@ def q_streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % INCR_BATCH_MOD == 0)
         .select("doc_id", "text")
     )
-    q = (
-        stream.writeStream.foreachBatch(
-            lambda df, _id: probe_micro_batch(
-                spark, df, bands_tbl, sh_tbl, out_dir
+    with drain_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, _id: probe_micro_batch(
+                    spark, df, bands_tbl, sh_tbl, out_dir
+                )
             )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
+        q.awaitTermination()
+        q.stop()
     return spark.read.parquet(out_dir)
 
 
@@ -167,17 +170,18 @@ def q_streaming_lang_router(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(land)
         .select("doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens"))
     )
-    q = (
-        stream.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt)
-        .partitionBy("lang")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
+    with drain_partitions(spark):
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .partitionBy("lang")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
     routed = spark.read.parquet(out_dir)
     return routed.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),

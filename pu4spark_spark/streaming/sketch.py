@@ -32,6 +32,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pu4spark_spark.streaming.drain import drain_partitions
+
 from pu4spark_spark.operators.text import (
     CMS_DEPTH,
     CMS_WIDTH,
@@ -111,19 +113,20 @@ def q_streaming_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(land)
     )
-    q = (
-        stream.writeStream.foreachBatch(
-            lambda b, _eid: merge_sketch_batch(spark, b, state_dir)
+    with drain_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, _eid: merge_sketch_batch(spark, b, state_dir)
+            )
+            .option(
+                "checkpointLocation",
+                os.path.join(state_dir + ".ckpt"),
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .option(
-            "checkpointLocation",
-            os.path.join(state_dir + ".ckpt"),
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
+        q.awaitTermination()
+        q.stop()
     return spark.read.parquet(state_dir).select(
         F.col("depth").cast("int").alias("depth"),
         F.col("bucket").cast("bigint").alias("bucket"),

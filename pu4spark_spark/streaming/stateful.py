@@ -17,7 +17,6 @@ batch-equivalent query.
 
 from __future__ import annotations
 
-import uuid
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -74,22 +73,14 @@ def q_streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 def drain_user_totals(spark: SparkSession, stream: DataFrame) -> DataFrame:
     """availableNow-drain ``user_totals_stateful`` over any event
     stream and reduce the update-mode sink to last-update-per-user."""
-    name = f"user_totals_stream_{uuid.uuid4().hex[:8]}"
+    from pu4spark_spark.streaming.drain import drain_to_memory
+
     out = user_totals_stateful(stream)
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
+    drained = drain_to_memory(spark, out, "user_totals_stream", "update")
     from pyspark.sql import functions as F
 
     return (
-        spark.table(name)
-        .groupBy("user_id")
+        drained.groupBy("user_id")
         .agg(
             F.max("n_events").alias("n_events"),
             F.max_by("total_cents", "n_events").alias("total_cents"),
@@ -175,16 +166,9 @@ def q_streaming_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="Update",
             timeMode="None",
         )
-        name = f"user_totals_tws_{uuid.uuid4().hex[:8]}"
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        q.stop()
+        from pu4spark_spark.streaming.drain import drain_to_memory
+
+        drained = drain_to_memory(spark, out, "user_totals_tws", "update")
     finally:
         if prev is None:
             spark.conf.unset(prov_key)
@@ -193,8 +177,7 @@ def q_streaming_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     return (
-        spark.table(name)
-        .groupBy("user_id")
+        drained.groupBy("user_id")
         .agg(
             F.max("n_events").alias("n_events"),
             F.max_by("total_cents", "n_events").alias("total_cents"),

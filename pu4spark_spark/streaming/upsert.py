@@ -30,6 +30,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pu4spark_spark.streaming.drain import drain_partitions
+
 from pu4spark_spark.operators.relational import SQL_ORDERS_UPSERT_COMPACT
 from pu4spark_spark.sources import load_table
 
@@ -117,15 +119,16 @@ def q_streaming_upsert_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(land)
     )
-    q = (
-        stream.writeStream.foreachBatch(
-            lambda df, _id: merge_batch(spark, df, state_dir)
+    with drain_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, _id: merge_batch(spark, df, state_dir)
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
+        q.awaitTermination()
+        q.stop()
     out = (
         spark.read.parquet(state_dir)
         .groupBy("o_orderstatus")
@@ -243,15 +246,16 @@ def q_streaming_upsert_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(land)
     )
-    q = (
-        stream.writeStream.foreachBatch(
-            lambda df, _id: merge_batch_with_deletes(spark, df, state_dir)
+    with drain_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, _id: merge_batch_with_deletes(spark, df, state_dir)
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
+        q.awaitTermination()
+        q.stop()
     return (
         spark.read.parquet(state_dir)
         .groupBy("o_orderstatus")

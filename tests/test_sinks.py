@@ -4,6 +4,7 @@ survive as table metadata."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from pu4spark_spark.functions.vectors import sign_bucket
@@ -281,4 +282,62 @@ def test_tws_totals_when_protobuf_available(spark):
         )
         .collect()
     }
+    assert got == want
+
+
+def test_drain_partitions_sets_and_restores(spark):
+    """The drain context must pin the state-partition count for the
+    duration of the drain and restore the session's batch setting on
+    BOTH exit paths — a leaked low setting would silently deparallelize
+    every later batch shuffle in the session."""
+    from pu4spark_spark.streaming.drain import DRAIN_PARTITIONS, drain_partitions
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    assert prev != str(DRAIN_PARTITIONS)  # the test must observe a change
+    with drain_partitions(spark):
+        assert spark.conf.get(key) == str(DRAIN_PARTITIONS)
+    assert spark.conf.get(key) == prev
+    with pytest.raises(RuntimeError):
+        with drain_partitions(spark, 5):
+            assert spark.conf.get(key) == "5"
+            raise RuntimeError("drain failed")
+    assert spark.conf.get(key) == prev
+
+
+def test_drain_to_memory_values_match_batch(spark):
+    """A drained stateful aggregate under the reduced state-partition
+    count must equal the same aggregate at the session default — values
+    are partition-count independent, only store-commit overhead moves."""
+    from pyspark.sql import functions as F
+
+    from pu4spark_spark.sources import load_table
+    from pu4spark_spark.streaming.events import (
+        hourly_counts,
+        read_events_stream,
+    )
+    from pu4spark_spark.streaming.drain import drain_to_memory
+
+    sf = "/root/testdata/sf0.001"
+    drained = drain_to_memory(
+        spark,
+        hourly_counts(read_events_stream(spark, sf)),
+        "drain_test",
+        "complete",
+        n=3,
+    )
+    batch = (
+        load_table(spark, "events", sf)
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    got = {tuple(r) for r in drained.collect()}
+    want = {tuple(r) for r in batch.collect()}
     assert got == want
