@@ -494,10 +494,24 @@ def q_pipeline_observed_metrics(
     passes.  Every observed metric is an exact int64 (counts and
     integer token sums — no order-dependent double aggregation), so
     the 1-row report hash-checks against the oracle's plain
-    aggregates."""
+    aggregates.
+
+    Session isolation (load-bearing): the first ``Observation`` in a
+    session instantiates ``SparkSession.observationManager`` — a
+    NON-serializable field that is null until then.  MLlib training
+    summaries (``LogisticRegressionModel.summary``) hold a session
+    reference, so once the manager exists, serializing any
+    summary-carrying model's transform closure throws
+    ``NotSerializableException: ObservationManager`` — observing on
+    the shared session would poison every later PU-learner fit in the
+    process.  Running the observed job on ``spark.newSession()``
+    (same SparkContext, separate session state) confines the manager
+    to a session nothing else serializes; the returned metrics are
+    plain ints, re-framed on the caller's session."""
     from pyspark.sql import Observation
 
-    docs = load_table(spark, "documents", sf_dir)
+    obs_spark = spark.newSession()
+    docs = load_table(obs_spark, "documents", sf_dir)
     tok = tokens("text")
     scored = docs.select(
         "doc_id",

@@ -673,3 +673,27 @@ def test_observed_metrics_match_recomputation(spark):
     assert row["n_short"] == scored.filter(F.col("n") < MIN_TOKENS).count()
     assert row["n_unique"] <= row["n_kept"] <= row["n_docs_in"]
     assert row["tokens_out"] > 0
+
+
+def test_observation_does_not_poison_mllib_fits(spark):
+    """Regression: the first ``Observation`` in a session instantiates
+    the non-serializable ``SparkSession.observationManager`` (null until
+    then); MLlib training summaries hold a session reference, so a
+    summary-carrying LogisticRegressionModel's transform closure then
+    fails task serialization.  The observed-metrics query must confine
+    its observations to an isolated session, leaving the shared session
+    fit-safe afterwards."""
+    from pu4spark_spark.config import (
+        LogisticRegressionConfig,
+        TraditionalPULearnerConfig,
+    )
+    from pu4spark_spark.operators.pipeline import q_pipeline_observed_metrics
+    from tests.test_pu import separable_cloud
+
+    q_pipeline_observed_metrics(spark, "/root/testdata/sf0.001").collect()
+    learner = TraditionalPULearnerConfig(
+        maxIters=2, classifierConfig=LogisticRegressionConfig()
+    ).build()
+    cloud = separable_cloud(spark, n=120)
+    out = learner.weight(cloud, "label", "features", "finalLabel")
+    assert out.count() == 120
