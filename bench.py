@@ -511,7 +511,15 @@ def main() -> None:
                 "BENCH_DETAIL.json",
             )
         ) as fh:
-            prior = json.load(fh).get("queries", {})
+            _prior_doc = json.load(fh)
+        # prior times are only a valid rerun baseline at the SAME scale
+        # factor: at a larger sf every first run would look suspicious
+        # (silently double-measuring the whole suite), at a smaller one
+        # the guard would never fire
+        _m = re.search(r"sf([0-9.]+)", SF_DIR)
+        _cur_sf = float(_m.group(1).rstrip(".")) if _m else None
+        if _prior_doc.get("sf") == _cur_sf:
+            prior = _prior_doc.get("queries", {})
     except (OSError, ValueError):
         pass
     per_query: dict[str, float] = {}

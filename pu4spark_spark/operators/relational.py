@@ -3002,7 +3002,7 @@ def q_events_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     last month still represents this month.
 
     The halves split at the midpoint of the observed time RANGE —
-    ``(min_us + max_us) div 2`` in exact integer microseconds (a true
+    ``min_us + (max_us - min_us) div 2`` in exact integer microseconds (a true
     median needs a global order statistic; the range midpoint is one
     1-row agg and deterministic in both engines; epoch sums stay well
     under 2^63).  Scale shape: one 1-row bounds agg broadcast back,
@@ -3012,11 +3012,15 @@ def q_events_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicated IEEE chains, so the oracle hash-checks the distances."""
     ev = load_table(spark, "events", sf_dir)
     us = F.unix_micros(F.col("ts"))
-    # `div` = exact integer division on both sides (a double `/2` then
-    # cast would TRUNCATE in Spark but ROUND in DuckDB on odd sums)
+    # midpoint as mn + (mx-mn) div 2: the dividend is non-negative, so
+    # Spark's truncating `div` equals DuckDB's flooring `//` (on a raw
+    # (mn+mx) div 2 they diverge by 1 µs for negative odd sums —
+    # pre-1970 timestamps — flipping boundary events between halves);
+    # a double `/2` then cast would TRUNCATE in Spark but ROUND in
+    # DuckDB on odd sums, and the difference form also can't overflow
     bounds = ev.agg(
         F.min(us).alias("__mn"), F.max(us).alias("__mx")
-    ).select(F.expr("(__mn + __mx) div 2").alias("__cut"))
+    ).select(F.expr("__mn + (__mx - __mn) div 2").alias("__cut"))
     counts = (
         ev.select("event_type", us.alias("__us"))
         .crossJoin(F.broadcast(bounds))
@@ -3050,7 +3054,8 @@ def q_events_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_EVENTS_TYPE_DRIFT = """
 WITH cut AS (
-  SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS c
+  SELECT MIN(epoch_us(ts))
+         + (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 2 AS c
   FROM events
 ),
 counts AS (

@@ -788,7 +788,9 @@ FROM qm
 
 # -- binary (1-bit) quantization + hamming ANN ---------------------------
 
-EMB_DIMS = 64
+#: fixture embedding dimensionality — shared by the 1-bit hamming codes
+#: below and the Gram/PCA chain further down (one constant, one update)
+EMB_DIM = 64
 
 
 def _sign_code(col: str, lo: int, hi: int) -> F.Column:
@@ -841,7 +843,7 @@ def q_ann_binary_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = emb.select(
         "vec_id",
         _sign_code("embedding", 0, 32).alias("lo"),
-        _sign_code("embedding", 32, EMB_DIMS).alias("hi"),
+        _sign_code("embedding", 32, EMB_DIM).alias("hi"),
     )
     qcodes = codes.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -891,7 +893,7 @@ def q_ann_binary_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LO_SQL = _sql_sign_code("embedding", 0, 32)
-_HI_SQL = _sql_sign_code("embedding", 32, EMB_DIMS)
+_HI_SQL = _sql_sign_code("embedding", 32, EMB_DIM)
 
 SQL_ANN_BINARY_HAMMING_RECALL = f"""
 WITH exact AS ({SQL_ANN_COSINE_TOPK}),
@@ -991,7 +993,6 @@ GROUP BY i, j
 
 #: output dimensionality of the PCA projection
 PCA_K = 8
-EMB_DIM = 64
 
 
 def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:

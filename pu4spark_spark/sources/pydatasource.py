@@ -122,13 +122,26 @@ class JsonlDocsWriter(DataSourceWriter):
 
         # append mode commits ON TOP of the existing log: start from the
         # prior _MANIFEST so earlier jobs' shards stay visible to the
-        # manifest-preferring reader (overwrite already cleared the dir)
+        # manifest-preferring reader (overwrite already cleared the dir).
+        # A manifest-less directory (shards written by another tool,
+        # readable via the reader's listing fallback) seeds the manifest
+        # from the listing — otherwise the first append would hide every
+        # pre-existing shard behind a manifest naming only its own.
         manifest = {}
         if not self.overwrite:
             mpath = _os.path.join(self.path, "_MANIFEST")
             if _os.path.exists(mpath):
                 with open(mpath) as fh:
                     manifest = _json.load(fh)
+            elif _os.path.isdir(self.path):
+                # same extension set the reader's listing fallback scans
+                for f in _os.listdir(self.path):
+                    if f.endswith((".json", ".jsonl")) and not f.startswith(
+                        (".", "_")
+                    ):
+                        # row count unknown without a scan; None marks
+                        # "listed, not counted" (readers only use keys)
+                        manifest[f] = None
         committed_tmp = set()
         for m in messages:
             if m is None:
@@ -345,7 +358,6 @@ def q_streaming_pyds_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     microbatch.  Complete-mode memory sink is legitimate here — the
     output is the result-sized 5-row aggregate, not the corpus (the
     production corpus-sized drain is ``streaming_hourly_file_sink``)."""
-    import uuid
 
     shard_dir = _jsonl_shard_dir(spark, sf_dir)
     spark.dataSource.register(JsonlDocsDataSource)
