@@ -296,3 +296,41 @@ def test_pyds_writer_append_merges_manifest(spark, tmp_path):
     back = spark.read.format("jsonl_docs").option("path", out).load()
     got = sorted(r["doc_id"] for r in back.collect())
     assert got == [0, 1, 2, 3, 4, 100, 101, 102]
+
+
+def test_pyds_writer_append_seeds_manifest_from_listing(spark, tmp_path):
+    """Appending to a directory whose shards were written WITHOUT a
+    _MANIFEST (another tool's output, readable via the reader's listing
+    fallback) must seed the manifest from the listing — before the fix
+    the first append wrote a manifest naming only its own shards, and
+    the manifest-preferring reader lost every pre-existing row."""
+    import json
+    import os
+
+    from pu4spark_spark.sources.pydatasource import JsonlDocsDataSource
+
+    spark.dataSource.register(JsonlDocsDataSource)
+    out = tmp_path / "docs_external"
+    out.mkdir()
+    # external shards: one .jsonl, one .json (both listing-visible)
+    with open(out / "ext-0.jsonl", "w") as fh:
+        fh.write(
+            '{"doc_id": 1, "text": "a", "lang": "en",'
+            ' "source": "x", "n_chars": 1}\n'
+        )
+    with open(out / "ext-1.json", "w") as fh:
+        fh.write(
+            '{"doc_id": 2, "text": "b", "lang": "de",'
+            ' "source": "x", "n_chars": 1}\n'
+        )
+    ddl = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(
+        [(100, "c", "fr", "y", 1)], ddl
+    ).write.format("jsonl_docs").option("path", str(out)).mode(
+        "append"
+    ).save()
+
+    manifest = json.load(open(out / "_MANIFEST"))
+    assert {"ext-0.jsonl", "ext-1.json"} <= set(manifest)
+    back = spark.read.format("jsonl_docs").option("path", str(out)).load()
+    assert sorted(r["doc_id"] for r in back.collect()) == [1, 2, 100]
