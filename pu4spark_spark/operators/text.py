@@ -799,10 +799,14 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is vocabulary-sized, i.e. corpus-derived, so forcing it onto
     the driver is the 100 TB anti-pattern; AQE picks broadcast at
     runtime iff it measures small.  The corpus is scanned once."""
+    from pu4spark_spark.plans import cached
+
     docs = load_table(spark, "documents", sf_dir)
     toked = docs.select(tokens("text").alias("__t"))
-    grams = word_shingles(F.col("__t"), 2)
-    pairs = toked.select(F.explode(grams).alias("g")).select(
+    # materialized bigram arrays: an inline explode(word_shingles(...))
+    # re-evaluates the HOF per output row (quadratic per doc)
+    arr = cached(toked.select(word_shingles(F.col("__t"), 2).alias("__g")))
+    pairs = arr.select(F.explode("__g").alias("g")).select(
         F.split(F.col("g"), " ")[0].alias("w1"),
         F.split(F.col("g"), " ")[1].alias("w2"),
     )
@@ -851,11 +855,18 @@ def q_text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus counts; the scoring join is unhinted (corpus-derived table —
     AQE's broadcast call); one groupBy(doc_id) reduce.  Docs with no
     bigram (< 2 tokens) are absent by construction in both engines."""
+    from pu4spark_spark.plans import cached
+
     docs = load_table(spark, "documents", sf_dir)
     toked = docs.select("doc_id", tokens("text").alias("__t"))
-    grams = toked.select(
-        "doc_id", F.explode(word_shingles(F.col("__t"), 2)).alias("g")
+    # materialize the bigram arrays before the explode: Generate
+    # re-evaluates an interpreted-HOF child per OUTPUT row (quadratic
+    # per doc — the KMV lesson), and this explode feeds TWO consumers
+    # (corpus counts + scoring join), which would pay it twice
+    arr = cached(
+        toked.select("doc_id", word_shingles(F.col("__t"), 2).alias("__g"))
     )
+    grams = arr.select("doc_id", F.explode("__g").alias("g"))
     cnt = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
     return (
         grams.join(cnt, "g")
@@ -1562,15 +1573,9 @@ def q_eval_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFram
     toked = docs.select("doc_id", "lang", tokens("text").alias("__t"))
     t = F.col("__t")
     n = F.size(t)
-    stop_n = F.size(F.filter(t, lambda x: x.isin(STOPWORDS)))
-    distinct_ratio = F.size(F.array_distinct(t)).cast("double") / n
-    stop_ratio = stop_n.cast("double") / n
-    length_score = F.least(n.cast("double") / F.lit(50.0), F.lit(1.0))
-    score = (
-        F.lit(0.4) * length_score
-        + F.lit(0.3) * distinct_ratio
-        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
-    )
+    # the shared scorer, NOT a re-derivation: the sweep's bins must
+    # correspond to the quality_score every other eval reports
+    score = quality_score_expr(t)
     binned = toked.select(
         F.least(F.floor(score * 10), F.lit(9)).cast("int").alias("bin"),
         n.cast("long").alias("n"),
@@ -1905,8 +1910,12 @@ def q_corpus_lang_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang_a", "lang_b")
         .agg(
             (
+                # standard KMV Jaccard denominator: the kept union-
+                # sketch size min(K, |union|), not the fixed K — a
+                # fixed /K understates small strata (two identical
+                # 50-shingle corpora would estimate 50/128, not 1.0)
                 F.sum(F.col("in_a") * F.col("in_b")).cast("double")
-                / F.lit(float(LANGSIM_K))
+                / F.count(F.lit(1)).cast("double")
             ).alias("kmv_jaccard")
         )
     )
@@ -1981,7 +1990,7 @@ u AS (
 ),
 est AS (
   SELECT lang_a, lang_b,
-         CAST(SUM(in_a * in_b) AS DOUBLE) / {float(LANGSIM_K)}
+         CAST(SUM(in_a * in_b) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
            AS kmv_jaccard
   FROM (
     SELECT lang_a, lang_b, in_a, in_b,

@@ -463,3 +463,15 @@ def test_bow_cosine_agrees_with_numpy(spark):
         assert r["dot"] == dot
         assert abs(r["cosine"] - c) < 1e-12
         assert r["cosine"] >= BOW_COSINE_THRESHOLD
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    """An all-unique corpus yields zero verified pairs; pagerank must
+    return an empty typed frame instead of dividing by a zero node
+    count on the driver."""
+    from pu4spark_spark.operators.dedup import pagerank
+
+    empty = spark.createDataFrame([], "a_id long, b_id long")
+    out = pagerank(empty)
+    assert out.columns == ["doc_id", "pagerank"]
+    assert out.count() == 0
