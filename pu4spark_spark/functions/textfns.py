@@ -131,3 +131,28 @@ def sql_nibble(md5_expr: str, i: int) -> str:
         f"WHEN '{ch}' THEN {v}" for v, ch in enumerate(_HEX[:-1])
     )
     return f"(CASE substr({md5_expr}, {i}, 1) {whens} ELSE 15 END)"
+
+
+def km_hash_pair(col: Column) -> tuple[Column, Column]:
+    """Kirsch–Mitzenmacher double-hash pair ``(h1, h2)`` from the two
+    md5 halves of ``col`` — the shared derivation behind the Bloom
+    filter's bit positions and the Count-Min sketch's bucket rows.
+    Both are exact int64 < 2^32 (so ``h1 + k·h2`` stays far under
+    2^63 for any small k — no overflow in either engine), and ``h2``
+    is forced ODD so the probe stride never collapses on a
+    power-of-two modulus.  The DuckDB twin is the literal
+    ``CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)`` /
+    ``... substr(md5(x), 9, 8) ...) | 1`` pair embedded in each
+    consumer's oracle SQL — change one, change all."""
+    h = F.md5(col)
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").bitwiseOR(1)
+    return h1, h2
+
+
+def km_positions(col: Column, k: int, modulus: int) -> Column:
+    """Array of ``k`` double-hashed positions ``(h1 + i·h2) % modulus``
+    — Bloom bit positions (k probes × bit-table size) and CMS bucket
+    columns (depth × width) are both instances of this one expression."""
+    h1, h2 = km_hash_pair(col)
+    return F.array(*[((h1 + F.lit(i) * h2) % modulus) for i in range(k)])

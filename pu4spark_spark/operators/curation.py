@@ -206,16 +206,12 @@ BLOOM_K = 4
 
 
 def _bloom_positions(sh: Column) -> Column:
-    """Array of BLOOM_K bit positions for one shingle.  h1/h2 come from
-    the md5 halves as exact int64 (< 2^32 each, so h1 + 3·h2 < 2^34 —
-    no overflow anywhere); h2 is forced odd so the probe stride never
-    collapses on the power-of-two modulus."""
-    h = F.md5(sh)
-    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
-    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").bitwiseOR(1)
-    return F.array(
-        *[((h1 + F.lit(i) * h2) % BLOOM_BITS) for i in range(BLOOM_K)]
-    )
+    """Array of BLOOM_K bit positions for one shingle — the shared
+    Kirsch–Mitzenmacher double hash (see ``textfns.km_positions`` for
+    the overflow/odd-stride invariants, shared with the CMS buckets)."""
+    from pu4spark_spark.functions.textfns import km_positions
+
+    return km_positions(sh, BLOOM_K, BLOOM_BITS)
 
 
 def _sql_bloom_positions(sh_expr: str) -> str:
@@ -726,24 +722,17 @@ def q_curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     give the plan exactly n_langs partitions — a handful of tasks each
     sorting a whole stratum of a 100 TB corpus.
     """
+    from pu4spark_spark.plans import two_phase_rank
+
     docs = load_table(spark, "documents", sf_dir)
     key = F.md5(F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string")))
-    wl = Window.partitionBy("lang", "__part").orderBy(
-        F.asc("__key"), F.asc("doc_id")
-    )
-    local = (
-        docs.withColumn("__key", key)
-        .withColumn("__part", F.spark_partition_id())
-        .withColumn("__lr", F.row_number().over(wl))
-        .filter(F.col("__lr") <= STRATUM_K)
-        .drop("__part", "__lr")
-    )
-    w = Window.partitionBy("lang").orderBy(F.asc("__key"), F.asc("doc_id"))
-    return (
-        local.withColumn("sample_rank", F.row_number().over(w))
-        .filter(F.col("sample_rank") <= STRATUM_K)
-        .select("doc_id", "lang", "sample_rank")
-    )
+    return two_phase_rank(
+        docs.withColumn("__key", key),
+        ["lang"],
+        [F.asc("__key"), F.asc("doc_id")],
+        STRATUM_K,
+        rank_col="sample_rank",
+    ).select("doc_id", "lang", "sample_rank")
 
 
 SQL_STRATIFIED_SAMPLE = f"""

@@ -27,6 +27,7 @@ from pu4spark_spark.functions.textfns import (
 from pu4spark_spark.operators.dedup import (
     JACCARD_THRESHOLD,
     _sql_minhash_bands,
+    band_self_join_candidates,
     minhash_bands,
 )
 from pu4spark_spark.operators.text import STOPWORDS
@@ -105,19 +106,7 @@ def q_pipeline_docs_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     bands = cached(minhash_bands(base))
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band_pos") == F.col("b.band_pos"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
-        )
-        .distinct()
-    )
+    cand = band_self_join_candidates(bands)
     sa = base.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
     sb = base.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
     dropped = (

@@ -161,26 +161,18 @@ def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side and the global window ranks only the 3·P survivors —
     identical output under the same (balance DESC, custkey ASC) total
     order."""
+    from pu4spark_spark.plans import two_phase_rank
+
     cust = load_table(spark, "customer", sf_dir)
     nation = F.broadcast(load_table(spark, "nation", sf_dir))
     joined = cust.join(nation, cust.c_nationkey == nation.n_nationkey)
-    wl = Window.partitionBy("n_name", "__part").orderBy(
-        F.desc("c_acctbal"), F.asc("c_custkey")
-    )
-    local = (
-        joined.withColumn("__part", F.spark_partition_id())
-        .withColumn("__lr", F.row_number().over(wl))
-        .filter(F.col("__lr") <= 3)
-        .drop("__part", "__lr")
-    )
-    w = Window.partitionBy("n_name").orderBy(
-        F.desc("c_acctbal"), F.asc("c_custkey")
-    )
-    return (
-        local.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("n_name", "c_custkey", "c_acctbal", "rn")
-    )
+    return two_phase_rank(
+        joined,
+        ["n_name"],
+        [F.desc("c_acctbal"), F.asc("c_custkey")],
+        3,
+        rank_col="rn",
+    ).select("n_name", "c_custkey", "c_acctbal", "rn")
 
 
 SQL_TOP_CUSTOMERS = """
@@ -2318,25 +2310,19 @@ def _copurchase_topk(li: DataFrame) -> DataFrame:
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_baskets"))
     )
-    wl = Window.partitionBy("__part").orderBy(
-        F.desc("n_baskets"), F.asc("part_a"), F.asc("part_b")
-    )
-    local = (
-        pairs.withColumn("__part", F.spark_partition_id())
-        .withColumn("__lr", F.row_number().over(wl))
-        .filter(F.col("__lr") <= COPURCHASE_TOP_K)
-        .drop("__part", "__lr")
-    )
-    wg = Window.orderBy(F.desc("n_baskets"), F.asc("part_a"), F.asc("part_b"))
-    return (
-        local.withColumn("rank", F.row_number().over(wg))
-        .filter(F.col("rank") <= COPURCHASE_TOP_K)
-        .select(
-            "part_a",
-            "part_b",
-            F.col("n_baskets").cast("bigint").alias("n_baskets"),
-            "rank",
-        )
+    from pu4spark_spark.plans import two_phase_rank
+
+    return two_phase_rank(
+        pairs,
+        [],
+        [F.desc("n_baskets"), F.asc("part_a"), F.asc("part_b")],
+        COPURCHASE_TOP_K,
+        rank_col="rank",
+    ).select(
+        "part_a",
+        "part_b",
+        F.col("n_baskets").cast("bigint").alias("n_baskets"),
+        "rank",
     )
 
 

@@ -61,22 +61,19 @@ def two_phase_topk(scored: DataFrame, k: int = TOP_K) -> DataFrame:
     n_queries partitions, so each task sorts ~n/selectivity rows — a
     single-task bottleneck at 100× scale.  Output is identical: every
     true global top-k row is also in its partition's top-k under the
-    same (cosine DESC, vec_id ASC) total order.
+    same (cosine DESC, vec_id ASC) total order.  The mechanics live in
+    the shared :func:`pu4spark_spark.plans.two_phase_rank`.
     """
-    wl = Window.partitionBy("query_id", "__part").orderBy(
-        F.desc("cosine"), F.asc("vec_id")
-    )
-    local = (
-        scored.withColumn("__part", F.spark_partition_id())
-        .withColumn("__lr", F.row_number().over(wl))
-        .filter(F.col("__lr") <= k)
-        .drop("__part", "__lr")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        local.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+    from pu4spark_spark.plans import two_phase_rank
+
+    return two_phase_rank(
+        scored,
+        ["query_id"],
+        [F.desc("cosine"), F.asc("vec_id")],
+        k,
+        rank_col="rank",
+    ).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank"
     )
 
 
@@ -858,22 +855,13 @@ def q_ann_binary_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # two-phase top-k under (hamming ASC, vec_id ASC) — the same
     # no-single-task-sort shape as two_phase_topk, inverted order
+    from pu4spark_spark.plans import two_phase_rank
+
     hs = scored.withColumn("hamming", ham)
-    wl = Window.partitionBy("query_id", "__part").orderBy(
-        F.asc("hamming"), F.asc("vec_id")
-    )
-    local = (
-        hs.withColumn("__part", F.spark_partition_id())
-        .withColumn("__lr", F.row_number().over(wl))
-        .filter(F.col("__lr") <= TOP_K)
-        .drop("__part", "__lr")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("hamming"), F.asc("vec_id")
-    )
     approx = (
-        local.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
+        two_phase_rank(
+            hs, ["query_id"], [F.asc("hamming"), F.asc("vec_id")], TOP_K
+        )
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .withColumn("__m", F.lit(1))
     )

@@ -697,7 +697,7 @@ def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ K rows per (lang, input partition) and the global window ranks
     only K·P survivors.  Ties break lexicographically so the result is
     a deterministic total order."""
-    from pyspark.sql import Window
+    from pu4spark_spark.plans import two_phase_rank
 
     docs = load_table(spark, "documents", sf_dir)
     counts = (
@@ -705,21 +705,13 @@ def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    wl = Window.partitionBy("lang", "__part").orderBy(
-        F.desc("n"), F.asc("token")
-    )
-    local = (
-        counts.withColumn("__part", F.spark_partition_id())
-        .withColumn("__lr", F.row_number().over(wl))
-        .filter(F.col("__lr") <= HEAVY_HITTER_K)
-        .drop("__part", "__lr")
-    )
-    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
-    return (
-        local.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= HEAVY_HITTER_K)
-        .select("lang", "token", F.col("n").cast("bigint").alias("n"), "rank")
-    )
+    return two_phase_rank(
+        counts,
+        ["lang"],
+        [F.desc("n"), F.asc("token")],
+        HEAVY_HITTER_K,
+        rank_col="rank",
+    ).select("lang", "token", F.col("n").cast("bigint").alias("n"), "rank")
 
 
 SQL_TEXT_HEAVY_HITTERS = f"""
@@ -1088,19 +1080,15 @@ def q_text_search_tfdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = tf.crossJoin(F.broadcast(dfs)).select(
         "doc_id", score.alias("score")
     )
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    wl = Window.partitionBy("__part").orderBy(F.desc("score"), F.asc("doc_id"))
-    local = (
-        scored.withColumn("__part", F.spark_partition_id())
-        .withColumn("__lr", F.row_number().over(wl))
-        .filter(F.col("__lr") <= SEARCH_TOP_K)
-        .drop("__part", "__lr")
-    )
-    return (
-        local.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= SEARCH_TOP_K)
-        .select("doc_id", "score", "rank")
-    )
+    from pu4spark_spark.plans import two_phase_rank
+
+    return two_phase_rank(
+        scored,
+        [],
+        [F.desc("score"), F.asc("doc_id")],
+        SEARCH_TOP_K,
+        rank_col="rank",
+    ).select("doc_id", "score", "rank")
 
 
 def _sql_search() -> str:
@@ -1638,15 +1626,13 @@ CMS_PROBE_K = 20
 
 
 def _cms_buckets(token) -> "F.Column":
-    """The CMS_DEPTH bucket positions for one token — Kirsch–
-    Mitzenmacher double hashing off the two md5 halves (one digest per
-    token for all depths; h2 forced odd)."""
-    h = F.md5(token)
-    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
-    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").bitwiseOR(1)
-    return F.array(
-        *[((h1 + F.lit(d) * h2) % CMS_WIDTH) for d in range(CMS_DEPTH)]
-    )
+    """The CMS_DEPTH bucket positions for one token — the shared
+    Kirsch–Mitzenmacher double hash (``textfns.km_positions``; one md5
+    digest per token for all depths, same invariants as the Bloom
+    filter's bit positions)."""
+    from pu4spark_spark.functions.textfns import km_positions
+
+    return km_positions(token, CMS_DEPTH, CMS_WIDTH)
 
 
 def cms_token_counts(docs: DataFrame) -> DataFrame:
@@ -1700,18 +1686,10 @@ def q_text_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = cms_sketch_from_counts(counts)
     buckets = _cms_buckets(F.col("token"))
     # exact top-K probe set — two-phase rank over the vocab-sized table
-    wl = Window.partitionBy("__part").orderBy(F.desc("n"), F.asc("token"))
-    local = (
-        counts.withColumn("__part", F.spark_partition_id())
-        .withColumn("__lr", F.row_number().over(wl))
-        .filter(F.col("__lr") <= CMS_PROBE_K)
-        .drop("__part", "__lr")
-    )
-    wg = Window.orderBy(F.desc("n"), F.asc("token"))
-    probes = (
-        local.withColumn("__r", F.row_number().over(wg))
-        .filter(F.col("__r") <= CMS_PROBE_K)
-        .drop("__r")
+    from pu4spark_spark.plans import two_phase_rank
+
+    probes = two_phase_rank(
+        counts, [], [F.desc("n"), F.asc("token")], CMS_PROBE_K
     )
     probe_rows = probes.select(
         "token",
@@ -1873,19 +1851,9 @@ def q_corpus_lang_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("h"),
     ).distinct()
-    wl = Window.partitionBy("lang", "__part").orderBy("h")
-    local = (
-        hashed.withColumn("__part", F.spark_partition_id())
-        .withColumn("__lr", F.row_number().over(wl))
-        .filter(F.col("__lr") <= LANGSIM_K)
-        .drop("__part", "__lr")
-    )
-    wg = Window.partitionBy("lang").orderBy("h")
-    sk = (
-        local.withColumn("__r", F.row_number().over(wg))
-        .filter(F.col("__r") <= LANGSIM_K)
-        .drop("__r")
-    )
+    from pu4spark_spark.plans import two_phase_rank
+
+    sk = two_phase_rank(hashed, ["lang"], [F.asc("h")], LANGSIM_K)
     langs = sk.select("lang").distinct()
     pairs = (
         langs.select(F.col("lang").alias("lang_a"))

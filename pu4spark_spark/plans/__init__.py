@@ -24,6 +24,46 @@ def spread(df: DataFrame, factor: int = 2) -> DataFrame:
     return df
 
 
+def two_phase_rank(
+    df: DataFrame,
+    partition_by: list,
+    order_by: list,
+    k: int,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Top-k per partition group in TWO phases so no task ever sorts a
+    group's full candidate set — the repo's standard no-single-task-sort
+    shape, centralized because its one correctness requirement is easy
+    to break in a copy: phase 1's per-``(group, spark_partition_id())``
+    order must be EXACTLY phase 2's global per-group total order (a
+    deterministic tie-broken ordering), or a true global top-k row can
+    be cut locally.
+
+    Phase 1 keeps ≤ k rows per (group, input partition) — a map-side
+    cut, each task sorting only its own slice.  Phase 2 ranks the
+    ≤ k·P survivors per group.  With a single-phase
+    ``Window.partitionBy(group)`` the plan has exactly |groups|
+    partitions — a single-task sort bottleneck at 100× scale (and a
+    one-task global sort when ``partition_by`` is empty; here phase 2
+    then sorts only ≤ k·P rows).  When ``rank_col`` is None the rank is
+    dropped from the output."""
+    from pyspark.sql import Window
+
+    rc = rank_col or "__r"
+    wl = Window.partitionBy(*partition_by, "__part").orderBy(*order_by)
+    local = (
+        df.withColumn("__part", F.spark_partition_id())
+        .withColumn("__lr", F.row_number().over(wl))
+        .filter(F.col("__lr") <= k)
+        .drop("__part", "__lr")
+    )
+    wg = Window.partitionBy(*partition_by).orderBy(*order_by)
+    ranked = local.withColumn(rc, F.row_number().over(wg)).filter(
+        F.col(rc) <= k
+    )
+    return ranked if rank_col else ranked.drop(rc)
+
+
 def cached(df: DataFrame) -> DataFrame:
     """MEMORY_AND_DISK-persist a DataFrame that a query plan consumes
     more than once (self-joins, candidate-verify joins).  Spark's
