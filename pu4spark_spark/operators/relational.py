@@ -2871,12 +2871,20 @@ def q_events_audience_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def words(event_type: str, word_alias: str) -> DataFrame:
         # 1 << 63 must land on the sign bit of a BIGINT: shiftleft on a
-        # bigint literal does exactly that in two's complement
+        # bigint literal does exactly that in two's complement.
+        # pmod + derived block, not raw %/div: a negative user_id would
+        # give Spark a negative remainder (sign of the dividend) and a
+        # TRUNCATED block where DuckDB FLOORS — pmod keeps the bit in
+        # [0,64) and (id - pmod) is a multiple of 64, so the division
+        # is exact and engine-identical for any sign (the same guard as
+        # the zorder oracle).
         return (
             events.filter(F.col("event_type") == event_type)
             .select(
-                (F.col("user_id") % 64).cast("int").alias("__bit"),
-                F.expr("user_id div 64").alias("block"),
+                F.expr("CAST(pmod(user_id, 64) AS INT)").alias("__bit"),
+                F.expr("(user_id - pmod(user_id, 64)) div 64").alias(
+                    "block"
+                ),
             )
             .distinct()
             .groupBy("block")
@@ -2903,19 +2911,23 @@ def q_events_audience_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_EVENTS_AUDIENCE_BITMAP = """
 WITH c AS (
-  SELECT user_id // 64 AS block,
-         bit_or(CASE WHEN user_id % 64 = 63 THEN (-9223372036854775807 - 1)
+  SELECT (user_id - ((user_id % 64) + 64) % 64) // 64 AS block,
+         bit_or(CASE WHEN ((user_id % 64) + 64) % 64 = 63
+                     THEN (-9223372036854775807 - 1)
                      ELSE (CAST(1 AS BIGINT)
-                           << CAST(user_id % 64 AS INTEGER)) END)
+                           << CAST(((user_id % 64) + 64) % 64 AS INTEGER))
+                END)
            AS word_click
   FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
   GROUP BY 1
 ),
 p AS (
-  SELECT user_id // 64 AS block,
-         bit_or(CASE WHEN user_id % 64 = 63 THEN (-9223372036854775807 - 1)
+  SELECT (user_id - ((user_id % 64) + 64) % 64) // 64 AS block,
+         bit_or(CASE WHEN ((user_id % 64) + 64) % 64 = 63
+                     THEN (-9223372036854775807 - 1)
                      ELSE (CAST(1 AS BIGINT)
-                           << CAST(user_id % 64 AS INTEGER)) END)
+                           << CAST(((user_id % 64) + 64) % 64 AS INTEGER))
+                END)
            AS word_purchase
   FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
   GROUP BY 1

@@ -742,7 +742,7 @@ def q_ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q16_SQL = (
     f"list_transform(CAST(embedding AS DOUBLE[])[1:{MATRYOSHKA_DIMS}],"
-    f" x -> CAST(floor(x * 1000) AS BIGINT))"
+    f" x -> CAST(floor(x * {QUANT_SCALE}) AS BIGINT))"
 )
 
 SQL_ANN_MATRYOSHKA_RECALL = f"""

@@ -111,7 +111,11 @@ def _scratch(sf_dir: str, kind: str) -> str:
     import tempfile
 
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    d = os.path.join(tempfile.gettempdir(), f"pu4spark_fmt_{kind}_{tag}")
+    # per-process suffix: concurrent sessions (bench + pytest) must not
+    # rmtree each other's in-flight roundtrip dirs (ADVICE r4)
+    d = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_fmt_{kind}_{tag}_{os.getpid()}"
+    )
     shutil.rmtree(d, ignore_errors=True)
     return d
 

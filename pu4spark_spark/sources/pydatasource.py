@@ -331,7 +331,11 @@ def q_fmt_pyds_jsonl_write_roundtrip(
     import hashlib
 
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    out = os.path.join(tempfile.gettempdir(), f"pu4spark_pyds_w_{tag}")
+    # per-process suffix: mode('overwrite') clears the target driver-
+    # side, so concurrent sessions must not share one directory
+    out = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_pyds_w_{tag}_{os.getpid()}"
+    )
     spark.dataSource.register(JsonlDocsDataSource)
     docs = load_table(spark, "documents", sf_dir)
     (

@@ -52,14 +52,23 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
-
-        df = spark.read.parquet(path)
-        if isinstance(df.schema["ts"].dataType, LongType):
-            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return normalize_event_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to a session-tz timestamp
+    whatever the physical parquet type was (ns-long under
+    ``nanosAsLong`` or native TIMESTAMP(MICROS)).  THE one definition
+    of the contract — the batch loader above and the streaming source
+    (``streaming/events.py:read_events_stream``) both apply it, so a
+    third physical ts variant is handled in one place or neither."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:

@@ -14,7 +14,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
 
 from pu4spark_spark.streaming.drain import drain_partitions, drain_to_memory
 
@@ -26,30 +25,16 @@ EVENTS_COLUMNS = ("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
 def _events_stream_dir(sf_dir: str) -> str:
-    """The parquet file source wants a *directory*; build one holding a
-    symlink to the (read-only) events file.  In production this is just
-    the landing directory new event files arrive in."""
-    import hashlib
-    import os
-    import tempfile
+    """Landing directory with a symlink to the (read-only) events file
+    — the shared dangling-link-safe builder (ADVICE r4)."""
+    from pu4spark_spark.streaming.landing import symlink_landing_dir
 
-    src = os.path.abspath(f"{sf_dir}/events.parquet")
-    tag = hashlib.md5(src.encode()).hexdigest()[:8]
-    d = os.path.join(tempfile.gettempdir(), f"pu4spark_events_{tag}")
-    os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
-    return d
+    return symlink_landing_dir(f"{sf_dir}/events.parquet", "pu4spark_events")
 
 
-def normalize_event_ts(df: DataFrame) -> DataFrame:
-    """Normalize the events ``ts`` column to a session-tz timestamp
-    whatever the physical parquet type was (ns-long under
-    ``nanosAsLong`` or native TIMESTAMP(MICROS))."""
-    if isinstance(df.schema["ts"].dataType, LongType):
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+# ONE definition of the ts contract, shared with the batch loader —
+# re-exported here for the streaming callers and tests
+from pu4spark_spark.sources.tables import normalize_event_ts  # noqa: E402,F401
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -288,15 +273,14 @@ GROUP BY user_id, sid
 STREAM_JOIN_LOOKBACK = "6 hours"
 
 
-def q_streaming_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-stream inner join with a watermarked time-range condition:
-    clicks joined to the same user's purchases within the 6 hours before
-    the click — the streaming twin of the batch ``range_click_purchases``
-    query, checked against the SAME oracle.
-
-    Both sides carry watermarks so Spark can bound the join state: a
-    buffered purchase is dropped once the click watermark passes its
-    ts + lookback (state is O(in-flight window), not O(stream))."""
+def _click_purchase_joined(
+    spark: SparkSession, sf_dir: str, how: str
+) -> DataFrame:
+    """The watermarked click→purchase attribution join, shared by the
+    inner (``range_join``) and left-outer twins so the two can never
+    drift apart in watermark, lookback, or projected columns — only the
+    join TYPE differs (and with it the state-eviction/null-extension
+    semantics)."""
     clicks = (
         read_events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "click")
@@ -317,13 +301,13 @@ def q_streaming_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withWatermark("pts", "1 hour")
     )
-    joined = clicks.join(
+    return clicks.join(
         purchases,
         F.expr(
             f"c_user_id = p_user_id AND pts <= cts "
             f"AND pts >= cts - interval {STREAM_JOIN_LOOKBACK}"
         ),
-        "inner",
+        how,
     ).select(
         "click_id",
         "purchase_id",
@@ -332,6 +316,18 @@ def q_streaming_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gap_micros"
         ),
     )
+
+
+def q_streaming_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with a watermarked time-range condition:
+    clicks joined to the same user's purchases within the 6 hours before
+    the click — the streaming twin of the batch ``range_click_purchases``
+    query, checked against the SAME oracle.
+
+    Both sides carry watermarks so Spark can bound the join state: a
+    buffered purchase is dropped once the click watermark passes its
+    ts + lookback (state is O(in-flight window), not O(stream))."""
+    joined = _click_purchase_joined(spark, sf_dir, "inner")
     return drain_to_memory(spark, joined, "events_range_stream", "append")
 
 
@@ -374,41 +370,7 @@ def q_streaming_left_outer_join(
     never closed), and the DuckDB oracle replicates that predicate
     verbatim (verified empirically: 235 matched + 1782 null-extended
     at sf0.01, both engines)."""
-    clicks = (
-        read_events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user_id"),
-            F.col("ts").alias("cts"),
-        )
-        .withWatermark("cts", "1 hour")
-    )
-    purchases = (
-        read_events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user_id"),
-            F.col("ts").alias("pts"),
-        )
-        .withWatermark("pts", "1 hour")
-    )
-    joined = clicks.join(
-        purchases,
-        F.expr(
-            f"c_user_id = p_user_id AND pts <= cts "
-            f"AND pts >= cts - interval {STREAM_JOIN_LOOKBACK}"
-        ),
-        "left_outer",
-    ).select(
-        "click_id",
-        "purchase_id",
-        F.col("c_user_id").alias("user_id"),
-        (F.unix_micros(F.col("cts")) - F.unix_micros(F.col("pts"))).alias(
-            "gap_micros"
-        ),
-    )
+    joined = _click_purchase_joined(spark, sf_dir, "left_outer")
     return drain_to_memory(spark, joined, "events_louter_stream", "append")
 
 
@@ -500,7 +462,11 @@ def q_streaming_hourly_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"pu4spark_hourly_sink_{tag}")
+    # per-process suffix: a concurrent session's rmtree must not delete
+    # this one's live checkpoint/sink mid-drain (ADVICE r4)
+    base = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_hourly_sink_{tag}_{os.getpid()}"
+    )
     # fresh run each invocation: the checkpoint would otherwise treat
     # the (static) fixture as already-processed and emit nothing new
     shutil.rmtree(base, ignore_errors=True)

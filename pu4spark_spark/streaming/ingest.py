@@ -28,22 +28,11 @@ from pu4spark_spark.streaming.drain import drain_partitions
 
 
 def _docs_stream_dir(sf_dir: str) -> str:
-    """Landing directory holding a symlink to the (read-only) documents
-    file — in production, the directory new document files arrive in."""
-    src = os.path.abspath(f"{sf_dir}/documents.parquet")
-    tag = hashlib.md5(src.encode()).hexdigest()[:8]
-    d = os.path.join(tempfile.gettempdir(), f"pu4spark_docs_{tag}")
-    os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "documents.parquet")
-    # lexists, not exists: a DANGLING symlink (fixture path moved)
-    # reports exists()=False but still blocks os.symlink (ADVICE r4);
-    # recreate whenever the target changed.
-    if os.path.lexists(link):
-        if os.path.islink(link) and os.readlink(link) == src:
-            return d
-        os.remove(link)
-    os.symlink(src, link)
-    return d
+    """Landing directory with a symlink to the (read-only) documents
+    file — the shared dangling-link-safe builder (ADVICE r4)."""
+    from pu4spark_spark.streaming.landing import symlink_landing_dir
+
+    return symlink_landing_dir(f"{sf_dir}/documents.parquet", "pu4spark_docs")
 
 
 def probe_micro_batch(

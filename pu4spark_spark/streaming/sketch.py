@@ -25,9 +25,7 @@ an atomic directory swap per merge.
 from __future__ import annotations
 
 import os
-import shutil
 import tempfile
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -59,17 +57,15 @@ def _docs_landing_dir(spark: SparkSession, sf_dir: str) -> str:
     if os.path.exists(marker):
         return d
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    os.makedirs(d, exist_ok=True)
-    for i in range(N_SHARDS):
-        shard = docs.filter(F.col("doc_id") % N_SHARDS == i)
-        stage = os.path.join(d, f"__stage_{i}")
-        shard.coalesce(1).write.mode("overwrite").parquet(stage)
-        (src,) = (f for f in os.listdir(stage) if f.endswith(".parquet"))
-        shutil.copy(
-            os.path.join(stage, src), os.path.join(d, f"{i}_shard.parquet")
-        )
-        shutil.rmtree(stage)
-    open(marker, "w").close()
+    from pu4spark_spark.streaming.state import write_single_file_shards
+
+    write_single_file_shards(
+        d,
+        (
+            (f"{i}_shard", docs.filter(F.col("doc_id") % N_SHARDS == i))
+            for i in range(N_SHARDS)
+        ),
+    )
     return d
 
 
@@ -80,9 +76,11 @@ def merge_sketch_batch(
     table: union + ONE groupBy(depth, bucket) sum (both inputs are
     ≤ d·w rows — the merge cost is sketch-sized, not data-sized), then
     an atomic directory swap."""
+    from pu4spark_spark.streaming.state import read_state, swap_parquet_state
+
     partial = cms_sketch_from_counts(cms_token_counts(batch))
-    if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
-        cur = spark.read.parquet(state_dir)
+    cur = read_state(spark, state_dir)
+    if cur is not None:
         merged = (
             cur.unionByName(partial)
             .groupBy("depth", "bucket")
@@ -90,11 +88,7 @@ def merge_sketch_batch(
         )
     else:
         merged = partial
-    tmp = state_dir + ".next"
-    merged.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(state_dir):
-        shutil.rmtree(state_dir)
-    os.rename(tmp, state_dir)
+    swap_parquet_state(merged, state_dir)
 
 
 def q_streaming_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,9 +99,10 @@ def q_streaming_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(
         os.path.join(land, "0_shard.parquet")
     ).schema
-    state_dir = os.path.join(
-        tempfile.gettempdir(), f"pu4spark_cms_state_{uuid.uuid4().hex[:8]}"
-    )
+    from pu4spark_spark.streaming.state import fresh_state_dir
+
+    # per-(sf, process) state dir, cleared up front — no uuid leak
+    state_dir = fresh_state_dir("pu4spark_cms_state", sf_dir)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

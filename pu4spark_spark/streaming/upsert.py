@@ -23,14 +23,18 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import os
-import shutil
 import tempfile
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pu4spark_spark.streaming.drain import drain_partitions
+from pu4spark_spark.streaming.state import (
+    fresh_state_dir as _fresh_state_dir,
+    read_state,
+    swap_parquet_state,
+    write_single_file_shards,
+)
 
 from pu4spark_spark.operators.relational import SQL_ORDERS_UPSERT_COMPACT
 from pu4spark_spark.sources import load_table
@@ -67,18 +71,7 @@ def _cdc_landing_dir(spark: SparkSession, sf_dir: str) -> str:
         .alias("price"),
         F.lit(1).alias("version"),
     )
-    os.makedirs(d, exist_ok=True)
-    for name, df in (("0_base", base), ("1_updates", updates)):
-        part_dir = os.path.join(d, f"__stage_{name}")
-        df.coalesce(1).write.mode("overwrite").parquet(part_dir)
-        (src,) = (
-            f for f in os.listdir(part_dir) if f.endswith(".parquet")
-        )
-        shutil.copy(
-            os.path.join(part_dir, src), os.path.join(d, f"{name}.parquet")
-        )
-        shutil.rmtree(part_dir)
-    open(marker, "w").close()
+    write_single_file_shards(d, (("0_base", base), ("1_updates", updates)))
     return d
 
 
@@ -86,23 +79,21 @@ def merge_batch(
     spark: SparkSession, batch: DataFrame, state_dir: str
 ) -> None:
     """MERGE one micro-batch into the parquet state: union + keep the
-    max-version row per key, write fresh, swap atomically."""
-    if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
-        cur = spark.read.parquet(state_dir)
-        merged_src = cur.unionByName(batch)
-    else:
-        merged_src = batch
+    max-version row per key, write fresh, swap atomically.  Tombstone
+    rows (an ``op`` column = 'D'), when the schema carries them, WIN
+    their key battle by version and are RETAINED in state — dropping
+    them here would let a lower-version upsert replayed out of order
+    resurrect a deleted key; consumers filter tombstones at read-out
+    (exactly a table format's delete vector awaiting compaction)."""
+    cur = read_state(spark, state_dir)
+    merged_src = cur.unionByName(batch) if cur is not None else batch
     w = Window.partitionBy(MERGE_KEY).orderBy(F.desc("version"))
     merged = (
         merged_src.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    tmp = state_dir + ".next"
-    merged.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(state_dir):
-        shutil.rmtree(state_dir)
-    os.rename(tmp, state_dir)
+    swap_parquet_state(merged, state_dir)
 
 
 def q_streaming_upsert_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -111,9 +102,12 @@ def q_streaming_upsert_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal the batch upsert oracle exactly."""
     land = _cdc_landing_dir(spark, sf_dir)
     schema = spark.read.parquet(os.path.join(land, "0_base.parquet")).schema
-    state_dir = os.path.join(
-        tempfile.gettempdir(), f"pu4spark_cdc_state_{uuid.uuid4().hex[:8]}"
-    )
+    # one state dir per process (cleared up front), not a fresh uuid per
+    # invocation: repeated bench/pytest runs must not accumulate an
+    # unbounded set of orders-snapshot directories in the tempdir.  The
+    # returned frame lazily re-reads this dir — callers must not delete
+    # it before collecting.
+    state_dir = _fresh_state_dir("pu4spark_cdc_state", sf_dir)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -140,7 +134,8 @@ def q_streaming_upsert_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("price").cast("double").alias("total_price"),
         )
     )
-    # materialize before the state dir can be cleaned up by the caller
+    # NOTE: lazy — the frame re-reads state_dir at action time (the
+    # per-process dir persists until the next invocation clears it)
     return out
 
 
@@ -185,51 +180,17 @@ def _cdc_del_landing_dir(spark: SparkSession, sf_dir: str) -> str:
         F.lit("U").alias("op"),
     )
     deletes = shape(orders.filter(F.col("o_orderkey") % 11 == 0), 2, "D")
-    os.makedirs(d, exist_ok=True)
-    for name, df in (
-        ("0_base", base),
-        ("1_updates", updates),
-        ("2_deletes", deletes),
-    ):
-        part_dir = os.path.join(d, f"__stage_{name}")
-        df.coalesce(1).write.mode("overwrite").parquet(part_dir)
-        (src,) = (f for f in os.listdir(part_dir) if f.endswith(".parquet"))
-        shutil.copy(
-            os.path.join(part_dir, src), os.path.join(d, f"{name}.parquet")
-        )
-        shutil.rmtree(part_dir)
-    open(marker, "w").close()
+    write_single_file_shards(
+        d, (("0_base", base), ("1_updates", updates), ("2_deletes", deletes))
+    )
     return d
 
 
-def merge_batch_with_deletes(
-    spark: SparkSession, batch: DataFrame, state_dir: str
-) -> None:
-    """Full MERGE per micro-batch: keep the max-version row per key,
-    then DROP keys whose winning row is a tombstone — the WHEN MATCHED
-    THEN DELETE arm a table format would run.  The tombstone must win
-    its key battle by version (not arrival order), so out-of-order CDC
-    replays converge to the same state; it is retained in state until a
-    higher-version upsert resurrects the key, exactly like a
-    table-format delete vector awaiting compaction — except here the
-    filter drops it from the materialized snapshot immediately."""
-    if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
-        cur = spark.read.parquet(state_dir)
-        merged_src = cur.unionByName(batch)
-    else:
-        merged_src = batch
-    w = Window.partitionBy(MERGE_KEY).orderBy(F.desc("version"))
-    merged = (
-        merged_src.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-        .filter(F.col("op") != "D")
-    )
-    tmp = state_dir + ".next"
-    merged.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(state_dir):
-        shutil.rmtree(state_dir)
-    os.rename(tmp, state_dir)
+#: full MERGE is the SAME per-batch fold — tombstones are ordinary
+#: max-version rows in state (retained so out-of-order replays cannot
+#: resurrect a deleted key); the WHEN MATCHED THEN DELETE arm happens
+#: at read-out, where consumers filter op != 'D'
+merge_batch_with_deletes = merge_batch
 
 
 def q_streaming_upsert_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -238,9 +199,7 @@ def q_streaming_upsert_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     version per key, tombstoned keys absent."""
     land = _cdc_del_landing_dir(spark, sf_dir)
     schema = spark.read.parquet(os.path.join(land, "0_base.parquet")).schema
-    state_dir = os.path.join(
-        tempfile.gettempdir(), f"pu4spark_cdcdel_state_{uuid.uuid4().hex[:8]}"
-    )
+    state_dir = _fresh_state_dir("pu4spark_cdcdel_state", sf_dir)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -258,6 +217,9 @@ def q_streaming_upsert_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     return (
         spark.read.parquet(state_dir)
+        # the WHEN MATCHED THEN DELETE arm: tombstones live in state
+        # (replay safety) and drop out of every read
+        .filter(F.col("op") != "D")
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

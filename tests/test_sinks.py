@@ -341,3 +341,29 @@ def test_drain_to_memory_values_match_batch(spark):
     got = {tuple(r) for r in drained.collect()}
     want = {tuple(r) for r in batch.collect()}
     assert got == want
+
+
+def test_tombstone_survives_out_of_order_replay(spark, tmp_path):
+    """A deleted key must STAY deleted when a lower-version upsert for
+    it is replayed after the tombstone (out-of-order CDC) — the merge
+    retains tombstones in state so version, not arrival order, decides;
+    the read-out filter is what hides them."""
+    from pyspark.sql import functions as F
+
+    from pu4spark_spark.streaming.upsert import merge_batch_with_deletes
+
+    state = str(tmp_path / "state_del")
+    ddl = (
+        "o_orderkey long, o_orderstatus string, price double,"
+        " version int, op string"
+    )
+    delete_batch = spark.createDataFrame([(7, "A", 0.0, 2, "D")], ddl)
+    late_upsert = spark.createDataFrame([(7, "A", 70.0, 1, "U")], ddl)
+    merge_batch_with_deletes(spark, delete_batch, state)
+    merge_batch_with_deletes(spark, late_upsert, state)
+    snapshot = spark.read.parquet(state)
+    # the tombstone (v2) won the key battle and is retained in state...
+    rows = {r["o_orderkey"]: r for r in snapshot.collect()}
+    assert rows[7]["op"] == "D" and rows[7]["version"] == 2
+    # ...and the read-out contract hides it
+    assert snapshot.filter(F.col("op") != "D").count() == 0
