@@ -943,16 +943,24 @@ def q_embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = qi.select("i", "qi", F.posexplode("q").alias("j", "qj")).filter(
         F.col("j") >= F.col("i")
     )
-    n = q.count()  # row count enters the mean as an exact int
+    # every (i,j) group holds exactly one row per vector, so the group
+    # count IS the corpus row count — no separate count() job (which
+    # would be a second full-table scan at 100 TB)
     return (
         pairs.groupBy("i", "j")
-        .agg(F.sum(F.col("qi") * F.col("qj")).alias("dot"))
+        .agg(
+            F.sum(F.col("qi") * F.col("qj")).alias("dot"),
+            F.count(F.lit(1)).alias("__n"),
+        )
         .select(
             "i",
             "j",
             F.col("dot").alias("gram_int"),
-            (F.col("dot").cast("double") / F.lit(n) / F.lit(float(QUANT_SCALE)) ** 2)
-            .alias("gram_mean"),
+            (
+                F.col("dot").cast("double")
+                / F.col("__n").cast("double")
+                / F.lit(float(QUANT_SCALE)) ** 2
+            ).alias("gram_mean"),
         )
     )
 
@@ -1042,9 +1050,12 @@ def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     for row in comps:
         if row[np.argmax(np.abs(row))] < 0:
             row *= -1.0
+    # float() before !r: np.float64's repr is "np.float64(x)" under
+    # NumPy >= 2.0, which would not parse as a SQL literal
     projs = [
         " + ".join(
-            f"(CAST(embedding[{i}] AS DOUBLE) - {mu[i]!r}) * {comps[k][i]!r}"
+            f"(CAST(embedding[{i}] AS DOUBLE) - {float(mu[i])!r})"
+            f" * {float(comps[k][i])!r}"
             for i in range(d)
         )
         + f" AS proj{k}"
