@@ -338,11 +338,30 @@ def test_bloom_build_is_fixed_size_aggregate(spark):
 
 
 def test_gram_matrix_explodes_in_scan_stage(spark):
-    """Gram matrix: both Generates pipeline before any exchange, and the
-    only data-size aggregation is map-side combined on (i, j)."""
+    """Gram matrix: both Generates pipeline before any exchange, the
+    only data-size aggregation is map-side combined on (i, j), and
+    CONSTRUCTION runs zero jobs — the mean's denominator is the group
+    count, not a separate count() scan (a second full pass at 100 TB)."""
     from pu4spark_spark.operators.similarity import q_embedding_gram_matrix
 
-    plan = explain_str(q_embedding_gram_matrix(spark, SF_DIR))
+    sc = spark.sparkContext
+    sc.setLocalProperty("spark.jobGroup.id", "gram_build_gate")
+    try:
+        df = q_embedding_gram_matrix(spark, SF_DIR)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    tracker = sc.statusTracker()
+    for jid in tracker.getJobIdsForGroup("gram_build_gate"):
+        for st in tracker.getJobInfo(jid).stageIds:
+            si = tracker.getStageInfo(st)
+            # the only permissible eager work is the 1-task parquet
+            # footer read of schema inference; the old count() scan
+            # surfaced here as a multi-task 'count at ...' job
+            assert si is None or (
+                si.numTasks == 1 and si.name.startswith("parquet")
+            ), f"eager job during gram construction: {si.name} ({si.numTasks} tasks)"
+
+    plan = explain_str(df)
     assert len(re.findall(r"\(\d+\) Generate", plan)) == 2
     assert "partial_sum" in plan
     # no exchange BETWEEN the two Generates — they pipeline in one stage
