@@ -2367,15 +2367,22 @@ def q_part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides of the pair self-join, and the item counts) — persist it so
     # the distinct runs once
     li = cached(_basket_items(spark, sf_dir))
-    n_baskets_total = li.select("l_orderkey").distinct().count()
+    # basket total as the family's 1-row broadcast-scalar (no eager
+    # driver-side count() job; the whole query stays one lazy plan)
+    total = li.agg(F.countDistinct("l_orderkey").alias("__nb"))
     topk = _copurchase_topk(li)
     item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
     ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
     ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
     # the K-row top-K side broadcasts; the item-frequency table is only
     # ever scanned, never shuffled against the pair matrix
-    joined = F.broadcast(topk).join(ia, "part_a").join(ib, "part_b")
-    n = F.lit(float(n_baskets_total))
+    joined = (
+        F.broadcast(topk)
+        .join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(total))
+    )
+    n = F.col("__nb").cast("double")
     dbl = lambda c: F.col(c).cast("double")  # noqa: E731
     return joined.select(
         "part_a",
