@@ -10,16 +10,18 @@ Protocol:
    the negative side ("spies"); the classifier trains on
    (P∖S = 1) vs (U ∪ S = 0) and scores every row.
 2. The spies' score distribution calibrates the reliable-negative
-   threshold: t = the ``spy_quantile`` quantile of spy scores (spies
-   ARE positives, so all but the lowest tail of true positives score
-   above t).  Unlabeled rows scoring below t become reliable negatives.
+   threshold: t = the ``spy_quantile`` quantile of spy scores on a
+   fixed 1/SPY_BINS grid (spies ARE positives, so all but the lowest
+   tail of true positives score above t).  Unlabeled rows scoring
+   below t become reliable negatives.
 3. Final fit on P(=1) vs RN(=0), undecided rows excluded; every row is
    rescored — ``final_label`` = P(positive).
 
 Scale shape: two classifier fits + two full scans; the spy coin and
 both label algebras are scan-stage expressions; the only driver-side
-value is the 1-row spy-quantile scalar (same protocol as the loop
-learners' fused convergence agg, labels.py:131-161).  Determinism: the
+value is the ≤ SPY_BINS-row spy-score histogram the quantile is read
+from (bounded-table protocol — exact ``percentile`` would buffer every
+spy score in one task's aggregation state).  Determinism: the
 coin is ``pmod(hash(features), 1000)`` (murmur3 over the feature array
 — no RNG), LR fits are deterministic, so rows-only checks are stable.
 """
@@ -33,6 +35,11 @@ from pu4spark_spark.config import INDEXED_FEATURES_NAME, LABEL_NAME
 from pu4spark_spark.two_step import VEC_FEATURES_NAME, TwoStepPULearner
 
 SPY_COIN_MOD = 1000
+
+#: fixed spy-score quantile grid — the threshold is the lower edge of
+#: the bin where the spy cumulative count crosses the quantile, so the
+#: calibration agg state is ≤ SPY_BINS+1 rows regardless of corpus size
+SPY_BINS = 1000
 
 
 class SpyEMPULearner(TwoStepPULearner):
@@ -79,15 +86,37 @@ class SpyEMPULearner(TwoStepPULearner):
         )
         scored = self.zero_step(step1, "__l1", features_col, final_label)
 
-        # spy-calibrated threshold: ONE 1-row agg → driver scalar (the
-        # loop learners' convergence-scalar protocol)
-        t = scored.filter(F.col("__spy")).agg(
-            F.expr(
-                f"percentile({final_label}, {self.spy_quantile})"
-            ).alias("t")
-        ).collect()[0]["t"]
-        if t is None:
+        # spy-calibrated threshold on a fixed 1/SPY_BINS score grid —
+        # the sketch-boundary discipline of the winsorized mean
+        # (relational.py): Spark's exact `percentile` buffers EVERY spy
+        # score in one aggregation task (spy count scales with the
+        # positive set at 100 TB), while this histogram is ≤ SPY_BINS
+        # rows no matter the corpus.  t = lower edge of the bin where
+        # the spy cumulative count reaches the quantile (bounded-table
+        # protocol, same tier as the BPE merge-table collects).
+        hist = (
+            scored.filter(F.col("__spy"))
+            .groupBy(
+                F.least(
+                    F.lit(SPY_BINS - 1),
+                    F.floor(F.col(final_label) * SPY_BINS).cast("int"),
+                ).alias("__b")
+            )
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        if not hist:
             raise ValueError("no spies drawn — positive set too small")
+        counts = sorted((r["__b"], r["__n"]) for r in hist)
+        n_spies = sum(c for _, c in counts)
+        target = self.spy_quantile * n_spies
+        cum = 0
+        t = counts[-1][0] / SPY_BINS
+        for b, c in counts:
+            cum += c
+            if cum >= target:
+                t = b / SPY_BINS
+                break
 
         # step 2: P=1, reliable negatives (unlabeled under t)=0, rest
         # undecided; retrain on decided rows only, rescore everything
