@@ -7,7 +7,8 @@ via the shared TwoStepPULearner machinery (two_step.py).
 Protocol (T rounds, deterministic):
 
 1. Round t draws a bootstrap-style subsample U_t of the unlabeled via a
-   per-round hash coin (``pmod(hash(features, t), 1000)`` — no RNG) and
+   per-round hash coin (``pmod(hash(id, features, t), 1000)`` — no RNG,
+   keyed on the stable row id when one exists, see ``bag_coin``) and
    trains the classifier on P(=1) vs U_t(=0).
 2. Every round scores ALL rows; each row accumulates (a) the sum over
    all rounds and (b) the OUT-OF-BAG sum/count — rounds where the row
