@@ -231,3 +231,39 @@ def test_interval_overlap_matches_bruteforce(spark):
     }
     assert got == want
     assert (100, 100) not in got  # half-open touch is not an overlap
+
+
+def test_asof_forward_matches_bruteforce_random(spark):
+    """Randomized cross-check of the FORWARD as-of join (the backward
+    twin above has one; this pins the mirrored frame/tiebreak): for
+    every left row, the reference answer is the (min ts, then min rid)
+    right row at-or-after it within the key."""
+    import random
+
+    for seed in range(5):
+        rng = random.Random(1000 + seed)
+        keys = [0, 1, 2]
+        left = [
+            (i, rng.choice(keys),
+             _ts(f"2024-01-01 {rng.randrange(24):02d}:{rng.randrange(60):02d}:00"))
+            for i in range(20)
+        ]
+        right = [
+            (100 + i, rng.choice(keys + [9]),
+             _ts(f"2024-01-01 {rng.randrange(24):02d}:{rng.randrange(60):02d}:00"),
+             float(i))
+            for i in range(15)
+        ]
+        from pu4spark_spark.operators.asof import asof_join_forward
+
+        ldf = spark.createDataFrame(left, ["lid", "k", "ts"])
+        rdf = spark.createDataFrame(right, ["rid", "k", "ts", "v"])
+        out = asof_join_forward(
+            ldf, rdf, key_cols=["k"], ts_col="ts", value_cols=["rid", "v"],
+            order_col="rid",
+        )
+        got = {r["lid"]: r["asof_rid"] for r in out.collect()}
+        for lid, k, lts in left:
+            cands = [(ts, rid) for rid, rk, ts, _ in right if rk == k and ts >= lts]
+            expect = min(cands)[1] if cands else None
+            assert got[lid] == expect, (seed, lid)

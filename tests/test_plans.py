@@ -602,3 +602,37 @@ def test_events_type_drift_shape(spark):
     assert "BroadcastNestedLoopJoin Cross BuildRight" in plan, plan
     # partial->final aggregation (map-side combine) present
     assert plan.lower().count("hashaggregate") >= 2, plan
+
+
+def test_two_phase_rank_equals_single_phase_window(spark):
+    """The centralized two-phase top-k must return EXACTLY the rows a
+    single-phase per-group window would, for any physical partitioning
+    — the one correctness requirement the helper's docstring states
+    (phase-1's per-slice order must be the global total order).  Random
+    data with heavy score ties exercises the tie-break; repartition
+    shifts which rows share a slice."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pu4spark_spark.plans import two_phase_rank
+
+    rng = random.Random(42)
+    rows = [
+        (i, rng.randrange(4), float(rng.randrange(5)))  # many score ties
+        for i in range(200)
+    ]
+    for parts in (1, 7):
+        df = spark.createDataFrame(rows, ["id", "g", "s"]).repartition(parts)
+        two = two_phase_rank(
+            df, ["g"], [F.desc("s"), F.asc("id")], 5, rank_col="r"
+        )
+        w = Window.partitionBy("g").orderBy(F.desc("s"), F.asc("id"))
+        one = (
+            df.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= 5)
+        )
+        got = sorted(map(tuple, two.select("g", "id", "s", "r").collect()))
+        want = sorted(map(tuple, one.select("g", "id", "s", "r").collect()))
+        assert got == want, f"parts={parts}"
