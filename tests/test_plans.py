@@ -636,3 +636,27 @@ def test_two_phase_rank_equals_single_phase_window(spark):
         got = sorted(map(tuple, two.select("g", "id", "s", "r").collect()))
         want = sorted(map(tuple, one.select("g", "id", "s", "r").collect()))
         assert got == want, f"parts={parts}"
+
+
+def test_sql_docs_clean_stages_serve_from_cache(spark):
+    """The SQL-front-end pipeline twin must evaluate its interpreted
+    shingle/signature HOF projections ONCE: the ``base`` and ``bands``
+    stages are ``CACHE TABLE``-staged, and every top-level consumer in
+    the main statement reads the InMemoryRelation — zero raw parquet
+    scans outside a cached subtree.  Guards the WithCTE pitfall: a WITH
+    anywhere in the view definition or the consumer breaks CacheManager
+    substitution for re-instanced references (only the first copy
+    canonicalizes equal), silently re-running the HOF chain per
+    consumer."""
+    from pu4spark_spark.operators.pipeline import q_sql_docs_clean
+
+    df = q_sql_docs_clean(spark, SF_DIR)
+    # InMemoryRelation is a LEAF of the optimized logical plan (its
+    # cached build plan is a field, not a child), so the leaf census is
+    # an exact substitution count — display-string heuristics are not
+    leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+    names = [leaves.apply(i).nodeName() for i in range(leaves.size())]
+    spark.catalog.clearCache()
+    # consumers: final select + sa + sb (base) and both LSH sides (bands)
+    assert names.count("InMemoryRelation") >= 5, names
+    assert all(n == "InMemoryRelation" for n in names), names
