@@ -431,6 +431,139 @@ WHERE iteration <= 2 OR all_prior_ok = 1
 SQL_PU_GRADUAL_TRACE = _sql_gradual_trace()
 
 
+#: bagging trace constants: per-round score offset (same step as the
+#: loop traces) and a coin stream decorrelated from the scores by a
+#: large odd offset plus a PER-ROUND MULTIPLIER (an additive stride
+#: alone makes each row's five coins an arithmetic progression mod
+#: 1000, which provably can never stay under 0.5 all five rounds — the
+#: all-rounds fallback branch would be unreachable).  Overflow-free:
+#: (PREMOD-1)*(KNUTH + 4*100003) + 500009 < 2^52.
+_BAG_T = 5
+_BAG_FRAC = 0.5
+_BAG_COIN_OFF = 500009
+_BAG_COIN_STEP = 100003
+
+
+def _bag_p_col(t: int) -> F.Column:
+    return (
+        (
+            (F.col("vec_id") % F.lit(_PREMOD)) * F.lit(_KNUTH)
+            + F.lit(t * _TRACE_STEP)
+        )
+        % F.lit(1000)
+    ) / F.lit(1000.0)
+
+
+def _bag_p_sql(t: int) -> str:
+    return (
+        f"((((vec_id % {_PREMOD}) * {_KNUTH} + {t * _TRACE_STEP}) % 1000)"
+        " / 1000.0)"
+    )
+
+
+def _bag_coin_sql(t: int) -> str:
+    return (
+        f"((((vec_id % {_PREMOD}) * {_KNUTH + t * _BAG_COIN_STEP}"
+        f" + {_BAG_COIN_OFF}) % 1000) / 1000.0)"
+    )
+
+
+def q_pu_bagging_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bagging learner's OUT-OF-BAG aggregation protocol,
+    driver-hash-checked (§5b lesson 18 applied to the fifth learner):
+    the REAL ``PUBaggingLearner.weight()`` driver loop runs — feature
+    prep, per-round bag draw, accumulator algebra, ``roll_state``
+    hygiene, the ≥1-OOB-round/all-rounds fallback (bagging.py:98-186)
+    — with exactly two substitutions, both engine-portable integer-hash
+    expressions: the classifier score becomes the Knuth pseudo-score
+    (per-round offset ``t*_TRACE_STEP``) and the murmur3 bag coin
+    becomes a decorrelated Knuth coin keyed on (vec_id, round).  DuckDB
+    replays all 5 rounds as a verbatim IEEE accumulation chain (lesson
+    8: identical add order ⇒ identical doubles), so the per-row OOB
+    means — including the rows drawn in-bag all 5 rounds, which
+    exercise the all-rounds fallback — hash-match exactly.  The
+    ML-scored twin ``pu_bagging_lr`` stays rows-only; this witnesses
+    the AGGREGATION algebra itself."""
+    from pu4spark_spark.bagging import PUBaggingLearner
+
+    class _TraceBagging(PUBaggingLearner):
+        """Scorer/coin substitution only — every other code path is the
+        production learner's."""
+
+        def __init__(self):
+            super().__init__(
+                classifier=None,
+                n_rounds=_BAG_T,
+                sample_frac=_BAG_FRAC,
+                id_col="vec_id",
+            )
+            self._round = 0
+
+        def bag_coin(self, features_col, t, id_col=None):
+            return (
+                (
+                    (F.col("vec_id") % F.lit(_PREMOD))
+                    * F.lit(_KNUTH + t * _BAG_COIN_STEP)
+                    + F.lit(_BAG_COIN_OFF)
+                )
+                % F.lit(1000)
+            ) / F.lit(1000.0)
+
+        def fit_on_current(self, df, cur_col):
+            t = self._round
+            self._round += 1
+            return t
+
+        def score_all(self, model, df, final_label):
+            return df.withColumn(final_label, _bag_p_col(model))
+
+        def cleanup(self, df, *cols):
+            keep = [c for c in cols if c != "__oob_n"]
+            return super().cleanup(df, *keep)
+
+    out = _TraceBagging().weight(
+        _pu_input(spark, sf_dir), "pu_label", "embedding"
+    )
+    return out.select(
+        "vec_id",
+        F.col("__oob_n").cast("int").alias("oob_rounds"),
+        F.col("finalLabel").alias("final_score"),
+    )
+
+
+def _sql_bagging_trace() -> str:
+    # round-by-round CTE chain replicating weight()'s accumulator
+    # builds verbatim: all_s = ((((0+p0)+p1)+p2)+p3)+p4 in that exact
+    # IEEE order; oob_s/oob_n advance only on out-of-bag rounds.
+    ctes = [
+        "b0 AS (SELECT vec_id,"
+        " CASE WHEN label = 9 THEN 1 ELSE 0 END AS pos,"
+        " CAST(0.0 AS DOUBLE) AS all_s, CAST(0.0 AS DOUBLE) AS oob_s,"
+        " 0 AS oob_n FROM embeddings)"
+    ]
+    for t in range(_BAG_T):
+        in_bag = f"(pos = 0 AND {_bag_coin_sql(t)} < {_BAG_FRAC})"
+        ctes.append(
+            f"b{t + 1} AS (SELECT vec_id, pos,"
+            f" all_s + {_bag_p_sql(t)} AS all_s,"
+            f" CASE WHEN {in_bag} THEN oob_s"
+            f" ELSE oob_s + {_bag_p_sql(t)} END AS oob_s,"
+            f" CASE WHEN {in_bag} THEN oob_n ELSE oob_n + 1 END AS oob_n"
+            f" FROM b{t})"
+        )
+    return f"""
+WITH {", ".join(ctes)}
+SELECT vec_id,
+       CAST(oob_n AS INTEGER) AS oob_rounds,
+       CASE WHEN oob_n > 0 THEN oob_s / oob_n
+            ELSE all_s / {float(_BAG_T)} END AS final_score
+FROM b{_BAG_T}
+"""
+
+
+SQL_PU_BAGGING_TRACE = _sql_bagging_trace()
+
+
 def q_pu_label_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pu4spark_spark.labels import index_label
 
@@ -801,6 +934,7 @@ QUERIES = {
     "pu_iteration_stats": q_pu_iteration_stats,
     "pu_traditional_trace": q_pu_traditional_trace,
     "pu_gradual_trace": q_pu_gradual_trace,
+    "pu_bagging_trace": q_pu_bagging_trace,
     "pu_label_index": q_pu_label_index,
     "pu_zero_step_lr": q_pu_zero_step_lr,
     "pu_traditional_lr": q_pu_traditional_lr,
@@ -825,6 +959,7 @@ ORACLE_SQL = {
     "pu_iteration_stats": SQL_PU_ITERATION_STATS,
     "pu_traditional_trace": SQL_PU_TRADITIONAL_TRACE,
     "pu_gradual_trace": SQL_PU_GRADUAL_TRACE,
+    "pu_bagging_trace": SQL_PU_BAGGING_TRACE,
     "pu_label_index": SQL_PU_LABEL_INDEX,
     "pu_feature_assembly": SQL_PU_FEATURE_ASSEMBLY,
     # pu_zero_step_lr / pu_traditional_lr / pu_gradual_lr /

@@ -716,3 +716,51 @@ def test_binarize_algebra_random(spark):
             assert t in (1, 0, -1) and g in (1, 0, -1)
 
     check()
+
+
+def test_bagging_trace_oob_protocol(spark):
+    """The bagging trace must exercise BOTH aggregation branches of
+    bagging.py's weight(): positives are never drawn in-bag (oob_rounds
+    == T for every positive), and with frac=0.5 over T=5 rounds some
+    unlabeled rows land in-bag every round — those take the all-rounds
+    fallback (oob_rounds == 0) and their score equals mean(p_t).  Every
+    row's score must be reproducible from the published coin/scorer
+    algebra."""
+    from pu4spark_spark.operators.pu_queries import (
+        _BAG_COIN_OFF,
+        _BAG_COIN_STEP,
+        _BAG_FRAC,
+        _BAG_T,
+        _KNUTH,
+        _PREMOD,
+        _TRACE_STEP,
+        q_pu_bagging_trace,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    rows = q_pu_bagging_trace(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == len(labels)
+
+    def p(vid, t):
+        return ((vid % _PREMOD) * _KNUTH + t * _TRACE_STEP) % 1000 / 1000.0
+
+    def in_bag(vid, t):
+        coin = ((vid % _PREMOD) * (_KNUTH + t * _BAG_COIN_STEP) + _BAG_COIN_OFF) % 1000 / 1000.0
+        return labels[vid] != 9 and coin < _BAG_FRAC
+
+    seen_fallback = seen_pos = False
+    for r in rows:
+        vid = r["vec_id"]
+        oob = [t for t in range(_BAG_T) if not in_bag(vid, t)]
+        assert r["oob_rounds"] == len(oob)
+        if labels[vid] == 9:
+            assert r["oob_rounds"] == _BAG_T
+            seen_pos = True
+        if oob:
+            want = sum(p(vid, t) for t in oob) / len(oob)
+        else:
+            want = sum(p(vid, t) for t in range(_BAG_T)) / _BAG_T
+            seen_fallback = True
+        assert abs(r["final_score"] - want) < 1e-12, vid
+    assert seen_pos and seen_fallback
