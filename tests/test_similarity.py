@@ -191,17 +191,18 @@ def test_pca_components_orthogonal_variance_ordered(spark):
 
 
 def test_ivf_recall_floor_on_fixture(spark):
-    """nprobe=2 over 8 cells must find most exact neighbors on the
-    fixture, and the metric algebra must be internally consistent."""
+    """The tuned default (nprobe=8, picked by ann_ivf_tuning) must
+    clear the production recall bar on the fixture, and the metric
+    algebra must be internally consistent."""
     from pu4spark_spark.operators.similarity import q_ann_ivf_recall
 
     row = q_ann_ivf_recall(spark, "/root/testdata/sf0.001").collect()[0]
     assert row["n_queries"] >= 1
     assert 0.0 <= row["avg_recall"] <= 1.0
-    # fixture embeddings are near-unstructured, so nprobe=2/8 recalls
-    # only ~0.36 — the eval exists precisely to surface that number
-    # (the go/no-go before trusting IVF); assert a loose stability floor
-    assert row["avg_recall"] >= 0.2
+    # the old nprobe=2 default recalled ~0.36 on this near-isotropic
+    # fixture; the r7 tuning table moved the default to 8, which
+    # measures ~0.86 — gate the >=0.8 bar the default was chosen for
+    assert row["avg_recall"] >= 0.8
     assert 0 <= row["min_matched"]
 
 
