@@ -1831,71 +1831,122 @@ def q_corpus_lang_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns are the fixture-scale audit; a production run drops them
     (that's the point of the sketch).
     """
-    from pu4spark_spark.plans import spread
+    from pu4spark_spark.plans import cached, spread, two_phase_rank
 
     # spread() the single-file scan — per-row shingle/md5 work must fan
-    # out.  NOT cached: this query's many small downstream stages rely
-    # on AQE partition coalescing, which a 64-partition cached frame
-    # defeats (measured 6.5 s cached vs 2.9 s spread-only; the
-    # quadratic-explode penalty here is paid once and parallelized)
+    # out.  NOT cached: the downstream stages rely on AQE partition
+    # coalescing, which a 64-partition cached frame defeats (measured
+    # 6.5 s cached vs 2.9 s spread-only; §5b r7 note).  r7 restack
+    # (VERDICT r6 #5): the per-pair union/window/groupBy ladder and the
+    # raw-shingle ea⋈eb intersection join are gone — the sketch side
+    # collapses to ONE bounded collect per language + array math over
+    # the L-row sketch frame, and the exact side to per-shingle
+    # lang-sets + one tiny combo rollup.  dl is consumed twice (was 4×,
+    # uncached ⇒ 4 shingle re-explosions); census 36 → ≤8 exchanges,
+    # output hash unchanged.
     docs = spread(load_table(spark, "documents", sf_dir))
-    dl = docs.select(
+    # no (lang, s) pre-distinct: the sketch side dedups on (lang, h)
+    # directly (distinct∘distinct ≡ one distinct through the md5 map)
+    # and the exact side's per-shingle collect_set dedups langs itself
+    # — both map-side partial aggregations, one exchange each
+    raw = dl = docs.select(
         "lang",
         F.explode(F.array_distinct(word_shingles(tokens("text")))).alias(
             "s"
         ),
-    ).distinct()
+    )
     hashed = dl.select(
         "lang",
         F.conv(F.substring(F.md5("s"), 1, 8), 16, 10)
         .cast("bigint")
         .alias("h"),
     ).distinct()
-    from pu4spark_spark.plans import two_phase_rank
 
+    # per-language KMV sketch as ONE sorted array row: two-phase rank
+    # bounds per-task state at K, then collect_list over ≤K survivors
+    # (never an unbounded per-group collect, §5b lesson 7)
     sk = two_phase_rank(hashed, ["lang"], [F.asc("h")], LANGSIM_K)
-    langs = sk.select("lang").distinct()
-    pairs = (
-        langs.select(F.col("lang").alias("lang_a"))
-        .crossJoin(langs.select(F.col("lang").alias("lang_b")))
-        .filter(F.col("lang_a") < F.col("lang_b"))
-    )
-    pa = pairs.join(sk, pairs["lang_a"] == sk["lang"]).select(
-        "lang_a", "lang_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
-    )
-    pb = pairs.join(sk, pairs["lang_b"] == sk["lang"]).select(
-        "lang_a", "lang_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
-    )
-    u = (
-        pa.unionByName(pb)
-        .groupBy("lang_a", "lang_b", "h")
-        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
-    )
-    wu = Window.partitionBy("lang_a", "lang_b").orderBy("h")
-    est = (
-        u.withColumn("__r", F.row_number().over(wu))
-        .filter(F.col("__r") <= LANGSIM_K)
-        .groupBy("lang_a", "lang_b")
-        .agg(
-            (
-                # standard KMV Jaccard denominator: the kept union-
-                # sketch size min(K, |union|), not the fixed K — a
-                # fixed /K understates small strata (two identical
-                # 50-shingle corpora would estimate 50/128, not 1.0)
-                F.sum(F.col("in_a") * F.col("in_b")).cast("double")
-                / F.count(F.lit(1)).cast("double")
-            ).alias("kmv_jaccard")
+    # cached(): consumed by BOTH sides of the pair cross-join — an
+    # uncached L-row frame would re-run the whole sketch pipeline
+    # (explode → distinct → two-phase rank) per side.  This is the
+    # POST-aggregation frame (L rows), not the explode input, so the
+    # §5b r7 AQE-coalesce counter-lesson doesn't apply.
+    sk_arr = cached(
+        sk.groupBy("lang").agg(
+            F.sort_array(F.collect_list("h")).alias("hs")
         )
     )
-    # exact audit: distinct-shingle intersections per pair
-    sizes = dl.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
-    ea = dl.select(F.col("lang").alias("lang_a"), "s")
-    eb = dl.select(F.col("lang").alias("lang_b"), "s")
-    inter = (
-        ea.join(eb, "s")
+    a = sk_arr.select(
+        F.col("lang").alias("lang_a"), F.col("hs").alias("ha")
+    )
+    b = sk_arr.select(
+        F.col("lang").alias("lang_b"), F.col("hs").alias("hb")
+    )
+    # merged-sketch estimate in pure array math on the L²/2-row pair
+    # frame: k smallest of the DISTINCT union, fraction present in both
+    # sketches.  Denominator = kept union-sketch size min(K, |union|),
+    # not the fixed K — a fixed /K understates small strata (two
+    # identical 50-shingle corpora would estimate 50/128, not 1.0).
+    union_k = F.slice(
+        F.array_sort(F.array_union(F.col("ha"), F.col("hb"))),
+        1,
+        LANGSIM_K,
+    )
+    est = (
+        a.crossJoin(b)
         .filter(F.col("lang_a") < F.col("lang_b"))
+        .withColumn("uk", union_k)
+        .select(
+            "lang_a",
+            "lang_b",
+            (
+                F.size(
+                    F.array_intersect(
+                        F.array_intersect(F.col("uk"), F.col("ha")),
+                        F.col("hb"),
+                    )
+                ).cast("double")
+                / F.size(F.col("uk")).cast("double")
+            ).alias("kmv_jaccard"),
+        )
+    )
+
+    # exact audit: per-shingle language sets (bounded by |langs|), then
+    # one combo rollup — singles (a,a) carry per-language sizes, pairs
+    # (a<b) carry intersections; the raw-shingle self-join is gone
+    ls = dl.groupBy("s").agg(
+        F.sort_array(F.collect_set("lang")).alias("ll")
+    )
+    m = F.size(F.col("ll"))
+    combos = F.flatten(
+        F.transform(
+            F.col("ll"),
+            lambda x, i: F.concat(
+                F.array(F.struct(x.alias("lang_a"), x.alias("lang_b"))),
+                F.transform(
+                    F.slice(F.col("ll"), i + F.lit(2), m),
+                    lambda y: F.struct(
+                        x.alias("lang_a"), y.alias("lang_b")
+                    ),
+                ),
+            ),
+        )
+    )
+    # cached(): three consumers (inter + both size lookups) — uncached,
+    # each would re-run the shingle explode + collect_set + combo
+    # rollup from the parquet scan (measured: the whole corpus pass ran
+    # 3× over).  L²-row frame, so the persist costs nothing.
+    counts = cached(
+        ls.select(F.explode(combos).alias("c"))
+        .select("c.lang_a", "c.lang_b")
         .groupBy("lang_a", "lang_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sizes = counts.filter(F.col("lang_a") == F.col("lang_b")).select(
+        F.col("lang_a").alias("lang"), F.col("n")
+    )
+    inter = counts.filter(F.col("lang_a") < F.col("lang_b")).select(
+        "lang_a", "lang_b", F.col("n").alias("n_inter")
     )
     na = sizes.select(F.col("lang").alias("lang_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col("lang").alias("lang_b"), F.col("n").alias("n_b"))
