@@ -154,8 +154,26 @@ class JsonlDocsWriter(DataSourceWriter):
             manifest[m.file] = m.rows
         # orphans from failed/speculative task attempts
         self._sweep_tmp(committed_tmp)
+        # versioned commit log (time travel's minimal form): every
+        # commit also snapshots the full shard list as _MANIFEST.v{N}.
+        # Shards are immutable and appends never delete, so reading an
+        # old version's list IS the table as of that commit.
+        version = 1 + max(
+            (
+                int(f.rsplit(".v", 1)[1])
+                for f in _os.listdir(self.path)
+                if f.startswith("_MANIFEST.v")
+                and f.rsplit(".v", 1)[1].isdigit()
+            ),
+            default=0,
+        )
+        body = _json.dumps(manifest)
+        with open(
+            _os.path.join(self.path, f"_MANIFEST.v{version}"), "w"
+        ) as fh:
+            fh.write(body)
         with open(_os.path.join(self.path, "_MANIFEST"), "w") as fh:
-            _json.dump(manifest, fh)
+            fh.write(body)
 
     def abort(self, messages) -> None:
         import os as _os
@@ -177,6 +195,11 @@ class JsonlDocsReader(DataSourceReader):
         if not path:
             raise ValueError("jsonl_docs requires option 'path'")
         self.path = path
+        #: optional snapshot pin: option("version", "N") reads the
+        #: shard list committed as _MANIFEST.v{N} — time travel over
+        #: the immutable shards (appends only ever add files)
+        v = options.get("version")
+        self.version = int(v) if v is not None else None
 
     def partitions(self):
         # driver-side work is ONE metadata read: when the directory was
@@ -187,6 +210,18 @@ class JsonlDocsReader(DataSourceReader):
         # independent task (ordering fixed for determinism).
         import json as _json
 
+        if self.version is not None:
+            vpath = os.path.join(self.path, f"_MANIFEST.v{self.version}")
+            if not os.path.exists(vpath):
+                raise ValueError(
+                    f"jsonl_docs: no snapshot _MANIFEST.v{self.version} "
+                    f"under {self.path}"
+                )
+            with open(vpath) as fh:
+                files = sorted(_json.load(fh))
+            return [
+                InputPartition(os.path.join(self.path, f)) for f in files
+            ]
         manifest = os.path.join(self.path, "_MANIFEST")
         if os.path.exists(manifest):
             with open(manifest) as fh:
@@ -355,6 +390,82 @@ def q_fmt_pyds_jsonl_write_roundtrip(
     )
 
 
+def q_fmt_pyds_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the custom source's versioned commit log: write
+    commit v1 (even doc_ids, overwrite) → append commit v2 (odd
+    doc_ids) → read BOTH ``option("version", 1)`` and latest.  The v1
+    snapshot must equal the even half exactly — appends add shards but
+    never mutate them, so an old manifest's shard list IS the table as
+    of that commit (the minimal form of a lake table's snapshot read,
+    on the engine's own connector).  The oracle re-derives both
+    snapshots from the parquet truth, so a snapshot that leaks
+    post-commit rows (or loses pre-commit ones) hash-mismatches.
+
+    Scale: a snapshot read costs ONE extra metadata file read on the
+    driver; executors fan out over the listed shards exactly like the
+    latest-version read."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_pyds_tt_{tag}_{os.getpid()}"
+    )
+    spark.dataSource.register(JsonlDocsDataSource)
+    docs = load_table(spark, "documents", sf_dir)
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    (
+        even.repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out)
+        .mode("overwrite")
+        .save()
+    )
+    (
+        odd.repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out)
+        .mode("append")
+        .save()
+    )
+
+    def agg(df: DataFrame, snap: str) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        ).select(F.lit(snap).alias("snapshot"), "*")
+
+    at_v1 = (
+        spark.read.format("jsonl_docs")
+        .option("path", out)
+        .option("version", 1)
+        .load()
+    )
+    latest = spark.read.format("jsonl_docs").option("path", out).load()
+    return agg(at_v1, "v1").unionByName(agg(latest, "latest"))
+
+
+SQL_FMT_PYDS_SNAPSHOT_READ = """
+SELECT 'v1' AS snapshot, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM documents WHERE doc_id % 2 = 0
+GROUP BY lang
+UNION ALL
+SELECT 'latest' AS snapshot, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM documents
+GROUP BY lang
+"""
+
+
 def q_streaming_pyds_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same per-lang aggregate computed INCREMENTALLY through the
     custom source's stream reader (availableNow drain): offsets step
@@ -383,6 +494,7 @@ def q_streaming_pyds_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "fmt_pyds_jsonl_roundtrip": q_fmt_pyds_jsonl_roundtrip,
     "fmt_pyds_jsonl_write_roundtrip": q_fmt_pyds_jsonl_write_roundtrip,
+    "fmt_pyds_snapshot_read": q_fmt_pyds_snapshot_read,
     "streaming_pyds_docs": q_streaming_pyds_docs,
 }
 SQL_STREAMING_PYDS_DOCS = """
@@ -398,6 +510,7 @@ GROUP BY lang
 ORACLE_SQL = {
     "fmt_pyds_jsonl_roundtrip": SQL_FMT_PYDS_JSONL_ROUNDTRIP,
     "fmt_pyds_jsonl_write_roundtrip": SQL_FMT_PYDS_JSONL_ROUNDTRIP,
+    "fmt_pyds_snapshot_read": SQL_FMT_PYDS_SNAPSHOT_READ,
     # the incremental path must agree with the batch oracle
     "streaming_pyds_docs": SQL_STREAMING_PYDS_DOCS,
 }

@@ -334,3 +334,32 @@ def test_pyds_writer_append_seeds_manifest_from_listing(spark, tmp_path):
     assert {"ext-0.jsonl", "ext-1.json"} <= set(manifest)
     back = spark.read.format("jsonl_docs").option("path", str(out)).load()
     assert sorted(r["doc_id"] for r in back.collect()) == [1, 2, 100]
+
+
+def test_pyds_snapshot_read_time_travel(spark, tmp_path):
+    """Versioned commit log: overwrite = v1, append = v2; reading
+    option('version', 1) after the append returns EXACTLY the v1 rows,
+    the latest read returns both commits, and a missing version fails
+    loudly instead of silently serving the latest."""
+    import pytest as _pytest
+
+    from pu4spark_spark.sources.pydatasource import JsonlDocsDataSource
+
+    spark.dataSource.register(JsonlDocsDataSource)
+    out = str(tmp_path / "docs_tt")
+    ddl = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(
+        [(i, f"t{i}", "en", "s", 2) for i in range(5)], ddl
+    ).write.format("jsonl_docs").option("path", out).mode("overwrite").save()
+    spark.createDataFrame(
+        [(i, f"t{i}", "de", "s", 2) for i in range(100, 103)], ddl
+    ).write.format("jsonl_docs").option("path", out).mode("append").save()
+
+    rd = spark.read.format("jsonl_docs").option("path", out)
+    v1 = sorted(r["doc_id"] for r in rd.option("version", 1).load().collect())
+    assert v1 == [0, 1, 2, 3, 4]
+    v2 = sorted(r["doc_id"] for r in rd.option("version", 2).load().collect())
+    latest = sorted(r["doc_id"] for r in rd.load().collect())
+    assert v2 == latest == [0, 1, 2, 3, 4, 100, 101, 102]
+    with _pytest.raises(Exception, match="_MANIFEST.v9"):
+        rd.option("version", 9).load().collect()
