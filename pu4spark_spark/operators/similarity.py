@@ -1129,6 +1129,138 @@ FROM qm
 """
 
 
+#: stage-1 candidate depth for the rerank pipeline (5× the final k)
+RERANK_CANDIDATES = 25
+
+
+def q_ann_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRIEVE → RERANK, the two-stage serving shape every production
+    vector search runs (and the cross-encoder pattern in miniature): a
+    cheap stage-1 scan — 8-byte binary codes under hamming — retrieves
+    ``RERANK_CANDIDATES`` per query, then the EXPENSIVE scorer (exact
+    full-precision integer cosine here; a cross-encoder model in the
+    LLM stack) runs over the candidate set ONLY and re-orders it into
+    the final top-k.  Completes the ANN family: codes/LSH/IVF answer
+    "how to retrieve cheaply", this answers "how retrieval quality is
+    recovered without paying the expensive scorer corpus-wide".
+
+    Scale shape: stage 1 is the exhaustive compressed scan (binary
+    quantization's deal); the candidate list is queries×C rows and
+    BROADCASTS back against the full-precision table, so the rerank
+    costs one corpus scan + candidate-sized compute — the expensive
+    scorer never sees more than C rows per query.  Everything is
+    integer-exact with deterministic tie-breaks, so the final ranking
+    hash-checks; output carries both ranks to show the re-ordering."""
+    from pu4spark_spark.plans import spread, two_phase_rank
+
+    emb = spread(load_table(spark, "embeddings", sf_dir))
+    codes = emb.select(
+        "vec_id",
+        _sign_code("embedding", 0, 32).alias("lo"),
+        _sign_code("embedding", 32, EMB_DIM).alias("hi"),
+    )
+    qcodes = codes.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    ham = F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo"))) + F.bit_count(
+        F.col("hi").bitwiseXOR(F.col("qhi"))
+    )
+    cand = two_phase_rank(
+        codes.crossJoin(F.broadcast(qcodes))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("hamming", ham),
+        ["query_id"],
+        [F.asc("hamming"), F.asc("vec_id")],
+        RERANK_CANDIDATES,
+        rank_col="retrieve_rank",
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "retrieve_rank",
+    )
+
+    base = _quantized_base(spark, sf_dir)
+    nb = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("nq"),
+        F.col("norm2").alias("nnorm2"),
+    )
+    qv = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("norm2").alias("qnorm2"),
+    )
+    rer = (
+        nb.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "cosine",
+            cosine_from_quantized(
+                int_dot(F.col("nq"), F.col("qq")),
+                F.col("nnorm2"),
+                F.col("qnorm2"),
+            ),
+        )
+    )
+    return two_phase_rank(
+        rer,
+        ["query_id"],
+        [F.desc("cosine"), F.asc("neighbor_id")],
+        TOP_K,
+        rank_col="rank",
+    ).select("query_id", "neighbor_id", "retrieve_rank", "rank", "cosine")
+
+
+SQL_ANN_RERANK_TOPK = f"""
+WITH codes AS (
+  SELECT vec_id, {_sql_sign_code("embedding", 0, 32)} AS lo,
+         {_sql_sign_code("embedding", 32, EMB_DIM)} AS hi
+  FROM embeddings
+),
+hscored AS (
+  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+         bit_count(xor(c.lo, qs.lo)) + bit_count(xor(c.hi, qs.hi))
+           AS hamming
+  FROM codes c, (SELECT * FROM codes WHERE vec_id < {N_QUERIES}) qs
+  WHERE c.vec_id <> qs.vec_id
+),
+cand AS (
+  SELECT query_id, neighbor_id,
+         CAST(retrieve_rank AS INTEGER) AS retrieve_rank
+  FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY hamming ASC, neighbor_id ASC)
+             AS retrieve_rank
+    FROM hscored)
+  WHERE retrieve_rank <= {RERANK_CANDIDATES}
+),
+normed AS (
+  SELECT vec_id, q, list_dot_product(q, q) AS norm2
+  FROM (SELECT vec_id, {_Q_SQL} AS q FROM embeddings)
+),
+rer AS (
+  SELECT c.query_id, c.neighbor_id, c.retrieve_rank,
+         list_dot_product(n.q, qs.q)
+           / (sqrt(n.norm2) * sqrt(qs.norm2)) AS cosine
+  FROM cand c
+  JOIN normed n ON n.vec_id = c.neighbor_id
+  JOIN (SELECT * FROM normed WHERE vec_id < {N_QUERIES}) qs
+    ON qs.vec_id = c.query_id
+)
+SELECT query_id, neighbor_id, retrieve_rank,
+       CAST(rank AS INTEGER) AS rank, cosine
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC)
+              AS rank
+  FROM rer)
+WHERE rank <= {TOP_K}
+"""
+
+
 # -- distributed Gram matrix (PCA / whitening building block) ------------
 
 def q_embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1292,6 +1424,7 @@ QUERIES = {
     "ann_ivf_tuning": q_ann_ivf_tuning,
     "ann_matryoshka_recall": q_ann_matryoshka_recall,
     "ann_binary_hamming_recall": q_ann_binary_hamming_recall,
+    "ann_rerank_topk": q_ann_rerank_topk,
     "embedding_inertia_by_label": q_embedding_inertia_by_label,
     # rows-only: driver-side eigensolve is not SQL-expressible; NumPy
     # reference test re-derives the projection (tests/test_similarity.py)
@@ -1309,6 +1442,7 @@ ORACLE_SQL = {
     "ann_lsh_recall": SQL_ANN_LSH_RECALL,
     "ann_matryoshka_recall": SQL_ANN_MATRYOSHKA_RECALL,
     "ann_binary_hamming_recall": SQL_ANN_BINARY_HAMMING_RECALL,
+    "ann_rerank_topk": SQL_ANN_RERANK_TOPK,
     "ann_ivf_tuning": SQL_ANN_IVF_TUNING,
     "embedding_inertia_by_label": SQL_EMBEDDING_INERTIA,
     # ann_ivf: KMeans centroids — rows-only

@@ -208,3 +208,42 @@ def test_transition_matrix_probabilities_sum_to_one(spark):
     sums = tm.groupBy("from_type").agg(F.sum("p").alias("sp")).collect()
     for r in sums:
         assert abs(r.sp - 1.0) < 1e-9
+
+
+def test_rerank_recall_dominates_stage1(spark):
+    """Retrieve->rerank consistency: the reranked top-k must recall at
+    least every exact neighbor the raw binary top-k recalls (stage-1's
+    top-k is a prefix of the candidate set, and within candidates the
+    rerank restores the exact cosine order), and its recall equals the
+    candidate coverage of the exact top-k."""
+    from pyspark.sql import functions as F
+
+    from pu4spark_spark.operators.similarity import (
+        TOP_K,
+        q_ann_cosine_topk,
+        q_ann_rerank_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q_ann_cosine_topk(spark, sf).collect()
+    }
+    rer = q_ann_rerank_topk(spark, sf).collect()
+    assert all(1 <= r["rank"] <= TOP_K for r in rer)
+    reranked = {(r["query_id"], r["neighbor_id"]) for r in rer}
+    # stage-1 ranking of the same pairs (retrieve_rank <= TOP_K = the
+    # raw binary top-k) can only match a subset of what rerank matches
+    stage1 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in rer
+        if r["retrieve_rank"] <= TOP_K
+    }
+    assert len(exact & stage1) <= len(exact & reranked)
+    # every exact neighbor that made the candidate list is recovered
+    cand_hits = {
+        (r["query_id"], r["neighbor_id"])
+        for r in rer
+        if (r["query_id"], r["neighbor_id"]) in exact
+    }
+    assert cand_hits == exact & reranked
