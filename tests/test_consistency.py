@@ -247,3 +247,31 @@ def test_rerank_recall_dominates_stage1(spark):
         if (r["query_id"], r["neighbor_id"]) in exact
     }
     assert cand_hits == exact & reranked
+
+
+def test_cluster_quality_report_consistency(spark):
+    """The dedup quality report must agree with the canonical-doc
+    operator it composes: one keeper per cluster, the keeper's quality
+    inside [min, max], token conservation kept + dropped == total, and
+    member counts matching the canonical table's cluster sizes."""
+    from collections import Counter
+
+    from pu4spark_spark.operators.dedup import (
+        q_dedup_canonical_docs,
+        q_dedup_cluster_quality,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    canon = q_dedup_canonical_docs(spark, sf).collect()
+    sizes = Counter(r["cluster_id"] for r in canon)
+    keepers = {r["cluster_id"]: r["canonical_id"] for r in canon if r["is_keeper"]}
+    rows = q_dedup_cluster_quality(spark, sf).collect()
+    assert {r["cluster_id"] for r in rows} == set(sizes)
+    for r in rows:
+        assert r["n_members"] == sizes[r["cluster_id"]]
+        assert r["n_dropped"] == r["n_members"] - 1
+        assert r["canonical_id"] == keepers[r["cluster_id"]]
+        assert r["min_quality"] <= r["canonical_quality"] <= r["max_quality"]
+        # keep-best: the canonical doc has the cluster's max quality
+        assert r["canonical_quality"] == r["max_quality"]
+        assert r["tokens_kept"] + r["tokens_dropped"] == r["tokens_total"]
