@@ -68,12 +68,18 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
         )
     )
+    from pu4spark_spark.scratch import install_scratch_gc
+
+    install_scratch_gc()  # bound tempdir growth (ADVICE r6)
     return builder.getOrCreate()
 
 
 def tune_for_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine defaults to an externally-created
     session (the driver passes us its own SparkSession)."""
+    from pu4spark_spark.scratch import install_scratch_gc
+
+    install_scratch_gc()  # bound tempdir growth (ADVICE r6)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     try:

@@ -14,24 +14,40 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 
+#: per-(prefix, key) invocation counter for state-dir versioning
+_STATE_VERSIONS: dict[tuple[str, str], int] = {}
+#: how many versions stay on disk (current + previous): the frames the
+#: PREVIOUS invocation returned keep reading their own dir
+KEEP_STATE_VERSIONS = 2
+
+
 def fresh_state_dir(prefix: str, key: str) -> str:
-    """A per-(key, process) state directory, CLEARED up front: bounded
-    to one live dir per process instead of a new uuid per invocation
-    (which leaks a full state snapshot into the tempdir every run),
-    while the pid suffix keeps concurrent sessions (bench + pytest)
-    from clobbering each other's in-flight state (ADVICE r4).  The
-    caller's returned frames lazily re-read this dir — it must not be
-    deleted before they are collected."""
+    """A per-(key, process, INVOCATION) state directory.  Versioning
+    fixes ADVICE r6: the drains return LAZY frames that re-read the
+    state dir at action time, so clearing one shared dir on the next
+    invocation silently invalidated (or repointed) the frame the
+    previous call returned.  Each call now gets ``..._vN`` and GCs
+    versions older than the previous one — bounded to
+    ``KEEP_STATE_VERSIONS`` live dirs per (key, process) instead of a
+    leak-per-invocation, while the pid suffix still keeps concurrent
+    sessions (bench + pytest) from clobbering each other (ADVICE r4).
+    A frame held across TWO newer invocations is out of contract."""
     import hashlib
     import tempfile
 
     tag = hashlib.md5(os.path.abspath(key).encode()).hexdigest()[:8]
-    d = os.path.join(
+    base = os.path.join(
         tempfile.gettempdir(), f"{prefix}_{tag}_{os.getpid()}"
     )
+    n = _STATE_VERSIONS.get((prefix, tag), 0) + 1
+    _STATE_VERSIONS[(prefix, tag)] = n
     # clear the derived dirs too: a surviving ".ckpt" would make the
     # next availableNow drain treat the static fixture as already
     # processed and silently skip every batch
+    for old in range(1, n - KEEP_STATE_VERSIONS + 1):
+        for suffix in ("", ".next", ".ckpt"):
+            shutil.rmtree(f"{base}_v{old}{suffix}", ignore_errors=True)
+    d = f"{base}_v{n}"
     for suffix in ("", ".next", ".ckpt"):
         shutil.rmtree(d + suffix, ignore_errors=True)
     return d

@@ -697,3 +697,19 @@ def test_observation_does_not_poison_mllib_fits(spark):
     cloud = separable_cloud(spark, n=120)
     out = learner.weight(cloud, "label", "features", "finalLabel")
     assert out.count() == 120
+
+
+def test_streaming_upsert_frames_survive_reinvocation(spark):
+    """ADVICE r6: the CDC drains return lazy frames re-reading their
+    state dir at action time — a second invocation in the same process
+    must not invalidate the first invocation's returned frame (state
+    dirs are versioned per invocation with bounded GC)."""
+    from pu4spark_spark.streaming.upsert import q_streaming_upsert_compact
+
+    sf = "/root/testdata/sf0.001"
+    first = q_streaming_upsert_compact(spark, sf)
+    second = q_streaming_upsert_compact(spark, sf)
+    # collect the FIRST frame only after the second invocation ran
+    a = sorted(map(tuple, first.collect()))
+    b = sorted(map(tuple, second.collect()))
+    assert a == b and len(a) > 0
