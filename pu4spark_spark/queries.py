@@ -68,84 +68,102 @@ if missing:
 #: registry order decides which queries get driver-recorded evidence —
 #: the per-round window is a ROTATION slot, and the committed
 #: ``CORRECTNESS_r0N.json`` artifacts accumulate across rounds.
-#: Round-5 rotation: the r1∪r2∪r3∪r4 driver artifacts witness 113 of
-#: the 219 registered queries.  This prefix is built EXCLUSIVELY from
-#: the 106 never-witnessed remainder — the 50 cheapest oracle-backed
-#: ones by measured sf0.1 bench time (BENCH_DETAIL.json), cheapest
-#: first, so the driver's time budget reaches the whole window and
-#: cumulative driver-recorded coverage lands at 163/219.  The ~41
-#: oracle-backed never-witnessed queries still outside (heavier
-#: streaming drains, corpus_lang_similarity, sql_docs_clean, …) rotate
-#: into round 6's prefix; the 15 rows-only ML-loop entries keep their
-#: pytest property/golden coverage plus the committed full-registry
-#: self-check (``tools/check_oracle.py`` → ``CORRECTNESS_FULL_r0N``).
+#: History: r5 and r6 windows rotated never-witnessed oracle-backed
+#: queries until r01∪…∪r06 witnessed 208 of 230; the r7 window below
+#: finishes the program (every oracle-backed query driver-witnessed at
+#: least once) and starts giving the rows-only entries driver
+#: rows-evidence too.  Queries outside every window are covered by the
+#: committed full-registry self-check (``tools/check_oracle.py`` →
+#: ``CORRECTNESS_FULL_r0N``).
 DRIVER_FIRST = [
-    # Round-6 rotation (tools/rotation.py over r01-r05 artifacts +
-    # BENCH_DETAIL): r01∪…∪r05 witness 162 of 223.  First the 4 queries
-    # the r05 driver hash-FAILED on output type (now cast to Spark's
-    # exact types; the fix itself must get driver-witnessed), then ALL
-    # 45 remaining never-witnessed oracle-backed queries cheapest-first
-    # (sf0.1 bench seconds in comments) incl. the two new r6 PU loop
-    # traces — after this window, every oracle-backed query in the
-    # registry has driver-recorded evidence (only the 15 rows-only ML
-    # entries remain self-check-only).
-    "text_bpe_pair_counts",            # 0.20  r05 type-red, re-cast
-    "embedding_norm_outliers",         # 0.30  r05 type-red, re-cast
-    "eval_quality_auc",                # 0.30  r05 type-red, re-cast
-    "embedding_gram_matrix",           # 0.85  r05 type-red, re-cast
-    "text_length_histogram",           # 0.155
-    "q6_forecast_revenue",             # 0.254
-    "curation_chunk_windows_udtf",     # 0.34
-    "q22_dormant_customers",           # 0.343
-    "q15_top_supplier",                # 0.478
-    "q20_dominant_shippers",           # 0.61
-    "text_quality_quantile_normalize", # 0.675
-    "fmt_json_roundtrip",              # 0.784
-    "q11_important_parts",             # 0.79
-    "ann_matryoshka_recall",           # 0.855
-    "q8_market_share",                 # 0.91
-    "text_vocab_growth",               # 0.921
-    "fmt_csv_roundtrip",               # 0.967
-    "curation_token_budget_threshold", # 0.995
-    "q2_min_supplier",                 # 1.026
-    "fmt_pyds_jsonl_write_roundtrip",  # 1.069
-    "streaming_ingest_dedup",          # 1.118
-    "dedup_containment",               # 1.147
-    "q16_supplier_counts",             # 1.185
-    "mm_ahash_fingerprint",            # 1.292
-    "streaming_static_enrich",         # 1.301
-    "fmt_orc_roundtrip",               # 1.312
-    "audit_referential_integrity",     # 1.362
-    "pipeline_incremental_release",    # 1.433
-    "dedup_graph_degree_histogram",    # 1.467
-    "streaming_cms_merge",             # 1.501
-    "lineitem_winsorized_mean",        # 1.507  + r6 type re-cast
-    "dedup_minhash_estimate",          # 1.547
-    "streaming_sliding_windows",       # 1.565
-    "q21_sole_returns",                # 1.602
-    "fmt_dpp_fact_scan",               # 1.721
-    "dedup_triangles",                 # 1.787
-    "text_kmv_distinct_shingles",      # 1.792  + r6 type re-cast
-    "part_copurchase_pairs",           # 1.824
-    "streaming_upsert_compact",        # 2.066
-    "streaming_upsert_deletes",        # 2.079  + r6 type re-cast
-    "mm_ahash_near_dup",               # 2.296
-    "dedup_canonical_docs",            # 2.554
-    "curation_bloom_decontaminate",    # 3.612
-    "streaming_pyds_docs",             # 3.627
-    "sql_docs_clean",                  # 3.999
-    "streaming_left_outer_join",       # 5.868
-    "corpus_lang_similarity",          # 6.51
-    "pu_traditional_trace",            # new in r6
-    "pu_gradual_trace",                # new in r6
-    "text_intradoc_dup_ngrams",        # new in r6 (fills the 50th slot)
+    # Round-7 rotation (VERDICT r6 #2): r01∪…∪r06 witness 208 of 230.
+    # Window = (A) the LAST 6 never-witnessed oracle-backed queries —
+    # after this round every oracle-backed query has driver-hash
+    # evidence; (B) the 5 new r7 oracle-backed queries; (C) ALL 16
+    # never-witnessed rows-only entries, so even the ML/sketch paths
+    # get driver rows-evidence at least once; (D) re-verification
+    # slots: the three queries this round's perf work rewrote (their
+    # oracles must be re-witnessed on the NEW plans), then the
+    # cheapest already-witnessed queries by sf0.1 bench time.
+    # -- A: the witness-program tail ------------------------------------
+    "events_type_drift",               # 0.275
+    "pipeline_observed_metrics",       # 0.582
+    "dedup_bow_cosine",                # 1.262
+    "ann_binary_hamming_recall",       # 1.863
+    "part_association_rules",          # 1.979
+    "dedup_cluster_size_histogram",    # 2.019
+    # -- B: new in r7 ---------------------------------------------------
+    "pu_bagging_trace",                # OOB protocol, hash-checked
+    "ann_ivf_tuning",                  # nprobe tuning table
+    "fmt_pyds_snapshot_read",          # manifest time travel
+    "ann_rerank_topk",                 # retrieve→rerank
+    "dedup_cluster_quality",           # what-did-dedup-keep report
+    # -- C: rows-only, never driver-witnessed ---------------------------
+    "pu_spy_em_lr",                    # 1.385
+    "pu_elkan_noto_lr",                # 0.688
+    "pu_bagging_lr",                   # 2.266
+    "pu_class_prior",                  # 0.689
+    "pu_f1_proxy",                     # 0.742
+    "pu_auc_zero_step",                # 0.701
+    "dedup_pagerank",                  # 4.939
+    "dedup_minhash_ml_slice",          # 1.775
+    "ann_ivf",                         # 1.788
+    "ann_ivf_recall",                  # 2.027
+    "embedding_pca_project",           # 1.722
+    "text_bpe_learn_merges",           # 1.765
+    "text_bpe_encode",                 # 2.134
+    "mm_cdc_chunks",                   # 0.502
+    "mm_cdc_dup_chunks",               # 0.637
+    "fmt_file_metadata_audit",         # 1.964
+    # -- D: re-verification (rewritten this round first) ---------------
+    "sql_docs_clean",                  # CACHE TABLE staging (r7)
+    "corpus_lang_similarity",          # 36→9-shuffle restack (r7)
+    "pipeline_docs_clean",             # shares the staged oracle
+    "pu_label_index",                  # 0.082
+    "pu_relabel_keep",                 # 0.090
+    "mm_pack_stats",                   # 0.093
+    "pu_binarize_traditional",         # 0.093
+    "pu_binarize_gradual",             # 0.097
+    "sql_parts_by_brand",              # 0.111
+    "text_length_histogram",           # 0.115
+    "curation_domain_mix",             # 0.122
+    "text_regex_tokens",               # 0.125
+    "pu_iteration_stats",              # 0.126
+    "curation_epoch_shuffle",          # 0.132
+    "curation_stratified_sample",      # 0.146
+    "text_corpus_stats",               # 0.147
+    "dedup_exact_docs",                # 0.151
+    "text_zscore_by_lang",             # 0.154
+    "customer_running_spend",          # 0.154
+    "events_user_cardinality",         # 0.164
+    "curation_chunk_windows",          # 0.167
+    "embedding_quantize_int8",         # 0.177
+    "curation_shard_pack",             # 0.179
 ]
+
 
 _first = [n for n in DRIVER_FIRST if n in QUERIES]
 _missing_first = set(DRIVER_FIRST) - set(QUERIES)
 if _missing_first:
     raise ValueError(f"DRIVER_FIRST names not registered: {_missing_first}")
-_no_oracle_first = [n for n in _first if n not in ORACLE_SQL]
+# rows-only entries ARE allowed in the curated prefix as of r7 — the
+# driver records a weaker rows>0 check for them, which is still the
+# only driver-side evidence the ML/sketch paths can ever get.  The
+# gate below only guards against ACCIDENTAL oracle omissions: adding a
+# rows-only name to the window must be an explicit decision here.
+_ROWS_ONLY_WINDOWED = {
+    "pu_spy_em_lr", "pu_elkan_noto_lr", "pu_bagging_lr",
+    "pu_class_prior", "pu_f1_proxy", "pu_auc_zero_step",
+    "dedup_pagerank", "dedup_minhash_ml_slice", "ann_ivf",
+    "ann_ivf_recall", "embedding_pca_project", "text_bpe_learn_merges",
+    "text_bpe_encode", "mm_cdc_chunks", "mm_cdc_dup_chunks",
+    "fmt_file_metadata_audit",
+}
+_no_oracle_first = [
+    n
+    for n in _first
+    if n not in ORACLE_SQL and n not in _ROWS_ONLY_WINDOWED
+]
 if _no_oracle_first:
     raise ValueError(f"DRIVER_FIRST lacks oracle: {_no_oracle_first}")
 # After the curated prefix: every remaining ORACLE-checked query (registry
