@@ -206,6 +206,13 @@ HEADLINE = [
     "curation_epoch_shuffle",
     "events_dow_hour_matrix",
     "curation_mix_planner",
+    # round-7 additions (bagging trace, IVF tuning, time travel,
+    # rerank, cluster-quality report)
+    "pu_bagging_trace",
+    "ann_ivf_tuning",
+    "fmt_pyds_snapshot_read",
+    "ann_rerank_topk",
+    "dedup_cluster_quality",
     # round-5 completion: every remaining registered query (VERDICT r4
     # next #4 — a perf regression anywhere must be visible
     # round-over-round, so HEADLINE now equals the full registry)
