@@ -213,6 +213,7 @@ HEADLINE = [
     "fmt_pyds_snapshot_read",
     "ann_rerank_topk",
     "dedup_cluster_quality",
+    "pipeline_drop_reasons",
     # round-5 completion: every remaining registered query (VERDICT r4
     # next #4 — a perf regression anywhere must be visible
     # round-over-round, so HEADLINE now equals the full registry)

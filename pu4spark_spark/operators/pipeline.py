@@ -123,6 +123,86 @@ def q_pipeline_docs_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECORD-LEVEL pipeline provenance (r7): every document labeled
+    with the FIRST stage of the cleaning chain that drops it —
+    ``too_short`` → ``low_quality`` → ``exact_dup`` → ``near_dup`` →
+    ``kept`` — rolled up to (reason, lang) doc and token counts.  The
+    aggregate observability query (``pipeline_observed_metrics``) says
+    HOW MUCH each stage dropped; this says WHAT it dropped, per
+    language — the debugging table a curator reads when a language's
+    yield collapses after a pipeline change.
+
+    Scale shape: the same chain as ``pipeline_docs_clean`` (staged
+    shingle arrays, banded LSH — no new corpus passes beyond the
+    scored projection), with two LEFT joins carrying the stage
+    verdicts back onto the corpus-sized frame and ONE
+    map-side-combined groupBy over the ≤5×|langs| key space.  The
+    first-match ordering is part of the contract (a short document is
+    ``too_short`` even if its quality is also bad) and is replicated
+    verbatim in the oracle."""
+    from pu4spark_spark.plans import cached, spread
+
+    docs = spread(load_table(spark, "documents", sf_dir))
+    tok = tokens("text")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(tok).alias("n_tokens"),
+        _quality_score(tok).alias("quality_score"),
+    )
+    kept = scored.filter(
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("quality_score") >= MIN_QUALITY)
+    )
+    wx = Window.partitionBy(F.md5(F.col("text"))).orderBy(F.asc("doc_id"))
+    ranked = kept.withColumn("__rn", F.row_number().over(wx))
+    exact = ranked.filter(F.col("__rn") == 1)
+    base = cached(
+        spread(exact)
+        .select("doc_id", tokens("text").alias("__t"))
+        .select(
+            "doc_id",
+            F.array_distinct(word_shingles(F.col("__t"))).alias("sh"),
+        )
+    )
+    bands = cached(minhash_bands(base))
+    cand = band_self_join_candidates(bands)
+    sa = base.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
+    sb = base.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
+    near_dropped = (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .filter(
+            jaccard_sets(F.col("sh_a"), F.col("sh_b")) >= JACCARD_THRESHOLD
+        )
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+        .withColumn("__near", F.lit(1))
+    )
+    j = (
+        scored.join(
+            ranked.select("doc_id", "__rn"), "doc_id", "left"
+        ).join(near_dropped, "doc_id", "left")
+    )
+    reason = (
+        F.when(F.col("n_tokens") < MIN_TOKENS, F.lit("too_short"))
+        .when(F.col("quality_score") < MIN_QUALITY, F.lit("low_quality"))
+        .when(F.col("__rn") > 1, F.lit("exact_dup"))
+        .when(F.col("__near").isNotNull(), F.lit("near_dup"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        j.withColumn("reason", reason)
+        .groupBy("reason", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tokens").cast("bigint")).alias("n_tokens"),
+        )
+    )
+
+
 _SH = sql_word_shingles("text")
 _STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
 
@@ -613,10 +693,71 @@ SELECT (SELECT COUNT(*) FROM scored) AS n_docs_in,
 """
 
 
+SQL_PIPELINE_DROP_REASONS = f"""
+WITH scored AS (
+  SELECT doc_id, lang, text,
+         CAST(len(ws) AS INTEGER) AS n_tokens,
+         0.4 * least(CAST(len(ws) AS DOUBLE) / 50.0, 1.0)
+         + 0.3 * (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws))
+         + 0.3 * (1.0 - CAST(len(list_filter(ws, t -> t IN ({_STOP_IN}))) AS DOUBLE) / len(ws))
+           AS quality_score
+  FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS ws FROM documents)
+),
+ranked AS (
+  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                    ORDER BY doc_id ASC) AS rn
+  FROM scored
+  WHERE n_tokens >= {MIN_TOKENS} AND quality_score >= {MIN_QUALITY}
+),
+base AS (
+  SELECT s.doc_id, list_distinct({_SH}) AS sh
+  FROM scored s JOIN ranked r USING (doc_id)
+  WHERE r.rn = 1
+),
+sigs AS (
+  SELECT doc_id, sh, {_sql_minhash_bands()} FROM base
+),
+bands AS (
+  SELECT doc_id, u.band_pos, u.band_hash
+  FROM sigs, UNNEST([
+      {{'band_pos': 0, 'band_hash': band0}},
+      {{'band_pos': 1, 'band_hash': band1}},
+      {{'band_pos': 2, 'band_hash': band2}},
+      {{'band_pos': 3, 'band_hash': band3}}]) AS t(u)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band_pos = b.band_pos AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+near_dropped AS (
+  SELECT DISTINCT b_id AS doc_id
+  FROM cand
+  JOIN base sa ON sa.doc_id = a_id
+  JOIN base sb ON sb.doc_id = b_id
+  WHERE {sql_jaccard_sets('sa.sh', 'sb.sh')} >= {JACCARD_THRESHOLD}
+)
+SELECT CASE WHEN s.n_tokens < {MIN_TOKENS} THEN 'too_short'
+            WHEN s.quality_score < {MIN_QUALITY} THEN 'low_quality'
+            WHEN r.rn > 1 THEN 'exact_dup'
+            WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+            ELSE 'kept' END AS reason,
+       s.lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(s.n_tokens) AS BIGINT) AS n_tokens
+FROM scored s
+LEFT JOIN ranked r USING (doc_id)
+LEFT JOIN near_dropped n USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "pipeline_docs_clean": q_pipeline_docs_clean,
     "pipeline_observed_metrics": q_pipeline_observed_metrics,
     "pipeline_incremental_release": q_pipeline_incremental_release,
+    "pipeline_drop_reasons": q_pipeline_drop_reasons,
     "sql_docs_clean": q_sql_docs_clean,
 }
 
@@ -624,5 +765,6 @@ ORACLE_SQL = {
     "pipeline_docs_clean": SQL_PIPELINE_DOCS_CLEAN,
     "pipeline_observed_metrics": SQL_PIPELINE_OBSERVED_METRICS,
     "pipeline_incremental_release": SQL_PIPELINE_INCREMENTAL_RELEASE,
+    "pipeline_drop_reasons": SQL_PIPELINE_DROP_REASONS,
     "sql_docs_clean": SQL_PIPELINE_DOCS_CLEAN,
 }

@@ -275,3 +275,32 @@ def test_cluster_quality_report_consistency(spark):
         # keep-best: the canonical doc has the cluster's max quality
         assert r["canonical_quality"] == r["max_quality"]
         assert r["tokens_kept"] + r["tokens_dropped"] == r["tokens_total"]
+
+
+def test_drop_reasons_conserve_and_match_clean_output(spark):
+    """Record-level provenance must reconcile with the pipeline it
+    explains: reasons partition the corpus (doc counts sum to the
+    table), and the 'kept' bucket equals pipeline_docs_clean's output
+    exactly (count AND per-lang)."""
+    from collections import Counter
+
+    from pu4spark_spark.operators.pipeline import (
+        q_pipeline_docs_clean,
+        q_pipeline_drop_reasons,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_pipeline_drop_reasons(spark, sf).collect()
+    total = sum(r["n_docs"] for r in rows)
+    n_corpus = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert total == n_corpus
+    kept_by_lang = Counter()
+    for r in rows:
+        assert r["reason"] in {
+            "too_short", "low_quality", "exact_dup", "near_dup", "kept"
+        }
+        if r["reason"] == "kept":
+            kept_by_lang[r["lang"]] += r["n_docs"]
+    clean = q_pipeline_docs_clean(spark, sf).collect()
+    spark.catalog.clearCache()
+    assert kept_by_lang == Counter(r["lang"] for r in clean)

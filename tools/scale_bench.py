@@ -67,6 +67,14 @@ REPS = [
     # r6 continuation: sized-state streaming drain (drain.py) — eager
     # one-shot availableNow drain; time = drain + memory-sink re-read
     "streaming_left_outer_join", # watermark-bounded stream-stream join
+    # r7 additions (VERDICT r6 #6/#7)
+    "pu_bagging_trace",          # 5-round accumulator loop, portable scorer
+    "ann_ivf_tuning",            # integer-argmin assignment + tiny rollups
+    "ann_rerank_topk",           # binary retrieve + candidate-only rerank
+    "dedup_cluster_quality",     # CC + corpus join + cluster rollup
+    "fmt_pyds_snapshot_read",    # versioned-manifest write×2 + 2 reads
+    "sql_docs_clean",            # CACHE TABLE staged SQL pipeline (r7)
+    "corpus_lang_similarity",    # 9-shuffle restacked sketch matrix (r7)
 ]
 
 
