@@ -423,6 +423,35 @@ AUDITED = {
         "computes document frequency; the corpus doc count joins as a "
         "1-row broadcast."
     ),
+    "sql_docs_clean": (
+        "The pure-SQL pipeline twin with CACHE TABLE staging (r7): "
+        "every optimized-plan LEAF is an InMemoryRelation — the "
+        "interpreted shingle/signature HOF stages evaluate once and "
+        "all four base consumers plus both LSH sides read the cache "
+        "(a WITH anywhere would break substitution for re-instanced "
+        "references; stages are nested derived tables)."
+    ),
+    "ann_rerank_topk": (
+        "Retrieve->rerank: the exhaustive 8-byte code scan feeds a "
+        "two-phase candidate cut; the candidate list BROADCASTS back "
+        "against the full-precision table, so the exact-cosine rerank "
+        "touches candidate-sized data only — the expensive scorer "
+        "never sees the corpus."
+    ),
+    "corpus_lang_similarity": (
+        "All-pairs language overlap at 9 executed shuffles (was 36 "
+        "plan nodes): two corpus passes (sketch dedup + per-shingle "
+        "lang-sets), bounded two-phase K-smallest per language, then "
+        "array math over the L-row sketch frame and one tiny combo "
+        "rollup; the two multi-consumer aggregated frames are "
+        "persisted (L- and L²-row payloads)."
+    ),
+    "pipeline_drop_reasons": (
+        "Record-level provenance rides the existing chain: the staged "
+        "shingle/band frames are reused, the stage verdicts come back "
+        "as two LEFT joins on doc_id, and the rollup is ONE "
+        "map-side-combined groupBy over the <=5×|langs| key space."
+    ),
 }
 
 _TREE_RE = re.compile(r"^(.*?)\n\n\(1\)", re.DOTALL)
