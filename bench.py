@@ -214,6 +214,7 @@ HEADLINE = [
     "ann_rerank_topk",
     "dedup_cluster_quality",
     "pipeline_drop_reasons",
+    "dedup_clusters_incremental",
     # round-5 completion: every remaining registered query (VERDICT r4
     # next #4 — a perf regression anywhere must be visible
     # round-over-round, so HEADLINE now equals the full registry)

@@ -475,3 +475,37 @@ def test_pagerank_empty_graph_returns_empty(spark):
     out = pagerank(empty)
     assert out.columns == ["doc_id", "pagerank"]
     assert out.count() == 0
+
+
+def test_incremental_cc_equals_full_recompute(spark):
+    """The incremental cluster maintenance must be row-identical to the
+    full-graph recompute, and the fixture must actually exercise the
+    interesting paths: mixed batch+corpus components (the relabel map
+    fired) and untouched corpus clusters (labels preserved verbatim)."""
+    from pu4spark_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+        q_dedup_clusters,
+        q_dedup_clusters_incremental,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    full = {(r["doc_id"], r["cluster_id"])
+            for r in q_dedup_clusters(spark, sf).collect()}
+    inc = {(r["doc_id"], r["cluster_id"])
+           for r in q_dedup_clusters_incremental(spark, sf).collect()}
+    spark.catalog.clearCache()
+    assert inc == full and len(full) > 0
+    by_cluster = {}
+    for doc, cl in full:
+        by_cluster.setdefault(cl, []).append(doc)
+    mixed = [
+        c for c, docs in by_cluster.items()
+        if any(d % INCR_BATCH_MOD == 0 for d in docs)
+        and any(d % INCR_BATCH_MOD != 0 for d in docs)
+    ]
+    pure_corpus = [
+        c for c, docs in by_cluster.items()
+        if all(d % INCR_BATCH_MOD != 0 for d in docs)
+    ]
+    assert mixed, "fixture exercises no batch-corpus merge"
+    assert pure_corpus, "fixture exercises no untouched corpus cluster"
