@@ -215,6 +215,7 @@ HEADLINE = [
     "dedup_cluster_quality",
     "pipeline_drop_reasons",
     "dedup_clusters_incremental",
+    "fmt_pyds_compaction",
     # round-5 completion: every remaining registered query (VERDICT r4
     # next #4 — a perf regression anywhere must be visible
     # round-over-round, so HEADLINE now equals the full registry)

@@ -466,6 +466,147 @@ GROUP BY lang
 """
 
 
+def compact_jsonl_dir(
+    spark: SparkSession, path: str, target_shards: int
+) -> int:
+    """SMALL-FILE COMPACTION with snapshot semantics — the lake
+    maintenance job: read the current manifest's shards, rewrite the
+    same rows as ``target_shards`` consolidated files, and commit a new
+    manifest version listing ONLY the new files.  Old shards stay on
+    disk untouched, so earlier ``option("version", N)`` snapshot reads
+    keep working until :func:`vacuum_jsonl_dir` reclaims them — exactly
+    a table format's rewrite commit.  Returns the new version number.
+
+    Scale shape: the rewrite is one distributed read + repartition +
+    the transactional executor-side writer; the driver touches only
+    manifest metadata."""
+    import json as _json
+
+    spark.dataSource.register(JsonlDocsDataSource)
+    before = spark.read.format("jsonl_docs").option("path", path).load()
+    # stage through the custom writer into a sibling dir, then move the
+    # compacted shards in and commit a manifest naming only them — the
+    # writer's append mode would UNION with the old manifest, which is
+    # exactly wrong for a rewrite
+    stage = path + ".compact"
+    (
+        before.repartition(target_shards)
+        .write.format("jsonl_docs")
+        .option("path", stage)
+        .mode("overwrite")
+        .save()
+    )
+    with open(os.path.join(stage, "_MANIFEST")) as fh:
+        new_manifest = _json.load(fh)
+    for f in new_manifest:
+        os.replace(os.path.join(stage, f), os.path.join(path, f))
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
+    version = 1 + max(
+        (
+            int(f.rsplit(".v", 1)[1])
+            for f in os.listdir(path)
+            if f.startswith("_MANIFEST.v")
+            and f.rsplit(".v", 1)[1].isdigit()
+        ),
+        default=0,
+    )
+    body = _json.dumps(new_manifest)
+    with open(os.path.join(path, f"_MANIFEST.v{version}"), "w") as fh:
+        fh.write(body)
+    with open(os.path.join(path, "_MANIFEST"), "w") as fh:
+        fh.write(body)
+    return version
+
+
+def vacuum_jsonl_dir(path: str, keep_versions: int = 1) -> int:
+    """Reclaim shards unreachable from the newest ``keep_versions``
+    manifests and drop the older manifest files — the GC half of the
+    snapshot contract (time travel works until vacuum, then fails
+    LOUDLY rather than serving partial data).  Returns the number of
+    shard files deleted."""
+    import json as _json
+
+    versions = sorted(
+        int(f.rsplit(".v", 1)[1])
+        for f in os.listdir(path)
+        if f.startswith("_MANIFEST.v") and f.rsplit(".v", 1)[1].isdigit()
+    )
+    if not versions:
+        return 0
+    keep = set(versions[-max(1, keep_versions):])
+    live: set[str] = set()
+    for v in keep:
+        with open(os.path.join(path, f"_MANIFEST.v{v}")) as fh:
+            live.update(_json.load(fh))
+    removed = 0
+    for f in os.listdir(path):
+        if f.startswith("_MANIFEST.v"):
+            v = f.rsplit(".v", 1)[1]
+            if v.isdigit() and int(v) not in keep:
+                os.remove(os.path.join(path, f))
+        elif (
+            f.endswith((".json", ".jsonl"))
+            and not f.startswith((".", "_"))
+            and f not in live
+        ):
+            os.remove(os.path.join(path, f))
+            removed += 1
+    return removed
+
+
+def q_fmt_pyds_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full lake maintenance cycle on the engine's own connector,
+    value-checked end to end: write (v1, N_SHARDS files) → append (v2)
+    → COMPACT to 2 files (v3, a rewrite commit — old snapshots still
+    readable) → aggregate the compacted table.  Compaction must be
+    content-neutral: the oracle is the plain full-corpus aggregate, so
+    a rewrite that drops, duplicates, or mangles one row
+    hash-mismatches.  Shard-count reduction and post-vacuum snapshot
+    failure are pinned by pytest (vacuum is destructive, so the
+    registered query stops at the compaction commit)."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_pyds_cp_{tag}_{os.getpid()}"
+    )
+    spark.dataSource.register(JsonlDocsDataSource)
+    docs = load_table(spark, "documents", sf_dir)
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    (
+        even.repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out).mode("overwrite").save()
+    )
+    (
+        odd.repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out).mode("append").save()
+    )
+    compact_jsonl_dir(spark, out, target_shards=2)
+    back = spark.read.format("jsonl_docs").option("path", out).load()
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+SQL_FMT_PYDS_COMPACTION = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM documents
+GROUP BY lang
+"""
+
+
 def q_streaming_pyds_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same per-lang aggregate computed INCREMENTALLY through the
     custom source's stream reader (availableNow drain): offsets step
@@ -495,6 +636,7 @@ QUERIES = {
     "fmt_pyds_jsonl_roundtrip": q_fmt_pyds_jsonl_roundtrip,
     "fmt_pyds_jsonl_write_roundtrip": q_fmt_pyds_jsonl_write_roundtrip,
     "fmt_pyds_snapshot_read": q_fmt_pyds_snapshot_read,
+    "fmt_pyds_compaction": q_fmt_pyds_compaction,
     "streaming_pyds_docs": q_streaming_pyds_docs,
 }
 SQL_STREAMING_PYDS_DOCS = """
@@ -511,6 +653,7 @@ ORACLE_SQL = {
     "fmt_pyds_jsonl_roundtrip": SQL_FMT_PYDS_JSONL_ROUNDTRIP,
     "fmt_pyds_jsonl_write_roundtrip": SQL_FMT_PYDS_JSONL_ROUNDTRIP,
     "fmt_pyds_snapshot_read": SQL_FMT_PYDS_SNAPSHOT_READ,
+    "fmt_pyds_compaction": SQL_FMT_PYDS_COMPACTION,
     # the incremental path must agree with the batch oracle
     "streaming_pyds_docs": SQL_STREAMING_PYDS_DOCS,
 }

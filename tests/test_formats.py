@@ -363,3 +363,65 @@ def test_pyds_snapshot_read_time_travel(spark, tmp_path):
     assert v2 == latest == [0, 1, 2, 3, 4, 100, 101, 102]
     with _pytest.raises(Exception, match="_MANIFEST.v9"):
         rd.option("version", 9).load().collect()
+
+
+def test_pyds_compaction_and_vacuum_contract(spark, tmp_path):
+    """Compaction is a rewrite commit: shard count drops to the target,
+    content is unchanged, and PRE-compaction snapshots stay readable
+    (old shards untouched) until vacuum reclaims them — after which
+    time travel to a vacuumed version fails loudly and the latest read
+    still serves the full table."""
+    import os
+
+    import pytest as _pytest
+
+    from pu4spark_spark.sources.pydatasource import (
+        JsonlDocsDataSource,
+        compact_jsonl_dir,
+        vacuum_jsonl_dir,
+    )
+
+    spark.dataSource.register(JsonlDocsDataSource)
+    out = str(tmp_path / "docs_cp")
+    ddl = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(
+        [(i, f"t{i}", "en", "s", 2) for i in range(6)], ddl
+    ).write.format("jsonl_docs").option("path", out).mode("overwrite").save()
+    spark.createDataFrame(
+        [(i, f"t{i}", "de", "s", 2) for i in range(100, 104)], ddl
+    ).write.format("jsonl_docs").option("path", out).mode("append").save()
+
+    def shards():
+        return [
+            f for f in os.listdir(out)
+            if f.endswith(".jsonl") and not f.startswith("_")
+        ]
+
+    n_before = len(shards())
+    v3 = compact_jsonl_dir(spark, out, target_shards=2)
+    assert v3 == 3
+
+    def rd():
+        # fresh reader per read: DataFrameReader.option MUTATES the
+        # builder, so a reused one would leak the version pin
+        return spark.read.format("jsonl_docs").option("path", out)
+
+    latest = sorted(r["doc_id"] for r in rd().load().collect())
+    assert latest == [0, 1, 2, 3, 4, 5, 100, 101, 102, 103]
+    # rewrite commit: latest manifest names exactly 2 files, but the
+    # old shards are still on disk for snapshot reads
+    import json
+
+    assert len(json.load(open(os.path.join(out, "_MANIFEST")))) == 2
+    assert len(shards()) == n_before + 2
+    v1 = sorted(
+        r["doc_id"] for r in rd().option("version", 1).load().collect()
+    )
+    assert v1 == [0, 1, 2, 3, 4, 5]
+
+    removed = vacuum_jsonl_dir(out, keep_versions=1)
+    assert removed == n_before
+    assert len(shards()) == 2
+    assert sorted(r["doc_id"] for r in rd().load().collect()) == latest
+    with _pytest.raises(Exception, match="_MANIFEST.v1"):
+        rd().option("version", 1).load().collect()
