@@ -216,6 +216,7 @@ HEADLINE = [
     "pipeline_drop_reasons",
     "dedup_clusters_incremental",
     "fmt_pyds_compaction",
+    "curation_sequence_pack",
     # round-5 completion: every remaining registered query (VERDICT r4
     # next #4 — a perf regression anywhere must be visible
     # round-over-round, so HEADLINE now equals the full registry)

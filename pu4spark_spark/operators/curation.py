@@ -480,6 +480,106 @@ GROUP BY lang, shard_id
 """
 
 
+#: training context length for the sequence-packing audit
+SEQ_LEN = 512
+
+
+def q_curation_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE-PACKING audit — the final pretraining data-prep step:
+    the per-language token stream (doc_id order) is conceptually
+    concatenated and cut every ``SEQ_LEN`` tokens (GPT-style
+    concat-and-split packing), and each resulting training sequence is
+    profiled: how many documents touch it (attention fragmentation),
+    how many BEGIN in it (boundary starts), and how many tokens fill
+    it (everything but each language's final partial sequence is
+    exactly full — packing wastes no pad).  This is the table that
+    answers "what does my context actually look like after packing?"
+    before anyone trains on it.
+
+    Scale shape: one running-sum window per language partition (the
+    ``shard_pack`` caveat applies — at 100 TB partition by any balanced
+    key), then each doc explodes to the ceil(n/L)+1 sequences it spans
+    — fan-out is output-sized (corpus tokens / L), never quadratic —
+    and ONE map-side-combined groupBy(lang, seq_id).  All integer
+    arithmetic, so the oracle hash-checks every cell."""
+    docs = load_table(spark, "documents", sf_dir)
+    nt = F.size(tokens("text")).cast("bigint")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sized = (
+        docs.select("lang", "doc_id", nt.alias("n"))
+        .filter(F.col("n") > 0)
+        .withColumn(
+            "cum", F.coalesce(F.sum("n").over(w), F.lit(0).cast("bigint"))
+        )
+    )
+    L = F.lit(SEQ_LEN).cast("bigint")
+    first_seq = F.expr(f"cum DIV {SEQ_LEN}")
+    last_seq = F.expr(f"(cum + n - 1) DIV {SEQ_LEN}")
+    spans = sized.select(
+        "lang",
+        "cum",
+        "n",
+        first_seq.alias("fs"),
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    tok_in = F.least(
+        (F.col("seq_id") + 1) * L, F.col("cum") + F.col("n")
+    ) - F.greatest(F.col("seq_id") * L, F.col("cum"))
+    return (
+        spans.select(
+            "lang",
+            "seq_id",
+            tok_in.alias("tok"),
+            F.when(F.col("seq_id") == F.col("fs"), 1)
+            .otherwise(0)
+            .alias("is_start"),
+        )
+        .groupBy("lang", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_start").cast("bigint").alias("n_starts"),
+            F.sum("tok").cast("bigint").alias("tokens_filled"),
+        )
+    )
+
+
+SQL_SEQUENCE_PACK = f"""
+WITH sized AS (
+  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+  WHERE len(string_split(text, ' ')) > 0
+),
+cums AS (
+  SELECT lang, doc_id, n,
+         COALESCE(SUM(n) OVER (PARTITION BY lang ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS cum
+  FROM sized
+),
+spans AS (
+  SELECT c.lang, t.seq_id,
+         least((t.seq_id + 1) * {SEQ_LEN}, c.cum + c.n)
+         - greatest(t.seq_id * {SEQ_LEN}, c.cum) AS tok,
+         CASE WHEN t.seq_id = c.cum // {SEQ_LEN} THEN 1 ELSE 0 END
+           AS is_start
+  FROM cums c,
+       UNNEST(generate_series(CAST(c.cum // {SEQ_LEN} AS BIGINT),
+                              CAST((c.cum + c.n - 1) // {SEQ_LEN} AS BIGINT)))
+         AS t(seq_id)
+)
+SELECT lang, CAST(seq_id AS BIGINT) AS seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(is_start) AS BIGINT) AS n_starts,
+       CAST(SUM(tok) AS BIGINT) AS tokens_filled
+FROM spans
+GROUP BY lang, seq_id
+"""
+
+
 # -- intra-document repetition statistics --------------------------------
 
 def q_curation_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1772,6 +1872,7 @@ QUERIES = {
     "curation_decontaminate": q_curation_decontaminate,
     "curation_domain_mix": q_curation_domain_mix,
     "curation_shard_pack": q_curation_shard_pack,
+    "curation_sequence_pack": q_curation_sequence_pack,
     "curation_repetition": q_curation_repetition,
     "curation_hash_split": q_curation_hash_split,
     "curation_stratified_sample": q_curation_stratified_sample,
@@ -1797,6 +1898,7 @@ ORACLE_SQL = {
     "curation_decontaminate": SQL_DECONTAMINATE,
     "curation_domain_mix": SQL_DOMAIN_MIX,
     "curation_shard_pack": SQL_SHARD_PACK,
+    "curation_sequence_pack": SQL_SEQUENCE_PACK,
     "curation_repetition": SQL_REPETITION,
     "curation_hash_split": SQL_HASH_SPLIT,
     "curation_stratified_sample": SQL_STRATIFIED_SAMPLE,

@@ -713,3 +713,44 @@ def test_streaming_upsert_frames_survive_reinvocation(spark):
     a = sorted(map(tuple, first.collect()))
     b = sorted(map(tuple, second.collect()))
     assert a == b and len(a) > 0
+
+
+def test_sequence_pack_invariants(spark):
+    """Packing conservation: per language, tokens_filled sums to the
+    corpus token count; every sequence except the last is exactly full
+    (concat-and-split wastes no pad before the tail); n_starts sums to
+    the doc count; and docs-per-sequence >= starts."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from pu4spark_spark.operators.curation import (
+        SEQ_LEN,
+        q_curation_sequence_pack,
+    )
+    from pu4spark_spark.functions.textfns import tokens
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_curation_sequence_pack(spark, sf).collect()
+    docs = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("lang", F.size(tokens("text")).alias("n"))
+        .filter(F.col("n") > 0)
+        .groupBy("lang")
+        .agg(F.sum("n").alias("tot"), F.count(F.lit(1)).alias("n_docs"))
+        .collect()
+    )
+    want = {r["lang"]: (r["tot"], r["n_docs"]) for r in docs}
+    by_lang = defaultdict(list)
+    for r in rows:
+        assert r["n_docs"] >= r["n_starts"] >= 0
+        assert 1 <= r["tokens_filled"] <= SEQ_LEN
+        by_lang[r["lang"]].append(r)
+    assert set(by_lang) == set(want)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["seq_id"])
+        assert [r["seq_id"] for r in rs] == list(range(len(rs)))
+        assert sum(r["tokens_filled"] for r in rs) == want[lang][0]
+        assert sum(r["n_starts"] for r in rs) == want[lang][1]
+        for r in rs[:-1]:
+            assert r["tokens_filled"] == SEQ_LEN
