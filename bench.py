@@ -217,6 +217,7 @@ HEADLINE = [
     "dedup_clusters_incremental",
     "fmt_pyds_compaction",
     "curation_sequence_pack",
+    "fmt_pyds_snapshot_diff",
     # round-5 completion: every remaining registered query (VERDICT r4
     # next #4 — a perf regression anywhere must be visible
     # round-over-round, so HEADLINE now equals the full registry)

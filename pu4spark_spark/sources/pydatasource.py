@@ -466,6 +466,73 @@ GROUP BY lang
 """
 
 
+def q_fmt_pyds_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC FROM SNAPSHOTS: the row-level delta between two manifest
+    versions of the same table — read@v1 FULL OUTER JOIN read@v2 on the
+    key, each row labeled added/removed/unchanged, rolled up per
+    (status, lang).  This is how downstream consumers without a CDC
+    feed derive one from a snapshotted table (the lake pattern); on
+    this fixture v2 appends the odd half, so the oracle re-derives the
+    exact delta from the parquet truth.
+
+    Scale shape: both snapshot reads fan out over their manifest's
+    shards; the diff is one equi-join on the key (sort-merge at 100 TB,
+    broadcast at fixture scale) and one tiny-key rollup."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_pyds_sd_{tag}_{os.getpid()}"
+    )
+    spark.dataSource.register(JsonlDocsDataSource)
+    docs = load_table(spark, "documents", sf_dir)
+    (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out).mode("overwrite").save()
+    )
+    (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out).mode("append").save()
+    )
+    v1 = (
+        spark.read.format("jsonl_docs")
+        .option("path", out).option("version", 1).load()
+        .select("doc_id", F.col("lang").alias("lang_a"))
+    )
+    v2 = (
+        spark.read.format("jsonl_docs")
+        .option("path", out).option("version", 2).load()
+        .select("doc_id", F.col("lang").alias("lang_b"))
+    )
+    status = (
+        F.when(F.col("lang_a").isNull(), F.lit("added"))
+        .when(F.col("lang_b").isNull(), F.lit("removed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        v1.join(v2, "doc_id", "full_outer")
+        .select(
+            status.alias("status"),
+            F.coalesce(F.col("lang_b"), F.col("lang_a")).alias("lang"),
+        )
+        .groupBy("status", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+SQL_FMT_PYDS_SNAPSHOT_DIFF = """
+SELECT CASE WHEN doc_id % 2 = 1 THEN 'added' ELSE 'unchanged' END AS status,
+       lang,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 def compact_jsonl_dir(
     spark: SparkSession, path: str, target_shards: int
 ) -> int:
@@ -637,6 +704,7 @@ QUERIES = {
     "fmt_pyds_jsonl_write_roundtrip": q_fmt_pyds_jsonl_write_roundtrip,
     "fmt_pyds_snapshot_read": q_fmt_pyds_snapshot_read,
     "fmt_pyds_compaction": q_fmt_pyds_compaction,
+    "fmt_pyds_snapshot_diff": q_fmt_pyds_snapshot_diff,
     "streaming_pyds_docs": q_streaming_pyds_docs,
 }
 SQL_STREAMING_PYDS_DOCS = """
@@ -654,6 +722,7 @@ ORACLE_SQL = {
     "fmt_pyds_jsonl_write_roundtrip": SQL_FMT_PYDS_JSONL_ROUNDTRIP,
     "fmt_pyds_snapshot_read": SQL_FMT_PYDS_SNAPSHOT_READ,
     "fmt_pyds_compaction": SQL_FMT_PYDS_COMPACTION,
+    "fmt_pyds_snapshot_diff": SQL_FMT_PYDS_SNAPSHOT_DIFF,
     # the incremental path must agree with the batch oracle
     "streaming_pyds_docs": SQL_STREAMING_PYDS_DOCS,
 }
