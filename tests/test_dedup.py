@@ -509,3 +509,54 @@ def test_incremental_cc_equals_full_recompute(spark):
     ]
     assert mixed, "fixture exercises no batch-corpus merge"
     assert pure_corpus, "fixture exercises no untouched corpus cluster"
+
+
+def test_merge_into_clusters_randomized_equivalence(spark):
+    """Randomized algebra check of the incremental-CC merge: on random
+    graphs with a random corpus/batch node split, merging the
+    batch-touching edges into the corpus-only clustering must equal
+    connected components over the full edge set — including
+    cluster-bridging edges, batch-only components, and corpus
+    singletons pulled in by a new edge."""
+    import random
+
+    from pu4spark_spark.operators.dedup import (
+        connected_components,
+        merge_into_clusters,
+    )
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        n = 40
+        batch = {i for i in range(n) if rng.random() < 0.3}
+        edges = set()
+        while len(edges) < 35:
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        corpus_pairs = [
+            (a, b) for a, b in edges if a not in batch and b not in batch
+        ]
+        new_pairs = [
+            (a, b) for a, b in edges if a in batch or b in batch
+        ]
+        if not corpus_pairs or not new_pairs:
+            continue
+        ddl = "a_id long, b_id long"
+        full = {
+            (r["doc_id"], r["cluster_id"])
+            for r in connected_components(
+                spark.createDataFrame(sorted(edges), ddl)
+            ).collect()
+        }
+        inc = {
+            (r["doc_id"], r["cluster_id"])
+            for r in merge_into_clusters(
+                connected_components(
+                    spark.createDataFrame(sorted(corpus_pairs), ddl)
+                ),
+                spark.createDataFrame(sorted(new_pairs), ddl),
+            ).collect()
+        }
+        spark.catalog.clearCache()
+        assert inc == full, f"seed={seed}"
