@@ -79,7 +79,7 @@ DRIVER_FIRST = [
     # Round-7 rotation (VERDICT r6 #2): r01∪…∪r06 witness 208 of 230.
     # Window = (A) the LAST 6 never-witnessed oracle-backed queries —
     # after this round every oracle-backed query has driver-hash
-    # evidence; (B) the 5 new r7 oracle-backed queries; (C) ALL 16
+    # evidence; (B) ALL 10 new r7 oracle-backed queries; (C) ALL 16
     # never-witnessed rows-only entries, so even the ML/sketch paths
     # get driver rows-evidence at least once; (D) re-verification
     # slots: the three queries this round's perf work rewrote (their
@@ -96,8 +96,13 @@ DRIVER_FIRST = [
     "pu_bagging_trace",                # OOB protocol, hash-checked
     "ann_ivf_tuning",                  # nprobe tuning table
     "fmt_pyds_snapshot_read",          # manifest time travel
+    "fmt_pyds_snapshot_diff",          # CDC between snapshots
+    "fmt_pyds_compaction",             # rewrite commit + vacuum contract
     "ann_rerank_topk",                 # retrieve→rerank
     "dedup_cluster_quality",           # what-did-dedup-keep report
+    "dedup_clusters_incremental",      # cluster maintenance == full CC
+    "pipeline_drop_reasons",           # record-level provenance
+    "curation_sequence_pack",          # sample-packing audit
     # -- C: rows-only, never driver-witnessed ---------------------------
     "pu_spy_em_lr",                    # 1.385
     "pu_elkan_noto_lr",                # 0.688
@@ -131,11 +136,6 @@ DRIVER_FIRST = [
     "pu_iteration_stats",              # 0.126
     "curation_epoch_shuffle",          # 0.132
     "curation_stratified_sample",      # 0.146
-    "text_corpus_stats",               # 0.147
-    "dedup_exact_docs",                # 0.151
-    "text_zscore_by_lang",             # 0.154
-    "customer_running_spend",          # 0.154
-    "events_user_cardinality",         # 0.164
     "curation_chunk_windows",          # 0.167
     "embedding_quantize_int8",         # 0.177
     "curation_shard_pack",             # 0.179
