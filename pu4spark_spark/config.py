@@ -33,11 +33,16 @@ class LogisticRegressionConfig:
     maxIter: int = 100
     regParam: float = 1e-8
     elasticNetParam: float = 0.0
+    #: optional per-row instance-weight column (MLlib ``weightCol``) —
+    #: how soft-dedup 1/n weights (curation_soft_dedup_weights) reach
+    #: training without dropping rows; the column must survive into the
+    #: frame ``weight()`` is called on
+    weightCol: str | None = None
 
     def build(self):
         from pyspark.ml.classification import LogisticRegression
 
-        return (
+        lr = (
             LogisticRegression(
                 maxIter=self.maxIter,
                 regParam=self.regParam,
@@ -46,6 +51,9 @@ class LogisticRegressionConfig:
             .setLabelCol(LABEL_NAME)
             .setFeaturesCol(INDEXED_FEATURES_NAME)
         )
+        if self.weightCol is not None:
+            lr = lr.setWeightCol(self.weightCol)
+        return lr
 
 
 @dataclass

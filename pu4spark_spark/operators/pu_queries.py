@@ -16,7 +16,7 @@ double in both engines).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pu4spark_spark.labels import (
@@ -702,6 +702,63 @@ def q_pu_doc_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("finalLabel").alias("p_good"))
 
 
+def q_pu_doc_quality_soft_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT-DEDUP-AWARE quality training (r7): the PU quality
+    classifier trained with per-row instance weights ``1/n_copies``
+    over exact-text duplicate groups (``curation_soft_dedup_weights``'
+    down-weighting policy), via MLlib's ``weightCol`` through the
+    config registry.  Every distinct content contributes total
+    exposure 1.0 to the fit, so boilerplate repeated 10 000× cannot
+    dominate the quality model — WITHOUT dropping rows.  The weighted
+    likelihood over the duplicated corpus equals the unweighted
+    likelihood over the deduped corpus, so the fits coincide (pinned
+    to tolerance by ``tests/test_pu.py``); rows-only check (LR fit
+    inside), same feature/seed recipe as ``pu_doc_quality_lr``."""
+    from pu4spark_spark.config import (
+        LogisticRegressionConfig,
+        TraditionalPULearnerConfig,
+    )
+    from pu4spark_spark.functions.textfns import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokens("text")
+    n_tok = F.size(toks).cast("double")
+    wdup = Window.partitionBy(F.md5(F.col("text")))
+    feat = docs.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("f_ntok"),
+        (F.length("text").cast("double") / n_tok).alias("f_toklen"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_tok).alias(
+            "f_distinct"
+        ),
+        (
+            F.length(F.regexp_replace("text", r"[a-z0-9 ]", "")).cast("double")
+            / F.length("text")
+        ).alias("f_punct"),
+        (F.lit(1.0) / F.count(F.lit(1)).over(wdup)).alias("soft_w"),
+    )
+    seeded = feat.withColumn(
+        "pu_label",
+        F.when((F.col("lang") == "en") & (F.col("f_ntok") >= 40), 1).otherwise(0),
+    ).withColumn(
+        "qfeat",
+        F.array("f_ntok", "f_toklen", "f_distinct", "f_punct").cast(
+            "array<double>"
+        ),
+    )
+    learner = TraditionalPULearnerConfig(
+        maxIters=1,
+        classifierConfig=LogisticRegressionConfig(
+            maxIter=10, weightCol="soft_w"
+        ),
+    ).build()
+    out = learner.weight(seeded, "pu_label", "qfeat")
+    return out.select(
+        "doc_id", "soft_w", F.col("finalLabel").alias("p_good")
+    )
+
+
 def q_pu_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documented onboarding flow (reference README.md:82-89):
     VectorAssembler over N scalar columns.  The assembled vector is
@@ -945,6 +1002,8 @@ QUERIES = {
     "pu_spy_em_lr": q_pu_spy_em_lr,
     "pu_elkan_noto_lr": q_pu_elkan_noto_lr,
     "pu_bagging_lr": q_pu_bagging_lr,
+    # rows-only: weighted LR fit; weighted==dedup property in test_pu.py
+    "pu_doc_quality_soft_lr": q_pu_doc_quality_soft_lr,
     "pu_class_prior": q_pu_class_prior,
     "pu_f1_proxy": q_pu_f1_proxy,
     "pu_feature_assembly": q_pu_feature_assembly,

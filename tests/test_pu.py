@@ -764,3 +764,64 @@ def test_bagging_trace_oob_protocol(spark):
             seen_fallback = True
         assert abs(r["final_score"] - want) < 1e-12, vid
     assert seen_pos and seen_fallback
+
+
+def test_weighted_lr_equals_training_on_deduped(spark):
+    """Instance weights 1/n_copies make training on a corpus WITH
+    duplicates equal training on the deduped corpus: the weighted
+    log-likelihood terms of a duplicate group sum to exactly one
+    unweighted term, so the two LR fits coincide (up to LBFGS
+    tolerance) — the property that justifies soft dedup as a
+    substitute for hard dedup at training time."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pu4spark_spark.config import LogisticRegressionConfig
+    from pu4spark_spark.features import assemble_features
+
+    rng = random.Random(11)
+    base_rows = []
+    for i in range(120):
+        x = rng.uniform(-2, 2)
+        y = rng.uniform(-2, 2)
+        label = 1.0 if x + 0.5 * y + rng.gauss(0, 0.3) > 0 else 0.0
+        copies = rng.choice([1, 1, 1, 2, 4])
+        base_rows.append((i, x, y, label, copies))
+    dup_rows = [
+        (i, x, y, label, 1.0 / copies)
+        for i, x, y, label, copies in base_rows
+        for _ in range(copies)
+    ]
+    ded_rows = [(i, x, y, label, 1.0) for i, x, y, label, _ in base_rows]
+    ddl = "id long, x double, y double, pu_label double, w double"
+
+    def fit_scores(rows, weight_col):
+        df = assemble_features(
+            spark.createDataFrame(rows, ddl), ["x", "y"], "features"
+        )
+        from pu4spark_spark.config import (
+            INDEXED_FEATURES_NAME,
+            LABEL_NAME,
+        )
+
+        lr = LogisticRegressionConfig(
+            maxIter=60, weightCol=weight_col
+        ).build()
+        lr = lr.setLabelCol("pu_label").setFeaturesCol("features")
+        model = lr.fit(df)
+        scored = model.transform(df.dropDuplicates(["id"]))
+        from pyspark.ml.functions import vector_to_array
+
+        return {
+            r["id"]: r["p"]
+            for r in scored.select(
+                "id", vector_to_array("probability")[1].alias("p")
+            ).collect()
+        }
+
+    weighted = fit_scores(dup_rows, "w")
+    deduped = fit_scores(ded_rows, None)
+    assert set(weighted) == set(deduped)
+    worst = max(abs(weighted[i] - deduped[i]) for i in weighted)
+    assert worst < 1e-5, worst
