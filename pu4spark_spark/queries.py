@@ -103,6 +103,7 @@ DRIVER_FIRST = [
     "dedup_clusters_incremental",      # cluster maintenance == full CC
     "pipeline_drop_reasons",           # record-level provenance
     "curation_sequence_pack",          # sample-packing audit
+    "pu_doc_quality_soft_lr",          # weightCol soft-dedup training
     # -- C: rows-only, never driver-witnessed ---------------------------
     "pu_spy_em_lr",                    # 1.385
     "pu_elkan_noto_lr",                # 0.688
@@ -138,7 +139,6 @@ DRIVER_FIRST = [
     "curation_stratified_sample",      # 0.146
     "curation_chunk_windows",          # 0.167
     "embedding_quantize_int8",         # 0.177
-    "curation_shard_pack",             # 0.179
 ]
 
 
@@ -157,7 +157,7 @@ _ROWS_ONLY_WINDOWED = {
     "dedup_pagerank", "dedup_minhash_ml_slice", "ann_ivf",
     "ann_ivf_recall", "embedding_pca_project", "text_bpe_learn_merges",
     "text_bpe_encode", "mm_cdc_chunks", "mm_cdc_dup_chunks",
-    "fmt_file_metadata_audit",
+    "fmt_file_metadata_audit", "pu_doc_quality_soft_lr",
 }
 _no_oracle_first = [
     n
