@@ -219,6 +219,7 @@ HEADLINE = [
     "curation_sequence_pack",
     "fmt_pyds_snapshot_diff",
     "pu_doc_quality_soft_lr",
+    "ann_pq_adc_recall",
     # round-5 completion: every remaining registered query (VERDICT r4
     # next #4 — a perf regression anywhere must be visible
     # round-over-round, so HEADLINE now equals the full registry)

@@ -1261,6 +1261,249 @@ WHERE rank <= {TOP_K}
 """
 
 
+#: product-quantization geometry: M subspaces × D dims, K centroids each
+PQ_M = 8
+PQ_D = 8
+PQ_K = 16
+
+
+def q_ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT QUANTIZATION + ADC recall eval — the third leg of the
+    compression triad (binary codes = 1 bit/dim, Matryoshka = fewer
+    dims, PQ = per-subspace codebooks): each vector's 8 contiguous
+    8-dim subvectors are replaced by the id of their nearest of 16
+    per-subspace centroids (8 codes = 8 bytes/vector, 32× vs float32),
+    and queries score candidates by Asymmetric Distance Computation —
+    the query stays full-precision and per-(subspace, centroid) dot
+    products are looked up from a 128-entry table instead of touching
+    raw vectors.  Two recalls vs the exact cosine top-k: the RAW ADC
+    top-k (what the compressed order alone gets — honest: ~0.2 on this
+    near-isotropic fixture with sampled codebooks; trained k-means
+    codebooks, a rows-only path, is how production raises it) and the
+    DEPLOYABLE config — ADC retrieves ``RERANK_CANDIDATES``, the exact
+    scorer reranks (``ann_rerank_topk``'s shape), so recall equals the
+    candidate coverage.  That pair is the table a user tunes against
+    BEFORE rebuilding a 100 TB index on the compressed codes.
+
+    Oracle-ability, as in ``ann_ivf_tuning``: sampled-vector centroids
+    (the ``PQ_K`` lowest non-query vec_ids per subspace) make code
+    assignment an exact integer argmin (``min(d2*K + idx)``), ADC
+    partial dots are exact integers, and the reconstructed norm is the
+    sum of per-subspace centroid norms (coordinate blocks are
+    orthogonal) — one IEEE division per (query, candidate), so even
+    the recall hash-checks.
+
+    Scale shape: the codebook is M×K rows (broadcast); assignment
+    explodes each vector to its M subvectors (linear fan-out), joins
+    the broadcast codebook, and argmins in ONE map-side-combined
+    groupBy; the ADC scan joins codes against the broadcast 128-row
+    query lookup table and reduces per (query, vec) — candidates never
+    shuffle, raw vectors are never touched after coding."""
+    from pu4spark_spark.plans import spread, two_phase_rank
+
+    base = _quantized_base(spark, sf_dir)
+    w = Window.orderBy("vec_id")
+    cent_src = (
+        base.filter(F.col("vec_id") >= N_QUERIES)
+        .orderBy("vec_id")
+        .limit(PQ_K)
+        .withColumn("cidx", F.row_number().over(w) - 1)
+    )
+    sub_structs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice(F.col("q"), m * PQ_D + 1, PQ_D).alias("sub"),
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    cents = (
+        cent_src.select("cidx", F.explode(sub_structs).alias("s"))
+        .select(
+            "cidx",
+            F.col("s.m").alias("m"),
+            F.col("s.sub").alias("cvec"),
+        )
+        .withColumn("cnorm2", int_dot(F.col("cvec"), F.col("cvec")))
+    )
+
+    subvecs = base.select(
+        "vec_id", F.explode(sub_structs).alias("s")
+    ).select(
+        "vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("xm")
+    )
+    d2 = (
+        int_dot(F.col("xm"), F.col("xm"))
+        + F.col("cnorm2")
+        - F.lit(2) * int_dot(F.col("xm"), F.col("cvec"))
+    )
+    codes = (
+        subvecs.join(F.broadcast(cents), "m")
+        .withColumn("d2", d2)
+        .groupBy("vec_id", "m")
+        .agg(
+            (F.min(F.col("d2") * F.lit(PQ_K) + F.col("cidx")) % PQ_K)
+            .cast("int")
+            .alias("code")
+        )
+    )
+
+    qsub = subvecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("xm").alias("qm")
+    )
+    qlut = (
+        qsub.join(F.broadcast(cents), "m")
+        .select(
+            "query_id",
+            "m",
+            F.col("cidx").alias("code"),
+            int_dot(F.col("qm"), F.col("cvec")).alias("pdot"),
+            "cnorm2",
+        )
+    )
+    qn = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("norm2").alias("qnorm2")
+    )
+    scored = (
+        codes.join(F.broadcast(qlut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum("pdot").alias("adc"),
+            F.sum("cnorm2").alias("recon2"),
+        )
+        .filter(F.col("recon2") > 0)
+        .join(F.broadcast(qn), "query_id")
+        .withColumn(
+            "cosine",
+            F.col("adc")
+            / (F.sqrt(F.col("recon2")) * F.sqrt(F.col("qnorm2"))),
+        )
+    )
+    approx = two_phase_rank(
+        scored,
+        ["query_id"],
+        [F.desc("cosine"), F.asc("vec_id")],
+        RERANK_CANDIDATES,
+        rank_col="adc_rank",
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"), "adc_rank")
+    exact = q_ann_cosine_topk(spark, sf_dir)
+    qm = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(F.col("adc_rank") <= TOP_K, 1).otherwise(0)
+            ).alias("m_adc"),
+            F.count("adc_rank").alias("m_rerank"),
+        )
+    )
+    return qm.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        (
+            F.sum("m_adc").cast("double")
+            / (F.count(F.lit(1)) * F.lit(TOP_K))
+        ).alias("adc_recall"),
+        (
+            F.sum("m_rerank").cast("double")
+            / (F.count(F.lit(1)) * F.lit(TOP_K))
+        ).alias("reranked_recall"),
+        F.min("m_rerank").cast("bigint").alias("min_matched"),
+    )
+
+
+def _sql_pq_subspaces() -> str:
+    """(m, sub) pairs for every vector, DuckDB side."""
+    parts = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m,"
+        f" array_slice(q, {m * PQ_D + 1}, {(m + 1) * PQ_D}) AS sub"
+        " FROM qbase"
+        for m in range(PQ_M)
+    )
+    return parts
+
+
+SQL_ANN_PQ_ADC_RECALL = f"""
+WITH qbase AS (
+  SELECT vec_id, {_Q_SQL} AS q FROM embeddings
+),
+subvecs AS ({_sql_pq_subspaces()}),
+cent_src AS (
+  SELECT vec_id, q, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx
+  FROM qbase WHERE vec_id >= {N_QUERIES} ORDER BY vec_id LIMIT {PQ_K}
+),
+cents AS (
+  SELECT s.m, c.cidx,
+         array_slice(c.q, s.m * {PQ_D} + 1, (s.m + 1) * {PQ_D}) AS cvec
+  FROM cent_src c,
+       (SELECT DISTINCT m FROM subvecs) s
+),
+cents_n AS (
+  SELECT m, cidx, cvec,
+         CAST(list_dot_product(cvec, cvec) AS BIGINT) AS cnorm2
+  FROM cents
+),
+codes AS (
+  SELECT v.vec_id, v.m,
+         CAST(MIN((CAST(list_dot_product(v.sub, v.sub) AS BIGINT)
+                   + c.cnorm2
+                   - 2 * CAST(list_dot_product(v.sub, c.cvec) AS BIGINT))
+                  * {PQ_K} + c.cidx) % {PQ_K} AS INTEGER) AS code
+  FROM subvecs v JOIN cents_n c ON c.m = v.m
+  GROUP BY v.vec_id, v.m
+),
+qlut AS (
+  SELECT v.vec_id AS query_id, v.m, c.cidx AS code,
+         CAST(list_dot_product(v.sub, c.cvec) AS BIGINT) AS pdot,
+         c.cnorm2
+  FROM subvecs v JOIN cents_n c ON c.m = v.m
+  WHERE v.vec_id < {N_QUERIES}
+),
+qn AS (
+  SELECT vec_id AS query_id,
+         CAST(list_dot_product(q, q) AS BIGINT) AS qnorm2
+  FROM qbase WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT l.query_id, k.vec_id,
+         CAST(SUM(l.pdot) AS DOUBLE)
+           / (sqrt(CAST(SUM(l.cnorm2) AS DOUBLE)) * sqrt(n.qnorm2))
+           AS cosine
+  FROM codes k
+  JOIN qlut l ON l.m = k.m AND l.code = k.code
+  JOIN qn n ON n.query_id = l.query_id
+  WHERE k.vec_id <> l.query_id
+  GROUP BY l.query_id, k.vec_id, n.qnorm2
+  HAVING SUM(l.cnorm2) > 0
+),
+approx AS (
+  SELECT query_id, vec_id AS neighbor_id, adc_rank FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id ASC) AS adc_rank
+    FROM scored)
+  WHERE adc_rank <= {RERANK_CANDIDATES}
+),
+exact AS ({SQL_ANN_COSINE_TOPK}),
+qm AS (
+  SELECT e.query_id,
+         SUM(CASE WHEN a.adc_rank <= {TOP_K} THEN 1 ELSE 0 END) AS m_adc,
+         COUNT(a.neighbor_id) AS m_rerank
+  FROM exact e
+  LEFT JOIN approx a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT COUNT(*) AS n_queries,
+       CAST(SUM(m_adc) AS DOUBLE) / (COUNT(*) * {TOP_K}) AS adc_recall,
+       CAST(SUM(m_rerank) AS DOUBLE) / (COUNT(*) * {TOP_K})
+         AS reranked_recall,
+       CAST(MIN(m_rerank) AS BIGINT) AS min_matched
+FROM qm
+"""
+
+
 # -- distributed Gram matrix (PCA / whitening building block) ------------
 
 def q_embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1425,6 +1668,7 @@ QUERIES = {
     "ann_matryoshka_recall": q_ann_matryoshka_recall,
     "ann_binary_hamming_recall": q_ann_binary_hamming_recall,
     "ann_rerank_topk": q_ann_rerank_topk,
+    "ann_pq_adc_recall": q_ann_pq_adc_recall,
     "embedding_inertia_by_label": q_embedding_inertia_by_label,
     # rows-only: driver-side eigensolve is not SQL-expressible; NumPy
     # reference test re-derives the projection (tests/test_similarity.py)
@@ -1443,6 +1687,7 @@ ORACLE_SQL = {
     "ann_matryoshka_recall": SQL_ANN_MATRYOSHKA_RECALL,
     "ann_binary_hamming_recall": SQL_ANN_BINARY_HAMMING_RECALL,
     "ann_rerank_topk": SQL_ANN_RERANK_TOPK,
+    "ann_pq_adc_recall": SQL_ANN_PQ_ADC_RECALL,
     "ann_ivf_tuning": SQL_ANN_IVF_TUNING,
     "embedding_inertia_by_label": SQL_EMBEDDING_INERTIA,
     # ann_ivf: KMeans centroids — rows-only
