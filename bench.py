@@ -220,6 +220,7 @@ HEADLINE = [
     "fmt_pyds_snapshot_diff",
     "pu_doc_quality_soft_lr",
     "ann_pq_adc_recall",
+    "sql_asof_click_purchase",
     # round-5 completion: every remaining registered query (VERDICT r4
     # next #4 — a perf regression anywhere must be visible
     # round-over-round, so HEADLINE now equals the full registry)

@@ -152,6 +152,57 @@ ASOF LEFT JOIN purchases p
 """
 
 
+def q_sql_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-front-end twin of ``asof_click_purchase`` (the
+    ``sql_docs_clean`` program extended to the temporal-join family):
+    Spark's dialect has no ASOF keyword, so the statement spells out
+    the engine's own union+carry-window algorithm — right rows
+    deduped per (key, ts), both sides unioned with a side tag (right
+    sorts before left at equal ts, so an exact-timestamp match is
+    visible per ASOF ``<=``), one ``last(..., true)`` carry window per
+    value column, left rows filtered back out.  Same single shuffle as
+    the DataFrame version, same DuckDB ``ASOF LEFT JOIN`` oracle — a
+    SQL-only user gets the identical as-of semantics and plan shape."""
+    load_table(spark, "events", sf_dir).createOrReplaceTempView("events")
+    return spark.sql("""
+WITH pd AS (
+  SELECT user_id, ts, event_id, value
+  FROM (SELECT user_id, ts, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase')
+  WHERE rn = 1
+),
+tagged AS (
+  SELECT user_id, ts, 0 AS side,
+         event_id AS r_eid, value AS r_val,
+         CAST(NULL AS BIGINT) AS l_eid
+  FROM pd
+  UNION ALL
+  SELECT user_id, ts, 1 AS side,
+         CAST(NULL AS BIGINT) AS r_eid, CAST(NULL AS DOUBLE) AS r_val,
+         event_id AS l_eid
+  FROM events WHERE event_type = 'click'
+),
+carried AS (
+  SELECT *,
+         last(r_eid, true) OVER (
+           PARTITION BY user_id
+           ORDER BY ts ASC, side ASC, r_eid ASC NULLS FIRST
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS purchase_event_id,
+         last(r_val, true) OVER (
+           PARTITION BY user_id
+           ORDER BY ts ASC, side ASC, r_eid ASC NULLS FIRST
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS purchase_value
+  FROM tagged
+)
+SELECT l_eid AS event_id, user_id, purchase_event_id, purchase_value
+FROM carried WHERE side = 1
+""")
+
+
 #: tolerance for the bounded-staleness as-of variant
 ASOF_TOLERANCE = "1 hour"
 
@@ -680,6 +731,7 @@ FROM sessions s JOIN busy b
 
 QUERIES = {
     "asof_click_purchase": q_asof_click_purchase,
+    "sql_asof_click_purchase": q_sql_asof_click_purchase,
     "asof_next_purchase": q_asof_next_purchase,
     "asof_click_purchase_tolerance": q_asof_click_purchase_tolerance,
     "range_click_purchases": q_range_click_purchases,
@@ -688,6 +740,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "asof_click_purchase": SQL_ASOF_CLICK_PURCHASE,
+    "sql_asof_click_purchase": SQL_ASOF_CLICK_PURCHASE,
     "asof_next_purchase": SQL_ASOF_NEXT_PURCHASE,
     "asof_click_purchase_tolerance": SQL_ASOF_CLICK_PURCHASE_TOLERANCE,
     "range_click_purchases": SQL_RANGE_CLICK_PURCHASES,
