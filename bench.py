@@ -221,6 +221,7 @@ HEADLINE = [
     "pu_doc_quality_soft_lr",
     "ann_pq_adc_recall",
     "sql_asof_click_purchase",
+    "mm_payload_byte_stats",
     # round-5 completion: every remaining registered query (VERDICT r4
     # next #4 — a perf regression anywhere must be visible
     # round-over-round, so HEADLINE now equals the full registry)

@@ -542,8 +542,94 @@ WHERE bit_count(xor(ha, hb)) <= {AHASH_HAMMING_K}
 """
 
 
+def q_mm_payload_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAYLOAD INTEGRITY audit before any decode runs: per-payload byte
+    histogram statistics — total bytes, distinct byte values, and the
+    heaviest byte's count/share — the cheap screen that catches
+    truncated, zero-filled, constant-padded, or double-encoded blobs
+    in a 100 TB media lake without ever invoking a decoder (a real
+    image/audio payload has high byte diversity; a corrupt one is a
+    handful of values).  ``is_suspect`` uses integer cross-
+    multiplication (≤4 distinct values or one byte ≥ 20% of the blob).
+
+    Execution shape — the SimHash discipline (§5b lesson 1): the
+    payload hex-encodes once, a codegen ``explode(sequence)`` +
+    substring projects one row per byte (co-located, no repartition),
+    and ONE map-side-combined groupBy(doc, byte) reduces to ≤256
+    counter rows per doc before the exchange.  DuckDB reproduces the
+    identical hex-pair arithmetic, so every count hash-checks."""
+    from pu4spark_spark.plans import spread
+
+    docs = spread(load_table(spark, "documents", sf_dir))
+    mm = pack_documents(docs)
+    hexed = mm.select(
+        "doc_id",
+        F.hex(F.col("payload")).alias("hx"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+    by_byte = (
+        hexed.select(
+            "doc_id",
+            "n_bytes",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_bytes") - 1)
+            ).alias("i"),
+            "hx",
+        )
+        .select(
+            "doc_id",
+            "n_bytes",
+            F.substring(F.col("hx"), F.col("i") * 2 + 1, 2).alias("b"),
+        )
+        .groupBy("doc_id", "n_bytes", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = by_byte.groupBy("doc_id", "n_bytes").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_bytes"),
+        F.max("c").alias("top_byte_count"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        "n_distinct_bytes",
+        "top_byte_count",
+        (F.col("top_byte_count").cast("double") / F.col("n_bytes")).alias(
+            "top_byte_share"
+        ),
+        (
+            (F.col("n_distinct_bytes") <= 4)
+            | (F.col("top_byte_count") * 5 >= F.col("n_bytes"))
+        ).alias("is_suspect"),
+    )
+
+
+SQL_MM_PAYLOAD_BYTE_STATS = """
+WITH hexed AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+),
+by_byte AS (
+  SELECT doc_id, n_bytes, substr(hx, t.i * 2 + 1, 2) AS b,
+         COUNT(*) AS c
+  FROM hexed,
+       UNNEST(generate_series(0, CAST(n_bytes - 1 AS BIGINT))) AS t(i)
+  GROUP BY doc_id, n_bytes, b
+)
+SELECT doc_id,
+       CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_bytes,
+       CAST(MAX(c) AS BIGINT) AS top_byte_count,
+       CAST(MAX(c) AS DOUBLE) / n_bytes AS top_byte_share,
+       (COUNT(*) <= 4 OR MAX(c) * 5 >= n_bytes) AS is_suspect
+FROM by_byte
+GROUP BY doc_id, n_bytes
+"""
+
+
 QUERIES = {
     "mm_pack_stats": q_mm_pack_stats,
+    "mm_payload_byte_stats": q_mm_payload_byte_stats,
     "mm_decode_features": q_mm_decode_features,
     "mm_frame_sample": q_mm_frame_sample,
     "mm_arrow_payload_stats": q_mm_arrow_payload_stats,
@@ -557,6 +643,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "mm_pack_stats": SQL_MM_PACK_STATS,
+    "mm_payload_byte_stats": SQL_MM_PAYLOAD_BYTE_STATS,
     "mm_decode_features": SQL_MM_DECODE_FEATURES,
     "mm_frame_sample": SQL_MM_FRAME_SAMPLE,
     "mm_arrow_payload_stats": SQL_MM_ARROW_PAYLOAD_STATS,
