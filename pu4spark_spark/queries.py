@@ -104,6 +104,9 @@ DRIVER_FIRST = [
     "pipeline_drop_reasons",           # record-level provenance
     "curation_sequence_pack",          # sample-packing audit
     "pu_doc_quality_soft_lr",          # weightCol soft-dedup training
+    "ann_pq_adc_recall",               # PQ+ADC compression eval
+    "sql_asof_click_purchase",         # SQL-dialect as-of twin
+    "mm_payload_byte_stats",           # payload integrity audit
     # -- C: rows-only, never driver-witnessed ---------------------------
     "pu_spy_em_lr",                    # 1.385
     "pu_elkan_noto_lr",                # 0.688
@@ -125,9 +128,6 @@ DRIVER_FIRST = [
     "sql_docs_clean",                  # CACHE TABLE staging (r7)
     "corpus_lang_similarity",          # 36→9-shuffle restack (r7)
     "pipeline_docs_clean",             # shares the staged oracle
-    "pu_label_index",                  # 0.082
-    "pu_relabel_keep",                 # 0.090
-    "mm_pack_stats",                   # 0.093
     "pu_binarize_traditional",         # 0.093
     "pu_binarize_gradual",             # 0.097
     "sql_parts_by_brand",              # 0.111
