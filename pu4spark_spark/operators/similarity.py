@@ -1413,6 +1413,195 @@ def q_ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ensure_ivf_artifact(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once cell-PARTITIONED parquet layout of the embedding
+    table under the sampled-centroid quantizer — IVF as an on-disk
+    layout: ``.../cell=N/`` directories, so a probe reads ONLY its
+    nprobe cells via static partition pruning (the ANN twin of the
+    dedup band artifact).  Keyed on the source file's (path, size,
+    mtime); stale versions of the same path are GC'd before a rebuild
+    (the r6 advisory discipline); the version tag is letter-prefixed so
+    the scratch GC can never misread it as a pid."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    src = os.path.abspath(os.path.join(sf_dir, "embeddings.parquet"))
+    ptag = hashlib.md5(src.encode()).hexdigest()[:8]
+    try:
+        st = os.stat(src)
+        ver = f"{src}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        ver = src
+    vtag = "v" + hashlib.md5(ver.encode()).hexdigest()[:8]
+    base_name = f"pu4spark_ivfart_{ptag}"
+    d = os.path.join(tempfile.gettempdir(), f"{base_name}_{vtag}")
+    if os.path.exists(os.path.join(d, "_SUCCESS")):
+        return d
+    tmp = tempfile.gettempdir()
+    for f in os.listdir(tmp):
+        if f.startswith(base_name + "_") and f != os.path.basename(d):
+            shutil.rmtree(os.path.join(tmp, f), ignore_errors=True)
+
+    base = _quantized_base(spark, sf_dir)
+    w = Window.orderBy("vec_id")
+    cents = (
+        base.filter(F.col("vec_id") >= N_QUERIES)
+        .orderBy("vec_id")
+        .limit(IVF_CLUSTERS)
+        .withColumn("cell", F.row_number().over(w) - 1)
+        .select(
+            "cell", F.col("q").alias("cq"), F.col("norm2").alias("cnorm2")
+        )
+    )
+    d2 = (
+        F.col("norm2")
+        + F.col("cnorm2")
+        - F.lit(2) * int_dot(F.col("q"), F.col("cq"))
+    )
+    assigned = (
+        base.crossJoin(F.broadcast(cents))
+        .withColumn("code", d2 * F.lit(32) + F.col("cell"))
+        .groupBy("vec_id")
+        .agg((F.min("code") % 32).cast("int").alias("cell"))
+    )
+    (
+        base.join(assigned, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(d)
+    )
+    return d
+
+
+def q_ann_ivf_partitioned_probe(
+    spark: SparkSession, sf_dir: str, limit_queries: int = N_QUERIES
+) -> DataFrame:
+    """The IVF STEADY STATE at 100 TB: the corpus is laid out ONCE as a
+    cell-partitioned table (:func:`ensure_ivf_artifact`), and each
+    query batch reads only its probed cells — the probe list is a
+    bounded driver scalar (≤ queries×nprobe cell ids collected from a
+    centroid-table-sized frame), pushed as a static ``cell IN (…)``
+    partition filter, so the scan touches nprobe/k of the directories
+    and none of the rest (plan-gated: PartitionFilters non-empty,
+    SelectedBucketsCount-style directory pruning).  Exact integer
+    cosine + two-phase top-k within the probed cells; the whole
+    pipeline is the sampled-centroid quantizer, so DuckDB replays it
+    and the top-k hash-checks.  This is ``ann_ivf``'s docstring claim
+    ("the cell id is the natural partition column") made real.
+
+    Honesty note: the registered query probes for ALL fixture queries
+    at once, and 10 queries × nprobe=8 happens to union to every cell
+    — batch probing over enough queries always will; the pruning win
+    is per-serving-request (the plan gate reads the single-query probe
+    via ``limit_queries=1``, which selects 8 of 16 directories)."""
+    from pu4spark_spark.plans import two_phase_rank
+
+    art = ensure_ivf_artifact(spark, sf_dir)
+    base = _quantized_base(spark, sf_dir)
+    w = Window.orderBy("vec_id")
+    cents = (
+        base.filter(F.col("vec_id") >= N_QUERIES)
+        .orderBy("vec_id")
+        .limit(IVF_CLUSTERS)
+        .withColumn("cell", F.row_number().over(w) - 1)
+        .select(
+            "cell",
+            F.col("q").alias("cq"),
+            F.col("norm2").alias("cnorm2"),
+        )
+    )
+    qs = base.filter(
+        F.col("vec_id") < min(limit_queries, N_QUERIES)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("norm2").alias("qnorm2"),
+    )
+    d2 = (
+        F.col("qnorm2")
+        + F.col("cnorm2")
+        - F.lit(2) * int_dot(F.col("qq"), F.col("cq"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
+    probe = (
+        qs.crossJoin(F.broadcast(cents))
+        .withColumn("d2", d2)
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= IVF_NPROBE)
+        .select("query_id", "cell")
+    )
+    # bounded driver-scalar protocol: ≤ queries×nprobe rows
+    probe_rows = probe.collect()
+    cells = sorted({r["cell"] for r in probe_rows})
+
+    scan = spark.read.parquet(art).filter(F.col("cell").isin(cells))
+    targets = F.broadcast(
+        probe.join(qs, "query_id").select(
+            "query_id", "cell", "qq", "qnorm2"
+        )
+    )
+    scored = scan.join(targets, "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = cosine_from_quantized(
+        int_dot(F.col("q"), F.col("qq")), F.col("norm2"), F.col("qnorm2")
+    )
+    return two_phase_topk(scored.withColumn("cosine", cos), TOP_K)
+
+
+SQL_ANN_IVF_PARTITIONED_PROBE = f"""
+WITH normed AS (
+  SELECT vec_id, {_Q_SQL} AS q FROM embeddings
+),
+base AS (
+  SELECT vec_id, q, CAST(list_dot_product(q, q) AS BIGINT) AS norm2
+  FROM normed
+),
+cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+         q AS cq, norm2 AS cnorm2
+  FROM base WHERE vec_id >= {N_QUERIES} ORDER BY vec_id LIMIT {IVF_CLUSTERS}
+),
+dists AS (
+  SELECT b.vec_id, c.cell,
+         b.norm2 + c.cnorm2
+         - 2 * CAST(list_dot_product(b.q, c.cq) AS BIGINT) AS d2
+  FROM base b, cents c
+),
+assigned AS (
+  SELECT vec_id, CAST(MIN(d2 * 32 + cell) % 32 AS INTEGER) AS cell
+  FROM dists GROUP BY vec_id
+),
+probe AS (
+  SELECT query_id, cell FROM (
+    SELECT vec_id AS query_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY d2 ASC, cell ASC) AS pr
+    FROM dists WHERE vec_id < {N_QUERIES})
+  WHERE pr <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, b.vec_id AS neighbor_id,
+         list_dot_product(b.q, qs.q) / (sqrt(b.norm2) * sqrt(qs.norm2))
+           AS cosine
+  FROM probe p
+  JOIN assigned a ON a.cell = p.cell
+  JOIN base b ON b.vec_id = a.vec_id
+  JOIN (SELECT vec_id, q, norm2 FROM base WHERE vec_id < {N_QUERIES}) qs
+    ON qs.vec_id = p.query_id
+  WHERE b.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {TOP_K}
+"""
+
+
 def _sql_pq_subspaces() -> str:
     """(m, sub) pairs for every vector, DuckDB side."""
     parts = " UNION ALL ".join(
@@ -1669,6 +1858,7 @@ QUERIES = {
     "ann_binary_hamming_recall": q_ann_binary_hamming_recall,
     "ann_rerank_topk": q_ann_rerank_topk,
     "ann_pq_adc_recall": q_ann_pq_adc_recall,
+    "ann_ivf_partitioned_probe": q_ann_ivf_partitioned_probe,
     "embedding_inertia_by_label": q_embedding_inertia_by_label,
     # rows-only: driver-side eigensolve is not SQL-expressible; NumPy
     # reference test re-derives the projection (tests/test_similarity.py)
@@ -1688,6 +1878,7 @@ ORACLE_SQL = {
     "ann_binary_hamming_recall": SQL_ANN_BINARY_HAMMING_RECALL,
     "ann_rerank_topk": SQL_ANN_RERANK_TOPK,
     "ann_pq_adc_recall": SQL_ANN_PQ_ADC_RECALL,
+    "ann_ivf_partitioned_probe": SQL_ANN_IVF_PARTITIONED_PROBE,
     "ann_ivf_tuning": SQL_ANN_IVF_TUNING,
     "embedding_inertia_by_label": SQL_EMBEDDING_INERTIA,
     # ann_ivf: KMeans centroids — rows-only

@@ -660,3 +660,33 @@ def test_sql_docs_clean_stages_serve_from_cache(spark):
     # consumers: final select + sa + sb (base) and both LSH sides (bands)
     assert names.count("InMemoryRelation") >= 5, names
     assert all(n == "InMemoryRelation" for n in names), names
+
+
+def test_ivf_partitioned_probe_prunes_directories(spark):
+    """The cell-partitioned IVF artifact must be read with a STATIC
+    partition filter: the probed cell list appears in the scan's
+    PartitionFilters, and the scan's selected partition count is the
+    probed-cell count, not all IVF_CLUSTERS directories — IVF as a
+    layout, not just a filter."""
+    import re
+
+    from pu4spark_spark.operators.similarity import (
+        IVF_CLUSTERS,
+        IVF_NPROBE,
+        q_ann_ivf_partitioned_probe,
+    )
+
+    df = q_ann_ivf_partitioned_probe(spark, SF_DIR, limit_queries=1)
+    plan = explain_str(df)
+    spark.catalog.clearCache()
+    m = re.search(r"PartitionFilters: \[([^\]]*cell[^\]]*)\]", plan)
+    assert m, plan
+    # short lists print as IN (...), longer ones as INSET ...
+    sel = re.search(
+        r"cell#\d+ (?:IN \(([0-9,]+)\)|INSET ([0-9, ]+))", m.group(1)
+    )
+    assert sel, m.group(1)
+    n_sel = len((sel.group(1) or sel.group(2)).split(","))
+    # one query probes exactly nprobe of the cluster directories
+    assert n_sel == IVF_NPROBE, (n_sel, IVF_NPROBE)
+    assert n_sel < IVF_CLUSTERS
