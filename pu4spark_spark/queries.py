@@ -107,6 +107,7 @@ DRIVER_FIRST = [
     "ann_pq_adc_recall",               # PQ+ADC compression eval
     "sql_asof_click_purchase",         # SQL-dialect as-of twin
     "mm_payload_byte_stats",           # payload integrity audit
+    "ann_ivf_partitioned_probe",       # cell-partitioned IVF layout
     # -- C: rows-only, never driver-witnessed ---------------------------
     "pu_spy_em_lr",                    # 1.385
     "pu_elkan_noto_lr",                # 0.688
@@ -128,7 +129,6 @@ DRIVER_FIRST = [
     "sql_docs_clean",                  # CACHE TABLE staging (r7)
     "corpus_lang_similarity",          # 36→9-shuffle restack (r7)
     "pipeline_docs_clean",             # shares the staged oracle
-    "pu_binarize_traditional",         # 0.093
     "pu_binarize_gradual",             # 0.097
     "sql_parts_by_brand",              # 0.111
     "text_length_histogram",           # 0.115
