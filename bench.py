@@ -223,6 +223,8 @@ HEADLINE = [
     "sql_asof_click_purchase",
     "mm_payload_byte_stats",
     "ann_ivf_partitioned_probe",
+    "pu_spy_trace",
+    "pu_elkan_trace",
     # round-5 completion: every remaining registered query (VERDICT r4
     # next #4 — a perf regression anywhere must be visible
     # round-over-round, so HEADLINE now equals the full registry)

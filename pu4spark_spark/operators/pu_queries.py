@@ -564,6 +564,158 @@ FROM b{_BAG_T}
 SQL_PU_BAGGING_TRACE = _sql_bagging_trace()
 
 
+#: spy-trace constants: a dedicated coin offset (decorrelated from the
+#: scorers) and two scorer rounds — round 0 for the spy fit, round 7
+#: for the post-threshold rescore.  Overflow-free as before.
+_SPY_TR_COIN_OFF = 777007
+_SPY_TR_RESCORE_ROUND = 7
+
+
+def q_pu_spy_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The S-EM SPY protocol driver-hash-witnessed (§5b lesson 18, now
+    covering the fourth learner): the REAL ``SpyEMPULearner.weight()``
+    runs — spy draw, spy-score histogram, the 1/SPY_BINS-grid quantile
+    threshold computed on the DRIVER exactly as production does it
+    (spy.py:97-119), reliable-negative mining, rescore — with the
+    murmur3 coin and the two classifier fits swapped for portable
+    Knuth integer-hash expressions.  DuckDB replays the ENTIRE
+    calibration including the histogram-bin quantile crossing (the
+    behavior change ADVICE r6 flagged on the grid semantics is now
+    hash-pinned), so the per-row verdicts AND the threshold itself are
+    driver-hash evidence.  The ML-scored twin ``pu_spy_em_lr`` stays
+    rows-only."""
+    from pu4spark_spark.spy import SpyEMPULearner
+
+    class _TraceSpy(SpyEMPULearner):
+        def __init__(self):
+            super().__init__(classifier=None)
+
+        def spy_coin(self, features_col):
+            return (
+                (
+                    (F.col("vec_id") % F.lit(_PREMOD)) * F.lit(_KNUTH)
+                    + F.lit(_SPY_TR_COIN_OFF)
+                )
+                % F.lit(1000)
+            ) / F.lit(1000.0)
+
+        def zero_step(self, df, label_col, features_col, final_label):
+            return df.withColumn(final_label, _bag_p_col(0))
+
+        def fit_on_current(self, df, cur_col):
+            return None
+
+        def score_all(self, model, df, final_label):
+            return df.drop(final_label).withColumn(
+                final_label, _bag_p_col(_SPY_TR_RESCORE_ROUND)
+            )
+
+        def cleanup(self, df, *cols):
+            keep = [c for c in cols if c not in ("__spy", "__cur")]
+            return super().cleanup(df, *keep)
+
+    out = _TraceSpy().weight(
+        _pu_input(spark, sf_dir), "pu_label", "embedding"
+    )
+    return out.select(
+        "vec_id",
+        F.col("__spy").alias("is_spy"),
+        F.col("__cur").cast("int").alias("cur_label"),
+        F.col("finalLabel").alias("final_score"),
+    )
+
+
+def _sql_spy_trace() -> str:
+    coin = (
+        f"((((vec_id % {_PREMOD}) * {_KNUTH} + {_SPY_TR_COIN_OFF})"
+        " % 1000) / 1000.0)"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id,
+         CASE WHEN label = 9 THEN 1 ELSE 0 END AS pos,
+         {_bag_p_sql(0)} AS g,
+         (CASE WHEN label = 9 THEN 1 ELSE 0 END) = 1
+           AND {coin} < 0.15 AS is_spy
+  FROM embeddings
+),
+hist AS (
+  SELECT least(999, CAST(floor(g * 1000) AS INTEGER)) AS b, COUNT(*) AS n
+  FROM base WHERE is_spy GROUP BY 1
+),
+thr AS (
+  SELECT b / 1000.0 AS t FROM (
+    SELECT b, SUM(n) OVER (ORDER BY b) AS cum,
+           0.05 * (SELECT SUM(n) FROM hist) AS target
+    FROM hist)
+  WHERE CAST(cum AS DOUBLE) >= target
+  ORDER BY b LIMIT 1
+)
+SELECT vec_id, is_spy,
+       CAST(CASE WHEN pos = 1 THEN 1
+                 WHEN g < (SELECT t FROM thr) THEN 0
+                 ELSE -1 END AS INTEGER) AS cur_label,
+       {_bag_p_sql(_SPY_TR_RESCORE_ROUND)} AS final_score
+FROM base
+"""
+
+
+SQL_PU_SPY_TRACE = _sql_spy_trace()
+
+
+def q_pu_elkan_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Elkan–Noto CALIBRATION protocol driver-hash-witnessed — with
+    this, ALL FIVE learners' protocols carry driver-hash evidence
+    (Traditional/GradRed loops, bagging OOB, spy quantile, and now the
+    e1 calibration).  Replays elkan.py:44-77 with the fit swapped for
+    the Knuth scorer and one engine-exactness divergence, documented:
+    production estimates c with ``avg`` over double scores (summation
+    order is engine-private), the trace computes the SAME mean as
+    ``Σk / (1000·n)`` over the scorer's integer grid — an exact int64
+    sum plus one fixed IEEE chain, so c and every calibrated output
+    hash-match.  The 1-row aggregation → driver scalar protocol is the
+    production path's."""
+    emb = _pu_input(spark, sf_dir)
+    scored = emb.withColumn("g", _bag_p_col(0)).withColumn(
+        "k", ((F.col("vec_id") % F.lit(_PREMOD)) * F.lit(_KNUTH)) % 1000
+    )
+    row = (
+        scored.filter(F.col("pu_label") == 1)
+        .agg(
+            F.sum("k").cast("bigint").alias("sk"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    if not row["n"]:
+        raise ValueError("cannot calibrate: no labeled positives")
+    c = row["sk"] / (1000.0 * row["n"])
+    return scored.select(
+        "vec_id",
+        F.lit(c).alias("c_hat"),
+        F.least(F.lit(1.0), F.col("g") / F.lit(c)).alias("final_score"),
+    )
+
+
+SQL_PU_ELKAN_TRACE = f"""
+WITH base AS (
+  SELECT vec_id,
+         CASE WHEN label = 9 THEN 1 ELSE 0 END AS pos,
+         {_bag_p_sql(0)} AS g,
+         ((vec_id % {_PREMOD}) * {_KNUTH}) % 1000 AS k
+  FROM embeddings
+),
+cal AS (
+  SELECT CAST(SUM(k) AS DOUBLE) / (1000.0 * COUNT(*)) AS c
+  FROM base WHERE pos = 1
+)
+SELECT vec_id,
+       (SELECT c FROM cal) AS c_hat,
+       least(1.0, g / (SELECT c FROM cal)) AS final_score
+FROM base
+"""
+
+
 def q_pu_label_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pu4spark_spark.labels import index_label
 
@@ -992,6 +1144,8 @@ QUERIES = {
     "pu_traditional_trace": q_pu_traditional_trace,
     "pu_gradual_trace": q_pu_gradual_trace,
     "pu_bagging_trace": q_pu_bagging_trace,
+    "pu_spy_trace": q_pu_spy_trace,
+    "pu_elkan_trace": q_pu_elkan_trace,
     "pu_label_index": q_pu_label_index,
     "pu_zero_step_lr": q_pu_zero_step_lr,
     "pu_traditional_lr": q_pu_traditional_lr,
@@ -1019,6 +1173,8 @@ ORACLE_SQL = {
     "pu_traditional_trace": SQL_PU_TRADITIONAL_TRACE,
     "pu_gradual_trace": SQL_PU_GRADUAL_TRACE,
     "pu_bagging_trace": SQL_PU_BAGGING_TRACE,
+    "pu_spy_trace": SQL_PU_SPY_TRACE,
+    "pu_elkan_trace": SQL_PU_ELKAN_TRACE,
     "pu_label_index": SQL_PU_LABEL_INDEX,
     "pu_feature_assembly": SQL_PU_FEATURE_ASSEMBLY,
     # pu_zero_step_lr / pu_traditional_lr / pu_gradual_lr /

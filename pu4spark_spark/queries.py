@@ -108,6 +108,8 @@ DRIVER_FIRST = [
     "sql_asof_click_purchase",         # SQL-dialect as-of twin
     "mm_payload_byte_stats",           # payload integrity audit
     "ann_ivf_partitioned_probe",       # cell-partitioned IVF layout
+    "pu_spy_trace",                    # spy quantile calibration
+    "pu_elkan_trace",                  # e1 calibration
     # -- C: rows-only, never driver-witnessed ---------------------------
     "pu_spy_em_lr",                    # 1.385
     "pu_elkan_noto_lr",                # 0.688
@@ -129,8 +131,6 @@ DRIVER_FIRST = [
     "sql_docs_clean",                  # CACHE TABLE staging (r7)
     "corpus_lang_similarity",          # 36→9-shuffle restack (r7)
     "pipeline_docs_clean",             # shares the staged oracle
-    "pu_binarize_gradual",             # 0.097
-    "sql_parts_by_brand",              # 0.111
     "text_length_histogram",           # 0.115
     "curation_domain_mix",             # 0.122
     "text_regex_tokens",               # 0.125

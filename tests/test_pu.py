@@ -825,3 +825,62 @@ def test_weighted_lr_equals_training_on_deduped(spark):
     assert set(weighted) == set(deduped)
     worst = max(abs(weighted[i] - deduped[i]) for i in weighted)
     assert worst < 1e-5, worst
+
+
+def test_spy_trace_threshold_protocol(spark):
+    """The spy trace must exercise the real calibration: spies exist
+    and are positives; the threshold is consistent with the verdicts
+    (every unlabeled row below the implied threshold is 0, at-or-above
+    is -1; positives always 1); the rescore scorer differs from the
+    spy-fit scorer."""
+    from pu4spark_spark.operators.pu_queries import (
+        _BAG_T,
+        _KNUTH,
+        _PREMOD,
+        _SPY_TR_COIN_OFF,
+        q_pu_spy_trace,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    rows = q_pu_spy_trace(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == len(labels)
+    spies = [r for r in rows if r["is_spy"]]
+    assert spies and all(labels[r["vec_id"]] == 9 for r in spies)
+
+    def g0(vid):
+        return ((vid % _PREMOD) * _KNUTH) % 1000 / 1000.0
+
+    # reconstruct the threshold from the verdicts: max g0 among mined
+    # negatives < min g0 among undecided unlabeled rows
+    mined = [g0(r["vec_id"]) for r in rows if r["cur_label"] == 0]
+    undec = [g0(r["vec_id"]) for r in rows if r["cur_label"] == -1]
+    assert mined and undec and max(mined) < min(undec)
+    for r in rows:
+        if labels[r["vec_id"]] == 9:
+            assert r["cur_label"] == 1
+
+
+def test_elkan_trace_calibration_algebra(spark):
+    """c_hat must equal the exact integer-grid mean over labeled
+    positives, and every score must be min(1, g/c) with at least one
+    row clipped at 1.0 (c < 1 guarantees some g > c)."""
+    from pu4spark_spark.operators.pu_queries import (
+        _KNUTH,
+        _PREMOD,
+        q_pu_elkan_trace,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    rows = q_pu_elkan_trace(spark, "/root/testdata/sf0.001").collect()
+    ks = {v: ((v % _PREMOD) * _KNUTH) % 1000 for v in labels}
+    pos = [v for v, l in labels.items() if l == 9]
+    want_c = sum(ks[v] for v in pos) / (1000.0 * len(pos))
+    assert abs(rows[0]["c_hat"] - want_c) < 1e-15
+    clipped = 0
+    for r in rows:
+        want = min(1.0, (ks[r["vec_id"]] / 1000.0) / want_c)
+        assert abs(r["final_score"] - want) < 1e-12
+        clipped += r["final_score"] == 1.0
+    assert clipped > 0
