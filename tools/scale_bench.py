@@ -75,6 +75,9 @@ REPS = [
     "fmt_pyds_snapshot_read",    # versioned-manifest write×2 + 2 reads
     "sql_docs_clean",            # CACHE TABLE staged SQL pipeline (r7)
     "corpus_lang_similarity",    # 9-shuffle restacked sketch matrix (r7)
+    "ann_pq_adc_recall",         # PQ codes + ADC lookup scoring
+    "mm_payload_byte_stats",     # per-byte explode + bounded groupBy
+    "curation_sequence_pack",    # running-sum window + span explode
 ]
 
 
