@@ -70,11 +70,18 @@ def test_registry_consistency():
     qs, oracles = m.queries(), m.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 30
-    # every callable takes (spark, sf_dir)
+    # every callable is invocable as (spark, sf_dir): exactly two
+    # REQUIRED parameters (extras like plan-gate knobs must default)
     import inspect
 
     for fn in qs.values():
-        assert len(inspect.signature(fn).parameters) == 2
+        params = inspect.signature(fn).parameters.values()
+        required = [
+            p for p in params
+            if p.default is inspect.Parameter.empty
+            and p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+        ]
+        assert len(required) == 2, fn
 
 
 def test_decode_image_stub_branch_without_pillow():
