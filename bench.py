@@ -225,6 +225,8 @@ HEADLINE = [
     "ann_ivf_partitioned_probe",
     "pu_spy_trace",
     "pu_elkan_trace",
+    "curation_pseudonymize_events",
+    "curation_user_coherent_sample",
     # round-5 completion: every remaining registered query (VERDICT r4
     # next #4 — a perf regression anywhere must be visible
     # round-over-round, so HEADLINE now equals the full registry)

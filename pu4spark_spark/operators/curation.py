@@ -1072,6 +1072,132 @@ HAVING COUNT(*) > 1
 """
 
 
+# -- keyed pseudonymization (privacy-preserving identifiers) -------------
+
+#: demo tokenization key — in production this comes from a KMS and
+#: rotates; the ALGEBRA (keyed hash, join-consistency) is what the
+#: engine provides
+PSEUDO_KEY = "pu4spark-demo-key-r7"
+PSEUDO_TOKEN_CHARS = 16
+
+
+def pseudonym(col, key: str = PSEUDO_KEY) -> F.Column:
+    """Deterministic keyed pseudonym for an identifier column: the
+    md5-HMAC-style token ``md5(key ':' value)`` truncated to 16 hex
+    chars.  Same input → same token, so JOINABILITY across tables and
+    runs is preserved while the raw identifier never leaves the scan
+    stage — the GDPR-pseudonymization pattern every shared analytics
+    corpus needs.  Scan-stage only; zero shuffle."""
+    c = col if isinstance(col, F.Column) else F.col(col)
+    return F.substring(
+        F.md5(F.concat_ws(":", F.lit(key), c.cast("string"))),
+        1,
+        PSEUDO_TOKEN_CHARS,
+    )
+
+
+def q_curation_pseudonymize_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Events with ``user_id`` replaced by its keyed pseudonym, reduced
+    to a per-token activity profile.  The tokenized table must carry
+    the SAME per-user structure as the raw one (the whole point of
+    deterministic tokenization) — the consistency test joins this back
+    to the raw per-user profile and asserts a bijection; the oracle
+    recomputes the identical md5 arithmetic, so the tokens themselves
+    hash-check."""
+    events = load_table(spark, "events", sf_dir)
+    return (
+        events.select(
+            pseudonym("user_id").alias("user_token"),
+            "event_type",
+            "value",
+        )
+        .groupBy("user_token")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("n_purchases"),
+        )
+    )
+
+
+SQL_PSEUDONYMIZE_EVENTS = f"""
+SELECT substr(md5('{PSEUDO_KEY}' || ':' || CAST(user_id AS VARCHAR)),
+              1, {PSEUDO_TOKEN_CHARS}) AS user_token,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT event_type) AS n_types,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchases
+FROM events
+GROUP BY 1
+"""
+
+
+# -- user-coherent sampling (keep ALL events of sampled users) -----------
+
+#: per-mille of users kept by the coherent sample
+COHERENT_KEEP_PM = 200
+
+
+def q_curation_user_coherent_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ENTITY-coherent downsampling: a deterministic hash coin on
+    ``user_id`` keeps ~20% of USERS with ALL their events — the correct
+    way to shrink event data for development (row-level Bernoulli
+    sampling shreds every user's history; sessionization, funnels and
+    retention all silently break on it).  The keep predicate is a
+    stateless scan-stage expression — no shuffle, no user-table join —
+    and the per-type report plus the full/sampled user counts land in
+    one plan.  All counts exact; the kept-user ratio is one IEEE
+    division the oracle replays."""
+    events = load_table(spark, "events", sf_dir)
+    keep = (
+        F.pmod(
+            F.conv(F.substring(F.md5(F.concat_ws(":", F.lit("ucs2"),
+                F.col("user_id").cast("string"))), 1, 8), 16, 10)
+            .cast("bigint"),
+            F.lit(1000),
+        )
+        < COHERENT_KEEP_PM
+    )
+    kept = events.filter(keep)
+    per_type = kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    totals = events.agg(
+        F.countDistinct("user_id").alias("__all_users")
+    )
+    return per_type.crossJoin(F.broadcast(totals)).select(
+        "event_type",
+        "n_events",
+        "n_users",
+        (F.col("n_users").cast("double") / F.col("__all_users")).alias(
+            "user_frac"
+        ),
+    )
+
+
+SQL_USER_COHERENT_SAMPLE = f"""
+WITH kept AS (
+  SELECT * FROM events
+  WHERE CAST(('0x' || substr(md5('ucs2' || ':' || CAST(user_id AS VARCHAR)),
+                             1, 8)) AS BIGINT) % 1000 < {COHERENT_KEEP_PM}
+),
+tot AS (SELECT COUNT(DISTINCT user_id) AS all_users FROM events)
+SELECT k.event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT k.user_id) AS n_users,
+       CAST(COUNT(DISTINCT k.user_id) AS DOUBLE) / t.all_users AS user_frac
+FROM kept k, tot t
+GROUP BY k.event_type, t.all_users
+"""
+
+
 # -- soft dedup: duplicate-count loss weights ----------------------------
 
 def q_curation_soft_dedup_weights(
@@ -1879,6 +2005,8 @@ QUERIES = {
     "curation_chunk_windows": q_curation_chunk_windows,
     "dedup_chunk_spans": q_dedup_chunk_spans,
     "curation_soft_dedup_weights": q_curation_soft_dedup_weights,
+    "curation_pseudonymize_events": q_curation_pseudonymize_events,
+    "curation_user_coherent_sample": q_curation_user_coherent_sample,
     "curation_temperature_mix": q_curation_temperature_mix,
     "curation_oov_rate": q_curation_oov_rate,
     "pipeline_chunk_release": q_pipeline_chunk_release,
@@ -1905,6 +2033,8 @@ ORACLE_SQL = {
     "curation_chunk_windows": SQL_CHUNK_WINDOWS,
     "dedup_chunk_spans": SQL_DEDUP_CHUNK_SPANS,
     "curation_soft_dedup_weights": SQL_CURATION_SOFT_DEDUP,
+    "curation_pseudonymize_events": SQL_PSEUDONYMIZE_EVENTS,
+    "curation_user_coherent_sample": SQL_USER_COHERENT_SAMPLE,
     "curation_temperature_mix": SQL_TEMPERATURE_MIX,
     "curation_oov_rate": SQL_OOV_RATE,
     "pipeline_chunk_release": SQL_PIPELINE_CHUNK_RELEASE,

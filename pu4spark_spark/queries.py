@@ -110,6 +110,8 @@ DRIVER_FIRST = [
     "ann_ivf_partitioned_probe",       # cell-partitioned IVF layout
     "pu_spy_trace",                    # spy quantile calibration
     "pu_elkan_trace",                  # e1 calibration
+    "curation_pseudonymize_events",    # keyed tokenization
+    "curation_user_coherent_sample",   # entity-coherent downsample
     # -- C: rows-only, never driver-witnessed ---------------------------
     "pu_spy_em_lr",                    # 1.385
     "pu_elkan_noto_lr",                # 0.688
@@ -131,8 +133,6 @@ DRIVER_FIRST = [
     "sql_docs_clean",                  # CACHE TABLE staging (r7)
     "corpus_lang_similarity",          # 36→9-shuffle restack (r7)
     "pipeline_docs_clean",             # shares the staged oracle
-    "text_length_histogram",           # 0.115
-    "curation_domain_mix",             # 0.122
     "text_regex_tokens",               # 0.125
     "pu_iteration_stats",              # 0.126
     "curation_epoch_shuffle",          # 0.132

@@ -754,3 +754,70 @@ def test_sequence_pack_invariants(spark):
         assert sum(r["n_starts"] for r in rs) == want[lang][1]
         for r in rs[:-1]:
             assert r["tokens_filled"] == SEQ_LEN
+
+
+def test_pseudonymization_preserves_user_structure(spark):
+    """Tokenization contract: the keyed pseudonym is a BIJECTION on the
+    observed user ids (no collisions on the fixture), the tokenized
+    per-user profile equals the raw per-user profile, and the token
+    never leaks the raw id (no token equals its source id's string)."""
+    from pyspark.sql import functions as F
+
+    from pu4spark_spark.operators.curation import (
+        pseudonym,
+        q_curation_pseudonymize_events,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    mapping = {
+        r["user_id"]: r["tok"]
+        for r in events.select(
+            "user_id", pseudonym("user_id").alias("tok")
+        ).distinct().collect()
+    }
+    assert len(set(mapping.values())) == len(mapping)  # injective
+    assert all(str(u) != t for u, t in mapping.items())
+    raw = {
+        mapping[r["user_id"]]: (r["n"], r["t"], r["p"])
+        for r in events.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("event_type").alias("t"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("p"),
+        ).collect()
+    }
+    tok = {
+        r["user_token"]: (r["n_events"], r["n_types"], r["n_purchases"])
+        for r in q_curation_pseudonymize_events(spark, sf).collect()
+    }
+    assert tok == raw
+
+
+def test_user_coherent_sample_keeps_whole_users(spark):
+    """Entity coherence: every sampled user's event count equals their
+    FULL event count (no user is partially sampled), and the kept-user
+    fraction is near the configured rate."""
+    from pyspark.sql import functions as F
+
+    from pu4spark_spark.operators.curation import (
+        COHERENT_KEEP_PM,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    keep = (
+        F.pmod(
+            F.conv(F.substring(F.md5(F.concat_ws(":", F.lit("ucs2"),
+                F.col("user_id").cast("string"))), 1, 8), 16, 10)
+            .cast("bigint"),
+            F.lit(1000),
+        )
+        < COHERENT_KEEP_PM
+    )
+    full = {r["user_id"]: r["n"] for r in events.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    kept = {r["user_id"]: r["n"] for r in events.filter(keep)
+            .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert kept and all(full[u] == n for u, n in kept.items())
+    frac = len(kept) / len(full)
+    assert 0.10 <= frac <= 0.35, frac
