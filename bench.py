@@ -227,6 +227,7 @@ HEADLINE = [
     "pu_elkan_trace",
     "curation_pseudonymize_events",
     "curation_user_coherent_sample",
+    "streaming_quality_router",
     # round-5 completion: every remaining registered query (VERDICT r4
     # next #4 — a perf regression anywhere must be visible
     # round-over-round, so HEADLINE now equals the full registry)

@@ -112,6 +112,7 @@ DRIVER_FIRST = [
     "pu_elkan_trace",                  # e1 calibration
     "curation_pseudonymize_events",    # keyed tokenization
     "curation_user_coherent_sample",   # entity-coherent downsample
+    "streaming_quality_router",        # multi-sink foreachBatch fan-out
     # -- C: rows-only, never driver-witnessed ---------------------------
     "pu_spy_em_lr",                    # 1.385
     "pu_elkan_noto_lr",                # 0.688
@@ -133,7 +134,6 @@ DRIVER_FIRST = [
     "sql_docs_clean",                  # CACHE TABLE staging (r7)
     "corpus_lang_similarity",          # 36→9-shuffle restack (r7)
     "pipeline_docs_clean",             # shares the staged oracle
-    "text_regex_tokens",               # 0.125
     "pu_iteration_stats",              # 0.126
     "curation_epoch_shuffle",          # 0.132
     "curation_stratified_sample",      # 0.146

@@ -187,6 +187,139 @@ GROUP BY lang
 """
 
 
+def q_streaming_quality_router(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTI-SINK streaming routing: each arriving micro-batch is
+    quality-gated ONCE and fanned out to TWO parquet sinks in the same
+    ``foreachBatch`` — kept docs to the corpus landing dir, rejects
+    (with their first-match drop reason, the ``pipeline_drop_reasons``
+    rule) to a quarantine dir.  This is the ingest topology every
+    curation pipeline actually runs (accepted data forward, rejects
+    kept for audit, ONE pass over the bytes) and the pattern a single
+    ``writeStream`` sink cannot express; the micro-batch is persisted
+    so the expensive quality projection evaluates once, not per sink.
+
+    Stateless (no watermark/state store).  The result re-reads BOTH
+    sinks and reports (route, reason, lang) counts — the oracle
+    re-derives them from the parquet truth, so routing that loses,
+    duplicates, or misclassifies one row hash-mismatches; losslessness
+    and disjointness are additionally pinned in pytest."""
+    from pu4spark_spark.functions.textfns import tokens
+    from pu4spark_spark.operators.pipeline import (
+        MIN_QUALITY,
+        MIN_TOKENS,
+        _quality_score,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"pu4spark_qrouter_{hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]}_{os.getpid()}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    kept_dir = os.path.join(base, "kept")
+    quar_dir = os.path.join(base, "quarantine")
+    ckpt = os.path.join(base, "ckpt")
+    land = _docs_stream_dir(sf_dir)
+    schema = spark.read.parquet(land).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+        .select("doc_id", "lang", "text")
+    )
+
+    def route(df: DataFrame, _batch_id: int) -> None:
+        tok = tokens("text")
+        scored = df.select(
+            "doc_id",
+            "lang",
+            F.size(tok).alias("n_tokens"),
+            _quality_score(tok).alias("quality_score"),
+        ).withColumn(
+            "reason",
+            F.when(F.col("n_tokens") < MIN_TOKENS, F.lit("too_short"))
+            .when(
+                F.col("quality_score") < MIN_QUALITY, F.lit("low_quality")
+            )
+            .otherwise(F.lit("kept")),
+        ).persist()
+        try:
+            (
+                scored.filter(F.col("reason") == "kept")
+                .drop("reason")
+                .write.mode("append")
+                .parquet(kept_dir)
+            )
+            (
+                scored.filter(F.col("reason") != "kept")
+                .write.mode("append")
+                .parquet(quar_dir)
+            )
+        finally:
+            scored.unpersist()
+
+    with drain_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(route)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    kept = (
+        spark.read.parquet(kept_dir)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            F.lit("kept").alias("route"),
+            F.lit("kept").alias("reason"),
+            "lang",
+            "n_docs",
+        )
+    )
+    quar = (
+        spark.read.parquet(quar_dir)
+        .groupBy("reason", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(F.lit("quarantine").alias("route"), "reason", "lang", "n_docs")
+    )
+    return kept.unionByName(quar)
+
+
+def _sql_quality_router() -> str:
+    from pu4spark_spark.operators.pipeline import (
+        _STOP_IN,
+        MIN_QUALITY,
+        MIN_TOKENS,
+    )
+
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(len(ws) AS INTEGER) AS n_tokens,
+         0.4 * least(CAST(len(ws) AS DOUBLE) / 50.0, 1.0)
+         + 0.3 * (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws))
+         + 0.3 * (1.0 - CAST(len(list_filter(ws, t -> t IN ({_STOP_IN}))) AS DOUBLE) / len(ws))
+           AS quality_score
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents)
+),
+labeled AS (
+  SELECT lang,
+         CASE WHEN n_tokens < {MIN_TOKENS} THEN 'too_short'
+              WHEN quality_score < {MIN_QUALITY} THEN 'low_quality'
+              ELSE 'kept' END AS reason
+  FROM scored
+)
+SELECT CASE WHEN reason = 'kept' THEN 'kept' ELSE 'quarantine' END AS route,
+       reason, lang, COUNT(*) AS n_docs
+FROM labeled
+GROUP BY 1, 2, 3
+"""
+
+
 #: identical contract to the batch artifact probe — the stream must
 #: reproduce it bit-for-bit
 def _probe_sql() -> str:
@@ -196,13 +329,16 @@ def _probe_sql() -> str:
 
 
 SQL_STREAMING_INGEST_DEDUP = _probe_sql()
+SQL_STREAMING_QUALITY_ROUTER = _sql_quality_router()
 
 QUERIES = {
     "streaming_ingest_dedup": q_streaming_ingest_dedup,
     "streaming_lang_router": q_streaming_lang_router,
+    "streaming_quality_router": q_streaming_quality_router,
 }
 
 ORACLE_SQL = {
     "streaming_ingest_dedup": SQL_STREAMING_INGEST_DEDUP,
     "streaming_lang_router": SQL_STREAMING_LANG_ROUTER,
+    "streaming_quality_router": SQL_STREAMING_QUALITY_ROUTER,
 }

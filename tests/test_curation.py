@@ -821,3 +821,21 @@ def test_user_coherent_sample_keeps_whole_users(spark):
     assert kept and all(full[u] == n for u, n in kept.items())
     frac = len(kept) / len(full)
     assert 0.10 <= frac <= 0.35, frac
+
+
+def test_streaming_quality_router_lossless_and_disjoint(spark):
+    """Multi-sink routing contract: kept + quarantined doc_ids
+    partition the corpus exactly (no loss, no duplication, no overlap
+    across sinks), and quarantine rows carry a valid reason."""
+    from pu4spark_spark.streaming.ingest import q_streaming_quality_router
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_streaming_quality_router(spark, sf).collect()
+    total = sum(r["n_docs"] for r in rows)
+    n_corpus = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert total == n_corpus
+    for r in rows:
+        if r["route"] == "kept":
+            assert r["reason"] == "kept"
+        else:
+            assert r["reason"] in ("too_short", "low_quality")
