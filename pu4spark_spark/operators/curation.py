@@ -1072,6 +1072,105 @@ HAVING COUNT(*) > 1
 """
 
 
+# -- duplicated-span REMOVAL (the rewrite half of exact-substring dedup) --
+
+def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL pass that completes ``dedup_chunk_spans``: Lee et
+    al.'s exact-substring dedup keeps ONE canonical occurrence of each
+    duplicated span and cuts the rest out of the surviving documents.
+    Here the span grid is the non-overlapping ``CHUNK_SIZE`` tile
+    (every start at a multiple of CHUNK_SIZE, so cuts never overlap
+    and token accounting is exact); a tile is dropped iff an identical
+    tile occurs EARLIER in (doc_id, tile_id) order anywhere in the
+    corpus — intra-doc repeats lose all but their first copy too.
+    Short tail tiles (< CHUNK_SIZE tokens) are never candidates, the
+    span-length floor of the paper.  Output: the per-document rewrite
+    report (tiles, dropped tiles, kept tokens).
+
+    Scale shape: ride the chunking explode where the tokens live, hash
+    each tile to 128 bits, then exactly two data-sized exchanges —
+    one on ``chunk_md5`` for the first-occurrence window (hash key ⇒
+    no skew, cardinality grows with data) and one on ``doc_id`` for
+    the report rollup — both carrying fingerprint rows, never text.
+    The keeper choice is a row_number over (doc_id, tile order), the
+    same rank the oracle computes, so the report is integer-exact."""
+    from pu4spark_spark.plans import cached
+
+    # the stride grid is CHUNK_STRIDE; keep only starts on the
+    # non-overlapping CHUNK_SIZE grid (chunk_id * stride % size == 0).
+    # cached(): the tile frame feeds BOTH the first-occurrence window
+    # and the per-doc report join — uncached, the corpus explode +
+    # md5 hashing would run once per consumer (§5b staging lesson)
+    tiles_all = cached(
+        q_curation_chunk_windows(spark, sf_dir).filter(
+            (F.col("chunk_id") * CHUNK_STRIDE) % CHUNK_SIZE == 0
+        )
+    )
+    full = F.col("n_tokens") == CHUNK_SIZE
+    w = Window.partitionBy("chunk_md5").orderBy(
+        F.asc("doc_id"), F.asc("chunk_id")
+    )
+    ranked = tiles_all.filter(full).withColumn(
+        "__rn", F.row_number().over(w)
+    )
+    dropped = ranked.filter(F.col("__rn") > 1).select(
+        "doc_id", "chunk_id"
+    )
+    per_doc = tiles_all.join(
+        dropped.withColumn("__drop", F.lit(1)),
+        ["doc_id", "chunk_id"],
+        "left",
+    ).groupBy("doc_id")
+    return (
+        per_doc.agg(
+            F.count(F.lit(1)).alias("n_tiles"),
+            F.sum(
+                F.when(F.col("__drop").isNotNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__drop").isNotNull(), 0).otherwise(
+                    F.col("n_tokens")
+                )
+            )
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+        .filter(F.col("n_dropped") > 0)
+    )
+
+
+SQL_DEDUP_SPAN_REMOVAL = f"""
+WITH tiles AS (
+  SELECT * FROM ({SQL_CHUNK_WINDOWS})
+  WHERE (chunk_id * {CHUNK_STRIDE}) % {CHUNK_SIZE} = 0
+),
+ranked AS (
+  SELECT doc_id, chunk_id,
+         ROW_NUMBER() OVER (PARTITION BY chunk_md5
+                            ORDER BY doc_id, chunk_id) AS rn
+  FROM tiles WHERE n_tokens = {CHUNK_SIZE}
+),
+dropped AS (
+  SELECT doc_id, chunk_id, 1 AS d FROM ranked WHERE rn > 1
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tiles,
+       CAST(SUM(CASE WHEN d.d IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN d.d IS NOT NULL THEN 0 ELSE t.n_tokens END)
+            AS BIGINT) AS kept_tokens
+FROM tiles t
+LEFT JOIN dropped d
+  ON t.doc_id = d.doc_id AND t.chunk_id = d.chunk_id
+GROUP BY t.doc_id
+HAVING SUM(CASE WHEN d.d IS NOT NULL THEN 1 ELSE 0 END) > 0
+"""
+
+
 # -- keyed pseudonymization (privacy-preserving identifiers) -------------
 
 #: demo tokenization key — in production this comes from a KMS and
@@ -2004,6 +2103,7 @@ QUERIES = {
     "curation_stratified_sample": q_curation_stratified_sample,
     "curation_chunk_windows": q_curation_chunk_windows,
     "dedup_chunk_spans": q_dedup_chunk_spans,
+    "dedup_span_removal": q_dedup_span_removal,
     "curation_soft_dedup_weights": q_curation_soft_dedup_weights,
     "curation_pseudonymize_events": q_curation_pseudonymize_events,
     "curation_user_coherent_sample": q_curation_user_coherent_sample,
@@ -2032,6 +2132,7 @@ ORACLE_SQL = {
     "curation_stratified_sample": SQL_STRATIFIED_SAMPLE,
     "curation_chunk_windows": SQL_CHUNK_WINDOWS,
     "dedup_chunk_spans": SQL_DEDUP_CHUNK_SPANS,
+    "dedup_span_removal": SQL_DEDUP_SPAN_REMOVAL,
     "curation_soft_dedup_weights": SQL_CURATION_SOFT_DEDUP,
     "curation_pseudonymize_events": SQL_PSEUDONYMIZE_EVENTS,
     "curation_user_coherent_sample": SQL_USER_COHERENT_SAMPLE,

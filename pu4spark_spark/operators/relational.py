@@ -1570,6 +1570,66 @@ INTO NAME metric VALUE value
 """
 
 
+# -- pivot (long → wide) --------------------------------------------------
+
+#: the order-status domain, pinned so the pivot never needs the extra
+#: distinct-collect job Spark runs when values are left implicit — at
+#: 100 TB that job is a full scan spent discovering three letters
+PIVOT_STATUSES = ["O", "F", "P"]
+
+
+def q_orders_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long → wide pivot: per-priority order counts and revenue, one
+    column pair per order status — the cross-tab shape every BI layer
+    asks of an analytics engine (inverse of ``orders_unpivot_metrics``).
+
+    Scale discipline: the pivot values are DECLARED (`PIVOT_STATUSES`)
+    — ``pivot(col)`` without values runs a separate distinct-collect
+    job over the corpus before the real aggregation, and an unbounded
+    value domain would mint unbounded columns.  With values pinned the
+    whole query is ONE map-side-combined hash aggregate on the bounded
+    priority key (Spark plans pivot-with-values as a single agg over
+    `pivotfirst`/conditional partials — no join, no second scan);
+    revenue sums stay exact decimal until the final double cast."""
+    orders = load_table(spark, "orders", sf_dir)
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", PIVOT_STATUSES)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("o_totalprice", MONEY)).alias("rev"),
+        )
+    )
+    cols = [F.col("o_orderpriority")]
+    for s in PIVOT_STATUSES:
+        cols.append(F.coalesce(f"{s}_n", F.lit(0)).alias(f"n_{s.lower()}"))
+        cols.append(
+            F.coalesce(F.col(f"{s}_rev").cast("double"), F.lit(0.0)).alias(
+                f"rev_{s.lower()}"
+            )
+        )
+    return wide.select(*cols)
+
+
+SQL_ORDERS_PIVOT = f"""
+SELECT o_orderpriority,
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS n_o,
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O'
+                         THEN CAST(o_totalprice AS {MONEY}) END), 0)
+            AS DOUBLE) AS rev_o,
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS n_f,
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F'
+                         THEN CAST(o_totalprice AS {MONEY}) END), 0)
+            AS DOUBLE) AS rev_f,
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS n_p,
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P'
+                         THEN CAST(o_totalprice AS {MONEY}) END), 0)
+            AS DOUBLE) AS rev_p
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 # -- rate-anomaly detection ----------------------------------------------
 
 ANOMALY_Z = 2.0
@@ -3407,6 +3467,7 @@ QUERIES = {
     "q12_shipmode": q_q12_shipmode,
     "events_hourly_anomalies": q_events_hourly_anomalies,
     "orders_unpivot_metrics": q_orders_unpivot_metrics,
+    "orders_pivot_status": q_orders_pivot_status,
     "events_locf_value": q_events_locf_value,
     "events_time_rollup": q_events_time_rollup,
     "events_rollup_maintenance": q_events_rollup_maintenance,
@@ -3471,6 +3532,7 @@ ORACLE_SQL = {
     "q12_shipmode": SQL_Q12,
     "events_hourly_anomalies": SQL_EVENTS_HOURLY_ANOMALIES,
     "orders_unpivot_metrics": SQL_ORDERS_UNPIVOT,
+    "orders_pivot_status": SQL_ORDERS_PIVOT,
     "events_locf_value": SQL_EVENTS_LOCF,
     "events_time_rollup": SQL_EVENTS_TIME_ROLLUP,
     "events_rollup_maintenance": SQL_EVENTS_ROLLUP_MAINTENANCE,

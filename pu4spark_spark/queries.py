@@ -113,6 +113,8 @@ DRIVER_FIRST = [
     "curation_pseudonymize_events",    # keyed tokenization
     "curation_user_coherent_sample",   # entity-coherent downsample
     "streaming_quality_router",        # multi-sink foreachBatch fan-out
+    "orders_pivot_status",             # long→wide pivot, values pinned
+    "dedup_span_removal",              # exact-substring removal pass
     # -- C: rows-only, never driver-witnessed ---------------------------
     "pu_spy_em_lr",                    # 1.385
     "pu_elkan_noto_lr",                # 0.688
@@ -137,8 +139,6 @@ DRIVER_FIRST = [
     "pu_iteration_stats",              # 0.126
     "curation_epoch_shuffle",          # 0.132
     "curation_stratified_sample",      # 0.146
-    "curation_chunk_windows",          # 0.167
-    "embedding_quantize_int8",         # 0.177
 ]
 
 
