@@ -1171,6 +1171,87 @@ HAVING SUM(CASE WHEN d.d IS NOT NULL THEN 1 ELSE 0 END) > 0
 """
 
 
+# -- global token offsets (distributed prefix sum) ------------------------
+
+#: range partitions for the prefix-sum — per-partition totals stay a
+#: bounded merge table (one row each)
+OFFSET_PARTS = 16
+
+
+def q_curation_token_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token offset per document — the training-data INDEX: a
+    dataloader that addresses "tokens [i, j)" needs every doc's start
+    offset in the canonical corpus order, i.e. the prefix sum of token
+    counts over ``doc_id``.
+
+    The naive window ``SUM() OVER (ORDER BY doc_id)`` is an
+    unpartitioned window — one task sorts and scans the entire corpus.
+    The scalable form is the classic two-phase distributed prefix sum:
+
+    1. ``repartitionByRange(doc_id)`` — Spark's RangePartitioner
+       assigns ascending key ranges to ascending partition ids, so the
+       global order is (partition, doc_id);
+    2. a LOCAL prefix sum per partition (window keyed by the partition
+       id — each task scans only its own range);
+    3. per-partition totals — a bounded merge table (``OFFSET_PARTS``
+       rows) — cumulated and broadcast back.
+
+    Every data-sized pass is partition-local; the only global step
+    touches one row per partition.  All-integer, so the index
+    hash-checks against the oracle's single-window replica."""
+    from pu4spark_spark.plans import cached
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.size(tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    # cached(): the ranged frame feeds the local window AND the
+    # per-partition totals; uncached each consumer would re-scan and
+    # re-exchange (the range exchange is only reused for IDENTICAL
+    # consumer subtrees, which a window vs an agg are not)
+    ranged = cached(
+        toks.repartitionByRange(OFFSET_PARTS, "doc_id").withColumn(
+            "__pid", F.spark_partition_id()
+        )
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn(
+        "__local", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+    totals = ranged.groupBy("__pid").agg(F.sum("n_tokens").alias("__t"))
+    # unpartitioned window over the BOUNDED totals table only
+    w_pid = (
+        Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__t").over(w_pid), F.lit(0))
+    ).select("__pid", "__off")
+    return local.join(F.broadcast(offsets), "__pid").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("__local") + F.col("__off"))
+        .cast("bigint")
+        .alias("token_offset"),
+    )
+
+
+SQL_CURATION_TOKEN_OFFSETS = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(SUM(len(string_split(text, ' ')))
+              OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0) AS BIGINT) AS token_offset
+FROM documents
+WHERE text IS NOT NULL
+"""
+
+
 # -- keyed pseudonymization (privacy-preserving identifiers) -------------
 
 #: demo tokenization key — in production this comes from a KMS and
@@ -2104,6 +2185,7 @@ QUERIES = {
     "curation_chunk_windows": q_curation_chunk_windows,
     "dedup_chunk_spans": q_dedup_chunk_spans,
     "dedup_span_removal": q_dedup_span_removal,
+    "curation_token_offsets": q_curation_token_offsets,
     "curation_soft_dedup_weights": q_curation_soft_dedup_weights,
     "curation_pseudonymize_events": q_curation_pseudonymize_events,
     "curation_user_coherent_sample": q_curation_user_coherent_sample,
@@ -2133,6 +2215,7 @@ ORACLE_SQL = {
     "curation_chunk_windows": SQL_CHUNK_WINDOWS,
     "dedup_chunk_spans": SQL_DEDUP_CHUNK_SPANS,
     "dedup_span_removal": SQL_DEDUP_SPAN_REMOVAL,
+    "curation_token_offsets": SQL_CURATION_TOKEN_OFFSETS,
     "curation_soft_dedup_weights": SQL_CURATION_SOFT_DEDUP,
     "curation_pseudonymize_events": SQL_PSEUDONYMIZE_EVENTS,
     "curation_user_coherent_sample": SQL_USER_COHERENT_SAMPLE,

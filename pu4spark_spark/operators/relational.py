@@ -1630,6 +1630,71 @@ GROUP BY o_orderpriority
 """
 
 
+# -- dense time-grid fill (zero rows for silent hours) --------------------
+
+def q_events_dense_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hourly rollup DENSIFIED: every (hour, event_type) cell in
+    the corpus's [min, max] hour range appears, silent hours as
+    explicit zero rows — dashboards, anomaly baselines and downsampled
+    exports all need the gap rows a plain ``groupBy`` never emits.
+
+    Scale shape: the raw corpus is touched exactly once (the same
+    rollup as ``events_hourly``); the hour grid is GENERATED
+    (``sequence`` + explode) from the rollup's own 1-row min/max
+    aggregate and crossed with the rollup-derived type dimension —
+    grid size is hours × types regardless of corpus size, so the
+    final left join broadcasts the grid and the fill is free."""
+    from pu4spark_spark.plans import cached
+
+    events = load_table(spark, "events", sf_dir)
+    # cached(): bounds, types, and the fill join all read this rollup
+    hourly = cached(
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        ).agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    bounds = hourly.agg(
+        F.min("hour").alias("__mn"), F.max("hour").alias("__mx")
+    )
+    grid_hours = bounds.select(
+        F.explode(
+            F.sequence("__mn", "__mx", F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    types = hourly.select("event_type").distinct()
+    grid = grid_hours.crossJoin(types)
+    return (
+        F.broadcast(grid)
+        .join(hourly, ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        )
+    )
+
+
+SQL_EVENTS_DENSE_HOURLY = """
+WITH hourly AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(hour) AS mn, MAX(hour) AS mx FROM hourly),
+grid AS (
+  SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+  FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM hourly)
+SELECT g.hour, t.event_type,
+       CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events
+FROM grid g
+CROSS JOIN types t
+LEFT JOIN hourly h ON h.hour = g.hour AND h.event_type = t.event_type
+"""
+
+
 # -- rate-anomaly detection ----------------------------------------------
 
 ANOMALY_Z = 2.0
@@ -3468,6 +3533,7 @@ QUERIES = {
     "events_hourly_anomalies": q_events_hourly_anomalies,
     "orders_unpivot_metrics": q_orders_unpivot_metrics,
     "orders_pivot_status": q_orders_pivot_status,
+    "events_dense_hourly": q_events_dense_hourly,
     "events_locf_value": q_events_locf_value,
     "events_time_rollup": q_events_time_rollup,
     "events_rollup_maintenance": q_events_rollup_maintenance,
@@ -3533,6 +3599,7 @@ ORACLE_SQL = {
     "events_hourly_anomalies": SQL_EVENTS_HOURLY_ANOMALIES,
     "orders_unpivot_metrics": SQL_ORDERS_UNPIVOT,
     "orders_pivot_status": SQL_ORDERS_PIVOT,
+    "events_dense_hourly": SQL_EVENTS_DENSE_HOURLY,
     "events_locf_value": SQL_EVENTS_LOCF,
     "events_time_rollup": SQL_EVENTS_TIME_ROLLUP,
     "events_rollup_maintenance": SQL_EVENTS_ROLLUP_MAINTENANCE,

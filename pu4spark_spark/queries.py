@@ -115,6 +115,8 @@ DRIVER_FIRST = [
     "streaming_quality_router",        # multi-sink foreachBatch fan-out
     "orders_pivot_status",             # long→wide pivot, values pinned
     "dedup_span_removal",              # exact-substring removal pass
+    "curation_token_offsets",          # distributed prefix-sum index
+    "events_dense_hourly",             # generated-grid zero fill
     # -- C: rows-only, never driver-witnessed ---------------------------
     "pu_spy_em_lr",                    # 1.385
     "pu_elkan_noto_lr",                # 0.688
@@ -137,8 +139,6 @@ DRIVER_FIRST = [
     "corpus_lang_similarity",          # 36→9-shuffle restack (r7)
     "pipeline_docs_clean",             # shares the staged oracle
     "pu_iteration_stats",              # 0.126
-    "curation_epoch_shuffle",          # 0.132
-    "curation_stratified_sample",      # 0.146
 ]
 
 

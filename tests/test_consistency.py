@@ -304,3 +304,101 @@ def test_drop_reasons_conserve_and_match_clean_output(spark):
     clean = q_pipeline_docs_clean(spark, sf).collect()
     spark.catalog.clearCache()
     assert kept_by_lang == Counter(r["lang"] for r in clean)
+
+
+def test_token_offsets_form_a_valid_index(spark):
+    """The distributed prefix sum must equal the sequential one: offsets
+    start at 0, step by exactly the previous doc's token count in doc_id
+    order, and end at corpus_total - last_n_tokens."""
+    from pu4spark_spark.operators.curation import q_curation_token_offsets
+
+    rows = sorted(
+        q_curation_token_offsets(spark, SF).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    spark.catalog.clearCache()
+    assert rows and rows[0]["token_offset"] == 0
+    running = 0
+    for r in rows:
+        assert r["token_offset"] == running
+        running += r["n_tokens"]
+    total = (
+        load_table(spark, "documents", SF)
+        .filter(F.col("text").isNotNull())
+        .select(F.sum(F.size(F.split("text", " "))))
+        .collect()[0][0]
+    )
+    assert running == total
+
+
+def test_dense_hourly_is_the_sparse_rollup_plus_zeros(spark):
+    """Densified grid = full hours × types rectangle; its nonzero cells
+    are EXACTLY the sparse events_hourly rollup."""
+    from pu4spark_spark.operators.relational import (
+        q_events_dense_hourly,
+        q_events_hourly,
+    )
+
+    dense = q_events_dense_hourly(spark, SF).collect()
+    spark.catalog.clearCache()
+    sparse = {
+        (r["hour"], r["event_type"]): r["n_events"]
+        for r in q_events_hourly(spark, SF).collect()
+    }
+    hours = {r["hour"] for r in dense}
+    types = {r["event_type"] for r in dense}
+    assert len(dense) == len(hours) * len(types)  # full rectangle
+    nonzero = {
+        (r["hour"], r["event_type"]): r["n_events"]
+        for r in dense
+        if r["n_events"] > 0
+    }
+    assert nonzero == sparse
+    assert len(dense) > len(sparse)  # the fixture has silent cells
+
+
+def test_pivot_row_sums_match_priority_totals(spark):
+    """Summing the pivot's status columns recovers the plain
+    per-priority aggregate — no order is lost or double-counted."""
+    from pu4spark_spark.operators.relational import q_orders_pivot_status
+
+    piv = {
+        r["o_orderpriority"]: r
+        for r in q_orders_pivot_status(spark, SF).collect()
+    }
+    direct = load_table(spark, "orders", SF).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev"),
+    )
+    for r in direct.collect():
+        p = piv[r["o_orderpriority"]]
+        assert p["n_o"] + p["n_f"] + p["n_p"] == r["n"]
+        assert abs(p["rev_o"] + p["rev_f"] + p["rev_p"] - r["rev"]) < 1e-6
+
+
+def test_span_removal_accounting(spark):
+    """Dropped tiles across all docs must equal (full tiles) - (distinct
+    tile hashes) — keep-first-per-hash semantics — and every report row
+    must satisfy kept = total - CHUNK_SIZE * dropped."""
+    from pu4spark_spark.operators.curation import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        q_curation_chunk_windows,
+        q_dedup_span_removal,
+    )
+
+    rows = q_dedup_span_removal(spark, SF).collect()
+    spark.catalog.clearCache()
+    assert rows  # the fixture exercises the removal
+    for r in rows:
+        assert r["n_dropped"] >= 1
+        assert r["kept_tokens"] == r["n_tokens"] - CHUNK_SIZE * r["n_dropped"]
+    full_tiles = q_curation_chunk_windows(spark, SF).filter(
+        ((F.col("chunk_id") * CHUNK_STRIDE) % CHUNK_SIZE == 0)
+        & (F.col("n_tokens") == CHUNK_SIZE)
+    )
+    n_full = full_tiles.count()
+    n_distinct = full_tiles.select("chunk_md5").distinct().count()
+    assert sum(r["n_dropped"] for r in rows) == n_full - n_distinct
