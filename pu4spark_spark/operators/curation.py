@@ -1252,6 +1252,56 @@ WHERE text IS NOT NULL
 """
 
 
+# -- fixed-size deterministic eval holdout (k per stratum) ----------------
+
+EVAL_K = 20
+
+
+def q_curation_eval_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY ``EVAL_K`` documents per language, chosen by hash order
+    — the frozen eval subset every training pipeline carves out.  Rate
+    -based hash splits (``curation_hash_split``) give *proportional*
+    strata; an eval set needs a FIXED size per stratum that is stable
+    under corpus growth *for the docs that stay*: ordering by
+    ``md5(doc_id)`` is a uniform permutation independent of insertion
+    order, and appending new docs only inserts into that order (it
+    never reshuffles survivors — the property a "first K by doc_id"
+    sample lacks, since doc_ids correlate with crawl time).
+
+    Selection is the capped two-phase rank (never one task per
+    language); rank arithmetic is integer and the md5 order is
+    bit-identical across engines, so membership AND rank hash-check."""
+    from pu4spark_spark.plans import two_phase_rank
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("__h")
+    )
+    picked = two_phase_rank(
+        docs,
+        ["lang"],
+        [F.asc("__h"), F.asc("doc_id")],
+        EVAL_K,
+        rank_col="rank",
+    )
+    return picked.select(
+        "lang", F.col("rank").cast("bigint").alias("rank"), "doc_id"
+    )
+
+
+SQL_CURATION_EVAL_HOLDOUT = f"""
+WITH ranked AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rank
+  FROM documents
+)
+SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id
+FROM ranked WHERE rank <= {EVAL_K}
+"""
+
+
 # -- keyed pseudonymization (privacy-preserving identifiers) -------------
 
 #: demo tokenization key — in production this comes from a KMS and
@@ -2186,6 +2236,7 @@ QUERIES = {
     "dedup_chunk_spans": q_dedup_chunk_spans,
     "dedup_span_removal": q_dedup_span_removal,
     "curation_token_offsets": q_curation_token_offsets,
+    "curation_eval_holdout": q_curation_eval_holdout,
     "curation_soft_dedup_weights": q_curation_soft_dedup_weights,
     "curation_pseudonymize_events": q_curation_pseudonymize_events,
     "curation_user_coherent_sample": q_curation_user_coherent_sample,
@@ -2216,6 +2267,7 @@ ORACLE_SQL = {
     "dedup_chunk_spans": SQL_DEDUP_CHUNK_SPANS,
     "dedup_span_removal": SQL_DEDUP_SPAN_REMOVAL,
     "curation_token_offsets": SQL_CURATION_TOKEN_OFFSETS,
+    "curation_eval_holdout": SQL_CURATION_EVAL_HOLDOUT,
     "curation_soft_dedup_weights": SQL_CURATION_SOFT_DEDUP,
     "curation_pseudonymize_events": SQL_PSEUDONYMIZE_EVENTS,
     "curation_user_coherent_sample": SQL_USER_COHERENT_SAMPLE,

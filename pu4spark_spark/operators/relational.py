@@ -1695,6 +1695,73 @@ LEFT JOIN hourly h ON h.hour = g.hour AND h.event_type = t.event_type
 """
 
 
+# -- fuzzy record linkage (blocked edit-distance join) --------------------
+
+LINK_MAX_LEV = 3
+
+
+def q_part_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage over the part catalogue: candidate
+    duplicate listings whose names are within ``LINK_MAX_LEV`` edits,
+    found by BLOCKING — the entity-resolution pattern (Fellegi–Sunter
+    style pipelines, Splink, dedupe.io) that makes pairwise string
+    comparison feasible at scale.
+
+    The all-pairs levenshtein is O(n²) and dead at 100 TB; blocking on
+    a selective key — here (product noun, size) — turns it into
+    Σ block², with block size bounded by the key's selectivity (≤ ~70
+    rows at sf0.1; the blocking-key-choice lesson is the point of the
+    operator).  The join itself is a plain equi-join on the block key,
+    so Catalyst shuffles both sides once and the quadratic work is
+    partition-local; ``a.key < b.key`` halves the pairs and drops
+    self-matches.  Edit distance is an exact integer, so the per-block
+    histogram hash-checks."""
+    parts = load_table(spark, "part", sf_dir).select(
+        "p_partkey",
+        "p_name",
+        "p_size",
+        F.split("p_name", " ").getItem(1).alias("blk"),
+    )
+    a = parts.alias("a")
+    b = parts.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.p_size") == F.col("b.p_size"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).filter(
+        (F.col("a.p_name") != F.col("b.p_name"))
+        & (
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            <= LINK_MAX_LEV
+        )
+    )
+    return pairs.groupBy(
+        F.col("a.blk").alias("blk"),
+        F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+        .cast("bigint")  # oracle's levenshtein is BIGINT
+        .alias("lev"),
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+SQL_PART_FUZZY_MATCHES = f"""
+WITH p AS (
+  SELECT p_partkey, p_name, p_size,
+         string_split(p_name, ' ')[2] AS blk
+  FROM part
+)
+SELECT a.blk AS blk,
+       levenshtein(a.p_name, b.p_name) AS lev,
+       COUNT(*) AS n_pairs
+FROM p a JOIN p b
+  ON a.blk = b.blk AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
+WHERE a.p_name <> b.p_name
+  AND levenshtein(a.p_name, b.p_name) <= {LINK_MAX_LEV}
+GROUP BY 1, 2
+"""
+
+
 # -- rate-anomaly detection ----------------------------------------------
 
 ANOMALY_Z = 2.0
@@ -3534,6 +3601,7 @@ QUERIES = {
     "orders_unpivot_metrics": q_orders_unpivot_metrics,
     "orders_pivot_status": q_orders_pivot_status,
     "events_dense_hourly": q_events_dense_hourly,
+    "part_fuzzy_matches": q_part_fuzzy_matches,
     "events_locf_value": q_events_locf_value,
     "events_time_rollup": q_events_time_rollup,
     "events_rollup_maintenance": q_events_rollup_maintenance,
@@ -3600,6 +3668,7 @@ ORACLE_SQL = {
     "orders_unpivot_metrics": SQL_ORDERS_UNPIVOT,
     "orders_pivot_status": SQL_ORDERS_PIVOT,
     "events_dense_hourly": SQL_EVENTS_DENSE_HOURLY,
+    "part_fuzzy_matches": SQL_PART_FUZZY_MATCHES,
     "events_locf_value": SQL_EVENTS_LOCF,
     "events_time_rollup": SQL_EVENTS_TIME_ROLLUP,
     "events_rollup_maintenance": SQL_EVENTS_ROLLUP_MAINTENANCE,

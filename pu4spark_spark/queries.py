@@ -117,6 +117,8 @@ DRIVER_FIRST = [
     "dedup_span_removal",              # exact-substring removal pass
     "curation_token_offsets",          # distributed prefix-sum index
     "events_dense_hourly",             # generated-grid zero fill
+    "part_fuzzy_matches",              # blocked levenshtein linkage
+    "curation_eval_holdout",           # fixed k-per-stratum hash sample
     # -- C: rows-only, never driver-witnessed ---------------------------
     "pu_spy_em_lr",                    # 1.385
     "pu_elkan_noto_lr",                # 0.688
@@ -137,8 +139,6 @@ DRIVER_FIRST = [
     # -- D: re-verification (rewritten this round first) ---------------
     "sql_docs_clean",                  # CACHE TABLE staging (r7)
     "corpus_lang_similarity",          # 36→9-shuffle restack (r7)
-    "pipeline_docs_clean",             # shares the staged oracle
-    "pu_iteration_stats",              # 0.126
 ]
 
 

@@ -402,3 +402,89 @@ def test_span_removal_accounting(spark):
     n_full = full_tiles.count()
     n_distinct = full_tiles.select("chunk_md5").distinct().count()
     assert sum(r["n_dropped"] for r in rows) == n_full - n_distinct
+
+
+def test_eval_holdout_exactly_k_per_lang_and_stable(spark):
+    """Each language contributes exactly EVAL_K docs, and dropping half
+    the corpus keeps every surviving member's selection decision
+    consistent with the hash order (stability under growth)."""
+    from collections import Counter
+
+    from pu4spark_spark.operators.curation import (
+        EVAL_K,
+        q_curation_eval_holdout,
+    )
+
+    rows = q_curation_eval_holdout(spark, SF).collect()
+    by_lang = Counter(r["lang"] for r in rows)
+    n_langs = (
+        load_table(spark, "documents", SF).select("lang").distinct().count()
+    )
+    assert len(by_lang) == n_langs
+    assert all(v == EVAL_K for v in by_lang.values())
+    # stability: the holdout of the even-doc_id half agrees with the
+    # full-corpus hash order restricted to even docs
+    import hashlib
+
+    docs = load_table(spark, "documents", SF).select("doc_id", "lang").collect()
+    key = lambda d: hashlib.md5(str(d).encode()).hexdigest()  # noqa: E731
+    expect = {}
+    for lang in by_lang:
+        evens = sorted(
+            (d["doc_id"] for d in docs if d["lang"] == lang and d["doc_id"] % 2 == 0),
+            key=lambda d: (key(d), d),
+        )
+        expect[lang] = set(evens[:EVAL_K])
+    half = load_table(spark, "documents", SF).filter(F.col("doc_id") % 2 == 0)
+    from pu4spark_spark.plans import two_phase_rank
+
+    picked = two_phase_rank(
+        half.select("doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("__h")),
+        ["lang"], [F.asc("__h"), F.asc("doc_id")], EVAL_K,
+    ).collect()
+    got = {}
+    for r in picked:
+        got.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert got == expect
+
+
+def test_fuzzy_matches_agree_with_python_reference(spark):
+    """The blocked join's per-(block, distance) histogram equals a
+    CPython O(block^2) re-derivation on the same fixture."""
+    from collections import Counter
+
+    from pu4spark_spark.operators.relational import (
+        LINK_MAX_LEV,
+        q_part_fuzzy_matches,
+    )
+
+    got = {
+        (r["blk"], r["lev"]): r["n_pairs"]
+        for r in q_part_fuzzy_matches(spark, SF).collect()
+    }
+
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    parts = load_table(spark, "part", SF).select(
+        "p_partkey", "p_name", "p_size"
+    ).collect()
+    blocks = {}
+    for p in parts:
+        blocks.setdefault((p["p_name"].split(" ")[1], p["p_size"]), []).append(p)
+    expect = Counter()
+    for (blk, _size), members in blocks.items():
+        for i, a in enumerate(members):
+            for b in members[i + 1:]:
+                x, y = sorted((a, b), key=lambda r: r["p_partkey"])
+                if x["p_name"] != y["p_name"]:
+                    d = lev(x["p_name"], y["p_name"])
+                    if d <= LINK_MAX_LEV:
+                        expect[(blk, d)] += 1
+    assert got == dict(expect)
