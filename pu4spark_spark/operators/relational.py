@@ -1762,6 +1762,85 @@ GROUP BY 1, 2
 """
 
 
+# -- time-weighted average (TWAP) -----------------------------------------
+
+def q_events_time_weighted_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-user TIME-weighted average event value — the TWAP/metering
+    aggregate (billing meters, price feeds, sensor state): each
+    observation holds until the next one, so its weight is the seconds
+    it was in force, not 1.  The arithmetic mean over-weights bursts;
+    the time-weighted mean is what "average state over the window"
+    actually means.
+
+    One shuffle on ``user_id`` serves both the ``lead`` window and the
+    rollup (the window's partitioning satisfies the groupBy's
+    requirement — Catalyst plans them in one exchange).  Weights are
+    exact integer seconds, values exact decimal; only the final
+    weighted-mean division is IEEE, replicated verbatim in the oracle
+    so the result hash-checks.  The last observation per user has no
+    successor and is excluded (open interval) — the choice the oracle
+    encodes too."""
+    events = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    stepped = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        dec("value", MONEY).alias("__v"),
+    ).withColumn("__next_ts", F.lead("ts").over(w))
+    # microsecond difference: exact integers on both engines (a
+    # per-timestamp second truncation would disagree with the oracle's
+    # fractional epoch on sub-second data)
+    weighted = stepped.filter(F.col("__next_ts").isNotNull()).withColumn(
+        "__us",
+        (F.unix_micros("__next_ts") - F.unix_micros("ts")).cast("bigint"),
+    )
+    return (
+        weighted.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("__us").alias("total_micros"),
+            F.sum(F.col("__v") * F.col("__us")).alias("__num"),
+        )
+        .select(
+            "user_id",
+            "n_intervals",
+            "total_micros",
+            # exact integer cents-micros -> ONE bigint->double cast per
+            # operand, then pure IEEE arithmetic: a direct wide-decimal
+            # ->double cast rounds differently across engines past 2^53
+            (
+                (F.col("__num") * 100).cast("bigint").cast("double")
+                / (F.col("total_micros").cast("double") * F.lit(100.0))
+            ).alias("twap"),
+        )
+    )
+
+
+SQL_EVENTS_TIME_WEIGHTED = f"""
+WITH stepped AS (
+  SELECT user_id, event_id,
+         CAST(value AS {MONEY}) AS v,
+         epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id)) - epoch_us(ts)
+           AS us
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_intervals,
+       CAST(SUM(us) AS BIGINT) AS total_micros,
+       CAST(CAST(SUM(v * us) * 100 AS BIGINT) AS DOUBLE)
+         / (CAST(SUM(us) AS DOUBLE) * 100.0) AS twap
+FROM stepped
+WHERE us IS NOT NULL
+GROUP BY user_id
+"""
+
+
 # -- rate-anomaly detection ----------------------------------------------
 
 ANOMALY_Z = 2.0
@@ -3602,6 +3681,7 @@ QUERIES = {
     "orders_pivot_status": q_orders_pivot_status,
     "events_dense_hourly": q_events_dense_hourly,
     "part_fuzzy_matches": q_part_fuzzy_matches,
+    "events_time_weighted_value": q_events_time_weighted_value,
     "events_locf_value": q_events_locf_value,
     "events_time_rollup": q_events_time_rollup,
     "events_rollup_maintenance": q_events_rollup_maintenance,
@@ -3669,6 +3749,7 @@ ORACLE_SQL = {
     "orders_pivot_status": SQL_ORDERS_PIVOT,
     "events_dense_hourly": SQL_EVENTS_DENSE_HOURLY,
     "part_fuzzy_matches": SQL_PART_FUZZY_MATCHES,
+    "events_time_weighted_value": SQL_EVENTS_TIME_WEIGHTED,
     "events_locf_value": SQL_EVENTS_LOCF,
     "events_time_rollup": SQL_EVENTS_TIME_ROLLUP,
     "events_rollup_maintenance": SQL_EVENTS_ROLLUP_MAINTENANCE,

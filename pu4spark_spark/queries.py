@@ -119,6 +119,10 @@ DRIVER_FIRST = [
     "events_dense_hourly",             # generated-grid zero fill
     "part_fuzzy_matches",              # blocked levenshtein linkage
     "curation_eval_holdout",           # fixed k-per-stratum hash sample
+    # -- E: late-r7 additions past the 50-slot window; r8 rotation picks
+    # them up (rotation.py ranks never-witnessed first)
+    "dedup_prefix_filter_join",        # exact AllPairs/PPJoin
+    "events_time_weighted_value",      # TWAP metering aggregate
     # -- C: rows-only, never driver-witnessed ---------------------------
     "pu_spy_em_lr",                    # 1.385
     "pu_elkan_noto_lr",                # 0.688
@@ -127,9 +131,9 @@ DRIVER_FIRST = [
     "pu_f1_proxy",                     # 0.742
     "pu_auc_zero_step",                # 0.701
     "dedup_pagerank",                  # 4.939
-    "dedup_minhash_ml_slice",          # 1.775
-    "ann_ivf",                         # 1.788
     "ann_ivf_recall",                  # 2.027
+    # (dedup_minhash_ml_slice / ann_ivf: explicitly-labeled MLlib parity
+    # demos — ceded their slots to the r7 late-wave oracle queries)
     "embedding_pca_project",           # 1.722
     "text_bpe_learn_merges",           # 1.765
     "text_bpe_encode",                 # 2.134

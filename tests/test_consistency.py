@@ -488,3 +488,85 @@ def test_fuzzy_matches_agree_with_python_reference(spark):
                     if d <= LINK_MAX_LEV:
                         expect[(blk, d)] += 1
     assert got == dict(expect)
+
+
+def test_prefix_filter_join_is_exact_and_contains_lsh_hits(spark):
+    """The prefix-filtered join must equal brute-force all-pairs Jaccard
+    at tau (completeness — the whole point vs LSH), and every banded-LSH
+    pair above tau must be among its results (LSH ⊆ exact)."""
+    from itertools import combinations
+
+    from pu4spark_spark.operators.dedup import (
+        PREFIX_JACCARD_TAU,
+        _doc_shingle_sets,
+        q_dedup_ngram_jaccard,
+        q_dedup_prefix_filter_join,
+    )
+
+    got = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in q_dedup_prefix_filter_join(spark, SF).collect()
+    }
+    spark.catalog.clearCache()
+    sets = {
+        r["doc_id"]: set(r["sh"])
+        for r in _doc_shingle_sets(spark, SF).collect()
+        if r["sh"]
+    }
+    expect = {}
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        j = inter / (len(sets[a]) + len(sets[b]) - inter)
+        if j >= PREFIX_JACCARD_TAU:
+            expect[(a, b)] = j
+    assert set(got) == set(expect)
+    for k, v in got.items():
+        assert abs(v - expect[k]) < 1e-12
+    lsh = q_dedup_ngram_jaccard(spark, SF).collect()
+    spark.catalog.clearCache()
+    lsh_above = {
+        (r["a_id"], r["b_id"])
+        for r in lsh
+        if r["jaccard"] >= PREFIX_JACCARD_TAU
+    }
+    assert lsh_above <= set(got)
+
+
+def test_twap_bounds_and_python_reference(spark):
+    """Each user's TWAP must lie within [min, max] of their values, and
+    match a sequential Python re-derivation exactly."""
+    from pu4spark_spark.operators.relational import (
+        q_events_time_weighted_value,
+    )
+
+    got = {r["user_id"]: r for r in q_events_time_weighted_value(spark, SF).collect()}
+    assert got
+    events = sorted(
+        load_table(spark, "events", SF)
+        .select("user_id", "ts", "event_id", "value")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for r in events:
+        per_user[r["user_id"]].append(r)
+    for uid, rows in per_user.items():
+        if len(rows) < 2:
+            assert uid not in got
+            continue
+        num = tot = 0
+        vals = []
+        for a, b in zip(rows, rows[1:]):
+            d = b["ts"] - a["ts"]
+            us = (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+            cents = round(a["value"] * 100)
+            num += cents * us
+            tot += us
+            vals.append(a["value"])
+        g = got[uid]
+        assert g["n_intervals"] == len(rows) - 1
+        assert g["total_micros"] == tot
+        assert g["twap"] == float(num) / (float(tot) * 100.0)
+        assert min(vals) - 0.005 <= g["twap"] <= max(vals) + 0.005
