@@ -504,6 +504,67 @@ def q_events_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EVENTS_ROLLUP_MAINTENANCE = SQL_EVENTS_HOURLY
 
 
+#: deterministic purge cohort — the users exercising their deletion
+#: right in the fixture
+PURGE_USER_MOD = 17
+
+
+def q_events_purge_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance under DELETE — the GDPR
+    right-to-be-forgotten applied to a materialized view: purged
+    users' contributions enter the merge as NEGATIVE partials
+    (retraction records, the classic incremental-view-maintenance
+    move), so the refresh costs O(rollup) + O(purged users' events) —
+    never a history re-scan — and hours owned entirely by purged
+    users vanish (merged count reaches zero and is filtered, not left
+    as a ghost row).
+
+    Additions and retractions go through the SAME merge because the
+    artifact stores associative partials (count, exact decimal sum):
+    negation is just multiplying both by −1.  The oracle recomputes
+    from scratch WITHOUT the cohort, so the driver hash-checks
+    incremental-under-delete ≡ full recompute.  At 100 TB the purged
+    slice is found by key layout (user-bucketed files / bloom), not a
+    scan; the fixture's filter stands in for that locate step."""
+    from pu4spark_spark.functions.exact import MONEY, dec
+
+    tbl = ensure_hourly_rollup_artifact(spark, sf_dir)
+    events = load_table(spark, "events", sf_dir)
+    arriving = events.filter(F.col("event_id") % ROLLUP_ARRIVAL_MOD == 0)
+    purged = events.filter(F.col("user_id") % PURGE_USER_MOD == 0)
+
+    def partials(df: DataFrame, sign: int) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        ).agg(
+            (F.lit(sign) * F.count(F.lit(1))).alias("n_events"),
+            F.sum(dec("value", MONEY) * sign).alias("sum_value_dec"),
+        )
+
+    return (
+        spark.table(tbl)
+        .unionByName(partials(arriving, 1))
+        .unionByName(partials(purged, -1))
+        .groupBy("hour", "event_type")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("sum_value_dec").cast("double").alias("sum_value"),
+        )
+        .filter(F.col("n_events") > 0)
+    )
+
+
+SQL_EVENTS_PURGE_MAINTENANCE = f"""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+       COUNT(*) AS n_events,
+       {sql_sum_exact('value', MONEY)} AS sum_value
+FROM events
+WHERE user_id % {PURGE_USER_MOD} <> 0
+GROUP BY 1, 2
+"""
+
+
 # -- custom UDAF surface: applyInPandas, value-checked -------------------
 
 def q_events_user_gaps_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3682,6 +3743,7 @@ QUERIES = {
     "events_dense_hourly": q_events_dense_hourly,
     "part_fuzzy_matches": q_part_fuzzy_matches,
     "events_time_weighted_value": q_events_time_weighted_value,
+    "events_purge_maintenance": q_events_purge_maintenance,
     "events_locf_value": q_events_locf_value,
     "events_time_rollup": q_events_time_rollup,
     "events_rollup_maintenance": q_events_rollup_maintenance,
@@ -3750,6 +3812,7 @@ ORACLE_SQL = {
     "events_dense_hourly": SQL_EVENTS_DENSE_HOURLY,
     "part_fuzzy_matches": SQL_PART_FUZZY_MATCHES,
     "events_time_weighted_value": SQL_EVENTS_TIME_WEIGHTED,
+    "events_purge_maintenance": SQL_EVENTS_PURGE_MAINTENANCE,
     "events_locf_value": SQL_EVENTS_LOCF,
     "events_time_rollup": SQL_EVENTS_TIME_ROLLUP,
     "events_rollup_maintenance": SQL_EVENTS_ROLLUP_MAINTENANCE,

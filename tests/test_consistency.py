@@ -570,3 +570,36 @@ def test_twap_bounds_and_python_reference(spark):
         assert g["total_micros"] == tot
         assert g["twap"] == float(num) / (float(tot) * 100.0)
         assert min(vals) - 0.005 <= g["twap"] <= max(vals) + 0.005
+
+
+def test_purge_maintenance_equals_filtered_recompute(spark):
+    """The retraction-record merge must equal recomputing the hourly
+    rollup from scratch without the purged cohort — including DROPPING
+    (not zeroing) any cell the cohort owned entirely."""
+    from pu4spark_spark.operators.relational import (
+        PURGE_USER_MOD,
+        q_events_purge_maintenance,
+    )
+
+    got = {
+        (r["hour"], r["event_type"]): (r["n_events"], round(r["sum_value"], 2))
+        for r in q_events_purge_maintenance(spark, SF).collect()
+    }
+    events = load_table(spark, "events", SF).filter(
+        F.col("user_id") % PURGE_USER_MOD != 0
+    )
+    expect = {
+        (r["hour"], r["event_type"]): (r["n"], round(r["s"], 2))
+        for r in events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("s"),
+        )
+        .collect()
+    }
+    assert got == expect
+    assert all(n > 0 for n, _ in got.values())

@@ -78,6 +78,15 @@ REPS = [
     "ann_pq_adc_recall",         # PQ codes + ADC lookup scoring
     "mm_payload_byte_stats",     # per-byte explode + bounded groupBy
     "curation_sequence_pack",    # running-sum window + span explode
+    # r7 final wave
+    "orders_pivot_status",       # pinned-values pivotfirst aggregate
+    "dedup_span_removal",        # tile hash window + per-doc report
+    "curation_token_offsets",    # two-phase distributed prefix sum
+    "events_dense_hourly",       # generated grid + broadcast zero fill
+    "part_fuzzy_matches",        # blocked levenshtein self-join
+    "curation_eval_holdout",     # two-phase rank k-per-stratum
+    "dedup_prefix_filter_join",  # df-ordered prefix index + verify
+    "events_time_weighted_value",  # lead window + exact-us rollup
 ]
 
 
