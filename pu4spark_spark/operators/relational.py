@@ -504,6 +504,53 @@ def q_events_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EVENTS_ROLLUP_MAINTENANCE = SQL_EVENTS_HOURLY
 
 
+# -- path analysis (ordered event-type trigrams) --------------------------
+
+def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral PATH analysis: every consecutive 3-event sequence a
+    user performs, with occurrence and distinct-user counts — the
+    "what do people do around a purchase?" exploration that funnels
+    (which test ONE fixed sequence) can't answer.
+
+    ONE shuffle on ``user_id`` computes both ``lead`` steps; the path
+    rollup's key space is bounded at |event_types|³, so its exchange
+    carries partial counts, not events.  The distinct-user count
+    piggybacks on the same rollup (partial distinct on (path, user)).
+    All-integer — hash-checked."""
+    events = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    stepped = events.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return stepped.groupBy("e1", "e2", "e3").agg(
+        F.count(F.lit(1)).alias("n_paths"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+SQL_EVENTS_TOP_PATHS = """
+WITH stepped AS (
+  SELECT user_id,
+         event_type AS e1,
+         LEAD(event_type, 1) OVER w AS e2,
+         LEAD(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e1, e2, e3,
+       COUNT(*) AS n_paths,
+       COUNT(DISTINCT user_id) AS n_users
+FROM stepped
+WHERE e3 IS NOT NULL
+GROUP BY e1, e2, e3
+"""
+
+
 #: deterministic purge cohort — the users exercising their deletion
 #: right in the fixture
 PURGE_USER_MOD = 17
@@ -3744,6 +3791,7 @@ QUERIES = {
     "part_fuzzy_matches": q_part_fuzzy_matches,
     "events_time_weighted_value": q_events_time_weighted_value,
     "events_purge_maintenance": q_events_purge_maintenance,
+    "events_top_paths": q_events_top_paths,
     "events_locf_value": q_events_locf_value,
     "events_time_rollup": q_events_time_rollup,
     "events_rollup_maintenance": q_events_rollup_maintenance,
@@ -3813,6 +3861,7 @@ ORACLE_SQL = {
     "part_fuzzy_matches": SQL_PART_FUZZY_MATCHES,
     "events_time_weighted_value": SQL_EVENTS_TIME_WEIGHTED,
     "events_purge_maintenance": SQL_EVENTS_PURGE_MAINTENANCE,
+    "events_top_paths": SQL_EVENTS_TOP_PATHS,
     "events_locf_value": SQL_EVENTS_LOCF,
     "events_time_rollup": SQL_EVENTS_TIME_ROLLUP,
     "events_rollup_maintenance": SQL_EVENTS_ROLLUP_MAINTENANCE,

@@ -124,6 +124,7 @@ DRIVER_FIRST = [
     "dedup_prefix_filter_join",        # exact AllPairs/PPJoin
     "events_time_weighted_value",      # TWAP metering aggregate
     "events_purge_maintenance",        # retraction-record view refresh
+    "events_top_paths",                # ordered trigram path analysis
     # -- C: rows-only, never driver-witnessed ---------------------------
     "pu_spy_em_lr",                    # 1.385
     "pu_elkan_noto_lr",                # 0.688

@@ -603,3 +603,20 @@ def test_purge_maintenance_equals_filtered_recompute(spark):
     }
     assert got == expect
     assert all(n > 0 for n, _ in got.values())
+
+
+def test_top_paths_totals_and_funnel_containment(spark):
+    """Total trigram occurrences must equal Σ_user max(0, n_events - 2),
+    and each user contributes to at most that many paths."""
+    from pu4spark_spark.operators.relational import q_events_top_paths
+
+    rows = q_events_top_paths(spark, SF).collect()
+    total = sum(r["n_paths"] for r in rows)
+    per_user = (
+        load_table(spark, "events", SF)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert total == sum(max(0, r["n"] - 2) for r in per_user)
+    assert all(r["n_users"] <= r["n_paths"] for r in rows)
