@@ -87,6 +87,8 @@ REPS = [
     "curation_eval_holdout",     # two-phase rank k-per-stratum
     "dedup_prefix_filter_join",  # df-ordered prefix index + verify
     "events_time_weighted_value",  # lead window + exact-us rollup
+    "events_purge_maintenance",  # negative-partial view refresh
+    "events_top_paths",          # double-lead window + bounded rollup
 ]
 
 
