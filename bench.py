@@ -293,6 +293,15 @@ HEADLINE = [
     "pipeline_observed_metrics",
 ]
 
+# HEADLINE must equal the FULL registry (r5 convention) — a manually
+# maintained list silently dropped the r7 final-wave queries once, so
+# completeness is now structural: unknown names fail loudly, new
+# registry entries append automatically (measured last, after the
+# curated ordering above).
+_unknown = [n for n in HEADLINE if n not in QUERIES]
+assert not _unknown, f"HEADLINE names not in registry: {_unknown}"
+HEADLINE += [n for n in QUERIES if n not in HEADLINE]
+
 #: the 17 queries benched since round 1, re-totaled under ROUND 1's
 #: accounting convention (execution only — construction excluded) so
 #: round-over-round speedups stay auditable from artifacts alone even
