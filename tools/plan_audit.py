@@ -452,6 +452,34 @@ AUDITED = {
         "as two LEFT joins on doc_id, and the rollup is ONE "
         "map-side-combined groupBy over the <=5×|langs| key space."
     ),
+    "curation_token_offsets": (
+        "Distributed prefix sum: repartitionByRange orders partitions "
+        "by key range, the local window scans only its own partition, "
+        "and the global step is a window over the BOUNDED per-partition "
+        "totals broadcast back — never the single-task unpartitioned "
+        "SUM() OVER (ORDER BY …)."
+    ),
+    "dedup_prefix_filter_join": (
+        "Exact AllPairs/PPJoin: one map-side-combined df rollup, a "
+        "doc-keyed (partition-local) prefix rank, the prefix-token "
+        "equi-join with length + positional filters inside the join "
+        "stage, then the Jaccard verify on surviving candidates only. "
+        "No all-pairs anywhere; completeness is the prefix-filter "
+        "theorem, not a recall tradeoff."
+    ),
+    "orders_pivot_status": (
+        "Pivot with PINNED values: a single partial/final pivotfirst "
+        "hash-aggregate pair over one scan — no distinct-collect "
+        "discovery job, no join; the value domain is declared so the "
+        "column set is static at plan time."
+    ),
+    "events_time_weighted_value": (
+        "TWAP: ONE user_id exchange feeds both the lead window and the "
+        "final rollup (the window's partitioning satisfies the "
+        "groupBy's requirement); weights are exact integer "
+        "microseconds, the sums decimal — only the last division is "
+        "IEEE."
+    ),
 }
 
 _TREE_RE = re.compile(r"^(.*?)\n\n\(1\)", re.DOTALL)
