@@ -125,6 +125,7 @@ DRIVER_FIRST = [
     "events_time_weighted_value",      # TWAP metering aggregate
     "events_purge_maintenance",        # retraction-record view refresh
     "events_top_paths",                # ordered trigram path analysis
+    "fmt_pyds_stats_pruning",          # zonemap shard skipping
     # -- C: rows-only, never driver-witnessed ---------------------------
     "pu_spy_em_lr",                    # 1.385
     "pu_elkan_noto_lr",                # 0.688

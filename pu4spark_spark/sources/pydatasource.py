@@ -61,6 +61,17 @@ class JsonlDocsDataSource(DataSource):
         return JsonlDocsWriter(self.options, schema, overwrite)
 
 
+def register_pyds(spark: SparkSession) -> None:
+    """Register the custom source AND enable Python-datasource filter
+    pushdown in the same breath: a reader that overrides
+    ``pushFilters`` hard-fails in any session where
+    ``spark.sql.python.filterPushdown.enabled`` is false (dynamic SQL
+    conf, so setting it here covers harness-built sessions too) —
+    keeping the two together makes that failure mode impossible."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(JsonlDocsDataSource)
+
+
 class JsonlDocsWriter(DataSourceWriter):
     """Executor-side JSONL shard writer with TRANSACTIONAL commit: each
     task streams its rows to an underscore-prefixed temp shard (hidden
@@ -99,12 +110,20 @@ class JsonlDocsWriter(DataSourceWriter):
         final = f"part-{pid:05d}-{_uuid.uuid4().hex[:8]}.jsonl"
         tmp = "_tmp-" + final
         n = 0
+        # per-shard doc_id min/max ride the commit message — the
+        # zonemap the reader's filter pushdown prunes shards with
+        has_doc = "doc_id" in self.fields
+        mn = mx = None
         with open(_os.path.join(self.path, tmp), "w") as fh:
             for row in iterator:
                 d = {k: row[k] for k in self.fields}
                 fh.write(_json.dumps(d) + "\n")
                 n += 1
-        return JsonlCommit(tmp, final, n)
+                if has_doc and d["doc_id"] is not None:
+                    v = d["doc_id"]
+                    mn = v if mn is None or v < mn else mn
+                    mx = v if mx is None or v > mx else mx
+        return JsonlCommit(tmp, final, n, mn, mx)
 
     def _sweep_tmp(self, keep: set[str]) -> None:
         import os as _os
@@ -142,6 +161,16 @@ class JsonlDocsWriter(DataSourceWriter):
                         # row count unknown without a scan; None marks
                         # "listed, not counted" (readers only use keys)
                         manifest[f] = None
+        # per-shard zonemap sidecar: merged like the manifest on append
+        # (shards are immutable, so old entries stay valid); a shard
+        # with NO entry is simply never pruned — partial stats are
+        # always safe
+        stats = {}
+        if not self.overwrite:
+            spath = _os.path.join(self.path, "_STATS")
+            if _os.path.exists(spath):
+                with open(spath) as fh:
+                    stats = _json.load(fh)
         committed_tmp = set()
         for m in messages:
             if m is None:
@@ -152,6 +181,8 @@ class JsonlDocsWriter(DataSourceWriter):
             )
             committed_tmp.add(m.tmp)
             manifest[m.file] = m.rows
+            if getattr(m, "min_doc", None) is not None:
+                stats[m.file] = [m.min_doc, m.max_doc]
         # orphans from failed/speculative task attempts
         self._sweep_tmp(committed_tmp)
         # versioned commit log (time travel's minimal form): every
@@ -174,6 +205,8 @@ class JsonlDocsWriter(DataSourceWriter):
             fh.write(body)
         with open(_os.path.join(self.path, "_MANIFEST"), "w") as fh:
             fh.write(body)
+        with open(_os.path.join(self.path, "_STATS"), "w") as fh:
+            fh.write(_json.dumps(stats))
 
     def abort(self, messages) -> None:
         import os as _os
@@ -183,10 +216,21 @@ class JsonlDocsWriter(DataSourceWriter):
 
 
 class JsonlCommit(WriterCommitMessage):
-    def __init__(self, tmp: str, file: str, rows: int) -> None:
+    def __init__(
+        self,
+        tmp: str,
+        file: str,
+        rows: int,
+        min_doc: int | None = None,
+        max_doc: int | None = None,
+    ) -> None:
         self.tmp = tmp
         self.file = file
         self.rows = rows
+        #: per-shard doc_id zonemap (None when the schema has no doc_id
+        #: or the shard is empty) — commit() collects these into _STATS
+        self.min_doc = min_doc
+        self.max_doc = max_doc
 
 
 class JsonlDocsReader(DataSourceReader):
@@ -200,6 +244,75 @@ class JsonlDocsReader(DataSourceReader):
         #: the immutable shards (appends only ever add files)
         v = options.get("version")
         self.version = int(v) if v is not None else None
+        #: doc_id interval implied by pushed-down filters; shards whose
+        #: _STATS zonemap can't intersect it are skipped in partitions()
+        self._lo: int | None = None
+        self._hi: int | None = None
+
+    def pushFilters(self, filters):
+        """Filter PUSHDOWN (Spark 4.1 Python DataSource API): fold the
+        doc_id comparisons into one [lo, hi] interval used to prune
+        whole shards against the writer's ``_STATS`` zonemap — the
+        data-skipping move every lake format makes (parquet row-group
+        stats, Iceberg manifests).  Every filter is returned to Spark
+        for re-evaluation, so the pushdown is purely an I/O saving and
+        can never change results; shards without a stats entry are
+        never pruned."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        def _tighten(lo=None, hi=None):
+            if lo is not None and (self._lo is None or lo > self._lo):
+                self._lo = lo
+            if hi is not None and (self._hi is None or hi < self._hi):
+                self._hi = hi
+
+        for f in filters:
+            if getattr(f, "attribute", None) == ("doc_id",) and isinstance(
+                getattr(f, "value", None), int
+            ):
+                if isinstance(f, EqualTo):
+                    _tighten(lo=f.value, hi=f.value)
+                elif isinstance(f, GreaterThan):
+                    _tighten(lo=f.value + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    _tighten(lo=f.value)
+                elif isinstance(f, LessThan):
+                    _tighten(hi=f.value - 1)
+                elif isinstance(f, LessThanOrEqual):
+                    _tighten(hi=f.value)
+        # all filters go back to Spark — zonemap pruning is a shard
+        # skip, not a row filter
+        return filters
+
+    def _prune(self, files: list) -> list:
+        if self._lo is None and self._hi is None:
+            return files
+        spath = os.path.join(self.path, "_STATS")
+        if not os.path.exists(spath):
+            return files
+        import json as _json
+
+        with open(spath) as fh:
+            stats = _json.load(fh)
+        kept = []
+        for f in files:
+            s = stats.get(f)
+            if s is None:
+                kept.append(f)  # no zonemap — never prune blind
+                continue
+            mn, mx = s
+            if (self._hi is not None and mn > self._hi) or (
+                self._lo is not None and mx < self._lo
+            ):
+                continue
+            kept.append(f)
+        return kept
 
     def partitions(self):
         # driver-side work is ONE metadata read: when the directory was
@@ -220,7 +333,8 @@ class JsonlDocsReader(DataSourceReader):
             with open(vpath) as fh:
                 files = sorted(_json.load(fh))
             return [
-                InputPartition(os.path.join(self.path, f)) for f in files
+                InputPartition(os.path.join(self.path, f))
+                for f in self._prune(files)
             ]
         manifest = os.path.join(self.path, "_MANIFEST")
         if os.path.exists(manifest):
@@ -233,7 +347,10 @@ class JsonlDocsReader(DataSourceReader):
                 if f.endswith((".json", ".jsonl"))
                 and not f.startswith((".", "_"))
             )
-        return [InputPartition(os.path.join(self.path, f)) for f in files]
+        return [
+            InputPartition(os.path.join(self.path, f))
+            for f in self._prune(files)
+        ]
 
     def read(self, partition):
         # runs on the executor's Python worker: stream one shard
@@ -333,7 +450,7 @@ def q_fmt_pyds_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet, so any row the source drops, mangles, or duplicates
     hash-mismatches."""
     shard_dir = _jsonl_shard_dir(spark, sf_dir)
-    spark.dataSource.register(JsonlDocsDataSource)
+    register_pyds(spark)
     back = spark.read.format("jsonl_docs").option("path", shard_dir).load()
     return back.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -371,7 +488,7 @@ def q_fmt_pyds_jsonl_write_roundtrip(
     out = os.path.join(
         tempfile.gettempdir(), f"pu4spark_pyds_w_{tag}_{os.getpid()}"
     )
-    spark.dataSource.register(JsonlDocsDataSource)
+    register_pyds(spark)
     docs = load_table(spark, "documents", sf_dir)
     (
         docs.repartition(N_SHARDS, "doc_id")
@@ -410,7 +527,7 @@ def q_fmt_pyds_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(
         tempfile.gettempdir(), f"pu4spark_pyds_tt_{tag}_{os.getpid()}"
     )
-    spark.dataSource.register(JsonlDocsDataSource)
+    register_pyds(spark)
     docs = load_table(spark, "documents", sf_dir)
     even = docs.filter(F.col("doc_id") % 2 == 0)
     odd = docs.filter(F.col("doc_id") % 2 == 1)
@@ -484,7 +601,7 @@ def q_fmt_pyds_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(
         tempfile.gettempdir(), f"pu4spark_pyds_sd_{tag}_{os.getpid()}"
     )
-    spark.dataSource.register(JsonlDocsDataSource)
+    register_pyds(spark)
     docs = load_table(spark, "documents", sf_dir)
     (
         docs.filter(F.col("doc_id") % 2 == 0)
@@ -549,7 +666,7 @@ def compact_jsonl_dir(
     manifest metadata."""
     import json as _json
 
-    spark.dataSource.register(JsonlDocsDataSource)
+    register_pyds(spark)
     before = spark.read.format("jsonl_docs").option("path", path).load()
     # stage through the custom writer into a sibling dir, then move the
     # compacted shards in and commit a manifest naming only them — the
@@ -567,6 +684,19 @@ def compact_jsonl_dir(
         new_manifest = _json.load(fh)
     for f in new_manifest:
         os.replace(os.path.join(stage, f), os.path.join(path, f))
+    # carry the consolidated shards' zonemaps over (old entries stay —
+    # harmless for vacuumed files, still valid for snapshot reads)
+    stats_path = os.path.join(path, "_STATS")
+    stats = {}
+    if os.path.exists(stats_path):
+        with open(stats_path) as fh:
+            stats = _json.load(fh)
+    stage_stats = os.path.join(stage, "_STATS")
+    if os.path.exists(stage_stats):
+        with open(stage_stats) as fh:
+            stats.update(_json.load(fh))
+    with open(stats_path, "w") as fh:
+        fh.write(_json.dumps(stats))
     import shutil
 
     shutil.rmtree(stage, ignore_errors=True)
@@ -639,7 +769,7 @@ def q_fmt_pyds_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(
         tempfile.gettempdir(), f"pu4spark_pyds_cp_{tag}_{os.getpid()}"
     )
-    spark.dataSource.register(JsonlDocsDataSource)
+    register_pyds(spark)
     docs = load_table(spark, "documents", sf_dir)
     even = docs.filter(F.col("doc_id") % 2 == 0)
     odd = docs.filter(F.col("doc_id") % 2 == 1)
@@ -683,7 +813,7 @@ def q_streaming_pyds_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     production corpus-sized drain is ``streaming_hourly_file_sink``)."""
 
     shard_dir = _jsonl_shard_dir(spark, sf_dir)
-    spark.dataSource.register(JsonlDocsDataSource)
+    register_pyds(spark)
     stream = (
         spark.readStream.format("jsonl_docs").option("path", shard_dir).load()
     )
@@ -699,12 +829,76 @@ def q_streaming_pyds_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain_to_memory(spark, agg, "pyds_docs_stream", "complete")
 
 
+#: doc_id cut for the pruning demo — constant across sfs so the oracle
+#: is one fixed predicate
+PRUNE_THRESHOLD = 250
+
+
+def q_fmt_pyds_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA SKIPPING on the custom source: documents written
+    range-clustered on ``doc_id`` (so each shard owns a contiguous id
+    range and the writer's ``_STATS`` zonemap is selective), then read
+    back with ``doc_id >= {PRUNE_THRESHOLD}`` — Catalyst pushes the
+    comparison into the Python reader's ``pushFilters``, which folds
+    it into an interval and SKIPS whole shards whose [min, max] can't
+    intersect (parquet row-group stats / Iceberg manifest pruning, on
+    the engine's own connector).  Every filter is also re-applied by
+    Spark, so pruning is purely an I/O saving; correctness comes from
+    the oracle on the parquet truth, and the shard-skip itself is
+    pinned in pytest by driving the reader directly.
+
+    The write clusters by RANGE deliberately: the hash-sharded layout
+    the other pyds queries use spreads every id range over all shards,
+    and a zonemap over hash shards prunes nothing — the same layout
+    choice zordering makes for parquet."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_pyds_zm_{tag}_{os.getpid()}"
+    )
+    register_pyds(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    (
+        docs.repartitionByRange(N_SHARDS * 2, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out)
+        .mode("overwrite")
+        .save()
+    )
+    back = (
+        spark.read.format("jsonl_docs")
+        .option("path", out)
+        .load()
+        .filter(F.col("doc_id") >= PRUNE_THRESHOLD)
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+SQL_FMT_PYDS_STATS_PRUNING = f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM documents
+WHERE doc_id >= {PRUNE_THRESHOLD}
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "fmt_pyds_jsonl_roundtrip": q_fmt_pyds_jsonl_roundtrip,
     "fmt_pyds_jsonl_write_roundtrip": q_fmt_pyds_jsonl_write_roundtrip,
     "fmt_pyds_snapshot_read": q_fmt_pyds_snapshot_read,
     "fmt_pyds_compaction": q_fmt_pyds_compaction,
     "fmt_pyds_snapshot_diff": q_fmt_pyds_snapshot_diff,
+    "fmt_pyds_stats_pruning": q_fmt_pyds_stats_pruning,
     "streaming_pyds_docs": q_streaming_pyds_docs,
 }
 SQL_STREAMING_PYDS_DOCS = """
@@ -723,6 +917,7 @@ ORACLE_SQL = {
     "fmt_pyds_snapshot_read": SQL_FMT_PYDS_SNAPSHOT_READ,
     "fmt_pyds_compaction": SQL_FMT_PYDS_COMPACTION,
     "fmt_pyds_snapshot_diff": SQL_FMT_PYDS_SNAPSHOT_DIFF,
+    "fmt_pyds_stats_pruning": SQL_FMT_PYDS_STATS_PRUNING,
     # the incremental path must agree with the batch oracle
     "streaming_pyds_docs": SQL_STREAMING_PYDS_DOCS,
 }

@@ -119,13 +119,13 @@ def test_pyds_jsonl_partitions_per_shard(spark):
     from pu4spark_spark.sources.pydatasource import (
         N_SHARDS,
         _jsonl_shard_dir,
-        JsonlDocsDataSource,
+        register_pyds,
     )
     from pu4spark_spark.sources import load_table
 
     sf = "/root/testdata/sf0.001"
     d = _jsonl_shard_dir(spark, sf)
-    spark.dataSource.register(JsonlDocsDataSource)
+    register_pyds(spark)
     back = spark.read.format("jsonl_docs").option("path", d).load()
     assert back.rdd.getNumPartitions() == N_SHARDS
     docs = load_table(spark, "documents", sf)
@@ -140,7 +140,7 @@ def test_pyds_stream_incremental_offsets_exactly_once(spark, tmp_path):
     checkpoint and resume without re-reading or skipping."""
     import json as _json
 
-    from pu4spark_spark.sources.pydatasource import JsonlDocsDataSource
+    from pu4spark_spark.sources.pydatasource import register_pyds
 
     land = tmp_path / "land"
     land.mkdir()
@@ -163,7 +163,7 @@ def test_pyds_stream_incremental_offsets_exactly_once(spark, tmp_path):
                     + "\n"
                 )
 
-    spark.dataSource.register(JsonlDocsDataSource)
+    register_pyds(spark)
 
     def drain():
         q = (
@@ -225,9 +225,9 @@ def test_pyds_writer_transactional_commit(spark, tmp_path):
     manifest) never duplicate or extend the committed rows."""
     import json
 
-    from pu4spark_spark.sources.pydatasource import JsonlDocsDataSource
+    from pu4spark_spark.sources.pydatasource import register_pyds
 
-    spark.dataSource.register(JsonlDocsDataSource)
+    register_pyds(spark)
     out = str(tmp_path / "docs_out")
     df = spark.createDataFrame(
         [(i, f"t{i}", "en", "s", 2) for i in range(10)],
@@ -279,9 +279,9 @@ def test_pyds_writer_append_merges_manifest(spark, tmp_path):
     import json
     import os
 
-    from pu4spark_spark.sources.pydatasource import JsonlDocsDataSource
+    from pu4spark_spark.sources.pydatasource import register_pyds
 
-    spark.dataSource.register(JsonlDocsDataSource)
+    register_pyds(spark)
     out = str(tmp_path / "docs_append")
     ddl = "doc_id long, text string, lang string, source string, n_chars long"
     spark.createDataFrame(
@@ -307,9 +307,9 @@ def test_pyds_writer_append_seeds_manifest_from_listing(spark, tmp_path):
     import json
     import os
 
-    from pu4spark_spark.sources.pydatasource import JsonlDocsDataSource
+    from pu4spark_spark.sources.pydatasource import register_pyds
 
-    spark.dataSource.register(JsonlDocsDataSource)
+    register_pyds(spark)
     out = tmp_path / "docs_external"
     out.mkdir()
     # external shards: one .jsonl, one .json (both listing-visible)
@@ -343,9 +343,9 @@ def test_pyds_snapshot_read_time_travel(spark, tmp_path):
     loudly instead of silently serving the latest."""
     import pytest as _pytest
 
-    from pu4spark_spark.sources.pydatasource import JsonlDocsDataSource
+    from pu4spark_spark.sources.pydatasource import register_pyds
 
-    spark.dataSource.register(JsonlDocsDataSource)
+    register_pyds(spark)
     out = str(tmp_path / "docs_tt")
     ddl = "doc_id long, text string, lang string, source string, n_chars long"
     spark.createDataFrame(
@@ -376,12 +376,12 @@ def test_pyds_compaction_and_vacuum_contract(spark, tmp_path):
     import pytest as _pytest
 
     from pu4spark_spark.sources.pydatasource import (
-        JsonlDocsDataSource,
+        register_pyds,
         compact_jsonl_dir,
         vacuum_jsonl_dir,
     )
 
-    spark.dataSource.register(JsonlDocsDataSource)
+    register_pyds(spark)
     out = str(tmp_path / "docs_cp")
     ddl = "doc_id long, text string, lang string, source string, n_chars long"
     spark.createDataFrame(
@@ -425,3 +425,56 @@ def test_pyds_compaction_and_vacuum_contract(spark, tmp_path):
     assert sorted(r["doc_id"] for r in rd().load().collect()) == latest
     with _pytest.raises(Exception, match="_MANIFEST.v1"):
         rd().option("version", 1).load().collect()
+
+
+def test_stats_pruning_skips_shards_and_loses_nothing(spark, tmp_path):
+    """The _STATS zonemap must let pushed doc_id bounds skip whole
+    shards on a range-clustered layout — and a shard with no stats
+    entry must never be pruned."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    from pu4spark_spark.sources.pydatasource import (
+        JsonlDocsReader,
+        register_pyds,
+    )
+
+    register_pyds(spark)
+    out = str(tmp_path / "zm")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    (
+        docs.repartitionByRange(8, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out)
+        .mode("overwrite")
+        .save()
+    )
+    total = len(JsonlDocsReader({"path": out}).partitions())
+    pruned_reader = JsonlDocsReader({"path": out})
+    returned = list(
+        pruned_reader.pushFilters([GreaterThanOrEqual(("doc_id",), 400)])
+    )
+    assert len(returned) == 1  # every filter handed back to Spark
+    kept = len(pruned_reader.partitions())
+    assert 0 < kept < total  # real skipping on the range layout
+    # end-to-end: pruned read == unpruned read with the same filter
+    full = (
+        spark.read.format("jsonl_docs").option("path", out).load()
+        .filter(F.col("doc_id") >= 400)
+    )
+    assert sorted(r["doc_id"] for r in full.collect()) == sorted(
+        r["doc_id"] for r in docs.filter("doc_id >= 400").collect()
+    )
+    # stats-less shard is never pruned: drop one entry and recheck
+    import json as _json
+    import os as _os
+
+    spath = _os.path.join(out, "_STATS")
+    stats = _json.load(open(spath))
+    victim = sorted(stats)[0]  # lowest range — would otherwise be pruned
+    del stats[victim]
+    open(spath, "w").write(_json.dumps(stats))
+    blind = JsonlDocsReader({"path": out})
+    list(blind.pushFilters([GreaterThanOrEqual(("doc_id",), 400)]))
+    names = {p.value.rsplit("/", 1)[1] for p in blind.partitions()}
+    assert victim in names
