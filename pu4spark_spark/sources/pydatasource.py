@@ -262,6 +262,7 @@ class JsonlDocsReader(DataSourceReader):
             EqualTo,
             GreaterThan,
             GreaterThanOrEqual,
+            In,
             LessThan,
             LessThanOrEqual,
         )
@@ -273,6 +274,17 @@ class JsonlDocsReader(DataSourceReader):
                 self._hi = hi
 
         for f in filters:
+            if (
+                isinstance(f, In)
+                and getattr(f, "attribute", None) == ("doc_id",)
+                and f.value
+                and all(isinstance(v, int) for v in f.value)
+            ):
+                # an IN list prunes by its value-set envelope (the
+                # zonemap is an interval test, so the hull is the
+                # tightest sound bound)
+                _tighten(lo=min(f.value), hi=max(f.value))
+                continue
             if getattr(f, "attribute", None) == ("doc_id",) and isinstance(
                 getattr(f, "value", None), int
             ):

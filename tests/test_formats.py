@@ -478,3 +478,40 @@ def test_stats_pruning_skips_shards_and_loses_nothing(spark, tmp_path):
     list(blind.pushFilters([GreaterThanOrEqual(("doc_id",), 400)]))
     names = {p.value.rsplit("/", 1)[1] for p in blind.partitions()}
     assert victim in names
+
+
+def test_stats_pruning_in_filter_envelope(spark, tmp_path):
+    """An IN list prunes by its min/max hull — sound (supersets the
+    exact answer) and effective on a range layout."""
+    from pyspark.sql.datasource import In
+
+    from pu4spark_spark.sources.pydatasource import (
+        JsonlDocsReader,
+        register_pyds,
+    )
+
+    register_pyds(spark)
+    out = str(tmp_path / "zm_in")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    (
+        docs.repartitionByRange(8, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out)
+        .mode("overwrite")
+        .save()
+    )
+    total = len(JsonlDocsReader({"path": out}).partitions())
+    r = JsonlDocsReader({"path": out})
+    returned = list(r.pushFilters([In(("doc_id",), (10, 12, 15))]))
+    assert len(returned) == 1
+    kept = len(r.partitions())
+    assert 0 < kept < total
+    got = sorted(
+        row["doc_id"]
+        for row in spark.read.format("jsonl_docs")
+        .option("path", out)
+        .load()
+        .filter("doc_id IN (10, 12, 15)")
+        .collect()
+    )
+    assert got == [10, 12, 15]
