@@ -1317,10 +1317,16 @@ def pseudonym(col, key: str = PSEUDO_KEY) -> F.Column:
     chars.  Same input → same token, so JOINABILITY across tables and
     runs is preserved while the raw identifier never leaves the scan
     stage — the GDPR-pseudonymization pattern every shared analytics
-    corpus needs.  Scan-stage only; zero shuffle."""
+    corpus needs.  Scan-stage only; zero shuffle.
+
+    NULL propagates to NULL (``F.concat``, not ``concat_ws`` — the
+    latter silently SKIPS nulls, which would tokenize a null id to
+    ``md5(key ':')``, colliding with the empty-string id and diverging
+    from the oracle's null-propagating ``'||'``): an absent identifier
+    has no pseudonym, same as every SQL engine's hash-of-null."""
     c = col if isinstance(col, F.Column) else F.col(col)
     return F.substring(
-        F.md5(F.concat_ws(":", F.lit(key), c.cast("string"))),
+        F.md5(F.concat(F.lit(key), F.lit(":"), c.cast("string"))),
         1,
         PSEUDO_TOKEN_CHARS,
     )

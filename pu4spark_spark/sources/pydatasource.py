@@ -198,15 +198,21 @@ class JsonlDocsWriter(DataSourceWriter):
             ),
             default=0,
         )
+        # metadata commits use the same rename pattern as the shards: a
+        # crash mid-write (or a concurrent reader) must never observe a
+        # truncated _MANIFEST / _MANIFEST.v{N} / _STATS — os.replace is
+        # atomic on POSIX, so readers see either the old file or the new
+        # one, never a partial body.  Order matters: the snapshot first
+        # (time travel), then _STATS, then _MANIFEST last — the live
+        # pointer only flips once everything it references is durable.
         body = _json.dumps(manifest)
-        with open(
-            _os.path.join(self.path, f"_MANIFEST.v{version}"), "w"
-        ) as fh:
-            fh.write(body)
-        with open(_os.path.join(self.path, "_MANIFEST"), "w") as fh:
-            fh.write(body)
-        with open(_os.path.join(self.path, "_STATS"), "w") as fh:
-            fh.write(_json.dumps(stats))
+        _write_atomic(
+            _os.path.join(self.path, f"_MANIFEST.v{version}"), body
+        )
+        _write_atomic(
+            _os.path.join(self.path, "_STATS"), _json.dumps(stats)
+        )
+        _write_atomic(_os.path.join(self.path, "_MANIFEST"), body)
 
     def abort(self, messages) -> None:
         import os as _os
@@ -380,6 +386,27 @@ class JsonlDocsReader(DataSourceReader):
                     r.get("source"),
                     r.get("n_chars"),
                 )
+
+
+def _write_atomic(path: str, body: str) -> None:
+    """Rename-commit a metadata file: write the full body to an
+    underscore-prefixed temp name in the same directory (readers'
+    listing fallback skips ``_``-files), fsync, then ``os.replace`` it
+    into place.  POSIX rename atomicity means a crash mid-write or a
+    concurrent reader observes the previous version or the new one —
+    never truncated JSON (the time-travel and zonemap contracts both
+    parse these files)."""
+    import uuid as _uuid
+
+    tmp = os.path.join(
+        os.path.dirname(path),
+        f"_tmp-meta-{_uuid.uuid4().hex[:8]}",
+    )
+    with open(tmp, "w") as fh:
+        fh.write(body)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
 
 
 def _list_shards(path: str) -> list[str]:
@@ -675,7 +702,20 @@ def compact_jsonl_dir(
 
     Scale shape: the rewrite is one distributed read + repartition +
     the transactional executor-side writer; the driver touches only
-    manifest metadata."""
+    manifest metadata.
+
+    Transactionality: compaction and :func:`vacuum_jsonl_dir` are
+    maintenance jobs and require an EXCLUSIVE writer (concurrent
+    appends during a rewrite would commit a manifest the rewrite then
+    clobbers — the same single-maintainer rule every table format
+    applies to OPTIMIZE/VACUUM).  Concurrent READERS are always safe:
+    staged shards enter the live dir under ``_``-prefixed temp names
+    (invisible to both the manifest-preferring reader and the
+    listing/append-seed fallback), the final renames expose only
+    fresh UUID names no old manifest references, and the manifest
+    pointer itself flips last via the atomic rename-commit — so a
+    crash at ANY step leaves the previous version fully intact (at
+    worst orphan files a later vacuum sweeps)."""
     import json as _json
 
     register_pyds(spark)
@@ -694,8 +734,21 @@ def compact_jsonl_dir(
     )
     with open(os.path.join(stage, "_MANIFEST")) as fh:
         new_manifest = _json.load(fh)
+    # two-step move: every staged shard first lands in the live dir
+    # under an underscore temp name (crash here → only invisible
+    # temps), then the batch of renames to final names (fresh UUIDs —
+    # unreferenced by any committed manifest, so still invisible),
+    # and only then does metadata flip
     for f in new_manifest:
-        os.replace(os.path.join(stage, f), os.path.join(path, f))
+        os.replace(
+            os.path.join(stage, f),
+            os.path.join(path, "_tmp-compact-" + f),
+        )
+    for f in new_manifest:
+        os.replace(
+            os.path.join(path, "_tmp-compact-" + f),
+            os.path.join(path, f),
+        )
     # carry the consolidated shards' zonemaps over (old entries stay —
     # harmless for vacuumed files, still valid for snapshot reads)
     stats_path = os.path.join(path, "_STATS")
@@ -707,8 +760,6 @@ def compact_jsonl_dir(
     if os.path.exists(stage_stats):
         with open(stage_stats) as fh:
             stats.update(_json.load(fh))
-    with open(stats_path, "w") as fh:
-        fh.write(_json.dumps(stats))
     import shutil
 
     shutil.rmtree(stage, ignore_errors=True)
@@ -721,11 +772,12 @@ def compact_jsonl_dir(
         ),
         default=0,
     )
+    # metadata last, each an atomic rename-commit, live pointer very
+    # last: snapshot → stats → _MANIFEST
     body = _json.dumps(new_manifest)
-    with open(os.path.join(path, f"_MANIFEST.v{version}"), "w") as fh:
-        fh.write(body)
-    with open(os.path.join(path, "_MANIFEST"), "w") as fh:
-        fh.write(body)
+    _write_atomic(os.path.join(path, f"_MANIFEST.v{version}"), body)
+    _write_atomic(stats_path, _json.dumps(stats))
+    _write_atomic(os.path.join(path, "_MANIFEST"), body)
     return version
 
 
@@ -733,8 +785,11 @@ def vacuum_jsonl_dir(path: str, keep_versions: int = 1) -> int:
     """Reclaim shards unreachable from the newest ``keep_versions``
     manifests and drop the older manifest files — the GC half of the
     snapshot contract (time travel works until vacuum, then fails
-    LOUDLY rather than serving partial data).  Returns the number of
-    shard files deleted."""
+    LOUDLY rather than serving partial data).  Also sweeps ``_tmp-``
+    orphans left by a crashed compaction or write job.  Requires an
+    EXCLUSIVE writer like :func:`compact_jsonl_dir` (vacuum racing a
+    concurrent commit could delete a shard between its rename and its
+    manifest flip).  Returns the number of shard files deleted."""
     import json as _json
 
     versions = sorted(
@@ -755,6 +810,11 @@ def vacuum_jsonl_dir(path: str, keep_versions: int = 1) -> int:
             v = f.rsplit(".v", 1)[1]
             if v.isdigit() and int(v) not in keep:
                 os.remove(os.path.join(path, f))
+        elif f.startswith("_tmp-"):
+            # orphan from a crashed compaction/write — never visible
+            # to readers, safe to reclaim under the exclusive-writer
+            # contract
+            os.remove(os.path.join(path, f))
         elif (
             f.endswith((".json", ".jsonl"))
             and not f.startswith((".", "_"))

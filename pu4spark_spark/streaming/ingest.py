@@ -229,7 +229,7 @@ def q_streaming_quality_router(
         .select("doc_id", "lang", "text")
     )
 
-    def route(df: DataFrame, _batch_id: int) -> None:
+    def route(df: DataFrame, batch_id: int) -> None:
         tok = tokens("text")
         scored = df.select(
             "doc_id",
@@ -244,17 +244,23 @@ def q_streaming_quality_router(
             )
             .otherwise(F.lit("kept")),
         ).persist()
+        # foreachBatch is at-least-once: a crash between the two sink
+        # writes replays the micro-batch.  Each write therefore targets
+        # a per-batch subdirectory (partition-style `batch_id=N`) in
+        # OVERWRITE mode — the retry clobbers its own partial output
+        # instead of appending duplicates, making the fan-out
+        # effectively exactly-once without a transactional sink.
         try:
             (
                 scored.filter(F.col("reason") == "kept")
                 .drop("reason")
-                .write.mode("append")
-                .parquet(kept_dir)
+                .write.mode("overwrite")
+                .parquet(os.path.join(kept_dir, f"batch_id={batch_id}"))
             )
             (
                 scored.filter(F.col("reason") != "kept")
-                .write.mode("append")
-                .parquet(quar_dir)
+                .write.mode("overwrite")
+                .parquet(os.path.join(quar_dir, f"batch_id={batch_id}"))
             )
         finally:
             scored.unpersist()

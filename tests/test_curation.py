@@ -839,3 +839,38 @@ def test_streaming_quality_router_lossless_and_disjoint(spark):
             assert r["reason"] == "kept"
         else:
             assert r["reason"] in ("too_short", "low_quality")
+    # replay idempotence: each micro-batch lands in its own
+    # batch_id=N subdirectory written in OVERWRITE mode, so a
+    # foreachBatch retry clobbers its own partial output instead of
+    # appending duplicates — pin the directory contract
+    import hashlib
+    import os
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"pu4spark_qrouter_{hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]}_{os.getpid()}",
+    )
+    kept_dir = os.path.join(base, "kept")
+    batch_dirs = [
+        d for d in os.listdir(kept_dir) if d.startswith("batch_id=")
+    ]
+    assert batch_dirs, "kept sink must be per-batch partitioned"
+
+
+def test_pseudonym_null_propagates(spark):
+    """A NULL identifier must pseudonymize to NULL (ADVICE r7):
+    concat_ws would silently skip the null and emit md5(key ':'),
+    colliding with the empty-string id and diverging from the
+    oracle's null-propagating '||'."""
+    from pyspark.sql import functions as F
+
+    from pu4spark_spark.operators.curation import pseudonym
+
+    df = spark.createDataFrame(
+        [(None,), ("",), ("u1",)], "user_id string"
+    ).select("user_id", pseudonym("user_id").alias("tok"))
+    rows = {r["user_id"]: r["tok"] for r in df.collect()}
+    assert rows[None] is None
+    assert rows[""] is not None and rows["u1"] is not None
+    assert rows[""] != rows["u1"]

@@ -427,6 +427,52 @@ def test_pyds_compaction_and_vacuum_contract(spark, tmp_path):
         rd().option("version", 1).load().collect()
 
 
+def test_metadata_writes_atomic_and_vacuum_sweeps_orphans(spark, tmp_path):
+    """ADVICE r7: metadata files commit via temp-name + os.replace (a
+    reader never observes truncated JSON), and _tmp- orphans from a
+    crashed compaction are invisible to readers and reclaimed by
+    vacuum."""
+    import json
+    import os
+
+    from pu4spark_spark.sources.pydatasource import (
+        _write_atomic,
+        register_pyds,
+        vacuum_jsonl_dir,
+    )
+
+    # the helper leaves exactly the target file, valid JSON, no temps
+    target = str(tmp_path / "_MANIFEST")
+    _write_atomic(target, json.dumps({"a.jsonl": 3}))
+    assert json.load(open(target)) == {"a.jsonl": 3}
+    assert [f for f in os.listdir(tmp_path) if f.startswith("_tmp-")] == []
+
+    register_pyds(spark)
+    out = str(tmp_path / "docs_orph")
+    ddl = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(
+        [(i, f"t{i}", "en", "s", 2) for i in range(4)], ddl
+    ).write.format("jsonl_docs").option("path", out).mode("overwrite").save()
+    # plant a crashed-compaction orphan: must not change what readers see
+    orphan = os.path.join(out, "_tmp-compact-part-zzz.jsonl")
+    with open(orphan, "w") as fh:
+        fh.write('{"doc_id": 999}\n')
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.format("jsonl_docs").option("path", out)
+        .load().collect()
+    )
+    assert got == [0, 1, 2, 3]
+    vacuum_jsonl_dir(out, keep_versions=1)
+    assert not os.path.exists(orphan)
+    got2 = sorted(
+        r["doc_id"]
+        for r in spark.read.format("jsonl_docs").option("path", out)
+        .load().collect()
+    )
+    assert got2 == [0, 1, 2, 3]
+
+
 def test_stats_pruning_skips_shards_and_loses_nothing(spark, tmp_path):
     """The _STATS zonemap must let pushed doc_id bounds skip whole
     shards on a range-clustered layout — and a shard with no stats
