@@ -3741,6 +3741,324 @@ FROM probes JOIN cum
 """
 
 
+# -- ordered-fold aggregates: EWMA ---------------------------------------
+
+#: EWMA smoothing factor (x_t weight); 0.3 is the metering default
+EWMA_ALPHA = 0.3
+
+
+def q_events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EXPONENTIALLY WEIGHTED MOVING AVERAGE of event values —
+    the sequential-state aggregate (s_t = α·x_t + (1-α)·s_{t-1}) that
+    has no closed groupBy form: each step depends on the previous one,
+    the shape behind per-entity smoothing, rate estimators, and online
+    feature stores.
+
+    Execution shape: ONE map-side-combinable collect into a per-user
+    (ts, event_id, value) array, ``sort_array`` for the deterministic
+    event order, then ``F.aggregate`` folds the smoothing LEFT-TO-RIGHT
+    inside codegen — no Python, no per-event shuffle, no window with
+    |user| partitions.  The array is bounded by a user's event count
+    (the same per-entity bound as ``events_user_gaps_pandas``).
+
+    IEEE discipline: the fold's multiply-add order is pinned by the
+    sorted array, and DuckDB's ``list_reduce`` over the identically
+    ordered ``list(... ORDER BY ts, event_id)`` replays the exact same
+    chain — double outputs hash-match bit-for-bit."""
+    events = load_table(spark, "events", sf_dir)
+    arr = events.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("seq")
+    )
+    vals = F.col("seq.value")
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: x * F.lit(EWMA_ALPHA)
+        + acc * F.lit(1.0 - EWMA_ALPHA),
+    )
+    return arr.select(
+        "user_id",
+        F.size("seq").cast("bigint").alias("n_events"),
+        ewma.alias("ewma_value"),
+        F.element_at(vals, -1).alias("last_value"),
+    )
+
+
+SQL_EVENTS_EWMA = f"""
+WITH seq AS (
+  SELECT user_id,
+         list(value ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(vals) AS BIGINT) AS n_events,
+       list_reduce(vals,
+                   (acc, x) -> x * {EWMA_ALPHA}
+                               + acc * {1.0 - EWMA_ALPHA}) AS ewma_value,
+       vals[-1] AS last_value
+FROM seq
+"""
+
+
+# -- gap interpolation on the generated grid ------------------------------
+
+#: interpolation bucket width (seconds); 15 min leaves real gaps at
+#: every fixture sf (hourly saturates at sf0.1)
+INTERP_BUCKET_S = 900
+
+
+def q_events_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR INTERPOLATION of missing cells in a per-type time-bucket
+    count series — the step past ``events_locf_value`` (carry last) and
+    ``events_dense_hourly`` (fill zero): a silent 15-minute bucket gets
+    the straight-line estimate between its surrounding observations,
+    the standard metric-gap repair before anomaly scoring or export.
+
+    Execution shape: one rollup pass over the corpus (count per
+    (bucket, type)), a GENERATED grid (sequence from the rollup's own
+    bounds — grid size is buckets × types regardless of corpus size),
+    a broadcast fill join, then two window passes per type (previous /
+    next non-null anchor via ``last/first IGNORE NULLS``) over the
+    grid-sized frame only.
+
+    IEEE discipline: anchors are int64 counts, distances are integer
+    bucket indices; the interpolation is ONE fixed chain
+    (prev + (next-prev) · Δ/span) from exact integers, so doubles
+    hash-match DuckDB's identical expression."""
+    from pu4spark_spark.plans import cached
+
+    events = load_table(spark, "events", sf_dir)
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_timestamp("ts") / INTERP_BUCKET_S).cast("bigint")
+        * INTERP_BUCKET_S
+    )
+    rollup = cached(
+        events.groupBy(
+            bucket.alias("tb"), F.col("event_type")
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = rollup.groupBy("event_type").agg(
+        F.min("tb").alias("__mn"), F.max("tb").alias("__mx")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence(
+                "__mn", "__mx", F.expr(f"interval {INTERP_BUCKET_S} second")
+            )
+        ).alias("tb"),
+    )
+    filled = F.broadcast(grid).join(rollup, ["event_type", "tb"], "left")
+    idx = (F.unix_timestamp("tb") / INTERP_BUCKET_S).cast("bigint")
+    filled = filled.withColumn("__i", idx)
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("__i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("__i")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    anchored = filled.select(
+        "event_type",
+        "tb",
+        "n",
+        "__i",
+        F.last("n", ignorenulls=True).over(w_prev).alias("pn"),
+        F.last(
+            F.when(F.col("n").isNotNull(), F.col("__i")), ignorenulls=True
+        ).over(w_prev).alias("pi"),
+        F.first("n", ignorenulls=True).over(w_next).alias("nn"),
+        F.first(
+            F.when(F.col("n").isNotNull(), F.col("__i")), ignorenulls=True
+        ).over(w_next).alias("ni"),
+    )
+    interp = F.col("pn").cast("double") + (
+        (F.col("nn") - F.col("pn")).cast("double")
+        * (
+            (F.col("__i") - F.col("pi")).cast("double")
+            / (F.col("ni") - F.col("pi")).cast("double")
+        )
+    )
+    return anchored.select(
+        "event_type",
+        "tb",
+        F.when(F.col("n").isNotNull(), F.col("n").cast("double"))
+        .when(F.col("pi").isNotNull() & F.col("ni").isNotNull(), interp)
+        .alias("n_filled"),
+        F.when(F.col("n").isNotNull(), F.lit("observed"))
+        .when(
+            F.col("pi").isNotNull() & F.col("ni").isNotNull(),
+            F.lit("interpolated"),
+        )
+        .otherwise(F.lit("edge"))
+        .alias("fill_kind"),
+    )
+
+
+SQL_EVENTS_INTERPOLATE = f"""
+WITH rollup AS (
+  SELECT to_timestamp(
+           (CAST(floor(epoch(ts) / {INTERP_BUCKET_S}) AS BIGINT))
+           * {INTERP_BUCKET_S})::TIMESTAMP AS tb,
+         event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, MIN(tb) AS mn, MAX(tb) AS mx FROM rollup GROUP BY 1
+),
+grid AS (
+  SELECT event_type,
+         unnest(generate_series(mn, mx,
+                                INTERVAL {INTERP_BUCKET_S} SECOND)) AS tb
+  FROM bounds
+),
+filled AS (
+  SELECT g.event_type, g.tb, r.n,
+         CAST(epoch(g.tb) AS BIGINT) / {INTERP_BUCKET_S} AS i
+  FROM grid g LEFT JOIN rollup r
+    ON r.event_type = g.event_type AND r.tb = g.tb
+),
+anchored AS (
+  SELECT event_type, tb, n, i,
+         last_value(n IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pn,
+         last_value(CASE WHEN n IS NOT NULL THEN i END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,
+         first_value(n IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY i
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nn,
+         first_value(CASE WHEN n IS NOT NULL THEN i END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY i
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
+  FROM filled
+)
+SELECT event_type, tb,
+       CASE WHEN n IS NOT NULL THEN CAST(n AS DOUBLE)
+            WHEN pi IS NOT NULL AND ni IS NOT NULL THEN
+              CAST(pn AS DOUBLE)
+              + (CAST(nn - pn AS DOUBLE)
+                 * (CAST(i - pi AS DOUBLE) / CAST(ni - pi AS DOUBLE)))
+       END AS n_filled,
+       CASE WHEN n IS NOT NULL THEN 'observed'
+            WHEN pi IS NOT NULL AND ni IS NOT NULL THEN 'interpolated'
+            ELSE 'edge' END AS fill_kind
+FROM anchored
+"""
+
+
+# -- robust anomaly detection (median / MAD) -------------------------------
+
+#: MAD multiplier for the anomaly fence (≈3σ under normality the
+#: classic 1.4826 scaling absorbs; integer 4 keeps the fence exact)
+MAD_K = 4
+
+
+def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type anomaly detection on the hourly count series:
+    flag hours whose count exceeds ``median + 4·MAD`` (median absolute
+    deviation) — the robust twin of the z-score
+    ``events_hourly_anomalies``: one wild hour inflates a stddev fence
+    enough to hide the next anomaly, while median/MAD are immune to
+    ~50% contamination.
+
+    Exactness discipline: both the median and the MAD use the LOWER
+    MEDIAN (the rank-⌈n/2⌉ order statistic), so every fence quantity
+    is an exact INT64 and the flags hash-check with no IEEE
+    involvement at all.
+
+    Scale shape: one corpus rollup, then rank windows over the
+    GRID-SIZED (hour × type) frame only — each type's partition is
+    its bucket count, not its event count; the fences are a
+    |type|-row broadcast."""
+    from pu4spark_spark.plans import cached
+
+    events = load_table(spark, "events", sf_dir)
+    hourly = cached(
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    counts = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cells")
+    )
+
+    def lower_median(df, part, val):
+        w = Window.partitionBy(part).orderBy(F.asc(val))
+        ranked = df.withColumn("__r", F.row_number().over(w)).join(
+            F.broadcast(counts), part
+        )
+        return (
+            ranked.filter(F.col("__r") == F.ceil(F.col("cells") / 2))
+            .select(part, F.col(val).alias("med"))
+        )
+
+    med = lower_median(hourly, "event_type", "n")
+    dev = hourly.join(F.broadcast(med), "event_type").withColumn(
+        "__ad", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = lower_median(dev, "event_type", "__ad").withColumnRenamed(
+        "med", "mad"
+    )
+    fences = med.join(mad, "event_type").select(
+        "event_type",
+        "med",
+        "mad",
+        (F.col("med") + F.lit(MAD_K) * F.col("mad")).alias("fence"),
+    )
+    return (
+        hourly.join(F.broadcast(fences), "event_type")
+        .filter(F.col("n") > F.col("fence"))
+        .select(
+            "event_type",
+            "hour",
+            "n",
+            F.col("med").alias("median_n"),
+            F.col("mad").alias("mad_n"),
+        )
+    )
+
+
+SQL_EVENTS_ANOMALY_MAD = f"""
+WITH hourly AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+counts AS (SELECT event_type, COUNT(*) AS cells FROM hourly GROUP BY 1),
+med AS (
+  SELECT h.event_type, n AS med FROM (
+    SELECT event_type, n,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n) AS r
+    FROM hourly) h
+  JOIN counts c ON c.event_type = h.event_type
+  WHERE h.r = CAST(ceil(c.cells / 2.0) AS BIGINT)
+),
+dev AS (
+  SELECT h.event_type, h.hour, h.n, m.med, abs(h.n - m.med) AS ad
+  FROM hourly h JOIN med m ON m.event_type = h.event_type
+),
+mad AS (
+  SELECT d.event_type, ad AS mad FROM (
+    SELECT event_type, ad,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ad) AS r
+    FROM dev) d
+  JOIN counts c ON c.event_type = d.event_type
+  WHERE d.r = CAST(ceil(c.cells / 2.0) AS BIGINT)
+)
+SELECT d.event_type, d.hour, d.n, d.med AS median_n, m.mad AS mad_n
+FROM dev d JOIN mad m ON m.event_type = d.event_type
+WHERE d.n > d.med + {MAD_K} * m.mad
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q_q1_pricing_summary,
     "salted_segment_revenue": q_salted_segment_revenue,
@@ -3809,9 +4127,15 @@ QUERIES = {
     "customers_with_urgent_orders": q_customers_with_urgent_orders,
     "customers_without_orders": q_customers_without_orders,
     "order_scalar_functions": q_order_scalar_functions,
+    "events_ewma_value": q_events_ewma_value,
+    "events_interpolate_gaps": q_events_interpolate_gaps,
+    "events_anomaly_mad": q_events_anomaly_mad,
 }
 
 ORACLE_SQL = {
+    "events_ewma_value": SQL_EVENTS_EWMA,
+    "events_interpolate_gaps": SQL_EVENTS_INTERPOLATE,
+    "events_anomaly_mad": SQL_EVENTS_ANOMALY_MAD,
     "q1_pricing_summary": SQL_Q1,
     "salted_segment_revenue": SQL_SALTED_SEGMENT_REVENUE,
     "grouping_sets_orders": SQL_GROUPING_SETS,

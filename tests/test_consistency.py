@@ -620,3 +620,125 @@ def test_top_paths_totals_and_funnel_containment(spark):
     )
     assert total == sum(max(0, r["n"] - 2) for r in per_user)
     assert all(r["n_users"] <= r["n_paths"] for r in rows)
+
+
+def test_ewma_matches_cpython_fold(spark):
+    """The in-engine ordered fold must equal the CPython left fold over
+    the identically-sorted per-user value sequence, bit for bit."""
+    from pu4spark_spark.operators.relational import (
+        EWMA_ALPHA,
+        q_events_ewma_value,
+    )
+
+    got = {
+        r["user_id"]: (r["n_events"], r["ewma_value"], r["last_value"])
+        for r in q_events_ewma_value(spark, SF).collect()
+    }
+    rows = (
+        load_table(spark, "events", SF)
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    seqs: dict = {}
+    for r in rows:
+        seqs.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["value"])
+        )
+    assert set(got) == set(seqs)
+    for uid, seq in seqs.items():
+        seq.sort()
+        acc = seq[0][2]
+        for _, _, x in seq[1:]:
+            acc = x * EWMA_ALPHA + acc * (1.0 - EWMA_ALPHA)
+        n, ewma, last = got[uid]
+        assert n == len(seq)
+        assert ewma == acc  # exact: same IEEE chain
+        assert last == seq[-1][2]
+
+
+def test_interpolate_gaps_observed_and_bounds(spark):
+    """Observed cells carry their exact count; interpolated cells lie
+    strictly between (inclusive) their surrounding anchors; edge cells
+    are null-filled.  The observed cells must equal the raw rollup."""
+    from pu4spark_spark.operators.relational import (
+        INTERP_BUCKET_S,
+        q_events_interpolate_gaps,
+    )
+
+    out = q_events_interpolate_gaps(spark, SF).collect()
+    ev = load_table(spark, "events", SF)
+    rollup = {
+        (r["event_type"], r["tb"]): r["n"]
+        for r in ev.groupBy(
+            F.timestamp_seconds(
+                F.floor(F.unix_timestamp("ts") / INTERP_BUCKET_S).cast(
+                    "bigint"
+                )
+                * INTERP_BUCKET_S
+            ).alias("tb"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    kinds = {"observed": 0, "interpolated": 0, "edge": 0}
+    by_type: dict = {}
+    for r in out:
+        kinds[r["fill_kind"]] += 1
+        by_type.setdefault(r["event_type"], []).append(r)
+        if r["fill_kind"] == "observed":
+            assert r["n_filled"] == float(
+                rollup[(r["event_type"], r["tb"])]
+            )
+        elif r["fill_kind"] == "edge":
+            assert r["n_filled"] is None
+    assert kinds["observed"] == len(rollup)
+    assert kinds["interpolated"] > 0  # the fixture has real gaps
+    for et, rows in by_type.items():
+        rows.sort(key=lambda r: r["tb"])
+        anchors = [r for r in rows if r["fill_kind"] == "observed"]
+        lo = min(r["n_filled"] for r in anchors)
+        hi = max(r["n_filled"] for r in anchors)
+        for r in rows:
+            if r["fill_kind"] == "interpolated":
+                assert lo <= r["n_filled"] <= hi
+
+
+def test_anomaly_mad_matches_cpython_reference(spark):
+    """Median/MAD fences recomputed in CPython over the same hourly
+    rollup flag exactly the same (type, hour) cells."""
+    import math
+
+    from pu4spark_spark.operators.relational import (
+        MAD_K,
+        q_events_anomaly_mad,
+    )
+
+    got = {
+        (r["event_type"], r["hour"]): (r["n"], r["median_n"], r["mad_n"])
+        for r in q_events_anomaly_mad(spark, SF).collect()
+    }
+    hourly = (
+        load_table(spark, "events", SF)
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_type: dict = {}
+    for r in hourly:
+        by_type.setdefault(r["event_type"], []).append((r["hour"], r["n"]))
+
+    def lower_median(vals):
+        vs = sorted(vals)
+        return vs[math.ceil(len(vs) / 2) - 1]
+
+    expect = {}
+    for et, cells in by_type.items():
+        med = lower_median([n for _, n in cells])
+        mad = lower_median([abs(n - med) for _, n in cells])
+        for hour, n in cells:
+            if n > med + MAD_K * mad:
+                expect[(et, hour)] = (n, med, mad)
+    assert got == expect
