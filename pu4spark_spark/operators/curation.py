@@ -2228,8 +2228,99 @@ GROUP BY 1, 2, 3
 """
 
 
+# -- weighted priority sampling ------------------------------------------
+
+#: per-language sample size for the weighted draw
+PRIORITY_SAMPLE_K = 20
+#: key salt for the per-doc uniform
+PRIORITY_SALT = "ws1"
+
+
+def q_curation_weighted_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Size-weighted PRIORITY SAMPLING (Duffield–Lund–Thorup, JACM'07):
+    draw K docs per language with inclusion probability ∝ doc size, by
+    ranking on the priority ``q = w / u`` with ``u`` a per-doc uniform
+    — the one-pass weighted sample every mixture pipeline needs when
+    "sample documents uniformly" would under-represent token mass
+    (a 10-token doc and a 10k-token doc are NOT the same amount of
+    training data).
+
+    Determinism/exactness: ``u`` is the md5-derived 32-bit integer
+    coin (the ``curation_eval_holdout`` discipline, salted so this
+    draw is independent of the holdout's), and the priority is ONE
+    exact division ``(w·2³²) / (u+1)`` of int64s that stay below 2⁵³
+    — both engines compute the identical double, so rank order and
+    the priorities themselves hash-check.
+
+    Scale shape: the coin and priority are scan-stage expressions;
+    the per-language top-K runs through ``two_phase_rank`` (map-side
+    cut to ≤K per input split, then ≤K·P survivors per language — no
+    single-task sort of a language's full corpus)."""
+    from pu4spark_spark.plans import two_phase_rank
+
+    docs = load_table(spark, "documents", sf_dir)
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(PRIORITY_SALT),
+                    F.lit(":"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").alias("weight"),
+        (
+            (F.col("n_chars") * F.lit(4294967296)).cast("double")
+            / (u + F.lit(1)).cast("double")
+        ).alias("priority"),
+    )
+    return two_phase_rank(
+        base,
+        ["lang"],
+        [F.desc("priority"), F.asc("doc_id")],
+        PRIORITY_SAMPLE_K,
+        rank_col="rank",
+    ).select(
+        "lang", F.col("rank").cast("bigint").alias("rank"),
+        "doc_id", "weight", "priority",
+    )
+
+
+SQL_CURATION_WEIGHTED_SAMPLE = f"""
+WITH base AS (
+  SELECT doc_id, lang, n_chars AS weight,
+         CAST(n_chars * 4294967296 AS DOUBLE)
+         / CAST(CAST(('0x' || substr(md5('{PRIORITY_SALT}' || ':'
+                      || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                + 1 AS DOUBLE) AS priority
+  FROM documents
+),
+ranked AS (
+  SELECT lang, doc_id, weight, priority,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY priority DESC, doc_id
+         ) AS rank
+  FROM base
+)
+SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, weight, priority
+FROM ranked WHERE rank <= {PRIORITY_SAMPLE_K}
+"""
+
+
 QUERIES = {
     "curation_pii_redact": q_curation_pii_redact,
+    "curation_weighted_sample": q_curation_weighted_sample,
     "pipeline_corpus_release": q_pipeline_corpus_release,
     "curation_decontaminate": q_curation_decontaminate,
     "curation_domain_mix": q_curation_domain_mix,
@@ -2277,6 +2368,7 @@ ORACLE_SQL = {
     "curation_soft_dedup_weights": SQL_CURATION_SOFT_DEDUP,
     "curation_pseudonymize_events": SQL_PSEUDONYMIZE_EVENTS,
     "curation_user_coherent_sample": SQL_USER_COHERENT_SAMPLE,
+    "curation_weighted_sample": SQL_CURATION_WEIGHTED_SAMPLE,
     "curation_temperature_mix": SQL_TEMPERATURE_MIX,
     "curation_oov_rate": SQL_OOV_RATE,
     "pipeline_chunk_release": SQL_PIPELINE_CHUNK_RELEASE,

@@ -560,3 +560,81 @@ def test_merge_into_clusters_randomized_equivalence(spark):
         }
         spark.catalog.clearCache()
         assert inc == full, f"seed={seed}"
+
+
+def test_recursive_dup_hops_matches_cpython_bfs(spark):
+    """The in-engine recursive-CTE BFS must equal a CPython BFS from
+    the same locally-canonical seeds, capped at the same depth."""
+    from pu4spark_spark.operators.dedup import (
+        DUP_HOPS_MAX,
+        q_dedup_minhash_lsh,
+        q_sql_recursive_dup_hops,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["doc_id"]: r["hops"]
+        for r in q_sql_recursive_dup_hops(spark, sf).collect()
+    }
+    pairs = [
+        (r["a_id"], r["b_id"])
+        for r in q_dedup_minhash_lsh(spark, sf).collect()
+    ]
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seeds = [u for u, nbrs in adj.items() if min(nbrs) > u]
+    dist = {u: 0 for u in seeds}
+    frontier = list(seeds)
+    for d in range(1, DUP_HOPS_MAX + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = d
+                    nxt.append(v)
+        frontier = nxt
+    assert got == dist
+    assert pairs, "fixture must produce a non-trivial graph"
+
+
+def test_kcore_matches_cpython_peeling(spark):
+    """Engine peel rounds and core membership must equal the CPython
+    peeling reference on the same fixture graph."""
+    from pu4spark_spark.operators.dedup import (
+        KCORE_K,
+        q_dedup_kcore,
+        q_dedup_minhash_lsh,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["doc_id"]: (r["peel_round"], r["in_core"])
+        for r in q_dedup_kcore(spark, sf).collect()
+    }
+    pairs = [
+        (r["a_id"], r["b_id"])
+        for r in q_dedup_minhash_lsh(spark, sf).collect()
+    ]
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    peel = {}
+    live = {u: set(vs) for u, vs in adj.items()}
+    rnd = 0
+    while True:
+        rnd += 1
+        victims = [u for u, vs in live.items() if len(vs) < KCORE_K]
+        if not victims:
+            break
+        for u in victims:
+            peel[u] = rnd
+            for v in live[u]:
+                live[v].discard(u)
+            del live[u]
+    expect = {
+        u: (peel.get(u), u not in peel) for u in adj
+    }
+    assert got == expect
