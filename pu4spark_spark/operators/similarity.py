@@ -1840,7 +1840,117 @@ def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.selectExpr("vec_id", *projs)
 
 
+# -- mutual kNN graph -------------------------------------------------------
+
+#: neighbors per node in the kNN graph
+KNN_K = 5
+
+
+def q_ann_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL kNN GRAPH construction over the embedding table — the
+    input structure of SemDeDup-style semantic clustering, diversity
+    pruning, and graph-based label propagation: node a keeps edge
+    (a,b) only if b is in a's top-k AND a is in b's top-k (mutuality
+    prunes hub nodes that appear in everyone's list but reciprocate
+    nothing).
+
+    Scale shape: candidates come from the sign-bucket LSH self-join
+    (each node compares within its own bucket — the bucketed
+    construction every ANN op here uses, never all-pairs), per-node
+    top-k via ``two_phase_rank`` (no single-task sort), then the
+    mutuality check is ONE self-join of the k·n edge list on the
+    reversed key.  Cosines are the exact int-dot/sqrt chain over
+    quantized vectors, so the DuckDB twin (same buckets, same rank
+    function) hash-checks edges and both ranks."""
+    from pu4spark_spark.plans import cached, spread, two_phase_rank
+
+    emb = spread(load_table(spark, "embeddings", sf_dir))
+    base = cached(
+        emb.select(
+            "vec_id",
+            quantized("embedding").alias("q"),
+            sign_bucket("embedding", LSH_DIMS).alias("bucket"),
+        ).withColumn("norm2", int_dot(F.col("q"), F.col("q")))
+    )
+    other = base.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("nbr_id"),
+        F.col("q").alias("nq"),
+        F.col("norm2").alias("nnorm2"),
+    )
+    scored = (
+        base.join(other, "bucket")
+        .filter(F.col("vec_id") != F.col("nbr_id"))
+        .select(
+            "vec_id",
+            "nbr_id",
+            cosine_from_quantized(
+                int_dot(F.col("q"), F.col("nq")),
+                F.col("norm2"),
+                F.col("nnorm2"),
+            ).alias("cosine"),
+        )
+    )
+    knn = cached(
+        two_phase_rank(
+            scored,
+            ["vec_id"],
+            [F.desc("cosine"), F.asc("nbr_id")],
+            KNN_K,
+            rank_col="rank",
+        )
+    )
+    rev = knn.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("nbr_id").alias("vec_id"),
+        F.col("rank").alias("rank_back"),
+    )
+    return (
+        knn.join(rev, ["vec_id", "nbr_id"])
+        .filter(F.col("vec_id") < F.col("nbr_id"))
+        .select(
+            F.col("vec_id").alias("a_id"),
+            F.col("nbr_id").alias("b_id"),
+            "cosine",
+            F.col("rank").cast("int").alias("rank_ab"),
+            F.col("rank_back").cast("int").alias("rank_ba"),
+        )
+    )
+
+
+SQL_ANN_KNN_GRAPH = f"""
+WITH base AS (
+  SELECT vec_id, {_Q_SQL} AS q, {_BUCKET_SQL} AS bucket FROM embeddings
+),
+normed AS (
+  SELECT vec_id, q, bucket, list_dot_product(q, q) AS norm2 FROM base
+),
+scored AS (
+  SELECT a.vec_id, b.vec_id AS nbr_id,
+         list_dot_product(a.q, b.q)
+         / (sqrt(a.norm2) * sqrt(b.norm2)) AS cosine
+  FROM normed a JOIN normed b
+    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+knn AS (
+  SELECT vec_id, nbr_id, cosine, rank FROM (
+    SELECT vec_id, nbr_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cosine DESC, nbr_id ASC) AS rank
+    FROM scored)
+  WHERE rank <= {KNN_K}
+)
+SELECT f.vec_id AS a_id, f.nbr_id AS b_id, f.cosine,
+       CAST(f.rank AS INTEGER) AS rank_ab,
+       CAST(r.rank AS INTEGER) AS rank_ba
+FROM knn f JOIN knn r
+  ON r.vec_id = f.nbr_id AND r.nbr_id = f.vec_id
+WHERE f.vec_id < f.nbr_id
+"""
+
+
 QUERIES = {
+    "ann_knn_graph_mutual": q_ann_knn_graph_mutual,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_gram_matrix": q_embedding_gram_matrix,
     "embedding_quantize_int8": q_embedding_quantize_int8,
@@ -1866,6 +1976,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "ann_knn_graph_mutual": SQL_ANN_KNN_GRAPH,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "embedding_gram_matrix": SQL_EMBEDDING_GRAM,
     "embedding_quantize_int8": SQL_EMBEDDING_QUANTIZE_INT8,

@@ -2283,7 +2283,71 @@ def _sql_intradoc_dup() -> str:
 SQL_TEXT_INTRADOC_DUP = _sql_intradoc_dup()
 
 
+# -- SQL scalar UDF (CREATE FUNCTION ... RETURN) ---------------------------
+
+#: keep threshold the SQL-UDF report buckets on (matches pipeline)
+SQL_UDF_MIN_QUALITY = 0.5
+
+
+def q_sql_scalar_udf_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SQL SCALAR UDF surface: the corpus quality score defined ONCE as
+    a catalog function (``CREATE FUNCTION … RETURN <expr>``, SQL:2016
+    PSM-lite — Spark inlines the body into the plan, so it runs in
+    whole-stage codegen, NOT as an opaque black box like a Python UDF)
+    and reused by a per-language keep-rate report.  This is how a
+    SQL-only team shares the quality definition across every query
+    that filters on it — the governance story behind
+    ``quality_score_expr`` without importing Python.
+
+    The oracle inlines the identical arithmetic (DuckDB macros can't
+    ride a single-statement check); min/max of doubles are order-free
+    selections, the keep counts are integers — all hash-check."""
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView(
+        "documents"
+    )
+    spark.sql(f"""
+CREATE OR REPLACE TEMPORARY FUNCTION __doc_quality(ws ARRAY<STRING>)
+RETURNS DOUBLE
+RETURN 0.4 * least(CAST(size(ws) AS DOUBLE) / 50.0, 1.0)
+     + 0.3 * (CAST(size(array_distinct(ws)) AS DOUBLE) / size(ws))
+     + 0.3 * (1.0 - CAST(size(filter(ws, t -> t IN ({_STOP_IN}))) AS DOUBLE)
+              / size(ws))
+""")
+    return spark.sql(f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(CASE WHEN __doc_quality(ws) >= {SQL_UDF_MIN_QUALITY}
+                THEN 1 ELSE 0 END) AS n_keep,
+       MIN(__doc_quality(ws)) AS min_quality,
+       MAX(__doc_quality(ws)) AS max_quality
+FROM (SELECT lang, split(text, ' ') AS ws FROM documents)
+GROUP BY lang
+""")
+
+
+SQL_SCALAR_UDF_QUALITY = f"""
+WITH scored AS (
+  SELECT lang,
+         0.4 * least(CAST(len(ws) AS DOUBLE) / 50.0, 1.0)
+         + 0.3 * (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws))
+         + 0.3 * (1.0 - CAST(len(list_filter(ws, t -> t IN ({_STOP_IN})))
+                  AS DOUBLE) / len(ws)) AS q
+  FROM (SELECT lang, string_split(text, ' ') AS ws FROM documents)
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN q >= {SQL_UDF_MIN_QUALITY} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_keep,
+       MIN(q) AS min_quality,
+       MAX(q) AS max_quality
+FROM scored GROUP BY lang
+"""
+
+
 QUERIES = {
+    "sql_scalar_udf_quality": q_sql_scalar_udf_quality,
     "text_token_stats": q_text_token_stats,
     "text_intradoc_dup_ngrams": q_text_intradoc_dup_ngrams,
     "text_bpe_pair_counts": q_text_bpe_pair_counts,
@@ -2321,6 +2385,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "sql_scalar_udf_quality": SQL_SCALAR_UDF_QUALITY,
     "text_token_stats": SQL_TOKEN_STATS,
     "text_bpe_pair_counts": SQL_TEXT_BPE_PAIRS,
     "text_intradoc_dup_ngrams": SQL_TEXT_INTRADOC_DUP,

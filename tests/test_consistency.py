@@ -742,3 +742,35 @@ def test_anomaly_mad_matches_cpython_reference(spark):
             if n > med + MAD_K * mad:
                 expect[(et, hour)] = (n, med, mad)
     assert got == expect
+
+
+def test_sql_udf_quality_agrees_with_dataframe_scorer(spark):
+    """The catalog-function quality definition must reproduce the
+    DataFrame ``quality_score_expr`` report exactly: same per-language
+    doc counts, keep counts, and min/max scores."""
+    from pu4spark_spark.operators.text import (
+        SQL_UDF_MIN_QUALITY,
+        q_sql_scalar_udf_quality,
+        q_text_quality,
+    )
+
+    got = {
+        r["lang"]: (
+            r["n_docs"], r["n_keep"], r["min_quality"], r["max_quality"]
+        )
+        for r in q_sql_scalar_udf_quality(spark, SF).collect()
+    }
+    per_doc = q_text_quality(spark, SF).collect()
+    by_lang: dict = {}
+    for r in per_doc:
+        by_lang.setdefault(r["lang"], []).append(r["quality_score"])
+    expect = {
+        lang: (
+            len(qs),
+            sum(1 for q in qs if q >= SQL_UDF_MIN_QUALITY),
+            min(qs),
+            max(qs),
+        )
+        for lang, qs in by_lang.items()
+    }
+    assert got == expect

@@ -273,3 +273,64 @@ def test_cluster_size_histogram_conservation(spark):
     for r in rows:
         assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
     assert any(r["cluster_size"] == 1 for r in rows)  # singletons present
+
+
+def test_knn_graph_mutuality_and_rank_bounds(spark):
+    """Every edge must be reciprocal (rank_ab and rank_ba both ≤ K),
+    appear once with a_id < b_id, and agree with an independently
+    computed per-node top-K over the same bucket candidates."""
+    from pu4spark_spark.operators.similarity import (
+        KNN_K,
+        LSH_DIMS,
+        q_ann_knn_graph_mutual,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_ann_knn_graph_mutual(spark, sf).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r["a_id"] < r["b_id"]
+        assert 1 <= r["rank_ab"] <= KNN_K
+        assert 1 <= r["rank_ba"] <= KNN_K
+        assert -1.0 <= r["cosine"] <= 1.0
+        key = (r["a_id"], r["b_id"])
+        assert key not in seen
+        seen.add(key)
+    # reference: recompute knn lists in CPython over quantized vectors
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    import math
+
+    qv = {
+        r["vec_id"]: [math.floor(float(x) * 1000) for x in r["embedding"]]
+        for r in emb
+    }
+    bucket = {
+        r["vec_id"]: tuple(
+            1 if r["embedding"][d] >= 0 else 0 for d in LSH_DIMS
+        )
+        for r in emb
+    }
+    by_bucket: dict = {}
+    for vid, b in bucket.items():
+        by_bucket.setdefault(b, []).append(vid)
+    norm2 = {vid: sum(x * x for x in v) for vid, v in qv.items()}
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(qv[a], qv[b])) / (
+            math.sqrt(norm2[a]) * math.sqrt(norm2[b])
+        )
+
+    knn = {}
+    for b, vids in by_bucket.items():
+        for a in vids:
+            cands = sorted(
+                ((cos(a, o), -o) for o in vids if o != a), reverse=True
+            )[:KNN_K]
+            knn[a] = {(-negid): i + 1 for i, (c, negid) in enumerate(cands)}
+    expect = set()
+    for a, nbrs in knn.items():
+        for b in nbrs:
+            if a < b and a in knn.get(b, {}):
+                expect.add((a, b))
+    assert seen == expect
