@@ -76,76 +76,68 @@ if missing:
 #: committed full-registry self-check (``tools/check_oracle.py`` →
 #: ``CORRECTNESS_FULL_r0N``).
 DRIVER_FIRST = [
-    # Round-7 rotation (VERDICT r6 #2): r01∪…∪r06 witness 208 of 230.
-    # Window = (A) the LAST 6 never-witnessed oracle-backed queries —
-    # after this round every oracle-backed query has driver-hash
-    # evidence; (B) ALL 10 new r7 oracle-backed queries; (C) ALL 16
-    # never-witnessed rows-only entries, so even the ML/sketch paths
-    # get driver rows-evidence at least once; (D) re-verification
-    # slots: the three queries this round's perf work rewrote (their
-    # oracles must be re-witnessed on the NEW plans), then the
-    # cheapest already-witnessed queries by sf0.1 bench time.
-    # -- A: the witness-program tail ------------------------------------
-    "events_type_drift",               # 0.275
-    "pipeline_observed_metrics",       # 0.582
-    "dedup_bow_cosine",                # 1.262
-    "ann_binary_hamming_recall",       # 1.863
-    "part_association_rules",          # 1.979
-    "dedup_cluster_size_histogram",    # 2.019
-    # -- B: new in r7 ---------------------------------------------------
-    "pu_bagging_trace",                # OOB protocol, hash-checked
-    "ann_ivf_tuning",                  # nprobe tuning table
-    "fmt_pyds_snapshot_read",          # manifest time travel
-    "fmt_pyds_snapshot_diff",          # CDC between snapshots
-    "fmt_pyds_compaction",             # rewrite commit + vacuum contract
-    "ann_rerank_topk",                 # retrieve→rerank
-    "dedup_cluster_quality",           # what-did-dedup-keep report
-    "dedup_clusters_incremental",      # cluster maintenance == full CC
-    "pipeline_drop_reasons",           # record-level provenance
-    "curation_sequence_pack",          # sample-packing audit
-    "pu_doc_quality_soft_lr",          # weightCol soft-dedup training
-    "ann_pq_adc_recall",               # PQ+ADC compression eval
-    "sql_asof_click_purchase",         # SQL-dialect as-of twin
-    "mm_payload_byte_stats",           # payload integrity audit
-    "ann_ivf_partitioned_probe",       # cell-partitioned IVF layout
-    "pu_spy_trace",                    # spy quantile calibration
-    "pu_elkan_trace",                  # e1 calibration
-    "curation_pseudonymize_events",    # keyed tokenization
-    "curation_user_coherent_sample",   # entity-coherent downsample
-    "streaming_quality_router",        # multi-sink foreachBatch fan-out
-    "orders_pivot_status",             # long→wide pivot, values pinned
-    "dedup_span_removal",              # exact-substring removal pass
-    "curation_token_offsets",          # distributed prefix-sum index
-    "events_dense_hourly",             # generated-grid zero fill
-    "part_fuzzy_matches",              # blocked levenshtein linkage
-    "curation_eval_holdout",           # fixed k-per-stratum hash sample
-    # -- E: late-r7 additions past the 50-slot window; r8 rotation picks
-    # them up (rotation.py ranks never-witnessed first)
-    "dedup_prefix_filter_join",        # exact AllPairs/PPJoin
-    "events_time_weighted_value",      # TWAP metering aggregate
-    "events_purge_maintenance",        # retraction-record view refresh
-    "events_top_paths",                # ordered trigram path analysis
-    "fmt_pyds_stats_pruning",          # zonemap shard skipping
-    # -- C: rows-only, never driver-witnessed ---------------------------
-    "pu_spy_em_lr",                    # 1.385
-    "pu_elkan_noto_lr",                # 0.688
-    "pu_bagging_lr",                   # 2.266
-    "pu_class_prior",                  # 0.689
-    "pu_f1_proxy",                     # 0.742
-    "pu_auc_zero_step",                # 0.701
-    "dedup_pagerank",                  # 4.939
-    "ann_ivf_recall",                  # 2.027
-    # (dedup_minhash_ml_slice / ann_ivf: explicitly-labeled MLlib parity
-    # demos — ceded their slots to the r7 late-wave oracle queries)
-    "embedding_pca_project",           # 1.722
-    "text_bpe_learn_merges",           # 1.765
-    "text_bpe_encode",                 # 2.134
-    "mm_cdc_chunks",                   # 0.502
-    "mm_cdc_dup_chunks",               # 0.637
+    # Round-8 rotation: the witness program completed in r7 (every
+    # oracle-backed query has driver-hash evidence; only 3 rows-only
+    # entries — two of them labeled parity demos — were never
+    # windowed).  Window = (A) ALL 8 new r8 queries; (B) the 3
+    # never-witnessed rows-only entries, closing the program
+    # completely; (C) re-verification of every query whose code path
+    # changed this round (ADVICE hardening + the prefix-join plan
+    # fix); (D) cheapest already-witnessed fillers by sf0.1 bench sec.
+    # -- A: new in r8 ----------------------------------------------------
+    "sql_recursive_dup_hops",          # WITH RECURSIVE BFS (Spark 4.1)
+    "sql_scalar_udf_quality",          # CREATE FUNCTION ... RETURN
+    "events_ewma_value",               # ordered-fold sequential state
+    "events_interpolate_gaps",         # linear gap fill on the grid
+    "events_anomaly_mad",              # robust median/MAD fences
+    "curation_weighted_sample",        # DLT priority sampling
+    "ann_knn_graph_mutual",            # mutual kNN graph (LSH-bucketed)
+    "dedup_kcore",                     # rows-only: iterative peeling
+    # -- B: last never-witnessed rows-only entries ------------------------
     "fmt_file_metadata_audit",         # 1.964
-    # -- D: re-verification (rewritten this round first) ---------------
-    "sql_docs_clean",                  # CACHE TABLE staging (r7)
-    "corpus_lang_similarity",          # 36→9-shuffle restack (r7)
+    "dedup_minhash_ml_slice",          # MLlib parity demo
+    "ann_ivf",                         # MLlib parity demo
+    # -- C: re-verification of r8-touched code paths ----------------------
+    "dedup_prefix_filter_join",        # filter-below-repartition fix
+    "curation_pseudonymize_events",    # NULL-propagating pseudonym
+    "streaming_quality_router",        # per-batch idempotent sinks
+    "fmt_pyds_compaction",             # staged two-step shard moves
+    "fmt_pyds_snapshot_read",          # atomic metadata commits
+    "fmt_pyds_snapshot_diff",          # atomic metadata commits
+    "fmt_pyds_stats_pruning",          # atomic _STATS commit
+    "fmt_pyds_jsonl_roundtrip",        # reader over new writer layout
+    "fmt_pyds_jsonl_write_roundtrip",  # writer commit protocol
+    "dedup_minhash_lsh",               # shared shingle helper touched
+    "dedup_clusters",                  # downstream of the pair graph
+    "dedup_incremental",               # downstream of the pair graph
+    "dedup_ngram_jaccard",             # downstream of the pair graph
+    "dedup_bow_cosine",                # downstream of the pair graph
+    "dedup_cluster_quality",           # downstream of canonical docs
+    # -- D: cheapest witnessed fillers (sf0.1 bench sec ascending) --------
+    "dedup_exact_docs",                # 0.157
+    "embedding_quantize_int8",         # 0.178
+    "curation_shard_pack",             # 0.200
+    "embedding_label_centroids",       # 0.229
+    "customers_without_orders",        # 0.253
+    "text_corpus_stats",               # 0.253
+    "text_quality",                    # 0.269
+    "customers_with_urgent_orders",    # 0.278
+    "monthly_revenue",                 # 0.295
+    "text_heavy_hitters",              # 0.330
+    "mm_decode_features",              # 0.347
+    "q14_promo_revenue",               # 0.355
+    "events_hourly",                   # 0.358
+    "orders_zorder_layout",            # 0.380
+    "range_click_purchases",           # 0.390
+    "top_customers_per_nation",        # 0.407
+    "text_commonness",                 # 0.415
+    "curation_pii_redact",             # 0.446
+    "dedup_embedding_cosine",          # 0.498
+    "asof_next_purchase",              # 0.510
+    "events_sessionized",              # 0.522
+    "ann_cosine_topk",                 # 0.643
+    "asof_click_purchase",             # 0.646
+    "cube_status_priority",            # 0.653
 ]
 
 
@@ -165,6 +157,7 @@ _ROWS_ONLY_WINDOWED = {
     "ann_ivf_recall", "embedding_pca_project", "text_bpe_learn_merges",
     "text_bpe_encode", "mm_cdc_chunks", "mm_cdc_dup_chunks",
     "fmt_file_metadata_audit", "pu_doc_quality_soft_lr",
+    "dedup_kcore",
 }
 _no_oracle_first = [
     n

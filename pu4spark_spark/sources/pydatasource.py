@@ -371,9 +371,14 @@ class JsonlDocsReader(DataSourceReader):
         ]
 
     def read(self, partition):
-        # runs on the executor's Python worker: stream one shard
+        # runs on the executor's Python worker: stream one shard.
+        # partition is None when partitions() returned [] (the zonemap
+        # pruned EVERY shard) — PySpark substitutes a single default
+        # partition in that case, which must scan nothing.
         import json
 
+        if partition is None:
+            return
         with open(partition.value) as fh:
             for line in fh:
                 if not line.strip():
