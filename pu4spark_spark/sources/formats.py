@@ -301,11 +301,73 @@ GROUP BY lang
 """
 
 
+def q_fmt_xml_roundtrip(spark: SparkSession, sf_dir: str):
+    """XML source/sink (built into Spark 4 as ``format("xml")``) —
+    the interchange format enterprise feeds still arrive in.  Parts
+    serialize as ``<part>`` row elements, round-trip through the XML
+    reader with an EXPLICIT schema (inference on XML is an extra full
+    pass, same policy as the other text formats here), and the
+    per-brand aggregate must match the parquet truth.  The XML reader
+    splits on row tags, so the scan parallelizes over files like any
+    text source."""
+    from pyspark.sql import functions as F
+
+    from pu4spark_spark.sources import load_table
+
+    from pu4spark_spark.plans import spread
+
+    parts = spread(
+        load_table(spark, "part", sf_dir).select(
+            "p_partkey", "p_brand", "p_size", "p_retailprice"
+        )
+    )
+    path = _scratch(sf_dir, "xml")
+    (
+        parts.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "parts")
+        .option("rowTag", "part")
+        .save(path)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "part")
+        .schema(
+            "p_partkey bigint, p_brand string, p_size bigint, "
+            "p_retailprice double"
+        )
+        .load(path)
+    )
+    return back.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.sum("p_size").alias("sum_size"),
+        F.min("p_partkey").alias("first_part"),
+        F.max("p_partkey").alias("last_part"),
+    )
+
+
+SQL_FMT_XML_ROUNDTRIP = """
+SELECT p_brand,
+       COUNT(*) AS n_parts,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_price,
+       CAST(SUM(p_size) AS BIGINT) AS sum_size,
+       MIN(p_partkey) AS first_part,
+       MAX(p_partkey) AS last_part
+FROM part
+GROUP BY p_brand
+"""
+
+
 QUERIES = {
     "fmt_csv_roundtrip": q_fmt_csv_roundtrip,
     "fmt_text_roundtrip": q_fmt_text_roundtrip,
     "fmt_json_roundtrip": q_fmt_json_roundtrip,
     "fmt_orc_roundtrip": q_fmt_orc_roundtrip,
+    "fmt_xml_roundtrip": q_fmt_xml_roundtrip,
 }
 
 ORACLE_SQL = {
@@ -313,6 +375,7 @@ ORACLE_SQL = {
     "fmt_text_roundtrip": SQL_FMT_TEXT_ROUNDTRIP,
     "fmt_json_roundtrip": SQL_FMT_JSON_ROUNDTRIP,
     "fmt_orc_roundtrip": SQL_FMT_ORC_ROUNDTRIP,
+    "fmt_xml_roundtrip": SQL_FMT_XML_ROUNDTRIP,
 }
 
 
