@@ -2318,8 +2318,75 @@ FROM ranked WHERE rank <= {PRIORITY_SAMPLE_K}
 """
 
 
+# -- privacy: k-anonymity suppression -------------------------------------
+
+K_ANON_K = 10
+
+
+def q_curation_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release (suppression form): customers grouped by
+    the quasi-identifier pair (market segment, nation); any QI cell
+    with fewer than k members is SUPPRESSED — its rows re-aggregate
+    into a single ``*``/``*`` residual cell — so no published row
+    describes fewer than k people.  The privacy partner to
+    :func:`q_curation_pseudonymize_events` (tokenization hides WHO,
+    k-anonymity hides small crowds).
+
+    Shapes at 100 TB: one groupBy over the QI pair (map-side combined;
+    QI cardinality is segments × nations, tiny), then a second
+    aggregate over the relabeled cells that is bounded by the CELL
+    count, not the row count — the relabel + re-aggregate never
+    touches the raw table again."""
+    cust = load_table(spark, "customer", sf_dir)
+    cells = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("bal"),
+    )
+    ok = F.col("n") >= K_ANON_K
+    return (
+        cells.select(
+            F.when(ok, F.col("c_mktsegment")).otherwise("*").alias("segment"),
+            F.when(ok, F.col("c_nationkey").cast("string"))
+            .otherwise("*")
+            .alias("nation"),
+            "n",
+            "bal",
+        )
+        .groupBy("segment", "nation")
+        .agg(
+            F.sum("n").alias("n_customers"),
+            F.sum("bal").cast("double").alias("sum_acctbal"),
+        )
+    )
+
+
+SQL_K_ANONYMITY = f"""
+WITH cells AS (
+  SELECT c_mktsegment, c_nationkey,
+         COUNT(*) AS n,
+         SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS bal
+  FROM customer
+  GROUP BY c_mktsegment, c_nationkey
+),
+relabeled AS (
+  SELECT CASE WHEN n >= {K_ANON_K} THEN c_mktsegment ELSE '*' END
+             AS segment,
+         CASE WHEN n >= {K_ANON_K} THEN CAST(c_nationkey AS VARCHAR)
+              ELSE '*' END AS nation,
+         n, bal
+  FROM cells
+)
+SELECT segment, nation,
+       CAST(SUM(n) AS BIGINT) AS n_customers,
+       CAST(SUM(bal) AS DOUBLE) AS sum_acctbal
+FROM relabeled
+GROUP BY segment, nation
+"""
+
+
 QUERIES = {
     "curation_pii_redact": q_curation_pii_redact,
+    "curation_k_anonymity": q_curation_k_anonymity,
     "curation_weighted_sample": q_curation_weighted_sample,
     "pipeline_corpus_release": q_pipeline_corpus_release,
     "curation_decontaminate": q_curation_decontaminate,
@@ -2352,6 +2419,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "curation_pii_redact": SQL_PII_REDACT,
+    "curation_k_anonymity": SQL_K_ANONYMITY,
     "pipeline_corpus_release": SQL_PIPELINE_CORPUS_RELEASE,
     "curation_decontaminate": SQL_DECONTAMINATE,
     "curation_domain_mix": SQL_DOMAIN_MIX,

@@ -347,6 +347,35 @@ GROUP BY user_id, sid
 """
 
 
+def q_events_session_window_fn(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Native ``session_window`` sessionization — Spark's built-in
+    session operator (the same one Structured Streaming's stateful
+    session aggregation uses) run in batch, value-checked against the
+    SAME gap-and-island oracle as :func:`q_events_sessionized`.  The
+    two queries prove both expressions of the semantics: the windowed
+    island construction above, and the engine-native operator here
+    (one ``groupBy(user_id, session_window(ts, gap))`` — Catalyst
+    plans a single hash-partition on user_id and merges overlapping
+    sessions inside the aggregate, no window functions at all).
+    ``session_window.end`` is defined as last_ts + gap, matching the
+    island oracle's ``MAX(ts) + INTERVAL 30 MINUTE`` exactly."""
+    events = load_table(spark, "events", sf_dir)
+    return (
+        events.groupBy(
+            "user_id", F.session_window("ts", "30 minutes")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 # -- window: running aggregate ------------------------------------------
 
 def q_customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -856,6 +885,36 @@ def q_events_user_cardinality_approx(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def q_events_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE HLL sketch maintenance (Apache DataSketches via Spark's
+    ``hll_sketch_agg`` / ``hll_union_agg``): distinct-user sketches are
+    built per (event_type, day) — the granularity an incremental rollup
+    job materializes — then the per-type total uniques come from
+    UNIONING the stored day sketches, never re-reading raw events.
+    This is the 100 TB cardinality pattern: each day's ingest appends a
+    fixed-size (kb) sketch row; any rollup window (week, month, all
+    time) is a sketch merge over rollup-sized input.  The exact
+    distinct count rides the same query so the estimate is evaluated,
+    not trusted: the fixture pins relative error < 2 % (lgConfigK=14,
+    pytest-gated).  Estimates are engine-specific → rows-only check."""
+    events = load_table(spark, "events", sf_dir)
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk", False)).alias(
+            "est_users"
+        ),
+    )
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type", "n_days", "est_users", "exact_users"
+    )
+
+
 # -- semi / anti joins ----------------------------------------------------
 
 def q_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1028,6 +1087,44 @@ def q_sql_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     any DataFrame query (same pushdown, same exact-decimal discipline)."""
     load_table(spark, "part", sf_dir).createOrReplaceTempView("part")
     return spark.sql(SQL_PARTS_BY_BRAND)
+
+
+#: SQL pipe syntax (Spark 4's ``|>`` operator chain, SPARK-49555): the
+#: linear FROM → WHERE → AGGREGATE → WHERE(HAVING) form.  Each pipe
+#: stage is planned by Catalyst exactly like its nested-SQL equivalent
+#: — same single hash aggregate, same pushdown — so the oracle below is
+#: the ANSI spelling of the identical plan.
+SQL_PIPE_ORDERS_SPARK = """
+FROM orders
+|> WHERE o_orderdate >= TIMESTAMP_NTZ '1995-01-01 00:00:00'
+|> AGGREGATE COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_price
+   GROUP BY o_orderstatus, o_orderpriority
+|> WHERE n_orders > 5
+"""
+
+SQL_PIPE_ORDERS_ORACLE = """
+SELECT o_orderstatus,
+       o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+GROUP BY o_orderstatus, o_orderpriority
+HAVING COUNT(*) > 5
+"""
+
+
+def q_sql_pipe_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL *pipe syntax* front-end: the same filtered-aggregate-HAVING
+    analytics as a ``|>`` chain — the query shape a user migrating
+    from a dataframe mindset writes in pure SQL.  Value-checked
+    against the ANSI spelling (the DuckDB oracle), proving the pipe
+    parser feeds the identical Catalyst plan."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
+    return spark.sql(SQL_PIPE_ORDERS_SPARK)
 
 
 def q_salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4091,6 +4188,12 @@ QUERIES = {
     "monthly_revenue": q_monthly_revenue,
     "events_hourly": q_events_hourly,
     "events_sessionized": q_events_sessionized,
+    "events_session_window_fn": q_events_session_window_fn,
+    "sql_pipe_orders": q_sql_pipe_orders,
+    # events_hll_sketch_merge: DataSketches estimates are
+    # engine-specific — rows-only; error bound pytest-gated in
+    # tests/test_relational.py
+    "events_hll_sketch_merge": q_events_hll_sketch_merge,
     "events_json_stats": q_events_json_stats,
     "events_user_gaps_pandas": q_events_user_gaps_pandas,
     "events_funnel": q_events_funnel,
@@ -4167,6 +4270,8 @@ ORACLE_SQL = {
     "monthly_revenue": SQL_MONTHLY_REVENUE,
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sessionized": SQL_EVENTS_SESSIONIZED,
+    "events_session_window_fn": SQL_EVENTS_SESSIONIZED,
+    "sql_pipe_orders": SQL_PIPE_ORDERS_ORACLE,
     "events_json_stats": SQL_EVENTS_JSON,
     "events_user_gaps_pandas": SQL_EVENTS_USER_GAPS,
     "events_funnel": SQL_EVENTS_FUNNEL,

@@ -93,6 +93,12 @@ DRIVER_FIRST = [
     "curation_weighted_sample",        # DLT priority sampling
     "ann_knn_graph_mutual",            # mutual kNN graph (LSH-bucketed)
     "dedup_kcore",                     # rows-only: iterative peeling
+    "fmt_xml_roundtrip",               # Spark 4 native XML source/sink
+    "events_session_window_fn",        # native session_window vs islands
+    "sql_pipe_orders",                 # SQL |> pipe-syntax front-end
+    "curation_k_anonymity",            # QI suppression release
+    "events_hll_sketch_merge",         # rows-only: DataSketches merge
+    "streaming_restart_resume",        # checkpoint recovery, hash-checked
     # -- B: last never-witnessed rows-only entries ------------------------
     "fmt_file_metadata_audit",         # 1.964
     "dedup_minhash_ml_slice",          # MLlib parity demo
@@ -132,12 +138,6 @@ DRIVER_FIRST = [
     "top_customers_per_nation",        # 0.407
     "text_commonness",                 # 0.415
     "curation_pii_redact",             # 0.446
-    "dedup_embedding_cosine",          # 0.498
-    "asof_next_purchase",              # 0.510
-    "events_sessionized",              # 0.522
-    "ann_cosine_topk",                 # 0.643
-    "asof_click_purchase",             # 0.646
-    "cube_status_priority",            # 0.653
 ]
 
 
@@ -157,7 +157,7 @@ _ROWS_ONLY_WINDOWED = {
     "ann_ivf_recall", "embedding_pca_project", "text_bpe_learn_merges",
     "text_bpe_encode", "mm_cdc_chunks", "mm_cdc_dup_chunks",
     "fmt_file_metadata_audit", "pu_doc_quality_soft_lr",
-    "dedup_kcore",
+    "dedup_kcore", "events_hll_sketch_merge",
 }
 _no_oracle_first = [
     n

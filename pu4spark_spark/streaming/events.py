@@ -502,7 +502,101 @@ FROM agg, wm
 WHERE hour + INTERVAL 1 HOUR <= w
 """
 
+def q_streaming_restart_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKPOINT RECOVERY, value-checked: the exactly-once-across-
+    restarts contract every production stream depends on.  Half the
+    events land, a checkpointed aggregation drains them and STOPS (a
+    deploy, a crash); the other half lands; the SAME query restarts
+    from the checkpoint and drains again.  The restarted run recovers
+    the phase-1 aggregation state from the state store and its source
+    log skips the already-committed files, so the final complete-mode
+    table must equal the batch aggregate over ALL events — phase-1
+    rows counted exactly once.  If restart re-read the committed files
+    into recovered state, every phase-1 count would double and the
+    hash check would fail; the oracle is therefore a real witness of
+    the resume semantics, not just of the aggregation.
+
+    Money is summed in integer cents (exact, order-independent) so the
+    restart boundary can never show up as float drift.  At 100 TB this
+    is the nightly-deploy path: state shuffles once on event_type, the
+    restarted run's work is sized by the NEW files only."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pu4spark_spark.sources import load_table
+    from pu4spark_spark.streaming.drain import drain_partitions
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_restart_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    landing = os.path.join(base, "landing")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(landing)
+
+    events = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    schema = events.schema
+
+    def _land(phase: str, df) -> None:
+        """Write one phase's slice and move its part files into the
+        landing dir (atomic renames — files appear whole, exactly how
+        a feed delivers them)."""
+        stage = os.path.join(base, f"stage_{phase}")
+        df.coalesce(2).write.mode("overwrite").parquet(stage)
+        for f in os.listdir(stage):
+            if f.endswith(".parquet"):
+                os.replace(
+                    os.path.join(stage, f),
+                    os.path.join(landing, f"{phase}-{f}"),
+                )
+
+    name = f"restart_resume_{uuid.uuid4().hex[:8]}"
+
+    def _drain_once() -> None:
+        stream = spark.readStream.schema(schema).parquet(landing)
+        agg = stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+            ).alias("total_cents"),
+        )
+        with drain_partitions(spark, 8):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            q.stop()
+
+    _land("a", events.filter(F.col("event_id") % 2 == 0))
+    _drain_once()  # phase 1: half the data, then "deploy"
+    _land("b", events.filter(F.col("event_id") % 2 == 1))
+    _drain_once()  # restart from checkpoint: new files only
+    return spark.table(name)
+
+
+SQL_STREAMING_RESTART_RESUME = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS total_cents
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
+    "streaming_restart_resume": q_streaming_restart_resume,
     "streaming_events_hourly": q_streaming_events_hourly,
     "streaming_sliding_windows": q_streaming_sliding_windows,
     "streaming_static_enrich": q_streaming_static_enrich,
@@ -513,6 +607,7 @@ QUERIES = {
     "streaming_hourly_file_sink": q_streaming_hourly_file_sink,
 }
 ORACLE_SQL = {
+    "streaming_restart_resume": SQL_STREAMING_RESTART_RESUME,
     "streaming_events_hourly": SQL_STREAMING_EVENTS_HOURLY,
     "streaming_sliding_windows": SQL_STREAMING_SLIDING,
     "streaming_static_enrich": SQL_STREAMING_STATIC_ENRICH,

@@ -874,3 +874,24 @@ def test_pseudonym_null_propagates(spark):
     assert rows[None] is None
     assert rows[""] is not None and rows["u1"] is not None
     assert rows[""] != rows["u1"]
+
+
+def test_k_anonymity_guarantee_and_mass_preservation(spark):
+    """Every published QI cell must cover >= k customers; the
+    suppressed residual absorbs the rest so the total is preserved
+    (suppression hides small crowds, it must not drop them)."""
+    from pu4spark_spark.operators.curation import (
+        K_ANON_K,
+        q_curation_k_anonymity,
+    )
+    from pu4spark_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.01"
+    rows = q_curation_k_anonymity(spark, sf).collect()
+    total = load_table(spark, "customer", sf).count()
+    assert sum(r["n_customers"] for r in rows) == total
+    for r in rows:
+        if r["segment"] != "*":
+            assert r["n_customers"] >= K_ANON_K
+        # suppression is all-or-nothing on the QI pair
+        assert (r["segment"] == "*") == (r["nation"] == "*")

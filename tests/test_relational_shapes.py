@@ -159,3 +159,55 @@ def test_histogram_quantile_sketch_error_bound(spark):
         assert abs(r["quantile_est"] - true_q) <= bin_w + 1e-9, (
             r["p"], r["quantile_est"], true_q, bin_w,
         )
+
+
+def test_session_window_fn_equals_island_sessionization(spark):
+    """Native session_window must produce EXACTLY the gap-and-island
+    sessions (same starts, same end = last_ts + gap, same counts) —
+    the two expressions of the semantics cross-check each other."""
+    from pu4spark_spark.operators.relational import (
+        q_events_session_window_fn,
+        q_events_sessionized,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    key = lambda r: (r["user_id"], r["session_start"])  # noqa: E731
+    native = sorted(
+        q_events_session_window_fn(spark, sf).collect(), key=key
+    )
+    island = sorted(q_events_sessionized(spark, sf).collect(), key=key)
+    assert [tuple(r) for r in native] == [tuple(r) for r in island]
+
+
+def test_hll_sketch_merge_error_bound(spark):
+    """Merged day-sketches must estimate per-type uniques within the
+    lgConfigK=14 error envelope (rse ≈ 0.8%; gate at 2%) — the
+    fixture-side proof the rows-only query's estimates are usable."""
+    from pu4spark_spark.operators.relational import (
+        q_events_hll_sketch_merge,
+    )
+
+    rows = q_events_hll_sketch_merge(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n_days"] > 1  # sketches were really merged
+        rel = abs(r["est_users"] - r["exact_users"]) / r["exact_users"]
+        assert rel < 0.02, (r["event_type"], r["est_users"], r["exact_users"])
+
+
+def test_pipe_syntax_equals_ansi_plan(spark):
+    """The |> chain and its ANSI spelling must return identical rows —
+    the pipe parser is a front-end, not a different engine."""
+    from pu4spark_spark.operators.relational import (
+        SQL_PIPE_ORDERS_ORACLE,
+        q_sql_pipe_orders,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    piped = {tuple(r) for r in q_sql_pipe_orders(spark, sf).collect()}
+    # the oracle text is ANSI — Spark parses it too (orders view is
+    # registered by the query call above)
+    ansi = {tuple(r) for r in spark.sql(SQL_PIPE_ORDERS_ORACLE).collect()}
+    assert piped == ansi and len(piped) > 0

@@ -367,3 +367,32 @@ def test_tombstone_survives_out_of_order_replay(spark, tmp_path):
     assert rows[7]["op"] == "D" and rows[7]["version"] == 2
     # ...and the read-out contract hides it
     assert snapshot.filter(F.col("op") != "D").count() == 0
+
+
+def test_restart_resume_recovers_state_with_new_data(spark):
+    """The restart-resume drain (phase-1 files -> stop -> phase-2
+    files -> restart from checkpoint) must equal the batch aggregate
+    over ALL events: recovered state counts phase-1 exactly once."""
+    from pyspark.sql import functions as F
+
+    from pu4spark_spark.sources import load_table
+    from pu4spark_spark.streaming.events import q_streaming_restart_resume
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_type"]: (r["n_events"], r["total_cents"])
+        for r in q_streaming_restart_resume(spark, sf).collect()
+    }
+    want = {
+        r["event_type"]: (r["n_events"], r["total_cents"])
+        for r in load_table(spark, "events", sf)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+            ).alias("total_cents"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
