@@ -480,6 +480,40 @@ AUDITED = {
         "microseconds, the sums decimal — only the last division is "
         "IEEE."
     ),
+    "events_session_window_fn": (
+        "Native session_window: ONE user_id exchange into a "
+        "session-merging aggregate — no window functions, no island "
+        "arithmetic; the operator Structured Streaming uses for "
+        "stateful sessions, here in batch, hash-matching the "
+        "gap-and-island oracle."
+    ),
+    "events_hll_sketch_merge": (
+        "Mergeable-sketch rollup: day-grain hll_sketch_agg (fixed "
+        "kb-sized state per group, map-side combined), a second "
+        "aggregate UNIONS the stored sketches — rollup input is "
+        "sketch-count-sized, never raw-event-sized; the exact "
+        "count_distinct side rides its own two-phase aggregate for "
+        "the error gate."
+    ),
+    "curation_k_anonymity": (
+        "k-anonymity suppression: first groupBy reduces the corpus to "
+        "QI cells (map-side combined, |segments|x|nations| keys); the "
+        "relabel + residual re-aggregate runs over the CELL table "
+        "only — the raw table is scanned exactly once."
+    ),
+    "ann_knn_graph_mutual": (
+        "Mutual kNN: sign-bucket LSH bounds the candidate join (no "
+        "all-pairs), per-query two-phase top-k, then the mutual edge "
+        "set is a self-join of the directed kNN edges on the reversed "
+        "key — edge-sized, not candidate-sized."
+    ),
+    "sql_recursive_dup_hops": (
+        "WITH RECURSIVE BFS: the LSH pair graph is computed ONCE into "
+        "a cached table (InMemoryTableScan feeds every recursion "
+        "step); each UnionLoopRef iteration joins frontier x edges "
+        "and stops at MAX RECURSION LEVEL — no per-step recomputation "
+        "of the candidate pipeline."
+    ),
 }
 
 _TREE_RE = re.compile(r"^(.*?)\n\n\(1\)", re.DOTALL)

@@ -89,6 +89,18 @@ REPS = [
     "events_time_weighted_value",  # lead window + exact-us rollup
     "events_purge_maintenance",  # negative-partial view refresh
     "events_top_paths",          # double-lead window + bounded rollup
+    # r8 additions
+    "sql_recursive_dup_hops",    # WITH RECURSIVE BFS over cached pairs
+    "events_ewma_value",         # closed-form EWMA window fold
+    "events_interpolate_gaps",   # grid + bracketing windows interpolation
+    "events_anomaly_mad",        # exact median/MAD fences
+    "curation_weighted_sample",  # DLT priority top-k sample
+    "ann_knn_graph_mutual",      # LSH-bucketed kNN + mutual intersect
+    "events_session_window_fn",  # native session_window aggregate
+    "events_hll_sketch_merge",   # day sketches + union rollup
+    "curation_k_anonymity",      # QI cells + suppression re-aggregate
+    "sql_pipe_orders",           # pipe-syntax filtered aggregate
+    "streaming_restart_resume",  # two-phase checkpointed drain (eager)
 ]
 
 
