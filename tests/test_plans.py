@@ -690,3 +690,42 @@ def test_ivf_partitioned_probe_prunes_directories(spark):
     # one query probes exactly nprobe of the cluster directories
     assert n_sel == IVF_NPROBE, (n_sel, IVF_NPROBE)
     assert n_sel < IVF_CLUSTERS
+
+
+def test_session_window_single_exchange_merging_sessions(spark):
+    """Native session_window: ONE data exchange (on user_id) into the
+    MergingSessions operator, with a partial aggregate below it —
+    the engine-native sessionization never resorts to window funcs."""
+    from pu4spark_spark.operators.relational import (
+        q_events_session_window_fn,
+    )
+
+    plan = explain_str(q_events_session_window_fn(spark, SF_DIR))
+    assert "MergingSessions" in plan
+    tree = plan.split("== Physical Plan ==")[1]
+    assert len(re.findall(r"\bExchange\b", tree.split("(1) Scan")[0])) <= 2
+    assert "Window" not in plan
+
+
+def test_k_anonymity_single_raw_scan(spark):
+    """The relabel + residual re-aggregate must run over the QI-cell
+    table only: exactly one scan of the raw customer parquet."""
+    from pu4spark_spark.operators.curation import q_curation_k_anonymity
+
+    plan = explain_str(q_curation_k_anonymity(spark, SF_DIR))
+    tree = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    assert tree.count("Scan parquet") == 1
+
+
+def test_hll_merge_rollup_reads_sketches_not_raw(spark):
+    """The union rollup's input is the day-sketch aggregate (second
+    HashAggregate above the first), not a second raw-event scan on
+    the sketch side: two scans total (sketch side + exact side)."""
+    from pu4spark_spark.operators.relational import (
+        q_events_hll_sketch_merge,
+    )
+
+    plan = explain_str(q_events_hll_sketch_merge(spark, SF_DIR))
+    tree = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    assert tree.count("Scan parquet") == 2
+    assert "hll_union_agg" in plan or "hll_union" in plan
