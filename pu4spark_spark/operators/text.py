@@ -2346,8 +2346,86 @@ FROM scored GROUP BY lang
 """
 
 
+# -- mergeable top-k sketch maintenance -----------------------------------
+
+TOPK_SKETCH_CAP = 100  # items tracked per sketch (≥ fixture vocab ⇒ exact)
+TOPK_SKETCH_K = 10
+
+
+def q_text_topk_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE frequent-items maintenance (DataSketches via Spark's
+    ``approx_top_k_accumulate`` / ``_combine`` / ``_estimate``): one
+    top-k sketch per language shard — the row an incremental ingest
+    job appends — then the GLOBAL top-k comes from combining the
+    stored sketches, never re-scanning tokens.  The HLL-merge pattern
+    (``events_hll_sketch_merge``) for heavy hitters: any rollup
+    (per-source, per-day, corpus-wide) is a sketch combine over
+    sketch-count-sized input.
+
+    Hash-check strategy: with ``maxItemsTracked`` ≥ the distinct-item
+    count the sketch never evicts, so estimates are EXACT; ties at the
+    top-K boundary can still differ per engine, so the published rows
+    are restricted to the STRICT region — tokens whose exact count
+    exceeds the (K+1)-th count — which both engines must agree on
+    item-for-item and count-for-count.  Production sub-vocabulary caps
+    trade that exactness for fixed state, same as every sketch here."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select("lang", F.explode(tokens("text")).alias("token"))
+    per_lang = tok.groupBy("lang").agg(
+        F.expr(
+            f"approx_top_k_accumulate(token, {TOPK_SKETCH_CAP})"
+        ).alias("sk")
+    )
+    combined = per_lang.agg(
+        F.expr("approx_top_k_combine(sk)").alias("sk")
+    )
+    est = combined.select(
+        F.explode(
+            F.expr(f"approx_top_k_estimate(sk, {TOPK_SKETCH_K})")
+        ).alias("e")
+    ).select(
+        F.col("e.item").alias("token"),
+        F.col("e.count").cast("bigint").alias("est_count"),
+    )
+    exact = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_count")
+    )
+    # strict-region boundary: the (K+1)-th exact count (31-token vocab
+    # — the limit feeds a 1-row broadcast scalar)
+    bound = (
+        exact.orderBy(F.desc("exact_count"), F.asc("token"))
+        .limit(TOPK_SKETCH_K + 1)
+        .agg(F.min("exact_count").alias("bound"))
+    )
+    return (
+        est.join(exact, "token")
+        .join(F.broadcast(bound))
+        .filter(F.col("exact_count") > F.col("bound"))
+        .select("token", "est_count", "exact_count")
+    )
+
+
+SQL_TEXT_TOPK_SKETCH = f"""
+WITH cnt AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+),
+bound AS (
+  SELECT MIN(c) AS b FROM (
+    SELECT c FROM cnt ORDER BY c DESC, token ASC
+    LIMIT {TOPK_SKETCH_K + 1}
+  )
+)
+SELECT token, c AS est_count, c AS exact_count
+FROM cnt, bound
+WHERE c > b
+"""
+
+
 QUERIES = {
     "sql_scalar_udf_quality": q_sql_scalar_udf_quality,
+    "text_topk_sketch_merge": q_text_topk_sketch_merge,
     "text_token_stats": q_text_token_stats,
     "text_intradoc_dup_ngrams": q_text_intradoc_dup_ngrams,
     "text_bpe_pair_counts": q_text_bpe_pair_counts,
@@ -2386,6 +2464,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "sql_scalar_udf_quality": SQL_SCALAR_UDF_QUALITY,
+    "text_topk_sketch_merge": SQL_TEXT_TOPK_SKETCH,
     "text_token_stats": SQL_TOKEN_STATS,
     "text_bpe_pair_counts": SQL_TEXT_BPE_PAIRS,
     "text_intradoc_dup_ngrams": SQL_TEXT_INTRADOC_DUP,

@@ -99,6 +99,9 @@ DRIVER_FIRST = [
     "curation_k_anonymity",            # QI suppression release
     "events_hll_sketch_merge",         # rows-only: DataSketches merge
     "streaming_restart_resume",        # checkpoint recovery, hash-checked
+    "text_topk_sketch_merge",          # approx_top_k accumulate/combine
+    "fmt_text_parse_udtf",             # polymorphic analyze() UDTF
+    "streaming_observed_metrics",      # observe() riding the stream
     # -- B: last never-witnessed rows-only entries ------------------------
     "fmt_file_metadata_audit",         # 1.964
     "dedup_minhash_ml_slice",          # MLlib parity demo
@@ -135,9 +138,6 @@ DRIVER_FIRST = [
     "events_hourly",                   # 0.358
     "orders_zorder_layout",            # 0.380
     "range_click_purchases",           # 0.390
-    "top_customers_per_nation",        # 0.407
-    "text_commonness",                 # 0.415
-    "curation_pii_redact",             # 0.446
 ]
 
 

@@ -362,12 +362,101 @@ GROUP BY p_brand
 """
 
 
+def q_fmt_text_parse_udtf(spark: SparkSession, sf_dir: str):
+    """POLYMORPHIC Python UDTF (``analyze()``-driven schema): a
+    schema-on-read parser for the TAB landing format whose output
+    columns come from a DDL string argument resolved AT PLAN TIME —
+    the one UDTF capability a static ``returnType`` can't express
+    (the registered function adapts to any field spec the caller
+    passes).  Spark calls ``analyze`` with the constant-folded spec,
+    gets the StructType back, and plans the LATERAL join with real
+    per-field types.
+
+    API-parity demo like ``curation_chunk_windows_udtf`` — per-row
+    Python, never the production path (the scan-stage ``split_part``
+    twin in ``fmt_text_roundtrip`` does the same work in codegen) —
+    and it must hash-match the SAME oracle as that twin, proving the
+    two parse paths agree row-for-row."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import udtf
+
+    from pu4spark_spark.sources import load_table
+
+    @udtf
+    class ParseTagged:
+        @staticmethod
+        def analyze(line, spec):
+            # runs in a session-less Python worker: build the schema by
+            # hand (StructType.fromDDL needs the JVM parser)
+            from pyspark.sql.types import (
+                IntegerType,
+                LongType,
+                StringType,
+                StructField,
+                StructType,
+            )
+            from pyspark.sql.udtf import AnalyzeResult
+
+            if spec.value is None:
+                raise ValueError(
+                    "parse_tagged: field spec must be a constant string"
+                )
+            tmap = {
+                "bigint": LongType(),
+                "long": LongType(),
+                "int": IntegerType(),
+                "string": StringType(),
+            }
+            fields = []
+            for part in spec.value.split(","):
+                name, typ = part.strip().split()
+                fields.append(StructField(name, tmap[typ.lower()]))
+            return AnalyzeResult(schema=StructType(fields))
+
+        def eval(self, line: str, spec: str):
+            if line is None:
+                return
+            parts = line.split("\t")
+            types = [s.strip().split()[1].lower() for s in spec.split(",")]
+            row = []
+            for i, t in enumerate(types):
+                v = parts[i] if i < len(parts) else None
+                if v is not None and t in ("bigint", "long", "int"):
+                    v = int(v)
+                row.append(v)
+            yield tuple(row)
+
+    spark.udtf.register("parse_tagged", ParseTagged)
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        F.concat_ws(
+            "\t", F.col("doc_id"), F.col("lang"), F.col("text")
+        ).alias("value")
+    )
+    path = _scratch(sf_dir, "text_udtf")
+    docs.write.mode("overwrite").text(path)
+    spark.read.text(path).createOrReplaceTempView("__tagged_lines")
+    parsed = spark.sql(
+        "SELECT p.doc_id, p.lang, p.text "
+        "FROM __tagged_lines, "
+        "LATERAL parse_tagged("
+        "value, 'doc_id bigint, lang string, text string') AS p"
+    )
+    return parsed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 QUERIES = {
     "fmt_csv_roundtrip": q_fmt_csv_roundtrip,
     "fmt_text_roundtrip": q_fmt_text_roundtrip,
     "fmt_json_roundtrip": q_fmt_json_roundtrip,
     "fmt_orc_roundtrip": q_fmt_orc_roundtrip,
     "fmt_xml_roundtrip": q_fmt_xml_roundtrip,
+    "fmt_text_parse_udtf": q_fmt_text_parse_udtf,
 }
 
 ORACLE_SQL = {
@@ -376,6 +465,8 @@ ORACLE_SQL = {
     "fmt_json_roundtrip": SQL_FMT_JSON_ROUNDTRIP,
     "fmt_orc_roundtrip": SQL_FMT_ORC_ROUNDTRIP,
     "fmt_xml_roundtrip": SQL_FMT_XML_ROUNDTRIP,
+    # the polymorphic UDTF parse must agree with the codegen parse twin
+    "fmt_text_parse_udtf": SQL_FMT_TEXT_ROUNDTRIP,
 }
 
 

@@ -595,8 +595,68 @@ GROUP BY event_type
 """
 
 
+def q_streaming_observed_metrics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming ``observe()`` — pipeline observability riding the
+    stream itself (the streaming twin of the batch
+    ``pipeline_observed_metrics``): counters and exact integer sums
+    are attached to the source stream as observed metrics, surface in
+    every micro-batch's ``StreamingQueryProgress``, and are summed
+    across batches — the zero-extra-pass ingest dashboard.  The
+    metrics are additive (counts + integer cents), so the cross-batch
+    sum is batch-slicing-invariant and hash-matches the batch oracle
+    exactly; at 100 TB these numbers feed the metrics system straight
+    from the progress events, costing nothing beyond the aggregation
+    the stream already runs."""
+    from pu4spark_spark.streaming.drain import drain_partitions
+
+    stream = read_events_stream(spark, sf_dir)
+    observed = stream.observe(
+        "ingest_probe",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+        ).alias("total_cents"),
+        F.count(F.when(F.col("value") < 0, 1)).alias("n_negative"),
+        F.approx_count_distinct("user_id").alias("n_users_approx"),
+    )
+    with drain_partitions(spark, 8):
+        q = (
+            observed.writeStream.format("noop")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progresses = list(q.recentProgress)
+        q.stop()
+    n_rows = total_cents = n_negative = 0
+    for p in progresses:
+        m = p.observedMetrics.get("ingest_probe")
+        if m is None or m["n_rows"] == 0:
+            continue
+        n_rows += m["n_rows"]
+        total_cents += m["total_cents"]
+        n_negative += m["n_negative"]
+    return spark.createDataFrame(
+        [(n_rows, total_cents, n_negative)],
+        "n_rows long, total_cents long, n_negative long",
+    )
+
+
+SQL_STREAMING_OBSERVED_METRICS = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS total_cents,
+       CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_negative
+FROM events
+"""
+
+
 QUERIES = {
     "streaming_restart_resume": q_streaming_restart_resume,
+    "streaming_observed_metrics": q_streaming_observed_metrics,
     "streaming_events_hourly": q_streaming_events_hourly,
     "streaming_sliding_windows": q_streaming_sliding_windows,
     "streaming_static_enrich": q_streaming_static_enrich,
@@ -608,6 +668,7 @@ QUERIES = {
 }
 ORACLE_SQL = {
     "streaming_restart_resume": SQL_STREAMING_RESTART_RESUME,
+    "streaming_observed_metrics": SQL_STREAMING_OBSERVED_METRICS,
     "streaming_events_hourly": SQL_STREAMING_EVENTS_HOURLY,
     "streaming_sliding_windows": SQL_STREAMING_SLIDING,
     "streaming_static_enrich": SQL_STREAMING_STATIC_ENRICH,

@@ -561,3 +561,17 @@ def test_stats_pruning_in_filter_envelope(spark, tmp_path):
         .collect()
     )
     assert got == [10, 12, 15]
+
+
+def test_polymorphic_udtf_parse_equals_codegen_twin(spark):
+    """The analyze()-schema UDTF parse and the split_part codegen parse
+    must agree row-for-row on the same landing files."""
+    from pu4spark_spark.sources.formats import (
+        q_fmt_text_parse_udtf,
+        q_fmt_text_roundtrip,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    udtf_rows = {tuple(r) for r in q_fmt_text_parse_udtf(spark, sf).collect()}
+    native = {tuple(r) for r in q_fmt_text_roundtrip(spark, sf).collect()}
+    assert udtf_rows == native and len(udtf_rows) > 0

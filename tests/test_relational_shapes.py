@@ -211,3 +211,15 @@ def test_pipe_syntax_equals_ansi_plan(spark):
     # registered by the query call above)
     ansi = {tuple(r) for r in spark.sql(SQL_PIPE_ORDERS_ORACLE).collect()}
     assert piped == ansi and len(piped) > 0
+
+
+def test_topk_sketch_exact_when_cap_exceeds_vocab(spark):
+    """With maxItemsTracked >= the vocabulary, the combined sketch's
+    estimates are exact (no evictions) — every published strict-region
+    row must carry est_count == exact_count."""
+    from pu4spark_spark.operators.text import q_text_topk_sketch_merge
+
+    rows = q_text_topk_sketch_merge(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["est_count"] == r["exact_count"], r
