@@ -1949,8 +1949,215 @@ WHERE f.vec_id < f.nbr_id
 """
 
 
+# -- exact cross-engine k-means (semantic clustering) ---------------------
+
+KMEANS_K = 4
+KMEANS_ROUNDS = 2
+KMEANS_SAMPLE = 512
+KMEANS_DIMS = 64
+
+
+def q_embedding_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means made ENGINE-EXACT — the semantic-clustering
+    operator (SemDeDup-style corpus bucketing, domain discovery) with
+    a hash-checkable answer, which float k-means can never give
+    (iterated IEEE means drift across engines and partitionings).
+
+    The trick: centroids are never divided.  A centroid is the integer
+    pair (component-sum vector s, count c); the argmin over squared
+    distances compares ``|x − s_j/c_j|²`` as the exact integer
+    numerator ``c_j²·|x|² − 2c_j·(x·s_j) + |s_j|²`` over ``c_j²`` —
+    one correctly-rounded IEEE division per candidate from exact
+    int64 inputs (every term stays far below 2⁵³ because the Lloyd
+    rounds run on a FIXED-SIZE coreset: the KMEANS_SAMPLE lowest
+    md5(vec_id) vectors, so c ≤ 512 and sums are bounded regardless
+    of corpus size).  Ties break on cluster id.  Seeds are the K
+    lowest-hash coreset vectors; empty clusters keep their previous
+    centroid.
+
+    Scale shape: the coreset is a distributed top-512 (TakeOrdered,
+    no global sort); each round is one broadcast-4-centroid argmin
+    over the coreset plus a 4×64-row component-sum aggregate collected
+    under the bounded driver-scalar protocol; the FINAL assignment
+    sweeps the full corpus once with broadcast centroids — corpus-
+    sized work is one pass, independent of rounds.  Output is all
+    integers (counts, masses, norms, id ranges) — hash-exact."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = emb.select(
+        "vec_id",
+        quantized("embedding").alias("q"),
+        F.md5(F.col("vec_id").cast("string")).alias("h"),
+    )
+    coreset = (
+        base.orderBy("h", "vec_id").limit(KMEANS_SAMPLE).select(
+            "vec_id", "q", "h"
+        )
+    )
+    from pu4spark_spark.plans import cached
+
+    coreset = cached(coreset)
+    try:
+        seed_rows = coreset.orderBy("h", "vec_id").limit(KMEANS_K).collect()
+        # centroid state on the driver: [(s components, c), ...] by id
+        cents = [(list(r["q"]), 1) for r in seed_rows]
+
+        def assign_expr(cents):
+            """argmin_j of the exact rational distance, j tie-break."""
+            norm2_x = int_dot(F.col("q"), F.col("q"))
+            entries = []
+            for j, (s, c) in enumerate(cents):
+                s_arr = F.array([F.lit(int(v)) for v in s])
+                norm2_s = sum(int(v) * int(v) for v in s)
+                num = (
+                    F.lit(int(c * c)) * norm2_x
+                    - F.lit(int(2 * c)) * int_dot(F.col("q"), s_arr)
+                    + F.lit(int(norm2_s))
+                )
+                entries.append(
+                    F.struct(
+                        (num.cast("double") / F.lit(float(c * c))).alias(
+                            "r"
+                        ),
+                        F.lit(j).alias("j"),
+                    )
+                )
+            return F.array_min(F.array(*entries))["j"]
+
+        for _ in range(KMEANS_ROUNDS):
+            assigned = coreset.select(
+                "vec_id", "q", assign_expr(cents).alias("j")
+            )
+            comp = (
+                assigned.select("j", F.posexplode("q").alias("pos", "val"))
+                .groupBy("j", "pos")
+                .agg(F.sum("val").alias("sv"))
+                .collect()
+            )  # bounded: K×dims rows
+            cnt = {
+                r["j"]: r["n"]
+                for r in assigned.groupBy("j")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }  # bounded: K rows
+            sums: dict = {}
+            for r in comp:
+                sums.setdefault(r["j"], [0] * KMEANS_DIMS)[r["pos"]] = r[
+                    "sv"
+                ]
+            cents = [
+                (sums[j], cnt[j]) if j in cnt else cents[j]
+                for j in range(KMEANS_K)
+            ]
+        final = base.select("vec_id", assign_expr(cents).alias("j"))
+        rollup = final.groupBy("j").agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("vec_id").alias("first_vec"),
+            F.max("vec_id").alias("last_vec"),
+        )
+        info = [
+            (j, c, sum(int(v) * int(v) for v in s))
+            for j, (s, c) in enumerate(cents)
+        ]
+        info_df = F.broadcast(
+            spark.createDataFrame(
+                info, "j int, sample_mass bigint, centroid_norm2 bigint"
+            )
+        )
+        return (
+            rollup.join(info_df, "j")
+            .select(
+                F.col("j").alias("cluster_id"),
+                "n_members",
+                "first_vec",
+                "last_vec",
+                "sample_mass",
+                "centroid_norm2",
+            )
+        )
+    finally:
+        coreset.unpersist()
+
+
+def _sql_kmeans_exact() -> str:
+    """Unrolled DuckDB twin: the same coreset, seeds, KMEANS_ROUNDS
+    Lloyd rounds, and full-corpus final assignment as CTEs."""
+    q = sql_quantized("embedding")
+    dist = (
+        "CAST(c*c*list_dot_product(q, q) - 2*c*list_dot_product(q, sv)"
+        " + list_dot_product(sv, sv) AS DOUBLE) / CAST(c*c AS DOUBLE)"
+    )
+    parts = [
+        f"""WITH base AS (
+  SELECT vec_id, {q} AS q, md5(CAST(vec_id AS VARCHAR)) AS h
+  FROM embeddings
+),
+coreset AS (
+  SELECT vec_id, q, h FROM base ORDER BY h, vec_id LIMIT {KMEANS_SAMPLE}
+),
+cent0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS j,
+         q AS sv, CAST(1 AS BIGINT) AS c
+  FROM (SELECT * FROM coreset ORDER BY h, vec_id LIMIT {KMEANS_K})
+)"""
+    ]
+    for r in range(1, KMEANS_ROUNDS + 1):
+        parts.append(
+            f""",
+a{r} AS (
+  SELECT vec_id,
+         j,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY {dist}, j) AS rn
+  FROM coreset, cent{r - 1}
+),
+m{r} AS (SELECT vec_id, j FROM a{r} WHERE rn = 1),
+cnt{r} AS (SELECT j, CAST(COUNT(*) AS BIGINT) AS c FROM m{r} GROUP BY j),
+comp{r} AS (
+  SELECT m.j, t.i AS pos, CAST(SUM(s.q[t.i]) AS BIGINT) AS v
+  FROM m{r} m JOIN coreset s USING (vec_id)
+       CROSS JOIN generate_series(1, {KMEANS_DIMS}) t(i)
+  GROUP BY m.j, t.i
+),
+sv{r} AS (SELECT j, list(v ORDER BY pos) AS sv FROM comp{r} GROUP BY j),
+cent{r} AS (
+  SELECT c0.j,
+         COALESCE(s.sv, c0.sv) AS sv,
+         COALESCE(n.c, c0.c) AS c
+  FROM cent{r - 1} c0
+       LEFT JOIN sv{r} s USING (j)
+       LEFT JOIN cnt{r} n USING (j)
+)"""
+        )
+    R = KMEANS_ROUNDS
+    parts.append(
+        f""",
+af AS (
+  SELECT vec_id, j,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY {dist}, j) AS rn
+  FROM base, cent{R}
+),
+mf AS (SELECT vec_id, j FROM af WHERE rn = 1)
+SELECT CAST(mf.j AS INTEGER) AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       MIN(mf.vec_id) AS first_vec,
+       MAX(mf.vec_id) AS last_vec,
+       ci.sample_mass,
+       ci.centroid_norm2
+FROM mf JOIN (
+  SELECT j, c AS sample_mass,
+         CAST(list_dot_product(sv, sv) AS BIGINT) AS centroid_norm2
+  FROM cent{R}
+) ci USING (j)
+GROUP BY mf.j, ci.sample_mass, ci.centroid_norm2"""
+    )
+    return "".join(parts)
+
+
+SQL_EMBEDDING_KMEANS_EXACT = _sql_kmeans_exact()
+
+
 QUERIES = {
     "ann_knn_graph_mutual": q_ann_knn_graph_mutual,
+    "embedding_kmeans_exact": q_embedding_kmeans_exact,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_gram_matrix": q_embedding_gram_matrix,
     "embedding_quantize_int8": q_embedding_quantize_int8,
@@ -1977,6 +2184,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "ann_knn_graph_mutual": SQL_ANN_KNN_GRAPH,
+    "embedding_kmeans_exact": SQL_EMBEDDING_KMEANS_EXACT,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "embedding_gram_matrix": SQL_EMBEDDING_GRAM,
     "embedding_quantize_int8": SQL_EMBEDDING_QUANTIZE_INT8,

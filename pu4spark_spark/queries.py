@@ -102,6 +102,7 @@ DRIVER_FIRST = [
     "text_topk_sketch_merge",          # approx_top_k accumulate/combine
     "fmt_text_parse_udtf",             # polymorphic analyze() UDTF
     "streaming_observed_metrics",      # observe() riding the stream
+    "embedding_kmeans_exact",          # engine-exact Lloyd clustering
     # -- B: last never-witnessed rows-only entries ------------------------
     "fmt_file_metadata_audit",         # 1.964
     "dedup_minhash_ml_slice",          # MLlib parity demo
@@ -137,7 +138,6 @@ DRIVER_FIRST = [
     "q14_promo_revenue",               # 0.355
     "events_hourly",                   # 0.358
     "orders_zorder_layout",            # 0.380
-    "range_click_purchases",           # 0.390
 ]
 
 

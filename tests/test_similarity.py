@@ -334,3 +334,87 @@ def test_knn_graph_mutuality_and_rank_bounds(spark):
             if a < b and a in knn.get(b, {}):
                 expect.add((a, b))
     assert seen == expect
+
+
+def test_kmeans_exact_matches_numpy_reference(spark):
+    """Re-derive the whole exact-k-means protocol in NumPy/CPython
+    (coreset by md5 order, integer-rational argmin, empty-cluster
+    carry) and require identical cluster rollups — pins the algorithm
+    itself, independent of the DuckDB twin."""
+    import hashlib
+
+    import numpy as np
+
+    from pu4spark_spark.operators.similarity import (
+        KMEANS_K,
+        KMEANS_ROUNDS,
+        KMEANS_SAMPLE,
+        q_embedding_kmeans_exact,
+    )
+    from pu4spark_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.01"
+    rows = load_table(spark, "embeddings", sf).select(
+        "vec_id", "embedding"
+    ).collect()
+    vecs = {
+        r["vec_id"]: np.floor(
+            np.array(r["embedding"], dtype=np.float64) * 1000
+        ).astype(np.int64)
+        for r in rows
+    }
+    order = sorted(
+        vecs, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
+    )
+    coreset = order[:KMEANS_SAMPLE]
+    cents = [(vecs[v].copy(), 1) for v in coreset[:KMEANS_K]]
+
+    def assign(x, cents):
+        best = None
+        for j, (s, c) in enumerate(cents):
+            num = (
+                c * c * int(x @ x) - 2 * c * int(x @ s) + int(s @ s)
+            )
+            r = float(num) / float(c * c)
+            if best is None or (r, j) < best[:2]:
+                best = (r, j)
+        return best[1]
+
+    for _ in range(KMEANS_ROUNDS):
+        groups = {}
+        for v in coreset:
+            groups.setdefault(assign(vecs[v], cents), []).append(v)
+        cents = [
+            (
+                np.sum([vecs[v] for v in groups[j]], axis=0),
+                len(groups[j]),
+            )
+            if j in groups
+            else cents[j]
+            for j in range(KMEANS_K)
+        ]
+    final = {}
+    for v, x in vecs.items():
+        final.setdefault(assign(x, cents), []).append(v)
+    want = {
+        j: (
+            len(ms),
+            min(ms),
+            max(ms),
+            cents[j][1],
+            int(cents[j][0] @ cents[j][0]),
+        )
+        for j, ms in final.items()
+    }
+    got = {
+        r["cluster_id"]: (
+            r["n_members"],
+            r["first_vec"],
+            r["last_vec"],
+            r["sample_mass"],
+            r["centroid_norm2"],
+        )
+        for r in q_embedding_kmeans_exact(spark, sf).collect()
+    }
+    assert got == want
+    assert sum(v[0] for v in got.values()) == len(vecs)
