@@ -1032,6 +1032,58 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+# -- aggregate-function breadth -------------------------------------------
+
+def q_orders_aggregate_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-function breadth in ONE pass: conditional counting
+    (``count_if``), boolean quantifiers (``bool_and``/``bool_or``),
+    exact bitwise folds (``bit_and``/``bit_or``/``bit_xor`` —
+    associative integer ops, partition-order free), and keyed argmin/
+    argmax (``min_by``/``max_by`` over the unique order key, so the
+    selection is deterministic).  Everything is integer- or
+    boolean-exact — no float aggregate anywhere — so the whole suite
+    hash-checks; one map-side-combined groupBy over the status keys."""
+    orders = load_table(spark, "orders", sf_dir)
+    key = F.col("o_orderkey")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    return orders.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_orderpriority") == "1-URGENT").alias(
+            "n_urgent"
+        ),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderpriority") == "5-LOW").alias("any_low"),
+        F.bit_and(key).alias("key_bit_and"),
+        F.bit_or(key).alias("key_bit_or"),
+        F.bit_xor(key).alias("key_bit_xor"),
+        F.min_by(cents, key).alias("first_order_cents"),
+        F.max_by(cents, key).alias("last_order_cents"),
+        F.count_distinct(F.col("o_orderpriority")).alias("n_priorities"),
+    )
+
+
+SQL_ORDERS_AGGREGATE_SUITE = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT)
+           AS n_urgent,
+       BOOL_AND(o_totalprice > 0) AS all_positive,
+       BOOL_OR(o_orderpriority = '5-LOW') AS any_low,
+       CAST(BIT_AND(o_orderkey) AS BIGINT) AS key_bit_and,
+       CAST(BIT_OR(o_orderkey) AS BIGINT) AS key_bit_or,
+       CAST(BIT_XOR(o_orderkey) AS BIGINT) AS key_bit_xor,
+       CAST(ARG_MIN(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT), o_orderkey) AS BIGINT)
+           AS first_order_cents,
+       CAST(ARG_MAX(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT), o_orderkey) AS BIGINT)
+           AS last_order_cents,
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 # -- scalar functions (dates / strings) ----------------------------------
 
 def q_order_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1065,11 +1117,48 @@ FROM orders
 """
 
 
+def q_part_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function breadth over part names — the padding/translate/
+    slicing family the date/string suite above doesn't touch, each with
+    an identical-semantics DuckDB twin (the RE2 ⊆ Java-regex subset
+    discipline applies to ``translate``'s literal character maps too).
+    Pure scan-stage projections: zero shuffle."""
+    parts = load_table(spark, "part", sf_dir)
+    name = F.col("p_name")
+    return parts.select(
+        "p_partkey",
+        F.lpad(F.col("p_brand"), 12, ".").alias("brand_lpad"),
+        F.rpad(F.col("p_type"), 24, "_").alias("type_rpad"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.translate(name, "aeiou", "AEIOU").alias("name_tr"),
+        F.substring(name, 1, 8).alias("name_left"),
+        F.instr(name, " ").alias("first_space"),
+        F.ascii(name).alias("name_ascii"),
+        F.repeat(F.col("p_brand"), 2).alias("brand_x2"),
+        F.split_part(name, F.lit(" "), F.lit(1)).alias("first_word"),
+    )
+
+
+SQL_PART_STRING_FUNCTIONS = """
+SELECT p_partkey,
+       lpad(p_brand, 12, '.') AS brand_lpad,
+       rpad(p_type, 24, '_') AS type_rpad,
+       reverse(p_brand) AS brand_rev,
+       translate(p_name, 'aeiou', 'AEIOU') AS name_tr,
+       substr(p_name, 1, 8) AS name_left,
+       CAST(instr(p_name, ' ') AS INTEGER) AS first_space,
+       CAST(ascii(p_name) AS INTEGER) AS name_ascii,
+       repeat(p_brand, 2) AS brand_x2,
+       split_part(p_name, ' ', 1) AS first_word
+FROM part
+"""
+
+
 # -- SQL front-end ---------------------------------------------------------
 
 #: dialect-common ANSI SQL — the SAME text is the Spark implementation
 #: (spark.sql over registered views) AND the DuckDB oracle, proving the
-#: engine's SQL entry point end-to-end rather than only the DataFrame API
+#: engine's SQL entry point end-to-end, not only the DataFrame API
 SQL_PARTS_BY_BRAND = """
 SELECT p_brand,
        COUNT(*) AS n_parts,
@@ -4194,6 +4283,8 @@ QUERIES = {
     # engine-specific — rows-only; error bound pytest-gated in
     # tests/test_relational.py
     "events_hll_sketch_merge": q_events_hll_sketch_merge,
+    "orders_aggregate_suite": q_orders_aggregate_suite,
+    "part_string_functions": q_part_string_functions,
     "events_json_stats": q_events_json_stats,
     "events_user_gaps_pandas": q_events_user_gaps_pandas,
     "events_funnel": q_events_funnel,
@@ -4272,6 +4363,8 @@ ORACLE_SQL = {
     "events_sessionized": SQL_EVENTS_SESSIONIZED,
     "events_session_window_fn": SQL_EVENTS_SESSIONIZED,
     "sql_pipe_orders": SQL_PIPE_ORDERS_ORACLE,
+    "orders_aggregate_suite": SQL_ORDERS_AGGREGATE_SUITE,
+    "part_string_functions": SQL_PART_STRING_FUNCTIONS,
     "events_json_stats": SQL_EVENTS_JSON,
     "events_user_gaps_pandas": SQL_EVENTS_USER_GAPS,
     "events_funnel": SQL_EVENTS_FUNNEL,

@@ -79,8 +79,8 @@ DRIVER_FIRST = [
     # Round-8 rotation: the witness program completed in r7 (every
     # oracle-backed query has driver-hash evidence; only 3 rows-only
     # entries — two of them labeled parity demos — were never
-    # windowed).  Window = (A) ALL 8 new r8 queries; (B) the 3
-    # never-witnessed rows-only entries, closing the program
+    # windowed).  Window = (A) ALL 20 new r8 queries (three waves);
+    # (B) the 3 never-witnessed rows-only entries, closing the program
     # completely; (C) re-verification of every query whose code path
     # changed this round (ADVICE hardening + the prefix-join plan
     # fix); (D) cheapest already-witnessed fillers by sf0.1 bench sec.
@@ -103,6 +103,8 @@ DRIVER_FIRST = [
     "fmt_text_parse_udtf",             # polymorphic analyze() UDTF
     "streaming_observed_metrics",      # observe() riding the stream
     "embedding_kmeans_exact",          # engine-exact Lloyd clustering
+    "orders_aggregate_suite",          # count_if/bool/bit/arg-minmax
+    "part_string_functions",           # pad/translate/slice breadth
     # -- B: last never-witnessed rows-only entries ------------------------
     "fmt_file_metadata_audit",         # 1.964
     "dedup_minhash_ml_slice",          # MLlib parity demo
@@ -136,8 +138,6 @@ DRIVER_FIRST = [
     "text_heavy_hitters",              # 0.330
     "mm_decode_features",              # 0.347
     "q14_promo_revenue",               # 0.355
-    "events_hourly",                   # 0.358
-    "orders_zorder_layout",            # 0.380
 ]
 
 
