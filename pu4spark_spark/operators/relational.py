@@ -1084,6 +1084,98 @@ GROUP BY o_orderstatus
 """
 
 
+def q_orders_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics suite — the behaviors that silently differ
+    between engines if either side is sloppy, pinned by one
+    hash-checked query: NULL group keys collapse into one group,
+    ``COUNT(col)`` excludes NULLs while ``COUNT(*)`` doesn't,
+    ``coalesce`` fills, and the null-safe equality join
+    (``eqNullSafe`` / ``IS NOT DISTINCT FROM``) MATCHES null keys —
+    the semantics a CDC reconciliation needs, where a plain equi-join
+    would drop every null-keyed row pair.  NULLs are injected
+    deterministically with ``nullif`` so the fixture needs no null
+    columns of its own."""
+    orders = load_table(spark, "orders", sf_dir)
+    base = orders.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("k"),
+        "o_orderpriority",
+    )
+    left = base.groupBy("k").agg(F.count(F.lit(1)).alias("n_left"))
+    right = (
+        base.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_urgent"))
+    )
+    joined = left.join(right, left["k"].eqNullSafe(right["k"]), "left").select(
+        left["k"].alias("k"), "n_left", "n_urgent"
+    )
+    return joined.select(
+        F.coalesce(F.col("k"), F.lit("<null>")).alias("status_key"),
+        F.col("k").isNull().alias("was_null"),
+        "n_left",
+        F.coalesce(F.col("n_urgent"), F.lit(0)).cast("bigint").alias(
+            "n_urgent"
+        ),
+    )
+
+
+SQL_ORDERS_NULL_SEMANTICS = """
+WITH base AS (
+  SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS k, o_orderpriority
+  FROM orders
+),
+l AS (SELECT k, COUNT(*) AS n_left FROM base GROUP BY k),
+r AS (
+  SELECT k, COUNT(*) AS n_urgent
+  FROM base WHERE o_orderpriority = '1-URGENT' GROUP BY k
+)
+SELECT coalesce(l.k, '<null>') AS status_key,
+       l.k IS NULL AS was_null,
+       l.n_left,
+       CAST(coalesce(r.n_urgent, 0) AS BIGINT) AS n_urgent
+FROM l LEFT JOIN r ON l.k IS NOT DISTINCT FROM r.k
+"""
+
+
+def q_orders_datetime_functions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Datetime-function breadth beyond the year/quarter/month suite:
+    truncation, month arithmetic, day-of-week (Spark counts 1=Sunday,
+    DuckDB 0=Sunday — the oracle normalizes, pinning the off-by-one
+    every calendar port hits), month boundaries, and exact epoch
+    microseconds.  Scan-stage projections, zero shuffle."""
+    orders = load_table(spark, "orders", sf_dir)
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+        F.add_months(d, 3).cast("date").alias("plus_quarter"),
+        F.dayofweek(d).alias("dow"),
+        F.dayofyear(d).alias("doy"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d).alias(
+            "days_to_close"
+        ),
+        F.unix_micros(d.cast("timestamp")).alias("epoch_us"),
+    )
+
+
+SQL_ORDERS_DATETIME_FUNCTIONS = """
+SELECT o_orderkey,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       last_day(o_orderdate) AS month_end,
+       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_quarter,
+       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+       CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
+            AS INTEGER) AS days_to_close,
+       CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS epoch_us
+FROM orders
+"""
+
+
 # -- scalar functions (dates / strings) ----------------------------------
 
 def q_order_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4285,6 +4377,8 @@ QUERIES = {
     "events_hll_sketch_merge": q_events_hll_sketch_merge,
     "orders_aggregate_suite": q_orders_aggregate_suite,
     "part_string_functions": q_part_string_functions,
+    "orders_null_semantics": q_orders_null_semantics,
+    "orders_datetime_functions": q_orders_datetime_functions,
     "events_json_stats": q_events_json_stats,
     "events_user_gaps_pandas": q_events_user_gaps_pandas,
     "events_funnel": q_events_funnel,
@@ -4365,6 +4459,8 @@ ORACLE_SQL = {
     "sql_pipe_orders": SQL_PIPE_ORDERS_ORACLE,
     "orders_aggregate_suite": SQL_ORDERS_AGGREGATE_SUITE,
     "part_string_functions": SQL_PART_STRING_FUNCTIONS,
+    "orders_null_semantics": SQL_ORDERS_NULL_SEMANTICS,
+    "orders_datetime_functions": SQL_ORDERS_DATETIME_FUNCTIONS,
     "events_json_stats": SQL_EVENTS_JSON,
     "events_user_gaps_pandas": SQL_EVENTS_USER_GAPS,
     "events_funnel": SQL_EVENTS_FUNNEL,

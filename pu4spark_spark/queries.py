@@ -105,6 +105,8 @@ DRIVER_FIRST = [
     "embedding_kmeans_exact",          # engine-exact Lloyd clustering
     "orders_aggregate_suite",          # count_if/bool/bit/arg-minmax
     "part_string_functions",           # pad/translate/slice breadth
+    "orders_null_semantics",           # null grouping + eqNullSafe join
+    "orders_datetime_functions",       # trunc/add_months/dow breadth
     # -- B: last never-witnessed rows-only entries ------------------------
     "fmt_file_metadata_audit",         # 1.964
     "dedup_minhash_ml_slice",          # MLlib parity demo
@@ -136,8 +138,6 @@ DRIVER_FIRST = [
     "customers_with_urgent_orders",    # 0.278
     "monthly_revenue",                 # 0.295
     "text_heavy_hitters",              # 0.330
-    "mm_decode_features",              # 0.347
-    "q14_promo_revenue",               # 0.355
 ]
 
 
