@@ -1032,6 +1032,55 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+def q_events_range_frame_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VALUE-RANGE window frames — ``RANGE BETWEEN <interval>
+    PRECEDING AND CURRENT ROW`` — the trailing-window aggregate ROWS
+    frames cannot express (how many events and how much value this
+    user produced in the HOUR before each event, however many rows
+    that is).  The frame bound is the exact integer microsecond
+    timestamp, so frame membership is engine-portable; the value sum
+    is exact integer cents.  One user_id exchange feeds every frame;
+    per-user ordering is (ts, event_id) — but the RANGE frame itself
+    keys on ts alone, so same-timestamp peers share a frame in both
+    engines (the peer-row rule that makes RANGE differ from ROWS)."""
+    events = load_table(spark, "events", sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    staged = events.select(
+        "user_id", "event_id", us.alias("ts_us"), cents.alias("cents")
+    )
+    hour_us = 3_600_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-hour_us, 0)
+    )
+    return staged.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_hour"),
+        F.sum("cents").over(w).alias("cents_trailing_hour"),
+    )
+
+
+SQL_EVENTS_RANGE_FRAME_STATS = """
+WITH staged AS (
+  SELECT user_id, event_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_hour,
+       CAST(SUM(cents) OVER w AS BIGINT) AS cents_trailing_hour
+FROM staged
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 # -- aggregate-function breadth -------------------------------------------
 
 def q_orders_aggregate_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4379,6 +4428,7 @@ QUERIES = {
     "part_string_functions": q_part_string_functions,
     "orders_null_semantics": q_orders_null_semantics,
     "orders_datetime_functions": q_orders_datetime_functions,
+    "events_range_frame_stats": q_events_range_frame_stats,
     "events_json_stats": q_events_json_stats,
     "events_user_gaps_pandas": q_events_user_gaps_pandas,
     "events_funnel": q_events_funnel,
@@ -4461,6 +4511,7 @@ ORACLE_SQL = {
     "part_string_functions": SQL_PART_STRING_FUNCTIONS,
     "orders_null_semantics": SQL_ORDERS_NULL_SEMANTICS,
     "orders_datetime_functions": SQL_ORDERS_DATETIME_FUNCTIONS,
+    "events_range_frame_stats": SQL_EVENTS_RANGE_FRAME_STATS,
     "events_json_stats": SQL_EVENTS_JSON,
     "events_user_gaps_pandas": SQL_EVENTS_USER_GAPS,
     "events_funnel": SQL_EVENTS_FUNNEL,

@@ -107,6 +107,7 @@ DRIVER_FIRST = [
     "part_string_functions",           # pad/translate/slice breadth
     "orders_null_semantics",           # null grouping + eqNullSafe join
     "orders_datetime_functions",       # trunc/add_months/dow breadth
+    "events_range_frame_stats",        # RANGE-interval window frames
     # -- B: last never-witnessed rows-only entries ------------------------
     "fmt_file_metadata_audit",         # 1.964
     "dedup_minhash_ml_slice",          # MLlib parity demo
@@ -137,7 +138,6 @@ DRIVER_FIRST = [
     "text_quality",                    # 0.269
     "customers_with_urgent_orders",    # 0.278
     "monthly_revenue",                 # 0.295
-    "text_heavy_hitters",              # 0.330
 ]
 
 

@@ -514,6 +514,25 @@ AUDITED = {
         "and stops at MAX RECURSION LEVEL — no per-step recomputation "
         "of the candidate pipeline."
     ),
+    "embedding_kmeans_exact": (
+        "Exact k-means, final sweep: the full corpus is scanned ONCE "
+        "with the 4 final centroids inlined as literal integer-array "
+        "expressions (argmin evaluates in the scan stage, no join for "
+        "the assignment), one map-side-combined groupBy over 4 "
+        "cluster keys, and the centroid-info table joins as a "
+        "broadcast — Lloyd-round work never appears here because it "
+        "ran coreset-sized under the bounded driver-scalar protocol."
+    ),
+    "orders_aggregate_suite": (
+        "Aggregate breadth as ONE partial/final hash-aggregate pair "
+        "over one scan — count_if/bool/bit/min_by/max_by all fold "
+        "map-side; the only exchange carries 3 status keys."
+    ),
+    "orders_null_semantics": (
+        "Null-safe reconciliation: both group-bys reduce to the tiny "
+        "status-key space before the eqNullSafe join, which plans as "
+        "a broadcast join on the null-safe key — never a nested loop."
+    ),
 }
 
 _TREE_RE = re.compile(r"^(.*?)\n\n\(1\)", re.DOTALL)

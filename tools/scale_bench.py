@@ -101,6 +101,13 @@ REPS = [
     "curation_k_anonymity",      # QI cells + suppression re-aggregate
     "sql_pipe_orders",           # pipe-syntax filtered aggregate
     "streaming_restart_resume",  # two-phase checkpointed drain (eager)
+    # r8 waves 3-4
+    "embedding_kmeans_exact",    # coreset Lloyd rounds + corpus sweep
+    "text_topk_sketch_merge",    # per-shard sketches + combine rollup
+    "fmt_text_parse_udtf",       # polymorphic UDTF lateral parse
+    "streaming_observed_metrics",  # observe() drain (eager)
+    "orders_aggregate_suite",    # one-pass aggregate breadth
+    "orders_null_semantics",     # null-safe join reconciliation
 ]
 
 
