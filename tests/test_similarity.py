@@ -418,3 +418,33 @@ def test_kmeans_exact_matches_numpy_reference(spark):
     }
     assert got == want
     assert sum(v[0] for v in got.values()) == len(vecs)
+
+
+def test_ivf_exact_recall_floor(spark):
+    """The value-checked IVF (k=8, nprobe=2) must still be a USEFUL
+    index: recall@5 vs the exhaustive cosine top-5 >= 0.5 on the
+    fixture (approximation is allowed to miss neighbors — silently
+    returning garbage is not)."""
+    from pu4spark_spark.operators.similarity import (
+        TOP_K,
+        q_ann_cosine_topk,
+        q_ann_ivf_exact_topk,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q_ann_cosine_topk(spark, sf).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q_ann_ivf_exact_topk(spark, sf).collect()
+    }
+    assert len(exact) > 0
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.5, recall
+    # per-query contract: at most TOP_K rows, ranks well-formed
+    from collections import Counter
+
+    per_q = Counter(q for q, _ in ivf)
+    assert all(n <= TOP_K for n in per_q.values())
