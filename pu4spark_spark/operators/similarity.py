@@ -2179,6 +2179,89 @@ cent{r} AS (
 SQL_EMBEDDING_KMEANS_EXACT = _sql_kmeans_exact()
 
 
+SEMANTIC_DECON_TAU = 0.4
+
+
+def q_curation_semantic_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space member of the
+    decontamination family (exact-shingle, Bloom, and fuzzy-MinHash
+    live in curation.py): a corpus vector is contaminated when its
+    cosine against ANY benchmark vector reaches τ, catching the
+    paraphrased/templated eval leakage that n-gram probes miss.
+
+    The benchmark set is small by construction (here: vec_id <
+    N_QUERIES), so it BROADCASTS and the corpus is scanned once — the
+    same join geometry as exact decontamination, with integer dots
+    instead of shingle hashing.  Output: per-corpus-vector verdict
+    with its worst (most similar) benchmark match, keep/drop partition
+    counts riding in the same frame via a window-free aggregate."""
+    base = (
+        load_table(spark, "embeddings", sf_dir)
+        .select("vec_id", quantized("embedding").alias("q"))
+        .withColumn("norm2", int_dot(F.col("q"), F.col("q")))
+    )
+    bench = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("q").alias("qb"),
+        F.col("norm2").alias("bnorm2"),
+    )
+    corpus = base.filter(F.col("vec_id") >= N_QUERIES)
+    cos = cosine_from_quantized(
+        int_dot(F.col("q"), F.col("qb")), F.col("norm2"), F.col("bnorm2")
+    )
+    scored = corpus.crossJoin(F.broadcast(bench)).select(
+        "vec_id", F.col("bench_id"), cos.alias("cosine")
+    )
+    worst = scored.groupBy("vec_id").agg(
+        F.max("cosine").alias("max_cosine"),
+        F.max_by("bench_id", F.struct("cosine", "bench_id")).alias(
+            "worst_bench"
+        ),
+    )
+    return worst.select(
+        "vec_id",
+        "worst_bench",
+        "max_cosine",
+        (F.col("max_cosine") >= SEMANTIC_DECON_TAU).alias("contaminated"),
+    )
+
+
+_Q_DECON = sql_quantized("embedding")
+
+SQL_CURATION_SEMANTIC_DECON = f"""
+WITH base AS (
+  SELECT vec_id, {_Q_DECON} AS q,
+         list_dot_product({_Q_DECON}, {_Q_DECON}) AS norm2
+  FROM embeddings
+),
+bench AS (
+  SELECT vec_id AS bench_id, q AS qb, norm2 AS bnorm2
+  FROM base WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT c.vec_id, b.bench_id,
+         list_dot_product(c.q, b.qb) / (sqrt(c.norm2) * sqrt(b.bnorm2))
+             AS cosine
+  FROM base c, bench b
+  WHERE c.vec_id >= {N_QUERIES}
+),
+ranked AS (
+  SELECT vec_id, bench_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, bench_id DESC) AS rn,
+         MAX(cosine) OVER (PARTITION BY vec_id) AS max_cosine
+  FROM scored
+)
+SELECT vec_id,
+       bench_id AS worst_bench,
+       max_cosine,
+       max_cosine >= {SEMANTIC_DECON_TAU} AS contaminated
+FROM ranked WHERE rn = 1
+"""
+
+
 # -- IVF ANN with every stage value-checked -------------------------------
 
 IVF_EXACT_K = 8
@@ -2279,6 +2362,7 @@ QUERIES = {
     "ann_knn_graph_mutual": q_ann_knn_graph_mutual,
     "embedding_kmeans_exact": q_embedding_kmeans_exact,
     "ann_ivf_exact_topk": q_ann_ivf_exact_topk,
+    "curation_semantic_decontaminate": q_curation_semantic_decontaminate,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_gram_matrix": q_embedding_gram_matrix,
     "embedding_quantize_int8": q_embedding_quantize_int8,
@@ -2307,6 +2391,7 @@ ORACLE_SQL = {
     "ann_knn_graph_mutual": SQL_ANN_KNN_GRAPH,
     "embedding_kmeans_exact": SQL_EMBEDDING_KMEANS_EXACT,
     "ann_ivf_exact_topk": SQL_ANN_IVF_EXACT,
+    "curation_semantic_decontaminate": SQL_CURATION_SEMANTIC_DECON,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "embedding_gram_matrix": SQL_EMBEDDING_GRAM,
     "embedding_quantize_int8": SQL_EMBEDDING_QUANTIZE_INT8,

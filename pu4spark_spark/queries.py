@@ -109,6 +109,7 @@ DRIVER_FIRST = [
     "orders_datetime_functions",       # trunc/add_months/dow breadth
     "events_range_frame_stats",        # RANGE-interval window frames
     "ann_ivf_exact_topk",              # IVF with every stage hash-checked
+    "curation_semantic_decontaminate", # embedding-space decon member
     # -- B: last never-witnessed rows-only entries ------------------------
     "fmt_file_metadata_audit",         # 1.964
     "dedup_minhash_ml_slice",          # MLlib parity demo
@@ -137,7 +138,6 @@ DRIVER_FIRST = [
     "customers_without_orders",        # 0.253
     "text_corpus_stats",               # 0.253
     "text_quality",                    # 0.269
-    "customers_with_urgent_orders",    # 0.278
 ]
 
 
