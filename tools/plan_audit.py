@@ -533,6 +533,25 @@ AUDITED = {
         "status-key space before the eqNullSafe join, which plans as "
         "a broadcast join on the null-safe key — never a nested loop."
     ),
+    "ann_ivf_exact_topk": (
+        "Value-checked IVF: cell assignment evaluates in the scan "
+        "stage (centroids inlined as literals), queries+probe cells "
+        "broadcast into one hash join on the cell key — each query "
+        "scores ~nprobe/k of the corpus, then the standard two-phase "
+        "top-k; no all-pairs, no nested loop."
+    ),
+    "events_range_frame_stats": (
+        "RANGE-interval frames: ONE user_id exchange feeds both "
+        "windowed aggregates (count + sum share the frame); the frame "
+        "bound is exact integer microseconds evaluated inside the "
+        "Window operator — no self-join re-expression."
+    ),
+    "curation_semantic_decontaminate": (
+        "Semantic decon: the benchmark side is a BroadcastExchange "
+        "into a single corpus scan; the per-vector verdict is one "
+        "map-side-combined groupBy over vec_id — corpus read once, "
+        "benchmark never shuffled."
+    ),
 }
 
 _TREE_RE = re.compile(r"^(.*?)\n\n\(1\)", re.DOTALL)

@@ -108,6 +108,9 @@ REPS = [
     "streaming_observed_metrics",  # observe() drain (eager)
     "orders_aggregate_suite",    # one-pass aggregate breadth
     "orders_null_semantics",     # null-safe join reconciliation
+    "events_range_frame_stats",  # RANGE-interval trailing windows
+    "ann_ivf_exact_topk",        # value-checked IVF retrieval (eager fit)
+    "curation_semantic_decontaminate",  # broadcast-benchmark cosine probe
 ]
 
 
