@@ -110,6 +110,7 @@ DRIVER_FIRST = [
     "events_range_frame_stats",        # RANGE-interval window frames
     "ann_ivf_exact_topk",              # IVF with every stage hash-checked
     "curation_semantic_decontaminate", # embedding-space decon member
+    "dedup_pagerank_int",              # fixed-point PageRank, hash-checked
     # -- B: last never-witnessed rows-only entries ------------------------
     "fmt_file_metadata_audit",         # 1.964
     "dedup_minhash_ml_slice",          # MLlib parity demo
@@ -137,7 +138,6 @@ DRIVER_FIRST = [
     "embedding_label_centroids",       # 0.229
     "customers_without_orders",        # 0.253
     "text_corpus_stats",               # 0.253
-    "text_quality",                    # 0.269
 ]
 
 

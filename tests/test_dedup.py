@@ -638,3 +638,39 @@ def test_kcore_matches_cpython_peeling(spark):
         u: (peel.get(u), u not in peel) for u in adj
     }
     assert got == expect
+
+
+def test_pagerank_int_matches_python_fixed_point(spark):
+    """The integer fixed-point recurrence re-derived in pure Python on
+    a hand graph must match pagerank_int EXACTLY (no tolerance — the
+    operator's whole point)."""
+    from pu4spark_spark.operators.dedup import (
+        PAGERANK_INT_ITERS,
+        PAGERANK_INT_SCALE,
+        pagerank_int,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4), (2, 4)], "a_id long, b_id long"
+    )
+    got = {
+        r["doc_id"]: r["score"] for r in pagerank_int(pairs).collect()
+    }
+
+    edges = {}
+    for a, b in [(1, 2), (2, 3), (3, 4), (1, 4), (2, 4)]:
+        edges.setdefault(a, set()).add(b)
+        edges.setdefault(b, set()).add(a)
+    n = len(edges)
+    base = (15 * PAGERANK_INT_SCALE) // (100 * n)
+    score = {v: PAGERANK_INT_SCALE // n for v in edges}
+    for _ in range(PAGERANK_INT_ITERS):
+        contrib = {v: 0 for v in edges}
+        for u, nbrs in edges.items():
+            c = score[u] // len(nbrs)
+            for v in nbrs:
+                contrib[v] += c
+        score = {v: base + (85 * contrib[v]) // 100 for v in edges}
+    assert got == score
+    # hub ordering: 2 and 4 (degree 3) outrank 1 and 3 (degree 2)
+    assert min(score[2], score[4]) > max(score[1], score[3])
