@@ -111,6 +111,7 @@ REPS = [
     "events_range_frame_stats",  # RANGE-interval trailing windows
     "ann_ivf_exact_topk",        # value-checked IVF retrieval (eager fit)
     "curation_semantic_decontaminate",  # broadcast-benchmark cosine probe
+    "dedup_pagerank_int",        # fixed-point 8-round driver loop (eager)
 ]
 
 
