@@ -2327,8 +2327,10 @@ def q_curation_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity release (suppression form): customers grouped by
     the quasi-identifier pair (market segment, nation); any QI cell
     with fewer than k members is SUPPRESSED — its rows re-aggregate
-    into a single ``*``/``*`` residual cell — so no published row
-    describes fewer than k people.  The privacy partner to
+    into a single ``*``/``*`` residual cell, and the residual itself
+    is dropped when its total membership is still below k — so no
+    published row describes fewer than k people, including the
+    residual.  The privacy partner to
     :func:`q_curation_pseudonymize_events` (tokenization hides WHO,
     k-anonymity hides small crowds).
 
@@ -2357,6 +2359,10 @@ def q_curation_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").alias("n_customers"),
             F.sum("bal").cast("double").alias("sum_acctbal"),
         )
+        # The residual cell aggregates all suppressed QI cells; if even
+        # their union holds < k people, publishing it would still
+        # describe a small crowd — drop it (cell-count-sized filter).
+        .where(F.col("n_customers") >= K_ANON_K)
     )
 
 
@@ -2381,6 +2387,7 @@ SELECT segment, nation,
        CAST(SUM(bal) AS DOUBLE) AS sum_acctbal
 FROM relabeled
 GROUP BY segment, nation
+HAVING SUM(n) >= {K_ANON_K}
 """
 
 

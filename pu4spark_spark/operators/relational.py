@@ -4177,7 +4177,9 @@ def q_events_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tb"),
     )
-    filled = F.broadcast(grid).join(rollup, ["event_type", "tb"], "left")
+    # left-outer preserves the LEFT side, so only the RIGHT side can be
+    # the broadcast build side — hint rollup (grid-sized, tiny), not grid.
+    filled = grid.join(F.broadcast(rollup), ["event_type", "tb"], "left")
     idx = (F.unix_timestamp("tb") / INTERP_BUCKET_S).cast("bigint")
     filled = filled.withColumn("__i", idx)
     w_prev = (

@@ -423,15 +423,44 @@ def q_fmt_text_parse_udtf(spark: SparkSession, sf_dir: str):
                 v = parts[i] if i < len(parts) else None
                 if v is not None and t in ("bigint", "long", "int"):
                     v = int(v)
+                elif v is not None:
+                    # undo the writer's percent-escape of the field/row
+                    # separators (%25 LAST so escaped escapes survive)
+                    v = (
+                        v.replace("%09", "\t")
+                        .replace("%0A", "\n")
+                        .replace("%0D", "\r")
+                        .replace("%25", "%")
+                    )
                 row.append(v)
             yield tuple(row)
 
     spark.udtf.register("parse_tagged", ParseTagged)
 
+    # The TAB landing format is only well-defined if no field contains
+    # the separators: percent-escape %/TAB/LF/CR in the free-text column
+    # (unambiguous, round-tripped by the UDTF), and use NULL-PROPAGATING
+    # concat so a NULL key column yields a NULL line that fails loudly
+    # below instead of silently shifting fields (concat_ws skips NULLs).
+    safe_text = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), "%", "%25"),
+                "\t", "%09"),
+            "\n", "%0A"),
+        "\r", "%0D")
+    line = F.concat(
+        F.col("doc_id").cast("string"), F.lit("\t"),
+        F.col("lang"), F.lit("\t"), safe_text,
+    )
     docs = load_table(spark, "documents", sf_dir).select(
-        F.concat_ws(
-            "\t", F.col("doc_id"), F.col("lang"), F.col("text")
-        ).alias("value")
+        F.when(line.isNotNull(), line)
+        .otherwise(
+            F.raise_error(
+                F.lit("fmt_text_parse_udtf: NULL key column in landing row")
+            )
+        )
+        .alias("value")
     )
     path = _scratch(sf_dir, "text_udtf")
     docs.write.mode("overwrite").text(path)

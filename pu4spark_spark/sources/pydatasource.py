@@ -91,6 +91,22 @@ class JsonlDocsWriter(DataSourceWriter):
             raise ValueError("jsonl_docs writer requires option 'path'")
         self.fields = [f.name for f in schema.fields]
         self.overwrite = overwrite
+        # optimistic-concurrency declaration: "this job planned against
+        # table version N and commits N+1".  When set, commit() claims
+        # exactly v{N+1} and FAILS (ManifestCommitConflict) if another
+        # writer claimed it first — the Iceberg/Delta base-snapshot
+        # contract.  Unset → the version is derived from a fresh listing
+        # at commit time (the claim still guarantees a unique winner).
+        bv = options.get("base_version")
+        self.base_version = int(bv) if bv is not None else None
+        # per-JOB token: assigned once driver-side, shared by all the
+        # job's pickled task copies.  Temp shards carry it so commit's
+        # orphan sweep only ever touches THIS job's leftovers — a
+        # concurrent writer's in-flight staging is invisible to us
+        # (foreign orphans from crashed jobs are vacuum's business).
+        import uuid as _uuid
+
+        self.job_token = _uuid.uuid4().hex[:8]
         if overwrite:
             # runs on the driver, pre-job (the writer is constructed
             # once driver-side before being pickled to tasks)
@@ -108,7 +124,7 @@ class JsonlDocsWriter(DataSourceWriter):
         pid = TaskContext.get().partitionId()
         _os.makedirs(self.path, exist_ok=True)
         final = f"part-{pid:05d}-{_uuid.uuid4().hex[:8]}.jsonl"
-        tmp = "_tmp-" + final
+        tmp = f"_tmp-{self.job_token}-" + final
         n = 0
         # per-shard doc_id min/max ride the commit message — the
         # zonemap the reader's filter pushdown prunes shards with
@@ -123,13 +139,19 @@ class JsonlDocsWriter(DataSourceWriter):
                     v = d["doc_id"]
                     mn = v if mn is None or v < mn else mn
                     mx = v if mx is None or v > mx else mx
+            # shard contents must be on disk before the driver's commit
+            # can make them visible — same power-loss discipline as the
+            # metadata files
+            fh.flush()
+            _os.fsync(fh.fileno())
         return JsonlCommit(tmp, final, n, mn, mx)
 
     def _sweep_tmp(self, keep: set[str]) -> None:
         import os as _os
 
+        prefix = f"_tmp-{self.job_token}-"
         for f in _os.listdir(self.path):
-            if f.startswith("_tmp-") and f not in keep:
+            if f.startswith(prefix) and f not in keep:
                 try:
                     _os.remove(_os.path.join(self.path, f))
                 except OSError:
@@ -189,15 +211,18 @@ class JsonlDocsWriter(DataSourceWriter):
         # commit also snapshots the full shard list as _MANIFEST.v{N}.
         # Shards are immutable and appends never delete, so reading an
         # old version's list IS the table as of that commit.
-        version = 1 + max(
-            (
-                int(f.rsplit(".v", 1)[1])
-                for f in _os.listdir(self.path)
-                if f.startswith("_MANIFEST.v")
-                and f.rsplit(".v", 1)[1].isdigit()
-            ),
-            default=0,
-        )
+        if self.base_version is not None:
+            version = self.base_version + 1
+        else:
+            version = 1 + max(
+                (
+                    int(f.rsplit(".v", 1)[1])
+                    for f in _os.listdir(self.path)
+                    if f.startswith("_MANIFEST.v")
+                    and f.rsplit(".v", 1)[1].isdigit()
+                ),
+                default=0,
+            )
         # metadata commits use the same rename pattern as the shards: a
         # crash mid-write (or a concurrent reader) must never observe a
         # truncated _MANIFEST / _MANIFEST.v{N} / _STATS — os.replace is
@@ -205,10 +230,48 @@ class JsonlDocsWriter(DataSourceWriter):
         # one, never a partial body.  Order matters: the snapshot first
         # (time travel), then _STATS, then _MANIFEST last — the live
         # pointer only flips once everything it references is durable.
+        #
+        # OPTIMISTIC CONCURRENCY: the version snapshot is claimed with
+        # CREATE-IF-ABSENT (hard link, which fails on an existing name)
+        # — two writers that both prepared v{N} race to that one atomic
+        # filesystem operation, exactly one wins, and the loser raises
+        # ManifestCommitConflict after unlinking its own shards.  The
+        # live _MANIFEST / _STATS are only ever flipped by the winner,
+        # so a conflict can never produce a silent shard-list merge.
         body = _json.dumps(manifest)
-        _write_atomic(
-            _os.path.join(self.path, f"_MANIFEST.v{version}"), body
-        )
+        try:
+            _write_atomic_excl(
+                _os.path.join(self.path, f"_MANIFEST.v{version}"), body
+            )
+        except FileExistsError:
+            # another writer committed this version first: roll back our
+            # shard visibility (manifest-preferring readers never saw
+            # them — they are in no committed manifest) and fail loudly.
+            # Exception: on a manifest-less first commit the winner seeds
+            # its manifest from a directory LISTING, which may have
+            # caught our already-renamed shards — never delete a file
+            # the winner's (atomic, hence complete) claim references.
+            winner_files: set[str] = set()
+            try:
+                with open(
+                    _os.path.join(self.path, f"_MANIFEST.v{version}")
+                ) as fh:
+                    winner_files = set(_json.load(fh))
+            except (OSError, ValueError):
+                pass
+            for m in messages:
+                if m is None or m.file in winner_files:
+                    continue
+                try:
+                    _os.remove(_os.path.join(self.path, m.file))
+                except OSError:
+                    pass
+            raise ManifestCommitConflict(
+                f"concurrent commit: _MANIFEST.v{version} was claimed by "
+                f"another writer after this job read version {version - 1}; "
+                "this job's shards were rolled back — re-run the append "
+                "against the new table state"
+            ) from None
         _write_atomic(
             _os.path.join(self.path, "_STATS"), _json.dumps(stats)
         )
@@ -393,6 +456,39 @@ class JsonlDocsReader(DataSourceReader):
                 )
 
 
+class ManifestCommitConflict(RuntimeError):
+    """Two writers prepared the same manifest version concurrently and
+    this one lost the atomic claim — the commit was rolled back; the
+    table state is exactly the winner's.  Loud by design: a silent
+    shard-list merge would interleave two jobs' rows under one version
+    and break both the time-travel and exactly-once contracts."""
+
+
+def _write_atomic_excl(path: str, body: str) -> None:
+    """CREATE-IF-ABSENT twin of :func:`_write_atomic`: write the body to
+    a temp file, fsync, then ``os.link`` it to the final name — link(2)
+    fails with ``FileExistsError`` if the name is taken, which is the
+    single atomic operation the optimistic-concurrency commit races on
+    (POSIX guarantees exactly one of N concurrent links wins)."""
+    import uuid as _uuid
+
+    parent = os.path.dirname(path)
+    tmp = os.path.join(parent, f"_tmp-meta-{_uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        fh.write(body)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, path)
+    finally:
+        os.unlink(tmp)
+    dfd = os.open(parent, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
 def _write_atomic(path: str, body: str) -> None:
     """Rename-commit a metadata file: write the full body to an
     underscore-prefixed temp name in the same directory (readers'
@@ -403,15 +499,21 @@ def _write_atomic(path: str, body: str) -> None:
     parse these files)."""
     import uuid as _uuid
 
-    tmp = os.path.join(
-        os.path.dirname(path),
-        f"_tmp-meta-{_uuid.uuid4().hex[:8]}",
-    )
+    parent = os.path.dirname(path)
+    tmp = os.path.join(parent, f"_tmp-meta-{_uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as fh:
         fh.write(body)
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(tmp, path)
+    # fsync the DIRECTORY so the rename's directory entry is durable
+    # across power loss, not just process crash (the rename itself
+    # lives in directory metadata with its own write-back cache).
+    dfd = os.open(parent, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def _list_shards(path: str) -> list[str]:
@@ -969,6 +1071,106 @@ GROUP BY lang
 """
 
 
+def q_fmt_pyds_commit_conflict(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OPTIMISTIC-CONCURRENCY WITNESS on the mini-lake: two appenders
+    both plan against table version 1 (``option("base_version", 1)``)
+    and race to commit version 2.  Exactly one wins the atomic
+    create-if-absent claim on ``_MANIFEST.v2``; the loser raises
+    ``ManifestCommitConflict`` and its shards are rolled back — never a
+    silent shard-list merge (the first failure mode a real
+    parallel-ingest user hits on a table without commit semantics).
+
+    The loser here appends POISON rows (shifted doc_ids, lang
+    ``'xx'``) — if any of them leaked into the committed table, the
+    read@latest aggregate below would grow an extra lang group and
+    hash-mismatch the oracle, which is built from the winner's content
+    only (base even half + winner's odd half = the full documents
+    table).
+
+    Scale: conflict detection costs ONE link(2) syscall at commit time
+    regardless of table size; losers retry against the new version with
+    only their own shards re-staged (shards are task-side, the claim is
+    driver-side)."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_pyds_cc_{tag}_{os.getpid()}"
+    )
+    register_pyds(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    (
+        even.repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out)
+        .mode("overwrite")
+        .save()
+    )
+    # writer A: planned against v1, commits v2 — the winner
+    (
+        odd.repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out)
+        .option("base_version", 1)
+        .mode("append")
+        .save()
+    )
+    # writer B: ALSO planned against v1 (stale — A already took v2).
+    # Its claim of _MANIFEST.v2 must lose and surface the conflict
+    # loudly through the job; the poison rows must be rolled back.
+    poison = odd.limit(100).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        "text",
+        F.lit("xx").alias("lang"),
+        "source",
+        "n_chars",
+    )
+    conflicted = False
+    try:
+        (
+            poison.repartition(1)
+            .write.format("jsonl_docs")
+            .option("path", out)
+            .option("base_version", 1)
+            .mode("append")
+            .save()
+        )
+    except Exception as exc:  # Py4J wraps ManifestCommitConflict
+        # captured-exception repr() drops the message — match on str()
+        if "ManifestCommitConflict" not in str(exc) and (
+            "concurrent commit" not in str(exc)
+        ):
+            raise
+        conflicted = True
+    if not conflicted:
+        raise AssertionError(
+            "stale base_version commit succeeded — optimistic "
+            "concurrency is broken"
+        )
+    back = spark.read.format("jsonl_docs").option("path", out).load()
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+SQL_FMT_PYDS_COMMIT_CONFLICT = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM documents
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "fmt_pyds_jsonl_roundtrip": q_fmt_pyds_jsonl_roundtrip,
     "fmt_pyds_jsonl_write_roundtrip": q_fmt_pyds_jsonl_write_roundtrip,
@@ -976,6 +1178,7 @@ QUERIES = {
     "fmt_pyds_compaction": q_fmt_pyds_compaction,
     "fmt_pyds_snapshot_diff": q_fmt_pyds_snapshot_diff,
     "fmt_pyds_stats_pruning": q_fmt_pyds_stats_pruning,
+    "fmt_pyds_commit_conflict": q_fmt_pyds_commit_conflict,
     "streaming_pyds_docs": q_streaming_pyds_docs,
 }
 SQL_STREAMING_PYDS_DOCS = """
@@ -995,6 +1198,8 @@ ORACLE_SQL = {
     "fmt_pyds_compaction": SQL_FMT_PYDS_COMPACTION,
     "fmt_pyds_snapshot_diff": SQL_FMT_PYDS_SNAPSHOT_DIFF,
     "fmt_pyds_stats_pruning": SQL_FMT_PYDS_STATS_PRUNING,
+    # post-conflict read@latest must equal the WINNING writer's content
+    "fmt_pyds_commit_conflict": SQL_FMT_PYDS_COMMIT_CONFLICT,
     # the incremental path must agree with the batch oracle
     "streaming_pyds_docs": SQL_STREAMING_PYDS_DOCS,
 }

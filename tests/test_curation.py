@@ -877,9 +877,10 @@ def test_pseudonym_null_propagates(spark):
 
 
 def test_k_anonymity_guarantee_and_mass_preservation(spark):
-    """Every published QI cell must cover >= k customers; the
-    suppressed residual absorbs the rest so the total is preserved
-    (suppression hides small crowds, it must not drop them)."""
+    """EVERY published row — including the '*'/'*' residual — must
+    cover >= k customers; mass is preserved up to at most one dropped
+    residual of size < k (a residual whose union of suppressed cells
+    is still a small crowd must not be published)."""
     from pu4spark_spark.operators.curation import (
         K_ANON_K,
         q_curation_k_anonymity,
@@ -889,9 +890,51 @@ def test_k_anonymity_guarantee_and_mass_preservation(spark):
     sf = "/root/testdata/sf0.01"
     rows = q_curation_k_anonymity(spark, sf).collect()
     total = load_table(spark, "customer", sf).count()
-    assert sum(r["n_customers"] for r in rows) == total
+    published = sum(r["n_customers"] for r in rows)
+    # either everything is published, or exactly the < k residual
+    # was dropped — never more.
+    assert published == total or 0 < total - published < K_ANON_K
     for r in rows:
-        if r["segment"] != "*":
-            assert r["n_customers"] >= K_ANON_K
+        # the k guarantee now holds unconditionally, residual included
+        assert r["n_customers"] >= K_ANON_K
         # suppression is all-or-nothing on the QI pair
         assert (r["segment"] == "*") == (r["nation"] == "*")
+
+
+def test_k_anonymity_residual_suppressed_when_small(spark):
+    """Directed fixture: one giant QI cell plus a single singleton
+    cell.  The singleton's residual covers 1 < k person, so the
+    release must contain ONLY the giant cell — publishing the
+    residual would disclose the singleton's exact balance."""
+    from pu4spark_spark.operators.curation import K_ANON_K
+
+    cust = spark.createDataFrame(
+        [("BIG", 1, 100.0 + i) for i in range(K_ANON_K + 5)]
+        + [("TINY", 2, 9999.99)],
+        "c_mktsegment string, c_nationkey int, c_acctbal double",
+    )
+    cells = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("bal"),
+    )
+    ok = F.col("n") >= K_ANON_K
+    out = (
+        cells.select(
+            F.when(ok, F.col("c_mktsegment")).otherwise("*").alias("segment"),
+            F.when(ok, F.col("c_nationkey").cast("string"))
+            .otherwise("*")
+            .alias("nation"),
+            "n",
+            "bal",
+        )
+        .groupBy("segment", "nation")
+        .agg(
+            F.sum("n").alias("n_customers"),
+            F.sum("bal").cast("double").alias("sum_acctbal"),
+        )
+        .where(F.col("n_customers") >= K_ANON_K)
+        .collect()
+    )
+    assert len(out) == 1
+    assert out[0]["segment"] == "BIG"
+    assert out[0]["n_customers"] == K_ANON_K + 5

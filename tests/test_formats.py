@@ -575,3 +575,131 @@ def test_polymorphic_udtf_parse_equals_codegen_twin(spark):
     udtf_rows = {tuple(r) for r in q_fmt_text_parse_udtf(spark, sf).collect()}
     native = {tuple(r) for r in q_fmt_text_roundtrip(spark, sf).collect()}
     assert udtf_rows == native and len(udtf_rows) > 0
+
+
+def test_manifest_commit_conflict_race(spark, tmp_path):
+    """Two writers prepare v2 concurrently (both planned against v1);
+    EXACTLY one commit must win the atomic _MANIFEST.v2 claim, the
+    loser must raise ManifestCommitConflict, and read@latest must be
+    exactly the winner's content — never a merged shard list."""
+    import json as _json
+    import os as _os
+    import threading
+
+    from pu4spark_spark.sources.pydatasource import (
+        JsonlCommit,
+        JsonlDocsWriter,
+        ManifestCommitConflict,
+        register_pyds,
+    )
+
+    register_pyds(spark)
+    out = str(tmp_path / "cc_race")
+    _os.makedirs(out)
+    # seed v1 by hand: one shard, manifest + versioned snapshot
+    base_shard = "part-00000-base0000.jsonl"
+    with open(_os.path.join(out, base_shard), "w") as fh:
+        for i in range(4):
+            fh.write(
+                _json.dumps(
+                    {
+                        "doc_id": i,
+                        "text": f"base {i}",
+                        "lang": "en",
+                        "source": "seed",
+                        "n_chars": 6,
+                    }
+                )
+                + "\n"
+            )
+    body = _json.dumps({base_shard: 4})
+    open(_os.path.join(out, "_MANIFEST.v1"), "w").write(body)
+    open(_os.path.join(out, "_MANIFEST"), "w").write(body)
+
+    schema = spark.createDataFrame(
+        [],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    ).schema
+
+    barrier = threading.Barrier(2)
+    outcomes: dict[str, BaseException | None] = {}
+
+    def attempt(tag: str, doc_id: int) -> None:
+        # stage this writer's task output by hand (write() needs a
+        # TaskContext; commit() semantics are what's under test)
+        w = JsonlDocsWriter(
+            {"path": out, "base_version": "1"}, schema, overwrite=False
+        )
+        final = f"part-00000-{tag}.jsonl"
+        tmp = f"_tmp-{w.job_token}-" + final
+        with open(_os.path.join(out, tmp), "w") as fh:
+            fh.write(
+                _json.dumps(
+                    {
+                        "doc_id": doc_id,
+                        "text": tag,
+                        "lang": tag,
+                        "source": "race",
+                        "n_chars": len(tag),
+                    }
+                )
+                + "\n"
+            )
+        msg = JsonlCommit(tmp, final, 1, doc_id, doc_id)
+        barrier.wait()
+        try:
+            w.commit([msg])
+            outcomes[tag] = None
+        except BaseException as exc:  # noqa: BLE001
+            outcomes[tag] = exc
+
+    threads = [
+        threading.Thread(target=attempt, args=(t, d))
+        for t, d in (("aaaa1111", 100), ("bbbb2222", 200))
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    losers = {t: e for t, e in outcomes.items() if e is not None}
+    winners = [t for t, e in outcomes.items() if e is None]
+    assert len(winners) == 1 and len(losers) == 1
+    assert all(
+        isinstance(e, ManifestCommitConflict) for e in losers.values()
+    )
+    (loser_tag,) = losers
+    (winner_tag,) = winners
+    # loser's shard rolled back, winner's visible
+    files = set(_os.listdir(out))
+    assert f"part-00000-{winner_tag}.jsonl" in files
+    assert f"part-00000-{loser_tag}.jsonl" not in files
+    # read@latest == base + winner only
+    langs = {
+        r["lang"]
+        for r in spark.read.format("jsonl_docs")
+        .option("path", out)
+        .load()
+        .collect()
+    }
+    assert langs == {"en", winner_tag}
+    # the claimed v2 snapshot names exactly the winner's shard set
+    v2 = _json.load(open(_os.path.join(out, "_MANIFEST.v2")))
+    assert set(v2) == {base_shard, f"part-00000-{winner_tag}.jsonl"}
+
+
+def test_commit_conflict_query_end_to_end(spark):
+    """The registered fmt_pyds_commit_conflict query: stale
+    base_version append fails loudly, poison rows never leak, and the
+    read@latest aggregate equals the winner-only content."""
+    from pu4spark_spark.sources.pydatasource import (
+        q_fmt_pyds_commit_conflict,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_fmt_pyds_commit_conflict(spark, sf).collect()
+    langs = {r["lang"] for r in rows}
+    assert "xx" not in langs and len(langs) > 0
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
