@@ -161,7 +161,6 @@ HEADLINE = [
     "fmt_dpp_fact_scan",
     "fmt_schema_evolution_scan",
     "text_lang_quality_median_pandas",
-    "dedup_pagerank",
     "events_audience_bitmap",
     "events_transition_matrix",
     "lineitem_orders_shj",

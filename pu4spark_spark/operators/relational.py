@@ -1392,6 +1392,95 @@ GROUP BY c_mktsegment
 """
 
 
+def q_skew_join_aqe_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE-NATIVE skew handling — the lever you reach for at 100 TB
+    BEFORE manual salting (:func:`q_salted_segment_revenue` is the
+    hand-rolled twin): a deliberately skewed fact key (two thirds of
+    orders remapped onto customer 1 — the hot-account shape) joined
+    sort-merge to customer with ``spark.sql.adaptive.skewJoin``
+    splitting the hot partition at runtime.  AQE detects the oversized
+    shuffle partition AFTER the map stage (no stats, no user hints
+    beyond MERGE) and replans it as N sub-partitions each joining a
+    duplicated build slice — semantics identical, stragglers gone.
+
+    The join is materialized INSIDE the lowered-threshold conf window
+    (persist + count) so the skew split actually happens on every run,
+    driver included — the session confs are restored before returning.
+    ``tests/test_plans.py::test_aqe_skew_join_split_witnessed`` gates
+    ``skew=true`` on the executed SMJ; the oracle re-derives the same
+    remapped join row-for-row, so a split that lost or duplicated rows
+    would hash-mismatch."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": (
+            "2048"
+        ),
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.5",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1024",
+        # coalescing would merge the tiny fixture partitions before the
+        # skew detector sees them — production sizes don't need this off
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old: dict = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    # AQE splits a skewed reduce partition at MAPPER-OUTPUT granularity;
+    # the fixture's one-file scan is a single mapper, so spread the map
+    # stage first (a 100 TB fact side has thousands of mappers for free)
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .select(
+            F.when(F.col("o_custkey") % 3 != 0, F.lit(1))
+            .otherwise(F.col("o_custkey"))
+            .alias("skew_key"),
+            "o_totalprice",
+        )
+        .repartition(8)
+    )
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_mktsegment"
+    )
+    agg = (
+        orders.hint("MERGE")
+        .join(cust, orders["skew_key"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(_M))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        agg = agg.persist()
+        agg.count()  # materialize under the skew-split confs
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return agg
+
+
+SQL_SKEW_JOIN_AQE_REVENUE = f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS {_M})) AS DOUBLE) AS total_price
+FROM orders JOIN customer
+  ON (CASE WHEN o_custkey % 3 <> 0 THEN 1 ELSE o_custkey END) = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 #: dialect-common GROUPING SETS text — run verbatim through both engines
 SQL_GROUPING_SETS = """
 SELECT o_orderstatus,
@@ -4391,6 +4480,7 @@ WHERE d.n > d.med + {MAD_K} * m.mad
 QUERIES = {
     "q1_pricing_summary": q_q1_pricing_summary,
     "salted_segment_revenue": q_salted_segment_revenue,
+    "skew_join_aqe_revenue": q_skew_join_aqe_revenue,
     "grouping_sets_orders": q_grouping_sets_orders,
     "profile_orders": q_profile_orders,
     "audit_referential_integrity": q_audit_referential_integrity,
@@ -4478,6 +4568,7 @@ ORACLE_SQL = {
     "events_anomaly_mad": SQL_EVENTS_ANOMALY_MAD,
     "q1_pricing_summary": SQL_Q1,
     "salted_segment_revenue": SQL_SALTED_SEGMENT_REVENUE,
+    "skew_join_aqe_revenue": SQL_SKEW_JOIN_AQE_REVENUE,
     "grouping_sets_orders": SQL_GROUPING_SETS,
     "profile_orders": SQL_PROFILE_ORDERS,
     "audit_referential_integrity": SQL_AUDIT_REFERENTIAL_INTEGRITY,

@@ -153,10 +153,10 @@ if _missing_first:
 _ROWS_ONLY_WINDOWED = {
     "pu_spy_em_lr", "pu_elkan_noto_lr", "pu_bagging_lr",
     "pu_class_prior", "pu_f1_proxy", "pu_auc_zero_step",
-    "dedup_pagerank", "dedup_minhash_ml_slice", "ann_ivf",
+    "dedup_minhash_ml_slice", "ann_ivf",
     "ann_ivf_recall", "embedding_pca_project", "text_bpe_learn_merges",
     "text_bpe_encode", "mm_cdc_chunks", "mm_cdc_dup_chunks",
-    "fmt_file_metadata_audit", "pu_doc_quality_soft_lr",
+    "pu_doc_quality_soft_lr",
     "dedup_kcore", "events_hll_sketch_merge",
 }
 _no_oracle_first = [

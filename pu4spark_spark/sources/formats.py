@@ -684,39 +684,115 @@ FROM events
 """
 
 
+#: deterministic writer contract for the audited layout: each suppkey's
+#: rows land in ONE task (repartition on the partition key) and roll to
+#: a new file every AUDIT_MAX_RECORDS rows — so the file count per
+#: partition directory is exactly ceil(rows / AUDIT_MAX_RECORDS), which
+#: is what makes the audit ORACLE-CHECKABLE from the row-level truth.
+AUDIT_MAX_RECORDS = 256
+
+
+def _audit_fact_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotent build of the audit target: supplier-partitioned
+    lineitem written under the deterministic contract above (the DPP
+    layout at :func:`_dpp_fact_dir` predates the contract and keeps its
+    own artifact)."""
+    import os
+
+    from pu4spark_spark.sources import load_table, write_parquet
+
+    path = _artifact(sf_dir, "auditfact")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    write_parquet(
+        li.repartition("l_suppkey"),
+        path,
+        partition_by=["l_suppkey"],
+        max_records_per_file=AUDIT_MAX_RECORDS,
+    )
+    return path
+
+
+def audit_file_listing(spark: SparkSession, path: str):
+    """O(FILES) distributed listing of a partitioned layout: the
+    ``binaryFile`` source with only path/length projected — the content
+    column is NEVER selected, so no data byte is read (plan-gated in
+    tests/test_plans.py); the partition key comes from the directory
+    name and the exact per-file row count from the parquet FOOTER (a
+    bounded pandas UDF over the file list, one footer read per file).
+    This is the audit's whole cost model: a 100 TB table with 100k
+    files costs 100k stat calls + 100k footer reads — never a row scan."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit SCALAR eval type: `from __future__ import annotations`
+    # stringifies hints, which pandas_udf's inference cannot read
+    @pandas_udf("bigint", PandasUDFType.SCALAR)
+    def footer_rows(paths):
+        import pyarrow.parquet as pq
+
+        def nrows(p):
+            if p.startswith("file:"):
+                p = p[5:]
+            return pq.ParquetFile(p).metadata.num_rows
+
+        return paths.map(nrows)
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select(
+            F.regexp_extract("path", r"l_suppkey=(\d+)", 1)
+            .cast("bigint")
+            .alias("l_suppkey"),
+            F.col("length").alias("bytes"),
+            footer_rows("path").alias("rows"),
+        )
+    )
+
+
 def q_fmt_file_metadata_audit(spark: SparkSession, sf_dir: str):
-    """Small-file / layout audit over the partitioned fact layout via
-    Spark's hidden ``_metadata`` struct (file_path, file_size,
-    file_modification_time — metadata-only, no extra I/O per row): per
-    partition directory, the file count, total bytes, and how many
-    files fall under a compaction target — the table an OPTIMIZE /
-    compaction job consumes.  At 100 TB small-file proliferation is a
-    top-3 operational problem; this is the detector.  Rows-only: file
-    sizes depend on compression and are not reproducible in the
-    oracle engine (pytest pins the invariants instead)."""
+    """Small-file / layout audit, O(FILES) not O(rows): a distributed
+    ``binaryFile`` listing of the supplier-partitioned fact layout
+    (path + length only — the content column is never selected, so the
+    audit reads ZERO data bytes; plan-gated), partition key derived
+    from the directory path, exact per-file row counts from parquet
+    footers.  At 100 TB small-file proliferation is a top-3
+    operational problem, and a detector priced as a corpus scan would
+    never be run — this one costs one stat + one footer read per file.
+
+    Oracle-checkable because the layout is written under the
+    deterministic contract (``repartition(key)`` +
+    ``maxRecordsPerFile``): per suppkey, ``n_files`` must equal
+    ``ceil(n_rows / AUDIT_MAX_RECORDS)`` — DuckDB re-derives both from
+    the row-level truth.  Physical byte sizes are compression-dependent
+    and stay pytest-pinned (``audit_file_listing`` exposes them)."""
     from pyspark.sql import functions as F
 
-    #: files smaller than this are compaction candidates (tiny for the
-    #: fixture; production ≈ 100-512 MB)
-    target = 64 * 1024
-    fact = spark.read.parquet(_dpp_fact_dir(spark, sf_dir))
-    per_file = (
-        fact.select(
-            F.col("l_suppkey"),
-            F.col("_metadata.file_path").alias("fp"),
-            F.col("_metadata.file_size").alias("fsz"),
+    path = _audit_fact_dir(spark, sf_dir)
+    return (
+        audit_file_listing(spark, path)
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("rows").cast("bigint").alias("n_rows"),
         )
-        .groupBy("l_suppkey", "fp")
-        .agg(F.first("fsz").alias("fsz"), F.count(F.lit(1)).alias("rows"))
     )
-    return per_file.groupBy("l_suppkey").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_files"),
-        F.sum("fsz").cast("bigint").alias("bytes"),
-        F.sum("rows").cast("bigint").alias("n_rows"),
-        F.sum((F.col("fsz") < target).cast("int"))
-        .cast("bigint")
-        .alias("n_small_files"),
-    )
+
+
+SQL_FMT_FILE_METADATA_AUDIT = f"""
+SELECT l_suppkey,
+       CAST((COUNT(*) + {AUDIT_MAX_RECORDS - 1}) // {AUDIT_MAX_RECORDS}
+            AS BIGINT) AS n_files,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_suppkey
+"""
 
 
 def q_fmt_dpp_fact_scan(spark: SparkSession, sf_dir: str):
@@ -774,8 +850,9 @@ GROUP BY s.s_name
 """
 
 QUERIES["fmt_dpp_fact_scan"] = q_fmt_dpp_fact_scan
-# rows-only: physical file sizes are compression-dependent
 QUERIES["fmt_file_metadata_audit"] = q_fmt_file_metadata_audit
 QUERIES["fmt_json_corrupt_quarantine"] = q_fmt_json_corrupt_quarantine
 ORACLE_SQL["fmt_json_corrupt_quarantine"] = SQL_FMT_JSON_CORRUPT
 ORACLE_SQL["fmt_dpp_fact_scan"] = SQL_FMT_DPP_FACT_SCAN
+# n_files is derivable because the layout writer is deterministic
+ORACLE_SQL["fmt_file_metadata_audit"] = SQL_FMT_FILE_METADATA_AUDIT

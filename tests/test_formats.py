@@ -192,13 +192,48 @@ def test_pyds_stream_incremental_offsets_exactly_once(spark, tmp_path):
 
 
 def test_file_metadata_audit_invariants(spark):
-    from pu4spark_spark.sources.formats import q_fmt_file_metadata_audit
+    """n_files must equal the deterministic writer contract's
+    ceil(rows / AUDIT_MAX_RECORDS) per partition; physical sizes (not
+    oracle-checkable — compression-dependent) are pinned here via the
+    listing helper: every file non-empty, bytes consistent per key."""
+    from pu4spark_spark.sources.formats import (
+        AUDIT_MAX_RECORDS,
+        _audit_fact_dir,
+        audit_file_listing,
+        q_fmt_file_metadata_audit,
+    )
 
-    rows = q_fmt_file_metadata_audit(spark, "/root/testdata/sf0.001").collect()
+    sf = "/root/testdata/sf0.001"
+    rows = q_fmt_file_metadata_audit(spark, sf).collect()
     assert rows
     for r in rows:
-        assert r["n_files"] >= 1 and r["bytes"] > 0 and r["n_rows"] >= 1
-        assert 0 <= r["n_small_files"] <= r["n_files"]
+        assert r["n_rows"] >= 1
+        expect = -(-r["n_rows"] // AUDIT_MAX_RECORDS)
+        assert r["n_files"] == expect
+    listing = audit_file_listing(spark, _audit_fact_dir(spark, sf)).collect()
+    assert len(listing) == sum(r["n_files"] for r in rows)
+    for f in listing:
+        assert f["bytes"] > 0 and 1 <= f["rows"] <= AUDIT_MAX_RECORDS
+
+
+def test_file_metadata_audit_reads_no_content(spark):
+    """The audit is O(files): the binaryFile scan must not project the
+    content column — zero data bytes read."""
+    from pu4spark_spark.sources.formats import (
+        _audit_fact_dir,
+        q_fmt_file_metadata_audit,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    _audit_fact_dir(spark, sf)
+    plan = (
+        q_fmt_file_metadata_audit(spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "binaryFile" in plan
+    assert "content" not in plan
 
 
 def test_json_corrupt_quarantine_loses_nothing(spark):

@@ -729,3 +729,24 @@ def test_hll_merge_rollup_reads_sketches_not_raw(spark):
     tree = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
     assert tree.count("Scan parquet") == 2
     assert "hll_union_agg" in plan or "hll_union" in plan
+
+
+def test_aqe_skew_join_split_witnessed(spark):
+    """AQE's skew-join handling observed LIVE: the hot-key SMJ's
+    executed (adaptive, post-materialization) plan must carry the
+    skew=true marker — Spark detected the oversized shuffle partition
+    at runtime and split it.  The engine-native alternative to the
+    manual salting `salted_segment_revenue` oracle-checks; both must
+    produce identical rows (the oracle of the AQE twin pins that)."""
+    from pu4spark_spark.operators.relational import (
+        q_skew_join_aqe_revenue,
+    )
+
+    df = q_skew_join_aqe_revenue(spark, SF_DIR)
+    # the query materialized itself under the lowered skew thresholds;
+    # its executed plan is final (AQE resolved)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in plan, plan[:4000]
+    rows = df.collect()
+    assert rows and sum(r["n_orders"] for r in rows) > 0
+    df.unpersist()
