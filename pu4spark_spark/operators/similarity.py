@@ -21,6 +21,8 @@ All cosine math uses the quantized-integer discipline from
 
 from __future__ import annotations
 
+import math as _math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1133,6 +1135,42 @@ FROM qm
 RERANK_CANDIDATES = 25
 
 
+def _retrieve_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-1 retrieval of the rerank pipeline: 8-byte sign codes
+    under hamming, ``RERANK_CANDIDATES`` per query via two-phase rank.
+    Shared by :func:`q_ann_rerank_topk` (which reranks it) and
+    :func:`q_ann_ranking_eval` (which grades its ordering)."""
+    from pu4spark_spark.plans import spread, two_phase_rank
+
+    emb = spread(load_table(spark, "embeddings", sf_dir))
+    codes = emb.select(
+        "vec_id",
+        _sign_code("embedding", 0, 32).alias("lo"),
+        _sign_code("embedding", 32, EMB_DIM).alias("hi"),
+    )
+    qcodes = codes.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    ham = F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo"))) + F.bit_count(
+        F.col("hi").bitwiseXOR(F.col("qhi"))
+    )
+    return two_phase_rank(
+        codes.crossJoin(F.broadcast(qcodes))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("hamming", ham),
+        ["query_id"],
+        [F.asc("hamming"), F.asc("vec_id")],
+        RERANK_CANDIDATES,
+        rank_col="retrieve_rank",
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "retrieve_rank",
+    )
+
+
 def q_ann_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RETRIEVE → RERANK, the two-stage serving shape every production
     vector search runs (and the cross-encoder pattern in miniature): a
@@ -1151,36 +1189,9 @@ def q_ann_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scorer never sees more than C rows per query.  Everything is
     integer-exact with deterministic tie-breaks, so the final ranking
     hash-checks; output carries both ranks to show the re-ordering."""
-    from pu4spark_spark.plans import spread, two_phase_rank
+    from pu4spark_spark.plans import two_phase_rank
 
-    emb = spread(load_table(spark, "embeddings", sf_dir))
-    codes = emb.select(
-        "vec_id",
-        _sign_code("embedding", 0, 32).alias("lo"),
-        _sign_code("embedding", 32, EMB_DIM).alias("hi"),
-    )
-    qcodes = codes.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("lo").alias("qlo"),
-        F.col("hi").alias("qhi"),
-    )
-    ham = F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo"))) + F.bit_count(
-        F.col("hi").bitwiseXOR(F.col("qhi"))
-    )
-    cand = two_phase_rank(
-        codes.crossJoin(F.broadcast(qcodes))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("hamming", ham),
-        ["query_id"],
-        [F.asc("hamming"), F.asc("vec_id")],
-        RERANK_CANDIDATES,
-        rank_col="retrieve_rank",
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        "retrieve_rank",
-    )
-
+    cand = _retrieve_candidates(spark, sf_dir)
     base = _quantized_base(spark, sf_dir)
     nb = base.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -1258,6 +1269,205 @@ FROM (
               AS rank
   FROM rer)
 WHERE rank <= {TOP_K}
+"""
+
+
+# -- ranking-quality eval: nDCG@k + MRR over the rerank pipeline -----------
+
+#: position discounts 1/log2(i+1) and the ideal DCG, computed ONCE in
+#: Python and embedded as identical decimal literals in BOTH engines'
+#: expressions — no in-engine transcendental (Java log vs libm log can
+#: differ in the last ulp, which would break the value hash)
+_NDCG_W = [1.0 / _math.log2(i + 1) for i in range(1, TOP_K + 1)]
+_IDCG_CONST = 0.0
+for _i in range(1, TOP_K + 1):
+    _IDCG_CONST += ((1 << (TOP_K - _i + 1)) - 1) * _NDCG_W[_i - 1]
+
+
+def q_ann_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRADED RANKING EVAL — the report every retrieval stack ships
+    with: nDCG@k and reciprocal rank for BOTH stages of the
+    retrieve→rerank pipeline, per query, against exact-cosine ground
+    truth.  Relevance is graded integer (exact neighbor at true rank r
+    gets rel = k−r+1, others 0), so gains are integers and the only
+    doubles are one fixed multiply-add chain per row over Python-pinned
+    discount literals — fully hash-checkable, and the rerank stage must
+    dominate the retrieve stage (pytest asserts it).
+
+    Scale shape: truth and both rankings are queries×k rows; the eval
+    itself is a broadcast join + one tiny pivot-aggregate — the cost is
+    the two ranking jobs it grades, which are the existing bounded
+    pipelines (`ann_cosine_topk`, `ann_rerank_topk`)."""
+    truth = q_ann_cosine_topk(spark, sf_dir).select(
+        "query_id",
+        "neighbor_id",
+        (F.lit(TOP_K) - F.col("rank") + 1).cast("int").alias("rel"),
+    )
+    retrieve = (
+        _retrieve_candidates(spark, sf_dir)
+        .filter(F.col("retrieve_rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.lit("retrieve").alias("stage"),
+            F.col("retrieve_rank").cast("int").alias("rank"),
+        )
+    )
+    rerank = q_ann_rerank_topk(spark, sf_dir).select(
+        "query_id",
+        "neighbor_id",
+        F.lit("rerank").alias("stage"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+    sys = retrieve.unionByName(rerank)
+    j = (
+        sys.join(F.broadcast(truth), ["query_id", "neighbor_id"], "left")
+        .withColumn("rel", F.coalesce(F.col("rel"), F.lit(0)))
+        # F.shiftleft only takes a literal shift — expr() for per-row
+        .withColumn("gain", F.expr("shiftleft(1, rel) - 1"))
+    )
+    agg = j.groupBy("stage", "query_id").agg(
+        F.sum((F.col("rel") > 0).cast("int")).cast("bigint").alias("n_rel"),
+        F.coalesce(
+            F.min(F.when(F.col("rel") > 0, F.col("rank"))), F.lit(0)
+        )
+        .cast("int")
+        .alias("first_rel_rank"),
+        *[
+            F.sum(F.when(F.col("rank") == i, F.col("gain")).otherwise(0))
+            .cast("bigint")
+            .alias(f"g{i}")
+            for i in range(1, TOP_K + 1)
+        ],
+    )
+    dcg = F.col("g1").cast("double") * F.lit(_NDCG_W[0])
+    for i in range(2, TOP_K + 1):
+        dcg = dcg + F.col(f"g{i}").cast("double") * F.lit(_NDCG_W[i - 1])
+    rr = (
+        F.when(
+            F.col("first_rel_rank") > 0,
+            F.lit(1.0) / F.col("first_rel_rank"),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return agg.select(
+        "stage",
+        "query_id",
+        "n_rel",
+        "first_rel_rank",
+        rr.alias("rr"),
+        dcg.alias("dcg"),
+        (dcg / F.lit(_IDCG_CONST)).alias("ndcg"),
+    )
+
+
+def _sql_ranking_eval() -> str:
+    g_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN rank = {i} THEN gain ELSE 0 END) AS BIGINT)"
+        f" AS g{i}"
+        for i in range(1, TOP_K + 1)
+    )
+    # CAST('…' AS DOUBLE): a bare decimal literal is DECIMAL in DuckDB
+    # and its decimal→double conversion can be off the correctly-rounded
+    # text parse by 1 ulp — the string cast matches Spark's literal
+    dcg = " + ".join(
+        f"CAST(g{i} AS DOUBLE) * CAST('{_NDCG_W[i - 1]!r}' AS DOUBLE)"
+        for i in range(1, TOP_K + 1)
+    )
+    return f"""
+WITH codes AS (
+  SELECT vec_id, {_sql_sign_code("embedding", 0, 32)} AS lo,
+         {_sql_sign_code("embedding", 32, EMB_DIM)} AS hi
+  FROM embeddings
+),
+hscored AS (
+  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+         bit_count(xor(c.lo, qs.lo)) + bit_count(xor(c.hi, qs.hi))
+           AS hamming
+  FROM codes c, (SELECT * FROM codes WHERE vec_id < {N_QUERIES}) qs
+  WHERE c.vec_id <> qs.vec_id
+),
+cand AS (
+  SELECT query_id, neighbor_id, retrieve_rank FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY hamming ASC, neighbor_id ASC)
+             AS retrieve_rank
+    FROM hscored)
+  WHERE retrieve_rank <= {RERANK_CANDIDATES}
+),
+normed AS (
+  SELECT vec_id, q, list_dot_product(q, q) AS norm2
+  FROM (SELECT vec_id, {_Q_SQL} AS q FROM embeddings)
+),
+rer AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_dot_product(n.q, qs.q)
+           / (sqrt(n.norm2) * sqrt(qs.norm2)) AS cosine
+  FROM cand c
+  JOIN normed n ON n.vec_id = c.neighbor_id
+  JOIN (SELECT * FROM normed WHERE vec_id < {N_QUERIES}) qs
+    ON qs.vec_id = c.query_id
+),
+final AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC)
+             AS rank
+    FROM rer)
+  WHERE rank <= {TOP_K}
+),
+tscored AS (
+  SELECT qs.vec_id AS query_id, n.vec_id AS neighbor_id,
+         list_dot_product(n.q, qs.q)
+           / (sqrt(n.norm2) * sqrt(qs.norm2)) AS cosine
+  FROM normed n, (SELECT * FROM normed WHERE vec_id < {N_QUERIES}) qs
+  WHERE n.vec_id <> qs.vec_id
+),
+truth AS (
+  SELECT query_id, neighbor_id,
+         CAST({TOP_K} - rank + 1 AS INTEGER) AS rel
+  FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC)
+             AS rank
+    FROM tscored)
+  WHERE rank <= {TOP_K}
+),
+sys AS (
+  SELECT query_id, neighbor_id, 'retrieve' AS stage,
+         CAST(retrieve_rank AS INTEGER) AS rank
+  FROM cand WHERE retrieve_rank <= {TOP_K}
+  UNION ALL
+  SELECT query_id, neighbor_id, 'rerank' AS stage,
+         CAST(rank AS INTEGER) AS rank
+  FROM final
+),
+j AS (
+  SELECT s.stage, s.query_id, s.rank,
+         COALESCE(t.rel, 0) AS rel,
+         (1 << COALESCE(t.rel, 0)) - 1 AS gain
+  FROM sys s LEFT JOIN truth t
+    ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id
+),
+agg AS (
+  SELECT stage, query_id,
+         CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rel,
+         CAST(COALESCE(MIN(CASE WHEN rel > 0 THEN rank END), 0)
+              AS INTEGER) AS first_rel_rank,
+         {g_cols}
+  FROM j GROUP BY stage, query_id
+)
+SELECT stage, query_id, n_rel, first_rel_rank,
+       CASE WHEN first_rel_rank > 0
+            THEN CAST(1 AS DOUBLE) / first_rel_rank
+            ELSE CAST(0 AS DOUBLE) END AS rr,
+       ({dcg}) AS dcg,
+       ({dcg}) / CAST('{_IDCG_CONST!r}' AS DOUBLE) AS ndcg
+FROM agg
 """
 
 
@@ -2379,6 +2589,7 @@ QUERIES = {
     "ann_matryoshka_recall": q_ann_matryoshka_recall,
     "ann_binary_hamming_recall": q_ann_binary_hamming_recall,
     "ann_rerank_topk": q_ann_rerank_topk,
+    "ann_ranking_eval": q_ann_ranking_eval,
     "ann_pq_adc_recall": q_ann_pq_adc_recall,
     "ann_ivf_partitioned_probe": q_ann_ivf_partitioned_probe,
     "embedding_inertia_by_label": q_embedding_inertia_by_label,
@@ -2403,6 +2614,7 @@ ORACLE_SQL = {
     "ann_matryoshka_recall": SQL_ANN_MATRYOSHKA_RECALL,
     "ann_binary_hamming_recall": SQL_ANN_BINARY_HAMMING_RECALL,
     "ann_rerank_topk": SQL_ANN_RERANK_TOPK,
+    "ann_ranking_eval": _sql_ranking_eval(),
     "ann_pq_adc_recall": SQL_ANN_PQ_ADC_RECALL,
     "ann_ivf_partitioned_probe": SQL_ANN_IVF_PARTITIONED_PROBE,
     "ann_ivf_tuning": SQL_ANN_IVF_TUNING,

@@ -1966,7 +1966,11 @@ def q_corpus_lang_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exact_jaccard"),
         )
     )
-    return exact.join(est, ["lang_a", "lang_b"]).select(
+    # est is ≤ L²/2 rows of (lang, lang, double) — broadcast it so the
+    # final audit join costs zero hash exchanges (uncast, stats through
+    # the BNLJ are unknown and Catalyst planned a two-exchange SMJ —
+    # the census's 9th exchange, VERDICT r8 #5)
+    return exact.join(F.broadcast(est), ["lang_a", "lang_b"]).select(
         "lang_a",
         "lang_b",
         F.col("n_a").cast("bigint").alias("n_a"),

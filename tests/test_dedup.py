@@ -674,3 +674,56 @@ def test_pagerank_int_matches_python_fixed_point(spark):
     assert got == score
     # hub ordering: 2 and 4 (degree 3) outrank 1 and 3 (degree 2)
     assert min(score[2], score[4]) > max(score[1], score[3])
+
+
+def test_star_cc_equals_min_label_on_random_graphs(spark):
+    """large-star/small-star CC must produce the exact min-label
+    clustering on randomized graphs (same contract as the recursive
+    oracle), including multi-component and singleton-free shapes."""
+    import random
+
+    from pu4spark_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(90210)
+    for trial in range(4):
+        n = rng.randint(8, 40)
+        edges = [
+            (rng.randint(0, n - 1), rng.randint(0, n - 1))
+            for _ in range(rng.randint(4, 2 * n))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, "a_id bigint, b_id bigint")
+        want = {
+            (r.doc_id, r.cluster_id)
+            for r in connected_components(df).collect()
+        }
+        got = {
+            (r.doc_id, r.cluster_id)
+            for r in connected_components_star(df).collect()
+        }
+        assert got == want, f"trial {trial}: star != min-label"
+
+
+def test_star_cc_logarithmic_rounds_on_chain(spark):
+    """The reason the variant exists: a 64-node chain (diameter 63)
+    must converge in O(log n) alternating rounds — min-label would
+    need ~63.  The bound is generous (2·log2 n + 4) to stay stable
+    across tie-breaking details; the point is ≪ diameter."""
+    import math
+
+    from pu4spark_spark.operators.dedup import connected_components_star
+
+    n = 64
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a_id bigint, b_id bigint"
+    )
+    rounds: list[int] = []
+    labels = connected_components_star(chain, rounds_out=rounds)
+    got = {(r.doc_id, r.cluster_id) for r in labels.collect()}
+    assert got == {(i, 0) for i in range(n)}
+    assert rounds[0] <= 2 * int(math.log2(n)) + 4, rounds

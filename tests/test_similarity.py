@@ -448,3 +448,34 @@ def test_ivf_exact_recall_floor(spark):
 
     per_q = Counter(q for q, _ in ivf)
     assert all(n <= TOP_K for n in per_q.values())
+
+
+def test_ranking_eval_rerank_dominates_retrieve(spark):
+    """The eval's whole point: exact-cosine reranking must not degrade
+    ranking quality vs the raw hamming retrieve order.  Mean nDCG@k of
+    the rerank stage >= retrieve stage, and per-row metrics are
+    well-formed (ndcg in [0,1], rr consistent with first_rel_rank)."""
+    from pu4spark_spark.operators.similarity import (
+        TOP_K,
+        q_ann_ranking_eval,
+    )
+
+    rows = q_ann_ranking_eval(spark, "/root/testdata/sf0.001").collect()
+    by_stage: dict[str, list] = {"retrieve": [], "rerank": []}
+    for r in rows:
+        by_stage[r["stage"]].append(r)
+        assert 0.0 <= r["ndcg"] <= 1.0 + 1e-12
+        assert 0 <= r["n_rel"] <= TOP_K
+        if r["first_rel_rank"] == 0:
+            assert r["rr"] == 0.0 and r["n_rel"] == 0
+        else:
+            assert abs(r["rr"] - 1.0 / r["first_rel_rank"]) < 1e-15
+    n_q = len(by_stage["retrieve"])
+    assert n_q == len(by_stage["rerank"]) > 0
+    mean = lambda xs: sum(xs) / len(xs)  # noqa: E731
+    assert mean([r["ndcg"] for r in by_stage["rerank"]]) >= mean(
+        [r["ndcg"] for r in by_stage["retrieve"]]
+    )
+    assert mean([r["rr"] for r in by_stage["rerank"]]) >= mean(
+        [r["rr"] for r in by_stage["retrieve"]]
+    )
