@@ -54,7 +54,9 @@ class JsonlDocsDataSource(DataSource):
     def reader(self, schema) -> "JsonlDocsReader":
         return JsonlDocsReader(self.options)
 
-    def streamReader(self, schema) -> "JsonlDocsStreamReader":
+    def streamReader(self, schema) -> "DataSourceStreamReader":
+        if self.options.get("versioned", "").lower() == "true":
+            return JsonlDocsVersionStreamReader(self.options)
         return JsonlDocsStreamReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> "JsonlDocsWriter":
@@ -575,6 +577,87 @@ class JsonlDocsStreamReader(DataSourceStreamReader):
         pass
 
 
+def _latest_manifest_version(path: str) -> int:
+    return max(
+        (
+            int(f.rsplit(".v", 1)[1])
+            for f in os.listdir(path)
+            if f.startswith("_MANIFEST.v") and f.rsplit(".v", 1)[1].isdigit()
+        ),
+        default=0,
+    )
+
+
+def _manifest_at(path: str, version: int) -> dict:
+    import json
+
+    if version <= 0:
+        return {}
+    with open(os.path.join(path, f"_MANIFEST.v{version}")) as fh:
+        return json.load(fh)
+
+
+class JsonlDocsVersionStreamReader(DataSourceStreamReader):
+    """SNAPSHOT STREAMING over the manifest commit log — the
+    stream-from-table semantics a lake source provides (Delta/Iceberg
+    incremental read), on the engine's own connector: the offset is the
+    COMMITTED MANIFEST VERSION, and each microbatch reads exactly the
+    shards that version N+1..M added over version N (set difference of
+    two manifest snapshots).  Files in the directory but in NO
+    committed manifest — in-flight staging, orphans from failed or
+    CONFLICTED commits (``ManifestCommitConflict``) — are invisible,
+    which the listing-offset twin (:class:`JsonlDocsStreamReader`)
+    cannot promise.  Composes with the optimistic-concurrency writer:
+    a concurrent append lands as the next version and the next
+    microbatch picks up precisely its shards.
+
+    The checkpoint replays ``partitions(start, end)`` deterministically
+    because manifests are immutable once claimed (create-if-absent) and
+    appends never delete — the same property that makes batch time
+    travel sound."""
+
+    def __init__(self, options) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("jsonl_docs requires option 'path'")
+        self.path = path
+
+    def initialOffset(self) -> dict:
+        return {"version": 0}
+
+    def latestOffset(self) -> dict:
+        return {"version": _latest_manifest_version(self.path)}
+
+    def partitions(self, start: dict, end: dict):
+        old = set(_manifest_at(self.path, start["version"]))
+        new = _manifest_at(self.path, end["version"])
+        return [
+            InputPartition(os.path.join(self.path, f))
+            for f in sorted(set(new) - old)
+        ]
+
+    def read(self, partition):
+        import json
+
+        if partition is None:
+            return
+        with open(partition.value) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                r = json.loads(line)
+                yield (
+                    r.get("doc_id"),
+                    r.get("text"),
+                    r.get("lang"),
+                    r.get("source"),
+                    r.get("n_chars"),
+                )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 def _jsonl_shard_dir(spark: SparkSession, sf_dir: str) -> str:
     """Write the documents table as JSONL shards once per sf_dir (the
     fixture for the round-trip; written by Spark's own distributed JSON
@@ -1008,6 +1091,103 @@ def q_streaming_pyds_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain_to_memory(spark, agg, "pyds_docs_stream", "complete")
 
 
+def q_streaming_pyds_snapshot(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAM-FROM-TABLE under concurrent append, value-checked: the
+    versioned stream reader drains commit v1 (even docs), a writer
+    appends v2 (odd docs) while the stream is down, an ORPHAN shard
+    with poison rows lands in the directory OUTSIDE any manifest (what
+    a conflicted/crashed commit leaves behind), and the checkpointed
+    stream resumes — its second microbatch must read exactly v2's
+    shards: the final complete-mode aggregate equals the batch truth
+    over ALL documents, and any poison leak (a listing-based source
+    would read the orphan) breaks the hash.
+
+    At 100 TB this is the table-as-a-feed shape: downstream consumers
+    tail the commit log at version granularity, paying per-batch work
+    sized by the new commit only, immune to in-flight and aborted
+    writer debris."""
+    import hashlib
+    import json as _json
+    import shutil
+    import uuid as _uuid
+
+    from pu4spark_spark.streaming.drain import drain_partitions
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_pyds_ss_{tag}_{os.getpid()}"
+    )
+    ckpt = os.path.join(out, "_ckpt")  # _-prefixed: invisible to readers
+    shutil.rmtree(out, ignore_errors=True)
+    register_pyds(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out)
+        .mode("overwrite")
+        .save()
+    )
+
+    name = f"pyds_snapshot_{_uuid.uuid4().hex[:8]}"
+
+    def _drain_once() -> None:
+        stream = (
+            spark.readStream.format("jsonl_docs")
+            .option("path", out)
+            .option("versioned", "true")
+            .load()
+        )
+        agg = stream.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        with drain_partitions(spark, 8):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            q.stop()
+
+    _drain_once()  # consumes v1
+    (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out)
+        .option("base_version", 1)
+        .mode("append")
+        .save()
+    )
+    # orphan debris: a visible-named shard in NO committed manifest —
+    # poison lang so any leak into the aggregate hash-mismatches
+    with open(os.path.join(out, "part-99999-orphan00.jsonl"), "w") as fh:
+        fh.write(
+            _json.dumps(
+                {
+                    "doc_id": 10_000_001,
+                    "text": "poison",
+                    "lang": "xx",
+                    "source": "orphan",
+                    "n_chars": 6,
+                }
+            )
+            + "\n"
+        )
+    _drain_once()  # resumes at version offset 1, reads exactly v2
+    return spark.table(name)
+
+
 #: doc_id cut for the pruning demo — constant across sfs so the oracle
 #: is one fixed predicate
 PRUNE_THRESHOLD = 250
@@ -1180,6 +1360,7 @@ QUERIES = {
     "fmt_pyds_stats_pruning": q_fmt_pyds_stats_pruning,
     "fmt_pyds_commit_conflict": q_fmt_pyds_commit_conflict,
     "streaming_pyds_docs": q_streaming_pyds_docs,
+    "streaming_pyds_snapshot": q_streaming_pyds_snapshot,
 }
 SQL_STREAMING_PYDS_DOCS = """
 SELECT lang,
@@ -1202,4 +1383,7 @@ ORACLE_SQL = {
     "fmt_pyds_commit_conflict": SQL_FMT_PYDS_COMMIT_CONFLICT,
     # the incremental path must agree with the batch oracle
     "streaming_pyds_docs": SQL_STREAMING_PYDS_DOCS,
+    # two checkpointed version-offset drains == batch truth; orphan
+    # debris (poison lang) must never surface
+    "streaming_pyds_snapshot": SQL_STREAMING_PYDS_DOCS,
 }

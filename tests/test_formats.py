@@ -738,3 +738,57 @@ def test_commit_conflict_query_end_to_end(spark):
     assert "xx" not in langs and len(langs) > 0
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     assert sum(r["n_docs"] for r in rows) == docs.count()
+
+
+def test_version_stream_reader_reads_manifest_diffs_only(spark, tmp_path):
+    """The versioned stream reader's offsets are manifest versions:
+    partitions(v0->v1) = v1's shards, partitions(v1->v2) = exactly the
+    appended shards, and a visible-named orphan file outside every
+    committed manifest is never emitted (a listing-based reader would
+    pick it up)."""
+    import json as _os_json
+    import os as _os
+
+    from pu4spark_spark.sources.pydatasource import (
+        JsonlDocsVersionStreamReader,
+        register_pyds,
+    )
+
+    register_pyds(spark)
+    out = str(tmp_path / "vstream")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    (
+        docs.filter("doc_id % 2 = 0")
+        .repartition(2, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out)
+        .mode("overwrite")
+        .save()
+    )
+    (
+        docs.filter("doc_id % 2 = 1")
+        .repartition(2, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out)
+        .option("base_version", 1)
+        .mode("append")
+        .save()
+    )
+    # orphan: visible name, no manifest entry
+    orphan = "part-99999-orphan00.jsonl"
+    with open(_os.path.join(out, orphan), "w") as fh:
+        fh.write(_os_json.dumps({"doc_id": 1, "lang": "xx"}) + "\n")
+
+    r = JsonlDocsVersionStreamReader({"path": out})
+    assert r.initialOffset() == {"version": 0}
+    assert r.latestOffset() == {"version": 2}
+    v1 = {p.value for p in r.partitions({"version": 0}, {"version": 1})}
+    v2 = {p.value for p in r.partitions({"version": 1}, {"version": 2})}
+    v02 = {p.value for p in r.partitions({"version": 0}, {"version": 2})}
+    assert v1 and v2 and v1.isdisjoint(v2)
+    assert v02 == v1 | v2
+    assert all(orphan not in p for p in v02)
+    m1 = _os_json.load(open(_os.path.join(out, "_MANIFEST.v1")))
+    assert v1 == {_os.path.join(out, f) for f in m1}
+    # empty diff → no partitions
+    assert r.partitions({"version": 2}, {"version": 2}) == []
