@@ -76,61 +76,40 @@ if missing:
 #: committed full-registry self-check (``tools/check_oracle.py`` →
 #: ``CORRECTNESS_FULL_r0N``).
 DRIVER_FIRST = [
-    # Round-8 rotation: the witness program completed in r7 (every
-    # oracle-backed query has driver-hash evidence; only 3 rows-only
-    # entries — two of them labeled parity demos — were never
-    # windowed).  Window = (A) ALL 20 new r8 queries (three waves);
-    # (B) the 3 never-witnessed rows-only entries, closing the program
-    # completely; (C) re-verification of every query whose code path
-    # changed this round (ADVICE hardening + the prefix-join plan
-    # fix); (D) cheapest already-witnessed fillers by sf0.1 bench sec.
-    # -- A: new in r8 ----------------------------------------------------
-    "sql_recursive_dup_hops",          # WITH RECURSIVE BFS (Spark 4.1)
-    "sql_scalar_udf_quality",          # CREATE FUNCTION ... RETURN
-    "events_ewma_value",               # ordered-fold sequential state
-    "events_interpolate_gaps",         # linear gap fill on the grid
-    "events_anomaly_mad",              # robust median/MAD fences
-    "curation_weighted_sample",        # DLT priority sampling
-    "ann_knn_graph_mutual",            # mutual kNN graph (LSH-bucketed)
-    "dedup_kcore",                     # rows-only: iterative peeling
-    "fmt_xml_roundtrip",               # Spark 4 native XML source/sink
-    "events_session_window_fn",        # native session_window vs islands
-    "sql_pipe_orders",                 # SQL |> pipe-syntax front-end
-    "curation_k_anonymity",            # QI suppression release
-    "events_hll_sketch_merge",         # rows-only: DataSketches merge
-    "streaming_restart_resume",        # checkpoint recovery, hash-checked
-    "text_topk_sketch_merge",          # approx_top_k accumulate/combine
-    "fmt_text_parse_udtf",             # polymorphic analyze() UDTF
-    "streaming_observed_metrics",      # observe() riding the stream
-    "embedding_kmeans_exact",          # engine-exact Lloyd clustering
-    "orders_aggregate_suite",          # count_if/bool/bit/arg-minmax
-    "part_string_functions",           # pad/translate/slice breadth
-    "orders_null_semantics",           # null grouping + eqNullSafe join
-    "orders_datetime_functions",       # trunc/add_months/dow breadth
-    "events_range_frame_stats",        # RANGE-interval window frames
-    "ann_ivf_exact_topk",              # IVF with every stage hash-checked
-    "curation_semantic_decontaminate", # embedding-space decon member
-    "dedup_pagerank_int",              # fixed-point PageRank, hash-checked
-    # -- B: last never-witnessed rows-only entries ------------------------
-    "fmt_file_metadata_audit",         # 1.964
-    "dedup_minhash_ml_slice",          # MLlib parity demo
-    "ann_ivf",                         # MLlib parity demo
-    # -- C: re-verification of r8-touched code paths ----------------------
-    "dedup_prefix_filter_join",        # filter-below-repartition fix
-    "curation_pseudonymize_events",    # NULL-propagating pseudonym
-    "streaming_quality_router",        # per-batch idempotent sinks
-    "fmt_pyds_compaction",             # staged two-step shard moves
-    "fmt_pyds_snapshot_read",          # atomic metadata commits
-    "fmt_pyds_snapshot_diff",          # atomic metadata commits
-    "fmt_pyds_stats_pruning",          # atomic _STATS commit
-    "fmt_pyds_jsonl_roundtrip",        # reader over new writer layout
+    # Round-9 rotation.  Window = (A) ALL 6 new r9 queries; (B) queries
+    # whose correctness CONTRACT changed this round (k-anonymity
+    # residual suppression; fmt_file_metadata_audit gained an oracle —
+    # its FIRST driver hash); (C) re-verification of every query whose
+    # code path changed (pydatasource writer/commit overhaul, UDTF
+    # escape, interpolate broadcast side, corpus_lang_similarity final
+    # join, rerank refactor); (D) cheapest already-witnessed fillers.
+    # -- A: new in r9 ----------------------------------------------------
+    "fmt_pyds_commit_conflict",        # OCC: stale claim loses loudly
+    "fmt_pyds_commit_retry",           # OCC: loser refreshes + lands v3
+    "streaming_pyds_snapshot",         # version-offset stream-from-table
+    "skew_join_aqe_revenue",           # AQE skew split witnessed live
+    "ann_ranking_eval",                # nDCG@k + MRR, hash-checked
+    "dedup_clusters_star",             # large/small-star CC ≡ min-label
+    # -- B: contract changed this round -----------------------------------
+    "curation_k_anonymity",            # residual-cell suppression
+    "fmt_file_metadata_audit",         # FIRST oracle-backed witness
+    # -- C: re-verification of r9-touched code paths ----------------------
+    "fmt_pyds_jsonl_roundtrip",        # reader over token-named shards
     "fmt_pyds_jsonl_write_roundtrip",  # writer commit protocol
-    "dedup_minhash_lsh",               # shared shingle helper touched
-    "dedup_clusters",                  # downstream of the pair graph
-    "dedup_incremental",               # downstream of the pair graph
-    "dedup_ngram_jaccard",             # downstream of the pair graph
-    "dedup_bow_cosine",                # downstream of the pair graph
-    "dedup_cluster_quality",           # downstream of canonical docs
+    "fmt_pyds_snapshot_read",          # versioned claims unchanged
+    "fmt_pyds_snapshot_diff",          # versioned claims unchanged
+    "fmt_pyds_compaction",             # rewrite commit over new claims
+    "fmt_pyds_stats_pruning",          # _STATS beside exclusive claims
+    "streaming_pyds_docs",             # listing-offset stream twin
+    "fmt_text_parse_udtf",             # separator-escape round-trip
+    "events_interpolate_gaps",         # broadcast side corrected
+    "corpus_lang_similarity",          # final join now broadcast
+    "ann_rerank_topk",                 # _retrieve_candidates refactor
+    "ann_cosine_topk",                 # feeds the eval's ground truth
+    "dedup_clusters",                  # star twin's reference member
+    "salted_segment_revenue",          # manual twin of the AQE witness
+    "dedup_pagerank_int",              # sole PageRank member post-retire
+    "dedup_minhash_lsh",               # pair graph under both CC twins
     # -- D: cheapest witnessed fillers (sf0.1 bench sec ascending) --------
     "dedup_exact_docs",                # 0.157
     "embedding_quantize_int8",         # 0.178
@@ -138,6 +117,26 @@ DRIVER_FIRST = [
     "embedding_label_centroids",       # 0.229
     "customers_without_orders",        # 0.253
     "text_corpus_stats",               # 0.253
+    "range_click_purchases",           # 0.44
+    "text_heavy_hitters",              # 0.41
+    "monthly_revenue",                 # 0.52
+    "text_commonness",                 # 0.57
+    "dedup_embedding_cosine",          # 0.67
+    "q14_promo_revenue",               # 0.71
+    "top_customers_per_nation",        # 0.77
+    "customers_with_urgent_orders",    # 0.77
+    "asof_next_purchase",              # 0.80
+    "events_hourly",                   # 0.81
+    "grouping_sets_orders",            # 0.93
+    "ann_lsh_bucketed",                # 0.94
+    "orders_zorder_layout",            # 1.04
+    "text_bigram_novelty",             # 1.09
+    "events_sessionized",              # 1.12
+    "q5_region_supplier_revenue",      # 1.23
+    "orders_upsert_compact",           # 1.25
+    "profile_orders",                  # 1.32
+    "asof_click_purchase",             # 1.32
+    "cube_status_priority",            # 1.35
 ]
 
 

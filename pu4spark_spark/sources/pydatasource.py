@@ -1351,6 +1351,117 @@ GROUP BY lang
 """
 
 
+def append_with_retry(
+    df: DataFrame, path: str, max_retries: int = 3
+) -> int:
+    """The OTHER half of optimistic concurrency — what a loser DOES:
+    re-read the table's latest committed version, re-declare it as
+    ``base_version``, and re-submit the same rows (shards are re-staged;
+    the data is unchanged, only the claim moves).  Exactly the
+    Iceberg/Delta commit-retry loop.  Returns the version that finally
+    committed; raises the last ``ManifestCommitConflict`` (wrapped by
+    Spark) if ``max_retries`` consecutive claims lose — a pathologically
+    hot table should fail loudly, not spin.
+
+    Retry cost model at 100 TB: each attempt re-runs the WRITE job
+    (tasks re-stage shards) but conflict detection itself is one
+    link(2) — so the loop is sized by contention, never by table size;
+    real deployments keep contention low by partitioning writers."""
+    last: Exception | None = None
+    for _ in range(max_retries):
+        base = _latest_manifest_version(path)
+        try:
+            (
+                df.write.format("jsonl_docs")
+                .option("path", path)
+                .option("base_version", base)
+                .mode("append")
+                .save()
+            )
+            return base + 1
+        except Exception as exc:  # Spark wraps ManifestCommitConflict
+            if "ManifestCommitConflict" not in str(exc) and (
+                "concurrent commit" not in str(exc)
+            ):
+                raise
+            last = exc
+    assert last is not None
+    raise last
+
+
+def q_fmt_pyds_commit_retry(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONFLICT → REFRESH → RETRY, end to end: writer A and writer B
+    both plan against version 1; A commits v2 first; B's first claim
+    LOSES (witnessed — the query asserts the stale attempt raised) and
+    :func:`append_with_retry` re-reads the latest version and lands B's
+    rows as v3.  The final table must hold base + A + B exactly once
+    each — a retry that double-committed B's shards (or lost them)
+    hash-mismatches the oracle over the full documents table.
+
+    Together with ``fmt_pyds_commit_conflict`` (loser fails loudly,
+    no merge) this pins the complete optimistic-concurrency contract a
+    parallel-ingest user relies on."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_pyds_cr_{tag}_{os.getpid()}"
+    )
+    register_pyds(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    third = F.col("doc_id") % 3
+    (
+        docs.filter(third == 0)
+        .repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out)
+        .mode("overwrite")
+        .save()
+    )
+    # writer A: planned against v1, wins v2
+    (
+        docs.filter(third == 1)
+        .repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out)
+        .option("base_version", 1)
+        .mode("append")
+        .save()
+    )
+    # writer B: stale claim of v2 must lose...
+    b_rows = docs.filter(third == 2).repartition(N_SHARDS, "doc_id")
+    stale_conflicted = False
+    try:
+        (
+            b_rows.write.format("jsonl_docs")
+            .option("path", out)
+            .option("base_version", 1)
+            .mode("append")
+            .save()
+        )
+    except Exception as exc:
+        if "ManifestCommitConflict" not in str(exc) and (
+            "concurrent commit" not in str(exc)
+        ):
+            raise
+        stale_conflicted = True
+    if not stale_conflicted:
+        raise AssertionError("stale claim won — OCC broken")
+    # ...then the retry loop refreshes the base and lands v3
+    committed = append_with_retry(b_rows, out)
+    if committed != 3:
+        raise AssertionError(f"retry landed v{committed}, expected v3")
+    back = spark.read.format("jsonl_docs").option("path", out).load()
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
 QUERIES = {
     "fmt_pyds_jsonl_roundtrip": q_fmt_pyds_jsonl_roundtrip,
     "fmt_pyds_jsonl_write_roundtrip": q_fmt_pyds_jsonl_write_roundtrip,
@@ -1359,6 +1470,7 @@ QUERIES = {
     "fmt_pyds_snapshot_diff": q_fmt_pyds_snapshot_diff,
     "fmt_pyds_stats_pruning": q_fmt_pyds_stats_pruning,
     "fmt_pyds_commit_conflict": q_fmt_pyds_commit_conflict,
+    "fmt_pyds_commit_retry": q_fmt_pyds_commit_retry,
     "streaming_pyds_docs": q_streaming_pyds_docs,
     "streaming_pyds_snapshot": q_streaming_pyds_snapshot,
 }
@@ -1381,6 +1493,8 @@ ORACLE_SQL = {
     "fmt_pyds_stats_pruning": SQL_FMT_PYDS_STATS_PRUNING,
     # post-conflict read@latest must equal the WINNING writer's content
     "fmt_pyds_commit_conflict": SQL_FMT_PYDS_COMMIT_CONFLICT,
+    # after the retry lands, the table holds base + A + B exactly once
+    "fmt_pyds_commit_retry": SQL_FMT_PYDS_COMMIT_CONFLICT,
     # the incremental path must agree with the batch oracle
     "streaming_pyds_docs": SQL_STREAMING_PYDS_DOCS,
     # two checkpointed version-offset drains == batch truth; orphan
