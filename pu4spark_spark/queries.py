@@ -87,6 +87,7 @@ DRIVER_FIRST = [
     "fmt_pyds_commit_conflict",        # OCC: stale claim loses loudly
     "fmt_pyds_commit_retry",           # OCC: loser refreshes + lands v3
     "streaming_pyds_snapshot",         # version-offset stream-from-table
+    "streaming_pyds_compaction_skip",  # rewrite commits skipped by stream
     "skew_join_aqe_revenue",           # AQE skew split witnessed live
     "ann_ranking_eval",                # nDCG@k + MRR, hash-checked
     "dedup_clusters_star",             # large/small-star CC ≡ min-label
@@ -131,7 +132,6 @@ DRIVER_FIRST = [
     "ann_lsh_bucketed",                # 0.94
     "orders_zorder_layout",            # 1.04
     "text_bigram_novelty",             # 1.09
-    "events_sessionized",              # 1.12
     "q5_region_supplier_revenue",      # 1.23
     "orders_upsert_compact",           # 1.25
     "profile_orders",                  # 1.32

@@ -629,11 +629,29 @@ class JsonlDocsVersionStreamReader(DataSourceStreamReader):
         return {"version": _latest_manifest_version(self.path)}
 
     def partitions(self, start: dict, end: dict):
-        old = set(_manifest_at(self.path, start["version"]))
-        new = _manifest_at(self.path, end["version"])
+        # walk the versions one commit at a time: a DATA commit
+        # contributes the shards it added over its predecessor; a
+        # REWRITE commit (compaction — ``.rewrite`` sidecar, the
+        # dataChange=false flag) contributes NOTHING — its files hold
+        # only rows earlier commits already delivered, so reading them
+        # would duplicate every compacted row.  Data commits are
+        # append-only, so per-commit set difference is exact; a lagging
+        # stream that still needs a pre-compaction shard vacuum already
+        # reclaimed fails LOUDLY on the missing file (the same
+        # time-travel-until-vacuum contract as batch reads).
+        files: list[str] = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            if os.path.exists(
+                os.path.join(self.path, f"_MANIFEST.v{v}.rewrite")
+            ):
+                continue
+            prev = set(_manifest_at(self.path, v - 1))
+            files.extend(
+                f for f in _manifest_at(self.path, v) if f not in prev
+            )
         return [
             InputPartition(os.path.join(self.path, f))
-            for f in sorted(set(new) - old)
+            for f in sorted(set(files))
         ]
 
     def read(self, partition):
@@ -963,8 +981,16 @@ def compact_jsonl_dir(
         default=0,
     )
     # metadata last, each an atomic rename-commit, live pointer very
-    # last: snapshot → stats → _MANIFEST
+    # last: rewrite marker → snapshot → stats → _MANIFEST.  The marker
+    # (``.rewrite`` sidecar) declares this commit dataChange=false so
+    # the version stream reader SKIPS it — compaction rewrites rows,
+    # it never adds any; a marker for a not-yet-visible version is
+    # inert, which is why it goes first (a reader must never observe
+    # the snapshot without the marker).
     body = _json.dumps(new_manifest)
+    _write_atomic(
+        os.path.join(path, f"_MANIFEST.v{version}.rewrite"), ""
+    )
     _write_atomic(os.path.join(path, f"_MANIFEST.v{version}"), body)
     _write_atomic(stats_path, _json.dumps(stats))
     _write_atomic(os.path.join(path, "_MANIFEST"), body)
@@ -1000,6 +1026,12 @@ def vacuum_jsonl_dir(path: str, keep_versions: int = 1) -> int:
             v = f.rsplit(".v", 1)[1]
             if v.isdigit() and int(v) not in keep:
                 os.remove(os.path.join(path, f))
+            elif v.endswith(".rewrite"):
+                # dataChange=false sidecar: lives and dies with its
+                # snapshot version
+                vn = v[: -len(".rewrite")]
+                if vn.isdigit() and int(vn) not in keep:
+                    os.remove(os.path.join(path, f))
         elif f.startswith("_tmp-"):
             # orphan from a crashed compaction/write — never visible
             # to readers, safe to reclaim under the exclusive-writer
@@ -1185,6 +1217,89 @@ def q_streaming_pyds_snapshot(
             + "\n"
         )
     _drain_once()  # resumes at version offset 1, reads exactly v2
+    return spark.table(name)
+
+
+def q_streaming_pyds_compaction_skip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAM × COMPACTION interplay — the lake-semantics trap this
+    round's ``.rewrite`` sidecar closes: a compaction commit rewrites
+    every live row into fresh consolidated shards; a version-offset
+    stream that treated it as a data commit would re-deliver the whole
+    table (every compacted row twice).  Sequence: drain v1 (even docs),
+    append v2 (odd docs), COMPACT (v3, dataChange=false), drain again —
+    the second drain must pick up exactly v2's original shards and skip
+    v3 entirely.  The complete-mode aggregate hash-matches the batch
+    truth over all documents; any double-delivery doubles every count.
+
+    This is Delta's ``dataChange=false`` / Iceberg's rewrite-commit
+    contract on the engine's own connector — without it, OPTIMIZE and
+    downstream streams cannot coexist, which at 100 TB they must."""
+    import hashlib
+    import shutil
+    import uuid as _uuid
+
+    from pu4spark_spark.streaming.drain import drain_partitions
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_pyds_cs_{tag}_{os.getpid()}"
+    )
+    ckpt = os.path.join(out, "_ckpt")
+    shutil.rmtree(out, ignore_errors=True)
+    register_pyds(spark)
+    docs = load_table(spark, "documents", sf_dir)
+
+    name = f"pyds_compact_skip_{_uuid.uuid4().hex[:8]}"
+
+    def _drain_once() -> None:
+        stream = (
+            spark.readStream.format("jsonl_docs")
+            .option("path", out)
+            .option("versioned", "true")
+            .load()
+        )
+        agg = stream.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        with drain_partitions(spark, 8):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            q.stop()
+
+    (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out)
+        .mode("overwrite")
+        .save()
+    )
+    _drain_once()  # consumes v1
+    (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out)
+        .option("base_version", 2 - 1)
+        .mode("append")
+        .save()
+    )
+    v = compact_jsonl_dir(spark, out, target_shards=2)  # v3, rewrite
+    if v != 3:
+        raise AssertionError(f"compaction committed v{v}, expected v3")
+    _drain_once()  # must read exactly v2's shards, skip the rewrite
     return spark.table(name)
 
 
@@ -1473,6 +1588,7 @@ QUERIES = {
     "fmt_pyds_commit_retry": q_fmt_pyds_commit_retry,
     "streaming_pyds_docs": q_streaming_pyds_docs,
     "streaming_pyds_snapshot": q_streaming_pyds_snapshot,
+    "streaming_pyds_compaction_skip": q_streaming_pyds_compaction_skip,
 }
 SQL_STREAMING_PYDS_DOCS = """
 SELECT lang,
@@ -1500,4 +1616,6 @@ ORACLE_SQL = {
     # two checkpointed version-offset drains == batch truth; orphan
     # debris (poison lang) must never surface
     "streaming_pyds_snapshot": SQL_STREAMING_PYDS_DOCS,
+    # rewrite commit skipped: no compacted row delivered twice
+    "streaming_pyds_compaction_skip": SQL_STREAMING_PYDS_DOCS,
 }

@@ -792,3 +792,70 @@ def test_version_stream_reader_reads_manifest_diffs_only(spark, tmp_path):
     assert v1 == {_os.path.join(out, f) for f in m1}
     # empty diff → no partitions
     assert r.partitions({"version": 2}, {"version": 2}) == []
+
+
+def test_version_stream_skips_rewrite_commits(spark, tmp_path):
+    """Compaction commits carry the .rewrite sidecar (dataChange=false):
+    the version stream's diff walk must contribute NOTHING for them —
+    a naive v(N-1)->vN diff would re-deliver every compacted row.
+    Vacuum reclaims the sidecar together with its snapshot."""
+    import os as _os
+
+    from pu4spark_spark.sources.pydatasource import (
+        JsonlDocsVersionStreamReader,
+        compact_jsonl_dir,
+        register_pyds,
+        vacuum_jsonl_dir,
+    )
+
+    register_pyds(spark)
+    out = str(tmp_path / "vskip")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    (
+        docs.filter("doc_id % 2 = 0")
+        .repartition(2, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out)
+        .mode("overwrite")
+        .save()
+    )
+    (
+        docs.filter("doc_id % 2 = 1")
+        .repartition(2, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out)
+        .option("base_version", 1)
+        .mode("append")
+        .save()
+    )
+    v = compact_jsonl_dir(spark, out, target_shards=1)
+    assert v == 3
+    assert _os.path.exists(_os.path.join(out, "_MANIFEST.v3.rewrite"))
+
+    r = JsonlDocsVersionStreamReader({"path": out})
+    assert r.latestOffset() == {"version": 3}
+    # v2->v3 (the rewrite alone): empty batch
+    assert r.partitions({"version": 2}, {"version": 3}) == []
+    # v1->v3 (append + rewrite in one batch): exactly v2's additions
+    import json as _json
+
+    m1 = set(_json.load(open(_os.path.join(out, "_MANIFEST.v1"))))
+    m2 = set(_json.load(open(_os.path.join(out, "_MANIFEST.v2"))))
+    got = {
+        _os.path.basename(p.value)
+        for p in r.partitions({"version": 1}, {"version": 3})
+    }
+    assert got == m2 - m1
+    # 0->3: v1 + v2 additions, never the compacted files
+    m3 = set(_json.load(open(_os.path.join(out, "_MANIFEST.v3"))))
+    got_all = {
+        _os.path.basename(p.value)
+        for p in r.partitions({"version": 0}, {"version": 3})
+    }
+    assert got_all == m2 and got_all.isdisjoint(m3 - m2)
+    # vacuum to latest only: old snapshots AND the rewrite marker of a
+    # kept version stay; drop below keep -> marker goes with snapshot
+    vacuum_jsonl_dir(out, keep_versions=1)
+    names = set(_os.listdir(out))
+    assert "_MANIFEST.v3" in names and "_MANIFEST.v3.rewrite" in names
+    assert "_MANIFEST.v1" not in names and "_MANIFEST.v2" not in names

@@ -552,6 +552,28 @@ AUDITED = {
         "map-side-combined groupBy over vec_id — corpus read once, "
         "benchmark never shuffled."
     ),
+    # r9
+    "fmt_file_metadata_audit": (
+        "O(FILES) audit: the scan is binaryFile (path/length only — "
+        "no `content` in ReadSchema, so zero data bytes read); row "
+        "counts come from parquet footers via a bounded pandas UDF "
+        "over the FILE list; one tiny groupBy on the partition key. "
+        "A 100 TB table costs #files stats + footers, never a row "
+        "scan."
+    ),
+    "ann_ranking_eval": (
+        "Ranking eval: both system rankings and the exact-truth "
+        "frame are queries×k rows; truth joins in as a "
+        "BroadcastExchange and the metric pivot is one "
+        "map-side-combined groupBy over (stage, query) — the eval "
+        "itself never shuffles corpus-sized data."
+    ),
+    "dedup_clusters_star": (
+        "Large/small-star CC: each round is symmetric edge fan-out + "
+        "two map-side-combined groupBys on node id — no all-pairs "
+        "work, and the ROUND COUNT is O(log n) instead of "
+        "O(diameter), which is the whole point at web-graph scale."
+    ),
 }
 
 _TREE_RE = re.compile(r"^(.*?)\n\n\(1\)", re.DOTALL)

@@ -112,6 +112,14 @@ REPS = [
     "ann_ivf_exact_topk",        # value-checked IVF retrieval (eager fit)
     "curation_semantic_decontaminate",  # broadcast-benchmark cosine probe
     "dedup_pagerank_int",        # fixed-point 8-round driver loop (eager)
+    # r9 additions
+    "fmt_file_metadata_audit",   # O(files) binaryFile listing + footers
+    "skew_join_aqe_revenue",     # AQE skew-split SMJ (eager materialize)
+    "ann_ranking_eval",          # nDCG/MRR over retrieve+rerank+truth
+    "dedup_clusters_star",       # large/small-star CC, O(log n) rounds
+    "fmt_pyds_commit_conflict",  # OCC loser rollback + winner read
+    "streaming_pyds_snapshot",   # version-offset checkpointed drains
+    "streaming_pyds_compaction_skip",  # rewrite-skip stream semantics
 ]
 
 
