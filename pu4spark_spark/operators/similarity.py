@@ -1286,9 +1286,9 @@ for _i in range(1, TOP_K + 1):
 
 def q_ann_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GRADED RANKING EVAL — the report every retrieval stack ships
-    with: nDCG@k and reciprocal rank for BOTH stages of the
-    retrieve→rerank pipeline, per query, against exact-cosine ground
-    truth.  Relevance is graded integer (exact neighbor at true rank r
+    with: nDCG@k, reciprocal rank (MRR's per-query term) and AP@k
+    (MAP's per-query term) for BOTH stages of the retrieve→rerank
+    pipeline, per query, against exact-cosine ground truth.  Relevance is graded integer (exact neighbor at true rank r
     gets rel = k−r+1, others 0), so gains are integers and the only
     doubles are one fixed multiply-add chain per row over Python-pinned
     discount literals — fully hash-checkable, and the rerank stage must
@@ -1339,6 +1339,16 @@ def q_ann_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"g{i}")
             for i in range(1, TOP_K + 1)
         ],
+        *[
+            F.sum(
+                F.when(
+                    (F.col("rank") == i) & (F.col("rel") > 0), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"b{i}")
+            for i in range(1, TOP_K + 1)
+        ],
     )
     dcg = F.col("g1").cast("double") * F.lit(_NDCG_W[0])
     for i in range(2, TOP_K + 1):
@@ -1350,12 +1360,23 @@ def q_ann_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit(0.0))
     )
+    # AP@k: Σ_i rel_i·precision@i, normalized by the R=k relevant items
+    # every query has — all terms integer-derived, one fixed chain
+    ap = None
+    for i in range(1, TOP_K + 1):
+        cum = F.col("b1")
+        for jj in range(2, i + 1):
+            cum = cum + F.col(f"b{jj}")
+        term = (F.col(f"b{i}") * cum).cast("double") / F.lit(float(i))
+        ap = term if ap is None else ap + term
+    ap = ap / F.lit(float(TOP_K))
     return agg.select(
         "stage",
         "query_id",
         "n_rel",
         "first_rel_rank",
         rr.alias("rr"),
+        ap.alias("ap"),
         dcg.alias("dcg"),
         (dcg / F.lit(_IDCG_CONST)).alias("ndcg"),
     )
@@ -1367,6 +1388,18 @@ def _sql_ranking_eval() -> str:
         f" AS g{i}"
         for i in range(1, TOP_K + 1)
     )
+    b_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN rank = {i} AND rel > 0 THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS b{i}"
+        for i in range(1, TOP_K + 1)
+    )
+    ap_terms = " + ".join(
+        "CAST((b{i} * ({cum})) AS DOUBLE) / CAST({i} AS DOUBLE)".format(
+            i=i, cum=" + ".join(f"b{jj}" for jj in range(1, i + 1))
+        )
+        for i in range(1, TOP_K + 1)
+    )
+    ap = f"({ap_terms}) / CAST({TOP_K} AS DOUBLE)"
     # CAST('…' AS DOUBLE): a bare decimal literal is DECIMAL in DuckDB
     # and its decimal→double conversion can be off the correctly-rounded
     # text parse by 1 ulp — the string cast matches Spark's literal
@@ -1458,13 +1491,15 @@ agg AS (
            AS n_rel,
          CAST(COALESCE(MIN(CASE WHEN rel > 0 THEN rank END), 0)
               AS INTEGER) AS first_rel_rank,
-         {g_cols}
+         {g_cols},
+         {b_cols}
   FROM j GROUP BY stage, query_id
 )
 SELECT stage, query_id, n_rel, first_rel_rank,
        CASE WHEN first_rel_rank > 0
             THEN CAST(1 AS DOUBLE) / first_rel_rank
             ELSE CAST(0 AS DOUBLE) END AS rr,
+       {ap} AS ap,
        ({dcg}) AS dcg,
        ({dcg}) / CAST('{_IDCG_CONST!r}' AS DOUBLE) AS ndcg
 FROM agg

@@ -465,17 +465,16 @@ def test_ranking_eval_rerank_dominates_retrieve(spark):
     for r in rows:
         by_stage[r["stage"]].append(r)
         assert 0.0 <= r["ndcg"] <= 1.0 + 1e-12
+        assert 0.0 <= r["ap"] <= 1.0 + 1e-12
         assert 0 <= r["n_rel"] <= TOP_K
         if r["first_rel_rank"] == 0:
-            assert r["rr"] == 0.0 and r["n_rel"] == 0
+            assert r["rr"] == 0.0 and r["n_rel"] == 0 and r["ap"] == 0.0
         else:
             assert abs(r["rr"] - 1.0 / r["first_rel_rank"]) < 1e-15
     n_q = len(by_stage["retrieve"])
     assert n_q == len(by_stage["rerank"]) > 0
     mean = lambda xs: sum(xs) / len(xs)  # noqa: E731
-    assert mean([r["ndcg"] for r in by_stage["rerank"]]) >= mean(
-        [r["ndcg"] for r in by_stage["retrieve"]]
-    )
-    assert mean([r["rr"] for r in by_stage["rerank"]]) >= mean(
-        [r["rr"] for r in by_stage["retrieve"]]
-    )
+    for metric in ("ndcg", "rr", "ap"):
+        assert mean([r[metric] for r in by_stage["rerank"]]) >= mean(
+            [r[metric] for r in by_stage["retrieve"]]
+        ), metric
