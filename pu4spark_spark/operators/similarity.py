@@ -1171,7 +1171,9 @@ def _retrieve_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ann_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_rerank_topk(
+    spark: SparkSession, sf_dir: str, cand: DataFrame | None = None
+) -> DataFrame:
     """RETRIEVE → RERANK, the two-stage serving shape every production
     vector search runs (and the cross-encoder pattern in miniature): a
     cheap stage-1 scan — 8-byte binary codes under hamming — retrieves
@@ -1191,7 +1193,8 @@ def q_ann_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checks; output carries both ranks to show the re-ordering."""
     from pu4spark_spark.plans import two_phase_rank
 
-    cand = _retrieve_candidates(spark, sf_dir)
+    if cand is None:
+        cand = _retrieve_candidates(spark, sf_dir)
     base = _quantized_base(spark, sf_dir)
     nb = base.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -1297,14 +1300,21 @@ def q_ann_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: truth and both rankings are queries×k rows; the eval
     itself is a broadcast join + one tiny pivot-aggregate — the cost is
     the two ranking jobs it grades, which are the existing bounded
-    pipelines (`ann_cosine_topk`, `ann_rerank_topk`)."""
+    pipelines (`ann_cosine_topk`, `ann_rerank_topk`).  The stage-1
+    candidate frame (queries×C rows) is ``cached()`` and SHARED between
+    the retrieve stage and the rerank it feeds — uncached, each
+    consumer re-runs the corpus-wide hamming scan (ReusedExchange
+    doesn't fire across different downstream shuffles)."""
+    from pu4spark_spark.plans import cached
+
     truth = q_ann_cosine_topk(spark, sf_dir).select(
         "query_id",
         "neighbor_id",
         (F.lit(TOP_K) - F.col("rank") + 1).cast("int").alias("rel"),
     )
+    cand = cached(_retrieve_candidates(spark, sf_dir))
     retrieve = (
-        _retrieve_candidates(spark, sf_dir)
+        cand
         .filter(F.col("retrieve_rank") <= TOP_K)
         .select(
             "query_id",
@@ -1313,7 +1323,7 @@ def q_ann_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("retrieve_rank").cast("int").alias("rank"),
         )
     )
-    rerank = q_ann_rerank_topk(spark, sf_dir).select(
+    rerank = q_ann_rerank_topk(spark, sf_dir, cand=cand).select(
         "query_id",
         "neighbor_id",
         F.lit("rerank").alias("stage"),
