@@ -4477,10 +4477,213 @@ WHERE d.n > d.med + {MAD_K} * m.mad
 """
 
 
+#: the declarative constraint suite over orders — (name, ok-row count
+#: expression builder) pairs; every constraint has the canonical form
+#: metric = ok_rows / n_rows, passed = (ok_rows == n_rows), so adding a
+#: constraint is one more aggregate column riding the same single scan
+_QUALITY_CONSTRAINTS = [
+    ("completeness_custkey", lambda: F.count("o_custkey")),
+    ("completeness_totalprice", lambda: F.count("o_totalprice")),
+    ("uniqueness_orderkey", lambda: F.count_distinct(F.col("o_orderkey"))),
+    (
+        "membership_status",
+        lambda: F.sum(
+            F.col("o_orderstatus").isin("O", "F", "P").cast("bigint")
+        ),
+    ),
+    (
+        "range_totalprice_pos",
+        lambda: F.sum((F.col("o_totalprice") > 0).cast("bigint")),
+    ),
+    (
+        "pattern_priority",
+        lambda: F.sum(
+            F.col("o_orderpriority").rlike("^[1-5]-").cast("bigint")
+        ),
+    ),
+    (
+        "date_bounds_1995_2000",
+        lambda: F.sum(
+            F.col("o_orderdate")
+            .between(
+                F.lit("1995-01-01").cast("timestamp"),
+                F.lit("2000-12-31").cast("timestamp"),
+            )
+            .cast("bigint")
+        ),
+    ),
+]
+
+
+def q_audit_quality_constraints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Declarative data-quality CONSTRAINT SUITE — the Deequ /
+    great-expectations pattern every production load gate runs: N
+    constraints (completeness, exact uniqueness, set membership, value
+    range, regex pattern, date bounds) verified over orders in ONE
+    pass.  A single aggregate row computes every metric, then a
+    ``stack`` unpivot emits one row per constraint with its metric and
+    pass/fail verdict — at 100 TB the whole suite costs exactly one
+    scan + one 1-row shuffle no matter how many constraints ride it;
+    adding a constraint is a new aggregate column, not a new job.
+
+    Every constraint normalizes to ``metric = ok_rows / n_rows`` and
+    ``passed = (ok_rows == n_rows)`` (uniqueness counts distinct keys
+    as its ok-rows), so the output is integer-derived plus one fixed
+    IEEE division — fully hash-checkable.  The fixture's
+    ``date_bounds_1995_2000`` constraint genuinely FAILS (orders run
+    through 2001), witnessing that verdicts are computed, not assumed."""
+    o = load_table(spark, "orders", sf_dir)
+    m = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[fn().alias(f"c{i}") for i, (_, fn) in enumerate(_QUALITY_CONSTRAINTS)],
+    )
+    pairs = ", ".join(
+        f"'{name}', c{i}" for i, (name, _) in enumerate(_QUALITY_CONSTRAINTS)
+    )
+    return (
+        m.select(
+            "n_rows",
+            F.expr(
+                f"stack({len(_QUALITY_CONSTRAINTS)}, {pairs}) "
+                "AS (check_name, ok_rows)"
+            ),
+        )
+        .select(
+            "check_name",
+            "n_rows",
+            "ok_rows",
+            (F.col("ok_rows").cast("double") / F.col("n_rows")).alias(
+                "metric"
+            ),
+            (F.col("ok_rows") == F.col("n_rows")).cast("int").alias(
+                "passed"
+            ),
+        )
+    )
+
+
+SQL_AUDIT_QUALITY_CONSTRAINTS = """
+WITH m AS (
+  SELECT COUNT(*) AS n_rows,
+         COUNT(o_custkey) AS c_completeness_custkey,
+         COUNT(o_totalprice) AS c_completeness_totalprice,
+         COUNT(DISTINCT o_orderkey) AS c_uniqueness_orderkey,
+         SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END)
+           AS c_membership_status,
+         SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END)
+           AS c_range_totalprice_pos,
+         SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+             THEN 1 ELSE 0 END) AS c_pattern_priority,
+         SUM(CASE WHEN o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                   AND TIMESTAMP '2000-12-31' THEN 1 ELSE 0 END)
+           AS c_date_bounds_1995_2000
+  FROM orders
+),
+u AS (
+  SELECT 'completeness_custkey' AS check_name,
+         c_completeness_custkey AS ok_rows, n_rows FROM m
+  UNION ALL SELECT 'completeness_totalprice',
+         c_completeness_totalprice, n_rows FROM m
+  UNION ALL SELECT 'uniqueness_orderkey',
+         c_uniqueness_orderkey, n_rows FROM m
+  UNION ALL SELECT 'membership_status',
+         c_membership_status, n_rows FROM m
+  UNION ALL SELECT 'range_totalprice_pos',
+         c_range_totalprice_pos, n_rows FROM m
+  UNION ALL SELECT 'pattern_priority',
+         c_pattern_priority, n_rows FROM m
+  UNION ALL SELECT 'date_bounds_1995_2000',
+         c_date_bounds_1995_2000, n_rows FROM m
+)
+SELECT check_name, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(ok_rows AS BIGINT) AS ok_rows,
+       CAST(ok_rows AS DOUBLE) / n_rows AS metric,
+       CAST(CASE WHEN ok_rows = n_rows THEN 1 ELSE 0 END AS INT)
+         AS passed
+FROM u
+"""
+
+
+def q_events_aqe_coalesce_hourly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ENGINE-NATIVE small-partition handling, the coalesce twin of
+    :func:`q_skew_join_aqe_revenue`: an hourly events rollup planned
+    with a deliberately oversized shuffle width (64 initial
+    partitions), which AQE's ``coalescePartitions`` merges back to a
+    handful of right-sized reduce partitions AFTER observing the map
+    output — the runtime fix for the too-many-reducers shape that at
+    100 TB otherwise burns a task launch + a tiny output file per
+    partition (the small-files problem at the shuffle layer).
+
+    The rollup is materialized INSIDE the conf window (persist +
+    count) so the coalesce happens on every run; confs are restored
+    before returning.  ``tests/test_plans.py::
+    test_aqe_coalesce_witnessed`` gates ``AQEShuffleRead coalesced``
+    in the executed plan AND a post-shuffle partition count well below
+    the initial 64; the oracle re-derives the rollup row-for-row, so
+    a merge that lost or duplicated a partition would hash-mismatch."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "64",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+        # persist() pins the cached plan's output partitioning, which by
+        # default disables AQE re-partitioning (coalesce AND skew) under
+        # a cache — allow it so the materialize-inside-window trick works
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": (
+            "true"
+        ),
+    }
+    old: dict = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    ev = load_table(spark, "events", sf_dir)
+    agg = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+    )
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        agg = agg.persist()
+        agg.count()  # materialize under the widened-then-coalesced confs
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return agg
+
+
+SQL_EVENTS_AQE_COALESCE_HOURLY = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q_q1_pricing_summary,
     "salted_segment_revenue": q_salted_segment_revenue,
     "skew_join_aqe_revenue": q_skew_join_aqe_revenue,
+    "events_aqe_coalesce_hourly": q_events_aqe_coalesce_hourly,
+    "audit_quality_constraints": q_audit_quality_constraints,
     "grouping_sets_orders": q_grouping_sets_orders,
     "profile_orders": q_profile_orders,
     "audit_referential_integrity": q_audit_referential_integrity,
@@ -4569,6 +4772,8 @@ ORACLE_SQL = {
     "q1_pricing_summary": SQL_Q1,
     "salted_segment_revenue": SQL_SALTED_SEGMENT_REVENUE,
     "skew_join_aqe_revenue": SQL_SKEW_JOIN_AQE_REVENUE,
+    "events_aqe_coalesce_hourly": SQL_EVENTS_AQE_COALESCE_HOURLY,
+    "audit_quality_constraints": SQL_AUDIT_QUALITY_CONSTRAINTS,
     "grouping_sets_orders": SQL_GROUPING_SETS,
     "profile_orders": SQL_PROFILE_ORDERS,
     "audit_referential_integrity": SQL_AUDIT_REFERENTIAL_INTEGRITY,

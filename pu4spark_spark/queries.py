@@ -89,7 +89,9 @@ DRIVER_FIRST = [
     "streaming_pyds_snapshot",         # version-offset stream-from-table
     "streaming_pyds_compaction_skip",  # rewrite commits skipped by stream
     "skew_join_aqe_revenue",           # AQE skew split witnessed live
-    "ann_ranking_eval",                # nDCG@k + MRR, hash-checked
+    "events_aqe_coalesce_hourly",      # AQE partition coalesce witnessed
+    "audit_quality_constraints",       # one-pass Deequ-style suite
+    "ann_ranking_eval",                # nDCG@k + MRR + AP@k, hash-checked
     "dedup_clusters_star",             # large/small-star CC ≡ min-label
     # -- B: contract changed this round -----------------------------------
     "curation_k_anonymity",            # residual-cell suppression
@@ -134,9 +136,7 @@ DRIVER_FIRST = [
     "text_bigram_novelty",             # 1.09
     "q5_region_supplier_revenue",      # 1.23
     "orders_upsert_compact",           # 1.25
-    "profile_orders",                  # 1.32
     "asof_click_purchase",             # 1.32
-    "cube_status_priority",            # 1.35
 ]
 
 

@@ -120,6 +120,8 @@ REPS = [
     "fmt_pyds_commit_conflict",  # OCC loser rollback + winner read
     "streaming_pyds_snapshot",   # version-offset checkpointed drains
     "streaming_pyds_compaction_skip",  # rewrite-skip stream semantics
+    "audit_quality_constraints", # one-pass N-constraint quality gate
+    "events_aqe_coalesce_hourly",  # AQE-coalesced rollup (eager)
 ]
 
 
