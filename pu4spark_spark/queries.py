@@ -91,6 +91,7 @@ DRIVER_FIRST = [
     "skew_join_aqe_revenue",           # AQE skew split witnessed live
     "events_aqe_coalesce_hourly",      # AQE partition coalesce witnessed
     "audit_quality_constraints",       # one-pass Deequ-style suite
+    "streaming_user_totals_rocksdb",   # RocksDB state-store witness
     "ann_ranking_eval",                # nDCG@k + MRR + AP@k, hash-checked
     "dedup_clusters_star",             # large/small-star CC ≡ min-label
     # -- B: contract changed this round -----------------------------------
@@ -136,7 +137,6 @@ DRIVER_FIRST = [
     "text_bigram_novelty",             # 1.09
     "q5_region_supplier_revenue",      # 1.23
     "orders_upsert_compact",           # 1.25
-    "asof_click_purchase",             # 1.32
 ]
 
 

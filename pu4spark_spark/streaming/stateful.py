@@ -96,8 +96,86 @@ FROM events
 GROUP BY user_id
 """
 
-QUERIES = {"streaming_user_totals": q_streaming_user_totals}
-ORACLE_SQL = {"streaming_user_totals": SQL_STREAMING_USER_TOTALS}
+def q_streaming_user_totals_rocksdb(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SAME ``applyInPandasWithState`` per-user totals drained
+    under the **RocksDB state-store provider** — the production choice
+    for keyed state at 100 TB: state lives off-heap in a per-partition
+    RocksDB instance (on-disk, incremental snapshot/changelog) instead
+    of the default HDFSBackedStateStore's executor-heap hash maps, so
+    task memory stays bounded no matter how many keys the stream
+    accumulates.  The provider is a pure-JVM engine lever (no extra
+    deps — unlike the protobuf-gated ``transformWithStateInPandas``
+    twin), set for this drain and restored after.
+
+    WITNESS discipline (same as the OCC mini-lake queries): the drain's
+    final progress must report ``rocksdb*`` custom metrics on the
+    state operator — proof the provider was in effect, not just
+    configured — or the query raises.  Values then reduce with the
+    same last-update-per-user fold and hash-match the same batch
+    oracle as the default-provider twin, pinning that the provider
+    swap is semantics-neutral."""
+    import uuid as _uuid
+
+    from pu4spark_spark.streaming.drain import drain_partitions
+
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = user_totals_stateful(read_events_stream(spark, sf_dir))
+        name = f"user_totals_rocksdb_{_uuid.uuid4().hex[:8]}"
+        with drain_partitions(spark):
+            q = (
+                out.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            prog = q.lastProgress
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev)
+    ops = (prog or {}).get("stateOperators") or []
+    if not any(
+        "rocksdb" in metric.lower()
+        for op in ops
+        for metric in (op.get("customMetrics") or {})
+    ):
+        raise AssertionError(
+            "RocksDB state store not witnessed in drain progress: "
+            f"{prog}"
+        )
+    from pyspark.sql import functions as F
+
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_cents", "n_events").alias("total_cents"),
+        )
+    )
+
+
+QUERIES = {
+    "streaming_user_totals": q_streaming_user_totals,
+    "streaming_user_totals_rocksdb": q_streaming_user_totals_rocksdb,
+}
+ORACLE_SQL = {
+    "streaming_user_totals": SQL_STREAMING_USER_TOTALS,
+    "streaming_user_totals_rocksdb": SQL_STREAMING_USER_TOTALS,
+}
 
 
 # -- transformWithStateInPandas (Spark 4 arbitrary-state API) ------------

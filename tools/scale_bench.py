@@ -122,6 +122,7 @@ REPS = [
     "streaming_pyds_compaction_skip",  # rewrite-skip stream semantics
     "audit_quality_constraints", # one-pass N-constraint quality gate
     "events_aqe_coalesce_hourly",  # AQE-coalesced rollup (eager)
+    "streaming_user_totals_rocksdb",  # RocksDB-provider stateful drain
 ]
 
 
