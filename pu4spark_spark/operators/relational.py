@@ -4678,12 +4678,138 @@ GROUP BY 1, 2
 """
 
 
+def ensure_cbo_stats_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str, str]:
+    """Idempotent build of lineitem/orders/part as managed catalog
+    tables with ``ANALYZE … FOR ALL COLUMNS`` statistics — CBO reads
+    row counts and column NDV/min/max from the catalog, so only
+    catalog tables (not path-scans) can feed the cost model.  Keyed by
+    ``sf_dir``; rebuilt per session (the in-memory catalog forgets
+    definitions, same discipline as the bucketed fact tables)."""
+    import hashlib
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    specs = {
+        f"lineitem_cbo_{tag}": (
+            "lineitem",
+            ["l_orderkey", "l_partkey", "l_extendedprice"],
+        ),
+        f"orders_cbo_{tag}": ("orders", ["o_orderkey", "o_orderpriority"]),
+        f"part_cbo_{tag}": ("part", ["p_partkey", "p_brand"]),
+    }
+    if all(spark.catalog.tableExists(t) for t in specs):
+        return tuple(specs)  # type: ignore[return-value]
+    warehouse = urlparse(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    ).path
+    for tbl, (src, cols) in specs.items():
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(f"{warehouse}/{tbl}", ignore_errors=True)
+        load_table(spark, src, sf_dir).select(*cols).write.mode(
+            "overwrite"
+        ).saveAsTable(tbl)
+        spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR ALL COLUMNS")
+    return tuple(specs)  # type: ignore[return-value]
+
+
+#: the selective dimension filter for the CBO witness — ~4% of parts
+CBO_BRAND = "Brand#11"
+
+
+def q_orders_cbo_join_reorder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COST-BASED join reordering witnessed live — the third
+    engine-native planner lever beside the AQE skew and coalesce
+    witnesses: a three-table join DECLARED in the worst order
+    (fact⋈fact first, the selective brand-filtered dimension last),
+    planned under ``spark.sql.cbo.enabled`` + ``joinReorder`` with
+    ``ANALYZE``d catalog statistics.  The cost model must rotate the
+    selective ``part`` join INNERMOST — shrinking the fact stream
+    before the expensive fact⋈fact join — which at 100 TB is the
+    difference between joining 4% of lineitem against orders and
+    joining all of it.
+
+    WITNESS discipline: the optimized logical plan is inspected and
+    the query RAISES unless the innermost join is the partkey join
+    (without CBO the declared order survives — verified by
+    ``tests/test_plans.py::test_cbo_join_reorder_witnessed``, which
+    checks both directions); the join is then materialized inside the
+    conf window and the confs restored.  The oracle re-derives the
+    same join row-for-row, pinning that reordering is
+    semantics-neutral."""
+    import re as _re
+
+    li_tbl, o_tbl, p_tbl = ensure_cbo_stats_tables(spark, sf_dir)
+    confs = {
+        "spark.sql.cbo.enabled": "true",
+        "spark.sql.cbo.joinReorder.enabled": "true",
+    }
+    old: dict = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    li = spark.table(li_tbl)
+    o = spark.table(o_tbl)
+    p = spark.table(p_tbl).filter(F.col("p_brand") == CBO_BRAND)
+    agg = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast(_M))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        opt = agg._jdf.queryExecution().optimizedPlan().toString()
+        conds = _re.findall(r"Join Inner, \((\w+)#\d+", opt)
+        # toString lists outermost first; the last join is the deepest
+        if not conds or conds[-1] not in ("l_partkey", "p_partkey"):
+            raise AssertionError(
+                "CBO did not rotate the selective part join innermost: "
+                f"{conds} in\n{opt[:2000]}"
+            )
+        agg = agg.persist()
+        agg.count()  # materialize under the CBO-reordered plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return agg
+
+
+SQL_ORDERS_CBO_JOIN_REORDER = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS {_M})) AS DOUBLE) AS total_price
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand = '{CBO_BRAND}'
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q_q1_pricing_summary,
     "salted_segment_revenue": q_salted_segment_revenue,
     "skew_join_aqe_revenue": q_skew_join_aqe_revenue,
     "events_aqe_coalesce_hourly": q_events_aqe_coalesce_hourly,
     "audit_quality_constraints": q_audit_quality_constraints,
+    "orders_cbo_join_reorder": q_orders_cbo_join_reorder,
     "grouping_sets_orders": q_grouping_sets_orders,
     "profile_orders": q_profile_orders,
     "audit_referential_integrity": q_audit_referential_integrity,
@@ -4774,6 +4900,7 @@ ORACLE_SQL = {
     "skew_join_aqe_revenue": SQL_SKEW_JOIN_AQE_REVENUE,
     "events_aqe_coalesce_hourly": SQL_EVENTS_AQE_COALESCE_HOURLY,
     "audit_quality_constraints": SQL_AUDIT_QUALITY_CONSTRAINTS,
+    "orders_cbo_join_reorder": SQL_ORDERS_CBO_JOIN_REORDER,
     "grouping_sets_orders": SQL_GROUPING_SETS,
     "profile_orders": SQL_PROFILE_ORDERS,
     "audit_referential_integrity": SQL_AUDIT_REFERENTIAL_INTEGRITY,

@@ -92,6 +92,7 @@ DRIVER_FIRST = [
     "events_aqe_coalesce_hourly",      # AQE partition coalesce witnessed
     "audit_quality_constraints",       # one-pass Deequ-style suite
     "streaming_user_totals_rocksdb",   # RocksDB state-store witness
+    "orders_cbo_join_reorder",         # CBO join rotation witnessed
     "ann_ranking_eval",                # nDCG@k + MRR + AP@k, hash-checked
     "dedup_clusters_star",             # large/small-star CC ≡ min-label
     # -- B: contract changed this round -----------------------------------
@@ -136,7 +137,6 @@ DRIVER_FIRST = [
     "orders_zorder_layout",            # 1.04
     "text_bigram_novelty",             # 1.09
     "q5_region_supplier_revenue",      # 1.23
-    "orders_upsert_compact",           # 1.25
 ]
 
 

@@ -794,3 +794,44 @@ def test_quality_constraint_suite_single_scan_and_verdicts(spark):
         if name != "date_bounds_1995_2000":
             assert r["passed"] == 1, (name, r)
             assert r["ok_rows"] == r["n_rows"]
+
+
+def test_cbo_join_reorder_witnessed(spark):
+    """Cost-based join reordering observed in BOTH directions: without
+    CBO the declared (worst) order survives — fact⋈fact innermost —
+    and with CBO + ANALYZEd stats the selective part join rotates
+    innermost (the query itself raises if not).  Result rows must be
+    identical either way (the oracle pins the values)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from pu4spark_spark.operators.relational import (
+        CBO_BRAND,
+        ensure_cbo_stats_tables,
+        q_orders_cbo_join_reorder,
+    )
+
+    li_tbl, o_tbl, p_tbl = ensure_cbo_stats_tables(spark, SF_DIR)
+    li = spark.table(li_tbl)
+    o = spark.table(o_tbl)
+    p = spark.table(p_tbl).filter(F.col("p_brand") == CBO_BRAND)
+    declared = li.join(o, li["l_orderkey"] == o["o_orderkey"]).join(
+        p, li["l_partkey"] == p["p_partkey"]
+    )
+    prev = spark.conf.get("spark.sql.cbo.enabled", "false")
+    spark.conf.set("spark.sql.cbo.enabled", "false")
+    try:
+        opt = declared._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev)
+    conds = re.findall(r"Join Inner, \((\w+)#\d+", opt)
+    # without CBO the deepest (last-listed) join is the declared first
+    # join — the fact-fact orderkey join
+    assert conds and conds[-1] in ("l_orderkey", "o_orderkey"), conds
+
+    # with CBO the query self-gates the rotation; just run it
+    df = q_orders_cbo_join_reorder(spark, SF_DIR)
+    rows = df.collect()
+    assert rows and sum(r["n_items"] for r in rows) > 0
+    df.unpersist()

@@ -123,6 +123,7 @@ REPS = [
     "audit_quality_constraints", # one-pass N-constraint quality gate
     "events_aqe_coalesce_hourly",  # AQE-coalesced rollup (eager)
     "streaming_user_totals_rocksdb",  # RocksDB-provider stateful drain
+    "orders_cbo_join_reorder",   # stats-driven join rotation (eager)
 ]
 
 
