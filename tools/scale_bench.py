@@ -126,6 +126,11 @@ REPS = [
     "orders_cbo_join_reorder",   # stats-driven join rotation (eager)
 ]
 
+#: reps whose FIRST run at an sf builds a persistent build-once layout
+#: artifact (checked via _SUCCESS and reused forever after) — timed on
+#: the steady-state run, with the one-time build burned beforehand
+ARTIFACT_WARM = {"fmt_file_metadata_audit"}
+
 
 def main() -> None:
     spark = get_spark(app_name="scale_bench")
@@ -140,6 +145,17 @@ def main() -> None:
             pass
         times = []
         for sf in SFS:
+            if name in ARTIFACT_WARM:
+                # first run at a NEW sf builds the build-once layout
+                # artifact (e.g. the 3 000-file audit target at sf0.1);
+                # that write is a one-time investment, not the query's
+                # steady-state cost — burn it before timing
+                try:
+                    fn(spark, sf).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                except Exception:
+                    pass
             spark.catalog.clearCache()
             t0 = time.time()
             fn(spark, sf).write.format("noop").mode("overwrite").save()
@@ -174,6 +190,15 @@ def main() -> None:
             "on this hardware; sub-linear ratios are fixed scheduling/JVM\n"
             "overhead that a real cluster amortizes across executors.\n"
         )
+        if ARTIFACT_WARM:
+            fh.write(
+                "\nNote: reps in `ARTIFACT_WARM` ("
+                + ", ".join(f"`{n}`" for n in sorted(ARTIFACT_WARM))
+                + ") build a persistent `_SUCCESS`-gated layout\n"
+                "artifact on their first run at an sf; that one-time\n"
+                "build is burned before timing, so their rows are the\n"
+                "steady-state cost of the query, not the layout write.\n"
+            )
     print("wrote SCALING.md")
 
 
