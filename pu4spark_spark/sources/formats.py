@@ -362,6 +362,40 @@ GROUP BY p_brand
 """
 
 
+def tagged_line_expr():
+    """The TAB landing-line writer expression for doc_id/lang/text.
+    The format is only well-defined if no field contains the
+    separators: percent-escape %/TAB/LF/CR in the free-text column
+    (unambiguous, round-tripped by the UDTF parser).  NULL handling is
+    per-field: the KEY columns (doc_id, lang) use NULL-PROPAGATING
+    concat + raise_error so a NULL key fails loudly instead of
+    silently shifting fields (concat_ws skips NULLs); the free-text
+    column stays NULLABLE — a NULL text lands as the "%00" sentinel
+    (collision-free: a literal "%00" in the data escapes to "%2500")
+    and the parser maps it back to NULL."""
+    from pyspark.sql import functions as F
+
+    safe_text = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), "%", "%25"),
+                "\t", "%09"),
+            "\n", "%0A"),
+        "\r", "%0D")
+    keys = F.concat(
+        F.col("doc_id").cast("string"), F.lit("\t"), F.col("lang")
+    )
+    return F.concat(
+        F.when(keys.isNotNull(), keys).otherwise(
+            F.raise_error(
+                F.lit("fmt_text_parse_udtf: NULL key column in landing row")
+            )
+        ),
+        F.lit("\t"),
+        F.coalesce(safe_text, F.lit("%00")),
+    )
+
+
 def q_fmt_text_parse_udtf(spark: SparkSession, sf_dir: str):
     """POLYMORPHIC Python UDTF (``analyze()``-driven schema): a
     schema-on-read parser for the TAB landing format whose output
@@ -423,6 +457,11 @@ def q_fmt_text_parse_udtf(spark: SparkSession, sf_dir: str):
                 v = parts[i] if i < len(parts) else None
                 if v is not None and t in ("bigint", "long", "int"):
                     v = int(v)
+                elif v == "%00":
+                    # the writer's NULL sentinel for nullable string
+                    # fields — unambiguous because a literal "%00" in
+                    # the data escapes to "%2500"
+                    v = None
                 elif v is not None:
                     # undo the writer's percent-escape of the field/row
                     # separators (%25 LAST so escaped escapes survive)
@@ -437,30 +476,8 @@ def q_fmt_text_parse_udtf(spark: SparkSession, sf_dir: str):
 
     spark.udtf.register("parse_tagged", ParseTagged)
 
-    # The TAB landing format is only well-defined if no field contains
-    # the separators: percent-escape %/TAB/LF/CR in the free-text column
-    # (unambiguous, round-tripped by the UDTF), and use NULL-PROPAGATING
-    # concat so a NULL key column yields a NULL line that fails loudly
-    # below instead of silently shifting fields (concat_ws skips NULLs).
-    safe_text = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(F.col("text"), "%", "%25"),
-                "\t", "%09"),
-            "\n", "%0A"),
-        "\r", "%0D")
-    line = F.concat(
-        F.col("doc_id").cast("string"), F.lit("\t"),
-        F.col("lang"), F.lit("\t"), safe_text,
-    )
     docs = load_table(spark, "documents", sf_dir).select(
-        F.when(line.isNotNull(), line)
-        .otherwise(
-            F.raise_error(
-                F.lit("fmt_text_parse_udtf: NULL key column in landing row")
-            )
-        )
-        .alias("value")
+        tagged_line_expr().alias("value")
     )
     path = _scratch(sf_dir, "text_udtf")
     docs.write.mode("overwrite").text(path)
@@ -716,15 +733,20 @@ def _audit_fact_dir(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-def audit_file_listing(spark: SparkSession, path: str):
+def audit_file_listing(
+    spark: SparkSession, path: str, partition_col: str = "l_suppkey"
+):
     """O(FILES) distributed listing of a partitioned layout: the
     ``binaryFile`` source with only path/length projected — the content
     column is NEVER selected, so no data byte is read (plan-gated in
-    tests/test_plans.py); the partition key comes from the directory
-    name and the exact per-file row count from the parquet FOOTER (a
-    bounded pandas UDF over the file list, one footer read per file).
-    This is the audit's whole cost model: a 100 TB table with 100k
-    files costs 100k stat calls + 100k footer reads — never a row scan."""
+    tests/test_plans.py); the partition key (``partition_col``, the
+    Hive-style ``{col}={value}`` directory component — explicit so
+    reuse on a differently-partitioned layout can't silently yield
+    all-NULL keys) comes from the directory name and the exact
+    per-file row count from the parquet FOOTER (a bounded pandas UDF
+    over the file list, one footer read per file).  This is the
+    audit's whole cost model: a 100 TB table with 100k files costs
+    100k stat calls + 100k footer reads — never a row scan."""
     from pyspark.sql import functions as F
     from pyspark.sql.functions import PandasUDFType, pandas_udf
 
@@ -747,9 +769,9 @@ def audit_file_listing(spark: SparkSession, path: str):
         .option("recursiveFileLookup", "true")
         .load(path)
         .select(
-            F.regexp_extract("path", r"l_suppkey=(\d+)", 1)
+            F.regexp_extract("path", rf"{partition_col}=(\d+)", 1)
             .cast("bigint")
-            .alias("l_suppkey"),
+            .alias(partition_col),
             F.col("length").alias("bytes"),
             footer_rows("path").alias("rows"),
         )

@@ -163,17 +163,42 @@ class JsonlDocsWriter(DataSourceWriter):
         import json as _json
         import os as _os
 
-        # append mode commits ON TOP of the existing log: start from the
-        # prior _MANIFEST so earlier jobs' shards stay visible to the
-        # manifest-preferring reader (overwrite already cleared the dir).
-        # A manifest-less directory (shards written by another tool,
-        # readable via the reader's listing fallback) seeds the manifest
-        # from the listing — otherwise the first append would hide every
-        # pre-existing shard behind a manifest naming only its own.
+        # the version this commit will claim is decided FIRST, because
+        # it names the base snapshot the new manifest must extend
+        if self.base_version is not None:
+            version = self.base_version + 1
+        else:
+            version = 1 + max(
+                (
+                    int(f.rsplit(".v", 1)[1])
+                    for f in _os.listdir(self.path)
+                    if f.startswith("_MANIFEST.v")
+                    and f.rsplit(".v", 1)[1].isdigit()
+                ),
+                default=0,
+            ) if _os.path.isdir(self.path) else 1
+        # append mode commits ON TOP of the existing log: seed from the
+        # IMMUTABLE base snapshot _MANIFEST.v{version-1} — never from
+        # the live _MANIFEST pointer.  The live pointer lags a winner
+        # that has claimed its version but not yet flipped (or crashed
+        # between the two); seeding from it would silently drop that
+        # committed winner's shards from every later version — exactly
+        # the lost-update the version claim exists to prevent.  The
+        # live pointer / directory listing are only fallbacks for
+        # pre-versioned or manifest-less directories (readable via the
+        # reader's listing fallback) — otherwise the first append would
+        # hide every pre-existing shard behind a manifest naming only
+        # its own.
         manifest = {}
         if not self.overwrite:
+            base_snap = _os.path.join(
+                self.path, f"_MANIFEST.v{version - 1}"
+            )
             mpath = _os.path.join(self.path, "_MANIFEST")
-            if _os.path.exists(mpath):
+            if version > 1 and _os.path.exists(base_snap):
+                with open(base_snap) as fh:
+                    manifest = _json.load(fh)
+            elif _os.path.exists(mpath):
                 with open(mpath) as fh:
                     manifest = _json.load(fh)
             elif _os.path.isdir(self.path):
@@ -188,7 +213,10 @@ class JsonlDocsWriter(DataSourceWriter):
         # per-shard zonemap sidecar: merged like the manifest on append
         # (shards are immutable, so old entries stay valid); a shard
         # with NO entry is simply never pruned — partial stats are
-        # always safe
+        # always safe.  Unlike the manifest it MAY seed from the live
+        # _STATS (a racing writer's lost entries only disable pruning
+        # for those shards; extra entries for shards outside the
+        # manifest are never consulted)
         stats = {}
         if not self.overwrite:
             spath = _os.path.join(self.path, "_STATS")
@@ -210,21 +238,10 @@ class JsonlDocsWriter(DataSourceWriter):
         # orphans from failed/speculative task attempts
         self._sweep_tmp(committed_tmp)
         # versioned commit log (time travel's minimal form): every
-        # commit also snapshots the full shard list as _MANIFEST.v{N}.
-        # Shards are immutable and appends never delete, so reading an
-        # old version's list IS the table as of that commit.
-        if self.base_version is not None:
-            version = self.base_version + 1
-        else:
-            version = 1 + max(
-                (
-                    int(f.rsplit(".v", 1)[1])
-                    for f in _os.listdir(self.path)
-                    if f.startswith("_MANIFEST.v")
-                    and f.rsplit(".v", 1)[1].isdigit()
-                ),
-                default=0,
-            )
+        # commit also snapshots the full shard list as _MANIFEST.v{N}
+        # (the version claimed above, before the base snapshot was
+        # read).  Shards are immutable and appends never delete, so
+        # reading an old version's list IS the table as of that commit.
         # metadata commits use the same rename pattern as the shards: a
         # crash mid-write (or a concurrent reader) must never observe a
         # truncated _MANIFEST / _MANIFEST.v{N} / _STATS — os.replace is
@@ -466,6 +483,19 @@ class ManifestCommitConflict(RuntimeError):
     and break both the time-travel and exactly-once contracts."""
 
 
+def _is_commit_conflict(exc: BaseException) -> bool:
+    """True iff ``exc`` is (or wraps) a :class:`ManifestCommitConflict`.
+    The writer's commit runs driver-side but the exception crosses the
+    Py4J boundary wrapped, and the captured-exception repr() drops the
+    class — so callers must match on str().  ONE place owns that
+    matching rule; the phrases here must track the message raised in
+    ``JsonlDocsWriter.commit``."""
+    return isinstance(exc, ManifestCommitConflict) or (
+        "ManifestCommitConflict" in str(exc)
+        or "concurrent commit" in str(exc)
+    )
+
+
 def _write_atomic_excl(path: str, body: str) -> None:
     """CREATE-IF-ABSENT twin of :func:`_write_atomic`: write the body to
     a temp file, fsync, then ``os.link`` it to the final name — link(2)
@@ -597,6 +627,40 @@ def _manifest_at(path: str, version: int) -> dict:
         return json.load(fh)
 
 
+def _earliest_manifest_version(path: str) -> int:
+    """Smallest committed version still on disk (0 if none) — moves
+    up from 1 after :func:`vacuum_jsonl_dir` drops old snapshots."""
+    return min(
+        (
+            int(f.rsplit(".v", 1)[1])
+            for f in os.listdir(path)
+            if f.startswith("_MANIFEST.v") and f.rsplit(".v", 1)[1].isdigit()
+        ),
+        default=0,
+    )
+
+
+def _rewrite_marker_valid(path: str, version: int) -> bool:
+    """True iff ``_MANIFEST.v{version}.rewrite`` exists AND its body is
+    the md5 of the snapshot it marks.  The tether makes a marker
+    self-invalidating: a compaction that crashed between writing the
+    marker and the snapshot leaves a marker whose digest matches
+    nothing, so the NEXT data commit that claims the same version
+    number is (correctly) streamed as data — a stale marker can never
+    silently reclassify someone else's commit as a rewrite."""
+    import hashlib
+
+    mpath = os.path.join(path, f"_MANIFEST.v{version}.rewrite")
+    try:
+        with open(mpath) as fh:
+            marked = fh.read().strip()
+        with open(os.path.join(path, f"_MANIFEST.v{version}"), "rb") as fh:
+            digest = hashlib.md5(fh.read()).hexdigest()
+    except OSError:
+        return False
+    return marked == digest
+
+
 class JsonlDocsVersionStreamReader(DataSourceStreamReader):
     """SNAPSHOT STREAMING over the manifest commit log — the
     stream-from-table semantics a lake source provides (Delta/Iceberg
@@ -631,21 +695,34 @@ class JsonlDocsVersionStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         # walk the versions one commit at a time: a DATA commit
         # contributes the shards it added over its predecessor; a
-        # REWRITE commit (compaction — ``.rewrite`` sidecar, the
-        # dataChange=false flag) contributes NOTHING — its files hold
-        # only rows earlier commits already delivered, so reading them
-        # would duplicate every compacted row.  Data commits are
-        # append-only, so per-commit set difference is exact; a lagging
-        # stream that still needs a pre-compaction shard vacuum already
-        # reclaimed fails LOUDLY on the missing file (the same
-        # time-travel-until-vacuum contract as batch reads).
+        # REWRITE commit (compaction — ``.rewrite`` sidecar tethered to
+        # its snapshot by md5, the dataChange=false flag) contributes
+        # NOTHING — its files hold only rows earlier commits already
+        # delivered, so reading them would duplicate every compacted
+        # row.  Data commits are append-only, so per-commit set
+        # difference is exact; a LAGGING stream that still needs a
+        # pre-compaction shard vacuum already reclaimed fails LOUDLY
+        # on the missing file (the same time-travel-until-vacuum
+        # contract as batch reads).  A FRESH stream (offset 0) on a
+        # vacuumed table instead starts from the earliest snapshot
+        # still on disk, delivered WHOLE as its initial batch (rewrite
+        # marker ignored for that one version — a new subscriber needs
+        # the current rows however they were laid out), then tails
+        # diffs — the Delta/Iceberg initial-snapshot semantics.
         files: list[str] = []
-        for v in range(start["version"] + 1, end["version"] + 1):
-            if os.path.exists(
-                os.path.join(self.path, f"_MANIFEST.v{v}.rewrite")
-            ):
+        first = start["version"] + 1
+        initial = None
+        if start["version"] == 0:
+            earliest = _earliest_manifest_version(self.path)
+            if earliest == 0:
+                return []  # no committed version yet
+            first = initial = earliest
+        for v in range(first, end["version"] + 1):
+            if v != initial and _rewrite_marker_valid(self.path, v):
                 continue
-            prev = set(_manifest_at(self.path, v - 1))
+            prev = (
+                set() if v == initial else set(_manifest_at(self.path, v - 1))
+            )
             files.extend(
                 f for f in _manifest_at(self.path, v) if f not in prev
             )
@@ -984,12 +1061,19 @@ def compact_jsonl_dir(
     # last: rewrite marker → snapshot → stats → _MANIFEST.  The marker
     # (``.rewrite`` sidecar) declares this commit dataChange=false so
     # the version stream reader SKIPS it — compaction rewrites rows,
-    # it never adds any; a marker for a not-yet-visible version is
-    # inert, which is why it goes first (a reader must never observe
-    # the snapshot without the marker).
+    # it never adds any.  The marker body is the md5 of the snapshot
+    # it marks: written first so a reader can never observe the
+    # snapshot without the marker, and TETHERED so a crash between the
+    # two leaves a marker that matches nothing — the next data commit
+    # claiming the same version number streams as data instead of
+    # being silently reclassified as a rewrite
+    # (``_rewrite_marker_valid``).
+    import hashlib as _hashlib
+
     body = _json.dumps(new_manifest)
     _write_atomic(
-        os.path.join(path, f"_MANIFEST.v{version}.rewrite"), ""
+        os.path.join(path, f"_MANIFEST.v{version}.rewrite"),
+        _hashlib.md5(body.encode()).hexdigest(),
     )
     _write_atomic(os.path.join(path, f"_MANIFEST.v{version}"), body)
     _write_atomic(stats_path, _json.dumps(stats))
@@ -1123,6 +1207,40 @@ def q_streaming_pyds_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain_to_memory(spark, agg, "pyds_docs_stream", "complete")
 
 
+def _versioned_lang_drain(
+    spark: SparkSession, out: str, ckpt: str, name: str
+) -> None:
+    """One availableNow drain of the VERSIONED stream over ``out`` into
+    the complete-mode memory sink ``name``, resuming from ``ckpt`` —
+    the shared microbatch step of both snapshot-stream queries (same
+    per-lang aggregate, so both hash against the same batch truth)."""
+    from pu4spark_spark.streaming.drain import drain_partitions
+
+    stream = (
+        spark.readStream.format("jsonl_docs")
+        .option("path", out)
+        .option("versioned", "true")
+        .load()
+    )
+    agg = stream.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+    with drain_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+
 def q_streaming_pyds_snapshot(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1145,8 +1263,6 @@ def q_streaming_pyds_snapshot(
     import shutil
     import uuid as _uuid
 
-    from pu4spark_spark.streaming.drain import drain_partitions
-
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     out = os.path.join(
         tempfile.gettempdir(), f"pu4spark_pyds_ss_{tag}_{os.getpid()}"
@@ -1165,33 +1281,7 @@ def q_streaming_pyds_snapshot(
     )
 
     name = f"pyds_snapshot_{_uuid.uuid4().hex[:8]}"
-
-    def _drain_once() -> None:
-        stream = (
-            spark.readStream.format("jsonl_docs")
-            .option("path", out)
-            .option("versioned", "true")
-            .load()
-        )
-        agg = stream.groupBy("lang").agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("sum_chars"),
-            F.min("doc_id").alias("min_doc"),
-            F.max("doc_id").alias("max_doc"),
-        )
-        with drain_partitions(spark, 8):
-            q = (
-                agg.writeStream.format("memory")
-                .queryName(name)
-                .outputMode("complete")
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-            q.stop()
-
-    _drain_once()  # consumes v1
+    _versioned_lang_drain(spark, out, ckpt, name)  # consumes v1
     (
         docs.filter(F.col("doc_id") % 2 == 1)
         .repartition(N_SHARDS, "doc_id")
@@ -1216,7 +1306,8 @@ def q_streaming_pyds_snapshot(
             )
             + "\n"
         )
-    _drain_once()  # resumes at version offset 1, reads exactly v2
+    # resumes at version offset 1, reads exactly v2
+    _versioned_lang_drain(spark, out, ckpt, name)
     return spark.table(name)
 
 
@@ -1240,8 +1331,6 @@ def q_streaming_pyds_compaction_skip(
     import shutil
     import uuid as _uuid
 
-    from pu4spark_spark.streaming.drain import drain_partitions
-
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     out = os.path.join(
         tempfile.gettempdir(), f"pu4spark_pyds_cs_{tag}_{os.getpid()}"
@@ -1252,32 +1341,6 @@ def q_streaming_pyds_compaction_skip(
     docs = load_table(spark, "documents", sf_dir)
 
     name = f"pyds_compact_skip_{_uuid.uuid4().hex[:8]}"
-
-    def _drain_once() -> None:
-        stream = (
-            spark.readStream.format("jsonl_docs")
-            .option("path", out)
-            .option("versioned", "true")
-            .load()
-        )
-        agg = stream.groupBy("lang").agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("sum_chars"),
-            F.min("doc_id").alias("min_doc"),
-            F.max("doc_id").alias("max_doc"),
-        )
-        with drain_partitions(spark, 8):
-            q = (
-                agg.writeStream.format("memory")
-                .queryName(name)
-                .outputMode("complete")
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-            q.stop()
-
     (
         docs.filter(F.col("doc_id") % 2 == 0)
         .repartition(N_SHARDS, "doc_id")
@@ -1286,7 +1349,7 @@ def q_streaming_pyds_compaction_skip(
         .mode("overwrite")
         .save()
     )
-    _drain_once()  # consumes v1
+    _versioned_lang_drain(spark, out, ckpt, name)  # consumes v1
     (
         docs.filter(F.col("doc_id") % 2 == 1)
         .repartition(N_SHARDS, "doc_id")
@@ -1299,7 +1362,8 @@ def q_streaming_pyds_compaction_skip(
     v = compact_jsonl_dir(spark, out, target_shards=2)  # v3, rewrite
     if v != 3:
         raise AssertionError(f"compaction committed v{v}, expected v3")
-    _drain_once()  # must read exactly v2's shards, skip the rewrite
+    # must read exactly v2's shards, skip the rewrite
+    _versioned_lang_drain(spark, out, ckpt, name)
     return spark.table(name)
 
 
@@ -1435,10 +1499,7 @@ def q_fmt_pyds_commit_conflict(
             .save()
         )
     except Exception as exc:  # Py4J wraps ManifestCommitConflict
-        # captured-exception repr() drops the message — match on str()
-        if "ManifestCommitConflict" not in str(exc) and (
-            "concurrent commit" not in str(exc)
-        ):
+        if not _is_commit_conflict(exc):
             raise
         conflicted = True
     if not conflicted:
@@ -1495,9 +1556,7 @@ def append_with_retry(
             )
             return base + 1
         except Exception as exc:  # Spark wraps ManifestCommitConflict
-            if "ManifestCommitConflict" not in str(exc) and (
-                "concurrent commit" not in str(exc)
-            ):
+            if not _is_commit_conflict(exc):
                 raise
             last = exc
     assert last is not None
@@ -1557,9 +1616,7 @@ def q_fmt_pyds_commit_retry(
             .save()
         )
     except Exception as exc:
-        if "ManifestCommitConflict" not in str(exc) and (
-            "concurrent commit" not in str(exc)
-        ):
+        if not _is_commit_conflict(exc):
             raise
         stale_conflicted = True
     if not stale_conflicted:

@@ -859,3 +859,250 @@ def test_version_stream_skips_rewrite_commits(spark, tmp_path):
     names = set(_os.listdir(out))
     assert "_MANIFEST.v3" in names and "_MANIFEST.v3.rewrite" in names
     assert "_MANIFEST.v1" not in names and "_MANIFEST.v2" not in names
+
+
+def test_commit_seeds_from_base_snapshot_not_live_pointer(
+    spark, tmp_path
+):
+    """A winner that has CLAIMED its version but not yet flipped the
+    live _MANIFEST (mid-commit, or crashed between the two) must not
+    lose its shards to the next committer: the next commit seeds from
+    the immutable base snapshot _MANIFEST.v{base}, never from the
+    (lagging) live pointer."""
+    import json as _json
+    import os as _os
+
+    from pu4spark_spark.sources.pydatasource import (
+        JsonlCommit,
+        JsonlDocsWriter,
+        register_pyds,
+    )
+
+    register_pyds(spark)
+    out = str(tmp_path / "cc_unflipped")
+    _os.makedirs(out)
+    base_shard = "part-00000-base0000.jsonl"
+    with open(_os.path.join(out, base_shard), "w") as fh:
+        fh.write(
+            _json.dumps(
+                {
+                    "doc_id": 0,
+                    "text": "base",
+                    "lang": "en",
+                    "source": "seed",
+                    "n_chars": 4,
+                }
+            )
+            + "\n"
+        )
+    body1 = _json.dumps({base_shard: 1})
+    open(_os.path.join(out, "_MANIFEST.v1"), "w").write(body1)
+    open(_os.path.join(out, "_MANIFEST"), "w").write(body1)
+    # writer A: committed v2 claim + shard, but CRASHED before flipping
+    # the live _MANIFEST (which still points at v1)
+    a_shard = "part-00000-aaaa1111.jsonl"
+    with open(_os.path.join(out, a_shard), "w") as fh:
+        fh.write(
+            _json.dumps(
+                {
+                    "doc_id": 100,
+                    "text": "a",
+                    "lang": "aa",
+                    "source": "race",
+                    "n_chars": 1,
+                }
+            )
+            + "\n"
+        )
+    open(_os.path.join(out, "_MANIFEST.v2"), "w").write(
+        _json.dumps({base_shard: 1, a_shard: 1})
+    )
+
+    schema = spark.createDataFrame(
+        [],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    ).schema
+    # writer B: re-read latest (2, A's claim is visible) and appends on
+    # top of it — the append_with_retry protocol
+    w = JsonlDocsWriter(
+        {"path": out, "base_version": "2"}, schema, overwrite=False
+    )
+    b_final = "part-00000-bbbb2222.jsonl"
+    b_tmp = f"_tmp-{w.job_token}-" + b_final
+    with open(_os.path.join(out, b_tmp), "w") as fh:
+        fh.write(
+            _json.dumps(
+                {
+                    "doc_id": 200,
+                    "text": "b",
+                    "lang": "bb",
+                    "source": "race",
+                    "n_chars": 1,
+                }
+            )
+            + "\n"
+        )
+    w.commit([JsonlCommit(b_tmp, b_final, 1, 200, 200)])
+
+    v3 = _json.load(open(_os.path.join(out, "_MANIFEST.v3")))
+    assert set(v3) == {base_shard, a_shard, b_final}
+    langs = {
+        r["lang"]
+        for r in spark.read.format("jsonl_docs")
+        .option("path", out)
+        .load()
+        .collect()
+    }
+    assert langs == {"en", "aa", "bb"}
+
+
+def test_fresh_version_stream_starts_at_earliest_kept_snapshot(
+    spark, tmp_path
+):
+    """A NEW subscriber (offset 0) on a vacuumed table must not crash
+    walking vacuumed history: it starts from the earliest snapshot
+    still on disk, delivered WHOLE as the initial batch even when that
+    version is a rewrite commit (a fresh stream needs the current rows
+    however they were laid out).  Lagging streams (offset > 0) keep
+    the loud fails-on-vacuumed-history contract."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from pu4spark_spark.sources.pydatasource import (
+        JsonlDocsVersionStreamReader,
+        compact_jsonl_dir,
+        register_pyds,
+        vacuum_jsonl_dir,
+    )
+
+    register_pyds(spark)
+    out = str(tmp_path / "vfresh")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for half, opts in ((0, {}), (1, {"base_version": 1})):
+        w = (
+            docs.filter(f"doc_id % 2 = {half}")
+            .repartition(2, "doc_id")
+            .write.format("jsonl_docs")
+            .option("path", out)
+        )
+        for k, v in opts.items():
+            w = w.option(k, v)
+        w.mode("overwrite" if half == 0 else "append").save()
+    v = compact_jsonl_dir(spark, out, target_shards=1)
+    assert v == 3
+    vacuum_jsonl_dir(out, keep_versions=1)  # only v3 (+ marker) left
+
+    r = JsonlDocsVersionStreamReader({"path": out})
+    m3 = set(_json.load(open(_os.path.join(out, "_MANIFEST.v3"))))
+    got = {
+        _os.path.basename(p.value)
+        for p in r.partitions({"version": 0}, {"version": 3})
+    }
+    assert got == m3  # the full compacted snapshot, marker ignored
+    # a LAGGING stream still fails loudly on the vacuumed v1->v2 gap
+    with _pytest.raises(FileNotFoundError):
+        r.partitions({"version": 1}, {"version": 3})
+    # total rows delivered == the table (no dup, no loss)
+    n = 0
+    for p in r.partitions({"version": 0}, {"version": 3}):
+        n += sum(1 for _ in r.read(p))
+    assert n == docs.count()
+
+
+def test_stale_rewrite_marker_does_not_reclassify_data_commit(
+    spark, tmp_path
+):
+    """A compaction that crashed between writing its .rewrite marker
+    and its snapshot leaves a marker for a version that a LATER data
+    commit then claims — the md5 tether makes the stale marker match
+    nothing, so that data commit still streams as data (before the
+    tether, its rows silently vanished from every version stream)."""
+    import os as _os
+
+    from pu4spark_spark.sources.pydatasource import (
+        JsonlDocsVersionStreamReader,
+        register_pyds,
+    )
+
+    register_pyds(spark)
+    out = str(tmp_path / "vstale")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    (
+        docs.filter("doc_id % 2 = 0")
+        .repartition(1, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out)
+        .mode("overwrite")
+        .save()
+    )
+    # crashed compaction: marker for v2 written, snapshot never landed
+    with open(_os.path.join(out, "_MANIFEST.v2.rewrite"), "w") as fh:
+        fh.write("0123456789abcdef0123456789abcdef")
+    # a later DATA commit claims v2
+    (
+        docs.filter("doc_id % 2 = 1")
+        .repartition(1, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out)
+        .option("base_version", 1)
+        .mode("append")
+        .save()
+    )
+    r = JsonlDocsVersionStreamReader({"path": out})
+    parts = r.partitions({"version": 1}, {"version": 2})
+    assert parts, "stale marker swallowed the v2 data commit"
+    n = 0
+    for p in parts:
+        n += sum(1 for _ in r.read(p))
+    assert n == docs.filter("doc_id % 2 = 1").count()
+
+
+def test_tagged_line_hostile_text_and_null_roundtrip(spark, tmp_path):
+    """The TAB landing format round-trips hostile free text (embedded
+    tab/newline/CR/percent and the literal '%00') and a NULL text
+    (the '%00' sentinel), while a NULL KEY column still fails loudly."""
+    import pytest as _pytest
+
+    from pu4spark_spark.sources.formats import (
+        q_fmt_text_parse_udtf,
+        tagged_line_expr,
+    )
+
+    # register parse_tagged in this session
+    q_fmt_text_parse_udtf(spark, "/root/testdata/sf0.001").collect()
+
+    hostile = [
+        (1, "en", "plain"),
+        (2, "en", "tab\there"),
+        (3, "de", "line\nbreak\rcr"),
+        (4, "fr", "100% sure %09 literal"),
+        (5, "en", "%00"),   # literal sentinel must survive
+        (6, "en", None),    # NULL text must stay NULL
+    ]
+    df = spark.createDataFrame(
+        hostile, "doc_id bigint, lang string, text string"
+    )
+    out = str(tmp_path / "hostile_lines")
+    df.select(tagged_line_expr().alias("value")).write.mode(
+        "overwrite"
+    ).text(out)
+    spark.read.text(out).createOrReplaceTempView("__hostile_lines")
+    got = {
+        (r["doc_id"], r["lang"], r["text"])
+        for r in spark.sql(
+            "SELECT p.doc_id, p.lang, p.text FROM __hostile_lines, "
+            "LATERAL parse_tagged("
+            "value, 'doc_id bigint, lang string, text string') AS p"
+        ).collect()
+    }
+    assert got == set(hostile)
+
+    # NULL key fails loudly, never a shifted row
+    bad = spark.createDataFrame(
+        [(None, "en", "x")], "doc_id bigint, lang string, text string"
+    )
+    with _pytest.raises(Exception, match="NULL key column"):
+        bad.select(tagged_line_expr().alias("value")).collect()
