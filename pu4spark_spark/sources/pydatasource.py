@@ -685,9 +685,15 @@ class JsonlDocsVersionStreamReader(DataSourceStreamReader):
         if not path:
             raise ValueError("jsonl_docs requires option 'path'")
         self.path = path
+        # Delta's startingVersion: stream changes FROM this commit
+        # (inclusive), skipping the initial snapshot.  Default 0 =
+        # fresh subscriber = initial snapshot at the earliest kept
+        # version, then diffs (see partitions()).
+        sv = options.get("starting_version")
+        self.starting_version = int(sv) if sv is not None else 0
 
     def initialOffset(self) -> dict:
-        return {"version": 0}
+        return {"version": max(0, self.starting_version - 1)}
 
     def latestOffset(self) -> dict:
         return {"version": _latest_manifest_version(self.path)}

@@ -1106,3 +1106,40 @@ def test_tagged_line_hostile_text_and_null_roundtrip(spark, tmp_path):
     )
     with _pytest.raises(Exception, match="NULL key column"):
         bad.select(tagged_line_expr().alias("value")).collect()
+
+
+def test_version_stream_starting_version_option(spark, tmp_path):
+    """Delta's startingVersion surface: option('starting_version', N)
+    streams changes FROM commit N (inclusive), skipping the initial
+    snapshot — a consumer that already holds the table up to N-1."""
+    import os as _os
+
+    from pu4spark_spark.sources.pydatasource import (
+        JsonlDocsVersionStreamReader,
+        register_pyds,
+    )
+
+    register_pyds(spark)
+    out = str(tmp_path / "vstart")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for third in range(3):
+        w = (
+            docs.filter(f"doc_id % 3 = {third}")
+            .repartition(1, "doc_id")
+            .write.format("jsonl_docs")
+            .option("path", out)
+        )
+        if third:
+            w = w.option("base_version", third)
+        w.mode("overwrite" if third == 0 else "append").save()
+
+    r = JsonlDocsVersionStreamReader(
+        {"path": out, "starting_version": "2"}
+    )
+    assert r.initialOffset() == {"version": 1}
+    n = 0
+    for p in r.partitions(r.initialOffset(), r.latestOffset()):
+        n += sum(1 for _ in r.read(p))
+    # v2 + v3 additions only, never v1's rows
+    expected = docs.filter("doc_id % 3 in (1, 2)").count()
+    assert n == expected
