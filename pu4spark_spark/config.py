@@ -159,6 +159,24 @@ class PUBaggingLearnerConfig:
         )
 
 
+@dataclass
+class SARPULearnerConfig:
+    """Propensity-weighted SAR-PU learner (Bekker & Davis 2019) — an
+    extension beyond the reference's registry; see sar.py."""
+
+    groupCol: str = "source"
+    classifierConfig: LogisticRegressionConfig | RandomForestConfig = field(
+        default_factory=LogisticRegressionConfig
+    )
+
+    def build(self):
+        from pu4spark_spark.sar import SARPULearner
+
+        return SARPULearner(
+            self.classifierConfig.build(), group_col=self.groupCol
+        )
+
+
 #: polymorphic (de)serialization registry — mirrors the json4s
 #: ``subclasses`` lists (PositiveUnlabeledLearner.scala:36-40,
 #: ProbabilisticClassifierConfig.scala:34)
@@ -172,6 +190,7 @@ _REGISTRY: dict[str, type] = {
         ElkanNotoPULearnerConfig,
         SpyEMPULearnerConfig,
         PUBaggingLearnerConfig,
+        SARPULearnerConfig,
     )
 }
 

@@ -716,6 +716,84 @@ FROM base
 """
 
 
+def _pu_input_with_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PU input joined with its document's ``source`` — the
+    observed propensity attribute for the SAR learner (vec_id aligns
+    with doc_id by fixture construction; the dim-sized documents
+    projection broadcasts)."""
+    src = load_table(spark, "documents", sf_dir).select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    return _pu_input(spark, sf_dir).join(F.broadcast(src), "vec_id")
+
+
+def q_pu_sar_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAR-PU PER-GROUP calibration protocol driver-hash-witnessed
+    — the SIXTH learner's protocol evidence, same tier as the other
+    five traces: replays sar.py:62-104 (global-c driver scalar, the
+    per-source groupBy → broadcast-join propensity frame, the
+    coalesce fallback, the least(1, g/ê) calibration) with the fit
+    swapped for the Knuth scorer.  As in the Elkan trace, every mean
+    is computed as ``Σk / (1000·n)`` over the scorer's integer grid —
+    an exact int64 sum plus one fixed IEEE chain per group — so every
+    per-source propensity and every calibrated output hash-matches
+    DuckDB exactly."""
+    emb = _pu_input_with_source(spark, sf_dir)
+    scored = emb.withColumn("g", _bag_p_col(0)).withColumn(
+        "k", ((F.col("vec_id") % F.lit(_PREMOD)) * F.lit(_KNUTH)) % 1000
+    )
+    pos = scored.filter(F.col("pu_label") == 1)
+    row = pos.agg(
+        F.sum("k").cast("bigint").alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    if not row["n"]:
+        raise ValueError("cannot calibrate: no labeled positives")
+    c = row["sk"] / (1000.0 * row["n"])
+    props = pos.groupBy("source").agg(
+        (
+            F.sum("k").cast("bigint").cast("double")
+            / (F.lit(1000.0) * F.count(F.lit(1)))
+        ).alias("__e")
+    )
+    return (
+        scored.join(F.broadcast(props), "source", "left")
+        .withColumn("__e", F.coalesce(F.col("__e"), F.lit(float(c))))
+        .select(
+            "vec_id",
+            "source",
+            F.col("__e").alias("e_hat"),
+            F.least(F.lit(1.0), F.col("g") / F.col("__e")).alias(
+                "final_score"
+            ),
+        )
+    )
+
+
+SQL_PU_SAR_TRACE = f"""
+WITH base AS (
+  SELECT e.vec_id, d.source,
+         CASE WHEN e.label = 9 THEN 1 ELSE 0 END AS pos,
+         {_bag_p_sql(0)} AS g,
+         ((e.vec_id % {_PREMOD}) * {_KNUTH}) % 1000 AS k
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+),
+gcal AS (
+  SELECT CAST(SUM(k) AS DOUBLE) / (1000.0 * COUNT(*)) AS c
+  FROM base WHERE pos = 1
+),
+props AS (
+  SELECT source, CAST(SUM(k) AS DOUBLE) / (1000.0 * COUNT(*)) AS e
+  FROM base WHERE pos = 1 GROUP BY source
+)
+SELECT b.vec_id, b.source,
+       coalesce(p.e, (SELECT c FROM gcal)) AS e_hat,
+       least(1.0, b.g / coalesce(p.e, (SELECT c FROM gcal)))
+         AS final_score
+FROM base b LEFT JOIN props p ON p.source = b.source
+"""
+
+
 def q_pu_label_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pu4spark_spark.labels import index_label
 
@@ -978,6 +1056,31 @@ def q_pu_elkan_noto_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "finalLabel")
 
 
+def q_pu_sar_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAR-PU propensity-weighted learning (Bekker & Davis 2019;
+    extension beyond the reference's registry, same weight() API): ONE
+    labeled-vs-unlabeled fit, then per-SOURCE propensities ê_g (mean g
+    over each source's labeled positives, strata-sized broadcast) with
+    P(y=1|x) = g(x)/ê_{source(x)} — the per-stratum generalization of
+    Elkan–Noto's global c for corpora where labeling effort varies by
+    source.  Rows-only check (LR fit); the calibration algebra carries
+    driver-hash evidence via ``pu_sar_trace`` and property tests pin
+    the single-group ≡ Elkan identity (tests/test_pu.py)."""
+    from pu4spark_spark.config import (
+        LogisticRegressionConfig,
+        SARPULearnerConfig,
+    )
+
+    learner = SARPULearnerConfig(
+        groupCol="source",
+        classifierConfig=LogisticRegressionConfig(maxIter=10),
+    ).build()
+    out = learner.weight(
+        _pu_input_with_source(spark, sf_dir), "pu_label", "embedding"
+    )
+    return out.select("vec_id", "source", "finalLabel")
+
+
 def q_pu_bagging_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bagged PU learning (Mordelet & Vert 2014; extension beyond the
     reference's registry, same weight() API): 5 deterministic unlabeled
@@ -1146,6 +1249,7 @@ QUERIES = {
     "pu_bagging_trace": q_pu_bagging_trace,
     "pu_spy_trace": q_pu_spy_trace,
     "pu_elkan_trace": q_pu_elkan_trace,
+    "pu_sar_trace": q_pu_sar_trace,
     "pu_label_index": q_pu_label_index,
     "pu_zero_step_lr": q_pu_zero_step_lr,
     "pu_traditional_lr": q_pu_traditional_lr,
@@ -1155,6 +1259,7 @@ QUERIES = {
     "pu_doc_quality_lr": q_pu_doc_quality_lr,
     "pu_spy_em_lr": q_pu_spy_em_lr,
     "pu_elkan_noto_lr": q_pu_elkan_noto_lr,
+    "pu_sar_lr": q_pu_sar_lr,
     "pu_bagging_lr": q_pu_bagging_lr,
     # rows-only: weighted LR fit; weighted==dedup property in test_pu.py
     "pu_doc_quality_soft_lr": q_pu_doc_quality_soft_lr,
@@ -1175,6 +1280,7 @@ ORACLE_SQL = {
     "pu_bagging_trace": SQL_PU_BAGGING_TRACE,
     "pu_spy_trace": SQL_PU_SPY_TRACE,
     "pu_elkan_trace": SQL_PU_ELKAN_TRACE,
+    "pu_sar_trace": SQL_PU_SAR_TRACE,
     "pu_label_index": SQL_PU_LABEL_INDEX,
     "pu_feature_assembly": SQL_PU_FEATURE_ASSEMBLY,
     # pu_zero_step_lr / pu_traditional_lr / pu_gradual_lr /

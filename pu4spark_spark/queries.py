@@ -93,6 +93,8 @@ DRIVER_FIRST = [
     "audit_quality_constraints",       # one-pass Deequ-style suite
     "streaming_user_totals_rocksdb",   # RocksDB state-store witness
     "orders_cbo_join_reorder",         # CBO join rotation witnessed
+    "pu_sar_trace",                    # 6th learner's protocol, hashed
+    "pu_sar_lr",                       # SAR-PU ML twin (rows evidence)
     "ann_ranking_eval",                # nDCG@k + MRR + AP@k, hash-checked
     "dedup_clusters_star",             # large/small-star CC ≡ min-label
     # -- B: contract changed this round -----------------------------------
@@ -135,8 +137,6 @@ DRIVER_FIRST = [
     "grouping_sets_orders",            # 0.93
     "ann_lsh_bucketed",                # 0.94
     "orders_zorder_layout",            # 1.04
-    "text_bigram_novelty",             # 1.09
-    "q5_region_supplier_revenue",      # 1.23
 ]
 
 
@@ -150,7 +150,7 @@ if _missing_first:
 # gate below only guards against ACCIDENTAL oracle omissions: adding a
 # rows-only name to the window must be an explicit decision here.
 _ROWS_ONLY_WINDOWED = {
-    "pu_spy_em_lr", "pu_elkan_noto_lr", "pu_bagging_lr",
+    "pu_spy_em_lr", "pu_elkan_noto_lr", "pu_bagging_lr", "pu_sar_lr",
     "pu_class_prior", "pu_f1_proxy", "pu_auc_zero_step",
     "dedup_minhash_ml_slice", "ann_ivf",
     "ann_ivf_recall", "embedding_pca_project", "text_bpe_learn_merges",

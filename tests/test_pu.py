@@ -474,6 +474,25 @@ def test_golden_output_hashes_extensions(spark):
         "39f1b0e8cdf1e8566f14a30fb0ca6898"
     )
 
+    # SAR-PU needs a propensity group column on the cloud
+    from pyspark.sql import functions as F2
+
+    from pu4spark_spark.sar import SARPULearner
+
+    grouped = cloud.withColumn(
+        "grp", (F2.col("id") % 3).cast("string")
+    )
+    out = SARPULearner(classifier=lr(), group_col="grp").weight(
+        grouped, "label", "features", "finalLabel"
+    )
+    rows = out.orderBy("id").collect()
+    s = ";".join(
+        f"{r['id']}:{round(r['finalLabel'], 6):.6f}" for r in rows
+    )
+    assert hashlib.md5(s.encode()).hexdigest() == (
+        "a993f53010e9b8e5bcc8ad3ee90b3e45"
+    )
+
 
 def test_elkan_c_matches_class_prior_c_hat(spark):
     """Cross-learner consistency: Elkan–Noto's internal calibration
@@ -884,3 +903,97 @@ def test_elkan_trace_calibration_algebra(spark):
         assert abs(r["final_score"] - want) < 1e-12
         clipped += r["final_score"] == 1.0
     assert clipped > 0
+
+
+def test_sar_config_roundtrip_and_single_group_equals_elkan(spark):
+    """SAR-PU sanity: (a) config registry round-trip; (b) with ONE
+    propensity group the per-group calibration degenerates to exactly
+    Elkan–Noto's global c — same scores bit-for-bit (both run the
+    deterministic LR zero-step on identical input)."""
+    from pyspark.sql import functions as F
+
+    from pu4spark_spark.config import (
+        ElkanNotoPULearnerConfig,
+        LogisticRegressionConfig,
+        SARPULearnerConfig,
+        from_json,
+        to_json,
+    )
+
+    cfg = SARPULearnerConfig(
+        groupCol="grp",
+        classifierConfig=LogisticRegressionConfig(maxIter=10),
+    )
+    assert from_json(to_json(cfg)) == cfg
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pu = emb.withColumn(
+        "pu_label", F.when(F.col("label") == 9, 1).otherwise(0)
+    ).withColumn("grp", F.lit("all"))
+
+    sar = cfg.build().weight(pu, "pu_label", "embedding")
+    elkan = (
+        ElkanNotoPULearnerConfig(
+            classifierConfig=LogisticRegressionConfig(maxIter=10)
+        )
+        .build()
+        .weight(pu.drop("grp"), "pu_label", "embedding")
+    )
+    got = {r["vec_id"]: r["finalLabel"] for r in sar.collect()}
+    want = {r["vec_id"]: r["finalLabel"] for r in elkan.collect()}
+    assert got == want and len(got) == pu.count()
+
+
+def test_sar_per_group_calibration_and_fallback(spark):
+    """SAR-PU semantics on a three-group construction: groups a and b
+    both carry labeled positives and get genuinely DIFFERENT per-group
+    propensities ê_a ≠ ê_b (each member calibrates against its own
+    group's estimate, not the global c), while group f has all its
+    positives unlabeled and falls back to the global c exactly."""
+    from pyspark.sql import functions as F
+
+    from pu4spark_spark.config import (
+        LogisticRegressionConfig,
+        SARPULearnerConfig,
+    )
+    from pu4spark_spark.sar import SARPULearner
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # a: even ids < 400, b: odd ids < 400 (both keep their labels);
+    # f: ids >= 400 with positives UNLABELED — no labeled positives
+    pu = emb.withColumn(
+        "pu_label",
+        F.when(
+            (F.col("label") == 9) & (F.col("vec_id") < 400), 1
+        ).otherwise(0),
+    ).withColumn(
+        "grp",
+        F.when(F.col("vec_id") >= 400, "f").otherwise(
+            F.when(F.col("vec_id") % 2 == 0, "a").otherwise("b")
+        ),
+    )
+    learner = SARPULearnerConfig(
+        groupCol="grp",
+        classifierConfig=LogisticRegressionConfig(maxIter=10),
+    ).build()
+    assert isinstance(learner, SARPULearner)
+    out = learner.weight(pu, "pu_label", "embedding")
+
+    # independent recompute: g + per-group e1 + global fallback
+    staged = pu.withColumn(
+        "__s", F.when(F.col("pu_label") == 1, 1).otherwise(0)
+    )
+    g = learner.zero_step(staged, "__s", "embedding", "g")
+    pos = g.filter(F.col("pu_label") == 1)
+    c = pos.agg(F.avg("g")).collect()[0][0]
+    e = {
+        r["grp"]: r["e"]
+        for r in pos.groupBy("grp").agg(F.avg("g").alias("e")).collect()
+    }
+    assert set(e) == {"a", "b"}  # f has no labeled positives
+    assert e["a"] != e["b"]  # per-group propensities genuinely differ
+    expect = {}
+    for r in g.collect():
+        expect[r["vec_id"]] = min(1.0, r["g"] / e.get(r["grp"], c))
+    got = {r["vec_id"]: r["finalLabel"] for r in out.collect()}
+    assert got == expect

@@ -124,6 +124,7 @@ REPS = [
     "events_aqe_coalesce_hourly",  # AQE-coalesced rollup (eager)
     "streaming_user_totals_rocksdb",  # RocksDB-provider stateful drain
     "orders_cbo_join_reorder",   # stats-driven join rotation (eager)
+    "pu_sar_trace",              # per-group calibration protocol (eager)
 ]
 
 #: reps whose FIRST run at an sf builds a persistent build-once layout
