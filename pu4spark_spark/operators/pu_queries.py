@@ -730,7 +730,7 @@ def _pu_input_with_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pu_sar_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAR-PU PER-GROUP calibration protocol driver-hash-witnessed
     — the SIXTH learner's protocol evidence, same tier as the other
-    five traces: replays sar.py:62-104 (global-c driver scalar, the
+    five traces: replays sar.py:56-105 (global-c driver scalar, the
     per-source groupBy → broadcast-join propensity frame, the
     coalesce fallback, the least(1, g/ê) calibration) with the fit
     swapped for the Knuth scorer.  As in the Elkan trace, every mean
