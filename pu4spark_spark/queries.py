@@ -76,7 +76,7 @@ if missing:
 #: committed full-registry self-check (``tools/check_oracle.py`` →
 #: ``CORRECTNESS_FULL_r0N``).
 DRIVER_FIRST = [
-    # Round-9 rotation.  Window = (A) ALL 11 new r9 queries; (B) queries
+    # Round-9 rotation.  Window = (A) ALL 13 new r9 queries; (B) queries
     # whose correctness CONTRACT changed this round (k-anonymity
     # residual suppression; fmt_file_metadata_audit gained an oracle —
     # its FIRST driver hash); (C) re-verification of every query whose

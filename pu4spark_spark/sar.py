@@ -60,11 +60,19 @@ class SARPULearner(TwoStepPULearner):
         features_col: str = "features",
         final_label: str = "finalLabel",
     ) -> DataFrame:
+        from pu4spark_spark.plans import cached
+
         is_pos = F.col(label_col) == 1
         staged = df.withColumn("__s", F.when(is_pos, 1).otherwise(0))
 
-        # g(x) = P(s=1|x): the shared step-0 fit-on-everything
-        scored = self.zero_step(staged, "__s", features_col, final_label)
+        # g(x) = P(s=1|x): the shared step-0 fit-on-everything.
+        # cached(): THREE consumers follow (the global-c collect, the
+        # per-group agg, and the returned calibrated frame) — without
+        # the persist each would re-run the whole scoring transform
+        # over the corpus.
+        scored = cached(
+            self.zero_step(staged, "__s", features_col, final_label)
+        )
 
         # global c first (the no-positives fallback), then per-group
         # e1 estimates — both over labeled positives only.  One pass

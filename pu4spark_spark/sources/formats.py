@@ -362,28 +362,38 @@ GROUP BY p_brand
 """
 
 
+def _pct_escape(col):
+    """Percent-escape %/TAB/LF/CR in a string column — applied to
+    EVERY string field of the TAB landing line (keys included), so no
+    literal value can collide with the separators or the "%00" NULL
+    sentinel (a literal "%00" escapes to "%2500")."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(col, "%", "%25"),
+                "\t", "%09"),
+            "\n", "%0A"),
+        "\r", "%0D")
+
+
 def tagged_line_expr():
     """The TAB landing-line writer expression for doc_id/lang/text.
     The format is only well-defined if no field contains the
-    separators: percent-escape %/TAB/LF/CR in the free-text column
+    separators: percent-escape %/TAB/LF/CR in every string field
     (unambiguous, round-tripped by the UDTF parser).  NULL handling is
     per-field: the KEY columns (doc_id, lang) use NULL-PROPAGATING
     concat + raise_error so a NULL key fails loudly instead of
     silently shifting fields (concat_ws skips NULLs); the free-text
-    column stays NULLABLE — a NULL text lands as the "%00" sentinel
-    (collision-free: a literal "%00" in the data escapes to "%2500")
-    and the parser maps it back to NULL."""
+    column stays NULLABLE — a NULL text lands as the "%00" sentinel,
+    collision-free for ALL fields because the escape runs on keys too."""
     from pyspark.sql import functions as F
 
-    safe_text = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(F.col("text"), "%", "%25"),
-                "\t", "%09"),
-            "\n", "%0A"),
-        "\r", "%0D")
     keys = F.concat(
-        F.col("doc_id").cast("string"), F.lit("\t"), F.col("lang")
+        F.col("doc_id").cast("string"),
+        F.lit("\t"),
+        _pct_escape(F.col("lang")),
     )
     return F.concat(
         F.when(keys.isNotNull(), keys).otherwise(
@@ -392,7 +402,7 @@ def tagged_line_expr():
             )
         ),
         F.lit("\t"),
-        F.coalesce(safe_text, F.lit("%00")),
+        F.coalesce(_pct_escape(F.col("text")), F.lit("%00")),
     )
 
 
@@ -747,6 +757,8 @@ def audit_file_listing(
     over the file list, one footer read per file).  This is the
     audit's whole cost model: a 100 TB table with 100k files costs
     100k stat calls + 100k footer reads — never a row scan."""
+    import re as _re
+
     from pyspark.sql import functions as F
     from pyspark.sql.functions import PandasUDFType, pandas_udf
 
@@ -769,7 +781,13 @@ def audit_file_listing(
         .option("recursiveFileLookup", "true")
         .load(path)
         .select(
-            F.regexp_extract("path", rf"{partition_col}=(\d+)", 1)
+            # slash-bounded + re.escape: a col name that is a suffix of
+            # another ("suppkey" inside "l_suppkey=") or contains regex
+            # metacharacters cannot silently mismatch; integer-valued
+            # keys are the helper's contract (cast target is bigint)
+            F.regexp_extract(
+                "path", rf"/{_re.escape(partition_col)}=(\d+)/", 1
+            )
             .cast("bigint")
             .alias(partition_col),
             F.col("length").alias("bytes"),

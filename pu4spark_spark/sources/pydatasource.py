@@ -647,7 +647,14 @@ def _rewrite_marker_valid(path: str, version: int) -> bool:
     marker and the snapshot leaves a marker whose digest matches
     nothing, so the NEXT data commit that claims the same version
     number is (correctly) streamed as data — a stale marker can never
-    silently reclassify someone else's commit as a rewrite."""
+    silently reclassify someone else's commit as a rewrite.
+
+    Deliberately STRICT: pre-tether empty-body markers fail the check,
+    so a table compacted by an older build would re-deliver its
+    rewrite commit as data.  Acceptable here because mini-lake
+    directories are session-scoped scratch artifacts (rebuilt per
+    process, never carried across code versions); a durable table
+    format would ship a marker-rewrite migration instead."""
     import hashlib
 
     mpath = os.path.join(path, f"_MANIFEST.v{version}.rewrite")
@@ -715,6 +722,9 @@ class JsonlDocsVersionStreamReader(DataSourceStreamReader):
         # marker ignored for that one version — a new subscriber needs
         # the current rows however they were laid out), then tails
         # diffs — the Delta/Iceberg initial-snapshot semantics.
+        import hashlib
+        import json
+
         files: list[str] = []
         first = start["version"] + 1
         initial = None
@@ -723,15 +733,41 @@ class JsonlDocsVersionStreamReader(DataSourceStreamReader):
             if earliest == 0:
                 return []  # no committed version yet
             first = initial = earliest
+        # each snapshot's bytes are read ONCE per microbatch: the same
+        # body feeds the md5 tether check, the current diff, and the
+        # next iteration's prev (carried forward) — K+1 file reads for
+        # a K-version batch, not 3K
+        prev: set[str] | None = None
         for v in range(first, end["version"] + 1):
-            if v != initial and _rewrite_marker_valid(self.path, v):
-                continue
-            prev = (
-                set() if v == initial else set(_manifest_at(self.path, v - 1))
-            )
-            files.extend(
-                f for f in _manifest_at(self.path, v) if f not in prev
-            )
+            with open(
+                os.path.join(self.path, f"_MANIFEST.v{v}"), "rb"
+            ) as fh:
+                body = fh.read()
+            cur = set(json.loads(body))
+            skip = False
+            if v != initial:
+                try:
+                    with open(
+                        os.path.join(
+                            self.path, f"_MANIFEST.v{v}.rewrite"
+                        )
+                    ) as fh:
+                        skip = (
+                            fh.read().strip()
+                            == hashlib.md5(body).hexdigest()
+                        )
+                except OSError:
+                    skip = False
+            if not skip:
+                base: set[str]
+                if v == initial:
+                    base = set()
+                elif prev is not None:
+                    base = prev
+                else:
+                    base = set(_manifest_at(self.path, v - 1))
+                files.extend(f for f in cur if f not in base)
+            prev = cur
         return [
             InputPartition(os.path.join(self.path, f))
             for f in sorted(set(files))

@@ -1081,6 +1081,8 @@ def test_tagged_line_hostile_text_and_null_roundtrip(spark, tmp_path):
         (4, "fr", "100% sure %09 literal"),
         (5, "en", "%00"),   # literal sentinel must survive
         (6, "en", None),    # NULL text must stay NULL
+        (7, "%00", "lang is the literal sentinel"),  # keys escape too
+        (8, "ta\tb", "lang with separator"),
     ]
     df = spark.createDataFrame(
         hostile, "doc_id bigint, lang string, text string"
