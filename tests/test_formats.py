@@ -1145,3 +1145,116 @@ def test_version_stream_starting_version_option(spark, tmp_path):
     # v2 + v3 additions only, never v1's rows
     expected = docs.filter("doc_id % 3 in (1, 2)").count()
     assert n == expected
+
+
+def test_minilake_random_op_sequences(spark, tmp_path):
+    """Protocol stress for the mini-lake under randomized
+    append/compact/vacuum interleavings (3 seeds): after ANY sequence,
+    (1) the batch read equals every appended row exactly once, (2) a
+    FRESH versioned stream delivers exactly the same multiset (initial
+    snapshot + data diffs, rewrites skipped), and (3) a time-travel
+    read at any still-retained version equals the row set tracked when
+    that version committed."""
+    import json as _json
+    import os as _os
+    import random
+
+    from pu4spark_spark.sources.pydatasource import (
+        JsonlDocsVersionStreamReader,
+        _latest_manifest_version,
+        compact_jsonl_dir,
+        register_pyds,
+        vacuum_jsonl_dir,
+    )
+
+    register_pyds(spark)
+
+    def batch_df(ids):
+        return spark.createDataFrame(
+            [(i, f"doc {i}", "en", "s", 5) for i in ids],
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint",
+        )
+
+    for seed in (3, 17, 41):
+        out = str(tmp_path / f"lake_{seed}")
+        rng = random.Random(seed)
+        next_id = 0
+        appended: set[int] = set()
+        snapshots: dict[int, frozenset] = {}
+
+        def append() -> None:
+            nonlocal next_id
+            n = rng.randint(1, 5)
+            ids = list(range(next_id, next_id + n))
+            next_id += n
+            w = (
+                batch_df(ids)
+                .repartition(1)
+                .write.format("jsonl_docs")
+                .option("path", out)
+            )
+            if appended:
+                w = w.option(
+                    "base_version", _latest_manifest_version(out)
+                ).mode("append")
+            else:
+                w = w.mode("overwrite")
+            w.save()
+            appended.update(ids)
+
+        append()  # seed the table
+        snapshots[_latest_manifest_version(out)] = frozenset(appended)
+        for _ in range(rng.randint(4, 7)):
+            op = rng.random()
+            if op < 0.6:
+                append()
+            elif op < 0.85:
+                compact_jsonl_dir(
+                    spark, out, target_shards=rng.randint(1, 2)
+                )
+            else:
+                vacuum_jsonl_dir(out, keep_versions=rng.randint(1, 3))
+            snapshots[_latest_manifest_version(out)] = frozenset(appended)
+
+        # (1) batch read == everything appended, exactly once
+        got = sorted(
+            r["doc_id"]
+            for r in spark.read.format("jsonl_docs")
+            .option("path", out)
+            .load()
+            .collect()
+        )
+        assert got == sorted(appended), f"seed {seed}: batch read"
+
+        # (2) fresh versioned stream delivers the same multiset
+        r = JsonlDocsVersionStreamReader({"path": out})
+        streamed = []
+        for p in r.partitions(r.initialOffset(), r.latestOffset()):
+            streamed.extend(row[0] for row in r.read(p))
+        assert sorted(streamed) == sorted(appended), (
+            f"seed {seed}: fresh stream"
+        )
+
+        # (3) time travel at every still-retained recorded version
+        kept = {
+            int(f.rsplit(".v", 1)[1])
+            for f in _os.listdir(out)
+            if f.startswith("_MANIFEST.v")
+            and f.rsplit(".v", 1)[1].isdigit()
+        }
+        checked = 0
+        for v, ids in snapshots.items():
+            if v not in kept:
+                continue
+            tt = sorted(
+                row["doc_id"]
+                for row in spark.read.format("jsonl_docs")
+                .option("path", out)
+                .option("version", v)
+                .load()
+                .collect()
+            )
+            assert tt == sorted(ids), f"seed {seed}: read@v{v}"
+            checked += 1
+        assert checked >= 1  # at least the latest version is retained
