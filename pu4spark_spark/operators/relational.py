@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pu4spark_spark.plans import cached
 from pu4spark_spark.functions.exact import (
     MONEY_ARITH as MONEY,  # narrow: exact through multi-factor products
     RATE_ARITH as RATE,
@@ -1460,7 +1461,7 @@ def q_skew_join_aqe_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         for k, v in confs.items():
             spark.conf.set(k, v)
-        agg = agg.persist()
+        agg = cached(agg)  # registered: released at next query's entry
         agg.count()  # materialize under the skew-split confs
     finally:
         for k, v in old.items():
@@ -2189,8 +2190,8 @@ def q_events_dense_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     types = hourly.select("event_type").distinct()
     grid = grid_hours.crossJoin(types)
     return (
-        F.broadcast(grid)
-        .join(hourly, ["hour", "event_type"], "left")
+        grid
+        .join(F.broadcast(hourly), ["hour", "event_type"], "left")
         .select(
             "hour",
             "event_type",
@@ -4658,7 +4659,7 @@ def q_events_aqe_coalesce_hourly(
     try:
         for k, v in confs.items():
             spark.conf.set(k, v)
-        agg = agg.persist()
+        agg = cached(agg)  # registered: released at next query's entry
         agg.count()  # materialize under the widened-then-coalesced confs
     finally:
         for k, v in old.items():
@@ -4780,7 +4781,7 @@ def q_orders_cbo_join_reorder(
                 "CBO did not rotate the selective part join innermost: "
                 f"{conds} in\n{opt[:2000]}"
             )
-        agg = agg.persist()
+        agg = cached(agg)  # registered: released at next query's entry
         agg.count()  # materialize under the CBO-reordered plan
     finally:
         for k, v in old.items():
@@ -4789,6 +4790,100 @@ def q_orders_cbo_join_reorder(
             else:
                 spark.conf.set(k, v)
     return agg
+
+
+def q_orders_aqe_join_demotion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The THIRD AQE lever witnessed live (skew split and partition
+    coalesce are the other two): RUNTIME JOIN-STRATEGY DEMOTION.  The
+    static planner is denied broadcast (``autoBroadcastJoinThreshold
+    = -1`` — the compile-time state of a 100 TB plan whose dimension
+    size estimates are unusable or missing) and plans orders ⋈ customer
+    as a sort-merge join; after the map stages run, AQE sees the
+    customer side's ACTUAL shuffle bytes under
+    ``adaptive.autoBroadcastJoinThreshold`` and replans the SMJ as a
+    BroadcastHashJoin — stats-free, runtime-true demotion to the
+    cheaper strategy.  Self-gating: the query raises unless the initial
+    physical plan contains the SMJ and the executed (final adaptive)
+    plan contains the BHJ, so every driver/bench run re-witnesses the
+    conversion; the oracle re-derives the join row-for-row, so a
+    demotion that lost or duplicated rows hash-mismatches.
+
+    At 100 TB this is the lever that saves a mis-estimated fact ⋈ dim
+    from a full-table sort: no hints, no ANALYZE freshness requirement
+    — the shuffle write itself is the statistic."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        # deny the STATIC planner broadcast; leave the RUNTIME
+        # threshold generous — the gap between the two is the demotion
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "10m",
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": (
+            "true"
+        ),
+    }
+    old: dict = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_nationkey"
+    )
+    agg = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(_M))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # probe the initial plan on a CLONE Dataset: forcing agg's own
+        # QueryExecution here would freeze it pre-persist, and its
+        # executedPlan would then be an unexecuted adaptive shell
+        # instead of the cache-backed plan count() actually runs
+        initial = (
+            agg.select("*")._jdf.queryExecution().sparkPlan().toString()
+        )
+        if "SortMergeJoin" not in initial:
+            raise AssertionError(
+                "demotion witness: initial plan is not an SMJ:\n"
+                + initial[:2000]
+            )
+        agg = cached(agg)  # registered: released at next query's entry
+        agg.count()  # materialize: AQE replans with runtime sizes
+        final = agg._jdf.queryExecution().executedPlan().toString()
+        if "BroadcastHashJoin" not in final:
+            raise AssertionError(
+                "demotion witness: AQE did not convert the SMJ to a "
+                "broadcast join:\n" + final[:2000]
+            )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return agg
+
+
+SQL_ORDERS_AQE_JOIN_DEMOTION = f"""
+SELECT c_nationkey,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS {_M})) AS DOUBLE) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+"""
 
 
 SQL_ORDERS_CBO_JOIN_REORDER = f"""
@@ -4810,6 +4905,7 @@ QUERIES = {
     "events_aqe_coalesce_hourly": q_events_aqe_coalesce_hourly,
     "audit_quality_constraints": q_audit_quality_constraints,
     "orders_cbo_join_reorder": q_orders_cbo_join_reorder,
+    "orders_aqe_join_demotion": q_orders_aqe_join_demotion,
     "grouping_sets_orders": q_grouping_sets_orders,
     "profile_orders": q_profile_orders,
     "audit_referential_integrity": q_audit_referential_integrity,
@@ -4901,6 +4997,7 @@ ORACLE_SQL = {
     "events_aqe_coalesce_hourly": SQL_EVENTS_AQE_COALESCE_HOURLY,
     "audit_quality_constraints": SQL_AUDIT_QUALITY_CONSTRAINTS,
     "orders_cbo_join_reorder": SQL_ORDERS_CBO_JOIN_REORDER,
+    "orders_aqe_join_demotion": SQL_ORDERS_AQE_JOIN_DEMOTION,
     "grouping_sets_orders": SQL_GROUPING_SETS,
     "profile_orders": SQL_PROFILE_ORDERS,
     "audit_referential_integrity": SQL_AUDIT_REFERENTIAL_INTEGRITY,

@@ -64,6 +64,13 @@ def two_phase_rank(
     return ranked if rank_col else ranked.drop(rc)
 
 
+#: frames persisted by cached() since the last release_cached() call —
+#: the session-lifetime ledger that keeps a ~300-query bench/driver run
+#: from accumulating cached blocks (each registry query releases its
+#: predecessor's frames on entry; see queries._with_release)
+_RELEASABLE: list[DataFrame] = []
+
+
 def cached(df: DataFrame) -> DataFrame:
     """MEMORY_AND_DISK-persist a DataFrame that a query plan consumes
     more than once (self-joins, candidate-verify joins).  Spark's
@@ -71,10 +78,30 @@ def cached(df: DataFrame) -> DataFrame:
     consumed through *different* downstream shuffles is otherwise
     recomputed per consumer — at 100 TB that's re-reading the scan and
     re-hashing every shingle N times.  Spilling to disk keeps the
-    operator safe when the intermediate exceeds executor memory."""
+    operator safe when the intermediate exceeds executor memory.
+
+    Lifetime: the frame stays pinned while its query's consumer (the
+    harness collecting the result) still needs it, and is released when
+    the NEXT registry query starts (:func:`release_cached`), so cached
+    blocks never accumulate across a multi-hundred-query session."""
     from pyspark.storagelevel import StorageLevel
 
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _RELEASABLE.append(df)
+    return df
+
+
+def release_cached() -> None:
+    """Unpersist every frame :func:`cached` pinned since the last call.
+    Called by the registry wrapper at each query's entry — by then the
+    previous query's result has been consumed, so its intermediates are
+    dead weight (re-deriving a released frame is always correct, just
+    a recompute)."""
+    while _RELEASABLE:
+        try:
+            _RELEASABLE.pop().unpersist()
+        except Exception:
+            pass
 
 
 def explain_str(df: DataFrame, mode: str = "formatted") -> str:

@@ -175,6 +175,25 @@ _rest_oracle = [
 _rest_rows_only = [
     n for n in QUERIES if n not in set(_first) and n not in ORACLE_SQL
 ]
+def _with_release(fn):
+    """Wrap a registry callable so the PREVIOUS query's cached() frames
+    are unpersisted when this one starts — per-query cache hygiene for
+    any harness (driver, bench, self-check) that walks the registry.
+    By entry time the previous result has been consumed, so releasing
+    is always safe (a released frame re-derives on demand)."""
+    import functools
+
+    @functools.wraps(fn)
+    def run(spark, sf_dir):
+        from pu4spark_spark.plans import release_cached
+
+        release_cached()
+        return fn(spark, sf_dir)
+
+    return run
+
+
 QUERIES = {
-    n: QUERIES[n] for n in (*_first, *_rest_oracle, *_rest_rows_only)
+    n: _with_release(QUERIES[n])
+    for n in (*_first, *_rest_oracle, *_rest_rows_only)
 }

@@ -20,9 +20,11 @@ source) replaces the scalar with per-group propensities
 
 so a thinly-labeled group is calibrated UP by its own small ê rather
 than being crushed by the corpus-wide constant.  Groups with no
-labeled positives (ê undefined) fall back to the global Elkan c —
-the least-wrong prior, and loud in the output (``__e`` is the global
-value there, visible to the caller via the propensity frame).
+labeled positives (ê undefined) fall back to the global Elkan c — the
+least-wrong prior.  The substitution is INTERNAL: the calibration
+column is dropped from the returned frame (same cleanup contract as
+every learner); a caller auditing which groups fell back re-derives
+them as "groups with zero labeled positives", one strata-sized agg.
 
 Scale shape: ONE classifier fit (the shared ``zero_step``
 fit-on-everything, TwoStepPULearner.scala:41-58 shape) + one scoring

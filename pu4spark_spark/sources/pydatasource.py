@@ -233,6 +233,13 @@ class JsonlDocsWriter(DataSourceWriter):
             )
             committed_tmp.add(m.tmp)
             manifest[m.file] = m.rows
+            if TOMBSTONE_KEY in manifest:
+                # a table with delete history tracks each shard's add
+                # version so tombstone entries (scoped "v > added")
+                # never apply to rows committed after them
+                manifest[TOMBSTONE_KEY].setdefault("added", {})[
+                    m.file
+                ] = version
             if getattr(m, "min_doc", None) is not None:
                 stats[m.file] = [m.min_doc, m.max_doc]
         # orphans from failed/speculative task attempts
@@ -291,10 +298,19 @@ class JsonlDocsWriter(DataSourceWriter):
                 "this job's shards were rolled back — re-run the append "
                 "against the new table state"
             ) from None
-        _write_atomic(
-            _os.path.join(self.path, "_STATS"), _json.dumps(stats)
-        )
-        _write_atomic(_os.path.join(self.path, "_MANIFEST"), body)
+        # the live _MANIFEST is a CACHE: unpinned readers resolve the
+        # highest _MANIFEST.v{N} first (JsonlDocsReader._resolve), so
+        # correctness never depends on this pointer.  Still, only flip
+        # it while this commit is the latest — a winner that claimed
+        # v{N} then stalled while others committed v{N+1..} must not
+        # swing the cache (and legacy consumers of it) backwards.  The
+        # skipped _STATS merge only disables pruning for our shards —
+        # zonemaps are advisory and partial stats are always safe.
+        if _latest_manifest_version(self.path) == version:
+            _write_atomic(
+                _os.path.join(self.path, "_STATS"), _json.dumps(stats)
+            )
+            _write_atomic(_os.path.join(self.path, "_MANIFEST"), body)
 
     def abort(self, messages) -> None:
         import os as _os
@@ -414,13 +430,15 @@ class JsonlDocsReader(DataSourceReader):
             kept.append(f)
         return kept
 
-    def partitions(self):
-        # driver-side work is ONE metadata read: when the directory was
-        # produced by JsonlDocsWriter, the shard list comes from its
-        # _MANIFEST commit log (so orphan shards from failed jobs are
-        # never ingested); external directories (e.g. Spark's own JSON
-        # writer output) fall back to a listing.  Each shard becomes an
-        # independent task (ordering fixed for determinism).
+    def _resolve(self) -> tuple[int | None, dict | None]:
+        """(version, manifest) this read sees.  Pinned reads load their
+        snapshot; unpinned reads resolve the HIGHEST committed
+        ``_MANIFEST.v{N}`` — the live ``_MANIFEST`` is only a cache
+        (a stalled winner flipping it late, or not at all, must never
+        hide a newer committed version from batch readers) and is
+        consulted only for legacy directories that have a live pointer
+        but no versioned snapshots.  ``(None, None)`` = manifest-less
+        directory → listing fallback."""
         import json as _json
 
         if self.version is not None:
@@ -431,48 +449,50 @@ class JsonlDocsReader(DataSourceReader):
                     f"under {self.path}"
                 )
             with open(vpath) as fh:
-                files = sorted(_json.load(fh))
-            return [
-                InputPartition(os.path.join(self.path, f))
-                for f in self._prune(files)
-            ]
-        manifest = os.path.join(self.path, "_MANIFEST")
-        if os.path.exists(manifest):
-            with open(manifest) as fh:
-                files = sorted(_json.load(fh))
+                return self.version, _json.load(fh)
+        latest = _latest_manifest_version(self.path)
+        if latest > 0:
+            with open(
+                os.path.join(self.path, f"_MANIFEST.v{latest}")
+            ) as fh:
+                return latest, _json.load(fh)
+        live = os.path.join(self.path, "_MANIFEST")
+        if os.path.exists(live):
+            with open(live) as fh:
+                return None, _json.load(fh)
+        return None, None
+
+    def partitions(self):
+        # driver-side work is ONE metadata read: when the directory was
+        # produced by JsonlDocsWriter, the shard list comes from its
+        # _MANIFEST commit log (so orphan shards from failed jobs are
+        # never ingested); external directories (e.g. Spark's own JSON
+        # writer output) fall back to a listing.  Each shard becomes an
+        # independent task (ordering fixed for determinism).  Shards
+        # with tombstoned rows (row-level DELETE/MERGE commits) carry
+        # their applicable doc_id tombstones in the partition value so
+        # every executor filters them at read time.
+        _, manifest = self._resolve()
+        if manifest is None:
+            files = _list_shards(self.path)
         else:
-            files = sorted(
-                f
-                for f in os.listdir(self.path)
-                if f.endswith((".json", ".jsonl"))
-                and not f.startswith((".", "_"))
-            )
-        return [
-            InputPartition(os.path.join(self.path, f))
-            for f in self._prune(files)
-        ]
+            files = sorted(_manifest_files(manifest))
+        tombs = _tombstones_of(manifest)
+        parts = []
+        for f in self._prune(files):
+            full = os.path.join(self.path, f)
+            ids = _tomb_ids_for(f, tombs)
+            parts.append(InputPartition((full, ids) if ids else full))
+        return parts
 
     def read(self, partition):
         # runs on the executor's Python worker: stream one shard.
         # partition is None when partitions() returned [] (the zonemap
         # pruned EVERY shard) — PySpark substitutes a single default
         # partition in that case, which must scan nothing.
-        import json
-
         if partition is None:
             return
-        with open(partition.value) as fh:
-            for line in fh:
-                if not line.strip():
-                    continue
-                r = json.loads(line)
-                yield (
-                    r.get("doc_id"),
-                    r.get("text"),
-                    r.get("lang"),
-                    r.get("source"),
-                    r.get("n_chars"),
-                )
+        yield from _iter_jsonl(partition.value)
 
 
 class ManifestCommitConflict(RuntimeError):
@@ -483,16 +503,22 @@ class ManifestCommitConflict(RuntimeError):
     and break both the time-travel and exactly-once contracts."""
 
 
+#: unique sentinel prefix every ManifestCommitConflict message starts
+#: with — the ONE string _is_commit_conflict matches on across the Py4J
+#: boundary (a generic phrase like "concurrent commit" could appear in
+#: an unrelated Spark error and silently trigger the retry loop)
+_CONFLICT_SENTINEL = "concurrent commit: _MANIFEST.v"
+
+
 def _is_commit_conflict(exc: BaseException) -> bool:
     """True iff ``exc`` is (or wraps) a :class:`ManifestCommitConflict`.
     The writer's commit runs driver-side but the exception crosses the
     Py4J boundary wrapped, and the captured-exception repr() drops the
     class — so callers must match on str().  ONE place owns that
-    matching rule; the phrases here must track the message raised in
-    ``JsonlDocsWriter.commit``."""
+    matching rule: the exact raised prefix ``_CONFLICT_SENTINEL``,
+    which every conflict site below embeds verbatim."""
     return isinstance(exc, ManifestCommitConflict) or (
-        "ManifestCommitConflict" in str(exc)
-        or "concurrent commit" in str(exc)
+        _CONFLICT_SENTINEL in str(exc)
     )
 
 
@@ -554,6 +580,89 @@ def _list_shards(path: str) -> list[str]:
         for f in os.listdir(path)
         if f.endswith((".json", ".jsonl")) and not f.startswith((".", "_"))
     )
+
+
+#: reserved manifest key holding the cumulative tombstone ledger for
+#: row-level DELETE / MERGE commits.  Embedding tombstones IN the
+#: manifest snapshot keeps a delete commit a SINGLE atomic file claim —
+#: no ordering window where a reader could see the new version's shard
+#: list without its deletions (a sidecar file would need its own
+#: tethering, like the .rewrite marker).  Shard-name keys never start
+#: with '_', so the key can't collide; manifest consumers use
+#: _manifest_files() to skip reserved keys.
+#:
+#: Ledger shape — Iceberg's SEQUENCE-NUMBER scoping, in JSON:
+#:   {"entries": [{"v": commit_version, "ids": [doc_ids]}, ...],
+#:    "added":   {shard_file: version_that_added_it, ...}}
+#: An entry applies to shard f iff ``entry.v > added(f)`` (unknown
+#: added = 0 — every shard already present when the ledger was created
+#: predates every entry).  Version scoping, unlike a file LIST per
+#: entry, survives rewrites: a compaction replaces file names, but the
+#: rule "deleted by a later commit than the one that added these rows"
+#: stays answerable for any shard a reader or a replaying stream can
+#: deliver.  A MERGE is the exemption in action: its tombstone entry
+#: and its new shards share one version, so ``v > added`` spares
+#: exactly the replacement rows.  At 100 TB the ids move into
+#: per-shard deletion-vector files referenced from the manifest; the
+#: ledger here is the metadata-scale form with identical semantics.
+TOMBSTONE_KEY = "_tombstones"
+
+
+def _manifest_files(manifest: dict) -> list[str]:
+    """Shard filenames of a manifest dict, skipping reserved '_' keys."""
+    return [f for f in manifest if not f.startswith("_")]
+
+
+def _tombstones_of(manifest: dict | None) -> dict:
+    """The ledger (see :data:`TOMBSTONE_KEY`) — empty shape if none."""
+    if isinstance(manifest, dict) and TOMBSTONE_KEY in manifest:
+        return manifest[TOMBSTONE_KEY]
+    return {"entries": [], "added": {}}
+
+
+def _tomb_ids_for(f: str, tombs: dict, added_v: int | None = None) -> tuple:
+    """Sorted doc_ids tombstoned for shard ``f`` (empty tuple = none):
+    the ids of every entry committed AFTER the shard was added.
+    ``added_v`` overrides the ledger's added-map (the version stream
+    knows each diff-delivered shard's add version directly)."""
+    av = (
+        added_v
+        if added_v is not None
+        else tombs.get("added", {}).get(f, 0)
+    )
+    ids: set = set()
+    for e in tombs.get("entries", ()):
+        if e["v"] > av:
+            ids.update(e.get("ids", ()))
+    return tuple(sorted(ids))
+
+
+def _iter_jsonl(value):
+    """Executor-side shard scan shared by every reader: ``value`` is a
+    shard path, or ``(path, tombstoned_ids)`` when DELETE/MERGE commits
+    apply to the shard — tombstoned rows are filtered here, so deletion
+    is enforced by construction for batch, time-travel, and streaming
+    reads alike."""
+    import json
+
+    if isinstance(value, str):
+        path, drop = value, None
+    else:
+        path, drop = value[0], set(value[1])
+    with open(path) as fh:
+        for line in fh:
+            if not line.strip():
+                continue
+            r = json.loads(line)
+            if drop is not None and r.get("doc_id") in drop:
+                continue
+            yield (
+                r.get("doc_id"),
+                r.get("text"),
+                r.get("lang"),
+                r.get("source"),
+                r.get("n_chars"),
+            )
 
 
 class JsonlDocsStreamReader(DataSourceStreamReader):
@@ -698,6 +807,14 @@ class JsonlDocsVersionStreamReader(DataSourceStreamReader):
         # version, then diffs (see partitions()).
         sv = options.get("starting_version")
         self.starting_version = int(sv) if sv is not None else 0
+        # Delta's ignoreDeletes: an append-only stream cannot RETRACT
+        # rows, so a DELETE/MERGE commit (tombstone ledger grew) fails
+        # the stream loudly unless the consumer opts in — with the
+        # opt-in, removals are simply not propagated and any shards the
+        # commit added (merge upserts) still stream as appends.
+        self.ignore_deletes = (
+            options.get("ignore_deletes", "").lower() == "true"
+        )
 
     def initialOffset(self) -> dict:
         return {"version": max(0, self.starting_version - 1)}
@@ -725,7 +842,7 @@ class JsonlDocsVersionStreamReader(DataSourceStreamReader):
         import hashlib
         import json
 
-        files: list[str] = []
+        out: dict[str, int] = {}  # delivered shard → version that added it
         first = start["version"] + 1
         initial = None
         if start["version"] == 0:
@@ -737,13 +854,23 @@ class JsonlDocsVersionStreamReader(DataSourceStreamReader):
         # body feeds the md5 tether check, the current diff, and the
         # next iteration's prev (carried forward) — K+1 file reads for
         # a K-version batch, not 3K
-        prev: set[str] | None = None
+        prev_files: set[str] | None = None
+        prev_nents = 0
+        batch_ents: list[dict] = []  # union of ledger entries walked
+        ent_seen: set = set()
         for v in range(first, end["version"] + 1):
             with open(
                 os.path.join(self.path, f"_MANIFEST.v{v}"), "rb"
             ) as fh:
                 body = fh.read()
-            cur = set(json.loads(body))
+            m = json.loads(body)
+            cur = set(_manifest_files(m))
+            tombs = _tombstones_of(m)
+            for e in tombs["entries"]:
+                key = (e["v"], tuple(e.get("ids", ())))
+                if key not in ent_seen:
+                    ent_seen.add(key)
+                    batch_ents.append(e)
             skip = False
             if v != initial:
                 try:
@@ -758,38 +885,62 @@ class JsonlDocsVersionStreamReader(DataSourceStreamReader):
                         )
                 except OSError:
                     skip = False
-            if not skip:
-                base: set[str]
-                if v == initial:
-                    base = set()
-                elif prev is not None:
-                    base = prev
+            if v == initial:
+                # initial snapshot: each shard keeps its TRUE add
+                # version from the ledger's added-map (default 0 =
+                # predates every entry), so entries committed before
+                # the snapshot still filter it and a merge's own
+                # replacement shards stay exempt
+                added = tombs.get("added", {})
+                for f in cur:
+                    out.setdefault(f, added.get(f, 0))
+            elif not skip:
+                if prev_files is not None:
+                    base, base_nents = prev_files, prev_nents
                 else:
-                    base = set(_manifest_at(self.path, v - 1))
-                files.extend(f for f in cur if f not in base)
-            prev = cur
-        return [
-            InputPartition(os.path.join(self.path, f))
-            for f in sorted(set(files))
-        ]
+                    pm = _manifest_at(self.path, v - 1)
+                    base = set(_manifest_files(pm))
+                    base_nents = len(_tombstones_of(pm)["entries"])
+                if (
+                    len(tombs["entries"]) > base_nents
+                    and not self.ignore_deletes
+                ):
+                    raise ValueError(
+                        f"jsonl_docs version stream: commit v{v} of "
+                        f"{self.path} deleted rows (tombstone ledger "
+                        "grew), which an append-only stream cannot "
+                        "retract.  Pass option('ignore_deletes', "
+                        "'true') to skip removals (merge-added shards "
+                        "still stream), or restart the subscriber from "
+                        "a fresh snapshot."
+                    )
+                for f in cur - base:
+                    out.setdefault(f, v)  # diff shards: added at v
+            prev_files, prev_nents = cur, len(tombs["entries"])
+        # every ledger entry seen across the walked versions is applied
+        # to every delivered shard ADDED BEFORE it ("v > added" — the
+        # sequence-number rule): deleted-as-of-end rows never enter the
+        # stream, a merge's replaced keys are dropped from the old
+        # shards but spared on its own replacements, and the scoping
+        # survives compactions inside the range (a rewrite renames
+        # files; the add-version comparison doesn't care).  The UNION
+        # (not just the end ledger) matters because a compaction after
+        # a delete clears the ledger while pre-compaction diffs still
+        # need that delete's entry.  Deterministic on checkpoint
+        # replay: (start, end) pins the batch and manifests are
+        # immutable.  Cross-batch removals are the documented
+        # ignore_deletes non-retraction.
+        parts = []
+        for f, av in sorted(out.items()):
+            full = os.path.join(self.path, f)
+            ids = _tomb_ids_for(f, {"entries": batch_ents}, added_v=av)
+            parts.append(InputPartition((full, ids) if ids else full))
+        return parts
 
     def read(self, partition):
-        import json
-
         if partition is None:
             return
-        with open(partition.value) as fh:
-            for line in fh:
-                if not line.strip():
-                    continue
-                r = json.loads(line)
-                yield (
-                    r.get("doc_id"),
-                    r.get("text"),
-                    r.get("lang"),
-                    r.get("source"),
-                    r.get("n_chars"),
-                )
+        yield from _iter_jsonl(partition.value)
 
     def commit(self, end: dict) -> None:
         pass
@@ -1117,9 +1268,43 @@ def compact_jsonl_dir(
         os.path.join(path, f"_MANIFEST.v{version}.rewrite"),
         _hashlib.md5(body.encode()).hexdigest(),
     )
-    _write_atomic(os.path.join(path, f"_MANIFEST.v{version}"), body)
-    _write_atomic(stats_path, _json.dumps(stats))
-    _write_atomic(os.path.join(path, "_MANIFEST"), body)
+    # the snapshot itself is claimed CREATE-IF-ABSENT like every data
+    # commit: compaction documents an exclusive-maintainer rule, but if
+    # that contract is ever violated the violation must fail loudly —
+    # _write_atomic here would silently overwrite a concurrent
+    # appender's committed snapshot, breaking manifest immutability
+    # (and with it deterministic checkpointed stream replay).  On a
+    # lost claim the compacted files are rolled back (they are in no
+    # committed manifest) minus anything the winner references.
+    try:
+        _write_atomic_excl(os.path.join(path, f"_MANIFEST.v{version}"), body)
+    except FileExistsError:
+        winner_files: set[str] = set()
+        try:
+            with open(os.path.join(path, f"_MANIFEST.v{version}")) as fh:
+                winner_files = set(_json.load(fh))
+        except (OSError, ValueError):
+            pass
+        for f in new_manifest:
+            if f not in winner_files:
+                try:
+                    os.remove(os.path.join(path, f))
+                except OSError:
+                    pass
+        # our tethered marker can never reclassify the winner's commit
+        # (md5 mismatch), but sweep it anyway
+        try:
+            os.remove(os.path.join(path, f"_MANIFEST.v{version}.rewrite"))
+        except OSError:
+            pass
+        raise ManifestCommitConflict(
+            f"concurrent commit: _MANIFEST.v{version} was claimed by "
+            "another writer during compaction — the exclusive-maintainer "
+            "contract was violated; the rewrite was rolled back"
+        ) from None
+    if _latest_manifest_version(path) == version:
+        _write_atomic(stats_path, _json.dumps(stats))
+        _write_atomic(os.path.join(path, "_MANIFEST"), body)
     return version
 
 
@@ -1145,7 +1330,7 @@ def vacuum_jsonl_dir(path: str, keep_versions: int = 1) -> int:
     live: set[str] = set()
     for v in keep:
         with open(os.path.join(path, f"_MANIFEST.v{v}")) as fh:
-            live.update(_json.load(fh))
+            live.update(_manifest_files(_json.load(fh)))
     removed = 0
     for f in os.listdir(path):
         if f.startswith("_MANIFEST.v"):
@@ -1605,6 +1790,295 @@ def append_with_retry(
     raise last
 
 
+def delete_from_jsonl_dir(
+    path: str, doc_ids, base_version: int | None = None
+) -> int:
+    """Row-level DELETE on the mini-lake — the last table-format
+    primitive it lacked: commit a new manifest version whose shard list
+    is UNCHANGED (shards are immutable) plus a tombstone ledger entry
+    ``{"v": this_version, "ids": [doc_ids]}`` — sequence-number scoped:
+    it applies to every shard added by an EARLIER commit.  Every
+    reader — batch, time travel, streaming — applies tombstones at scan
+    time (:func:`_iter_jsonl`); snapshots BEFORE this version are
+    untouched (their manifests carry the old ledger); compaction
+    rewrites live rows only and so reclaims the space physically, after
+    which vacuum drops the old shards.
+
+    A delete is a PURE METADATA commit: no Spark job, no data rewrite —
+    one JSON claim through the same create-if-absent OCC gate as every
+    append, so a delete racing an append has exactly one winner
+    (``ManifestCommitConflict`` for the loser).  ``base_version`` pins
+    the snapshot this delete was planned against (None = latest).
+
+    Scale: the ledger holds equality-delete keys — metadata-scale by
+    design (Iceberg equality deletes make the same call); a 100 TB
+    deployment moves the ids into per-shard deletion-vector files
+    referenced from the manifest, same semantics.  Returns the new
+    version."""
+    import json as _json
+
+    base = (
+        base_version
+        if base_version is not None
+        else _latest_manifest_version(path)
+    )
+    if base <= 0:
+        raise ValueError(
+            f"delete_from_jsonl_dir: no committed version under {path}"
+        )
+    version = base + 1
+    manifest = _manifest_at(path, base)
+    files = sorted(_manifest_files(manifest))
+    ids = sorted({int(i) for i in doc_ids})
+    new_manifest = {f: manifest[f] for f in files}
+    tombs = _tombstones_of(manifest)
+    if ids and files:
+        tombs = {
+            "entries": [*tombs["entries"], {"v": version, "ids": ids}],
+            "added": dict(tombs.get("added", {})),
+        }
+    if tombs["entries"]:
+        new_manifest[TOMBSTONE_KEY] = tombs
+    body = _json.dumps(new_manifest)
+    try:
+        _write_atomic_excl(
+            os.path.join(path, f"_MANIFEST.v{version}"), body
+        )
+    except FileExistsError:
+        raise ManifestCommitConflict(
+            f"concurrent commit: _MANIFEST.v{version} was claimed by "
+            f"another writer after this delete read version {base}; "
+            "re-plan the delete against the new table state"
+        ) from None
+    if _latest_manifest_version(path) == version:
+        _write_atomic(os.path.join(path, "_MANIFEST"), body)
+    return version
+
+
+def merge_into_jsonl_dir(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    max_retries: int = 3,
+) -> int:
+    """MERGE (whole-row upsert on ``doc_id``) in ONE atomic commit:
+    the source rows land as new shards (distributed, via the
+    transactional writer) and every pre-existing shard gets the source
+    keys tombstoned — so a key present in the table is replaced, a new
+    key is inserted, and no reader can ever observe the delete without
+    the insert (both live in the same manifest claim).  The tombstone
+    entry scopes to the PRE-merge shard list, so the freshly added rows
+    are outside it by construction.
+
+    Concurrency: the staged shards are invisible until the manifest
+    claim (fresh UUID names in no committed manifest), so losing the
+    claim to a concurrent append just means re-claiming against the new
+    base — the staged files need no re-write (the retry loop here is
+    metadata-only, unlike :func:`append_with_retry` whose write job
+    re-runs).
+
+    Scale: the data path is a normal distributed write sized by the
+    source batch; the driver handles only the source KEY SET (equality
+    deletes are metadata-scale — a copy-on-write engine would instead
+    rewrite affected shards via anti-join, trading write amplification
+    for zero read-time filtering).  Returns the committed version."""
+    import json as _json
+
+    keys = sorted(
+        r[0]
+        for r in df.select("doc_id").distinct().collect()
+        if r[0] is not None
+    )
+    stage = path + ".merge-stage"
+    (
+        df.write.format("jsonl_docs")
+        .option("path", stage)
+        .mode("overwrite")
+        .save()
+    )
+    with open(os.path.join(stage, "_MANIFEST")) as fh:
+        staged = _json.load(fh)
+    stage_stats = {}
+    sp = os.path.join(stage, "_STATS")
+    if os.path.exists(sp):
+        with open(sp) as fh:
+            stage_stats = _json.load(fh)
+    # two-step move into the live dir (same discipline as compaction):
+    # underscore temps first, then renames to final UUID names no
+    # committed manifest references — invisible to every reader until
+    # the claim lands
+    for f in staged:
+        os.replace(
+            os.path.join(stage, f), os.path.join(path, "_tmp-merge-" + f)
+        )
+    for f in staged:
+        os.replace(
+            os.path.join(path, "_tmp-merge-" + f), os.path.join(path, f)
+        )
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
+    last: Exception | None = None
+    for _ in range(max_retries):
+        base = _latest_manifest_version(path)
+        version = base + 1
+        manifest = _manifest_at(path, base)
+        files = sorted(_manifest_files(manifest))
+        new_manifest = {f: manifest[f] for f in files}
+        tombs = _tombstones_of(manifest)
+        entries = list(tombs["entries"])
+        if keys and files:
+            entries.append({"v": version, "ids": keys})
+        new_manifest.update(staged)
+        if entries:
+            # the staged shards share the entry's version: "v > added"
+            # exempts exactly the replacement rows from their own merge
+            added = dict(tombs.get("added", {}))
+            added.update({f: version for f in staged})
+            new_manifest[TOMBSTONE_KEY] = {
+                "entries": entries,
+                "added": added,
+            }
+        body = _json.dumps(new_manifest)
+        try:
+            _write_atomic_excl(
+                os.path.join(path, f"_MANIFEST.v{version}"), body
+            )
+        except FileExistsError:
+            last = ManifestCommitConflict(
+                f"concurrent commit: _MANIFEST.v{version} was claimed "
+                "by another writer during merge; re-claiming against "
+                "the new base"
+            )
+            continue
+        if _latest_manifest_version(path) == version:
+            stats_path = os.path.join(path, "_STATS")
+            stats = {}
+            if os.path.exists(stats_path):
+                with open(stats_path) as fh:
+                    stats = _json.load(fh)
+            stats.update(stage_stats)
+            _write_atomic(stats_path, _json.dumps(stats))
+            _write_atomic(os.path.join(path, "_MANIFEST"), body)
+        return version
+    # every claim lost: roll back the staged shards (in no committed
+    # manifest — invisible all along) and surface the conflict
+    for f in staged:
+        try:
+            os.remove(os.path.join(path, f))
+        except OSError:
+            pass
+    assert last is not None
+    raise last
+
+
+#: the delete/merge demo predicates — constant so the oracle is fixed SQL
+DELETE_MOD, MERGE_MOD = 3, 7
+
+
+def q_fmt_pyds_delete_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-LEVEL DELETE + MERGE, value-checked end to end: write v1
+    (even doc_ids) → append v2 (odd) → DELETE every ``doc_id % 10 == 3``
+    (v3, pure-metadata tombstone commit) → MERGE an upsert batch that
+    rewrites every ``doc_id % 10 == 7`` row with ``n_chars + 1000``
+    (v4: tombstone-the-old + insert-the-new in one claim).  The result
+    unions read@v2 (``pre`` — time travel BEFORE the delete must still
+    equal the full corpus) with read@latest (``post`` — %3 rows gone,
+    %7 rows replaced, everything else untouched).  The oracle
+    re-derives both states from the parquet truth, so a tombstone that
+    leaks (deleted row surviving), over-applies (killing the merged
+    replacement), or misses a snapshot boundary hash-mismatches.
+
+    OCC interplay (delete racing an append), physical reclaim through
+    compaction + vacuum, and the stream ``ignore_deletes`` contract are
+    pinned in ``tests/test_formats.py``."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_pyds_dm_{tag}_{os.getpid()}"
+    )
+    register_pyds(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out).mode("overwrite").save()
+    )
+    (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out)
+        .option("base_version", 1)
+        .mode("append")
+        .save()
+    )
+    # v3: DELETE — the key list is driver-side by design (equality-
+    # delete keys are metadata-scale; the predicate-to-keys resolution
+    # is one bounded collect of ids only)
+    del_ids = [
+        r[0]
+        for r in docs.filter(F.col("doc_id") % 10 == DELETE_MOD)
+        .select("doc_id")
+        .collect()
+    ]
+    v = delete_from_jsonl_dir(out, del_ids, base_version=2)
+    if v != 3:
+        raise AssertionError(f"delete committed v{v}, expected v3")
+    # v4: MERGE — replace the %7 rows with bumped n_chars
+    upserts = docs.filter(F.col("doc_id") % 10 == MERGE_MOD).select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        (F.col("n_chars") + F.lit(1000)).alias("n_chars"),
+    )
+    v = merge_into_jsonl_dir(spark, upserts.repartition(2, "doc_id"), out)
+    if v != 4:
+        raise AssertionError(f"merge committed v{v}, expected v4")
+
+    def agg(df: DataFrame, snap: str) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        ).select(F.lit(snap).alias("snapshot"), "*")
+
+    pre = (
+        spark.read.format("jsonl_docs")
+        .option("path", out)
+        .option("version", 2)
+        .load()
+    )
+    post = spark.read.format("jsonl_docs").option("path", out).load()
+    return agg(pre, "pre").unionByName(agg(post, "post"))
+
+
+SQL_FMT_PYDS_DELETE_MERGE = f"""
+SELECT 'pre' AS snapshot, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM documents
+GROUP BY lang
+UNION ALL
+SELECT 'post' AS snapshot, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id % 10 = {MERGE_MOD}
+                     THEN n_chars + 1000 ELSE n_chars END) AS BIGINT)
+         AS sum_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM documents
+WHERE doc_id % 10 <> {DELETE_MOD}
+GROUP BY lang
+"""
+
+
 def q_fmt_pyds_commit_retry(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1685,6 +2159,7 @@ QUERIES = {
     "fmt_pyds_stats_pruning": q_fmt_pyds_stats_pruning,
     "fmt_pyds_commit_conflict": q_fmt_pyds_commit_conflict,
     "fmt_pyds_commit_retry": q_fmt_pyds_commit_retry,
+    "fmt_pyds_delete_merge": q_fmt_pyds_delete_merge,
     "streaming_pyds_docs": q_streaming_pyds_docs,
     "streaming_pyds_snapshot": q_streaming_pyds_snapshot,
     "streaming_pyds_compaction_skip": q_streaming_pyds_compaction_skip,
@@ -1710,6 +2185,9 @@ ORACLE_SQL = {
     "fmt_pyds_commit_conflict": SQL_FMT_PYDS_COMMIT_CONFLICT,
     # after the retry lands, the table holds base + A + B exactly once
     "fmt_pyds_commit_retry": SQL_FMT_PYDS_COMMIT_CONFLICT,
+    # pre-delete time travel = full corpus; latest = deletes applied,
+    # merged rows replaced
+    "fmt_pyds_delete_merge": SQL_FMT_PYDS_DELETE_MERGE,
     # the incremental path must agree with the batch oracle
     "streaming_pyds_docs": SQL_STREAMING_PYDS_DOCS,
     # two checkpointed version-offset drains == batch truth; orphan

@@ -1149,13 +1149,14 @@ def test_version_stream_starting_version_option(spark, tmp_path):
 
 def test_minilake_random_op_sequences(spark, tmp_path):
     """Protocol stress for the mini-lake under randomized
-    append/compact/vacuum interleavings (3 seeds): after ANY sequence,
-    (1) the batch read equals every appended row exactly once, (2) a
-    FRESH versioned stream delivers exactly the same multiset (initial
-    snapshot + data diffs, rewrites skipped), and (3) a time-travel
-    read at any still-retained version equals the row set tracked when
-    that version committed."""
-    import json as _json
+    append/DELETE/MERGE/compact/vacuum interleavings (3 seeds): after
+    ANY sequence, (1) the batch read equals the tracked live state
+    exactly (every surviving row once, with its latest merged value),
+    (2) a FRESH versioned stream (ignore_deletes) delivers exactly the
+    same set — initial snapshot + data diffs, rewrites skipped,
+    tombstones unioned across the batch, (3) a time-travel read at any
+    still-retained version equals the state tracked when that version
+    committed."""
     import os as _os
     import random
 
@@ -1163,15 +1164,17 @@ def test_minilake_random_op_sequences(spark, tmp_path):
         JsonlDocsVersionStreamReader,
         _latest_manifest_version,
         compact_jsonl_dir,
+        delete_from_jsonl_dir,
+        merge_into_jsonl_dir,
         register_pyds,
         vacuum_jsonl_dir,
     )
 
     register_pyds(spark)
 
-    def batch_df(ids):
+    def batch_df(rows):
         return spark.createDataFrame(
-            [(i, f"doc {i}", "en", "s", 5) for i in ids],
+            [(i, f"doc {i}", "en", "s", n) for i, n in rows],
             "doc_id bigint, text string, lang string, source string, "
             "n_chars bigint",
         )
@@ -1180,59 +1183,89 @@ def test_minilake_random_op_sequences(spark, tmp_path):
         out = str(tmp_path / f"lake_{seed}")
         rng = random.Random(seed)
         next_id = 0
-        appended: set[int] = set()
-        snapshots: dict[int, frozenset] = {}
+        state: dict[int, int] = {}  # live doc_id -> n_chars
+        snapshots: dict[int, dict] = {}
 
         def append() -> None:
             nonlocal next_id
             n = rng.randint(1, 5)
-            ids = list(range(next_id, next_id + n))
+            rows = [(i, 5) for i in range(next_id, next_id + n)]
             next_id += n
             w = (
-                batch_df(ids)
+                batch_df(rows)
                 .repartition(1)
                 .write.format("jsonl_docs")
                 .option("path", out)
             )
-            if appended:
+            if state:
                 w = w.option(
                     "base_version", _latest_manifest_version(out)
                 ).mode("append")
             else:
                 w = w.mode("overwrite")
             w.save()
-            appended.update(ids)
+            state.update(rows)
+
+        def delete() -> None:
+            ids = rng.sample(sorted(state), min(len(state), rng.randint(1, 3)))
+            delete_from_jsonl_dir(out, ids)
+            for i in ids:
+                del state[i]
+
+        def merge() -> None:
+            nonlocal next_id
+            rows = [
+                (i, state[i] + 100)
+                for i in rng.sample(
+                    sorted(state), min(len(state), rng.randint(1, 2))
+                )
+            ]
+            if rng.random() < 0.5:  # merge also inserts a brand-new key
+                rows.append((next_id, 7))
+                next_id += 1
+            merge_into_jsonl_dir(
+                spark, batch_df(rows).repartition(1), out
+            )
+            state.update(rows)
 
         append()  # seed the table
-        snapshots[_latest_manifest_version(out)] = frozenset(appended)
-        for _ in range(rng.randint(4, 7)):
+        snapshots[_latest_manifest_version(out)] = dict(state)
+        for _ in range(rng.randint(6, 9)):
             op = rng.random()
-            if op < 0.6:
+            if op < 0.4:
                 append()
+            elif op < 0.55 and state:
+                delete()
+            elif op < 0.7 and state:
+                merge()
             elif op < 0.85:
                 compact_jsonl_dir(
                     spark, out, target_shards=rng.randint(1, 2)
                 )
             else:
                 vacuum_jsonl_dir(out, keep_versions=rng.randint(1, 3))
-            snapshots[_latest_manifest_version(out)] = frozenset(appended)
+            snapshots[_latest_manifest_version(out)] = dict(state)
 
-        # (1) batch read == everything appended, exactly once
+        # (1) batch read == live state exactly (id AND merged value)
         got = sorted(
-            r["doc_id"]
+            (r["doc_id"], r["n_chars"])
             for r in spark.read.format("jsonl_docs")
             .option("path", out)
             .load()
             .collect()
         )
-        assert got == sorted(appended), f"seed {seed}: batch read"
+        assert got == sorted(state.items()), f"seed {seed}: batch read"
 
-        # (2) fresh versioned stream delivers the same multiset
-        r = JsonlDocsVersionStreamReader({"path": out})
+        # (2) fresh versioned stream (ignore_deletes) == live state:
+        # batch-unioned tombstones drop deleted rows AND every merged
+        # key's superseded versions, so each key arrives exactly once
+        r = JsonlDocsVersionStreamReader(
+            {"path": out, "ignore_deletes": "true"}
+        )
         streamed = []
         for p in r.partitions(r.initialOffset(), r.latestOffset()):
-            streamed.extend(row[0] for row in r.read(p))
-        assert sorted(streamed) == sorted(appended), (
+            streamed.extend((row[0], row[4]) for row in r.read(p))
+        assert sorted(streamed) == sorted(state.items()), (
             f"seed {seed}: fresh stream"
         )
 
@@ -1244,17 +1277,191 @@ def test_minilake_random_op_sequences(spark, tmp_path):
             and f.rsplit(".v", 1)[1].isdigit()
         }
         checked = 0
-        for v, ids in snapshots.items():
+        for v, snap in snapshots.items():
             if v not in kept:
                 continue
             tt = sorted(
-                row["doc_id"]
+                (row["doc_id"], row["n_chars"])
                 for row in spark.read.format("jsonl_docs")
                 .option("path", out)
                 .option("version", v)
                 .load()
                 .collect()
             )
-            assert tt == sorted(ids), f"seed {seed}: read@v{v}"
+            assert tt == sorted(snap.items()), f"seed {seed}: read@v{v}"
             checked += 1
         assert checked >= 1  # at least the latest version is retained
+
+
+def test_delete_merge_tombstone_contract(spark, tmp_path):
+    """Row-level DELETE/MERGE end to end: tombstones hide rows from
+    read@latest but not from pre-delete time travel; a MERGE replaces
+    existing keys and inserts new ones in ONE commit; a delete racing
+    an append loses the OCC claim loudly; compaction physically
+    reclaims tombstoned rows and clears the ledger; vacuum then drops
+    the pre-delete snapshots."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from pu4spark_spark.sources.pydatasource import (
+        ManifestCommitConflict,
+        TOMBSTONE_KEY,
+        append_with_retry,
+        compact_jsonl_dir,
+        delete_from_jsonl_dir,
+        merge_into_jsonl_dir,
+        register_pyds,
+        vacuum_jsonl_dir,
+    )
+
+    register_pyds(spark)
+    out = str(tmp_path / "dm")
+
+    def df(rows):
+        return spark.createDataFrame(
+            rows,
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint",
+        )
+
+    def read(version=None):
+        r = spark.read.format("jsonl_docs").option("path", out)
+        if version is not None:
+            r = r.option("version", version)
+        return {
+            (row["doc_id"], row["text"]) for row in r.load().collect()
+        }
+
+    base = [(i, f"doc {i}", "en", "s", 5) for i in range(10)]
+    more = [(i, f"doc {i}", "en", "s", 5) for i in range(10, 20)]
+    df(base).repartition(2).write.format("jsonl_docs").option(
+        "path", out
+    ).mode("overwrite").save()
+    df(more).repartition(2).write.format("jsonl_docs").option(
+        "path", out
+    ).option("base_version", 1).mode("append").save()
+
+    # v3: DELETE ids 3 and 13 — pure metadata, applied by all readers
+    assert delete_from_jsonl_dir(out, [3, 13], base_version=2) == 3
+    assert read() == {
+        (i, f"doc {i}") for i in range(20) if i not in (3, 13)
+    }
+    # pre-delete time travel untouched
+    assert read(version=2) == {(i, f"doc {i}") for i in range(20)}
+
+    # v4: MERGE — replace id 5, insert id 25, in one atomic commit
+    assert (
+        merge_into_jsonl_dir(
+            spark,
+            df([(5, "doc 5 NEW", "en", "s", 9), (25, "doc 25", "en", "s", 6)]),
+            out,
+        )
+        == 4
+    )
+    got = read()
+    assert (5, "doc 5 NEW") in got and (5, "doc 5") not in got
+    assert (25, "doc 25") in got and (3, "doc 3") not in got
+
+    # OCC: a stale append racing the delete's claim must lose loudly...
+    assert delete_from_jsonl_dir(out, [7], base_version=4) == 5
+    stale = df([(30, "doc 30", "en", "s", 6)]).repartition(1)
+    with _pytest.raises(Exception, match="_MANIFEST.v5"):
+        (
+            stale.write.format("jsonl_docs")
+            .option("path", out)
+            .option("base_version", 4)
+            .mode("append")
+            .save()
+        )
+    # ...and a stale delete racing an append likewise
+    append_with_retry(stale, out)  # lands v6
+    with _pytest.raises(ManifestCommitConflict, match="_MANIFEST.v6"):
+        delete_from_jsonl_dir(out, [1], base_version=5)
+
+    expect = {
+        (i, "doc 5 NEW" if i == 5 else f"doc {i}")
+        for i in list(range(20)) + [25, 30]
+        if i not in (3, 13, 7)
+    }
+    assert read() == expect
+
+    # compaction physically reclaims tombstoned rows + clears the ledger
+    v = compact_jsonl_dir(spark, out, target_shards=2)
+    manifest = _json.load(open(_os.path.join(out, f"_MANIFEST.v{v}")))
+    assert TOMBSTONE_KEY not in manifest
+    assert read() == expect
+    vacuum_jsonl_dir(out, keep_versions=1)
+    blobs = "".join(
+        open(_os.path.join(out, f)).read()
+        for f in _os.listdir(out)
+        if f.endswith(".jsonl") and not f.startswith("_")
+    )
+    assert '"doc 3"' not in blobs and '"doc 5 NEW"' in blobs
+    assert read() == expect
+    with _pytest.raises(Exception, match="_MANIFEST.v2"):
+        read(version=2)
+
+
+def test_version_stream_delete_contract(spark, tmp_path):
+    """The append-only stream × DELETE contract: a delete commit fails
+    the version stream loudly unless ignore_deletes, under which
+    removals are skipped but merge-ADDED shards still stream; a fresh
+    subscriber's initial snapshot applies the tombstones of its
+    snapshot version, so deleted rows never enter a new stream."""
+    import pytest as _pytest
+
+    from pu4spark_spark.sources.pydatasource import (
+        JsonlDocsVersionStreamReader,
+        delete_from_jsonl_dir,
+        merge_into_jsonl_dir,
+        register_pyds,
+    )
+
+    register_pyds(spark)
+    out = str(tmp_path / "sd")
+
+    def df(rows):
+        return spark.createDataFrame(
+            rows,
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint",
+        )
+
+    df([(i, f"doc {i}", "en", "s", 5) for i in range(8)]).repartition(
+        2
+    ).write.format("jsonl_docs").option("path", out).mode(
+        "overwrite"
+    ).save()
+    delete_from_jsonl_dir(out, [2, 6], base_version=1)  # v2
+    merge_into_jsonl_dir(
+        spark, df([(1, "doc 1 NEW", "en", "s", 9), (20, "doc 20", "en", "s", 6)]), out
+    )  # v3
+
+    def drain(reader, start, end):
+        ids = []
+        for p in reader.partitions({"version": start}, {"version": end}):
+            ids.extend(row[0] for row in reader.read(p))
+        return sorted(ids)
+
+    # delete commit v2 fails a strict stream loudly
+    strict = JsonlDocsVersionStreamReader({"path": out})
+    with _pytest.raises(ValueError, match="ignore_deletes"):
+        strict.partitions({"version": 1}, {"version": 2})
+
+    lax = JsonlDocsVersionStreamReader(
+        {"path": out, "ignore_deletes": "true"}
+    )
+    # removals not retracted (v2 contributes nothing) ...
+    assert drain(lax, 1, 2) == []
+    # ... but the merge's ADDED shard still streams (old keys not
+    # retracted — the documented non-retraction of ignore_deletes)
+    assert drain(lax, 2, 3) == [1, 20]
+    # a FRESH subscriber's batch applies the END version's tombstones:
+    # 2 and 6 never enter the stream, and the merge-replaced key 1 is
+    # dropped from the OLD shard and delivered once from the new one
+    fresh = JsonlDocsVersionStreamReader(
+        {"path": out, "ignore_deletes": "true"}
+    )
+    assert drain(fresh, 0, 3) == [0, 1, 3, 4, 5, 7, 20]
