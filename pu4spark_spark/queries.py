@@ -76,48 +76,43 @@ if missing:
 #: committed full-registry self-check (``tools/check_oracle.py`` →
 #: ``CORRECTNESS_FULL_r0N``).
 DRIVER_FIRST = [
-    # Round-9 rotation.  Window = (A) ALL 13 new r9 queries; (B) queries
-    # whose correctness CONTRACT changed this round (k-anonymity
-    # residual suppression; fmt_file_metadata_audit gained an oracle —
-    # its FIRST driver hash); (C) re-verification of every query whose
-    # code path changed (pydatasource writer/commit overhaul, UDTF
-    # escape, interpolate broadcast side, corpus_lang_similarity final
-    # join, rerank refactor); (D) cheapest already-witnessed fillers.
-    # -- A: new in r9 ----------------------------------------------------
-    "fmt_pyds_commit_conflict",        # OCC: stale claim loses loudly
-    "fmt_pyds_commit_retry",           # OCC: loser refreshes + lands v3
-    "streaming_pyds_snapshot",         # version-offset stream-from-table
-    "streaming_pyds_compaction_skip",  # rewrite commits skipped by stream
-    "skew_join_aqe_revenue",           # AQE skew split witnessed live
-    "events_aqe_coalesce_hourly",      # AQE partition coalesce witnessed
-    "audit_quality_constraints",       # one-pass Deequ-style suite
-    "streaming_user_totals_rocksdb",   # RocksDB state-store witness
-    "orders_cbo_join_reorder",         # CBO join rotation witnessed
-    "pu_sar_trace",                    # 6th learner's protocol, hashed
-    "pu_sar_lr",                       # SAR-PU ML twin (rows evidence)
-    "ann_ranking_eval",                # nDCG@k + MRR + AP@k, hash-checked
-    "dedup_clusters_star",             # large/small-star CC ≡ min-label
-    # -- B: contract changed this round -----------------------------------
-    "curation_k_anonymity",            # residual-cell suppression
-    "fmt_file_metadata_audit",         # FIRST oracle-backed witness
-    # -- C: re-verification of r9-touched code paths ----------------------
-    "fmt_pyds_jsonl_roundtrip",        # reader over token-named shards
-    "fmt_pyds_jsonl_write_roundtrip",  # writer commit protocol
-    "fmt_pyds_snapshot_read",          # versioned claims unchanged
-    "fmt_pyds_snapshot_diff",          # versioned claims unchanged
-    "fmt_pyds_compaction",             # rewrite commit over new claims
-    "fmt_pyds_stats_pruning",          # _STATS beside exclusive claims
+    # Round-10 rotation.  Window = (A) the 2 new r10 queries (row-level
+    # DELETE/MERGE on the mini-lake; AQE runtime join-strategy
+    # demotion); (B) re-verification of every query whose code path
+    # changed this round (pydatasource reader/stream tombstone +
+    # latest-resolution overhaul; the persist→cached janitor rewiring
+    # of the three planner witnesses; prefix-filter core extraction;
+    # events_dense_hourly broadcast-hint side); (C) cheapest
+    # already-witnessed fillers.
+    # -- A: new in r10 -----------------------------------------------------
+    "fmt_pyds_delete_merge",           # tombstone DELETE + atomic MERGE
+    "streaming_pyds_delete_feed",      # stream × DELETE/MERGE contract
+    "orders_aqe_join_demotion",        # AQE SMJ→broadcast at runtime
+    # -- B: re-verification of r10-touched code paths ----------------------
+    "fmt_pyds_jsonl_roundtrip",        # reader resolves highest snapshot
+    "fmt_pyds_jsonl_write_roundtrip",  # writer live-flip latest guard
+    "fmt_pyds_snapshot_read",          # pinned reads under new resolve
+    "fmt_pyds_snapshot_diff",          # two pinned reads + full-outer
+    "fmt_pyds_compaction",             # rewrite commit now claim-based
+    "fmt_pyds_stats_pruning",          # pruning atop tombstone-aware read
+    "fmt_pyds_commit_conflict",        # sentinel-matched conflict detect
+    "fmt_pyds_commit_retry",           # retry loop over tightened match
     "streaming_pyds_docs",             # listing-offset stream twin
-    "fmt_text_parse_udtf",             # separator-escape round-trip
-    "events_interpolate_gaps",         # broadcast side corrected
-    "corpus_lang_similarity",          # final join now broadcast
-    "ann_rerank_topk",                 # _retrieve_candidates refactor
-    "ann_cosine_topk",                 # feeds the eval's ground truth
-    "dedup_clusters",                  # star twin's reference member
-    "salted_segment_revenue",          # manual twin of the AQE witness
-    "dedup_pagerank_int",              # sole PageRank member post-retire
-    "dedup_minhash_lsh",               # pair graph under both CC twins
-    # -- D: cheapest witnessed fillers (sf0.1 bench sec ascending) --------
+    "streaming_pyds_snapshot",         # version stream, ledger-aware walk
+    "streaming_pyds_compaction_skip",  # rewrite skip + tombstone union
+    "skew_join_aqe_revenue",           # persist → cached janitor
+    "events_aqe_coalesce_hourly",      # persist → cached janitor
+    "orders_cbo_join_reorder",         # persist → cached janitor
+    "ann_ranking_eval",                # cached frame now released
+    "events_dense_hourly",             # broadcast hint on build side
+    "dedup_prefix_filter_join",        # core extracted for prop tests
+    "dedup_minhash_lsh",               # band core under new prop tests
+    "dedup_minhash_capped",            # capped recall accounting tested
+    "dedup_clusters_incremental",      # artifact pre-built by bench now
+    "dedup_band_artifact_probe",       # artifact pre-built by bench now
+    "ann_ivf_partitioned_probe",       # artifact pre-built by bench now
+    "pu_sar_trace",                    # fallback-visibility doc change
+    # -- C: cheapest witnessed fillers (sf0.1 bench sec ascending) ---------
     "dedup_exact_docs",                # 0.157
     "embedding_quantize_int8",         # 0.178
     "curation_shard_pack",             # 0.200
@@ -137,6 +132,12 @@ DRIVER_FIRST = [
     "grouping_sets_orders",            # 0.93
     "ann_lsh_bucketed",                # 0.94
     "orders_zorder_layout",            # 1.04
+    "salted_segment_revenue",          # manual twin of the AQE witness
+    "audit_quality_constraints",       # one-pass Deequ-style suite
+    "streaming_user_totals_rocksdb",   # RocksDB state-store witness
+    "curation_k_anonymity",            # residual-cell suppression
+    "fmt_file_metadata_audit",         # O(files) binaryFile audit
+    "dedup_clusters_star",             # large/small-star CC ≡ min-label
 ]
 
 

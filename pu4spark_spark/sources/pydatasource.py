@@ -2079,6 +2079,165 @@ GROUP BY lang
 """
 
 
+def _versioned_lang_drain_opts(
+    spark: SparkSession,
+    out: str,
+    ckpt: str,
+    name: str,
+    ignore_deletes: bool = False,
+) -> None:
+    """One availableNow drain of the VERSIONED stream over ``out`` into
+    the complete-mode memory sink ``name`` — the ``ignore_deletes``
+    twin of :func:`_versioned_lang_drain` for tables with row-level
+    DELETE/MERGE history."""
+    from pu4spark_spark.streaming.drain import drain_partitions
+
+    reader = (
+        spark.readStream.format("jsonl_docs")
+        .option("path", out)
+        .option("versioned", "true")
+    )
+    if ignore_deletes:
+        reader = reader.option("ignore_deletes", "true")
+    stream = reader.load()
+    agg = stream.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+    with drain_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+
+#: delete/merge mods for the STREAM feed demo — even-parity so they hit
+#: the evens-only fixture (constant, so the oracle is fixed SQL)
+FEED_DELETE_MOD, FEED_MERGE_MOD = 4, 8
+
+
+def q_streaming_pyds_delete_feed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAM × DELETE/MERGE through Spark's real microbatch engine —
+    both halves of the append-only-stream contract, value-checked:
+
+    - A LAGGING checkpointed subscriber (drained before the changes,
+      resumed after, ``ignore_deletes``) exhibits NON-RETRACTION: the
+      delete commit contributes nothing (its removals are never
+      retracted from the sink), the merge commit streams exactly its
+      replacement shards — so the complete-mode aggregate equals
+      "initial snapshot + merge rows", with superseded key versions
+      counted too.  That double-count is the documented semantics
+      (Delta's ignoreDeletes), pinned here BY the oracle rather than
+      despite it.
+    - A FRESH subscriber's initial batch applies the tombstone ledger:
+      its aggregate equals the CURRENT table (deletes gone, merged
+      keys exactly once, at their new values).
+
+    Both states are re-derived by the DuckDB oracle from the parquet
+    truth, so a tombstone leak, a double-delivered merge shard, or a
+    retraction that shouldn't happen all hash-mismatch."""
+    import hashlib
+    import shutil
+    import uuid as _uuid
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_pyds_df_{tag}_{os.getpid()}"
+    )
+    ckpt = os.path.join(out, "_ckpt")
+    shutil.rmtree(out, ignore_errors=True)
+    register_pyds(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    evens = docs.filter(F.col("doc_id") % 2 == 0)
+    (
+        evens.repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out)
+        .mode("overwrite")
+        .save()
+    )
+    lag = f"pyds_feed_lag_{_uuid.uuid4().hex[:8]}"
+    _versioned_lang_drain_opts(
+        spark, out, ckpt, lag, ignore_deletes=True
+    )  # consumes v1 = all evens
+    # v2: DELETE %10==4 (bounded id collect — equality-delete keys are
+    # metadata-scale by design)
+    del_ids = [
+        r[0]
+        for r in evens.filter(F.col("doc_id") % 10 == FEED_DELETE_MOD)
+        .select("doc_id")
+        .collect()
+    ]
+    delete_from_jsonl_dir(out, del_ids, base_version=1)
+    # v3: MERGE — replace %10==8 rows with bumped n_chars
+    upserts = evens.filter(F.col("doc_id") % 10 == FEED_MERGE_MOD).select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        (F.col("n_chars") + F.lit(1000)).alias("n_chars"),
+    )
+    merge_into_jsonl_dir(spark, upserts.repartition(2, "doc_id"), out)
+    # lagging subscriber resumes: v2 contributes nothing, v3 streams
+    # its replacement shards only
+    _versioned_lang_drain_opts(spark, out, ckpt, lag, ignore_deletes=True)
+    # fresh subscriber: initial snapshot with the ledger applied
+    fresh = f"pyds_feed_fresh_{_uuid.uuid4().hex[:8]}"
+    _versioned_lang_drain_opts(
+        spark,
+        out,
+        os.path.join(out, "_ckpt_fresh"),
+        fresh,
+        ignore_deletes=True,
+    )
+    return (
+        spark.table(lag)
+        .select(F.lit("lagging").alias("subscriber"), "*")
+        .unionByName(
+            spark.table(fresh).select(
+                F.lit("fresh").alias("subscriber"), "*"
+            )
+        )
+    )
+
+
+SQL_STREAMING_PYDS_DELETE_FEED = f"""
+SELECT 'lagging' AS subscriber, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM (
+  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, lang, n_chars + 1000 FROM documents
+  WHERE doc_id % 10 = {FEED_MERGE_MOD}
+)
+GROUP BY lang
+UNION ALL
+SELECT 'fresh' AS subscriber, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id % 10 = {FEED_MERGE_MOD}
+                     THEN n_chars + 1000 ELSE n_chars END) AS BIGINT)
+         AS sum_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM documents
+WHERE doc_id % 2 = 0 AND doc_id % 10 <> {FEED_DELETE_MOD}
+GROUP BY lang
+"""
+
+
 def q_fmt_pyds_commit_retry(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2160,6 +2319,7 @@ QUERIES = {
     "fmt_pyds_commit_conflict": q_fmt_pyds_commit_conflict,
     "fmt_pyds_commit_retry": q_fmt_pyds_commit_retry,
     "fmt_pyds_delete_merge": q_fmt_pyds_delete_merge,
+    "streaming_pyds_delete_feed": q_streaming_pyds_delete_feed,
     "streaming_pyds_docs": q_streaming_pyds_docs,
     "streaming_pyds_snapshot": q_streaming_pyds_snapshot,
     "streaming_pyds_compaction_skip": q_streaming_pyds_compaction_skip,
@@ -2188,6 +2348,8 @@ ORACLE_SQL = {
     # pre-delete time travel = full corpus; latest = deletes applied,
     # merged rows replaced
     "fmt_pyds_delete_merge": SQL_FMT_PYDS_DELETE_MERGE,
+    # lagging subscriber = non-retraction union; fresh = current state
+    "streaming_pyds_delete_feed": SQL_STREAMING_PYDS_DELETE_FEED,
     # the incremental path must agree with the batch oracle
     "streaming_pyds_docs": SQL_STREAMING_PYDS_DOCS,
     # two checkpointed version-offset drains == batch truth; orphan

@@ -727,3 +727,147 @@ def test_star_cc_logarithmic_rounds_on_chain(spark):
     got = {(r.doc_id, r.cluster_id) for r in labels.collect()}
     assert got == {(i, 0) for i in range(n)}
     assert rounds[0] <= 2 * int(math.log2(n)) + 4, rounds
+
+
+def _random_corpus(seed: int):
+    """(doc_id, token-set) corpus with planted near-dups and a hot
+    cluster: a small vocabulary forces genuine J ≥ 0.5 pairs, the
+    near-identical clones force hot LSH buckets past BAND_CAP."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"t{i:02d}" for i in range(24)]
+    docs: dict[int, frozenset] = {}
+    nid = 0
+    for _ in range(18):
+        docs[nid] = frozenset(rng.sample(vocab, rng.randint(3, 9)))
+        nid += 1
+    # planted near-dup pairs: copy + drop/add one token
+    for base_id in rng.sample(sorted(docs), 4):
+        s = set(docs[base_id])
+        if len(s) > 3 and rng.random() < 0.5:
+            s.discard(rng.choice(sorted(s)))
+        else:
+            s.add(rng.choice(vocab))
+        docs[nid] = frozenset(s)
+        nid += 1
+    # hot cluster: 6 identical docs — every band bucket size ≥ 6
+    hot = frozenset(rng.sample(vocab, 6))
+    for _ in range(6):
+        docs[nid] = hot
+        nid += 1
+    return docs
+
+
+def _jac(a: frozenset, b: frozenset) -> float:
+    return len(a & b) / len(a | b)
+
+
+def test_dedup_randomized_property_matrix(spark):
+    """Randomized-input property tests for the dedup verify matrix
+    (5 seeds), against a brute-force python oracle:
+
+    1. PREFIX-FILTER COMPLETENESS: prefix_filter_pairs at τ=0.5 equals
+       the exact all-pairs τ-Jaccard join — the AllPairs/PPJoin
+       length + positional prunes provably lose nothing.
+    2. LSH SOUNDNESS: the banded-candidate verify equals brute-force
+       RESTRICTED to banded candidates (the verify never invents or
+       keeps a sub-threshold pair), hence ⊆ brute force.
+    3. CAPPED-LSH RECALL ACCOUNTING: with hot buckets (> BAND_CAP)
+       dropped, the surviving pairs are EXACTLY the verified pairs
+       still reachable through some small bucket — the documented
+       recall loss, nothing more, nothing less.
+    """
+    from pyspark.sql import functions as F
+
+    from pu4spark_spark.functions.textfns import jaccard_sets
+    from pu4spark_spark.operators.dedup import (
+        BAND_CAP,
+        JACCARD_THRESHOLD,
+        band_self_join_candidates,
+        minhash_bands,
+        prefix_filter_pairs,
+    )
+
+    tau = JACCARD_THRESHOLD  # 0.5 — shared by prefix + LSH paths
+
+    def verified_pairs(cand, base):
+        sa = base.select(
+            F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a")
+        )
+        sb = base.select(
+            F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b")
+        )
+        return {
+            (r["a_id"], r["b_id"])
+            for r in cand.join(sa, "a_id")
+            .join(sb, "b_id")
+            .filter(jaccard_sets(F.col("sh_a"), F.col("sh_b")) >= tau)
+            .select("a_id", "b_id")
+            .collect()
+        }
+
+    for seed in (7, 11, 23, 31, 47):
+        docs = _random_corpus(seed)
+        base = spark.createDataFrame(
+            [(i, sorted(s)) for i, s in docs.items()],
+            "doc_id bigint, sh array<string>",
+        )
+        ids = sorted(docs)
+        brute = {
+            (a, b): _jac(docs[a], docs[b])
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if _jac(docs[a], docs[b]) >= tau
+        }
+
+        # 1 — prefix filter is EXACT (complete and sound)
+        got = {
+            (r["a_id"], r["b_id"]): r["jaccard"]
+            for r in prefix_filter_pairs(base, tau).collect()
+        }
+        assert set(got) == set(brute), f"seed {seed}: prefix-filter"
+        for k, v in got.items():
+            assert abs(v - brute[k]) < 1e-9, (seed, k, v, brute[k])
+
+        # 2 — LSH verify == brute ∩ candidates (soundness; ⊆ brute)
+        band_rows = minhash_bands(base).collect()
+        bands_df = spark.createDataFrame(
+            band_rows, "doc_id bigint, band_pos int, band_hash string"
+        )
+        cand = {
+            (r["a_id"], r["b_id"])
+            for r in band_self_join_candidates(bands_df).collect()
+        }
+        lsh = verified_pairs(band_self_join_candidates(bands_df), base)
+        assert lsh == set(brute) & cand, f"seed {seed}: lsh verify"
+        assert lsh <= set(brute), f"seed {seed}: lsh ⊄ brute"
+
+        # 3 — capped LSH drops EXACTLY the pairs whose every shared
+        # band sits in a hot bucket (python-recomputed accounting)
+        from collections import Counter, defaultdict
+
+        bucket_n = Counter((r["band_pos"], r["band_hash"]) for r in band_rows)
+        by_bucket = defaultdict(set)
+        for r in band_rows:
+            by_bucket[(r["band_pos"], r["band_hash"])].add(r["doc_id"])
+        reachable = set()
+        for key, members in by_bucket.items():
+            if bucket_n[key] <= BAND_CAP:
+                ms = sorted(members)
+                for i, a in enumerate(ms):
+                    for b in ms[i + 1 :]:
+                        reachable.add((a, b))
+        kept_rows = [
+            r
+            for r in band_rows
+            if bucket_n[(r["band_pos"], r["band_hash"])] <= BAND_CAP
+        ]
+        assert len(kept_rows) < len(band_rows), (
+            f"seed {seed}: hot cluster failed to overflow any bucket"
+        )
+        kept_df = spark.createDataFrame(
+            kept_rows, "doc_id bigint, band_pos int, band_hash string"
+        )
+        capped = verified_pairs(band_self_join_candidates(kept_df), base)
+        assert capped == lsh & reachable, f"seed {seed}: capped recall"

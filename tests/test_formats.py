@@ -1465,3 +1465,141 @@ def test_version_stream_delete_contract(spark, tmp_path):
         {"path": out, "ignore_deletes": "true"}
     )
     assert drain(fresh, 0, 3) == [0, 1, 3, 4, 5, 7, 20]
+
+
+def test_delete_append_occ_race(spark, tmp_path):
+    """A row-level DELETE (pure-metadata commit) and an APPEND race the
+    SAME version claim from two threads: exactly one wins the atomic
+    create-if-absent, the loser raises ManifestCommitConflict, and
+    after the loser re-plans against the new base the final table is
+    base + appended − deleted (the ops commute — the delete targets
+    base rows only), with no row lost, duplicated, or resurrected."""
+    import json as _json
+    import os as _os
+    import threading
+
+    from pu4spark_spark.sources.pydatasource import (
+        JsonlCommit,
+        JsonlDocsWriter,
+        _latest_manifest_version,
+        delete_from_jsonl_dir,
+        register_pyds,
+    )
+
+    register_pyds(spark)
+    out = str(tmp_path / "race_dm")
+    _os.makedirs(out)
+    base_shard = "part-00000-base0000.jsonl"
+    with open(_os.path.join(out, base_shard), "w") as fh:
+        for i in range(10):
+            fh.write(
+                _json.dumps(
+                    {
+                        "doc_id": i,
+                        "text": f"base {i}",
+                        "lang": "en",
+                        "source": "seed",
+                        "n_chars": 6,
+                    }
+                )
+                + "\n"
+            )
+    body = _json.dumps({base_shard: 10})
+    open(_os.path.join(out, "_MANIFEST.v1"), "w").write(body)
+    open(_os.path.join(out, "_MANIFEST"), "w").write(body)
+
+    schema = spark.createDataFrame(
+        [],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    ).schema
+    barrier = threading.Barrier(2)
+    outcomes: dict[str, BaseException | None] = {}
+
+    def do_append() -> None:
+        w = JsonlDocsWriter(
+            {"path": out, "base_version": "1"}, schema, overwrite=False
+        )
+        final = "part-00000-append01.jsonl"
+        tmp = f"_tmp-{w.job_token}-" + final
+        with open(_os.path.join(out, tmp), "w") as fh:
+            for i in (100, 101):
+                fh.write(
+                    _json.dumps(
+                        {
+                            "doc_id": i,
+                            "text": f"app {i}",
+                            "lang": "en",
+                            "source": "app",
+                            "n_chars": 7,
+                        }
+                    )
+                    + "\n"
+                )
+        msg = JsonlCommit(tmp, final, 2, 100, 101)
+        barrier.wait()
+        try:
+            w.commit([msg])
+            outcomes["append"] = None
+        except BaseException as exc:  # noqa: BLE001
+            outcomes["append"] = exc
+            # loser: re-plan against the new base, same staging
+            tmp2 = f"_tmp-{w.job_token}-" + final
+            with open(_os.path.join(out, tmp2), "w") as fh:
+                for i in (100, 101):
+                    fh.write(
+                        _json.dumps(
+                            {
+                                "doc_id": i,
+                                "text": f"app {i}",
+                                "lang": "en",
+                                "source": "app",
+                                "n_chars": 7,
+                            }
+                        )
+                        + "\n"
+                    )
+            w2 = JsonlDocsWriter(
+                {
+                    "path": out,
+                    "base_version": str(_latest_manifest_version(out)),
+                },
+                schema,
+                overwrite=False,
+            )
+            # staged under w's token; rename to w2's
+            tmp3 = f"_tmp-{w2.job_token}-" + final
+            _os.rename(
+                _os.path.join(out, tmp2), _os.path.join(out, tmp3)
+            )
+            w2.commit([JsonlCommit(tmp3, final, 2, 100, 101)])
+
+    def do_delete() -> None:
+        barrier.wait()
+        try:
+            delete_from_jsonl_dir(out, [3, 7], base_version=1)
+            outcomes["delete"] = None
+        except BaseException as exc:  # noqa: BLE001
+            outcomes["delete"] = exc
+            delete_from_jsonl_dir(out, [3, 7])  # re-plan at new base
+
+    threads = [
+        threading.Thread(target=do_append),
+        threading.Thread(target=do_delete),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    losers = [k for k, e in outcomes.items() if e is not None]
+    assert len(losers) == 1, outcomes  # exactly one claim lost
+    assert _latest_manifest_version(out) == 3
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.format("jsonl_docs")
+        .option("path", out)
+        .load()
+        .collect()
+    )
+    assert got == [i for i in range(10) if i not in (3, 7)] + [100, 101]

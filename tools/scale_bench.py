@@ -125,6 +125,9 @@ REPS = [
     "streaming_user_totals_rocksdb",  # RocksDB-provider stateful drain
     "orders_cbo_join_reorder",   # stats-driven join rotation (eager)
     "pu_sar_trace",              # per-group calibration protocol (eager)
+    "fmt_pyds_delete_merge",     # tombstone DELETE + atomic MERGE (r10)
+    "streaming_pyds_delete_feed",  # stream × delete/merge contract (r10)
+    "orders_aqe_join_demotion",  # runtime SMJ→broadcast demotion (r10)
 ]
 
 #: reps whose FIRST run at an sf builds a persistent build-once layout
