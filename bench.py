@@ -531,6 +531,12 @@ def main() -> None:
         t0 = time.time()
         fn(spark, SF_DIR)
         artifact_builds[fn.__name__] = round(time.time() - t0, 3)
+        # the WARMUP-sf artifacts too: otherwise the per-query warmup
+        # builds them inline immediately before the measured run, and
+        # the build's JVM debris (file commits, GC) lands on the
+        # measurement (dedup_clusters_incremental first-measured 11.9 s
+        # vs 3.5 s on its clean rerun)
+        fn(spark, WARMUP_SF_DIR)
     spark.catalog.clearCache()
     # settle pass: the artifact builds above leave the JVM with pending
     # file-commit/GC work that otherwise lands on the FIRST measured

@@ -4877,6 +4877,101 @@ def q_orders_aqe_join_demotion(
     return agg
 
 
+#: selective brand for the Bloom-filter witness — constant, oracle-fixed
+BLOOM_BRAND = "Brand#23"
+
+
+def q_lineitem_bloom_filter_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The FOURTH runtime-filter lever witnessed live (beside AQE skew
+    split, coalesce, and join demotion): ROW-LEVEL RUNTIME BLOOM
+    FILTER injection (Spark's ``InjectRuntimeFilter``).  A selective
+    dim filter (one part brand) joins a fact side the planner cannot
+    broadcast; the optimizer plants a ``bloom_filter_agg`` subquery
+    over the dim's join keys and a ``might_contain`` probe ABOVE the
+    fact scan — so ~96% of lineitem rows die before the join's
+    shuffle, the move that matters at 100 TB when the fact is NOT
+    partitioned by the join key (where dynamic partition pruning,
+    witnessed in ``fmt_dpp_fact_scan``, can't help).  Self-gating: the
+    executed plan must carry both the bloom build and the probe;
+    confs restored in ``finally``; the oracle recomputes the join
+    exactly, so a false-negative filter (dropping a matching row)
+    hash-mismatches.
+
+    The fixture-scale conf lowers only
+    ``applicationSideScanSizeThreshold`` (default 10 GB — the fact
+    side must LOOK big enough to be worth filtering); production
+    leaves defaults and gets this plan automatically on real sizes."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # the fixture fact is MBs; production's 10GB gate needs no help
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        # deny broadcast so the join actually shuffles the fact side
+        # (broadcast joins filter build-side at the hash table anyway)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": (
+            "true"
+        ),
+    }
+    old: dict = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = (
+        load_table(spark, "part", sf_dir)
+        .filter(F.col("p_brand") == BLOOM_BRAND)
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    agg = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(_M))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        agg = cached(agg)  # registered: released at next query's entry
+        agg.count()  # materialize under the runtime-filter confs
+        final = agg._jdf.queryExecution().executedPlan().toString()
+        if "bloom_filter_agg" not in final or "might_contain" not in final:
+            raise AssertionError(
+                "bloom-filter witness: no runtime filter in the "
+                "executed plan:\n" + final[:2000]
+            )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return agg
+
+
+SQL_LINEITEM_BLOOM_FILTER_JOIN = f"""
+SELECT p_size,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS {_M})) AS DOUBLE) AS total_price
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = '{BLOOM_BRAND}'
+GROUP BY p_size
+"""
+
+
 SQL_ORDERS_AQE_JOIN_DEMOTION = f"""
 SELECT c_nationkey,
        COUNT(*) AS n_orders,
@@ -4906,6 +5001,7 @@ QUERIES = {
     "audit_quality_constraints": q_audit_quality_constraints,
     "orders_cbo_join_reorder": q_orders_cbo_join_reorder,
     "orders_aqe_join_demotion": q_orders_aqe_join_demotion,
+    "lineitem_bloom_filter_join": q_lineitem_bloom_filter_join,
     "grouping_sets_orders": q_grouping_sets_orders,
     "profile_orders": q_profile_orders,
     "audit_referential_integrity": q_audit_referential_integrity,
@@ -4998,6 +5094,7 @@ ORACLE_SQL = {
     "audit_quality_constraints": SQL_AUDIT_QUALITY_CONSTRAINTS,
     "orders_cbo_join_reorder": SQL_ORDERS_CBO_JOIN_REORDER,
     "orders_aqe_join_demotion": SQL_ORDERS_AQE_JOIN_DEMOTION,
+    "lineitem_bloom_filter_join": SQL_LINEITEM_BLOOM_FILTER_JOIN,
     "grouping_sets_orders": SQL_GROUPING_SETS,
     "profile_orders": SQL_PROFILE_ORDERS,
     "audit_referential_integrity": SQL_AUDIT_REFERENTIAL_INTEGRITY,

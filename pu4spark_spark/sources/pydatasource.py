@@ -1439,33 +1439,9 @@ def _versioned_lang_drain(
 ) -> None:
     """One availableNow drain of the VERSIONED stream over ``out`` into
     the complete-mode memory sink ``name``, resuming from ``ckpt`` —
-    the shared microbatch step of both snapshot-stream queries (same
-    per-lang aggregate, so both hash against the same batch truth)."""
-    from pu4spark_spark.streaming.drain import drain_partitions
-
-    stream = (
-        spark.readStream.format("jsonl_docs")
-        .option("path", out)
-        .option("versioned", "true")
-        .load()
-    )
-    agg = stream.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("sum_chars"),
-        F.min("doc_id").alias("min_doc"),
-        F.max("doc_id").alias("max_doc"),
-    )
-    with drain_partitions(spark, 8):
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        q.stop()
+    the shared microbatch step of the snapshot-stream queries (same
+    per-lang aggregate, so all hash against the same batch truth)."""
+    _versioned_lang_drain_opts(spark, out, ckpt, name)
 
 
 def q_streaming_pyds_snapshot(

@@ -1603,3 +1603,60 @@ def test_delete_append_occ_race(spark, tmp_path):
         .collect()
     )
     assert got == [i for i in range(10) if i not in (3, 7)] + [100, 101]
+
+
+def test_stats_pruning_composes_with_tombstones(spark, tmp_path):
+    """Zonemap shard-skipping and tombstone filtering are independent
+    layers and must compose: after a DELETE, a doc_id-range read still
+    prunes whole shards via _STATS (the delete is a pure-metadata
+    commit — zonemaps stay valid because tombstones only REMOVE rows)
+    and the surviving shards still drop the tombstoned ids."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from pu4spark_spark.sources.pydatasource import (
+        JsonlDocsReader,
+        delete_from_jsonl_dir,
+        register_pyds,
+    )
+
+    register_pyds(spark)
+    out = str(tmp_path / "zm_tomb")
+    rows = [(i, f"doc {i}", "en", "s", 5) for i in range(100)]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    )
+    # range-clustered so the zonemap is selective
+    (
+        df.repartitionByRange(4, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out)
+        .mode("overwrite")
+        .save()
+    )
+    delete_from_jsonl_dir(out, [80, 90, 95], base_version=1)
+
+    # reader driven directly: the >= 75 interval must skip shards and
+    # the kept partitions must carry the applicable tombstones
+    r = JsonlDocsReader({"path": out})
+    total = len(JsonlDocsReader({"path": out}).partitions())
+    r._lo = 75
+    parts = r.partitions()
+    assert 0 < len(parts) < total, (len(parts), total)
+    assert any(not isinstance(p.value, str) for p in parts), (
+        "tombstones missing from surviving partitions"
+    )
+
+    got = sorted(
+        x["doc_id"]
+        for x in spark.read.format("jsonl_docs")
+        .option("path", out)
+        .load()
+        .filter(F.col("doc_id") >= 75)
+        .collect()
+    )
+    assert got == [i for i in range(75, 100) if i not in (80, 90, 95)]
+    assert _os.path.exists(_os.path.join(out, "_STATS"))

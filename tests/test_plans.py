@@ -854,3 +854,20 @@ def test_aqe_join_demotion_witnessed(spark):
     rows = df.collect()
     assert rows and sum(r["n_orders"] for r in rows) > 0
     df.unpersist()
+
+
+def test_bloom_filter_join_witnessed(spark):
+    """The row-level runtime Bloom filter observed live: a selective
+    dim filter must plant a bloom_filter_agg subquery and a
+    might_contain probe above the fact scan (the query raises on
+    either miss); rows sanity-checked against the selective brand."""
+    from pu4spark_spark.operators.relational import (
+        q_lineitem_bloom_filter_join,
+    )
+
+    df = q_lineitem_bloom_filter_join(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "bloom_filter_agg" in plan and "might_contain" in plan
+    rows = df.collect()
+    assert rows and all(r["n_items"] > 0 for r in rows)
+    df.unpersist()

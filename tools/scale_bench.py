@@ -128,6 +128,7 @@ REPS = [
     "fmt_pyds_delete_merge",     # tombstone DELETE + atomic MERGE (r10)
     "streaming_pyds_delete_feed",  # stream × delete/merge contract (r10)
     "orders_aqe_join_demotion",  # runtime SMJ→broadcast demotion (r10)
+    "lineitem_bloom_filter_join",  # runtime Bloom row filter (r10)
 ]
 
 #: reps whose FIRST run at an sf builds a persistent build-once layout
