@@ -89,6 +89,7 @@ DRIVER_FIRST = [
     "streaming_pyds_delete_feed",      # stream × DELETE/MERGE contract
     "orders_aqe_join_demotion",        # AQE SMJ→broadcast at runtime
     "lineitem_bloom_filter_join",      # runtime Bloom row filter
+    "fmt_pyds_compaction_cluster",     # OPTIMIZE-with-clustering rewrite
     # -- B: re-verification of r10-touched code paths ----------------------
     "fmt_pyds_jsonl_roundtrip",        # reader resolves highest snapshot
     "fmt_pyds_jsonl_write_roundtrip",  # writer live-flip latest guard

@@ -1168,7 +1168,10 @@ GROUP BY 1, 2
 
 
 def compact_jsonl_dir(
-    spark: SparkSession, path: str, target_shards: int
+    spark: SparkSession,
+    path: str,
+    target_shards: int,
+    cluster_by: str | None = None,
 ) -> int:
     """SMALL-FILE COMPACTION with snapshot semantics — the lake
     maintenance job: read the current manifest's shards, rewrite the
@@ -1203,8 +1206,20 @@ def compact_jsonl_dir(
     # writer's append mode would UNION with the old manifest, which is
     # exactly wrong for a rewrite
     stage = path + ".compact"
+    # ``cluster_by``: the OPTIMIZE-with-clustering form — the rewrite
+    # range-partitions on the column instead of round-robin, so each
+    # consolidated shard owns a contiguous value range and the writer's
+    # _STATS zonemap becomes selective again (appends scatter ranges
+    # across shards; compaction is where a lake restores data-skipping,
+    # the same job Delta's OPTIMIZE ZORDER runs).  Content-neutral
+    # either way: the commit is the same rewrite commit.
+    staged_df = (
+        before.repartitionByRange(target_shards, cluster_by)
+        if cluster_by
+        else before.repartition(target_shards)
+    )
     (
-        before.repartition(target_shards)
+        staged_df
         .write.format("jsonl_docs")
         .option("path", stage)
         .mode("overwrite")
@@ -1632,6 +1647,69 @@ WHERE doc_id >= {PRUNE_THRESHOLD}
 GROUP BY lang
 """
 
+
+def q_fmt_pyds_compaction_cluster(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OPTIMIZE-WITH-CLUSTERING, value-checked content-neutral: the
+    same write→append→compact cycle as ``fmt_pyds_compaction`` but the
+    rewrite range-partitions on ``doc_id`` (``cluster_by``), restoring
+    a selective ``_STATS`` zonemap after hash-scattered appends
+    destroyed it — Delta's OPTIMIZE ZORDER job on the engine's own
+    connector.  The oracle is the plain full-corpus aggregate, so a
+    clustering rewrite that drops, duplicates, or mangles one row
+    hash-mismatches; the pruning gain itself is pinned in pytest
+    (``test_clustered_compaction_restores_zonemap_pruning``)."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_pyds_cz_{tag}_{os.getpid()}"
+    )
+    register_pyds(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out).mode("overwrite").save()
+    )
+    (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out)
+        .option("base_version", 1)
+        .mode("append")
+        .save()
+    )
+    compact_jsonl_dir(spark, out, target_shards=2, cluster_by="doc_id")
+    back = (
+        spark.read.format("jsonl_docs")
+        .option("path", out)
+        .load()
+        # the interval read that the restored zonemap serves shard-
+        # skippingly (pushdown is an I/O saving — results identical)
+        .filter(F.col("doc_id") >= PRUNE_THRESHOLD)
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+SQL_FMT_PYDS_COMPACTION_CLUSTER = f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM documents
+WHERE doc_id >= {PRUNE_THRESHOLD}
+GROUP BY lang
+"""
 
 def q_fmt_pyds_commit_conflict(
     spark: SparkSession, sf_dir: str
@@ -2290,6 +2368,7 @@ QUERIES = {
     "fmt_pyds_jsonl_write_roundtrip": q_fmt_pyds_jsonl_write_roundtrip,
     "fmt_pyds_snapshot_read": q_fmt_pyds_snapshot_read,
     "fmt_pyds_compaction": q_fmt_pyds_compaction,
+    "fmt_pyds_compaction_cluster": q_fmt_pyds_compaction_cluster,
     "fmt_pyds_snapshot_diff": q_fmt_pyds_snapshot_diff,
     "fmt_pyds_stats_pruning": q_fmt_pyds_stats_pruning,
     "fmt_pyds_commit_conflict": q_fmt_pyds_commit_conflict,
@@ -2315,6 +2394,8 @@ ORACLE_SQL = {
     "fmt_pyds_jsonl_write_roundtrip": SQL_FMT_PYDS_JSONL_ROUNDTRIP,
     "fmt_pyds_snapshot_read": SQL_FMT_PYDS_SNAPSHOT_READ,
     "fmt_pyds_compaction": SQL_FMT_PYDS_COMPACTION,
+    # clustered rewrite is content-neutral; interval read post-OPTIMIZE
+    "fmt_pyds_compaction_cluster": SQL_FMT_PYDS_COMPACTION_CLUSTER,
     "fmt_pyds_snapshot_diff": SQL_FMT_PYDS_SNAPSHOT_DIFF,
     "fmt_pyds_stats_pruning": SQL_FMT_PYDS_STATS_PRUNING,
     # post-conflict read@latest must equal the WINNING writer's content

@@ -1660,3 +1660,56 @@ def test_stats_pruning_composes_with_tombstones(spark, tmp_path):
     )
     assert got == [i for i in range(75, 100) if i not in (80, 90, 95)]
     assert _os.path.exists(_os.path.join(out, "_STATS"))
+
+
+def test_clustered_compaction_restores_zonemap_pruning(spark, tmp_path):
+    """Compaction with ``cluster_by`` is the lake's OPTIMIZE-with-
+    clustering: hash-scattered appends leave every shard spanning the
+    full doc_id range (zonemap prunes nothing); the clustered rewrite
+    range-partitions the same rows, after which a doc_id-interval read
+    skips whole shards again — content identical before and after."""
+    from pu4spark_spark.sources.pydatasource import (
+        JsonlDocsReader,
+        compact_jsonl_dir,
+        delete_from_jsonl_dir,
+        register_pyds,
+    )
+
+    register_pyds(spark)
+    out = str(tmp_path / "optz")
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", "en", "s", 5) for i in range(200)],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    )
+    # hash-scattered layout: every shard spans ~the full id range
+    (
+        df.repartition(4, "text")
+        .write.format("jsonl_docs")
+        .option("path", out)
+        .mode("overwrite")
+        .save()
+    )
+    delete_from_jsonl_dir(out, [150, 160], base_version=1)
+
+    def kept_with(lo):
+        r = JsonlDocsReader({"path": out})
+        r._lo = lo
+        return len(r.partitions())
+
+    total = len(JsonlDocsReader({"path": out}).partitions())
+    assert kept_with(190) == total  # scattered: nothing pruned
+
+    v = compact_jsonl_dir(spark, out, target_shards=4, cluster_by="doc_id")
+    assert v == 3
+    total2 = len(JsonlDocsReader({"path": out}).partitions())
+    assert kept_with(190) < total2  # clustered: shards skipped
+
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.format("jsonl_docs")
+        .option("path", out)
+        .load()
+        .collect()
+    )
+    assert got == [i for i in range(200) if i not in (150, 160)]
