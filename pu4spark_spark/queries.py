@@ -90,6 +90,7 @@ DRIVER_FIRST = [
     "orders_aqe_join_demotion",        # AQE SMJ→broadcast at runtime
     "lineitem_bloom_filter_join",      # runtime Bloom row filter
     "fmt_pyds_compaction_cluster",     # OPTIMIZE-with-clustering rewrite
+    "streaming_pyds_lake_sink",        # stream WRITER into the lake
     # -- B: re-verification of r10-touched code paths ----------------------
     "fmt_pyds_jsonl_roundtrip",        # reader resolves highest snapshot
     "fmt_pyds_jsonl_write_roundtrip",  # writer live-flip latest guard

@@ -29,6 +29,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -61,6 +62,9 @@ class JsonlDocsDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> "JsonlDocsWriter":
         return JsonlDocsWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return JsonlDocsStreamWriter(self.options, schema)
 
 
 def register_pyds(spark: SparkSession) -> None:
@@ -335,6 +339,153 @@ class JsonlCommit(WriterCommitMessage):
         #: or the shard is empty) — commit() collects these into _STATS
         self.min_doc = min_doc
         self.max_doc = max_doc
+
+
+#: reserved manifest key recording the streaming sink's last committed
+#: micro-batch id — Delta's ``txn`` action: a retried batch compares
+#: its id against this and becomes a no-op, which is what turns
+#: at-least-once micro-batch delivery into exactly-once lake commits.
+TXN_KEY = "_txn"
+
+
+class JsonlDocsStreamWriter(DataSourceStreamWriter):
+    """STREAMING SINK INTO THE MINI-LAKE — the fourth quadrant of the
+    connector matrix (batch read/write and the two stream readers are
+    the other three): every micro-batch lands as one manifest commit
+    through the same create-if-absent OCC claim as batch appends, so a
+    downstream ``versioned`` stream reader tails the sink's output at
+    commit granularity and batch readers never observe a torn batch.
+
+    EXACTLY-ONCE: tasks stage uuid-named shards (invisible until a
+    manifest references them); ``commit(messages, batchId)`` first
+    checks the latest manifest's ``_txn.last_batch`` — a RETRIED batch
+    (engine restart between sink commit and offset-log commit) finds
+    its own id already recorded and becomes a no-op sweep, never a
+    duplicate (Delta's idempotent-txn pattern).  Conflicts with
+    concurrent BATCH appenders re-claim the next version metadata-only
+    (staged shards need no re-write).  Compaction/vacuum keep their
+    exclusive-maintainer rule: a rewrite drops ``_txn``, so don't run
+    them against a live sink's directory.
+
+    Scale: per-batch work is the batch writer's (executor shards +
+    one driver claim); state carried between batches is ONE integer
+    in the manifest."""
+
+    def __init__(self, options, schema) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_docs stream writer requires 'path'")
+        self.fields = [f.name for f in schema.fields]
+        import uuid as _uuid
+
+        self.job_token = _uuid.uuid4().hex[:8]
+
+    def write(self, iterator) -> WriterCommitMessage:
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        _os.makedirs(self.path, exist_ok=True)
+        final = f"part-{pid:05d}-{_uuid.uuid4().hex[:8]}.jsonl"
+        tmp = f"_tmp-{self.job_token}-" + final
+        n = 0
+        has_doc = "doc_id" in self.fields
+        mn = mx = None
+        with open(_os.path.join(self.path, tmp), "w") as fh:
+            for row in iterator:
+                d = {k: row[k] for k in self.fields}
+                fh.write(_json.dumps(d) + "\n")
+                n += 1
+                if has_doc and d["doc_id"] is not None:
+                    v = d["doc_id"]
+                    mn = v if mn is None or v < mn else mn
+                    mx = v if mx is None or v > mx else mx
+            fh.flush()
+            _os.fsync(fh.fileno())
+        return JsonlCommit(tmp, final, n, mn, mx)
+
+    def _sweep(self, keep: set[str]) -> None:
+        import os as _os
+
+        prefix = f"_tmp-{self.job_token}-"
+        try:
+            names = _os.listdir(self.path)
+        except OSError:
+            return
+        for f in names:
+            if f.startswith(prefix) and f not in keep:
+                try:
+                    _os.remove(_os.path.join(self.path, f))
+                except OSError:
+                    pass
+
+    def commit(self, messages, batchId: int) -> None:
+        import json as _json
+        import os as _os
+
+        latest = _latest_manifest_version(self.path)
+        last = (
+            _manifest_at(self.path, latest).get(TXN_KEY, {})
+            .get("last_batch", -1)
+            if latest > 0
+            else -1
+        )
+        if last >= batchId:
+            # retried micro-batch: already durably committed — no-op
+            self._sweep(set())
+            return
+        staged: dict[str, int] = {}
+        stats_new: dict[str, list] = {}
+        committed_tmp = set()
+        for m in messages:
+            if m is None:
+                continue
+            _os.rename(
+                _os.path.join(self.path, m.tmp),
+                _os.path.join(self.path, m.file),
+            )
+            committed_tmp.add(m.tmp)
+            staged[m.file] = m.rows
+            if getattr(m, "min_doc", None) is not None:
+                stats_new[m.file] = [m.min_doc, m.max_doc]
+        self._sweep(committed_tmp)
+        # metadata-only claim loop: staged shards are invisible until a
+        # manifest references them, so losing a claim to a concurrent
+        # batch appender just means re-claiming against the new base
+        while True:
+            base = _latest_manifest_version(self.path)
+            version = base + 1
+            manifest = dict(_manifest_at(self.path, base))
+            if TOMBSTONE_KEY in manifest:
+                added = manifest[TOMBSTONE_KEY].setdefault("added", {})
+                for f in staged:
+                    added[f] = version
+            manifest.update(staged)
+            manifest[TXN_KEY] = {"last_batch": batchId}
+            body = _json.dumps(manifest)
+            try:
+                _write_atomic_excl(
+                    _os.path.join(self.path, f"_MANIFEST.v{version}"),
+                    body,
+                )
+            except FileExistsError:
+                continue
+            break
+        if _latest_manifest_version(self.path) == version:
+            spath = _os.path.join(self.path, "_STATS")
+            stats = {}
+            if _os.path.exists(spath):
+                with open(spath) as fh:
+                    stats = _json.load(fh)
+            stats.update(stats_new)
+            _write_atomic(spath, _json.dumps(stats))
+            _write_atomic(_os.path.join(self.path, "_MANIFEST"), body)
+
+    def abort(self, messages, batchId: int) -> None:
+        self._sweep(set())
 
 
 class JsonlDocsReader(DataSourceReader):
@@ -1449,6 +1600,66 @@ def q_streaming_pyds_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain_to_memory(spark, agg, "pyds_docs_stream", "complete")
 
 
+def q_streaming_pyds_lake_sink(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LANDING STREAM → LAKE SINK, value-checked end to end: the
+    custom source's stream reader drains the JSONL landing shards and
+    the custom STREAM WRITER commits each micro-batch into a mini-lake
+    directory through the OCC manifest claim — then a second
+    availableNow drain of the same checkpoint must commit NOTHING new
+    (offsets already consumed; a duplicated batch would double every
+    count), and the batch read of the lake must equal the documents
+    truth.  This closes the connector matrix: batch read/write,
+    stream read (listing + versioned), and now stream write, all over
+    one commit log — so the lake a streaming job populates is the
+    same lake batch jobs append to, time travel reads, and downstream
+    versioned streams tail.  Retried-batch idempotence (the _txn
+    no-op) and the downstream tail are pinned in pytest."""
+    import hashlib
+    import shutil
+
+    shard_dir = _jsonl_shard_dir(spark, sf_dir)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    lake = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_pyds_sink_{tag}_{os.getpid()}"
+    )
+    ckpt = os.path.join(lake, "_ckpt")
+    shutil.rmtree(lake, ignore_errors=True)
+    register_pyds(spark)
+    from pu4spark_spark.streaming.drain import drain_partitions
+
+    def drain() -> None:
+        with drain_partitions(spark, 8):
+            q = (
+                spark.readStream.format("jsonl_docs")
+                .option("path", shard_dir)
+                .load()
+                .writeStream.format("jsonl_docs")
+                .option("path", lake)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            q.stop()
+
+    drain()
+    v1 = _latest_manifest_version(lake)
+    drain()  # nothing new landed: must commit no further version
+    if _latest_manifest_version(lake) != v1:
+        raise AssertionError(
+            "lake sink re-committed an already-consumed batch"
+        )
+    back = spark.read.format("jsonl_docs").option("path", lake).load()
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
 def _versioned_lang_drain(
     spark: SparkSession, out: str, ckpt: str, name: str
 ) -> None:
@@ -1885,6 +2096,11 @@ def delete_from_jsonl_dir(
     files = sorted(_manifest_files(manifest))
     ids = sorted({int(i) for i in doc_ids})
     new_manifest = {f: manifest[f] for f in files}
+    # carry reserved keys other than the ledger (e.g. the streaming
+    # sink's _txn idempotence marker) through the metadata commit
+    for k, v in manifest.items():
+        if k.startswith("_") and k != TOMBSTONE_KEY:
+            new_manifest[k] = v
     tombs = _tombstones_of(manifest)
     if ids and files:
         tombs = {
@@ -1979,6 +2195,9 @@ def merge_into_jsonl_dir(
         manifest = _manifest_at(path, base)
         files = sorted(_manifest_files(manifest))
         new_manifest = {f: manifest[f] for f in files}
+        for k, v in manifest.items():
+            if k.startswith("_") and k != TOMBSTONE_KEY:
+                new_manifest[k] = v
         tombs = _tombstones_of(manifest)
         entries = list(tombs["entries"])
         if keys and files:
@@ -2378,6 +2597,7 @@ QUERIES = {
     "streaming_pyds_docs": q_streaming_pyds_docs,
     "streaming_pyds_snapshot": q_streaming_pyds_snapshot,
     "streaming_pyds_compaction_skip": q_streaming_pyds_compaction_skip,
+    "streaming_pyds_lake_sink": q_streaming_pyds_lake_sink,
 }
 SQL_STREAMING_PYDS_DOCS = """
 SELECT lang,
@@ -2414,4 +2634,6 @@ ORACLE_SQL = {
     "streaming_pyds_snapshot": SQL_STREAMING_PYDS_DOCS,
     # rewrite commit skipped: no compacted row delivered twice
     "streaming_pyds_compaction_skip": SQL_STREAMING_PYDS_DOCS,
+    # landing stream → sink commits → batch read == documents truth
+    "streaming_pyds_lake_sink": SQL_STREAMING_PYDS_DOCS,
 }

@@ -1713,3 +1713,86 @@ def test_clustered_compaction_restores_zonemap_pruning(spark, tmp_path):
         .collect()
     )
     assert got == [i for i in range(200) if i not in (150, 160)]
+
+
+def test_stream_sink_batch_retry_is_idempotent(spark, tmp_path):
+    """The streaming lake sink's exactly-once contract, driven at the
+    commit level: a RETRIED micro-batch (same batchId re-committed
+    after an engine restart between sink commit and offset-log commit)
+    must be a no-op — one manifest version, rows counted once — and a
+    downstream VERSIONED stream tails exactly the committed batches."""
+    import json as _json
+    import os as _os
+
+    from pu4spark_spark.sources.pydatasource import (
+        JsonlCommit,
+        JsonlDocsStreamWriter,
+        JsonlDocsVersionStreamReader,
+        TXN_KEY,
+        _latest_manifest_version,
+        register_pyds,
+    )
+
+    register_pyds(spark)
+    out = str(tmp_path / "sink")
+    _os.makedirs(out)
+    schema = spark.createDataFrame(
+        [],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    ).schema
+    w = JsonlDocsStreamWriter({"path": out}, schema)
+
+    def stage(ids):
+        final = f"part-00000-{ids[0]:08d}.jsonl"
+        tmp = f"_tmp-{w.job_token}-" + final
+        with open(_os.path.join(out, tmp), "w") as fh:
+            for i in ids:
+                fh.write(
+                    _json.dumps(
+                        {
+                            "doc_id": i,
+                            "text": f"doc {i}",
+                            "lang": "en",
+                            "source": "s",
+                            "n_chars": 5,
+                        }
+                    )
+                    + "\n"
+                )
+        return JsonlCommit(tmp, final, len(ids), min(ids), max(ids))
+
+    w.commit([stage([0, 1, 2])], batchId=0)
+    assert _latest_manifest_version(out) == 1
+    w.commit([stage([3, 4])], batchId=1)
+    assert _latest_manifest_version(out) == 2
+    # RETRY of batch 1: staged temps must be swept, no new version
+    retry_msg = stage([3, 4])
+    w.commit([retry_msg], batchId=1)
+    assert _latest_manifest_version(out) == 2
+    assert not [
+        f for f in _os.listdir(out) if f.startswith("_tmp-")
+    ], "retry left staged temps behind"
+    m2 = _json.load(open(_os.path.join(out, "_MANIFEST.v2")))
+    assert m2[TXN_KEY] == {"last_batch": 1}
+
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.format("jsonl_docs")
+        .option("path", out)
+        .load()
+        .collect()
+    )
+    assert got == [0, 1, 2, 3, 4]
+
+    # downstream versioned tail: batch 0's commit then batch 1's
+    r = JsonlDocsVersionStreamReader({"path": out})
+
+    def drain(a, b):
+        ids = []
+        for pt in r.partitions({"version": a}, {"version": b}):
+            ids.extend(row[0] for row in r.read(pt))
+        return sorted(ids)
+
+    assert drain(0, 1) == [0, 1, 2]
+    assert drain(1, 2) == [3, 4]

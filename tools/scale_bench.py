@@ -129,6 +129,7 @@ REPS = [
     "streaming_pyds_delete_feed",  # stream × delete/merge contract (r10)
     "orders_aqe_join_demotion",  # runtime SMJ→broadcast demotion (r10)
     "lineitem_bloom_filter_join",  # runtime Bloom row filter (r10)
+    "streaming_pyds_lake_sink",  # stream writer into the lake (r10)
 ]
 
 #: reps whose FIRST run at an sf builds a persistent build-once layout
