@@ -454,8 +454,11 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
         self._sweep(committed_tmp)
         # metadata-only claim loop: staged shards are invisible until a
         # manifest references them, so losing a claim to a concurrent
-        # batch appender just means re-claiming against the new base
-        while True:
+        # batch appender just means re-claiming against the new base.
+        # Bounded: a pathologically hot table must fail the batch
+        # loudly (the engine retries it; _txn makes that safe), not
+        # spin the driver forever.
+        for _attempt in range(64):
             base = _latest_manifest_version(self.path)
             version = base + 1
             manifest = dict(_manifest_at(self.path, base))
@@ -474,6 +477,13 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
             except FileExistsError:
                 continue
             break
+        else:
+            raise ManifestCommitConflict(
+                f"concurrent commit: _MANIFEST.v claims lost 64 times "
+                f"for streaming batch {batchId} under {self.path} — "
+                "contention is pathological; the engine will retry "
+                "the batch"
+            )
         if _latest_manifest_version(self.path) == version:
             spath = _os.path.join(self.path, "_STATS")
             stats = {}
