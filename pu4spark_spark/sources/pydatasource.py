@@ -2147,8 +2147,9 @@ def merge_into_jsonl_dir(
     keys tombstoned — so a key present in the table is replaced, a new
     key is inserted, and no reader can ever observe the delete without
     the insert (both live in the same manifest claim).  The tombstone
-    entry scopes to the PRE-merge shard list, so the freshly added rows
-    are outside it by construction.
+    entry and the staged shards share one commit version, and entries
+    only apply to shards added by EARLIER commits ("v > added"), so
+    the freshly added rows are exempt by construction.
 
     Concurrency: the staged shards are invisible until the manifest
     claim (fresh UUID names in no committed manifest), so losing the
@@ -2169,7 +2170,12 @@ def merge_into_jsonl_dir(
         for r in df.select("doc_id").distinct().collect()
         if r[0] is not None
     )
-    stage = path + ".merge-stage"
+    import uuid as _uuid
+
+    # per-merge stage dir: two concurrent merges into one table must
+    # not clobber each other's staging (their CLAIMS serialize; their
+    # staging must too)
+    stage = path + f".merge-stage-{_uuid.uuid4().hex[:8]}"
     (
         df.write.format("jsonl_docs")
         .option("path", stage)
