@@ -91,6 +91,7 @@ DRIVER_FIRST = [
     "lineitem_bloom_filter_join",      # runtime Bloom row filter
     "fmt_pyds_compaction_cluster",     # OPTIMIZE-with-clustering rewrite
     "streaming_pyds_lake_sink",        # stream WRITER into the lake
+    "fmt_pyds_time_travel_ts",         # TIMESTAMP AS OF resolution
     # -- B: re-verification of r10-touched code paths ----------------------
     "fmt_pyds_jsonl_roundtrip",        # reader resolves highest snapshot
     "fmt_pyds_jsonl_write_roundtrip",  # writer live-flip latest guard

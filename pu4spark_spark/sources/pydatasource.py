@@ -246,6 +246,11 @@ class JsonlDocsWriter(DataSourceWriter):
                 ] = version
             if getattr(m, "min_doc", None) is not None:
                 stats[m.file] = [m.min_doc, m.max_doc]
+        # commit wall-clock (ns) — the "TIMESTAMP AS OF" resolution key
+        # (reserved key, skipped by every shard-list consumer)
+        import time as _time
+
+        manifest["_ts"] = _time.time_ns()
         # orphans from failed/speculative task attempts
         self._sweep_tmp(committed_tmp)
         # versioned commit log (time travel's minimal form): every
@@ -468,6 +473,9 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
                     added[f] = version
             manifest.update(staged)
             manifest[TXN_KEY] = {"last_batch": batchId}
+            import time as _time
+
+            manifest["_ts"] = _time.time_ns()
             body = _json.dumps(manifest)
             try:
                 _write_atomic_excl(
@@ -509,6 +517,14 @@ class JsonlDocsReader(DataSourceReader):
         #: the immutable shards (appends only ever add files)
         v = options.get("version")
         self.version = int(v) if v is not None else None
+        #: Delta's TIMESTAMP AS OF: option("as_of_ts", ns) reads the
+        #: newest commit whose _ts stamp is <= the given wall-clock ns
+        ts = options.get("as_of_ts")
+        self.as_of_ts = int(ts) if ts is not None else None
+        if self.version is not None and self.as_of_ts is not None:
+            raise ValueError(
+                "jsonl_docs: pass either 'version' or 'as_of_ts', not both"
+            )
         #: doc_id interval implied by pushed-down filters; shards whose
         #: _STATS zonemap can't intersect it are skipped in partitions()
         self._lo: int | None = None
@@ -602,15 +618,18 @@ class JsonlDocsReader(DataSourceReader):
         directory → listing fallback."""
         import json as _json
 
-        if self.version is not None:
-            vpath = os.path.join(self.path, f"_MANIFEST.v{self.version}")
+        pinned = self.version
+        if pinned is None and self.as_of_ts is not None:
+            pinned = _version_as_of(self.path, self.as_of_ts)
+        if pinned is not None:
+            vpath = os.path.join(self.path, f"_MANIFEST.v{pinned}")
             if not os.path.exists(vpath):
                 raise ValueError(
-                    f"jsonl_docs: no snapshot _MANIFEST.v{self.version} "
+                    f"jsonl_docs: no snapshot _MANIFEST.v{pinned} "
                     f"under {self.path}"
                 )
             with open(vpath) as fh:
-                return self.version, _json.load(fh)
+                return pinned, _json.load(fh)
         latest = _latest_manifest_version(self.path)
         if latest > 0:
             with open(
@@ -886,6 +905,30 @@ def _latest_manifest_version(path: str) -> int:
         ),
         default=0,
     )
+
+
+def _version_as_of(path: str, ts_ns: int) -> int:
+    """Largest committed version whose ``_ts`` stamp is <= ``ts_ns`` —
+    Delta's TIMESTAMP AS OF resolution, over the versioned snapshots
+    still on disk (vacuum shrinks the reachable window, same contract
+    as version pins).  Legacy manifests without a stamp count as
+    arbitrarily old (always eligible).  One metadata read per retained
+    version — metadata-scale.  Raises if the timestamp predates every
+    retained commit."""
+    best = 0
+    for f in os.listdir(path):
+        if f.startswith("_MANIFEST.v") and f.rsplit(".v", 1)[1].isdigit():
+            v = int(f.rsplit(".v", 1)[1])
+            if v <= best:
+                continue
+            if _manifest_at(path, v).get("_ts", 0) <= ts_ns:
+                best = v
+    if best == 0:
+        raise ValueError(
+            f"jsonl_docs: no commit at or before as_of_ts={ts_ns} "
+            f"under {path} (vacuumed, or timestamp predates the table)"
+        )
+    return best
 
 
 def _manifest_at(path: str, version: int) -> dict:
@@ -1261,6 +1304,92 @@ GROUP BY lang
 """
 
 
+def q_fmt_pyds_time_travel_ts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TIMESTAMP AS OF on the mini-lake: every commit stamps wall-clock
+    ns into its manifest (``_ts``), and ``option("as_of_ts", t)``
+    resolves the newest commit at or before ``t`` — Delta's
+    timestamp-based time travel beside the version pin
+    (``fmt_pyds_snapshot_read``).  The fixture writes v1 (even
+    doc_ids), captures a timestamp, appends v2 (odd) — the as-of-mid
+    read must equal exactly the even half and the as-of-now read the
+    full corpus; a resolution that rounds the wrong way (returning v2
+    for the mid timestamp, or v1 for now) hash-mismatches the oracle.
+
+    Scale: resolution is one metadata read per retained snapshot on
+    the driver; executors fan out over the resolved manifest exactly
+    like any pinned read."""
+    import hashlib
+    import time as _time
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_pyds_ts_{tag}_{os.getpid()}"
+    )
+    register_pyds(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out).mode("overwrite").save()
+    )
+    _time.sleep(0.005)  # commit stamps are wall-clock ns: separate them
+    t_mid = _time.time_ns()
+    _time.sleep(0.005)
+    (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out)
+        .option("base_version", 1)
+        .mode("append")
+        .save()
+    )
+
+    def agg(df: DataFrame, snap: str) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        ).select(F.lit(snap).alias("snapshot"), "*")
+
+    at_mid = (
+        spark.read.format("jsonl_docs")
+        .option("path", out)
+        .option("as_of_ts", t_mid)
+        .load()
+    )
+    at_now = (
+        spark.read.format("jsonl_docs")
+        .option("path", out)
+        .option("as_of_ts", _time.time_ns())
+        .load()
+    )
+    return agg(at_mid, "asof_mid").unionByName(agg(at_now, "asof_now"))
+
+
+SQL_FMT_PYDS_TIME_TRAVEL_TS = """
+SELECT 'asof_mid' AS snapshot, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM documents WHERE doc_id % 2 = 0
+GROUP BY lang
+UNION ALL
+SELECT 'asof_now' AS snapshot, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM documents
+GROUP BY lang
+"""
+
+
 def q_fmt_pyds_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC FROM SNAPSHOTS: the row-level delta between two manifest
     versions of the same table — read@v1 FULL OUTER JOIN read@v2 on the
@@ -1387,7 +1516,13 @@ def compact_jsonl_dir(
         .save()
     )
     with open(os.path.join(stage, "_MANIFEST")) as fh:
-        new_manifest = _json.load(fh)
+        # shard files only — the stage commit's own reserved keys
+        # (_ts) must not be treated as files to move
+        new_manifest = {
+            f: v
+            for f, v in _json.load(fh).items()
+            if not f.startswith("_")
+        }
     # two-step move: every staged shard first lands in the live dir
     # under an underscore temp name (crash here → only invisible
     # temps), then the batch of renames to final names (fresh UUIDs —
@@ -1438,7 +1573,9 @@ def compact_jsonl_dir(
     # being silently reclassified as a rewrite
     # (``_rewrite_marker_valid``).
     import hashlib as _hashlib
+    import time as _time
 
+    new_manifest["_ts"] = _time.time_ns()
     body = _json.dumps(new_manifest)
     _write_atomic(
         os.path.join(path, f"_MANIFEST.v{version}.rewrite"),
@@ -2119,6 +2256,9 @@ def delete_from_jsonl_dir(
         }
     if tombs["entries"]:
         new_manifest[TOMBSTONE_KEY] = tombs
+    import time as _time
+
+    new_manifest["_ts"] = _time.time_ns()
     body = _json.dumps(new_manifest)
     try:
         _write_atomic_excl(
@@ -2183,7 +2323,11 @@ def merge_into_jsonl_dir(
         .save()
     )
     with open(os.path.join(stage, "_MANIFEST")) as fh:
-        staged = _json.load(fh)
+        staged = {
+            f: v
+            for f, v in _json.load(fh).items()
+            if not f.startswith("_")
+        }
     stage_stats = {}
     sp = os.path.join(stage, "_STATS")
     if os.path.exists(sp):
@@ -2228,6 +2372,9 @@ def merge_into_jsonl_dir(
                 "entries": entries,
                 "added": added,
             }
+        import time as _time
+
+        new_manifest["_ts"] = _time.time_ns()
         body = _json.dumps(new_manifest)
         try:
             _write_atomic_excl(
@@ -2602,6 +2749,7 @@ QUERIES = {
     "fmt_pyds_jsonl_roundtrip": q_fmt_pyds_jsonl_roundtrip,
     "fmt_pyds_jsonl_write_roundtrip": q_fmt_pyds_jsonl_write_roundtrip,
     "fmt_pyds_snapshot_read": q_fmt_pyds_snapshot_read,
+    "fmt_pyds_time_travel_ts": q_fmt_pyds_time_travel_ts,
     "fmt_pyds_compaction": q_fmt_pyds_compaction,
     "fmt_pyds_compaction_cluster": q_fmt_pyds_compaction_cluster,
     "fmt_pyds_snapshot_diff": q_fmt_pyds_snapshot_diff,
@@ -2629,6 +2777,8 @@ ORACLE_SQL = {
     "fmt_pyds_jsonl_roundtrip": SQL_FMT_PYDS_JSONL_ROUNDTRIP,
     "fmt_pyds_jsonl_write_roundtrip": SQL_FMT_PYDS_JSONL_ROUNDTRIP,
     "fmt_pyds_snapshot_read": SQL_FMT_PYDS_SNAPSHOT_READ,
+    # as-of-mid == pre-append truth; as-of-now == full corpus
+    "fmt_pyds_time_travel_ts": SQL_FMT_PYDS_TIME_TRAVEL_TS,
     "fmt_pyds_compaction": SQL_FMT_PYDS_COMPACTION,
     # clustered rewrite is content-neutral; interval read post-OPTIMIZE
     "fmt_pyds_compaction_cluster": SQL_FMT_PYDS_COMPACTION_CLUSTER,

@@ -278,7 +278,8 @@ def test_pyds_writer_transactional_commit(spark, tmp_path):
     assert "_MANIFEST" in files
     assert not [f for f in files if f.startswith("_tmp-")]
     manifest = json.load(open(os.path.join(out, "_MANIFEST")))
-    assert sum(manifest.values()) == 10
+    shard_rows = {k: v for k, v in manifest.items() if not k.startswith("_")}
+    assert sum(shard_rows.values()) == 10
 
     # simulate orphans: a leftover temp shard and an uncommitted
     # visible shard (e.g. from a crashed concurrent job)
@@ -327,7 +328,8 @@ def test_pyds_writer_append_merges_manifest(spark, tmp_path):
     ).write.format("jsonl_docs").option("path", out).mode("append").save()
 
     manifest = json.load(open(os.path.join(out, "_MANIFEST")))
-    assert sum(manifest.values()) == 8
+    shard_rows = {k: v for k, v in manifest.items() if not k.startswith("_")}
+    assert sum(shard_rows.values()) == 8
     back = spark.read.format("jsonl_docs").option("path", out).load()
     got = sorted(r["doc_id"] for r in back.collect())
     assert got == [0, 1, 2, 3, 4, 100, 101, 102]
@@ -447,7 +449,11 @@ def test_pyds_compaction_and_vacuum_contract(spark, tmp_path):
     # old shards are still on disk for snapshot reads
     import json
 
-    assert len(json.load(open(os.path.join(out, "_MANIFEST")))) == 2
+    assert len([
+        f
+        for f in json.load(open(os.path.join(out, "_MANIFEST")))
+        if not f.startswith("_")
+    ]) == 2
     assert len(shards()) == n_before + 2
     v1 = sorted(
         r["doc_id"] for r in rd().option("version", 1).load().collect()
@@ -721,7 +727,9 @@ def test_manifest_commit_conflict_race(spark, tmp_path):
     assert langs == {"en", winner_tag}
     # the claimed v2 snapshot names exactly the winner's shard set
     v2 = _json.load(open(_os.path.join(out, "_MANIFEST.v2")))
-    assert set(v2) == {base_shard, f"part-00000-{winner_tag}.jsonl"}
+    assert {f for f in v2 if not f.startswith("_")} == {
+        base_shard, f"part-00000-{winner_tag}.jsonl"
+    }
 
 
 def test_commit_conflict_query_end_to_end(spark):
@@ -789,7 +797,9 @@ def test_version_stream_reader_reads_manifest_diffs_only(spark, tmp_path):
     assert v02 == v1 | v2
     assert all(orphan not in p for p in v02)
     m1 = _os_json.load(open(_os.path.join(out, "_MANIFEST.v1")))
-    assert v1 == {_os.path.join(out, f) for f in m1}
+    assert v1 == {
+        _os.path.join(out, f) for f in m1 if not f.startswith("_")
+    }
     # empty diff → no partitions
     assert r.partitions({"version": 2}, {"version": 2}) == []
 
@@ -839,15 +849,15 @@ def test_version_stream_skips_rewrite_commits(spark, tmp_path):
     # v1->v3 (append + rewrite in one batch): exactly v2's additions
     import json as _json
 
-    m1 = set(_json.load(open(_os.path.join(out, "_MANIFEST.v1"))))
-    m2 = set(_json.load(open(_os.path.join(out, "_MANIFEST.v2"))))
+    m1 = {f for f in _json.load(open(_os.path.join(out, "_MANIFEST.v1"))) if not f.startswith("_")}
+    m2 = {f for f in _json.load(open(_os.path.join(out, "_MANIFEST.v2"))) if not f.startswith("_")}
     got = {
         _os.path.basename(p.value)
         for p in r.partitions({"version": 1}, {"version": 3})
     }
     assert got == m2 - m1
     # 0->3: v1 + v2 additions, never the compacted files
-    m3 = set(_json.load(open(_os.path.join(out, "_MANIFEST.v3"))))
+    m3 = {f for f in _json.load(open(_os.path.join(out, "_MANIFEST.v3"))) if not f.startswith("_")}
     got_all = {
         _os.path.basename(p.value)
         for p in r.partitions({"version": 0}, {"version": 3})
@@ -946,7 +956,9 @@ def test_commit_seeds_from_base_snapshot_not_live_pointer(
     w.commit([JsonlCommit(b_tmp, b_final, 1, 200, 200)])
 
     v3 = _json.load(open(_os.path.join(out, "_MANIFEST.v3")))
-    assert set(v3) == {base_shard, a_shard, b_final}
+    assert {f for f in v3 if not f.startswith("_")} == {
+        base_shard, a_shard, b_final
+    }
     langs = {
         r["lang"]
         for r in spark.read.format("jsonl_docs")
@@ -996,7 +1008,7 @@ def test_fresh_version_stream_starts_at_earliest_kept_snapshot(
     vacuum_jsonl_dir(out, keep_versions=1)  # only v3 (+ marker) left
 
     r = JsonlDocsVersionStreamReader({"path": out})
-    m3 = set(_json.load(open(_os.path.join(out, "_MANIFEST.v3"))))
+    m3 = {f for f in _json.load(open(_os.path.join(out, "_MANIFEST.v3"))) if not f.startswith("_")}
     got = {
         _os.path.basename(p.value)
         for p in r.partitions({"version": 0}, {"version": 3})
@@ -1796,3 +1808,71 @@ def test_stream_sink_batch_retry_is_idempotent(spark, tmp_path):
 
     assert drain(0, 1) == [0, 1, 2]
     assert drain(1, 2) == [3, 4]
+
+
+def test_as_of_ts_resolution_contract(spark, tmp_path):
+    """TIMESTAMP AS OF edge cases: a timestamp between commits resolves
+    to the earlier one; exactly a commit's stamp includes it; one
+    predating the table raises loudly; 'version' and 'as_of_ts'
+    together are rejected; vacuum shrinks the reachable window."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    import pytest as _pytest
+
+    from pu4spark_spark.sources.pydatasource import (
+        register_pyds,
+        vacuum_jsonl_dir,
+    )
+
+    register_pyds(spark)
+    out = str(tmp_path / "ts")
+
+    def df(ids):
+        return spark.createDataFrame(
+            [(i, f"doc {i}", "en", "s", 5) for i in ids],
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint",
+        )
+
+    t0 = _time.time_ns()
+    df([0, 1]).repartition(1).write.format("jsonl_docs").option(
+        "path", out
+    ).mode("overwrite").save()
+    _time.sleep(0.005)
+    mid = _time.time_ns()
+    _time.sleep(0.005)
+    df([2, 3]).repartition(1).write.format("jsonl_docs").option(
+        "path", out
+    ).option("base_version", 1).mode("append").save()
+
+    def ids_at(ts):
+        return sorted(
+            r["doc_id"]
+            for r in spark.read.format("jsonl_docs")
+            .option("path", out)
+            .option("as_of_ts", ts)
+            .load()
+            .collect()
+        )
+
+    assert ids_at(mid) == [0, 1]
+    assert ids_at(_time.time_ns()) == [0, 1, 2, 3]
+    # exactly v1's stamp: inclusive
+    v1_ts = _json.load(open(_os.path.join(out, "_MANIFEST.v1")))["_ts"]
+    assert ids_at(v1_ts) == [0, 1]
+    with _pytest.raises(Exception, match="as_of_ts"):
+        ids_at(t0)  # predates the first commit
+    with _pytest.raises(Exception, match="not both"):
+        (
+            spark.read.format("jsonl_docs")
+            .option("path", out)
+            .option("version", 1)
+            .option("as_of_ts", mid)
+            .load()
+            .collect()
+        )
+    vacuum_jsonl_dir(out, keep_versions=1)
+    with _pytest.raises(Exception, match="as_of_ts"):
+        ids_at(mid)  # v1's snapshot reclaimed — fails loudly
