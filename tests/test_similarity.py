@@ -478,3 +478,55 @@ def test_ranking_eval_rerank_dominates_retrieve(spark):
         assert mean([r[metric] for r in by_stage["rerank"]]) >= mean(
             [r[metric] for r in by_stage["retrieve"]]
         ), metric
+
+
+def test_cosine_topk_randomized_vs_bruteforce(spark):
+    """Randomized-input property test for the exact ANN core (5 seeds):
+    cosine_topk over random integer-quantized vectors — with planted
+    DUPLICATE vectors so cosine ties are real — must equal a CPython
+    brute-force oracle computing the identical IEEE expression
+    (exact int64 dot, then dot/(sqrt*sqrt)) under the identical
+    (cosine DESC, vec_id ASC) total order."""
+    import math
+    import random
+
+    from pu4spark_spark.operators.similarity import cosine_topk
+
+    for seed in (5, 13, 29, 37, 53):
+        rng = random.Random(seed)
+        vecs = {}
+        for i in range(36):
+            vecs[i] = [rng.randint(-127, 127) for _ in range(8)]
+        # planted duplicates: exact cosine ties, broken by vec_id
+        for i, src in enumerate(rng.sample(sorted(vecs), 4)):
+            vecs[36 + i] = list(vecs[src])
+        rows = [
+            (i, v, sum(x * x for x in v)) for i, v in vecs.items()
+        ]
+        base = spark.createDataFrame(
+            rows, "vec_id bigint, q array<bigint>, norm2 bigint"
+        )
+        n_queries = 6
+        got = {
+            (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+            for r in cosine_topk(
+                base, base.filter("vec_id < 6"), k=5
+            ).collect()
+        }
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+            return d / (
+                math.sqrt(sum(x * x for x in vecs[a]))
+                * math.sqrt(sum(x * x for x in vecs[b]))
+            )
+
+        for qid in range(n_queries):
+            cand = sorted(
+                ((cos(qid, n), n) for n in vecs if n != qid),
+                key=lambda t: (-t[0], t[1]),
+            )[:5]
+            for rank, (c, n) in enumerate(cand, start=1):
+                gn, gc = got[(qid, rank)]
+                assert gn == n, (seed, qid, rank, gn, n)
+                assert gc == c, (seed, qid, rank, gc, c)
