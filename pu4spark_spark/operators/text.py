@@ -576,7 +576,6 @@ def q_text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-trivial projections separate, so each array is computed once
     per row.
     """
-    from pu4spark_spark.functions.textfns import nibble
     from pu4spark_spark.plans import spread
 
     # single-file scan + interpreted HOF chain = the spread() case
@@ -585,11 +584,11 @@ def q_text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, "documents", sf_dir))
 
     def tok_code(t):
-        h = F.md5(t)
-        code = F.lit(0).cast("long")
-        for i in range(1, 9):  # first 8 md5 nibbles → 32-bit code
-            code = code * 16 + nibble(h, i)
-        return code
+        # first 8 md5 hex digits as one int64 — ONE conv per token
+        # instead of the 8-nibble fold (~17 interpreted expression
+        # nodes inside this transform lambda → 3; bit-identical value,
+        # the SQL twin keeps the unrolled spelling)
+        return F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
 
     coded = docs.select(
         "doc_id", F.transform(tokens("text"), tok_code).alias("cs")
