@@ -535,8 +535,13 @@ def main() -> None:
         # builds them inline immediately before the measured run, and
         # the build's JVM debris (file commits, GC) lands on the
         # measurement (dedup_clusters_incremental first-measured 11.9 s
-        # vs 3.5 s on its clean rerun)
+        # vs 3.5 s on its clean rerun).  Timed under its own key so
+        # build-cost growth at the warmup sf stays visible too.
+        t0 = time.time()
         fn(spark, WARMUP_SF_DIR)
+        artifact_builds[f"{fn.__name__}@warmup"] = round(
+            time.time() - t0, 3
+        )
     spark.catalog.clearCache()
     # settle pass: the artifact builds above leave the JVM with pending
     # file-commit/GC work that otherwise lands on the FIRST measured

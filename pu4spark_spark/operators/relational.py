@@ -2166,9 +2166,10 @@ def q_events_dense_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the raw corpus is touched exactly once (the same
     rollup as ``events_hourly``); the hour grid is GENERATED
     (``sequence`` + explode) from the rollup's own 1-row min/max
-    aggregate and crossed with the rollup-derived type dimension —
-    grid size is hours × types regardless of corpus size, so the
-    final left join broadcasts the grid and the fill is free."""
+    aggregate and crossed with the rollup-derived type dimension.
+    The fill join broadcasts the ROLLUP side (``F.broadcast(hourly)``
+    — hours × types cells, the only side whose size is knowable and
+    bounded), so the grid never shuffles and the fill is free."""
     from pu4spark_spark.plans import cached
 
     events = load_table(spark, "events", sf_dir)

@@ -95,8 +95,15 @@ def release_cached() -> None:
     """Unpersist every frame :func:`cached` pinned since the last call.
     Called by the registry wrapper at each query's entry — by then the
     previous query's result has been consumed, so its intermediates are
-    dead weight (re-deriving a released frame is always correct, just
-    a recompute)."""
+    dead weight.  Re-deriving a released frame is correct (a recompute)
+    for PLAN-BACKED frames only: ``cached(df.localCheckpoint(...))``
+    frames have their lineage truncated, so unpersisting drops the only
+    copy and any LATER action on a retained reference fails instead of
+    recomputing.  Contract: no registry query may hand a cached
+    localCheckpoint frame to a later query — every such frame must be
+    fully consumed before the query returns (true today: checkpointed
+    loop state in dedup/similarity is drained into the query's own
+    result)."""
     while _RELEASABLE:
         try:
             _RELEASABLE.pop().unpersist()

@@ -467,6 +467,23 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
             base = _latest_manifest_version(self.path)
             version = base + 1
             manifest = dict(_manifest_at(self.path, base))
+            # re-check _txn against the REFRESHED base: a zombie /
+            # duplicate sink instance (engine failover) that passed the
+            # pre-loop check can lose the claim race to the OTHER
+            # instance's commit of this very batchId — re-claiming the
+            # next version would land the batch's shards TWICE.  The
+            # idempotence test must ride every claim attempt, not just
+            # the first read (the Delta txn check is part of the commit
+            # transaction for the same reason).  Our staged shards are
+            # in no committed manifest — remove them and no-op.
+            if manifest.get(TXN_KEY, {}).get("last_batch", -1) >= batchId:
+                for f in staged:
+                    try:
+                        _os.remove(_os.path.join(self.path, f))
+                    except OSError:
+                        pass
+                self._sweep(set())
+                return
             if TOMBSTONE_KEY in manifest:
                 added = manifest[TOMBSTONE_KEY].setdefault("added", {})
                 for f in staged:
@@ -914,15 +931,28 @@ def _version_as_of(path: str, ts_ns: int) -> int:
     as version pins).  Legacy manifests without a stamp count as
     arbitrarily old (always eligible).  One metadata read per retained
     version — metadata-scale.  Raises if the timestamp predates every
-    retained commit."""
+    retained commit.
+
+    Raw ``_ts`` stamps are NOT monotonic with version: a
+    base_version-pinned writer stamps ``_ts`` before its claim and can
+    stall, so v{N+1} may carry an earlier stamp than v{N}.  Resolution
+    therefore CANONICALIZES each commit's effective timestamp to
+    ``max(own _ts, every predecessor's _ts)`` (Delta canonicalizes
+    commit timestamps for exactly this reason) — the effective series
+    is monotone, so "newest commit at or before t" is well-defined and
+    never resolves to a version at which an earlier-numbered commit had
+    not yet landed."""
+    versions = sorted(
+        int(f.rsplit(".v", 1)[1])
+        for f in os.listdir(path)
+        if f.startswith("_MANIFEST.v") and f.rsplit(".v", 1)[1].isdigit()
+    )
     best = 0
-    for f in os.listdir(path):
-        if f.startswith("_MANIFEST.v") and f.rsplit(".v", 1)[1].isdigit():
-            v = int(f.rsplit(".v", 1)[1])
-            if v <= best:
-                continue
-            if _manifest_at(path, v).get("_ts", 0) <= ts_ns:
-                best = v
+    running = 0
+    for v in versions:
+        running = max(running, _manifest_at(path, v).get("_ts", 0))
+        if running <= ts_ns:
+            best = v
     if best == 0:
         raise ValueError(
             f"jsonl_docs: no commit at or before as_of_ts={ts_ns} "

@@ -1876,3 +1876,109 @@ def test_as_of_ts_resolution_contract(spark, tmp_path):
     vacuum_jsonl_dir(out, keep_versions=1)
     with _pytest.raises(Exception, match="as_of_ts"):
         ids_at(mid)  # v1's snapshot reclaimed — fails loudly
+
+def test_stream_sink_zombie_instance_rechecks_txn_in_claim_loop(
+    spark, tmp_path
+):
+    """ADVICE r10 (medium): a ZOMBIE duplicate sink instance that passed
+    the pre-loop _txn check, then lost the claim race to the live
+    instance's commit of the SAME batchId, must rediscover the txn
+    marker on its refreshed base and no-op — never re-claim the next
+    version and land the batch twice.  Simulated deterministically by
+    injecting the rival's commit between the zombie's pre-loop check
+    and its first claim attempt."""
+    import json as _json
+    import os as _os
+
+    from pu4spark_spark.sources import pydatasource as P
+
+    out = str(tmp_path / "zombie")
+    _os.makedirs(out)
+    schema = spark.createDataFrame(
+        [],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    ).schema
+    w = P.JsonlDocsStreamWriter({"path": out}, schema)
+    # base table: batch 0 committed normally as v1.  Final names carry
+    # the writer's token, mirroring the real sink's per-task UUIDs (two
+    # instances never stage under one final name).
+    def stage(writer, ids, part):
+        final = f"part-{part:05d}-{writer.job_token}.jsonl"
+        tmp = f"_tmp-{writer.job_token}-" + final
+        with open(_os.path.join(out, tmp), "w") as fh:
+            for i in ids:
+                fh.write(
+                    _json.dumps(
+                        {"doc_id": i, "text": f"d{i}", "lang": "en",
+                         "source": "s", "n_chars": 2}
+                    ) + "\n"
+                )
+        return P.JsonlCommit(tmp, final, len(ids), min(ids), max(ids))
+
+    w.commit([stage(w, [0, 1], 0)], batchId=0)
+    assert P._latest_manifest_version(out) == 1
+
+    # zombie instance prepares batch 1; the LIVE instance's commit of
+    # batch 1 lands between the zombie's pre-loop check and its claim
+    zombie = P.JsonlDocsStreamWriter({"path": out}, schema)
+    zmsg = stage(zombie, [2, 3], 1)
+    orig_excl = P._write_atomic_excl
+    fired = {"n": 0}
+
+    def rival_first(path, body):
+        if fired["n"] == 0 and path.endswith("_MANIFEST.v2"):
+            fired["n"] = 1
+            live = P.JsonlDocsStreamWriter({"path": out}, schema)
+            w_live = stage(live, [2, 3], 1)
+            live.commit([w_live], batchId=1)  # rival wins v2
+        return orig_excl(path, body)
+
+    P._write_atomic_excl = rival_first
+    try:
+        zombie.commit([zmsg], batchId=1)  # must no-op, not claim v3
+    finally:
+        P._write_atomic_excl = orig_excl
+    assert P._latest_manifest_version(out) == 2, (
+        "zombie re-claimed a version for an already-committed batch"
+    )
+    m2 = P._manifest_at(out, 2)
+    assert m2[P.TXN_KEY] == {"last_batch": 1}
+    # zombie's staged finals were rolled back: exactly the rival's
+    # shards exist, and the batch's rows appear ONCE
+    shards = [f for f in _os.listdir(out) if f.endswith(".jsonl")]
+    assert sorted(shards) == sorted(P._manifest_files(m2))
+    P.register_pyds(spark)
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.format("jsonl_docs")
+        .option("path", out).load().collect()
+    )
+    assert got == [0, 1, 2, 3]
+
+
+def test_as_of_ts_canonicalizes_non_monotonic_stamps(tmp_path):
+    """ADVICE r10 (low): raw _ts stamps are not monotonic with version
+    (a pinned writer stamps before its claim and can stall).  Resolution
+    must canonicalize each commit's effective time to the running max —
+    a timestamp at which v2's raw stamp had passed but v1's had not must
+    NOT resolve to v2 (at that wall-clock instant no commit chain was
+    visible), and a timestamp past both resolves to the latest."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from pu4spark_spark.sources.pydatasource import _version_as_of
+
+    out = str(tmp_path / "nonmono")
+    _os.makedirs(out)
+    # v1 stamped LATER (100) than v2 (50): stalled-claim inversion
+    with open(_os.path.join(out, "_MANIFEST.v1"), "w") as fh:
+        _json.dump({"a.jsonl": 1, "_ts": 100}, fh)
+    with open(_os.path.join(out, "_MANIFEST.v2"), "w") as fh:
+        _json.dump({"a.jsonl": 1, "b.jsonl": 1, "_ts": 50}, fh)
+    with _pytest.raises(ValueError, match="as_of_ts"):
+        _version_as_of(out, 60)  # raw would return v2 — canonical: none
+    assert _version_as_of(out, 100) == 2  # both effective at 100
+    assert _version_as_of(out, 10**18) == 2
