@@ -20,6 +20,7 @@ the driver: no collect, no shared state, one sequential pass per shard.
 
 from __future__ import annotations
 
+import functools
 import os
 import tempfile
 
@@ -678,8 +679,22 @@ class JsonlDocsReader(DataSourceReader):
         parts = []
         for f in self._prune(files):
             full = os.path.join(self.path, f)
-            ids = _tomb_ids_for(f, tombs)
-            parts.append(InputPartition((full, ids) if ids else full))
+            ids, kfiles = _tomb_sources_for(f, tombs)
+            if ids or kfiles:
+                parts.append(
+                    InputPartition(
+                        (
+                            full,
+                            ids,
+                            tuple(
+                                os.path.join(self.path, kf)
+                                for kf in kfiles
+                            ),
+                        )
+                    )
+                )
+            else:
+                parts.append(InputPartition(full))
         return parts
 
     def read(self, partition):
@@ -789,7 +804,11 @@ def _list_shards(path: str) -> list[str]:
 #: _manifest_files() to skip reserved keys.
 #:
 #: Ledger shape — Iceberg's SEQUENCE-NUMBER scoping, in JSON:
-#:   {"entries": [{"v": commit_version, "ids": [doc_ids]}, ...],
+#:   {"entries": [{"v": commit_version,
+#:                 "files": [key_file, ...],   # referenced DELETE FILES
+#:                 "n": key_count,             # audit metadata only
+#:                 "ids": [doc_ids]},          # legacy inline form
+#:                ...],
 #:    "added":   {shard_file: version_that_added_it, ...}}
 #: An entry applies to shard f iff ``entry.v > added(f)`` (unknown
 #: added = 0 — every shard already present when the ledger was created
@@ -799,9 +818,22 @@ def _list_shards(path: str) -> list[str]:
 #: stays answerable for any shard a reader or a replaying stream can
 #: deliver.  A MERGE is the exemption in action: its tombstone entry
 #: and its new shards share one version, so ``v > added`` spares
-#: exactly the replacement rows.  At 100 TB the ids move into
-#: per-shard deletion-vector files referenced from the manifest; the
-#: ledger here is the metadata-scale form with identical semantics.
+#: exactly the replacement rows.
+#:
+#: The deleted KEYS live in delete FILES, not in the manifest
+#: (Iceberg's equality-delete files / Delta's deletion vectors make
+#: the same move): an entry's ``files`` name JSONL files in the table
+#: directory whose rows carry ``doc_id`` — either dedicated
+#: ``_delete-*`` key shards (written by :func:`delete_from_jsonl_dir`,
+#: distributedly when the keys come as a DataFrame) or, for a MERGE,
+#: the merge's OWN staged data shards (the keys are exactly its rows —
+#: zero extra write, zero driver collect).  The manifest carries only
+#: paths + counts, so a commit is O(files) metadata regardless of key
+#: count, readers stream the key files executor-side at scan time
+#: (cached per worker — files are immutable), compaction clears the
+#: entries, and vacuum reclaims unreferenced ``_delete-*`` files.
+#: Legacy inline ``ids`` entries remain readable (handy for crafted
+#: fixtures); writers never produce them.
 TOMBSTONE_KEY = "_tombstones"
 
 
@@ -817,35 +849,68 @@ def _tombstones_of(manifest: dict | None) -> dict:
     return {"entries": [], "added": {}}
 
 
-def _tomb_ids_for(f: str, tombs: dict, added_v: int | None = None) -> tuple:
-    """Sorted doc_ids tombstoned for shard ``f`` (empty tuple = none):
-    the ids of every entry committed AFTER the shard was added.
-    ``added_v`` overrides the ledger's added-map (the version stream
-    knows each diff-delivered shard's add version directly)."""
+def _tomb_sources_for(
+    f: str, tombs: dict, added_v: int | None = None
+) -> tuple[tuple, tuple]:
+    """``(inline_ids, delete_file_names)`` tombstoning shard ``f`` —
+    the sources of every entry committed AFTER the shard was added
+    (``entry.v > added(f)``).  ``added_v`` overrides the ledger's
+    added-map (the version stream knows each diff-delivered shard's add
+    version directly).  Inline ids are the legacy fixture form; the
+    delete-file names are resolved to absolute paths by the caller and
+    streamed EXECUTOR-side (:func:`_load_delete_keys`) — the driver
+    never materializes a key set."""
     av = (
         added_v
         if added_v is not None
         else tombs.get("added", {}).get(f, 0)
     )
     ids: set = set()
+    files: list = []
     for e in tombs.get("entries", ()):
         if e["v"] > av:
             ids.update(e.get("ids", ()))
-    return tuple(sorted(ids))
+            for kf in e.get("files", ()):
+                if kf not in files:
+                    files.append(kf)
+    return tuple(sorted(ids)), tuple(files)
+
+
+@functools.lru_cache(maxsize=256)
+def _load_delete_keys(path: str) -> frozenset:
+    """doc_id key set of one delete/key file — runs on the EXECUTOR's
+    Python worker and is memoized per worker process (delete files are
+    immutable once referenced: UUID-named, written before the manifest
+    claim, reclaimed only by vacuum), so a worker scanning many shards
+    parses each key file once, not once per shard."""
+    import json
+
+    keys = set()
+    with open(path) as fh:
+        for line in fh:
+            if not line.strip():
+                continue
+            keys.add(json.loads(line).get("doc_id"))
+    return frozenset(keys)
 
 
 def _iter_jsonl(value):
     """Executor-side shard scan shared by every reader: ``value`` is a
-    shard path, or ``(path, tombstoned_ids)`` when DELETE/MERGE commits
-    apply to the shard — tombstoned rows are filtered here, so deletion
-    is enforced by construction for batch, time-travel, and streaming
+    shard path, or ``(path, inline_ids, delete_file_paths)`` when
+    DELETE/MERGE commits apply to the shard — tombstoned rows are
+    filtered here (the drop set is the inline ids plus the union of the
+    referenced delete files' keys, loaded worker-side), so deletion is
+    enforced by construction for batch, time-travel, and streaming
     reads alike."""
     import json
 
     if isinstance(value, str):
         path, drop = value, None
     else:
-        path, drop = value[0], set(value[1])
+        path = value[0]
+        drop = set(value[1])
+        for kf in value[2] if len(value) > 2 else ():
+            drop |= _load_delete_keys(kf)
     with open(path) as fh:
         for line in fh:
             if not line.strip():
@@ -1167,8 +1232,24 @@ class JsonlDocsVersionStreamReader(DataSourceStreamReader):
         parts = []
         for f, av in sorted(out.items()):
             full = os.path.join(self.path, f)
-            ids = _tomb_ids_for(f, {"entries": batch_ents}, added_v=av)
-            parts.append(InputPartition((full, ids) if ids else full))
+            ids, kfiles = _tomb_sources_for(
+                f, {"entries": batch_ents}, added_v=av
+            )
+            if ids or kfiles:
+                parts.append(
+                    InputPartition(
+                        (
+                            full,
+                            ids,
+                            tuple(
+                                os.path.join(self.path, kf)
+                                for kf in kfiles
+                            ),
+                        )
+                    )
+                )
+            else:
+                parts.append(InputPartition(full))
         return parts
 
     def read(self, partition):
@@ -1673,10 +1754,20 @@ def vacuum_jsonl_dir(path: str, keep_versions: int = 1) -> int:
     live: set[str] = set()
     for v in keep:
         with open(os.path.join(path, f"_MANIFEST.v{v}")) as fh:
-            live.update(_manifest_files(_json.load(fh)))
+            m = _json.load(fh)
+        live.update(_manifest_files(m))
+        # tombstone entries' delete files stay reachable while any
+        # retained manifest references them (a merge's entry names its
+        # own data shards — already live; a delete's names _delete-*
+        # key shards, reclaimed below once no kept ledger needs them)
+        for e in _tombstones_of(m)["entries"]:
+            live.update(e.get("files", ()))
     removed = 0
     for f in os.listdir(path):
-        if f.startswith("_MANIFEST.v"):
+        if f.startswith("_delete-"):
+            if f not in live:
+                os.remove(os.path.join(path, f))
+        elif f.startswith("_MANIFEST.v"):
             v = f.rsplit(".v", 1)[1]
             if v.isdigit() and int(v) not in keep:
                 os.remove(os.path.join(path, f))
@@ -2246,18 +2337,24 @@ def delete_from_jsonl_dir(
     rewrites live rows only and so reclaims the space physically, after
     which vacuum drops the old shards.
 
-    A delete is a PURE METADATA commit: no Spark job, no data rewrite —
-    one JSON claim through the same create-if-absent OCC gate as every
-    append, so a delete racing an append has exactly one winner
+    A delete commits through the same create-if-absent OCC gate as
+    every append, so a delete racing an append has exactly one winner
     (``ManifestCommitConflict`` for the loser).  ``base_version`` pins
     the snapshot this delete was planned against (None = latest).
 
-    Scale: the ledger holds equality-delete keys — metadata-scale by
-    design (Iceberg equality deletes make the same call); a 100 TB
-    deployment moves the ids into per-shard deletion-vector files
-    referenced from the manifest, same semantics.  Returns the new
+    Scale: the keys land in DELETE FILES (``_delete-*.jsonl``), not in
+    the manifest — the manifest entry carries only file names + a
+    count, so commit metadata is O(1) in the key count and every
+    subsequent commit re-serializes paths, never keys (Iceberg
+    equality-delete files / Delta deletion vectors).  ``doc_ids`` may
+    be a DataFrame, in which case the key shards are written by a
+    DISTRIBUTED job and the driver never materializes a single key —
+    the 100 TB daily-CDC shape; an iterable writes one driver-side key
+    file (the bounded metadata-scale path).  The manifest claim itself
+    stays a pure-metadata commit either way.  Returns the new
     version."""
     import json as _json
+    import uuid as _uuid
 
     base = (
         base_version
@@ -2271,7 +2368,59 @@ def delete_from_jsonl_dir(
     version = base + 1
     manifest = _manifest_at(path, base)
     files = sorted(_manifest_files(manifest))
-    ids = sorted({int(i) for i in doc_ids})
+    # stage the key set as delete file(s) in the table dir: '_'-prefixed
+    # (invisible to listing readers) and referenced by no manifest until
+    # the claim below lands — same invisibility discipline as staged
+    # data shards.
+    token = _uuid.uuid4().hex[:8]
+    key_files: list[str] = []
+    n_keys = 0
+    if isinstance(doc_ids, DataFrame):
+        register_pyds(doc_ids.sparkSession)
+        stage = path + f".delete-stage-{token}"
+        (
+            doc_ids.select("doc_id")
+            .write.format("jsonl_docs")
+            .option("path", stage)
+            .mode("overwrite")
+            .save()
+        )
+        with open(os.path.join(stage, "_MANIFEST")) as fh:
+            staged = {
+                f: r
+                for f, r in _json.load(fh).items()
+                if not f.startswith("_")
+            }
+        for i, (f, rows) in enumerate(sorted(staged.items())):
+            if not rows:
+                continue  # empty task shard — nothing to reference
+            name = f"_delete-{token}-{i:04d}.jsonl"
+            os.replace(os.path.join(stage, f), os.path.join(path, name))
+            key_files.append(name)
+            n_keys += rows
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+    else:
+        ids = sorted({int(i) for i in doc_ids})
+        n_keys = len(ids)
+        if ids:
+            name = f"_delete-{token}.jsonl"
+            _write_atomic(
+                os.path.join(path, name),
+                "".join(
+                    _json.dumps({"doc_id": i}) + "\n" for i in ids
+                ),
+            )
+            key_files.append(name)
+
+    def _drop_key_files() -> None:
+        for kf in key_files:
+            try:
+                os.remove(os.path.join(path, kf))
+            except OSError:
+                pass
+
     new_manifest = {f: manifest[f] for f in files}
     # carry reserved keys other than the ledger (e.g. the streaming
     # sink's _txn idempotence marker) through the metadata commit
@@ -2279,11 +2428,18 @@ def delete_from_jsonl_dir(
         if k.startswith("_") and k != TOMBSTONE_KEY:
             new_manifest[k] = v
     tombs = _tombstones_of(manifest)
-    if ids and files:
+    if key_files and files:
         tombs = {
-            "entries": [*tombs["entries"], {"v": version, "ids": ids}],
+            "entries": [
+                *tombs["entries"],
+                {"v": version, "files": key_files, "n": n_keys},
+            ],
             "added": dict(tombs.get("added", {})),
         }
+    elif key_files:
+        # empty table: the keys can tombstone nothing — reclaim now
+        _drop_key_files()
+        key_files = []
     if tombs["entries"]:
         new_manifest[TOMBSTONE_KEY] = tombs
     import time as _time
@@ -2295,6 +2451,8 @@ def delete_from_jsonl_dir(
             os.path.join(path, f"_MANIFEST.v{version}"), body
         )
     except FileExistsError:
+        # rolled back: the key files are in no committed manifest
+        _drop_key_files()
         raise ManifestCommitConflict(
             f"concurrent commit: _MANIFEST.v{version} was claimed by "
             f"another writer after this delete read version {base}; "
@@ -2329,17 +2487,15 @@ def merge_into_jsonl_dir(
     re-runs).
 
     Scale: the data path is a normal distributed write sized by the
-    source batch; the driver handles only the source KEY SET (equality
-    deletes are metadata-scale — a copy-on-write engine would instead
-    rewrite affected shards via anti-join, trading write amplification
-    for zero read-time filtering).  Returns the committed version."""
+    source batch, and the KEY SET never exists anywhere else — the
+    tombstone entry references the merge's own staged shards as its
+    delete files (their rows carry exactly the source keys), so the
+    driver handles file NAMES only: no collect, no key
+    materialization, manifest O(#shards) per commit regardless of key
+    count (a copy-on-write engine would instead rewrite affected
+    shards via anti-join, trading write amplification for zero
+    read-time filtering).  Returns the committed version."""
     import json as _json
-
-    keys = sorted(
-        r[0]
-        for r in df.select("doc_id").distinct().collect()
-        if r[0] is not None
-    )
     import uuid as _uuid
 
     # per-merge stage dir: two concurrent merges into one table must
@@ -2390,8 +2546,17 @@ def merge_into_jsonl_dir(
                 new_manifest[k] = v
         tombs = _tombstones_of(manifest)
         entries = list(tombs["entries"])
-        if keys and files:
-            entries.append({"v": version, "ids": keys})
+        if staged and files:
+            # the staged shards double as the entry's delete files:
+            # every row they hold IS a source key (self-exempt via
+            # "v > added" — they are added at this very version)
+            entries.append(
+                {
+                    "v": version,
+                    "files": sorted(staged),
+                    "n": sum(staged.values()),
+                }
+            )
         new_manifest.update(staged)
         if entries:
             # the staged shards share the entry's version: "v > added"
@@ -2481,16 +2646,15 @@ def q_fmt_pyds_delete_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mode("append")
         .save()
     )
-    # v3: DELETE — the key list is driver-side by design (equality-
-    # delete keys are metadata-scale; the predicate-to-keys resolution
-    # is one bounded collect of ids only)
-    del_ids = [
-        r[0]
-        for r in docs.filter(F.col("doc_id") % 10 == DELETE_MOD)
+    # v3: DELETE — the keys go straight from a DataFrame predicate into
+    # distributed _delete-* key shards; the driver never holds an id
+    v = delete_from_jsonl_dir(
+        out,
+        docs.filter(F.col("doc_id") % 10 == DELETE_MOD)
         .select("doc_id")
-        .collect()
-    ]
-    v = delete_from_jsonl_dir(out, del_ids, base_version=2)
+        .repartition(2),
+        base_version=2,
+    )
     if v != 3:
         raise AssertionError(f"delete committed v{v}, expected v3")
     # v4: MERGE — replace the %7 rows with bumped n_chars
@@ -2636,15 +2800,14 @@ def q_streaming_pyds_delete_feed(
     _versioned_lang_drain_opts(
         spark, out, ckpt, lag, ignore_deletes=True
     )  # consumes v1 = all evens
-    # v2: DELETE %10==4 (bounded id collect — equality-delete keys are
-    # metadata-scale by design)
-    del_ids = [
-        r[0]
-        for r in evens.filter(F.col("doc_id") % 10 == FEED_DELETE_MOD)
+    # v2: DELETE %10==4 — distributed key shards, no driver id collect
+    delete_from_jsonl_dir(
+        out,
+        evens.filter(F.col("doc_id") % 10 == FEED_DELETE_MOD)
         .select("doc_id")
-        .collect()
-    ]
-    delete_from_jsonl_dir(out, del_ids, base_version=1)
+        .repartition(2),
+        base_version=1,
+    )
     # v3: MERGE — replace %10==8 rows with bumped n_chars
     upserts = evens.filter(F.col("doc_id") % 10 == FEED_MERGE_MOD).select(
         "doc_id",

@@ -1982,3 +1982,121 @@ def test_as_of_ts_canonicalizes_non_monotonic_stamps(tmp_path):
         _version_as_of(out, 60)  # raw would return v2 — canonical: none
     assert _version_as_of(out, 100) == 2  # both effective at 100
     assert _version_as_of(out, 10**18) == 2
+
+def test_delete_keys_spill_to_files_manifest_o1(spark, tmp_path):
+    """VERDICT r10 #1 'done' pin: the tombstone ledger references
+    delete FILES, never inline keys — a 100k-key delete leaves every
+    manifest written afterwards a few KB (O(files) metadata, O(1) in
+    the key count), readers apply the keys executor-side, and vacuum
+    reclaims the key shards once no retained manifest references them."""
+    import json as _json
+    import os as _os
+
+    from pu4spark_spark.sources.pydatasource import (
+        TOMBSTONE_KEY,
+        compact_jsonl_dir,
+        delete_from_jsonl_dir,
+        register_pyds,
+        vacuum_jsonl_dir,
+    )
+
+    register_pyds(spark)
+    out = str(tmp_path / "big")
+    n = 120_000
+    spark.range(n).selectExpr(
+        "id AS doc_id",
+        "concat('doc ', id) AS text",
+        "'en' AS lang",
+        "'s' AS source",
+        "cast(5 AS bigint) AS n_chars",
+    ).repartition(4).write.format("jsonl_docs").option(
+        "path", out
+    ).mode("overwrite").save()
+
+    # DELETE 100k keys, supplied as a DataFrame: the key shards are
+    # written by a distributed job, the driver never holds an id
+    keys = spark.range(n).filter("id % 6 != 0").selectExpr("id AS doc_id")
+    assert keys.count() == 100_000
+    v = delete_from_jsonl_dir(out, keys.repartition(3), base_version=1)
+    assert v == 2
+
+    man_path = _os.path.join(out, "_MANIFEST.v2")
+    assert _os.path.getsize(man_path) < 4096, (
+        f"manifest is {_os.path.getsize(man_path)} bytes — keys leaked "
+        "inline instead of spilling to delete files"
+    )
+    m2 = _json.load(open(man_path))
+    ents = m2[TOMBSTONE_KEY]["entries"]
+    assert len(ents) == 1 and "ids" not in ents[0]
+    assert ents[0]["n"] == 100_000
+    kfiles = ents[0]["files"]
+    assert kfiles and all(kf.startswith("_delete-") for kf in kfiles)
+    for kf in kfiles:
+        assert _os.path.exists(_os.path.join(out, kf))
+
+    # a FURTHER commit re-serializes paths, not keys: still tiny
+    delete_from_jsonl_dir(out, [0], base_version=2)  # v3
+    assert _os.path.getsize(_os.path.join(out, "_MANIFEST.v3")) < 4096
+
+    # correctness: exactly the %6==0 survivors minus id 0 remain
+    got = (
+        spark.read.format("jsonl_docs").option("path", out).load()
+        .agg({"doc_id": "count"}).collect()[0][0]
+    )
+    assert got == n // 6 - 1
+
+    # compaction clears the ledger; vacuum then reclaims the key shards
+    compact_jsonl_dir(spark, out, target_shards=2)
+    vacuum_jsonl_dir(out, keep_versions=1)
+    leftover = [f for f in _os.listdir(out) if f.startswith("_delete-")]
+    assert leftover == [], f"vacuum left delete files behind: {leftover}"
+    got2 = (
+        spark.read.format("jsonl_docs").option("path", out).load()
+        .agg({"doc_id": "count"}).collect()[0][0]
+    )
+    assert got2 == n // 6 - 1
+
+
+def test_delete_files_survive_vacuum_while_referenced(spark, tmp_path):
+    """A retained manifest's ledger keeps its delete files alive through
+    vacuum (a lagging time-travel read still needs them); they are
+    reclaimed only when every referencing manifest is dropped."""
+    import os as _os
+
+    from pu4spark_spark.sources.pydatasource import (
+        delete_from_jsonl_dir,
+        register_pyds,
+        vacuum_jsonl_dir,
+    )
+
+    register_pyds(spark)
+    out = str(tmp_path / "ref")
+
+    def df(rows):
+        return spark.createDataFrame(
+            rows,
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint",
+        )
+
+    df([(i, f"doc {i}", "en", "s", 5) for i in range(10)]).repartition(
+        1
+    ).write.format("jsonl_docs").option("path", out).mode(
+        "overwrite"
+    ).save()
+    delete_from_jsonl_dir(out, [3, 4], base_version=1)  # v2
+    df([(20, "doc 20", "en", "s", 6)]).repartition(1).write.format(
+        "jsonl_docs"
+    ).option("path", out).option("base_version", 2).mode("append").save()
+
+    def read_ids(version=None):
+        r = spark.read.format("jsonl_docs").option("path", out)
+        if version is not None:
+            r = r.option("version", version)
+        return sorted(x["doc_id"] for x in r.load().collect())
+
+    # keep v2+v3: both reference the delete file — must survive vacuum
+    vacuum_jsonl_dir(out, keep_versions=2)
+    assert [f for f in _os.listdir(out) if f.startswith("_delete-")]
+    assert read_ids(version=2) == [0, 1, 2, 5, 6, 7, 8, 9]
+    assert read_ids() == [0, 1, 2, 5, 6, 7, 8, 9, 20]
