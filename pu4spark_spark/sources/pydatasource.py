@@ -2323,6 +2323,48 @@ def append_with_retry(
     raise last
 
 
+def _stage_key_shards(
+    keys_df: DataFrame, path: str, token: str
+) -> tuple[list[str], int]:
+    """Write ``keys_df``'s ``doc_id`` column as ``_delete-{token}-*``
+    key shards in the table dir via a DISTRIBUTED job (the
+    transactional writer into a sibling stage dir, then renamed in) —
+    the driver never materializes a key, only file names + row counts.
+    The files are invisible until a ledger entry references them:
+    '_'-prefixed (skipped by listing readers) and named by no committed
+    manifest.  Returns ``(names, total_keys)``; empty task shards are
+    dropped."""
+    import json as _json
+    import shutil
+
+    register_pyds(keys_df.sparkSession)
+    stage = path + f".delete-stage-{token}"
+    (
+        keys_df.select("doc_id")
+        .write.format("jsonl_docs")
+        .option("path", stage)
+        .mode("overwrite")
+        .save()
+    )
+    with open(os.path.join(stage, "_MANIFEST")) as fh:
+        staged = {
+            f: r
+            for f, r in _json.load(fh).items()
+            if not f.startswith("_")
+        }
+    key_files: list[str] = []
+    n_keys = 0
+    for i, (f, rows) in enumerate(sorted(staged.items())):
+        if not rows:
+            continue  # empty task shard — nothing to reference
+        name = f"_delete-{token}-{i:04d}.jsonl"
+        os.replace(os.path.join(stage, f), os.path.join(path, name))
+        key_files.append(name)
+        n_keys += rows
+    shutil.rmtree(stage, ignore_errors=True)
+    return key_files, n_keys
+
+
 def delete_from_jsonl_dir(
     path: str, doc_ids, base_version: int | None = None
 ) -> int:
@@ -2376,31 +2418,7 @@ def delete_from_jsonl_dir(
     key_files: list[str] = []
     n_keys = 0
     if isinstance(doc_ids, DataFrame):
-        register_pyds(doc_ids.sparkSession)
-        stage = path + f".delete-stage-{token}"
-        (
-            doc_ids.select("doc_id")
-            .write.format("jsonl_docs")
-            .option("path", stage)
-            .mode("overwrite")
-            .save()
-        )
-        with open(os.path.join(stage, "_MANIFEST")) as fh:
-            staged = {
-                f: r
-                for f, r in _json.load(fh).items()
-                if not f.startswith("_")
-            }
-        for i, (f, rows) in enumerate(sorted(staged.items())):
-            if not rows:
-                continue  # empty task shard — nothing to reference
-            name = f"_delete-{token}-{i:04d}.jsonl"
-            os.replace(os.path.join(stage, f), os.path.join(path, name))
-            key_files.append(name)
-            n_keys += rows
-        import shutil
-
-        shutil.rmtree(stage, ignore_errors=True)
+        key_files, n_keys = _stage_key_shards(doc_ids, path, token)
     else:
         ids = sorted({int(i) for i in doc_ids})
         n_keys = len(ids)
@@ -2463,44 +2481,20 @@ def delete_from_jsonl_dir(
     return version
 
 
-def merge_into_jsonl_dir(
-    spark: SparkSession,
-    df: DataFrame,
-    path: str,
-    max_retries: int = 3,
-) -> int:
-    """MERGE (whole-row upsert on ``doc_id``) in ONE atomic commit:
-    the source rows land as new shards (distributed, via the
-    transactional writer) and every pre-existing shard gets the source
-    keys tombstoned — so a key present in the table is replaced, a new
-    key is inserted, and no reader can ever observe the delete without
-    the insert (both live in the same manifest claim).  The tombstone
-    entry and the staged shards share one commit version, and entries
-    only apply to shards added by EARLIER commits ("v > added"), so
-    the freshly added rows are exempt by construction.
-
-    Concurrency: the staged shards are invisible until the manifest
-    claim (fresh UUID names in no committed manifest), so losing the
-    claim to a concurrent append just means re-claiming against the new
-    base — the staged files need no re-write (the retry loop here is
-    metadata-only, unlike :func:`append_with_retry` whose write job
-    re-runs).
-
-    Scale: the data path is a normal distributed write sized by the
-    source batch, and the KEY SET never exists anywhere else — the
-    tombstone entry references the merge's own staged shards as its
-    delete files (their rows carry exactly the source keys), so the
-    driver handles file NAMES only: no collect, no key
-    materialization, manifest O(#shards) per commit regardless of key
-    count (a copy-on-write engine would instead rewrite affected
-    shards via anti-join, trading write amplification for zero
-    read-time filtering).  Returns the committed version."""
+def _stage_data_shards(
+    df: DataFrame, path: str
+) -> tuple[dict, dict]:
+    """Stage ``df`` as data shards IN the live table dir, invisible to
+    every reader: the transactional writer lands them in a sibling
+    stage dir (two concurrent merges must not clobber each other's
+    staging — their claims serialize; their staging must too), then a
+    two-step move (underscore temps first, then renames to final UUID
+    names no committed manifest references — same discipline as
+    compaction).  Returns ``(staged {name: rows}, stage _STATS)``."""
     import json as _json
+    import shutil
     import uuid as _uuid
 
-    # per-merge stage dir: two concurrent merges into one table must
-    # not clobber each other's staging (their CLAIMS serialize; their
-    # staging must too)
     stage = path + f".merge-stage-{_uuid.uuid4().hex[:8]}"
     (
         df.write.format("jsonl_docs")
@@ -2519,10 +2513,6 @@ def merge_into_jsonl_dir(
     if os.path.exists(sp):
         with open(sp) as fh:
             stage_stats = _json.load(fh)
-    # two-step move into the live dir (same discipline as compaction):
-    # underscore temps first, then renames to final UUID names no
-    # committed manifest references — invisible to every reader until
-    # the claim lands
     for f in staged:
         os.replace(
             os.path.join(stage, f), os.path.join(path, "_tmp-merge-" + f)
@@ -2531,9 +2521,83 @@ def merge_into_jsonl_dir(
         os.replace(
             os.path.join(path, "_tmp-merge-" + f), os.path.join(path, f)
         )
-    import shutil
-
     shutil.rmtree(stage, ignore_errors=True)
+    return staged, stage_stats
+
+
+def merge_into_jsonl_dir(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    max_retries: int = 3,
+    *,
+    when_matched_update: bool | str = True,
+    when_matched_delete: bool | str = False,
+    when_not_matched_insert: bool | str = True,
+    update_set: dict[str, str] | None = None,
+) -> int:
+    """MERGE INTO on ``doc_id`` in ONE atomic commit — the full
+    conditional-clause contract of the SQL MERGE a table-format user
+    writes::
+
+        WHEN MATCHED [AND <when_matched_update>] THEN
+            UPDATE SET <update_set or whole source row>
+        WHEN MATCHED [AND <when_matched_delete>] THEN DELETE
+        WHEN NOT MATCHED [AND <when_not_matched_insert>] THEN INSERT
+
+    Clause predicates are SQL boolean expressions over the aliased
+    source (``s.*``) and target (``t.*``) rows; booleans mean
+    always/never.  Matched rows are tested against the UPDATE clause
+    first, then DELETE (first match wins — a matched row neither
+    clause takes is left UNTOUCHED, the key MERGE-vs-upsert
+    difference).  ``update_set`` maps target columns to SQL
+    expressions (default: replace with the whole source row).
+
+    The DEFAULT arguments are the whole-row upsert fast path: every
+    source key tombstoned + every source row inserted, with NO join
+    against the target — the tombstone entry references the merge's
+    own staged shards as its delete files, so the driver handles file
+    names only (no collect, no key materialization; manifest
+    O(#shards) per commit regardless of key count).
+
+    CLAUSE merges must know which source keys exist in the target, so
+    they run one distributed left join of source against the
+    base-snapshot table (the same scan Delta/Iceberg MERGE pays) —
+    updates/deletes become dedicated ``_delete-*`` key shards (written
+    distributedly), inserts become staged data shards, and everything
+    lands under one manifest claim: no reader can observe the delete
+    without the insert.  Tombstone entries only apply to shards added
+    by EARLIER commits ("v > added"), so the freshly staged rows are
+    exempt by construction.
+
+    Concurrency: the fast path's claim loop is metadata-only (losing
+    to a concurrent append just re-claims against the new base — the
+    upsert outcome is unaffected by it).  A CLAUSE merge's
+    matched/not-matched split is only valid for the snapshot it was
+    planned against, so a lost claim raises ``ManifestCommitConflict``
+    immediately (Delta's ConcurrentAppendException) and the caller
+    re-runs the merge — a silent metadata retry could classify a
+    concurrently-inserted key as not-matched and land it twice.
+    Returns the committed version."""
+    import json as _json
+
+    clause_path = not (
+        when_matched_update is True
+        and when_matched_delete is False
+        and when_not_matched_insert is True
+        and update_set is None
+    )
+    if clause_path:
+        return _merge_clauses(
+            spark,
+            df,
+            path,
+            when_matched_update,
+            when_matched_delete,
+            when_not_matched_insert,
+            update_set,
+        )
+    staged, stage_stats = _stage_data_shards(df, path)
     last: Exception | None = None
     for _ in range(max_retries):
         base = _latest_manifest_version(path)
@@ -2601,6 +2665,142 @@ def merge_into_jsonl_dir(
             pass
     assert last is not None
     raise last
+
+
+def _merge_clauses(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    when_matched_update: bool | str,
+    when_matched_delete: bool | str,
+    when_not_matched_insert: bool | str,
+    update_set: dict[str, str] | None,
+) -> int:
+    """Conditional-clause MERGE (see :func:`merge_into_jsonl_dir`):
+    plan against the base snapshot, split the source by one distributed
+    left join, stage inserts as data shards and update/delete keys as
+    ``_delete-*`` key shards, commit under ONE claim pinned to
+    ``base + 1`` — a lost claim rolls everything back and raises."""
+    import json as _json
+    import uuid as _uuid
+
+    from pyspark.storagelevel import StorageLevel
+
+    register_pyds(spark)
+    base = _latest_manifest_version(path)
+    if base <= 0:
+        raise ValueError(
+            f"merge_into_jsonl_dir: no committed version under {path}"
+        )
+    version = base + 1
+
+    def _pred(p: bool | str):
+        return F.lit(p) if isinstance(p, bool) else F.expr(p)
+
+    src_cols = df.columns
+    tgt = (
+        spark.read.format("jsonl_docs")
+        .option("path", path)
+        .option("version", base)
+        .load()
+    )
+    # ONE distributed join classifies every source row; persisted
+    # because three consumers (update rows, insert rows, tombstone
+    # keys) read it — without the pin each would re-run the join scan.
+    # At scale Spark picks the strategy (AQE broadcasts a small source).
+    joined = df.alias("s").join(
+        tgt.alias("t"),
+        F.col("s.doc_id") == F.col("t.doc_id"),
+        "left",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        is_matched = F.col("t.doc_id").isNotNull()
+        take_update = is_matched & _pred(when_matched_update)
+        # first match wins: DELETE only sees rows UPDATE declined
+        take_delete = (
+            is_matched
+            & ~_pred(when_matched_update)
+            & _pred(when_matched_delete)
+        )
+        take_insert = ~is_matched & _pred(when_not_matched_insert)
+        sets = update_set or {}
+        upd_rows = joined.filter(take_update).select(
+            *[
+                (
+                    F.expr(sets[c]) if c in sets else F.col(f"s.{c}")
+                ).alias(c)
+                for c in src_cols
+            ]
+        )
+        ins_rows = joined.filter(take_insert).select(
+            *[F.col(f"s.{c}").alias(c) for c in src_cols]
+        )
+        tomb_keys = joined.filter(take_update | take_delete).select(
+            F.col("s.doc_id").alias("doc_id")
+        )
+        staged, stage_stats = _stage_data_shards(
+            upd_rows.unionByName(ins_rows), path
+        )
+        token = _uuid.uuid4().hex[:8]
+        key_files, n_keys = _stage_key_shards(tomb_keys, path, token)
+    finally:
+        joined.unpersist()
+
+    def _rollback() -> None:
+        for f in list(staged) + key_files:
+            try:
+                os.remove(os.path.join(path, f))
+            except OSError:
+                pass
+
+    manifest = _manifest_at(path, base)
+    files = sorted(_manifest_files(manifest))
+    new_manifest = {f: manifest[f] for f in files}
+    for k, v in manifest.items():
+        if k.startswith("_") and k != TOMBSTONE_KEY:
+            new_manifest[k] = v
+    tombs = _tombstones_of(manifest)
+    entries = list(tombs["entries"])
+    if key_files and files:
+        entries.append({"v": version, "files": key_files, "n": n_keys})
+    elif key_files:
+        for kf in key_files:
+            try:
+                os.remove(os.path.join(path, kf))
+            except OSError:
+                pass
+        key_files = []
+    new_manifest.update(staged)
+    if entries:
+        added = dict(tombs.get("added", {}))
+        added.update({f: version for f in staged})
+        new_manifest[TOMBSTONE_KEY] = {"entries": entries, "added": added}
+    import time as _time
+
+    new_manifest["_ts"] = _time.time_ns()
+    body = _json.dumps(new_manifest)
+    try:
+        _write_atomic_excl(
+            os.path.join(path, f"_MANIFEST.v{version}"), body
+        )
+    except FileExistsError:
+        _rollback()
+        raise ManifestCommitConflict(
+            f"concurrent commit: _MANIFEST.v{version} was claimed by "
+            f"another writer after this clause merge planned against "
+            f"version {base}; the matched/not-matched split is stale — "
+            "staged shards were rolled back, re-run the merge"
+        ) from None
+    if _latest_manifest_version(path) == version:
+        stats_path = os.path.join(path, "_STATS")
+        stats = {}
+        if os.path.exists(stats_path):
+            with open(stats_path) as fh:
+                stats = _json.load(fh)
+        stats.update(stage_stats)
+        _write_atomic(stats_path, _json.dumps(stats))
+        _write_atomic(os.path.join(path, "_MANIFEST"), body)
+    return version
 
 
 #: the delete/merge demo predicates — constant so the oracle is fixed SQL
@@ -2705,6 +2905,109 @@ SELECT 'post' AS snapshot, lang,
        MAX(doc_id) AS max_doc
 FROM documents
 WHERE doc_id % 10 <> {DELETE_MOD}
+GROUP BY lang
+"""
+
+
+def q_fmt_pyds_merge_clauses(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONDITIONAL MERGE CLAUSES, all three forms in ONE commit,
+    value-checked pre+post: write v1 (even doc_ids), then MERGE the
+    ``doc_id % 5 == 0`` slice of the corpus with::
+
+        WHEN MATCHED AND t.n_chars % 2 = 0
+            THEN UPDATE SET n_chars = s.n_chars + 500
+        WHEN MATCHED AND t.n_chars % 2 = 1 AND t.n_chars % 3 = 0
+            THEN DELETE
+        WHEN NOT MATCHED AND s.n_chars % 3 <> 0 THEN INSERT
+
+    Matched keys are exactly ``doc_id % 10 == 0`` (the even half of the
+    source), so the post state must show: those rows updated or
+    deleted per the predicates — with the rows NEITHER clause takes
+    left untouched (the upsert-vs-MERGE difference) — non-source
+    target rows untouched, and exactly the insert-predicate slice of
+    the unmatched source (``% 10 == 5``) added.  The oracle re-derives
+    both snapshots from the parquet truth, so a clause that
+    over-applies (upserting an untouched matched row), under-applies,
+    or leaks across the matched/not-matched split hash-mismatches.
+    The OCC contract (a clause merge racing an append fails loudly —
+    its split is stale) is pinned in ``tests/test_formats.py``."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_pyds_mc_{tag}_{os.getpid()}"
+    )
+    register_pyds(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out).mode("overwrite").save()
+    )
+    src = docs.filter(F.col("doc_id") % 5 == 0).repartition(2, "doc_id")
+    v = merge_into_jsonl_dir(
+        spark,
+        src,
+        out,
+        when_matched_update="t.n_chars % 2 = 0",
+        when_matched_delete="t.n_chars % 2 = 1 AND t.n_chars % 3 = 0",
+        when_not_matched_insert="s.n_chars % 3 != 0",
+        update_set={"n_chars": "s.n_chars + 500"},
+    )
+    if v != 2:
+        raise AssertionError(f"clause merge committed v{v}, expected v2")
+
+    def agg(df: DataFrame, snap: str) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        ).select(F.lit(snap).alias("snapshot"), "*")
+
+    pre = (
+        spark.read.format("jsonl_docs")
+        .option("path", out)
+        .option("version", 1)
+        .load()
+    )
+    post = spark.read.format("jsonl_docs").option("path", out).load()
+    return agg(pre, "pre").unionByName(agg(post, "post"))
+
+
+SQL_FMT_PYDS_MERGE_CLAUSES = """
+SELECT 'pre' AS snapshot, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM documents WHERE doc_id % 2 = 0
+GROUP BY lang
+UNION ALL
+SELECT 'post' AS snapshot, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM (
+  -- target rows the merge leaves alone: non-source keys, plus matched
+  -- rows neither clause takes (n_chars odd and not divisible by 3)
+  SELECT doc_id, lang, n_chars FROM documents
+  WHERE doc_id % 2 = 0
+    AND (doc_id % 10 <> 0
+         OR (n_chars % 2 = 1 AND n_chars % 3 <> 0))
+  UNION ALL
+  -- WHEN MATCHED AND t.n_chars % 2 = 0 THEN UPDATE
+  SELECT doc_id, lang, n_chars + 500 FROM documents
+  WHERE doc_id % 10 = 0 AND n_chars % 2 = 0
+  UNION ALL
+  -- WHEN NOT MATCHED AND s.n_chars % 3 <> 0 THEN INSERT
+  SELECT doc_id, lang, n_chars FROM documents
+  WHERE doc_id % 10 = 5 AND n_chars % 3 <> 0
+)
 GROUP BY lang
 """
 
@@ -2950,6 +3253,7 @@ QUERIES = {
     "fmt_pyds_commit_conflict": q_fmt_pyds_commit_conflict,
     "fmt_pyds_commit_retry": q_fmt_pyds_commit_retry,
     "fmt_pyds_delete_merge": q_fmt_pyds_delete_merge,
+    "fmt_pyds_merge_clauses": q_fmt_pyds_merge_clauses,
     "streaming_pyds_delete_feed": q_streaming_pyds_delete_feed,
     "streaming_pyds_docs": q_streaming_pyds_docs,
     "streaming_pyds_snapshot": q_streaming_pyds_snapshot,
@@ -2984,6 +3288,9 @@ ORACLE_SQL = {
     # pre-delete time travel = full corpus; latest = deletes applied,
     # merged rows replaced
     "fmt_pyds_delete_merge": SQL_FMT_PYDS_DELETE_MERGE,
+    # all three MERGE clause forms in one commit; untouched matched
+    # rows prove first-match-wins and the no-clause-taken case
+    "fmt_pyds_merge_clauses": SQL_FMT_PYDS_MERGE_CLAUSES,
     # lagging subscriber = non-retraction union; fresh = current state
     "streaming_pyds_delete_feed": SQL_STREAMING_PYDS_DELETE_FEED,
     # the incremental path must agree with the batch oracle

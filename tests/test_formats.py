@@ -2100,3 +2100,155 @@ def test_delete_files_survive_vacuum_while_referenced(spark, tmp_path):
     assert [f for f in _os.listdir(out) if f.startswith("_delete-")]
     assert read_ids(version=2) == [0, 1, 2, 5, 6, 7, 8, 9]
     assert read_ids() == [0, 1, 2, 5, 6, 7, 8, 9, 20]
+
+def test_merge_clauses_semantics(spark, tmp_path):
+    """Conditional MERGE clause forms on crafted rows: UPDATE with a
+    SET map and a target-side predicate, DELETE with first-match-wins
+    ordering, INSERT with a source-side predicate — and the rows no
+    clause takes stay untouched (the upsert-vs-MERGE difference)."""
+    from pu4spark_spark.sources.pydatasource import (
+        merge_into_jsonl_dir,
+        register_pyds,
+    )
+
+    register_pyds(spark)
+    out = str(tmp_path / "mc")
+
+    def df(rows):
+        return spark.createDataFrame(
+            rows,
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint",
+        )
+
+    # target: ids 0..5 with n_chars marking the clause each should hit
+    df(
+        [
+            (0, "keep-src-absent", "en", "s", 1),
+            (1, "update-me", "en", "s", 10),      # matched, even → UPDATE
+            (2, "delete-me", "en", "s", 9),       # matched, odd, %3=0 → DELETE
+            (3, "untouched", "en", "s", 7),       # matched, odd, %3≠0 → no clause
+            (4, "not-in-source", "en", "s", 4),   # source never mentions it
+        ]
+    ).repartition(1).write.format("jsonl_docs").option("path", out).mode(
+        "overwrite"
+    ).save()
+    src = df(
+        [
+            (1, "NEW 1", "fr", "m", 100),
+            (2, "NEW 2", "fr", "m", 101),
+            (3, "NEW 3", "fr", "m", 102),
+            (7, "ins-yes", "fr", "m", 103),   # not matched, %3≠0 → INSERT
+            (8, "ins-no", "fr", "m", 9),      # not matched, %3=0 → skipped
+        ]
+    )
+    v = merge_into_jsonl_dir(
+        spark,
+        src.repartition(1),
+        out,
+        when_matched_update="t.n_chars % 2 = 0",
+        when_matched_delete="t.n_chars % 2 = 1 AND t.n_chars % 3 = 0",
+        when_not_matched_insert="s.n_chars % 3 != 0",
+        update_set={"n_chars": "s.n_chars + 500", "text": "s.text"},
+    )
+    assert v == 2
+    got = {
+        r["doc_id"]: (r["text"], r["lang"], r["n_chars"])
+        for r in spark.read.format("jsonl_docs")
+        .option("path", out).load().collect()
+    }
+    assert got == {
+        0: ("keep-src-absent", "en", 1),      # source never mentioned it
+        1: ("NEW 1", "fr", 600),              # updated: SET n_chars, text; lang from source row
+        3: ("untouched", "en", 7),            # matched, no clause took it
+        4: ("not-in-source", "en", 4),        # source never mentioned it
+        7: ("ins-yes", "fr", 103),            # inserted
+    }, got
+    # doc 2 deleted, doc 8 insert-filtered
+    assert 2 not in got and 8 not in got
+
+
+def test_merge_clauses_occ_race_fails_loudly(spark, tmp_path):
+    """A CLAUSE merge's matched/not-matched split is only valid for the
+    snapshot it planned against: a concurrent append claiming the same
+    version must make the merge raise ManifestCommitConflict (no silent
+    metadata retry) and roll back its staged data + key shards."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from pu4spark_spark.sources import pydatasource as P
+
+    P.register_pyds(spark)
+    out = str(tmp_path / "mcr")
+
+    def df(rows):
+        return spark.createDataFrame(
+            rows,
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint",
+        )
+
+    df([(i, f"doc {i}", "en", "s", 5) for i in range(6)]).repartition(
+        1
+    ).write.format("jsonl_docs").option("path", out).mode(
+        "overwrite"
+    ).save()
+
+    rival = df([(50, "rival", "en", "s", 5)]).repartition(1)
+    orig_excl = P._write_atomic_excl
+    fired = {"n": 0}
+
+    def rival_first(path, body):
+        if fired["n"] == 0 and path.endswith("_MANIFEST.v2"):
+            fired["n"] = 1
+            P._write_atomic_excl = orig_excl
+            (
+                rival.write.format("jsonl_docs")
+                .option("path", out)
+                .option("base_version", 1)
+                .mode("append")
+                .save()
+            )  # rival wins v2
+            P._write_atomic_excl = rival_first
+        return orig_excl(path, body)
+
+    P._write_atomic_excl = rival_first
+    try:
+        with _pytest.raises(Exception, match="re-run the merge"):
+            P.merge_into_jsonl_dir(
+                spark,
+                df([(1, "NEW", "fr", "m", 9)]).repartition(1),
+                out,
+                when_matched_update=True,
+                when_matched_delete=False,
+                when_not_matched_insert=False,  # clause path
+            )
+    finally:
+        P._write_atomic_excl = orig_excl
+
+    # rolled back: table = base + rival only, no stray staged/key files
+    m2 = P._manifest_at(out, 2)
+    shards = {f for f in _os.listdir(out) if f.endswith(".jsonl")}
+    assert shards == set(P._manifest_files(m2))
+    assert not [f for f in _os.listdir(out) if f.startswith("_delete-")]
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.format("jsonl_docs")
+        .option("path", out).load().collect()
+    )
+    assert got == [0, 1, 2, 3, 4, 5, 50]
+    # re-running the merge against the fresh state lands cleanly
+    v = P.merge_into_jsonl_dir(
+        spark,
+        df([(1, "NEW", "fr", "m", 9)]).repartition(1),
+        out,
+        when_not_matched_insert=False,
+    )
+    assert v == 3
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.format("jsonl_docs")
+        .option("path", out).load().collect()
+    }
+    assert got[1] == "NEW" and len(got) == 7
