@@ -51,7 +51,13 @@ class JsonlDocsDataSource(DataSource):
         return "jsonl_docs"
 
     def schema(self) -> str:
-        return DOCS_DDL
+        # SCHEMA EVOLUTION: the table's schema is a property of the
+        # COMMIT, not the format — resolve the read's effective
+        # manifest (honoring version / as_of_ts pins) and serve its
+        # recorded ``_schema``, so time travel to a pre-evolution
+        # version reads the OLD shape.  Legacy / manifest-less
+        # directories serve the documents DDL.
+        return _effective_schema_ddl(self.options)
 
     def reader(self, schema) -> "JsonlDocsReader":
         return JsonlDocsReader(self.options)
@@ -97,6 +103,13 @@ class JsonlDocsWriter(DataSourceWriter):
         if not self.path:
             raise ValueError("jsonl_docs writer requires option 'path'")
         self.fields = [f.name for f in schema.fields]
+        #: written shape as DDL — recorded as the table schema when an
+        #: overwrite creates a non-documents table (appends instead
+        #: carry the base manifest's _schema; evolve_jsonl_schema is
+        #: the path that CHANGES a live table's shape)
+        self.ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+        )
         self.overwrite = overwrite
         # optimistic-concurrency declaration: "this job planned against
         # table version N and commits N+1".  When set, commit() claims
@@ -247,6 +260,8 @@ class JsonlDocsWriter(DataSourceWriter):
                 ] = version
             if getattr(m, "min_doc", None) is not None:
                 stats[m.file] = [m.min_doc, m.max_doc]
+        if self.overwrite and self.ddl != DOCS_DDL:
+            manifest[SCHEMA_KEY] = self.ddl
         # commit wall-clock (ns) — the "TIMESTAMP AS OF" resolution key
         # (reserved key, skipped by every shard-list consumer)
         import time as _time
@@ -547,6 +562,9 @@ class JsonlDocsReader(DataSourceReader):
         #: _STATS zonemap can't intersect it are skipped in partitions()
         self._lo: int | None = None
         self._hi: int | None = None
+        #: the pinned commit's column order (schema evolution: resolved
+        #: once at plan time, same as the source's schema() call)
+        self.fields = _fields_of_ddl(_effective_schema_ddl(options))
 
     def pushFilters(self, filters):
         """Filter PUSHDOWN (Spark 4.1 Python DataSource API): fold the
@@ -704,7 +722,7 @@ class JsonlDocsReader(DataSourceReader):
         # partition in that case, which must scan nothing.
         if partition is None:
             return
-        yield from _iter_jsonl(partition.value)
+        yield from _iter_jsonl(partition.value, self.fields)
 
 
 class ManifestCommitConflict(RuntimeError):
@@ -894,14 +912,15 @@ def _load_delete_keys(path: str) -> frozenset:
     return frozenset(keys)
 
 
-def _iter_jsonl(value):
+def _iter_jsonl(value, fields: tuple[str, ...] | None = None):
     """Executor-side shard scan shared by every reader: ``value`` is a
     shard path, or ``(path, inline_ids, delete_file_paths)`` when
     DELETE/MERGE commits apply to the shard — tombstoned rows are
     filtered here (the drop set is the inline ids plus the union of the
     referenced delete files' keys, loaded worker-side), so deletion is
     enforced by construction for batch, time-travel, and streaming
-    reads alike."""
+    reads alike.  ``fields`` is the resolved commit schema's column
+    order (default: the legacy documents shape)."""
     import json
 
     if isinstance(value, str):
@@ -911,6 +930,7 @@ def _iter_jsonl(value):
         drop = set(value[1])
         for kf in value[2] if len(value) > 2 else ():
             drop |= _load_delete_keys(kf)
+    flds = fields or ("doc_id", "text", "lang", "source", "n_chars")
     with open(path) as fh:
         for line in fh:
             if not line.strip():
@@ -918,13 +938,9 @@ def _iter_jsonl(value):
             r = json.loads(line)
             if drop is not None and r.get("doc_id") in drop:
                 continue
-            yield (
-                r.get("doc_id"),
-                r.get("text"),
-                r.get("lang"),
-                r.get("source"),
-                r.get("n_chars"),
-            )
+            # missing keys read as NULL — JSONL's natural null-extension
+            # is what makes add-column schema evolution rewrite-free
+            yield tuple(r.get(k) for k in flds)
 
 
 class JsonlDocsStreamReader(DataSourceStreamReader):
@@ -1035,6 +1051,114 @@ def _manifest_at(path: str, version: int) -> dict:
         return json.load(fh)
 
 
+#: reserved manifest key recording the table schema (DDL string) as of
+#: that commit — absent = the legacy documents shape (DOCS_DDL).  The
+#: schema is COMMIT-SCOPED: an :func:`evolve_jsonl_schema` commit
+#: records the new DDL at version N, so pinned reads of v<N keep the
+#: old shape, latest reads serve the new one (old shards' missing
+#: fields read as NULL — JSONL's natural null-extension), and a
+#: version stream that started under the old schema fails LOUDLY at
+#: the boundary (restart picks up the new shape) — the Delta/Iceberg
+#: schema-evolution contract.
+SCHEMA_KEY = "_schema"
+
+
+def _fields_of_ddl(ddl: str) -> tuple[str, ...]:
+    """Column names of a DDL string, in order (paren-aware split, so
+    ``decimal(10,2)`` column types don't shear)."""
+    names = []
+    depth = 0
+    start = 0
+    for i, ch in enumerate(ddl + ","):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            part = ddl[start:i].strip()
+            if part:
+                names.append(part.split()[0])
+            start = i + 1
+    return tuple(names)
+
+
+def _effective_schema_ddl(options) -> str:
+    """The DDL a read with these options sees: the pinned (or latest)
+    manifest's ``_schema``, else :data:`DOCS_DDL` for legacy manifests
+    and manifest-less directories."""
+    path = options.get("path")
+    if not path or not os.path.isdir(path):
+        return DOCS_DDL
+    try:
+        v = options.get("version")
+        ts = options.get("as_of_ts")
+        if v is not None:
+            m = _manifest_at(path, int(v))
+        elif ts is not None:
+            m = _manifest_at(path, _version_as_of(path, int(ts)))
+        else:
+            latest = _latest_manifest_version(path)
+            m = _manifest_at(path, latest) if latest else {}
+    except (OSError, ValueError):
+        return DOCS_DDL
+    return m.get(SCHEMA_KEY, DOCS_DDL)
+
+
+def evolve_jsonl_schema(
+    path: str, new_ddl: str, base_version: int | None = None
+) -> int:
+    """SCHEMA EVOLUTION as a lake COMMIT: claim a new manifest version
+    identical to the base except for ``_schema`` = ``new_ddl`` — a
+    pure-metadata commit through the same create-if-absent OCC gate as
+    every append (a concurrent writer and an evolve have exactly one
+    winner).  Only ADD-COLUMN evolution is legal: the base schema's
+    columns must be a verbatim prefix of the new DDL (the one evolution
+    every engine can serve without rewriting data — old shards
+    null-extend; renames/drops/retypes would silently corrupt old
+    rows and are rejected loudly).  Returns the new version."""
+    import json as _json
+    import time as _time
+
+    base = (
+        base_version
+        if base_version is not None
+        else _latest_manifest_version(path)
+    )
+    if base <= 0:
+        raise ValueError(
+            f"evolve_jsonl_schema: no committed version under {path}"
+        )
+    manifest = _manifest_at(path, base)
+    old_ddl = manifest.get(SCHEMA_KEY, DOCS_DDL)
+    old_cols = [c.strip() for c in old_ddl.split(",")]
+    new_cols = [c.strip() for c in new_ddl.split(",")]
+    if new_cols[: len(old_cols)] != old_cols:
+        raise ValueError(
+            "evolve_jsonl_schema: only add-column evolution is "
+            f"supported — the current schema ({old_ddl!r}) must be a "
+            f"prefix of the new DDL ({new_ddl!r}); renames, drops and "
+            "retypes require a rewrite"
+        )
+    version = base + 1
+    new_manifest = dict(manifest)
+    new_manifest[SCHEMA_KEY] = new_ddl
+    new_manifest["_ts"] = _time.time_ns()
+    body = _json.dumps(new_manifest)
+    try:
+        _write_atomic_excl(
+            os.path.join(path, f"_MANIFEST.v{version}"), body
+        )
+    except FileExistsError:
+        raise ManifestCommitConflict(
+            f"concurrent commit: _MANIFEST.v{version} was claimed by "
+            f"another writer after this evolve read version {base}; "
+            "re-plan the schema change against the new table state"
+        ) from None
+    if _latest_manifest_version(path) == version:
+        _write_atomic(os.path.join(path, "_MANIFEST"), body)
+    return version
+
+
 def _earliest_manifest_version(path: str) -> int:
     """Smallest committed version still on disk (0 if none) — moves
     up from 1 after :func:`vacuum_jsonl_dir` drops old snapshots."""
@@ -1114,6 +1238,11 @@ class JsonlDocsVersionStreamReader(DataSourceStreamReader):
         self.ignore_deletes = (
             options.get("ignore_deletes", "").lower() == "true"
         )
+        #: the stream's schema, fixed at query start (latest commit's):
+        #: commits with a DIFFERENT schema that this one does not
+        #: extend fail the stream loudly in partitions() — Delta's
+        #: restart-on-schema-change contract
+        self.fields = _fields_of_ddl(_effective_schema_ddl(options))
 
     def initialOffset(self) -> dict:
         return {"version": max(0, self.starting_version - 1)}
@@ -1163,6 +1292,21 @@ class JsonlDocsVersionStreamReader(DataSourceStreamReader):
             ) as fh:
                 body = fh.read()
             m = json.loads(body)
+            # SCHEMA boundary: a commit whose schema this stream's
+            # fixed schema does not EXTEND cannot be represented in
+            # the stream's rows — fail loudly; the restarted stream
+            # picks up the evolved schema and null-extends old shards.
+            # (Commits with a PREFIX schema — pre-evolution history
+            # read by a fresh subscriber — null-extend naturally.)
+            mf = _fields_of_ddl(m.get(SCHEMA_KEY, DOCS_DDL))
+            if mf != tuple(self.fields[: len(mf)]):
+                raise ValueError(
+                    f"jsonl_docs version stream: commit v{v} of "
+                    f"{self.path} changed the table schema to "
+                    f"{list(mf)}, which this stream (started with "
+                    f"{list(self.fields)}) cannot represent — restart "
+                    "the subscriber to pick up the evolved schema."
+                )
             cur = set(_manifest_files(m))
             tombs = _tombstones_of(m)
             for e in tombs["entries"]:
@@ -1255,7 +1399,7 @@ class JsonlDocsVersionStreamReader(DataSourceStreamReader):
     def read(self, partition):
         if partition is None:
             return
-        yield from _iter_jsonl(partition.value)
+        yield from _iter_jsonl(partition.value, self.fields)
 
     def commit(self, end: dict) -> None:
         pass
@@ -1686,6 +1830,12 @@ def compact_jsonl_dir(
     import hashlib as _hashlib
     import time as _time
 
+    # a rewrite is content-neutral INCLUDING the schema: carry the
+    # pre-compaction commit's _schema (the rewritten shards hold every
+    # evolved column — the read above served the latest shape)
+    pre_m = _manifest_at(path, version - 1)
+    if SCHEMA_KEY in pre_m:
+        new_manifest[SCHEMA_KEY] = pre_m[SCHEMA_KEY]
     new_manifest["_ts"] = _time.time_ns()
     body = _json.dumps(new_manifest)
     _write_atomic(
@@ -2909,6 +3059,112 @@ GROUP BY lang
 """
 
 
+def q_fmt_pyds_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SCHEMA EVOLUTION AS A LAKE COMMIT, value-checked across the
+    boundary: write v1 (even doc_ids, the 5-column documents shape) →
+    ``evolve_jsonl_schema`` adds ``priority bigint`` (v2, pure-metadata
+    commit) → append odd doc_ids WITH priority = doc_id % 5 (v3).  The
+    result unions read@v1 (time travel must serve the OLD 5-column
+    shape — the column count is part of the checked output) with
+    read@latest (6 columns; pre-evolution rows null-extend, so priority
+    is NULL on evens and populated on odds).  The oracle re-derives
+    both states from the parquet truth, so an evolution that leaks the
+    new column into old snapshots, loses it on new rows, or
+    null-extends the wrong side hash-mismatches.  The version-stream
+    fail-loudly boundary and compaction carrying the evolved schema are
+    pinned in ``tests/test_formats.py``."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_pyds_se_{tag}_{os.getpid()}"
+    )
+    register_pyds(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out).mode("overwrite").save()
+    )
+    v = evolve_jsonl_schema(out, DOCS_DDL + ", priority bigint")
+    if v != 2:
+        raise AssertionError(f"evolve committed v{v}, expected v2")
+    (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .withColumn("priority", F.col("doc_id") % 5)
+        .repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out)
+        .option("base_version", 2)
+        .mode("append")
+        .save()
+    )
+    old = (
+        spark.read.format("jsonl_docs")
+        .option("path", out)
+        .option("version", 1)
+        .load()
+    )
+    new = spark.read.format("jsonl_docs").option("path", out).load()
+    if len(old.columns) != 5 or len(new.columns) != 6:
+        raise AssertionError(
+            f"schema resolution wrong: v1 has {len(old.columns)} cols, "
+            f"latest has {len(new.columns)}"
+        )
+    pre = old.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    ).select(
+        F.lit("v1").alias("snapshot"),
+        "*",
+        F.lit(5).cast("int").alias("n_cols"),
+        F.lit(0).cast("bigint").alias("n_prio"),
+        F.lit(0).cast("bigint").alias("sum_prio"),
+    )
+    post = new.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.count("priority").alias("n_prio"),
+        F.coalesce(F.sum("priority"), F.lit(0)).alias("sum_prio"),
+    ).select(
+        F.lit("latest").alias("snapshot"),
+        "lang",
+        "n_docs",
+        "sum_chars",
+        F.lit(6).cast("int").alias("n_cols"),
+        "n_prio",
+        "sum_prio",
+    )
+    return pre.unionByName(post)
+
+
+SQL_FMT_PYDS_SCHEMA_EVOLUTION = """
+SELECT 'v1' AS snapshot, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(5 AS INT) AS n_cols,
+       CAST(0 AS BIGINT) AS n_prio,
+       CAST(0 AS BIGINT) AS sum_prio
+FROM documents WHERE doc_id % 2 = 0
+GROUP BY lang
+UNION ALL
+SELECT 'latest' AS snapshot, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(6 AS INT) AS n_cols,
+       CAST(COUNT(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT)
+         AS n_prio,
+       CAST(COALESCE(SUM(CASE WHEN doc_id % 2 = 1
+                               THEN doc_id % 5 END), 0) AS BIGINT)
+         AS sum_prio
+FROM documents
+GROUP BY lang
+"""
+
+
 def q_fmt_pyds_merge_clauses(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3254,6 +3510,7 @@ QUERIES = {
     "fmt_pyds_commit_retry": q_fmt_pyds_commit_retry,
     "fmt_pyds_delete_merge": q_fmt_pyds_delete_merge,
     "fmt_pyds_merge_clauses": q_fmt_pyds_merge_clauses,
+    "fmt_pyds_schema_evolution": q_fmt_pyds_schema_evolution,
     "streaming_pyds_delete_feed": q_streaming_pyds_delete_feed,
     "streaming_pyds_docs": q_streaming_pyds_docs,
     "streaming_pyds_snapshot": q_streaming_pyds_snapshot,
@@ -3291,6 +3548,9 @@ ORACLE_SQL = {
     # all three MERGE clause forms in one commit; untouched matched
     # rows prove first-match-wins and the no-clause-taken case
     "fmt_pyds_merge_clauses": SQL_FMT_PYDS_MERGE_CLAUSES,
+    # v1 time travel = old 5-col shape; latest = 6 cols, old rows
+    # null-extended on the evolved column
+    "fmt_pyds_schema_evolution": SQL_FMT_PYDS_SCHEMA_EVOLUTION,
     # lagging subscriber = non-retraction union; fresh = current state
     "streaming_pyds_delete_feed": SQL_STREAMING_PYDS_DELETE_FEED,
     # the incremental path must agree with the batch oracle

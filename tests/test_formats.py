@@ -2252,3 +2252,120 @@ def test_merge_clauses_occ_race_fails_loudly(spark, tmp_path):
         .option("path", out).load().collect()
     }
     assert got[1] == "NEW" and len(got) == 7
+
+def test_schema_evolution_commit_contract(spark, tmp_path):
+    """Schema evolution as a lake commit: add-column evolve changes
+    what LATER reads serve, time travel keeps the old shape, appends
+    carry the evolved schema, compaction preserves it, non-prefix
+    evolutions and stale evolve claims fail loudly."""
+    import pytest as _pytest
+
+    from pu4spark_spark.sources.pydatasource import (
+        DOCS_DDL,
+        ManifestCommitConflict,
+        compact_jsonl_dir,
+        evolve_jsonl_schema,
+        register_pyds,
+    )
+
+    register_pyds(spark)
+    out = str(tmp_path / "se")
+
+    def df5(rows):
+        return spark.createDataFrame(
+            rows,
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint",
+        )
+
+    df5([(i, f"doc {i}", "en", "s", 5) for i in range(4)]).repartition(
+        1
+    ).write.format("jsonl_docs").option("path", out).mode(
+        "overwrite"
+    ).save()
+
+    # rejects anything but add-column
+    with _pytest.raises(ValueError, match="prefix"):
+        evolve_jsonl_schema(out, "doc_id bigint, body string")
+
+    assert evolve_jsonl_schema(out, DOCS_DDL + ", priority bigint") == 2
+
+    # append 6-col rows on the evolved base
+    spark.createDataFrame(
+        [(10, "doc 10", "en", "s", 6, 7)],
+        DOCS_DDL + ", priority bigint",
+    ).repartition(1).write.format("jsonl_docs").option(
+        "path", out
+    ).option("base_version", 2).mode("append").save()
+
+    def read(version=None):
+        r = spark.read.format("jsonl_docs").option("path", out)
+        if version is not None:
+            r = r.option("version", version)
+        return r.load()
+
+    assert len(read(version=1).columns) == 5       # old shape preserved
+    latest = read()
+    assert latest.columns[-1] == "priority"
+    got = {r["doc_id"]: r["priority"] for r in latest.collect()}
+    assert got == {0: None, 1: None, 2: None, 3: None, 10: 7}
+
+    # compaction carries the evolved schema through the rewrite
+    compact_jsonl_dir(spark, out, target_shards=1)
+    post = read()
+    assert len(post.columns) == 6
+    assert {r["doc_id"]: r["priority"] for r in post.collect()} == got
+
+    # a stale evolve claim loses the OCC race loudly
+    with _pytest.raises(ManifestCommitConflict, match="evolve"):
+        evolve_jsonl_schema(
+            out, DOCS_DDL + ", priority bigint, extra string",
+            base_version=2,
+        )
+
+
+def test_version_stream_schema_boundary(spark, tmp_path):
+    """A version stream fixed on the pre-evolution schema FAILS LOUDLY
+    at the evolve commit (restart picks up the new shape); a fresh
+    post-evolution subscriber null-extends pre-evolution shards."""
+    import pytest as _pytest
+
+    from pu4spark_spark.sources.pydatasource import (
+        DOCS_DDL,
+        JsonlDocsVersionStreamReader,
+        evolve_jsonl_schema,
+        register_pyds,
+    )
+
+    register_pyds(spark)
+    out = str(tmp_path / "sb")
+    spark.createDataFrame(
+        [(0, "a", "en", "s", 1), (1, "b", "en", "s", 2)],
+        DOCS_DDL,
+    ).repartition(1).write.format("jsonl_docs").option(
+        "path", out
+    ).mode("overwrite").save()
+
+    # subscriber starts BEFORE the evolve: schema fixed at 5 columns
+    old_sub = JsonlDocsVersionStreamReader({"path": out})
+    assert len(old_sub.fields) == 5
+
+    evolve_jsonl_schema(out, DOCS_DDL + ", priority bigint")  # v2
+    spark.createDataFrame(
+        [(2, "c", "en", "s", 3, 9)], DOCS_DDL + ", priority bigint"
+    ).repartition(1).write.format("jsonl_docs").option(
+        "path", out
+    ).option("base_version", 2).mode("append").save()  # v3
+
+    with _pytest.raises(ValueError, match="restart the subscriber"):
+        old_sub.partitions({"version": 1}, {"version": 3})
+
+    # fresh subscriber: 6-column schema, old shard null-extended
+    fresh = JsonlDocsVersionStreamReader({"path": out})
+    assert len(fresh.fields) == 6
+    rows = []
+    for p in fresh.partitions({"version": 0}, {"version": 3}):
+        rows.extend(fresh.read(p))
+    by_id = {r[0]: r for r in rows}
+    assert by_id[0] == (0, "a", "en", "s", 1, None)
+    assert by_id[2] == (2, "c", "en", "s", 3, 9)
