@@ -683,8 +683,12 @@ def q_fmt_json_corrupt_quarantine(spark: SparkSession, sf_dir: str):
         "value double, _corrupt_record string",
     )
     # caching is REQUIRED before referencing only-corrupt-column
-    # predicates (Spark's documented raw-scan restriction)
-    back = back.cache()
+    # predicates (Spark's documented raw-scan restriction); routed
+    # through the ledger so the blocks release at the next registry
+    # query's entry instead of lingering until a harness clearCache
+    from pu4spark_spark.plans import cached
+
+    back = cached(back)
     return back.agg(
         F.sum(F.col("_corrupt_record").isNull().cast("int"))
         .cast("bigint")

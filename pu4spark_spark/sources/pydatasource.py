@@ -74,15 +74,62 @@ class JsonlDocsDataSource(DataSource):
         return JsonlDocsStreamWriter(self.options, schema)
 
 
+#: serializes first registration per session — re-registering is not
+#: just wasteful, it is a RACE: Spark's "replace a previously
+#: registered data source" path has a window where a concurrent lookup
+#: fails DATA_SOURCE_NOT_FOUND, so two threads each calling
+#: register_pyds() could fail each other's save()/load() (observed
+#: under the threaded DML stress)
+_REGISTER_LOCK = __import__("threading").Lock()
+
+
+def ensure_active_session(spark: SparkSession) -> None:
+    """Pin ``spark`` as the JVM active session for the CURRENT thread.
+
+    PySpark's pinned-thread mode maps each Python thread to its own
+    JVM thread, and a JVM thread created on demand has NO active
+    session — so ``save()``/``load()`` name resolution, which consults
+    the ACTIVE session's Python data-source registry
+    (DataSourceManager), silently falls through to the classpath and
+    dies with DATA_SOURCE_NOT_FOUND for a source that IS registered
+    (reproduced: 4 threads round-tripping jsonl_docs, ~50% failure).
+    Concurrent writers are the point of the OCC commit protocol, so
+    every session-taking DML entry point pins first via
+    :func:`register_pyds`; code driving ``df.write`` directly from a
+    worker thread should call this (or ``register_pyds``) once at
+    thread start.  Idempotent, one py4j call."""
+    try:
+        jvm_cls = spark._jvm.org.apache.spark.sql.classic.SparkSession
+        jvm_cls.setActiveSession(spark._jsparkSession)
+    except Exception:
+        # Spark Connect sessions have no JVM handle — and no
+        # thread-local active-session resolution either
+        pass
+
+
 def register_pyds(spark: SparkSession) -> None:
     """Register the custom source AND enable Python-datasource filter
     pushdown in the same breath: a reader that overrides
     ``pushFilters`` hard-fails in any session where
     ``spark.sql.python.filterPushdown.enabled`` is false (dynamic SQL
     conf, so setting it here covers harness-built sessions too) —
-    keeping the two together makes that failure mode impossible."""
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    spark.dataSource.register(JsonlDocsDataSource)
+    keeping the two together makes that failure mode impossible.
+    Idempotent and thread-safe: one registration per session object,
+    ever (the done-marker lives ON the session, so a stopped-and-
+    recreated session registers afresh) — re-registering is a race in
+    its own right (Spark's replace path has a lookup-miss window).
+    Always pins the active session for the calling thread first
+    (:func:`ensure_active_session`), so every DML entry point that
+    calls this is safe to drive from worker threads."""
+    ensure_active_session(spark)
+    if getattr(spark, "_pu4spark_pyds_registered", False):
+        return
+    with _REGISTER_LOCK:
+        if getattr(spark, "_pu4spark_pyds_registered", False):
+            return
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        spark.dataSource.register(JsonlDocsDataSource)
+        spark._pu4spark_pyds_registered = True
 
 
 class JsonlDocsWriter(DataSourceWriter):
@@ -1730,11 +1777,17 @@ def compact_jsonl_dir(
     the transactional executor-side writer; the driver touches only
     manifest metadata.
 
-    Transactionality: compaction and :func:`vacuum_jsonl_dir` are
-    maintenance jobs and require an EXCLUSIVE writer (concurrent
-    appends during a rewrite would commit a manifest the rewrite then
-    clobbers — the same single-maintainer rule every table format
-    applies to OPTIMIZE/VACUUM).  Concurrent READERS are always safe:
+    Transactionality: the whole rewrite is PINNED to one base snapshot
+    — the read serves ``option("version", base)`` and the commit claims
+    exactly ``base + 1`` create-if-absent — so compaction is
+    correct-or-conflict under concurrent writers (Delta's OPTIMIZE
+    conflict rule): a successful compaction's content is provably the
+    state at ``version - 1``, and ANY commit landing in between makes
+    it roll back the rewrite and raise ``ManifestCommitConflict`` for
+    the caller to re-plan.  :func:`vacuum_jsonl_dir` still requires an
+    EXCLUSIVE maintainer (it physically deletes unreferenced files and
+    could sweep a concurrent writer's staged-but-unclaimed shards).
+    Concurrent READERS are always safe:
     staged shards enter the live dir under ``_``-prefixed temp names
     (invisible to both the manifest-preferring reader and the
     listing/append-seed fallback), the final renames expose only
@@ -1743,14 +1796,31 @@ def compact_jsonl_dir(
     crash at ANY step leaves the previous version fully intact (at
     worst orphan files a later vacuum sweeps)."""
     import json as _json
+    import uuid as _uuid
 
     register_pyds(spark)
-    before = spark.read.format("jsonl_docs").option("path", path).load()
+    # pin the WHOLE rewrite to one base snapshot: resolving the version
+    # here and claiming exactly base+1 below makes a successful
+    # compaction linearizable (its content is provably the state at
+    # base = version-1).  The previous shape — unpinned read, then
+    # version = latest+1 computed AFTER the rewrite — had a lost-update
+    # hole: an append landing between the read and the claim got its
+    # rows silently dropped by a rewrite that never saw them yet
+    # claimed a LATER version.
+    base = _latest_manifest_version(path)
+    before = (
+        spark.read.format("jsonl_docs")
+        .option("path", path)
+        .option("version", base)
+        .load()
+    )
     # stage through the custom writer into a sibling dir, then move the
     # compacted shards in and commit a manifest naming only them — the
     # writer's append mode would UNION with the old manifest, which is
-    # exactly wrong for a rewrite
-    stage = path + ".compact"
+    # exactly wrong for a rewrite.  UUID stage dir: two concurrent
+    # compactions must not clobber each other's staging (their claims
+    # serialize below; their staging must too — same rule as merge).
+    stage = path + f".compact-{_uuid.uuid4().hex[:8]}"
     # ``cluster_by``: the OPTIMIZE-with-clustering form — the rewrite
     # range-partitions on the column instead of round-robin, so each
     # consolidated shard owns a contiguous value range and the writer's
@@ -1807,15 +1877,7 @@ def compact_jsonl_dir(
     import shutil
 
     shutil.rmtree(stage, ignore_errors=True)
-    version = 1 + max(
-        (
-            int(f.rsplit(".v", 1)[1])
-            for f in os.listdir(path)
-            if f.startswith("_MANIFEST.v")
-            and f.rsplit(".v", 1)[1].isdigit()
-        ),
-        default=0,
-    )
+    version = base + 1
     # metadata last, each an atomic rename-commit, live pointer very
     # last: rewrite marker → snapshot → stats → _MANIFEST.  The marker
     # (``.rewrite`` sidecar) declares this commit dataChange=false so
@@ -1838,21 +1900,8 @@ def compact_jsonl_dir(
         new_manifest[SCHEMA_KEY] = pre_m[SCHEMA_KEY]
     new_manifest["_ts"] = _time.time_ns()
     body = _json.dumps(new_manifest)
-    _write_atomic(
-        os.path.join(path, f"_MANIFEST.v{version}.rewrite"),
-        _hashlib.md5(body.encode()).hexdigest(),
-    )
-    # the snapshot itself is claimed CREATE-IF-ABSENT like every data
-    # commit: compaction documents an exclusive-maintainer rule, but if
-    # that contract is ever violated the violation must fail loudly —
-    # _write_atomic here would silently overwrite a concurrent
-    # appender's committed snapshot, breaking manifest immutability
-    # (and with it deterministic checkpointed stream replay).  On a
-    # lost claim the compacted files are rolled back (they are in no
-    # committed manifest) minus anything the winner references.
-    try:
-        _write_atomic_excl(os.path.join(path, f"_MANIFEST.v{version}"), body)
-    except FileExistsError:
+
+    def _rollback_shards() -> None:
         winner_files: set[str] = set()
         try:
             with open(os.path.join(path, f"_MANIFEST.v{version}")) as fh:
@@ -1865,16 +1914,45 @@ def compact_jsonl_dir(
                     os.remove(os.path.join(path, f))
                 except OSError:
                     pass
-        # our tethered marker can never reclassify the winner's commit
-        # (md5 mismatch), but sweep it anyway
+
+    # the marker is claimed CREATE-IF-ABSENT too: with plain overwrite,
+    # two compactions racing the same version clobber each other's
+    # marker md5, and the loser's sweep below would delete the WINNER's
+    # valid marker — either way the winner's rewrite commit gets
+    # misclassified as a data commit and the version stream re-delivers
+    # every compacted row.  An existing marker means another compactor
+    # is mid-claim for this version: conflict out now.
+    try:
+        _write_atomic_excl(
+            os.path.join(path, f"_MANIFEST.v{version}.rewrite"),
+            _hashlib.md5(body.encode()).hexdigest(),
+        )
+    except FileExistsError:
+        _rollback_shards()
+        raise ManifestCommitConflict(
+            f"concurrent commit: _MANIFEST.v{version}.rewrite is already "
+            "claimed by another compaction; the rewrite was rolled back"
+        ) from None
+    # the snapshot itself is claimed CREATE-IF-ABSENT like every data
+    # commit — _write_atomic here would silently overwrite a concurrent
+    # writer's committed snapshot, breaking manifest immutability (and
+    # with it deterministic checkpointed stream replay).  On a lost
+    # claim the compacted files are rolled back (they are in no
+    # committed manifest) minus anything the winner references.
+    try:
+        _write_atomic_excl(os.path.join(path, f"_MANIFEST.v{version}"), body)
+    except FileExistsError:
+        _rollback_shards()
+        # the marker is OURS (claimed excl above) and can only
+        # reclassify the winner's data commit if left behind — sweep it
         try:
             os.remove(os.path.join(path, f"_MANIFEST.v{version}.rewrite"))
         except OSError:
             pass
         raise ManifestCommitConflict(
             f"concurrent commit: _MANIFEST.v{version} was claimed by "
-            "another writer during compaction — the exclusive-maintainer "
-            "contract was violated; the rewrite was rolled back"
+            "another writer during compaction; the rewrite was rolled "
+            "back — re-plan against the new table state"
         ) from None
     if _latest_manifest_version(path) == version:
         _write_atomic(stats_path, _json.dumps(stats))
@@ -2731,6 +2809,7 @@ def merge_into_jsonl_dir(
     Returns the committed version."""
     import json as _json
 
+    register_pyds(spark)  # also pins the active session for this thread
     clause_path = not (
         when_matched_update is True
         and when_matched_delete is False

@@ -2369,3 +2369,302 @@ def test_version_stream_schema_boundary(spark, tmp_path):
     by_id = {r[0]: r for r in rows}
     assert by_id[0] == (0, "a", "en", "s", 1, None)
     assert by_id[2] == (2, "c", "en", "s", 3, 9)
+
+
+def test_minilake_threaded_dml_linearizable(spark, tmp_path):
+    """VERDICT r10 #7: THREADED random schedules — append ∥ DELETE ∥
+    MERGE (fast upsert + conditional clauses) ∥ compaction ∥
+    streaming-sink commits — against one table, 5 seeds, with full
+    state tracking.  Every committed version must be claimed by exactly
+    one successful operation, and replaying the committed ops in
+    VERSION ORDER through a sequential model must reproduce (1) the
+    final batch read exactly (id AND value), (2) time travel at every
+    still-retained version, (3) a fresh versioned stream's delivery.
+    That is linearizability: version order IS the serialization order,
+    because every mutating commit is pinned (delete / clause-merge /
+    compaction claim exactly base+1 or conflict-and-rollback; the
+    fast-path merge's outcome is base-independent; appends here declare
+    base_version).  Vacuum stays OUT of the threaded phase — it is the
+    one documented exclusive-maintainer job — and runs once at the end,
+    after which retained-version time travel must still replay."""
+    import json as _json
+    import os as _os
+    import random
+    import threading
+
+    from pu4spark_spark.sources import pydatasource as P
+
+    P.register_pyds(spark)
+    DDL = (
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+
+    def batch_df(rows):
+        return spark.createDataFrame(
+            [(i, f"doc {i}", "en", "s", n) for i, n in rows], DDL
+        )
+
+    for seed in (5, 11, 23, 37, 59):
+        out = str(tmp_path / f"tlake_{seed}")
+        log_lock = threading.Lock()
+        ops_log: dict[int, tuple] = {}  # version -> (kind, payload)
+        id_pool: list[int] = []  # ids some thread has committed
+        errors: list[BaseException] = []
+
+        def record(version, kind, payload):
+            with log_lock:
+                assert version not in ops_log, (
+                    f"version {version} claimed twice: "
+                    f"{ops_log[version]} and {(kind, payload)}"
+                )
+                ops_log[version] = (kind, payload)
+
+        # seed table (v1): ids 0..4
+        seed_rows = [(i, 5) for i in range(5)]
+        batch_df(seed_rows).repartition(1).write.format(
+            "jsonl_docs"
+        ).option("path", out).mode("overwrite").save()
+        record(1, "append", seed_rows)
+        id_pool.extend(i for i, _ in seed_rows)
+
+        def retrying(fn, attempts=20):
+            # conflicts from inside a Spark write job cross the Py4J
+            # boundary as generic JVM errors — match the sentinel via
+            # _is_commit_conflict, the one place that owns that rule
+            for _ in range(attempts):
+                try:
+                    return fn()
+                except BaseException as e:
+                    if not P._is_commit_conflict(e):
+                        raise
+            raise AssertionError("op starved: >20 claim conflicts")
+
+        def appender(tid, n_ops, rng):
+            nxt = tid * 10_000
+            for _ in range(n_ops):
+                rows = [(nxt + k, 5) for k in range(rng.randint(1, 3))]
+                nxt += len(rows)
+
+                def op():
+                    base = P._latest_manifest_version(out)
+                    batch_df(rows).repartition(1).write.format(
+                        "jsonl_docs"
+                    ).option("path", out).option(
+                        "base_version", base
+                    ).mode("append").save()
+                    return base + 1
+
+                v = retrying(op)
+                record(v, "append", rows)
+                with log_lock:
+                    id_pool.extend(i for i, _ in rows)
+
+        def deleter(tid, n_ops, rng):
+            for _ in range(n_ops):
+                with log_lock:
+                    pool = list(id_pool)
+                ids = rng.sample(pool, min(len(pool), rng.randint(1, 3)))
+                v = retrying(lambda: P.delete_from_jsonl_dir(out, ids))
+                record(v, "delete", ids)
+
+        def merger(tid, n_ops, rng):
+            nxt = tid * 10_000
+            for k in range(n_ops):
+                with log_lock:
+                    pool = list(id_pool)
+                picks = rng.sample(pool, min(len(pool), 2))
+                if rng.random() < 0.5:
+                    # fast-path whole-row upsert (+ a brand-new key)
+                    rows = [(i, 100 + k) for i in picks]
+                    rows.append((nxt, 7))
+                    nxt += 1
+                    v = retrying(
+                        lambda: P.merge_into_jsonl_dir(
+                            spark, batch_df(rows).repartition(1), out
+                        )
+                    )
+                    record(v, "merge", rows)
+                    with log_lock:
+                        id_pool.append(rows[-1][0])
+                else:
+                    # clause merge: update only when the source value
+                    # beats the target's; always insert not-matched
+                    rows = [(i, 100 + k) for i in picks]
+                    rows.append((nxt, 7))
+                    nxt += 1
+                    v = retrying(
+                        lambda: P.merge_into_jsonl_dir(
+                            spark,
+                            batch_df(rows).repartition(1),
+                            out,
+                            when_matched_update="s.n_chars > t.n_chars",
+                        )
+                    )
+                    record(v, "merge_gt", rows)
+                    with log_lock:
+                        id_pool.append(rows[-1][0])
+
+        def compactor(tid, n_ops, rng):
+            for _ in range(n_ops):
+                # compaction conflicts are EXPECTED under concurrency
+                # (correct-or-conflict contract) — count the wins only
+                try:
+                    v = P.compact_jsonl_dir(
+                        spark, out, target_shards=rng.randint(1, 2)
+                    )
+                    record(v, "compact", None)
+                except P.ManifestCommitConflict:
+                    pass
+
+        def sink(tid, n_ops, rng):
+            # streaming lake sink: the real stream writer's commit
+            # protocol (claim loop + _txn exactly-once), driven directly
+            schema = batch_df([]).schema
+            w = P.JsonlDocsStreamWriter({"path": out}, schema)
+            nxt = tid * 10_000
+            for b in range(n_ops):
+                ids = list(range(nxt, nxt + rng.randint(1, 3)))
+                nxt += len(ids)
+                final = f"part-{b:05d}-{w.job_token}.jsonl"
+                tmp = f"_tmp-{w.job_token}-" + final
+                with open(_os.path.join(out, tmp), "w") as fh:
+                    for i in ids:
+                        fh.write(
+                            _json.dumps(
+                                {
+                                    "doc_id": i,
+                                    "text": f"doc {i}",
+                                    "lang": "en",
+                                    "source": "s",
+                                    "n_chars": 5,
+                                }
+                            )
+                            + "\n"
+                        )
+                w.commit(
+                    [P.JsonlCommit(tmp, final, len(ids), ids[0], ids[-1])],
+                    batchId=b,
+                )
+                # the sink's claim loop doesn't return the version: it
+                # is recovered as the FIRST manifest referencing the
+                # batch's (unique) final shard name
+                v = min(
+                    int(f.rsplit(".v", 1)[1])
+                    for f in _os.listdir(out)
+                    if f.startswith("_MANIFEST.v")
+                    and f.rsplit(".v", 1)[1].isdigit()
+                    and final
+                    in _json.load(open(_os.path.join(out, f)))
+                )
+                record(v, "append", [(i, 5) for i in ids])
+                with log_lock:
+                    id_pool.extend(ids)
+
+        def guarded(fn, *args):
+            def run():
+                try:
+                    # each worker thread maps to its own JVM thread,
+                    # which has no active session until pinned — see
+                    # ensure_active_session
+                    P.ensure_active_session(spark)
+                    fn(*args)
+                except BaseException:  # pragma: no cover
+                    import traceback
+
+                    errors.append(traceback.format_exc())
+
+            return run
+
+        rng0 = random.Random(seed)
+        threads = [
+            threading.Thread(
+                target=guarded(fn, tid, n, random.Random(seed * 100 + tid))
+            )
+            for tid, (fn, n) in enumerate(
+                [
+                    (appender, 3),
+                    (deleter, 2),
+                    (merger, 2),
+                    (compactor, 2),
+                    (sink, 2),
+                ],
+                start=1,
+            )
+        ]
+        order = list(range(len(threads)))
+        rng0.shuffle(order)
+        for i in order:
+            threads[i].start()
+        for t in threads:
+            t.join()
+        assert not errors, f"seed {seed}: thread died: {errors[0]!r}"
+
+        # (0) the claim log is gap-free: versions 1..V each committed
+        # by exactly one recorded op (compaction losers rolled back)
+        V = P._latest_manifest_version(out)
+        assert sorted(ops_log) == list(range(1, V + 1)), (
+            f"seed {seed}: committed versions {sorted(ops_log)} != 1..{V}"
+        )
+
+        # sequential replay of the committed schedule, in version order
+        state: dict[int, int] = {}
+        snapshots: dict[int, dict] = {}
+        for v in range(1, V + 1):
+            kind, payload = ops_log[v]
+            if kind == "append" or kind == "merge":
+                state.update(payload)
+            elif kind == "delete":
+                for i in payload:
+                    state.pop(i, None)
+            elif kind == "merge_gt":
+                for i, n in payload:
+                    if i not in state:
+                        state[i] = n
+                    elif n > state[i]:
+                        state[i] = n
+            snapshots[v] = dict(state)
+
+        def read_at(version=None):
+            r = spark.read.format("jsonl_docs").option("path", out)
+            if version is not None:
+                r = r.option("version", version)
+            return sorted(
+                (row["doc_id"], row["n_chars"])
+                for row in r.load().collect()
+            )
+
+        # (1) final batch read == model
+        assert read_at() == sorted(state.items()), f"seed {seed}: final"
+
+        # (2) fresh versioned stream (ignore_deletes) == model
+        r = P.JsonlDocsVersionStreamReader(
+            {"path": out, "ignore_deletes": "true"}
+        )
+        streamed = []
+        for p in r.partitions(r.initialOffset(), r.latestOffset()):
+            streamed.extend((row[0], row[4]) for row in r.read(p))
+        assert sorted(streamed) == sorted(state.items()), (
+            f"seed {seed}: fresh stream"
+        )
+
+        # (3) time travel at EVERY version replays the model prefix
+        for v in range(1, V + 1):
+            assert read_at(v) == sorted(snapshots[v].items()), (
+                f"seed {seed}: time travel v{v}"
+            )
+
+        # (4) vacuum afterwards (exclusive maintainer): retained
+        # versions still replay, final read unchanged
+        P.vacuum_jsonl_dir(out, keep_versions=3)
+        kept = {
+            int(f.rsplit(".v", 1)[1])
+            for f in _os.listdir(out)
+            if f.startswith("_MANIFEST.v")
+            and f.rsplit(".v", 1)[1].isdigit()
+        }
+        assert read_at() == sorted(state.items()), f"seed {seed}: post-vac"
+        for v in kept:
+            assert read_at(v) == sorted(snapshots[v].items()), (
+                f"seed {seed}: post-vacuum time travel v{v}"
+            )
