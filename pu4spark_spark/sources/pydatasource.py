@@ -2020,6 +2020,183 @@ def vacuum_jsonl_dir(path: str, keep_versions: int = 1) -> int:
     return removed
 
 
+def _read_key_files_df(
+    spark: SparkSession, path: str, key_files: list[str]
+) -> DataFrame:
+    """Distributed read of tombstone key files as a ``doc_id bigint``
+    DataFrame.  ``spark.read.json`` cannot serve this: Spark's file
+    index hard-filters underscore-prefixed paths as hidden even when
+    named explicitly, and a DELETE commit's key files are
+    ``_delete-*.jsonl`` BY DESIGN (invisible to listing readers until
+    a manifest references them).  So the file list is parallelized
+    (one file per task — the same per-shard parallelism the scan-time
+    tombstone application uses) and each task parses its file
+    Arrow-batched via ``mapInPandas``; executors open the paths
+    directly, the same shared-filesystem assumption the whole
+    mini-lake makes.  Works uniformly for a MERGE's key source too
+    (its entry references its own staged data shards — full rows, of
+    which only doc_id is projected)."""
+    paths_df = spark.createDataFrame(
+        [(os.path.join(path, f),) for f in key_files], "p string"
+    ).repartition(len(key_files))
+
+    def _parse(batches):
+        import pandas as pd
+
+        for b in batches:
+            for p in b["p"]:
+                rows = pd.read_json(p, lines=True)
+                yield pd.DataFrame(
+                    {"doc_id": rows["doc_id"].astype("int64")}
+                    if len(rows)
+                    else {"doc_id": pd.Series([], dtype="int64")}
+                )
+
+    return paths_df.mapInPandas(_parse, "doc_id bigint").distinct()
+
+
+def table_changes_jsonl_dir(
+    spark: SparkSession,
+    path: str,
+    starting_version: int,
+    ending_version: int | None = None,
+) -> DataFrame:
+    """Batch CHANGE DATA FEED — Delta's ``table_changes(tbl, a, b)``:
+    one DataFrame of every row-level change committed in
+    ``(starting_version, ending_version]``, each row tagged
+    ``_change_type`` ∈ {``insert``, ``update_preimage``,
+    ``update_postimage``, ``delete``} and ``_commit_version``.  The
+    version STREAM delivers post-state diffs; CDF is the batch twin a
+    downstream sync/audit job wants: it reconstructs pre-images too,
+    so a consumer can apply the feed transactionally or diff old vs
+    new values.
+
+    Derivation per data commit v (rewrite commits — valid ``.rewrite``
+    marker — are dataChange=false and contribute nothing):
+
+    - ``added(v)``   = shard files in manifest v but not v-1, read
+      directly as JSONL with the commit's effective schema (no
+      snapshot scan — the per-commit file set, exactly what
+      Delta/Iceberg CDF readers cost).
+    - ``keys(v)``    = the commit's tombstone-entry key files (a
+      DELETE's ``_delete-*`` shards; a MERGE's entry references its
+      own staged shards, whose rows ARE the source keys).
+    - ``pre(v)``     = rows live at v-1 whose doc_id ∈ keys(v) — the
+      pinned snapshot read joined to the key set (AQE broadcasts the
+      small side).
+    - classification: pre-row with a same-key row in added(v) →
+      ``update_preimage`` (its replacement → ``update_postimage``);
+      pre-row without → ``delete``; added row without a live pre-image
+      → ``insert`` (covers plain appends AND a merge's brand-new keys,
+      which the fast path tombstones but which had nothing to kill).
+
+    Scale: the feed is a union of per-commit file reads + one
+    broadcast-key join per DML commit — O(changed data), never
+    O(table).  Schema evolution inside the range null-extends via
+    ``unionByName(allowMissingColumns=True)``, same contract as the
+    version stream's fresh-subscriber shape."""
+    import json as _json
+
+    register_pyds(spark)
+    end = (
+        ending_version
+        if ending_version is not None
+        else _latest_manifest_version(path)
+    )
+    if starting_version > end:
+        raise ValueError(
+            f"table_changes: starting_version {starting_version} > "
+            f"ending_version {end}"
+        )
+    end_ddl = _manifest_at(path, end).get(SCHEMA_KEY, DOCS_DDL)
+    out_ddl = end_ddl + ", _change_type string, _commit_version bigint"
+    pieces: list[DataFrame] = []
+    for v in range(starting_version + 1, end + 1):
+        if _rewrite_marker_valid(path, v):
+            continue  # compaction/OPTIMIZE: rewrites rows, changes none
+        m_v = _manifest_at(path, v)
+        m_prev = _manifest_at(path, v - 1)
+        added_files = sorted(
+            set(_manifest_files(m_v)) - set(_manifest_files(m_prev))
+        )
+        key_files: list[str] = []
+        for e in _tombstones_of(m_v)["entries"]:
+            if e.get("v") == v:
+                key_files.extend(e.get("files", ()))
+        if not added_files and not key_files:
+            continue  # metadata-only commit (schema evolve, _txn, ...)
+        ddl = m_v.get(SCHEMA_KEY, DOCS_DDL)
+        added = (
+            spark.read.schema(ddl).json(
+                [os.path.join(path, f) for f in added_files]
+            )
+            if added_files
+            else spark.createDataFrame([], ddl)
+        )
+
+        def tagged(df: DataFrame, change: str, v: int = v) -> DataFrame:
+            return df.withColumn(
+                "_change_type", F.lit(change)
+            ).withColumn("_commit_version", F.lit(v).cast("bigint"))
+
+        if key_files:
+            keys = _read_key_files_df(spark, path, key_files)
+            pre = (
+                spark.read.format("jsonl_docs")
+                .option("path", path)
+                .option("version", v - 1)
+                .load()
+                .join(F.broadcast(keys), "doc_id", "inner")
+            )
+            pre_keys = pre.select("doc_id")
+            post_keys = added.select("doc_id")
+            pieces.append(
+                tagged(
+                    pre.join(
+                        F.broadcast(post_keys), "doc_id", "left_semi"
+                    ),
+                    "update_preimage",
+                )
+            )
+            pieces.append(
+                tagged(
+                    pre.join(
+                        F.broadcast(post_keys), "doc_id", "left_anti"
+                    ),
+                    "delete",
+                )
+            )
+            pieces.append(
+                tagged(
+                    added.join(
+                        F.broadcast(pre_keys), "doc_id", "left_semi"
+                    ),
+                    "update_postimage",
+                )
+            )
+            pieces.append(
+                tagged(
+                    added.join(
+                        F.broadcast(pre_keys), "doc_id", "left_anti"
+                    ),
+                    "insert",
+                )
+            )
+        else:
+            pieces.append(tagged(added, "insert"))
+    if not pieces:
+        return spark.createDataFrame([], out_ddl)
+    feed = pieces[0]
+    for p in pieces[1:]:
+        feed = feed.unionByName(p, allowMissingColumns=True)
+    # column order: table schema (the END shape) then the CDF tags
+    return feed.select(
+        *[F.col(c) for c in _fields_of_ddl(end_ddl)],
+        "_change_type",
+        "_commit_version",
+    )
+
+
 def q_fmt_pyds_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full lake maintenance cycle on the engine's own connector,
     value-checked end to end: write (v1, N_SHARDS files) → append (v2)
@@ -3576,6 +3753,109 @@ def q_fmt_pyds_commit_retry(
     )
 
 
+#: CDF fixture predicates: deletes hit doc_id%9==0 (⊂ the %3==0 rows
+#: live since v1), updates hit doc_id%12==3 minus the deleted ones,
+#: merge-inserts hit doc_id%3==2 ∧ doc_id%5==0 (never live before)
+CDF_DEL_MOD, CDF_UPD_MOD, CDF_INS_MOD = 9, 12, 5
+
+
+def q_fmt_pyds_cdf_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH CHANGE DATA FEED, value-checked end to end: build a
+    5-commit history — v1 seed (doc_id%3==0) → v2 append (%3==1) → v3
+    DELETE (%9==0) → v4 MERGE (update %12==3 rows with n_chars+1000,
+    insert %3==2 ∧ %5==0) → v5 COMPACT — then read
+    ``table_changes(1, latest)`` and aggregate per (commit, change
+    type).  The oracle re-derives every change set from the parquet
+    truth: a preimage served with post values, a delete row leaking
+    from the rewrite commit (v5 must contribute NOTHING — compaction
+    is dataChange=false), or an update misclassified as
+    insert+delete all hash-mismatch.  update_preimage rows must carry
+    the ORIGINAL n_chars, update_postimage the +1000 values — both
+    sums are checked."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_pyds_cdf_{tag}_{os.getpid()}"
+    )
+    register_pyds(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out).mode("overwrite").save()
+    )
+    (
+        docs.filter(F.col("doc_id") % 3 == 1)
+        .repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out).option("base_version", 1)
+        .mode("append").save()
+    )
+    delete_from_jsonl_dir(
+        out,
+        docs.filter(F.col("doc_id") % CDF_DEL_MOD == 0)
+        .select("doc_id")
+        .repartition(2),
+        base_version=2,
+    )
+    updates = docs.filter(
+        (F.col("doc_id") % CDF_UPD_MOD == 3)
+        & (F.col("doc_id") % CDF_DEL_MOD != 0)
+    ).select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        (F.col("n_chars") + F.lit(1000)).alias("n_chars"),
+    )
+    inserts = docs.filter(
+        (F.col("doc_id") % 3 == 2) & (F.col("doc_id") % CDF_INS_MOD == 0)
+    )
+    merge_into_jsonl_dir(
+        spark, updates.unionByName(inserts).repartition(2, "doc_id"), out
+    )
+    compact_jsonl_dir(spark, out, target_shards=2)
+    feed = table_changes_jsonl_dir(spark, out, starting_version=1)
+    return feed.groupBy(
+        F.col("_commit_version").alias("commit_version"),
+        F.col("_change_type").alias("change_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+SQL_FMT_PYDS_CDF_READ = f"""
+SELECT CAST(2 AS BIGINT) AS commit_version, 'insert' AS change_type,
+       COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM documents WHERE doc_id % 3 = 1
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'delete', COUNT(*), CAST(SUM(n_chars) AS BIGINT),
+       MIN(doc_id), MAX(doc_id)
+FROM documents WHERE doc_id % {CDF_DEL_MOD} = 0
+UNION ALL
+SELECT CAST(4 AS BIGINT), 'update_preimage', COUNT(*), CAST(SUM(n_chars) AS BIGINT),
+       MIN(doc_id), MAX(doc_id)
+FROM documents
+WHERE doc_id % {CDF_UPD_MOD} = 3 AND doc_id % {CDF_DEL_MOD} <> 0
+UNION ALL
+SELECT CAST(4 AS BIGINT), 'update_postimage', COUNT(*),
+       CAST(SUM(n_chars + 1000) AS BIGINT), MIN(doc_id), MAX(doc_id)
+FROM documents
+WHERE doc_id % {CDF_UPD_MOD} = 3 AND doc_id % {CDF_DEL_MOD} <> 0
+UNION ALL
+SELECT CAST(4 AS BIGINT), 'insert', COUNT(*), CAST(SUM(n_chars) AS BIGINT),
+       MIN(doc_id), MAX(doc_id)
+FROM documents
+WHERE doc_id % 3 = 2 AND doc_id % {CDF_INS_MOD} = 0
+"""
+
+
 QUERIES = {
     "fmt_pyds_jsonl_roundtrip": q_fmt_pyds_jsonl_roundtrip,
     "fmt_pyds_jsonl_write_roundtrip": q_fmt_pyds_jsonl_write_roundtrip,
@@ -3590,6 +3870,7 @@ QUERIES = {
     "fmt_pyds_delete_merge": q_fmt_pyds_delete_merge,
     "fmt_pyds_merge_clauses": q_fmt_pyds_merge_clauses,
     "fmt_pyds_schema_evolution": q_fmt_pyds_schema_evolution,
+    "fmt_pyds_cdf_read": q_fmt_pyds_cdf_read,
     "streaming_pyds_delete_feed": q_streaming_pyds_delete_feed,
     "streaming_pyds_docs": q_streaming_pyds_docs,
     "streaming_pyds_snapshot": q_streaming_pyds_snapshot,
@@ -3630,6 +3911,9 @@ ORACLE_SQL = {
     # v1 time travel = old 5-col shape; latest = 6 cols, old rows
     # null-extended on the evolved column
     "fmt_pyds_schema_evolution": SQL_FMT_PYDS_SCHEMA_EVOLUTION,
+    # batch CDF: per-commit insert/update_pre/update_post/delete sets,
+    # compaction (v5) contributes nothing
+    "fmt_pyds_cdf_read": SQL_FMT_PYDS_CDF_READ,
     # lagging subscriber = non-retraction union; fresh = current state
     "streaming_pyds_delete_feed": SQL_STREAMING_PYDS_DELETE_FEED,
     # the incremental path must agree with the batch oracle

@@ -2668,3 +2668,84 @@ def test_minilake_threaded_dml_linearizable(spark, tmp_path):
             assert read_at(v) == sorted(snapshots[v].items()), (
                 f"seed {seed}: post-vacuum time travel v{v}"
             )
+
+
+def test_table_changes_cdf(spark, tmp_path):
+    """Batch CDF pins beyond the oracle-checked aggregate: per-row
+    classification for every clause-merge outcome (matched-update →
+    pre+post pair, matched-delete → delete, matched-untouched → NO
+    row, not-matched → insert), rewrite commits contributing nothing,
+    inserts-from-seed when starting at 0, schema evolution inside the
+    range null-extending older commits' rows, and range validation."""
+    import pytest as _pytest
+
+    from pu4spark_spark.sources import pydatasource as P
+
+    P.register_pyds(spark)
+    DDL = (
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(i, f"d{i}", "en", "s", n) for i, n in rows], DDL
+        )
+
+    out = str(tmp_path / "cdf")
+    # v1 seed: ids 0..3
+    df([(0, 5), (1, 5), (2, 5), (3, 5)]).repartition(1).write.format(
+        "jsonl_docs"
+    ).option("path", out).mode("overwrite").save()
+    # v2: clause merge — update 0 (source beats target), leave 1
+    # untouched (source loses), DELETE 2, insert 9
+    v = P.merge_into_jsonl_dir(
+        spark,
+        df([(0, 50), (1, 1), (2, 0), (9, 7)]).repartition(1),
+        out,
+        when_matched_update="s.n_chars > t.n_chars",
+        when_matched_delete="s.n_chars = 0",
+        when_not_matched_insert=True,
+    )
+    assert v == 2
+    # v3: compaction — must contribute NOTHING to the feed
+    assert P.compact_jsonl_dir(spark, out, target_shards=1) == 3
+
+    feed = P.table_changes_jsonl_dir(spark, out, 1).collect()
+    by = sorted(
+        (r["doc_id"], r["_change_type"], r["n_chars"], r["_commit_version"])
+        for r in feed
+    )
+    assert by == [
+        (0, "update_postimage", 50, 2),
+        (0, "update_preimage", 5, 2),
+        (2, "delete", 5, 2),
+        (9, "insert", 7, 2),
+    ], by  # id 1 (matched, no clause taken) must not appear; v3 absent
+
+    # starting at 0 includes the seed's inserts
+    full = P.table_changes_jsonl_dir(spark, out, 0).collect()
+    assert (
+        sum(1 for r in full if r["_commit_version"] == 1) == 4
+        and all(
+            r["_change_type"] == "insert"
+            for r in full
+            if r["_commit_version"] == 1
+        )
+    )
+
+    # schema evolution inside the range: older commits null-extend
+    P.evolve_jsonl_schema(out, DDL + ", priority bigint")  # v4
+    spark.createDataFrame(
+        [(7, "x", "en", "s", 1, 42)], DDL + ", priority bigint"
+    ).repartition(1).write.format("jsonl_docs").option(
+        "path", out
+    ).option("base_version", 4).mode("append").save()  # v5
+    evo = P.table_changes_jsonl_dir(spark, out, 1)
+    assert "priority" in evo.columns
+    rows = {r["doc_id"]: r for r in evo.collect()}
+    assert rows[7]["priority"] == 42 and rows[7]["_change_type"] == "insert"
+    assert rows[9]["priority"] is None  # pre-evolution change row
+
+    with _pytest.raises(ValueError, match="starting_version"):
+        P.table_changes_jsonl_dir(spark, out, 9, 5)
