@@ -166,6 +166,20 @@ class JsonlDocsWriter(DataSourceWriter):
         # at commit time (the claim still guarantees a unique winner).
         bv = options.get("base_version")
         self.base_version = int(bv) if bv is not None else None
+        # Hive-style partitioned write, metadata-tracked: each task
+        # writes ONE shard per distinct value of the partition
+        # column(s) and the commit records the values in
+        # _STATS["_parts"] so the reader prunes whole shards on
+        # partition-column equality/IN filters.  Unlike Hive the
+        # column STAYS in the row data (no directory-name encoding —
+        # the manifest, not the path, is the metadata authority, the
+        # Iceberg position).  Callers should repartition by the
+        # partition column first: per-task shard count (and open file
+        # handles) is the task's value cardinality.
+        pb = options.get("partition_by")
+        self.partition_by = (
+            [c.strip() for c in pb.split(",") if c.strip()] if pb else []
+        )
         # per-JOB token: assigned once driver-side, shared by all the
         # job's pickled task copies.  Temp shards carry it so commit's
         # orphan sweep only ever touches THIS job's leftovers — a
@@ -190,28 +204,67 @@ class JsonlDocsWriter(DataSourceWriter):
 
         pid = TaskContext.get().partitionId()
         _os.makedirs(self.path, exist_ok=True)
-        final = f"part-{pid:05d}-{_uuid.uuid4().hex[:8]}.jsonl"
-        tmp = f"_tmp-{self.job_token}-" + final
-        n = 0
-        # per-shard doc_id min/max ride the commit message — the
-        # zonemap the reader's filter pushdown prunes shards with
         has_doc = "doc_id" in self.fields
-        mn = mx = None
-        with open(_os.path.join(self.path, tmp), "w") as fh:
-            for row in iterator:
-                d = {k: row[k] for k in self.fields}
-                fh.write(_json.dumps(d) + "\n")
-                n += 1
+
+        class _Shard:
+            __slots__ = ("tmp", "final", "fh", "n", "mn", "mx", "parts")
+
+            def __init__(s, token: str, parts: dict | None) -> None:
+                s.final = f"part-{pid:05d}-{_uuid.uuid4().hex[:8]}.jsonl"
+                s.tmp = f"_tmp-{token}-" + s.final
+                s.fh = open(_os.path.join(self.path, s.tmp), "w")
+                s.n = 0
+                s.mn = s.mx = None
+                s.parts = parts
+
+            def add(s, d: dict) -> None:
+                s.fh.write(_json.dumps(d) + "\n")
+                s.n += 1
+                # per-shard doc_id min/max ride the commit message —
+                # the zonemap the reader's filter pushdown prunes with
                 if has_doc and d["doc_id"] is not None:
                     v = d["doc_id"]
-                    mn = v if mn is None or v < mn else mn
-                    mx = v if mx is None or v > mx else mx
-            # shard contents must be on disk before the driver's commit
-            # can make them visible — same power-loss discipline as the
-            # metadata files
-            fh.flush()
-            _os.fsync(fh.fileno())
-        return JsonlCommit(tmp, final, n, mn, mx)
+                    s.mn = v if s.mn is None or v < s.mn else s.mn
+                    s.mx = v if s.mx is None or v > s.mx else s.mx
+
+            def close(s) -> JsonlCommit:
+                # shard contents must be on disk before the driver's
+                # commit can make them visible — same power-loss
+                # discipline as the metadata files
+                s.fh.flush()
+                _os.fsync(s.fh.fileno())
+                s.fh.close()
+                return JsonlCommit(
+                    s.tmp, s.final, s.n, s.mn, s.mx, parts=s.parts
+                )
+
+        if not self.partition_by:
+            shard = _Shard(self.job_token, None)
+            for row in iterator:
+                shard.add({k: row[k] for k in self.fields})
+            return shard.close()
+        # partitioned write: one shard per distinct partition value
+        # seen by THIS task (callers repartition by the column, so
+        # normally one value per task)
+        shards: dict[tuple, _Shard] = {}
+        for row in iterator:
+            d = {k: row[k] for k in self.fields}
+            key = tuple(d[c] for c in self.partition_by)
+            s = shards.get(key)
+            if s is None:
+                s = shards[key] = _Shard(
+                    self.job_token,
+                    dict(zip(self.partition_by, key)),
+                )
+            s.add(d)
+        if not shards:
+            # empty task still reports itself (rows=0, no file kept)
+            shard = _Shard(self.job_token, None)
+            return shard.close()
+        commits = [s.close() for s in shards.values()]
+        head, tail = commits[0], commits[1:]
+        head.extra = tail
+        return head
 
     def _sweep_tmp(self, keep: set[str]) -> None:
         import os as _os
@@ -289,9 +342,7 @@ class JsonlDocsWriter(DataSourceWriter):
                 with open(spath) as fh:
                     stats = _json.load(fh)
         committed_tmp = set()
-        for m in messages:
-            if m is None:
-                continue
+        for m in _flatten_commits(messages):
             _os.rename(
                 _os.path.join(self.path, m.tmp),
                 _os.path.join(self.path, m.file),
@@ -307,6 +358,10 @@ class JsonlDocsWriter(DataSourceWriter):
                 ] = version
             if getattr(m, "min_doc", None) is not None:
                 stats[m.file] = [m.min_doc, m.max_doc]
+            if getattr(m, "parts", None):
+                # partition values per shard — advisory like the
+                # zonemap: a shard without an entry is never pruned
+                stats.setdefault("_parts", {})[m.file] = m.parts
         if self.overwrite and self.ddl != DOCS_DDL:
             manifest[SCHEMA_KEY] = self.ddl
         # commit wall-clock (ns) — the "TIMESTAMP AS OF" resolution key
@@ -357,8 +412,8 @@ class JsonlDocsWriter(DataSourceWriter):
                     winner_files = set(_json.load(fh))
             except (OSError, ValueError):
                 pass
-            for m in messages:
-                if m is None or m.file in winner_files:
+            for m in _flatten_commits(messages):
+                if m.file in winner_files:
                     continue
                 try:
                     _os.remove(_os.path.join(self.path, m.file))
@@ -399,6 +454,8 @@ class JsonlCommit(WriterCommitMessage):
         rows: int,
         min_doc: int | None = None,
         max_doc: int | None = None,
+        parts: dict | None = None,
+        extra: list | None = None,
     ) -> None:
         self.tmp = tmp
         self.file = file
@@ -407,6 +464,26 @@ class JsonlCommit(WriterCommitMessage):
         #: or the shard is empty) — commit() collects these into _STATS
         self.min_doc = min_doc
         self.max_doc = max_doc
+        #: partition values of every row in this shard ({col: value}),
+        #: set by a ``partition_by`` write — commit() records them
+        #: under _STATS["_parts"] for reader-side partition pruning
+        self.parts = parts
+        #: additional shards from the SAME task (a partitioned task
+        #: writes one shard per distinct partition value, but the
+        #: DataSourceWriter API allows one message per task) —
+        #: commit()/abort() flatten
+        self.extra = extra
+
+
+def _flatten_commits(messages):
+    """One JsonlCommit per physical shard: tasks pack secondary shards
+    into ``extra`` (one API message per task), commit/abort unpack."""
+    for m in messages:
+        if m is None:
+            continue
+        yield m
+        for e in m.extra or ():
+            yield e
 
 
 #: reserved manifest key recording the streaming sink's last committed
@@ -587,6 +664,25 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
 
 
 class JsonlDocsReader(DataSourceReader):
+    """Manifest-resolving batch reader (snapshot / time-travel pins,
+    tombstone application, zonemap + partition pruning — see the
+    methods).
+
+    PUSHDOWN-SHARING RULE (Spark 4.1 Python DataSource limitation —
+    load once per filtered consumer): when ONE loaded DataFrame is
+    branched under DIFFERENT filters (e.g. a union of two filtered
+    aggregates over the same ``load()`` result), Spark builds a
+    correctly-filtered reader per branch but executes BOTH branches
+    against a single reader's planned partition list (scan identity
+    ignores Python-side pushdown state, so the scans deduplicate;
+    observed: the other branch re-filters the wrong shard set to
+    empty).  Soundness rule for this source: take a FRESH ``load()``
+    for every consumer that applies different filters — separate
+    relations never share a reader.  Pruning stays a pure I/O saving
+    under that rule because every filter is also re-evaluated by
+    Spark.  (JVM DSv2 sources are immune: their pushed state lives in
+    the Scan object, which participates in plan equality.)"""
+
     def __init__(self, options) -> None:
         path = options.get("path")
         if not path:
@@ -609,19 +705,27 @@ class JsonlDocsReader(DataSourceReader):
         #: _STATS zonemap can't intersect it are skipped in partitions()
         self._lo: int | None = None
         self._hi: int | None = None
+        #: pushed-down equality/IN value sets per non-doc_id column —
+        #: shards whose _STATS["_parts"] entry records a value OUTSIDE
+        #: the set are skipped (partition pruning); columns without a
+        #: parts entry never prune
+        self._part_in: dict[str, set] = {}
         #: the pinned commit's column order (schema evolution: resolved
         #: once at plan time, same as the source's schema() call)
         self.fields = _fields_of_ddl(_effective_schema_ddl(options))
 
     def pushFilters(self, filters):
-        """Filter PUSHDOWN (Spark 4.1 Python DataSource API): fold the
-        doc_id comparisons into one [lo, hi] interval used to prune
-        whole shards against the writer's ``_STATS`` zonemap — the
+        """Filter PUSHDOWN (Spark 4.1 Python DataSource API), two
+        pruning axes: (1) doc_id comparisons fold into one [lo, hi]
+        interval tested against the writer's ``_STATS`` zonemap — the
         data-skipping move every lake format makes (parquet row-group
-        stats, Iceberg manifests).  Every filter is returned to Spark
-        for re-evaluation, so the pushdown is purely an I/O saving and
-        can never change results; shards without a stats entry are
-        never pruned."""
+        stats, Iceberg manifests); (2) equality/IN predicates on other
+        columns fold into per-column allowed-value sets tested against
+        ``_STATS["_parts"]`` — PARTITION PRUNING over shards written
+        with ``option("partition_by", col)``.  Every filter is
+        returned to Spark for re-evaluation, so the pushdown is purely
+        an I/O saving and can never change results; shards without a
+        stats/parts entry are never pruned."""
         from pyspark.sql.datasource import (
             EqualTo,
             GreaterThan,
@@ -638,9 +742,41 @@ class JsonlDocsReader(DataSourceReader):
                 self._hi = hi
 
         for f in filters:
+            attr = getattr(f, "attribute", None)
+            # PARTITION pruning: equality/IN on any other column folds
+            # into a per-column allowed-value set, tested against the
+            # writer's _STATS["_parts"] (a partitioned shard holds ONE
+            # value per partition column, so set membership is a sound
+            # whole-shard test; non-partitioned shards have no entry
+            # and are never pruned)
+            if (
+                attr is not None
+                and len(attr) == 1
+                and attr != ("doc_id",)
+            ):
+                col = attr[0]
+                vals = None
+                if isinstance(f, EqualTo) and isinstance(
+                    f.value, (str, int, bool)
+                ):
+                    vals = {f.value}
+                elif (
+                    isinstance(f, In)
+                    and f.value
+                    and all(
+                        isinstance(v, (str, int, bool)) for v in f.value
+                    )
+                ):
+                    vals = set(f.value)
+                if vals is not None:
+                    prev = self._part_in.get(col)
+                    self._part_in[col] = (
+                        vals if prev is None else prev & vals
+                    )
+                continue
             if (
                 isinstance(f, In)
-                and getattr(f, "attribute", None) == ("doc_id",)
+                and attr == ("doc_id",)
                 and f.value
                 and all(isinstance(v, int) for v in f.value)
             ):
@@ -667,7 +803,7 @@ class JsonlDocsReader(DataSourceReader):
         return filters
 
     def _prune(self, files: list) -> list:
-        if self._lo is None and self._hi is None:
+        if self._lo is None and self._hi is None and not self._part_in:
             return files
         spath = os.path.join(self.path, "_STATS")
         if not os.path.exists(spath):
@@ -676,8 +812,18 @@ class JsonlDocsReader(DataSourceReader):
 
         with open(spath) as fh:
             stats = _json.load(fh)
+        parts = stats.get("_parts", {})
         kept = []
         for f in files:
+            # partition pruning: drop the shard iff a filtered column
+            # has a RECORDED value outside the allowed set (no entry →
+            # never prune blind, same rule as the zonemap)
+            p = parts.get(f)
+            if p and any(
+                c in p and p[c] not in allowed
+                for c, allowed in self._part_in.items()
+            ):
+                continue
             s = stats.get(f)
             if s is None:
                 kept.append(f)  # no zonemap — never prune blind
@@ -3753,6 +3899,81 @@ def q_fmt_pyds_commit_retry(
     )
 
 
+def q_fmt_pyds_partitioned_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """METADATA-TRACKED PARTITIONED TABLE, value-checked end to end:
+    write the documents corpus partitioned by ``lang``
+    (``option("partition_by", "lang")`` — each task writes one shard
+    per lang value, the commit records the value per shard in
+    ``_STATS["_parts"]``) across two commits (evens v1, odds v2), then
+    read back twice: an equality filter (one lang) and an IN filter
+    (two langs), both of which push down and prune whole shards by
+    partition value before any row is read.  At 100 TB partition
+    pruning is the FIRST lever — a lang='en' filter over a corpus
+    partitioned by lang should list en's shards, not scan the corpus.
+    The oracle re-derives both aggregates from the parquet truth, so a
+    pruning that drops a matching shard (wrong results) or the writer
+    splitting rows into the wrong partition hash-mismatches; the
+    pruned-shard COUNT and the never-prune-blind rule (compaction
+    drops parts entries) are pytest-pinned."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_pyds_part_{tag}_{os.getpid()}"
+    )
+    register_pyds(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .repartition("lang")
+        .write.format("jsonl_docs")
+        .option("path", out).option("partition_by", "lang")
+        .mode("overwrite").save()
+    )
+    (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .repartition("lang")
+        .write.format("jsonl_docs")
+        .option("path", out).option("partition_by", "lang")
+        .option("base_version", 1).mode("append").save()
+    )
+    def agg(df: DataFrame, snap: str) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        ).select(F.lit(snap).alias("probe"), "*")
+
+    def fresh() -> DataFrame:
+        # ONE load() PER FILTERED CONSUMER — the pushdown-sharing rule
+        # (see JsonlDocsReader docstring): branching a single loaded
+        # DataFrame under different filters executes both branches
+        # against one reader's pruned partition list
+        return spark.read.format("jsonl_docs").option("path", out).load()
+
+    one = agg(fresh().filter(F.col("lang") == "en"), "eq")
+    two = agg(fresh().filter(F.col("lang").isin("de", "fr")), "in")
+    return one.unionByName(two)
+
+
+SQL_FMT_PYDS_PARTITIONED = """
+SELECT 'eq' AS probe, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM documents WHERE lang = 'en'
+GROUP BY lang
+UNION ALL
+SELECT 'in', lang, COUNT(*), CAST(SUM(n_chars) AS BIGINT),
+       MIN(doc_id), MAX(doc_id)
+FROM documents WHERE lang IN ('de', 'fr')
+GROUP BY lang
+"""
+
+
 #: CDF fixture predicates: deletes hit doc_id%9==0 (⊂ the %3==0 rows
 #: live since v1), updates hit doc_id%12==3 minus the deleted ones,
 #: merge-inserts hit doc_id%3==2 ∧ doc_id%5==0 (never live before)
@@ -3871,6 +4092,7 @@ QUERIES = {
     "fmt_pyds_merge_clauses": q_fmt_pyds_merge_clauses,
     "fmt_pyds_schema_evolution": q_fmt_pyds_schema_evolution,
     "fmt_pyds_cdf_read": q_fmt_pyds_cdf_read,
+    "fmt_pyds_partitioned_scan": q_fmt_pyds_partitioned_scan,
     "streaming_pyds_delete_feed": q_streaming_pyds_delete_feed,
     "streaming_pyds_docs": q_streaming_pyds_docs,
     "streaming_pyds_snapshot": q_streaming_pyds_snapshot,
@@ -3914,6 +4136,8 @@ ORACLE_SQL = {
     # batch CDF: per-commit insert/update_pre/update_post/delete sets,
     # compaction (v5) contributes nothing
     "fmt_pyds_cdf_read": SQL_FMT_PYDS_CDF_READ,
+    # partitioned write + partition-pruned equality/IN reads
+    "fmt_pyds_partitioned_scan": SQL_FMT_PYDS_PARTITIONED,
     # lagging subscriber = non-retraction union; fresh = current state
     "streaming_pyds_delete_feed": SQL_STREAMING_PYDS_DELETE_FEED,
     # the incremental path must agree with the batch oracle

@@ -2749,3 +2749,130 @@ def test_table_changes_cdf(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="starting_version"):
         P.table_changes_jsonl_dir(spark, out, 9, 5)
+
+
+def test_partitioned_lake_write_and_pruning(spark, tmp_path):
+    """Partitioned mini-lake pins beyond the oracle-checked aggregate:
+    (1) a single task holding MANY partition values writes one shard
+    per value (extra-message flattening) and nothing is lost, (2) the
+    reader's partition pruning keeps exactly the matching shards plus
+    never-prunes-blind, (3) compaction drops parts entries — pruning
+    stops, results stay correct, (4) a lost OCC claim rolls back every
+    shard of the partitioned task, including the extra ones."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql.datasource import EqualTo, In
+
+    from pu4spark_spark.sources import pydatasource as P
+
+    P.register_pyds(spark)
+    DDL = (
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+    rows = [
+        (i, f"d{i}", lang, "s", 10 + i)
+        for i, lang in enumerate(["en", "de", "fr", "en", "de", "en"])
+    ]
+    df = spark.createDataFrame(rows, DDL)
+
+    out = str(tmp_path / "plake")
+    # ONE task, three langs → three shards from one commit message
+    df.repartition(1).write.format("jsonl_docs").option(
+        "path", out
+    ).option("partition_by", "lang").mode("overwrite").save()
+    manifest = _json.load(open(_os.path.join(out, "_MANIFEST")))
+    shards = [f for f in manifest if not f.startswith("_")]
+    assert len(shards) == 3
+    parts = _json.load(open(_os.path.join(out, "_STATS")))["_parts"]
+    assert sorted(parts[f]["lang"] for f in shards) == ["de", "en", "fr"]
+
+    # pruning: the reader keeps exactly lang='en' shards
+    r = P.JsonlDocsReader({"path": out})
+    r.pushFilters([EqualTo(("lang",), "en")])
+    kept = r._prune(shards)
+    assert kept == [f for f in shards if parts[f]["lang"] == "en"]
+    r2 = P.JsonlDocsReader({"path": out})
+    r2.pushFilters([In(("lang",), ("de", "fr"))])
+    assert len(r2._prune(shards)) == 2
+    # full read unaffected (filters always re-evaluated by Spark)
+    back = (
+        spark.read.format("jsonl_docs").option("path", out).load()
+    )
+    assert back.count() == 6
+    got = sorted(
+        (x["doc_id"], x["n_chars"])
+        for x in back.filter("lang = 'en'").collect()
+    )
+    assert got == [(0, 10), (3, 13), (5, 15)]
+
+    # compaction: parts entries dropped for the rewritten shards →
+    # never prune blind, result still exact
+    P.compact_jsonl_dir(spark, out, target_shards=1)
+    m2 = _json.load(open(_os.path.join(out, "_MANIFEST")))
+    new_shards = [f for f in m2 if not f.startswith("_")]
+    parts2 = _json.load(
+        open(_os.path.join(out, "_STATS"))
+    ).get("_parts", {})
+    assert not any(f in parts2 for f in new_shards)
+    r3 = P.JsonlDocsReader({"path": out})
+    r3.pushFilters([EqualTo(("lang",), "en")])
+    assert r3._prune(new_shards) == new_shards  # no blind pruning
+    assert (
+        spark.read.format("jsonl_docs").option("path", out)
+        .load().filter("lang = 'en'").count() == 3
+    )
+
+    # lost claim rolls back ALL of the partitioned task's shards: the
+    # rival lands first pinned at the same base, so the partitioned
+    # loser's claim of base+1 is a guaranteed natural conflict (no
+    # monkeypatching — the writer's commit runs in its own worker)
+    import pytest as _pytest
+
+    base = P._latest_manifest_version(out)
+    spark.createDataFrame(
+        [(999, "w", "en", "s", 1)], DDL
+    ).repartition(1).write.format("jsonl_docs").option(
+        "path", out
+    ).option("base_version", base).mode("append").save()  # rival wins
+
+    def disk() -> set:
+        return {
+            f
+            for f in _os.listdir(out)
+            if f.endswith(".jsonl") and not f.startswith("_")
+        }
+
+    pre_conflict = disk()
+    loser = df.withColumn("doc_id", df.doc_id + 100).repartition(1)
+    with _pytest.raises(Exception, match="concurrent commit"):
+        loser.write.format("jsonl_docs").option("path", out).option(
+            "partition_by", "lang"
+        ).option("base_version", base).mode("append").save()
+    final = (
+        spark.read.format("jsonl_docs").option("path", out).load()
+    )
+    ids = sorted(x["doc_id"] for x in final.collect())
+    assert ids == [0, 1, 2, 3, 4, 5, 999], ids  # no loser row leaked
+    # every one of the loser's shards — head AND extra — rolled back
+    # (superseded pre-compaction shards legitimately stay for
+    # snapshot reads, hence set-diff not set-equality)
+    assert disk() == pre_conflict, "loser's shards not rolled back"
+
+    # PUSHDOWN-SHARING RULE (JsonlDocsReader docstring): separate
+    # load() per filtered consumer is the sound pattern — both
+    # branches exact.  (Branching ONE load() under different filters
+    # executes both branches against a single reader's partition
+    # list — a Spark Python-DS scan-identity limitation.)
+    b1 = spark.read.format("jsonl_docs").option("path", out).load()
+    b2 = spark.read.format("jsonl_docs").option("path", out).load()
+    u = (
+        b1.filter("lang = 'en'")
+        .groupBy("lang").count()
+        .unionByName(
+            b2.filter("lang in ('de','fr')").groupBy("lang").count()
+        )
+    )
+    got2 = {r["lang"]: r["count"] for r in u.collect()}
+    assert got2 == {"en": 4, "de": 2, "fr": 1}, got2
