@@ -180,6 +180,30 @@ class JsonlDocsWriter(DataSourceWriter):
         self.partition_by = (
             [c.strip() for c in pb.split(",") if c.strip()] if pb else []
         )
+        # CHECK constraints of the base manifest, compiled driver-side
+        # once and pickled to every task: each row is validated BEFORE
+        # staging, so one violating row fails the job and nothing
+        # partial ever claims a manifest.  An overwrite replaces the
+        # table, constraints included.  option("constraints_from", p)
+        # enforces ANOTHER table's constraints — the merge staging
+        # path writes into a sibling stage dir whose rows are destined
+        # for the real table, and must not bypass its contract.
+        self._constraints: list[tuple] = []
+        cfrom = options.get("constraints_from")
+        src = cfrom if cfrom else (None if overwrite else self.path)
+        if src and os.path.isdir(src):
+            base = (
+                self.base_version
+                if self.base_version is not None and not cfrom
+                else _latest_manifest_version(src)
+            )
+            if base > 0:
+                for nm, ex in _constraints_of(
+                    _manifest_at(src, base)
+                ).items():
+                    self._constraints.append(
+                        (nm, ex, _compile_constraint(ex))
+                    )
         # per-JOB token: assigned once driver-side, shared by all the
         # job's pickled task copies.  Temp shards carry it so commit's
         # orphan sweep only ever touches THIS job's leftovers — a
@@ -238,17 +262,28 @@ class JsonlDocsWriter(DataSourceWriter):
                     s.tmp, s.final, s.n, s.mn, s.mx, parts=s.parts
                 )
 
+        cons = self._constraints
+
+        def _validated(d: dict) -> dict:
+            for nm, ex, fn in cons:
+                if not fn(d):
+                    raise ValueError(
+                        f"CHECK constraint {nm!r} ({ex}) violated by "
+                        f"row {d!r} — the job fails before any commit"
+                    )
+            return d
+
         if not self.partition_by:
             shard = _Shard(self.job_token, None)
             for row in iterator:
-                shard.add({k: row[k] for k in self.fields})
+                shard.add(_validated({k: row[k] for k in self.fields}))
             return shard.close()
         # partitioned write: one shard per distinct partition value
         # seen by THIS task (callers repartition by the column, so
         # normally one value per task)
         shards: dict[tuple, _Shard] = {}
         for row in iterator:
-            d = {k: row[k] for k in self.fields}
+            d = _validated({k: row[k] for k in self.fields})
             key = tuple(d[c] for c in self.partition_by)
             s = shards.get(key)
             if s is None:
@@ -539,9 +574,27 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
         n = 0
         has_doc = "doc_id" in self.fields
         mn = mx = None
+        # CHECK constraints, loaded lazily per TASK from the current
+        # latest manifest (a stream is long-lived — a constraint added
+        # mid-stream must bind future batches, so init-time loading
+        # would be stale; per-batch task load is one manifest read)
+        cons = []
+        latest = _latest_manifest_version(self.path)
+        if latest > 0:
+            for nm, ex in _constraints_of(
+                _manifest_at(self.path, latest)
+            ).items():
+                cons.append((nm, ex, _compile_constraint(ex)))
         with open(_os.path.join(self.path, tmp), "w") as fh:
             for row in iterator:
                 d = {k: row[k] for k in self.fields}
+                for nm, ex, fn in cons:
+                    if not fn(d):
+                        raise ValueError(
+                            f"CHECK constraint {nm!r} ({ex}) violated "
+                            f"by row {d!r} — the micro-batch fails "
+                            "before any commit"
+                        )
                 fh.write(_json.dumps(d) + "\n")
                 n += 1
                 if has_doc and d["doc_id"] is not None:
@@ -1352,6 +1405,174 @@ def evolve_jsonl_schema(
     return version
 
 
+#: reserved manifest key holding the table's CHECK constraints
+#: ({name: expr}) — commit-scoped like _schema: added/dropped by a
+#: pure-metadata commit, enforced by every writer against the base
+#: manifest it plans against, never enforced retroactively on rows
+#: already committed (the Delta ALTER TABLE ADD CONSTRAINT contract
+#: would scan history first; ours documents add-forward semantics)
+CONSTRAINT_KEY = "_constraints"
+
+_CONSTRAINT_OPS = {
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    "=": lambda a, b: a == b,
+    "==": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    "<>": lambda a, b: a != b,
+}
+
+
+def _compile_constraint(expr: str):
+    """Compile a restricted CHECK-constraint grammar to a row
+    predicate: ``col IS NOT NULL`` or ``col <op> literal`` (numeric or
+    single-quoted string; ops ``> >= < <= = == != <>``).  SQL CHECK
+    semantics: only FALSE violates — a NULL cell under a comparison is
+    UNKNOWN, which passes (use an explicit IS NOT NULL to forbid it),
+    the same rule Delta/ANSI apply.  The deliberately small grammar is
+    what a pure-Python per-row writer can evaluate at full speed; AND
+    is spelled as multiple named constraints.  Raises ValueError on
+    anything else — an unparseable constraint must fail at ADD time,
+    never pass silently at write time."""
+    import re as _re
+
+    m = _re.fullmatch(
+        r"\s*(\w+)\s+is\s+not\s+null\s*", expr, _re.IGNORECASE
+    )
+    if m:
+        col = m.group(1)
+        return lambda row, c=col: row.get(c) is not None
+    m = _re.fullmatch(
+        r"\s*(\w+)\s*(>=|<=|!=|<>|==|=|>|<)\s*"
+        r"('(?:[^']*)'|-?\d+(?:\.\d+)?)\s*",
+        expr,
+    )
+    if m:
+        col, op, lit = m.group(1), m.group(2), m.group(3)
+        if lit.startswith("'"):
+            value = lit[1:-1]
+        elif "." in lit:
+            value = float(lit)
+        else:
+            value = int(lit)
+        fn = _CONSTRAINT_OPS[op]
+
+        def pred(row, c=col, f=fn, v=value):
+            cell = row.get(c)
+            if cell is None:
+                return True  # UNKNOWN never violates (ANSI CHECK)
+            return f(cell, v)
+
+        return pred
+    raise ValueError(
+        f"unsupported constraint expression {expr!r}: the grammar is "
+        "'col IS NOT NULL' or 'col <op> literal' "
+        "(ops > >= < <= = == != <>; numeric or 'string' literal)"
+    )
+
+
+def _constraints_of(manifest: dict | None) -> dict:
+    if isinstance(manifest, dict) and CONSTRAINT_KEY in manifest:
+        return manifest[CONSTRAINT_KEY]
+    return {}
+
+
+def add_constraint_jsonl_dir(
+    path: str, name: str, expr: str, base_version: int | None = None
+) -> int:
+    """ADD a named CHECK constraint as a lake COMMIT (pure metadata,
+    same create-if-absent OCC gate as every append — a concurrent
+    writer that planned against the pre-constraint base either wins
+    the claim race or conflicts; it can never land unvalidated rows
+    AFTER the constraint's version).  Enforcement is add-forward:
+    every write that plans against version >= this commit validates
+    each row on the EXECUTOR before staging, and one violating row
+    fails the whole job before any manifest claim — nothing partial
+    ever commits.  The expression must compile under the restricted
+    grammar (:func:`_compile_constraint`) or the ADD itself fails."""
+    import json as _json
+    import time as _time
+
+    _compile_constraint(expr)  # fail at ADD time, not at write time
+    base = (
+        base_version
+        if base_version is not None
+        else _latest_manifest_version(path)
+    )
+    if base <= 0:
+        raise ValueError(
+            f"add_constraint_jsonl_dir: no committed version under {path}"
+        )
+    manifest = _manifest_at(path, base)
+    cons = dict(_constraints_of(manifest))
+    if name in cons:
+        raise ValueError(
+            f"constraint {name!r} already exists: {cons[name]!r}"
+        )
+    cons[name] = expr
+    version = base + 1
+    new_manifest = dict(manifest)
+    new_manifest[CONSTRAINT_KEY] = cons
+    new_manifest["_ts"] = _time.time_ns()
+    body = _json.dumps(new_manifest)
+    try:
+        _write_atomic_excl(
+            os.path.join(path, f"_MANIFEST.v{version}"), body
+        )
+    except FileExistsError:
+        raise ManifestCommitConflict(
+            f"concurrent commit: _MANIFEST.v{version} was claimed by "
+            f"another writer after this constraint read version {base}; "
+            "re-plan the ADD CONSTRAINT against the new table state"
+        ) from None
+    if _latest_manifest_version(path) == version:
+        _write_atomic(os.path.join(path, "_MANIFEST"), body)
+    return version
+
+
+def drop_constraint_jsonl_dir(
+    path: str, name: str, base_version: int | None = None
+) -> int:
+    """DROP a named constraint — the metadata-commit twin of
+    :func:`add_constraint_jsonl_dir` (unknown names fail loudly)."""
+    import json as _json
+    import time as _time
+
+    base = (
+        base_version
+        if base_version is not None
+        else _latest_manifest_version(path)
+    )
+    manifest = _manifest_at(path, base)
+    cons = dict(_constraints_of(manifest))
+    if name not in cons:
+        raise ValueError(f"constraint {name!r} does not exist")
+    del cons[name]
+    version = base + 1
+    new_manifest = dict(manifest)
+    if cons:
+        new_manifest[CONSTRAINT_KEY] = cons
+    else:
+        new_manifest.pop(CONSTRAINT_KEY, None)
+    new_manifest["_ts"] = _time.time_ns()
+    body = _json.dumps(new_manifest)
+    try:
+        _write_atomic_excl(
+            os.path.join(path, f"_MANIFEST.v{version}"), body
+        )
+    except FileExistsError:
+        raise ManifestCommitConflict(
+            f"concurrent commit: _MANIFEST.v{version} was claimed by "
+            f"another writer after this constraint read version {base}; "
+            "re-plan the DROP CONSTRAINT against the new table state"
+        ) from None
+    if _latest_manifest_version(path) == version:
+        _write_atomic(os.path.join(path, "_MANIFEST"), body)
+    return version
+
+
 def _earliest_manifest_version(path: str) -> int:
     """Smallest committed version still on disk (0 if none) — moves
     up from 1 after :func:`vacuum_jsonl_dir` drops old snapshots."""
@@ -2106,16 +2327,43 @@ def compact_jsonl_dir(
     return version
 
 
-def vacuum_jsonl_dir(path: str, keep_versions: int = 1) -> int:
+def vacuum_jsonl_dir(
+    path: str, keep_versions: int = 1, stale_grace_s: float = 600.0
+) -> int:
     """Reclaim shards unreachable from the newest ``keep_versions``
     manifests and drop the older manifest files — the GC half of the
     snapshot contract (time travel works until vacuum, then fails
     LOUDLY rather than serving partial data).  Also sweeps ``_tmp-``
-    orphans left by a crashed compaction or write job.  Requires an
-    EXCLUSIVE writer like :func:`compact_jsonl_dir` (vacuum racing a
-    concurrent commit could delete a shard between its rename and its
-    manifest flip).  Returns the number of shard files deleted."""
+    orphans left by a crashed compaction or write job.
+
+    ``stale_grace_s`` makes vacuum SAFE BESIDE LIVE WRITERS (Delta's
+    file-retention check): an unreferenced file younger than the
+    grace window is presumed to be a concurrent writer's
+    staged-but-unclaimed work (data shards get their final names
+    BEFORE the manifest claim; delete-key shards likewise) and is
+    left alone — only files that have sat unreferenced past the
+    window are true orphans from crashed jobs.  Size it above the
+    worst stage-to-claim latency (the default 600 s is generous; a
+    claim follows its staging within seconds).  ``stale_grace_s=0``
+    restores the old exclusive-maintainer behavior: reclaim
+    everything unreferenced, only safe with no writer in flight.
+    Manifest snapshots need no grace — they are atomic
+    create-if-absent commits, never staged.  Returns the number of
+    shard files deleted."""
     import json as _json
+    import time as _time
+
+    now = _time.time()
+
+    def _stale(f: str) -> bool:
+        if stale_grace_s <= 0:
+            return True
+        try:
+            return now - os.path.getmtime(os.path.join(path, f)) >= (
+                stale_grace_s
+            )
+        except OSError:
+            return False  # raced with its own cleanup — leave it
 
     versions = sorted(
         int(f.rsplit(".v", 1)[1])
@@ -2125,10 +2373,22 @@ def vacuum_jsonl_dir(path: str, keep_versions: int = 1) -> int:
     if not versions:
         return 0
     keep = set(versions[-max(1, keep_versions):])
+    #: manifests are removed by AGE CUTOFF, never by keep-set
+    #: membership: a commit landing between vacuum's version listing
+    #: and its removal pass is NEWER than everything listed and absent
+    #: from the stale keep set — membership-based removal would delete
+    #: that just-committed snapshot (observed in the threaded stress:
+    #: a delete's fresh v2 vanished and the next delete re-claimed v2,
+    #: breaking manifest immutability).  Only versions strictly OLDER
+    #: than the oldest kept one are reclaimable.
+    cutoff = min(keep)
     live: set[str] = set()
     for v in keep:
-        with open(os.path.join(path, f"_MANIFEST.v{v}")) as fh:
-            m = _json.load(fh)
+        try:
+            with open(os.path.join(path, f"_MANIFEST.v{v}")) as fh:
+                m = _json.load(fh)
+        except OSError:
+            continue  # raced a concurrent vacuum's removal pass
         live.update(_manifest_files(m))
         # tombstone entries' delete files stay reachable while any
         # retained manifest references them (a merge's entry names its
@@ -2137,32 +2397,46 @@ def vacuum_jsonl_dir(path: str, keep_versions: int = 1) -> int:
         for e in _tombstones_of(m)["entries"]:
             live.update(e.get("files", ()))
     removed = 0
+
+    def _rm(f: str) -> bool:
+        # two vacuums racing the same orphan must not crash the loser
+        try:
+            os.remove(os.path.join(path, f))
+            return True
+        except OSError:
+            return False
+
     for f in os.listdir(path):
         if f.startswith("_delete-"):
-            if f not in live:
-                os.remove(os.path.join(path, f))
+            if f not in live and _stale(f):
+                _rm(f)
         elif f.startswith("_MANIFEST.v"):
+            # manifests need no grace (atomic create-if-absent commits,
+            # never half-staged) but DO need the age cutoff — see the
+            # comment at `cutoff` above
             v = f.rsplit(".v", 1)[1]
-            if v.isdigit() and int(v) not in keep:
-                os.remove(os.path.join(path, f))
+            if v.isdigit() and int(v) < cutoff:
+                _rm(f)
             elif v.endswith(".rewrite"):
                 # dataChange=false sidecar: lives and dies with its
                 # snapshot version
                 vn = v[: -len(".rewrite")]
-                if vn.isdigit() and int(vn) not in keep:
-                    os.remove(os.path.join(path, f))
+                if vn.isdigit() and int(vn) < cutoff:
+                    _rm(f)
         elif f.startswith("_tmp-"):
             # orphan from a crashed compaction/write — never visible
-            # to readers, safe to reclaim under the exclusive-writer
-            # contract
-            os.remove(os.path.join(path, f))
+            # to readers; the grace window keeps a LIVE job's staging
+            # safe
+            if _stale(f):
+                _rm(f)
         elif (
             f.endswith((".json", ".jsonl"))
             and not f.startswith((".", "_"))
             and f not in live
+            and _stale(f)
         ):
-            os.remove(os.path.join(path, f))
-            removed += 1
+            if _rm(f):
+                removed += 1
     return removed
 
 
@@ -3050,6 +3324,10 @@ def _stage_data_shards(
     (
         df.write.format("jsonl_docs")
         .option("path", stage)
+        # the staged rows land in the REAL table: its CHECK
+        # constraints must hold here, where a violation can still
+        # fail the merge before any claim
+        .option("constraints_from", path)
         .mode("overwrite")
         .save()
     )
@@ -3974,6 +4252,58 @@ GROUP BY lang
 """
 
 
+def q_fmt_pyds_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK CONSTRAINTS as lake commits, value-checked on the passing
+    path: write evens (v1) → ADD ``n_chars >= 0`` (v2, pure-metadata
+    commit through the OCC gate) → ADD ``lang IS NOT NULL`` (v3) →
+    append odds (v4 — every row validated on the EXECUTOR before
+    staging, one violation fails the job before any claim) → aggregate
+    the constrained table, which must equal the full parquet truth.
+    The enforcement failure path (violating batch commits NOTHING,
+    merge staging enforced, ANSI NULL semantics, DROP) is pinned in
+    tests/test_formats.py — a failure can't be oracle-checked."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_pyds_ck_{tag}_{os.getpid()}"
+    )
+    register_pyds(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out).mode("overwrite").save()
+    )
+    add_constraint_jsonl_dir(out, "chars_nonneg", "n_chars >= 0")
+    add_constraint_jsonl_dir(out, "lang_set", "lang IS NOT NULL")
+    (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out).option("base_version", 3)
+        .mode("append").save()
+    )
+    back = spark.read.format("jsonl_docs").option("path", out).load()
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+SQL_FMT_PYDS_CONSTRAINTS = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM documents
+GROUP BY lang
+"""
+
+
 #: CDF fixture predicates: deletes hit doc_id%9==0 (⊂ the %3==0 rows
 #: live since v1), updates hit doc_id%12==3 minus the deleted ones,
 #: merge-inserts hit doc_id%3==2 ∧ doc_id%5==0 (never live before)
@@ -4093,6 +4423,7 @@ QUERIES = {
     "fmt_pyds_schema_evolution": q_fmt_pyds_schema_evolution,
     "fmt_pyds_cdf_read": q_fmt_pyds_cdf_read,
     "fmt_pyds_partitioned_scan": q_fmt_pyds_partitioned_scan,
+    "fmt_pyds_constraints": q_fmt_pyds_constraints,
     "streaming_pyds_delete_feed": q_streaming_pyds_delete_feed,
     "streaming_pyds_docs": q_streaming_pyds_docs,
     "streaming_pyds_snapshot": q_streaming_pyds_snapshot,
@@ -4138,6 +4469,8 @@ ORACLE_SQL = {
     "fmt_pyds_cdf_read": SQL_FMT_PYDS_CDF_READ,
     # partitioned write + partition-pruned equality/IN reads
     "fmt_pyds_partitioned_scan": SQL_FMT_PYDS_PARTITIONED,
+    # constrained writes on the passing path == full corpus truth
+    "fmt_pyds_constraints": SQL_FMT_PYDS_CONSTRAINTS,
     # lagging subscriber = non-retraction union; fresh = current state
     "streaming_pyds_delete_feed": SQL_STREAMING_PYDS_DELETE_FEED,
     # the incremental path must agree with the batch oracle

@@ -460,7 +460,7 @@ def test_pyds_compaction_and_vacuum_contract(spark, tmp_path):
     )
     assert v1 == [0, 1, 2, 3, 4, 5]
 
-    removed = vacuum_jsonl_dir(out, keep_versions=1)
+    removed = vacuum_jsonl_dir(out, keep_versions=1, stale_grace_s=0)
     assert removed == n_before
     assert len(shards()) == 2
     assert sorted(r["doc_id"] for r in rd().load().collect()) == latest
@@ -504,7 +504,7 @@ def test_metadata_writes_atomic_and_vacuum_sweeps_orphans(spark, tmp_path):
         .load().collect()
     )
     assert got == [0, 1, 2, 3]
-    vacuum_jsonl_dir(out, keep_versions=1)
+    vacuum_jsonl_dir(out, keep_versions=1, stale_grace_s=0)
     assert not os.path.exists(orphan)
     got2 = sorted(
         r["doc_id"]
@@ -865,7 +865,7 @@ def test_version_stream_skips_rewrite_commits(spark, tmp_path):
     assert got_all == m2 and got_all.isdisjoint(m3 - m2)
     # vacuum to latest only: old snapshots AND the rewrite marker of a
     # kept version stay; drop below keep -> marker goes with snapshot
-    vacuum_jsonl_dir(out, keep_versions=1)
+    vacuum_jsonl_dir(out, keep_versions=1, stale_grace_s=0)
     names = set(_os.listdir(out))
     assert "_MANIFEST.v3" in names and "_MANIFEST.v3.rewrite" in names
     assert "_MANIFEST.v1" not in names and "_MANIFEST.v2" not in names
@@ -1005,7 +1005,7 @@ def test_fresh_version_stream_starts_at_earliest_kept_snapshot(
         w.mode("overwrite" if half == 0 else "append").save()
     v = compact_jsonl_dir(spark, out, target_shards=1)
     assert v == 3
-    vacuum_jsonl_dir(out, keep_versions=1)  # only v3 (+ marker) left
+    vacuum_jsonl_dir(out, keep_versions=1, stale_grace_s=0)  # only v3 (+ marker) left
 
     r = JsonlDocsVersionStreamReader({"path": out})
     m3 = {f for f in _json.load(open(_os.path.join(out, "_MANIFEST.v3"))) if not f.startswith("_")}
@@ -1255,7 +1255,11 @@ def test_minilake_random_op_sequences(spark, tmp_path):
                     spark, out, target_shards=rng.randint(1, 2)
                 )
             else:
-                vacuum_jsonl_dir(out, keep_versions=rng.randint(1, 3))
+                vacuum_jsonl_dir(
+                    out,
+                    keep_versions=rng.randint(1, 3),
+                    stale_grace_s=0,
+                )
             snapshots[_latest_manifest_version(out)] = dict(state)
 
         # (1) batch read == live state exactly (id AND merged value)
@@ -1404,7 +1408,7 @@ def test_delete_merge_tombstone_contract(spark, tmp_path):
     manifest = _json.load(open(_os.path.join(out, f"_MANIFEST.v{v}")))
     assert TOMBSTONE_KEY not in manifest
     assert read() == expect
-    vacuum_jsonl_dir(out, keep_versions=1)
+    vacuum_jsonl_dir(out, keep_versions=1, stale_grace_s=0)
     blobs = "".join(
         open(_os.path.join(out, f)).read()
         for f in _os.listdir(out)
@@ -1873,7 +1877,7 @@ def test_as_of_ts_resolution_contract(spark, tmp_path):
             .load()
             .collect()
         )
-    vacuum_jsonl_dir(out, keep_versions=1)
+    vacuum_jsonl_dir(out, keep_versions=1, stale_grace_s=0)
     with _pytest.raises(Exception, match="as_of_ts"):
         ids_at(mid)  # v1's snapshot reclaimed — fails loudly
 
@@ -2047,7 +2051,7 @@ def test_delete_keys_spill_to_files_manifest_o1(spark, tmp_path):
 
     # compaction clears the ledger; vacuum then reclaims the key shards
     compact_jsonl_dir(spark, out, target_shards=2)
-    vacuum_jsonl_dir(out, keep_versions=1)
+    vacuum_jsonl_dir(out, keep_versions=1, stale_grace_s=0)
     leftover = [f for f in _os.listdir(out) if f.startswith("_delete-")]
     assert leftover == [], f"vacuum left delete files behind: {leftover}"
     got2 = (
@@ -2096,7 +2100,7 @@ def test_delete_files_survive_vacuum_while_referenced(spark, tmp_path):
         return sorted(x["doc_id"] for x in r.load().collect())
 
     # keep v2+v3: both reference the delete file — must survive vacuum
-    vacuum_jsonl_dir(out, keep_versions=2)
+    vacuum_jsonl_dir(out, keep_versions=2, stale_grace_s=0)
     assert [f for f in _os.listdir(out) if f.startswith("_delete-")]
     assert read_ids(version=2) == [0, 1, 2, 5, 6, 7, 8, 9]
     assert read_ids() == [0, 1, 2, 5, 6, 7, 8, 9, 20]
@@ -2517,6 +2521,16 @@ def test_minilake_threaded_dml_linearizable(spark, tmp_path):
                 except P.ManifestCommitConflict:
                     pass
 
+        def vacuumer(tid, n_ops, rng):
+            # grace-windowed vacuum is safe BESIDE live writers: a
+            # concurrent writer's staged-but-unclaimed shards are
+            # younger than the window and untouched; only committed-
+            # then-superseded history is reclaimed
+            for _ in range(n_ops):
+                P.vacuum_jsonl_dir(
+                    out, keep_versions=5, stale_grace_s=3600
+                )
+
         def sink(tid, n_ops, rng):
             # streaming lake sink: the real stream writer's commit
             # protocol (claim loop + _txn exactly-once), driven directly
@@ -2588,6 +2602,7 @@ def test_minilake_threaded_dml_linearizable(spark, tmp_path):
                     (merger, 2),
                     (compactor, 2),
                     (sink, 2),
+                    (vacuumer, 2),
                 ],
                 start=1,
             )
@@ -2648,15 +2663,24 @@ def test_minilake_threaded_dml_linearizable(spark, tmp_path):
             f"seed {seed}: fresh stream"
         )
 
-        # (3) time travel at EVERY version replays the model prefix
-        for v in range(1, V + 1):
+        # (3) time travel at every still-RETAINED version replays the
+        # model prefix (the vacuum thread may have dropped early
+        # manifests — keep_versions=5 retains at least the recent tail)
+        retained = {
+            int(f.rsplit(".v", 1)[1])
+            for f in _os.listdir(out)
+            if f.startswith("_MANIFEST.v")
+            and f.rsplit(".v", 1)[1].isdigit()
+        }
+        assert len(retained) >= min(V, 5), f"seed {seed}: over-vacuumed"
+        for v in sorted(retained):
             assert read_at(v) == sorted(snapshots[v].items()), (
                 f"seed {seed}: time travel v{v}"
             )
 
         # (4) vacuum afterwards (exclusive maintainer): retained
         # versions still replay, final read unchanged
-        P.vacuum_jsonl_dir(out, keep_versions=3)
+        P.vacuum_jsonl_dir(out, keep_versions=3, stale_grace_s=0)
         kept = {
             int(f.rsplit(".v", 1)[1])
             for f in _os.listdir(out)
@@ -2876,3 +2900,130 @@ def test_partitioned_lake_write_and_pruning(spark, tmp_path):
     )
     got2 = {r["lang"]: r["count"] for r in u.collect()}
     assert got2 == {"en": 4, "de": 2, "fr": 1}, got2
+
+
+def test_check_constraints(spark, tmp_path):
+    """CHECK constraints as lake commits: add-forward enforcement
+    (violating rows fail the JOB before any manifest claim — nothing
+    partial commits), ANSI NULL semantics (comparison over NULL passes,
+    IS NOT NULL forbids), merge staging enforced too, DROP restores
+    writability, unparseable expressions fail at ADD time."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from pu4spark_spark.sources import pydatasource as P
+
+    P.register_pyds(spark)
+    DDL = (
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(i, t, "en", "s", n) for i, t, n in rows], DDL
+        )
+
+    out = str(tmp_path / "cons")
+    df([(0, "a", 5), (1, "b", 6)]).repartition(1).write.format(
+        "jsonl_docs"
+    ).option("path", out).mode("overwrite").save()  # v1
+
+    with _pytest.raises(ValueError, match="unsupported constraint"):
+        P.add_constraint_jsonl_dir(out, "bad", "n_chars BETWEEN 1 AND 2")
+    assert P.add_constraint_jsonl_dir(out, "chars_pos", "n_chars >= 0") == 2
+    assert (
+        P.add_constraint_jsonl_dir(out, "text_set", "text IS NOT NULL")
+        == 3
+    )
+    with _pytest.raises(ValueError, match="already exists"):
+        P.add_constraint_jsonl_dir(out, "chars_pos", "n_chars > 1")
+
+    # valid rows commit; NULL under a comparison passes (UNKNOWN)
+    df([(2, "c", None)]).repartition(1).write.format(
+        "jsonl_docs"
+    ).option("path", out).option("base_version", 3).mode(
+        "append"
+    ).save()  # v4
+    # violating rows fail the JOB and nothing commits
+    base = P._latest_manifest_version(out)
+    with _pytest.raises(Exception, match="chars_pos"):
+        df([(3, "d", -1)]).repartition(1).write.format(
+            "jsonl_docs"
+        ).option("path", out).option("base_version", base).mode(
+            "append"
+        ).save()
+    with _pytest.raises(Exception, match="text_set"):
+        df([(4, None, 1)]).repartition(1).write.format(
+            "jsonl_docs"
+        ).option("path", out).option("base_version", base).mode(
+            "append"
+        ).save()
+    assert P._latest_manifest_version(out) == base  # no claim happened
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.format("jsonl_docs")
+        .option("path", out).load().collect()
+    )
+    assert got == [0, 1, 2]
+
+    # MERGE stages through the same writer — enforced as well
+    with _pytest.raises(Exception, match="chars_pos"):
+        P.merge_into_jsonl_dir(
+            spark, df([(0, "upd", -7)]).repartition(1), out
+        )
+    assert P._latest_manifest_version(out) == base
+
+    # DROP restores writability; unknown drop fails loudly
+    with _pytest.raises(ValueError, match="does not exist"):
+        P.drop_constraint_jsonl_dir(out, "nope")
+    P.drop_constraint_jsonl_dir(out, "chars_pos")
+    df([(5, "e", -2)]).repartition(1).write.format("jsonl_docs").option(
+        "path", out
+    ).mode("append").save()
+    assert (
+        spark.read.format("jsonl_docs").option("path", out)
+        .load().filter("doc_id = 5").count() == 1
+    )
+
+
+def test_vacuum_stale_grace_window(spark, tmp_path):
+    """Vacuum's retention check: an unreferenced file YOUNGER than the
+    grace window (a concurrent writer's staged-but-unclaimed work) is
+    left alone; past the window it is reclaimed as a true orphan.
+    Manifests need no grace (atomic create-if-absent commits)."""
+    import os as _os
+    import time as _time
+
+    from pu4spark_spark.sources import pydatasource as P
+
+    P.register_pyds(spark)
+    DDL = (
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+    out = str(tmp_path / "grace")
+    spark.createDataFrame(
+        [(0, "a", "en", "s", 1)], DDL
+    ).repartition(1).write.format("jsonl_docs").option(
+        "path", out
+    ).mode("overwrite").save()
+    # simulate a concurrent writer's staged-but-unclaimed final shard
+    # and an in-flight tmp
+    staged = _os.path.join(out, "part-99999-deadbeef.jsonl")
+    open(staged, "w").write('{"doc_id": 7}\n')
+    tmp = _os.path.join(out, "_tmp-cafe-part-99999-beadfeed.jsonl")
+    open(tmp, "w").write("x")
+
+    removed = P.vacuum_jsonl_dir(out, keep_versions=1, stale_grace_s=3600)
+    assert removed == 0 and _os.path.exists(staged) and _os.path.exists(tmp)
+
+    # age the orphans past the window → reclaimed
+    old = _time.time() - 7200
+    _os.utime(staged, (old, old))
+    _os.utime(tmp, (old, old))
+    removed = P.vacuum_jsonl_dir(out, keep_versions=1, stale_grace_s=3600)
+    assert removed == 1  # the data shard counts; tmp swept too
+    assert not _os.path.exists(staged) and not _os.path.exists(tmp)
