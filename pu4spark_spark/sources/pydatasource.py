@@ -57,12 +57,18 @@ class JsonlDocsDataSource(DataSource):
         # recorded ``_schema``, so time travel to a pre-evolution
         # version reads the OLD shape.  Legacy / manifest-less
         # directories serve the documents DDL.
-        return _effective_schema_ddl(self.options)
+        ddl = _effective_schema_ddl(self.options)
+        if self.options.get("read_change_feed", "").lower() == "true":
+            # the change-feed stream's rows carry the CDF tags
+            ddl += ", _change_type string, _commit_version bigint"
+        return ddl
 
     def reader(self, schema) -> "JsonlDocsReader":
         return JsonlDocsReader(self.options)
 
     def streamReader(self, schema) -> "DataSourceStreamReader":
+        if self.options.get("read_change_feed", "").lower() == "true":
+            return JsonlDocsChangeFeedStreamReader(self.options)
         if self.options.get("versioned", "").lower() == "true":
             return JsonlDocsVersionStreamReader(self.options)
         return JsonlDocsStreamReader(self.options)
@@ -1819,6 +1825,184 @@ class JsonlDocsVersionStreamReader(DataSourceStreamReader):
         pass
 
 
+class JsonlDocsChangeFeedStreamReader(DataSourceStreamReader):
+    """STREAMING CHANGE DATA FEED — Delta's ``readChangeFeed``: each
+    microbatch delivers the TYPED row-level changes of the commits in
+    ``(start, end]`` — table columns + ``_change_type`` ∈ {insert,
+    update_preimage, update_postimage, delete} + ``_commit_version``.
+    The offset is the committed manifest version, same determinism
+    contract as the snapshot stream (immutable manifests ⇒ checkpoint
+    replay is exact).
+
+    Where the changes come from, per commit:
+
+    - append commit → its added shards stream as ``insert`` rows.
+    - rewrite commit (valid ``.rewrite`` marker) → nothing
+      (dataChange=false).
+    - DML commit made with ``cdf=True`` → its commit-time ``_cdc-*``
+      files stream VERBATIM (pre-images included; no snapshot join at
+      read time — Delta's _change_data design).
+    - DML commit made WITHOUT cdf → fail LOUDLY: pre-images for that
+      commit no longer exist anywhere except by re-scanning history,
+      which a stream partition cannot do.  Run DML with ``cdf=True``
+      on tables that feed a change stream (Delta raises the same way
+      when CDF was not enabled at the time of the commit).
+
+    A fresh subscriber (offset 0) starts from the earliest retained
+    snapshot delivered WHOLE as ``insert`` rows (its current state,
+    tombstones applied), then tails typed diffs — the
+    ``startingVersion`` initial-snapshot semantics."""
+
+    def __init__(self, options) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("jsonl_docs requires option 'path'")
+        self.path = path
+        sv = options.get("starting_version")
+        self.starting_version = int(sv) if sv is not None else 0
+        base_ddl = _effective_schema_ddl(
+            {"path": path}
+        )  # table columns only — the CDF tags are appended at read
+        self.fields = _fields_of_ddl(base_ddl)
+
+    def initialOffset(self) -> dict:
+        return {"version": max(0, self.starting_version - 1)}
+
+    def latestOffset(self) -> dict:
+        return {"version": _latest_manifest_version(self.path)}
+
+    def partitions(self, start: dict, end: dict):
+        import hashlib
+        import json
+
+        parts = []
+        first = start["version"] + 1
+        initial = None
+        if start["version"] == 0:
+            earliest = _earliest_manifest_version(self.path)
+            if earliest == 0:
+                return []
+            first = initial = earliest
+        prev_files: set[str] | None = None
+        for v in range(first, end["version"] + 1):
+            with open(
+                os.path.join(self.path, f"_MANIFEST.v{v}"), "rb"
+            ) as fh:
+                body = fh.read()
+            m = json.loads(body)
+            mf = _fields_of_ddl(m.get(SCHEMA_KEY, DOCS_DDL))
+            if mf != tuple(self.fields[: len(mf)]):
+                raise ValueError(
+                    f"jsonl_docs change feed: commit v{v} of "
+                    f"{self.path} changed the table schema to "
+                    f"{list(mf)}, which this stream (started with "
+                    f"{list(self.fields)}) cannot represent — restart "
+                    "the subscriber to pick up the evolved schema."
+                )
+            cur = set(_manifest_files(m))
+            tombs = _tombstones_of(m)
+            if v == initial:
+                # initial snapshot: current rows as inserts, the
+                # snapshot's own tombstones applied
+                for f in sorted(cur):
+                    ids, kfiles = _tomb_sources_for(
+                        f, tombs, added_v=tombs.get("added", {}).get(f, 0)
+                    )
+                    parts.append(
+                        InputPartition(
+                            (
+                                "snap",
+                                (
+                                    os.path.join(self.path, f),
+                                    ids,
+                                    tuple(
+                                        os.path.join(self.path, kf)
+                                        for kf in kfiles
+                                    ),
+                                )
+                                if (ids or kfiles)
+                                else os.path.join(self.path, f),
+                                v,
+                            )
+                        )
+                    )
+                prev_files = cur
+                prev_nents = len(tombs["entries"])
+                continue
+            skip = False
+            try:
+                with open(
+                    os.path.join(self.path, f"_MANIFEST.v{v}.rewrite")
+                ) as fh:
+                    skip = (
+                        fh.read().strip() == hashlib.md5(body).hexdigest()
+                    )
+            except OSError:
+                skip = False
+            if skip:
+                prev_files = cur
+                prev_nents = len(tombs["entries"])
+                continue
+            cdc_own = m.get(CDC_KEY, {}).get(str(v), [])
+            if cdc_own:
+                for f in cdc_own:
+                    parts.append(
+                        InputPartition(
+                            ("cdc", os.path.join(self.path, f), v)
+                        )
+                    )
+                prev_files = cur
+                prev_nents = len(tombs["entries"])
+                continue
+            if prev_files is not None:
+                base = prev_files
+                base_nents = prev_nents
+            else:
+                pm = _manifest_at(self.path, v - 1)
+                base = set(_manifest_files(pm))
+                base_nents = len(_tombstones_of(pm)["entries"])
+            if len(tombs["entries"]) > base_nents:
+                raise ValueError(
+                    f"jsonl_docs change feed: commit v{v} of "
+                    f"{self.path} deleted or replaced rows but carries "
+                    "no CDC files — its pre-images cannot be streamed. "
+                    "Run DELETE/MERGE with cdf=True on tables that "
+                    "feed a change stream, or restart from a fresh "
+                    "snapshot."
+                )
+            for f in sorted(cur - base):
+                parts.append(
+                    InputPartition(
+                        ("ins", os.path.join(self.path, f), v)
+                    )
+                )
+            prev_files = cur
+            prev_nents = len(tombs["entries"])
+        return parts
+
+    def read(self, partition):
+        import json
+
+        kind, value, v = partition.value
+        if kind == "cdc":
+            with open(value) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    d = json.loads(line)
+                    yield tuple(d.get(c) for c in self.fields) + (
+                        d.get("_change_type"),
+                        v,
+                    )
+            return
+        # snap / ins: plain rows typed as inserts of their commit
+        for row in _iter_jsonl(value, self.fields):
+            yield tuple(row) + ("insert", v)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 def _jsonl_shard_dir(spark: SparkSession, sf_dir: str) -> str:
     """Write the documents table as JSONL shards once per sf_dir (the
     fixture for the round-trip; written by Spark's own distributed JSON
@@ -2396,6 +2580,10 @@ def vacuum_jsonl_dir(
         # key shards, reclaimed below once no kept ledger needs them)
         for e in _tombstones_of(m)["entries"]:
             live.update(e.get("files", ()))
+        # commit-time CDC files stay reachable while any retained
+        # manifest carries their version in its _cdc map
+        for fl in m.get(CDC_KEY, {}).values():
+            live.update(fl)
     removed = 0
 
     def _rm(f: str) -> bool:
@@ -2407,7 +2595,7 @@ def vacuum_jsonl_dir(
             return False
 
     for f in os.listdir(path):
-        if f.startswith("_delete-"):
+        if f.startswith(("_delete-", "_cdc-")):
             if f not in live and _stale(f):
                 _rm(f)
         elif f.startswith("_MANIFEST.v"):
@@ -2440,39 +2628,66 @@ def vacuum_jsonl_dir(
     return removed
 
 
-def _read_key_files_df(
-    spark: SparkSession, path: str, key_files: list[str]
+def _read_sidecar_df(
+    spark: SparkSession, path: str, files: list[str], ddl: str
 ) -> DataFrame:
-    """Distributed read of tombstone key files as a ``doc_id bigint``
-    DataFrame.  ``spark.read.json`` cannot serve this: Spark's file
-    index hard-filters underscore-prefixed paths as hidden even when
-    named explicitly, and a DELETE commit's key files are
-    ``_delete-*.jsonl`` BY DESIGN (invisible to listing readers until
-    a manifest references them).  So the file list is parallelized
-    (one file per task — the same per-shard parallelism the scan-time
-    tombstone application uses) and each task parses its file
-    Arrow-batched via ``mapInPandas``; executors open the paths
-    directly, the same shared-filesystem assumption the whole
-    mini-lake makes.  Works uniformly for a MERGE's key source too
-    (its entry references its own staged data shards — full rows, of
-    which only doc_id is projected)."""
+    """Distributed read of underscore-prefixed sidecar JSONL files
+    (``_delete-*`` key files, ``_cdc-*`` change files) with the given
+    DDL.  ``spark.read.json`` cannot serve this: Spark's file index
+    hard-filters underscore-prefixed paths as hidden even when named
+    explicitly — and the sidecars are '_'-prefixed BY DESIGN
+    (invisible to listing readers until manifest metadata references
+    them).  So the file list is parallelized (one file per task — the
+    same per-shard parallelism the scan-time tombstone application
+    uses) and each task parses its file Arrow-batched via
+    ``mapInPandas``; executors open the paths directly, the same
+    shared-filesystem assumption the whole mini-lake makes."""
+    fields = _fields_of_ddl(ddl)
+    types = {
+        f.split()[0]: f.split(maxsplit=1)[1]
+        for f in ddl.split(", ")
+    }
     paths_df = spark.createDataFrame(
-        [(os.path.join(path, f),) for f in key_files], "p string"
-    ).repartition(len(key_files))
+        [(os.path.join(path, f),) for f in files], "p string"
+    ).repartition(len(files))
 
     def _parse(batches):
         import pandas as pd
 
         for b in batches:
             for p in b["p"]:
-                rows = pd.read_json(p, lines=True)
-                yield pd.DataFrame(
-                    {"doc_id": rows["doc_id"].astype("int64")}
-                    if len(rows)
-                    else {"doc_id": pd.Series([], dtype="int64")}
+                rows = pd.read_json(
+                    p, lines=True, dtype=False, convert_dates=False
                 )
+                out = {}
+                for c in fields:
+                    if len(rows) and c in rows.columns:
+                        col = rows[c]
+                        if types[c] == "bigint":
+                            col = col.astype("Int64")
+                        out[c] = col
+                    else:
+                        out[c] = pd.Series(
+                            [None] * len(rows),
+                            dtype="Int64"
+                            if types[c] == "bigint"
+                            else "object",
+                        )
+                yield pd.DataFrame(out)
 
-    return paths_df.mapInPandas(_parse, "doc_id bigint").distinct()
+    return paths_df.mapInPandas(_parse, ddl)
+
+
+def _read_key_files_df(
+    spark: SparkSession, path: str, key_files: list[str]
+) -> DataFrame:
+    """Tombstone key files as a distinct ``doc_id bigint`` DataFrame
+    (see :func:`_read_sidecar_df`).  Works uniformly for a MERGE's key
+    source too (its entry references its own staged data shards —
+    full rows, of which only doc_id is projected)."""
+    return _read_sidecar_df(
+        spark, path, key_files, "doc_id bigint"
+    ).distinct()
 
 
 def table_changes_jsonl_dir(
@@ -2535,6 +2750,19 @@ def table_changes_jsonl_dir(
         if _rewrite_marker_valid(path, v):
             continue  # compaction/OPTIMIZE: rewrites rows, changes none
         m_v = _manifest_at(path, v)
+        ddl = m_v.get(SCHEMA_KEY, DOCS_DDL)
+        # commit-time CDC files (DML run with cdf=True) are EXACT and
+        # cheaper than derivation — no snapshot join; serve them
+        cdc_own = m_v.get(CDC_KEY, {}).get(str(v), [])
+        if cdc_own:
+            pieces.append(
+                _read_sidecar_df(
+                    spark, path, cdc_own, ddl + ", _change_type string"
+                ).withColumn(
+                    "_commit_version", F.lit(v).cast("bigint")
+                )
+            )
+            continue
         m_prev = _manifest_at(path, v - 1)
         added_files = sorted(
             set(_manifest_files(m_v)) - set(_manifest_files(m_prev))
@@ -2545,7 +2773,6 @@ def table_changes_jsonl_dir(
                 key_files.extend(e.get("files", ()))
         if not added_files and not key_files:
             continue  # metadata-only commit (schema evolve, _txn, ...)
-        ddl = m_v.get(SCHEMA_KEY, DOCS_DDL)
         added = (
             spark.read.schema(ddl).json(
                 [os.path.join(path, f) for f in added_files]
@@ -3148,25 +3375,25 @@ def append_with_retry(
     raise last
 
 
-def _stage_key_shards(
-    keys_df: DataFrame, path: str, token: str
+def _stage_sidecar_shards(
+    df: DataFrame, path: str, token: str, prefix: str
 ) -> tuple[list[str], int]:
-    """Write ``keys_df``'s ``doc_id`` column as ``_delete-{token}-*``
-    key shards in the table dir via a DISTRIBUTED job (the
-    transactional writer into a sibling stage dir, then renamed in) —
-    the driver never materializes a key, only file names + row counts.
-    The files are invisible until a ledger entry references them:
-    '_'-prefixed (skipped by listing readers) and named by no committed
-    manifest.  Returns ``(names, total_keys)``; empty task shards are
-    dropped."""
+    """Write ``df`` as ``_{prefix}-{token}-*`` sidecar shards in the
+    table dir via a DISTRIBUTED job (the transactional writer into a
+    sibling stage dir, then renamed in) — the driver never
+    materializes a row, only file names + row counts.  The files are
+    invisible until manifest metadata references them: '_'-prefixed
+    (skipped by listing readers) and named by no committed manifest.
+    Returns ``(names, total_rows)``; empty task shards are dropped.
+    Used for DELETE key files (``_delete-``) and commit-time change-
+    data-feed files (``_cdc-``)."""
     import json as _json
     import shutil
 
-    register_pyds(keys_df.sparkSession)
-    stage = path + f".delete-stage-{token}"
+    register_pyds(df.sparkSession)
+    stage = path + f".{prefix}-stage-{token}"
     (
-        keys_df.select("doc_id")
-        .write.format("jsonl_docs")
+        df.write.format("jsonl_docs")
         .option("path", stage)
         .mode("overwrite")
         .save()
@@ -3177,21 +3404,55 @@ def _stage_key_shards(
             for f, r in _json.load(fh).items()
             if not f.startswith("_")
         }
-    key_files: list[str] = []
-    n_keys = 0
+    names: list[str] = []
+    n_rows = 0
     for i, (f, rows) in enumerate(sorted(staged.items())):
         if not rows:
             continue  # empty task shard — nothing to reference
-        name = f"_delete-{token}-{i:04d}.jsonl"
+        name = f"_{prefix}-{token}-{i:04d}.jsonl"
         os.replace(os.path.join(stage, f), os.path.join(path, name))
-        key_files.append(name)
-        n_keys += rows
+        names.append(name)
+        n_rows += rows
     shutil.rmtree(stage, ignore_errors=True)
-    return key_files, n_keys
+    return names, n_rows
+
+
+def _stage_key_shards(
+    keys_df: DataFrame, path: str, token: str
+) -> tuple[list[str], int]:
+    """DELETE key files: ``keys_df``'s doc_id column staged as
+    ``_delete-{token}-*`` shards (see :func:`_stage_sidecar_shards`)."""
+    return _stage_sidecar_shards(
+        keys_df.select("doc_id"), path, token, "delete"
+    )
+
+
+#: reserved manifest key: {str(version): [cdc file names]} — commit-
+#: time CHANGE DATA FEED files (Delta's _change_data), written by DML
+#: run with ``cdf=True``.  Each file holds the commit's typed change
+#: rows (table columns + _change_type); carried forward like the
+#: tombstone ledger (the '_'-key copy loops), CLEARED by compaction's
+#: fresh manifest, reclaimed by vacuum once no retained manifest
+#: carries the version.
+CDC_KEY = "_cdc"
+
+
+def _with_cdc(manifest: dict, version: int, files: list[str]) -> None:
+    """Record ``files`` as commit ``version``'s CDC files in the
+    manifest being built (in place; no-op for an empty list)."""
+    if files:
+        cdc = dict(manifest.get(CDC_KEY, {}))
+        cdc[str(version)] = files
+        manifest[CDC_KEY] = cdc
 
 
 def delete_from_jsonl_dir(
-    path: str, doc_ids, base_version: int | None = None
+    path: str,
+    doc_ids,
+    base_version: int | None = None,
+    *,
+    spark: SparkSession | None = None,
+    cdf: bool = False,
 ) -> int:
     """Row-level DELETE on the mini-lake — the last table-format
     primitive it lacked: commit a new manifest version whose shard list
@@ -3219,7 +3480,16 @@ def delete_from_jsonl_dir(
     the 100 TB daily-CDC shape; an iterable writes one driver-side key
     file (the bounded metadata-scale path).  The manifest claim itself
     stays a pure-metadata commit either way.  Returns the new
-    version."""
+    version.
+
+    ``cdf=True`` (requires ``spark``) additionally stages the deleted
+    rows' PRE-IMAGES as commit-time change-data-feed files
+    (``_cdc-*``, Delta's _change_data): one distributed join of the
+    base snapshot against the key set — the scan Delta also pays when
+    CDF is enabled on DELETE, turning the otherwise pure-metadata
+    commit into an O(matched data) one.  Downstream CDF readers
+    (:func:`table_changes_jsonl_dir`, the change-feed stream) then
+    serve this commit from its CDC files exactly."""
     import json as _json
     import uuid as _uuid
 
@@ -3232,6 +3502,8 @@ def delete_from_jsonl_dir(
         raise ValueError(
             f"delete_from_jsonl_dir: no committed version under {path}"
         )
+    if cdf and spark is None:
+        raise ValueError("delete_from_jsonl_dir: cdf=True requires spark")
     version = base + 1
     manifest = _manifest_at(path, base)
     files = sorted(_manifest_files(manifest))
@@ -3257,8 +3529,30 @@ def delete_from_jsonl_dir(
             )
             key_files.append(name)
 
+    # cdf: stage the deleted rows' pre-images as this commit's CDC
+    # files — the pinned base read joined to the key set, tagged
+    cdc_files: list[str] = []
+    if cdf and key_files and files:
+        register_pyds(spark)
+        keys_df = (
+            doc_ids.select("doc_id")
+            if isinstance(doc_ids, DataFrame)
+            else spark.createDataFrame(
+                [(int(i),) for i in doc_ids], "doc_id bigint"
+            )
+        )
+        pre = (
+            spark.read.format("jsonl_docs")
+            .option("path", path)
+            .option("version", base)
+            .load()
+            .join(F.broadcast(keys_df.distinct()), "doc_id", "inner")
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        cdc_files, _ = _stage_sidecar_shards(pre, path, token, "cdc")
+
     def _drop_key_files() -> None:
-        for kf in key_files:
+        for kf in key_files + cdc_files:
             try:
                 os.remove(os.path.join(path, kf))
             except OSError:
@@ -3270,6 +3564,7 @@ def delete_from_jsonl_dir(
     for k, v in manifest.items():
         if k.startswith("_") and k != TOMBSTONE_KEY:
             new_manifest[k] = v
+    _with_cdc(new_manifest, version, cdc_files)
     tombs = _tombstones_of(manifest)
     if key_files and files:
         tombs = {
@@ -3364,6 +3659,7 @@ def merge_into_jsonl_dir(
     when_matched_delete: bool | str = False,
     when_not_matched_insert: bool | str = True,
     update_set: dict[str, str] | None = None,
+    cdf: bool = False,
 ) -> int:
     """MERGE INTO on ``doc_id`` in ONE atomic commit — the full
     conditional-clause contract of the SQL MERGE a table-format user
@@ -3417,7 +3713,10 @@ def merge_into_jsonl_dir(
         and when_not_matched_insert is True
         and update_set is None
     )
-    if clause_path:
+    # cdf needs per-row change classification (pre/post images), which
+    # only the clause path's join computes — a cdf upsert routes there
+    # (same outcome; it pays the target join, exactly Delta's CDF cost)
+    if clause_path or cdf:
         return _merge_clauses(
             spark,
             df,
@@ -3426,6 +3725,7 @@ def merge_into_jsonl_dir(
             when_matched_delete,
             when_not_matched_insert,
             update_set,
+            cdf,
         )
     staged, stage_stats = _stage_data_shards(df, path)
     last: Exception | None = None
@@ -3505,12 +3805,16 @@ def _merge_clauses(
     when_matched_delete: bool | str,
     when_not_matched_insert: bool | str,
     update_set: dict[str, str] | None,
+    cdf: bool = False,
 ) -> int:
     """Conditional-clause MERGE (see :func:`merge_into_jsonl_dir`):
     plan against the base snapshot, split the source by one distributed
     left join, stage inserts as data shards and update/delete keys as
     ``_delete-*`` key shards, commit under ONE claim pinned to
-    ``base + 1`` — a lost claim rolls everything back and raises."""
+    ``base + 1`` — a lost claim rolls everything back and raises.
+    ``cdf=True`` also stages the commit's typed change rows
+    (update_preimage/update_postimage/delete/insert) as ``_cdc-*``
+    files from the SAME classification join — no extra scan."""
     import json as _json
     import uuid as _uuid
 
@@ -3573,11 +3877,44 @@ def _merge_clauses(
         )
         token = _uuid.uuid4().hex[:8]
         key_files, n_keys = _stage_key_shards(tomb_keys, path, token)
+        cdc_files: list[str] = []
+        if cdf:
+            tgt_cols = [
+                F.col(f"t.{c}").alias(c) for c in tgt.columns
+            ]
+
+            def typed(rows: DataFrame, change: str) -> DataFrame:
+                return rows.withColumn("_change_type", F.lit(change))
+
+            cdc_df = (
+                typed(
+                    joined.filter(take_update).select(*tgt_cols),
+                    "update_preimage",
+                )
+                .unionByName(
+                    typed(upd_rows, "update_postimage"),
+                    allowMissingColumns=True,
+                )
+                .unionByName(
+                    typed(
+                        joined.filter(take_delete).select(*tgt_cols),
+                        "delete",
+                    ),
+                    allowMissingColumns=True,
+                )
+                .unionByName(
+                    typed(ins_rows, "insert"),
+                    allowMissingColumns=True,
+                )
+            )
+            cdc_files, _ = _stage_sidecar_shards(
+                cdc_df, path, token, "cdc"
+            )
     finally:
         joined.unpersist()
 
     def _rollback() -> None:
-        for f in list(staged) + key_files:
+        for f in list(staged) + key_files + cdc_files:
             try:
                 os.remove(os.path.join(path, f))
             except OSError:
@@ -3589,6 +3926,7 @@ def _merge_clauses(
     for k, v in manifest.items():
         if k.startswith("_") and k != TOMBSTONE_KEY:
             new_manifest[k] = v
+    _with_cdc(new_manifest, version, cdc_files)
     tombs = _tombstones_of(manifest)
     entries = list(tombs["entries"])
     if key_files and files:
@@ -4079,6 +4417,138 @@ def q_streaming_pyds_delete_feed(
     )
 
 
+#: streaming-CDF fixture predicates over the evens table: deletes hit
+#: %10==6, updates %10==2, the post-stream append inserts odds %10==1
+CDFS_DEL_MOD, CDFS_UPD_MOD, CDFS_INS_MOD = 6, 2, 1
+
+
+def q_streaming_pyds_cdf_feed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING CHANGE DATA FEED through Spark's real microbatch
+    engine (``option("read_change_feed", "true")`` — Delta's
+    readChangeFeed), value-checked end to end: build v1 (evens) →
+    DELETE %10==6 with ``cdf=True`` (v2 — pre-images staged as
+    commit-time ``_cdc`` files) → MERGE-upsert %10==2 with
+    ``cdf=True`` (v3 — update pre+post images) → append odds %10==1
+    (v4 — plain inserts, no CDC files needed), then drain the change
+    stream fresh: the initial snapshot arrives as v1 ``insert`` rows
+    and every later commit as its typed changes.  The aggregate per
+    (change type, commit version) is re-derived by the oracle from
+    the parquet truth, so a missing pre-image, a post-image with the
+    old value, a compaction row leaking as change, or an initial
+    snapshot that misses the ledger all hash-mismatch.  The
+    fail-loudly contract for non-cdf DML commits is pinned in
+    tests/test_formats.py."""
+    import hashlib
+    import shutil
+    import uuid as _uuid
+
+    from pu4spark_spark.streaming.drain import drain_partitions
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_pyds_cdfs_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    register_pyds(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    evens = docs.filter(F.col("doc_id") % 2 == 0)
+    (
+        evens.repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out).mode("overwrite").save()
+    )
+    delete_from_jsonl_dir(
+        out,
+        evens.filter(F.col("doc_id") % 10 == CDFS_DEL_MOD)
+        .select("doc_id")
+        .repartition(2),
+        base_version=1,
+        spark=spark,
+        cdf=True,
+    )
+    upserts = evens.filter(
+        F.col("doc_id") % 10 == CDFS_UPD_MOD
+    ).select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        (F.col("n_chars") + F.lit(1000)).alias("n_chars"),
+    )
+    merge_into_jsonl_dir(
+        spark, upserts.repartition(2, "doc_id"), out, cdf=True
+    )
+    (
+        docs.filter(
+            (F.col("doc_id") % 2 == 1)
+            & (F.col("doc_id") % 10 == CDFS_INS_MOD)
+        )
+        .repartition(2, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out).option("base_version", 3)
+        .mode("append").save()
+    )
+    name = f"pyds_cdf_feed_{_uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.format("jsonl_docs")
+        .option("path", out)
+        .option("read_change_feed", "true")
+        .load()
+    )
+    with drain_partitions(spark, 8):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option(
+                "checkpointLocation", os.path.join(out, "_ckpt_cdf")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy(
+            F.col("_change_type").alias("change_type"),
+            F.col("_commit_version").alias("commit_version"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+SQL_STREAMING_PYDS_CDF_FEED = f"""
+SELECT 'insert' AS change_type, CAST(1 AS BIGINT) AS commit_version,
+       COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT 'delete', CAST(2 AS BIGINT), COUNT(*),
+       CAST(SUM(n_chars) AS BIGINT), MIN(doc_id), MAX(doc_id)
+FROM documents WHERE doc_id % 10 = {CDFS_DEL_MOD}
+UNION ALL
+SELECT 'update_preimage', CAST(3 AS BIGINT), COUNT(*),
+       CAST(SUM(n_chars) AS BIGINT), MIN(doc_id), MAX(doc_id)
+FROM documents WHERE doc_id % 10 = {CDFS_UPD_MOD}
+UNION ALL
+SELECT 'update_postimage', CAST(3 AS BIGINT), COUNT(*),
+       CAST(SUM(n_chars + 1000) AS BIGINT), MIN(doc_id), MAX(doc_id)
+FROM documents WHERE doc_id % 10 = {CDFS_UPD_MOD}
+UNION ALL
+SELECT 'insert', CAST(4 AS BIGINT), COUNT(*),
+       CAST(SUM(n_chars) AS BIGINT), MIN(doc_id), MAX(doc_id)
+FROM documents
+WHERE doc_id % 2 = 1 AND doc_id % 10 = {CDFS_INS_MOD}
+"""
+
+
 SQL_STREAMING_PYDS_DELETE_FEED = f"""
 SELECT 'lagging' AS subscriber, lang,
        COUNT(*) AS n_docs,
@@ -4425,6 +4895,7 @@ QUERIES = {
     "fmt_pyds_partitioned_scan": q_fmt_pyds_partitioned_scan,
     "fmt_pyds_constraints": q_fmt_pyds_constraints,
     "streaming_pyds_delete_feed": q_streaming_pyds_delete_feed,
+    "streaming_pyds_cdf_feed": q_streaming_pyds_cdf_feed,
     "streaming_pyds_docs": q_streaming_pyds_docs,
     "streaming_pyds_snapshot": q_streaming_pyds_snapshot,
     "streaming_pyds_compaction_skip": q_streaming_pyds_compaction_skip,
@@ -4473,6 +4944,8 @@ ORACLE_SQL = {
     "fmt_pyds_constraints": SQL_FMT_PYDS_CONSTRAINTS,
     # lagging subscriber = non-retraction union; fresh = current state
     "streaming_pyds_delete_feed": SQL_STREAMING_PYDS_DELETE_FEED,
+    # typed change rows per commit: snapshot inserts + CDC-file changes
+    "streaming_pyds_cdf_feed": SQL_STREAMING_PYDS_CDF_FEED,
     # the incremental path must agree with the batch oracle
     "streaming_pyds_docs": SQL_STREAMING_PYDS_DOCS,
     # two checkpointed version-offset drains == batch truth; orphan

@@ -3027,3 +3027,108 @@ def test_vacuum_stale_grace_window(spark, tmp_path):
     removed = P.vacuum_jsonl_dir(out, keep_versions=1, stale_grace_s=3600)
     assert removed == 1  # the data shard counts; tmp swept too
     assert not _os.path.exists(staged) and not _os.path.exists(tmp)
+
+
+def test_change_data_feed_cdc_files(spark, tmp_path):
+    """Commit-time CDC pins: (1) the derived batch feed and the
+    CDC-file-served feed are IDENTICAL for the same history, (2) the
+    change-feed STREAM serves typed rows incl. pre-images and skips
+    rewrites, (3) a non-cdf DML commit fails the change stream loudly,
+    (4) vacuum keeps CDC files while a retained manifest carries their
+    version and reclaims them after compaction clears the map."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from pu4spark_spark.sources import pydatasource as P
+
+    P.register_pyds(spark)
+    DDL = (
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(i, f"d{i}", "en", "s", n) for i, n in rows], DDL
+        )
+
+    def build(out, cdf):
+        df([(i, 5) for i in range(6)]).repartition(1).write.format(
+            "jsonl_docs"
+        ).option("path", out).mode("overwrite").save()
+        P.delete_from_jsonl_dir(out, [1, 3], spark=spark, cdf=cdf)
+        P.merge_into_jsonl_dir(
+            spark, df([(0, 50), (9, 7)]).repartition(1), out, cdf=cdf
+        )
+        P.merge_into_jsonl_dir(
+            spark,
+            df([(2, 99), (4, 0), (8, 1)]).repartition(1),
+            out,
+            when_matched_update="s.n_chars > t.n_chars",
+            when_matched_delete="s.n_chars = 0",
+            cdf=cdf,
+        )
+        P.compact_jsonl_dir(spark, out, target_shards=1)
+        return sorted(
+            tuple(r)
+            for r in P.table_changes_jsonl_dir(spark, out, 1).collect()
+        )
+
+    a = build(str(tmp_path / "derived"), False)
+    b = build(str(tmp_path / "cdc"), True)
+    assert a == b and len(a) > 0  # CDC files ≡ derivation, exactly
+
+    # (2) the change-feed stream over the cdc table: typed rows with
+    # pre-images, rewrite silent, later append as insert
+    out = str(tmp_path / "cdc")
+    df([(20, 2)]).repartition(1).write.format("jsonl_docs").option(
+        "path", out
+    ).mode("append").save()
+    r = P.JsonlDocsChangeFeedStreamReader({"path": out})
+    rows = []
+    for p in r.partitions(r.initialOffset(), r.latestOffset()):
+        rows.extend(r.read(p))
+    by_type = {}
+    for row in rows:
+        by_type.setdefault(row[-2], []).append(row)
+    # initial snapshot (6 inserts at v1) + merge-insert id 9 (v3) +
+    # clause-merge not-matched insert id 8 (v4) + append id 20 (v6)
+    assert len(by_type["insert"]) == 6 + 1 + 1 + 1
+    pre = {row[0]: row[4] for row in by_type["update_preimage"]}
+    post = {row[0]: row[4] for row in by_type["update_postimage"]}
+    assert pre == {0: 5, 2: 5} and post == {0: 50, 2: 99}
+    assert sorted(row[0] for row in by_type["delete"]) == [1, 3, 4]
+
+    # (3) non-cdf DML on a streamed table fails the change feed loudly
+    out2 = str(tmp_path / "noncdf")
+    df([(0, 1), (1, 2)]).repartition(1).write.format(
+        "jsonl_docs"
+    ).option("path", out2).mode("overwrite").save()
+    P.delete_from_jsonl_dir(out2, [0])  # no cdf
+    r2 = P.JsonlDocsChangeFeedStreamReader(
+        {"path": out2, "starting_version": "2"}
+    )
+    with _pytest.raises(ValueError, match="cdf=True"):
+        r2.partitions(r2.initialOffset(), r2.latestOffset())
+
+    # (4) vacuum: CDC files live while a retained manifest carries
+    # them; post-compaction manifests cleared the map → reclaimable
+    cdc_files = [f for f in _os.listdir(out) if f.startswith("_cdc-")]
+    assert cdc_files, "cdf=True DML left no CDC files"
+    P.vacuum_jsonl_dir(out, keep_versions=3, stale_grace_s=0)
+    # keep_versions=3 retains v4 (clause merge, has _cdc map carried)
+    m = _json.load(open(_os.path.join(out, "_MANIFEST")))
+    still = [f for f in _os.listdir(out) if f.startswith("_cdc-")]
+    carried = {
+        f for fl in m.get("_cdc", {}).values() for f in fl
+    }
+    assert set(still) >= carried
+    P.vacuum_jsonl_dir(out, keep_versions=1, stale_grace_s=0)
+    # latest manifest is post-compaction(+append): _cdc cleared → gone
+    last = _json.load(open(_os.path.join(out, "_MANIFEST")))
+    if not last.get("_cdc"):
+        assert not [
+            f for f in _os.listdir(out) if f.startswith("_cdc-")
+        ]
