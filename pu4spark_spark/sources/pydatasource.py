@@ -405,6 +405,9 @@ class JsonlDocsWriter(DataSourceWriter):
                 stats.setdefault("_parts", {})[m.file] = m.parts
         if self.overwrite and self.ddl != DOCS_DDL:
             manifest[SCHEMA_KEY] = self.ddl
+        # operation provenance (DESCRIBE HISTORY): each commit records
+        # its own op, overwriting whatever the base carried
+        manifest[OP_KEY] = "overwrite" if self.overwrite else "append"
         # commit wall-clock (ns) — the "TIMESTAMP AS OF" resolution key
         # (reserved key, skipped by every shard-list consumer)
         import time as _time
@@ -689,6 +692,7 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
                     added[f] = version
             manifest.update(staged)
             manifest[TXN_KEY] = {"last_batch": batchId}
+            manifest[OP_KEY] = "streaming-append"
             import time as _time
 
             manifest["_ts"] = _time.time_ns()
@@ -1394,6 +1398,7 @@ def evolve_jsonl_schema(
     version = base + 1
     new_manifest = dict(manifest)
     new_manifest[SCHEMA_KEY] = new_ddl
+    new_manifest[OP_KEY] = "evolve-schema"
     new_manifest["_ts"] = _time.time_ns()
     body = _json.dumps(new_manifest)
     try:
@@ -1521,6 +1526,7 @@ def add_constraint_jsonl_dir(
     version = base + 1
     new_manifest = dict(manifest)
     new_manifest[CONSTRAINT_KEY] = cons
+    new_manifest[OP_KEY] = "add-constraint"
     new_manifest["_ts"] = _time.time_ns()
     body = _json.dumps(new_manifest)
     try:
@@ -1562,6 +1568,7 @@ def drop_constraint_jsonl_dir(
         new_manifest[CONSTRAINT_KEY] = cons
     else:
         new_manifest.pop(CONSTRAINT_KEY, None)
+    new_manifest[OP_KEY] = "drop-constraint"
     new_manifest["_ts"] = _time.time_ns()
     body = _json.dumps(new_manifest)
     try:
@@ -2449,6 +2456,7 @@ def compact_jsonl_dir(
     pre_m = _manifest_at(path, version - 1)
     if SCHEMA_KEY in pre_m:
         new_manifest[SCHEMA_KEY] = pre_m[SCHEMA_KEY]
+    new_manifest[OP_KEY] = "compact"
     new_manifest["_ts"] = _time.time_ns()
     body = _json.dumps(new_manifest)
 
@@ -2626,6 +2634,45 @@ def vacuum_jsonl_dir(
             if _rm(f):
                 removed += 1
     return removed
+
+
+def describe_history_jsonl_dir(
+    spark: SparkSession, path: str
+) -> DataFrame:
+    """DESCRIBE HISTORY — one row per still-retained commit, from
+    manifest metadata only (never a data scan, Delta's history
+    surface): version, the operation that made it (:data:`OP_KEY`,
+    recorded by every commit site), physical file/row counts (rows as
+    WRITTEN — tombstoned rows still sit in their immutable shards
+    until compaction, so this is the storage view, not the live
+    count), ledger depth, and whether the commit carries CDC files.
+    Driver-side metadata build: O(retained versions × files-per-
+    manifest) — the same cost Delta's DESCRIBE HISTORY pays reading
+    its log, fine at any table size."""
+    rows = []
+    latest = _latest_manifest_version(path)
+    for v in range(_earliest_manifest_version(path), latest + 1):
+        try:
+            m = _manifest_at(path, v)
+        except OSError:
+            continue  # vacuumed
+        files = _manifest_files(m)
+        counts = [m[f] for f in files if isinstance(m.get(f), int)]
+        rows.append(
+            (
+                v,
+                m.get(OP_KEY, "unknown"),
+                len(files),
+                sum(counts) if len(counts) == len(files) else None,
+                len(_tombstones_of(m)["entries"]),
+                bool(m.get(CDC_KEY, {}).get(str(v))),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version bigint, op string, n_files bigint, n_rows bigint, "
+        "ledger_entries bigint, has_cdc boolean",
+    )
 
 
 def _read_sidecar_df(
@@ -3427,6 +3474,12 @@ def _stage_key_shards(
     )
 
 
+#: reserved manifest key: each commit's own operation name (append /
+#: overwrite / delete / merge / compact / evolve-schema /
+#: add-constraint / drop-constraint / streaming-append) — the
+#: DESCRIBE HISTORY provenance field; every commit overwrites it
+OP_KEY = "_op"
+
 #: reserved manifest key: {str(version): [cdc file names]} — commit-
 #: time CHANGE DATA FEED files (Delta's _change_data), written by DML
 #: run with ``cdf=True``.  Each file holds the commit's typed change
@@ -3565,6 +3618,7 @@ def delete_from_jsonl_dir(
         if k.startswith("_") and k != TOMBSTONE_KEY:
             new_manifest[k] = v
     _with_cdc(new_manifest, version, cdc_files)
+    new_manifest[OP_KEY] = "delete"
     tombs = _tombstones_of(manifest)
     if key_files and files:
         tombs = {
@@ -3738,6 +3792,7 @@ def merge_into_jsonl_dir(
         for k, v in manifest.items():
             if k.startswith("_") and k != TOMBSTONE_KEY:
                 new_manifest[k] = v
+        new_manifest[OP_KEY] = "merge"
         tombs = _tombstones_of(manifest)
         entries = list(tombs["entries"])
         if staged and files:
@@ -3927,6 +3982,7 @@ def _merge_clauses(
         if k.startswith("_") and k != TOMBSTONE_KEY:
             new_manifest[k] = v
     _with_cdc(new_manifest, version, cdc_files)
+    new_manifest[OP_KEY] = "merge"
     tombs = _tombstones_of(manifest)
     entries = list(tombs["entries"])
     if key_files and files:
@@ -4774,6 +4830,153 @@ GROUP BY lang
 """
 
 
+#: history fixture predicates over the evens table
+HIST_DEL_MOD, HIST_MERGE_MOD = 4, 8
+
+
+def q_fmt_pyds_describe_history(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DESCRIBE HISTORY, value-checked end to end: build a 4-commit
+    history — overwrite evens (v1, N_SHARDS files) → DELETE %10==4
+    with ``cdf=True`` (v2, metadata commit + CDC pre-images) →
+    fast-MERGE %10==8 upserts in 2 staged shards (v3) → COMPACT to 2
+    files (v4, ledger cleared) — and return the history table built
+    from MANIFEST METADATA ONLY (op name, physical file/row counts,
+    ledger depth, CDC presence).  The oracle re-derives every count
+    from the parquet truth: a commit site that forgets its op stamp, a
+    merge that stages the wrong shard count, physical rows that drift
+    from written rows, a ledger that doesn't clear on compaction, or
+    CDC flagged on the wrong commit all hash-mismatch."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_pyds_hist_{tag}_{os.getpid()}"
+    )
+    register_pyds(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    evens = docs.filter(F.col("doc_id") % 2 == 0)
+    (
+        evens.repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out).mode("overwrite").save()
+    )
+    delete_from_jsonl_dir(
+        out,
+        evens.filter(F.col("doc_id") % 10 == HIST_DEL_MOD)
+        .select("doc_id")
+        .repartition(2),
+        base_version=1,
+        spark=spark,
+        cdf=True,
+    )
+    upserts = evens.filter(
+        F.col("doc_id") % 10 == HIST_MERGE_MOD
+    ).select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        (F.col("n_chars") + F.lit(1000)).alias("n_chars"),
+    )
+    merge_into_jsonl_dir(spark, upserts.repartition(2, "doc_id"), out)
+    compact_jsonl_dir(spark, out, target_shards=2)
+    return describe_history_jsonl_dir(spark, out)
+
+
+SQL_FMT_PYDS_DESCRIBE_HISTORY = f"""
+SELECT CAST(1 AS BIGINT) AS version, 'overwrite' AS op,
+       CAST({N_SHARDS} AS BIGINT) AS n_files,
+       (SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0) AS n_rows,
+       CAST(0 AS BIGINT) AS ledger_entries, FALSE AS has_cdc
+UNION ALL
+SELECT 2, 'delete', {N_SHARDS},
+       (SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0),
+       1, TRUE
+UNION ALL
+SELECT 3, 'merge', {N_SHARDS} + 2,
+       (SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0)
+       + (SELECT COUNT(*) FROM documents
+          WHERE doc_id % 10 = {HIST_MERGE_MOD}),
+       2, FALSE
+UNION ALL
+SELECT 4, 'compact', 2,
+       (SELECT COUNT(*) FROM documents
+        WHERE doc_id % 2 = 0 AND doc_id % 10 <> {HIST_DEL_MOD}),
+       0, FALSE
+"""
+
+
+def q_fmt_pyds_sql_surface(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PURE-SQL access to the mini-lake — ``CREATE TEMPORARY VIEW ...
+    USING jsonl_docs OPTIONS (...)``, the Spark-SQL surface a
+    BI/notebook user drives without touching the DataFrame API: one
+    view over the live table, one pinned ``version '1'`` (SQL time
+    travel), both aggregated by a ``spark.sql`` statement.  The
+    whole read path — view resolution, option plumbing, snapshot pin,
+    manifest read — runs through Spark's SQL catalog; the oracle
+    re-derives both snapshots from the parquet truth."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_pyds_sqls_{tag}_{os.getpid()}"
+    )
+    register_pyds(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out).mode("overwrite").save()
+    )
+    (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out).option("base_version", 1)
+        .mode("append").save()
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW pyds_sql_lake "
+        f"USING jsonl_docs OPTIONS (path '{out}')"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW pyds_sql_lake_v1 "
+        f"USING jsonl_docs OPTIONS (path '{out}', version '1')"
+    )
+    return spark.sql(
+        """
+        SELECT 'pre' AS snapshot, lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM pyds_sql_lake_v1 GROUP BY lang
+        UNION ALL
+        SELECT 'post', lang, COUNT(*),
+               CAST(SUM(n_chars) AS BIGINT), MIN(doc_id), MAX(doc_id)
+        FROM pyds_sql_lake GROUP BY lang
+        """
+    )
+
+
+SQL_FMT_PYDS_SQL_SURFACE = """
+SELECT 'pre' AS snapshot, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM documents WHERE doc_id % 2 = 0
+GROUP BY lang
+UNION ALL
+SELECT 'post', lang, COUNT(*),
+       CAST(SUM(n_chars) AS BIGINT), MIN(doc_id), MAX(doc_id)
+FROM documents
+GROUP BY lang
+"""
+
+
 #: CDF fixture predicates: deletes hit doc_id%9==0 (⊂ the %3==0 rows
 #: live since v1), updates hit doc_id%12==3 minus the deleted ones,
 #: merge-inserts hit doc_id%3==2 ∧ doc_id%5==0 (never live before)
@@ -4894,6 +5097,8 @@ QUERIES = {
     "fmt_pyds_cdf_read": q_fmt_pyds_cdf_read,
     "fmt_pyds_partitioned_scan": q_fmt_pyds_partitioned_scan,
     "fmt_pyds_constraints": q_fmt_pyds_constraints,
+    "fmt_pyds_describe_history": q_fmt_pyds_describe_history,
+    "fmt_pyds_sql_surface": q_fmt_pyds_sql_surface,
     "streaming_pyds_delete_feed": q_streaming_pyds_delete_feed,
     "streaming_pyds_cdf_feed": q_streaming_pyds_cdf_feed,
     "streaming_pyds_docs": q_streaming_pyds_docs,
@@ -4942,6 +5147,10 @@ ORACLE_SQL = {
     "fmt_pyds_partitioned_scan": SQL_FMT_PYDS_PARTITIONED,
     # constrained writes on the passing path == full corpus truth
     "fmt_pyds_constraints": SQL_FMT_PYDS_CONSTRAINTS,
+    # commit provenance from manifest metadata only
+    "fmt_pyds_describe_history": SQL_FMT_PYDS_DESCRIBE_HISTORY,
+    # CREATE TEMPORARY VIEW ... USING jsonl_docs, incl. SQL time travel
+    "fmt_pyds_sql_surface": SQL_FMT_PYDS_SQL_SURFACE,
     # lagging subscriber = non-retraction union; fresh = current state
     "streaming_pyds_delete_feed": SQL_STREAMING_PYDS_DELETE_FEED,
     # typed change rows per commit: snapshot inserts + CDC-file changes
