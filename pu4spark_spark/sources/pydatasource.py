@@ -4830,6 +4830,126 @@ GROUP BY lang
 """
 
 
+#: lake-release fixture: mirror-duplicate evens %10==0, quality gate
+#: n_chars >= 100, purge source 'src3'
+LR_DUP_MOD, LR_MIN_CHARS, LR_PURGE_SRC = 10, 100, "src3"
+
+
+def q_curation_lake_release(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THE LAKE AND THE PIPELINE COMPOSED — a bronze→silver training-
+    data release with a GDPR purge, every hop on the engine's own
+    table format, value-checked end to end:
+
+    1. BRONZE lands in two commits (evens, then odds plus planted
+       mirror duplicates — same text, doc_id+100000).
+    2. SILVER = bronze latest → exact text-dedup keeping the smallest
+       doc_id (the mirrors lose by construction) → quality gate
+       ``n_chars >= 100`` → written to a second lake table, which
+       then gets that same gate as a CHECK constraint (future appends
+       can't regress the release).
+    3. GDPR PURGE: all of source 'src3' is deleted from silver with
+       ``cdf=True`` — a metadata commit plus CDC pre-images.
+    4. The result unions the silver LIVE aggregate with the purge's
+       change-feed ``delete`` rows (the downstream-propagation
+       witness: a subscriber syncing silver sees exactly the purged
+       rows, typed).
+
+    The oracle re-derives both halves from the parquet truth: a
+    mirror surviving dedup, a quality leak, a purge that misses a row
+    or leaks into the feed, all hash-mismatch."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    bronze = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_lr_bronze_{tag}_{os.getpid()}"
+    )
+    silver = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_lr_silver_{tag}_{os.getpid()}"
+    )
+    register_pyds(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    evens = docs.filter(F.col("doc_id") % 2 == 0)
+    (
+        evens.repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", bronze).mode("overwrite").save()
+    )
+    mirrors = evens.filter(F.col("doc_id") % LR_DUP_MOD == 0).select(
+        (F.col("doc_id") + F.lit(100000)).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .unionByName(mirrors)
+        .repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", bronze).option("base_version", 1)
+        .mode("append").save()
+    )
+    b = spark.read.format("jsonl_docs").option("path", bronze).load()
+    keep = b.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    curated = (
+        b.join(keep, ["text", "doc_id"], "inner")  # smallest id per text
+        .filter(F.col("n_chars") >= LR_MIN_CHARS)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+    (
+        curated.repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", silver).mode("overwrite").save()
+    )
+    add_constraint_jsonl_dir(
+        silver, "release_quality", f"n_chars >= {LR_MIN_CHARS}"
+    )
+    s = spark.read.format("jsonl_docs").option("path", silver).load()
+    purge_keys = s.filter(F.col("source") == LR_PURGE_SRC).select(
+        "doc_id"
+    )
+    v = delete_from_jsonl_dir(
+        silver, purge_keys.repartition(2), spark=spark, cdf=True
+    )
+    live = (
+        spark.read.format("jsonl_docs").option("path", silver).load()
+    )
+
+    def agg(df: DataFrame, half: str) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        ).select(F.lit(half).alias("half"), "*")
+
+    feed = table_changes_jsonl_dir(spark, silver, v - 1, v).filter(
+        F.col("_change_type") == "delete"
+    )
+    return agg(live, "silver").unionByName(
+        agg(feed.select("doc_id", "lang", "n_chars"), "purged")
+    )
+
+
+SQL_CURATION_LAKE_RELEASE = f"""
+SELECT 'silver' AS half, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM documents
+WHERE n_chars >= {LR_MIN_CHARS} AND source <> '{LR_PURGE_SRC}'
+GROUP BY lang
+UNION ALL
+SELECT 'purged', lang, COUNT(*),
+       CAST(SUM(n_chars) AS BIGINT), MIN(doc_id), MAX(doc_id)
+FROM documents
+WHERE n_chars >= {LR_MIN_CHARS} AND source = '{LR_PURGE_SRC}'
+GROUP BY lang
+"""
+
+
 #: history fixture predicates over the evens table
 HIST_DEL_MOD, HIST_MERGE_MOD = 4, 8
 
@@ -5099,6 +5219,7 @@ QUERIES = {
     "fmt_pyds_constraints": q_fmt_pyds_constraints,
     "fmt_pyds_describe_history": q_fmt_pyds_describe_history,
     "fmt_pyds_sql_surface": q_fmt_pyds_sql_surface,
+    "curation_lake_release": q_curation_lake_release,
     "streaming_pyds_delete_feed": q_streaming_pyds_delete_feed,
     "streaming_pyds_cdf_feed": q_streaming_pyds_cdf_feed,
     "streaming_pyds_docs": q_streaming_pyds_docs,
@@ -5151,6 +5272,8 @@ ORACLE_SQL = {
     "fmt_pyds_describe_history": SQL_FMT_PYDS_DESCRIBE_HISTORY,
     # CREATE TEMPORARY VIEW ... USING jsonl_docs, incl. SQL time travel
     "fmt_pyds_sql_surface": SQL_FMT_PYDS_SQL_SURFACE,
+    # bronze→silver release + GDPR purge with CDF propagation witness
+    "curation_lake_release": SQL_CURATION_LAKE_RELEASE,
     # lagging subscriber = non-retraction union; fresh = current state
     "streaming_pyds_delete_feed": SQL_STREAMING_PYDS_DELETE_FEED,
     # typed change rows per commit: snapshot inserts + CDC-file changes
