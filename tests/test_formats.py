@@ -1948,6 +1948,7 @@ def test_stream_sink_zombie_instance_rechecks_txn_in_claim_loop(
     )
     m2 = P._manifest_at(out, 2)
     assert m2[P.TXN_KEY] == {"last_batch": 1}
+    assert m2[P.OP_KEY] == "streaming-append"  # DESCRIBE HISTORY stamp
     # zombie's staged finals were rolled back: exactly the rival's
     # shards exist, and the batch's rows appear ONCE
     shards = [f for f in _os.listdir(out) if f.endswith(".jsonl")]
@@ -2987,6 +2988,23 @@ def test_check_constraints(spark, tmp_path):
         spark.read.format("jsonl_docs").option("path", out)
         .load().filter("doc_id = 5").count() == 1
     )
+
+    # DESCRIBE HISTORY op provenance for the metadata-commit sites the
+    # oracle-checked history query doesn't exercise
+    ops = {
+        r["version"]: r["op"]
+        for r in P.describe_history_jsonl_dir(spark, out).collect()
+    }
+    assert ops[1] == "overwrite"
+    assert ops[2] == "add-constraint" and ops[3] == "add-constraint"
+    assert ops[4] == "append"
+    assert ops[5] == "drop-constraint" and ops[6] == "append"
+    P.evolve_jsonl_schema(out, DDL + ", extra bigint")
+    ops = {
+        r["version"]: r["op"]
+        for r in P.describe_history_jsonl_dir(spark, out).collect()
+    }
+    assert ops[7] == "evolve-schema"
 
 
 def test_vacuum_stale_grace_window(spark, tmp_path):
