@@ -1771,6 +1771,18 @@ class JsonlDocsVersionStreamReader(DataSourceStreamReader):
                     pm = _manifest_at(self.path, v - 1)
                     base = set(_manifest_files(pm))
                     base_nents = len(_tombstones_of(pm)["entries"])
+                if len(tombs["entries"]) < base_nents:
+                    # only a marker-tethered rewrite may shrink the
+                    # ledger silently; an unmarked shrink is a RESTORE
+                    # (or hand-edited metadata) whose un-deleted rows
+                    # this stream never retracted downstream
+                    raise ValueError(
+                        f"jsonl_docs version stream: commit v{v} of "
+                        f"{self.path} shrank the tombstone ledger "
+                        "without a rewrite marker (RESTORE) — rows it "
+                        "un-deletes cannot be replayed incrementally; "
+                        "restart the subscriber from a fresh snapshot."
+                    )
                 if (
                     len(tombs["entries"]) > base_nents
                     and not self.ignore_deletes
@@ -1968,6 +1980,14 @@ class JsonlDocsChangeFeedStreamReader(DataSourceStreamReader):
                 pm = _manifest_at(self.path, v - 1)
                 base = set(_manifest_files(pm))
                 base_nents = len(_tombstones_of(pm)["entries"])
+            if len(tombs["entries"]) < base_nents:
+                raise ValueError(
+                    f"jsonl_docs change feed: commit v{v} of "
+                    f"{self.path} shrank the tombstone ledger without "
+                    "a rewrite marker (RESTORE) — its un-deletions "
+                    "cannot be replayed incrementally; restart the "
+                    "subscriber from a fresh snapshot."
+                )
             if len(tombs["entries"]) > base_nents:
                 raise ValueError(
                     f"jsonl_docs change feed: commit v{v} of "
@@ -2634,6 +2654,75 @@ def vacuum_jsonl_dir(
             if _rm(f):
                 removed += 1
     return removed
+
+
+def restore_jsonl_dir(
+    path: str, to_version: int, base_version: int | None = None
+) -> int:
+    """RESTORE — Delta's ``RESTORE TABLE ... TO VERSION AS OF``: roll
+    the table back to ``to_version``'s exact state as a NEW commit (a
+    pure-metadata copy of that snapshot's manifest — shard list,
+    ledger, schema, constraints), claimed through the same
+    create-if-absent OCC gate.  History is preserved: the undone
+    commits stay time-travelable until vacuum.  Fails loudly when the
+    target snapshot is vacuumed or any file it references (data shards
+    OR its ledger's delete files) has been reclaimed — a partial
+    restore must never commit.  Version streams CANNOT ride through a
+    restore (rows it un-deletes were never retracted downstream): the
+    version stream raises on any unmarked ledger-shrinking commit and
+    the subscriber restarts from a fresh snapshot, the same guidance
+    Delta gives.  Returns the new version."""
+    import json as _json
+    import time as _time
+
+    try:
+        target = _manifest_at(path, to_version)
+    except OSError:
+        raise ValueError(
+            f"restore_jsonl_dir: version {to_version} of {path} is "
+            "vacuumed — its snapshot no longer exists"
+        ) from None
+    needed = list(_manifest_files(target))
+    for e in _tombstones_of(target)["entries"]:
+        needed.extend(e.get("files", ()))
+    missing = [
+        f for f in needed if not os.path.exists(os.path.join(path, f))
+    ]
+    if missing:
+        raise ValueError(
+            f"restore_jsonl_dir: version {to_version} references "
+            f"reclaimed files (e.g. {missing[0]!r}) — a partial "
+            "restore must never commit"
+        )
+    base = (
+        base_version
+        if base_version is not None
+        else _latest_manifest_version(path)
+    )
+    version = base + 1
+    new_manifest = dict(target)
+    # the stream sink's idempotence marker tracks the LIVE commit
+    # chain, not the restored-to snapshot: carry the base's _txn so a
+    # retried micro-batch still no-ops after the restore
+    cur = _manifest_at(path, base)
+    if TXN_KEY in cur:
+        new_manifest[TXN_KEY] = cur[TXN_KEY]
+    new_manifest[OP_KEY] = "restore"
+    new_manifest["_ts"] = _time.time_ns()
+    body = _json.dumps(new_manifest)
+    try:
+        _write_atomic_excl(
+            os.path.join(path, f"_MANIFEST.v{version}"), body
+        )
+    except FileExistsError:
+        raise ManifestCommitConflict(
+            f"concurrent commit: _MANIFEST.v{version} was claimed by "
+            f"another writer after this restore read version {base}; "
+            "re-plan the restore against the new table state"
+        ) from None
+    if _latest_manifest_version(path) == version:
+        _write_atomic(os.path.join(path, "_MANIFEST"), body)
+    return version
 
 
 def describe_history_jsonl_dir(
@@ -4950,6 +5039,95 @@ GROUP BY lang
 """
 
 
+#: restore fixture predicates over the evens table
+RST_DEL_MOD, RST_MERGE_MOD = 2, 6
+
+
+def q_fmt_pyds_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE, value-checked end to end: build v1 (evens) → DELETE
+    %10==2 (v2) → MERGE %10==6 with n_chars+1000 (v3) → RESTORE TO
+    VERSION 1 (v4, a pure-metadata snapshot copy through the OCC
+    gate).  The result unions read@latest (must equal the ORIGINAL
+    evens exactly — deletes undone, merged values reverted) with
+    read@v3 (history preserved: the pre-restore state stays
+    time-travelable).  The oracle re-derives both from the parquet
+    truth, so a restore that leaks the ledger, loses a shard, or
+    clobbers history hash-mismatches.  Vacuumed-target and
+    missing-file refusals plus the stream restart contract are
+    pytest-pinned."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_pyds_rst_{tag}_{os.getpid()}"
+    )
+    register_pyds(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    evens = docs.filter(F.col("doc_id") % 2 == 0)
+    (
+        evens.repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out).mode("overwrite").save()
+    )
+    delete_from_jsonl_dir(
+        out,
+        evens.filter(F.col("doc_id") % 10 == RST_DEL_MOD)
+        .select("doc_id")
+        .repartition(2),
+        base_version=1,
+    )
+    upserts = evens.filter(
+        F.col("doc_id") % 10 == RST_MERGE_MOD
+    ).select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        (F.col("n_chars") + F.lit(1000)).alias("n_chars"),
+    )
+    merge_into_jsonl_dir(spark, upserts.repartition(2, "doc_id"), out)
+    v = restore_jsonl_dir(out, 1)
+    if v != 4:
+        raise AssertionError(f"restore committed v{v}, expected v4")
+
+    def agg(df: DataFrame, snap: str) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        ).select(F.lit(snap).alias("snapshot"), "*")
+
+    restored = (
+        spark.read.format("jsonl_docs").option("path", out).load()
+    )
+    pre = (
+        spark.read.format("jsonl_docs")
+        .option("path", out)
+        .option("version", 3)
+        .load()
+    )
+    return agg(restored, "restored").unionByName(agg(pre, "pre_restore"))
+
+
+SQL_FMT_PYDS_RESTORE = f"""
+SELECT 'restored' AS snapshot, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM documents WHERE doc_id % 2 = 0
+GROUP BY lang
+UNION ALL
+SELECT 'pre_restore', lang, COUNT(*),
+       CAST(SUM(CASE WHEN doc_id % 10 = {RST_MERGE_MOD}
+                     THEN n_chars + 1000 ELSE n_chars END) AS BIGINT),
+       MIN(doc_id), MAX(doc_id)
+FROM documents
+WHERE doc_id % 2 = 0 AND doc_id % 10 <> {RST_DEL_MOD}
+GROUP BY lang
+"""
+
+
 #: history fixture predicates over the evens table
 HIST_DEL_MOD, HIST_MERGE_MOD = 4, 8
 
@@ -5220,6 +5398,7 @@ QUERIES = {
     "fmt_pyds_describe_history": q_fmt_pyds_describe_history,
     "fmt_pyds_sql_surface": q_fmt_pyds_sql_surface,
     "curation_lake_release": q_curation_lake_release,
+    "fmt_pyds_restore": q_fmt_pyds_restore,
     "streaming_pyds_delete_feed": q_streaming_pyds_delete_feed,
     "streaming_pyds_cdf_feed": q_streaming_pyds_cdf_feed,
     "streaming_pyds_docs": q_streaming_pyds_docs,
@@ -5274,6 +5453,8 @@ ORACLE_SQL = {
     "fmt_pyds_sql_surface": SQL_FMT_PYDS_SQL_SURFACE,
     # bronze→silver release + GDPR purge with CDF propagation witness
     "curation_lake_release": SQL_CURATION_LAKE_RELEASE,
+    # RESTORE: latest == original state, pre-restore stays travelable
+    "fmt_pyds_restore": SQL_FMT_PYDS_RESTORE,
     # lagging subscriber = non-retraction union; fresh = current state
     "streaming_pyds_delete_feed": SQL_STREAMING_PYDS_DELETE_FEED,
     # typed change rows per commit: snapshot inserts + CDC-file changes

