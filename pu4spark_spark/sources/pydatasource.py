@@ -1771,17 +1771,22 @@ class JsonlDocsVersionStreamReader(DataSourceStreamReader):
                     pm = _manifest_at(self.path, v - 1)
                     base = set(_manifest_files(pm))
                     base_nents = len(_tombstones_of(pm)["entries"])
-                if len(tombs["entries"]) < base_nents:
-                    # only a marker-tethered rewrite may shrink the
-                    # ledger silently; an unmarked shrink is a RESTORE
-                    # (or hand-edited metadata) whose un-deleted rows
-                    # this stream never retracted downstream
+                # a RESTORE (op stamp, plus the unmarked ledger
+                # shrink backstop for hand-edited metadata) cannot be
+                # replayed incrementally: rows it un-deletes were never
+                # retracted downstream, and files it rolls back to may
+                # already have been delivered (duplicate delivery)
+                if (
+                    m.get(OP_KEY) == "restore"
+                    or len(tombs["entries"]) < base_nents
+                ):
                     raise ValueError(
                         f"jsonl_docs version stream: commit v{v} of "
-                        f"{self.path} shrank the tombstone ledger "
-                        "without a rewrite marker (RESTORE) — rows it "
-                        "un-deletes cannot be replayed incrementally; "
-                        "restart the subscriber from a fresh snapshot."
+                        f"{self.path} is a RESTORE (or shrank the "
+                        "ledger without a rewrite marker) — its "
+                        "un-deletions cannot be replayed "
+                        "incrementally; restart the subscriber from a "
+                        "fresh snapshot."
                     )
                 if (
                     len(tombs["entries"]) > base_nents
@@ -1980,11 +1985,14 @@ class JsonlDocsChangeFeedStreamReader(DataSourceStreamReader):
                 pm = _manifest_at(self.path, v - 1)
                 base = set(_manifest_files(pm))
                 base_nents = len(_tombstones_of(pm)["entries"])
-            if len(tombs["entries"]) < base_nents:
+            if (
+                m.get(OP_KEY) == "restore"
+                or len(tombs["entries"]) < base_nents
+            ):
                 raise ValueError(
                     f"jsonl_docs change feed: commit v{v} of "
-                    f"{self.path} shrank the tombstone ledger without "
-                    "a rewrite marker (RESTORE) — its un-deletions "
+                    f"{self.path} is a RESTORE (or shrank the ledger "
+                    "without a rewrite marker) — its un-deletions "
                     "cannot be replayed incrementally; restart the "
                     "subscriber from a fresh snapshot."
                 )

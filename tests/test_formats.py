@@ -3236,3 +3236,190 @@ def test_restore_contracts(spark, tmp_path):
         _os.remove(_os.path.join(out2, f))
     with _pytest.raises(ValueError, match="reclaimed"):
         P.restore_jsonl_dir(out2, 1)
+
+
+def test_minilake_random_ops_v2_full_surface(spark, tmp_path):
+    """Second-generation randomized op-sequence stress (3 seeds)
+    composing the FULL r11 DML surface in arbitrary orders against a
+    sequential state model: plain + partitioned appends, deletes with
+    and without CDC, fast + clause merges, constraint add (with a
+    violating append that must change NOTHING), compaction, and
+    RESTORE (state resets to the target snapshot).  After any
+    sequence: the batch read equals the model exactly; time travel at
+    every retained version replays the model prefix; and the fresh
+    versioned stream either equals the live state or — iff a restore
+    landed after the earliest retained version — raises the restart
+    contract."""
+    import json as _json
+    import os as _os
+    import random
+
+    import pytest as _pytest
+
+    from pu4spark_spark.sources import pydatasource as P
+
+    P.register_pyds(spark)
+    DDL = (
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+    LANGS = ["en", "de", "fr"]
+
+    def batch_df(rows):
+        return spark.createDataFrame(
+            [
+                (i, f"doc {i}", LANGS[i % 3], "s", n)
+                for i, n in rows
+            ],
+            DDL,
+        )
+
+    for seed in (7, 19, 31):
+        out = str(tmp_path / f"v2lake_{seed}")
+        rng = random.Random(seed)
+        next_id = 0
+        state: dict[int, int] = {}
+        snapshots: dict[int, dict] = {}
+        restored_at: list[int] = []  # versions where a restore landed
+        constrained = False
+
+        def fresh_rows(n, lo=1, hi=9):
+            nonlocal next_id
+            rows = [
+                (i, rng.randint(lo, hi))
+                for i in range(next_id, next_id + n)
+            ]
+            next_id += n
+            return rows
+
+        def commit_version():
+            return P._latest_manifest_version(out)
+
+        # v1 seed
+        rows = fresh_rows(4)
+        batch_df(rows).repartition(1).write.format("jsonl_docs").option(
+            "path", out
+        ).mode("overwrite").save()
+        state.update(rows)
+        snapshots[1] = dict(state)
+
+        for _ in range(rng.randint(8, 11)):
+            op = rng.random()
+            if op < 0.22:  # plain or partitioned append
+                rows = fresh_rows(rng.randint(1, 3))
+                w = (
+                    batch_df(rows)
+                    .repartition(1)
+                    .write.format("jsonl_docs")
+                    .option("path", out)
+                    .option("base_version", commit_version())
+                    .mode("append")
+                )
+                if rng.random() < 0.5:
+                    w = w.option("partition_by", "lang")
+                w.save()
+                state.update(rows)
+            elif op < 0.34 and state:  # delete, half with CDC
+                ids = rng.sample(
+                    sorted(state), min(len(state), rng.randint(1, 3))
+                )
+                P.delete_from_jsonl_dir(
+                    out,
+                    ids,
+                    spark=spark,
+                    cdf=rng.random() < 0.5,
+                )
+                for i in ids:
+                    del state[i]
+            elif op < 0.46 and state:  # fast merge upsert
+                picks = rng.sample(
+                    sorted(state), min(len(state), rng.randint(1, 2))
+                )
+                rows = [(i, state[i] + 10) for i in picks]
+                rows += fresh_rows(1)
+                P.merge_into_jsonl_dir(
+                    spark, batch_df(rows).repartition(1), out
+                )
+                state.update(rows)
+            elif op < 0.58 and state:  # clause merge: upd-if-gt + del
+                picks = rng.sample(
+                    sorted(state), min(len(state), rng.randint(1, 2))
+                )
+                rows = [(i, rng.randint(1, 20)) for i in picks]
+                P.merge_into_jsonl_dir(
+                    spark,
+                    batch_df(rows).repartition(1),
+                    out,
+                    when_matched_update="s.n_chars > t.n_chars",
+                    when_matched_delete="s.n_chars = 1",
+                    when_not_matched_insert=False,
+                )
+                for i, n in rows:
+                    if n > state[i]:
+                        state[i] = n
+                    elif n == 1:
+                        del state[i]
+            elif op < 0.68 and not constrained:  # constraint + violation
+                P.add_constraint_jsonl_dir(out, "pos", "n_chars >= 0")
+                constrained = True
+                bad = fresh_rows(1, lo=-5, hi=-1)
+                with _pytest.raises(Exception, match="pos"):
+                    batch_df(bad).repartition(1).write.format(
+                        "jsonl_docs"
+                    ).option("path", out).option(
+                        "base_version", commit_version()
+                    ).mode("append").save()
+                # nothing committed: version is the constraint commit
+            elif op < 0.82:
+                P.compact_jsonl_dir(
+                    spark, out, target_shards=rng.randint(1, 2)
+                )
+            else:  # restore to a random retained snapshot
+                kept = sorted(snapshots)
+                tgt = rng.choice(kept)
+                try:
+                    P.restore_jsonl_dir(out, tgt)
+                except ValueError:
+                    continue  # target's files vacuumed — refusal is ok
+                state = dict(snapshots[tgt])
+                restored_at.append(commit_version())
+            snapshots[commit_version()] = dict(state)
+
+        # (1) batch read == model (id AND value)
+        got = sorted(
+            (r["doc_id"], r["n_chars"])
+            for r in spark.read.format("jsonl_docs")
+            .option("path", out).load().collect()
+        )
+        assert got == sorted(state.items()), f"seed {seed}: batch"
+
+        # (2) time travel at every retained version == model prefix
+        for v, snap in snapshots.items():
+            tt = sorted(
+                (r["doc_id"], r["n_chars"])
+                for r in spark.read.format("jsonl_docs")
+                .option("path", out).option("version", v)
+                .load().collect()
+            )
+            assert tt == sorted(snap.items()), f"seed {seed}: tt v{v}"
+
+        # (3) fresh versioned stream: equals live state, or raises the
+        # restart contract iff a restore landed in its walk range
+        r = P.JsonlDocsVersionStreamReader(
+            {"path": out, "ignore_deletes": "true"}
+        )
+        earliest = P._earliest_manifest_version(out)
+        walk_has_restore = any(v > earliest for v in restored_at)
+        if walk_has_restore:
+            with _pytest.raises(ValueError, match="fresh snapshot"):
+                for p in r.partitions(
+                    r.initialOffset(), r.latestOffset()
+                ):
+                    list(r.read(p))
+        else:
+            streamed = []
+            for p in r.partitions(r.initialOffset(), r.latestOffset()):
+                streamed.extend((row[0], row[4]) for row in r.read(p))
+            assert sorted(streamed) == sorted(state.items()), (
+                f"seed {seed}: fresh stream"
+            )
