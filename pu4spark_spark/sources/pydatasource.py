@@ -952,7 +952,9 @@ class JsonlDocsReader(DataSourceReader):
         tombs = _tombstones_of(manifest)
         parts = []
         for f in self._prune(files):
-            full = os.path.join(self.path, f)
+            # shallow-clone aware: names the clone never localized
+            # resolve to the source dir (_base_dir)
+            full = _shard_path(self.path, manifest, f)
             ids, kfiles = _tomb_sources_for(f, tombs)
             if ids or kfiles:
                 parts.append(
@@ -961,7 +963,7 @@ class JsonlDocsReader(DataSourceReader):
                             full,
                             ids,
                             tuple(
-                                os.path.join(self.path, kf)
+                                _shard_path(self.path, manifest, kf)
                                 for kf in kfiles
                             ),
                         )
@@ -1711,6 +1713,7 @@ class JsonlDocsVersionStreamReader(DataSourceStreamReader):
         # a K-version batch, not 3K
         prev_files: set[str] | None = None
         prev_nents = 0
+        base_dir: str | None = None  # shallow-clone source, if any
         batch_ents: list[dict] = []  # union of ledger entries walked
         ent_seen: set = set()
         for v in range(first, end["version"] + 1):
@@ -1719,6 +1722,7 @@ class JsonlDocsVersionStreamReader(DataSourceStreamReader):
             ) as fh:
                 body = fh.read()
             m = json.loads(body)
+            base_dir = m.get(BASE_DIR_KEY, base_dir)
             # SCHEMA boundary: a commit whose schema this stream's
             # fixed schema does not EXTEND cannot be represented in
             # the stream's rows — fail loudly; the restarted stream
@@ -1818,8 +1822,12 @@ class JsonlDocsVersionStreamReader(DataSourceStreamReader):
         # immutable.  Cross-batch removals are the documented
         # ignore_deletes non-retraction.
         parts = []
+        # shallow-clone aware: the walk may span a compaction that
+        # dropped _base_dir, but earlier versions' shards still need
+        # it — resolve against any base dir seen during the walk
+        res = {BASE_DIR_KEY: base_dir} if base_dir else None
         for f, av in sorted(out.items()):
-            full = os.path.join(self.path, f)
+            full = _shard_path(self.path, res, f)
             ids, kfiles = _tomb_sources_for(
                 f, {"entries": batch_ents}, added_v=av
             )
@@ -1830,7 +1838,7 @@ class JsonlDocsVersionStreamReader(DataSourceStreamReader):
                             full,
                             ids,
                             tuple(
-                                os.path.join(self.path, kf)
+                                _shard_path(self.path, res, kf)
                                 for kf in kfiles
                             ),
                         )
@@ -1908,12 +1916,15 @@ class JsonlDocsChangeFeedStreamReader(DataSourceStreamReader):
                 return []
             first = initial = earliest
         prev_files: set[str] | None = None
+        base_dir: str | None = None  # shallow-clone source, if any
         for v in range(first, end["version"] + 1):
             with open(
                 os.path.join(self.path, f"_MANIFEST.v{v}"), "rb"
             ) as fh:
                 body = fh.read()
             m = json.loads(body)
+            base_dir = m.get(BASE_DIR_KEY, base_dir)
+            res = {BASE_DIR_KEY: base_dir} if base_dir else None
             mf = _fields_of_ddl(m.get(SCHEMA_KEY, DOCS_DDL))
             if mf != tuple(self.fields[: len(mf)]):
                 raise ValueError(
@@ -1937,15 +1948,15 @@ class JsonlDocsChangeFeedStreamReader(DataSourceStreamReader):
                             (
                                 "snap",
                                 (
-                                    os.path.join(self.path, f),
+                                    _shard_path(self.path, res, f),
                                     ids,
                                     tuple(
-                                        os.path.join(self.path, kf)
+                                        _shard_path(self.path, res, kf)
                                         for kf in kfiles
                                     ),
                                 )
                                 if (ids or kfiles)
-                                else os.path.join(self.path, f),
+                                else _shard_path(self.path, res, f),
                                 v,
                             )
                         )
@@ -1972,7 +1983,7 @@ class JsonlDocsChangeFeedStreamReader(DataSourceStreamReader):
                 for f in cdc_own:
                     parts.append(
                         InputPartition(
-                            ("cdc", os.path.join(self.path, f), v)
+                            ("cdc", _shard_path(self.path, res, f), v)
                         )
                     )
                 prev_files = cur
@@ -2008,7 +2019,7 @@ class JsonlDocsChangeFeedStreamReader(DataSourceStreamReader):
             for f in sorted(cur - base):
                 parts.append(
                     InputPartition(
-                        ("ins", os.path.join(self.path, f), v)
+                        ("ins", _shard_path(self.path, res, f), v)
                     )
                 )
             prev_files = cur
@@ -2478,12 +2489,20 @@ def compact_jsonl_dir(
     import hashlib as _hashlib
     import time as _time
 
-    # a rewrite is content-neutral INCLUDING the schema: carry the
-    # pre-compaction commit's _schema (the rewritten shards hold every
-    # evolved column — the read above served the latest shape)
+    # a rewrite is content-neutral INCLUDING the table's metadata
+    # contract: carry the pre-compaction commit's _schema (the
+    # rewritten shards hold every evolved column — the read above
+    # served the latest shape), its _constraints (a compaction must
+    # not silently unharden the table), and the stream sink's _txn
+    # idempotence marker (losing it would let a retried micro-batch
+    # recommit AFTER a compaction — duplicate rows).  The tombstone
+    # ledger and the _cdc map are deliberately NOT carried: the
+    # rewrite applied the deletes physically, and CDC files belong to
+    # the versions that made them.
     pre_m = _manifest_at(path, version - 1)
-    if SCHEMA_KEY in pre_m:
-        new_manifest[SCHEMA_KEY] = pre_m[SCHEMA_KEY]
+    for carry in (SCHEMA_KEY, CONSTRAINT_KEY, TXN_KEY):
+        if carry in pre_m:
+            new_manifest[carry] = pre_m[carry]
     new_manifest[OP_KEY] = "compact"
     new_manifest["_ts"] = _time.time_ns()
     body = _json.dumps(new_manifest)
@@ -2664,6 +2683,131 @@ def vacuum_jsonl_dir(
     return removed
 
 
+#: reserved manifest key: absolute path of the SOURCE table a shallow
+#: clone references — file names missing from the clone's own dir
+#: resolve there (Delta SHALLOW CLONE: metadata copied, data shared).
+#: Carried forward by the '_'-key copy loops; dropped by compaction's
+#: fresh manifest, which is exactly when the clone materializes.
+BASE_DIR_KEY = "_base_dir"
+
+
+def _shard_path(table_dir: str, manifest: dict | None, name: str) -> str:
+    """Resolve a manifest file name to its physical path: the table's
+    own dir, falling back to the shallow-clone base dir for names the
+    clone never localized (immutable source shards)."""
+    local = os.path.join(table_dir, name)
+    base = (manifest or {}).get(BASE_DIR_KEY)
+    if base and not os.path.exists(local):
+        return os.path.join(base, name)
+    return local
+
+
+def clone_jsonl_dir(
+    src: str, dst: str, version: int | None = None
+) -> int:
+    """SHALLOW CLONE — Delta's ``CREATE TABLE ... SHALLOW CLONE``:
+    materialize a NEW table at ``dst`` whose v1 manifest references
+    the SOURCE's immutable shards by name (resolved through
+    ``_base_dir`` at read time — zero data copied), with the source
+    snapshot's schema, constraints, zonemap stats, and tombstone
+    ledger.  The clone's history starts fresh: writes/DML/compaction
+    on the clone land in the clone's dir and never touch the source
+    (divergence is the point — dev/test branching); a compaction
+    materializes the clone fully local and drops the base-dir link.
+
+    Ledger version stamps are NORMALIZED into the open interval (0, 1)
+    by an order-preserving map: copied entries keep applying to
+    exactly the copied shards they applied to in the source (strict
+    ``v > added`` inequalities survive any injective order-preserving
+    map); shards absent from the added-map keep their default 0, which
+    stays BELOW every copied entry; and every FUTURE clone commit
+    (integer version ≥ 2) sits ABOVE them all — so copied entries
+    never touch post-clone shards and post-clone entries apply to all
+    copied shards: the sequence-number contract holds across the
+    graft.  Vacuum on the clone only ever
+    deletes files physically present in the clone's dir, so shared
+    source shards are structurally out of reach.  Returns 1."""
+    import json as _json
+    import time as _time
+
+    base_v = (
+        version
+        if version is not None
+        else _latest_manifest_version(src)
+    )
+    if base_v <= 0:
+        raise ValueError(
+            f"clone_jsonl_dir: no committed version under {src}"
+        )
+    src_m = _manifest_at(src, base_v)
+    if os.path.exists(os.path.join(dst, "_MANIFEST.v1")):
+        raise ValueError(f"clone_jsonl_dir: {dst} already has a table")
+    os.makedirs(dst, exist_ok=True)
+    new_manifest: dict = {f: src_m[f] for f in _manifest_files(src_m)}
+    for carry in (SCHEMA_KEY, CONSTRAINT_KEY):
+        if carry in src_m:
+            new_manifest[carry] = src_m[carry]
+    # the source itself may be a clone: chain to ITS base for any name
+    # it never localized?  No — resolve one level only, flattening the
+    # chain: names present in the source dir point there, the rest to
+    # the source's own base
+    src_base = src_m.get(BASE_DIR_KEY)
+    new_manifest[BASE_DIR_KEY] = os.path.abspath(src)
+    if src_base:
+        # flatten: every referenced name must resolve from ONE base;
+        # a two-level chain would need per-file bases.  Refuse unless
+        # the source localized everything (post-compaction clone).
+        missing = [
+            f
+            for f in _manifest_files(src_m)
+            if not os.path.exists(os.path.join(src, f))
+        ]
+        if missing:
+            raise ValueError(
+                "clone_jsonl_dir: the source is itself a shallow "
+                f"clone still sharing files (e.g. {missing[0]!r}) — "
+                "compact the source first to materialize it"
+            )
+    tombs = _tombstones_of(src_m)
+    if tombs["entries"]:
+        stamps = sorted(
+            {e["v"] for e in tombs["entries"]}
+            | set(tombs.get("added", {}).values())
+        )
+        remap = {
+            old: (i + 1) / (len(stamps) + 1)
+            for i, old in enumerate(stamps)
+        }
+        new_manifest[TOMBSTONE_KEY] = {
+            "entries": [
+                {**e, "v": remap[e["v"]]} for e in tombs["entries"]
+            ],
+            "added": {
+                f: remap[v] for f, v in tombs.get("added", {}).items()
+            },
+        }
+        # the entries' delete-key FILES also resolve via the base dir
+    new_manifest[OP_KEY] = "clone"
+    new_manifest["_ts"] = _time.time_ns()
+    body = _json.dumps(new_manifest)
+    try:
+        _write_atomic_excl(os.path.join(dst, "_MANIFEST.v1"), body)
+    except FileExistsError:
+        raise ManifestCommitConflict(
+            f"concurrent commit: _MANIFEST.v1 of {dst} was claimed by "
+            "another writer during clone"
+        ) from None
+    # copy the zonemap sidecar: entries are keyed by immutable shard
+    # name, so they stay valid for the shared files
+    spath = os.path.join(src, "_STATS")
+    if os.path.exists(spath):
+        with open(spath) as fh:
+            _write_atomic(os.path.join(dst, "_STATS"), fh.read())
+    if _latest_manifest_version(dst) == 1:
+        _write_atomic(os.path.join(dst, "_MANIFEST"), body)
+    return 1
+
+
 def restore_jsonl_dir(
     path: str, to_version: int, base_version: int | None = None
 ) -> int:
@@ -2694,7 +2838,9 @@ def restore_jsonl_dir(
     for e in _tombstones_of(target)["entries"]:
         needed.extend(e.get("files", ()))
     missing = [
-        f for f in needed if not os.path.exists(os.path.join(path, f))
+        f
+        for f in needed
+        if not os.path.exists(_shard_path(path, target, f))
     ]
     if missing:
         raise ValueError(
@@ -2773,7 +2919,7 @@ def describe_history_jsonl_dir(
 
 
 def _read_sidecar_df(
-    spark: SparkSession, path: str, files: list[str], ddl: str
+    spark: SparkSession, paths: list[str], ddl: str
 ) -> DataFrame:
     """Distributed read of underscore-prefixed sidecar JSONL files
     (``_delete-*`` key files, ``_cdc-*`` change files) with the given
@@ -2792,8 +2938,8 @@ def _read_sidecar_df(
         for f in ddl.split(", ")
     }
     paths_df = spark.createDataFrame(
-        [(os.path.join(path, f),) for f in files], "p string"
-    ).repartition(len(files))
+        [(p,) for p in paths], "p string"
+    ).repartition(len(paths))
 
     def _parse(batches):
         import pandas as pd
@@ -2823,14 +2969,16 @@ def _read_sidecar_df(
 
 
 def _read_key_files_df(
-    spark: SparkSession, path: str, key_files: list[str]
+    spark: SparkSession, path: str, key_files: list[str], manifest=None
 ) -> DataFrame:
     """Tombstone key files as a distinct ``doc_id bigint`` DataFrame
     (see :func:`_read_sidecar_df`).  Works uniformly for a MERGE's key
     source too (its entry references its own staged data shards —
     full rows, of which only doc_id is projected)."""
     return _read_sidecar_df(
-        spark, path, key_files, "doc_id bigint"
+        spark,
+        [_shard_path(path, manifest, f) for f in key_files],
+        "doc_id bigint",
     ).distinct()
 
 
@@ -2901,7 +3049,9 @@ def table_changes_jsonl_dir(
         if cdc_own:
             pieces.append(
                 _read_sidecar_df(
-                    spark, path, cdc_own, ddl + ", _change_type string"
+                    spark,
+                    [_shard_path(path, m_v, f) for f in cdc_own],
+                    ddl + ", _change_type string",
                 ).withColumn(
                     "_commit_version", F.lit(v).cast("bigint")
                 )
@@ -2919,7 +3069,7 @@ def table_changes_jsonl_dir(
             continue  # metadata-only commit (schema evolve, _txn, ...)
         added = (
             spark.read.schema(ddl).json(
-                [os.path.join(path, f) for f in added_files]
+                [_shard_path(path, m_v, f) for f in added_files]
             )
             if added_files
             else spark.createDataFrame([], ddl)
@@ -2931,7 +3081,7 @@ def table_changes_jsonl_dir(
             ).withColumn("_commit_version", F.lit(v).cast("bigint"))
 
         if key_files:
-            keys = _read_key_files_df(spark, path, key_files)
+            keys = _read_key_files_df(spark, path, key_files, m_v)
             pre = (
                 spark.read.format("jsonl_docs")
                 .option("path", path)
@@ -5047,6 +5197,105 @@ GROUP BY lang
 """
 
 
+#: clone fixture predicates over the evens table
+CLN_DEL_MOD, CLN_MERGE_MOD, CLN_BRANCH_DEL_MOD = 8, 4, 0
+
+
+def q_fmt_pyds_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE, value-checked end to end: build a source with
+    history (evens v1 → DELETE %10==8 v2 → MERGE %10==4 with
+    n_chars+1000 v3), clone it ZERO-COPY (the clone's v1 manifest
+    references the source's shards via ``_base_dir``; the tombstone
+    ledger grafts with stamps normalized into (0,1) so copied entries
+    keep their exact scope), then DIVERGE: delete %10==0 in the CLONE
+    only.  The result unions the clone's live aggregate (source
+    history applied + branch delete) with the source's (untouched by
+    the branch).  The oracle re-derives both from the parquet truth,
+    so a grafted tombstone over- or under-applying, a branch write
+    leaking into the source, or a clone that re-copied data (pinned
+    zero-data-files in pytest) all hash-mismatch."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    src = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_pyds_clsrc_{tag}_{os.getpid()}"
+    )
+    dst = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_pyds_cldst_{tag}_{os.getpid()}"
+    )
+    register_pyds(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    evens = docs.filter(F.col("doc_id") % 2 == 0)
+    (
+        evens.repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", src).mode("overwrite").save()
+    )
+    delete_from_jsonl_dir(
+        src,
+        evens.filter(F.col("doc_id") % 10 == CLN_DEL_MOD)
+        .select("doc_id")
+        .repartition(2),
+        base_version=1,
+    )
+    upserts = evens.filter(
+        F.col("doc_id") % 10 == CLN_MERGE_MOD
+    ).select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        (F.col("n_chars") + F.lit(1000)).alias("n_chars"),
+    )
+    merge_into_jsonl_dir(spark, upserts.repartition(2, "doc_id"), src)
+    clone_jsonl_dir(src, dst)
+    delete_from_jsonl_dir(
+        dst,
+        evens.filter(F.col("doc_id") % 10 == CLN_BRANCH_DEL_MOD)
+        .select("doc_id")
+        .repartition(2),
+    )
+
+    def agg(path: str, half: str) -> DataFrame:
+        return (
+            spark.read.format("jsonl_docs")
+            .option("path", path)
+            .load()
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+                F.min("doc_id").alias("min_doc"),
+                F.max("doc_id").alias("max_doc"),
+            )
+            .select(F.lit(half).alias("half"), "*")
+        )
+
+    return agg(dst, "branch").unionByName(agg(src, "source"))
+
+
+SQL_FMT_PYDS_CLONE = f"""
+SELECT 'branch' AS half, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id % 10 = {CLN_MERGE_MOD}
+                     THEN n_chars + 1000 ELSE n_chars END) AS BIGINT)
+         AS sum_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM documents
+WHERE doc_id % 2 = 0 AND doc_id % 10 <> {CLN_DEL_MOD}
+      AND doc_id % 10 <> {CLN_BRANCH_DEL_MOD}
+GROUP BY lang
+UNION ALL
+SELECT 'source', lang, COUNT(*),
+       CAST(SUM(CASE WHEN doc_id % 10 = {CLN_MERGE_MOD}
+                     THEN n_chars + 1000 ELSE n_chars END) AS BIGINT),
+       MIN(doc_id), MAX(doc_id)
+FROM documents
+WHERE doc_id % 2 = 0 AND doc_id % 10 <> {CLN_DEL_MOD}
+GROUP BY lang
+"""
+
+
 #: restore fixture predicates over the evens table
 RST_DEL_MOD, RST_MERGE_MOD = 2, 6
 
@@ -5407,6 +5656,7 @@ QUERIES = {
     "fmt_pyds_sql_surface": q_fmt_pyds_sql_surface,
     "curation_lake_release": q_curation_lake_release,
     "fmt_pyds_restore": q_fmt_pyds_restore,
+    "fmt_pyds_clone": q_fmt_pyds_clone,
     "streaming_pyds_delete_feed": q_streaming_pyds_delete_feed,
     "streaming_pyds_cdf_feed": q_streaming_pyds_cdf_feed,
     "streaming_pyds_docs": q_streaming_pyds_docs,
@@ -5463,6 +5713,8 @@ ORACLE_SQL = {
     "curation_lake_release": SQL_CURATION_LAKE_RELEASE,
     # RESTORE: latest == original state, pre-restore stays travelable
     "fmt_pyds_restore": SQL_FMT_PYDS_RESTORE,
+    # zero-copy branch: grafted ledger exact, divergence isolated
+    "fmt_pyds_clone": SQL_FMT_PYDS_CLONE,
     # lagging subscriber = non-retraction union; fresh = current state
     "streaming_pyds_delete_feed": SQL_STREAMING_PYDS_DELETE_FEED,
     # typed change rows per commit: snapshot inserts + CDC-file changes

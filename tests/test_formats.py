@@ -3423,3 +3423,136 @@ def test_minilake_random_ops_v2_full_surface(spark, tmp_path):
             assert sorted(streamed) == sorted(state.items()), (
                 f"seed {seed}: fresh stream"
             )
+
+
+def test_compaction_carries_txn_and_constraints(spark, tmp_path):
+    """Compaction is content-neutral INCLUDING the metadata contract:
+    the rewrite must carry the stream sink's _txn idempotence marker
+    (a retried micro-batch after a compaction must still no-op — the
+    alternative is duplicate rows) and the table's CHECK constraints
+    (a maintenance job must not unharden the table)."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from pu4spark_spark.sources import pydatasource as P
+
+    P.register_pyds(spark)
+    DDL = (
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+    out = str(tmp_path / "carry")
+    _os.makedirs(out)
+    schema = spark.createDataFrame([], DDL).schema
+    w = P.JsonlDocsStreamWriter({"path": out}, schema)
+    final = f"part-00000-{w.job_token}.jsonl"
+    tmp = f"_tmp-{w.job_token}-" + final
+    with open(_os.path.join(out, tmp), "w") as fh:
+        fh.write(
+            '{"doc_id": 0, "text": "a", "lang": "en", "source": "s", '
+            '"n_chars": 5}\n'
+        )
+    w.commit([P.JsonlCommit(tmp, final, 1, 0, 0)], batchId=0)  # v1
+    P.add_constraint_jsonl_dir(out, "pos", "n_chars >= 0")  # v2
+    P.compact_jsonl_dir(spark, out, target_shards=1)  # v3
+    m = _json.load(open(_os.path.join(out, "_MANIFEST")))
+    assert m[P.TXN_KEY] == {"last_batch": 0}, "txn lost by compaction"
+    assert m[P.CONSTRAINT_KEY] == {"pos": "n_chars >= 0"}
+    # behavioral: the retried batch still no-ops, the constraint holds
+    w2 = P.JsonlDocsStreamWriter({"path": out}, schema)
+    final2 = f"part-00000-{w2.job_token}.jsonl"
+    tmp2 = f"_tmp-{w2.job_token}-" + final2
+    open(_os.path.join(out, tmp2), "w").write(
+        '{"doc_id": 9, "text": "x", "lang": "en", "source": "s", '
+        '"n_chars": 1}\n'
+    )
+    w2.commit([P.JsonlCommit(tmp2, final2, 1, 9, 9)], batchId=0)
+    assert (
+        spark.read.format("jsonl_docs").option("path", out)
+        .load().count() == 1
+    ), "retried batch re-committed after compaction"
+    with _pytest.raises(Exception, match="pos"):
+        spark.createDataFrame(
+            [(5, "e", "en", "s", -2)], DDL
+        ).repartition(1).write.format("jsonl_docs").option(
+            "path", out
+        ).mode("append").save()
+
+
+def test_shallow_clone_contracts(spark, tmp_path):
+    """Shallow-clone pins beyond the oracle-checked aggregate: zero
+    data files in the clone dir, grafted ledger exactness (copied
+    entries apply to copied shards only; post-clone entries apply to
+    copied shards; post-clone appends exempt from copied entries),
+    compaction materializes and drops the base link, vacuum on the
+    clone never touches source files, clone-of-unmaterialized-clone
+    refused, and existing-table refusal."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from pu4spark_spark.sources import pydatasource as P
+
+    P.register_pyds(spark)
+    DDL = (
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(i, f"d{i}", "en", "s", n) for i, n in rows], DDL
+        )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    df([(i, 5) for i in range(6)]).repartition(2).write.format(
+        "jsonl_docs"
+    ).option("path", src).mode("overwrite").save()
+    P.delete_from_jsonl_dir(src, [1])
+    P.merge_into_jsonl_dir(spark, df([(2, 50), (9, 7)]).repartition(1), src)
+    P.clone_jsonl_dir(src, dst)
+
+    def read(p):
+        return sorted(
+            (r["doc_id"], r["n_chars"])
+            for r in spark.read.format("jsonl_docs")
+            .option("path", p).load().collect()
+        )
+
+    expect = [(0, 5), (2, 50), (3, 5), (4, 5), (5, 5), (9, 7)]
+    assert read(dst) == expect  # grafted ledger applied exactly
+    assert not [
+        f
+        for f in _os.listdir(dst)
+        if f.endswith(".jsonl") and not f.startswith("_")
+    ], "clone copied data files"
+    with _pytest.raises(ValueError, match="already has a table"):
+        P.clone_jsonl_dir(src, dst)
+    with _pytest.raises(ValueError, match="compact the source"):
+        P.clone_jsonl_dir(dst, str(tmp_path / "dst2"))
+
+    # post-clone: append (exempt from copied entries — id 1 was
+    # deleted in SOURCE history, a fresh id 1 must survive), then a
+    # delete of a copied row
+    df([(1, 77)]).repartition(1).write.format("jsonl_docs").option(
+        "path", dst
+    ).mode("append").save()
+    P.delete_from_jsonl_dir(dst, [0])
+    assert read(dst) == [(1, 77), (2, 50), (3, 5), (4, 5), (5, 5), (9, 7)]
+    assert read(src) == expect  # branch never leaks into the source
+
+    # compaction materializes: base link dropped, every file local
+    P.compact_jsonl_dir(spark, dst, target_shards=1)
+    m = _json.load(open(_os.path.join(dst, "_MANIFEST")))
+    assert P.BASE_DIR_KEY not in m
+    n_src_files = len(_os.listdir(src))
+    P.vacuum_jsonl_dir(dst, keep_versions=1, stale_grace_s=0)
+    assert len(_os.listdir(src)) == n_src_files  # source intact
+    assert read(dst) == [(1, 77), (2, 50), (3, 5), (4, 5), (5, 5), (9, 7)]
+    # and a second-generation clone works once materialized
+    P.clone_jsonl_dir(dst, str(tmp_path / "dst2"))
+    assert read(str(tmp_path / "dst2")) == read(dst)
