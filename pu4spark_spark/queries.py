@@ -76,72 +76,70 @@ if missing:
 #: committed full-registry self-check (``tools/check_oracle.py`` →
 #: ``CORRECTNESS_FULL_r0N``).
 DRIVER_FIRST = [
-    # Round-10 rotation.  Window = (A) the 2 new r10 queries (row-level
-    # DELETE/MERGE on the mini-lake; AQE runtime join-strategy
-    # demotion); (B) re-verification of every query whose code path
-    # changed this round (pydatasource reader/stream tombstone +
-    # latest-resolution overhaul; the persist→cached janitor rewiring
-    # of the three planner witnesses; prefix-filter core extraction;
-    # events_dense_hourly broadcast-hint side); (C) cheapest
-    # already-witnessed fillers.
-    # -- A: new in r10 -----------------------------------------------------
-    "fmt_pyds_delete_merge",           # tombstone DELETE + atomic MERGE
-    "streaming_pyds_delete_feed",      # stream × DELETE/MERGE contract
-    "orders_aqe_join_demotion",        # AQE SMJ→broadcast at runtime
-    "lineitem_bloom_filter_join",      # runtime Bloom row filter
-    "fmt_pyds_compaction_cluster",     # OPTIMIZE-with-clustering rewrite
-    "streaming_pyds_lake_sink",        # stream WRITER into the lake
-    "fmt_pyds_time_travel_ts",         # TIMESTAMP AS OF resolution
-    # -- B: re-verification of r10-touched code paths ----------------------
-    "fmt_pyds_jsonl_roundtrip",        # reader resolves highest snapshot
-    "fmt_pyds_jsonl_write_roundtrip",  # writer live-flip latest guard
-    "fmt_pyds_snapshot_read",          # pinned reads under new resolve
-    "fmt_pyds_snapshot_diff",          # two pinned reads + full-outer
-    "fmt_pyds_compaction",             # rewrite commit now claim-based
-    "fmt_pyds_stats_pruning",          # pruning atop tombstone-aware read
-    "fmt_pyds_commit_conflict",        # sentinel-matched conflict detect
-    "fmt_pyds_commit_retry",           # retry loop over tightened match
-    "streaming_pyds_docs",             # listing-offset stream twin
-    "streaming_pyds_snapshot",         # version stream, ledger-aware walk
-    "streaming_pyds_compaction_skip",  # rewrite skip + tombstone union
-    "skew_join_aqe_revenue",           # persist → cached janitor
-    "events_aqe_coalesce_hourly",      # persist → cached janitor
-    "orders_cbo_join_reorder",         # persist → cached janitor
-    "ann_ranking_eval",                # cached frame now released
-    "events_dense_hourly",             # broadcast hint on build side
-    "dedup_prefix_filter_join",        # core extracted for prop tests
-    "dedup_minhash_lsh",               # band core under new prop tests
-    "dedup_minhash_capped",            # capped recall accounting tested
-    "dedup_clusters_incremental",      # artifact pre-built by bench now
-    "dedup_band_artifact_probe",       # artifact pre-built by bench now
-    "ann_ivf_partitioned_probe",       # artifact pre-built by bench now
-    "pu_sar_trace",                    # fallback-visibility doc change
-    # -- C: cheapest witnessed fillers (sf0.1 bench sec ascending) ---------
-    "dedup_exact_docs",                # 0.157
-    "embedding_quantize_int8",         # 0.178
-    "curation_shard_pack",             # 0.200
-    "embedding_label_centroids",       # 0.229
-    "customers_without_orders",        # 0.253
-    "text_corpus_stats",               # 0.253
-    "range_click_purchases",           # 0.44
-    "text_heavy_hitters",              # 0.41
-    "monthly_revenue",                 # 0.52
-    "text_commonness",                 # 0.57
-    "dedup_embedding_cosine",          # 0.67
-    "q14_promo_revenue",               # 0.71
-    "top_customers_per_nation",        # 0.77
-    "customers_with_urgent_orders",    # 0.77
-    "asof_next_purchase",              # 0.80
-    "events_hourly",                   # 0.81
-    "grouping_sets_orders",            # 0.93
-    "ann_lsh_bucketed",                # 0.94
-    "orders_zorder_layout",            # 1.04
-    "salted_segment_revenue",          # manual twin of the AQE witness
-    "audit_quality_constraints",       # one-pass Deequ-style suite
-    "streaming_user_totals_rocksdb",   # RocksDB state-store witness
-    "curation_k_anonymity",            # residual-cell suppression
-    "fmt_file_metadata_audit",         # O(files) binaryFile audit
-    "dedup_clusters_star",             # large/small-star CC ≡ min-label
+    # Round-12 rotation (tools/rotation.py).  Window = (A) the 11 r11
+    # lake queries never witnessed by any driver window (stale r10
+    # rotation — VERDICT r11 "What's missing #1"); (B) re-verification
+    # of every other mini-lake query: this round splits the 5,731-line
+    # pydatasource.py into sources/lake/ and fixes the five ADVICE
+    # findings (CDF restore guard, empty-DELETE CDC, batch
+    # read_change_feed rejection, legacy compaction fallback,
+    # paren-aware sidecar DDL), so every fmt_pyds_*/streaming_pyds_*
+    # path changed; (C) the four bench-watchlist queries under
+    # adjudication; (D) cheapest already-witnessed fillers.
+    # -- A: the 11 never-driver-witnessed r11 queries ----------------------
+    "fmt_pyds_constraints",
+    "fmt_pyds_schema_evolution",
+    "fmt_pyds_sql_surface",
+    "fmt_pyds_partitioned_scan",
+    "fmt_pyds_restore",
+    "fmt_pyds_clone",
+    "fmt_pyds_merge_clauses",
+    "fmt_pyds_describe_history",
+    "curation_lake_release",
+    "fmt_pyds_cdf_read",
+    "streaming_pyds_cdf_feed",
+    # -- B: re-verification of the lake refactor + ADVICE fixes ------------
+    "fmt_pyds_jsonl_roundtrip",
+    "fmt_pyds_jsonl_write_roundtrip",
+    "fmt_pyds_snapshot_read",
+    "fmt_pyds_snapshot_diff",
+    "fmt_pyds_compaction",
+    "fmt_pyds_compaction_cluster",
+    "fmt_pyds_stats_pruning",
+    "fmt_pyds_commit_conflict",
+    "fmt_pyds_commit_retry",
+    "fmt_pyds_delete_merge",
+    "fmt_pyds_time_travel_ts",
+    "streaming_pyds_docs",
+    "streaming_pyds_snapshot",
+    "streaming_pyds_compaction_skip",
+    "streaming_pyds_delete_feed",
+    "streaming_pyds_lake_sink",
+    # -- C: bench-watchlist re-witnesses (adjudication this round) ---------
+    "dedup_incremental",
+    "pipeline_docs_clean",
+    "dedup_clusters_incremental",
+    "grouping_sets_orders",
+    # -- D: cheapest witnessed fillers (sf0.1 bench sec ascending) ---------
+    "pu_label_index",                  # 0.091
+    "pu_relabel_keep",                 # 0.101
+    "sql_parts_by_brand",              # 0.117
+    "pu_binarize_gradual",             # 0.122
+    "mm_pack_stats",                   # 0.123
+    "pu_binarize_traditional",         # 0.134
+    "text_length_histogram",           # 0.137
+    "customer_running_spend",          # 0.171
+    "pu_iteration_stats",              # 0.171
+    "curation_epoch_shuffle",          # 0.172
+    "curation_domain_mix",             # 0.173
+    "text_corpus_stats",               # 0.181
+    "curation_stratified_sample",      # 0.189
+    "text_regex_tokens",               # 0.191
+    "dedup_exact_docs",                # 0.195
+    "q6_forecast_revenue",             # 0.203
+    "embedding_quantize_int8",         # 0.209
+    "text_token_stats",                # 0.216
+    "order_scalar_functions",          # 0.225
 ]
 
 
