@@ -43,6 +43,26 @@ DOCS_DDL = "doc_id bigint, text string, lang string, source string, n_chars bigi
 N_SHARDS = 4
 
 
+def _json_cell(v):
+    """``json.dumps(default=...)`` hook for cell types the stdlib
+    encoder lacks, in the form Spark's JSON parser reads back EXACTLY:
+    Decimal as a quoted string (Jackson parses quoted decimals at full
+    precision — a float round-trip would shear >15 digits), datetime /
+    date as ISO strings, binary as base64 (Spark's BinaryType JSON
+    form)."""
+    import base64
+    import datetime
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return base64.b64encode(bytes(v)).decode()
+    raise TypeError(f"unserializable lake cell type {type(v).__name__}")
+
+
 class JsonlDocsDataSource(DataSource):
     """``format("jsonl_docs")``: directory of *.json / *.jsonl shards."""
 
@@ -64,6 +84,20 @@ class JsonlDocsDataSource(DataSource):
         return ddl
 
     def reader(self, schema) -> "JsonlDocsReader":
+        if self.options.get("read_change_feed", "").lower() == "true":
+            # Delta serves batch readChangeFeed; this source's batch
+            # twin is table_changes_jsonl_dir() (a DataFrame builder —
+            # CDF pre-image derivation needs joins a DataSourceReader
+            # partition cannot express).  Refuse loudly rather than
+            # return a plain reader whose row tuples would be two
+            # fields short of the CDF schema declared above.
+            raise ValueError(
+                "read_change_feed is not supported for BATCH reads of "
+                "format('jsonl_docs'); use "
+                "pu4spark_spark.sources.table_changes_jsonl_dir(spark, "
+                "path, starting_version=...) for the batch change feed, "
+                "or readStream for the streaming feed"
+            )
         return JsonlDocsReader(self.options)
 
     def streamReader(self, schema) -> "DataSourceStreamReader":
@@ -248,7 +282,7 @@ class JsonlDocsWriter(DataSourceWriter):
                 s.parts = parts
 
             def add(s, d: dict) -> None:
-                s.fh.write(_json.dumps(d) + "\n")
+                s.fh.write(_json.dumps(d, default=_json_cell) + "\n")
                 s.n += 1
                 # per-shard doc_id min/max ride the commit message —
                 # the zonemap the reader's filter pushdown prunes with
@@ -775,7 +809,9 @@ class JsonlDocsReader(DataSourceReader):
         self._part_in: dict[str, set] = {}
         #: the pinned commit's column order (schema evolution: resolved
         #: once at plan time, same as the source's schema() call)
-        self.fields = _fields_of_ddl(_effective_schema_ddl(options))
+        _ddl = _effective_schema_ddl(options)
+        self.fields = _fields_of_ddl(_ddl)
+        self.convs = _converters_of_ddl(_ddl)
 
     def pushFilters(self, filters):
         """Filter PUSHDOWN (Spark 4.1 Python DataSource API), two
@@ -980,7 +1016,7 @@ class JsonlDocsReader(DataSourceReader):
         # partition in that case, which must scan nothing.
         if partition is None:
             return
-        yield from _iter_jsonl(partition.value, self.fields)
+        yield from _iter_jsonl(partition.value, self.fields, self.convs)
 
 
 class ManifestCommitConflict(RuntimeError):
@@ -1170,7 +1206,7 @@ def _load_delete_keys(path: str) -> frozenset:
     return frozenset(keys)
 
 
-def _iter_jsonl(value, fields: tuple[str, ...] | None = None):
+def _iter_jsonl(value, fields: tuple[str, ...] | None = None, convs=None):
     """Executor-side shard scan shared by every reader: ``value`` is a
     shard path, or ``(path, inline_ids, delete_file_paths)`` when
     DELETE/MERGE commits apply to the shard — tombstoned rows are
@@ -1198,7 +1234,13 @@ def _iter_jsonl(value, fields: tuple[str, ...] | None = None):
                 continue
             # missing keys read as NULL — JSONL's natural null-extension
             # is what makes add-column schema evolution rewrite-free
-            yield tuple(r.get(k) for k in flds)
+            if convs is None:
+                yield tuple(r.get(k) for k in flds)
+            else:
+                yield tuple(
+                    c(r.get(k)) if c else r.get(k)
+                    for k, c in zip(flds, convs)
+                )
 
 
 class JsonlDocsStreamReader(DataSourceStreamReader):
@@ -1321,23 +1363,80 @@ def _manifest_at(path: str, version: int) -> dict:
 SCHEMA_KEY = "_schema"
 
 
-def _fields_of_ddl(ddl: str) -> tuple[str, ...]:
-    """Column names of a DDL string, in order (paren-aware split, so
-    ``decimal(10,2)`` column types don't shear)."""
-    names = []
+def _typed_fields_of_ddl(ddl: str) -> tuple[tuple[str, str], ...]:
+    """``(name, type)`` pairs of a DDL string, in order (paren- AND
+    angle-bracket-aware split, so ``decimal(10,2)`` and
+    ``map<string,int>`` column types don't shear)."""
+    pairs = []
     depth = 0
     start = 0
     for i, ch in enumerate(ddl + ","):
-        if ch == "(":
+        if ch in "(<":
             depth += 1
-        elif ch == ")":
+        elif ch in ")>":
             depth -= 1
         elif ch == "," and depth == 0:
             part = ddl[start:i].strip()
             if part:
-                names.append(part.split()[0])
+                name, _, typ = part.partition(" ")
+                pairs.append((name, typ.strip()))
             start = i + 1
-    return tuple(names)
+    return tuple(pairs)
+
+
+def _fields_of_ddl(ddl: str) -> tuple[str, ...]:
+    """Column names of a DDL string, in order (paren-aware split, so
+    ``decimal(10,2)`` column types don't shear)."""
+    return tuple(name for name, _ in _typed_fields_of_ddl(ddl))
+
+
+def _cell_converter(ddl_type: str):
+    """Reader-side converter for one DDL type, or ``None`` for types
+    ``json.loads`` already yields in the Python object form PySpark's
+    Arrow conversion expects.  Decimal / timestamp / date / binary
+    need help: the JSONL form is a quoted string (written by
+    :func:`_json_cell`) and Spark's conversion asserts the typed
+    Python object (``decimal.Decimal`` etc.), not a str."""
+    t = ddl_type.strip().lower()
+    if t.startswith("decimal") or t.startswith("numeric"):
+        import decimal
+
+        return lambda v: None if v is None else decimal.Decimal(str(v))
+    if t.startswith("timestamp"):
+        import datetime
+
+        return lambda v: (
+            v
+            if v is None or isinstance(v, datetime.datetime)
+            else datetime.datetime.fromisoformat(v)
+        )
+    if t == "date":
+        import datetime
+
+        return lambda v: (
+            v
+            if v is None or not isinstance(v, str)
+            else datetime.date.fromisoformat(v)
+        )
+    if t == "binary":
+        import base64
+
+        return lambda v: (
+            None
+            if v is None
+            else base64.b64decode(v) if isinstance(v, str) else bytes(v)
+        )
+    return None
+
+
+def _converters_of_ddl(ddl: str):
+    """Per-field converter tuple aligned with :func:`_fields_of_ddl`
+    order; all-None collapses to ``None`` (the fast path — zero
+    per-cell overhead for ordinary string/bigint tables)."""
+    convs = tuple(
+        _cell_converter(t) for _, t in _typed_fields_of_ddl(ddl)
+    )
+    return convs if any(convs) else None
 
 
 def _effective_schema_ddl(options) -> str:
@@ -1671,7 +1770,9 @@ class JsonlDocsVersionStreamReader(DataSourceStreamReader):
         #: commits with a DIFFERENT schema that this one does not
         #: extend fail the stream loudly in partitions() — Delta's
         #: restart-on-schema-change contract
-        self.fields = _fields_of_ddl(_effective_schema_ddl(options))
+        _ddl = _effective_schema_ddl(options)
+        self.fields = _fields_of_ddl(_ddl)
+        self.convs = _converters_of_ddl(_ddl)
 
     def initialOffset(self) -> dict:
         return {"version": max(0, self.starting_version - 1)}
@@ -1851,7 +1952,7 @@ class JsonlDocsVersionStreamReader(DataSourceStreamReader):
     def read(self, partition):
         if partition is None:
             return
-        yield from _iter_jsonl(partition.value, self.fields)
+        yield from _iter_jsonl(partition.value, self.fields, self.convs)
 
     def commit(self, end: dict) -> None:
         pass
@@ -1896,6 +1997,7 @@ class JsonlDocsChangeFeedStreamReader(DataSourceStreamReader):
             {"path": path}
         )  # table columns only — the CDF tags are appended at read
         self.fields = _fields_of_ddl(base_ddl)
+        self.convs = _converters_of_ddl(base_ddl)
 
     def initialOffset(self) -> dict:
         return {"version": max(0, self.starting_version - 1)}
@@ -2036,13 +2138,19 @@ class JsonlDocsChangeFeedStreamReader(DataSourceStreamReader):
                     if not line.strip():
                         continue
                     d = json.loads(line)
-                    yield tuple(d.get(c) for c in self.fields) + (
-                        d.get("_change_type"),
-                        v,
-                    )
+                    if self.convs is None:
+                        yield tuple(d.get(c) for c in self.fields) + (
+                            d.get("_change_type"),
+                            v,
+                        )
+                    else:
+                        yield tuple(
+                            c(d.get(k)) if c else d.get(k)
+                            for k, c in zip(self.fields, self.convs)
+                        ) + (d.get("_change_type"), v)
             return
         # snap / ins: plain rows typed as inserts of their commit
-        for row in _iter_jsonl(value, self.fields):
+        for row in _iter_jsonl(value, self.fields, self.convs):
             yield tuple(row) + ("insert", v)
 
     def commit(self, end: dict) -> None:
@@ -2405,12 +2513,16 @@ def compact_jsonl_dir(
     # rows silently dropped by a rewrite that never saw them yet
     # claimed a LATER version.
     base = _latest_manifest_version(path)
-    before = (
-        spark.read.format("jsonl_docs")
-        .option("path", path)
-        .option("version", base)
-        .load()
-    )
+    before = spark.read.format("jsonl_docs").option("path", path)
+    if base > 0:
+        before = before.option("version", base)
+    # base == 0 means a manifest-less legacy directory: there is no
+    # _MANIFEST.v0 snapshot to pin, so serve the listing fallback
+    # unpinned (its content is the directory's files) and claim v1 —
+    # the path that first promotes a plain JSONL directory into the
+    # manifest protocol.  Pinning option("version", 0) here would
+    # raise "no snapshot _MANIFEST.v0" and regress legacy compaction.
+    before = before.load()
     # stage through the custom writer into a sibling dir, then move the
     # compacted shards in and commit a manifest naming only them — the
     # writer's append mode would UNION with the old manifest, which is
@@ -2918,6 +3030,32 @@ def describe_history_jsonl_dir(
     )
 
 
+#: broadcast-hint gate for the CDF derivation joins — aligned with
+#: Spark's default ``autoBroadcastJoinThreshold`` territory (10 MB
+#: default, commonly raised; 32 MB of raw JSONL decodes well under
+#: executor broadcast budgets).  Past this, AQE decides from runtime
+#: stats instead of a hard-coded hint.
+CDF_BROADCAST_MAX_BYTES = 32 * 1024 * 1024
+
+
+def _files_bytes_under(
+    path: str, manifest, files, limit: int
+) -> bool:
+    """True iff the commit files' total on-disk size is under
+    ``limit`` — the driver-side, job-free size signal that gates CDF
+    broadcast hints.  Missing files (vacuumed between listing and
+    stat) count as over-limit: fail safe toward the shuffle join."""
+    total = 0
+    for f in files:
+        try:
+            total += os.path.getsize(_shard_path(path, manifest, f))
+        except OSError:
+            return False
+        if total >= limit:
+            return False
+    return True
+
+
 def _read_sidecar_df(
     spark: SparkSession, paths: list[str], ddl: str
 ) -> DataFrame:
@@ -2932,10 +3070,17 @@ def _read_sidecar_df(
     uses) and each task parses its file Arrow-batched via
     ``mapInPandas``; executors open the paths directly, the same
     shared-filesystem assumption the whole mini-lake makes."""
-    fields = _fields_of_ddl(ddl)
-    types = {
-        f.split()[0]: f.split(maxsplit=1)[1]
-        for f in ddl.split(", ")
+    # paren-aware name→type map — a naive ``ddl.split(', ')`` shears
+    # parameterized types like ``decimal(10,2)`` and KeyErrors below
+    typed = _typed_fields_of_ddl(ddl)
+    fields = tuple(name for name, _ in typed)
+    types = dict(typed)
+    # typed-cell converters (decimal/timestamp/date/binary): the JSONL
+    # form is a quoted string; Arrow needs the Python object form
+    convs = {
+        name: c
+        for name, t in typed
+        if (c := _cell_converter(t)) is not None
     }
     paths_df = spark.createDataFrame(
         [(p,) for p in paths], "p string"
@@ -2955,6 +3100,9 @@ def _read_sidecar_df(
                         col = rows[c]
                         if types[c] == "bigint":
                             col = col.astype("Int64")
+                        elif c in convs:
+                            conv = convs[c]
+                            col = col.map(conv, na_action="ignore")
                         out[c] = col
                     else:
                         out[c] = pd.Series(
@@ -3042,6 +3190,33 @@ def table_changes_jsonl_dir(
         if _rewrite_marker_valid(path, v):
             continue  # compaction/OPTIMIZE: rewrites rows, changes none
         m_v = _manifest_at(path, v)
+        # RESTORE guard (mirrors both stream readers): a restore can
+        # un-delete rows purely in metadata (ledger shrinks, file set
+        # unchanged — invisible to the added/keys derivation below) or
+        # roll back an append (re-added shards would replay as
+        # duplicate inserts with no retractions).  The batch feed is
+        # documented as EXACT, so refuse rather than silently emit a
+        # wrong feed — consumers restart their sync from a fresh
+        # snapshot, Delta's own contract for non-additive history.
+        if m_v.get(OP_KEY) == "restore":
+            raise ValueError(
+                f"table_changes: version {v} is a RESTORE commit; the "
+                "change feed cannot represent a history rollback "
+                "exactly — re-sync from a snapshot read at or after "
+                f"version {v} and resume the feed from there"
+            )
+        # same hazard without the op stamp: any commit whose tombstone
+        # ledger SHRANK versus its parent (and which is not a rewrite,
+        # handled above) un-deleted rows in metadata
+        if len(_tombstones_of(m_v)["entries"]) < len(
+            _tombstones_of(_manifest_at(path, v - 1))["entries"]
+        ):
+            raise ValueError(
+                f"table_changes: version {v} shrank the tombstone "
+                "ledger without a rewrite marker (metadata un-delete); "
+                "the exact change feed cannot represent it — re-sync "
+                "from a snapshot read"
+            )
         ddl = m_v.get(SCHEMA_KEY, DOCS_DDL)
         # commit-time CDC files (DML run with cdf=True) are EXACT and
         # cheaper than derivation — no snapshot join; serve them
@@ -3082,44 +3257,56 @@ def table_changes_jsonl_dir(
 
         if key_files:
             keys = _read_key_files_df(spark, path, key_files, m_v)
+            # SIZE-GATED broadcast: a commit's key set is usually
+            # batch-sized, but a partition-wide GDPR DELETE at 100 TB
+            # carries 10⁷–10⁹ keys — an unconditional broadcast hint
+            # there is a driver/executor OOM.  Gate the hint on the
+            # key files' on-disk byte size (the same signal Spark's
+            # autoBroadcastJoinThreshold uses, known here without a
+            # job); past the gate, plain equi-joins let AQE pick the
+            # strategy from runtime stats.  The added-file set gates
+            # the pre/post classification hints identically.
+            keys_small = _files_bytes_under(
+                path, m_v, key_files, CDF_BROADCAST_MAX_BYTES
+            )
+            added_small = _files_bytes_under(
+                path, m_v, added_files, CDF_BROADCAST_MAX_BYTES
+            )
+            maybe_keys = F.broadcast(keys) if keys_small else keys
             pre = (
                 spark.read.format("jsonl_docs")
                 .option("path", path)
                 .option("version", v - 1)
                 .load()
-                .join(F.broadcast(keys), "doc_id", "inner")
+                .join(maybe_keys, "doc_id", "inner")
             )
             pre_keys = pre.select("doc_id")
             post_keys = added.select("doc_id")
+            if added_small:
+                post_keys = F.broadcast(post_keys)
+            if keys_small:
+                pre_keys = F.broadcast(pre_keys)
             pieces.append(
                 tagged(
-                    pre.join(
-                        F.broadcast(post_keys), "doc_id", "left_semi"
-                    ),
+                    pre.join(post_keys, "doc_id", "left_semi"),
                     "update_preimage",
                 )
             )
             pieces.append(
                 tagged(
-                    pre.join(
-                        F.broadcast(post_keys), "doc_id", "left_anti"
-                    ),
+                    pre.join(post_keys, "doc_id", "left_anti"),
                     "delete",
                 )
             )
             pieces.append(
                 tagged(
-                    added.join(
-                        F.broadcast(pre_keys), "doc_id", "left_semi"
-                    ),
+                    added.join(pre_keys, "doc_id", "left_semi"),
                     "update_postimage",
                 )
             )
             pieces.append(
                 tagged(
-                    added.join(
-                        F.broadcast(pre_keys), "doc_id", "left_anti"
-                    ),
+                    added.join(pre_keys, "doc_id", "left_anti"),
                     "insert",
                 )
             )
@@ -3849,7 +4036,23 @@ def delete_from_jsonl_dir(
             .join(F.broadcast(keys_df.distinct()), "doc_id", "inner")
             .withColumn("_change_type", F.lit("delete"))
         )
-        cdc_files, _ = _stage_sidecar_shards(pre, path, token, "cdc")
+        cdc_files, n_cdc = _stage_sidecar_shards(pre, path, token, "cdc")
+        if n_cdc == 0:
+            # the keys matched ZERO live rows: a ledger-growing commit
+            # with no CDC files would later make the change-feed
+            # stream raise "carries no CDC files" for a commit the
+            # user did run with cdf=True — and the tombstones are dead
+            # weight anyway (earlier shards are immutable, so keys
+            # that kill nothing at base can never kill anything).
+            # Drop the staged key files and commit a pure-metadata
+            # delete: CDF readers classify it metadata-only, exactly
+            # right for zero changed rows.
+            for kf in key_files:
+                try:
+                    os.remove(os.path.join(path, kf))
+                except OSError:
+                    pass
+            key_files = []
 
     def _drop_key_files() -> None:
         for kf in key_files + cdc_files:

@@ -3556,3 +3556,213 @@ def test_shallow_clone_contracts(spark, tmp_path):
     # and a second-generation clone works once materialized
     P.clone_jsonl_dir(dst, str(tmp_path / "dst2"))
     assert read(str(tmp_path / "dst2")) == read(dst)
+
+
+def test_batch_read_change_feed_rejected(spark, tmp_path):
+    """Batch reads with option('read_change_feed') must refuse LOUDLY
+    (the plain reader's tuples would be two fields short of the CDF
+    schema and die with an opaque arity error at execution); the
+    error directs users to the batch twin table_changes_jsonl_dir."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from pu4spark_spark.sources import pydatasource as P
+
+    P.register_pyds(spark)
+    out = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", "en", "s", 1)], P.DOCS_DDL
+    ).repartition(1).write.format("jsonl_docs").option(
+        "path", out
+    ).mode("overwrite").save()
+    with _pytest.raises(AnalysisException, match="table_changes_jsonl_dir"):
+        spark.read.format("jsonl_docs").option("path", out).option(
+            "read_change_feed", "true"
+        ).load().collect()
+
+
+def test_compact_legacy_manifestless_dir(spark, tmp_path):
+    """Compaction of a plain JSONL directory (no _MANIFEST — the
+    listing-fallback form) must still work: unpinned read, claim v1.
+    Regression pin for the base=0 pinned-read hole (option('version',
+    0) has no _MANIFEST.v0 snapshot to serve)."""
+    import json as _json
+    import os as _os
+
+    from pu4spark_spark.sources import pydatasource as P
+
+    P.register_pyds(spark)
+    out = tmp_path / "legacy"
+    out.mkdir()
+    for i in range(3):
+        (out / f"part-{i}.jsonl").write_text(
+            "".join(
+                _json.dumps(
+                    {
+                        "doc_id": 10 * i + j,
+                        "text": f"d{i}{j}",
+                        "lang": "en",
+                        "source": "s",
+                        "n_chars": 4,
+                    }
+                )
+                + "\n"
+                for j in range(2)
+            )
+        )
+    v = P.compact_jsonl_dir(spark, str(out), target_shards=1)
+    assert v == 1
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.format("jsonl_docs")
+        .option("path", str(out))
+        .load()
+        .collect()
+    )
+    assert got == [0, 1, 10, 11, 20, 21]
+    m = _json.load(open(_os.path.join(str(out), "_MANIFEST")))
+    assert sum(1 for k in m if not k.startswith("_")) == 1
+
+
+def test_sidecar_ddl_paren_aware(spark, tmp_path):
+    """Parameterized column types (decimal(10,2)) in the table schema
+    must survive the sidecar readers: the old ``ddl.split(', ')`` map
+    sheared the type and KeyError'd every CDF/key-file read of such
+    tables."""
+    from pu4spark_spark.sources import pydatasource as P
+
+    assert P._typed_fields_of_ddl(
+        "doc_id bigint, score decimal(10,2), m map<string,int>"
+    ) == (
+        ("doc_id", "bigint"),
+        ("score", "decimal(10,2)"),
+        ("m", "map<string,int>"),
+    )
+
+    P.register_pyds(spark)
+    out = str(tmp_path / "dec")
+    DDL = P.DOCS_DDL + ", score decimal(10,2)"
+    spark.createDataFrame(
+        [(1, "a", "en", "s", 1, "3.50"), (2, "b", "en", "s", 1, "9.25")],
+        P.DOCS_DDL + ", score string",
+    ).withColumn("score", F.col("score").cast("decimal(10,2)")).repartition(
+        1
+    ).write.format("jsonl_docs").option("path", out).mode(
+        "overwrite"
+    ).save()
+    P.evolve_jsonl_schema(out, DDL)  # record the decimal shape
+    v = P.delete_from_jsonl_dir(out, [1], spark=spark, cdf=True)
+    feed = P.table_changes_jsonl_dir(spark, out, v - 1).collect()
+    assert [
+        (r["doc_id"], r["_change_type"], str(r["score"])) for r in feed
+    ] == [(1, "delete", "3.50")]
+
+
+def test_cdf_restore_guard(spark, tmp_path):
+    """table_changes over a range containing a RESTORE commit must
+    raise (mirroring both stream readers) instead of silently omitting
+    the un-deleted rows / replaying rolled-back appends as duplicate
+    inserts; ranges that stop BEFORE the restore still serve."""
+    import pytest as _pytest
+
+    from pu4spark_spark.sources import pydatasource as P
+
+    P.register_pyds(spark)
+    out = str(tmp_path / "rst")
+    spark.createDataFrame(
+        [(i, f"d{i}", "en", "s", 5) for i in range(4)], P.DOCS_DDL
+    ).repartition(1).write.format("jsonl_docs").option(
+        "path", out
+    ).mode("overwrite").save()  # v1
+    P.delete_from_jsonl_dir(out, [0, 1])  # v2
+    P.restore_jsonl_dir(out, 1)  # v3: metadata un-delete
+    # pre-restore range still exact
+    pre = P.table_changes_jsonl_dir(spark, out, 1, 2).collect()
+    assert sorted(r["doc_id"] for r in pre) == [0, 1]
+    with _pytest.raises(ValueError, match="RESTORE"):
+        P.table_changes_jsonl_dir(spark, out, 1, 3)
+    with _pytest.raises(ValueError, match="RESTORE"):
+        P.table_changes_jsonl_dir(spark, out, 2)
+
+
+def test_delete_cdf_zero_match_is_metadata_only(spark, tmp_path):
+    """DELETE with cdf=True whose keys match zero live rows must not
+    grow the tombstone ledger (a ledger entry with no CDC files makes
+    the change-feed stream raise for a commit the user DID run with
+    cdf=True); the commit lands as pure metadata and the batch feed
+    classifies it as changeless."""
+    from pu4spark_spark.sources import pydatasource as P
+
+    P.register_pyds(spark)
+    out = str(tmp_path / "zm")
+    spark.createDataFrame(
+        [(1, "a", "en", "s", 1)], P.DOCS_DDL
+    ).repartition(1).write.format("jsonl_docs").option(
+        "path", out
+    ).mode("overwrite").save()  # v1
+    v = P.delete_from_jsonl_dir(out, [999], spark=spark, cdf=True)
+    assert v == 2  # the commit still lands (OCC-visible version)
+    m = P._manifest_at(out, v)
+    assert P.TOMBSTONE_KEY not in m  # no ledger growth
+    assert not m.get(P.CDC_KEY)  # and no orphan CDC map
+    # batch feed: changeless commit, not an error
+    assert P.table_changes_jsonl_dir(spark, out, 1).count() == 0
+    # a MATCHING cdf delete on the same table still produces its feed
+    v2 = P.delete_from_jsonl_dir(out, [1], spark=spark, cdf=True)
+    feed = P.table_changes_jsonl_dir(spark, out, v, v2).collect()
+    assert [(r["doc_id"], r["_change_type"]) for r in feed] == [
+        (1, "delete")
+    ]
+
+
+def test_cdf_preimage_broadcast_size_gated(spark, tmp_path, monkeypatch):
+    """The CDF derivation's pre-image join must NOT carry an
+    unconditional broadcast hint: a partition-wide GDPR delete's key
+    set (10^7+ keys at 100 TB) would OOM the driver.  Pin: with the
+    byte gate forced to 0 the optimized plan carries no broadcast
+    hint (AQE decides from runtime stats) and the feed is value-
+    identical to the hinted plan."""
+    from pu4spark_spark.sources import pydatasource as P
+
+    P.register_pyds(spark)
+    out = str(tmp_path / "bg")
+    spark.createDataFrame(
+        [(i, f"d{i}", "en", "s", 5) for i in range(8)], P.DOCS_DDL
+    ).repartition(1).write.format("jsonl_docs").option(
+        "path", out
+    ).mode("overwrite").save()  # v1
+    # v2: MERGE (update 0, delete via tombstone, insert 9) — the
+    # commit carries BOTH key files and added files, so every branch
+    # of the derivation's hint gating is exercised
+    P.merge_into_jsonl_dir(
+        spark,
+        spark.createDataFrame(
+            [(0, "u0", "en", "s", 50), (9, "n9", "en", "s", 7)],
+            P.DOCS_DDL,
+        ).repartition(1),
+        out,
+    )
+    expected = sorted(
+        (r["doc_id"], r["_change_type"])
+        for r in P.table_changes_jsonl_dir(spark, out, 1).collect()
+    )
+    assert expected == [
+        (0, "update_postimage"),
+        (0, "update_preimage"),
+        (9, "insert"),
+    ]
+    # small commit: the hint IS planted (cheap exact path preserved)
+    hinted = P.table_changes_jsonl_dir(spark, out, 1)
+    assert "UnresolvedHint" in hinted._jdf.queryExecution().logical().toString() or (
+        "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+    )
+    # force the gate shut: plan must drop the hint, values unchanged
+    monkeypatch.setattr(P, "CDF_BROADCAST_MAX_BYTES", 0)
+    gated = P.table_changes_jsonl_dir(spark, out, 1)
+    assert "ResolvedHint" not in gated._jdf.queryExecution().analyzed().toString()
+    assert (
+        sorted(
+            (r["doc_id"], r["_change_type"]) for r in gated.collect()
+        )
+        == expected
+    )
