@@ -1,0 +1,338 @@
+"""Batch CHANGE DATA FEED (Delta's ``table_changes``): exact
+serve from commit-time CDC files, else derivation from per-commit
+file diffs with size-gated broadcast joins.  Split from
+sources/pydatasource.py (r12)."""
+
+from __future__ import annotations
+
+import functools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+from pu4spark_spark.sources.tables import load_table
+from pu4spark_spark.sources.lake.protocol import (
+    CDC_KEY,
+    DOCS_DDL,
+    OP_KEY,
+    SCHEMA_KEY,
+    _cell_converter,
+    _fields_of_ddl,
+    _latest_manifest_version,
+    _manifest_at,
+    _manifest_files,
+    _rewrite_marker_valid,
+    _shard_path,
+    _tombstones_of,
+    _typed_fields_of_ddl,
+)
+from pu4spark_spark.sources.lake.source import (
+    register_pyds,
+)
+
+
+
+#: broadcast-hint gate for the CDF derivation joins — aligned with
+#: Spark's default ``autoBroadcastJoinThreshold`` territory (10 MB
+#: default, commonly raised; 32 MB of raw JSONL decodes well under
+#: executor broadcast budgets).  Past this, AQE decides from runtime
+#: stats instead of a hard-coded hint.
+CDF_BROADCAST_MAX_BYTES = 32 * 1024 * 1024
+
+
+def _files_bytes_under(
+    path: str, manifest, files, limit: int
+) -> bool:
+    """True iff the commit files' total on-disk size is under
+    ``limit`` — the driver-side, job-free size signal that gates CDF
+    broadcast hints.  Missing files (vacuumed between listing and
+    stat) count as over-limit: fail safe toward the shuffle join."""
+    total = 0
+    for f in files:
+        try:
+            total += os.path.getsize(_shard_path(path, manifest, f))
+        except OSError:
+            return False
+        if total >= limit:
+            return False
+    return True
+
+
+def _read_sidecar_df(
+    spark: SparkSession, paths: list[str], ddl: str
+) -> DataFrame:
+    """Distributed read of underscore-prefixed sidecar JSONL files
+    (``_delete-*`` key files, ``_cdc-*`` change files) with the given
+    DDL.  ``spark.read.json`` cannot serve this: Spark's file index
+    hard-filters underscore-prefixed paths as hidden even when named
+    explicitly — and the sidecars are '_'-prefixed BY DESIGN
+    (invisible to listing readers until manifest metadata references
+    them).  So the file list is parallelized (one file per task — the
+    same per-shard parallelism the scan-time tombstone application
+    uses) and each task parses its file Arrow-batched via
+    ``mapInPandas``; executors open the paths directly, the same
+    shared-filesystem assumption the whole mini-lake makes."""
+    # paren-aware name→type map — a naive ``ddl.split(', ')`` shears
+    # parameterized types like ``decimal(10,2)`` and KeyErrors below
+    typed = _typed_fields_of_ddl(ddl)
+    fields = tuple(name for name, _ in typed)
+    types = dict(typed)
+    # typed-cell converters (decimal/timestamp/date/binary): the JSONL
+    # form is a quoted string; Arrow needs the Python object form
+    convs = {
+        name: c
+        for name, t in typed
+        if (c := _cell_converter(t)) is not None
+    }
+    paths_df = spark.createDataFrame(
+        [(p,) for p in paths], "p string"
+    ).repartition(len(paths))
+
+    def _parse(batches):
+        import pandas as pd
+
+        for b in batches:
+            for p in b["p"]:
+                rows = pd.read_json(
+                    p, lines=True, dtype=False, convert_dates=False
+                )
+                out = {}
+                for c in fields:
+                    if len(rows) and c in rows.columns:
+                        col = rows[c]
+                        if types[c] == "bigint":
+                            col = col.astype("Int64")
+                        elif c in convs:
+                            conv = convs[c]
+                            col = col.map(conv, na_action="ignore")
+                        out[c] = col
+                    else:
+                        out[c] = pd.Series(
+                            [None] * len(rows),
+                            dtype="Int64"
+                            if types[c] == "bigint"
+                            else "object",
+                        )
+                yield pd.DataFrame(out)
+
+    return paths_df.mapInPandas(_parse, ddl)
+
+
+def _read_key_files_df(
+    spark: SparkSession, path: str, key_files: list[str], manifest=None
+) -> DataFrame:
+    """Tombstone key files as a distinct ``doc_id bigint`` DataFrame
+    (see :func:`_read_sidecar_df`).  Works uniformly for a MERGE's key
+    source too (its entry references its own staged data shards —
+    full rows, of which only doc_id is projected)."""
+    return _read_sidecar_df(
+        spark,
+        [_shard_path(path, manifest, f) for f in key_files],
+        "doc_id bigint",
+    ).distinct()
+
+
+def table_changes_jsonl_dir(
+    spark: SparkSession,
+    path: str,
+    starting_version: int,
+    ending_version: int | None = None,
+) -> DataFrame:
+    """Batch CHANGE DATA FEED — Delta's ``table_changes(tbl, a, b)``:
+    one DataFrame of every row-level change committed in
+    ``(starting_version, ending_version]``, each row tagged
+    ``_change_type`` ∈ {``insert``, ``update_preimage``,
+    ``update_postimage``, ``delete``} and ``_commit_version``.  The
+    version STREAM delivers post-state diffs; CDF is the batch twin a
+    downstream sync/audit job wants: it reconstructs pre-images too,
+    so a consumer can apply the feed transactionally or diff old vs
+    new values.
+
+    Derivation per data commit v (rewrite commits — valid ``.rewrite``
+    marker — are dataChange=false and contribute nothing):
+
+    - ``added(v)``   = shard files in manifest v but not v-1, read
+      directly as JSONL with the commit's effective schema (no
+      snapshot scan — the per-commit file set, exactly what
+      Delta/Iceberg CDF readers cost).
+    - ``keys(v)``    = the commit's tombstone-entry key files (a
+      DELETE's ``_delete-*`` shards; a MERGE's entry references its
+      own staged shards, whose rows ARE the source keys).
+    - ``pre(v)``     = rows live at v-1 whose doc_id ∈ keys(v) — the
+      pinned snapshot read joined to the key set (AQE broadcasts the
+      small side).
+    - classification: pre-row with a same-key row in added(v) →
+      ``update_preimage`` (its replacement → ``update_postimage``);
+      pre-row without → ``delete``; added row without a live pre-image
+      → ``insert`` (covers plain appends AND a merge's brand-new keys,
+      which the fast path tombstones but which had nothing to kill).
+
+    Scale: the feed is a union of per-commit file reads + one
+    broadcast-key join per DML commit — O(changed data), never
+    O(table).  Schema evolution inside the range null-extends via
+    ``unionByName(allowMissingColumns=True)``, same contract as the
+    version stream's fresh-subscriber shape."""
+    import json as _json
+
+    register_pyds(spark)
+    end = (
+        ending_version
+        if ending_version is not None
+        else _latest_manifest_version(path)
+    )
+    if starting_version > end:
+        raise ValueError(
+            f"table_changes: starting_version {starting_version} > "
+            f"ending_version {end}"
+        )
+    end_ddl = _manifest_at(path, end).get(SCHEMA_KEY, DOCS_DDL)
+    out_ddl = end_ddl + ", _change_type string, _commit_version bigint"
+    pieces: list[DataFrame] = []
+    for v in range(starting_version + 1, end + 1):
+        if _rewrite_marker_valid(path, v):
+            continue  # compaction/OPTIMIZE: rewrites rows, changes none
+        m_v = _manifest_at(path, v)
+        # RESTORE guard (mirrors both stream readers): a restore can
+        # un-delete rows purely in metadata (ledger shrinks, file set
+        # unchanged — invisible to the added/keys derivation below) or
+        # roll back an append (re-added shards would replay as
+        # duplicate inserts with no retractions).  The batch feed is
+        # documented as EXACT, so refuse rather than silently emit a
+        # wrong feed — consumers restart their sync from a fresh
+        # snapshot, Delta's own contract for non-additive history.
+        if m_v.get(OP_KEY) == "restore":
+            raise ValueError(
+                f"table_changes: version {v} is a RESTORE commit; the "
+                "change feed cannot represent a history rollback "
+                "exactly — re-sync from a snapshot read at or after "
+                f"version {v} and resume the feed from there"
+            )
+        # same hazard without the op stamp: any commit whose tombstone
+        # ledger SHRANK versus its parent (and which is not a rewrite,
+        # handled above) un-deleted rows in metadata
+        if len(_tombstones_of(m_v)["entries"]) < len(
+            _tombstones_of(_manifest_at(path, v - 1))["entries"]
+        ):
+            raise ValueError(
+                f"table_changes: version {v} shrank the tombstone "
+                "ledger without a rewrite marker (metadata un-delete); "
+                "the exact change feed cannot represent it — re-sync "
+                "from a snapshot read"
+            )
+        ddl = m_v.get(SCHEMA_KEY, DOCS_DDL)
+        # commit-time CDC files (DML run with cdf=True) are EXACT and
+        # cheaper than derivation — no snapshot join; serve them
+        cdc_own = m_v.get(CDC_KEY, {}).get(str(v), [])
+        if cdc_own:
+            pieces.append(
+                _read_sidecar_df(
+                    spark,
+                    [_shard_path(path, m_v, f) for f in cdc_own],
+                    ddl + ", _change_type string",
+                ).withColumn(
+                    "_commit_version", F.lit(v).cast("bigint")
+                )
+            )
+            continue
+        m_prev = _manifest_at(path, v - 1)
+        added_files = sorted(
+            set(_manifest_files(m_v)) - set(_manifest_files(m_prev))
+        )
+        key_files: list[str] = []
+        for e in _tombstones_of(m_v)["entries"]:
+            if e.get("v") == v:
+                key_files.extend(e.get("files", ()))
+        if not added_files and not key_files:
+            continue  # metadata-only commit (schema evolve, _txn, ...)
+        added = (
+            spark.read.schema(ddl).json(
+                [_shard_path(path, m_v, f) for f in added_files]
+            )
+            if added_files
+            else spark.createDataFrame([], ddl)
+        )
+
+        def tagged(df: DataFrame, change: str, v: int = v) -> DataFrame:
+            return df.withColumn(
+                "_change_type", F.lit(change)
+            ).withColumn("_commit_version", F.lit(v).cast("bigint"))
+
+        if key_files:
+            keys = _read_key_files_df(spark, path, key_files, m_v)
+            # SIZE-GATED broadcast: a commit's key set is usually
+            # batch-sized, but a partition-wide GDPR DELETE at 100 TB
+            # carries 10⁷–10⁹ keys — an unconditional broadcast hint
+            # there is a driver/executor OOM.  Gate the hint on the
+            # key files' on-disk byte size (the same signal Spark's
+            # autoBroadcastJoinThreshold uses, known here without a
+            # job); past the gate, plain equi-joins let AQE pick the
+            # strategy from runtime stats.  The added-file set gates
+            # the pre/post classification hints identically.
+            keys_small = _files_bytes_under(
+                path, m_v, key_files, CDF_BROADCAST_MAX_BYTES
+            )
+            added_small = _files_bytes_under(
+                path, m_v, added_files, CDF_BROADCAST_MAX_BYTES
+            )
+            maybe_keys = F.broadcast(keys) if keys_small else keys
+            pre = (
+                spark.read.format("jsonl_docs")
+                .option("path", path)
+                .option("version", v - 1)
+                .load()
+                .join(maybe_keys, "doc_id", "inner")
+            )
+            pre_keys = pre.select("doc_id")
+            post_keys = added.select("doc_id")
+            if added_small:
+                post_keys = F.broadcast(post_keys)
+            if keys_small:
+                pre_keys = F.broadcast(pre_keys)
+            pieces.append(
+                tagged(
+                    pre.join(post_keys, "doc_id", "left_semi"),
+                    "update_preimage",
+                )
+            )
+            pieces.append(
+                tagged(
+                    pre.join(post_keys, "doc_id", "left_anti"),
+                    "delete",
+                )
+            )
+            pieces.append(
+                tagged(
+                    added.join(pre_keys, "doc_id", "left_semi"),
+                    "update_postimage",
+                )
+            )
+            pieces.append(
+                tagged(
+                    added.join(pre_keys, "doc_id", "left_anti"),
+                    "insert",
+                )
+            )
+        else:
+            pieces.append(tagged(added, "insert"))
+    if not pieces:
+        return spark.createDataFrame([], out_ddl)
+    feed = pieces[0]
+    for p in pieces[1:]:
+        feed = feed.unionByName(p, allowMissingColumns=True)
+    # column order: table schema (the END shape) then the CDF tags
+    return feed.select(
+        *[F.col(c) for c in _fields_of_ddl(end_ddl)],
+        "_change_type",
+        "_commit_version",
+    )

@@ -1,0 +1,726 @@
+"""Row-level DML on the mini-lake: DELETE (delete-file
+tombstones), MERGE (fast upsert + conditional clause form), the
+distributed sidecar/data-shard staging they share, and commit-time
+CDC file recording.  Split from sources/pydatasource.py (r12)."""
+
+from __future__ import annotations
+
+import functools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+from pu4spark_spark.sources.tables import load_table
+from pu4spark_spark.sources.lake.protocol import (
+    CDC_KEY,
+    ManifestCommitConflict,
+    OP_KEY,
+    TOMBSTONE_KEY,
+    _effective_schema_ddl,
+    _fields_of_ddl,
+    _latest_manifest_version,
+    _manifest_at,
+    _manifest_files,
+    _tombstones_of,
+    _write_atomic,
+    _write_atomic_excl,
+)
+from pu4spark_spark.sources.lake.source import (
+    register_pyds,
+)
+
+
+
+def _stage_sidecar_shards(
+    df: DataFrame, path: str, token: str, prefix: str
+) -> tuple[list[str], int]:
+    """Write ``df`` as ``_{prefix}-{token}-*`` sidecar shards in the
+    table dir via a DISTRIBUTED job (the transactional writer into a
+    sibling stage dir, then renamed in) — the driver never
+    materializes a row, only file names + row counts.  The files are
+    invisible until manifest metadata references them: '_'-prefixed
+    (skipped by listing readers) and named by no committed manifest.
+    Returns ``(names, total_rows)``; empty task shards are dropped.
+    Used for DELETE key files (``_delete-``) and commit-time change-
+    data-feed files (``_cdc-``)."""
+    import json as _json
+    import shutil
+
+    register_pyds(df.sparkSession)
+    stage = path + f".{prefix}-stage-{token}"
+    (
+        df.write.format("jsonl_docs")
+        .option("path", stage)
+        .mode("overwrite")
+        .save()
+    )
+    with open(os.path.join(stage, "_MANIFEST")) as fh:
+        staged = {
+            f: r
+            for f, r in _json.load(fh).items()
+            if not f.startswith("_")
+        }
+    names: list[str] = []
+    n_rows = 0
+    for i, (f, rows) in enumerate(sorted(staged.items())):
+        if not rows:
+            continue  # empty task shard — nothing to reference
+        name = f"_{prefix}-{token}-{i:04d}.jsonl"
+        os.replace(os.path.join(stage, f), os.path.join(path, name))
+        names.append(name)
+        n_rows += rows
+    shutil.rmtree(stage, ignore_errors=True)
+    return names, n_rows
+
+
+def _stage_key_shards(
+    keys_df: DataFrame, path: str, token: str
+) -> tuple[list[str], int]:
+    """DELETE key files: ``keys_df``'s doc_id column staged as
+    ``_delete-{token}-*`` shards (see :func:`_stage_sidecar_shards`)."""
+    return _stage_sidecar_shards(
+        keys_df.select("doc_id"), path, token, "delete"
+    )
+
+
+def _with_cdc(manifest: dict, version: int, files: list[str]) -> None:
+    """Record ``files`` as commit ``version``'s CDC files in the
+    manifest being built (in place; no-op for an empty list)."""
+    if files:
+        cdc = dict(manifest.get(CDC_KEY, {}))
+        cdc[str(version)] = files
+        manifest[CDC_KEY] = cdc
+
+
+def delete_from_jsonl_dir(
+    path: str,
+    doc_ids,
+    base_version: int | None = None,
+    *,
+    spark: SparkSession | None = None,
+    cdf: bool = False,
+) -> int:
+    """Row-level DELETE on the mini-lake — the last table-format
+    primitive it lacked: commit a new manifest version whose shard list
+    is UNCHANGED (shards are immutable) plus a tombstone ledger entry
+    ``{"v": this_version, "ids": [doc_ids]}`` — sequence-number scoped:
+    it applies to every shard added by an EARLIER commit.  Every
+    reader — batch, time travel, streaming — applies tombstones at scan
+    time (:func:`_iter_jsonl`); snapshots BEFORE this version are
+    untouched (their manifests carry the old ledger); compaction
+    rewrites live rows only and so reclaims the space physically, after
+    which vacuum drops the old shards.
+
+    A delete commits through the same create-if-absent OCC gate as
+    every append, so a delete racing an append has exactly one winner
+    (``ManifestCommitConflict`` for the loser).  ``base_version`` pins
+    the snapshot this delete was planned against (None = latest).
+
+    Scale: the keys land in DELETE FILES (``_delete-*.jsonl``), not in
+    the manifest — the manifest entry carries only file names + a
+    count, so commit metadata is O(1) in the key count and every
+    subsequent commit re-serializes paths, never keys (Iceberg
+    equality-delete files / Delta deletion vectors).  ``doc_ids`` may
+    be a DataFrame, in which case the key shards are written by a
+    DISTRIBUTED job and the driver never materializes a single key —
+    the 100 TB daily-CDC shape; an iterable writes one driver-side key
+    file (the bounded metadata-scale path).  The manifest claim itself
+    stays a pure-metadata commit either way.  Returns the new
+    version.
+
+    ``cdf=True`` (requires ``spark``) additionally stages the deleted
+    rows' PRE-IMAGES as commit-time change-data-feed files
+    (``_cdc-*``, Delta's _change_data): one distributed join of the
+    base snapshot against the key set — the scan Delta also pays when
+    CDF is enabled on DELETE, turning the otherwise pure-metadata
+    commit into an O(matched data) one.  Downstream CDF readers
+    (:func:`table_changes_jsonl_dir`, the change-feed stream) then
+    serve this commit from its CDC files exactly."""
+    import json as _json
+    import uuid as _uuid
+
+    base = (
+        base_version
+        if base_version is not None
+        else _latest_manifest_version(path)
+    )
+    if base <= 0:
+        raise ValueError(
+            f"delete_from_jsonl_dir: no committed version under {path}"
+        )
+    if cdf and spark is None:
+        raise ValueError("delete_from_jsonl_dir: cdf=True requires spark")
+    version = base + 1
+    manifest = _manifest_at(path, base)
+    files = sorted(_manifest_files(manifest))
+    # stage the key set as delete file(s) in the table dir: '_'-prefixed
+    # (invisible to listing readers) and referenced by no manifest until
+    # the claim below lands — same invisibility discipline as staged
+    # data shards.
+    token = _uuid.uuid4().hex[:8]
+    key_files: list[str] = []
+    n_keys = 0
+    if isinstance(doc_ids, DataFrame):
+        key_files, n_keys = _stage_key_shards(doc_ids, path, token)
+    else:
+        ids = sorted({int(i) for i in doc_ids})
+        n_keys = len(ids)
+        if ids:
+            name = f"_delete-{token}.jsonl"
+            _write_atomic(
+                os.path.join(path, name),
+                "".join(
+                    _json.dumps({"doc_id": i}) + "\n" for i in ids
+                ),
+            )
+            key_files.append(name)
+
+    # cdf: stage the deleted rows' pre-images as this commit's CDC
+    # files — the pinned base read joined to the key set, tagged
+    cdc_files: list[str] = []
+    if cdf and key_files and files:
+        register_pyds(spark)
+        keys_df = (
+            doc_ids.select("doc_id")
+            if isinstance(doc_ids, DataFrame)
+            else spark.createDataFrame(
+                [(int(i),) for i in doc_ids], "doc_id bigint"
+            )
+        )
+        pre = (
+            spark.read.format("jsonl_docs")
+            .option("path", path)
+            .option("version", base)
+            .load()
+            .join(F.broadcast(keys_df.distinct()), "doc_id", "inner")
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        cdc_files, n_cdc = _stage_sidecar_shards(pre, path, token, "cdc")
+        if n_cdc == 0:
+            # the keys matched ZERO live rows: a ledger-growing commit
+            # with no CDC files would later make the change-feed
+            # stream raise "carries no CDC files" for a commit the
+            # user did run with cdf=True — and the tombstones are dead
+            # weight anyway (earlier shards are immutable, so keys
+            # that kill nothing at base can never kill anything).
+            # Drop the staged key files and commit a pure-metadata
+            # delete: CDF readers classify it metadata-only, exactly
+            # right for zero changed rows.
+            for kf in key_files:
+                try:
+                    os.remove(os.path.join(path, kf))
+                except OSError:
+                    pass
+            key_files = []
+
+    def _drop_key_files() -> None:
+        for kf in key_files + cdc_files:
+            try:
+                os.remove(os.path.join(path, kf))
+            except OSError:
+                pass
+
+    new_manifest = {f: manifest[f] for f in files}
+    # carry reserved keys other than the ledger (e.g. the streaming
+    # sink's _txn idempotence marker) through the metadata commit
+    for k, v in manifest.items():
+        if k.startswith("_") and k != TOMBSTONE_KEY:
+            new_manifest[k] = v
+    _with_cdc(new_manifest, version, cdc_files)
+    new_manifest[OP_KEY] = "delete"
+    tombs = _tombstones_of(manifest)
+    if key_files and files:
+        tombs = {
+            "entries": [
+                *tombs["entries"],
+                {"v": version, "files": key_files, "n": n_keys},
+            ],
+            "added": dict(tombs.get("added", {})),
+        }
+    elif key_files:
+        # empty table: the keys can tombstone nothing — reclaim now
+        _drop_key_files()
+        key_files = []
+    if tombs["entries"]:
+        new_manifest[TOMBSTONE_KEY] = tombs
+    import time as _time
+
+    new_manifest["_ts"] = _time.time_ns()
+    body = _json.dumps(new_manifest)
+    try:
+        _write_atomic_excl(
+            os.path.join(path, f"_MANIFEST.v{version}"), body
+        )
+    except FileExistsError:
+        # rolled back: the key files are in no committed manifest
+        _drop_key_files()
+        raise ManifestCommitConflict(
+            f"concurrent commit: _MANIFEST.v{version} was claimed by "
+            f"another writer after this delete read version {base}; "
+            "re-plan the delete against the new table state"
+        ) from None
+    if _latest_manifest_version(path) == version:
+        _write_atomic(os.path.join(path, "_MANIFEST"), body)
+    return version
+
+
+def _stage_data_shards(
+    df: DataFrame, path: str
+) -> tuple[dict, dict]:
+    """Stage ``df`` as data shards IN the live table dir, invisible to
+    every reader: the transactional writer lands them in a sibling
+    stage dir (two concurrent merges must not clobber each other's
+    staging — their claims serialize; their staging must too), then a
+    two-step move (underscore temps first, then renames to final UUID
+    names no committed manifest references — same discipline as
+    compaction).  Returns ``(staged {name: rows}, stage _STATS)``."""
+    import json as _json
+    import shutil
+    import uuid as _uuid
+
+    stage = path + f".merge-stage-{_uuid.uuid4().hex[:8]}"
+    (
+        df.write.format("jsonl_docs")
+        .option("path", stage)
+        # the staged rows land in the REAL table: its CHECK
+        # constraints must hold here, where a violation can still
+        # fail the merge before any claim
+        .option("constraints_from", path)
+        .mode("overwrite")
+        .save()
+    )
+    with open(os.path.join(stage, "_MANIFEST")) as fh:
+        staged = {
+            f: v
+            for f, v in _json.load(fh).items()
+            if not f.startswith("_")
+        }
+    stage_stats = {}
+    sp = os.path.join(stage, "_STATS")
+    if os.path.exists(sp):
+        with open(sp) as fh:
+            stage_stats = _json.load(fh)
+    for f in staged:
+        os.replace(
+            os.path.join(stage, f), os.path.join(path, "_tmp-merge-" + f)
+        )
+    for f in staged:
+        os.replace(
+            os.path.join(path, "_tmp-merge-" + f), os.path.join(path, f)
+        )
+    shutil.rmtree(stage, ignore_errors=True)
+    return staged, stage_stats
+
+
+def merge_into_jsonl_dir(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    max_retries: int = 3,
+    *,
+    when_matched_update: bool | str = True,
+    when_matched_delete: bool | str = False,
+    when_not_matched_insert: bool | str = True,
+    update_set: dict[str, str] | None = None,
+    cdf: bool = False,
+) -> int:
+    """MERGE INTO on ``doc_id`` in ONE atomic commit — the full
+    conditional-clause contract of the SQL MERGE a table-format user
+    writes::
+
+        WHEN MATCHED [AND <when_matched_update>] THEN
+            UPDATE SET <update_set or whole source row>
+        WHEN MATCHED [AND <when_matched_delete>] THEN DELETE
+        WHEN NOT MATCHED [AND <when_not_matched_insert>] THEN INSERT
+
+    Clause predicates are SQL boolean expressions over the aliased
+    source (``s.*``) and target (``t.*``) rows; booleans mean
+    always/never.  Matched rows are tested against the UPDATE clause
+    first, then DELETE (first match wins — a matched row neither
+    clause takes is left UNTOUCHED, the key MERGE-vs-upsert
+    difference).  ``update_set`` maps target columns to SQL
+    expressions (default: replace with the whole source row).
+
+    The DEFAULT arguments are the whole-row upsert fast path: every
+    source key tombstoned + every source row inserted, with NO join
+    against the target — the tombstone entry references the merge's
+    own staged shards as its delete files, so the driver handles file
+    names only (no collect, no key materialization; manifest
+    O(#shards) per commit regardless of key count).
+
+    CLAUSE merges must know which source keys exist in the target, so
+    they run one distributed left join of source against the
+    base-snapshot table (the same scan Delta/Iceberg MERGE pays) —
+    updates/deletes become dedicated ``_delete-*`` key shards (written
+    distributedly), inserts become staged data shards, and everything
+    lands under one manifest claim: no reader can observe the delete
+    without the insert.  Tombstone entries only apply to shards added
+    by EARLIER commits ("v > added"), so the freshly staged rows are
+    exempt by construction.
+
+    Concurrency: the fast path's claim loop is metadata-only (losing
+    to a concurrent append just re-claims against the new base — the
+    upsert outcome is unaffected by it).  A CLAUSE merge's
+    matched/not-matched split is only valid for the snapshot it was
+    planned against, so a lost claim raises ``ManifestCommitConflict``
+    immediately (Delta's ConcurrentAppendException) and the caller
+    re-runs the merge — a silent metadata retry could classify a
+    concurrently-inserted key as not-matched and land it twice.
+    Returns the committed version."""
+    import json as _json
+
+    register_pyds(spark)  # also pins the active session for this thread
+    clause_path = not (
+        when_matched_update is True
+        and when_matched_delete is False
+        and when_not_matched_insert is True
+        and update_set is None
+    )
+    # cdf needs per-row change classification (pre/post images), which
+    # only the clause path's join computes — a cdf upsert routes there
+    # (same outcome; it pays the target join, exactly Delta's CDF cost)
+    if clause_path or cdf:
+        return _merge_clauses(
+            spark,
+            df,
+            path,
+            when_matched_update,
+            when_matched_delete,
+            when_not_matched_insert,
+            update_set,
+            cdf,
+        )
+    staged, stage_stats = _stage_data_shards(df, path)
+    last: Exception | None = None
+    for _ in range(max_retries):
+        base = _latest_manifest_version(path)
+        version = base + 1
+        manifest = _manifest_at(path, base)
+        files = sorted(_manifest_files(manifest))
+        new_manifest = {f: manifest[f] for f in files}
+        for k, v in manifest.items():
+            if k.startswith("_") and k != TOMBSTONE_KEY:
+                new_manifest[k] = v
+        new_manifest[OP_KEY] = "merge"
+        tombs = _tombstones_of(manifest)
+        entries = list(tombs["entries"])
+        if staged and files:
+            # the staged shards double as the entry's delete files:
+            # every row they hold IS a source key (self-exempt via
+            # "v > added" — they are added at this very version)
+            entries.append(
+                {
+                    "v": version,
+                    "files": sorted(staged),
+                    "n": sum(staged.values()),
+                }
+            )
+        new_manifest.update(staged)
+        if entries:
+            # the staged shards share the entry's version: "v > added"
+            # exempts exactly the replacement rows from their own merge
+            added = dict(tombs.get("added", {}))
+            added.update({f: version for f in staged})
+            new_manifest[TOMBSTONE_KEY] = {
+                "entries": entries,
+                "added": added,
+            }
+        import time as _time
+
+        new_manifest["_ts"] = _time.time_ns()
+        body = _json.dumps(new_manifest)
+        try:
+            _write_atomic_excl(
+                os.path.join(path, f"_MANIFEST.v{version}"), body
+            )
+        except FileExistsError:
+            last = ManifestCommitConflict(
+                f"concurrent commit: _MANIFEST.v{version} was claimed "
+                "by another writer during merge; re-claiming against "
+                "the new base"
+            )
+            continue
+        if _latest_manifest_version(path) == version:
+            stats_path = os.path.join(path, "_STATS")
+            stats = {}
+            if os.path.exists(stats_path):
+                with open(stats_path) as fh:
+                    stats = _json.load(fh)
+            stats.update(stage_stats)
+            _write_atomic(stats_path, _json.dumps(stats))
+            _write_atomic(os.path.join(path, "_MANIFEST"), body)
+        return version
+    # every claim lost: roll back the staged shards (in no committed
+    # manifest — invisible all along) and surface the conflict
+    for f in staged:
+        try:
+            os.remove(os.path.join(path, f))
+        except OSError:
+            pass
+    assert last is not None
+    raise last
+
+
+def _merge_clauses(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    when_matched_update: bool | str,
+    when_matched_delete: bool | str,
+    when_not_matched_insert: bool | str,
+    update_set: dict[str, str] | None,
+    cdf: bool = False,
+    base_version: int | None = None,
+) -> int:
+    """Conditional-clause MERGE (see :func:`merge_into_jsonl_dir`):
+    plan against the base snapshot, split the source by one distributed
+    left join, stage inserts as data shards and update/delete keys as
+    ``_delete-*`` key shards, commit under ONE claim pinned to
+    ``base + 1`` — a lost claim rolls everything back and raises.
+    ``cdf=True`` also stages the commit's typed change rows
+    (update_preimage/update_postimage/delete/insert) as ``_cdc-*``
+    files from the SAME classification join — no extra scan."""
+    import json as _json
+    import uuid as _uuid
+
+    from pyspark.storagelevel import StorageLevel
+
+    register_pyds(spark)
+    # an explicit pin (UPDATE sugar: its row set was scanned at that
+    # base) makes the whole plan→claim span one snapshot; a rival
+    # landing anywhere inside it fails the base+1 claim loudly
+    base = (
+        base_version
+        if base_version is not None
+        else _latest_manifest_version(path)
+    )
+    if base <= 0:
+        raise ValueError(
+            f"merge_into_jsonl_dir: no committed version under {path}"
+        )
+    version = base + 1
+
+    def _pred(p: bool | str):
+        return F.lit(p) if isinstance(p, bool) else F.expr(p)
+
+    src_cols = df.columns
+    tgt = (
+        spark.read.format("jsonl_docs")
+        .option("path", path)
+        .option("version", base)
+        .load()
+    )
+    # ONE distributed join classifies every source row; persisted
+    # because three consumers (update rows, insert rows, tombstone
+    # keys) read it — without the pin each would re-run the join scan.
+    # At scale Spark picks the strategy (AQE broadcasts a small source).
+    joined = df.alias("s").join(
+        tgt.alias("t"),
+        F.col("s.doc_id") == F.col("t.doc_id"),
+        "left",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        is_matched = F.col("t.doc_id").isNotNull()
+        take_update = is_matched & _pred(when_matched_update)
+        # first match wins: DELETE only sees rows UPDATE declined
+        take_delete = (
+            is_matched
+            & ~_pred(when_matched_update)
+            & _pred(when_matched_delete)
+        )
+        take_insert = ~is_matched & _pred(when_not_matched_insert)
+        sets = update_set or {}
+        upd_rows = joined.filter(take_update).select(
+            *[
+                (
+                    F.expr(sets[c]) if c in sets else F.col(f"s.{c}")
+                ).alias(c)
+                for c in src_cols
+            ]
+        )
+        ins_rows = joined.filter(take_insert).select(
+            *[F.col(f"s.{c}").alias(c) for c in src_cols]
+        )
+        tomb_keys = joined.filter(take_update | take_delete).select(
+            F.col("s.doc_id").alias("doc_id")
+        )
+        staged, stage_stats = _stage_data_shards(
+            upd_rows.unionByName(ins_rows), path
+        )
+        token = _uuid.uuid4().hex[:8]
+        key_files, n_keys = _stage_key_shards(tomb_keys, path, token)
+        cdc_files: list[str] = []
+        if cdf:
+            tgt_cols = [
+                F.col(f"t.{c}").alias(c) for c in tgt.columns
+            ]
+
+            def typed(rows: DataFrame, change: str) -> DataFrame:
+                return rows.withColumn("_change_type", F.lit(change))
+
+            cdc_df = (
+                typed(
+                    joined.filter(take_update).select(*tgt_cols),
+                    "update_preimage",
+                )
+                .unionByName(
+                    typed(upd_rows, "update_postimage"),
+                    allowMissingColumns=True,
+                )
+                .unionByName(
+                    typed(
+                        joined.filter(take_delete).select(*tgt_cols),
+                        "delete",
+                    ),
+                    allowMissingColumns=True,
+                )
+                .unionByName(
+                    typed(ins_rows, "insert"),
+                    allowMissingColumns=True,
+                )
+            )
+            cdc_files, _ = _stage_sidecar_shards(
+                cdc_df, path, token, "cdc"
+            )
+    finally:
+        joined.unpersist()
+
+    def _rollback() -> None:
+        for f in list(staged) + key_files + cdc_files:
+            try:
+                os.remove(os.path.join(path, f))
+            except OSError:
+                pass
+
+    manifest = _manifest_at(path, base)
+    files = sorted(_manifest_files(manifest))
+    new_manifest = {f: manifest[f] for f in files}
+    for k, v in manifest.items():
+        if k.startswith("_") and k != TOMBSTONE_KEY:
+            new_manifest[k] = v
+    _with_cdc(new_manifest, version, cdc_files)
+    new_manifest[OP_KEY] = "merge"
+    tombs = _tombstones_of(manifest)
+    entries = list(tombs["entries"])
+    if key_files and files:
+        entries.append({"v": version, "files": key_files, "n": n_keys})
+    elif key_files:
+        for kf in key_files:
+            try:
+                os.remove(os.path.join(path, kf))
+            except OSError:
+                pass
+        key_files = []
+    new_manifest.update(staged)
+    if entries:
+        added = dict(tombs.get("added", {}))
+        added.update({f: version for f in staged})
+        new_manifest[TOMBSTONE_KEY] = {"entries": entries, "added": added}
+    import time as _time
+
+    new_manifest["_ts"] = _time.time_ns()
+    body = _json.dumps(new_manifest)
+    try:
+        _write_atomic_excl(
+            os.path.join(path, f"_MANIFEST.v{version}"), body
+        )
+    except FileExistsError:
+        _rollback()
+        raise ManifestCommitConflict(
+            f"concurrent commit: _MANIFEST.v{version} was claimed by "
+            f"another writer after this clause merge planned against "
+            f"version {base}; the matched/not-matched split is stale — "
+            "staged shards were rolled back, re-run the merge"
+        ) from None
+    if _latest_manifest_version(path) == version:
+        stats_path = os.path.join(path, "_STATS")
+        stats = {}
+        if os.path.exists(stats_path):
+            with open(stats_path) as fh:
+                stats = _json.load(fh)
+        stats.update(stage_stats)
+        _write_atomic(stats_path, _json.dumps(stats))
+        _write_atomic(os.path.join(path, "_MANIFEST"), body)
+    return version
+
+
+def update_jsonl_dir(
+    spark: SparkSession,
+    path: str,
+    set: dict[str, str],
+    where: str | bool = True,
+    *,
+    cdf: bool = False,
+) -> int:
+    """``UPDATE <table> SET col = expr, ... WHERE pred`` — the thin
+    Delta-parity sugar over the clause MERGE (Delta's own UPDATE is a
+    rewrite of matched files; here it is a tombstone+insert commit,
+    the same shape a matched-update merge lands).
+
+    ``set`` maps column names to SQL expressions over the row's OLD
+    values (``n_chars * 2``, ``upper(lang)``); ``where`` is a SQL
+    boolean over the table's columns (True = every row).  The matched
+    row set is computed against the LATEST snapshot, then committed
+    through :func:`_merge_clauses` as MATCHED-UPDATE-only — so a
+    concurrent commit landing between the scan and the claim raises
+    :class:`ManifestCommitConflict` (the update's row set is only
+    valid for the snapshot it scanned; a silent re-claim could kill a
+    rival's fresher rows with stale values — the lost-update hazard
+    the fast merge path tolerates only because ITS source rows are
+    caller-supplied, not snapshot-derived).  ``cdf=True`` stages
+    update_preimage/update_postimage CDC files, Delta's UPDATE feed
+    shape.  Returns the committed version; an empty match commits
+    nothing and returns the current version.
+
+    Scale: one distributed snapshot scan filtered by ``where`` (filter
+    pushdown + zonemap pruning apply), new values computed in-plan,
+    then the clause merge's one target join — O(matched + table scan),
+    identical to Delta's UPDATE cost."""
+    register_pyds(spark)
+    unknown = [c for c in set if c not in _fields_of_ddl(
+        _effective_schema_ddl({"path": path})
+    )]
+    if unknown:
+        raise ValueError(
+            f"update_jsonl_dir: SET names unknown columns {unknown}"
+        )
+    # ONE base pin spans scan → claim: the filtered snapshot, the
+    # clause merge's target join, and the base+1 claim all read this
+    # version, so any rival commit inside the span loses the claim and
+    # raises (never a stale-values overwrite of fresher rows)
+    base = _latest_manifest_version(path)
+    snap = (
+        spark.read.format("jsonl_docs")
+        .option("path", path)
+        .option("version", base)
+        .load()
+    )
+    if where is not True:
+        snap = snap.filter(F.expr(where))
+    src = snap.withColumns({c: F.expr(e) for c, e in set.items()})
+    # empty match: commit nothing (a version bump with an empty
+    # tombstone entry would be ballast; see the DELETE zero-match rule)
+    if not src.take(1):
+        return base
+    return _merge_clauses(
+        spark,
+        src,
+        path,
+        when_matched_update=True,
+        when_matched_delete=False,
+        when_not_matched_insert=False,
+        update_set=None,
+        cdf=cdf,
+        base_version=base,
+    )

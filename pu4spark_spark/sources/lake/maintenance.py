@@ -1,0 +1,786 @@
+"""Table MAINTENANCE + metadata commits: schema evolution,
+CHECK constraints add/drop, compaction (OPTIMIZE, with optional
+clustering), vacuum with retention grace, shallow CLONE, RESTORE,
+DESCRIBE HISTORY, and the commit-retry helper.  Split from
+sources/pydatasource.py (r12)."""
+
+from __future__ import annotations
+
+import functools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+from pu4spark_spark.sources.tables import load_table
+from pu4spark_spark.sources.lake.protocol import (
+    BASE_DIR_KEY,
+    CDC_KEY,
+    CONSTRAINT_KEY,
+    DOCS_DDL,
+    ManifestCommitConflict,
+    OP_KEY,
+    SCHEMA_KEY,
+    TOMBSTONE_KEY,
+    TXN_KEY,
+    _compile_constraint,
+    _constraints_of,
+    _earliest_manifest_version,
+    _is_commit_conflict,
+    _latest_manifest_version,
+    _manifest_at,
+    _manifest_files,
+    _shard_path,
+    _tombstones_of,
+    _write_atomic,
+    _write_atomic_excl,
+)
+from pu4spark_spark.sources.lake.source import (
+    register_pyds,
+)
+
+
+
+def evolve_jsonl_schema(
+    path: str, new_ddl: str, base_version: int | None = None
+) -> int:
+    """SCHEMA EVOLUTION as a lake COMMIT: claim a new manifest version
+    identical to the base except for ``_schema`` = ``new_ddl`` — a
+    pure-metadata commit through the same create-if-absent OCC gate as
+    every append (a concurrent writer and an evolve have exactly one
+    winner).  Only ADD-COLUMN evolution is legal: the base schema's
+    columns must be a verbatim prefix of the new DDL (the one evolution
+    every engine can serve without rewriting data — old shards
+    null-extend; renames/drops/retypes would silently corrupt old
+    rows and are rejected loudly).  Returns the new version."""
+    import json as _json
+    import time as _time
+
+    base = (
+        base_version
+        if base_version is not None
+        else _latest_manifest_version(path)
+    )
+    if base <= 0:
+        raise ValueError(
+            f"evolve_jsonl_schema: no committed version under {path}"
+        )
+    manifest = _manifest_at(path, base)
+    old_ddl = manifest.get(SCHEMA_KEY, DOCS_DDL)
+    old_cols = [c.strip() for c in old_ddl.split(",")]
+    new_cols = [c.strip() for c in new_ddl.split(",")]
+    if new_cols[: len(old_cols)] != old_cols:
+        raise ValueError(
+            "evolve_jsonl_schema: only add-column evolution is "
+            f"supported — the current schema ({old_ddl!r}) must be a "
+            f"prefix of the new DDL ({new_ddl!r}); renames, drops and "
+            "retypes require a rewrite"
+        )
+    version = base + 1
+    new_manifest = dict(manifest)
+    new_manifest[SCHEMA_KEY] = new_ddl
+    new_manifest[OP_KEY] = "evolve-schema"
+    new_manifest["_ts"] = _time.time_ns()
+    body = _json.dumps(new_manifest)
+    try:
+        _write_atomic_excl(
+            os.path.join(path, f"_MANIFEST.v{version}"), body
+        )
+    except FileExistsError:
+        raise ManifestCommitConflict(
+            f"concurrent commit: _MANIFEST.v{version} was claimed by "
+            f"another writer after this evolve read version {base}; "
+            "re-plan the schema change against the new table state"
+        ) from None
+    if _latest_manifest_version(path) == version:
+        _write_atomic(os.path.join(path, "_MANIFEST"), body)
+    return version
+
+
+def add_constraint_jsonl_dir(
+    path: str, name: str, expr: str, base_version: int | None = None
+) -> int:
+    """ADD a named CHECK constraint as a lake COMMIT (pure metadata,
+    same create-if-absent OCC gate as every append — a concurrent
+    writer that planned against the pre-constraint base either wins
+    the claim race or conflicts; it can never land unvalidated rows
+    AFTER the constraint's version).  Enforcement is add-forward:
+    every write that plans against version >= this commit validates
+    each row on the EXECUTOR before staging, and one violating row
+    fails the whole job before any manifest claim — nothing partial
+    ever commits.  The expression must compile under the restricted
+    grammar (:func:`_compile_constraint`) or the ADD itself fails."""
+    import json as _json
+    import time as _time
+
+    _compile_constraint(expr)  # fail at ADD time, not at write time
+    base = (
+        base_version
+        if base_version is not None
+        else _latest_manifest_version(path)
+    )
+    if base <= 0:
+        raise ValueError(
+            f"add_constraint_jsonl_dir: no committed version under {path}"
+        )
+    manifest = _manifest_at(path, base)
+    cons = dict(_constraints_of(manifest))
+    if name in cons:
+        raise ValueError(
+            f"constraint {name!r} already exists: {cons[name]!r}"
+        )
+    cons[name] = expr
+    version = base + 1
+    new_manifest = dict(manifest)
+    new_manifest[CONSTRAINT_KEY] = cons
+    new_manifest[OP_KEY] = "add-constraint"
+    new_manifest["_ts"] = _time.time_ns()
+    body = _json.dumps(new_manifest)
+    try:
+        _write_atomic_excl(
+            os.path.join(path, f"_MANIFEST.v{version}"), body
+        )
+    except FileExistsError:
+        raise ManifestCommitConflict(
+            f"concurrent commit: _MANIFEST.v{version} was claimed by "
+            f"another writer after this constraint read version {base}; "
+            "re-plan the ADD CONSTRAINT against the new table state"
+        ) from None
+    if _latest_manifest_version(path) == version:
+        _write_atomic(os.path.join(path, "_MANIFEST"), body)
+    return version
+
+
+def drop_constraint_jsonl_dir(
+    path: str, name: str, base_version: int | None = None
+) -> int:
+    """DROP a named constraint — the metadata-commit twin of
+    :func:`add_constraint_jsonl_dir` (unknown names fail loudly)."""
+    import json as _json
+    import time as _time
+
+    base = (
+        base_version
+        if base_version is not None
+        else _latest_manifest_version(path)
+    )
+    manifest = _manifest_at(path, base)
+    cons = dict(_constraints_of(manifest))
+    if name not in cons:
+        raise ValueError(f"constraint {name!r} does not exist")
+    del cons[name]
+    version = base + 1
+    new_manifest = dict(manifest)
+    if cons:
+        new_manifest[CONSTRAINT_KEY] = cons
+    else:
+        new_manifest.pop(CONSTRAINT_KEY, None)
+    new_manifest[OP_KEY] = "drop-constraint"
+    new_manifest["_ts"] = _time.time_ns()
+    body = _json.dumps(new_manifest)
+    try:
+        _write_atomic_excl(
+            os.path.join(path, f"_MANIFEST.v{version}"), body
+        )
+    except FileExistsError:
+        raise ManifestCommitConflict(
+            f"concurrent commit: _MANIFEST.v{version} was claimed by "
+            f"another writer after this constraint read version {base}; "
+            "re-plan the DROP CONSTRAINT against the new table state"
+        ) from None
+    if _latest_manifest_version(path) == version:
+        _write_atomic(os.path.join(path, "_MANIFEST"), body)
+    return version
+
+
+def compact_jsonl_dir(
+    spark: SparkSession,
+    path: str,
+    target_shards: int,
+    cluster_by: str | None = None,
+) -> int:
+    """SMALL-FILE COMPACTION with snapshot semantics — the lake
+    maintenance job: read the current manifest's shards, rewrite the
+    same rows as ``target_shards`` consolidated files, and commit a new
+    manifest version listing ONLY the new files.  Old shards stay on
+    disk untouched, so earlier ``option("version", N)`` snapshot reads
+    keep working until :func:`vacuum_jsonl_dir` reclaims them — exactly
+    a table format's rewrite commit.  Returns the new version number.
+
+    Scale shape: the rewrite is one distributed read + repartition +
+    the transactional executor-side writer; the driver touches only
+    manifest metadata.
+
+    Transactionality: the whole rewrite is PINNED to one base snapshot
+    — the read serves ``option("version", base)`` and the commit claims
+    exactly ``base + 1`` create-if-absent — so compaction is
+    correct-or-conflict under concurrent writers (Delta's OPTIMIZE
+    conflict rule): a successful compaction's content is provably the
+    state at ``version - 1``, and ANY commit landing in between makes
+    it roll back the rewrite and raise ``ManifestCommitConflict`` for
+    the caller to re-plan.  :func:`vacuum_jsonl_dir` still requires an
+    EXCLUSIVE maintainer (it physically deletes unreferenced files and
+    could sweep a concurrent writer's staged-but-unclaimed shards).
+    Concurrent READERS are always safe:
+    staged shards enter the live dir under ``_``-prefixed temp names
+    (invisible to both the manifest-preferring reader and the
+    listing/append-seed fallback), the final renames expose only
+    fresh UUID names no old manifest references, and the manifest
+    pointer itself flips last via the atomic rename-commit — so a
+    crash at ANY step leaves the previous version fully intact (at
+    worst orphan files a later vacuum sweeps)."""
+    import json as _json
+    import uuid as _uuid
+
+    register_pyds(spark)
+    # pin the WHOLE rewrite to one base snapshot: resolving the version
+    # here and claiming exactly base+1 below makes a successful
+    # compaction linearizable (its content is provably the state at
+    # base = version-1).  The previous shape — unpinned read, then
+    # version = latest+1 computed AFTER the rewrite — had a lost-update
+    # hole: an append landing between the read and the claim got its
+    # rows silently dropped by a rewrite that never saw them yet
+    # claimed a LATER version.
+    base = _latest_manifest_version(path)
+    before = spark.read.format("jsonl_docs").option("path", path)
+    if base > 0:
+        before = before.option("version", base)
+    # base == 0 means a manifest-less legacy directory: there is no
+    # _MANIFEST.v0 snapshot to pin, so serve the listing fallback
+    # unpinned (its content is the directory's files) and claim v1 —
+    # the path that first promotes a plain JSONL directory into the
+    # manifest protocol.  Pinning option("version", 0) here would
+    # raise "no snapshot _MANIFEST.v0" and regress legacy compaction.
+    before = before.load()
+    # stage through the custom writer into a sibling dir, then move the
+    # compacted shards in and commit a manifest naming only them — the
+    # writer's append mode would UNION with the old manifest, which is
+    # exactly wrong for a rewrite.  UUID stage dir: two concurrent
+    # compactions must not clobber each other's staging (their claims
+    # serialize below; their staging must too — same rule as merge).
+    stage = path + f".compact-{_uuid.uuid4().hex[:8]}"
+    # ``cluster_by``: the OPTIMIZE-with-clustering form — the rewrite
+    # range-partitions on the column instead of round-robin, so each
+    # consolidated shard owns a contiguous value range and the writer's
+    # _STATS zonemap becomes selective again (appends scatter ranges
+    # across shards; compaction is where a lake restores data-skipping,
+    # the same job Delta's OPTIMIZE ZORDER runs).  Content-neutral
+    # either way: the commit is the same rewrite commit.
+    staged_df = (
+        before.repartitionByRange(target_shards, cluster_by)
+        if cluster_by
+        else before.repartition(target_shards)
+    )
+    (
+        staged_df
+        .write.format("jsonl_docs")
+        .option("path", stage)
+        .mode("overwrite")
+        .save()
+    )
+    with open(os.path.join(stage, "_MANIFEST")) as fh:
+        # shard files only — the stage commit's own reserved keys
+        # (_ts) must not be treated as files to move
+        new_manifest = {
+            f: v
+            for f, v in _json.load(fh).items()
+            if not f.startswith("_")
+        }
+    # two-step move: every staged shard first lands in the live dir
+    # under an underscore temp name (crash here → only invisible
+    # temps), then the batch of renames to final names (fresh UUIDs —
+    # unreferenced by any committed manifest, so still invisible),
+    # and only then does metadata flip
+    for f in new_manifest:
+        os.replace(
+            os.path.join(stage, f),
+            os.path.join(path, "_tmp-compact-" + f),
+        )
+    for f in new_manifest:
+        os.replace(
+            os.path.join(path, "_tmp-compact-" + f),
+            os.path.join(path, f),
+        )
+    # carry the consolidated shards' zonemaps over (old entries stay —
+    # harmless for vacuumed files, still valid for snapshot reads)
+    stats_path = os.path.join(path, "_STATS")
+    stats = {}
+    if os.path.exists(stats_path):
+        with open(stats_path) as fh:
+            stats = _json.load(fh)
+    stage_stats = os.path.join(stage, "_STATS")
+    if os.path.exists(stage_stats):
+        with open(stage_stats) as fh:
+            stats.update(_json.load(fh))
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
+    version = base + 1
+    # metadata last, each an atomic rename-commit, live pointer very
+    # last: rewrite marker → snapshot → stats → _MANIFEST.  The marker
+    # (``.rewrite`` sidecar) declares this commit dataChange=false so
+    # the version stream reader SKIPS it — compaction rewrites rows,
+    # it never adds any.  The marker body is the md5 of the snapshot
+    # it marks: written first so a reader can never observe the
+    # snapshot without the marker, and TETHERED so a crash between the
+    # two leaves a marker that matches nothing — the next data commit
+    # claiming the same version number streams as data instead of
+    # being silently reclassified as a rewrite
+    # (``_rewrite_marker_valid``).
+    import hashlib as _hashlib
+    import time as _time
+
+    # a rewrite is content-neutral INCLUDING the table's metadata
+    # contract: carry the pre-compaction commit's _schema (the
+    # rewritten shards hold every evolved column — the read above
+    # served the latest shape), its _constraints (a compaction must
+    # not silently unharden the table), and the stream sink's _txn
+    # idempotence marker (losing it would let a retried micro-batch
+    # recommit AFTER a compaction — duplicate rows).  The tombstone
+    # ledger and the _cdc map are deliberately NOT carried: the
+    # rewrite applied the deletes physically, and CDC files belong to
+    # the versions that made them.
+    pre_m = _manifest_at(path, version - 1)
+    for carry in (SCHEMA_KEY, CONSTRAINT_KEY, TXN_KEY):
+        if carry in pre_m:
+            new_manifest[carry] = pre_m[carry]
+    new_manifest[OP_KEY] = "compact"
+    new_manifest["_ts"] = _time.time_ns()
+    body = _json.dumps(new_manifest)
+
+    def _rollback_shards() -> None:
+        winner_files: set[str] = set()
+        try:
+            with open(os.path.join(path, f"_MANIFEST.v{version}")) as fh:
+                winner_files = set(_json.load(fh))
+        except (OSError, ValueError):
+            pass
+        for f in new_manifest:
+            if f not in winner_files:
+                try:
+                    os.remove(os.path.join(path, f))
+                except OSError:
+                    pass
+
+    # the marker is claimed CREATE-IF-ABSENT too: with plain overwrite,
+    # two compactions racing the same version clobber each other's
+    # marker md5, and the loser's sweep below would delete the WINNER's
+    # valid marker — either way the winner's rewrite commit gets
+    # misclassified as a data commit and the version stream re-delivers
+    # every compacted row.  An existing marker means another compactor
+    # is mid-claim for this version: conflict out now.
+    try:
+        _write_atomic_excl(
+            os.path.join(path, f"_MANIFEST.v{version}.rewrite"),
+            _hashlib.md5(body.encode()).hexdigest(),
+        )
+    except FileExistsError:
+        _rollback_shards()
+        raise ManifestCommitConflict(
+            f"concurrent commit: _MANIFEST.v{version}.rewrite is already "
+            "claimed by another compaction; the rewrite was rolled back"
+        ) from None
+    # the snapshot itself is claimed CREATE-IF-ABSENT like every data
+    # commit — _write_atomic here would silently overwrite a concurrent
+    # writer's committed snapshot, breaking manifest immutability (and
+    # with it deterministic checkpointed stream replay).  On a lost
+    # claim the compacted files are rolled back (they are in no
+    # committed manifest) minus anything the winner references.
+    try:
+        _write_atomic_excl(os.path.join(path, f"_MANIFEST.v{version}"), body)
+    except FileExistsError:
+        _rollback_shards()
+        # the marker is OURS (claimed excl above) and can only
+        # reclassify the winner's data commit if left behind — sweep it
+        try:
+            os.remove(os.path.join(path, f"_MANIFEST.v{version}.rewrite"))
+        except OSError:
+            pass
+        raise ManifestCommitConflict(
+            f"concurrent commit: _MANIFEST.v{version} was claimed by "
+            "another writer during compaction; the rewrite was rolled "
+            "back — re-plan against the new table state"
+        ) from None
+    if _latest_manifest_version(path) == version:
+        _write_atomic(stats_path, _json.dumps(stats))
+        _write_atomic(os.path.join(path, "_MANIFEST"), body)
+    return version
+
+
+def vacuum_jsonl_dir(
+    path: str, keep_versions: int = 1, stale_grace_s: float = 600.0
+) -> int:
+    """Reclaim shards unreachable from the newest ``keep_versions``
+    manifests and drop the older manifest files — the GC half of the
+    snapshot contract (time travel works until vacuum, then fails
+    LOUDLY rather than serving partial data).  Also sweeps ``_tmp-``
+    orphans left by a crashed compaction or write job.
+
+    ``stale_grace_s`` makes vacuum SAFE BESIDE LIVE WRITERS (Delta's
+    file-retention check): an unreferenced file younger than the
+    grace window is presumed to be a concurrent writer's
+    staged-but-unclaimed work (data shards get their final names
+    BEFORE the manifest claim; delete-key shards likewise) and is
+    left alone — only files that have sat unreferenced past the
+    window are true orphans from crashed jobs.  Size it above the
+    worst stage-to-claim latency (the default 600 s is generous; a
+    claim follows its staging within seconds).  ``stale_grace_s=0``
+    restores the old exclusive-maintainer behavior: reclaim
+    everything unreferenced, only safe with no writer in flight.
+    Manifest snapshots need no grace — they are atomic
+    create-if-absent commits, never staged.  Returns the number of
+    shard files deleted."""
+    import json as _json
+    import time as _time
+
+    now = _time.time()
+
+    def _stale(f: str) -> bool:
+        if stale_grace_s <= 0:
+            return True
+        try:
+            return now - os.path.getmtime(os.path.join(path, f)) >= (
+                stale_grace_s
+            )
+        except OSError:
+            return False  # raced with its own cleanup — leave it
+
+    versions = sorted(
+        int(f.rsplit(".v", 1)[1])
+        for f in os.listdir(path)
+        if f.startswith("_MANIFEST.v") and f.rsplit(".v", 1)[1].isdigit()
+    )
+    if not versions:
+        return 0
+    keep = set(versions[-max(1, keep_versions):])
+    #: manifests are removed by AGE CUTOFF, never by keep-set
+    #: membership: a commit landing between vacuum's version listing
+    #: and its removal pass is NEWER than everything listed and absent
+    #: from the stale keep set — membership-based removal would delete
+    #: that just-committed snapshot (observed in the threaded stress:
+    #: a delete's fresh v2 vanished and the next delete re-claimed v2,
+    #: breaking manifest immutability).  Only versions strictly OLDER
+    #: than the oldest kept one are reclaimable.
+    cutoff = min(keep)
+    live: set[str] = set()
+    for v in keep:
+        try:
+            with open(os.path.join(path, f"_MANIFEST.v{v}")) as fh:
+                m = _json.load(fh)
+        except OSError:
+            continue  # raced a concurrent vacuum's removal pass
+        live.update(_manifest_files(m))
+        # tombstone entries' delete files stay reachable while any
+        # retained manifest references them (a merge's entry names its
+        # own data shards — already live; a delete's names _delete-*
+        # key shards, reclaimed below once no kept ledger needs them)
+        for e in _tombstones_of(m)["entries"]:
+            live.update(e.get("files", ()))
+        # commit-time CDC files stay reachable while any retained
+        # manifest carries their version in its _cdc map
+        for fl in m.get(CDC_KEY, {}).values():
+            live.update(fl)
+    removed = 0
+
+    def _rm(f: str) -> bool:
+        # two vacuums racing the same orphan must not crash the loser
+        try:
+            os.remove(os.path.join(path, f))
+            return True
+        except OSError:
+            return False
+
+    for f in os.listdir(path):
+        if f.startswith(("_delete-", "_cdc-")):
+            if f not in live and _stale(f):
+                _rm(f)
+        elif f.startswith("_MANIFEST.v"):
+            # manifests need no grace (atomic create-if-absent commits,
+            # never half-staged) but DO need the age cutoff — see the
+            # comment at `cutoff` above
+            v = f.rsplit(".v", 1)[1]
+            if v.isdigit() and int(v) < cutoff:
+                _rm(f)
+            elif v.endswith(".rewrite"):
+                # dataChange=false sidecar: lives and dies with its
+                # snapshot version
+                vn = v[: -len(".rewrite")]
+                if vn.isdigit() and int(vn) < cutoff:
+                    _rm(f)
+        elif f.startswith("_tmp-"):
+            # orphan from a crashed compaction/write — never visible
+            # to readers; the grace window keeps a LIVE job's staging
+            # safe
+            if _stale(f):
+                _rm(f)
+        elif (
+            f.endswith((".json", ".jsonl"))
+            and not f.startswith((".", "_"))
+            and f not in live
+            and _stale(f)
+        ):
+            if _rm(f):
+                removed += 1
+    return removed
+
+
+def clone_jsonl_dir(
+    src: str, dst: str, version: int | None = None
+) -> int:
+    """SHALLOW CLONE — Delta's ``CREATE TABLE ... SHALLOW CLONE``:
+    materialize a NEW table at ``dst`` whose v1 manifest references
+    the SOURCE's immutable shards by name (resolved through
+    ``_base_dir`` at read time — zero data copied), with the source
+    snapshot's schema, constraints, zonemap stats, and tombstone
+    ledger.  The clone's history starts fresh: writes/DML/compaction
+    on the clone land in the clone's dir and never touch the source
+    (divergence is the point — dev/test branching); a compaction
+    materializes the clone fully local and drops the base-dir link.
+
+    Ledger version stamps are NORMALIZED into the open interval (0, 1)
+    by an order-preserving map: copied entries keep applying to
+    exactly the copied shards they applied to in the source (strict
+    ``v > added`` inequalities survive any injective order-preserving
+    map); shards absent from the added-map keep their default 0, which
+    stays BELOW every copied entry; and every FUTURE clone commit
+    (integer version ≥ 2) sits ABOVE them all — so copied entries
+    never touch post-clone shards and post-clone entries apply to all
+    copied shards: the sequence-number contract holds across the
+    graft.  Vacuum on the clone only ever
+    deletes files physically present in the clone's dir, so shared
+    source shards are structurally out of reach.  Returns 1."""
+    import json as _json
+    import time as _time
+
+    base_v = (
+        version
+        if version is not None
+        else _latest_manifest_version(src)
+    )
+    if base_v <= 0:
+        raise ValueError(
+            f"clone_jsonl_dir: no committed version under {src}"
+        )
+    src_m = _manifest_at(src, base_v)
+    if os.path.exists(os.path.join(dst, "_MANIFEST.v1")):
+        raise ValueError(f"clone_jsonl_dir: {dst} already has a table")
+    os.makedirs(dst, exist_ok=True)
+    new_manifest: dict = {f: src_m[f] for f in _manifest_files(src_m)}
+    for carry in (SCHEMA_KEY, CONSTRAINT_KEY):
+        if carry in src_m:
+            new_manifest[carry] = src_m[carry]
+    # the source itself may be a clone: chain to ITS base for any name
+    # it never localized?  No — resolve one level only, flattening the
+    # chain: names present in the source dir point there, the rest to
+    # the source's own base
+    src_base = src_m.get(BASE_DIR_KEY)
+    new_manifest[BASE_DIR_KEY] = os.path.abspath(src)
+    if src_base:
+        # flatten: every referenced name must resolve from ONE base;
+        # a two-level chain would need per-file bases.  Refuse unless
+        # the source localized everything (post-compaction clone).
+        missing = [
+            f
+            for f in _manifest_files(src_m)
+            if not os.path.exists(os.path.join(src, f))
+        ]
+        if missing:
+            raise ValueError(
+                "clone_jsonl_dir: the source is itself a shallow "
+                f"clone still sharing files (e.g. {missing[0]!r}) — "
+                "compact the source first to materialize it"
+            )
+    tombs = _tombstones_of(src_m)
+    if tombs["entries"]:
+        stamps = sorted(
+            {e["v"] for e in tombs["entries"]}
+            | set(tombs.get("added", {}).values())
+        )
+        remap = {
+            old: (i + 1) / (len(stamps) + 1)
+            for i, old in enumerate(stamps)
+        }
+        new_manifest[TOMBSTONE_KEY] = {
+            "entries": [
+                {**e, "v": remap[e["v"]]} for e in tombs["entries"]
+            ],
+            "added": {
+                f: remap[v] for f, v in tombs.get("added", {}).items()
+            },
+        }
+        # the entries' delete-key FILES also resolve via the base dir
+    new_manifest[OP_KEY] = "clone"
+    new_manifest["_ts"] = _time.time_ns()
+    body = _json.dumps(new_manifest)
+    try:
+        _write_atomic_excl(os.path.join(dst, "_MANIFEST.v1"), body)
+    except FileExistsError:
+        raise ManifestCommitConflict(
+            f"concurrent commit: _MANIFEST.v1 of {dst} was claimed by "
+            "another writer during clone"
+        ) from None
+    # copy the zonemap sidecar: entries are keyed by immutable shard
+    # name, so they stay valid for the shared files
+    spath = os.path.join(src, "_STATS")
+    if os.path.exists(spath):
+        with open(spath) as fh:
+            _write_atomic(os.path.join(dst, "_STATS"), fh.read())
+    if _latest_manifest_version(dst) == 1:
+        _write_atomic(os.path.join(dst, "_MANIFEST"), body)
+    return 1
+
+
+def restore_jsonl_dir(
+    path: str, to_version: int, base_version: int | None = None
+) -> int:
+    """RESTORE — Delta's ``RESTORE TABLE ... TO VERSION AS OF``: roll
+    the table back to ``to_version``'s exact state as a NEW commit (a
+    pure-metadata copy of that snapshot's manifest — shard list,
+    ledger, schema, constraints), claimed through the same
+    create-if-absent OCC gate.  History is preserved: the undone
+    commits stay time-travelable until vacuum.  Fails loudly when the
+    target snapshot is vacuumed or any file it references (data shards
+    OR its ledger's delete files) has been reclaimed — a partial
+    restore must never commit.  Version streams CANNOT ride through a
+    restore (rows it un-deletes were never retracted downstream): the
+    version stream raises on any unmarked ledger-shrinking commit and
+    the subscriber restarts from a fresh snapshot, the same guidance
+    Delta gives.  Returns the new version."""
+    import json as _json
+    import time as _time
+
+    try:
+        target = _manifest_at(path, to_version)
+    except OSError:
+        raise ValueError(
+            f"restore_jsonl_dir: version {to_version} of {path} is "
+            "vacuumed — its snapshot no longer exists"
+        ) from None
+    needed = list(_manifest_files(target))
+    for e in _tombstones_of(target)["entries"]:
+        needed.extend(e.get("files", ()))
+    missing = [
+        f
+        for f in needed
+        if not os.path.exists(_shard_path(path, target, f))
+    ]
+    if missing:
+        raise ValueError(
+            f"restore_jsonl_dir: version {to_version} references "
+            f"reclaimed files (e.g. {missing[0]!r}) — a partial "
+            "restore must never commit"
+        )
+    base = (
+        base_version
+        if base_version is not None
+        else _latest_manifest_version(path)
+    )
+    version = base + 1
+    new_manifest = dict(target)
+    # the stream sink's idempotence marker tracks the LIVE commit
+    # chain, not the restored-to snapshot: carry the base's _txn so a
+    # retried micro-batch still no-ops after the restore
+    cur = _manifest_at(path, base)
+    if TXN_KEY in cur:
+        new_manifest[TXN_KEY] = cur[TXN_KEY]
+    new_manifest[OP_KEY] = "restore"
+    new_manifest["_ts"] = _time.time_ns()
+    body = _json.dumps(new_manifest)
+    try:
+        _write_atomic_excl(
+            os.path.join(path, f"_MANIFEST.v{version}"), body
+        )
+    except FileExistsError:
+        raise ManifestCommitConflict(
+            f"concurrent commit: _MANIFEST.v{version} was claimed by "
+            f"another writer after this restore read version {base}; "
+            "re-plan the restore against the new table state"
+        ) from None
+    if _latest_manifest_version(path) == version:
+        _write_atomic(os.path.join(path, "_MANIFEST"), body)
+    return version
+
+
+def describe_history_jsonl_dir(
+    spark: SparkSession, path: str
+) -> DataFrame:
+    """DESCRIBE HISTORY — one row per still-retained commit, from
+    manifest metadata only (never a data scan, Delta's history
+    surface): version, the operation that made it (:data:`OP_KEY`,
+    recorded by every commit site), physical file/row counts (rows as
+    WRITTEN — tombstoned rows still sit in their immutable shards
+    until compaction, so this is the storage view, not the live
+    count), ledger depth, and whether the commit carries CDC files.
+    Driver-side metadata build: O(retained versions × files-per-
+    manifest) — the same cost Delta's DESCRIBE HISTORY pays reading
+    its log, fine at any table size."""
+    rows = []
+    latest = _latest_manifest_version(path)
+    for v in range(_earliest_manifest_version(path), latest + 1):
+        try:
+            m = _manifest_at(path, v)
+        except OSError:
+            continue  # vacuumed
+        files = _manifest_files(m)
+        counts = [m[f] for f in files if isinstance(m.get(f), int)]
+        rows.append(
+            (
+                v,
+                m.get(OP_KEY, "unknown"),
+                len(files),
+                sum(counts) if len(counts) == len(files) else None,
+                len(_tombstones_of(m)["entries"]),
+                bool(m.get(CDC_KEY, {}).get(str(v))),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version bigint, op string, n_files bigint, n_rows bigint, "
+        "ledger_entries bigint, has_cdc boolean",
+    )
+
+
+def append_with_retry(
+    df: DataFrame, path: str, max_retries: int = 3
+) -> int:
+    """The OTHER half of optimistic concurrency — what a loser DOES:
+    re-read the table's latest committed version, re-declare it as
+    ``base_version``, and re-submit the same rows (shards are re-staged;
+    the data is unchanged, only the claim moves).  Exactly the
+    Iceberg/Delta commit-retry loop.  Returns the version that finally
+    committed; raises the last ``ManifestCommitConflict`` (wrapped by
+    Spark) if ``max_retries`` consecutive claims lose — a pathologically
+    hot table should fail loudly, not spin.
+
+    Retry cost model at 100 TB: each attempt re-runs the WRITE job
+    (tasks re-stage shards) but conflict detection itself is one
+    link(2) — so the loop is sized by contention, never by table size;
+    real deployments keep contention low by partitioning writers."""
+    last: Exception | None = None
+    for _ in range(max_retries):
+        base = _latest_manifest_version(path)
+        try:
+            (
+                df.write.format("jsonl_docs")
+                .option("path", path)
+                .option("base_version", base)
+                .mode("append")
+                .save()
+            )
+            return base + 1
+        except Exception as exc:  # Spark wraps ManifestCommitConflict
+            if not _is_commit_conflict(exc):
+                raise
+            last = exc
+    assert last is not None
+    raise last

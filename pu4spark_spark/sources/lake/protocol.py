@@ -1,0 +1,599 @@
+"""Mini-lake PROTOCOL core: manifest/versioning metadata,
+atomic-rename commit primitives, tombstone ledger, commit-scoped
+schema (DDL helpers + typed cell converters), CHECK-constraint
+compilation, rewrite markers, and shallow-clone path resolution.
+Pure functions over the on-disk layout — no Spark classes, no
+jobs.  Split from sources/pydatasource.py (r12)."""
+
+from __future__ import annotations
+
+import functools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+from pu4spark_spark.sources.tables import load_table
+
+
+#: documents schema as DDL (the source serves exactly this shape)
+DOCS_DDL = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+N_SHARDS = 4
+
+
+def _json_cell(v):
+    """``json.dumps(default=...)`` hook for cell types the stdlib
+    encoder lacks, in the form Spark's JSON parser reads back EXACTLY:
+    Decimal as a quoted string (Jackson parses quoted decimals at full
+    precision — a float round-trip would shear >15 digits), datetime /
+    date as ISO strings, binary as base64 (Spark's BinaryType JSON
+    form)."""
+    import base64
+    import datetime
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return base64.b64encode(bytes(v)).decode()
+    raise TypeError(f"unserializable lake cell type {type(v).__name__}")
+
+
+#: reserved manifest key recording the streaming sink's last committed
+#: micro-batch id — Delta's ``txn`` action: a retried batch compares
+#: its id against this and becomes a no-op, which is what turns
+#: at-least-once micro-batch delivery into exactly-once lake commits.
+TXN_KEY = "_txn"
+
+
+class ManifestCommitConflict(RuntimeError):
+    """Two writers prepared the same manifest version concurrently and
+    this one lost the atomic claim — the commit was rolled back; the
+    table state is exactly the winner's.  Loud by design: a silent
+    shard-list merge would interleave two jobs' rows under one version
+    and break both the time-travel and exactly-once contracts."""
+
+
+#: unique sentinel prefix every ManifestCommitConflict message starts
+#: with — the ONE string _is_commit_conflict matches on across the Py4J
+#: boundary (a generic phrase like "concurrent commit" could appear in
+#: an unrelated Spark error and silently trigger the retry loop)
+_CONFLICT_SENTINEL = "concurrent commit: _MANIFEST.v"
+
+
+def _is_commit_conflict(exc: BaseException) -> bool:
+    """True iff ``exc`` is (or wraps) a :class:`ManifestCommitConflict`.
+    The writer's commit runs driver-side but the exception crosses the
+    Py4J boundary wrapped, and the captured-exception repr() drops the
+    class — so callers must match on str().  ONE place owns that
+    matching rule: the exact raised prefix ``_CONFLICT_SENTINEL``,
+    which every conflict site below embeds verbatim."""
+    return isinstance(exc, ManifestCommitConflict) or (
+        _CONFLICT_SENTINEL in str(exc)
+    )
+
+
+def _write_atomic_excl(path: str, body: str) -> None:
+    """CREATE-IF-ABSENT twin of :func:`_write_atomic`: write the body to
+    a temp file, fsync, then ``os.link`` it to the final name — link(2)
+    fails with ``FileExistsError`` if the name is taken, which is the
+    single atomic operation the optimistic-concurrency commit races on
+    (POSIX guarantees exactly one of N concurrent links wins)."""
+    import uuid as _uuid
+
+    parent = os.path.dirname(path)
+    tmp = os.path.join(parent, f"_tmp-meta-{_uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        fh.write(body)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, path)
+    finally:
+        os.unlink(tmp)
+    dfd = os.open(parent, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
+def _write_atomic(path: str, body: str) -> None:
+    """Rename-commit a metadata file: write the full body to an
+    underscore-prefixed temp name in the same directory (readers'
+    listing fallback skips ``_``-files), fsync, then ``os.replace`` it
+    into place.  POSIX rename atomicity means a crash mid-write or a
+    concurrent reader observes the previous version or the new one —
+    never truncated JSON (the time-travel and zonemap contracts both
+    parse these files)."""
+    import uuid as _uuid
+
+    parent = os.path.dirname(path)
+    tmp = os.path.join(parent, f"_tmp-meta-{_uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        fh.write(body)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
+    # fsync the DIRECTORY so the rename's directory entry is durable
+    # across power loss, not just process crash (the rename itself
+    # lives in directory metadata with its own write-back cache).
+    dfd = os.open(parent, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
+def _list_shards(path: str) -> list[str]:
+    return sorted(
+        f
+        for f in os.listdir(path)
+        if f.endswith((".json", ".jsonl")) and not f.startswith((".", "_"))
+    )
+
+
+#: reserved manifest key holding the cumulative tombstone ledger for
+#: row-level DELETE / MERGE commits.  Embedding tombstones IN the
+#: manifest snapshot keeps a delete commit a SINGLE atomic file claim —
+#: no ordering window where a reader could see the new version's shard
+#: list without its deletions (a sidecar file would need its own
+#: tethering, like the .rewrite marker).  Shard-name keys never start
+#: with '_', so the key can't collide; manifest consumers use
+#: _manifest_files() to skip reserved keys.
+#:
+#: Ledger shape — Iceberg's SEQUENCE-NUMBER scoping, in JSON:
+#:   {"entries": [{"v": commit_version,
+#:                 "files": [key_file, ...],   # referenced DELETE FILES
+#:                 "n": key_count,             # audit metadata only
+#:                 "ids": [doc_ids]},          # legacy inline form
+#:                ...],
+#:    "added":   {shard_file: version_that_added_it, ...}}
+#: An entry applies to shard f iff ``entry.v > added(f)`` (unknown
+#: added = 0 — every shard already present when the ledger was created
+#: predates every entry).  Version scoping, unlike a file LIST per
+#: entry, survives rewrites: a compaction replaces file names, but the
+#: rule "deleted by a later commit than the one that added these rows"
+#: stays answerable for any shard a reader or a replaying stream can
+#: deliver.  A MERGE is the exemption in action: its tombstone entry
+#: and its new shards share one version, so ``v > added`` spares
+#: exactly the replacement rows.
+#:
+#: The deleted KEYS live in delete FILES, not in the manifest
+#: (Iceberg's equality-delete files / Delta's deletion vectors make
+#: the same move): an entry's ``files`` name JSONL files in the table
+#: directory whose rows carry ``doc_id`` — either dedicated
+#: ``_delete-*`` key shards (written by :func:`delete_from_jsonl_dir`,
+#: distributedly when the keys come as a DataFrame) or, for a MERGE,
+#: the merge's OWN staged data shards (the keys are exactly its rows —
+#: zero extra write, zero driver collect).  The manifest carries only
+#: paths + counts, so a commit is O(files) metadata regardless of key
+#: count, readers stream the key files executor-side at scan time
+#: (cached per worker — files are immutable), compaction clears the
+#: entries, and vacuum reclaims unreferenced ``_delete-*`` files.
+#: Legacy inline ``ids`` entries remain readable (handy for crafted
+#: fixtures); writers never produce them.
+TOMBSTONE_KEY = "_tombstones"
+
+
+def _manifest_files(manifest: dict) -> list[str]:
+    """Shard filenames of a manifest dict, skipping reserved '_' keys."""
+    return [f for f in manifest if not f.startswith("_")]
+
+
+def _tombstones_of(manifest: dict | None) -> dict:
+    """The ledger (see :data:`TOMBSTONE_KEY`) — empty shape if none."""
+    if isinstance(manifest, dict) and TOMBSTONE_KEY in manifest:
+        return manifest[TOMBSTONE_KEY]
+    return {"entries": [], "added": {}}
+
+
+def _tomb_sources_for(
+    f: str, tombs: dict, added_v: int | None = None
+) -> tuple[tuple, tuple]:
+    """``(inline_ids, delete_file_names)`` tombstoning shard ``f`` —
+    the sources of every entry committed AFTER the shard was added
+    (``entry.v > added(f)``).  ``added_v`` overrides the ledger's
+    added-map (the version stream knows each diff-delivered shard's add
+    version directly).  Inline ids are the legacy fixture form; the
+    delete-file names are resolved to absolute paths by the caller and
+    streamed EXECUTOR-side (:func:`_load_delete_keys`) — the driver
+    never materializes a key set."""
+    av = (
+        added_v
+        if added_v is not None
+        else tombs.get("added", {}).get(f, 0)
+    )
+    ids: set = set()
+    files: list = []
+    for e in tombs.get("entries", ()):
+        if e["v"] > av:
+            ids.update(e.get("ids", ()))
+            for kf in e.get("files", ()):
+                if kf not in files:
+                    files.append(kf)
+    return tuple(sorted(ids)), tuple(files)
+
+
+@functools.lru_cache(maxsize=256)
+def _load_delete_keys(path: str) -> frozenset:
+    """doc_id key set of one delete/key file — runs on the EXECUTOR's
+    Python worker and is memoized per worker process (delete files are
+    immutable once referenced: UUID-named, written before the manifest
+    claim, reclaimed only by vacuum), so a worker scanning many shards
+    parses each key file once, not once per shard."""
+    import json
+
+    keys = set()
+    with open(path) as fh:
+        for line in fh:
+            if not line.strip():
+                continue
+            keys.add(json.loads(line).get("doc_id"))
+    return frozenset(keys)
+
+
+def _iter_jsonl(value, fields: tuple[str, ...] | None = None, convs=None):
+    """Executor-side shard scan shared by every reader: ``value`` is a
+    shard path, or ``(path, inline_ids, delete_file_paths)`` when
+    DELETE/MERGE commits apply to the shard — tombstoned rows are
+    filtered here (the drop set is the inline ids plus the union of the
+    referenced delete files' keys, loaded worker-side), so deletion is
+    enforced by construction for batch, time-travel, and streaming
+    reads alike.  ``fields`` is the resolved commit schema's column
+    order (default: the legacy documents shape)."""
+    import json
+
+    if isinstance(value, str):
+        path, drop = value, None
+    else:
+        path = value[0]
+        drop = set(value[1])
+        for kf in value[2] if len(value) > 2 else ():
+            drop |= _load_delete_keys(kf)
+    flds = fields or ("doc_id", "text", "lang", "source", "n_chars")
+    with open(path) as fh:
+        for line in fh:
+            if not line.strip():
+                continue
+            r = json.loads(line)
+            if drop is not None and r.get("doc_id") in drop:
+                continue
+            # missing keys read as NULL — JSONL's natural null-extension
+            # is what makes add-column schema evolution rewrite-free
+            if convs is None:
+                yield tuple(r.get(k) for k in flds)
+            else:
+                yield tuple(
+                    c(r.get(k)) if c else r.get(k)
+                    for k, c in zip(flds, convs)
+                )
+
+
+def _latest_manifest_version(path: str) -> int:
+    return max(
+        (
+            int(f.rsplit(".v", 1)[1])
+            for f in os.listdir(path)
+            if f.startswith("_MANIFEST.v") and f.rsplit(".v", 1)[1].isdigit()
+        ),
+        default=0,
+    )
+
+
+def _version_as_of(path: str, ts_ns: int) -> int:
+    """Largest committed version whose ``_ts`` stamp is <= ``ts_ns`` —
+    Delta's TIMESTAMP AS OF resolution, over the versioned snapshots
+    still on disk (vacuum shrinks the reachable window, same contract
+    as version pins).  Legacy manifests without a stamp count as
+    arbitrarily old (always eligible).  One metadata read per retained
+    version — metadata-scale.  Raises if the timestamp predates every
+    retained commit.
+
+    Raw ``_ts`` stamps are NOT monotonic with version: a
+    base_version-pinned writer stamps ``_ts`` before its claim and can
+    stall, so v{N+1} may carry an earlier stamp than v{N}.  Resolution
+    therefore CANONICALIZES each commit's effective timestamp to
+    ``max(own _ts, every predecessor's _ts)`` (Delta canonicalizes
+    commit timestamps for exactly this reason) — the effective series
+    is monotone, so "newest commit at or before t" is well-defined and
+    never resolves to a version at which an earlier-numbered commit had
+    not yet landed."""
+    versions = sorted(
+        int(f.rsplit(".v", 1)[1])
+        for f in os.listdir(path)
+        if f.startswith("_MANIFEST.v") and f.rsplit(".v", 1)[1].isdigit()
+    )
+    best = 0
+    running = 0
+    for v in versions:
+        running = max(running, _manifest_at(path, v).get("_ts", 0))
+        if running <= ts_ns:
+            best = v
+    if best == 0:
+        raise ValueError(
+            f"jsonl_docs: no commit at or before as_of_ts={ts_ns} "
+            f"under {path} (vacuumed, or timestamp predates the table)"
+        )
+    return best
+
+
+def _manifest_at(path: str, version: int) -> dict:
+    import json
+
+    if version <= 0:
+        return {}
+    with open(os.path.join(path, f"_MANIFEST.v{version}")) as fh:
+        return json.load(fh)
+
+
+#: reserved manifest key recording the table schema (DDL string) as of
+#: that commit — absent = the legacy documents shape (DOCS_DDL).  The
+#: schema is COMMIT-SCOPED: an :func:`evolve_jsonl_schema` commit
+#: records the new DDL at version N, so pinned reads of v<N keep the
+#: old shape, latest reads serve the new one (old shards' missing
+#: fields read as NULL — JSONL's natural null-extension), and a
+#: version stream that started under the old schema fails LOUDLY at
+#: the boundary (restart picks up the new shape) — the Delta/Iceberg
+#: schema-evolution contract.
+SCHEMA_KEY = "_schema"
+
+
+def _typed_fields_of_ddl(ddl: str) -> tuple[tuple[str, str], ...]:
+    """``(name, type)`` pairs of a DDL string, in order (paren- AND
+    angle-bracket-aware split, so ``decimal(10,2)`` and
+    ``map<string,int>`` column types don't shear)."""
+    pairs = []
+    depth = 0
+    start = 0
+    for i, ch in enumerate(ddl + ","):
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            part = ddl[start:i].strip()
+            if part:
+                name, _, typ = part.partition(" ")
+                pairs.append((name, typ.strip()))
+            start = i + 1
+    return tuple(pairs)
+
+
+def _fields_of_ddl(ddl: str) -> tuple[str, ...]:
+    """Column names of a DDL string, in order (paren-aware split, so
+    ``decimal(10,2)`` column types don't shear)."""
+    return tuple(name for name, _ in _typed_fields_of_ddl(ddl))
+
+
+def _cell_converter(ddl_type: str):
+    """Reader-side converter for one DDL type, or ``None`` for types
+    ``json.loads`` already yields in the Python object form PySpark's
+    Arrow conversion expects.  Decimal / timestamp / date / binary
+    need help: the JSONL form is a quoted string (written by
+    :func:`_json_cell`) and Spark's conversion asserts the typed
+    Python object (``decimal.Decimal`` etc.), not a str."""
+    t = ddl_type.strip().lower()
+    if t.startswith("decimal") or t.startswith("numeric"):
+        import decimal
+
+        return lambda v: None if v is None else decimal.Decimal(str(v))
+    if t.startswith("timestamp"):
+        import datetime
+
+        return lambda v: (
+            v
+            if v is None or isinstance(v, datetime.datetime)
+            else datetime.datetime.fromisoformat(v)
+        )
+    if t == "date":
+        import datetime
+
+        return lambda v: (
+            v
+            if v is None or not isinstance(v, str)
+            else datetime.date.fromisoformat(v)
+        )
+    if t == "binary":
+        import base64
+
+        return lambda v: (
+            None
+            if v is None
+            else base64.b64decode(v) if isinstance(v, str) else bytes(v)
+        )
+    return None
+
+
+def _converters_of_ddl(ddl: str):
+    """Per-field converter tuple aligned with :func:`_fields_of_ddl`
+    order; all-None collapses to ``None`` (the fast path — zero
+    per-cell overhead for ordinary string/bigint tables)."""
+    convs = tuple(
+        _cell_converter(t) for _, t in _typed_fields_of_ddl(ddl)
+    )
+    return convs if any(convs) else None
+
+
+def _effective_schema_ddl(options) -> str:
+    """The DDL a read with these options sees: the pinned (or latest)
+    manifest's ``_schema``, else :data:`DOCS_DDL` for legacy manifests
+    and manifest-less directories."""
+    path = options.get("path")
+    if not path or not os.path.isdir(path):
+        return DOCS_DDL
+    try:
+        v = options.get("version")
+        ts = options.get("as_of_ts")
+        if v is not None:
+            m = _manifest_at(path, int(v))
+        elif ts is not None:
+            m = _manifest_at(path, _version_as_of(path, int(ts)))
+        else:
+            latest = _latest_manifest_version(path)
+            m = _manifest_at(path, latest) if latest else {}
+    except (OSError, ValueError):
+        return DOCS_DDL
+    return m.get(SCHEMA_KEY, DOCS_DDL)
+
+
+#: reserved manifest key holding the table's CHECK constraints
+#: ({name: expr}) — commit-scoped like _schema: added/dropped by a
+#: pure-metadata commit, enforced by every writer against the base
+#: manifest it plans against, never enforced retroactively on rows
+#: already committed (the Delta ALTER TABLE ADD CONSTRAINT contract
+#: would scan history first; ours documents add-forward semantics)
+CONSTRAINT_KEY = "_constraints"
+
+_CONSTRAINT_OPS = {
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    "=": lambda a, b: a == b,
+    "==": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    "<>": lambda a, b: a != b,
+}
+
+
+def _compile_constraint(expr: str):
+    """Compile a restricted CHECK-constraint grammar to a row
+    predicate: ``col IS NOT NULL`` or ``col <op> literal`` (numeric or
+    single-quoted string; ops ``> >= < <= = == != <>``).  SQL CHECK
+    semantics: only FALSE violates — a NULL cell under a comparison is
+    UNKNOWN, which passes (use an explicit IS NOT NULL to forbid it),
+    the same rule Delta/ANSI apply.  The deliberately small grammar is
+    what a pure-Python per-row writer can evaluate at full speed; AND
+    is spelled as multiple named constraints.  Raises ValueError on
+    anything else — an unparseable constraint must fail at ADD time,
+    never pass silently at write time."""
+    import re as _re
+
+    m = _re.fullmatch(
+        r"\s*(\w+)\s+is\s+not\s+null\s*", expr, _re.IGNORECASE
+    )
+    if m:
+        col = m.group(1)
+        return lambda row, c=col: row.get(c) is not None
+    m = _re.fullmatch(
+        r"\s*(\w+)\s*(>=|<=|!=|<>|==|=|>|<)\s*"
+        r"('(?:[^']*)'|-?\d+(?:\.\d+)?)\s*",
+        expr,
+    )
+    if m:
+        col, op, lit = m.group(1), m.group(2), m.group(3)
+        if lit.startswith("'"):
+            value = lit[1:-1]
+        elif "." in lit:
+            value = float(lit)
+        else:
+            value = int(lit)
+        fn = _CONSTRAINT_OPS[op]
+
+        def pred(row, c=col, f=fn, v=value):
+            cell = row.get(c)
+            if cell is None:
+                return True  # UNKNOWN never violates (ANSI CHECK)
+            return f(cell, v)
+
+        return pred
+    raise ValueError(
+        f"unsupported constraint expression {expr!r}: the grammar is "
+        "'col IS NOT NULL' or 'col <op> literal' "
+        "(ops > >= < <= = == != <>; numeric or 'string' literal)"
+    )
+
+
+def _constraints_of(manifest: dict | None) -> dict:
+    if isinstance(manifest, dict) and CONSTRAINT_KEY in manifest:
+        return manifest[CONSTRAINT_KEY]
+    return {}
+
+
+def _earliest_manifest_version(path: str) -> int:
+    """Smallest committed version still on disk (0 if none) — moves
+    up from 1 after :func:`vacuum_jsonl_dir` drops old snapshots."""
+    return min(
+        (
+            int(f.rsplit(".v", 1)[1])
+            for f in os.listdir(path)
+            if f.startswith("_MANIFEST.v") and f.rsplit(".v", 1)[1].isdigit()
+        ),
+        default=0,
+    )
+
+
+def _rewrite_marker_valid(path: str, version: int) -> bool:
+    """True iff ``_MANIFEST.v{version}.rewrite`` exists AND its body is
+    the md5 of the snapshot it marks.  The tether makes a marker
+    self-invalidating: a compaction that crashed between writing the
+    marker and the snapshot leaves a marker whose digest matches
+    nothing, so the NEXT data commit that claims the same version
+    number is (correctly) streamed as data — a stale marker can never
+    silently reclassify someone else's commit as a rewrite.
+
+    Deliberately STRICT: pre-tether empty-body markers fail the check,
+    so a table compacted by an older build would re-deliver its
+    rewrite commit as data.  Acceptable here because mini-lake
+    directories are session-scoped scratch artifacts (rebuilt per
+    process, never carried across code versions); a durable table
+    format would ship a marker-rewrite migration instead."""
+    import hashlib
+
+    mpath = os.path.join(path, f"_MANIFEST.v{version}.rewrite")
+    try:
+        with open(mpath) as fh:
+            marked = fh.read().strip()
+        with open(os.path.join(path, f"_MANIFEST.v{version}"), "rb") as fh:
+            digest = hashlib.md5(fh.read()).hexdigest()
+    except OSError:
+        return False
+    return marked == digest
+
+
+#: reserved manifest key: absolute path of the SOURCE table a shallow
+#: clone references — file names missing from the clone's own dir
+#: resolve there (Delta SHALLOW CLONE: metadata copied, data shared).
+#: Carried forward by the '_'-key copy loops; dropped by compaction's
+#: fresh manifest, which is exactly when the clone materializes.
+BASE_DIR_KEY = "_base_dir"
+
+
+def _shard_path(table_dir: str, manifest: dict | None, name: str) -> str:
+    """Resolve a manifest file name to its physical path: the table's
+    own dir, falling back to the shallow-clone base dir for names the
+    clone never localized (immutable source shards)."""
+    local = os.path.join(table_dir, name)
+    base = (manifest or {}).get(BASE_DIR_KEY)
+    if base and not os.path.exists(local):
+        return os.path.join(base, name)
+    return local
+
+
+#: reserved manifest key: each commit's own operation name (append /
+#: overwrite / delete / merge / compact / evolve-schema /
+#: add-constraint / drop-constraint / streaming-append) — the
+#: DESCRIBE HISTORY provenance field; every commit overwrites it
+OP_KEY = "_op"
+
+#: reserved manifest key: {str(version): [cdc file names]} — commit-
+#: time CHANGE DATA FEED files (Delta's _change_data), written by DML
+#: run with ``cdf=True``.  Each file holds the commit's typed change
+#: rows (table columns + _change_type); carried forward like the
+#: tombstone ledger (the '_'-key copy loops), CLEARED by compaction's
+#: fresh manifest, reclaimed by vacuum once no retained manifest
+#: carries the version.
+CDC_KEY = "_cdc"

@@ -1,0 +1,1005 @@
+"""The ``jsonl_docs`` Python DataSource (PySpark 4
+``spark.dataSource.register`` API): batch reader with pushdown +
+zonemap pruning, transactional batch writer (OCC manifest claim),
+exactly-once streaming sink, and per-session registration with
+thread pinning.  Split from sources/pydatasource.py (r12)."""
+
+from __future__ import annotations
+
+import functools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+from pu4spark_spark.sources.tables import load_table
+from pu4spark_spark.sources.lake.protocol import (
+    DOCS_DDL,
+    ManifestCommitConflict,
+    OP_KEY,
+    SCHEMA_KEY,
+    TOMBSTONE_KEY,
+    TXN_KEY,
+    _compile_constraint,
+    _constraints_of,
+    _converters_of_ddl,
+    _effective_schema_ddl,
+    _fields_of_ddl,
+    _iter_jsonl,
+    _json_cell,
+    _latest_manifest_version,
+    _list_shards,
+    _manifest_at,
+    _manifest_files,
+    _shard_path,
+    _tomb_sources_for,
+    _tombstones_of,
+    _version_as_of,
+    _write_atomic,
+    _write_atomic_excl,
+)
+from pu4spark_spark.sources.lake.streaming import (
+    JsonlDocsChangeFeedStreamReader,
+    JsonlDocsStreamReader,
+    JsonlDocsVersionStreamReader,
+)
+
+
+
+class JsonlDocsDataSource(DataSource):
+    """``format("jsonl_docs")``: directory of *.json / *.jsonl shards."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_docs"
+
+    def schema(self) -> str:
+        # SCHEMA EVOLUTION: the table's schema is a property of the
+        # COMMIT, not the format — resolve the read's effective
+        # manifest (honoring version / as_of_ts pins) and serve its
+        # recorded ``_schema``, so time travel to a pre-evolution
+        # version reads the OLD shape.  Legacy / manifest-less
+        # directories serve the documents DDL.
+        ddl = _effective_schema_ddl(self.options)
+        if self.options.get("read_change_feed", "").lower() == "true":
+            # the change-feed stream's rows carry the CDF tags
+            ddl += ", _change_type string, _commit_version bigint"
+        return ddl
+
+    def reader(self, schema) -> "JsonlDocsReader":
+        if self.options.get("read_change_feed", "").lower() == "true":
+            # Delta serves batch readChangeFeed; this source's batch
+            # twin is table_changes_jsonl_dir() (a DataFrame builder —
+            # CDF pre-image derivation needs joins a DataSourceReader
+            # partition cannot express).  Refuse loudly rather than
+            # return a plain reader whose row tuples would be two
+            # fields short of the CDF schema declared above.
+            raise ValueError(
+                "read_change_feed is not supported for BATCH reads of "
+                "format('jsonl_docs'); use "
+                "pu4spark_spark.sources.table_changes_jsonl_dir(spark, "
+                "path, starting_version=...) for the batch change feed, "
+                "or readStream for the streaming feed"
+            )
+        return JsonlDocsReader(self.options)
+
+    def streamReader(self, schema) -> "DataSourceStreamReader":
+        if self.options.get("read_change_feed", "").lower() == "true":
+            return JsonlDocsChangeFeedStreamReader(self.options)
+        if self.options.get("versioned", "").lower() == "true":
+            return JsonlDocsVersionStreamReader(self.options)
+        return JsonlDocsStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "JsonlDocsWriter":
+        return JsonlDocsWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return JsonlDocsStreamWriter(self.options, schema)
+
+
+#: serializes first registration per session — re-registering is not
+#: just wasteful, it is a RACE: Spark's "replace a previously
+#: registered data source" path has a window where a concurrent lookup
+#: fails DATA_SOURCE_NOT_FOUND, so two threads each calling
+#: register_pyds() could fail each other's save()/load() (observed
+#: under the threaded DML stress)
+_REGISTER_LOCK = __import__("threading").Lock()
+
+
+def ensure_active_session(spark: SparkSession) -> None:
+    """Pin ``spark`` as the JVM active session for the CURRENT thread.
+
+    PySpark's pinned-thread mode maps each Python thread to its own
+    JVM thread, and a JVM thread created on demand has NO active
+    session — so ``save()``/``load()`` name resolution, which consults
+    the ACTIVE session's Python data-source registry
+    (DataSourceManager), silently falls through to the classpath and
+    dies with DATA_SOURCE_NOT_FOUND for a source that IS registered
+    (reproduced: 4 threads round-tripping jsonl_docs, ~50% failure).
+    Concurrent writers are the point of the OCC commit protocol, so
+    every session-taking DML entry point pins first via
+    :func:`register_pyds`; code driving ``df.write`` directly from a
+    worker thread should call this (or ``register_pyds``) once at
+    thread start.  Idempotent, one py4j call."""
+    try:
+        jvm_cls = spark._jvm.org.apache.spark.sql.classic.SparkSession
+        jvm_cls.setActiveSession(spark._jsparkSession)
+    except Exception:
+        # Spark Connect sessions have no JVM handle — and no
+        # thread-local active-session resolution either
+        pass
+
+
+def register_pyds(spark: SparkSession) -> None:
+    """Register the custom source AND enable Python-datasource filter
+    pushdown in the same breath: a reader that overrides
+    ``pushFilters`` hard-fails in any session where
+    ``spark.sql.python.filterPushdown.enabled`` is false (dynamic SQL
+    conf, so setting it here covers harness-built sessions too) —
+    keeping the two together makes that failure mode impossible.
+    Idempotent and thread-safe: one registration per session object,
+    ever (the done-marker lives ON the session, so a stopped-and-
+    recreated session registers afresh) — re-registering is a race in
+    its own right (Spark's replace path has a lookup-miss window).
+    Always pins the active session for the calling thread first
+    (:func:`ensure_active_session`), so every DML entry point that
+    calls this is safe to drive from worker threads."""
+    ensure_active_session(spark)
+    if getattr(spark, "_pu4spark_pyds_registered", False):
+        return
+    with _REGISTER_LOCK:
+        if getattr(spark, "_pu4spark_pyds_registered", False):
+            return
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        spark.dataSource.register(JsonlDocsDataSource)
+        spark._pu4spark_pyds_registered = True
+
+
+class JsonlDocsWriter(DataSourceWriter):
+    """Executor-side JSONL shard writer with TRANSACTIONAL commit: each
+    task streams its rows to an underscore-prefixed temp shard (hidden
+    from every reader by the metadata-file convention), and only the
+    driver-side ``commit`` renames the shards named in the task commit
+    messages to their final ``part-*.jsonl`` names and writes the
+    ``_MANIFEST`` commit log.  A failed, retried, or speculatively
+    executed task therefore leaves at most an orphan ``_tmp-*`` file —
+    swept by ``commit``/``abort`` and invisible to readers either way —
+    never a duplicate visible shard (the exactly-once contract the
+    round-trip query value-checks).  ``overwrite`` mode clears the
+    target directory driver-side before the job starts."""
+
+    def __init__(self, options, schema, overwrite: bool) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_docs writer requires option 'path'")
+        self.fields = [f.name for f in schema.fields]
+        #: written shape as DDL — recorded as the table schema when an
+        #: overwrite creates a non-documents table (appends instead
+        #: carry the base manifest's _schema; evolve_jsonl_schema is
+        #: the path that CHANGES a live table's shape)
+        self.ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+        )
+        self.overwrite = overwrite
+        # optimistic-concurrency declaration: "this job planned against
+        # table version N and commits N+1".  When set, commit() claims
+        # exactly v{N+1} and FAILS (ManifestCommitConflict) if another
+        # writer claimed it first — the Iceberg/Delta base-snapshot
+        # contract.  Unset → the version is derived from a fresh listing
+        # at commit time (the claim still guarantees a unique winner).
+        bv = options.get("base_version")
+        self.base_version = int(bv) if bv is not None else None
+        # Hive-style partitioned write, metadata-tracked: each task
+        # writes ONE shard per distinct value of the partition
+        # column(s) and the commit records the values in
+        # _STATS["_parts"] so the reader prunes whole shards on
+        # partition-column equality/IN filters.  Unlike Hive the
+        # column STAYS in the row data (no directory-name encoding —
+        # the manifest, not the path, is the metadata authority, the
+        # Iceberg position).  Callers should repartition by the
+        # partition column first: per-task shard count (and open file
+        # handles) is the task's value cardinality.
+        pb = options.get("partition_by")
+        self.partition_by = (
+            [c.strip() for c in pb.split(",") if c.strip()] if pb else []
+        )
+        # CHECK constraints of the base manifest, compiled driver-side
+        # once and pickled to every task: each row is validated BEFORE
+        # staging, so one violating row fails the job and nothing
+        # partial ever claims a manifest.  An overwrite replaces the
+        # table, constraints included.  option("constraints_from", p)
+        # enforces ANOTHER table's constraints — the merge staging
+        # path writes into a sibling stage dir whose rows are destined
+        # for the real table, and must not bypass its contract.
+        self._constraints: list[tuple] = []
+        cfrom = options.get("constraints_from")
+        src = cfrom if cfrom else (None if overwrite else self.path)
+        if src and os.path.isdir(src):
+            base = (
+                self.base_version
+                if self.base_version is not None and not cfrom
+                else _latest_manifest_version(src)
+            )
+            if base > 0:
+                for nm, ex in _constraints_of(
+                    _manifest_at(src, base)
+                ).items():
+                    self._constraints.append(
+                        (nm, ex, _compile_constraint(ex))
+                    )
+        # per-JOB token: assigned once driver-side, shared by all the
+        # job's pickled task copies.  Temp shards carry it so commit's
+        # orphan sweep only ever touches THIS job's leftovers — a
+        # concurrent writer's in-flight staging is invisible to us
+        # (foreign orphans from crashed jobs are vacuum's business).
+        import uuid as _uuid
+
+        self.job_token = _uuid.uuid4().hex[:8]
+        if overwrite:
+            # runs on the driver, pre-job (the writer is constructed
+            # once driver-side before being pickled to tasks)
+            import shutil
+
+            shutil.rmtree(self.path, ignore_errors=True)
+
+    def write(self, iterator) -> WriterCommitMessage:
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        _os.makedirs(self.path, exist_ok=True)
+        has_doc = "doc_id" in self.fields
+
+        class _Shard:
+            __slots__ = ("tmp", "final", "fh", "n", "mn", "mx", "parts")
+
+            def __init__(s, token: str, parts: dict | None) -> None:
+                s.final = f"part-{pid:05d}-{_uuid.uuid4().hex[:8]}.jsonl"
+                s.tmp = f"_tmp-{token}-" + s.final
+                s.fh = open(_os.path.join(self.path, s.tmp), "w")
+                s.n = 0
+                s.mn = s.mx = None
+                s.parts = parts
+
+            def add(s, d: dict) -> None:
+                s.fh.write(_json.dumps(d, default=_json_cell) + "\n")
+                s.n += 1
+                # per-shard doc_id min/max ride the commit message —
+                # the zonemap the reader's filter pushdown prunes with
+                if has_doc and d["doc_id"] is not None:
+                    v = d["doc_id"]
+                    s.mn = v if s.mn is None or v < s.mn else s.mn
+                    s.mx = v if s.mx is None or v > s.mx else s.mx
+
+            def close(s) -> JsonlCommit:
+                # shard contents must be on disk before the driver's
+                # commit can make them visible — same power-loss
+                # discipline as the metadata files
+                s.fh.flush()
+                _os.fsync(s.fh.fileno())
+                s.fh.close()
+                return JsonlCommit(
+                    s.tmp, s.final, s.n, s.mn, s.mx, parts=s.parts
+                )
+
+        cons = self._constraints
+
+        def _validated(d: dict) -> dict:
+            for nm, ex, fn in cons:
+                if not fn(d):
+                    raise ValueError(
+                        f"CHECK constraint {nm!r} ({ex}) violated by "
+                        f"row {d!r} — the job fails before any commit"
+                    )
+            return d
+
+        if not self.partition_by:
+            shard = _Shard(self.job_token, None)
+            for row in iterator:
+                shard.add(_validated({k: row[k] for k in self.fields}))
+            return shard.close()
+        # partitioned write: one shard per distinct partition value
+        # seen by THIS task (callers repartition by the column, so
+        # normally one value per task)
+        shards: dict[tuple, _Shard] = {}
+        for row in iterator:
+            d = _validated({k: row[k] for k in self.fields})
+            key = tuple(d[c] for c in self.partition_by)
+            s = shards.get(key)
+            if s is None:
+                s = shards[key] = _Shard(
+                    self.job_token,
+                    dict(zip(self.partition_by, key)),
+                )
+            s.add(d)
+        if not shards:
+            # empty task still reports itself (rows=0, no file kept)
+            shard = _Shard(self.job_token, None)
+            return shard.close()
+        commits = [s.close() for s in shards.values()]
+        head, tail = commits[0], commits[1:]
+        head.extra = tail
+        return head
+
+    def _sweep_tmp(self, keep: set[str]) -> None:
+        import os as _os
+
+        prefix = f"_tmp-{self.job_token}-"
+        for f in _os.listdir(self.path):
+            if f.startswith(prefix) and f not in keep:
+                try:
+                    _os.remove(_os.path.join(self.path, f))
+                except OSError:
+                    pass
+
+    def commit(self, messages) -> None:
+        import json as _json
+        import os as _os
+
+        # the version this commit will claim is decided FIRST, because
+        # it names the base snapshot the new manifest must extend
+        if self.base_version is not None:
+            version = self.base_version + 1
+        else:
+            version = 1 + max(
+                (
+                    int(f.rsplit(".v", 1)[1])
+                    for f in _os.listdir(self.path)
+                    if f.startswith("_MANIFEST.v")
+                    and f.rsplit(".v", 1)[1].isdigit()
+                ),
+                default=0,
+            ) if _os.path.isdir(self.path) else 1
+        # append mode commits ON TOP of the existing log: seed from the
+        # IMMUTABLE base snapshot _MANIFEST.v{version-1} — never from
+        # the live _MANIFEST pointer.  The live pointer lags a winner
+        # that has claimed its version but not yet flipped (or crashed
+        # between the two); seeding from it would silently drop that
+        # committed winner's shards from every later version — exactly
+        # the lost-update the version claim exists to prevent.  The
+        # live pointer / directory listing are only fallbacks for
+        # pre-versioned or manifest-less directories (readable via the
+        # reader's listing fallback) — otherwise the first append would
+        # hide every pre-existing shard behind a manifest naming only
+        # its own.
+        manifest = {}
+        if not self.overwrite:
+            base_snap = _os.path.join(
+                self.path, f"_MANIFEST.v{version - 1}"
+            )
+            mpath = _os.path.join(self.path, "_MANIFEST")
+            if version > 1 and _os.path.exists(base_snap):
+                with open(base_snap) as fh:
+                    manifest = _json.load(fh)
+            elif _os.path.exists(mpath):
+                with open(mpath) as fh:
+                    manifest = _json.load(fh)
+            elif _os.path.isdir(self.path):
+                # same extension set the reader's listing fallback scans
+                for f in _os.listdir(self.path):
+                    if f.endswith((".json", ".jsonl")) and not f.startswith(
+                        (".", "_")
+                    ):
+                        # row count unknown without a scan; None marks
+                        # "listed, not counted" (readers only use keys)
+                        manifest[f] = None
+        # per-shard zonemap sidecar: merged like the manifest on append
+        # (shards are immutable, so old entries stay valid); a shard
+        # with NO entry is simply never pruned — partial stats are
+        # always safe.  Unlike the manifest it MAY seed from the live
+        # _STATS (a racing writer's lost entries only disable pruning
+        # for those shards; extra entries for shards outside the
+        # manifest are never consulted)
+        stats = {}
+        if not self.overwrite:
+            spath = _os.path.join(self.path, "_STATS")
+            if _os.path.exists(spath):
+                with open(spath) as fh:
+                    stats = _json.load(fh)
+        committed_tmp = set()
+        for m in _flatten_commits(messages):
+            _os.rename(
+                _os.path.join(self.path, m.tmp),
+                _os.path.join(self.path, m.file),
+            )
+            committed_tmp.add(m.tmp)
+            manifest[m.file] = m.rows
+            if TOMBSTONE_KEY in manifest:
+                # a table with delete history tracks each shard's add
+                # version so tombstone entries (scoped "v > added")
+                # never apply to rows committed after them
+                manifest[TOMBSTONE_KEY].setdefault("added", {})[
+                    m.file
+                ] = version
+            if getattr(m, "min_doc", None) is not None:
+                stats[m.file] = [m.min_doc, m.max_doc]
+            if getattr(m, "parts", None):
+                # partition values per shard — advisory like the
+                # zonemap: a shard without an entry is never pruned
+                stats.setdefault("_parts", {})[m.file] = m.parts
+        if self.overwrite and self.ddl != DOCS_DDL:
+            manifest[SCHEMA_KEY] = self.ddl
+        # operation provenance (DESCRIBE HISTORY): each commit records
+        # its own op, overwriting whatever the base carried
+        manifest[OP_KEY] = "overwrite" if self.overwrite else "append"
+        # commit wall-clock (ns) — the "TIMESTAMP AS OF" resolution key
+        # (reserved key, skipped by every shard-list consumer)
+        import time as _time
+
+        manifest["_ts"] = _time.time_ns()
+        # orphans from failed/speculative task attempts
+        self._sweep_tmp(committed_tmp)
+        # versioned commit log (time travel's minimal form): every
+        # commit also snapshots the full shard list as _MANIFEST.v{N}
+        # (the version claimed above, before the base snapshot was
+        # read).  Shards are immutable and appends never delete, so
+        # reading an old version's list IS the table as of that commit.
+        # metadata commits use the same rename pattern as the shards: a
+        # crash mid-write (or a concurrent reader) must never observe a
+        # truncated _MANIFEST / _MANIFEST.v{N} / _STATS — os.replace is
+        # atomic on POSIX, so readers see either the old file or the new
+        # one, never a partial body.  Order matters: the snapshot first
+        # (time travel), then _STATS, then _MANIFEST last — the live
+        # pointer only flips once everything it references is durable.
+        #
+        # OPTIMISTIC CONCURRENCY: the version snapshot is claimed with
+        # CREATE-IF-ABSENT (hard link, which fails on an existing name)
+        # — two writers that both prepared v{N} race to that one atomic
+        # filesystem operation, exactly one wins, and the loser raises
+        # ManifestCommitConflict after unlinking its own shards.  The
+        # live _MANIFEST / _STATS are only ever flipped by the winner,
+        # so a conflict can never produce a silent shard-list merge.
+        body = _json.dumps(manifest)
+        try:
+            _write_atomic_excl(
+                _os.path.join(self.path, f"_MANIFEST.v{version}"), body
+            )
+        except FileExistsError:
+            # another writer committed this version first: roll back our
+            # shard visibility (manifest-preferring readers never saw
+            # them — they are in no committed manifest) and fail loudly.
+            # Exception: on a manifest-less first commit the winner seeds
+            # its manifest from a directory LISTING, which may have
+            # caught our already-renamed shards — never delete a file
+            # the winner's (atomic, hence complete) claim references.
+            winner_files: set[str] = set()
+            try:
+                with open(
+                    _os.path.join(self.path, f"_MANIFEST.v{version}")
+                ) as fh:
+                    winner_files = set(_json.load(fh))
+            except (OSError, ValueError):
+                pass
+            for m in _flatten_commits(messages):
+                if m.file in winner_files:
+                    continue
+                try:
+                    _os.remove(_os.path.join(self.path, m.file))
+                except OSError:
+                    pass
+            raise ManifestCommitConflict(
+                f"concurrent commit: _MANIFEST.v{version} was claimed by "
+                f"another writer after this job read version {version - 1}; "
+                "this job's shards were rolled back — re-run the append "
+                "against the new table state"
+            ) from None
+        # the live _MANIFEST is a CACHE: unpinned readers resolve the
+        # highest _MANIFEST.v{N} first (JsonlDocsReader._resolve), so
+        # correctness never depends on this pointer.  Still, only flip
+        # it while this commit is the latest — a winner that claimed
+        # v{N} then stalled while others committed v{N+1..} must not
+        # swing the cache (and legacy consumers of it) backwards.  The
+        # skipped _STATS merge only disables pruning for our shards —
+        # zonemaps are advisory and partial stats are always safe.
+        if _latest_manifest_version(self.path) == version:
+            _write_atomic(
+                _os.path.join(self.path, "_STATS"), _json.dumps(stats)
+            )
+            _write_atomic(_os.path.join(self.path, "_MANIFEST"), body)
+
+    def abort(self, messages) -> None:
+        import os as _os
+
+        if _os.path.isdir(self.path):
+            self._sweep_tmp(set())
+
+
+class JsonlCommit(WriterCommitMessage):
+    def __init__(
+        self,
+        tmp: str,
+        file: str,
+        rows: int,
+        min_doc: int | None = None,
+        max_doc: int | None = None,
+        parts: dict | None = None,
+        extra: list | None = None,
+    ) -> None:
+        self.tmp = tmp
+        self.file = file
+        self.rows = rows
+        #: per-shard doc_id zonemap (None when the schema has no doc_id
+        #: or the shard is empty) — commit() collects these into _STATS
+        self.min_doc = min_doc
+        self.max_doc = max_doc
+        #: partition values of every row in this shard ({col: value}),
+        #: set by a ``partition_by`` write — commit() records them
+        #: under _STATS["_parts"] for reader-side partition pruning
+        self.parts = parts
+        #: additional shards from the SAME task (a partitioned task
+        #: writes one shard per distinct partition value, but the
+        #: DataSourceWriter API allows one message per task) —
+        #: commit()/abort() flatten
+        self.extra = extra
+
+
+def _flatten_commits(messages):
+    """One JsonlCommit per physical shard: tasks pack secondary shards
+    into ``extra`` (one API message per task), commit/abort unpack."""
+    for m in messages:
+        if m is None:
+            continue
+        yield m
+        for e in m.extra or ():
+            yield e
+
+
+class JsonlDocsStreamWriter(DataSourceStreamWriter):
+    """STREAMING SINK INTO THE MINI-LAKE — the fourth quadrant of the
+    connector matrix (batch read/write and the two stream readers are
+    the other three): every micro-batch lands as one manifest commit
+    through the same create-if-absent OCC claim as batch appends, so a
+    downstream ``versioned`` stream reader tails the sink's output at
+    commit granularity and batch readers never observe a torn batch.
+
+    EXACTLY-ONCE: tasks stage uuid-named shards (invisible until a
+    manifest references them); ``commit(messages, batchId)`` first
+    checks the latest manifest's ``_txn.last_batch`` — a RETRIED batch
+    (engine restart between sink commit and offset-log commit) finds
+    its own id already recorded and becomes a no-op sweep, never a
+    duplicate (Delta's idempotent-txn pattern).  Conflicts with
+    concurrent BATCH appenders re-claim the next version metadata-only
+    (staged shards need no re-write).  Compaction/vacuum keep their
+    exclusive-maintainer rule: a rewrite drops ``_txn``, so don't run
+    them against a live sink's directory.
+
+    Scale: per-batch work is the batch writer's (executor shards +
+    one driver claim); state carried between batches is ONE integer
+    in the manifest."""
+
+    def __init__(self, options, schema) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_docs stream writer requires 'path'")
+        self.fields = [f.name for f in schema.fields]
+        import uuid as _uuid
+
+        self.job_token = _uuid.uuid4().hex[:8]
+
+    def write(self, iterator) -> WriterCommitMessage:
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        _os.makedirs(self.path, exist_ok=True)
+        final = f"part-{pid:05d}-{_uuid.uuid4().hex[:8]}.jsonl"
+        tmp = f"_tmp-{self.job_token}-" + final
+        n = 0
+        has_doc = "doc_id" in self.fields
+        mn = mx = None
+        # CHECK constraints, loaded lazily per TASK from the current
+        # latest manifest (a stream is long-lived — a constraint added
+        # mid-stream must bind future batches, so init-time loading
+        # would be stale; per-batch task load is one manifest read)
+        cons = []
+        latest = _latest_manifest_version(self.path)
+        if latest > 0:
+            for nm, ex in _constraints_of(
+                _manifest_at(self.path, latest)
+            ).items():
+                cons.append((nm, ex, _compile_constraint(ex)))
+        with open(_os.path.join(self.path, tmp), "w") as fh:
+            for row in iterator:
+                d = {k: row[k] for k in self.fields}
+                for nm, ex, fn in cons:
+                    if not fn(d):
+                        raise ValueError(
+                            f"CHECK constraint {nm!r} ({ex}) violated "
+                            f"by row {d!r} — the micro-batch fails "
+                            "before any commit"
+                        )
+                fh.write(_json.dumps(d) + "\n")
+                n += 1
+                if has_doc and d["doc_id"] is not None:
+                    v = d["doc_id"]
+                    mn = v if mn is None or v < mn else mn
+                    mx = v if mx is None or v > mx else mx
+            fh.flush()
+            _os.fsync(fh.fileno())
+        return JsonlCommit(tmp, final, n, mn, mx)
+
+    def _sweep(self, keep: set[str]) -> None:
+        import os as _os
+
+        prefix = f"_tmp-{self.job_token}-"
+        try:
+            names = _os.listdir(self.path)
+        except OSError:
+            return
+        for f in names:
+            if f.startswith(prefix) and f not in keep:
+                try:
+                    _os.remove(_os.path.join(self.path, f))
+                except OSError:
+                    pass
+
+    def commit(self, messages, batchId: int) -> None:
+        import json as _json
+        import os as _os
+
+        latest = _latest_manifest_version(self.path)
+        last = (
+            _manifest_at(self.path, latest).get(TXN_KEY, {})
+            .get("last_batch", -1)
+            if latest > 0
+            else -1
+        )
+        if last >= batchId:
+            # retried micro-batch: already durably committed — no-op
+            self._sweep(set())
+            return
+        staged: dict[str, int] = {}
+        stats_new: dict[str, list] = {}
+        committed_tmp = set()
+        for m in messages:
+            if m is None:
+                continue
+            _os.rename(
+                _os.path.join(self.path, m.tmp),
+                _os.path.join(self.path, m.file),
+            )
+            committed_tmp.add(m.tmp)
+            staged[m.file] = m.rows
+            if getattr(m, "min_doc", None) is not None:
+                stats_new[m.file] = [m.min_doc, m.max_doc]
+        self._sweep(committed_tmp)
+        # metadata-only claim loop: staged shards are invisible until a
+        # manifest references them, so losing a claim to a concurrent
+        # batch appender just means re-claiming against the new base.
+        # Bounded: a pathologically hot table must fail the batch
+        # loudly (the engine retries it; _txn makes that safe), not
+        # spin the driver forever.
+        for _attempt in range(64):
+            base = _latest_manifest_version(self.path)
+            version = base + 1
+            manifest = dict(_manifest_at(self.path, base))
+            # re-check _txn against the REFRESHED base: a zombie /
+            # duplicate sink instance (engine failover) that passed the
+            # pre-loop check can lose the claim race to the OTHER
+            # instance's commit of this very batchId — re-claiming the
+            # next version would land the batch's shards TWICE.  The
+            # idempotence test must ride every claim attempt, not just
+            # the first read (the Delta txn check is part of the commit
+            # transaction for the same reason).  Our staged shards are
+            # in no committed manifest — remove them and no-op.
+            if manifest.get(TXN_KEY, {}).get("last_batch", -1) >= batchId:
+                for f in staged:
+                    try:
+                        _os.remove(_os.path.join(self.path, f))
+                    except OSError:
+                        pass
+                self._sweep(set())
+                return
+            if TOMBSTONE_KEY in manifest:
+                added = manifest[TOMBSTONE_KEY].setdefault("added", {})
+                for f in staged:
+                    added[f] = version
+            manifest.update(staged)
+            manifest[TXN_KEY] = {"last_batch": batchId}
+            manifest[OP_KEY] = "streaming-append"
+            import time as _time
+
+            manifest["_ts"] = _time.time_ns()
+            body = _json.dumps(manifest)
+            try:
+                _write_atomic_excl(
+                    _os.path.join(self.path, f"_MANIFEST.v{version}"),
+                    body,
+                )
+            except FileExistsError:
+                continue
+            break
+        else:
+            raise ManifestCommitConflict(
+                f"concurrent commit: _MANIFEST.v claims lost 64 times "
+                f"for streaming batch {batchId} under {self.path} — "
+                "contention is pathological; the engine will retry "
+                "the batch"
+            )
+        if _latest_manifest_version(self.path) == version:
+            spath = _os.path.join(self.path, "_STATS")
+            stats = {}
+            if _os.path.exists(spath):
+                with open(spath) as fh:
+                    stats = _json.load(fh)
+            stats.update(stats_new)
+            _write_atomic(spath, _json.dumps(stats))
+            _write_atomic(_os.path.join(self.path, "_MANIFEST"), body)
+
+    def abort(self, messages, batchId: int) -> None:
+        self._sweep(set())
+
+
+class JsonlDocsReader(DataSourceReader):
+    """Manifest-resolving batch reader (snapshot / time-travel pins,
+    tombstone application, zonemap + partition pruning — see the
+    methods).
+
+    PUSHDOWN-SHARING RULE (Spark 4.1 Python DataSource limitation —
+    load once per filtered consumer): when ONE loaded DataFrame is
+    branched under DIFFERENT filters (e.g. a union of two filtered
+    aggregates over the same ``load()`` result), Spark builds a
+    correctly-filtered reader per branch but executes BOTH branches
+    against a single reader's planned partition list (scan identity
+    ignores Python-side pushdown state, so the scans deduplicate;
+    observed: the other branch re-filters the wrong shard set to
+    empty).  Soundness rule for this source: take a FRESH ``load()``
+    for every consumer that applies different filters — separate
+    relations never share a reader.  Pruning stays a pure I/O saving
+    under that rule because every filter is also re-evaluated by
+    Spark.  (JVM DSv2 sources are immune: their pushed state lives in
+    the Scan object, which participates in plan equality.)"""
+
+    def __init__(self, options) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("jsonl_docs requires option 'path'")
+        self.path = path
+        #: optional snapshot pin: option("version", "N") reads the
+        #: shard list committed as _MANIFEST.v{N} — time travel over
+        #: the immutable shards (appends only ever add files)
+        v = options.get("version")
+        self.version = int(v) if v is not None else None
+        #: Delta's TIMESTAMP AS OF: option("as_of_ts", ns) reads the
+        #: newest commit whose _ts stamp is <= the given wall-clock ns
+        ts = options.get("as_of_ts")
+        self.as_of_ts = int(ts) if ts is not None else None
+        if self.version is not None and self.as_of_ts is not None:
+            raise ValueError(
+                "jsonl_docs: pass either 'version' or 'as_of_ts', not both"
+            )
+        #: doc_id interval implied by pushed-down filters; shards whose
+        #: _STATS zonemap can't intersect it are skipped in partitions()
+        self._lo: int | None = None
+        self._hi: int | None = None
+        #: pushed-down equality/IN value sets per non-doc_id column —
+        #: shards whose _STATS["_parts"] entry records a value OUTSIDE
+        #: the set are skipped (partition pruning); columns without a
+        #: parts entry never prune
+        self._part_in: dict[str, set] = {}
+        #: the pinned commit's column order (schema evolution: resolved
+        #: once at plan time, same as the source's schema() call)
+        _ddl = _effective_schema_ddl(options)
+        self.fields = _fields_of_ddl(_ddl)
+        self.convs = _converters_of_ddl(_ddl)
+
+    def pushFilters(self, filters):
+        """Filter PUSHDOWN (Spark 4.1 Python DataSource API), two
+        pruning axes: (1) doc_id comparisons fold into one [lo, hi]
+        interval tested against the writer's ``_STATS`` zonemap — the
+        data-skipping move every lake format makes (parquet row-group
+        stats, Iceberg manifests); (2) equality/IN predicates on other
+        columns fold into per-column allowed-value sets tested against
+        ``_STATS["_parts"]`` — PARTITION PRUNING over shards written
+        with ``option("partition_by", col)``.  Every filter is
+        returned to Spark for re-evaluation, so the pushdown is purely
+        an I/O saving and can never change results; shards without a
+        stats/parts entry are never pruned."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        def _tighten(lo=None, hi=None):
+            if lo is not None and (self._lo is None or lo > self._lo):
+                self._lo = lo
+            if hi is not None and (self._hi is None or hi < self._hi):
+                self._hi = hi
+
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            # PARTITION pruning: equality/IN on any other column folds
+            # into a per-column allowed-value set, tested against the
+            # writer's _STATS["_parts"] (a partitioned shard holds ONE
+            # value per partition column, so set membership is a sound
+            # whole-shard test; non-partitioned shards have no entry
+            # and are never pruned)
+            if (
+                attr is not None
+                and len(attr) == 1
+                and attr != ("doc_id",)
+            ):
+                col = attr[0]
+                vals = None
+                if isinstance(f, EqualTo) and isinstance(
+                    f.value, (str, int, bool)
+                ):
+                    vals = {f.value}
+                elif (
+                    isinstance(f, In)
+                    and f.value
+                    and all(
+                        isinstance(v, (str, int, bool)) for v in f.value
+                    )
+                ):
+                    vals = set(f.value)
+                if vals is not None:
+                    prev = self._part_in.get(col)
+                    self._part_in[col] = (
+                        vals if prev is None else prev & vals
+                    )
+                continue
+            if (
+                isinstance(f, In)
+                and attr == ("doc_id",)
+                and f.value
+                and all(isinstance(v, int) for v in f.value)
+            ):
+                # an IN list prunes by its value-set envelope (the
+                # zonemap is an interval test, so the hull is the
+                # tightest sound bound)
+                _tighten(lo=min(f.value), hi=max(f.value))
+                continue
+            if getattr(f, "attribute", None) == ("doc_id",) and isinstance(
+                getattr(f, "value", None), int
+            ):
+                if isinstance(f, EqualTo):
+                    _tighten(lo=f.value, hi=f.value)
+                elif isinstance(f, GreaterThan):
+                    _tighten(lo=f.value + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    _tighten(lo=f.value)
+                elif isinstance(f, LessThan):
+                    _tighten(hi=f.value - 1)
+                elif isinstance(f, LessThanOrEqual):
+                    _tighten(hi=f.value)
+        # all filters go back to Spark — zonemap pruning is a shard
+        # skip, not a row filter
+        return filters
+
+    def _prune(self, files: list) -> list:
+        if self._lo is None and self._hi is None and not self._part_in:
+            return files
+        spath = os.path.join(self.path, "_STATS")
+        if not os.path.exists(spath):
+            return files
+        import json as _json
+
+        with open(spath) as fh:
+            stats = _json.load(fh)
+        parts = stats.get("_parts", {})
+        kept = []
+        for f in files:
+            # partition pruning: drop the shard iff a filtered column
+            # has a RECORDED value outside the allowed set (no entry →
+            # never prune blind, same rule as the zonemap)
+            p = parts.get(f)
+            if p and any(
+                c in p and p[c] not in allowed
+                for c, allowed in self._part_in.items()
+            ):
+                continue
+            s = stats.get(f)
+            if s is None:
+                kept.append(f)  # no zonemap — never prune blind
+                continue
+            mn, mx = s
+            if (self._hi is not None and mn > self._hi) or (
+                self._lo is not None and mx < self._lo
+            ):
+                continue
+            kept.append(f)
+        return kept
+
+    def _resolve(self) -> tuple[int | None, dict | None]:
+        """(version, manifest) this read sees.  Pinned reads load their
+        snapshot; unpinned reads resolve the HIGHEST committed
+        ``_MANIFEST.v{N}`` — the live ``_MANIFEST`` is only a cache
+        (a stalled winner flipping it late, or not at all, must never
+        hide a newer committed version from batch readers) and is
+        consulted only for legacy directories that have a live pointer
+        but no versioned snapshots.  ``(None, None)`` = manifest-less
+        directory → listing fallback."""
+        import json as _json
+
+        pinned = self.version
+        if pinned is None and self.as_of_ts is not None:
+            pinned = _version_as_of(self.path, self.as_of_ts)
+        if pinned is not None:
+            vpath = os.path.join(self.path, f"_MANIFEST.v{pinned}")
+            if not os.path.exists(vpath):
+                raise ValueError(
+                    f"jsonl_docs: no snapshot _MANIFEST.v{pinned} "
+                    f"under {self.path}"
+                )
+            with open(vpath) as fh:
+                return pinned, _json.load(fh)
+        latest = _latest_manifest_version(self.path)
+        if latest > 0:
+            with open(
+                os.path.join(self.path, f"_MANIFEST.v{latest}")
+            ) as fh:
+                return latest, _json.load(fh)
+        live = os.path.join(self.path, "_MANIFEST")
+        if os.path.exists(live):
+            with open(live) as fh:
+                return None, _json.load(fh)
+        return None, None
+
+    def partitions(self):
+        # driver-side work is ONE metadata read: when the directory was
+        # produced by JsonlDocsWriter, the shard list comes from its
+        # _MANIFEST commit log (so orphan shards from failed jobs are
+        # never ingested); external directories (e.g. Spark's own JSON
+        # writer output) fall back to a listing.  Each shard becomes an
+        # independent task (ordering fixed for determinism).  Shards
+        # with tombstoned rows (row-level DELETE/MERGE commits) carry
+        # their applicable doc_id tombstones in the partition value so
+        # every executor filters them at read time.
+        _, manifest = self._resolve()
+        if manifest is None:
+            files = _list_shards(self.path)
+        else:
+            files = sorted(_manifest_files(manifest))
+        tombs = _tombstones_of(manifest)
+        parts = []
+        for f in self._prune(files):
+            # shallow-clone aware: names the clone never localized
+            # resolve to the source dir (_base_dir)
+            full = _shard_path(self.path, manifest, f)
+            ids, kfiles = _tomb_sources_for(f, tombs)
+            if ids or kfiles:
+                parts.append(
+                    InputPartition(
+                        (
+                            full,
+                            ids,
+                            tuple(
+                                _shard_path(self.path, manifest, kf)
+                                for kf in kfiles
+                            ),
+                        )
+                    )
+                )
+            else:
+                parts.append(InputPartition(full))
+        return parts
+
+    def read(self, partition):
+        # runs on the executor's Python worker: stream one shard.
+        # partition is None when partitions() returned [] (the zonemap
+        # pruned EVERY shard) — PySpark substitutes a single default
+        # partition in that case, which must scan nothing.
+        if partition is None:
+            return
+        yield from _iter_jsonl(partition.value, self.fields, self.convs)

@@ -1,0 +1,524 @@
+"""Streaming READERS over the mini-lake: landing-directory
+file feed, version stream (commit walk with rewrite skip +
+tombstone union), and the typed change-data-feed stream.  Split
+from sources/pydatasource.py (r12)."""
+
+from __future__ import annotations
+
+import functools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+from pu4spark_spark.sources.tables import load_table
+from pu4spark_spark.sources.lake.protocol import (
+    BASE_DIR_KEY,
+    CDC_KEY,
+    DOCS_DDL,
+    OP_KEY,
+    SCHEMA_KEY,
+    _converters_of_ddl,
+    _earliest_manifest_version,
+    _effective_schema_ddl,
+    _fields_of_ddl,
+    _iter_jsonl,
+    _latest_manifest_version,
+    _list_shards,
+    _manifest_at,
+    _manifest_files,
+    _shard_path,
+    _tomb_sources_for,
+    _tombstones_of,
+)
+
+
+
+class JsonlDocsStreamReader(DataSourceStreamReader):
+    """Incremental landing-directory feed over the same JSONL shards:
+    the offset is "how many shard files (in sorted order) have been
+    consumed", so each microbatch picks up exactly the files that
+    arrived since the last one — the file-source contract, expressed
+    through the custom-source API.
+
+    Distribution: ``partitions(start, end)`` emits one InputPartition
+    per NEW file and ``read`` runs on executor Python workers, so
+    ingest fans out like the batch reader; the driver never opens a
+    shard.  Offsets are durable dicts — the checkpoint replays
+    ``readBetweenOffsets`` deterministically because the sorted file
+    list is append-only in a landing directory.
+    """
+
+    def __init__(self, options) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("jsonl_docs requires option 'path'")
+        self.path = path
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        return {"index": len(_list_shards(self.path))}
+
+    def partitions(self, start: dict, end: dict):
+        files = _list_shards(self.path)[start["index"] : end["index"]]
+        return [InputPartition(os.path.join(self.path, f)) for f in files]
+
+    def read(self, partition):
+        import json
+
+        with open(partition.value) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                r = json.loads(line)
+                yield (
+                    r.get("doc_id"),
+                    r.get("text"),
+                    r.get("lang"),
+                    r.get("source"),
+                    r.get("n_chars"),
+                )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class JsonlDocsVersionStreamReader(DataSourceStreamReader):
+    """SNAPSHOT STREAMING over the manifest commit log — the
+    stream-from-table semantics a lake source provides (Delta/Iceberg
+    incremental read), on the engine's own connector: the offset is the
+    COMMITTED MANIFEST VERSION, and each microbatch reads exactly the
+    shards that version N+1..M added over version N (set difference of
+    two manifest snapshots).  Files in the directory but in NO
+    committed manifest — in-flight staging, orphans from failed or
+    CONFLICTED commits (``ManifestCommitConflict``) — are invisible,
+    which the listing-offset twin (:class:`JsonlDocsStreamReader`)
+    cannot promise.  Composes with the optimistic-concurrency writer:
+    a concurrent append lands as the next version and the next
+    microbatch picks up precisely its shards.
+
+    The checkpoint replays ``partitions(start, end)`` deterministically
+    because manifests are immutable once claimed (create-if-absent) and
+    appends never delete — the same property that makes batch time
+    travel sound."""
+
+    def __init__(self, options) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("jsonl_docs requires option 'path'")
+        self.path = path
+        # Delta's startingVersion: stream changes FROM this commit
+        # (inclusive), skipping the initial snapshot.  Default 0 =
+        # fresh subscriber = initial snapshot at the earliest kept
+        # version, then diffs (see partitions()).
+        sv = options.get("starting_version")
+        self.starting_version = int(sv) if sv is not None else 0
+        # Delta's ignoreDeletes: an append-only stream cannot RETRACT
+        # rows, so a DELETE/MERGE commit (tombstone ledger grew) fails
+        # the stream loudly unless the consumer opts in — with the
+        # opt-in, removals are simply not propagated and any shards the
+        # commit added (merge upserts) still stream as appends.
+        self.ignore_deletes = (
+            options.get("ignore_deletes", "").lower() == "true"
+        )
+        #: the stream's schema, fixed at query start (latest commit's):
+        #: commits with a DIFFERENT schema that this one does not
+        #: extend fail the stream loudly in partitions() — Delta's
+        #: restart-on-schema-change contract
+        _ddl = _effective_schema_ddl(options)
+        self.fields = _fields_of_ddl(_ddl)
+        self.convs = _converters_of_ddl(_ddl)
+
+    def initialOffset(self) -> dict:
+        return {"version": max(0, self.starting_version - 1)}
+
+    def latestOffset(self) -> dict:
+        return {"version": _latest_manifest_version(self.path)}
+
+    def partitions(self, start: dict, end: dict):
+        # walk the versions one commit at a time: a DATA commit
+        # contributes the shards it added over its predecessor; a
+        # REWRITE commit (compaction — ``.rewrite`` sidecar tethered to
+        # its snapshot by md5, the dataChange=false flag) contributes
+        # NOTHING — its files hold only rows earlier commits already
+        # delivered, so reading them would duplicate every compacted
+        # row.  Data commits are append-only, so per-commit set
+        # difference is exact; a LAGGING stream that still needs a
+        # pre-compaction shard vacuum already reclaimed fails LOUDLY
+        # on the missing file (the same time-travel-until-vacuum
+        # contract as batch reads).  A FRESH stream (offset 0) on a
+        # vacuumed table instead starts from the earliest snapshot
+        # still on disk, delivered WHOLE as its initial batch (rewrite
+        # marker ignored for that one version — a new subscriber needs
+        # the current rows however they were laid out), then tails
+        # diffs — the Delta/Iceberg initial-snapshot semantics.
+        import hashlib
+        import json
+
+        out: dict[str, int] = {}  # delivered shard → version that added it
+        first = start["version"] + 1
+        initial = None
+        if start["version"] == 0:
+            earliest = _earliest_manifest_version(self.path)
+            if earliest == 0:
+                return []  # no committed version yet
+            first = initial = earliest
+        # each snapshot's bytes are read ONCE per microbatch: the same
+        # body feeds the md5 tether check, the current diff, and the
+        # next iteration's prev (carried forward) — K+1 file reads for
+        # a K-version batch, not 3K
+        prev_files: set[str] | None = None
+        prev_nents = 0
+        base_dir: str | None = None  # shallow-clone source, if any
+        batch_ents: list[dict] = []  # union of ledger entries walked
+        ent_seen: set = set()
+        for v in range(first, end["version"] + 1):
+            with open(
+                os.path.join(self.path, f"_MANIFEST.v{v}"), "rb"
+            ) as fh:
+                body = fh.read()
+            m = json.loads(body)
+            base_dir = m.get(BASE_DIR_KEY, base_dir)
+            # SCHEMA boundary: a commit whose schema this stream's
+            # fixed schema does not EXTEND cannot be represented in
+            # the stream's rows — fail loudly; the restarted stream
+            # picks up the evolved schema and null-extends old shards.
+            # (Commits with a PREFIX schema — pre-evolution history
+            # read by a fresh subscriber — null-extend naturally.)
+            mf = _fields_of_ddl(m.get(SCHEMA_KEY, DOCS_DDL))
+            if mf != tuple(self.fields[: len(mf)]):
+                raise ValueError(
+                    f"jsonl_docs version stream: commit v{v} of "
+                    f"{self.path} changed the table schema to "
+                    f"{list(mf)}, which this stream (started with "
+                    f"{list(self.fields)}) cannot represent — restart "
+                    "the subscriber to pick up the evolved schema."
+                )
+            cur = set(_manifest_files(m))
+            tombs = _tombstones_of(m)
+            for e in tombs["entries"]:
+                key = (e["v"], tuple(e.get("ids", ())))
+                if key not in ent_seen:
+                    ent_seen.add(key)
+                    batch_ents.append(e)
+            skip = False
+            if v != initial:
+                try:
+                    with open(
+                        os.path.join(
+                            self.path, f"_MANIFEST.v{v}.rewrite"
+                        )
+                    ) as fh:
+                        skip = (
+                            fh.read().strip()
+                            == hashlib.md5(body).hexdigest()
+                        )
+                except OSError:
+                    skip = False
+            if v == initial:
+                # initial snapshot: each shard keeps its TRUE add
+                # version from the ledger's added-map (default 0 =
+                # predates every entry), so entries committed before
+                # the snapshot still filter it and a merge's own
+                # replacement shards stay exempt
+                added = tombs.get("added", {})
+                for f in cur:
+                    out.setdefault(f, added.get(f, 0))
+            elif not skip:
+                if prev_files is not None:
+                    base, base_nents = prev_files, prev_nents
+                else:
+                    pm = _manifest_at(self.path, v - 1)
+                    base = set(_manifest_files(pm))
+                    base_nents = len(_tombstones_of(pm)["entries"])
+                # a RESTORE (op stamp, plus the unmarked ledger
+                # shrink backstop for hand-edited metadata) cannot be
+                # replayed incrementally: rows it un-deletes were never
+                # retracted downstream, and files it rolls back to may
+                # already have been delivered (duplicate delivery)
+                if (
+                    m.get(OP_KEY) == "restore"
+                    or len(tombs["entries"]) < base_nents
+                ):
+                    raise ValueError(
+                        f"jsonl_docs version stream: commit v{v} of "
+                        f"{self.path} is a RESTORE (or shrank the "
+                        "ledger without a rewrite marker) — its "
+                        "un-deletions cannot be replayed "
+                        "incrementally; restart the subscriber from a "
+                        "fresh snapshot."
+                    )
+                if (
+                    len(tombs["entries"]) > base_nents
+                    and not self.ignore_deletes
+                ):
+                    raise ValueError(
+                        f"jsonl_docs version stream: commit v{v} of "
+                        f"{self.path} deleted rows (tombstone ledger "
+                        "grew), which an append-only stream cannot "
+                        "retract.  Pass option('ignore_deletes', "
+                        "'true') to skip removals (merge-added shards "
+                        "still stream), or restart the subscriber from "
+                        "a fresh snapshot."
+                    )
+                for f in cur - base:
+                    out.setdefault(f, v)  # diff shards: added at v
+            prev_files, prev_nents = cur, len(tombs["entries"])
+        # every ledger entry seen across the walked versions is applied
+        # to every delivered shard ADDED BEFORE it ("v > added" — the
+        # sequence-number rule): deleted-as-of-end rows never enter the
+        # stream, a merge's replaced keys are dropped from the old
+        # shards but spared on its own replacements, and the scoping
+        # survives compactions inside the range (a rewrite renames
+        # files; the add-version comparison doesn't care).  The UNION
+        # (not just the end ledger) matters because a compaction after
+        # a delete clears the ledger while pre-compaction diffs still
+        # need that delete's entry.  Deterministic on checkpoint
+        # replay: (start, end) pins the batch and manifests are
+        # immutable.  Cross-batch removals are the documented
+        # ignore_deletes non-retraction.
+        parts = []
+        # shallow-clone aware: the walk may span a compaction that
+        # dropped _base_dir, but earlier versions' shards still need
+        # it — resolve against any base dir seen during the walk
+        res = {BASE_DIR_KEY: base_dir} if base_dir else None
+        for f, av in sorted(out.items()):
+            full = _shard_path(self.path, res, f)
+            ids, kfiles = _tomb_sources_for(
+                f, {"entries": batch_ents}, added_v=av
+            )
+            if ids or kfiles:
+                parts.append(
+                    InputPartition(
+                        (
+                            full,
+                            ids,
+                            tuple(
+                                _shard_path(self.path, res, kf)
+                                for kf in kfiles
+                            ),
+                        )
+                    )
+                )
+            else:
+                parts.append(InputPartition(full))
+        return parts
+
+    def read(self, partition):
+        if partition is None:
+            return
+        yield from _iter_jsonl(partition.value, self.fields, self.convs)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class JsonlDocsChangeFeedStreamReader(DataSourceStreamReader):
+    """STREAMING CHANGE DATA FEED — Delta's ``readChangeFeed``: each
+    microbatch delivers the TYPED row-level changes of the commits in
+    ``(start, end]`` — table columns + ``_change_type`` ∈ {insert,
+    update_preimage, update_postimage, delete} + ``_commit_version``.
+    The offset is the committed manifest version, same determinism
+    contract as the snapshot stream (immutable manifests ⇒ checkpoint
+    replay is exact).
+
+    Where the changes come from, per commit:
+
+    - append commit → its added shards stream as ``insert`` rows.
+    - rewrite commit (valid ``.rewrite`` marker) → nothing
+      (dataChange=false).
+    - DML commit made with ``cdf=True`` → its commit-time ``_cdc-*``
+      files stream VERBATIM (pre-images included; no snapshot join at
+      read time — Delta's _change_data design).
+    - DML commit made WITHOUT cdf → fail LOUDLY: pre-images for that
+      commit no longer exist anywhere except by re-scanning history,
+      which a stream partition cannot do.  Run DML with ``cdf=True``
+      on tables that feed a change stream (Delta raises the same way
+      when CDF was not enabled at the time of the commit).
+
+    A fresh subscriber (offset 0) starts from the earliest retained
+    snapshot delivered WHOLE as ``insert`` rows (its current state,
+    tombstones applied), then tails typed diffs — the
+    ``startingVersion`` initial-snapshot semantics."""
+
+    def __init__(self, options) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("jsonl_docs requires option 'path'")
+        self.path = path
+        sv = options.get("starting_version")
+        self.starting_version = int(sv) if sv is not None else 0
+        base_ddl = _effective_schema_ddl(
+            {"path": path}
+        )  # table columns only — the CDF tags are appended at read
+        self.fields = _fields_of_ddl(base_ddl)
+        self.convs = _converters_of_ddl(base_ddl)
+
+    def initialOffset(self) -> dict:
+        return {"version": max(0, self.starting_version - 1)}
+
+    def latestOffset(self) -> dict:
+        return {"version": _latest_manifest_version(self.path)}
+
+    def partitions(self, start: dict, end: dict):
+        import hashlib
+        import json
+
+        parts = []
+        first = start["version"] + 1
+        initial = None
+        if start["version"] == 0:
+            earliest = _earliest_manifest_version(self.path)
+            if earliest == 0:
+                return []
+            first = initial = earliest
+        prev_files: set[str] | None = None
+        base_dir: str | None = None  # shallow-clone source, if any
+        for v in range(first, end["version"] + 1):
+            with open(
+                os.path.join(self.path, f"_MANIFEST.v{v}"), "rb"
+            ) as fh:
+                body = fh.read()
+            m = json.loads(body)
+            base_dir = m.get(BASE_DIR_KEY, base_dir)
+            res = {BASE_DIR_KEY: base_dir} if base_dir else None
+            mf = _fields_of_ddl(m.get(SCHEMA_KEY, DOCS_DDL))
+            if mf != tuple(self.fields[: len(mf)]):
+                raise ValueError(
+                    f"jsonl_docs change feed: commit v{v} of "
+                    f"{self.path} changed the table schema to "
+                    f"{list(mf)}, which this stream (started with "
+                    f"{list(self.fields)}) cannot represent — restart "
+                    "the subscriber to pick up the evolved schema."
+                )
+            cur = set(_manifest_files(m))
+            tombs = _tombstones_of(m)
+            if v == initial:
+                # initial snapshot: current rows as inserts, the
+                # snapshot's own tombstones applied
+                for f in sorted(cur):
+                    ids, kfiles = _tomb_sources_for(
+                        f, tombs, added_v=tombs.get("added", {}).get(f, 0)
+                    )
+                    parts.append(
+                        InputPartition(
+                            (
+                                "snap",
+                                (
+                                    _shard_path(self.path, res, f),
+                                    ids,
+                                    tuple(
+                                        _shard_path(self.path, res, kf)
+                                        for kf in kfiles
+                                    ),
+                                )
+                                if (ids or kfiles)
+                                else _shard_path(self.path, res, f),
+                                v,
+                            )
+                        )
+                    )
+                prev_files = cur
+                prev_nents = len(tombs["entries"])
+                continue
+            skip = False
+            try:
+                with open(
+                    os.path.join(self.path, f"_MANIFEST.v{v}.rewrite")
+                ) as fh:
+                    skip = (
+                        fh.read().strip() == hashlib.md5(body).hexdigest()
+                    )
+            except OSError:
+                skip = False
+            if skip:
+                prev_files = cur
+                prev_nents = len(tombs["entries"])
+                continue
+            cdc_own = m.get(CDC_KEY, {}).get(str(v), [])
+            if cdc_own:
+                for f in cdc_own:
+                    parts.append(
+                        InputPartition(
+                            ("cdc", _shard_path(self.path, res, f), v)
+                        )
+                    )
+                prev_files = cur
+                prev_nents = len(tombs["entries"])
+                continue
+            if prev_files is not None:
+                base = prev_files
+                base_nents = prev_nents
+            else:
+                pm = _manifest_at(self.path, v - 1)
+                base = set(_manifest_files(pm))
+                base_nents = len(_tombstones_of(pm)["entries"])
+            if (
+                m.get(OP_KEY) == "restore"
+                or len(tombs["entries"]) < base_nents
+            ):
+                raise ValueError(
+                    f"jsonl_docs change feed: commit v{v} of "
+                    f"{self.path} is a RESTORE (or shrank the ledger "
+                    "without a rewrite marker) — its un-deletions "
+                    "cannot be replayed incrementally; restart the "
+                    "subscriber from a fresh snapshot."
+                )
+            if len(tombs["entries"]) > base_nents:
+                raise ValueError(
+                    f"jsonl_docs change feed: commit v{v} of "
+                    f"{self.path} deleted or replaced rows but carries "
+                    "no CDC files — its pre-images cannot be streamed. "
+                    "Run DELETE/MERGE with cdf=True on tables that "
+                    "feed a change stream, or restart from a fresh "
+                    "snapshot."
+                )
+            for f in sorted(cur - base):
+                parts.append(
+                    InputPartition(
+                        ("ins", _shard_path(self.path, res, f), v)
+                    )
+                )
+            prev_files = cur
+            prev_nents = len(tombs["entries"])
+        return parts
+
+    def read(self, partition):
+        import json
+
+        kind, value, v = partition.value
+        if kind == "cdc":
+            with open(value) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    d = json.loads(line)
+                    if self.convs is None:
+                        yield tuple(d.get(c) for c in self.fields) + (
+                            d.get("_change_type"),
+                            v,
+                        )
+                    else:
+                        yield tuple(
+                            c(d.get(k)) if c else d.get(k)
+                            for k, c in zip(self.fields, self.convs)
+                        ) + (d.get("_change_type"), v)
+            return
+        # snap / ins: plain rows typed as inserts of their commit
+        for row in _iter_jsonl(value, self.fields, self.convs):
+            yield tuple(row) + ("insert", v)
+
+    def commit(self, end: dict) -> None:
+        pass

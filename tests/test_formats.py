@@ -1927,7 +1927,11 @@ def test_stream_sink_zombie_instance_rechecks_txn_in_claim_loop(
     # batch 1 lands between the zombie's pre-loop check and its claim
     zombie = P.JsonlDocsStreamWriter({"path": out}, schema)
     zmsg = stage(zombie, [2, 3], 1)
-    orig_excl = P._write_atomic_excl
+    # patch the DEFINING-USE module (lake.source binds the name at
+    # import): the shim's copy is not what the writer calls
+    from pu4spark_spark.sources.lake import source as _lsrc
+
+    orig_excl = _lsrc._write_atomic_excl
     fired = {"n": 0}
 
     def rival_first(path, body):
@@ -1938,11 +1942,11 @@ def test_stream_sink_zombie_instance_rechecks_txn_in_claim_loop(
             live.commit([w_live], batchId=1)  # rival wins v2
         return orig_excl(path, body)
 
-    P._write_atomic_excl = rival_first
+    _lsrc._write_atomic_excl = rival_first
     try:
         zombie.commit([zmsg], batchId=1)  # must no-op, not claim v3
     finally:
-        P._write_atomic_excl = orig_excl
+        _lsrc._write_atomic_excl = orig_excl
     assert P._latest_manifest_version(out) == 2, (
         "zombie re-claimed a version for an already-committed batch"
     )
@@ -2201,13 +2205,17 @@ def test_merge_clauses_occ_race_fails_loudly(spark, tmp_path):
     ).save()
 
     rival = df([(50, "rival", "en", "s", 5)]).repartition(1)
-    orig_excl = P._write_atomic_excl
+    # patch the DEFINING-USE module (lake.dml binds the name at
+    # import); the rival append commits through lake.source, which is
+    # never patched, so no restore dance is needed around it
+    from pu4spark_spark.sources.lake import dml as _ldml
+
+    orig_excl = _ldml._write_atomic_excl
     fired = {"n": 0}
 
     def rival_first(path, body):
         if fired["n"] == 0 and path.endswith("_MANIFEST.v2"):
             fired["n"] = 1
-            P._write_atomic_excl = orig_excl
             (
                 rival.write.format("jsonl_docs")
                 .option("path", out)
@@ -2215,10 +2223,9 @@ def test_merge_clauses_occ_race_fails_loudly(spark, tmp_path):
                 .mode("append")
                 .save()
             )  # rival wins v2
-            P._write_atomic_excl = rival_first
         return orig_excl(path, body)
 
-    P._write_atomic_excl = rival_first
+    _ldml._write_atomic_excl = rival_first
     try:
         with _pytest.raises(Exception, match="re-run the merge"):
             P.merge_into_jsonl_dir(
@@ -2230,7 +2237,7 @@ def test_merge_clauses_occ_race_fails_loudly(spark, tmp_path):
                 when_not_matched_insert=False,  # clause path
             )
     finally:
-        P._write_atomic_excl = orig_excl
+        _ldml._write_atomic_excl = orig_excl
 
     # rolled back: table = base + rival only, no stray staged/key files
     m2 = P._manifest_at(out, 2)
@@ -3757,7 +3764,9 @@ def test_cdf_preimage_broadcast_size_gated(spark, tmp_path, monkeypatch):
         "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
     )
     # force the gate shut: plan must drop the hint, values unchanged
-    monkeypatch.setattr(P, "CDF_BROADCAST_MAX_BYTES", 0)
+    from pu4spark_spark.sources.lake import cdf as _cdf
+
+    monkeypatch.setattr(_cdf, "CDF_BROADCAST_MAX_BYTES", 0)
     gated = P.table_changes_jsonl_dir(spark, out, 1)
     assert "ResolvedHint" not in gated._jdf.queryExecution().analyzed().toString()
     assert (
@@ -3766,3 +3775,80 @@ def test_cdf_preimage_broadcast_size_gated(spark, tmp_path, monkeypatch):
         )
         == expected
     )
+
+
+def test_update_jsonl_dir_semantics_and_occ(spark, tmp_path):
+    """UPDATE sugar pins beyond the oracle-checked aggregate: matched
+    rows rewritten in place with expressions over OLD values,
+    unmatched rows untouched, empty match commits nothing, unknown
+    SET column rejected, and a rival commit landing mid-update raises
+    ManifestCommitConflict (the row set is snapshot-scoped — a silent
+    re-claim could overwrite the rival's fresher rows)."""
+    import pytest as _pytest
+
+    from pu4spark_spark.sources import pydatasource as P
+    from pu4spark_spark.sources.lake import dml as _ldml
+
+    P.register_pyds(spark)
+    out = str(tmp_path / "upd")
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(i, f"d{i}", "en", "s", n) for i, n in rows], P.DOCS_DDL
+        )
+
+    df([(i, 5) for i in range(6)]).repartition(1).write.format(
+        "jsonl_docs"
+    ).option("path", out).mode("overwrite").save()  # v1
+
+    v = P.update_jsonl_dir(
+        spark, out,
+        {"n_chars": "n_chars * 10 + doc_id", "text": "upper(text)"},
+        "doc_id >= 4",
+    )
+    assert v == 2
+    got = {
+        r["doc_id"]: (r["text"], r["n_chars"])
+        for r in spark.read.format("jsonl_docs")
+        .option("path", out).load().collect()
+    }
+    assert got[4] == ("D4", 54) and got[5] == ("D5", 55)
+    assert got[0] == ("d0", 5)  # unmatched untouched
+
+    # empty match: no commit, current version returned
+    assert P.update_jsonl_dir(spark, out, {"n_chars": "0"}, "false") == 2
+    assert P._latest_manifest_version(out) == 2
+
+    with _pytest.raises(ValueError, match="unknown columns"):
+        P.update_jsonl_dir(spark, out, {"nope": "1"})
+
+    # OCC: rival append claims v3 between the update's scan and claim
+    rival = df([(50, 5)]).repartition(1)
+    orig_excl = _ldml._write_atomic_excl
+    fired = {"n": 0}
+
+    def rival_first(path, body):
+        if fired["n"] == 0 and path.endswith("_MANIFEST.v3"):
+            fired["n"] = 1
+            (
+                rival.write.format("jsonl_docs")
+                .option("path", out)
+                .option("base_version", 2)
+                .mode("append")
+                .save()
+            )
+        return orig_excl(path, body)
+
+    _ldml._write_atomic_excl = rival_first
+    try:
+        with _pytest.raises(Exception, match="re-run the merge"):
+            P.update_jsonl_dir(spark, out, {"n_chars": "0"}, "doc_id = 0")
+    finally:
+        _ldml._write_atomic_excl = orig_excl
+    # rival's row intact, update rolled back
+    got = {
+        r["doc_id"]: r["n_chars"]
+        for r in spark.read.format("jsonl_docs")
+        .option("path", out).load().collect()
+    }
+    assert got[50] == 5 and got[0] == 5
