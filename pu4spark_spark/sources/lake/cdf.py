@@ -32,6 +32,7 @@ from pu4spark_spark.sources.lake.protocol import (
     _latest_manifest_version,
     _manifest_at,
     _manifest_files,
+    _mapping_of,
     _rewrite_marker_valid,
     _shard_path,
     _tombstones_of,
@@ -196,8 +197,33 @@ def table_changes_jsonl_dir(
             f"table_changes: starting_version {starting_version} > "
             f"ending_version {end}"
         )
-    end_ddl = _manifest_at(path, end).get(SCHEMA_KEY, DOCS_DDL)
+    end_m = _manifest_at(path, end)
+    end_ddl = end_m.get(SCHEMA_KEY, DOCS_DDL)
     out_ddl = end_ddl + ", _change_type string, _commit_version bigint"
+    # COLUMN MAPPING: the feed serves the END schema's names for the
+    # whole range (Delta's mapping-mode CDF contract — physical id is
+    # the column's identity).  Each commit's piece is projected from
+    # its own logical names to the end names via matching physical
+    # keys; a column the end schema dropped vanishes from the feed, a
+    # column it added later null-extends via unionByName.
+    end_map = _mapping_of(end_m)
+    end_fields = _fields_of_ddl(end_ddl)
+    phys_to_end = {end_map.get(f, f): f for f in end_fields}
+
+    def _to_end(df: DataFrame, commit_m: dict, ddl: str) -> DataFrame:
+        cmap = _mapping_of(commit_m)
+        cols = []
+        for c in _fields_of_ddl(ddl):
+            e = phys_to_end.get(cmap.get(c, c))
+            if e is not None:
+                cols.append(F.col(c).alias(e))
+        extra = [
+            c
+            for c in ("_change_type", "_commit_version")
+            if c in df.columns
+        ]
+        return df.select(*cols, *extra)
+
     pieces: list[DataFrame] = []
     for v in range(starting_version + 1, end + 1):
         if _rewrite_marker_valid(path, v):
@@ -236,12 +262,16 @@ def table_changes_jsonl_dir(
         cdc_own = m_v.get(CDC_KEY, {}).get(str(v), [])
         if cdc_own:
             pieces.append(
-                _read_sidecar_df(
-                    spark,
-                    [_shard_path(path, m_v, f) for f in cdc_own],
-                    ddl + ", _change_type string",
-                ).withColumn(
-                    "_commit_version", F.lit(v).cast("bigint")
+                _to_end(
+                    _read_sidecar_df(
+                        spark,
+                        [_shard_path(path, m_v, f) for f in cdc_own],
+                        ddl + ", _change_type string",
+                    ).withColumn(
+                        "_commit_version", F.lit(v).cast("bigint")
+                    ),
+                    m_v,
+                    ddl,
                 )
             )
             continue
@@ -255,18 +285,38 @@ def table_changes_jsonl_dir(
                 key_files.extend(e.get("files", ()))
         if not added_files and not key_files:
             continue  # metadata-only commit (schema evolve, _txn, ...)
+        # raw shard JSON carries PHYSICAL keys: read with the
+        # physical-named twin of the commit schema, then serve the
+        # commit's LOGICAL names for the rest of the derivation
+        cmap_v = _mapping_of(m_v)
+        typed_v = _typed_fields_of_ddl(ddl)
+        phys_ddl = ", ".join(
+            f"`{cmap_v.get(nm, nm)}` {t}" for nm, t in typed_v
+        )
         added = (
-            spark.read.schema(ddl).json(
-                [_shard_path(path, m_v, f) for f in added_files]
+            spark.read.schema(phys_ddl)
+            .json([_shard_path(path, m_v, f) for f in added_files])
+            .select(
+                *[
+                    F.col(f"`{cmap_v.get(nm, nm)}`").alias(nm)
+                    for nm, _t in typed_v
+                ]
             )
             if added_files
             else spark.createDataFrame([], ddl)
         )
 
-        def tagged(df: DataFrame, change: str, v: int = v) -> DataFrame:
-            return df.withColumn(
-                "_change_type", F.lit(change)
-            ).withColumn("_commit_version", F.lit(v).cast("bigint"))
+        def tagged(
+            df: DataFrame, change: str, v: int = v, m_v: dict = m_v,
+            ddl: str = ddl,
+        ) -> DataFrame:
+            return _to_end(
+                df.withColumn("_change_type", F.lit(change)).withColumn(
+                    "_commit_version", F.lit(v).cast("bigint")
+                ),
+                m_v,
+                ddl,
+            )
 
         if key_files:
             keys = _read_key_files_df(spark, path, key_files, m_v)

@@ -30,6 +30,7 @@ from pu4spark_spark.sources.lake.protocol import (
     _effective_schema_ddl,
     _fields_of_ddl,
     _latest_manifest_version,
+    _mapping_of,
     _manifest_at,
     _manifest_files,
     _tombstones_of,
@@ -290,16 +291,22 @@ def _stage_data_shards(
     import uuid as _uuid
 
     stage = path + f".merge-stage-{_uuid.uuid4().hex[:8]}"
-    (
+    w = (
         df.write.format("jsonl_docs")
         .option("path", stage)
         # the staged rows land in the REAL table: its CHECK
         # constraints must hold here, where a violation can still
         # fail the merge before any claim
         .option("constraints_from", path)
-        .mode("overwrite")
-        .save()
     )
+    # ... and under the REAL table's PHYSICAL keys: the stage dir has
+    # no manifest, so a renamed table's mapping must ride in by option
+    mapping = _mapping_of(
+        _manifest_at(path, _latest_manifest_version(path))
+    )
+    if mapping:
+        w = w.option("physical_map", _json.dumps(mapping))
+    w.mode("overwrite").save()
     with open(os.path.join(stage, "_MANIFEST")) as fh:
         staged = {
             f: v

@@ -28,20 +28,25 @@ from pu4spark_spark.sources.lake.protocol import (
     CDC_KEY,
     CONSTRAINT_KEY,
     DOCS_DDL,
+    MAPPING_KEY,
     ManifestCommitConflict,
     OP_KEY,
     SCHEMA_KEY,
     TOMBSTONE_KEY,
     TXN_KEY,
     _compile_constraint,
+    _constraint_column,
     _constraints_of,
     _earliest_manifest_version,
     _is_commit_conflict,
     _latest_manifest_version,
     _manifest_at,
     _manifest_files,
+    _mapping_of,
+    _retired_physicals,
     _shard_path,
     _tombstones_of,
+    _typed_fields_of_ddl,
     _write_atomic,
     _write_atomic_excl,
 )
@@ -77,17 +82,38 @@ def evolve_jsonl_schema(
         )
     manifest = _manifest_at(path, base)
     old_ddl = manifest.get(SCHEMA_KEY, DOCS_DDL)
-    old_cols = [c.strip() for c in old_ddl.split(",")]
-    new_cols = [c.strip() for c in new_ddl.split(",")]
+    old_cols = _typed_fields_of_ddl(old_ddl)
+    new_cols = _typed_fields_of_ddl(new_ddl)
     if new_cols[: len(old_cols)] != old_cols:
         raise ValueError(
             "evolve_jsonl_schema: only add-column evolution is "
             f"supported — the current schema ({old_ddl!r}) must be a "
-            f"prefix of the new DDL ({new_ddl!r}); renames, drops and "
-            "retypes require a rewrite"
+            f"prefix of the new DDL ({new_ddl!r}); renames and drops "
+            "are metadata commits (rename_jsonl_column / "
+            "drop_jsonl_column); retypes require a rewrite"
         )
     version = base + 1
     new_manifest = dict(manifest)
+    # column-mapping interplay: an added column whose name collides
+    # with a RETIRED physical key (a dropped column's orphaned data)
+    # or with a physical key still bound to some OTHER logical name
+    # must get a FRESH physical id — otherwise old shards' orphaned
+    # values would leak into the new column
+    mapping = _mapping_of(manifest)
+    taken = _retired_physicals(manifest) | set(mapping.values())
+    old_names = {nm for nm, _ in old_cols}
+    for nm, _t in new_cols[len(old_cols):]:
+        if nm in old_names:
+            raise ValueError(
+                f"evolve_jsonl_schema: duplicate column {nm!r}"
+            )
+        if nm in taken:
+            mapping[nm] = f"{nm}#v{version}"
+    if mapping or _retired_physicals(manifest):
+        new_manifest[MAPPING_KEY] = {
+            "map": mapping,
+            "retired": sorted(_retired_physicals(manifest)),
+        }
     new_manifest[SCHEMA_KEY] = new_ddl
     new_manifest[OP_KEY] = "evolve-schema"
     new_manifest["_ts"] = _time.time_ns()
@@ -105,6 +131,164 @@ def evolve_jsonl_schema(
     if _latest_manifest_version(path) == version:
         _write_atomic(os.path.join(path, "_MANIFEST"), body)
     return version
+
+
+def _claim_metadata_commit(
+    path: str, base: int, new_manifest: dict, what: str
+) -> int:
+    """Claim ``base + 1`` for a pure-metadata commit (create-if-absent
+    OCC, live pointer flipped only if still latest) — the shared tail
+    of evolve/rename/drop/constraint commits."""
+    import json as _json
+    import time as _time
+
+    version = base + 1
+    new_manifest["_ts"] = _time.time_ns()
+    body = _json.dumps(new_manifest)
+    try:
+        _write_atomic_excl(
+            os.path.join(path, f"_MANIFEST.v{version}"), body
+        )
+    except FileExistsError:
+        raise ManifestCommitConflict(
+            f"concurrent commit: _MANIFEST.v{version} was claimed by "
+            f"another writer after this {what} read version {base}; "
+            "re-plan against the new table state"
+        ) from None
+    if _latest_manifest_version(path) == version:
+        _write_atomic(os.path.join(path, "_MANIFEST"), body)
+    return version
+
+
+def rename_jsonl_column(
+    path: str, old: str, new: str, base_version: int | None = None
+) -> int:
+    """RENAME a column as a PURE-METADATA commit — Delta's column
+    mapping (name mode): the new logical name is bound to the old
+    column's PHYSICAL key in ``_column_mapping``, the DDL swaps the
+    name in place, and zero data is rewritten.  Time travel serves
+    each version's own names; reads after the rename pull the same
+    physical values under the new name; writers after the rename keep
+    writing the physical key, so old and new shards stay uniform.
+
+    ``doc_id`` cannot be renamed: it is the table's row identity —
+    tombstones, MERGE keys, CDC files and zonemap stats all key on it
+    by name.  Renaming onto an existing column is rejected.  A version
+    stream started under the old name fails loudly at the boundary
+    (the DDL changed), the same restart contract as add-column.
+
+    Scale: O(1) metadata — the entire point; Delta had to invent
+    column mapping precisely because a 100 TB rename-by-rewrite is a
+    non-starter."""
+    base = (
+        base_version
+        if base_version is not None
+        else _latest_manifest_version(path)
+    )
+    if base <= 0:
+        raise ValueError(
+            f"rename_jsonl_column: no committed version under {path}"
+        )
+    manifest = _manifest_at(path, base)
+    ddl = manifest.get(SCHEMA_KEY, DOCS_DDL)
+    cols = list(_typed_fields_of_ddl(ddl))
+    names = [nm for nm, _ in cols]
+    if old == "doc_id":
+        raise ValueError(
+            "rename_jsonl_column: doc_id is the table's row identity "
+            "(tombstones, MERGE, CDC and stats key on it) and cannot "
+            "be renamed"
+        )
+    if old not in names:
+        raise ValueError(
+            f"rename_jsonl_column: no column {old!r} in ({ddl})"
+        )
+    if new in names:
+        raise ValueError(
+            f"rename_jsonl_column: column {new!r} already exists"
+        )
+    if not new.isidentifier():
+        raise ValueError(
+            f"rename_jsonl_column: {new!r} is not a valid column name"
+        )
+    for cn, ex in _constraints_of(manifest).items():
+        if _constraint_column(ex) == old:
+            raise ValueError(
+                f"rename_jsonl_column: CHECK constraint {cn!r} ({ex}) "
+                f"references {old!r} — drop or re-add the constraint "
+                "first (Delta's rule for constrained columns)"
+            )
+    mapping = _mapping_of(manifest)
+    physical = mapping.pop(old, old)
+    mapping[new] = physical
+    new_ddl = ", ".join(
+        f"{new if nm == old else nm} {t}" for nm, t in cols
+    )
+    new_manifest = dict(manifest)
+    new_manifest[SCHEMA_KEY] = new_ddl
+    new_manifest[MAPPING_KEY] = {
+        "map": mapping,
+        "retired": sorted(_retired_physicals(manifest)),
+    }
+    new_manifest[OP_KEY] = "rename-column"
+    return _claim_metadata_commit(path, base, new_manifest, "rename")
+
+
+def drop_jsonl_column(
+    path: str, name: str, base_version: int | None = None
+) -> int:
+    """DROP a column as a PURE-METADATA commit (Delta's mapping-mode
+    DROP COLUMN): the column leaves the DDL, its physical key moves to
+    the mapping's ``retired`` list — the data stays in the shards,
+    invisible to every reader, still served by time travel to
+    pre-drop versions.  A later add-column with the same name gets a
+    FRESH physical id (see :func:`evolve_jsonl_schema`), so the
+    orphaned values can never leak back.  Compaction rewrites live
+    rows only, physically reclaiming the dropped bytes.  ``doc_id``
+    cannot be dropped."""
+    base = (
+        base_version
+        if base_version is not None
+        else _latest_manifest_version(path)
+    )
+    if base <= 0:
+        raise ValueError(
+            f"drop_jsonl_column: no committed version under {path}"
+        )
+    manifest = _manifest_at(path, base)
+    ddl = manifest.get(SCHEMA_KEY, DOCS_DDL)
+    cols = list(_typed_fields_of_ddl(ddl))
+    names = [nm for nm, _ in cols]
+    if name == "doc_id":
+        raise ValueError(
+            "drop_jsonl_column: doc_id is the table's row identity "
+            "and cannot be dropped"
+        )
+    if name not in names:
+        raise ValueError(
+            f"drop_jsonl_column: no column {name!r} in ({ddl})"
+        )
+    if len(cols) <= 1:
+        raise ValueError("drop_jsonl_column: cannot drop every column")
+    for cn, ex in _constraints_of(manifest).items():
+        if _constraint_column(ex) == name:
+            raise ValueError(
+                f"drop_jsonl_column: CHECK constraint {cn!r} ({ex}) "
+                f"references {name!r} — drop the constraint first"
+            )
+    mapping = _mapping_of(manifest)
+    physical = mapping.pop(name, name)
+    retired = _retired_physicals(manifest) | {physical}
+    new_manifest = dict(manifest)
+    new_manifest[SCHEMA_KEY] = ", ".join(
+        f"{nm} {t}" for nm, t in cols if nm != name
+    )
+    new_manifest[MAPPING_KEY] = {
+        "map": mapping,
+        "retired": sorted(retired),
+    }
+    new_manifest[OP_KEY] = "drop-column"
+    return _claim_metadata_commit(path, base, new_manifest, "drop")
 
 
 def add_constraint_jsonl_dir(
@@ -349,7 +533,11 @@ def compact_jsonl_dir(
     # recommit AFTER a compaction — duplicate rows).  The tombstone
     # ledger and the _cdc map are deliberately NOT carried: the
     # rewrite applied the deletes physically, and CDC files belong to
-    # the versions that made them.
+    # the versions that made them.  _column_mapping is ALSO not
+    # carried — the rewrite read logical names and wrote logical keys,
+    # so physical identity collapses back to the names (and with every
+    # pre-rename/drop shard out of the manifest, the retired list has
+    # nothing left to guard).
     pre_m = _manifest_at(path, version - 1)
     for carry in (SCHEMA_KEY, CONSTRAINT_KEY, TXN_KEY):
         if carry in pre_m:
@@ -576,7 +764,9 @@ def clone_jsonl_dir(
         raise ValueError(f"clone_jsonl_dir: {dst} already has a table")
     os.makedirs(dst, exist_ok=True)
     new_manifest: dict = {f: src_m[f] for f in _manifest_files(src_m)}
-    for carry in (SCHEMA_KEY, CONSTRAINT_KEY):
+    # mapping carried too: the cloned manifest references the SOURCE's
+    # physical shards, so their physical keys must keep resolving
+    for carry in (SCHEMA_KEY, CONSTRAINT_KEY, MAPPING_KEY):
         if carry in src_m:
             new_manifest[carry] = src_m[carry]
     # the source itself may be a clone: chain to ITS base for any name

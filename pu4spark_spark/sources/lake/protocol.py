@@ -427,26 +427,64 @@ def _converters_of_ddl(ddl: str):
     return convs if any(convs) else None
 
 
-def _effective_schema_ddl(options) -> str:
-    """The DDL a read with these options sees: the pinned (or latest)
-    manifest's ``_schema``, else :data:`DOCS_DDL` for legacy manifests
-    and manifest-less directories."""
+def _effective_manifest(options) -> dict:
+    """The manifest a read with these options resolves (honoring the
+    ``version`` / ``as_of_ts`` pins, else latest) — ``{}`` for legacy
+    manifest-less directories.  Schema AND column mapping are
+    commit-scoped properties of exactly this dict."""
     path = options.get("path")
     if not path or not os.path.isdir(path):
-        return DOCS_DDL
+        return {}
     try:
         v = options.get("version")
         ts = options.get("as_of_ts")
         if v is not None:
-            m = _manifest_at(path, int(v))
-        elif ts is not None:
-            m = _manifest_at(path, _version_as_of(path, int(ts)))
-        else:
-            latest = _latest_manifest_version(path)
-            m = _manifest_at(path, latest) if latest else {}
+            return _manifest_at(path, int(v))
+        if ts is not None:
+            return _manifest_at(path, _version_as_of(path, int(ts)))
+        latest = _latest_manifest_version(path)
+        return _manifest_at(path, latest) if latest else {}
     except (OSError, ValueError):
-        return DOCS_DDL
-    return m.get(SCHEMA_KEY, DOCS_DDL)
+        return {}
+
+
+def _effective_schema_ddl(options) -> str:
+    """The DDL a read with these options sees: the pinned (or latest)
+    manifest's ``_schema``, else :data:`DOCS_DDL` for legacy manifests
+    and manifest-less directories."""
+    return _effective_manifest(options).get(SCHEMA_KEY, DOCS_DDL)
+
+
+#: reserved manifest key holding the table's COLUMN MAPPING —
+#: Delta's columnMapping (name mode): ``{"map": {logical: physical},
+#: "retired": [physical, ...]}``.  Shard JSON keys are PHYSICAL names;
+#: the DDL (``_schema``) speaks LOGICAL names; a logical column absent
+#: from ``map`` has physical == logical (the legacy identity).  RENAME
+#: is therefore a pure-metadata commit (new logical name bound to the
+#: old physical key — zero data rewritten, time travel serves each
+#: version's own names), and DROP hides a column without touching data
+#: (its physical name moves to ``retired`` so a later add-column can
+#: never collide with orphaned values).  Compaction rewrites every
+#: live row under logical keys and CARRIES NO mapping — the rewrite is
+#: the point where physical identity collapses back to the names.
+MAPPING_KEY = "_column_mapping"
+
+
+def _mapping_of(manifest: dict | None) -> dict[str, str]:
+    """logical → physical column map of a manifest (identity absences
+    omitted; ``{}`` = pure identity)."""
+    return dict((manifest or {}).get(MAPPING_KEY, {}).get("map", {}))
+
+
+def _retired_physicals(manifest: dict | None) -> set[str]:
+    return set((manifest or {}).get(MAPPING_KEY, {}).get("retired", ()))
+
+
+def _physical_fields(
+    fields, mapping: dict[str, str]
+) -> tuple[str, ...]:
+    """The JSON keys to read for ``fields`` (logical order preserved)."""
+    return tuple(mapping.get(f, f) for f in fields)
 
 
 #: reserved manifest key holding the table's CHECK constraints
@@ -467,6 +505,17 @@ _CONSTRAINT_OPS = {
     "!=": lambda a, b: a != b,
     "<>": lambda a, b: a != b,
 }
+
+
+def _constraint_column(expr: str) -> str | None:
+    """The column a restricted CHECK expression tests (its leading
+    identifier), or None if it doesn't parse — used to refuse
+    rename/drop of a constrained column (Delta's rule: alter the
+    constraint first)."""
+    import re as _re
+
+    m = _re.match(r"\s*(\w+)", expr)
+    return m.group(1) if m else None
 
 
 def _compile_constraint(expr: str):

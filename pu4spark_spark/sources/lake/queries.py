@@ -32,6 +32,8 @@ from pu4spark_spark.sources.lake.dml import (
 )
 from pu4spark_spark.sources.lake.maintenance import (
     add_constraint_jsonl_dir,
+    drop_jsonl_column,
+    rename_jsonl_column,
     append_with_retry,
     clone_jsonl_dir,
     compact_jsonl_dir,
@@ -1675,6 +1677,116 @@ SELECT 'feed_post' AS snapshot, lang,
 FROM matched GROUP BY lang
 """
 
+
+#: column-mapping demo predicates — constants so the oracle is fixed SQL
+CM_DEL_MOD, CM_INS_MOD, CM_DELTA = 6, 2, 1000
+
+
+def q_fmt_pyds_column_mapping(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COLUMN MAPPING (Delta name-mode parity) value-checked end to
+    end: write v1 → cdf DELETE ``doc_id % 10 = 6`` (v2, CDC files
+    under the pre-rename name) → RENAME ``n_chars``→``length`` (v3,
+    pure metadata — zero data rewritten, pinned by pytest) → append
+    post-rename rows (v4, physical keys on disk) → DROP ``source``
+    (v5, metadata).  The result unions three reads: the latest table
+    (new names, old+new shards), time travel to v1 (OLD names — the
+    commit-scoped schema), and the batch change feed from 0 (END
+    names for the whole range: v1 inserts and the v2 delete
+    pre-images must surface under ``length`` with real values, never
+    nulls — the physical-identity projection).  The oracle re-derives
+    every branch from the parquet truth."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_pyds_cm_{tag}_{os.getpid()}"
+    )
+    register_pyds(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    (
+        docs.repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out).mode("overwrite").save()
+    )
+    v = delete_from_jsonl_dir(
+        out,
+        docs.filter(F.col("doc_id") % 10 == CM_DEL_MOD).select("doc_id"),
+        base_version=1,
+        spark=spark,
+        cdf=True,
+    )
+    if v != 2:
+        raise AssertionError(f"delete committed v{v}, expected v2")
+    if rename_jsonl_column(out, "n_chars", "length") != 3:
+        raise AssertionError("rename did not commit v3")
+    inserts = docs.filter(F.col("doc_id") % 10 == CM_INS_MOD).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        (F.col("n_chars") + CM_DELTA).alias("length"),
+    )
+    (
+        inserts.repartition(2, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out)
+        .option("base_version", 3)
+        .mode("append")
+        .save()
+    )
+    if drop_jsonl_column(out, "source") != 5:
+        raise AssertionError("drop did not commit v5")
+
+    post = spark.read.format("jsonl_docs").option("path", out).load()
+    travel = (
+        spark.read.format("jsonl_docs")
+        .option("path", out)
+        .option("version", 1)
+        .load()
+    )
+    feed = table_changes_jsonl_dir(spark, out, 0)
+
+    def agg(df: DataFrame, snap: str, col: str) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(col).alias("sum_len"),
+        ).select(F.lit(snap).alias("snapshot"), "*")
+
+    return (
+        agg(post, "post", "length")
+        .unionByName(agg(travel, "travel", "n_chars"))
+        .unionByName(
+            agg(
+                feed.filter(F.col("_change_type") == "delete"),
+                "feed_del",
+                "length",
+            )
+        )
+    )
+
+
+SQL_FMT_PYDS_COLUMN_MAPPING = f"""
+SELECT 'post' AS snapshot, lang,
+       COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_len
+FROM (
+    SELECT lang, n_chars AS len FROM documents
+    WHERE doc_id % 10 <> {CM_DEL_MOD}
+    UNION ALL
+    SELECT lang, n_chars + {CM_DELTA} AS len FROM documents
+    WHERE doc_id % 10 = {CM_INS_MOD}
+) GROUP BY lang
+UNION ALL
+SELECT 'travel' AS snapshot, lang,
+       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_len
+FROM documents GROUP BY lang
+UNION ALL
+SELECT 'feed_del' AS snapshot, lang,
+       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_len
+FROM documents WHERE doc_id % 10 = {CM_DEL_MOD} GROUP BY lang
+"""
+
 QUERIES = {
     "fmt_pyds_jsonl_roundtrip": q_fmt_pyds_jsonl_roundtrip,
     "fmt_pyds_jsonl_write_roundtrip": q_fmt_pyds_jsonl_write_roundtrip,
@@ -1688,6 +1800,7 @@ QUERIES = {
     "fmt_pyds_commit_retry": q_fmt_pyds_commit_retry,
     "fmt_pyds_delete_merge": q_fmt_pyds_delete_merge,
     "fmt_pyds_update": q_fmt_pyds_update,
+    "fmt_pyds_column_mapping": q_fmt_pyds_column_mapping,
     "fmt_pyds_merge_clauses": q_fmt_pyds_merge_clauses,
     "fmt_pyds_schema_evolution": q_fmt_pyds_schema_evolution,
     "fmt_pyds_cdf_read": q_fmt_pyds_cdf_read,
@@ -1708,6 +1821,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "fmt_pyds_update": SQL_FMT_PYDS_UPDATE,
+    "fmt_pyds_column_mapping": SQL_FMT_PYDS_COLUMN_MAPPING,
     "fmt_pyds_jsonl_roundtrip": SQL_FMT_PYDS_JSONL_ROUNDTRIP,
     "fmt_pyds_jsonl_write_roundtrip": SQL_FMT_PYDS_JSONL_ROUNDTRIP,
     "fmt_pyds_snapshot_read": SQL_FMT_PYDS_SNAPSHOT_READ,

@@ -33,6 +33,7 @@ from pu4spark_spark.sources.lake.protocol import (
     _compile_constraint,
     _constraints_of,
     _converters_of_ddl,
+    _effective_manifest,
     _effective_schema_ddl,
     _fields_of_ddl,
     _iter_jsonl,
@@ -41,6 +42,8 @@ from pu4spark_spark.sources.lake.protocol import (
     _list_shards,
     _manifest_at,
     _manifest_files,
+    _mapping_of,
+    _physical_fields,
     _shard_path,
     _tomb_sources_for,
     _tombstones_of,
@@ -213,6 +216,30 @@ class JsonlDocsWriter(DataSourceWriter):
         self.partition_by = (
             [c.strip() for c in pb.split(",") if c.strip()] if pb else []
         )
+        # COLUMN MAPPING: an append into a mapped table must write the
+        # table's PHYSICAL keys, so pre- and post-rename shards stay
+        # uniform (the reader resolves one physical name per logical
+        # column for the WHOLE table).  Overwrite creates a fresh
+        # table — identity.  option("physical_map") (a JSON object)
+        # carries the mapping into SIBLING-DIR staging writes
+        # (merge/update staging), whose shards are destined for a
+        # mapped table but whose stage dir has no manifest of its own.
+        import json as _json
+
+        pm = options.get("physical_map")
+        if pm:
+            self.phys: dict = _json.loads(pm)
+        elif not overwrite and self.path and os.path.isdir(self.path):
+            _b = (
+                self.base_version
+                if self.base_version is not None
+                else _latest_manifest_version(self.path)
+            )
+            self.phys = (
+                _mapping_of(_manifest_at(self.path, _b)) if _b > 0 else {}
+            )
+        else:
+            self.phys = {}
         # CHECK constraints of the base manifest, compiled driver-side
         # once and pickled to every task: each row is validated BEFORE
         # staging, so one violating row fails the job and nothing
@@ -262,6 +289,7 @@ class JsonlDocsWriter(DataSourceWriter):
         pid = TaskContext.get().partitionId()
         _os.makedirs(self.path, exist_ok=True)
         has_doc = "doc_id" in self.fields
+        phys = self.phys  # logical→physical keys at serialization
 
         class _Shard:
             __slots__ = ("tmp", "final", "fh", "n", "mn", "mx", "parts")
@@ -275,7 +303,14 @@ class JsonlDocsWriter(DataSourceWriter):
                 s.parts = parts
 
             def add(s, d: dict) -> None:
-                s.fh.write(_json.dumps(d, default=_json_cell) + "\n")
+                # rows arrive (and are validated / stat'd) under
+                # LOGICAL names; only the serialized form is physical
+                out = (
+                    {phys.get(k, k): v for k, v in d.items()}
+                    if phys
+                    else d
+                )
+                s.fh.write(_json.dumps(out, default=_json_cell) + "\n")
                 s.n += 1
                 # per-shard doc_id min/max ride the commit message —
                 # the zonemap the reader's filter pushdown prunes with
@@ -794,9 +829,15 @@ class JsonlDocsReader(DataSourceReader):
         #: parts entry never prune
         self._part_in: dict[str, set] = {}
         #: the pinned commit's column order (schema evolution: resolved
-        #: once at plan time, same as the source's schema() call)
-        _ddl = _effective_schema_ddl(options)
+        #: once at plan time, same as the source's schema() call) —
+        #: and its column mapping: ``fields`` are the LOGICAL names
+        #: Spark sees, ``phys_fields`` the JSON keys the shards carry
+        _m = _effective_manifest(options)
+        _ddl = _m.get(SCHEMA_KEY, DOCS_DDL)
         self.fields = _fields_of_ddl(_ddl)
+        self.phys_fields = _physical_fields(
+            self.fields, _mapping_of(_m)
+        )
         self.convs = _converters_of_ddl(_ddl)
 
     def pushFilters(self, filters):
@@ -1002,4 +1043,6 @@ class JsonlDocsReader(DataSourceReader):
         # partition in that case, which must scan nothing.
         if partition is None:
             return
-        yield from _iter_jsonl(partition.value, self.fields, self.convs)
+        yield from _iter_jsonl(
+            partition.value, self.phys_fields, self.convs
+        )

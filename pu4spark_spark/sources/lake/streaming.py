@@ -30,6 +30,7 @@ from pu4spark_spark.sources.lake.protocol import (
     SCHEMA_KEY,
     _converters_of_ddl,
     _earliest_manifest_version,
+    _effective_manifest,
     _effective_schema_ddl,
     _fields_of_ddl,
     _iter_jsonl,
@@ -37,6 +38,8 @@ from pu4spark_spark.sources.lake.protocol import (
     _list_shards,
     _manifest_at,
     _manifest_files,
+    _mapping_of,
+    _physical_fields,
     _shard_path,
     _tomb_sources_for,
     _tombstones_of,
@@ -136,10 +139,21 @@ class JsonlDocsVersionStreamReader(DataSourceStreamReader):
         #: the stream's schema, fixed at query start (latest commit's):
         #: commits with a DIFFERENT schema that this one does not
         #: extend fail the stream loudly in partitions() — Delta's
-        #: restart-on-schema-change contract
-        _ddl = _effective_schema_ddl(options)
+        #: restart-on-schema-change contract.  With COLUMN MAPPING the
+        #: check is two-level: history (v <= the version the schema
+        #: was fixed at) must match PHYSICALLY — a renamed column's
+        #: old commits stream fine, their physical keys unchanged —
+        #: while commits AFTER the fix point fail on any LOGICAL
+        #: change (rename/collapse), since the downstream sink bound
+        #: the started names.
+        _m = _effective_manifest(options)
+        _ddl = _m.get(SCHEMA_KEY, DOCS_DDL)
         self.fields = _fields_of_ddl(_ddl)
+        self.phys_fields = _physical_fields(
+            self.fields, _mapping_of(_m)
+        )
         self.convs = _converters_of_ddl(_ddl)
+        self.schema_fixed_at = _latest_manifest_version(self.path)
 
     def initialOffset(self) -> dict:
         return {"version": max(0, self.starting_version - 1)}
@@ -198,7 +212,18 @@ class JsonlDocsVersionStreamReader(DataSourceStreamReader):
             # (Commits with a PREFIX schema — pre-evolution history
             # read by a fresh subscriber — null-extend naturally.)
             mf = _fields_of_ddl(m.get(SCHEMA_KEY, DOCS_DDL))
-            if mf != tuple(self.fields[: len(mf)]):
+            mp = _physical_fields(mf, _mapping_of(m))
+            if mp != tuple(self.phys_fields[: len(mp)]):
+                raise ValueError(
+                    f"jsonl_docs version stream: commit v{v} of "
+                    f"{self.path} changed the table's physical layout "
+                    f"to {list(mp)}, which this stream (reading "
+                    f"{list(self.phys_fields)}) cannot represent — "
+                    "restart the subscriber to pick up the new layout."
+                )
+            if v > self.schema_fixed_at and mf != tuple(
+                self.fields[: len(mf)]
+            ):
                 raise ValueError(
                     f"jsonl_docs version stream: commit v{v} of "
                     f"{self.path} changed the table schema to "
@@ -319,7 +344,9 @@ class JsonlDocsVersionStreamReader(DataSourceStreamReader):
     def read(self, partition):
         if partition is None:
             return
-        yield from _iter_jsonl(partition.value, self.fields, self.convs)
+        yield from _iter_jsonl(
+            partition.value, self.phys_fields, self.convs
+        )
 
     def commit(self, end: dict) -> None:
         pass
@@ -360,11 +387,16 @@ class JsonlDocsChangeFeedStreamReader(DataSourceStreamReader):
         self.path = path
         sv = options.get("starting_version")
         self.starting_version = int(sv) if sv is not None else 0
-        base_ddl = _effective_schema_ddl(
-            {"path": path}
+        _m = _effective_manifest({"path": path})
+        base_ddl = _m.get(
+            SCHEMA_KEY, DOCS_DDL
         )  # table columns only — the CDF tags are appended at read
         self.fields = _fields_of_ddl(base_ddl)
+        self.phys_fields = _physical_fields(
+            self.fields, _mapping_of(_m)
+        )
         self.convs = _converters_of_ddl(base_ddl)
+        self.schema_fixed_at = _latest_manifest_version(self.path)
 
     def initialOffset(self) -> dict:
         return {"version": max(0, self.starting_version - 1)}
@@ -395,7 +427,18 @@ class JsonlDocsChangeFeedStreamReader(DataSourceStreamReader):
             base_dir = m.get(BASE_DIR_KEY, base_dir)
             res = {BASE_DIR_KEY: base_dir} if base_dir else None
             mf = _fields_of_ddl(m.get(SCHEMA_KEY, DOCS_DDL))
-            if mf != tuple(self.fields[: len(mf)]):
+            mp = _physical_fields(mf, _mapping_of(m))
+            if mp != tuple(self.phys_fields[: len(mp)]):
+                raise ValueError(
+                    f"jsonl_docs change feed: commit v{v} of "
+                    f"{self.path} changed the table's physical layout "
+                    f"to {list(mp)}, which this stream (reading "
+                    f"{list(self.phys_fields)}) cannot represent — "
+                    "restart the subscriber to pick up the new layout."
+                )
+            if v > self.schema_fixed_at and mf != tuple(
+                self.fields[: len(mf)]
+            ):
                 raise ValueError(
                     f"jsonl_docs change feed: commit v{v} of "
                     f"{self.path} changed the table schema to "
@@ -403,6 +446,16 @@ class JsonlDocsChangeFeedStreamReader(DataSourceStreamReader):
                     f"{list(self.fields)}) cannot represent — restart "
                     "the subscriber to pick up the evolved schema."
                 )
+            # the commit's CDC files carry the COMMIT's logical keys;
+            # resolve, via physical identity, the JSON key this
+            # stream's columns read from them (identical until a
+            # rename sits between the commit and the stream's start)
+            phys_to_commit = {
+                p: l for l, p in zip(mf, mp)
+            }
+            cdc_keys = tuple(
+                phys_to_commit.get(p, p) for p in self.phys_fields
+            )
             cur = set(_manifest_files(m))
             tombs = _tombstones_of(m)
             if v == initial:
@@ -452,7 +505,12 @@ class JsonlDocsChangeFeedStreamReader(DataSourceStreamReader):
                 for f in cdc_own:
                     parts.append(
                         InputPartition(
-                            ("cdc", _shard_path(self.path, res, f), v)
+                            (
+                                "cdc",
+                                _shard_path(self.path, res, f),
+                                v,
+                                cdc_keys,
+                            )
                         )
                     )
                 prev_files = cur
@@ -498,26 +556,29 @@ class JsonlDocsChangeFeedStreamReader(DataSourceStreamReader):
     def read(self, partition):
         import json
 
-        kind, value, v = partition.value
+        kind, value, v = partition.value[:3]
         if kind == "cdc":
+            # per-commit key list resolved in partitions() — the
+            # commit's own logical names for this stream's columns
+            keys = (
+                partition.value[3]
+                if len(partition.value) > 3
+                else self.fields
+            )
+            convs = self.convs or (None,) * len(keys)
             with open(value) as fh:
                 for line in fh:
                     if not line.strip():
                         continue
                     d = json.loads(line)
-                    if self.convs is None:
-                        yield tuple(d.get(c) for c in self.fields) + (
-                            d.get("_change_type"),
-                            v,
-                        )
-                    else:
-                        yield tuple(
-                            c(d.get(k)) if c else d.get(k)
-                            for k, c in zip(self.fields, self.convs)
-                        ) + (d.get("_change_type"), v)
+                    yield tuple(
+                        c(d.get(k)) if c else d.get(k)
+                        for k, c in zip(keys, convs)
+                    ) + (d.get("_change_type"), v)
             return
-        # snap / ins: plain rows typed as inserts of their commit
-        for row in _iter_jsonl(value, self.fields, self.convs):
+        # snap / ins: plain rows typed as inserts of their commit;
+        # table shards carry PHYSICAL keys
+        for row in _iter_jsonl(value, self.phys_fields, self.convs):
             yield tuple(row) + ("insert", v)
 
     def commit(self, end: dict) -> None:

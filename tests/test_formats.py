@@ -3852,3 +3852,314 @@ def test_update_jsonl_dir_semantics_and_occ(spark, tmp_path):
         .option("path", out).load().collect()
     }
     assert got[50] == 5 and got[0] == 5
+
+
+def test_column_mapping_rename_contract(spark, tmp_path):
+    """RENAME as a pure-metadata commit (Delta column mapping, name
+    mode): values flow under the new name with zero data rewritten,
+    time travel serves each version's own names, post-rename appends
+    write the PHYSICAL key so shards stay uniform, and doc_id /
+    collisions / constrained columns are refused."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from pu4spark_spark.sources import pydatasource as P
+
+    P.register_pyds(spark)
+    out = str(tmp_path / "cm")
+    spark.createDataFrame(
+        [(i, f"d{i}", "en", "s", 5 + i) for i in range(4)], P.DOCS_DDL
+    ).repartition(1).write.format("jsonl_docs").option(
+        "path", out
+    ).mode("overwrite").save()  # v1
+    assert P.rename_jsonl_column(out, "n_chars", "length") == 2
+
+    cur = spark.read.format("jsonl_docs").option("path", out).load()
+    assert cur.columns[-1] == "length"
+    assert sorted((r["doc_id"], r["length"]) for r in cur.collect()) == [
+        (0, 5), (1, 6), (2, 7), (3, 8)
+    ]
+    # zero data rewritten: v1's shard set is v2's shard set
+    m1, m2 = P._manifest_at(out, 1), P._manifest_at(out, 2)
+    assert P._manifest_files(m1) == P._manifest_files(m2)
+    # time travel serves the OLD name
+    v1 = (
+        spark.read.format("jsonl_docs")
+        .option("path", out).option("version", 1).load()
+    )
+    assert v1.columns[-1] == "n_chars"
+    assert sorted(r["n_chars"] for r in v1.collect()) == [5, 6, 7, 8]
+
+    # post-rename append: new logical name in the df, PHYSICAL key on
+    # disk (old and new shards uniform)
+    spark.createDataFrame(
+        [(9, "d9", "fr", "s", 99)],
+        "doc_id bigint, text string, lang string, source string, "
+        "length bigint",
+    ).repartition(1).write.format("jsonl_docs").option(
+        "path", out
+    ).option("base_version", 2).mode("append").save()  # v3
+    new_shard = next(
+        f
+        for f in P._manifest_files(P._manifest_at(out, 3))
+        if f not in P._manifest_files(m2)
+    )
+    raw = _json.loads(open(_os.path.join(out, new_shard)).readline())
+    assert "n_chars" in raw and "length" not in raw
+    assert sorted(
+        (r["doc_id"], r["length"])
+        for r in spark.read.format("jsonl_docs")
+        .option("path", out).load().collect()
+    ) == [(0, 5), (1, 6), (2, 7), (3, 8), (9, 99)]
+
+    # refusals
+    with _pytest.raises(ValueError, match="row identity"):
+        P.rename_jsonl_column(out, "doc_id", "id")
+    with _pytest.raises(ValueError, match="already exists"):
+        P.rename_jsonl_column(out, "text", "lang")
+    with _pytest.raises(ValueError, match="no column"):
+        P.rename_jsonl_column(out, "n_chars", "x")  # old name is gone
+    P.add_constraint_jsonl_dir(out, "len_pos", "length >= 0")  # v4
+    with _pytest.raises(ValueError, match="constraint"):
+        P.rename_jsonl_column(out, "length", "size")
+    with _pytest.raises(ValueError, match="constraint"):
+        P.drop_jsonl_column(out, "length")
+
+
+def test_column_mapping_drop_and_readd(spark, tmp_path):
+    """DROP hides the column without touching data; time travel still
+    serves it; a later add-column with the SAME name gets a fresh
+    physical id, so the orphaned values never leak back; compaction
+    collapses the mapping (physical == logical again) and reclaims
+    the dropped bytes."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from pu4spark_spark.sources import pydatasource as P
+
+    P.register_pyds(spark)
+    out = str(tmp_path / "cd")
+    spark.createDataFrame(
+        [(i, f"d{i}", "en", f"src{i}", 5) for i in range(3)], P.DOCS_DDL
+    ).repartition(1).write.format("jsonl_docs").option(
+        "path", out
+    ).mode("overwrite").save()  # v1
+    assert P.drop_jsonl_column(out, "source") == 2
+    cur = spark.read.format("jsonl_docs").option("path", out).load()
+    assert "source" not in cur.columns
+    # time travel: still there
+    assert sorted(
+        r["source"]
+        for r in spark.read.format("jsonl_docs")
+        .option("path", out).option("version", 1).load().collect()
+    ) == ["src0", "src1", "src2"]
+    with _pytest.raises(ValueError, match="row identity"):
+        P.drop_jsonl_column(out, "doc_id")
+
+    # re-add: fresh physical id shields the orphaned values
+    P.evolve_jsonl_schema(out, P.DOCS_DDL.replace(
+        "source string, ", ""
+    ) + ", source string")  # v3: source re-added LAST
+    m = P._manifest_at(out, 3)
+    assert P._mapping_of(m)["source"].startswith("source#v")
+    assert "source" in P._retired_physicals(m)
+    cur = spark.read.format("jsonl_docs").option("path", out).load()
+    assert [r["source"] for r in cur.collect()] == [None, None, None]
+    # a write into the re-added column lands under the fresh physical
+    spark.createDataFrame(
+        [(7, "d7", "en", 5, "fresh")],
+        "doc_id bigint, text string, lang string, n_chars bigint, "
+        "source string",
+    ).repartition(1).write.format("jsonl_docs").option(
+        "path", out
+    ).option("base_version", 3).mode("append").save()  # v4
+    rows = {
+        r["doc_id"]: r["source"]
+        for r in spark.read.format("jsonl_docs")
+        .option("path", out).load().collect()
+    }
+    assert rows[7] == "fresh" and rows[0] is None
+
+    # compaction collapses the mapping and drops orphaned bytes
+    P.compact_jsonl_dir(spark, out, target_shards=1)  # v5
+    m5 = P._manifest_at(out, 5)
+    assert P.MAPPING_KEY not in m5
+    shard = P._manifest_files(m5)[0]
+    raw = _json.loads(open(_os.path.join(out, shard)).readline())
+    assert "source#v3" not in raw and "src0" not in raw.values()
+    rows = {
+        r["doc_id"]: r["source"]
+        for r in spark.read.format("jsonl_docs")
+        .option("path", out).load().collect()
+    }
+    assert rows[7] == "fresh" and rows[0] is None
+
+
+def test_column_mapping_cdf_and_streams(spark, tmp_path):
+    """CDF + streams across a rename boundary: the batch feed serves
+    the END schema's names for the WHOLE range (physical identity —
+    pre-rename changes surface under the new name, never as nulls);
+    CDC files written pre-rename read back correctly; a fresh version
+    stream on a renamed table streams its history (physical prefix
+    match), while a mid-stream rename fails loudly."""
+    import pytest as _pytest
+
+    from pu4spark_spark.sources import pydatasource as P
+
+    P.register_pyds(spark)
+    out = str(tmp_path / "cs")
+    spark.createDataFrame(
+        [(i, f"d{i}", "en", "s", 5 + i) for i in range(4)], P.DOCS_DDL
+    ).repartition(1).write.format("jsonl_docs").option(
+        "path", out
+    ).mode("overwrite").save()  # v1
+    # v2: cdf DELETE (CDC files carry pre-rename logical keys)
+    P.delete_from_jsonl_dir(out, [0], spark=spark, cdf=True)
+    # v3: rename
+    P.rename_jsonl_column(out, "n_chars", "length")
+    # v4: post-rename append
+    spark.createDataFrame(
+        [(9, "d9", "fr", "s", 99)],
+        "doc_id bigint, text string, lang string, source string, "
+        "length bigint",
+    ).repartition(1).write.format("jsonl_docs").option(
+        "path", out
+    ).option("base_version", 3).mode("append").save()
+    feed = P.table_changes_jsonl_dir(spark, out, 0).collect()
+    by = sorted(
+        (r["_commit_version"], r["doc_id"], r["_change_type"], r["length"])
+        for r in feed
+    )
+    # seed inserts + the delete's pre-image ALL carry values under the
+    # END name (5..8 from v1, 5 again as v2's delete pre-image)
+    assert by == [
+        (1, 0, "insert", 5),
+        (1, 1, "insert", 6),
+        (1, 2, "insert", 7),
+        (1, 3, "insert", 8),
+        (2, 0, "delete", 5),
+        (4, 9, "insert", 99),
+    ], by
+
+    # fresh VERSION stream on the renamed table: history streams under
+    # the new name (physical prefix match)
+    rows = (
+        spark.readStream.format("jsonl_docs")
+        .option("path", out)
+        .option("versioned", "true")
+        .option("ignore_deletes", "true")  # v2 holds a DELETE
+        .load()
+    )
+    q = (
+        rows.writeStream.format("memory")
+        .queryName("cm_vstream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["doc_id"], r["length"])
+        for r in spark.sql("select * from cm_vstream").collect()
+    )
+    assert got == [(1, 6), (2, 7), (3, 8), (9, 99)], got
+
+    # fresh CHANGE-FEED stream: pre-rename CDC files read via the
+    # commit-logical key resolution
+    cf = (
+        spark.readStream.format("jsonl_docs")
+        .option("path", out)
+        .option("read_change_feed", "true")
+        .option("starting_version", 2)
+        .load()
+    )
+    q = (
+        cf.writeStream.format("memory")
+        .queryName("cm_cdfstream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["_commit_version"], r["doc_id"], r["_change_type"], r["length"])
+        for r in spark.sql("select * from cm_cdfstream").collect()
+    )
+    assert got == [(2, 0, "delete", 5), (4, 9, "insert", 99)], got
+
+    # MID-STREAM rename fails loudly (reader-level: Spark constructs
+    # the stream reader at query start, so the boundary only exists
+    # between microbatches of a RUNNING query — pin it on the reader):
+    # the stream fixed its schema at v1; a rename commits v2; the next
+    # microbatch walk raises the restart error
+    from pu4spark_spark.sources.lake.streaming import (
+        JsonlDocsVersionStreamReader,
+    )
+
+    out2 = str(tmp_path / "cs2")
+    spark.createDataFrame(
+        [(1, "a", "en", "s", 5)], P.DOCS_DDL
+    ).repartition(1).write.format("jsonl_docs").option(
+        "path", out2
+    ).mode("overwrite").save()
+    rdr = JsonlDocsVersionStreamReader({"path": out2})
+    assert rdr.schema_fixed_at == 1
+    P.rename_jsonl_column(out2, "n_chars", "length")  # v2 mid-stream
+    with _pytest.raises(ValueError, match="cannot represent"):
+        rdr.partitions({"version": 1}, {"version": 2})
+
+    # POST-COLLAPSE append hazard: a stream started under a mapping
+    # (length→n_chars), then compaction collapses it and an append
+    # writes LOGICAL keys — the physical-layout check must fail the
+    # stream rather than let it read nulls from the new shards
+    out3 = str(tmp_path / "cs3")
+    spark.createDataFrame(
+        [(1, "a", "en", "s", 5)], P.DOCS_DDL
+    ).repartition(1).write.format("jsonl_docs").option(
+        "path", out3
+    ).mode("overwrite").save()  # v1
+    P.rename_jsonl_column(out3, "n_chars", "length")  # v2
+    rdr3 = JsonlDocsVersionStreamReader({"path": out3})
+    assert rdr3.phys_fields[-1] == "n_chars"
+    P.compact_jsonl_dir(spark, out3, target_shards=1)  # v3: collapse
+    spark.createDataFrame(
+        [(2, "b", "en", "s", 6)],
+        "doc_id bigint, text string, lang string, source string, "
+        "length bigint",
+    ).repartition(1).write.format("jsonl_docs").option(
+        "path", out3
+    ).option("base_version", 3).mode("append").save()  # v4 logical keys
+    with _pytest.raises(ValueError, match="physical layout"):
+        rdr3.partitions({"version": 2}, {"version": 4})
+
+
+def test_column_mapping_clone_and_restore(spark, tmp_path):
+    """The mapping rides clone (cloned manifest references the
+    source's physical shards) and restore (re-pointing to a pre-drop
+    version resurrects name and values)."""
+    from pu4spark_spark.sources import pydatasource as P
+
+    P.register_pyds(spark)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "a", "en", "s", 5)], P.DOCS_DDL
+    ).repartition(1).write.format("jsonl_docs").option(
+        "path", src
+    ).mode("overwrite").save()
+    P.rename_jsonl_column(src, "n_chars", "length")  # v2
+    dst = str(tmp_path / "dst")
+    P.clone_jsonl_dir(src, dst)
+    got = spark.read.format("jsonl_docs").option("path", dst).load()
+    assert got.columns[-1] == "length"
+    assert [r["length"] for r in got.collect()] == [5]
+
+    P.drop_jsonl_column(src, "length")  # v3
+    assert "length" not in (
+        spark.read.format("jsonl_docs").option("path", src).load().columns
+    )
+    P.restore_jsonl_dir(src, 2)  # v4: resurrect
+    got = spark.read.format("jsonl_docs").option("path", src).load()
+    assert got.columns[-1] == "length"
+    assert [r["length"] for r in got.collect()] == [5]
