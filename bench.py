@@ -670,6 +670,36 @@ def main() -> None:
             "first measured run; moved to setup builders",
             "fmt_json_corrupt_quarantine": "stable 0.5-0.9s isolated; "
             "context GC noise; raw .cache() routed through ledger",
+            # VERDICT r11 #3 adjudication (r12, instrumented with
+            # interleaved calibration probes on the r12 host):
+            # the r10→r11 movements on UNCHANGED code track the
+            # CALIBRATION YARDSTICK, not the queries — the frozen
+            # probes themselves moved r10→r11 (numpy 0.173→0.298 =
+            # 1.72x, workload_pre 1.423→1.896 = 1.33x), and
+            # dedup_incremental's 4.02→5.97 (1.49x) sits inside that
+            # band.  r12 isolated replays: numpy probe 0.49-0.85 s
+            # (3-5x r10's host, swinging 1.7x BETWEEN consecutive
+            # runs), dedup_incremental 5.5-7.2 s on identical code —
+            # the query co-varies with the probe.  Normalize by
+            # calib_workload_sec_pre before reading any cross-round
+            # delta.
+            "dedup_incremental": "host: moves 1.49x while frozen "
+            "calib probes move 1.33-1.72x r10->r11; r12 isolated "
+            "replays co-vary with the numpy probe (5.5-7.2s as the "
+            "probe swings 0.49-0.85s); dedup.py unchanged",
+            "pipeline_docs_clean": "host+context: isolated r12 "
+            "replays 3.56-4.14s vs r11's 4.55 in-run; pipeline.py "
+            "unchanged; within the calib drift band",
+            "dedup_clusters_incremental": "first-run 8.76s not "
+            "reproducible in isolation (2.9-3.2s steady over 3 "
+            "replays with prebuilt artifacts): GC debris from "
+            "preceding queries; min-of-2 guard already kept 4.01",
+            "ann_ivf_tuning": "first-run 5.88s not reproducible in "
+            "isolation (2.5-2.9s over 3 replays): same GC-debris "
+            "mode; min-of-2 kept 4.78",
+            "grouping_sets_orders": "sub-second query, isolated "
+            "0.33-0.46s vs 0.93 in-run: position-dependent context "
+            "noise, not code",
         },
         # write-once artifact builds (setup, NOT in any query's time):
         # per-builder seconds, so probe-path regressions can't hide
