@@ -465,10 +465,20 @@ def compact_jsonl_dir(
         if cluster_by
         else before.repartition(target_shards)
     )
+    w = staged_df.write.format("jsonl_docs").option("path", stage)
+    # COLUMN MAPPING rides the rewrite: physical ids are assigned at
+    # column creation and NEVER change (Delta's invariant — stream/CDF
+    # readers, time travel and tombstone scoping all key shard JSON by
+    # physical name), so the rewritten shards must keep writing the
+    # mapped keys; the stage dir has no manifest, the mapping rides in
+    # by option (same as merge staging)
+    pre_mapping = _mapping_of(_manifest_at(path, base))
+    if pre_mapping:
+        import json as _mjson
+
+        w = w.option("physical_map", _mjson.dumps(pre_mapping))
     (
-        staged_df
-        .write.format("jsonl_docs")
-        .option("path", stage)
+        w
         .mode("overwrite")
         .save()
     )
@@ -533,13 +543,14 @@ def compact_jsonl_dir(
     # recommit AFTER a compaction — duplicate rows).  The tombstone
     # ledger and the _cdc map are deliberately NOT carried: the
     # rewrite applied the deletes physically, and CDC files belong to
-    # the versions that made them.  _column_mapping is ALSO not
-    # carried — the rewrite read logical names and wrote logical keys,
-    # so physical identity collapses back to the names (and with every
-    # pre-rename/drop shard out of the manifest, the retired list has
-    # nothing left to guard).
+    # the versions that made them.  _column_mapping IS carried (the
+    # rewrite wrote the mapped physical keys — physical ids are
+    # assigned at column creation and never change, Delta's
+    # column-mapping invariant; collapsing here would fork the
+    # table's physical identity mid-history and break every reader
+    # that resolves columns by it).
     pre_m = _manifest_at(path, version - 1)
-    for carry in (SCHEMA_KEY, CONSTRAINT_KEY, TXN_KEY):
+    for carry in (SCHEMA_KEY, CONSTRAINT_KEY, TXN_KEY, MAPPING_KEY):
         if carry in pre_m:
             new_manifest[carry] = pre_m[carry]
     new_manifest[OP_KEY] = "compact"

@@ -464,9 +464,11 @@ def _effective_schema_ddl(options) -> str:
 #: old physical key — zero data rewritten, time travel serves each
 #: version's own names), and DROP hides a column without touching data
 #: (its physical name moves to ``retired`` so a later add-column can
-#: never collide with orphaned values).  Compaction rewrites every
-#: live row under logical keys and CARRIES NO mapping — the rewrite is
-#: the point where physical identity collapses back to the names.
+#: never collide with orphaned values).  INVARIANT (Delta's): a
+#: column's physical id is assigned at creation and NEVER changes —
+#: compaction carries the mapping and rewrites the mapped keys, so a
+#: reader's physical name list is valid for every epoch's shards
+#: (renames by stable key, drops ignored, later adds null).
 MAPPING_KEY = "_column_mapping"
 
 

@@ -137,15 +137,12 @@ class JsonlDocsVersionStreamReader(DataSourceStreamReader):
             options.get("ignore_deletes", "").lower() == "true"
         )
         #: the stream's schema, fixed at query start (latest commit's):
-        #: commits with a DIFFERENT schema that this one does not
+        #: commits AFTER the fix point with a schema this one does not
         #: extend fail the stream loudly in partitions() — Delta's
-        #: restart-on-schema-change contract.  With COLUMN MAPPING the
-        #: check is two-level: history (v <= the version the schema
-        #: was fixed at) must match PHYSICALLY — a renamed column's
-        #: old commits stream fine, their physical keys unchanged —
-        #: while commits AFTER the fix point fail on any LOGICAL
-        #: change (rename/collapse), since the downstream sink bound
-        #: the started names.
+        #: restart-on-schema-change contract.  HISTORY needs no check
+        #: under COLUMN MAPPING: physical ids never change, so
+        #: ``phys_fields`` reads every epoch's shards (renamed columns
+        #: by stable key, dropped ones ignored, later adds null).
         _m = _effective_manifest(options)
         _ddl = _m.get(SCHEMA_KEY, DOCS_DDL)
         self.fields = _fields_of_ddl(_ddl)
@@ -212,15 +209,6 @@ class JsonlDocsVersionStreamReader(DataSourceStreamReader):
             # (Commits with a PREFIX schema — pre-evolution history
             # read by a fresh subscriber — null-extend naturally.)
             mf = _fields_of_ddl(m.get(SCHEMA_KEY, DOCS_DDL))
-            mp = _physical_fields(mf, _mapping_of(m))
-            if mp != tuple(self.phys_fields[: len(mp)]):
-                raise ValueError(
-                    f"jsonl_docs version stream: commit v{v} of "
-                    f"{self.path} changed the table's physical layout "
-                    f"to {list(mp)}, which this stream (reading "
-                    f"{list(self.phys_fields)}) cannot represent — "
-                    "restart the subscriber to pick up the new layout."
-                )
             if v > self.schema_fixed_at and mf != tuple(
                 self.fields[: len(mf)]
             ):
@@ -231,6 +219,12 @@ class JsonlDocsVersionStreamReader(DataSourceStreamReader):
                     f"{list(self.fields)}) cannot represent — restart "
                     "the subscriber to pick up the evolved schema."
                 )
+            # no physical check needed on HISTORY: physical ids are
+            # assigned at column creation and never change (compaction
+            # carries the mapping and rewrites the mapped keys), so
+            # this stream's phys_fields read every epoch's shards —
+            # renamed columns by their stable physical key, dropped
+            # columns ignored, later-added columns as null
             cur = set(_manifest_files(m))
             tombs = _tombstones_of(m)
             for e in tombs["entries"]:
@@ -428,14 +422,6 @@ class JsonlDocsChangeFeedStreamReader(DataSourceStreamReader):
             res = {BASE_DIR_KEY: base_dir} if base_dir else None
             mf = _fields_of_ddl(m.get(SCHEMA_KEY, DOCS_DDL))
             mp = _physical_fields(mf, _mapping_of(m))
-            if mp != tuple(self.phys_fields[: len(mp)]):
-                raise ValueError(
-                    f"jsonl_docs change feed: commit v{v} of "
-                    f"{self.path} changed the table's physical layout "
-                    f"to {list(mp)}, which this stream (reading "
-                    f"{list(self.phys_fields)}) cannot represent — "
-                    "restart the subscriber to pick up the new layout."
-                )
             if v > self.schema_fixed_at and mf != tuple(
                 self.fields[: len(mf)]
             ):
@@ -446,13 +432,13 @@ class JsonlDocsChangeFeedStreamReader(DataSourceStreamReader):
                     f"{list(self.fields)}) cannot represent — restart "
                     "the subscriber to pick up the evolved schema."
                 )
-            # the commit's CDC files carry the COMMIT's logical keys;
-            # resolve, via physical identity, the JSON key this
-            # stream's columns read from them (identical until a
-            # rename sits between the commit and the stream's start)
-            phys_to_commit = {
-                p: l for l, p in zip(mf, mp)
-            }
+            # the commit's CDC files carry the COMMIT's logical names;
+            # resolve, via the stable PHYSICAL identity, the JSON key
+            # each of this stream's columns reads from them (identical
+            # until a rename sits between the commit and the stream's
+            # start).  Table shards need no per-commit resolution:
+            # their keys ARE the physical names, which never change.
+            phys_to_commit = dict(zip(mp, mf))
             cdc_keys = tuple(
                 phys_to_commit.get(p, p) for p in self.phys_fields
             )
@@ -577,7 +563,7 @@ class JsonlDocsChangeFeedStreamReader(DataSourceStreamReader):
                     ) + (d.get("_change_type"), v)
             return
         # snap / ins: plain rows typed as inserts of their commit;
-        # table shards carry PHYSICAL keys
+        # table shards carry stable PHYSICAL keys
         for row in _iter_jsonl(value, self.phys_fields, self.convs):
             yield tuple(row) + ("insert", v)
 

@@ -3247,16 +3247,19 @@ def test_restore_contracts(spark, tmp_path):
 
 def test_minilake_random_ops_v2_full_surface(spark, tmp_path):
     """Second-generation randomized op-sequence stress (3 seeds)
-    composing the FULL r11 DML surface in arbitrary orders against a
+    composing the FULL r12 DML surface in arbitrary orders against a
     sequential state model: plain + partitioned appends, deletes with
-    and without CDC, fast + clause merges, constraint add (with a
-    violating append that must change NOTHING), compaction, and
-    RESTORE (state resets to the target snapshot).  After any
-    sequence: the batch read equals the model exactly; time travel at
-    every retained version replays the model prefix; and the fresh
-    versioned stream either equals the live state or — iff a restore
-    landed after the earliest retained version — raises the restart
-    contract."""
+    and without CDC, fast + clause merges, UPDATE (SET over old
+    values, half with CDC), column RENAME (metadata-only — the model
+    tracks the live logical name per snapshot; a constrained column
+    must refuse), constraint add (with a violating append that must
+    change NOTHING), compaction, and RESTORE (state AND schema reset
+    to the target snapshot).  After any sequence: the batch read
+    equals the model exactly under the CURRENT name; time travel at
+    every retained version replays the model prefix under THAT
+    version's name; and the fresh versioned stream either equals the
+    live state or — iff a restore landed after the earliest retained
+    version — raises the restart contract."""
     import json as _json
     import os as _os
     import random
@@ -3272,14 +3275,7 @@ def test_minilake_random_ops_v2_full_surface(spark, tmp_path):
     )
     LANGS = ["en", "de", "fr"]
 
-    def batch_df(rows):
-        return spark.createDataFrame(
-            [
-                (i, f"doc {i}", LANGS[i % 3], "s", n)
-                for i, n in rows
-            ],
-            DDL,
-        )
+    NAMES = ["n_chars", "len_chars", "width_chars"]
 
     for seed in (7, 19, 31):
         out = str(tmp_path / f"v2lake_{seed}")
@@ -3287,8 +3283,20 @@ def test_minilake_random_ops_v2_full_surface(spark, tmp_path):
         next_id = 0
         state: dict[int, int] = {}
         snapshots: dict[int, dict] = {}
+        snap_name: dict[int, str] = {}  # live column name per version
+        snap_constr: dict[int, bool] = {}  # constraint live per version
         restored_at: list[int] = []  # versions where a restore landed
         constrained = False
+        cur_name = "n_chars"
+
+        def batch_df(rows):
+            return spark.createDataFrame(
+                [
+                    (i, f"doc {i}", LANGS[i % 3], "s", n)
+                    for i, n in rows
+                ],
+                DDL.replace("n_chars", cur_name),
+            )
 
         def fresh_rows(n, lo=1, hi=9):
             nonlocal next_id
@@ -3309,8 +3317,10 @@ def test_minilake_random_ops_v2_full_surface(spark, tmp_path):
         ).mode("overwrite").save()
         state.update(rows)
         snapshots[1] = dict(state)
+        snap_name[1] = cur_name
+        snap_constr[1] = False
 
-        for _ in range(rng.randint(8, 11)):
+        for _ in range(rng.randint(10, 13)):
             op = rng.random()
             if op < 0.22:  # plain or partitioned append
                 rows = fresh_rows(rng.randint(1, 3))
@@ -3366,8 +3376,35 @@ def test_minilake_random_ops_v2_full_surface(spark, tmp_path):
                         state[i] = n
                     elif n == 1:
                         del state[i]
-            elif op < 0.68 and not constrained:  # constraint + violation
-                P.add_constraint_jsonl_dir(out, "pos", "n_chars >= 0")
+            elif op < 0.64 and state:  # UPDATE, half with CDC
+                delta = rng.randint(1, 5)
+                mod = rng.randint(2, 4)
+                P.update_jsonl_dir(
+                    spark,
+                    out,
+                    {cur_name: f"{cur_name} + {delta}"},
+                    f"doc_id % {mod} = 0",
+                    cdf=rng.random() < 0.5,
+                )
+                for i in state:
+                    if i % mod == 0:
+                        state[i] += delta
+            elif op < 0.70:  # RENAME the value column (metadata-only)
+                new = NAMES[
+                    (NAMES.index(cur_name) + 1) % len(NAMES)
+                ]
+                if constrained:
+                    # the CHECK constraint references cur_name: the
+                    # rename MUST refuse (Delta's rule)
+                    with _pytest.raises(ValueError, match="constraint"):
+                        P.rename_jsonl_column(out, cur_name, new)
+                else:
+                    P.rename_jsonl_column(out, cur_name, new)
+                    cur_name = new
+            elif op < 0.76 and not constrained:  # constraint + violation
+                P.add_constraint_jsonl_dir(
+                    out, "pos", f"{cur_name} >= 0"
+                )
                 constrained = True
                 bad = fresh_rows(1, lo=-5, hi=-1)
                 with _pytest.raises(Exception, match="pos"):
@@ -3377,7 +3414,7 @@ def test_minilake_random_ops_v2_full_surface(spark, tmp_path):
                         "base_version", commit_version()
                     ).mode("append").save()
                 # nothing committed: version is the constraint commit
-            elif op < 0.82:
+            elif op < 0.88:
                 P.compact_jsonl_dir(
                     spark, out, target_shards=rng.randint(1, 2)
                 )
@@ -3389,21 +3426,27 @@ def test_minilake_random_ops_v2_full_surface(spark, tmp_path):
                 except ValueError:
                     continue  # target's files vacuumed — refusal is ok
                 state = dict(snapshots[tgt])
+                cur_name = snap_name[tgt]  # schema restored too
+                constrained = snap_constr[tgt]  # constraints too
                 restored_at.append(commit_version())
             snapshots[commit_version()] = dict(state)
+            snap_name[commit_version()] = cur_name
+            snap_constr[commit_version()] = constrained
 
-        # (1) batch read == model (id AND value)
+        # (1) batch read == model (id AND value, CURRENT name)
         got = sorted(
-            (r["doc_id"], r["n_chars"])
+            (r["doc_id"], r[cur_name])
             for r in spark.read.format("jsonl_docs")
             .option("path", out).load().collect()
         )
         assert got == sorted(state.items()), f"seed {seed}: batch"
 
-        # (2) time travel at every retained version == model prefix
+        # (2) time travel at every retained version == model prefix,
+        # under THAT version's own column name
         for v, snap in snapshots.items():
+            nm = snap_name[v]
             tt = sorted(
-                (r["doc_id"], r["n_chars"])
+                (r["doc_id"], r[nm])
                 for r in spark.read.format("jsonl_docs")
                 .option("path", out).option("version", v)
                 .load().collect()
@@ -3984,13 +4027,22 @@ def test_column_mapping_drop_and_readd(spark, tmp_path):
     }
     assert rows[7] == "fresh" and rows[0] is None
 
-    # compaction collapses the mapping and drops orphaned bytes
+    # compaction CARRIES the mapping (physical ids never change —
+    # Delta's invariant) and physically drops the orphaned bytes: the
+    # rewritten shards keep the mapped keys, the old 'source' values
+    # are gone
     P.compact_jsonl_dir(spark, out, target_shards=1)  # v5
     m5 = P._manifest_at(out, 5)
-    assert P.MAPPING_KEY not in m5
+    assert P._mapping_of(m5)["source"].startswith("source#v")
     shard = P._manifest_files(m5)[0]
-    raw = _json.loads(open(_os.path.join(out, shard)).readline())
-    assert "source#v3" not in raw and "src0" not in raw.values()
+    raws = [
+        _json.loads(ln)
+        for ln in open(_os.path.join(out, shard))
+        if ln.strip()
+    ]
+    assert all("src0" not in r.values() for r in raws)  # orphans gone
+    assert any("source#v3" in r for r in raws)  # fresh value, mapped key
+    assert all("source" not in r for r in raws)  # no unmapped twin
     rows = {
         r["doc_id"]: r["source"]
         for r in spark.read.format("jsonl_docs")
@@ -4110,10 +4162,11 @@ def test_column_mapping_cdf_and_streams(spark, tmp_path):
     with _pytest.raises(ValueError, match="cannot represent"):
         rdr.partitions({"version": 1}, {"version": 2})
 
-    # POST-COLLAPSE append hazard: a stream started under a mapping
-    # (length→n_chars), then compaction collapses it and an append
-    # writes LOGICAL keys — the physical-layout check must fail the
-    # stream rather than let it read nulls from the new shards
+    # PHYSICAL-ID STABILITY across compaction: a stream started under
+    # a mapping (length→n_chars) keeps reading correctly through a
+    # compaction (the rewrite carries the mapping and keeps writing
+    # the mapped keys — Delta's never-changing physical ids) and
+    # through post-compaction appends
     out3 = str(tmp_path / "cs3")
     spark.createDataFrame(
         [(1, "a", "en", "s", 5)], P.DOCS_DDL
@@ -4123,16 +4176,27 @@ def test_column_mapping_cdf_and_streams(spark, tmp_path):
     P.rename_jsonl_column(out3, "n_chars", "length")  # v2
     rdr3 = JsonlDocsVersionStreamReader({"path": out3})
     assert rdr3.phys_fields[-1] == "n_chars"
-    P.compact_jsonl_dir(spark, out3, target_shards=1)  # v3: collapse
+    P.compact_jsonl_dir(spark, out3, target_shards=1)  # v3: rewrite
+    import json as _json2
+    import os as _os2
+
+    m3 = P._manifest_at(out3, 3)
+    assert P._mapping_of(m3) == {"length": "n_chars"}
+    raw = _json2.loads(
+        open(_os2.path.join(out3, P._manifest_files(m3)[0])).readline()
+    )
+    assert "n_chars" in raw and "length" not in raw  # physical keys kept
     spark.createDataFrame(
         [(2, "b", "en", "s", 6)],
         "doc_id bigint, text string, lang string, source string, "
         "length bigint",
     ).repartition(1).write.format("jsonl_docs").option(
         "path", out3
-    ).option("base_version", 3).mode("append").save()  # v4 logical keys
-    with _pytest.raises(ValueError, match="physical layout"):
-        rdr3.partitions({"version": 2}, {"version": 4})
+    ).option("base_version", 3).mode("append").save()  # v4
+    streamed = []
+    for p in rdr3.partitions({"version": 3}, {"version": 4}):
+        streamed.extend((row[0], row[4]) for row in rdr3.read(p))
+    assert sorted(streamed) == [(2, 6)]  # post-compaction append reads
 
 
 def test_column_mapping_clone_and_restore(spark, tmp_path):
