@@ -111,6 +111,7 @@ DRIVER_FIRST = [
     "fmt_pyds_delete_merge",
     "fmt_pyds_update",
     "fmt_pyds_column_mapping",
+    "fmt_pyds_type_widening",
     "fmt_pyds_time_travel_ts",
     "streaming_pyds_docs",
     "streaming_pyds_snapshot",
@@ -139,7 +140,6 @@ DRIVER_FIRST = [
     "text_regex_tokens",               # 0.191
     "dedup_exact_docs",                # 0.195
     "q6_forecast_revenue",             # 0.203
-    "embedding_quantize_int8",         # 0.209
 ]
 
 

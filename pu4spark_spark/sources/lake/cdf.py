@@ -380,9 +380,14 @@ def table_changes_jsonl_dir(
     feed = pieces[0]
     for p in pieces[1:]:
         feed = feed.unionByName(p, allowMissingColumns=True)
-    # column order: table schema (the END shape) then the CDF tags
+    # column order AND types: the table schema's END shape (a type
+    # widen inside the range leaves earlier pieces narrow — cast up,
+    # value-preserving by the widening rules), then the CDF tags
     return feed.select(
-        *[F.col(c) for c in _fields_of_ddl(end_ddl)],
+        *[
+            F.col(nm).cast(t).alias(nm)
+            for nm, t in _typed_fields_of_ddl(end_ddl)
+        ],
         "_change_type",
         "_commit_version",
     )

@@ -985,3 +985,78 @@ def append_with_retry(
             last = exc
     assert last is not None
     raise last
+
+
+#: legal type-widening edges (Delta's type-widening table, the JSONL-
+#: representable subset): every edge is value-preserving for data
+#: already on disk, so a widen is a PURE-METADATA commit — old shards'
+#: JSON numbers simply parse into the wider type.
+_WIDEN_CHAIN = ("tinyint", "smallint", "int", "bigint")
+_WIDEN_TO_DOUBLE = {"tinyint", "smallint", "int", "float"}
+
+
+def _widening_ok(old: str, new: str) -> bool:
+    old, new = old.strip().lower(), new.strip().lower()
+    if old == new:
+        return False
+    if old in _WIDEN_CHAIN and new in _WIDEN_CHAIN:
+        return _WIDEN_CHAIN.index(old) < _WIDEN_CHAIN.index(new)
+    if new == "double" and old in _WIDEN_TO_DOUBLE:
+        return True
+    if old.startswith("decimal(") and new.startswith("decimal("):
+        po, so = map(int, old[8:-1].split(","))
+        pn, sn = map(int, new[8:-1].split(","))
+        # integral digits must not shrink, scale must not shrink
+        return sn >= so and (pn - sn) >= (po - so) and (pn, sn) != (po, so)
+    if new.startswith("decimal(") and old in _WIDEN_CHAIN:
+        pn, sn = map(int, new[8:-1].split(","))
+        # bigint needs 19 integral digits, int 10, smallint 5, tinyint 3
+        need = {"tinyint": 3, "smallint": 5, "int": 10, "bigint": 19}[old]
+        return (pn - sn) >= need
+    return False
+
+
+def widen_jsonl_column(
+    path: str, name: str, new_type: str, base_version: int | None = None
+) -> int:
+    """TYPE WIDENING as a PURE-METADATA commit (Delta's type widening):
+    swap the column's declared type for a strictly wider one —
+    tinyint→smallint→int→bigint, (int-chain, float)→double, decimal
+    precision/scale growth, int-chain→decimal with enough integral
+    digits.  Old shards need no rewrite: their JSON numbers parse into
+    the wider type exactly.  Narrowings and cross-kind changes are
+    refused (they would corrupt or shear values already on disk).
+    Time travel to pre-widen versions serves the narrow type; a
+    version/CDF stream started before the widen fails loudly at the
+    boundary (its row type is fixed — Delta's restart contract).
+    Returns the new version."""
+    base = (
+        base_version
+        if base_version is not None
+        else _latest_manifest_version(path)
+    )
+    if base <= 0:
+        raise ValueError(
+            f"widen_jsonl_column: no committed version under {path}"
+        )
+    manifest = _manifest_at(path, base)
+    ddl = manifest.get(SCHEMA_KEY, DOCS_DDL)
+    cols = list(_typed_fields_of_ddl(ddl))
+    names = [nm for nm, _ in cols]
+    if name not in names:
+        raise ValueError(
+            f"widen_jsonl_column: no column {name!r} in ({ddl})"
+        )
+    old_type = dict(cols)[name]
+    if not _widening_ok(old_type, new_type):
+        raise ValueError(
+            f"widen_jsonl_column: {old_type!r} -> {new_type!r} is not "
+            "a value-preserving widening (narrowings and cross-kind "
+            "changes require a rewrite)"
+        )
+    new_manifest = dict(manifest)
+    new_manifest[SCHEMA_KEY] = ", ".join(
+        f"{nm} {new_type if nm == name else t}" for nm, t in cols
+    )
+    new_manifest[OP_KEY] = "widen-column"
+    return _claim_metadata_commit(path, base, new_manifest, "widen")

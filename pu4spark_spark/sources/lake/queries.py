@@ -34,6 +34,7 @@ from pu4spark_spark.sources.lake.maintenance import (
     add_constraint_jsonl_dir,
     drop_jsonl_column,
     rename_jsonl_column,
+    widen_jsonl_column,
     append_with_retry,
     clone_jsonl_dir,
     compact_jsonl_dir,
@@ -1787,6 +1788,86 @@ SELECT 'feed_del' AS snapshot, lang,
 FROM documents WHERE doc_id % 10 = {CM_DEL_MOD} GROUP BY lang
 """
 
+
+#: type-widening demo predicates — constants so the oracle is fixed SQL
+TW_INS_MOD, TW_BIG = 3, 3_000_000_000
+
+
+def q_fmt_pyds_type_widening(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TYPE WIDENING (Delta parity) value-checked end to end: write v1
+    with ``n_chars`` declared ``int`` → WIDEN to ``bigint`` (v2, pure
+    metadata — old shards' JSON numbers parse into the wider type
+    exactly) → append rows whose n_chars exceeds int range (v3).  The
+    result unions the post-widen aggregate (values spanning both
+    epochs, 64-bit sums) with the time-travel read of v1 (served as
+    ``int`` — commit-scoped schema; summed as bigint for a stable
+    oracle shape).  Narrowing refusals and the stream restart boundary
+    are pytest-pinned."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_pyds_tw_{tag}_{os.getpid()}"
+    )
+    register_pyds(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    (
+        docs.withColumn("n_chars", F.col("n_chars").cast("int"))
+        .repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out).mode("overwrite").save()
+    )
+    if widen_jsonl_column(out, "n_chars", "bigint") != 2:
+        raise AssertionError("widen did not commit v2")
+    big = docs.filter(F.col("doc_id") % 10 == TW_INS_MOD).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        (F.col("n_chars") + F.lit(TW_BIG)).alias("n_chars"),
+    )
+    (
+        big.repartition(2, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out)
+        .option("base_version", 2)
+        .mode("append")
+        .save()
+    )
+    post = spark.read.format("jsonl_docs").option("path", out).load()
+    travel = (
+        spark.read.format("jsonl_docs")
+        .option("path", out)
+        .option("version", 1)
+        .load()
+    )
+
+    def agg(df: DataFrame, snap: str) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("bigint")).alias("sum_chars"),
+        ).select(F.lit(snap).alias("snapshot"), "*")
+
+    return agg(post, "post").unionByName(agg(travel, "travel"))
+
+
+SQL_FMT_PYDS_TYPE_WIDENING = f"""
+SELECT 'post' AS snapshot, lang,
+       COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_chars
+FROM (
+    SELECT lang, n_chars AS len FROM documents
+    UNION ALL
+    SELECT lang, n_chars + {TW_BIG} AS len FROM documents
+    WHERE doc_id % 10 = {TW_INS_MOD}
+) GROUP BY lang
+UNION ALL
+SELECT 'travel' AS snapshot, lang,
+       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang
+"""
+
 QUERIES = {
     "fmt_pyds_jsonl_roundtrip": q_fmt_pyds_jsonl_roundtrip,
     "fmt_pyds_jsonl_write_roundtrip": q_fmt_pyds_jsonl_write_roundtrip,
@@ -1801,6 +1882,7 @@ QUERIES = {
     "fmt_pyds_delete_merge": q_fmt_pyds_delete_merge,
     "fmt_pyds_update": q_fmt_pyds_update,
     "fmt_pyds_column_mapping": q_fmt_pyds_column_mapping,
+    "fmt_pyds_type_widening": q_fmt_pyds_type_widening,
     "fmt_pyds_merge_clauses": q_fmt_pyds_merge_clauses,
     "fmt_pyds_schema_evolution": q_fmt_pyds_schema_evolution,
     "fmt_pyds_cdf_read": q_fmt_pyds_cdf_read,
@@ -1822,6 +1904,7 @@ QUERIES = {
 ORACLE_SQL = {
     "fmt_pyds_update": SQL_FMT_PYDS_UPDATE,
     "fmt_pyds_column_mapping": SQL_FMT_PYDS_COLUMN_MAPPING,
+    "fmt_pyds_type_widening": SQL_FMT_PYDS_TYPE_WIDENING,
     "fmt_pyds_jsonl_roundtrip": SQL_FMT_PYDS_JSONL_ROUNDTRIP,
     "fmt_pyds_jsonl_write_roundtrip": SQL_FMT_PYDS_JSONL_ROUNDTRIP,
     "fmt_pyds_snapshot_read": SQL_FMT_PYDS_SNAPSHOT_READ,

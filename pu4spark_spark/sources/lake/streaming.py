@@ -43,6 +43,7 @@ from pu4spark_spark.sources.lake.protocol import (
     _shard_path,
     _tomb_sources_for,
     _tombstones_of,
+    _typed_fields_of_ddl,
 )
 
 
@@ -146,6 +147,7 @@ class JsonlDocsVersionStreamReader(DataSourceStreamReader):
         _m = _effective_manifest(options)
         _ddl = _m.get(SCHEMA_KEY, DOCS_DDL)
         self.fields = _fields_of_ddl(_ddl)
+        self.typed_fields = _typed_fields_of_ddl(_ddl)
         self.phys_fields = _physical_fields(
             self.fields, _mapping_of(_m)
         )
@@ -208,16 +210,19 @@ class JsonlDocsVersionStreamReader(DataSourceStreamReader):
             # picks up the evolved schema and null-extends old shards.
             # (Commits with a PREFIX schema — pre-evolution history
             # read by a fresh subscriber — null-extend naturally.)
-            mf = _fields_of_ddl(m.get(SCHEMA_KEY, DOCS_DDL))
-            if v > self.schema_fixed_at and mf != tuple(
-                self.fields[: len(mf)]
+            mt = _typed_fields_of_ddl(m.get(SCHEMA_KEY, DOCS_DDL))
+            if v > self.schema_fixed_at and mt != tuple(
+                self.typed_fields[: len(mt)]
             ):
+                # names OR types (rename / type widen): the stream's
+                # row shape is fixed at start — restart contract
                 raise ValueError(
                     f"jsonl_docs version stream: commit v{v} of "
                     f"{self.path} changed the table schema to "
-                    f"{list(mf)}, which this stream (started with "
-                    f"{list(self.fields)}) cannot represent — restart "
-                    "the subscriber to pick up the evolved schema."
+                    f"{list(mt)}, which this stream (started with "
+                    f"{list(self.typed_fields)}) cannot represent — "
+                    "restart the subscriber to pick up the evolved "
+                    "schema."
                 )
             # no physical check needed on HISTORY: physical ids are
             # assigned at column creation and never change (compaction
@@ -386,6 +391,7 @@ class JsonlDocsChangeFeedStreamReader(DataSourceStreamReader):
             SCHEMA_KEY, DOCS_DDL
         )  # table columns only — the CDF tags are appended at read
         self.fields = _fields_of_ddl(base_ddl)
+        self.typed_fields = _typed_fields_of_ddl(base_ddl)
         self.phys_fields = _physical_fields(
             self.fields, _mapping_of(_m)
         )
@@ -422,15 +428,18 @@ class JsonlDocsChangeFeedStreamReader(DataSourceStreamReader):
             res = {BASE_DIR_KEY: base_dir} if base_dir else None
             mf = _fields_of_ddl(m.get(SCHEMA_KEY, DOCS_DDL))
             mp = _physical_fields(mf, _mapping_of(m))
-            if v > self.schema_fixed_at and mf != tuple(
-                self.fields[: len(mf)]
+            mt = _typed_fields_of_ddl(m.get(SCHEMA_KEY, DOCS_DDL))
+            if v > self.schema_fixed_at and mt != tuple(
+                self.typed_fields[: len(mt)]
             ):
+                # names OR types (rename / type widen) — restart
                 raise ValueError(
                     f"jsonl_docs change feed: commit v{v} of "
                     f"{self.path} changed the table schema to "
-                    f"{list(mf)}, which this stream (started with "
-                    f"{list(self.fields)}) cannot represent — restart "
-                    "the subscriber to pick up the evolved schema."
+                    f"{list(mt)}, which this stream (started with "
+                    f"{list(self.typed_fields)}) cannot represent — "
+                    "restart the subscriber to pick up the evolved "
+                    "schema."
                 )
             # the commit's CDC files carry the COMMIT's logical names;
             # resolve, via the stable PHYSICAL identity, the JSON key

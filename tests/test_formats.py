@@ -4227,3 +4227,85 @@ def test_column_mapping_clone_and_restore(spark, tmp_path):
     got = spark.read.format("jsonl_docs").option("path", src).load()
     assert got.columns[-1] == "length"
     assert [r["length"] for r in got.collect()] == [5]
+
+
+def test_type_widening_contract(spark, tmp_path):
+    """TYPE WIDENING as a pure-metadata commit: the int chain and
+    decimal growth read old shards exactly; values exceeding the old
+    type land after the widen; time travel serves the narrow type;
+    narrowings and cross-kind changes are refused; a version stream
+    started before the widen fails loudly at the boundary (row type
+    fixed — restart contract)."""
+    import pytest as _pytest
+
+    from pu4spark_spark.sources import pydatasource as P
+    from pu4spark_spark.sources.lake.streaming import (
+        JsonlDocsVersionStreamReader,
+    )
+
+    P.register_pyds(spark)
+    out = str(tmp_path / "tw")
+    DDL_INT = (
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars int"
+    )
+    spark.createDataFrame(
+        [(i, f"d{i}", "en", "s", 5 + i) for i in range(3)], DDL_INT
+    ).repartition(1).write.format("jsonl_docs").option(
+        "path", out
+    ).mode("overwrite").save()  # v1 (int column)
+    rdr = JsonlDocsVersionStreamReader({"path": out})
+
+    assert P.widen_jsonl_column(out, "n_chars", "bigint") == 2
+    cur = spark.read.format("jsonl_docs").option("path", out).load()
+    assert dict(cur.dtypes)["n_chars"] == "bigint"
+    assert sorted(r["n_chars"] for r in cur.collect()) == [5, 6, 7]
+    # a value beyond int range lands post-widen
+    spark.createDataFrame(
+        [(9, "d9", "en", "s", 3_000_000_000)], P.DOCS_DDL
+    ).repartition(1).write.format("jsonl_docs").option(
+        "path", out
+    ).option("base_version", 2).mode("append").save()  # v3
+    got = sorted(
+        r["n_chars"]
+        for r in spark.read.format("jsonl_docs")
+        .option("path", out).load().collect()
+    )
+    assert got == [5, 6, 7, 3_000_000_000]
+    # time travel serves the NARROW type
+    v1 = (
+        spark.read.format("jsonl_docs")
+        .option("path", out).option("version", 1).load()
+    )
+    assert dict(v1.dtypes)["n_chars"] == "int"
+
+    # stream fixed pre-widen: the widen commit is a loud boundary
+    with _pytest.raises(ValueError, match="cannot represent"):
+        rdr.partitions({"version": 1}, {"version": 3})
+
+    # refusals: narrowing, cross-kind, unknown, same-type
+    for bad in (("n_chars", "int"), ("n_chars", "smallint"),
+                ("text", "bigint"), ("doc_id", "int")):
+        with _pytest.raises(ValueError):
+            P.widen_jsonl_column(out, *bad)
+    with _pytest.raises(ValueError, match="no column"):
+        P.widen_jsonl_column(out, "nope", "bigint")
+
+    # decimal growth keeps exact values; CDF unions narrow+wide commits
+    out2 = str(tmp_path / "twd")
+    spark.createDataFrame(
+        [(1, "a", "en", "s", 1, "3.50")],
+        P.DOCS_DDL + ", score string",
+    ).withColumn("score", F.col("score").cast("decimal(10,2)")).repartition(
+        1
+    ).write.format("jsonl_docs").option("path", out2).mode(
+        "overwrite"
+    ).save()
+    P.evolve_jsonl_schema(out2, P.DOCS_DDL + ", score decimal(10,2)")
+    P.widen_jsonl_column(out2, "score", "decimal(20,4)")
+    got = spark.read.format("jsonl_docs").option("path", out2).load()
+    assert dict(got.dtypes)["score"] == "decimal(20,4)"
+    assert str(got.collect()[0]["score"]) == "3.5000"
+    feed = P.table_changes_jsonl_dir(spark, out2, 0)
+    assert dict(feed.dtypes)["score"] == "decimal(20,4)"
+    assert str(feed.collect()[0]["score"]) == "3.5000"
