@@ -37,6 +37,7 @@ from pu4spark_spark.sources.lake.protocol import (
     _shard_path,
     _tombstones_of,
     _typed_fields_of_ddl,
+    _version_as_of,
 )
 from pu4spark_spark.sources.lake.source import (
     register_pyds,
@@ -147,8 +148,11 @@ def _read_key_files_df(
 def table_changes_jsonl_dir(
     spark: SparkSession,
     path: str,
-    starting_version: int,
+    starting_version: int | None = None,
     ending_version: int | None = None,
+    *,
+    starting_timestamp: int | None = None,
+    ending_timestamp: int | None = None,
 ) -> DataFrame:
     """Batch CHANGE DATA FEED — Delta's ``table_changes(tbl, a, b)``:
     one DataFrame of every row-level change committed in
@@ -187,6 +191,34 @@ def table_changes_jsonl_dir(
     import json as _json
 
     register_pyds(spark)
+    # TIMESTAMP range form (Delta's startingTimestamp/endingTimestamp,
+    # nanosecond stamps): resolved to versions by the same canonical
+    # as-of rule TIME TRAVEL uses.  startingTimestamp means "changes
+    # strictly AFTER this instant", so it resolves to the last commit
+    # at-or-before the stamp (exclusive start); an endingTimestamp
+    # before every retained commit raises via _version_as_of.
+    if starting_timestamp is not None:
+        if starting_version is not None:
+            raise ValueError(
+                "table_changes: pass starting_version OR "
+                "starting_timestamp, not both"
+            )
+        try:
+            starting_version = _version_as_of(path, starting_timestamp)
+        except ValueError:
+            starting_version = 0  # predates every commit: full feed
+    if starting_version is None:
+        raise ValueError(
+            "table_changes: starting_version or starting_timestamp "
+            "is required"
+        )
+    if ending_timestamp is not None:
+        if ending_version is not None:
+            raise ValueError(
+                "table_changes: pass ending_version OR "
+                "ending_timestamp, not both"
+            )
+        ending_version = _version_as_of(path, ending_timestamp)
     end = (
         ending_version
         if ending_version is not None

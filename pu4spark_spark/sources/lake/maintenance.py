@@ -617,8 +617,11 @@ def compact_jsonl_dir(
 
 
 def vacuum_jsonl_dir(
-    path: str, keep_versions: int = 1, stale_grace_s: float = 600.0
-) -> int:
+    path: str,
+    keep_versions: int = 1,
+    stale_grace_s: float = 600.0,
+    dry_run: bool = False,
+) -> int | list[str]:
     """Reclaim shards unreachable from the newest ``keep_versions``
     manifests and drop the older manifest files — the GC half of the
     snapshot contract (time travel works until vacuum, then fails
@@ -638,7 +641,9 @@ def vacuum_jsonl_dir(
     everything unreferenced, only safe with no writer in flight.
     Manifest snapshots need no grace — they are atomic
     create-if-absent commits, never staged.  Returns the number of
-    shard files deleted."""
+    shard files deleted — or, with ``dry_run=True`` (Delta's VACUUM
+    DRY RUN), the sorted list of every file the real run WOULD remove
+    (shards, sidecars, manifests, temps), deleting nothing."""
     import json as _json
     import time as _time
 
@@ -690,9 +695,13 @@ def vacuum_jsonl_dir(
         for fl in m.get(CDC_KEY, {}).values():
             live.update(fl)
     removed = 0
+    would_remove: list[str] = []
 
     def _rm(f: str) -> bool:
         # two vacuums racing the same orphan must not crash the loser
+        if dry_run:
+            would_remove.append(f)
+            return True
         try:
             os.remove(os.path.join(path, f))
             return True
@@ -730,6 +739,8 @@ def vacuum_jsonl_dir(
         ):
             if _rm(f):
                 removed += 1
+    if dry_run:
+        return sorted(would_remove)
     return removed
 
 

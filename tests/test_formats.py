@@ -4309,3 +4309,74 @@ def test_type_widening_contract(spark, tmp_path):
     feed = P.table_changes_jsonl_dir(spark, out2, 0)
     assert dict(feed.dtypes)["score"] == "decimal(20,4)"
     assert str(feed.collect()[0]["score"]) == "3.5000"
+
+
+def test_cdf_timestamp_range_and_vacuum_dry_run(spark, tmp_path):
+    """Timestamp-ranged CDF (Delta's startingTimestamp /
+    endingTimestamp — resolved by the same canonical as-of rule as
+    time travel) and VACUUM DRY RUN (the would-remove list, nothing
+    deleted)."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from pu4spark_spark.sources import pydatasource as P
+
+    P.register_pyds(spark)
+    out = str(tmp_path / "ts")
+    spark.createDataFrame(
+        [(i, f"d{i}", "en", "s", 5) for i in range(3)], P.DOCS_DDL
+    ).repartition(1).write.format("jsonl_docs").option(
+        "path", out
+    ).mode("overwrite").save()  # v1
+    ts1 = _json.load(open(_os.path.join(out, "_MANIFEST.v1")))["_ts"]
+    P.delete_from_jsonl_dir(out, [0], spark=spark, cdf=True)  # v2
+    ts2 = _json.load(open(_os.path.join(out, "_MANIFEST.v2")))["_ts"]
+    spark.createDataFrame(
+        [(9, "d9", "en", "s", 7)], P.DOCS_DDL
+    ).repartition(1).write.format("jsonl_docs").option(
+        "path", out
+    ).option("base_version", 2).mode("append").save()  # v3
+
+    # "changes after ts1" = v2+v3; "up to ts2" = v2 only
+    feed = P.table_changes_jsonl_dir(
+        spark, out, starting_timestamp=ts1
+    ).collect()
+    assert sorted((r["doc_id"], r["_change_type"]) for r in feed) == [
+        (0, "delete"), (9, "insert")
+    ]
+    feed = P.table_changes_jsonl_dir(
+        spark, out, starting_timestamp=ts1, ending_timestamp=ts2
+    ).collect()
+    assert [(r["doc_id"], r["_change_type"]) for r in feed] == [
+        (0, "delete")
+    ]
+    # predating every commit = the full feed from 0
+    assert (
+        P.table_changes_jsonl_dir(
+            spark, out, starting_timestamp=ts1 - 10**12
+        ).count()
+        == 5  # 3 seed inserts + delete + append
+    )
+    with _pytest.raises(ValueError, match="not both"):
+        P.table_changes_jsonl_dir(
+            spark, out, 1, starting_timestamp=ts1
+        )
+    with _pytest.raises(ValueError, match="required"):
+        P.table_changes_jsonl_dir(spark, out)
+
+    # dry run lists exactly what the real run removes, touching nothing
+    n_before = len(_os.listdir(out))
+    plan = P.vacuum_jsonl_dir(out, keep_versions=1, stale_grace_s=0,
+                              dry_run=True)
+    assert isinstance(plan, list) and plan
+    assert len(_os.listdir(out)) == n_before  # nothing deleted
+    removed = P.vacuum_jsonl_dir(out, keep_versions=1, stale_grace_s=0)
+    gone = set(plan)
+    assert all(not _os.path.exists(_os.path.join(out, f)) for f in gone)
+    assert removed == sum(
+        1
+        for f in plan
+        if f.endswith((".json", ".jsonl")) and not f.startswith("_")
+    )
