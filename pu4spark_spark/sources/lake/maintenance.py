@@ -1071,3 +1071,52 @@ def widen_jsonl_column(
     )
     new_manifest[OP_KEY] = "widen-column"
     return _claim_metadata_commit(path, base, new_manifest, "widen")
+
+
+def describe_detail_jsonl_dir(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE DETAIL — Delta's one-row table summary, from manifest
+    metadata only (no data scan): current version, file/row counts
+    (rows as WRITTEN — the storage view), total shard bytes, the
+    LOGICAL schema DDL, whether a column mapping / constraints /
+    tombstones / a shallow-clone base are present, and the retained
+    version span.  Driver-side metadata build, O(files) stat calls —
+    the cost Delta pays reading its log."""
+    import json as _json
+
+    register_pyds(spark)
+    v = _latest_manifest_version(path)
+    if v <= 0:
+        raise ValueError(
+            f"describe_detail_jsonl_dir: no committed version under "
+            f"{path}"
+        )
+    m = _manifest_at(path, v)
+    files = _manifest_files(m)
+    size = 0
+    for f in files:
+        try:
+            size += os.path.getsize(_shard_path(path, m, f))
+        except OSError:
+            pass
+    row = (
+        "jsonl_docs",
+        v,
+        _earliest_manifest_version(path),
+        len(files),
+        sum(n for n in (m[f] for f in files) if n is not None),
+        size,
+        m.get(SCHEMA_KEY, DOCS_DDL),
+        bool(_mapping_of(m)),
+        len(_constraints_of(m)),
+        len(_tombstones_of(m)["entries"]),
+        BASE_DIR_KEY in m,
+        m.get(OP_KEY, "unknown"),
+    )
+    return spark.createDataFrame(
+        [row],
+        "format string, version bigint, earliest_version bigint, "
+        "num_files bigint, num_rows_written bigint, size_bytes bigint, "
+        "schema string, has_column_mapping boolean, n_constraints bigint, "
+        "n_tombstone_entries bigint, is_shallow_clone boolean, "
+        "last_operation string",
+    )

@@ -264,6 +264,21 @@ class JsonlDocsWriter(DataSourceWriter):
                     self._constraints.append(
                         (nm, ex, _compile_constraint(ex))
                     )
+        # IDEMPOTENT batch writes (Delta's txnAppId/txnVersion write
+        # options): an application-scoped monotonically increasing
+        # version.  A commit whose (app, version) the table has already
+        # recorded is a retried job — it must NO-OP, not append twice.
+        # Checked against the SEEDED base manifest inside commit() (the
+        # same transaction as the claim, like the streaming sink's
+        # last_batch re-check).
+        self.txn_app_id = options.get("txn_app_id")
+        tv = options.get("txn_version")
+        self.txn_version = int(tv) if tv is not None else None
+        if (self.txn_app_id is None) != (self.txn_version is None):
+            raise ValueError(
+                "jsonl_docs writer: txn_app_id and txn_version must be "
+                "set together"
+            )
         # per-JOB token: assigned once driver-side, shared by all the
         # job's pickled task copies.  Temp shards carry it so commit's
         # orphan sweep only ever touches THIS job's leftovers — a
@@ -444,6 +459,20 @@ class JsonlDocsWriter(DataSourceWriter):
             if _os.path.exists(spath):
                 with open(spath) as fh:
                     stats = _json.load(fh)
+        # idempotence gate (txn_app_id/txn_version): the seeded base
+        # manifest is the transaction state the claim below extends —
+        # an (app, version) it already records means this job is a
+        # RETRY of a durably committed write: drop the staged temps
+        # and no-op (never append twice)
+        if self.txn_app_id is not None:
+            recorded = (
+                manifest.get(TXN_KEY, {})
+                .get("apps", {})
+                .get(self.txn_app_id, -1)
+            )
+            if recorded >= self.txn_version:
+                self._sweep_tmp(set())
+                return
         committed_tmp = set()
         for m in _flatten_commits(messages):
             _os.rename(
@@ -470,6 +499,12 @@ class JsonlDocsWriter(DataSourceWriter):
         # operation provenance (DESCRIBE HISTORY): each commit records
         # its own op, overwriting whatever the base carried
         manifest[OP_KEY] = "overwrite" if self.overwrite else "append"
+        if self.txn_app_id is not None:
+            txn = dict(manifest.get(TXN_KEY, {}))
+            apps = dict(txn.get("apps", {}))
+            apps[self.txn_app_id] = self.txn_version
+            txn["apps"] = apps
+            manifest[TXN_KEY] = txn
         # commit wall-clock (ns) — the "TIMESTAMP AS OF" resolution key
         # (reserved key, skipped by every shard-list consumer)
         import time as _time

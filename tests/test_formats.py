@@ -4380,3 +4380,90 @@ def test_cdf_timestamp_range_and_vacuum_dry_run(spark, tmp_path):
         for f in plan
         if f.endswith((".json", ".jsonl")) and not f.startswith("_")
     )
+
+
+def test_batch_txn_idempotent_writes(spark, tmp_path):
+    """Idempotent BATCH writes (Delta's txnAppId/txnVersion): a retry
+    of a durably committed (app, version) no-ops instead of appending
+    twice; a higher version appends; apps are independent; the marker
+    survives compaction; half-set options refuse."""
+    import pytest as _pytest
+
+    from pu4spark_spark.sources import pydatasource as P
+
+    P.register_pyds(spark)
+    out = str(tmp_path / "txn")
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(i, f"d{i}", "en", "s", 5) for i in rows], P.DOCS_DDL
+        )
+
+    df([0, 1]).repartition(1).write.format("jsonl_docs").option(
+        "path", out
+    ).mode("overwrite").save()  # v1
+
+    def append(ids, app, ver):
+        df(ids).repartition(1).write.format("jsonl_docs").option(
+            "path", out
+        ).option("txn_app_id", app).option(
+            "txn_version", str(ver)
+        ).mode("append").save()
+
+    append([2], "etl", 1)  # v2
+    append([3], "etl", 1)  # RETRY: must no-op
+    assert P._latest_manifest_version(out) == 2
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.format("jsonl_docs")
+        .option("path", out).load().collect()
+    )
+    assert got == [0, 1, 2]
+    append([3], "etl", 2)  # fresh version: appends (v3)
+    append([4], "other", 1)  # other app: independent (v4)
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.format("jsonl_docs")
+        .option("path", out).load().collect()
+    )
+    assert got == [0, 1, 2, 3, 4]
+    # marker survives compaction: the retry STILL no-ops after OPTIMIZE
+    P.compact_jsonl_dir(spark, out, target_shards=1)  # v5
+    append([9], "etl", 2)  # retry across the rewrite: no-op
+    assert P._latest_manifest_version(out) == 5
+    # lower-than-recorded version also no-ops (monotonic contract)
+    append([9], "etl", 1)
+    assert P._latest_manifest_version(out) == 5
+
+    with _pytest.raises(Exception, match="set together"):
+        df([9]).write.format("jsonl_docs").option("path", out).option(
+            "txn_app_id", "etl"
+        ).mode("append").save()
+
+
+def test_describe_detail(spark, tmp_path):
+    """DESCRIBE DETAIL: one metadata-only summary row tracking version,
+    files/rows/bytes, schema, mapping/constraints/tombstones flags."""
+    from pu4spark_spark.sources import pydatasource as P
+
+    P.register_pyds(spark)
+    out = str(tmp_path / "dd")
+    spark.createDataFrame(
+        [(i, f"d{i}", "en", "s", 5) for i in range(4)], P.DOCS_DDL
+    ).repartition(2).write.format("jsonl_docs").option(
+        "path", out
+    ).mode("overwrite").save()  # v1
+    P.delete_from_jsonl_dir(out, [0])  # v2
+    P.rename_jsonl_column(out, "n_chars", "length")  # v3
+    P.add_constraint_jsonl_dir(out, "pos", "length >= 0")  # v4
+    r = P.describe_detail_jsonl_dir(spark, out).collect()[0]
+    assert r["format"] == "jsonl_docs"
+    assert r["version"] == 4 and r["earliest_version"] == 1
+    assert r["num_files"] == 2 and r["num_rows_written"] == 4
+    assert r["size_bytes"] > 0
+    assert "length bigint" in r["schema"]
+    assert r["has_column_mapping"] is True
+    assert r["n_constraints"] == 1
+    assert r["n_tombstone_entries"] == 1
+    assert r["is_shallow_clone"] is False
+    assert r["last_operation"] == "add-constraint"
