@@ -1173,6 +1173,13 @@ def q_fmt_pyds_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), f"pu4spark_pyds_cldst_{tag}_{os.getpid()}"
     )
     register_pyds(spark)
+    # RE-RUNNABLE fixture: the clone target refuses an existing table
+    # by design, so a bench rerun (the suspicious-rerun guard measures
+    # the same query twice in one process) must start from a clean dst
+    # — the overwrite save only clears src
+    import shutil as _shutil
+
+    _shutil.rmtree(dst, ignore_errors=True)
     docs = load_table(spark, "documents", sf_dir)
     evens = docs.filter(F.col("doc_id") % 2 == 0)
     (
