@@ -153,14 +153,39 @@ class JsonlDocsVersionStreamReader(DataSourceStreamReader):
         )
         self.convs = _converters_of_ddl(_ddl)
         self.schema_fixed_at = _latest_manifest_version(self.path)
+        # RATE LIMIT (Delta's maxFilesPerTrigger, commit-granular —
+        # the version is this source's offset and a commit is its
+        # atomicity unit): each steady-state microbatch advances at
+        # most this many versions, bounding per-trigger work on a
+        # table with deep unread history.  The FIRST trigger of a
+        # reader instance is unbounded (it must cover whatever gap the
+        # checkpoint left; afterward the floor tracks each planned
+        # batch's end).
+        mv = options.get("max_versions_per_trigger")
+        self.max_versions = int(mv) if mv is not None else None
+        if self.max_versions is not None and self.max_versions < 1:
+            raise ValueError(
+                "jsonl_docs: max_versions_per_trigger must be >= 1"
+            )
+        self._rate_floor: int | None = None
 
     def initialOffset(self) -> dict:
         return {"version": max(0, self.starting_version - 1)}
 
     def latestOffset(self) -> dict:
-        return {"version": _latest_manifest_version(self.path)}
+        latest = _latest_manifest_version(self.path)
+        if self.max_versions is None or self._rate_floor is None:
+            return {"version": latest}
+        return {
+            "version": min(latest, self._rate_floor + self.max_versions)
+        }
 
     def partitions(self, start: dict, end: dict):
+        # rate-limit floor: never below anything the engine has shown
+        # us, so a bounded latestOffset can never regress an offset
+        self._rate_floor = max(
+            self._rate_floor or 0, start["version"], end["version"]
+        )
         # walk the versions one commit at a time: a DATA commit
         # contributes the shards it added over its predecessor; a
         # REWRITE commit (compaction — ``.rewrite`` sidecar tethered to
@@ -397,17 +422,33 @@ class JsonlDocsChangeFeedStreamReader(DataSourceStreamReader):
         )
         self.convs = _converters_of_ddl(base_ddl)
         self.schema_fixed_at = _latest_manifest_version(self.path)
+        # commit-granular rate limit — see the version stream
+        mv = options.get("max_versions_per_trigger")
+        self.max_versions = int(mv) if mv is not None else None
+        if self.max_versions is not None and self.max_versions < 1:
+            raise ValueError(
+                "jsonl_docs: max_versions_per_trigger must be >= 1"
+            )
+        self._rate_floor: int | None = None
 
     def initialOffset(self) -> dict:
         return {"version": max(0, self.starting_version - 1)}
 
     def latestOffset(self) -> dict:
-        return {"version": _latest_manifest_version(self.path)}
+        latest = _latest_manifest_version(self.path)
+        if self.max_versions is None or self._rate_floor is None:
+            return {"version": latest}
+        return {
+            "version": min(latest, self._rate_floor + self.max_versions)
+        }
 
     def partitions(self, start: dict, end: dict):
         import hashlib
         import json
 
+        self._rate_floor = max(
+            self._rate_floor or 0, start["version"], end["version"]
+        )
         parts = []
         first = start["version"] + 1
         initial = None

@@ -4467,3 +4467,102 @@ def test_describe_detail(spark, tmp_path):
     assert r["n_tombstone_entries"] == 1
     assert r["is_shallow_clone"] is False
     assert r["last_operation"] == "add-constraint"
+
+
+def test_version_stream_rate_limit(spark, tmp_path):
+    """max_versions_per_trigger (Delta's maxFilesPerTrigger,
+    commit-granular): steady-state microbatches advance at most N
+    versions; the first trigger of a reader instance is unbounded
+    (covers the checkpoint gap); the bounded latestOffset can never
+    regress an offset; all rows arrive exactly once across the
+    triggers."""
+    import pytest as _pytest
+
+    from pu4spark_spark.sources import pydatasource as P
+    from pu4spark_spark.sources.lake.streaming import (
+        JsonlDocsVersionStreamReader,
+    )
+
+    P.register_pyds(spark)
+    out = str(tmp_path / "rate")
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(i, f"d{i}", "en", "s", 5) for i in rows], P.DOCS_DDL
+        )
+
+    df([0]).repartition(1).write.format("jsonl_docs").option(
+        "path", out
+    ).mode("overwrite").save()  # v1
+    for v, i in ((1, 1), (2, 2), (3, 3), (4, 4)):
+        df([i]).repartition(1).write.format("jsonl_docs").option(
+            "path", out
+        ).option("base_version", v).mode("append").save()  # v2..v5
+
+    # start at v2 (skip the initial snapshot), 1 version per trigger
+    rdr = JsonlDocsVersionStreamReader(
+        {"path": out, "starting_version": "2",
+         "max_versions_per_trigger": "1"}
+    )
+    seen: list[tuple] = []
+    off = rdr.initialOffset()
+    ends = []
+    for _ in range(10):
+        end = rdr.latestOffset()
+        if end == off:
+            break
+        for p in rdr.partitions(off, end):
+            seen.extend((r[0], r[4]) for r in rdr.read(p))
+        rdr.commit(end)
+        ends.append(end["version"])
+        off = end
+    # first trigger unbounded (fresh reader: floor unset) -> jumps to
+    # latest=5... no: floor unset means UNBOUNDED first batch
+    assert ends[0] == 5 and len(ends) == 1
+    assert sorted(seen) == [(1, 5), (2, 5), (3, 5), (4, 5)]
+
+    # steady state: once the floor is set, each trigger advances by 1
+    rdr2 = JsonlDocsVersionStreamReader(
+        {"path": out, "starting_version": "2",
+         "max_versions_per_trigger": "1"}
+    )
+    rdr2._rate_floor = 1  # simulate a prior planned batch end
+    seen2: list[tuple] = []
+    off = {"version": 1}
+    ends2 = []
+    for _ in range(10):
+        end = rdr2.latestOffset()
+        if end == off:
+            break
+        for p in rdr2.partitions(off, end):
+            seen2.extend((r[0], r[4]) for r in rdr2.read(p))
+        ends2.append(end["version"])
+        off = end
+    assert ends2 == [2, 3, 4, 5]  # one version per trigger
+    assert sorted(seen2) == [(1, 5), (2, 5), (3, 5), (4, 5)]
+
+    with _pytest.raises(ValueError, match=">= 1"):
+        JsonlDocsVersionStreamReader(
+            {"path": out, "max_versions_per_trigger": "0"}
+        )
+
+    # end-to-end: the option threads through the real engine
+    got = (
+        spark.readStream.format("jsonl_docs")
+        .option("path", out)
+        .option("versioned", "true")
+        .option("starting_version", "2")
+        .option("max_versions_per_trigger", "2")
+        .load()
+    )
+    q = (
+        got.writeStream.format("memory")
+        .queryName("rate_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        r["doc_id"] for r in spark.sql("select * from rate_stream").collect()
+    )
+    assert rows == [1, 2, 3, 4]
