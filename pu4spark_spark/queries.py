@@ -76,7 +76,13 @@ if missing:
 #: committed full-registry self-check (``tools/check_oracle.py`` →
 #: ``CORRECTNESS_FULL_r0N``).
 DRIVER_FIRST = [
-    # Round-12 rotation (tools/rotation.py).  Window = (A) the 11 r11
+    # Round-12 rotation (tools/rotation.py).  r13 PLAN: once the
+    # driver writes CORRECTNESS_r12.json, re-run tools/rotation.py —
+    # the only never-witnessed entries should then be whatever r13
+    # itself adds (this window carries all r11 leftovers plus the r12
+    # queries fmt_pyds_update / fmt_pyds_column_mapping /
+    # fmt_pyds_type_widening); fill the rest with re-verification of
+    # whatever code r13 touches.  Window = (A) the 11 r11
     # lake queries never witnessed by any driver window (stale r10
     # rotation — VERDICT r11 "What's missing #1"); (B) re-verification
     # of every other mini-lake query: this round splits the 5,731-line
