@@ -124,6 +124,7 @@ DRIVER_FIRST = [
     "streaming_pyds_compaction_skip",
     "streaming_pyds_delete_feed",
     "streaming_pyds_lake_sink",
+    "streaming_pyds_rate_limited",
     # -- C: bench-watchlist re-witnesses (adjudication this round) ---------
     "dedup_incremental",
     "pipeline_docs_clean",
@@ -145,7 +146,6 @@ DRIVER_FIRST = [
     "curation_stratified_sample",      # 0.189
     "text_regex_tokens",               # 0.191
     "dedup_exact_docs",                # 0.195
-    "q6_forecast_revenue",             # 0.203
 ]
 
 

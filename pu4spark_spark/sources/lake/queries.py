@@ -48,6 +48,8 @@ from pu4spark_spark.sources.lake.protocol import (
     _is_commit_conflict,
 )
 from pu4spark_spark.sources.lake.queries_stream import (
+    SQL_STREAMING_PYDS_RATE_LIMITED,
+    q_streaming_pyds_rate_limited,
     SQL_CURATION_LAKE_RELEASE,
     SQL_STREAMING_PYDS_CDF_FEED,
     SQL_STREAMING_PYDS_DELETE_FEED,
@@ -1906,6 +1908,7 @@ QUERIES = {
     "streaming_pyds_snapshot": q_streaming_pyds_snapshot,
     "streaming_pyds_compaction_skip": q_streaming_pyds_compaction_skip,
     "streaming_pyds_lake_sink": q_streaming_pyds_lake_sink,
+    "streaming_pyds_rate_limited": q_streaming_pyds_rate_limited,
 }
 
 ORACLE_SQL = {
@@ -1957,6 +1960,7 @@ ORACLE_SQL = {
     # typed change rows per commit: snapshot inserts + CDC-file changes
     "streaming_pyds_cdf_feed": SQL_STREAMING_PYDS_CDF_FEED,
     # the incremental path must agree with the batch oracle
+    "streaming_pyds_rate_limited": SQL_STREAMING_PYDS_RATE_LIMITED,
     "streaming_pyds_docs": SQL_STREAMING_PYDS_DOCS,
     # two checkpointed version-offset drains == batch truth; orphan
     # debris (poison lang) must never surface

@@ -285,11 +285,12 @@ def _versioned_lang_drain_opts(
     ckpt: str,
     name: str,
     ignore_deletes: bool = False,
+    max_versions_per_trigger: int | None = None,
 ) -> None:
     """One availableNow drain of the VERSIONED stream over ``out`` into
-    the complete-mode memory sink ``name`` — the ``ignore_deletes``
-    twin of :func:`_versioned_lang_drain` for tables with row-level
-    DELETE/MERGE history."""
+    the complete-mode memory sink ``name`` — the ``ignore_deletes`` /
+    rate-limited twin of :func:`_versioned_lang_drain` for tables with
+    row-level DELETE/MERGE history."""
     from pu4spark_spark.streaming.drain import drain_partitions
 
     reader = (
@@ -299,6 +300,10 @@ def _versioned_lang_drain_opts(
     )
     if ignore_deletes:
         reader = reader.option("ignore_deletes", "true")
+    if max_versions_per_trigger is not None:
+        reader = reader.option(
+            "max_versions_per_trigger", str(max_versions_per_trigger)
+        )
     stream = reader.load()
     agg = stream.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -317,6 +322,57 @@ def _versioned_lang_drain_opts(
         )
         q.awaitTermination()
         q.stop()
+
+
+def q_streaming_pyds_rate_limited(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RATE-LIMITED stream drain, value-checked for semantics
+    NEUTRALITY: the documents table lands as four separate commits
+    (quarters by ``doc_id % 4``, each a version), then one
+    ``availableNow`` drain with ``max_versions_per_trigger=1`` — the
+    per-trigger bound changes HOW MANY microbatches the catch-up
+    takes, never WHAT arrives.  The complete-mode aggregate must equal
+    the plain batch truth over all documents; a version skipped,
+    replayed, or split mid-commit by the limiter hash-mismatches.
+    Per-trigger advance and offset-floor monotonicity are pinned at
+    the reader level in ``tests/test_formats.py``."""
+    import hashlib
+    import shutil
+    import uuid as _uuid
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_pyds_rl_{tag}_{os.getpid()}"
+    )
+    ckpt = os.path.join(out, "_ckpt")
+    shutil.rmtree(out, ignore_errors=True)
+    register_pyds(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    for i in range(4):
+        w = (
+            docs.filter(F.col("doc_id") % 4 == i)
+            .repartition(2, "doc_id")
+            .write.format("jsonl_docs")
+            .option("path", out)
+        )
+        if i == 0:
+            w.mode("overwrite").save()
+        else:
+            w.option("base_version", i).mode("append").save()
+    name = f"pyds_rate_{_uuid.uuid4().hex[:8]}"
+    _versioned_lang_drain_opts(
+        spark, out, ckpt, name, max_versions_per_trigger=1
+    )
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+SQL_STREAMING_PYDS_RATE_LIMITED = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM documents GROUP BY lang
+"""
 
 
 #: delete/merge mods for the STREAM feed demo — even-parity so they hit
