@@ -35,6 +35,7 @@ from pu4spark_spark.sources.lake.protocol import (
     _mapping_of,
     _rewrite_marker_valid,
     _shard_path,
+    _tomb_sources_for,
     _tombstones_of,
     _typed_fields_of_ddl,
     _version_as_of,
@@ -325,18 +326,57 @@ def table_changes_jsonl_dir(
         phys_ddl = ", ".join(
             f"`{cmap_v.get(nm, nm)}` {t}" for nm, t in typed_v
         )
-        added = (
-            spark.read.schema(phys_ddl)
-            .json([_shard_path(path, m_v, f) for f in added_files])
-            .select(
-                *[
-                    F.col(f"`{cmap_v.get(nm, nm)}`").alias(nm)
-                    for nm, _t in typed_v
-                ]
+
+        def _read_added(files: list[str]) -> DataFrame:
+            return (
+                spark.read.schema(phys_ddl)
+                .json([_shard_path(path, m_v, f) for f in files])
+                .select(
+                    *[
+                        F.col(f"`{cmap_v.get(nm, nm)}`").alias(nm)
+                        for nm, _t in typed_v
+                    ]
+                )
             )
-            if added_files
-            else spark.createDataFrame([], ddl)
-        )
+
+        if added_files:
+            # a commit whose ledger already tombstones rows in its OWN
+            # added shards must not feed those rows as inserts — they
+            # were never visible at v.  The key_files derivation above
+            # can't see such entries: it matches ``e.v == v`` exactly,
+            # but a shallow clone's v1 grafts the SOURCE's ledger with
+            # fractional stamps in (0, 1) that never equal an int
+            # version (clone_jsonl_dir's order-preserving remap).
+            # Apply the same ``entry.v > added(f)`` scoping the
+            # snapshot readers use (_tomb_sources_for), grouping added
+            # shards by their drop-source signature so the common case
+            # (no applicable entries) stays one raw read.
+            tombs_v = _tombstones_of(m_v)
+            groups: dict[tuple, list[str]] = {}
+            for f in added_files:
+                groups.setdefault(
+                    _tomb_sources_for(f, tombs_v), []
+                ).append(f)
+            parts = []
+            for (t_ids, t_kfiles), files in groups.items():
+                df = _read_added(files)
+                if t_ids:
+                    df = df.filter(~F.col("doc_id").isin(list(t_ids)))
+                if t_kfiles:
+                    dropk = _read_key_files_df(
+                        spark, path, list(t_kfiles), m_v
+                    )
+                    if _files_bytes_under(
+                        path, m_v, t_kfiles, CDF_BROADCAST_MAX_BYTES
+                    ):
+                        dropk = F.broadcast(dropk)
+                    df = df.join(dropk, "doc_id", "left_anti")
+                parts.append(df)
+            added = parts[0]
+            for p in parts[1:]:
+                added = added.unionByName(p)
+        else:
+            added = spark.createDataFrame([], ddl)
 
         def tagged(
             df: DataFrame, change: str, v: int = v, m_v: dict = m_v,

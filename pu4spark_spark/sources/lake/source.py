@@ -655,6 +655,13 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
         if not self.path:
             raise ValueError("jsonl_docs stream writer requires 'path'")
         self.fields = [f.name for f in schema.fields]
+        #: written shape as DDL — recorded as the table schema when the
+        #: FIRST commit into a fresh directory creates a non-documents
+        #: table (mirrors the batch writer's overwrite path; appends
+        #: onto an existing table keep the base manifest's _schema)
+        self.ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+        )
         import uuid as _uuid
 
         self.job_token = _uuid.uuid4().hex[:8]
@@ -673,17 +680,25 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
         n = 0
         has_doc = "doc_id" in self.fields
         mn = mx = None
-        # CHECK constraints, loaded lazily per TASK from the current
-        # latest manifest (a stream is long-lived — a constraint added
-        # mid-stream must bind future batches, so init-time loading
-        # would be stale; per-batch task load is one manifest read)
+        # CHECK constraints AND column mapping, loaded lazily per TASK
+        # from the current latest manifest (a stream is long-lived — a
+        # constraint or rename committed mid-stream must bind future
+        # batches, so init-time loading would be stale; per-batch task
+        # load is one manifest read).  The mapping matters for the
+        # writers-keep-writing-the-physical-key invariant: after
+        # rename_jsonl_column the mapped column's PHYSICAL JSON key is
+        # its original name — serializing logical keys would make every
+        # sink-committed row read back NULL under the mapped column.
+        # Rows are validated / stat'd under LOGICAL names (like the
+        # batch writer); only the serialized form is physical.
         cons = []
+        phys: dict = {}
         latest = _latest_manifest_version(self.path)
         if latest > 0:
-            for nm, ex in _constraints_of(
-                _manifest_at(self.path, latest)
-            ).items():
+            _m = _manifest_at(self.path, latest)
+            for nm, ex in _constraints_of(_m).items():
                 cons.append((nm, ex, _compile_constraint(ex)))
+            phys = _mapping_of(_m)
         with open(_os.path.join(self.path, tmp), "w") as fh:
             for row in iterator:
                 d = {k: row[k] for k in self.fields}
@@ -694,7 +709,12 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
                             f"by row {d!r} — the micro-batch fails "
                             "before any commit"
                         )
-                fh.write(_json.dumps(d) + "\n")
+                out = (
+                    {phys.get(k, k): v for k, v in d.items()}
+                    if phys
+                    else d
+                )
+                fh.write(_json.dumps(out, default=_json_cell) + "\n")
                 n += 1
                 if has_doc and d["doc_id"] is not None:
                     v = d["doc_id"]
@@ -781,6 +801,12 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
                 for f in staged:
                     added[f] = version
             manifest.update(staged)
+            if version == 1 and self.ddl != DOCS_DDL:
+                # first commit CREATES the table: record the written
+                # shape so a non-docs-shaped sink table reads back
+                # under its own schema, not the legacy documents DDL
+                # (mirrors the batch writer's overwrite path)
+                manifest[SCHEMA_KEY] = self.ddl
             manifest[TXN_KEY] = {"last_batch": batchId}
             manifest[OP_KEY] = "streaming-append"
             import time as _time

@@ -4566,3 +4566,178 @@ def test_version_stream_rate_limit(spark, tmp_path):
         r["doc_id"] for r in spark.sql("select * from rate_stream").collect()
     )
     assert rows == [1, 2, 3, 4]
+
+
+def test_cdf_over_clone_commit_applies_grafted_ledger(spark, tmp_path):
+    """Batch table_changes spanning a shallow-CLONE commit must emit
+    exactly the rows VISIBLE at the clone (the grafted fractional-stamp
+    ledger applied), never the tombstoned source rows as phantom
+    inserts — regression pin for the over-delivery where e['v'] == v
+    int-matching missed the clone's (0,1)-stamped entries."""
+    from pu4spark_spark.sources import pydatasource as P
+
+    P.register_pyds(spark)
+    DDL = (
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(i, f"d{i}", "en", "s", n) for i, n in rows], DDL
+        )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    df([(i, 5) for i in range(6)]).repartition(2).write.format(
+        "jsonl_docs"
+    ).option("path", src).mode("overwrite").save()
+    P.delete_from_jsonl_dir(src, [1])  # tombstoned in SOURCE history
+    P.merge_into_jsonl_dir(
+        spark, df([(2, 50), (9, 7)]).repartition(1), src
+    )
+    P.clone_jsonl_dir(src, dst)
+
+    feed = P.table_changes_jsonl_dir(spark, dst, 0).collect()
+    got = sorted(
+        (r["_commit_version"], r["doc_id"], r["_change_type"], r["n_chars"])
+        for r in feed
+    )
+    # the clone's v1 feed == its visible snapshot, all inserts: id 1
+    # (deleted pre-clone) and id 2's n_chars=5 pre-image (replaced by
+    # the merge) must NOT appear
+    assert got == [
+        (1, 0, "insert", 5),
+        (1, 2, "insert", 50),
+        (1, 3, "insert", 5),
+        (1, 4, "insert", 5),
+        (1, 5, "insert", 5),
+        (1, 9, "insert", 7),
+    ], got
+
+    # the feed stays exact PAST the clone commit: post-clone DML
+    # derives normally against the clone's snapshot
+    P.delete_from_jsonl_dir(dst, [0])  # v2
+    df([(10, 3)]).repartition(1).write.format("jsonl_docs").option(
+        "path", dst
+    ).mode("append").save()  # v3
+    tail = sorted(
+        (r["_commit_version"], r["doc_id"], r["_change_type"])
+        for r in P.table_changes_jsonl_dir(spark, dst, 1).collect()
+    )
+    assert tail == [(2, 0, "delete"), (3, 10, "insert")], tail
+
+
+def test_stream_sink_respects_column_mapping(spark, tmp_path):
+    """Streaming sink into a RENAMED (column-mapped) table: the sink
+    must serialize the table's PHYSICAL keys like the batch writer —
+    logical-key rows would silently read back NULL under the mapped
+    column (regression pin for the sink mapping bug)."""
+    import os as _os
+
+    from pu4spark_spark.sources import pydatasource as P
+
+    P.register_pyds(spark)
+    DDL = (
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+    lake = str(tmp_path / "lake")
+    landing = str(tmp_path / "landing")
+    spark.createDataFrame(
+        [(0, "seed", "en", "s", 4)], DDL
+    ).repartition(1).write.format("jsonl_docs").option(
+        "path", lake
+    ).mode("overwrite").save()
+    P.rename_jsonl_column(lake, "lang", "language")  # phys key: lang
+
+    spark.createDataFrame(
+        [(1, "a", "de", "s", 1), (2, "b", "fr", "s", 1)], DDL
+    ).repartition(1).write.format("jsonl_docs").option(
+        "path", landing
+    ).mode("overwrite").save()
+
+    q = (
+        spark.readStream.format("jsonl_docs")
+        .option("path", landing)
+        .load()
+        .withColumnRenamed("lang", "language")
+        .writeStream.format("jsonl_docs")
+        .option("path", lake)
+        .option(
+            "checkpointLocation", _os.path.join(str(tmp_path), "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    got = sorted(
+        (r["doc_id"], r["language"])
+        for r in spark.read.format("jsonl_docs")
+        .option("path", lake).load().collect()
+    )
+    assert got == [(0, "en"), (1, "de"), (2, "fr")], got
+
+
+def test_stream_sink_typed_cells_and_schema_recording(spark, tmp_path):
+    """Streaming sink with typed cells (decimal/timestamp/date) into a
+    FRESH directory: (a) json.dumps must use the shared _json_cell
+    encoder (the batch writer's path) instead of failing every
+    micro-batch with TypeError, and (b) the first commit must record
+    the written shape as _schema so the non-docs table reads back
+    under its own DDL, not DOCS_DDL."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from pu4spark_spark.sources import pydatasource as P
+
+    P.register_pyds(spark)
+    landing = str(tmp_path / "landing")
+    sink = str(tmp_path / "typed_sink")
+    spark.createDataFrame(
+        [(1, "a", "en", "s", 3), (2, "b", "de", "s", 5)], P.DOCS_DDL
+    ).repartition(1).write.format("jsonl_docs").option(
+        "path", landing
+    ).mode("overwrite").save()
+
+    q = (
+        spark.readStream.format("jsonl_docs")
+        .option("path", landing)
+        .load()
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("decimal(10,2)").alias("price"),
+            F.lit("2024-03-05 06:07:08.123456").cast("timestamp").alias(
+                "ts"
+            ),
+            F.lit("2024-03-05").cast("date").alias("d"),
+        )
+        .writeStream.format("jsonl_docs")
+        .option("path", sink)
+        .option(
+            "checkpointLocation", _os.path.join(str(tmp_path), "ckpt2")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    m = _json.load(open(_os.path.join(sink, "_MANIFEST")))
+    assert m.get(P.SCHEMA_KEY) == (
+        "doc_id bigint, price decimal(10,2), ts timestamp, d date"
+    ), m.get(P.SCHEMA_KEY)
+    back = spark.read.format("jsonl_docs").option("path", sink).load()
+    assert [f.dataType.simpleString() for f in back.schema] == [
+        "bigint", "decimal(10,2)", "timestamp", "date"
+    ]
+    rows = sorted((r["doc_id"], str(r["price"]), str(r["ts"]), str(r["d"]))
+                  for r in back.collect())
+    assert rows == [
+        (1, "3.00", "2024-03-05 06:07:08.123456", "2024-03-05"),
+        (2, "5.00", "2024-03-05 06:07:08.123456", "2024-03-05"),
+    ], rows
