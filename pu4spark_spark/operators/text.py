@@ -1768,20 +1768,17 @@ def q_text_lang_quality_median_pandas(
     result hash-matches — same discipline as
     ``events_user_gaps_pandas``.
     """
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    # type-hint-inferred GROUPED_AGG pandas UDFs; built in a module
+    # without ``from __future__ import annotations`` (which stringifies
+    # the hints pandas_udf's Series→scalar inference reads) — the
+    # supported replacement for the deprecated PandasUDFType argument
+    from pu4spark_spark.functions.arrow_udfs import (
+        grouped_count,
+        grouped_median,
+    )
 
-    # functionType is explicit because this module's
-    # ``from __future__ import annotations`` turns signature hints into
-    # strings, which pandas_udf's Series→scalar inference cannot read
-    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def median_udf(v):
-        return float(v.median())
-
-    # Spark disallows mixing a group-agg pandas UDF with native
-    # aggregates in one agg() — the count is a second pandas aggregate
-    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
-    def count_udf(v):
-        return len(v)
+    count_udf = grouped_count()
+    median_udf = grouped_median()
 
     quality = q_text_quality(spark, sf_dir)
     return (

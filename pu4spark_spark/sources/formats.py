@@ -764,20 +764,14 @@ def audit_file_listing(
     import re as _re
 
     from pyspark.sql import functions as F
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
 
-    # explicit SCALAR eval type: `from __future__ import annotations`
-    # stringifies hints, which pandas_udf's inference cannot read
-    @pandas_udf("bigint", PandasUDFType.SCALAR)
-    def footer_rows(paths):
-        import pyarrow.parquet as pq
+    # type-hint-inferred scalar pandas UDF; built in a module without
+    # `from __future__ import annotations` (which would stringify the
+    # hints pandas_udf's inference reads) — the supported replacement
+    # for the deprecated PandasUDFType functionType argument
+    from pu4spark_spark.functions.arrow_udfs import parquet_footer_rows
 
-        def nrows(p):
-            if p.startswith("file:"):
-                p = p[5:]
-            return pq.ParquetFile(p).metadata.num_rows
-
-        return paths.map(nrows)
+    footer_rows = parquet_footer_rows()
 
     return (
         spark.read.format("binaryFile")
