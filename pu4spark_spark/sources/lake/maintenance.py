@@ -515,7 +515,15 @@ def compact_jsonl_dir(
     stage_stats = os.path.join(stage, "_STATS")
     if os.path.exists(stage_stats):
         with open(stage_stats) as fh:
-            stats.update(_json.load(fh))
+            staged = _json.load(fh)
+        # nested maps (_parts / _cols) merge per SHARD — a flat
+        # update would replace the whole map with the stage's and
+        # silently drop the old shards' entries, which snapshot
+        # (time-travel) reads still prune with
+        for k in ("_parts", "_cols"):
+            if k in staged:
+                stats.setdefault(k, {}).update(staged.pop(k))
+        stats.update(staged)
     import shutil
 
     shutil.rmtree(stage, ignore_errors=True)

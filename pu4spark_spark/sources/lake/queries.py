@@ -475,6 +475,73 @@ GROUP BY lang
 """
 
 
+#: conjunction cut for the multi-column pruning demo — n_chars spans
+#: ~[44, 577] at every sf, so 300 splits the corpus roughly in half
+MULTICOL_THRESHOLD = 300
+
+
+def q_fmt_pyds_multicol_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTI-COLUMN DATA SKIPPING: documents written range-clustered
+    on ``(lang, n_chars)`` — so each shard owns one language's
+    contiguous length range while ``doc_id`` stays SCATTERED across
+    every shard — then read back with the conjunction
+    ``lang = 'en' AND n_chars >= {MULTICOL_THRESHOLD}``.  The writer
+    records per-column [min, max] for every pushable column in
+    ``_STATS["_cols"]`` (the parquet-footer / Iceberg per-column
+    stats position), and the reader's ``pushFilters`` folds BOTH
+    predicates into per-column envelopes, skipping shards the
+    doc_id-only zonemap structurally cannot (their doc_id ranges all
+    overlap the filter).  Every filter is re-applied by Spark, so
+    pruning is purely an I/O saving; correctness comes from the
+    oracle on the parquet truth, and the shard skip itself is pinned
+    in pytest by driving the reader directly
+    (``test_multicol_zonemap_pruning``)."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_pyds_mc_{tag}_{os.getpid()}"
+    )
+    register_pyds(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    (
+        docs.repartitionByRange(N_SHARDS * 2, "lang", "n_chars")
+        .write.format("jsonl_docs")
+        .option("path", out)
+        .mode("overwrite")
+        .save()
+    )
+    back = (
+        spark.read.format("jsonl_docs")
+        .option("path", out)
+        .load()
+        .filter(
+            (F.col("lang") == "en")
+            & (F.col("n_chars") >= MULTICOL_THRESHOLD)
+        )
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+SQL_FMT_PYDS_MULTICOL_PRUNING = f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM documents
+WHERE lang = 'en' AND n_chars >= {MULTICOL_THRESHOLD}
+GROUP BY source
+"""
+
+
 def q_fmt_pyds_compaction_cluster(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1886,6 +1953,7 @@ QUERIES = {
     "fmt_pyds_compaction_cluster": q_fmt_pyds_compaction_cluster,
     "fmt_pyds_snapshot_diff": q_fmt_pyds_snapshot_diff,
     "fmt_pyds_stats_pruning": q_fmt_pyds_stats_pruning,
+    "fmt_pyds_multicol_pruning": q_fmt_pyds_multicol_pruning,
     "fmt_pyds_commit_conflict": q_fmt_pyds_commit_conflict,
     "fmt_pyds_commit_retry": q_fmt_pyds_commit_retry,
     "fmt_pyds_delete_merge": q_fmt_pyds_delete_merge,
@@ -1925,6 +1993,7 @@ ORACLE_SQL = {
     "fmt_pyds_compaction_cluster": SQL_FMT_PYDS_COMPACTION_CLUSTER,
     "fmt_pyds_snapshot_diff": SQL_FMT_PYDS_SNAPSHOT_DIFF,
     "fmt_pyds_stats_pruning": SQL_FMT_PYDS_STATS_PRUNING,
+    "fmt_pyds_multicol_pruning": SQL_FMT_PYDS_MULTICOL_PRUNING,
     # post-conflict read@latest must equal the WINNING writer's content
     "fmt_pyds_commit_conflict": SQL_FMT_PYDS_COMMIT_CONFLICT,
     # after the retry lands, the table holds base + A + B exactly once

@@ -307,7 +307,10 @@ class JsonlDocsWriter(DataSourceWriter):
         phys = self.phys  # logical→physical keys at serialization
 
         class _Shard:
-            __slots__ = ("tmp", "final", "fh", "n", "mn", "mx", "parts")
+            __slots__ = (
+                "tmp", "final", "fh", "n", "mn", "mx", "parts",
+                "cols", "bad",
+            )
 
             def __init__(s, token: str, parts: dict | None) -> None:
                 s.final = f"part-{pid:05d}-{_uuid.uuid4().hex[:8]}.jsonl"
@@ -316,6 +319,16 @@ class JsonlDocsWriter(DataSourceWriter):
                 s.n = 0
                 s.mn = s.mx = None
                 s.parts = parts
+                #: multi-column zonemap ({col: [min, max]} over non-null
+                #: orderable values) — commit() records it under
+                #: _STATS["_cols"] so the reader prunes conjunctions on
+                #: ANY pushable column, not just doc_id (the parquet
+                #: footer / Iceberg per-column stats position)
+                s.cols = {}
+                #: columns DROPPED from the zonemap for this shard —
+                #: NaN (incomparable) or non-scalar values; absent
+                #: entry = never pruned, so dropping is always safe
+                s.bad = set()
 
             def add(s, d: dict) -> None:
                 # rows arrive (and are validated / stat'd) under
@@ -333,6 +346,30 @@ class JsonlDocsWriter(DataSourceWriter):
                     v = d["doc_id"]
                     s.mn = v if s.mn is None or v < s.mn else s.mn
                     s.mx = v if s.mx is None or v > s.mx else s.mx
+                # per-column min/max for every other pushable column:
+                # int/float/str only (bool excluded — isinstance quirk;
+                # Decimal/datetime cells serialize as strings whose
+                # ordering differs from their value ordering), NULLs
+                # skipped (pushed comparisons are null-rejecting, so a
+                # non-null envelope is a sound whole-shard test), NaN
+                # poisons the column (incomparable)
+                for k, v in d.items():
+                    if v is None or k == "doc_id" or k in s.bad:
+                        continue
+                    if not isinstance(v, (int, float, str)) or isinstance(
+                        v, bool
+                    ) or v != v:
+                        s.bad.add(k)
+                        s.cols.pop(k, None)
+                        continue
+                    e = s.cols.get(k)
+                    if e is None:
+                        s.cols[k] = [v, v]
+                    else:
+                        if v < e[0]:
+                            e[0] = v
+                        elif v > e[1]:
+                            e[1] = v
 
             def close(s) -> JsonlCommit:
                 # shard contents must be on disk before the driver's
@@ -342,7 +379,8 @@ class JsonlDocsWriter(DataSourceWriter):
                 _os.fsync(s.fh.fileno())
                 s.fh.close()
                 return JsonlCommit(
-                    s.tmp, s.final, s.n, s.mn, s.mx, parts=s.parts
+                    s.tmp, s.final, s.n, s.mn, s.mx, parts=s.parts,
+                    cols=s.cols or None,
                 )
 
         cons = self._constraints
@@ -494,6 +532,9 @@ class JsonlDocsWriter(DataSourceWriter):
                 # partition values per shard — advisory like the
                 # zonemap: a shard without an entry is never pruned
                 stats.setdefault("_parts", {})[m.file] = m.parts
+            if getattr(m, "cols", None):
+                # multi-column zonemap — advisory, same contract
+                stats.setdefault("_cols", {})[m.file] = m.cols
         if self.overwrite and self.ddl != DOCS_DDL:
             manifest[SCHEMA_KEY] = self.ddl
         # operation provenance (DESCRIBE HISTORY): each commit records
@@ -597,6 +638,7 @@ class JsonlCommit(WriterCommitMessage):
         max_doc: int | None = None,
         parts: dict | None = None,
         extra: list | None = None,
+        cols: dict | None = None,
     ) -> None:
         self.tmp = tmp
         self.file = file
@@ -609,6 +651,10 @@ class JsonlCommit(WriterCommitMessage):
         #: set by a ``partition_by`` write — commit() records them
         #: under _STATS["_parts"] for reader-side partition pruning
         self.parts = parts
+        #: per-column [min, max] over the shard's non-null values
+        #: ({col: [mn, mx]}) — commit() records them under
+        #: _STATS["_cols"] for multi-column zonemap pruning
+        self.cols = cols
         #: additional shards from the SAME task (a partitioned task
         #: writes one shard per distinct partition value, but the
         #: DataSourceWriter API allows one message per task) —
@@ -680,6 +726,9 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
         n = 0
         has_doc = "doc_id" in self.fields
         mn = mx = None
+        # multi-column zonemap, same rules as the batch writer's _Shard
+        cstats: dict = {}
+        cbad: set = set()
         # CHECK constraints AND column mapping, loaded lazily per TASK
         # from the current latest manifest (a stream is long-lived — a
         # constraint or rename committed mid-stream must bind future
@@ -720,9 +769,26 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
                     v = d["doc_id"]
                     mn = v if mn is None or v < mn else mn
                     mx = v if mx is None or v > mx else mx
+                for k, v in d.items():
+                    if v is None or k == "doc_id" or k in cbad:
+                        continue
+                    if not isinstance(
+                        v, (int, float, str)
+                    ) or isinstance(v, bool) or v != v:
+                        cbad.add(k)
+                        cstats.pop(k, None)
+                        continue
+                    e = cstats.get(k)
+                    if e is None:
+                        cstats[k] = [v, v]
+                    else:
+                        if v < e[0]:
+                            e[0] = v
+                        elif v > e[1]:
+                            e[1] = v
             fh.flush()
             _os.fsync(fh.fileno())
-        return JsonlCommit(tmp, final, n, mn, mx)
+        return JsonlCommit(tmp, final, n, mn, mx, cols=cstats or None)
 
     def _sweep(self, keep: set[str]) -> None:
         import os as _os
@@ -756,6 +822,7 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
             return
         staged: dict[str, int] = {}
         stats_new: dict[str, list] = {}
+        cols_new: dict[str, dict] = {}
         committed_tmp = set()
         for m in messages:
             if m is None:
@@ -768,6 +835,8 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
             staged[m.file] = m.rows
             if getattr(m, "min_doc", None) is not None:
                 stats_new[m.file] = [m.min_doc, m.max_doc]
+            if getattr(m, "cols", None):
+                cols_new[m.file] = m.cols
         self._sweep(committed_tmp)
         # metadata-only claim loop: staged shards are invisible until a
         # manifest references them, so losing a claim to a concurrent
@@ -835,6 +904,8 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
                 with open(spath) as fh:
                     stats = _json.load(fh)
             stats.update(stats_new)
+            if cols_new:
+                stats.setdefault("_cols", {}).update(cols_new)
             _write_atomic(spath, _json.dumps(stats))
             _write_atomic(_os.path.join(self.path, "_MANIFEST"), body)
 
@@ -889,6 +960,13 @@ class JsonlDocsReader(DataSourceReader):
         #: the set are skipped (partition pruning); columns without a
         #: parts entry never prune
         self._part_in: dict[str, set] = {}
+        #: pushed-down [lo, hi] envelope per non-doc_id column (both
+        #: bounds inclusive, either may be None) — shards whose
+        #: _STATS["_cols"] entry records a [min, max] that cannot
+        #: intersect are skipped (multi-column zonemap pruning);
+        #: conjunctions prune naturally: ANY filtered column's miss
+        #: skips the shard
+        self._col_rng: dict[str, list] = {}
         #: the pinned commit's column order (schema evolution: resolved
         #: once at plan time, same as the source's schema() call) —
         #: and its column mapping: ``fields`` are the LOGICAL names
@@ -902,17 +980,21 @@ class JsonlDocsReader(DataSourceReader):
         self.convs = _converters_of_ddl(_ddl)
 
     def pushFilters(self, filters):
-        """Filter PUSHDOWN (Spark 4.1 Python DataSource API), two
+        """Filter PUSHDOWN (Spark 4.1 Python DataSource API), three
         pruning axes: (1) doc_id comparisons fold into one [lo, hi]
         interval tested against the writer's ``_STATS`` zonemap — the
         data-skipping move every lake format makes (parquet row-group
         stats, Iceberg manifests); (2) equality/IN predicates on other
         columns fold into per-column allowed-value sets tested against
         ``_STATS["_parts"]`` — PARTITION PRUNING over shards written
-        with ``option("partition_by", col)``.  Every filter is
+        with ``option("partition_by", col)``; (3) comparisons on ANY
+        other column fold into per-column [lo, hi] envelopes tested
+        against ``_STATS["_cols"]`` — the writer's multi-column
+        min/max, so a CONJUNCTION (``n_chars >= a AND lang = 'en'``)
+        skips shards the doc_id-only zonemap cannot.  Every filter is
         returned to Spark for re-evaluation, so the pushdown is purely
         an I/O saving and can never change results; shards without a
-        stats/parts entry are never pruned."""
+        stats/parts/cols entry are never pruned."""
         from pyspark.sql.datasource import (
             EqualTo,
             GreaterThan,
@@ -927,6 +1009,28 @@ class JsonlDocsReader(DataSourceReader):
                 self._lo = lo
             if hi is not None and (self._hi is None or hi < self._hi):
                 self._hi = hi
+
+        def _tighten_col(col, lo=None, hi=None):
+            e = self._col_rng.setdefault(col, [None, None])
+            try:
+                if lo is not None and (e[0] is None or lo > e[0]):
+                    e[0] = lo
+                if hi is not None and (e[1] is None or hi < e[1]):
+                    e[1] = hi
+            except TypeError:
+                # incomparable bound types on one column (should not
+                # leave the analyzer, but pruning must never throw) —
+                # disable this column's envelope entirely
+                self._col_rng.pop(col, None)
+
+        def _orderable(v) -> bool:
+            # int/float/str only: bool is an int subclass but _cols
+            # never records it; NaN is incomparable
+            return (
+                isinstance(v, (int, float, str))
+                and not isinstance(v, bool)
+                and v == v
+            )
 
         for f in filters:
             attr = getattr(f, "attribute", None)
@@ -960,6 +1064,28 @@ class JsonlDocsReader(DataSourceReader):
                     self._part_in[col] = (
                         vals if prev is None else prev & vals
                     )
+                # multi-column ZONEMAP envelope: inclusive bounds are
+                # always sound (a strict bound kept inclusive only
+                # keeps a shard it could have skipped, never the
+                # reverse); IN prunes by its value hull
+                v = getattr(f, "value", None)
+                if isinstance(f, In):
+                    if f.value and all(_orderable(x) for x in f.value):
+                        try:
+                            _tighten_col(
+                                col, lo=min(f.value), hi=max(f.value)
+                            )
+                        except TypeError:
+                            pass  # mixed-type IN list: no envelope
+                elif _orderable(v):
+                    if isinstance(f, EqualTo):
+                        _tighten_col(col, lo=v, hi=v)
+                    elif isinstance(
+                        f, (GreaterThan, GreaterThanOrEqual)
+                    ):
+                        _tighten_col(col, lo=v)
+                    elif isinstance(f, (LessThan, LessThanOrEqual)):
+                        _tighten_col(col, hi=v)
                 continue
             if (
                 isinstance(f, In)
@@ -990,7 +1116,12 @@ class JsonlDocsReader(DataSourceReader):
         return filters
 
     def _prune(self, files: list) -> list:
-        if self._lo is None and self._hi is None and not self._part_in:
+        if (
+            self._lo is None
+            and self._hi is None
+            and not self._part_in
+            and not self._col_rng
+        ):
             return files
         spath = os.path.join(self.path, "_STATS")
         if not os.path.exists(spath):
@@ -1000,6 +1131,7 @@ class JsonlDocsReader(DataSourceReader):
         with open(spath) as fh:
             stats = _json.load(fh)
         parts = stats.get("_parts", {})
+        colstats = stats.get("_cols", {})
         kept = []
         for f in files:
             # partition pruning: drop the shard iff a filtered column
@@ -1011,6 +1143,29 @@ class JsonlDocsReader(DataSourceReader):
                 for c, allowed in self._part_in.items()
             ):
                 continue
+            # multi-column zonemap: drop the shard iff ANY filtered
+            # column's recorded [min, max] cannot intersect its pushed
+            # envelope — conjunction pruning the doc_id-only stats
+            # can't do.  Columns without an entry never prune;
+            # incomparable recorded-vs-pushed types never prune.
+            if colstats and self._col_rng:
+                c = colstats.get(f)
+                miss = False
+                if c:
+                    for col, (lo, hi) in self._col_rng.items():
+                        e = c.get(col)
+                        if not e:
+                            continue
+                        try:
+                            if (hi is not None and e[0] > hi) or (
+                                lo is not None and e[1] < lo
+                            ):
+                                miss = True
+                                break
+                        except TypeError:
+                            continue
+                if miss:
+                    continue
             s = stats.get(f)
             if s is None:
                 kept.append(f)  # no zonemap — never prune blind
