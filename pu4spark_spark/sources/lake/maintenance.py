@@ -648,10 +648,26 @@ def vacuum_jsonl_dir(
     restores the old exclusive-maintainer behavior: reclaim
     everything unreferenced, only safe with no writer in flight.
     Manifest snapshots need no grace — they are atomic
-    create-if-absent commits, never staged.  Returns the number of
-    shard files deleted — or, with ``dry_run=True`` (Delta's VACUUM
-    DRY RUN), the sorted list of every file the real run WOULD remove
-    (shards, sidecars, manifests, temps), deleting nothing."""
+    create-if-absent commits, never staged.
+
+    CONCURRENCY CONTRACT (grace-windowed, the default): appends /
+    DML / the stream sink are safe beside vacuum (staged shards are
+    younger than the window; committed shards are live).  RESTORE and
+    CLONE re-reference OLD shards a racing vacuum's live set may not
+    contain — both close the race by touching every re-referenced
+    file before committing (fresh mtime puts them inside this
+    window), and fail loudly mid-race rather than committing a
+    partially-readable table.  Readers holding a pre-vacuum snapshot
+    either succeed exactly or fail LOUDLY (a vacuumed pinned manifest
+    raises at plan time; a vacuumed shard raises FileNotFoundError at
+    scan time) — never silently partial, the same retention-check
+    semantics Delta's VACUUM documents.  With ``stale_grace_s=0``
+    none of this holds: that mode is exclusive-maintainer only.
+
+    Returns the number of shard files deleted — or, with
+    ``dry_run=True`` (Delta's VACUUM DRY RUN), the sorted list of
+    every file the real run WOULD remove (shards, sidecars,
+    manifests, temps), deleting nothing."""
     import json as _json
     import time as _time
 
@@ -820,6 +836,26 @@ def clone_jsonl_dir(
                 f"clone still sharing files (e.g. {missing[0]!r}) — "
                 "compact the source first to materialize it"
             )
+    # the clone references the SOURCE's shards (and its ledger's
+    # delete-key files) — verify they exist and TOUCH them, so a
+    # grace-windowed vacuum racing on the source (which computed its
+    # live set before this clone, and never sees the clone's manifest
+    # at all) treats them as fresh instead of reclaiming them out from
+    # under the clone.  Same mechanism as restore's concurrent-vacuum
+    # protection; a pinned old version whose files are already gone
+    # fails loudly here, never commits a partially-readable clone.
+    needed = list(_manifest_files(src_m))
+    for e in _tombstones_of(src_m)["entries"]:
+        needed.extend(e.get("files", ()))
+    for f in needed:
+        try:
+            os.utime(_shard_path(src, src_m, f))
+        except OSError:
+            raise ValueError(
+                f"clone_jsonl_dir: source version {base_v} file "
+                f"{f!r} is reclaimed (vacuumed) — a partial clone "
+                "must never commit"
+            ) from None
     tombs = _tombstones_of(src_m)
     if tombs["entries"]:
         stamps = sorted(
@@ -900,6 +936,26 @@ def restore_jsonl_dir(
             f"reclaimed files (e.g. {missing[0]!r}) — a partial "
             "restore must never commit"
         )
+    # CONCURRENT-VACUUM protection: a grace-windowed vacuum running
+    # beside this restore computed its live set from the pre-restore
+    # manifests, where the restored-to shards may be unreferenced —
+    # its removal pass would strand the restore commit we are about
+    # to claim.  Touching every re-referenced file puts it inside the
+    # vacuum's ``stale_grace_s`` window (the same freshness signal
+    # that protects a writer's staged-but-unclaimed shards), so the
+    # race closes for any grace-windowed vacuum; ``stale_grace_s=0``
+    # remains the documented exclusive-maintainer mode.  A file that
+    # vanishes between the existence check and the touch IS the race
+    # in flight — fail loudly before committing.
+    for f in needed:
+        try:
+            os.utime(_shard_path(path, target, f))
+        except OSError:
+            raise ValueError(
+                f"restore_jsonl_dir: version {to_version} file "
+                f"{f!r} was reclaimed by a concurrent vacuum — a "
+                "partial restore must never commit"
+            ) from None
     base = (
         base_version
         if base_version is not None
