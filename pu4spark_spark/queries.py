@@ -76,23 +76,27 @@ if missing:
 #: committed full-registry self-check (``tools/check_oracle.py`` →
 #: ``CORRECTNESS_FULL_r0N``).
 DRIVER_FIRST = [
-    # Round-12 rotation (tools/rotation.py).  r13 PLAN: once the
-    # driver writes CORRECTNESS_r12.json, re-run tools/rotation.py —
-    # the only never-witnessed entries should then be whatever r13
-    # itself adds (this window carries all r11 leftovers plus the r12
-    # queries fmt_pyds_update / fmt_pyds_column_mapping /
-    # fmt_pyds_type_widening); fill the rest with re-verification of
-    # whatever code r13 touches.  Window = (A) the 11 r11
-    # lake queries never witnessed by any driver window (stale r10
-    # rotation — VERDICT r11 "What's missing #1"); (B) re-verification
-    # of every other mini-lake query: this round splits the 5,731-line
-    # pydatasource.py into sources/lake/ and fixes the five ADVICE
-    # findings (CDF restore guard, empty-DELETE CDC, batch
-    # read_change_feed rejection, legacy compaction fallback,
-    # paren-aware sidecar DDL), so every fmt_pyds_*/streaming_pyds_*
-    # path changed; (C) the four bench-watchlist queries under
-    # adjudication; (D) cheapest already-witnessed fillers.
-    # -- A: the 11 never-driver-witnessed r11 queries ----------------------
+    # Round-13 rotation (tools/rotation.py: after CORRECTNESS_r12 the
+    # only never-witnessed entries are the three r13 additions).
+    # r14 PLAN: once the driver writes CORRECTNESS_r13.json, re-run
+    # tools/rotation.py — the only never-witnessed entries should be
+    # whatever r14 itself adds; fill the rest with re-verification of
+    # whatever code r14 touches.  Window = (A) the 3 r13-NEW queries
+    # (multi-column zonemap pruning; the streaming sink into a
+    # column-mapped table — the r12 ADVICE high fix; batch CDF across
+    # a shallow-clone commit — the ADVICE medium fix); (B)
+    # re-verification of every lake query: r13 touched the reader
+    # (multi-col pushdown), both writers (_cols stats + the sink's
+    # physical-key/_json_cell/_schema fixes), CDF derivation
+    # (grafted-ledger filtering), and maintenance (restore/clone
+    # vacuum-race protection, compaction stats merge); (C) the two
+    # queries moved off the deprecated PandasUDFType API; (D)
+    # cheapest already-witnessed fillers.
+    # -- A: the 3 r13-new queries ------------------------------------------
+    "fmt_pyds_multicol_pruning",
+    "streaming_pyds_sink_mapped",
+    "fmt_pyds_cdf_clone",
+    # -- B: re-verification of the r13-touched lake surface ----------------
     "fmt_pyds_constraints",
     "fmt_pyds_schema_evolution",
     "fmt_pyds_sql_surface",
@@ -104,7 +108,6 @@ DRIVER_FIRST = [
     "curation_lake_release",
     "fmt_pyds_cdf_read",
     "streaming_pyds_cdf_feed",
-    # -- B: re-verification of the lake refactor + ADVICE fixes ------------
     "fmt_pyds_jsonl_roundtrip",
     "fmt_pyds_jsonl_write_roundtrip",
     "fmt_pyds_snapshot_read",
@@ -125,11 +128,9 @@ DRIVER_FIRST = [
     "streaming_pyds_delete_feed",
     "streaming_pyds_lake_sink",
     "streaming_pyds_rate_limited",
-    # -- C: bench-watchlist re-witnesses (adjudication this round) ---------
-    "dedup_incremental",
-    "pipeline_docs_clean",
-    "dedup_clusters_incremental",
-    "grouping_sets_orders",
+    # -- C: the PandasUDFType → type-hint migration re-witnesses -----------
+    "text_lang_quality_median_pandas",
+    "fmt_file_metadata_audit",
     # -- D: cheapest witnessed fillers (sf0.1 bench sec ascending) ---------
     "pu_label_index",                  # 0.091
     "pu_relabel_keep",                 # 0.101
@@ -145,7 +146,6 @@ DRIVER_FIRST = [
     "text_corpus_stats",               # 0.181
     "curation_stratified_sample",      # 0.189
     "text_regex_tokens",               # 0.191
-    "dedup_exact_docs",                # 0.195
 ]
 
 

@@ -49,7 +49,9 @@ from pu4spark_spark.sources.lake.protocol import (
 )
 from pu4spark_spark.sources.lake.queries_stream import (
     SQL_STREAMING_PYDS_RATE_LIMITED,
+    SQL_STREAMING_PYDS_SINK_MAPPED,
     q_streaming_pyds_rate_limited,
+    q_streaming_pyds_sink_mapped,
     SQL_CURATION_LAKE_RELEASE,
     SQL_STREAMING_PYDS_CDF_FEED,
     SQL_STREAMING_PYDS_DELETE_FEED,
@@ -539,6 +541,84 @@ SELECT source,
 FROM documents
 WHERE lang = 'en' AND n_chars >= {MULTICOL_THRESHOLD}
 GROUP BY source
+"""
+
+
+#: cdf-over-clone demo predicates — constant so the oracle is fixed SQL
+CDFC_DEL_MOD, CDFC_MERGE_MOD = 3, 5
+
+
+def q_fmt_pyds_cdf_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED ACROSS A SHALLOW-CLONE COMMIT, value-checked
+    end to end: build a source with history (full corpus v1 → DELETE
+    %10=={CDFC_DEL_MOD} v2 → MERGE %10=={CDFC_MERGE_MOD} with
+    n_chars+1000 v3), shallow-clone it, then read the batch
+    ``table_changes`` of the CLONE from 0.  The clone's v1 grafts the
+    source's tombstone ledger with fractional stamps; the feed must
+    apply that ledger and emit exactly the VISIBLE snapshot as
+    ``insert`` rows — tombstoned source rows leaking in as phantom
+    inserts (the pre-r13 over-delivery) or merge pre-images surviving
+    hash-mismatch against the oracle's re-derived state.  The
+    ``_change_type`` literal rides in the result so a misclassified
+    row also mismatches."""
+    import hashlib
+    import shutil as _shutil
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    src = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_pyds_ccsrc_{tag}_{os.getpid()}"
+    )
+    dst = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_pyds_ccdst_{tag}_{os.getpid()}"
+    )
+    register_pyds(spark)
+    # re-runnable: the clone target refuses an existing table by design
+    _shutil.rmtree(dst, ignore_errors=True)
+    docs = load_table(spark, "documents", sf_dir)
+    (
+        docs.repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", src).mode("overwrite").save()
+    )
+    delete_from_jsonl_dir(
+        src,
+        docs.filter(F.col("doc_id") % 10 == CDFC_DEL_MOD)
+        .select("doc_id")
+        .repartition(2),
+        base_version=1,
+    )
+    upserts = docs.filter(
+        F.col("doc_id") % 10 == CDFC_MERGE_MOD
+    ).select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        (F.col("n_chars") + F.lit(1000)).alias("n_chars"),
+    )
+    merge_into_jsonl_dir(spark, upserts.repartition(2, "doc_id"), src)
+    clone_jsonl_dir(src, dst)
+    feed = table_changes_jsonl_dir(spark, dst, 0)
+    return feed.groupBy("lang", "_change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+SQL_FMT_PYDS_CDF_CLONE = f"""
+SELECT lang,
+       'insert' AS _change_type,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN doc_id % 10 = {CDFC_MERGE_MOD}
+                     THEN n_chars + 1000 ELSE n_chars END) AS BIGINT)
+           AS sum_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM documents
+WHERE doc_id % 10 <> {CDFC_DEL_MOD}
+GROUP BY lang
 """
 
 
@@ -1977,6 +2057,8 @@ QUERIES = {
     "streaming_pyds_compaction_skip": q_streaming_pyds_compaction_skip,
     "streaming_pyds_lake_sink": q_streaming_pyds_lake_sink,
     "streaming_pyds_rate_limited": q_streaming_pyds_rate_limited,
+    "streaming_pyds_sink_mapped": q_streaming_pyds_sink_mapped,
+    "fmt_pyds_cdf_clone": q_fmt_pyds_cdf_clone,
 }
 
 ORACLE_SQL = {
@@ -2030,6 +2112,8 @@ ORACLE_SQL = {
     "streaming_pyds_cdf_feed": SQL_STREAMING_PYDS_CDF_FEED,
     # the incremental path must agree with the batch oracle
     "streaming_pyds_rate_limited": SQL_STREAMING_PYDS_RATE_LIMITED,
+    "streaming_pyds_sink_mapped": SQL_STREAMING_PYDS_SINK_MAPPED,
+    "fmt_pyds_cdf_clone": SQL_FMT_PYDS_CDF_CLONE,
     "streaming_pyds_docs": SQL_STREAMING_PYDS_DOCS,
     # two checkpointed version-offset drains == batch truth; orphan
     # debris (poison lang) must never surface

@@ -143,6 +143,80 @@ def q_streaming_pyds_lake_sink(
     )
 
 
+def q_streaming_pyds_sink_mapped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING SINK INTO A COLUMN-MAPPED TABLE, value-checked end to
+    end: create the lake table (empty docs-shaped v1), RENAME
+    ``lang`` → ``language`` (v2 — a pure-metadata commit; the column's
+    PHYSICAL JSON key stays ``lang``), then stream the full landing
+    corpus through the sink under the new LOGICAL schema.  The sink
+    must serialize each row under the table's physical keys (the
+    writers-keep-writing-the-physical-key invariant) — the pre-r13
+    sink wrote logical keys, so every streamed row read back NULL
+    under ``language`` and this aggregate would hash-mismatch the
+    parquet truth."""
+    import hashlib
+    import shutil
+
+    from pu4spark_spark.sources.lake.maintenance import (
+        rename_jsonl_column,
+    )
+
+    shard_dir = _jsonl_shard_dir(spark, sf_dir)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    lake = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_pyds_sinkm_{tag}_{os.getpid()}"
+    )
+    ckpt = os.path.join(lake, "_ckpt")
+    shutil.rmtree(lake, ignore_errors=True)
+    register_pyds(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    (
+        docs.limit(0)
+        .repartition(1)
+        .write.format("jsonl_docs")
+        .option("path", lake)
+        .mode("overwrite")
+        .save()
+    )
+    rename_jsonl_column(lake, "lang", "language")
+    from pu4spark_spark.streaming.drain import drain_partitions
+
+    with drain_partitions(spark, 8):
+        q = (
+            spark.readStream.format("jsonl_docs")
+            .option("path", shard_dir)
+            .load()
+            .withColumnRenamed("lang", "language")
+            .writeStream.format("jsonl_docs")
+            .option("path", lake)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+    back = spark.read.format("jsonl_docs").option("path", lake).load()
+    return back.groupBy("language").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+SQL_STREAMING_PYDS_SINK_MAPPED = """
+SELECT lang AS language,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM documents
+GROUP BY lang
+"""
+
+
 def _versioned_lang_drain(
     spark: SparkSession, out: str, ckpt: str, name: str
 ) -> None:
