@@ -130,6 +130,14 @@ REPS = [
     "orders_aqe_join_demotion",  # runtime SMJ→broadcast demotion (r10)
     "lineitem_bloom_filter_join",  # runtime Bloom row filter (r10)
     "streaming_pyds_lake_sink",  # stream writer into the lake (r10)
+    # r13 additions (VERDICT r12 next #5: lake-family scaling rows with
+    # commit count held constant — each rep runs a FIXED number of
+    # commits per sf, so the ratio isolates the O(changed-data) claim)
+    "fmt_pyds_cdf_read",         # batch CDF derivation over 4 commits
+    "fmt_pyds_update",           # UPDATE sugar (stage + tombstone+add)
+    "fmt_pyds_multicol_pruning", # multi-col zonemap write + pruned read
+    "fmt_pyds_cdf_clone",        # CDF across a grafted clone ledger
+    "streaming_pyds_sink_mapped",  # mapped-table stream sink drain
 ]
 
 #: reps whose FIRST run at an sf builds a persistent build-once layout
