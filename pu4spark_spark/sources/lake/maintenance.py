@@ -391,7 +391,7 @@ def compact_jsonl_dir(
     spark: SparkSession,
     path: str,
     target_shards: int,
-    cluster_by: str | None = None,
+    cluster_by: str | list[str] | None = None,
 ) -> int:
     """SMALL-FILE COMPACTION with snapshot semantics — the lake
     maintenance job: read the current manifest's shards, rewrite the
@@ -412,9 +412,9 @@ def compact_jsonl_dir(
     conflict rule): a successful compaction's content is provably the
     state at ``version - 1``, and ANY commit landing in between makes
     it roll back the rewrite and raise ``ManifestCommitConflict`` for
-    the caller to re-plan.  :func:`vacuum_jsonl_dir` still requires an
-    EXCLUSIVE maintainer (it physically deletes unreferenced files and
-    could sweep a concurrent writer's staged-but-unclaimed shards).
+    the caller to re-plan.  (:func:`vacuum_jsonl_dir` is safe beside
+    writers/RESTORE/CLONE under its grace-window contract — see its
+    docstring; ``stale_grace_s=0`` remains exclusive-maintainer.)
     Concurrent READERS are always safe:
     staged shards enter the live dir under ``_``-prefixed temp names
     (invisible to both the manifest-preferring reader and the
@@ -454,15 +454,21 @@ def compact_jsonl_dir(
     # serialize below; their staging must too — same rule as merge).
     stage = path + f".compact-{_uuid.uuid4().hex[:8]}"
     # ``cluster_by``: the OPTIMIZE-with-clustering form — the rewrite
-    # range-partitions on the column instead of round-robin, so each
+    # range-partitions on the column(s) instead of round-robin, so each
     # consolidated shard owns a contiguous value range and the writer's
-    # _STATS zonemap becomes selective again (appends scatter ranges
+    # _STATS zonemaps become selective again (appends scatter ranges
     # across shards; compaction is where a lake restores data-skipping,
-    # the same job Delta's OPTIMIZE ZORDER runs).  Content-neutral
-    # either way: the commit is the same rewrite commit.
+    # the same job Delta's OPTIMIZE ZORDER runs).  A LIST clusters
+    # hierarchically on the tuple — with the multi-column _cols
+    # zonemap, a conjunction on the leading columns prunes the
+    # compacted layout.  Content-neutral either way: the commit is the
+    # same rewrite commit.
+    cluster_cols = (
+        [cluster_by] if isinstance(cluster_by, str) else cluster_by
+    )
     staged_df = (
-        before.repartitionByRange(target_shards, cluster_by)
-        if cluster_by
+        before.repartitionByRange(target_shards, *cluster_cols)
+        if cluster_cols
         else before.repartition(target_shards)
     )
     w = staged_df.write.format("jsonl_docs").option("path", stage)

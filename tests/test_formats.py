@@ -5171,3 +5171,55 @@ def test_vacuum_races_restore_and_clone_threaded(spark, tmp_path):
             assert read_at(dst) == sorted(snapshots[base].items()), (
                 f"seed {seed}: clone of v{base} at {dst}"
             )
+
+
+def test_multicol_cluster_compaction_restores_pruning(spark, tmp_path):
+    """OPTIMIZE with MULTI-COLUMN clustering: hash-scattered appends
+    leave every shard spanning the full (lang, n_chars) space — the
+    multi-column zonemap prunes nothing; a compaction with
+    cluster_by=['lang', 'n_chars'] range-partitions on the tuple, so
+    the conjunction becomes selective again.  Content-neutral:
+    the post-compaction read equals the pre-compaction truth."""
+    from pu4spark_spark.sources import pydatasource as P
+    from pu4spark_spark.sources.lake.source import JsonlDocsReader
+
+    P.register_pyds(spark)
+    DDL = (
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+    out = str(tmp_path / "mcc")
+    rows = [
+        (i, f"d{i}", ["de", "en", "fr"][i % 3], "s", 10 * (i % 7))
+        for i in range(60)
+    ]
+    # hash-scatter: every shard sees every (lang, n_chars) combo
+    spark.createDataFrame(rows, DDL).repartition(4, "text").write.format(
+        "jsonl_docs"
+    ).option("path", out).mode("overwrite").save()
+
+    rng = {"lang": ["en", "en"], "n_chars": [40, None]}
+
+    def kept():
+        r = JsonlDocsReader({"path": out})
+        r._col_rng = dict(rng)
+        return len(r.partitions())
+
+    total = len(JsonlDocsReader({"path": out}).partitions())
+    assert kept() == total  # scattered: nothing pruned
+
+    P.compact_jsonl_dir(spark, out, target_shards=6,
+                        cluster_by=["lang", "n_chars"])
+    total2 = len(JsonlDocsReader({"path": out}).partitions())
+    assert kept() < total2  # clustered: conjunction prunes shards
+
+    got = sorted(
+        (r["doc_id"], r["lang"], r["n_chars"])
+        for r in spark.read.format("jsonl_docs").option("path", out)
+        .load().filter("lang = 'en' and n_chars >= 40").collect()
+    )
+    want = sorted(
+        (i, lang, n) for i, _t, lang, _s, n in rows
+        if lang == "en" and n >= 40
+    )
+    assert got == want
