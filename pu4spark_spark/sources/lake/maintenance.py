@@ -526,7 +526,7 @@ def compact_jsonl_dir(
         # update would replace the whole map with the stage's and
         # silently drop the old shards' entries, which snapshot
         # (time-travel) reads still prune with
-        for k in ("_parts", "_cols"):
+        for k in ("_parts", "_cols", "_nulls"):
             if k in staged:
                 stats.setdefault(k, {}).update(staged.pop(k))
         stats.update(staged)

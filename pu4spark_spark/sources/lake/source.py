@@ -309,7 +309,7 @@ class JsonlDocsWriter(DataSourceWriter):
         class _Shard:
             __slots__ = (
                 "tmp", "final", "fh", "n", "mn", "mx", "parts",
-                "cols", "bad",
+                "cols", "bad", "nulls",
             )
 
             def __init__(s, token: str, parts: dict | None) -> None:
@@ -319,6 +319,14 @@ class JsonlDocsWriter(DataSourceWriter):
                 s.n = 0
                 s.mn = s.mx = None
                 s.parts = parts
+                #: per-column NULL counts (every column, type-agnostic)
+                #: — commit() records {"_rows": n, col: nulls} under
+                #: _STATS["_nulls"]; the reader prunes pushed IsNull
+                #: (no nulls in shard) / IsNotNull (all-null shard) —
+                #: parquet's null_count statistics position.  Spark
+                #: pushes an implicit IsNotNull beside every
+                #: comparison, so all-null shards skip early.
+                s.nulls = dict.fromkeys(self.fields, 0)
                 #: multi-column zonemap ({col: [min, max]} over non-null
                 #: orderable values) — commit() records it under
                 #: _STATS["_cols"] so the reader prunes conjunctions on
@@ -354,7 +362,10 @@ class JsonlDocsWriter(DataSourceWriter):
                 # non-null envelope is a sound whole-shard test), NaN
                 # poisons the column (incomparable)
                 for k, v in d.items():
-                    if v is None or k == "doc_id" or k in s.bad:
+                    if v is None:
+                        s.nulls[k] += 1
+                        continue
+                    if k == "doc_id" or k in s.bad:
                         continue
                     if not isinstance(v, (int, float, str)) or isinstance(
                         v, bool
@@ -381,6 +392,7 @@ class JsonlDocsWriter(DataSourceWriter):
                 return JsonlCommit(
                     s.tmp, s.final, s.n, s.mn, s.mx, parts=s.parts,
                     cols=s.cols or None,
+                    nulls={"_rows": s.n, **s.nulls},
                 )
 
         cons = self._constraints
@@ -535,6 +547,9 @@ class JsonlDocsWriter(DataSourceWriter):
             if getattr(m, "cols", None):
                 # multi-column zonemap — advisory, same contract
                 stats.setdefault("_cols", {})[m.file] = m.cols
+            if getattr(m, "nulls", None):
+                # null counts (IsNull/IsNotNull pruning) — advisory
+                stats.setdefault("_nulls", {})[m.file] = m.nulls
         if self.overwrite and self.ddl != DOCS_DDL:
             manifest[SCHEMA_KEY] = self.ddl
         # operation provenance (DESCRIBE HISTORY): each commit records
@@ -639,6 +654,7 @@ class JsonlCommit(WriterCommitMessage):
         parts: dict | None = None,
         extra: list | None = None,
         cols: dict | None = None,
+        nulls: dict | None = None,
     ) -> None:
         self.tmp = tmp
         self.file = file
@@ -655,6 +671,10 @@ class JsonlCommit(WriterCommitMessage):
         #: ({col: [mn, mx]}) — commit() records them under
         #: _STATS["_cols"] for multi-column zonemap pruning
         self.cols = cols
+        #: per-column null counts ({"_rows": n, col: nulls}) —
+        #: commit() records them under _STATS["_nulls"] for pushed
+        #: IsNull/IsNotNull pruning
+        self.nulls = nulls
         #: additional shards from the SAME task (a partitioned task
         #: writes one shard per distinct partition value, but the
         #: DataSourceWriter API allows one message per task) —
@@ -726,9 +746,11 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
         n = 0
         has_doc = "doc_id" in self.fields
         mn = mx = None
-        # multi-column zonemap, same rules as the batch writer's _Shard
+        # multi-column zonemap + null counts, same rules as the batch
+        # writer's _Shard
         cstats: dict = {}
         cbad: set = set()
+        nulls: dict = dict.fromkeys(self.fields, 0)
         # CHECK constraints AND column mapping, loaded lazily per TASK
         # from the current latest manifest (a stream is long-lived — a
         # constraint or rename committed mid-stream must bind future
@@ -770,7 +792,10 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
                     mn = v if mn is None or v < mn else mn
                     mx = v if mx is None or v > mx else mx
                 for k, v in d.items():
-                    if v is None or k == "doc_id" or k in cbad:
+                    if v is None:
+                        nulls[k] += 1
+                        continue
+                    if k == "doc_id" or k in cbad:
                         continue
                     if not isinstance(
                         v, (int, float, str)
@@ -788,7 +813,10 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
                             e[1] = v
             fh.flush()
             _os.fsync(fh.fileno())
-        return JsonlCommit(tmp, final, n, mn, mx, cols=cstats or None)
+        return JsonlCommit(
+            tmp, final, n, mn, mx, cols=cstats or None,
+            nulls={"_rows": n, **nulls},
+        )
 
     def _sweep(self, keep: set[str]) -> None:
         import os as _os
@@ -823,6 +851,7 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
         staged: dict[str, int] = {}
         stats_new: dict[str, list] = {}
         cols_new: dict[str, dict] = {}
+        nulls_new: dict[str, dict] = {}
         committed_tmp = set()
         for m in messages:
             if m is None:
@@ -837,6 +866,8 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
                 stats_new[m.file] = [m.min_doc, m.max_doc]
             if getattr(m, "cols", None):
                 cols_new[m.file] = m.cols
+            if getattr(m, "nulls", None):
+                nulls_new[m.file] = m.nulls
         self._sweep(committed_tmp)
         # metadata-only claim loop: staged shards are invisible until a
         # manifest references them, so losing a claim to a concurrent
@@ -906,6 +937,8 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
             stats.update(stats_new)
             if cols_new:
                 stats.setdefault("_cols", {}).update(cols_new)
+            if nulls_new:
+                stats.setdefault("_nulls", {}).update(nulls_new)
             _write_atomic(spath, _json.dumps(stats))
             _write_atomic(_os.path.join(self.path, "_MANIFEST"), body)
 
@@ -967,6 +1000,12 @@ class JsonlDocsReader(DataSourceReader):
         #: conjunctions prune naturally: ANY filtered column's miss
         #: skips the shard
         self._col_rng: dict[str, list] = {}
+        #: pushed IsNull/IsNotNull requirements per column, tested
+        #: against _STATS["_nulls"] (parquet's null_count position):
+        #: "null" prunes shards with ZERO nulls, "notnull" prunes
+        #: all-NULL shards — Spark pushes an implicit IsNotNull with
+        #: every comparison, so all-null shards skip early
+        self._null_req: dict[str, set] = {}
         #: the pinned commit's column order (schema evolution: resolved
         #: once at plan time, same as the source's schema() call) —
         #: and its column mapping: ``fields`` are the LOGICAL names
@@ -980,8 +1019,13 @@ class JsonlDocsReader(DataSourceReader):
         self.convs = _converters_of_ddl(_ddl)
 
     def pushFilters(self, filters):
-        """Filter PUSHDOWN (Spark 4.1 Python DataSource API), three
-        pruning axes: (1) doc_id comparisons fold into one [lo, hi]
+        """Filter PUSHDOWN (Spark 4.1 Python DataSource API), four
+        pruning axes — (0) IsNull/IsNotNull tested against the
+        writer's per-shard null counts (``_STATS["_nulls"]``,
+        parquet's null_count position: IsNull skips null-free shards,
+        IsNotNull skips all-null shards — and Spark pushes an
+        implicit IsNotNull with every comparison); (1) doc_id
+        comparisons fold into one [lo, hi]
         interval tested against the writer's ``_STATS`` zonemap — the
         data-skipping move every lake format makes (parquet row-group
         stats, Iceberg manifests); (2) equality/IN predicates on other
@@ -996,10 +1040,13 @@ class JsonlDocsReader(DataSourceReader):
         an I/O saving and can never change results; shards without a
         stats/parts/cols entry are never pruned."""
         from pyspark.sql.datasource import (
+            EqualNullSafe,
             EqualTo,
             GreaterThan,
             GreaterThanOrEqual,
             In,
+            IsNotNull,
+            IsNull,
             LessThan,
             LessThanOrEqual,
         )
@@ -1034,6 +1081,19 @@ class JsonlDocsReader(DataSourceReader):
 
         for f in filters:
             attr = getattr(f, "attribute", None)
+            # NULL-count pruning (any column, doc_id included):
+            # IsNull prunes shards recording zero nulls, IsNotNull
+            # prunes all-null shards; ``col <=> NULL`` is IsNull
+            if attr is not None and len(attr) == 1:
+                col0 = attr[0]
+                if isinstance(f, IsNull) or (
+                    isinstance(f, EqualNullSafe) and f.value is None
+                ):
+                    self._null_req.setdefault(col0, set()).add("null")
+                    continue
+                if isinstance(f, IsNotNull):
+                    self._null_req.setdefault(col0, set()).add("notnull")
+                    continue
             # PARTITION pruning: equality/IN on any other column folds
             # into a per-column allowed-value set, tested against the
             # writer's _STATS["_parts"] (a partitioned shard holds ONE
@@ -1047,9 +1107,10 @@ class JsonlDocsReader(DataSourceReader):
             ):
                 col = attr[0]
                 vals = None
-                if isinstance(f, EqualTo) and isinstance(
-                    f.value, (str, int, bool)
-                ):
+                if isinstance(
+                    f, (EqualTo, EqualNullSafe)
+                ) and isinstance(f.value, (str, int, bool)):
+                    # <=> with a non-null literal means plain equality
                     vals = {f.value}
                 elif (
                     isinstance(f, In)
@@ -1078,7 +1139,7 @@ class JsonlDocsReader(DataSourceReader):
                         except TypeError:
                             pass  # mixed-type IN list: no envelope
                 elif _orderable(v):
-                    if isinstance(f, EqualTo):
+                    if isinstance(f, (EqualTo, EqualNullSafe)):
                         _tighten_col(col, lo=v, hi=v)
                     elif isinstance(
                         f, (GreaterThan, GreaterThanOrEqual)
@@ -1121,6 +1182,7 @@ class JsonlDocsReader(DataSourceReader):
             and self._hi is None
             and not self._part_in
             and not self._col_rng
+            and not self._null_req
         ):
             return files
         spath = os.path.join(self.path, "_STATS")
@@ -1132,6 +1194,7 @@ class JsonlDocsReader(DataSourceReader):
             stats = _json.load(fh)
         parts = stats.get("_parts", {})
         colstats = stats.get("_cols", {})
+        nullstats = stats.get("_nulls", {})
         kept = []
         for f in files:
             # partition pruning: drop the shard iff a filtered column
@@ -1164,6 +1227,26 @@ class JsonlDocsReader(DataSourceReader):
                                 break
                         except TypeError:
                             continue
+                if miss:
+                    continue
+            # null-count pruning: drop the shard iff a pushed IsNull
+            # meets zero recorded nulls, or a pushed IsNotNull meets
+            # an all-null column (no entry → never prune blind)
+            if nullstats and self._null_req:
+                e = nullstats.get(f)
+                miss = False
+                if e and isinstance(e.get("_rows"), int):
+                    rows_n = e["_rows"]
+                    for col, reqs in self._null_req.items():
+                        cnt = e.get(col)
+                        if not isinstance(cnt, int):
+                            continue
+                        if "null" in reqs and cnt == 0:
+                            miss = True
+                            break
+                        if "notnull" in reqs and cnt == rows_n:
+                            miss = True
+                            break
                 if miss:
                     continue
             s = stats.get(f)

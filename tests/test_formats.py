@@ -5223,3 +5223,72 @@ def test_multicol_cluster_compaction_restores_pruning(spark, tmp_path):
         if lang == "en" and n >= 40
     )
     assert got == want
+
+
+def test_nullcount_zonemap_pruning(spark, tmp_path):
+    """Null-count stats (_STATS['_nulls'], parquet's null_count): a
+    pushed IS NULL skips null-free shards, IS NOT NULL skips all-null
+    shards, tombstoned rows never un-prune (deletion only shrinks the
+    set), and results are exact because Spark re-applies the filter."""
+    import json as _json
+    import os as _os
+
+    from pu4spark_spark.sources import pydatasource as P
+    from pu4spark_spark.sources.lake.source import JsonlDocsReader
+
+    P.register_pyds(spark)
+    DDL = (
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+    out = str(tmp_path / "nulls")
+    # shard A (v1): all n_chars NULL; shard B (v2): none NULL
+    spark.createDataFrame(
+        [(1, "a", "en", "s", None), (2, "b", "en", "s", None)], DDL
+    ).repartition(1).write.format("jsonl_docs").option(
+        "path", out
+    ).mode("overwrite").save()
+    spark.createDataFrame(
+        [(3, "c", "de", "s", 7), (4, "d", "de", "s", 9)], DDL
+    ).repartition(1).write.format("jsonl_docs").option(
+        "path", out
+    ).mode("append").save()
+
+    stats = _json.load(open(_os.path.join(out, "_STATS")))
+    assert len(stats["_nulls"]) == 2
+    total = len(JsonlDocsReader({"path": out}).partitions())
+    assert total == 2
+
+    def kept(req):
+        r = JsonlDocsReader({"path": out})
+        r._null_req = req
+        return len(r.partitions())
+
+    assert kept({"n_chars": {"null"}}) == 1      # null-free B skipped
+    assert kept({"n_chars": {"notnull"}}) == 1   # all-null A skipped
+    assert kept({"text": {"null"}}) == 0         # no nulls anywhere
+
+    # end-to-end through the engine: Spark pushes IsNotNull with the
+    # comparison, so the all-null shard is skipped AND results exact
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.format("jsonl_docs").option("path", out)
+        .load().filter("n_chars is not null").collect()
+    )
+    assert got == [3, 4]
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.format("jsonl_docs").option("path", out)
+        .load().filter("n_chars is null").collect()
+    )
+    assert got == [1, 2]
+
+    # deletion soundness: delete one null row; IS NULL still finds the
+    # other (write-time counts over-approximate, never under)
+    P.delete_from_jsonl_dir(out, [1])
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.format("jsonl_docs").option("path", out)
+        .load().filter("n_chars is null").collect()
+    )
+    assert got == [2]
