@@ -558,7 +558,9 @@ def test_stats_pruning_skips_shards_and_loses_nothing(spark, tmp_path):
 
     spath = _os.path.join(out, "_STATS")
     stats = _json.load(open(spath))
-    victim = sorted(stats)[0]  # lowest range — would otherwise be pruned
+    # lowest range — would otherwise be pruned (skip the reserved
+    # "_"-prefixed maps: _parts/_cols/_nulls sort before shard names)
+    victim = sorted(k for k in stats if not k.startswith("_"))[0]
     del stats[victim]
     open(spath, "w").write(_json.dumps(stats))
     blind = JsonlDocsReader({"path": out})
