@@ -387,11 +387,88 @@ def drop_constraint_jsonl_dir(
     return version
 
 
+#: interleave width for OPTIMIZE ZORDER — 8 bits/column = 256
+#: equi-depth buckets per dimension, plenty for shard-level zonemaps
+ZORDER_COMPACT_BITS = 8
+
+
+def _zorder_staged(
+    df: DataFrame, cols: list[str], target_shards: int
+) -> DataFrame:
+    """Stage a Z-ORDER rewrite: per column, an EQUI-DEPTH bucket id
+    (0..255) from one ``approxQuantile`` sampling pass (the same
+    pre-pass Delta's OPTIMIZE ZORDER pays — skew-robust where a
+    value-range split is not), then the Morton interleave of the
+    bucket bits as ONE generated SQL expression (the construction
+    discipline of ``operators/relational.py:zorder_key``), and a
+    range repartition on the key.  Unlike hierarchical
+    ``cluster_by=[a, b]`` — where only the LEADING column gets tight
+    per-shard ranges — the interleave tightens every dimension's
+    [min, max] at once, so the ``_cols`` zonemap prunes predicates on
+    ANY of the z-columns.  Numeric/date/timestamp columns only
+    (strings have no order-preserving numeric image); NULLs land in
+    bucket 0.  Cost: one quantile pass + scan-stage bucket math —
+    no extra shuffle beyond the rewrite's own range partition."""
+    from pyspark.sql import types as T
+
+    bits = ZORDER_COMPACT_BITS
+    nq = 1 << bits
+    staged = df
+    names: list[str] = []
+    for idx, c in enumerate(cols):
+        dt = df.schema[c].dataType
+        if isinstance(dt, T.DateType):
+            conv = F.datediff(F.col(c), F.lit("1970-01-01").cast("date"))
+            conv = conv.cast("double")
+        elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            conv = F.col(c).cast("double")
+        elif isinstance(dt, T.NumericType):
+            conv = F.col(c).cast("double")
+        else:
+            raise ValueError(
+                f"zorder_by: column {c!r} has type {dt.simpleString()} "
+                "— z-ordering needs an order-preserving numeric image "
+                "(numeric/date/timestamp)"
+            )
+        qs = [i / nq for i in range(1, nq)]
+        bounds = (
+            df.select(conv.alias("v")).na.drop()
+            .approxQuantile("v", qs, 0.01)
+        )
+        uniq = sorted(set(bounds))
+        arr = F.array(*[F.lit(b) for b in uniq])
+        nm = f"__zb{idx}"
+
+        def _bucket(arr, conv):
+            # factory binds ``conv`` per column; the HOF lambda must
+            # stay SINGLE-parameter — a second (defaulted) parameter
+            # flips pyspark's filter() into its (element, index)
+            # signature and silently binds the capture to the index
+            return F.size(F.filter(arr, lambda b: conv >= b))
+
+        staged = staged.withColumn(nm, _bucket(arr, conv).cast("long"))
+        names.append(nm)
+    terms = []
+    for i in range(bits):
+        for ci, nm in enumerate(names):
+            terms.append(
+                f"shiftleft(cast(shiftright({nm}, {i}) & 1 as bigint), "
+                f"{i * len(names) + ci})"
+            )
+    z = F.expr("cast(" + " + ".join(terms) + " as bigint)")
+    return (
+        staged.withColumn("__zkey", z)
+        .repartitionByRange(target_shards, "__zkey")
+        .drop("__zkey", *names)
+    )
+
+
 def compact_jsonl_dir(
     spark: SparkSession,
     path: str,
     target_shards: int,
     cluster_by: str | list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """SMALL-FILE COMPACTION with snapshot semantics — the lake
     maintenance job: read the current manifest's shards, rewrite the
@@ -463,14 +540,22 @@ def compact_jsonl_dir(
     # zonemap, a conjunction on the leading columns prunes the
     # compacted layout.  Content-neutral either way: the commit is the
     # same rewrite commit.
+    # ``zorder_by``: the multi-dimensional form — see _zorder_staged
+    if zorder_by and cluster_by:
+        raise ValueError(
+            "compact_jsonl_dir: pass cluster_by OR zorder_by, not both"
+        )
     cluster_cols = (
         [cluster_by] if isinstance(cluster_by, str) else cluster_by
     )
-    staged_df = (
-        before.repartitionByRange(target_shards, *cluster_cols)
-        if cluster_cols
-        else before.repartition(target_shards)
-    )
+    if zorder_by:
+        staged_df = _zorder_staged(before, zorder_by, target_shards)
+    elif cluster_cols:
+        staged_df = before.repartitionByRange(
+            target_shards, *cluster_cols
+        )
+    else:
+        staged_df = before.repartition(target_shards)
     w = staged_df.write.format("jsonl_docs").option("path", stage)
     # COLUMN MAPPING rides the rewrite: physical ids are assigned at
     # column creation and NEVER change (Delta's invariant — stream/CDF

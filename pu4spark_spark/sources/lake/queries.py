@@ -544,6 +544,67 @@ GROUP BY source
 """
 
 
+def q_fmt_pyds_zorder_compaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OPTIMIZE ZORDER, value-checked content-neutral: documents
+    written hash-scattered (every shard spans the full (doc_id,
+    n_chars) space — no zonemap selectivity on either dimension),
+    then rewritten with ``zorder_by=["doc_id", "n_chars"]`` — equi-
+    depth bucket ids from one approxQuantile pass, Morton-interleaved,
+    range-repartitioned — so per-shard [min, max] tightens on BOTH
+    dimensions at once and the ``_cols``/doc_id zonemaps prune
+    predicates on EITHER column (Delta's OPTIMIZE ZORDER job on the
+    engine's own connector; hierarchical ``cluster_by`` serves only
+    the leading column — the contrast is pinned in pytest
+    ``test_zorder_compaction_prunes_both_dimensions``).  The read
+    back filters on n_chars ALONE — the dimension a doc_id layout
+    never serves — and the oracle re-derives the aggregate from the
+    parquet truth, so a rewrite that drops, duplicates, or mangles
+    one row hash-mismatches."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_pyds_zo_{tag}_{os.getpid()}"
+    )
+    register_pyds(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    (
+        docs.repartition(N_SHARDS, "text")
+        .write.format("jsonl_docs")
+        .option("path", out).mode("overwrite").save()
+    )
+    compact_jsonl_dir(
+        spark, out, target_shards=N_SHARDS * 2,
+        zorder_by=["doc_id", "n_chars"],
+    )
+    back = (
+        spark.read.format("jsonl_docs")
+        .option("path", out)
+        .load()
+        .filter(F.col("n_chars") >= MULTICOL_THRESHOLD)
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+SQL_FMT_PYDS_ZORDER_COMPACTION = f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM documents
+WHERE n_chars >= {MULTICOL_THRESHOLD}
+GROUP BY lang
+"""
+
+
 #: cdf-over-clone demo predicates — constant so the oracle is fixed SQL
 CDFC_DEL_MOD, CDFC_MERGE_MOD = 3, 5
 
@@ -2034,6 +2095,7 @@ QUERIES = {
     "fmt_pyds_snapshot_diff": q_fmt_pyds_snapshot_diff,
     "fmt_pyds_stats_pruning": q_fmt_pyds_stats_pruning,
     "fmt_pyds_multicol_pruning": q_fmt_pyds_multicol_pruning,
+    "fmt_pyds_zorder_compaction": q_fmt_pyds_zorder_compaction,
     "fmt_pyds_commit_conflict": q_fmt_pyds_commit_conflict,
     "fmt_pyds_commit_retry": q_fmt_pyds_commit_retry,
     "fmt_pyds_delete_merge": q_fmt_pyds_delete_merge,
@@ -2076,6 +2138,7 @@ ORACLE_SQL = {
     "fmt_pyds_snapshot_diff": SQL_FMT_PYDS_SNAPSHOT_DIFF,
     "fmt_pyds_stats_pruning": SQL_FMT_PYDS_STATS_PRUNING,
     "fmt_pyds_multicol_pruning": SQL_FMT_PYDS_MULTICOL_PRUNING,
+    "fmt_pyds_zorder_compaction": SQL_FMT_PYDS_ZORDER_COMPACTION,
     # post-conflict read@latest must equal the WINNING writer's content
     "fmt_pyds_commit_conflict": SQL_FMT_PYDS_COMMIT_CONFLICT,
     # after the retry lands, the table holds base + A + B exactly once

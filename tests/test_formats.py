@@ -5294,3 +5294,91 @@ def test_nullcount_zonemap_pruning(spark, tmp_path):
         .load().filter("n_chars is null").collect()
     )
     assert got == [2]
+
+
+def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
+    """OPTIMIZE ZORDER vs hierarchical clustering: after
+    cluster_by=['doc_id', 'n_chars'] only the LEADING column's
+    per-shard ranges are tight — an n_chars-only predicate prunes
+    nothing; after zorder_by=['doc_id', 'n_chars'] the Morton
+    interleave tightens BOTH dimensions, so either predicate skips
+    shards.  Content-neutral both ways (reads equal the truth)."""
+    from pu4spark_spark.sources import pydatasource as P
+    from pu4spark_spark.sources.lake.source import JsonlDocsReader
+
+    P.register_pyds(spark)
+    DDL = (
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+    # doc_id and n_chars deliberately uncorrelated (n_chars cycles)
+    rows = [
+        (i, f"d{i}", "en", "s", (i * 37) % 500) for i in range(800)
+    ]
+    truth = sorted((i, n) for i, _t, _l, _s, n in [
+        (r[0], r[1], r[2], r[3], r[4]) for r in rows
+    ])
+
+    def build(out, **compact_kw):
+        spark.createDataFrame(rows, DDL).repartition(
+            4, "text"
+        ).write.format("jsonl_docs").option("path", out).mode(
+            "overwrite"
+        ).save()
+        # tiny fixture: AQE would coalesce the 16 range partitions to
+        # ~2 shards and mask the layout difference — production-sized
+        # rewrites keep their target; pin the shard count here
+        key = "spark.sql.adaptive.coalescePartitions.enabled"
+        old = spark.conf.get(key)
+        spark.conf.set(key, "false")
+        try:
+            P.compact_jsonl_dir(
+                spark, out, target_shards=16, **compact_kw
+            )
+        finally:
+            spark.conf.set(key, old)
+
+    def kept(out, rng):
+        r = JsonlDocsReader({"path": out})
+        r._col_rng = dict(rng)
+        return len(r.partitions()), len(
+            JsonlDocsReader({"path": out}).partitions()
+        )
+
+    hier = str(tmp_path / "hier")
+    build(hier, cluster_by=["doc_id", "n_chars"])
+    zord = str(tmp_path / "zord")
+    build(zord, zorder_by=["doc_id", "n_chars"])
+
+    # n_chars-only predicate: hierarchical layout is blind (doc_id
+    # leads), z-order prunes
+    n_rng = {"n_chars": [400, None]}
+    h_kept, h_total = kept(hier, n_rng)
+    z_kept, z_total = kept(zord, n_rng)
+    assert h_kept == h_total, "hierarchical should be blind on dim 2"
+    assert z_kept < z_total, "z-order must prune on dim 2"
+
+    # doc_id predicate still prunes on the z-order layout (legacy
+    # doc_id zonemap): check via reader._lo
+    r = JsonlDocsReader({"path": zord})
+    r._lo = 700
+    assert len(r.partitions()) < z_total, "z-order must prune on dim 1"
+
+    # content-neutral: both layouts read back the exact truth
+    for out in (hier, zord):
+        got = sorted(
+            (row["doc_id"], row["n_chars"])
+            for row in spark.read.format("jsonl_docs")
+            .option("path", out).load().collect()
+        )
+        assert got == truth
+
+    # mutual exclusion refused loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not both"):
+        P.compact_jsonl_dir(
+            spark, zord, 4, cluster_by="doc_id", zorder_by=["n_chars"]
+        )
+    # string columns refused loudly (no order-preserving image)
+    with _pytest.raises(ValueError, match="numeric"):
+        P.compact_jsonl_dir(spark, zord, 4, zorder_by=["lang"])
