@@ -720,6 +720,7 @@ def vacuum_jsonl_dir(
     keep_versions: int = 1,
     stale_grace_s: float = 600.0,
     dry_run: bool = False,
+    record_history: bool = False,
 ) -> int | list[str]:
     """Reclaim shards unreachable from the newest ``keep_versions``
     manifests and drop the older manifest files — the GC half of the
@@ -754,6 +755,17 @@ def vacuum_jsonl_dir(
     scan time) — never silently partial, the same retention-check
     semantics Delta's VACUUM documents.  With ``stale_grace_s=0``
     none of this holds: that mode is exclusive-maintainer only.
+
+    ``record_history=True`` additionally commits a pure-metadata
+    "vacuum" version after the removal pass (Delta logs VACUUM
+    operations the same way): the latest manifest's exact file set
+    re-committed with ``op = "vacuum"`` and a ``_vacuum`` metrics
+    block, so ``DESCRIBE HISTORY`` shows the GC event with what it
+    reclaimed.  The commit goes through the normal create-if-absent
+    OCC claim; after 8 lost claims to concurrent writers it is
+    SKIPPED silently — the record is advisory, the reclaim already
+    happened.  File set unchanged ⇒ version streams and CDF treat it
+    as a metadata-only commit (nothing delivered, no error).
 
     Returns the number of shard files deleted — or, with
     ``dry_run=True`` (Delta's VACUUM DRY RUN), the sorted list of
@@ -856,6 +868,34 @@ def vacuum_jsonl_dir(
                 removed += 1
     if dry_run:
         return sorted(would_remove)
+    if record_history:
+        for _attempt in range(8):
+            base = _latest_manifest_version(path)
+            if base <= 0:
+                break
+            try:
+                m = dict(_manifest_at(path, base))
+            except OSError:
+                continue  # raced a concurrent commit's flip — re-read
+            m[OP_KEY] = "vacuum"
+            m["_vacuum"] = {
+                "removed": removed,
+                "keep_versions": keep_versions,
+                "stale_grace_s": stale_grace_s,
+            }
+            m["_ts"] = _time.time_ns()
+            body = _json.dumps(m)
+            try:
+                _write_atomic_excl(
+                    os.path.join(path, f"_MANIFEST.v{base + 1}"), body
+                )
+            except FileExistsError:
+                continue  # claim lost to a concurrent writer: re-base
+            if _latest_manifest_version(path) == base + 1:
+                _write_atomic(os.path.join(path, "_MANIFEST"), body)
+            break
+        # falling out after 8 lost claims is fine: the reclaim itself
+        # succeeded and the history record is advisory
     return removed
 
 

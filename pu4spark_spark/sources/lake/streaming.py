@@ -68,14 +68,36 @@ class JsonlDocsStreamReader(DataSourceStreamReader):
         if not path:
             raise ValueError("jsonl_docs requires option 'path'")
         self.path = path
+        # RATE LIMIT (Delta/file-source maxFilesPerTrigger at this
+        # reader's offset unit — the FILE): each steady-state
+        # microbatch ingests at most this many new landing shards,
+        # bounding per-trigger work on a directory with a deep unread
+        # backlog.  Same semantics as the versioned reader's
+        # max_versions_per_trigger: the first trigger of a reader
+        # instance is unbounded (covers whatever gap the checkpoint
+        # left), afterward the floor tracks each planned batch's end
+        # so a bounded latestOffset can never regress an offset.
+        mf = options.get("max_files_per_trigger")
+        self.max_files = int(mf) if mf is not None else None
+        if self.max_files is not None and self.max_files < 1:
+            raise ValueError(
+                "jsonl_docs: max_files_per_trigger must be >= 1"
+            )
+        self._rate_floor: int | None = None
 
     def initialOffset(self) -> dict:
         return {"index": 0}
 
     def latestOffset(self) -> dict:
-        return {"index": len(_list_shards(self.path))}
+        total = len(_list_shards(self.path))
+        if self.max_files is None or self._rate_floor is None:
+            return {"index": total}
+        return {"index": min(total, self._rate_floor + self.max_files)}
 
     def partitions(self, start: dict, end: dict):
+        self._rate_floor = max(
+            self._rate_floor or 0, start["index"], end["index"]
+        )
         files = _list_shards(self.path)[start["index"] : end["index"]]
         return [InputPartition(os.path.join(self.path, f)) for f in files]
 

@@ -5382,3 +5382,131 @@ def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
     # string columns refused loudly (no order-preserving image)
     with _pytest.raises(ValueError, match="numeric"):
         P.compact_jsonl_dir(spark, zord, 4, zorder_by=["lang"])
+
+
+def test_listing_stream_rate_limit(spark, tmp_path):
+    """max_files_per_trigger on the LISTING stream: steady-state
+    triggers ingest at most N new landing shards (first trigger
+    unbounded — checkpoint-gap rule, same as the versioned reader's
+    max_versions_per_trigger), the floor never regresses an offset,
+    and an availableNow drain still delivers everything."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from pu4spark_spark.sources import pydatasource as P
+    from pu4spark_spark.sources.lake.streaming import (
+        JsonlDocsStreamReader,
+    )
+
+    P.register_pyds(spark)
+    land = tmp_path / "land"
+    land.mkdir()
+    for i in range(6):
+        (land / f"part-{i}.jsonl").write_text(
+            _json.dumps(
+                {"doc_id": i, "text": f"d{i}", "lang": "en",
+                 "source": "s", "n_chars": 1}
+            ) + "\n"
+        )
+
+    with _pytest.raises(ValueError, match=">= 1"):
+        JsonlDocsStreamReader(
+            {"path": str(land), "max_files_per_trigger": "0"}
+        )
+
+    r = JsonlDocsStreamReader(
+        {"path": str(land), "max_files_per_trigger": "2"}
+    )
+    # first trigger: unbounded (covers the checkpoint gap)
+    assert r.latestOffset() == {"index": 6}
+    # simulate a resume at index 1: floor set by partitions()
+    r.partitions({"index": 0}, {"index": 1})
+    assert r.latestOffset() == {"index": 3}  # 1 + 2
+    r.partitions({"index": 1}, {"index": 3})
+    assert r.latestOffset() == {"index": 5}
+    r.partitions({"index": 3}, {"index": 5})
+    assert r.latestOffset() == {"index": 6}  # clamped to total
+
+    # end-to-end: rate-limited availableNow drain delivers everything
+    got = (
+        spark.readStream.format("jsonl_docs")
+        .option("path", str(land))
+        .option("max_files_per_trigger", "2")
+        .load()
+    )
+    q = (
+        got.writeStream.format("memory")
+        .queryName("listing_rate")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        r["doc_id"]
+        for r in spark.sql("select * from listing_rate").collect()
+    )
+    assert rows == [0, 1, 2, 3, 4, 5]
+
+
+def test_vacuum_record_history(spark, tmp_path):
+    """record_history=True commits a pure-metadata 'vacuum' version:
+    DESCRIBE HISTORY shows the GC event with its metrics, the file
+    set is unchanged (reads identical), and a versioned stream
+    treats it as a metadata-only commit (delivers nothing, no
+    error)."""
+    import json as _json
+    import os as _os
+
+    from pu4spark_spark.sources import pydatasource as P
+
+    P.register_pyds(spark)
+    DDL = (
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+    out = str(tmp_path / "vh")
+    spark.createDataFrame(
+        [(1, "a", "en", "s", 3)], DDL
+    ).repartition(1).write.format("jsonl_docs").option(
+        "path", out
+    ).mode("overwrite").save()  # v1
+    spark.createDataFrame(
+        [(2, "b", "en", "s", 4)], DDL
+    ).repartition(1).write.format("jsonl_docs").option(
+        "path", out
+    ).mode("append").save()  # v2
+    P.compact_jsonl_dir(spark, out, target_shards=1)  # v3
+    n = P.vacuum_jsonl_dir(
+        out, keep_versions=1, stale_grace_s=0, record_history=True
+    )
+    assert n >= 1  # the pre-compaction shards were reclaimed
+    assert P._latest_manifest_version(out) == 4
+    m = _json.load(open(_os.path.join(out, "_MANIFEST.v4")))
+    assert m[P.OP_KEY] == "vacuum"
+    assert m["_vacuum"]["removed"] == n
+
+    hist = {
+        r["version"]: r["op"]
+        for r in P.describe_history_jsonl_dir(spark, out).collect()
+    }
+    assert hist[4] == "vacuum"
+
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.format("jsonl_docs").option("path", out)
+        .load().collect()
+    )
+    assert got == [1, 2]
+
+    # versioned stream across the vacuum commit: nothing delivered
+    from pu4spark_spark.sources.lake.streaming import (
+        JsonlDocsVersionStreamReader,
+    )
+
+    r = JsonlDocsVersionStreamReader({"path": out})
+    parts = r.partitions({"version": 3}, {"version": 4})
+    assert parts == [] or all(
+        not list(r.read(p)) for p in parts
+    ), "vacuum commit must stream no rows"
