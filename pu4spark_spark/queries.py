@@ -92,11 +92,12 @@ DRIVER_FIRST = [
     # vacuum-race protection, compaction stats merge); (C) the two
     # queries moved off the deprecated PandasUDFType API; (D)
     # cheapest already-witnessed fillers.
-    # -- A: the 4 r13-new queries ------------------------------------------
+    # -- A: the 5 r13-new queries ------------------------------------------
     "fmt_pyds_multicol_pruning",
     "streaming_pyds_sink_mapped",
     "fmt_pyds_cdf_clone",
     "fmt_pyds_zorder_compaction",
+    "fmt_pyds_nullcount_pruning",
     # -- B: re-verification of the r13-touched lake surface ----------------
     "fmt_pyds_constraints",
     "fmt_pyds_schema_evolution",
@@ -145,7 +146,6 @@ DRIVER_FIRST = [
     "curation_epoch_shuffle",          # 0.172
     "curation_domain_mix",             # 0.173
     "text_corpus_stats",               # 0.181
-    "curation_stratified_sample",      # 0.189
 ]
 
 

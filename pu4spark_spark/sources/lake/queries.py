@@ -605,6 +605,75 @@ GROUP BY lang
 """
 
 
+#: the nullcount demo predicate — every doc_id % 7 == 0 row gets a
+#: non-null subtitle; constant so the oracle is fixed SQL
+NULLCOUNT_MOD = 7
+
+
+def q_fmt_pyds_nullcount_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NULL-COUNT DATA SKIPPING: documents extended with a sparse
+    ``subtitle`` column (non-null only when ``doc_id % {NULLCOUNT_MOD}
+    == 0``), written range-clustered on doc_id so some shards are
+    all-null in the column, then read back with ``subtitle IS NOT
+    NULL`` — the writer's per-shard null counts
+    (``_STATS["_nulls"]``, parquet's null_count position) let the
+    pushed IsNotNull skip all-null shards (and Spark pushes an
+    implicit IsNotNull with every comparison, so the axis rides any
+    filtered read).  Every filter is re-applied by Spark; correctness
+    comes from the oracle on the parquet truth, the shard skip is
+    pinned in pytest (``test_nullcount_zonemap_pruning``)."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_pyds_nc_{tag}_{os.getpid()}"
+    )
+    register_pyds(spark)
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+        F.when(
+            F.col("doc_id") % NULLCOUNT_MOD == 0, F.col("text")
+        ).alias("subtitle"),
+    )
+    (
+        docs.repartitionByRange(N_SHARDS * 2, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out)
+        .mode("overwrite")
+        .save()
+    )
+    back = (
+        spark.read.format("jsonl_docs")
+        .option("path", out)
+        .load()
+        .filter(F.col("subtitle").isNotNull())
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+SQL_FMT_PYDS_NULLCOUNT_PRUNING = f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM documents
+WHERE doc_id % {NULLCOUNT_MOD} = 0
+GROUP BY lang
+"""
+
+
 #: cdf-over-clone demo predicates — constant so the oracle is fixed SQL
 CDFC_DEL_MOD, CDFC_MERGE_MOD = 3, 5
 
@@ -2096,6 +2165,7 @@ QUERIES = {
     "fmt_pyds_stats_pruning": q_fmt_pyds_stats_pruning,
     "fmt_pyds_multicol_pruning": q_fmt_pyds_multicol_pruning,
     "fmt_pyds_zorder_compaction": q_fmt_pyds_zorder_compaction,
+    "fmt_pyds_nullcount_pruning": q_fmt_pyds_nullcount_pruning,
     "fmt_pyds_commit_conflict": q_fmt_pyds_commit_conflict,
     "fmt_pyds_commit_retry": q_fmt_pyds_commit_retry,
     "fmt_pyds_delete_merge": q_fmt_pyds_delete_merge,
@@ -2139,6 +2209,7 @@ ORACLE_SQL = {
     "fmt_pyds_stats_pruning": SQL_FMT_PYDS_STATS_PRUNING,
     "fmt_pyds_multicol_pruning": SQL_FMT_PYDS_MULTICOL_PRUNING,
     "fmt_pyds_zorder_compaction": SQL_FMT_PYDS_ZORDER_COMPACTION,
+    "fmt_pyds_nullcount_pruning": SQL_FMT_PYDS_NULLCOUNT_PRUNING,
     # post-conflict read@latest must equal the WINNING writer's content
     "fmt_pyds_commit_conflict": SQL_FMT_PYDS_COMMIT_CONFLICT,
     # after the retry lands, the table holds base + A + B exactly once
