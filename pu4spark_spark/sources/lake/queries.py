@@ -50,8 +50,10 @@ from pu4spark_spark.sources.lake.protocol import (
 from pu4spark_spark.sources.lake.queries_stream import (
     SQL_STREAMING_PYDS_RATE_LIMITED,
     SQL_STREAMING_PYDS_SINK_MAPPED,
+    SQL_STREAMING_PYDS_SINK_PARTITIONED,
     q_streaming_pyds_rate_limited,
     q_streaming_pyds_sink_mapped,
+    q_streaming_pyds_sink_partitioned,
     SQL_CURATION_LAKE_RELEASE,
     SQL_STREAMING_PYDS_CDF_FEED,
     SQL_STREAMING_PYDS_DELETE_FEED,
@@ -2190,6 +2192,7 @@ QUERIES = {
     "streaming_pyds_lake_sink": q_streaming_pyds_lake_sink,
     "streaming_pyds_rate_limited": q_streaming_pyds_rate_limited,
     "streaming_pyds_sink_mapped": q_streaming_pyds_sink_mapped,
+    "streaming_pyds_sink_partitioned": q_streaming_pyds_sink_partitioned,
     "fmt_pyds_cdf_clone": q_fmt_pyds_cdf_clone,
 }
 
@@ -2247,6 +2250,7 @@ ORACLE_SQL = {
     # the incremental path must agree with the batch oracle
     "streaming_pyds_rate_limited": SQL_STREAMING_PYDS_RATE_LIMITED,
     "streaming_pyds_sink_mapped": SQL_STREAMING_PYDS_SINK_MAPPED,
+    "streaming_pyds_sink_partitioned": SQL_STREAMING_PYDS_SINK_PARTITIONED,
     "fmt_pyds_cdf_clone": SQL_FMT_PYDS_CDF_CLONE,
     "streaming_pyds_docs": SQL_STREAMING_PYDS_DOCS,
     # two checkpointed version-offset drains == batch truth; orphan

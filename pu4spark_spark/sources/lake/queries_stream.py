@@ -217,6 +217,74 @@ GROUP BY lang
 """
 
 
+def q_streaming_pyds_sink_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITIONED STREAMING SINK, value-checked end to end: the
+    landing corpus streams through the sink with
+    ``option("partition_by", "lang")`` — each micro-batch task writes
+    one shard per language it sees and the commit records the values
+    under ``_STATS["_parts"]`` — then the batch read back filters
+    ``lang = 'en'``, which the reader serves with whole-shard
+    PARTITION PRUNING (the hourly partitioned-ingest shape at
+    100 TB).  The oracle re-derives the filtered aggregate from the
+    parquet truth, so a row landing in the wrong partition shard, a
+    dropped secondary shard (tasks pack extra shards per value), or
+    over-pruning all hash-mismatch; the shard skip itself is pinned
+    in pytest (``test_stream_sink_partitioned``)."""
+    import hashlib
+    import shutil
+
+    shard_dir = _jsonl_shard_dir(spark, sf_dir)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    lake = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_pyds_sinkp_{tag}_{os.getpid()}"
+    )
+    ckpt = os.path.join(lake, "_ckpt")
+    shutil.rmtree(lake, ignore_errors=True)
+    register_pyds(spark)
+    from pu4spark_spark.streaming.drain import drain_partitions
+
+    with drain_partitions(spark, 8):
+        q = (
+            spark.readStream.format("jsonl_docs")
+            .option("path", shard_dir)
+            .load()
+            .writeStream.format("jsonl_docs")
+            .option("path", lake)
+            .option("partition_by", "lang")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+    back = (
+        spark.read.format("jsonl_docs")
+        .option("path", lake)
+        .load()
+        .filter(F.col("lang") == "en")
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+SQL_STREAMING_PYDS_SINK_PARTITIONED = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM documents
+WHERE lang = 'en'
+GROUP BY source
+"""
+
+
 def _versioned_lang_drain(
     spark: SparkSession, out: str, ckpt: str, name: str
 ) -> None:

@@ -7,8 +7,10 @@ thread pinning.  Split from sources/pydatasource.py (r12)."""
 from __future__ import annotations
 
 import functools
+import json as _mod_json
 import os
 import tempfile
+import uuid as _mod_uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -295,105 +297,13 @@ class JsonlDocsWriter(DataSourceWriter):
             shutil.rmtree(self.path, ignore_errors=True)
 
     def write(self, iterator) -> WriterCommitMessage:
-        import json as _json
         import os as _os
-        import uuid as _uuid
 
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
         _os.makedirs(self.path, exist_ok=True)
-        has_doc = "doc_id" in self.fields
         phys = self.phys  # logical→physical keys at serialization
-
-        class _Shard:
-            __slots__ = (
-                "tmp", "final", "fh", "n", "mn", "mx", "parts",
-                "cols", "bad", "nulls",
-            )
-
-            def __init__(s, token: str, parts: dict | None) -> None:
-                s.final = f"part-{pid:05d}-{_uuid.uuid4().hex[:8]}.jsonl"
-                s.tmp = f"_tmp-{token}-" + s.final
-                s.fh = open(_os.path.join(self.path, s.tmp), "w")
-                s.n = 0
-                s.mn = s.mx = None
-                s.parts = parts
-                #: per-column NULL counts (every column, type-agnostic)
-                #: — commit() records {"_rows": n, col: nulls} under
-                #: _STATS["_nulls"]; the reader prunes pushed IsNull
-                #: (no nulls in shard) / IsNotNull (all-null shard) —
-                #: parquet's null_count statistics position.  Spark
-                #: pushes an implicit IsNotNull beside every
-                #: comparison, so all-null shards skip early.
-                s.nulls = dict.fromkeys(self.fields, 0)
-                #: multi-column zonemap ({col: [min, max]} over non-null
-                #: orderable values) — commit() records it under
-                #: _STATS["_cols"] so the reader prunes conjunctions on
-                #: ANY pushable column, not just doc_id (the parquet
-                #: footer / Iceberg per-column stats position)
-                s.cols = {}
-                #: columns DROPPED from the zonemap for this shard —
-                #: NaN (incomparable) or non-scalar values; absent
-                #: entry = never pruned, so dropping is always safe
-                s.bad = set()
-
-            def add(s, d: dict) -> None:
-                # rows arrive (and are validated / stat'd) under
-                # LOGICAL names; only the serialized form is physical
-                out = (
-                    {phys.get(k, k): v for k, v in d.items()}
-                    if phys
-                    else d
-                )
-                s.fh.write(_json.dumps(out, default=_json_cell) + "\n")
-                s.n += 1
-                # per-shard doc_id min/max ride the commit message —
-                # the zonemap the reader's filter pushdown prunes with
-                if has_doc and d["doc_id"] is not None:
-                    v = d["doc_id"]
-                    s.mn = v if s.mn is None or v < s.mn else s.mn
-                    s.mx = v if s.mx is None or v > s.mx else s.mx
-                # per-column min/max for every other pushable column:
-                # int/float/str only (bool excluded — isinstance quirk;
-                # Decimal/datetime cells serialize as strings whose
-                # ordering differs from their value ordering), NULLs
-                # skipped (pushed comparisons are null-rejecting, so a
-                # non-null envelope is a sound whole-shard test), NaN
-                # poisons the column (incomparable)
-                for k, v in d.items():
-                    if v is None:
-                        s.nulls[k] += 1
-                        continue
-                    if k == "doc_id" or k in s.bad:
-                        continue
-                    if not isinstance(v, (int, float, str)) or isinstance(
-                        v, bool
-                    ) or v != v:
-                        s.bad.add(k)
-                        s.cols.pop(k, None)
-                        continue
-                    e = s.cols.get(k)
-                    if e is None:
-                        s.cols[k] = [v, v]
-                    else:
-                        if v < e[0]:
-                            e[0] = v
-                        elif v > e[1]:
-                            e[1] = v
-
-            def close(s) -> JsonlCommit:
-                # shard contents must be on disk before the driver's
-                # commit can make them visible — same power-loss
-                # discipline as the metadata files
-                s.fh.flush()
-                _os.fsync(s.fh.fileno())
-                s.fh.close()
-                return JsonlCommit(
-                    s.tmp, s.final, s.n, s.mn, s.mx, parts=s.parts,
-                    cols=s.cols or None,
-                    nulls={"_rows": s.n, **s.nulls},
-                )
 
         cons = self._constraints
 
@@ -407,27 +317,35 @@ class JsonlDocsWriter(DataSourceWriter):
             return d
 
         if not self.partition_by:
-            shard = _Shard(self.job_token, None)
+            shard = _ShardSink(
+                self.path, self.job_token, pid, self.fields, phys, None
+            )
             for row in iterator:
                 shard.add(_validated({k: row[k] for k in self.fields}))
             return shard.close()
         # partitioned write: one shard per distinct partition value
         # seen by THIS task (callers repartition by the column, so
         # normally one value per task)
-        shards: dict[tuple, _Shard] = {}
+        shards: dict[tuple, _ShardSink] = {}
         for row in iterator:
             d = _validated({k: row[k] for k in self.fields})
             key = tuple(d[c] for c in self.partition_by)
             s = shards.get(key)
             if s is None:
-                s = shards[key] = _Shard(
+                s = shards[key] = _ShardSink(
+                    self.path,
                     self.job_token,
+                    pid,
+                    self.fields,
+                    phys,
                     dict(zip(self.partition_by, key)),
                 )
             s.add(d)
         if not shards:
             # empty task still reports itself (rows=0, no file kept)
-            shard = _Shard(self.job_token, None)
+            shard = _ShardSink(
+                self.path, self.job_token, pid, self.fields, phys, None
+            )
             return shard.close()
         commits = [s.close() for s in shards.values()]
         head, tail = commits[0], commits[1:]
@@ -643,6 +561,106 @@ class JsonlDocsWriter(DataSourceWriter):
             self._sweep_tmp(set())
 
 
+class _ShardSink:
+    """Executor-side shard builder SHARED by the batch writer and the
+    streaming sink: serializes rows under the table's PHYSICAL keys
+    with typed-cell encoding (``_json_cell``), and tracks every
+    per-shard statistic ``_STATS`` records — the doc_id zonemap,
+    per-column [min, max] over non-null orderable values (NaN or a
+    non-scalar drops the column for this shard; an absent entry never
+    prunes), per-column NULL counts (parquet's null_count position —
+    Spark pushes an implicit IsNotNull beside every comparison, so
+    all-null shards skip early), and the partition values of a
+    ``partition_by`` write.  One instance per (task, partition-value);
+    rows arrive (and are validated / stat'd) under LOGICAL names —
+    only the serialized form is physical."""
+
+    __slots__ = (
+        "dir", "fields", "phys", "has_doc",
+        "tmp", "final", "fh", "n", "mn", "mx", "parts",
+        "cols", "bad", "nulls",
+    )
+
+    def __init__(
+        self,
+        dir_path: str,
+        token: str,
+        pid: int,
+        fields: list[str],
+        phys: dict,
+        parts: dict | None,
+    ) -> None:
+        self.dir = dir_path
+        self.fields = fields
+        self.phys = phys
+        self.has_doc = "doc_id" in fields
+        self.final = f"part-{pid:05d}-{_mod_uuid.uuid4().hex[:8]}.jsonl"
+        self.tmp = f"_tmp-{token}-" + self.final
+        self.fh = open(os.path.join(dir_path, self.tmp), "w")
+        self.n = 0
+        self.mn = self.mx = None
+        self.parts = parts
+        self.nulls = dict.fromkeys(fields, 0)
+        self.cols: dict = {}
+        self.bad: set = set()
+
+    def add(self, d: dict) -> None:
+        out = (
+            {self.phys.get(k, k): v for k, v in d.items()}
+            if self.phys
+            else d
+        )
+        self.fh.write(_mod_json.dumps(out, default=_json_cell) + "\n")
+        self.n += 1
+        # per-shard doc_id min/max ride the commit message — the
+        # zonemap the reader's filter pushdown prunes with
+        if self.has_doc and d["doc_id"] is not None:
+            v = d["doc_id"]
+            self.mn = v if self.mn is None or v < self.mn else self.mn
+            self.mx = v if self.mx is None or v > self.mx else self.mx
+        # per-column min/max for every other pushable column:
+        # int/float/str only (bool excluded — isinstance quirk;
+        # Decimal/datetime cells serialize as strings whose ordering
+        # differs from their value ordering), NULLs counted separately
+        # (pushed comparisons are null-rejecting, so a non-null
+        # envelope is a sound whole-shard test), NaN poisons the
+        # column (incomparable)
+        for k, v in d.items():
+            if v is None:
+                self.nulls[k] += 1
+                continue
+            if k == "doc_id" or k in self.bad:
+                continue
+            if not isinstance(v, (int, float, str)) or isinstance(
+                v, bool
+            ) or v != v:
+                self.bad.add(k)
+                self.cols.pop(k, None)
+                continue
+            e = self.cols.get(k)
+            if e is None:
+                self.cols[k] = [v, v]
+            else:
+                if v < e[0]:
+                    e[0] = v
+                elif v > e[1]:
+                    e[1] = v
+
+    def close(self) -> "JsonlCommit":
+        # shard contents must be on disk before the driver's commit
+        # can make them visible — same power-loss discipline as the
+        # metadata files
+        self.fh.flush()
+        os.fsync(self.fh.fileno())
+        self.fh.close()
+        return JsonlCommit(
+            self.tmp, self.final, self.n, self.mn, self.mx,
+            parts=self.parts,
+            cols=self.cols or None,
+            nulls={"_rows": self.n, **self.nulls},
+        )
+
+
 class JsonlCommit(WriterCommitMessage):
     def __init__(
         self,
@@ -728,29 +746,29 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
         self.ddl = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
         )
+        # metadata-tracked PARTITIONED sink — same contract as the
+        # batch writer's option: each task writes one shard per
+        # distinct partition value it sees, commit() records the
+        # values under _STATS["_parts"] so the reader prunes whole
+        # shards on partition-column equality/IN filters.  The hourly
+        # partitioned-ingest shape at 100 TB: callers partition the
+        # stream by the column (or accept one shard per value per
+        # task).
+        pb = options.get("partition_by")
+        self.partition_by = (
+            [c.strip() for c in pb.split(",") if c.strip()] if pb else []
+        )
         import uuid as _uuid
 
         self.job_token = _uuid.uuid4().hex[:8]
 
     def write(self, iterator) -> WriterCommitMessage:
-        import json as _json
         import os as _os
-        import uuid as _uuid
 
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
         _os.makedirs(self.path, exist_ok=True)
-        final = f"part-{pid:05d}-{_uuid.uuid4().hex[:8]}.jsonl"
-        tmp = f"_tmp-{self.job_token}-" + final
-        n = 0
-        has_doc = "doc_id" in self.fields
-        mn = mx = None
-        # multi-column zonemap + null counts, same rules as the batch
-        # writer's _Shard
-        cstats: dict = {}
-        cbad: set = set()
-        nulls: dict = dict.fromkeys(self.fields, 0)
         # CHECK constraints AND column mapping, loaded lazily per TASK
         # from the current latest manifest (a stream is long-lived — a
         # constraint or rename committed mid-stream must bind future
@@ -761,7 +779,9 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
         # its original name — serializing logical keys would make every
         # sink-committed row read back NULL under the mapped column.
         # Rows are validated / stat'd under LOGICAL names (like the
-        # batch writer); only the serialized form is physical.
+        # batch writer); only the serialized form is physical — the
+        # shared :class:`_ShardSink` owns that plus every _STATS
+        # statistic.
         cons = []
         phys: dict = {}
         latest = _latest_manifest_version(self.path)
@@ -770,53 +790,49 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
             for nm, ex in _constraints_of(_m).items():
                 cons.append((nm, ex, _compile_constraint(ex)))
             phys = _mapping_of(_m)
-        with open(_os.path.join(self.path, tmp), "w") as fh:
+
+        def _validated(d: dict) -> dict:
+            for nm, ex, fn in cons:
+                if not fn(d):
+                    raise ValueError(
+                        f"CHECK constraint {nm!r} ({ex}) violated "
+                        f"by row {d!r} — the micro-batch fails "
+                        "before any commit"
+                    )
+            return d
+
+        if not self.partition_by:
+            shard = _ShardSink(
+                self.path, self.job_token, pid, self.fields, phys, None
+            )
             for row in iterator:
-                d = {k: row[k] for k in self.fields}
-                for nm, ex, fn in cons:
-                    if not fn(d):
-                        raise ValueError(
-                            f"CHECK constraint {nm!r} ({ex}) violated "
-                            f"by row {d!r} — the micro-batch fails "
-                            "before any commit"
-                        )
-                out = (
-                    {phys.get(k, k): v for k, v in d.items()}
-                    if phys
-                    else d
+                shard.add(_validated({k: row[k] for k in self.fields}))
+            return shard.close()
+        shards: dict[tuple, _ShardSink] = {}
+        for row in iterator:
+            d = _validated({k: row[k] for k in self.fields})
+            key = tuple(d[c] for c in self.partition_by)
+            s = shards.get(key)
+            if s is None:
+                s = shards[key] = _ShardSink(
+                    self.path,
+                    self.job_token,
+                    pid,
+                    self.fields,
+                    phys,
+                    dict(zip(self.partition_by, key)),
                 )
-                fh.write(_json.dumps(out, default=_json_cell) + "\n")
-                n += 1
-                if has_doc and d["doc_id"] is not None:
-                    v = d["doc_id"]
-                    mn = v if mn is None or v < mn else mn
-                    mx = v if mx is None or v > mx else mx
-                for k, v in d.items():
-                    if v is None:
-                        nulls[k] += 1
-                        continue
-                    if k == "doc_id" or k in cbad:
-                        continue
-                    if not isinstance(
-                        v, (int, float, str)
-                    ) or isinstance(v, bool) or v != v:
-                        cbad.add(k)
-                        cstats.pop(k, None)
-                        continue
-                    e = cstats.get(k)
-                    if e is None:
-                        cstats[k] = [v, v]
-                    else:
-                        if v < e[0]:
-                            e[0] = v
-                        elif v > e[1]:
-                            e[1] = v
-            fh.flush()
-            _os.fsync(fh.fileno())
-        return JsonlCommit(
-            tmp, final, n, mn, mx, cols=cstats or None,
-            nulls={"_rows": n, **nulls},
-        )
+            s.add(d)
+        if not shards:
+            # empty task still reports itself (rows=0)
+            shard = _ShardSink(
+                self.path, self.job_token, pid, self.fields, phys, None
+            )
+            return shard.close()
+        commits = [s.close() for s in shards.values()]
+        head, tail = commits[0], commits[1:]
+        head.extra = tail
+        return head
 
     def _sweep(self, keep: set[str]) -> None:
         import os as _os
@@ -852,10 +868,11 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
         stats_new: dict[str, list] = {}
         cols_new: dict[str, dict] = {}
         nulls_new: dict[str, dict] = {}
+        parts_new: dict[str, dict] = {}
         committed_tmp = set()
-        for m in messages:
-            if m is None:
-                continue
+        # a partitioned sink task packs secondary shards into .extra
+        # (one API message per task) — flatten like the batch commit
+        for m in _flatten_commits(messages):
             _os.rename(
                 _os.path.join(self.path, m.tmp),
                 _os.path.join(self.path, m.file),
@@ -868,6 +885,8 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
                 cols_new[m.file] = m.cols
             if getattr(m, "nulls", None):
                 nulls_new[m.file] = m.nulls
+            if getattr(m, "parts", None):
+                parts_new[m.file] = m.parts
         self._sweep(committed_tmp)
         # metadata-only claim loop: staged shards are invisible until a
         # manifest references them, so losing a claim to a concurrent
@@ -939,6 +958,8 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
                 stats.setdefault("_cols", {}).update(cols_new)
             if nulls_new:
                 stats.setdefault("_nulls", {}).update(nulls_new)
+            if parts_new:
+                stats.setdefault("_parts", {}).update(parts_new)
             _write_atomic(spath, _json.dumps(stats))
             _write_atomic(_os.path.join(self.path, "_MANIFEST"), body)
 

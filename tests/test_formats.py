@@ -5510,3 +5510,65 @@ def test_vacuum_record_history(spark, tmp_path):
     assert parts == [] or all(
         not list(r.read(p)) for p in parts
     ), "vacuum commit must stream no rows"
+
+
+def test_stream_sink_partitioned(spark, tmp_path):
+    """Partitioned STREAMING sink (option partition_by): each
+    micro-batch task writes one shard per distinct partition value,
+    commit records the values under _STATS['_parts'], and the reader
+    prunes whole shards on partition-column equality — the hourly
+    partitioned-ingest shape, through the real engine."""
+    import json as _json
+    import os as _os
+
+    from pu4spark_spark.sources import pydatasource as P
+    from pu4spark_spark.sources.lake.source import JsonlDocsReader
+
+    P.register_pyds(spark)
+    DDL = (
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+    landing = str(tmp_path / "landing")
+    lake = str(tmp_path / "lake")
+    rows = [(i, f"d{i}", ["en", "de", "fr"][i % 3], "s", i) for i in range(30)]
+    spark.createDataFrame(rows, DDL).repartition(1).write.format(
+        "jsonl_docs"
+    ).option("path", landing).mode("overwrite").save()
+
+    q = (
+        spark.readStream.format("jsonl_docs")
+        .option("path", landing)
+        .load()
+        .writeStream.format("jsonl_docs")
+        .option("path", lake)
+        .option("partition_by", "lang")
+        .option(
+            "checkpointLocation", _os.path.join(str(tmp_path), "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    stats = _json.load(open(_os.path.join(lake, "_STATS")))
+    assert stats.get("_parts"), "sink recorded no partition values"
+    langs = {tuple(p.items()) for p in stats["_parts"].values()}
+    assert langs == {
+        (("lang", "en"),), (("lang", "de"),), (("lang", "fr"),)
+    }, langs
+
+    total = len(JsonlDocsReader({"path": lake}).partitions())
+    r = JsonlDocsReader({"path": lake})
+    r._part_in = {"lang": {"en"}}
+    assert len(r.partitions()) < total  # partition pruning fires
+
+    got = sorted(
+        (row["doc_id"], row["lang"])
+        for row in spark.read.format("jsonl_docs").option("path", lake)
+        .load().filter("lang = 'en'").collect()
+    )
+    assert got == sorted(
+        (i, lang) for i, _t, lang, _s, _n in rows if lang == "en"
+    )
