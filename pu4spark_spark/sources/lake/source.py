@@ -237,9 +237,33 @@ class JsonlDocsWriter(DataSourceWriter):
                 if self.base_version is not None
                 else _latest_manifest_version(self.path)
             )
-            self.phys = (
-                _mapping_of(_manifest_at(self.path, _b)) if _b > 0 else {}
-            )
+            if _b > 0:
+                _bm = _manifest_at(self.path, _b)
+                self.phys = _mapping_of(_bm)
+                # SCHEMA ENFORCEMENT (Delta's writer check): an
+                # append's shape must match the table's logical schema
+                # by NAME SET — a missing column silently reads back
+                # NULL, an extra one is invisible to every reader
+                # until an evolve; both are almost always bugs, so
+                # refuse LOUDLY before any staging.  evolve / rename /
+                # drop / widen are the sanctioned shape-changing
+                # paths; overwrite replaces the table; staging writes
+                # (physical_map) enforce against the real table via
+                # their DML entry points.
+                tbl = set(_fields_of_ddl(_bm.get(SCHEMA_KEY, DOCS_DDL)))
+                if set(self.fields) != tbl:
+                    missing = sorted(tbl - set(self.fields))
+                    extra = sorted(set(self.fields) - tbl)
+                    raise ValueError(
+                        "jsonl_docs append: written schema does not "
+                        f"match table version {_b} (missing "
+                        f"{missing or '[]'}, extra {extra or '[]'}) — "
+                        "evolve_jsonl_schema / rename_jsonl_column / "
+                        "drop_jsonl_column change a live table's "
+                        "shape; mode('overwrite') replaces it"
+                    )
+            else:
+                self.phys = {}
         else:
             self.phys = {}
         # CHECK constraints of the base manifest, compiled driver-side
@@ -790,6 +814,23 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
             for nm, ex in _constraints_of(_m).items():
                 cons.append((nm, ex, _compile_constraint(ex)))
             phys = _mapping_of(_m)
+            # SCHEMA ENFORCEMENT, per batch (the table can evolve
+            # mid-stream): same name-set rule as the batch writer —
+            # a shape mismatch fails the micro-batch loudly before
+            # any staging instead of silently landing rows that read
+            # back NULL under the table's columns
+            tbl = set(_fields_of_ddl(_m.get(SCHEMA_KEY, DOCS_DDL)))
+            if set(self.fields) != tbl:
+                missing = sorted(tbl - set(self.fields))
+                extra = sorted(set(self.fields) - tbl)
+                raise ValueError(
+                    "jsonl_docs stream sink: written schema does not "
+                    f"match table version {latest} (missing "
+                    f"{missing or '[]'}, extra {extra or '[]'}) — "
+                    "restart the stream with the table's current "
+                    "shape (evolve_jsonl_schema is the sanctioned "
+                    "shape-changing path)"
+                )
 
         def _validated(d: dict) -> dict:
             for nm, ex, fn in cons:

@@ -5572,3 +5572,90 @@ def test_stream_sink_partitioned(spark, tmp_path):
     assert got == sorted(
         (i, lang) for i, _t, lang, _s, _n in rows if lang == "en"
     )
+
+
+def test_writer_schema_enforcement(spark, tmp_path):
+    """Delta-style writer schema check: an append (batch or stream
+    micro-batch) whose shape does not match the table's logical
+    schema by name set fails LOUDLY before any staging — a missing
+    column would silently read back NULL, an extra one would be
+    invisible until an evolve.  Overwrite replaces the table; evolve
+    is the sanctioned shape change."""
+    import pytest as _pytest
+
+    from pu4spark_spark.sources import pydatasource as P
+
+    P.register_pyds(spark)
+    DDL = (
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+    out = str(tmp_path / "enforce")
+    spark.createDataFrame(
+        [(1, "a", "en", "s", 3)], DDL
+    ).repartition(1).write.format("jsonl_docs").option(
+        "path", out
+    ).mode("overwrite").save()
+
+    # missing column refused
+    with _pytest.raises(Exception, match="missing"):
+        spark.createDataFrame(
+            [(2, "b", "en", "s")],
+            "doc_id bigint, text string, lang string, source string",
+        ).repartition(1).write.format("jsonl_docs").option(
+            "path", out
+        ).mode("append").save()
+    # extra column refused
+    with _pytest.raises(Exception, match="extra"):
+        spark.createDataFrame(
+            [(2, "b", "en", "s", 3, 9)], DDL + ", bonus bigint"
+        ).repartition(1).write.format("jsonl_docs").option(
+            "path", out
+        ).mode("append").save()
+    # matching shape (any column order) accepted
+    spark.createDataFrame(
+        [("b", 2, "de", "s", 4)],
+        "text string, doc_id bigint, lang string, source string, "
+        "n_chars bigint",
+    ).repartition(1).write.format("jsonl_docs").option(
+        "path", out
+    ).mode("append").save()
+    # evolve, then the new shape is required and accepted
+    P.evolve_jsonl_schema(out, DDL + ", bonus bigint")
+    spark.createDataFrame(
+        [(3, "c", "fr", "s", 5, 7)], DDL + ", bonus bigint"
+    ).repartition(1).write.format("jsonl_docs").option(
+        "path", out
+    ).mode("append").save()
+    got = sorted(
+        (r["doc_id"], r["bonus"])
+        for r in spark.read.format("jsonl_docs").option("path", out)
+        .load().collect()
+    )
+    assert got == [(1, None), (2, None), (3, 7)]
+
+    # stream sink: micro-batch into a mismatched table fails loudly
+    import os as _os
+
+    landing = str(tmp_path / "landing")
+    spark.createDataFrame(
+        [(9, "z", "en", "s", 1)], DDL
+    ).repartition(1).write.format("jsonl_docs").option(
+        "path", landing
+    ).mode("overwrite").save()
+    q = (
+        spark.readStream.format("jsonl_docs")
+        .option("path", landing)
+        .load()  # docs shape: lacks the evolved 'bonus' column
+        .writeStream.format("jsonl_docs")
+        .option("path", out)
+        .option(
+            "checkpointLocation", _os.path.join(str(tmp_path), "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    with _pytest.raises(Exception, match="does not.*match|missing"):
+        q.awaitTermination(120)
+        q.stop()
+        raise AssertionError("mismatched sink batch did not fail")

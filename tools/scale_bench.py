@@ -138,6 +138,9 @@ REPS = [
     "fmt_pyds_multicol_pruning", # multi-col zonemap write + pruned read
     "fmt_pyds_cdf_clone",        # CDF across a grafted clone ledger
     "streaming_pyds_sink_mapped",  # mapped-table stream sink drain
+    "fmt_pyds_zorder_compaction",  # quantile pass + Morton rewrite
+    "fmt_pyds_nullcount_pruning",  # null-count stats write + pruned read
+    "streaming_pyds_sink_partitioned",  # partitioned stream sink drain
 ]
 
 #: reps whose FIRST run at an sf builds a persistent build-once layout
