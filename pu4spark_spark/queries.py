@@ -92,13 +92,14 @@ DRIVER_FIRST = [
     # vacuum-race protection, compaction stats merge); (C) the two
     # queries moved off the deprecated PandasUDFType API; (D)
     # cheapest already-witnessed fillers.
-    # -- A: the 6 r13-new queries ------------------------------------------
+    # -- A: the 7 r13-new queries ------------------------------------------
     "fmt_pyds_multicol_pruning",
     "streaming_pyds_sink_mapped",
     "streaming_pyds_sink_partitioned",
     "fmt_pyds_cdf_clone",
     "fmt_pyds_zorder_compaction",
     "fmt_pyds_nullcount_pruning",
+    "fmt_pyds_bloom_pruning",
     # -- B: re-verification of the r13-touched lake surface ----------------
     "fmt_pyds_constraints",
     "fmt_pyds_schema_evolution",
@@ -145,7 +146,6 @@ DRIVER_FIRST = [
     "customer_running_spend",          # 0.171
     "pu_iteration_stats",              # 0.171
     "curation_epoch_shuffle",          # 0.172
-    "curation_domain_mix",             # 0.173
 ]
 
 

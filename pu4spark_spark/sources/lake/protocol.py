@@ -58,6 +58,65 @@ def _json_cell(v):
 TXN_KEY = "_txn"
 
 
+#: per-shard BLOOM FILTER defaults (Delta's bloom filter index /
+#: parquet column blooms): 65536 bits (8 KiB raw per shard+column,
+#: ~11 KiB base64 in _STATS) at 7 hashes holds ~5k distinct values
+#: under 1% false positives — sized for this mini-lake's shard rows;
+#: a petabyte deployment would move the bitsets to per-file sidecars
+#: like Delta's index files, the _STATS schema already isolates them
+#: under one key.
+BLOOM_M_BITS = 65536
+BLOOM_K = 7
+
+
+def _bloom_key(v) -> bytes:
+    """Canonical hash input for a bloom-indexed cell — must agree
+    between WRITE (rows' Python values) and PROBE (pushed filter
+    literals): plain ``str`` of the value, which is identical for the
+    int/str/float forms both sides carry."""
+    return str(v).encode()
+
+
+def _bloom_hashes(v, m: int, k: int):
+    """k bit positions for value ``v`` in an m-bit filter — slices of
+    one md5 (stable across processes, unlike ``hash()``)."""
+    import hashlib
+
+    h = int.from_bytes(hashlib.md5(_bloom_key(v)).digest(), "big")
+    for i in range(k):
+        yield (h >> (i * 18)) % m
+
+
+def _bloom_add(buf: bytearray, v, m: int = BLOOM_M_BITS, k: int = BLOOM_K):
+    for idx in _bloom_hashes(v, m, k):
+        buf[idx >> 3] |= 1 << (idx & 7)
+
+
+def _bloom_might_contain(entry: dict, v) -> bool:
+    """Probe a serialized ``_STATS["_bloom"]`` entry
+    (``{"m": bits, "k": hashes, "b": base64}``).  No false negatives:
+    False means the shard PROVABLY lacks the value — the sound prune;
+    True means maybe.  A malformed entry answers True (never prune
+    blind)."""
+    import base64
+
+    try:
+        m, k = int(entry["m"]), int(entry["k"])
+        buf = base64.b64decode(entry["b"])
+        for idx in _bloom_hashes(v, m, k):
+            if not buf[idx >> 3] & (1 << (idx & 7)):
+                return False
+        return True
+    except Exception:
+        return True
+
+
+def _bloom_serialize(buf: bytearray, m: int = BLOOM_M_BITS, k: int = BLOOM_K) -> dict:
+    import base64
+
+    return {"m": m, "k": k, "b": base64.b64encode(bytes(buf)).decode()}
+
+
 class ManifestCommitConflict(RuntimeError):
     """Two writers prepared the same manifest version concurrently and
     this one lost the atomic claim — the commit was rolled back; the

@@ -607,6 +607,59 @@ GROUP BY lang
 """
 
 
+#: bloom point-lookup keys — present at every sf (doc_id 0..499 is the
+#: smallest fixture); constant so the oracle is fixed SQL
+BLOOM_LOOKUP_IDS = (5, 105, 205, 305, 405)
+
+
+def q_fmt_pyds_bloom_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BLOOM-FILTER DATA SKIPPING (Delta's bloom filter index):
+    documents written HASH-scattered on ``text`` — every shard spans
+    the full doc_id range, so the min/max envelope prunes nothing —
+    with ``option("bloom_filter_columns", "doc_id")`` building one
+    bitset per shard, then read back with a point lookup
+    ``doc_id IN {BLOOM_LOOKUP_IDS}``: the reader probes the pushed
+    value set against each shard's bloom and skips shards that
+    PROVABLY lack every value (no false negatives, so never a wrong
+    skip; Spark re-applies the filter on survivors).  The oracle
+    re-derives the lookup from the parquet truth; the shard skip
+    itself is pinned in pytest (``test_bloom_filter_pruning``)."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_pyds_bl_{tag}_{os.getpid()}"
+    )
+    register_pyds(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    (
+        docs.repartition(N_SHARDS * 2, "text")
+        .write.format("jsonl_docs")
+        .option("path", out)
+        .option("bloom_filter_columns", "doc_id")
+        .mode("overwrite")
+        .save()
+    )
+    back = (
+        spark.read.format("jsonl_docs")
+        .option("path", out)
+        .load()
+        .filter(F.col("doc_id").isin(*BLOOM_LOOKUP_IDS))
+    )
+    return back.select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+SQL_FMT_PYDS_BLOOM_PRUNING = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE doc_id IN {BLOOM_LOOKUP_IDS}
+"""
+
+
 #: the nullcount demo predicate — every doc_id % 7 == 0 row gets a
 #: non-null subtitle; constant so the oracle is fixed SQL
 NULLCOUNT_MOD = 7
@@ -2168,6 +2221,7 @@ QUERIES = {
     "fmt_pyds_multicol_pruning": q_fmt_pyds_multicol_pruning,
     "fmt_pyds_zorder_compaction": q_fmt_pyds_zorder_compaction,
     "fmt_pyds_nullcount_pruning": q_fmt_pyds_nullcount_pruning,
+    "fmt_pyds_bloom_pruning": q_fmt_pyds_bloom_pruning,
     "fmt_pyds_commit_conflict": q_fmt_pyds_commit_conflict,
     "fmt_pyds_commit_retry": q_fmt_pyds_commit_retry,
     "fmt_pyds_delete_merge": q_fmt_pyds_delete_merge,
@@ -2213,6 +2267,7 @@ ORACLE_SQL = {
     "fmt_pyds_multicol_pruning": SQL_FMT_PYDS_MULTICOL_PRUNING,
     "fmt_pyds_zorder_compaction": SQL_FMT_PYDS_ZORDER_COMPACTION,
     "fmt_pyds_nullcount_pruning": SQL_FMT_PYDS_NULLCOUNT_PRUNING,
+    "fmt_pyds_bloom_pruning": SQL_FMT_PYDS_BLOOM_PRUNING,
     # post-conflict read@latest must equal the WINNING writer's content
     "fmt_pyds_commit_conflict": SQL_FMT_PYDS_COMMIT_CONFLICT,
     # after the retry lands, the table holds base + A + B exactly once

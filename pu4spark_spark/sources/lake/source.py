@@ -28,6 +28,9 @@ from pu4spark_spark.sources.tables import load_table
 from pu4spark_spark.sources.lake.protocol import (
     DOCS_DDL,
     ManifestCommitConflict,
+    _bloom_add,
+    _bloom_might_contain,
+    _bloom_serialize,
     OP_KEY,
     SCHEMA_KEY,
     TOMBSTONE_KEY,
@@ -218,6 +221,15 @@ class JsonlDocsWriter(DataSourceWriter):
         self.partition_by = (
             [c.strip() for c in pb.split(",") if c.strip()] if pb else []
         )
+        # opt-in per-shard BLOOM FILTERS (Delta's bloom filter index):
+        # option("bloom_filter_columns", "a,b") builds one bitset per
+        # listed column per shard, recorded under _STATS["_bloom"] —
+        # point-lookup (equality/IN) pruning on columns a hash layout
+        # scatters, where the min/max envelope is useless
+        bf = options.get("bloom_filter_columns")
+        self.bloom_cols = (
+            [c.strip() for c in bf.split(",") if c.strip()] if bf else []
+        )
         # COLUMN MAPPING: an append into a mapped table must write the
         # table's PHYSICAL keys, so pre- and post-rename shards stay
         # uniform (the reader resolves one physical name per logical
@@ -340,9 +352,11 @@ class JsonlDocsWriter(DataSourceWriter):
                     )
             return d
 
+        bloom_cols = self.bloom_cols
         if not self.partition_by:
             shard = _ShardSink(
-                self.path, self.job_token, pid, self.fields, phys, None
+                self.path, self.job_token, pid, self.fields, phys, None,
+                bloom_cols,
             )
             for row in iterator:
                 shard.add(_validated({k: row[k] for k in self.fields}))
@@ -363,12 +377,14 @@ class JsonlDocsWriter(DataSourceWriter):
                     self.fields,
                     phys,
                     dict(zip(self.partition_by, key)),
+                    bloom_cols,
                 )
             s.add(d)
         if not shards:
             # empty task still reports itself (rows=0, no file kept)
             shard = _ShardSink(
-                self.path, self.job_token, pid, self.fields, phys, None
+                self.path, self.job_token, pid, self.fields, phys, None,
+                bloom_cols,
             )
             return shard.close()
         commits = [s.close() for s in shards.values()]
@@ -492,6 +508,9 @@ class JsonlDocsWriter(DataSourceWriter):
             if getattr(m, "nulls", None):
                 # null counts (IsNull/IsNotNull pruning) — advisory
                 stats.setdefault("_nulls", {})[m.file] = m.nulls
+            if getattr(m, "bloom", None):
+                # opt-in bloom filters (point-lookup pruning) — advisory
+                stats.setdefault("_bloom", {})[m.file] = m.bloom
         if self.overwrite and self.ddl != DOCS_DDL:
             manifest[SCHEMA_KEY] = self.ddl
         # operation provenance (DESCRIBE HISTORY): each commit records
@@ -600,9 +619,9 @@ class _ShardSink:
     only the serialized form is physical."""
 
     __slots__ = (
-        "dir", "fields", "phys", "has_doc",
+        "dir", "fields", "phys", "has_doc", "pf",
         "tmp", "final", "fh", "n", "mn", "mx", "parts",
-        "cols", "bad", "nulls",
+        "cols", "bad", "nulls", "blooms",
     )
 
     def __init__(
@@ -613,6 +632,7 @@ class _ShardSink:
         fields: list[str],
         phys: dict,
         parts: dict | None,
+        bloom_cols: list[str] | None = None,
     ) -> None:
         self.dir = dir_path
         self.fields = fields
@@ -623,10 +643,34 @@ class _ShardSink:
         self.fh = open(os.path.join(dir_path, self.tmp), "w")
         self.n = 0
         self.mn = self.mx = None
-        self.parts = parts
-        self.nulls = dict.fromkeys(fields, 0)
+        #: every per-shard statistic is keyed by the column's PHYSICAL
+        #: name — the column's IDENTITY under column mapping (Delta
+        #: keys file stats by physical id for the same reason): a
+        #: rename keeps old shards' stats probeable, and a LATER
+        #: column re-using a retired logical name gets a fresh
+        #: physical id, so its filters can never probe a dead
+        #: column's stats (an IsNull against a stale dense column's
+        #: zero null-count would WRONGLY prune the all-null shard).
+        #: The reader translates pushed logical names through the
+        #: current mapping at probe time.
+        self.pf = {f: (phys.get(f, f) if phys else f) for f in fields}
+        self.parts = (
+            {self.pf.get(c, c): v for c, v in parts.items()}
+            if parts
+            else None
+        )
+        self.nulls = dict.fromkeys(self.pf.values(), 0)
         self.cols: dict = {}
         self.bad: set = set()
+        #: opt-in per-shard BLOOM FILTERS (writer option
+        #: ``bloom_filter_columns`` — Delta's bloom filter index):
+        #: point-lookup pruning on columns whose [min, max] envelope
+        #: is useless under a hash-scattered layout
+        self.blooms: dict = {
+            self.pf[c]: bytearray(8192)
+            for c in (bloom_cols or ())
+            if c in fields
+        }
 
     def add(self, d: dict) -> None:
         out = (
@@ -650,20 +694,23 @@ class _ShardSink:
         # envelope is a sound whole-shard test), NaN poisons the
         # column (incomparable)
         for k, v in d.items():
+            pk = self.pf[k]
             if v is None:
-                self.nulls[k] += 1
+                self.nulls[pk] += 1
                 continue
-            if k == "doc_id" or k in self.bad:
+            if pk in self.blooms:
+                _bloom_add(self.blooms[pk], v)
+            if k == "doc_id" or pk in self.bad:
                 continue
             if not isinstance(v, (int, float, str)) or isinstance(
                 v, bool
             ) or v != v:
-                self.bad.add(k)
-                self.cols.pop(k, None)
+                self.bad.add(pk)
+                self.cols.pop(pk, None)
                 continue
-            e = self.cols.get(k)
+            e = self.cols.get(pk)
             if e is None:
-                self.cols[k] = [v, v]
+                self.cols[pk] = [v, v]
             else:
                 if v < e[0]:
                     e[0] = v
@@ -682,6 +729,10 @@ class _ShardSink:
             parts=self.parts,
             cols=self.cols or None,
             nulls={"_rows": self.n, **self.nulls},
+            bloom={
+                c: _bloom_serialize(buf)
+                for c, buf in self.blooms.items()
+            } or None,
         )
 
 
@@ -697,6 +748,7 @@ class JsonlCommit(WriterCommitMessage):
         extra: list | None = None,
         cols: dict | None = None,
         nulls: dict | None = None,
+        bloom: dict | None = None,
     ) -> None:
         self.tmp = tmp
         self.file = file
@@ -717,6 +769,10 @@ class JsonlCommit(WriterCommitMessage):
         #: commit() records them under _STATS["_nulls"] for pushed
         #: IsNull/IsNotNull pruning
         self.nulls = nulls
+        #: opt-in per-column bloom filters ({col: {"m", "k", "b"}}) —
+        #: commit() records them under _STATS["_bloom"] for pushed
+        #: equality/IN point-lookup pruning
+        self.bloom = bloom
         #: additional shards from the SAME task (a partitioned task
         #: writes one shard per distinct partition value, but the
         #: DataSourceWriter API allows one message per task) —
@@ -782,6 +838,12 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
         self.partition_by = (
             [c.strip() for c in pb.split(",") if c.strip()] if pb else []
         )
+        # opt-in per-shard bloom filters — same option and recording
+        # as the batch writer
+        bf = options.get("bloom_filter_columns")
+        self.bloom_cols = (
+            [c.strip() for c in bf.split(",") if c.strip()] if bf else []
+        )
         import uuid as _uuid
 
         self.job_token = _uuid.uuid4().hex[:8]
@@ -842,9 +904,11 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
                     )
             return d
 
+        bloom_cols = self.bloom_cols
         if not self.partition_by:
             shard = _ShardSink(
-                self.path, self.job_token, pid, self.fields, phys, None
+                self.path, self.job_token, pid, self.fields, phys, None,
+                bloom_cols,
             )
             for row in iterator:
                 shard.add(_validated({k: row[k] for k in self.fields}))
@@ -862,12 +926,14 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
                     self.fields,
                     phys,
                     dict(zip(self.partition_by, key)),
+                    bloom_cols,
                 )
             s.add(d)
         if not shards:
             # empty task still reports itself (rows=0)
             shard = _ShardSink(
-                self.path, self.job_token, pid, self.fields, phys, None
+                self.path, self.job_token, pid, self.fields, phys, None,
+                bloom_cols,
             )
             return shard.close()
         commits = [s.close() for s in shards.values()]
@@ -910,6 +976,7 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
         cols_new: dict[str, dict] = {}
         nulls_new: dict[str, dict] = {}
         parts_new: dict[str, dict] = {}
+        bloom_new: dict[str, dict] = {}
         committed_tmp = set()
         # a partitioned sink task packs secondary shards into .extra
         # (one API message per task) — flatten like the batch commit
@@ -928,6 +995,8 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
                 nulls_new[m.file] = m.nulls
             if getattr(m, "parts", None):
                 parts_new[m.file] = m.parts
+            if getattr(m, "bloom", None):
+                bloom_new[m.file] = m.bloom
         self._sweep(committed_tmp)
         # metadata-only claim loop: staged shards are invisible until a
         # manifest references them, so losing a claim to a concurrent
@@ -1001,6 +1070,8 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
                 stats.setdefault("_nulls", {}).update(nulls_new)
             if parts_new:
                 stats.setdefault("_parts", {}).update(parts_new)
+            if bloom_new:
+                stats.setdefault("_bloom", {}).update(bloom_new)
             _write_atomic(spath, _json.dumps(stats))
             _write_atomic(_os.path.join(self.path, "_MANIFEST"), body)
 
@@ -1068,6 +1139,14 @@ class JsonlDocsReader(DataSourceReader):
         #: all-NULL shards — Spark pushes an implicit IsNotNull with
         #: every comparison, so all-null shards skip early
         self._null_req: dict[str, set] = {}
+        #: pushed equality/IN value sets per column (one set per
+        #: filter — a shard survives only if EVERY set has at least
+        #: one bloom-possible value), tested against the writer's
+        #: opt-in ``_STATS["_bloom"]`` filters: point-lookup pruning
+        #: on hash-scattered layouts where the [min, max] envelope is
+        #: structurally blind.  No false negatives, so pruning stays
+        #: sound; shards/columns without a bloom entry never prune.
+        self._eq_sets: dict[str, list] = {}
         #: the pinned commit's column order (schema evolution: resolved
         #: once at plan time, same as the source's schema() call) —
         #: and its column mapping: ``fields`` are the LOGICAL names
@@ -1075,9 +1154,13 @@ class JsonlDocsReader(DataSourceReader):
         _m = _effective_manifest(options)
         _ddl = _m.get(SCHEMA_KEY, DOCS_DDL)
         self.fields = _fields_of_ddl(_ddl)
-        self.phys_fields = _physical_fields(
-            self.fields, _mapping_of(_m)
-        )
+        #: logical→physical mapping of the pinned commit — _prune
+        #: translates pushed (logical) column names through it before
+        #: probing _STATS maps, which are keyed PHYSICAL (a rename
+        #: keeps old stats probeable; a re-used logical name can never
+        #: hit a dead column's stats)
+        self._cmap = _mapping_of(_m)
+        self.phys_fields = _physical_fields(self.fields, self._cmap)
         self.convs = _converters_of_ddl(_ddl)
 
     def pushFilters(self, filters):
@@ -1187,6 +1270,7 @@ class JsonlDocsReader(DataSourceReader):
                     self._part_in[col] = (
                         vals if prev is None else prev & vals
                     )
+                    self._eq_sets.setdefault(col, []).append(set(vals))
                 # multi-column ZONEMAP envelope: inclusive bounds are
                 # always sound (a strict bound kept inclusive only
                 # keeps a shard it could have skipped, never the
@@ -1218,14 +1302,21 @@ class JsonlDocsReader(DataSourceReader):
             ):
                 # an IN list prunes by its value-set envelope (the
                 # zonemap is an interval test, so the hull is the
-                # tightest sound bound)
+                # tightest sound bound) — and exactly by bloom, when
+                # the writer opted in
                 _tighten(lo=min(f.value), hi=max(f.value))
+                self._eq_sets.setdefault("doc_id", []).append(
+                    set(f.value)
+                )
                 continue
             if getattr(f, "attribute", None) == ("doc_id",) and isinstance(
                 getattr(f, "value", None), int
             ):
                 if isinstance(f, EqualTo):
                     _tighten(lo=f.value, hi=f.value)
+                    self._eq_sets.setdefault("doc_id", []).append(
+                        {f.value}
+                    )
                 elif isinstance(f, GreaterThan):
                     _tighten(lo=f.value + 1)
                 elif isinstance(f, GreaterThanOrEqual):
@@ -1245,6 +1336,7 @@ class JsonlDocsReader(DataSourceReader):
             and not self._part_in
             and not self._col_rng
             and not self._null_req
+            and not self._eq_sets
         ):
             return files
         spath = os.path.join(self.path, "_STATS")
@@ -1257,6 +1349,10 @@ class JsonlDocsReader(DataSourceReader):
         parts = stats.get("_parts", {})
         colstats = stats.get("_cols", {})
         nullstats = stats.get("_nulls", {})
+        bloomstats = stats.get("_bloom", {})
+        # pushed filters carry LOGICAL names; stats maps are keyed
+        # PHYSICAL — translate once per filtered column
+        cmap = self._cmap
         kept = []
         for f in files:
             # partition pruning: drop the shard iff a filtered column
@@ -1264,7 +1360,7 @@ class JsonlDocsReader(DataSourceReader):
             # never prune blind, same rule as the zonemap)
             p = parts.get(f)
             if p and any(
-                c in p and p[c] not in allowed
+                cmap.get(c, c) in p and p[cmap.get(c, c)] not in allowed
                 for c, allowed in self._part_in.items()
             ):
                 continue
@@ -1278,7 +1374,7 @@ class JsonlDocsReader(DataSourceReader):
                 miss = False
                 if c:
                     for col, (lo, hi) in self._col_rng.items():
-                        e = c.get(col)
+                        e = c.get(cmap.get(col, col))
                         if not e:
                             continue
                         try:
@@ -1300,7 +1396,7 @@ class JsonlDocsReader(DataSourceReader):
                 if e and isinstance(e.get("_rows"), int):
                     rows_n = e["_rows"]
                     for col, reqs in self._null_req.items():
-                        cnt = e.get(col)
+                        cnt = e.get(cmap.get(col, col))
                         if not isinstance(cnt, int):
                             continue
                         if "null" in reqs and cnt == 0:
@@ -1308,6 +1404,29 @@ class JsonlDocsReader(DataSourceReader):
                             break
                         if "notnull" in reqs and cnt == rows_n:
                             miss = True
+                            break
+                if miss:
+                    continue
+            # bloom pruning (opt-in writer index): a shard is dropped
+            # iff SOME pushed equality/IN set has NO bloom-possible
+            # value in it — the conjunction semantics of pushed
+            # filters; no false negatives, so never a wrong drop
+            if bloomstats and self._eq_sets:
+                e = bloomstats.get(f)
+                miss = False
+                if e:
+                    for col, val_sets in self._eq_sets.items():
+                        ent = e.get(cmap.get(col, col))
+                        if not ent:
+                            continue
+                        for vs in val_sets:
+                            if not any(
+                                _bloom_might_contain(ent, v)
+                                for v in vs
+                            ):
+                                miss = True
+                                break
+                        if miss:
                             break
                 if miss:
                     continue

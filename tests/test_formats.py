@@ -5659,3 +5659,117 @@ def test_writer_schema_enforcement(spark, tmp_path):
         q.awaitTermination(120)
         q.stop()
         raise AssertionError("mismatched sink batch did not fail")
+
+
+def test_bloom_filter_pruning(spark, tmp_path):
+    """Opt-in per-shard bloom filters (_STATS['_bloom']): a point
+    lookup on a HASH-scattered column prunes shards the min/max
+    envelope structurally cannot; no false negatives (the matching
+    shard always survives), conjunction semantics over multiple
+    pushed sets, and shards without an entry never prune."""
+    import json as _json
+    import os as _os
+
+    from pu4spark_spark.sources import pydatasource as P
+    from pu4spark_spark.sources.lake.source import JsonlDocsReader
+
+    P.register_pyds(spark)
+    DDL = (
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+    out = str(tmp_path / "bloom")
+    rows = [(i, f"d{i}", "en", "s", i) for i in range(400)]
+    # hash-scatter on text: every shard spans the full doc_id range
+    spark.createDataFrame(rows, DDL).repartition(8, "text").write.format(
+        "jsonl_docs"
+    ).option("path", out).option(
+        "bloom_filter_columns", "doc_id"
+    ).mode("overwrite").save()
+
+    stats = _json.load(open(_os.path.join(out, "_STATS")))
+    assert stats.get("_bloom"), "writer recorded no blooms"
+    total = len(JsonlDocsReader({"path": out}).partitions())
+    assert total == 8
+
+    def kept(eq_sets):
+        r = JsonlDocsReader({"path": out})
+        r._eq_sets = eq_sets
+        return len(r.partitions())
+
+    # envelope is blind (every shard spans 0..399); bloom prunes the
+    # point lookup to the shard(s) that can hold it
+    k = kept({"doc_id": [{137}]})
+    assert 1 <= k < total, k
+    # value outside the domain: every shard provably lacks it
+    assert kept({"doc_id": [{999_999}]}) == 0
+    # conjunction of two sets: both must be possible
+    assert kept({"doc_id": [{137}, {999_999}]}) == 0
+    # a column with no bloom entry never prunes
+    assert kept({"lang": [{"zz"}]}) == total
+
+    # end-to-end exactness through the engine
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.format("jsonl_docs").option("path", out)
+        .load().filter("doc_id in (137, 250)").collect()
+    )
+    assert got == [137, 250]
+
+
+def test_stats_keyed_physical_survive_rename_and_readd(spark, tmp_path):
+    """Per-shard stats are keyed by PHYSICAL column name (Delta keys
+    file stats by physical id): after a RENAME, old shards' stats
+    still prune filters on the new logical name; after re-ADDING the
+    retired logical name as a fresh column, pushed IsNull on it must
+    NOT probe the dead column's stats (a stale zero null-count would
+    wrongly prune the all-null-for-the-new-column shard)."""
+    from pu4spark_spark.sources import pydatasource as P
+    from pu4spark_spark.sources.lake.source import JsonlDocsReader
+
+    P.register_pyds(spark)
+    DDL = (
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+    out = str(tmp_path / "physstats")
+    # two range-clustered shards on n_chars
+    spark.createDataFrame(
+        [(i, f"d{i}", "en", "s", n)
+         for i, n in enumerate([10, 20, 400, 500])],
+        DDL,
+    ).repartitionByRange(2, "n_chars").write.format(
+        "jsonl_docs"
+    ).option("path", out).mode("overwrite").save()
+    P.rename_jsonl_column(out, "n_chars", "length")
+
+    # envelope pruning on the NEW logical name hits the OLD shards'
+    # physical-keyed stats
+    r = JsonlDocsReader({"path": out})
+    r._col_rng = {"length": [300, None]}
+    assert len(r.partitions()) == 1
+
+    # and through the engine: pushed length >= 300 is exact
+    got = sorted(
+        row["doc_id"]
+        for row in spark.read.format("jsonl_docs").option("path", out)
+        .load().filter("length >= 300").collect()
+    )
+    assert got == [2, 3]
+
+    # re-add the retired logical name: fresh physical id, so IsNull
+    # on the NEW n_chars (all-null in old shards) must keep them
+    P.evolve_jsonl_schema(
+        out,
+        "doc_id bigint, text string, lang string, source string, "
+        "length bigint, n_chars bigint",
+    )
+    r2 = JsonlDocsReader({"path": out})
+    r2._null_req = {"n_chars": {"null"}}
+    assert len(r2.partitions()) == 2, "stale stats pruned an all-null shard"
+    got = sorted(
+        row["doc_id"]
+        for row in spark.read.format("jsonl_docs").option("path", out)
+        .load().filter("n_chars is null").collect()
+    )
+    assert got == [0, 1, 2, 3]
