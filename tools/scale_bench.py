@@ -141,6 +141,7 @@ REPS = [
     "fmt_pyds_zorder_compaction",  # quantile pass + Morton rewrite
     "fmt_pyds_nullcount_pruning",  # null-count stats write + pruned read
     "streaming_pyds_sink_partitioned",  # partitioned stream sink drain
+    "fmt_pyds_bloom_pruning",    # bloom index write + point lookup
 ]
 
 #: reps whose FIRST run at an sf builds a persistent build-once layout
