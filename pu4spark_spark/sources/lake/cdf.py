@@ -231,6 +231,9 @@ def table_changes_jsonl_dir(
             f"ending_version {end}"
         )
     end_m = _manifest_at(path, end)
+    from pu4spark_spark.sources.lake.protocol import _check_features
+
+    _check_features(end_m)  # refuse unknown table features
     end_ddl = end_m.get(SCHEMA_KEY, DOCS_DDL)
     out_ddl = end_ddl + ", _change_type string, _commit_version bigint"
     # COLUMN MAPPING: the feed serves the END schema's names for the

@@ -27,6 +27,8 @@ from pu4spark_spark.sources.lake.protocol import (
     ManifestCommitConflict,
     OP_KEY,
     TOMBSTONE_KEY,
+    _check_features,
+    _stamp_features,
     _effective_schema_ddl,
     _fields_of_ddl,
     _latest_manifest_version,
@@ -164,6 +166,7 @@ def delete_from_jsonl_dir(
         raise ValueError("delete_from_jsonl_dir: cdf=True requires spark")
     version = base + 1
     manifest = _manifest_at(path, base)
+    _check_features(manifest)  # refuse unknown table features
     files = sorted(_manifest_files(manifest))
     # stage the key set as delete file(s) in the table dir: '_'-prefixed
     # (invisible to listing readers) and referenced by no manifest until
@@ -239,6 +242,8 @@ def delete_from_jsonl_dir(
         if k.startswith("_") and k != TOMBSTONE_KEY:
             new_manifest[k] = v
     _with_cdc(new_manifest, version, cdc_files)
+    if cdc_files:
+        _stamp_features(new_manifest, "change-data-feed")
     new_manifest[OP_KEY] = "delete"
     tombs = _tombstones_of(manifest)
     if key_files and files:
@@ -414,6 +419,7 @@ def merge_into_jsonl_dir(
         base = _latest_manifest_version(path)
         version = base + 1
         manifest = _manifest_at(path, base)
+        _check_features(manifest)  # refuse unknown table features
         files = sorted(_manifest_files(manifest))
         new_manifest = {f: manifest[f] for f in files}
         for k, v in manifest.items():
@@ -611,12 +617,15 @@ def _merge_clauses(
                 pass
 
     manifest = _manifest_at(path, base)
+    _check_features(manifest)  # refuse unknown table features
     files = sorted(_manifest_files(manifest))
     new_manifest = {f: manifest[f] for f in files}
     for k, v in manifest.items():
         if k.startswith("_") and k != TOMBSTONE_KEY:
             new_manifest[k] = v
     _with_cdc(new_manifest, version, cdc_files)
+    if cdc_files:
+        _stamp_features(new_manifest, "change-data-feed")
     new_manifest[OP_KEY] = "merge"
     tombs = _tombstones_of(manifest)
     entries = list(tombs["entries"])

@@ -32,8 +32,12 @@ from pu4spark_spark.sources.lake.protocol import (
     ManifestCommitConflict,
     OP_KEY,
     SCHEMA_KEY,
+    FEATURES_KEY,
+    SHARD_EXTENSIONS,
     TOMBSTONE_KEY,
     TXN_KEY,
+    _check_features,
+    _stamp_features,
     _compile_constraint,
     _constraint_column,
     _constraints_of,
@@ -81,6 +85,7 @@ def evolve_jsonl_schema(
             f"evolve_jsonl_schema: no committed version under {path}"
         )
     manifest = _manifest_at(path, base)
+    _check_features(manifest)  # refuse unknown table features
     old_ddl = manifest.get(SCHEMA_KEY, DOCS_DDL)
     old_cols = _typed_fields_of_ddl(old_ddl)
     new_cols = _typed_fields_of_ddl(new_ddl)
@@ -114,6 +119,7 @@ def evolve_jsonl_schema(
             "map": mapping,
             "retired": sorted(_retired_physicals(manifest)),
         }
+        _stamp_features(new_manifest, "column-mapping")
     new_manifest[SCHEMA_KEY] = new_ddl
     new_manifest[OP_KEY] = "evolve-schema"
     new_manifest["_ts"] = _time.time_ns()
@@ -190,6 +196,7 @@ def rename_jsonl_column(
             f"rename_jsonl_column: no committed version under {path}"
         )
     manifest = _manifest_at(path, base)
+    _check_features(manifest)  # refuse unknown table features
     ddl = manifest.get(SCHEMA_KEY, DOCS_DDL)
     cols = list(_typed_fields_of_ddl(ddl))
     names = [nm for nm, _ in cols]
@@ -230,6 +237,7 @@ def rename_jsonl_column(
         "map": mapping,
         "retired": sorted(_retired_physicals(manifest)),
     }
+    _stamp_features(new_manifest, "column-mapping")
     new_manifest[OP_KEY] = "rename-column"
     return _claim_metadata_commit(path, base, new_manifest, "rename")
 
@@ -256,6 +264,7 @@ def drop_jsonl_column(
             f"drop_jsonl_column: no committed version under {path}"
         )
     manifest = _manifest_at(path, base)
+    _check_features(manifest)  # refuse unknown table features
     ddl = manifest.get(SCHEMA_KEY, DOCS_DDL)
     cols = list(_typed_fields_of_ddl(ddl))
     names = [nm for nm, _ in cols]
@@ -287,6 +296,7 @@ def drop_jsonl_column(
         "map": mapping,
         "retired": sorted(retired),
     }
+    _stamp_features(new_manifest, "column-mapping")
     new_manifest[OP_KEY] = "drop-column"
     return _claim_metadata_commit(path, base, new_manifest, "drop")
 
@@ -318,6 +328,7 @@ def add_constraint_jsonl_dir(
             f"add_constraint_jsonl_dir: no committed version under {path}"
         )
     manifest = _manifest_at(path, base)
+    _check_features(manifest)  # refuse unknown table features
     cons = dict(_constraints_of(manifest))
     if name in cons:
         raise ValueError(
@@ -327,6 +338,7 @@ def add_constraint_jsonl_dir(
     version = base + 1
     new_manifest = dict(manifest)
     new_manifest[CONSTRAINT_KEY] = cons
+    _stamp_features(new_manifest, "check-constraints")
     new_manifest[OP_KEY] = "add-constraint"
     new_manifest["_ts"] = _time.time_ns()
     body = _json.dumps(new_manifest)
@@ -359,6 +371,7 @@ def drop_constraint_jsonl_dir(
         else _latest_manifest_version(path)
     )
     manifest = _manifest_at(path, base)
+    _check_features(manifest)  # refuse unknown table features
     cons = dict(_constraints_of(manifest))
     if name not in cons:
         raise ValueError(f"constraint {name!r} does not exist")
@@ -396,9 +409,11 @@ def _zorder_staged(
     df: DataFrame, cols: list[str], target_shards: int
 ) -> DataFrame:
     """Stage a Z-ORDER rewrite: per column, an EQUI-DEPTH bucket id
-    (0..255) from one ``approxQuantile`` sampling pass (the same
-    pre-pass Delta's OPTIMIZE ZORDER pays — skew-robust where a
-    value-range split is not), then the Morton interleave of the
+    (0..255) from ONE multi-column ``approxQuantile`` sampling pass
+    (the same pre-pass Delta's OPTIMIZE ZORDER pays — skew-robust
+    where a value-range split is not; ``DataFrame.approxQuantile``
+    takes a column LIST, so k z-columns cost one scan of the
+    pre-compaction table, never k), then the Morton interleave of the
     bucket bits as ONE generated SQL expression (the construction
     discipline of ``operators/relational.py:zorder_key``), and a
     range repartition on the key.  Unlike hierarchical
@@ -407,7 +422,9 @@ def _zorder_staged(
     [min, max] at once, so the ``_cols`` zonemap prunes predicates on
     ANY of the z-columns.  Numeric/date/timestamp columns only
     (strings have no order-preserving numeric image); NULLs land in
-    bucket 0.  Cost: one quantile pass + scan-stage bucket math —
+    bucket 0 (``approxQuantile`` ignores nulls per column, same
+    semantics as the per-column ``na.drop`` this fused pass
+    replaced).  Cost: one quantile pass + scan-stage bucket math —
     no extra shuffle beyond the rewrite's own range partition."""
     from pyspark.sql import types as T
 
@@ -415,7 +432,8 @@ def _zorder_staged(
     nq = 1 << bits
     staged = df
     names: list[str] = []
-    for idx, c in enumerate(cols):
+    convs: list = []
+    for c in cols:
         dt = df.schema[c].dataType
         if isinstance(dt, T.DateType):
             conv = F.datediff(F.col(c), F.lit("1970-01-01").cast("date"))
@@ -430,11 +448,13 @@ def _zorder_staged(
                 "— z-ordering needs an order-preserving numeric image "
                 "(numeric/date/timestamp)"
             )
-        qs = [i / nq for i in range(1, nq)]
-        bounds = (
-            df.select(conv.alias("v")).na.drop()
-            .approxQuantile("v", qs, 0.01)
-        )
+        convs.append(conv)
+    qs = [i / nq for i in range(1, nq)]
+    probe_names = [f"__zv{i}" for i in range(len(convs))]
+    all_bounds = df.select(
+        *[cv.alias(nm) for cv, nm in zip(convs, probe_names)]
+    ).approxQuantile(probe_names, qs, 0.01)
+    for idx, (conv, bounds) in enumerate(zip(convs, all_bounds)):
         uniq = sorted(set(bounds))
         arr = F.array(*[F.lit(b) for b in uniq])
         nm = f"__zb{idx}"
@@ -469,6 +489,7 @@ def compact_jsonl_dir(
     target_shards: int,
     cluster_by: str | list[str] | None = None,
     zorder_by: list[str] | None = None,
+    payload_format: str | None = None,
 ) -> int:
     """SMALL-FILE COMPACTION with snapshot semantics — the lake
     maintenance job: read the current manifest's shards, rewrite the
@@ -557,17 +578,60 @@ def compact_jsonl_dir(
     else:
         staged_df = before.repartition(target_shards)
     w = staged_df.write.format("jsonl_docs").option("path", stage)
+    # PAYLOAD FORMAT of the rewrite: explicit param wins; default
+    # PRESERVES an all-parquet table's columnar payload (a compaction
+    # must not silently de-columnarize the table the writer opted
+    # into) and otherwise writes JSONL — so compaction doubles as the
+    # jsonl→parquet migration path when called with
+    # payload_format="parquet"
+    pre_m = _manifest_at(path, base) if base > 0 else {}
+    _check_features(pre_m)  # refuse unknown table features
+    if payload_format is None:
+        pre_files = _manifest_files(pre_m)
+        payload_format = (
+            "parquet"
+            if pre_files
+            and all(f.endswith(".parquet") for f in pre_files)
+            else "jsonl"
+        )
+    w = w.option("payload_format", payload_format)
     # COLUMN MAPPING rides the rewrite: physical ids are assigned at
     # column creation and NEVER change (Delta's invariant — stream/CDF
     # readers, time travel and tombstone scoping all key shard JSON by
     # physical name), so the rewritten shards must keep writing the
     # mapped keys; the stage dir has no manifest, the mapping rides in
     # by option (same as merge staging)
-    pre_mapping = _mapping_of(_manifest_at(path, base))
+    pre_mapping = _mapping_of(pre_m)
     if pre_mapping:
         import json as _mjson
 
         w = w.option("physical_map", _mjson.dumps(pre_mapping))
+    # BLOOM REBUILD (Delta's OPTIMIZE rebuilds bloom indexes): columns
+    # that carried a per-shard bloom on any pre-compaction shard get
+    # fresh blooms on the rewritten shards — otherwise a compaction
+    # silently drops the point-lookup index the writer opted into.
+    # _bloom is keyed by PHYSICAL name; the writer option speaks
+    # LOGICAL, so translate back through the mapping (a retired
+    # physical — dropped column — has no logical name and is skipped:
+    # its data is gone from the rewrite anyway).
+    stats_path = os.path.join(path, "_STATS")
+    pre_bloom_phys: set[str] = set()
+    if os.path.exists(stats_path):
+        with open(stats_path) as fh:
+            _pre_bloom = _json.load(fh).get("_bloom", {})
+        for f in _manifest_files(pre_m):
+            pre_bloom_phys.update(_pre_bloom.get(f, {}))
+    if pre_bloom_phys:
+        phys_to_logical = {p: l for l, p in pre_mapping.items()}
+        bloom_logical = sorted(
+            phys_to_logical.get(p, p)
+            for p in pre_bloom_phys
+            if phys_to_logical.get(p, p) in staged_df.columns
+        )
+        if bloom_logical:
+            w = w.option(
+                "bloom_filter_columns", ",".join(bloom_logical)
+            )
     (
         w
         .mode("overwrite")
@@ -598,7 +662,6 @@ def compact_jsonl_dir(
         )
     # carry the consolidated shards' zonemaps over (old entries stay —
     # harmless for vacuumed files, still valid for snapshot reads)
-    stats_path = os.path.join(path, "_STATS")
     stats = {}
     if os.path.exists(stats_path):
         with open(stats_path) as fh:
@@ -607,11 +670,11 @@ def compact_jsonl_dir(
     if os.path.exists(stage_stats):
         with open(stage_stats) as fh:
             staged = _json.load(fh)
-        # nested maps (_parts / _cols) merge per SHARD — a flat
-        # update would replace the whole map with the stage's and
-        # silently drop the old shards' entries, which snapshot
-        # (time-travel) reads still prune with
-        for k in ("_parts", "_cols", "_nulls"):
+        # nested maps (_parts / _cols / _nulls / _bloom) merge per
+        # SHARD — a flat update would replace the whole map with the
+        # stage's and silently drop the old shards' entries, which
+        # snapshot (time-travel) reads still prune with
+        for k in ("_parts", "_cols", "_nulls", "_bloom"):
             if k in staged:
                 stats.setdefault(k, {}).update(staged.pop(k))
         stats.update(staged)
@@ -649,9 +712,13 @@ def compact_jsonl_dir(
     # table's physical identity mid-history and break every reader
     # that resolves columns by it).
     pre_m = _manifest_at(path, version - 1)
-    for carry in (SCHEMA_KEY, CONSTRAINT_KEY, TXN_KEY, MAPPING_KEY):
+    for carry in (
+        SCHEMA_KEY, CONSTRAINT_KEY, TXN_KEY, MAPPING_KEY, FEATURES_KEY,
+    ):
         if carry in pre_m:
             new_manifest[carry] = pre_m[carry]
+    if payload_format == "parquet":
+        _stamp_features(new_manifest, "payload-parquet")
     new_manifest[OP_KEY] = "compact"
     new_manifest["_ts"] = _time.time_ns()
     body = _json.dumps(new_manifest)
@@ -859,7 +926,7 @@ def vacuum_jsonl_dir(
             if _stale(f):
                 _rm(f)
         elif (
-            f.endswith((".json", ".jsonl"))
+            f.endswith(SHARD_EXTENSIONS)
             and not f.startswith((".", "_"))
             and f not in live
             and _stale(f)
@@ -937,13 +1004,16 @@ def clone_jsonl_dir(
             f"clone_jsonl_dir: no committed version under {src}"
         )
     src_m = _manifest_at(src, base_v)
+    _check_features(src_m)  # refuse unknown table features
     if os.path.exists(os.path.join(dst, "_MANIFEST.v1")):
         raise ValueError(f"clone_jsonl_dir: {dst} already has a table")
     os.makedirs(dst, exist_ok=True)
     new_manifest: dict = {f: src_m[f] for f in _manifest_files(src_m)}
     # mapping carried too: the cloned manifest references the SOURCE's
-    # physical shards, so their physical keys must keep resolving
-    for carry in (SCHEMA_KEY, CONSTRAINT_KEY, MAPPING_KEY):
+    # physical shards, so their physical keys must keep resolving —
+    # and the feature list (the clone reads the source's files, so it
+    # requires everything the source does)
+    for carry in (SCHEMA_KEY, CONSTRAINT_KEY, MAPPING_KEY, FEATURES_KEY):
         if carry in src_m:
             new_manifest[carry] = src_m[carry]
     # the source itself may be a clone: chain to ITS base for any name
@@ -1094,12 +1164,17 @@ def restore_jsonl_dir(
     )
     version = base + 1
     new_manifest = dict(target)
+    _check_features(target)  # refuse unknown table features
     # the stream sink's idempotence marker tracks the LIVE commit
     # chain, not the restored-to snapshot: carry the base's _txn so a
     # retried micro-batch still no-ops after the restore
     cur = _manifest_at(path, base)
+    _check_features(cur)
     if TXN_KEY in cur:
         new_manifest[TXN_KEY] = cur[TXN_KEY]
+    # features are NEVER downgraded by a restore (Delta's protocol
+    # rule): union the live chain's list into the restored snapshot's
+    _stamp_features(new_manifest, *cur.get(FEATURES_KEY, ()))
     new_manifest[OP_KEY] = "restore"
     new_manifest["_ts"] = _time.time_ns()
     body = _json.dumps(new_manifest)
@@ -1246,6 +1321,7 @@ def widen_jsonl_column(
             f"widen_jsonl_column: no committed version under {path}"
         )
     manifest = _manifest_at(path, base)
+    _check_features(manifest)  # refuse unknown table features
     ddl = manifest.get(SCHEMA_KEY, DOCS_DDL)
     cols = list(_typed_fields_of_ddl(ddl))
     names = [nm for nm, _ in cols]

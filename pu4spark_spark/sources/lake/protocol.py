@@ -196,11 +196,18 @@ def _write_atomic(path: str, body: str) -> None:
         os.close(dfd)
 
 
+#: extensions a shard file may carry: JSONL (the original row-oriented
+#: payload) and PARQUET (the columnar payload, writer option
+#: ``payload_format=parquet``) — one TABLE may mix both (the manifest,
+#: not the extension, is the authority; readers dispatch per shard)
+SHARD_EXTENSIONS = (".json", ".jsonl", ".parquet")
+
+
 def _list_shards(path: str) -> list[str]:
     return sorted(
         f
         for f in os.listdir(path)
-        if f.endswith((".json", ".jsonl")) and not f.startswith((".", "_"))
+        if f.endswith(SHARD_EXTENSIONS) and not f.startswith((".", "_"))
     )
 
 
@@ -339,6 +346,198 @@ def _iter_jsonl(value, fields: tuple[str, ...] | None = None, convs=None):
                     c(r.get(k)) if c else r.get(k)
                     for k, c in zip(flds, convs)
                 )
+
+
+def _arrow_type_of_ddl(ddl_type: str):
+    """PyArrow type for one Spark DDL type — the PARQUET payload's
+    column type (matches ``pyspark.sql.pandas.types.to_arrow_type``
+    for every type listed, so batches built with it pass straight
+    into Spark's Arrow path).  Raises on types the parquet payload
+    does not serve; the caller falls back to JSONL (write) or to
+    row-tuple yields (read)."""
+    import pyarrow as pa
+
+    t = ddl_type.strip().lower()
+    prim = {
+        "string": pa.string(),
+        "bigint": pa.int64(),
+        "long": pa.int64(),
+        "int": pa.int32(),
+        "integer": pa.int32(),
+        "smallint": pa.int16(),
+        "tinyint": pa.int8(),
+        "double": pa.float64(),
+        "float": pa.float32(),
+        "real": pa.float32(),
+        "boolean": pa.bool_(),
+        "date": pa.date32(),
+        "binary": pa.binary(),
+        # micros precision is Spark's arrow unit; stored tz-naive,
+        # read back as naive datetimes — the same objects the JSONL
+        # payload's isoformat round-trip yields
+        "timestamp": pa.timestamp("us"),
+        "timestamp_ntz": pa.timestamp("us"),
+    }
+    if t in prim:
+        return prim[t]
+    if (t.startswith("decimal(") or t.startswith("numeric(")) and t.endswith(")"):
+        p, s = (int(x) for x in t[t.index("(") + 1 : -1].split(","))
+        return pa.decimal128(p, s)
+    if t in ("decimal", "numeric"):
+        return pa.decimal128(10, 0)
+    if t.startswith("array<") and t.endswith(">"):
+        return pa.list_(_arrow_type_of_ddl(t[6:-1]))
+    raise ValueError(
+        f"jsonl_docs parquet payload: unsupported column type "
+        f"{ddl_type!r} — use the JSONL payload for this schema"
+    )
+
+
+#: DDL type prefixes SAFE for the reader's zero-copy RecordBatch path:
+#: their arrow form is position- and tz-independent, so a batch cast to
+#: the declared schema is exactly what Spark's own to_arrow_schema
+#: produces.  Timestamps are excluded (Spark's arrow type carries the
+#: SESSION timezone, which an executor-side reader cannot know) and
+#: arrays (Spark names the list's value field "element", pyarrow
+#: "item") — schemas containing them fall back to row-tuple yields,
+#: which Spark's per-value converters normalize.
+_BATCH_SAFE_PREFIXES = (
+    "string", "bigint", "long", "int", "integer", "smallint",
+    "tinyint", "double", "float", "real", "boolean", "date",
+    "binary", "decimal", "numeric",
+)
+
+
+def _arrow_batch_schema_of_ddl(ddl: str):
+    """The target ``pyarrow.Schema`` (LOGICAL names) for the reader's
+    RecordBatch fast path, or ``None`` when any column type is outside
+    the batch-safe set (the caller then yields row tuples)."""
+    import pyarrow as pa
+
+    fields = []
+    for nm, t in _typed_fields_of_ddl(ddl):
+        tl = t.strip().lower()
+        if not tl.startswith(_BATCH_SAFE_PREFIXES):
+            return None
+        try:
+            fields.append(pa.field(nm, _arrow_type_of_ddl(t)))
+        except ValueError:
+            return None
+    return pa.schema(fields)
+
+
+def _unpack_shard_value(value):
+    """(path, drop_set_or_None) of a partition value — the drop set is
+    the inline tombstone ids plus the union of the referenced delete
+    files' keys (loaded worker-side, memoized)."""
+    if isinstance(value, str):
+        return value, None
+    path = value[0]
+    drop = set(value[1])
+    for kf in value[2] if len(value) > 2 else ():
+        drop |= _load_delete_keys(kf)
+    return path, drop
+
+
+def _iter_parquet_rows(value, fields: tuple[str, ...], convs=None):
+    """Row-tuple scan of one PARQUET shard — the executor-side twin of
+    :func:`_iter_jsonl` for columnar payloads: reads ONLY the columns
+    in ``fields`` (plus doc_id when tombstones apply — columnar
+    projection is the payload's point), null-extends columns the shard
+    predates (schema evolution), applies tombstones by doc_id.
+    ``convs`` is reused verbatim: parquet cells arrive already typed
+    (Decimal / datetime / bytes), which every converter passes
+    through."""
+    import pyarrow.parquet as pq
+
+    path, drop = _unpack_shard_value(value)
+    pf = pq.ParquetFile(path)
+    avail = set(pf.schema_arrow.names)
+    read_cols = [c for c in fields if c in avail]
+    need_doc = drop is not None and "doc_id" in avail
+    if need_doc and "doc_id" not in read_cols:
+        read_cols = read_cols + ["doc_id"]
+    cv = convs or (None,) * len(fields)
+    try:
+        for batch in pf.iter_batches(columns=read_cols, batch_size=8192):
+            d = batch.to_pydict()
+            docs = d.get("doc_id") if drop is not None else None
+            cols = [d.get(c) for c in fields]
+            for i in range(batch.num_rows):
+                if docs is not None and docs[i] in drop:
+                    continue
+                yield tuple(
+                    (c(col[i]) if c else col[i]) if col is not None else None
+                    for col, c in zip(cols, cv)
+                )
+    finally:
+        pf.close()
+
+
+def _iter_parquet_batches(value, fields: tuple[str, ...], target):
+    """Columnar scan of one PARQUET shard yielding ``RecordBatch``es
+    cast to the declared schema — the zero-per-row path (Spark's
+    Python-DataSource worker streams yielded batches straight into the
+    Arrow channel, skipping tuple conversion entirely).  ``fields``
+    are the shard's PHYSICAL column names, ``target`` the LOGICAL
+    ``pyarrow.Schema`` aligned with them.  Tombstones are applied as a
+    vectorized anti-membership filter on doc_id (NULL doc_id rows are
+    kept — a NULL key is never in a tombstone set, matching the JSONL
+    reader); missing columns null-extend; narrower on-disk types
+    (pre-widen shards) cast up."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    path, drop = _unpack_shard_value(value)
+    pf = pq.ParquetFile(path)
+    avail = set(pf.schema_arrow.names)
+    read_cols = [c for c in fields if c in avail]
+    need_doc = drop and "doc_id" in avail
+    if need_doc and "doc_id" not in read_cols:
+        read_cols = read_cols + ["doc_id"]
+    drop_arr = pa.array(sorted(drop)) if drop else None
+    try:
+        for batch in pf.iter_batches(
+            columns=read_cols, batch_size=65536
+        ):
+            if drop_arr is not None and "doc_id" in batch.schema.names:
+                keep = pc.fill_null(
+                    pc.invert(
+                        pc.is_in(
+                            batch.column("doc_id"), value_set=drop_arr
+                        )
+                    ),
+                    True,
+                )
+                batch = batch.filter(keep)
+            names = set(batch.schema.names)
+            arrays = []
+            for phys, field in zip(fields, target):
+                if phys in names:
+                    col = batch.column(phys)
+                    if col.type != field.type:
+                        col = pc.cast(col, field.type)
+                else:
+                    col = pa.nulls(batch.num_rows, type=field.type)
+                arrays.append(col)
+            yield pa.RecordBatch.from_arrays(arrays, schema=target)
+    finally:
+        pf.close()
+
+
+def _iter_shard_rows(value, fields: tuple[str, ...] | None = None, convs=None):
+    """Row-tuple scan of one shard, DISPATCHED on payload format (the
+    extension): parquet shards through :func:`_iter_parquet_rows`,
+    everything else through :func:`_iter_jsonl`.  The shared entry for
+    every consumer that wants tuples (stream readers, the batch
+    reader's non-batch-safe fallback)."""
+    path = value if isinstance(value, str) else value[0]
+    if path.endswith(".parquet"):
+        flds = fields or ("doc_id", "text", "lang", "source", "n_chars")
+        yield from _iter_parquet_rows(value, flds, convs)
+    else:
+        yield from _iter_jsonl(value, fields, convs)
 
 
 def _latest_manifest_version(path: str) -> int:
@@ -691,6 +890,58 @@ def _shard_path(table_dir: str, manifest: dict | None, name: str) -> str:
     if base and not os.path.exists(local):
         return os.path.join(base, name)
     return local
+
+
+#: reserved manifest key: the TABLE FEATURES this table requires a
+#: consumer to understand (Delta's table-features / minReaderVersion
+#: contract): a sorted list of feature names, stamped by the first
+#: commit that uses each feature and STICKY from then on (carried by
+#: every later commit; restore unions rather than downgrades).  Both
+#: readers and writers check the list against SUPPORTED_FEATURES and
+#: fail LOUDLY on an unknown name — a consumer built before a feature
+#: existed must refuse the table, never silently misread it (e.g. a
+#: pre-column-mapping reader would serve wrong columns; a pre-parquet
+#: reader would try to JSON-parse a columnar shard).  Purely ADVISORY
+#: metadata (zonemaps, null counts, blooms, partition values) is
+#: deliberately NOT a feature: ignoring it costs I/O, never
+#: correctness.
+FEATURES_KEY = "_features"
+
+#: every feature THIS build understands; a future build extends the
+#: set together with the code that serves the feature
+SUPPORTED_FEATURES = frozenset(
+    {
+        "column-mapping",
+        "check-constraints",
+        "payload-parquet",
+        "change-data-feed",
+        "deletion-vectors",
+    }
+)
+
+
+def _check_features(manifest: dict | None) -> None:
+    """Fail loudly if the manifest requires a feature this build does
+    not understand — the read/write gate every entry point calls.
+    Absent key = legacy manifest = no required features."""
+    feats = set((manifest or {}).get(FEATURES_KEY, ()))
+    unknown = feats - SUPPORTED_FEATURES
+    if unknown:
+        raise ValueError(
+            "jsonl_docs: table requires unsupported feature(s) "
+            f"{sorted(unknown)} (this build supports "
+            f"{sorted(SUPPORTED_FEATURES)}) — refusing to read or "
+            "write rather than silently misinterpreting the table"
+        )
+
+
+def _stamp_features(manifest: dict, *feats: str) -> None:
+    """Add features to the manifest being built (in place, sorted,
+    idempotent; no-op for an empty add on a feature-less table)."""
+    cur = set(manifest.get(FEATURES_KEY, ()))
+    new = cur | set(feats)
+    if new:
+        manifest[FEATURES_KEY] = sorted(new)
 
 
 #: reserved manifest key: each commit's own operation name (append /

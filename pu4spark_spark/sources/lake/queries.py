@@ -136,6 +136,145 @@ def q_fmt_pyds_jsonl_write_roundtrip(
     )
 
 
+def q_fmt_pyds_parquet_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COLUMNAR (parquet) shard payload under the SAME manifest/OCC/
+    stats protocol (VERDICT r13 next #1 — Delta stores parquet under
+    its JSON log for the same reason): documents written with
+    ``option("payload_format", "parquet")`` — executor tasks stage
+    row-grouped parquet shards, the commit claims the manifest
+    exactly like JSONL — then read back through the reader's
+    RecordBatch fast path (columnar decode, zero per-row Python; the
+    scan reads ONLY the projected columns) into a filtered per-lang
+    aggregate.  The oracle runs the same aggregate on the parquet
+    truth, so a row the columnar path drops, mangles, retypes, or
+    duplicates hash-mismatches.  Shard-skipping against parquet
+    shards and the projection win are pinned in
+    ``tests/test_lake_parquet.py``."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_pyds_pq_{tag}_{os.getpid()}"
+    )
+    register_pyds(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    (
+        docs.repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out)
+        .option("payload_format", "parquet")
+        .mode("overwrite")
+        .save()
+    )
+    back = (
+        spark.read.format("jsonl_docs").option("path", out).load()
+        # a filter + narrow projection: the columnar payload's point —
+        # the parquet scan reads 3 of 5 columns, and the pushed
+        # n_chars envelope still prunes via _STATS
+        .filter(F.col("n_chars") >= 64)
+        .select("doc_id", "lang", "n_chars")
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+SQL_FMT_PYDS_PARQUET_ROUNDTRIP = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM documents
+WHERE n_chars >= 64
+GROUP BY lang
+"""
+
+
+#: the mixed-payload demo's delete predicate — constant so the oracle
+#: is fixed SQL
+PARQUET_MIXED_DELETE_MOD = 9
+
+
+def q_fmt_pyds_parquet_mixed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ONE table, BOTH payload formats: v1 overwrites the even doc_ids
+    as JSONL shards, v2 appends the odd half as PARQUET shards (the
+    manifest — not the extension — is the authority; the reader
+    dispatches per shard), v3 row-level-DELETEs ``doc_id % 9 == 0``
+    (tombstones must apply to BOTH formats' scans), and OPTIMIZE with
+    ``payload_format="parquet"`` then rewrites everything columnar —
+    the jsonl→parquet MIGRATION path.  The post-compaction read must
+    equal the parquet truth minus the deletes exactly; any format's
+    scan leaking a tombstoned row, losing a row across the rewrite,
+    or shearing a value hash-mismatches."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_pyds_px_{tag}_{os.getpid()}"
+    )
+    register_pyds(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out)
+        .mode("overwrite")
+        .save()
+    )
+    (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out)
+        .option("payload_format", "parquet")
+        .option("base_version", 1)
+        .mode("append")
+        .save()
+    )
+    v = delete_from_jsonl_dir(
+        out,
+        docs.filter(F.col("doc_id") % PARQUET_MIXED_DELETE_MOD == 0)
+        .select("doc_id")
+        .repartition(2),
+        base_version=2,
+    )
+    if v != 3:
+        raise AssertionError(f"delete committed v{v}, expected v3")
+    v = compact_jsonl_dir(
+        spark, out, N_SHARDS, payload_format="parquet"
+    )
+    if v != 4:
+        raise AssertionError(f"compaction committed v{v}, expected v4")
+    back = spark.read.format("jsonl_docs").option("path", out).load()
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+SQL_FMT_PYDS_PARQUET_MIXED = f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM documents
+WHERE doc_id % {PARQUET_MIXED_DELETE_MOD} <> 0
+GROUP BY lang
+"""
+
+
 def q_fmt_pyds_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIME TRAVEL over the custom source's versioned commit log: write
     commit v1 (even doc_ids, overwrite) → append commit v2 (odd
@@ -2248,9 +2387,16 @@ QUERIES = {
     "streaming_pyds_sink_mapped": q_streaming_pyds_sink_mapped,
     "streaming_pyds_sink_partitioned": q_streaming_pyds_sink_partitioned,
     "fmt_pyds_cdf_clone": q_fmt_pyds_cdf_clone,
+    "fmt_pyds_parquet_roundtrip": q_fmt_pyds_parquet_roundtrip,
+    "fmt_pyds_parquet_mixed": q_fmt_pyds_parquet_mixed,
 }
 
 ORACLE_SQL = {
+    # columnar payload: filtered/projected read off parquet shards
+    "fmt_pyds_parquet_roundtrip": SQL_FMT_PYDS_PARQUET_ROUNDTRIP,
+    # mixed jsonl+parquet table, tombstones on both formats, then the
+    # jsonl→parquet migration rewrite
+    "fmt_pyds_parquet_mixed": SQL_FMT_PYDS_PARQUET_MIXED,
     "fmt_pyds_update": SQL_FMT_PYDS_UPDATE,
     "fmt_pyds_column_mapping": SQL_FMT_PYDS_COLUMN_MAPPING,
     "fmt_pyds_type_widening": SQL_FMT_PYDS_TYPE_WIDENING,

@@ -26,7 +26,9 @@ from pyspark.sql.datasource import (
 
 from pu4spark_spark.sources.tables import load_table
 from pu4spark_spark.sources.lake.protocol import (
+    BLOOM_M_BITS,
     DOCS_DDL,
+    SHARD_EXTENSIONS,
     ManifestCommitConflict,
     _bloom_add,
     _bloom_might_contain,
@@ -35,6 +37,10 @@ from pu4spark_spark.sources.lake.protocol import (
     SCHEMA_KEY,
     TOMBSTONE_KEY,
     TXN_KEY,
+    MAPPING_KEY,
+    CONSTRAINT_KEY,
+    _check_features,
+    _stamp_features,
     _compile_constraint,
     _constraints_of,
     _converters_of_ddl,
@@ -230,6 +236,31 @@ class JsonlDocsWriter(DataSourceWriter):
         self.bloom_cols = (
             [c.strip() for c in bf.split(",") if c.strip()] if bf else []
         )
+        # PAYLOAD FORMAT: option("payload_format", "parquet") stages
+        # COLUMNAR shards under the same manifest/OCC/stats/tombstone
+        # protocol (Delta stores parquet under its JSON log for the
+        # same reason) — readers get column projection and encoded,
+        # compressed pages instead of full-row JSON parses; one table
+        # may mix formats (the reader dispatches per shard).
+        # Unsupported column types fail HERE, at plan time, not in a
+        # task.
+        pfmt = options.get("payload_format", "jsonl").lower()
+        if pfmt not in ("jsonl", "parquet"):
+            raise ValueError(
+                "jsonl_docs: payload_format must be 'jsonl' or "
+                f"'parquet', got {pfmt!r}"
+            )
+        self.payload = pfmt
+        self.typed_fields = [
+            (f.name, f.dataType.simpleString()) for f in schema.fields
+        ]
+        if pfmt == "parquet":
+            from pu4spark_spark.sources.lake.protocol import (
+                _arrow_type_of_ddl,
+            )
+
+            for _nm, _t in self.typed_fields:
+                _arrow_type_of_ddl(_t)
         # COLUMN MAPPING: an append into a mapped table must write the
         # table's PHYSICAL keys, so pre- and post-rename shards stay
         # uniform (the reader resolves one physical name per logical
@@ -251,6 +282,9 @@ class JsonlDocsWriter(DataSourceWriter):
             )
             if _b > 0:
                 _bm = _manifest_at(self.path, _b)
+                # table-features gate: refuse to write a table that
+                # requires a feature this build does not understand
+                _check_features(_bm)
                 self.phys = _mapping_of(_bm)
                 # SCHEMA ENFORCEMENT (Delta's writer check): an
                 # append's shape must match the table's logical schema
@@ -353,10 +387,11 @@ class JsonlDocsWriter(DataSourceWriter):
             return d
 
         bloom_cols = self.bloom_cols
+        payload, typed = self.payload, self.typed_fields
         if not self.partition_by:
             shard = _ShardSink(
                 self.path, self.job_token, pid, self.fields, phys, None,
-                bloom_cols,
+                bloom_cols, payload, typed,
             )
             for row in iterator:
                 shard.add(_validated({k: row[k] for k in self.fields}))
@@ -378,13 +413,15 @@ class JsonlDocsWriter(DataSourceWriter):
                     phys,
                     dict(zip(self.partition_by, key)),
                     bloom_cols,
+                    payload,
+                    typed,
                 )
             s.add(d)
         if not shards:
             # empty task still reports itself (rows=0, no file kept)
             shard = _ShardSink(
                 self.path, self.job_token, pid, self.fields, phys, None,
-                bloom_cols,
+                bloom_cols, payload, typed,
             )
             return shard.close()
         commits = [s.close() for s in shards.values()]
@@ -448,7 +485,7 @@ class JsonlDocsWriter(DataSourceWriter):
             elif _os.path.isdir(self.path):
                 # same extension set the reader's listing fallback scans
                 for f in _os.listdir(self.path):
-                    if f.endswith((".json", ".jsonl")) and not f.startswith(
+                    if f.endswith(SHARD_EXTENSIONS) and not f.startswith(
                         (".", "_")
                     ):
                         # row count unknown without a scan; None marks
@@ -467,6 +504,13 @@ class JsonlDocsWriter(DataSourceWriter):
             if _os.path.exists(spath):
                 with open(spath) as fh:
                     stats = _json.load(fh)
+        # an append whose seeded base is EMPTY (fresh dir: no prior
+        # commit, no listed legacy shards) CREATES the table — decided
+        # before our own shards are merged in below
+        creates_table = not self.overwrite and not manifest
+        # table-features gate at the commit itself (the authoritative
+        # base; the __init__ check ran against possibly-stale state)
+        _check_features(manifest)
         # idempotence gate (txn_app_id/txn_version): the seeded base
         # manifest is the transaction state the claim below extends —
         # an (app, version) it already records means this job is a
@@ -511,7 +555,11 @@ class JsonlDocsWriter(DataSourceWriter):
             if getattr(m, "bloom", None):
                 # opt-in bloom filters (point-lookup pruning) — advisory
                 stats.setdefault("_bloom", {})[m.file] = m.bloom
-        if self.overwrite and self.ddl != DOCS_DDL:
+        if self.ddl != DOCS_DDL and (self.overwrite or creates_table):
+            # overwrite REPLACES the table; a first append into a
+            # fresh dir CREATES it — record the written shape either
+            # way, else a non-docs table created by an append reads
+            # back NULL under the legacy documents DDL
             manifest[SCHEMA_KEY] = self.ddl
         # operation provenance (DESCRIBE HISTORY): each commit records
         # its own op, overwriting whatever the base carried
@@ -522,6 +570,16 @@ class JsonlDocsWriter(DataSourceWriter):
             apps[self.txn_app_id] = self.txn_version
             txn["apps"] = apps
             manifest[TXN_KEY] = txn
+        # table-features stamp: sticky declarations of what a consumer
+        # must understand (parquet shards are unreadable to a
+        # JSONL-only build; mapping/constraints retro-stamp so older
+        # tables converge onto the declared contract)
+        feats = ["payload-parquet"] if self.payload == "parquet" else []
+        if MAPPING_KEY in manifest:
+            feats.append("column-mapping")
+        if CONSTRAINT_KEY in manifest:
+            feats.append("check-constraints")
+        _stamp_features(manifest, *feats)
         # commit wall-clock (ns) — the "TIMESTAMP AS OF" resolution key
         # (reserved key, skipped by every shard-list consumer)
         import time as _time
@@ -606,23 +664,32 @@ class JsonlDocsWriter(DataSourceWriter):
 
 class _ShardSink:
     """Executor-side shard builder SHARED by the batch writer and the
-    streaming sink: serializes rows under the table's PHYSICAL keys
-    with typed-cell encoding (``_json_cell``), and tracks every
-    per-shard statistic ``_STATS`` records — the doc_id zonemap,
-    per-column [min, max] over non-null orderable values (NaN or a
-    non-scalar drops the column for this shard; an absent entry never
-    prunes), per-column NULL counts (parquet's null_count position —
-    Spark pushes an implicit IsNotNull beside every comparison, so
-    all-null shards skip early), and the partition values of a
-    ``partition_by`` write.  One instance per (task, partition-value);
-    rows arrive (and are validated / stat'd) under LOGICAL names —
-    only the serialized form is physical."""
+    streaming sink: serializes rows under the table's PHYSICAL keys —
+    as JSONL with typed-cell encoding (``_json_cell``), or as a
+    PARQUET shard (``payload="parquet"``: columnar, row-grouped,
+    typed by the written DDL — the 100 TB payload, giving readers
+    column projection and encoded/compressed pages under the SAME
+    manifest/OCC/stats protocol) — and tracks every per-shard
+    statistic ``_STATS`` records: the doc_id zonemap, per-column
+    [min, max] over non-null orderable values (NaN or a non-scalar
+    drops the column for this shard; an absent entry never prunes),
+    per-column NULL counts (parquet's null_count position — Spark
+    pushes an implicit IsNotNull beside every comparison, so all-null
+    shards skip early), and the partition values of a ``partition_by``
+    write.  One instance per (task, partition-value); rows arrive
+    (and are validated / stat'd) under LOGICAL names — only the
+    serialized form is physical."""
 
     __slots__ = (
         "dir", "fields", "phys", "has_doc", "pf",
         "tmp", "final", "fh", "n", "mn", "mx", "parts",
         "cols", "bad", "nulls", "blooms",
+        "payload", "pa_schema", "pq_writer", "buf", "buf_n",
     )
+
+    #: parquet row-group size (rows buffered per flush): large enough
+    #: for competent encodings, small enough to bound task memory
+    ROW_GROUP_ROWS = 65536
 
     def __init__(
         self,
@@ -633,14 +700,48 @@ class _ShardSink:
         phys: dict,
         parts: dict | None,
         bloom_cols: list[str] | None = None,
+        payload: str = "jsonl",
+        typed_fields: list[tuple[str, str]] | None = None,
     ) -> None:
         self.dir = dir_path
         self.fields = fields
         self.phys = phys
         self.has_doc = "doc_id" in fields
-        self.final = f"part-{pid:05d}-{_mod_uuid.uuid4().hex[:8]}.jsonl"
+        ext = "parquet" if payload == "parquet" else "jsonl"
+        self.final = (
+            f"part-{pid:05d}-{_mod_uuid.uuid4().hex[:8]}.{ext}"
+        )
         self.tmp = f"_tmp-{token}-" + self.final
-        self.fh = open(os.path.join(dir_path, self.tmp), "w")
+        self.payload = payload
+        if payload == "parquet":
+            import pyarrow as pa
+
+            from pu4spark_spark.sources.lake.protocol import (
+                _arrow_type_of_ddl,
+            )
+
+            if typed_fields is None or [n for n, _ in typed_fields] != list(
+                fields
+            ):
+                raise ValueError(
+                    "jsonl_docs parquet payload: writer needs the "
+                    "written DDL's typed fields"
+                )
+            # column names are PHYSICAL (column-mapping invariant:
+            # pre- and post-rename shards carry the same keys)
+            self.pa_schema = pa.schema(
+                [
+                    (phys.get(nm, nm) if phys else nm,
+                     _arrow_type_of_ddl(t))
+                    for nm, t in typed_fields
+                ]
+            )
+            self.pq_writer = None  # opened on first flush (or close)
+            self.buf = {f: [] for f in fields}
+            self.buf_n = 0
+            self.fh = None
+        else:
+            self.fh = open(os.path.join(dir_path, self.tmp), "w")
         self.n = 0
         self.mn = self.mx = None
         #: every per-shard statistic is keyed by the column's PHYSICAL
@@ -654,6 +755,15 @@ class _ShardSink:
         #: The reader translates pushed logical names through the
         #: current mapping at probe time.
         self.pf = {f: (phys.get(f, f) if phys else f) for f in fields}
+        # "_rows" is the per-shard null-stats row-count sentinel key —
+        # a column physically named that would overwrite the count and
+        # corrupt IsNotNull pruning (a wrong prune silently drops live
+        # rows), so refuse it at write time, before any staging
+        if "_rows" in self.pf.values():
+            raise ValueError(
+                "jsonl_docs: column name '_rows' is reserved (it keys "
+                "the per-shard row count inside _STATS['_nulls'])"
+            )
         self.parts = (
             {self.pf.get(c, c): v for c, v in parts.items()}
             if parts
@@ -665,20 +775,51 @@ class _ShardSink:
         #: opt-in per-shard BLOOM FILTERS (writer option
         #: ``bloom_filter_columns`` — Delta's bloom filter index):
         #: point-lookup pruning on columns whose [min, max] envelope
-        #: is useless under a hash-scattered layout
+        #: is useless under a hash-scattered layout.  Bitset size is
+        #: DERIVED from the protocol constant — _bloom_add hashes into
+        #: BLOOM_M_BITS positions, so a hardcoded size would IndexError
+        #: (or silently undersize) if the constant ever moved
         self.blooms: dict = {
-            self.pf[c]: bytearray(8192)
+            self.pf[c]: bytearray(BLOOM_M_BITS // 8)
             for c in (bloom_cols or ())
             if c in fields
         }
 
-    def add(self, d: dict) -> None:
-        out = (
-            {self.phys.get(k, k): v for k, v in d.items()}
-            if self.phys
-            else d
+    def _flush_group(self) -> None:
+        """Write the buffered rows as one parquet row group."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if self.pq_writer is None:
+            self.pq_writer = pq.ParquetWriter(
+                os.path.join(self.dir, self.tmp), self.pa_schema
+            )
+        arrays = [
+            pa.array(self.buf[f], type=fld.type)
+            for f, fld in zip(self.fields, self.pa_schema)
+        ]
+        self.pq_writer.write_table(
+            pa.Table.from_arrays(arrays, schema=self.pa_schema)
         )
-        self.fh.write(_mod_json.dumps(out, default=_json_cell) + "\n")
+        self.buf = {f: [] for f in self.fields}
+        self.buf_n = 0
+
+    def add(self, d: dict) -> None:
+        if self.payload == "parquet":
+            for f in self.fields:
+                self.buf[f].append(d[f])
+            self.buf_n += 1
+            if self.buf_n >= self.ROW_GROUP_ROWS:
+                self._flush_group()
+        else:
+            out = (
+                {self.phys.get(k, k): v for k, v in d.items()}
+                if self.phys
+                else d
+            )
+            self.fh.write(
+                _mod_json.dumps(out, default=_json_cell) + "\n"
+            )
         self.n += 1
         # per-shard doc_id min/max ride the commit message — the
         # zonemap the reader's filter pushdown prunes with
@@ -721,9 +862,21 @@ class _ShardSink:
         # shard contents must be on disk before the driver's commit
         # can make them visible — same power-loss discipline as the
         # metadata files
-        self.fh.flush()
-        os.fsync(self.fh.fileno())
-        self.fh.close()
+        if self.payload == "parquet":
+            if self.buf_n or self.pq_writer is None:
+                # final partial group; an empty shard still writes a
+                # valid zero-row parquet file (commit records rows=0)
+                self._flush_group()
+            self.pq_writer.close()
+            fd = os.open(os.path.join(self.dir, self.tmp), os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+        else:
+            self.fh.flush()
+            os.fsync(self.fh.fileno())
+            self.fh.close()
         return JsonlCommit(
             self.tmp, self.final, self.n, self.mn, self.mx,
             parts=self.parts,
@@ -844,6 +997,25 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
         self.bloom_cols = (
             [c.strip() for c in bf.split(",") if c.strip()] if bf else []
         )
+        # columnar payload — same option and contract as the batch
+        # writer (the streaming-ingest-into-parquet shape at 100 TB)
+        pfmt = options.get("payload_format", "jsonl").lower()
+        if pfmt not in ("jsonl", "parquet"):
+            raise ValueError(
+                "jsonl_docs: payload_format must be 'jsonl' or "
+                f"'parquet', got {pfmt!r}"
+            )
+        self.payload = pfmt
+        self.typed_fields = [
+            (f.name, f.dataType.simpleString()) for f in schema.fields
+        ]
+        if pfmt == "parquet":
+            from pu4spark_spark.sources.lake.protocol import (
+                _arrow_type_of_ddl,
+            )
+
+            for _nm, _t in self.typed_fields:
+                _arrow_type_of_ddl(_t)
         import uuid as _uuid
 
         self.job_token = _uuid.uuid4().hex[:8]
@@ -905,10 +1077,11 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
             return d
 
         bloom_cols = self.bloom_cols
+        payload, typed = self.payload, self.typed_fields
         if not self.partition_by:
             shard = _ShardSink(
                 self.path, self.job_token, pid, self.fields, phys, None,
-                bloom_cols,
+                bloom_cols, payload, typed,
             )
             for row in iterator:
                 shard.add(_validated({k: row[k] for k in self.fields}))
@@ -927,13 +1100,15 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
                     phys,
                     dict(zip(self.partition_by, key)),
                     bloom_cols,
+                    payload,
+                    typed,
                 )
             s.add(d)
         if not shards:
             # empty task still reports itself (rows=0)
             shard = _ShardSink(
                 self.path, self.job_token, pid, self.fields, phys, None,
-                bloom_cols,
+                bloom_cols, payload, typed,
             )
             return shard.close()
         commits = [s.close() for s in shards.values()]
@@ -1008,6 +1183,7 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
             base = _latest_manifest_version(self.path)
             version = base + 1
             manifest = dict(_manifest_at(self.path, base))
+            _check_features(manifest)  # refuse unknown table features
             # re-check _txn against the REFRESHED base: a zombie /
             # duplicate sink instance (engine failover) that passed the
             # pre-loop check can lose the claim race to the OTHER
@@ -1025,19 +1201,56 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
                         pass
                 self._sweep(set())
                 return
+            # the schema check in write() ran against whatever was
+            # latest at STAGING time; the claim races against live
+            # writers, so re-check against the REFRESHED base — a
+            # first micro-batch that lost the v1 claim and re-based
+            # onto someone else's table must not silently land rows
+            # that read back NULL under that table's columns
+            if base > 0:
+                tbl = set(
+                    _fields_of_ddl(manifest.get(SCHEMA_KEY, DOCS_DDL))
+                )
+                if set(self.fields) != tbl:
+                    # staged shards already carry final names but are
+                    # in no committed manifest — roll them back
+                    for f in staged:
+                        try:
+                            _os.remove(_os.path.join(self.path, f))
+                        except OSError:
+                            pass
+                    self._sweep(set())
+                    raise ValueError(
+                        "jsonl_docs stream sink: written schema does "
+                        f"not match table version {base} (table "
+                        f"{sorted(tbl)}, written {sorted(self.fields)})"
+                        " — the table changed shape between staging "
+                        "and commit; restart the stream"
+                    )
             if TOMBSTONE_KEY in manifest:
                 added = manifest[TOMBSTONE_KEY].setdefault("added", {})
                 for f in staged:
                     added[f] = version
             manifest.update(staged)
-            if version == 1 and self.ddl != DOCS_DDL:
-                # first commit CREATES the table: record the written
-                # shape so a non-docs-shaped sink table reads back
-                # under its own schema, not the legacy documents DDL
-                # (mirrors the batch writer's overwrite path)
+            if SCHEMA_KEY not in manifest and self.ddl != DOCS_DDL:
+                # a base without a recorded schema means this commit
+                # CREATES the table's shape (v1, or a later re-based
+                # first batch whose v1 claim was lost to a concurrent
+                # writer — keying on version == 1 silently dropped the
+                # DDL in that race and the rows read back NULL under
+                # DOCS_DDL): record the written shape so a non-docs
+                # sink table reads back under its own schema
                 manifest[SCHEMA_KEY] = self.ddl
             manifest[TXN_KEY] = {"last_batch": batchId}
             manifest[OP_KEY] = "streaming-append"
+            feats = (
+                ["payload-parquet"] if self.payload == "parquet" else []
+            )
+            if MAPPING_KEY in manifest:
+                feats.append("column-mapping")
+            if CONSTRAINT_KEY in manifest:
+                feats.append("check-constraints")
+            _stamp_features(manifest, *feats)
             import time as _time
 
             manifest["_ts"] = _time.time_ns()
@@ -1152,6 +1365,10 @@ class JsonlDocsReader(DataSourceReader):
         #: and its column mapping: ``fields`` are the LOGICAL names
         #: Spark sees, ``phys_fields`` the JSON keys the shards carry
         _m = _effective_manifest(options)
+        # table-features gate: a reader that does not understand a
+        # required feature must refuse the table at PLAN time, never
+        # silently misread it (Delta's minReaderVersion semantics)
+        _check_features(_m)
         _ddl = _m.get(SCHEMA_KEY, DOCS_DDL)
         self.fields = _fields_of_ddl(_ddl)
         #: logical→physical mapping of the pinned commit — _prune
@@ -1162,6 +1379,16 @@ class JsonlDocsReader(DataSourceReader):
         self._cmap = _mapping_of(_m)
         self.phys_fields = _physical_fields(self.fields, self._cmap)
         self.convs = _converters_of_ddl(_ddl)
+        #: LOGICAL-named pyarrow schema for the PARQUET shards'
+        #: RecordBatch fast path (None → the schema contains a type
+        #: whose arrow form is context-dependent, e.g. timestamps
+        #: carry the session tz — those shards yield row tuples
+        #: instead, which Spark's converters normalize)
+        from pu4spark_spark.sources.lake.protocol import (
+            _arrow_batch_schema_of_ddl,
+        )
+
+        self._pa_target = _arrow_batch_schema_of_ddl(_ddl)
 
     def pushFilters(self, filters):
         """Filter PUSHDOWN (Spark 4.1 Python DataSource API), four
@@ -1517,12 +1744,36 @@ class JsonlDocsReader(DataSourceReader):
         return parts
 
     def read(self, partition):
-        # runs on the executor's Python worker: stream one shard.
+        # runs on the executor's Python worker: stream one shard,
+        # DISPATCHED on its payload format — JSONL shards yield row
+        # tuples; PARQUET shards yield arrow RecordBatches cast to the
+        # declared schema (zero per-row Python — the worker streams
+        # them straight into Spark's Arrow channel), falling back to
+        # tuples only for context-dependent types.  Mixing formats
+        # across partitions is fine: each task runs exactly one
+        # partition and the worker inspects each read()'s first yield.
         # partition is None when partitions() returned [] (the zonemap
         # pruned EVERY shard) — PySpark substitutes a single default
         # partition in that case, which must scan nothing.
         if partition is None:
             return
+        value = partition.value
+        path = value if isinstance(value, str) else value[0]
+        if path.endswith(".parquet"):
+            from pu4spark_spark.sources.lake.protocol import (
+                _iter_parquet_batches,
+                _iter_parquet_rows,
+            )
+
+            if self._pa_target is not None:
+                yield from _iter_parquet_batches(
+                    value, self.phys_fields, self._pa_target
+                )
+            else:
+                yield from _iter_parquet_rows(
+                    value, self.phys_fields, self.convs
+                )
+            return
         yield from _iter_jsonl(
-            partition.value, self.phys_fields, self.convs
+            value, self.phys_fields, self.convs
         )

@@ -28,12 +28,14 @@ from pu4spark_spark.sources.lake.protocol import (
     DOCS_DDL,
     OP_KEY,
     SCHEMA_KEY,
+    _check_features,
     _converters_of_ddl,
     _earliest_manifest_version,
     _effective_manifest,
     _effective_schema_ddl,
     _fields_of_ddl,
     _iter_jsonl,
+    _iter_shard_rows,
     _latest_manifest_version,
     _list_shards,
     _manifest_at,
@@ -73,10 +75,18 @@ class JsonlDocsStreamReader(DataSourceStreamReader):
         # microbatch ingests at most this many new landing shards,
         # bounding per-trigger work on a directory with a deep unread
         # backlog.  Same semantics as the versioned reader's
-        # max_versions_per_trigger: the first trigger of a reader
-        # instance is unbounded (covers whatever gap the checkpoint
-        # left), afterward the floor tracks each planned batch's end
-        # so a bounded latestOffset can never regress an offset.
+        # max_versions_per_trigger.  The floor seeds from
+        # initialOffset (the engine calls it only on a FRESH stream),
+        # so a fresh start over a deep backlog is bounded from the
+        # very first trigger; afterward it tracks each planned batch's
+        # end so a bounded latestOffset can never regress an offset.
+        # KNOWN LIMIT: on a checkpoint RESTART the engine skips
+        # initialOffset and latestOffset carries no start offset
+        # (DataSourceStreamReader lacks SupportsAdmissionControl's
+        # latestOffset(start, limit)), so the restart's first trigger
+        # is unbounded — bounding it blind risks an end offset BELOW
+        # the checkpoint, which would re-deliver files; subsequent
+        # triggers are bounded once partitions() reveals the start.
         mf = options.get("max_files_per_trigger")
         self.max_files = int(mf) if mf is not None else None
         if self.max_files is not None and self.max_files < 1:
@@ -86,6 +96,9 @@ class JsonlDocsStreamReader(DataSourceStreamReader):
         self._rate_floor: int | None = None
 
     def initialOffset(self) -> dict:
+        # only a FRESH stream asks for this — seed the rate floor so
+        # the first trigger is bounded too (a restart never lands here)
+        self._rate_floor = 0
         return {"index": 0}
 
     def latestOffset(self) -> dict:
@@ -102,20 +115,9 @@ class JsonlDocsStreamReader(DataSourceStreamReader):
         return [InputPartition(os.path.join(self.path, f)) for f in files]
 
     def read(self, partition):
-        import json
-
-        with open(partition.value) as fh:
-            for line in fh:
-                if not line.strip():
-                    continue
-                r = json.loads(line)
-                yield (
-                    r.get("doc_id"),
-                    r.get("text"),
-                    r.get("lang"),
-                    r.get("source"),
-                    r.get("n_chars"),
-                )
+        # landing shards may be JSONL or parquet — dispatch by
+        # extension, fixed documents shape either way
+        yield from _iter_shard_rows(partition.value)
 
     def commit(self, end: dict) -> None:
         pass
@@ -167,6 +169,7 @@ class JsonlDocsVersionStreamReader(DataSourceStreamReader):
         #: ``phys_fields`` reads every epoch's shards (renamed columns
         #: by stable key, dropped ones ignored, later adds null).
         _m = _effective_manifest(options)
+        _check_features(_m)  # refuse unknown required table features
         _ddl = _m.get(SCHEMA_KEY, DOCS_DDL)
         self.fields = _fields_of_ddl(_ddl)
         self.typed_fields = _typed_fields_of_ddl(_ddl)
@@ -179,10 +182,12 @@ class JsonlDocsVersionStreamReader(DataSourceStreamReader):
         # the version is this source's offset and a commit is its
         # atomicity unit): each steady-state microbatch advances at
         # most this many versions, bounding per-trigger work on a
-        # table with deep unread history.  The FIRST trigger of a
-        # reader instance is unbounded (it must cover whatever gap the
-        # checkpoint left; afterward the floor tracks each planned
-        # batch's end).
+        # table with deep unread history.  The floor seeds from
+        # initialOffset, so a FRESH stream's first trigger is bounded
+        # too; a checkpoint RESTART's first trigger stays unbounded
+        # (latestOffset carries no start offset in this API — see the
+        # listing reader's note), afterward the floor tracks each
+        # planned batch's end.
         mv = options.get("max_versions_per_trigger")
         self.max_versions = int(mv) if mv is not None else None
         if self.max_versions is not None and self.max_versions < 1:
@@ -192,6 +197,9 @@ class JsonlDocsVersionStreamReader(DataSourceStreamReader):
         self._rate_floor: int | None = None
 
     def initialOffset(self) -> dict:
+        # only a FRESH stream asks for this — seed the rate floor so
+        # the first trigger is bounded too (a restart never lands here)
+        self._rate_floor = max(0, self.starting_version - 1)
         return {"version": max(0, self.starting_version - 1)}
 
     def latestOffset(self) -> dict:
@@ -250,6 +258,7 @@ class JsonlDocsVersionStreamReader(DataSourceStreamReader):
             ) as fh:
                 body = fh.read()
             m = json.loads(body)
+            _check_features(m)  # a feature commit mid-stream: refuse
             base_dir = m.get(BASE_DIR_KEY, base_dir)
             # SCHEMA boundary: a commit whose schema this stream's
             # fixed schema does not EXTEND cannot be represented in
@@ -390,7 +399,7 @@ class JsonlDocsVersionStreamReader(DataSourceStreamReader):
     def read(self, partition):
         if partition is None:
             return
-        yield from _iter_jsonl(
+        yield from _iter_shard_rows(
             partition.value, self.phys_fields, self.convs
         )
 
@@ -434,6 +443,7 @@ class JsonlDocsChangeFeedStreamReader(DataSourceStreamReader):
         sv = options.get("starting_version")
         self.starting_version = int(sv) if sv is not None else 0
         _m = _effective_manifest({"path": path})
+        _check_features(_m)  # refuse unknown required table features
         base_ddl = _m.get(
             SCHEMA_KEY, DOCS_DDL
         )  # table columns only — the CDF tags are appended at read
@@ -454,6 +464,8 @@ class JsonlDocsChangeFeedStreamReader(DataSourceStreamReader):
         self._rate_floor: int | None = None
 
     def initialOffset(self) -> dict:
+        # fresh stream only — seed the floor (see the version stream)
+        self._rate_floor = max(0, self.starting_version - 1)
         return {"version": max(0, self.starting_version - 1)}
 
     def latestOffset(self) -> dict:
@@ -487,6 +499,7 @@ class JsonlDocsChangeFeedStreamReader(DataSourceStreamReader):
             ) as fh:
                 body = fh.read()
             m = json.loads(body)
+            _check_features(m)  # a feature commit mid-stream: refuse
             base_dir = m.get(BASE_DIR_KEY, base_dir)
             res = {BASE_DIR_KEY: base_dir} if base_dir else None
             mf = _fields_of_ddl(m.get(SCHEMA_KEY, DOCS_DDL))
@@ -635,8 +648,9 @@ class JsonlDocsChangeFeedStreamReader(DataSourceStreamReader):
                     ) + (d.get("_change_type"), v)
             return
         # snap / ins: plain rows typed as inserts of their commit;
-        # table shards carry stable PHYSICAL keys
-        for row in _iter_jsonl(value, self.phys_fields, self.convs):
+        # table shards carry stable PHYSICAL keys (format-dispatched:
+        # JSONL or parquet)
+        for row in _iter_shard_rows(value, self.phys_fields, self.convs):
             yield tuple(row) + ("insert", v)
 
     def commit(self, end: dict) -> None:
