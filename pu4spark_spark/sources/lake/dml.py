@@ -27,9 +27,13 @@ from pu4spark_spark.sources.lake.protocol import (
     ManifestCommitConflict,
     OP_KEY,
     TOMBSTONE_KEY,
+    DV_KEY,
     _check_features,
     _stamp_features,
+    _dv_merge,
+    _dv_of,
     _effective_schema_ddl,
+    _shard_path,
     _fields_of_ddl,
     _latest_manifest_version,
     _mapping_of,
@@ -106,6 +110,82 @@ def _with_cdc(manifest: dict, version: int, files: list[str]) -> None:
         manifest[CDC_KEY] = cdc
 
 
+def _scan_dv_positions(
+    spark: SparkSession,
+    path: str,
+    manifest: dict,
+    files: list[str],
+    key_file_paths: tuple[str, ...],
+    inline_keys: tuple[int, ...],
+) -> dict[str, dict]:
+    """Distributed POSITION scan for deletion vectors: one task per
+    shard finds the parsed-row indices whose doc_id is in the key set
+    (staged key files loaded worker-side + memoized, or a small inline
+    tuple) and packs them into a bitset.  The driver collects only
+    (shard, count, bitmap) — O(shards × bitmap), never a key or a row.
+    Returns ``{shard: dv_entry}`` for shards with ≥1 match."""
+    import pandas as pd
+
+    from pu4spark_spark.sources.lake.source import register_pyds
+
+    register_pyds(spark)
+    rows = [(f, _shard_path(path, manifest, f)) for f in files]
+    sdf = spark.createDataFrame(rows, "name string, full string")
+    sdf = sdf.repartition(min(len(rows), 64))
+
+    def scan(batches):
+        from pu4spark_spark.sources.lake.protocol import (
+            _dv_pack,
+            _load_delete_keys,
+        )
+
+        keys = set(inline_keys)
+        for kp in key_file_paths:
+            keys |= _load_delete_keys(kp)
+        for pdf in batches:
+            out = {"name": [], "n": [], "b": []}
+            for name, full in zip(pdf["name"], pdf["full"]):
+                positions = []
+                size = 0
+                if full.endswith(".parquet"):
+                    import pyarrow.parquet as pq
+
+                    pf = pq.ParquetFile(full)
+                    if "doc_id" in pf.schema_arrow.names:
+                        for batch in pf.iter_batches(
+                            columns=["doc_id"], batch_size=65536
+                        ):
+                            for v in batch.column("doc_id").to_pylist():
+                                if v in keys:
+                                    positions.append(size)
+                                size += 1
+                    else:
+                        size = pf.metadata.num_rows
+                    pf.close()
+                else:
+                    import json as _j
+
+                    with open(full) as fh:
+                        for line in fh:
+                            if not line.strip():
+                                continue
+                            if _j.loads(line).get("doc_id") in keys:
+                                positions.append(size)
+                            size += 1
+                if positions:
+                    e = _dv_pack(positions, size)
+                    out["name"].append(name)
+                    out["n"].append(e["n"])
+                    out["b"].append(e["b"])
+            yield pd.DataFrame(out)
+
+    res = sdf.mapInPandas(scan, "name string, n bigint, b string")
+    return {
+        r["name"]: {"n": int(r["n"]), "b": r["b"]}
+        for r in res.collect()
+    }
+
+
 def delete_from_jsonl_dir(
     path: str,
     doc_ids,
@@ -113,6 +193,7 @@ def delete_from_jsonl_dir(
     *,
     spark: SparkSession | None = None,
     cdf: bool = False,
+    deletion_vectors: bool = False,
 ) -> int:
     """Row-level DELETE on the mini-lake — the last table-format
     primitive it lacked: commit a new manifest version whose shard list
@@ -141,6 +222,16 @@ def delete_from_jsonl_dir(
     file (the bounded metadata-scale path).  The manifest claim itself
     stays a pure-metadata commit either way.  Returns the new
     version.
+
+    ``deletion_vectors=True`` (requires ``spark``) records the
+    deletions as per-shard POSITIONAL BITMAPS (``_dv`` — Delta's
+    deletion vectors) instead of a ledger entry: one distributed
+    position scan at delete time, then every read applies a pure
+    row-index mask — no key files loaded, no per-row membership test.
+    Trade-off vs the ledger: the delete pays an O(table) scan up
+    front (the ledger's commit is O(keys)), every subsequent read is
+    strictly cheaper, and ``purge_jsonl_dir`` physically reclaims the
+    rows by rewriting only the DV-carrying shards.
 
     ``cdf=True`` (requires ``spark``) additionally stages the deleted
     rows' PRE-IMAGES as commit-time change-data-feed files
@@ -228,6 +319,30 @@ def delete_from_jsonl_dir(
                     pass
             key_files = []
 
+    # DELETION VECTORS (Delta's DVs): instead of a ledger entry whose
+    # key files every scan replays as a membership test, run ONE
+    # distributed position scan now and record per-shard row-index
+    # bitmaps — reads then apply a pure positional mask (no key
+    # loading, no per-row hashing).  The key files are scan INPUTS
+    # only and are reclaimed after the commit.
+    dv_new: dict[str, dict] = {}
+    if deletion_vectors:
+        if spark is None:
+            raise ValueError(
+                "delete_from_jsonl_dir: deletion_vectors=True "
+                "requires spark (the position scan is a distributed "
+                "job)"
+            )
+        if key_files and files:
+            dv_new = _scan_dv_positions(
+                spark,
+                path,
+                manifest,
+                files,
+                tuple(os.path.join(path, kf) for kf in key_files),
+                (),
+            )
+
     def _drop_key_files() -> None:
         for kf in key_files + cdc_files:
             try:
@@ -246,7 +361,16 @@ def delete_from_jsonl_dir(
         _stamp_features(new_manifest, "change-data-feed")
     new_manifest[OP_KEY] = "delete"
     tombs = _tombstones_of(manifest)
-    if key_files and files:
+    if deletion_vectors:
+        # ledger untouched — the deletions live as positional bitmaps,
+        # merged (bitwise OR) into any existing per-shard vectors
+        if dv_new:
+            dvs = _dv_of(manifest)
+            for f, e in dv_new.items():
+                dvs[f] = _dv_merge(dvs.get(f), e)
+            new_manifest[DV_KEY] = dvs
+            _stamp_features(new_manifest, "deletion-vectors")
+    elif key_files and files:
         tombs = {
             "entries": [
                 *tombs["entries"],
@@ -278,6 +402,15 @@ def delete_from_jsonl_dir(
         ) from None
     if _latest_manifest_version(path) == version:
         _write_atomic(os.path.join(path, "_MANIFEST"), body)
+    if deletion_vectors and key_files:
+        # DV mode: the key files were position-scan INPUTS only — no
+        # manifest references them, reclaim immediately (cdc files,
+        # when staged, ARE referenced and stay)
+        for kf in key_files:
+            try:
+                os.remove(os.path.join(path, kf))
+            except OSError:
+                pass
     return version
 
 

@@ -28,6 +28,8 @@ from pu4spark_spark.sources.lake.protocol import (
     CDC_KEY,
     CONSTRAINT_KEY,
     DOCS_DDL,
+    DV_KEY,
+    _dv_of,
     MAPPING_KEY,
     ManifestCommitConflict,
     OP_KEY,
@@ -782,6 +784,177 @@ def compact_jsonl_dir(
     return version
 
 
+def purge_jsonl_dir(
+    spark: SparkSession,
+    path: str,
+    target_shards: int | None = None,
+) -> int:
+    """``REORG TABLE ... APPLY (PURGE)`` — Delta's deletion-vector
+    reclaim: rewrite ONLY the shards carrying a deletion vector,
+    physically dropping their masked rows, and commit a manifest that
+    replaces exactly those files and clears their ``_dv`` entries.
+    Clean shards are untouched (never rescanned — the rewrite reads a
+    named shard subset via the reader's internal ``shards`` option),
+    which is the whole point vs a full compaction at 100 TB: purge
+    cost is O(deleted-data shards), not O(table).  A fully-masked
+    shard simply leaves the manifest with no replacement.
+
+    Content-neutral (the masked rows were already invisible), so the
+    commit carries the ``.rewrite`` marker — version/CDF streams skip
+    it, exactly like compaction.  Same base-pinned claim-or-conflict
+    transactionality as compaction.  Returns the new version, or the
+    current one when no shard carries a vector."""
+    import json as _json
+    import uuid as _uuid
+
+    register_pyds(spark)
+    base = _latest_manifest_version(path)
+    if base <= 0:
+        raise ValueError(
+            f"purge_jsonl_dir: no committed version under {path}"
+        )
+    m = _manifest_at(path, base)
+    _check_features(m)
+    live = set(_manifest_files(m))
+    dvs = {f: e for f, e in _dv_of(m).items() if f in live}
+    if not dvs:
+        return base  # nothing to purge
+    purged = sorted(dvs)
+    before = (
+        spark.read.format("jsonl_docs")
+        .option("path", path)
+        .option("version", base)
+        .option("shards", ",".join(purged))
+        .load()
+    )
+    stage = path + f".purge-{_uuid.uuid4().hex[:8]}"
+    w = (
+        before.repartition(target_shards or len(purged))
+        .write.format("jsonl_docs")
+        .option("path", stage)
+    )
+    # preserve the purged shards' payload format; keep writing the
+    # table's physical keys (same invariants as compaction's rewrite)
+    if all(f.endswith(".parquet") for f in purged):
+        w = w.option("payload_format", "parquet")
+    mapping = _mapping_of(m)
+    if mapping:
+        w = w.option("physical_map", _json.dumps(mapping))
+    w.mode("overwrite").save()
+    with open(os.path.join(stage, "_MANIFEST")) as fh:
+        staged = {
+            f: v
+            for f, v in _json.load(fh).items()
+            if not f.startswith("_")
+        }
+    stage_stats = {}
+    sp = os.path.join(stage, "_STATS")
+    if os.path.exists(sp):
+        with open(sp) as fh:
+            stage_stats = _json.load(fh)
+    for f in staged:
+        os.replace(
+            os.path.join(stage, f),
+            os.path.join(path, "_tmp-purge-" + f),
+        )
+    for f in staged:
+        os.replace(
+            os.path.join(path, "_tmp-purge-" + f),
+            os.path.join(path, f),
+        )
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
+    version = base + 1
+    new_manifest = {
+        k: v for k, v in m.items() if k not in dvs
+    }
+    new_manifest.update(staged)
+    remaining_dv = {
+        f: e for f, e in _dv_of(m).items() if f not in dvs
+    }
+    if remaining_dv:
+        new_manifest[DV_KEY] = remaining_dv
+    else:
+        new_manifest.pop(DV_KEY, None)
+    if TOMBSTONE_KEY in new_manifest:
+        tombs = dict(new_manifest[TOMBSTONE_KEY])
+        added = {
+            f: v
+            for f, v in tombs.get("added", {}).items()
+            if f not in dvs
+        }
+        # replacement rows were read with every entry applied — exempt
+        # them from the whole retained ledger
+        added.update({f: version for f in staged})
+        tombs["added"] = added
+        new_manifest[TOMBSTONE_KEY] = tombs
+    new_manifest[OP_KEY] = "purge"
+    import hashlib as _hashlib
+    import time as _time
+
+    new_manifest["_ts"] = _time.time_ns()
+    body = _json.dumps(new_manifest)
+
+    def _rollback() -> None:
+        winner: set[str] = set()
+        try:
+            with open(
+                os.path.join(path, f"_MANIFEST.v{version}")
+            ) as fh:
+                winner = set(_json.load(fh))
+        except (OSError, ValueError):
+            pass
+        for f in staged:
+            if f not in winner:
+                try:
+                    os.remove(os.path.join(path, f))
+                except OSError:
+                    pass
+
+    try:
+        _write_atomic_excl(
+            os.path.join(path, f"_MANIFEST.v{version}.rewrite"),
+            _hashlib.md5(body.encode()).hexdigest(),
+        )
+    except FileExistsError:
+        _rollback()
+        raise ManifestCommitConflict(
+            f"concurrent commit: _MANIFEST.v{version}.rewrite is "
+            "already claimed; the purge was rolled back"
+        ) from None
+    try:
+        _write_atomic_excl(
+            os.path.join(path, f"_MANIFEST.v{version}"), body
+        )
+    except FileExistsError:
+        _rollback()
+        try:
+            os.remove(
+                os.path.join(path, f"_MANIFEST.v{version}.rewrite")
+            )
+        except OSError:
+            pass
+        raise ManifestCommitConflict(
+            f"concurrent commit: _MANIFEST.v{version} was claimed by "
+            "another writer during purge; the rewrite was rolled back "
+            "— re-plan against the new table state"
+        ) from None
+    if _latest_manifest_version(path) == version:
+        stats_path = os.path.join(path, "_STATS")
+        stats = {}
+        if os.path.exists(stats_path):
+            with open(stats_path) as fh:
+                stats = _json.load(fh)
+        for k in ("_parts", "_cols", "_nulls", "_bloom"):
+            if k in stage_stats:
+                stats.setdefault(k, {}).update(stage_stats.pop(k))
+        stats.update(stage_stats)
+        _write_atomic(stats_path, _json.dumps(stats))
+        _write_atomic(os.path.join(path, "_MANIFEST"), body)
+    return version
+
+
 def vacuum_jsonl_dir(
     path: str,
     keep_versions: int = 1,
@@ -1012,8 +1185,12 @@ def clone_jsonl_dir(
     # mapping carried too: the cloned manifest references the SOURCE's
     # physical shards, so their physical keys must keep resolving —
     # and the feature list (the clone reads the source's files, so it
-    # requires everything the source does)
-    for carry in (SCHEMA_KEY, CONSTRAINT_KEY, MAPPING_KEY, FEATURES_KEY):
+    # requires everything the source does), and the deletion vectors
+    # (positional masks on the shared shards; no version stamps to
+    # normalize — a DV is scoped to its shard, not to a commit)
+    for carry in (
+        SCHEMA_KEY, CONSTRAINT_KEY, MAPPING_KEY, FEATURES_KEY, DV_KEY,
+    ):
         if carry in src_m:
             new_manifest[carry] = src_m[carry]
     # the source itself may be a clone: chain to ITS base for any name

@@ -313,26 +313,37 @@ def _load_delete_keys(path: str) -> frozenset:
 
 def _iter_jsonl(value, fields: tuple[str, ...] | None = None, convs=None):
     """Executor-side shard scan shared by every reader: ``value`` is a
-    shard path, or ``(path, inline_ids, delete_file_paths)`` when
-    DELETE/MERGE commits apply to the shard — tombstoned rows are
+    shard path, or ``(path, inline_ids, delete_file_paths[, dv])``
+    when DELETE/MERGE commits apply to the shard — tombstoned rows are
     filtered here (the drop set is the inline ids plus the union of the
-    referenced delete files' keys, loaded worker-side), so deletion is
-    enforced by construction for batch, time-travel, and streaming
-    reads alike.  ``fields`` is the resolved commit schema's column
-    order (default: the legacy documents shape)."""
+    referenced delete files' keys, loaded worker-side) and a DELETION
+    VECTOR entry, when present, masks rows by POSITION (parsed-row
+    index — no key set, no per-row hashing), so deletion is enforced
+    by construction for batch, time-travel, and streaming reads alike.
+    ``fields`` is the resolved commit schema's column order (default:
+    the legacy documents shape)."""
     import json
 
     if isinstance(value, str):
-        path, drop = value, None
+        path, drop, dv = value, None, None
     else:
         path = value[0]
         drop = set(value[1])
         for kf in value[2] if len(value) > 2 else ():
             drop |= _load_delete_keys(kf)
+        dv = (
+            _dv_buf(value[3])
+            if len(value) > 3 and value[3]
+            else None
+        )
     flds = fields or ("doc_id", "text", "lang", "source", "n_chars")
+    idx = -1
     with open(path) as fh:
         for line in fh:
             if not line.strip():
+                continue
+            idx += 1
+            if dv is not None and _dv_test(dv, idx):
                 continue
             r = json.loads(line)
             if drop is not None and r.get("doc_id") in drop:
@@ -427,16 +438,18 @@ def _arrow_batch_schema_of_ddl(ddl: str):
 
 
 def _unpack_shard_value(value):
-    """(path, drop_set_or_None) of a partition value — the drop set is
-    the inline tombstone ids plus the union of the referenced delete
-    files' keys (loaded worker-side, memoized)."""
+    """(path, drop_set_or_None, dv_buf_or_None) of a partition value —
+    the drop set is the inline tombstone ids plus the union of the
+    referenced delete files' keys (loaded worker-side, memoized); the
+    dv buf is the decoded positional deletion-vector bitset."""
     if isinstance(value, str):
-        return value, None
+        return value, None, None
     path = value[0]
     drop = set(value[1])
     for kf in value[2] if len(value) > 2 else ():
         drop |= _load_delete_keys(kf)
-    return path, drop
+    dv = _dv_buf(value[3]) if len(value) > 3 and value[3] else None
+    return path, drop, dv
 
 
 def _iter_parquet_rows(value, fields: tuple[str, ...], convs=None):
@@ -450,7 +463,7 @@ def _iter_parquet_rows(value, fields: tuple[str, ...], convs=None):
     through."""
     import pyarrow.parquet as pq
 
-    path, drop = _unpack_shard_value(value)
+    path, drop, dv = _unpack_shard_value(value)
     pf = pq.ParquetFile(path)
     avail = set(pf.schema_arrow.names)
     read_cols = [c for c in fields if c in avail]
@@ -458,18 +471,23 @@ def _iter_parquet_rows(value, fields: tuple[str, ...], convs=None):
     if need_doc and "doc_id" not in read_cols:
         read_cols = read_cols + ["doc_id"]
     cv = convs or (None,) * len(fields)
+    pos = 0  # global parsed-row position for the DV mask
     try:
         for batch in pf.iter_batches(columns=read_cols, batch_size=8192):
             d = batch.to_pydict()
             docs = d.get("doc_id") if drop is not None else None
             cols = [d.get(c) for c in fields]
             for i in range(batch.num_rows):
+                gi = pos + i
+                if dv is not None and _dv_test(dv, gi):
+                    continue
                 if docs is not None and docs[i] in drop:
                     continue
                 yield tuple(
                     (c(col[i]) if c else col[i]) if col is not None else None
                     for col, c in zip(cols, cv)
                 )
+            pos += batch.num_rows
     finally:
         pf.close()
 
@@ -489,7 +507,7 @@ def _iter_parquet_batches(value, fields: tuple[str, ...], target):
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    path, drop = _unpack_shard_value(value)
+    path, drop, dv = _unpack_shard_value(value)
     pf = pq.ParquetFile(path)
     avail = set(pf.schema_arrow.names)
     read_cols = [c for c in fields if c in avail]
@@ -497,10 +515,27 @@ def _iter_parquet_batches(value, fields: tuple[str, ...], target):
     if need_doc and "doc_id" not in read_cols:
         read_cols = read_cols + ["doc_id"]
     drop_arr = pa.array(sorted(drop)) if drop else None
+    pos = 0  # global parsed-row position for the DV mask
     try:
         for batch in pf.iter_batches(
             columns=read_cols, batch_size=65536
         ):
+            if dv is not None:
+                # vectorized positional mask: unpack the bitset slice
+                # covering this batch (bit i of the shard = row i)
+                import numpy as np
+
+                nrows = batch.num_rows
+                bits = np.unpackbits(
+                    np.frombuffer(dv, dtype=np.uint8), bitorder="little"
+                )
+                seg = bits[pos : pos + nrows]
+                if len(seg) < nrows:
+                    seg = np.concatenate(
+                        [seg, np.zeros(nrows - len(seg), dtype=np.uint8)]
+                    )
+                pos += nrows
+                batch = batch.filter(pa.array(seg == 0))
             if drop_arr is not None and "doc_id" in batch.schema.names:
                 keep = pc.fill_null(
                     pc.invert(
@@ -890,6 +925,80 @@ def _shard_path(table_dir: str, manifest: dict | None, name: str) -> str:
     if base and not os.path.exists(local):
         return os.path.join(base, name)
     return local
+
+
+#: reserved manifest key holding POSITIONAL DELETION VECTORS (Delta's
+#: deletion vectors): ``{shard_name: {"n": deleted_count, "b":
+#: base64(zlib(bitset))}}`` — bit i set means the shard's i-th row (in
+#: parsed-row order, the order every scan walks) is deleted.  Unlike
+#: the tombstone ledger (key FILES replayed as a per-row membership
+#: test), a DV is applied as a pure row-INDEX mask: no key set is
+#: loaded, no per-row hashing — the read-path cost is O(bitmap).
+#: Entries merge by bitwise OR across delete commits; compaction and
+#: PURGE (REORG ... APPLY (PURGE)) rewrite the masked rows away and
+#: drop the entries.  Stored inline in the manifest (zlib'd — a 1M-row
+#: shard's bitmap is ~125 KB raw and compresses far below that for
+#: sparse deletes); a petabyte deployment would move the bitmaps to
+#: per-shard sidecar files exactly like Delta's .bin DV files — the
+#: schema already isolates them under one key.
+DV_KEY = "_dv"
+
+
+def _dv_pack(positions, size: int) -> dict:
+    """Serialize sorted row positions into a DV entry (bitset sized
+    for ``size`` rows)."""
+    import base64
+    import zlib
+
+    buf = bytearray((size + 7) // 8)
+    n = 0
+    for i in positions:
+        byte, bit = i >> 3, i & 7
+        if not buf[byte] & (1 << bit):
+            buf[byte] |= 1 << bit
+            n += 1
+    return {"n": n, "b": base64.b64encode(zlib.compress(bytes(buf))).decode()}
+
+
+def _dv_buf(entry: dict) -> bytes:
+    """Decode a DV entry's bitset (positions beyond its length are
+    live — a malformed entry decodes empty, which never drops a row
+    it shouldn't... deletion UNDER-application is the safe failure
+    direction here because the ledger/readers re-check nothing; so a
+    malformed entry instead raises loudly rather than silently
+    resurrecting deleted rows)."""
+    import base64
+    import zlib
+
+    return zlib.decompress(base64.b64decode(entry["b"]))
+
+
+def _dv_test(buf: bytes, i: int) -> bool:
+    byte = i >> 3
+    return byte < len(buf) and bool(buf[byte] & (1 << (i & 7)))
+
+
+def _dv_merge(a: dict | None, b: dict) -> dict:
+    """OR two DV entries (either side may be None/absent)."""
+    import base64
+    import zlib
+
+    if not a:
+        return b
+    ba, bb = bytearray(_dv_buf(a)), _dv_buf(b)
+    if len(bb) > len(ba):
+        ba, bb = bytearray(bb), bytes(ba)
+    for i, x in enumerate(bb):
+        ba[i] |= x
+    n = sum(bin(x).count("1") for x in ba)
+    return {
+        "n": n,
+        "b": base64.b64encode(zlib.compress(bytes(ba))).decode(),
+    }
+
+
+def _dv_of(manifest: dict | None) -> dict:
+    return dict((manifest or {}).get(DV_KEY, {}))
 
 
 #: reserved manifest key: the TABLE FEATURES this table requires a

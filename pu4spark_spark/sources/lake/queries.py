@@ -40,6 +40,7 @@ from pu4spark_spark.sources.lake.maintenance import (
     compact_jsonl_dir,
     describe_history_jsonl_dir,
     evolve_jsonl_schema,
+    purge_jsonl_dir,
     restore_jsonl_dir,
 )
 from pu4spark_spark.sources.lake.protocol import (
@@ -272,6 +273,122 @@ SELECT lang,
 FROM documents
 WHERE doc_id % {PARQUET_MIXED_DELETE_MOD} <> 0
 GROUP BY lang
+"""
+
+
+#: the deletion-vector demo's delete predicate — constant so the
+#: oracle is fixed SQL
+DV_DELETE_MOD = 7
+
+
+def q_fmt_pyds_deletion_vectors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """POSITIONAL DELETION VECTORS (Delta's DVs, VERDICT r13 next #6):
+    documents written half JSONL / half parquet, then
+    ``delete_from_jsonl_dir(..., deletion_vectors=True)`` — ONE
+    distributed position scan records per-shard row-index bitmaps in
+    the manifest, and every later read applies a pure positional MASK
+    (no key files loaded, no per-row membership hash — the plan is the
+    ordinary pruned shard scan, no tombstone replay of any kind).
+    Then ``purge_jsonl_dir`` (REORG ... APPLY (PURGE)) rewrites ONLY
+    the DV-carrying shards, physically reclaiming the rows.  Result =
+    union of the pre-delete time travel (full corpus), the post-DV
+    read, and the post-purge read; the oracle re-derives all three
+    from the parquet truth, so a mask that leaks, over-applies, or is
+    lost by the purge rewrite hash-mismatches.  Stream retraction
+    semantics, the fully-masked-shard skip, and the purge
+    only-rewrites-dv-shards contract are pinned in
+    ``tests/test_lake_dv.py``."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_pyds_dv_{tag}_{os.getpid()}"
+    )
+    register_pyds(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out)
+        .mode("overwrite")
+        .save()
+    )
+    (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out)
+        .option("payload_format", "parquet")
+        .option("base_version", 1)
+        .mode("append")
+        .save()
+    )
+    v = delete_from_jsonl_dir(
+        out,
+        docs.filter(F.col("doc_id") % DV_DELETE_MOD == 0)
+        .select("doc_id")
+        .repartition(2),
+        base_version=2,
+        spark=spark,
+        deletion_vectors=True,
+    )
+    if v != 3:
+        raise AssertionError(f"dv delete committed v{v}, expected v3")
+
+    def agg(df: DataFrame, snap: str) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        ).select(F.lit(snap).alias("snapshot"), "*")
+
+    pre = (
+        spark.read.format("jsonl_docs")
+        .option("path", out)
+        .option("version", 2)
+        .load()
+    )
+    # pinned to v3: the plan is lazy and the purge below commits v4
+    # first — an unpinned read would resolve post-purge and never
+    # exercise the DV mask path this query exists to check
+    post_dv = (
+        spark.read.format("jsonl_docs")
+        .option("path", out)
+        .option("version", 3)
+        .load()
+    )
+    res = agg(pre, "pre").unionByName(agg(post_dv, "dv"))
+    vp = purge_jsonl_dir(spark, out)
+    if vp != 4:
+        raise AssertionError(f"purge committed v{vp}, expected v4")
+    post_purge = (
+        spark.read.format("jsonl_docs").option("path", out).load()
+    )
+    return res.unionByName(agg(post_purge, "purged"))
+
+
+SQL_FMT_PYDS_DELETION_VECTORS = f"""
+SELECT 'pre' AS snapshot, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM documents GROUP BY lang
+UNION ALL
+SELECT 'dv' AS snapshot, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM documents WHERE doc_id % {DV_DELETE_MOD} <> 0 GROUP BY lang
+UNION ALL
+SELECT 'purged' AS snapshot, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM documents WHERE doc_id % {DV_DELETE_MOD} <> 0 GROUP BY lang
 """
 
 
@@ -2389,6 +2506,7 @@ QUERIES = {
     "fmt_pyds_cdf_clone": q_fmt_pyds_cdf_clone,
     "fmt_pyds_parquet_roundtrip": q_fmt_pyds_parquet_roundtrip,
     "fmt_pyds_parquet_mixed": q_fmt_pyds_parquet_mixed,
+    "fmt_pyds_deletion_vectors": q_fmt_pyds_deletion_vectors,
 }
 
 ORACLE_SQL = {
@@ -2397,6 +2515,9 @@ ORACLE_SQL = {
     # mixed jsonl+parquet table, tombstones on both formats, then the
     # jsonl→parquet migration rewrite
     "fmt_pyds_parquet_mixed": SQL_FMT_PYDS_PARQUET_MIXED,
+    # positional deletion vectors: pre-delete travel / post-DV mask /
+    # post-purge physical reclaim all hash-checked
+    "fmt_pyds_deletion_vectors": SQL_FMT_PYDS_DELETION_VECTORS,
     "fmt_pyds_update": SQL_FMT_PYDS_UPDATE,
     "fmt_pyds_column_mapping": SQL_FMT_PYDS_COLUMN_MAPPING,
     "fmt_pyds_type_widening": SQL_FMT_PYDS_TYPE_WIDENING,

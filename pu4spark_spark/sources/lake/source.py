@@ -41,6 +41,7 @@ from pu4spark_spark.sources.lake.protocol import (
     CONSTRAINT_KEY,
     _check_features,
     _stamp_features,
+    _dv_of,
     _compile_constraint,
     _constraints_of,
     _converters_of_ddl,
@@ -1330,6 +1331,15 @@ class JsonlDocsReader(DataSourceReader):
             raise ValueError(
                 "jsonl_docs: pass either 'version' or 'as_of_ts', not both"
             )
+        #: restrict the scan to a NAMED shard subset (internal option —
+        #: the PURGE rewrite reads exactly the DV-carrying shards; a
+        #: whole-table maintenance job must never rescan clean files)
+        sh = options.get("shards")
+        self.only_shards = (
+            {s.strip() for s in sh.split(",") if s.strip()}
+            if sh
+            else None
+        )
         #: doc_id interval implied by pushed-down filters; shards whose
         #: _STATS zonemap can't intersect it are skipped in partitions()
         self._lo: int | None = None
@@ -1719,14 +1729,22 @@ class JsonlDocsReader(DataSourceReader):
             files = _list_shards(self.path)
         else:
             files = sorted(_manifest_files(manifest))
+        if self.only_shards is not None:
+            files = [f for f in files if f in self.only_shards]
         tombs = _tombstones_of(manifest)
+        dvs = _dv_of(manifest)
         parts = []
         for f in self._prune(files):
             # shallow-clone aware: names the clone never localized
             # resolve to the source dir (_base_dir)
             full = _shard_path(self.path, manifest, f)
             ids, kfiles = _tomb_sources_for(f, tombs)
-            if ids or kfiles:
+            dv = dvs.get(f)
+            # a fully-masked shard (every written row deleted by its
+            # DV) contributes nothing — skip the scan entirely
+            if dv and manifest and manifest.get(f) == dv.get("n"):
+                continue
+            if ids or kfiles or dv:
                 parts.append(
                     InputPartition(
                         (
@@ -1736,6 +1754,7 @@ class JsonlDocsReader(DataSourceReader):
                                 _shard_path(self.path, manifest, kf)
                                 for kf in kfiles
                             ),
+                            dv,
                         )
                     )
                 )

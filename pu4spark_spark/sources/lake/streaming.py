@@ -30,6 +30,8 @@ from pu4spark_spark.sources.lake.protocol import (
     SCHEMA_KEY,
     _check_features,
     _converters_of_ddl,
+    _dv_merge,
+    _dv_of,
     _earliest_manifest_version,
     _effective_manifest,
     _effective_schema_ddl,
@@ -249,9 +251,11 @@ class JsonlDocsVersionStreamReader(DataSourceStreamReader):
         # a K-version batch, not 3K
         prev_files: set[str] | None = None
         prev_nents = 0
+        prev_dvn = 0  # deletion-vector row total of the prev commit
         base_dir: str | None = None  # shallow-clone source, if any
         batch_ents: list[dict] = []  # union of ledger entries walked
         ent_seen: set = set()
+        dv_seen: dict[str, dict] = {}  # shard → merged DV over the walk
         for v in range(first, end["version"] + 1):
             with open(
                 os.path.join(self.path, f"_MANIFEST.v{v}"), "rb"
@@ -307,6 +311,8 @@ class JsonlDocsVersionStreamReader(DataSourceStreamReader):
                         )
                 except OSError:
                     skip = False
+            dvs = _dv_of(m)
+            dvn = sum(int(e.get("n", 0)) for e in dvs.values())
             if v == initial:
                 # initial snapshot: each shard keeps its TRUE add
                 # version from the ledger's added-map (default 0 =
@@ -319,10 +325,15 @@ class JsonlDocsVersionStreamReader(DataSourceStreamReader):
             elif not skip:
                 if prev_files is not None:
                     base, base_nents = prev_files, prev_nents
+                    base_dvn = prev_dvn
                 else:
                     pm = _manifest_at(self.path, v - 1)
                     base = set(_manifest_files(pm))
                     base_nents = len(_tombstones_of(pm)["entries"])
+                    base_dvn = sum(
+                        int(e.get("n", 0))
+                        for e in _dv_of(pm).values()
+                    )
                 # a RESTORE (op stamp, plus the unmarked ledger
                 # shrink backstop for hand-edited metadata) cannot be
                 # replayed incrementally: rows it un-deletes were never
@@ -342,20 +353,29 @@ class JsonlDocsVersionStreamReader(DataSourceStreamReader):
                     )
                 if (
                     len(tombs["entries"]) > base_nents
-                    and not self.ignore_deletes
-                ):
+                    or dvn > base_dvn
+                ) and not self.ignore_deletes:
                     raise ValueError(
                         f"jsonl_docs version stream: commit v{v} of "
                         f"{self.path} deleted rows (tombstone ledger "
-                        "grew), which an append-only stream cannot "
-                        "retract.  Pass option('ignore_deletes', "
-                        "'true') to skip removals (merge-added shards "
-                        "still stream), or restart the subscriber from "
-                        "a fresh snapshot."
+                        "or deletion vectors grew), which an "
+                        "append-only stream cannot retract.  Pass "
+                        "option('ignore_deletes', 'true') to skip "
+                        "removals (merge-added shards still stream), "
+                        "or restart the subscriber from a fresh "
+                        "snapshot."
                     )
                 for f in cur - base:
                     out.setdefault(f, v)  # diff shards: added at v
+            # deletion vectors seen across the walk apply to every
+            # delivered shard (deleted-as-of-end rows never enter the
+            # stream — the ledger's union rule, positionally): merged
+            # because DVs only grow between rewrites, and rewrites
+            # (compaction/purge) rename files anyway
+            for f, e in dvs.items():
+                dv_seen[f] = _dv_merge(dv_seen.get(f), e)
             prev_files, prev_nents = cur, len(tombs["entries"])
+            prev_dvn = dvn
         # every ledger entry seen across the walked versions is applied
         # to every delivered shard ADDED BEFORE it ("v > added" — the
         # sequence-number rule): deleted-as-of-end rows never enter the
@@ -379,7 +399,8 @@ class JsonlDocsVersionStreamReader(DataSourceStreamReader):
             ids, kfiles = _tomb_sources_for(
                 f, {"entries": batch_ents}, added_v=av
             )
-            if ids or kfiles:
+            dv = dv_seen.get(f)
+            if ids or kfiles or dv:
                 parts.append(
                     InputPartition(
                         (
@@ -389,6 +410,7 @@ class JsonlDocsVersionStreamReader(DataSourceStreamReader):
                                 _shard_path(self.path, res, kf)
                                 for kf in kfiles
                             ),
+                            dv,
                         )
                     )
                 )
@@ -529,13 +551,16 @@ class JsonlDocsChangeFeedStreamReader(DataSourceStreamReader):
             )
             cur = set(_manifest_files(m))
             tombs = _tombstones_of(m)
+            dvs = _dv_of(m)
+            dvn = sum(int(e.get("n", 0)) for e in dvs.values())
             if v == initial:
                 # initial snapshot: current rows as inserts, the
-                # snapshot's own tombstones applied
+                # snapshot's own tombstones AND deletion vectors applied
                 for f in sorted(cur):
                     ids, kfiles = _tomb_sources_for(
                         f, tombs, added_v=tombs.get("added", {}).get(f, 0)
                     )
+                    dv = dvs.get(f)
                     parts.append(
                         InputPartition(
                             (
@@ -547,8 +572,9 @@ class JsonlDocsChangeFeedStreamReader(DataSourceStreamReader):
                                         _shard_path(self.path, res, kf)
                                         for kf in kfiles
                                     ),
+                                    dv,
                                 )
-                                if (ids or kfiles)
+                                if (ids or kfiles or dv)
                                 else _shard_path(self.path, res, f),
                                 v,
                             )
@@ -556,6 +582,7 @@ class JsonlDocsChangeFeedStreamReader(DataSourceStreamReader):
                     )
                 prev_files = cur
                 prev_nents = len(tombs["entries"])
+                prev_dvn = dvn
                 continue
             skip = False
             try:
@@ -570,6 +597,7 @@ class JsonlDocsChangeFeedStreamReader(DataSourceStreamReader):
             if skip:
                 prev_files = cur
                 prev_nents = len(tombs["entries"])
+                prev_dvn = dvn
                 continue
             cdc_own = m.get(CDC_KEY, {}).get(str(v), [])
             if cdc_own:
@@ -586,14 +614,19 @@ class JsonlDocsChangeFeedStreamReader(DataSourceStreamReader):
                     )
                 prev_files = cur
                 prev_nents = len(tombs["entries"])
+                prev_dvn = dvn
                 continue
             if prev_files is not None:
                 base = prev_files
                 base_nents = prev_nents
+                base_dvn = prev_dvn
             else:
                 pm = _manifest_at(self.path, v - 1)
                 base = set(_manifest_files(pm))
                 base_nents = len(_tombstones_of(pm)["entries"])
+                base_dvn = sum(
+                    int(e.get("n", 0)) for e in _dv_of(pm).values()
+                )
             if (
                 m.get(OP_KEY) == "restore"
                 or len(tombs["entries"]) < base_nents
@@ -605,14 +638,14 @@ class JsonlDocsChangeFeedStreamReader(DataSourceStreamReader):
                     "cannot be replayed incrementally; restart the "
                     "subscriber from a fresh snapshot."
                 )
-            if len(tombs["entries"]) > base_nents:
+            if len(tombs["entries"]) > base_nents or dvn > base_dvn:
                 raise ValueError(
                     f"jsonl_docs change feed: commit v{v} of "
-                    f"{self.path} deleted or replaced rows but carries "
-                    "no CDC files — its pre-images cannot be streamed. "
-                    "Run DELETE/MERGE with cdf=True on tables that "
-                    "feed a change stream, or restart from a fresh "
-                    "snapshot."
+                    f"{self.path} deleted or replaced rows (ledger or "
+                    "deletion vectors grew) but carries no CDC files "
+                    "— its pre-images cannot be streamed.  Run "
+                    "DELETE/MERGE with cdf=True on tables that feed a "
+                    "change stream, or restart from a fresh snapshot."
                 )
             for f in sorted(cur - base):
                 parts.append(
@@ -622,6 +655,7 @@ class JsonlDocsChangeFeedStreamReader(DataSourceStreamReader):
                 )
             prev_files = cur
             prev_nents = len(tombs["entries"])
+            prev_dvn = dvn
         return parts
 
     def read(self, partition):
