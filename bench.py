@@ -587,7 +587,21 @@ def main() -> None:
     per_query: dict[str, float] = {}
     reruns: dict[str, list[float]] = {}
     r1_conv: dict[str, float] = {}
-    for name in HEADLINE:
+    # POSITION-BIAS instrumentation (VERDICT r13 what's wrong #2): the
+    # pre/post calibration pair showed the host ~3.5x slower at bench
+    # START than end in r13, so early-position queries carried
+    # inflated numbers that the rerun guard then flagged as
+    # "suspicious".  Interleave the frozen workload probe every 60
+    # queries: cross-round reads can now normalize each query by the
+    # calibration checkpoint NEAREST ITS POSITION instead of one
+    # run-wide yardstick, and intra-run drift is directly readable.
+    # Cost: ~5 probes x best-of-2 x 3 frozen queries ≈ 10 s per run.
+    calib_checkpoints: dict[str, float] = {}
+    for pos, name in enumerate(HEADLINE):
+        if pos % 60 == 0:
+            calib_checkpoints[str(pos)] = calibrate_workload(spark)[
+                "calib_workload_sec"
+            ]
         # warm THIS query at the smallest sf immediately before its
         # measured run: absorbs per-plan JIT (a fixed cost, not a
         # per-data one) AND keeps Spark's Python worker pool alive —
@@ -653,6 +667,11 @@ def main() -> None:
         # queries re-measured because the first run exceeded 1.5× the
         # prior round's value: [first, second]; recorded value = min
         "suspicious_reruns": reruns,
+        # frozen-probe seconds at headline positions 0, 60, 120, … —
+        # normalize a query by the checkpoint nearest its position
+        # (kills the early-run-slow-host bias the single pre/post pair
+        # could only bound)
+        "calib_workload_checkpoints": calib_checkpoints,
         # VERDICT r10 #3 adjudication of the two r10 suspicious rows,
         # reproduced on a quiet host (warmup→measure→3 reruns):
         # fmt_file_metadata_audit probes 2.6-3.6 s steady-state; its
@@ -700,6 +719,15 @@ def main() -> None:
             "grouping_sets_orders": "sub-second query, isolated "
             "0.33-0.46s vs 0.93 in-run: position-dependent context "
             "noise, not code",
+            # VERDICT r13 what's wrong #2: the one r13 suspicious rerun
+            # without an entry
+            "dedup_cluster_quality": "host-position covariance: the "
+            "r13 7.52->10.31 first-run sits in the window where the "
+            "frozen probe read 1.907s pre vs 0.553s post (host ~3.5x "
+            "slower early-run); min-of-2 guard kept the lower value; "
+            "dedup.py unchanged in r13 — the r14 per-60-query "
+            "calibration checkpoints make this class of drift "
+            "directly attributable",
         },
         # write-once artifact builds (setup, NOT in any query's time):
         # per-builder seconds, so probe-path regressions can't hide

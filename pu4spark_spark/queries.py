@@ -76,23 +76,26 @@ if missing:
 #: committed full-registry self-check (``tools/check_oracle.py`` →
 #: ``CORRECTNESS_FULL_r0N``).
 DRIVER_FIRST = [
-    # Round-13 rotation (tools/rotation.py: after CORRECTNESS_r12 the
-    # only never-witnessed entries are the three r13 additions).
-    # r14 PLAN: once the driver writes CORRECTNESS_r13.json, re-run
+    # Round-14 rotation (tools/rotation.py after CORRECTNESS_r13: the
+    # only never-witnessed entries are the three r14 additions).
+    # r15 PLAN: once the driver writes CORRECTNESS_r14.json, re-run
     # tools/rotation.py — the only never-witnessed entries should be
-    # whatever r14 itself adds; fill the rest with re-verification of
-    # whatever code r14 touches.  Window = (A) the 3 r13-NEW queries
-    # (multi-column zonemap pruning; the streaming sink into a
-    # column-mapped table — the r12 ADVICE high fix; batch CDF across
-    # a shallow-clone commit — the ADVICE medium fix); (B)
-    # re-verification of every lake query: r13 touched the reader
-    # (multi-col pushdown), both writers (_cols stats + the sink's
-    # physical-key/_json_cell/_schema fixes), CDF derivation
-    # (grafted-ledger filtering), and maintenance (restore/clone
-    # vacuum-race protection, compaction stats merge); (C) the two
-    # queries moved off the deprecated PandasUDFType API; (D)
-    # cheapest already-witnessed fillers.
-    # -- A: the 7 r13-new queries ------------------------------------------
+    # whatever r15 itself adds; fill the rest with re-verification of
+    # whatever code r15 touches.  Window = (A) the 3 r14-NEW queries
+    # (columnar parquet shard payloads — roundtrip and the
+    # mixed-format + migration path — and positional deletion vectors
+    # with the REORG purge); (B) re-verification of EVERY lake query:
+    # r14 touched the reader (format dispatch, shard-subset option,
+    # DV masks, feature gate), both writers (parquet staging, schema
+    # recording, feature stamps, bloom buffer), every stream reader
+    # (rate-floor seeding, DV retraction, format dispatch), DML
+    # (DV delete), and maintenance (zorder quantile fusion, bloom
+    # rebuild, purge, feature carry); (C) cheapest witnessed fillers.
+    # -- A: the 3 r14-new queries ------------------------------------------
+    "fmt_pyds_parquet_roundtrip",
+    "fmt_pyds_parquet_mixed",
+    "fmt_pyds_deletion_vectors",
+    # -- B: re-verification of the r14-touched lake surface ----------------
     "fmt_pyds_multicol_pruning",
     "streaming_pyds_sink_mapped",
     "streaming_pyds_sink_partitioned",
@@ -100,7 +103,6 @@ DRIVER_FIRST = [
     "fmt_pyds_zorder_compaction",
     "fmt_pyds_nullcount_pruning",
     "fmt_pyds_bloom_pruning",
-    # -- B: re-verification of the r13-touched lake surface ----------------
     "fmt_pyds_constraints",
     "fmt_pyds_schema_evolution",
     "fmt_pyds_sql_surface",
@@ -132,10 +134,7 @@ DRIVER_FIRST = [
     "streaming_pyds_delete_feed",
     "streaming_pyds_lake_sink",
     "streaming_pyds_rate_limited",
-    # -- C: the PandasUDFType → type-hint migration re-witnesses -----------
-    "text_lang_quality_median_pandas",
-    "fmt_file_metadata_audit",
-    # -- D: cheapest witnessed fillers (sf0.1 bench sec ascending) ---------
+    # -- C: cheapest witnessed fillers (sf0.1 bench sec ascending) ---------
     "pu_label_index",                  # 0.091
     "pu_relabel_keep",                 # 0.101
     "sql_parts_by_brand",              # 0.117
@@ -145,7 +144,6 @@ DRIVER_FIRST = [
     "text_length_histogram",           # 0.137
     "customer_running_spend",          # 0.171
     "pu_iteration_stats",              # 0.171
-    "curation_epoch_shuffle",          # 0.172
 ]
 
 

@@ -142,6 +142,10 @@ REPS = [
     "fmt_pyds_nullcount_pruning",  # null-count stats write + pruned read
     "streaming_pyds_sink_partitioned",  # partitioned stream sink drain
     "fmt_pyds_bloom_pruning",    # bloom index write + point lookup
+    # r14 additions: columnar payload + deletion vectors
+    "fmt_pyds_parquet_roundtrip",  # parquet shards, RecordBatch read
+    "fmt_pyds_parquet_mixed",    # mixed payload + delete + migration
+    "fmt_pyds_deletion_vectors",  # DV position scan + mask + purge
 ]
 
 #: reps whose FIRST run at an sf builds a persistent build-once layout
