@@ -1546,6 +1546,17 @@ def describe_detail_jsonl_dir(spark: SparkSession, path: str) -> DataFrame:
             size += os.path.getsize(_shard_path(path, m, f))
         except OSError:
             pass
+    dvs = _dv_of(m)
+    exts = {f.rsplit(".", 1)[-1] for f in files}
+    payload = (
+        "none"
+        if not exts
+        else "parquet"
+        if exts == {"parquet"}
+        else "mixed"
+        if "parquet" in exts
+        else "jsonl"
+    )
     row = (
         "jsonl_docs",
         v,
@@ -1559,6 +1570,10 @@ def describe_detail_jsonl_dir(spark: SparkSession, path: str) -> DataFrame:
         len(_tombstones_of(m)["entries"]),
         BASE_DIR_KEY in m,
         m.get(OP_KEY, "unknown"),
+        payload,
+        len(dvs),
+        sum(int(e.get("n", 0)) for e in dvs.values()),
+        ",".join(m.get(FEATURES_KEY, [])),
     )
     return spark.createDataFrame(
         [row],
@@ -1566,5 +1581,6 @@ def describe_detail_jsonl_dir(spark: SparkSession, path: str) -> DataFrame:
         "num_files bigint, num_rows_written bigint, size_bytes bigint, "
         "schema string, has_column_mapping boolean, n_constraints bigint, "
         "n_tombstone_entries bigint, is_shallow_clone boolean, "
-        "last_operation string",
+        "last_operation string, payload string, n_dv_shards bigint, "
+        "n_dv_rows bigint, table_features string",
     )

@@ -961,12 +961,10 @@ def _dv_pack(positions, size: int) -> dict:
 
 
 def _dv_buf(entry: dict) -> bytes:
-    """Decode a DV entry's bitset (positions beyond its length are
-    live — a malformed entry decodes empty, which never drops a row
-    it shouldn't... deletion UNDER-application is the safe failure
-    direction here because the ledger/readers re-check nothing; so a
-    malformed entry instead raises loudly rather than silently
-    resurrecting deleted rows)."""
+    """Decode a DV entry's bitset.  Positions beyond its length are
+    LIVE; a malformed entry raises loudly (unlike the advisory stats,
+    a deletion vector is correctness-bearing — silently treating a
+    corrupt bitmap as empty would resurrect deleted rows)."""
     import base64
     import zlib
 

@@ -4469,15 +4469,21 @@ def test_describe_detail(spark, tmp_path):
     assert r["n_tombstone_entries"] == 1
     assert r["is_shallow_clone"] is False
     assert r["last_operation"] == "add-constraint"
+    assert r["payload"] == "jsonl"
+    assert r["n_dv_shards"] == 0 and r["n_dv_rows"] == 0
+    assert "column-mapping" in r["table_features"]
+    assert "check-constraints" in r["table_features"]
 
 
 def test_version_stream_rate_limit(spark, tmp_path):
     """max_versions_per_trigger (Delta's maxFilesPerTrigger,
-    commit-granular): steady-state microbatches advance at most N
-    versions; the first trigger of a reader instance is unbounded
-    (covers the checkpoint gap); the bounded latestOffset can never
-    regress an offset; all rows arrive exactly once across the
-    triggers."""
+    commit-granular): microbatches advance at most N versions — a
+    FRESH stream is bounded from its very first trigger (r14: the
+    floor seeds in initialOffset, which only a fresh stream calls; a
+    checkpoint RESTART's first trigger stays unbounded because the
+    Python API's latestOffset carries no start offset); the bounded
+    latestOffset can never regress an offset; all rows arrive exactly
+    once across the triggers."""
     import pytest as _pytest
 
     from pu4spark_spark.sources import pydatasource as P
@@ -4518,10 +4524,17 @@ def test_version_stream_rate_limit(spark, tmp_path):
         rdr.commit(end)
         ends.append(end["version"])
         off = end
-    # first trigger unbounded (fresh reader: floor unset) -> jumps to
-    # latest=5... no: floor unset means UNBOUNDED first batch
-    assert ends[0] == 5 and len(ends) == 1
+    # FRESH stream: initialOffset seeded the floor, so every trigger —
+    # including the first — advances at most one version
+    assert ends == [2, 3, 4, 5], ends
     assert sorted(seen) == [(1, 5), (2, 5), (3, 5), (4, 5)]
+    # RESTART simulation (no initialOffset call): first trigger is
+    # unbounded — the documented Python-API limitation
+    rdr_r = JsonlDocsVersionStreamReader(
+        {"path": out, "starting_version": "2",
+         "max_versions_per_trigger": "1"}
+    )
+    assert rdr_r.latestOffset() == {"version": 5}
 
     # steady state: once the floor is set, each trigger advances by 1
     rdr2 = JsonlDocsVersionStreamReader(
