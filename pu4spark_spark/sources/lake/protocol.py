@@ -452,11 +452,73 @@ def _unpack_shard_value(value):
     return path, drop, dv
 
 
-def _iter_parquet_rows(value, fields: tuple[str, ...], convs=None):
+def _parquet_row_groups(pf, bounds: dict | None):
+    """``[(row_group_index, start_row_offset)]`` surviving the pushed
+    NUMERIC bounds against the parquet FOOTER's per-row-group min/max
+    — data skipping one level below the shard zonemap (parquet's own
+    statistics, the row-group skip every native reader performs).
+    Sound by construction: a group is dropped only when a bounded
+    column's recorded [min, max] provably cannot intersect; groups
+    without stats, non-numeric stats (string min/max may be
+    writer-truncated), NaN stats, or incomparable types always
+    survive, and Spark re-applies every filter anyway.  The start
+    offset keeps deletion-vector positions exact across skipped
+    groups."""
+    md = pf.metadata
+    n = md.num_row_groups
+    if not bounds or n <= 1:
+        out, start = [], 0
+        for rg in range(n):
+            out.append((rg, start))
+            start += md.row_group(rg).num_rows
+        return out
+    colidx = {
+        md.schema.column(i).path: i for i in range(md.num_columns)
+    }
+    out = []
+    start = 0
+    for rg in range(n):
+        g = md.row_group(rg)
+        keep = True
+        for col, (lo, hi) in bounds.items():
+            i = colidx.get(col)
+            if i is None:
+                continue
+            try:
+                st = g.column(i).statistics
+            except Exception:
+                continue
+            if st is None or not st.has_min_max:
+                continue
+            mn, mx = st.min, st.max
+            if not all(
+                isinstance(x, (int, float)) and not isinstance(x, bool)
+                for x in (mn, mx)
+            ) or mn != mn or mx != mx:
+                continue
+            try:
+                if (hi is not None and mn > hi) or (
+                    lo is not None and mx < lo
+                ):
+                    keep = False
+                    break
+            except TypeError:
+                continue
+        if keep:
+            out.append((rg, start))
+        start += g.num_rows
+    return out
+
+
+def _iter_parquet_rows(
+    value, fields: tuple[str, ...], convs=None, rg_bounds: dict | None = None
+):
     """Row-tuple scan of one PARQUET shard — the executor-side twin of
     :func:`_iter_jsonl` for columnar payloads: reads ONLY the columns
     in ``fields`` (plus doc_id when tombstones apply — columnar
-    projection is the payload's point), null-extends columns the shard
+    projection is the payload's point), skips row groups the pushed
+    bounds prove empty (``rg_bounds``, physical-named —
+    :func:`_parquet_row_groups`), null-extends columns the shard
     predates (schema evolution), applies tombstones by doc_id.
     ``convs`` is reused verbatim: parquet cells arrive already typed
     (Decimal / datetime / bytes), which every converter passes
@@ -471,34 +533,43 @@ def _iter_parquet_rows(value, fields: tuple[str, ...], convs=None):
     if need_doc and "doc_id" not in read_cols:
         read_cols = read_cols + ["doc_id"]
     cv = convs or (None,) * len(fields)
-    pos = 0  # global parsed-row position for the DV mask
     try:
-        for batch in pf.iter_batches(columns=read_cols, batch_size=8192):
-            d = batch.to_pydict()
-            docs = d.get("doc_id") if drop is not None else None
-            cols = [d.get(c) for c in fields]
-            for i in range(batch.num_rows):
-                gi = pos + i
-                if dv is not None and _dv_test(dv, gi):
-                    continue
-                if docs is not None and docs[i] in drop:
-                    continue
-                yield tuple(
-                    (c(col[i]) if c else col[i]) if col is not None else None
-                    for col, c in zip(cols, cv)
-                )
-            pos += batch.num_rows
+        for rg, start in _parquet_row_groups(pf, rg_bounds):
+            pos = start  # global parsed-row position for the DV mask
+            for batch in pf.iter_batches(
+                row_groups=[rg], columns=read_cols, batch_size=8192
+            ):
+                d = batch.to_pydict()
+                docs = d.get("doc_id") if drop is not None else None
+                cols = [d.get(c) for c in fields]
+                for i in range(batch.num_rows):
+                    gi = pos + i
+                    if dv is not None and _dv_test(dv, gi):
+                        continue
+                    if docs is not None and docs[i] in drop:
+                        continue
+                    yield tuple(
+                        (c(col[i]) if c else col[i])
+                        if col is not None
+                        else None
+                        for col, c in zip(cols, cv)
+                    )
+                pos += batch.num_rows
     finally:
         pf.close()
 
 
-def _iter_parquet_batches(value, fields: tuple[str, ...], target):
+def _iter_parquet_batches(
+    value, fields: tuple[str, ...], target, rg_bounds: dict | None = None
+):
     """Columnar scan of one PARQUET shard yielding ``RecordBatch``es
     cast to the declared schema — the zero-per-row path (Spark's
     Python-DataSource worker streams yielded batches straight into the
     Arrow channel, skipping tuple conversion entirely).  ``fields``
     are the shard's PHYSICAL column names, ``target`` the LOGICAL
-    ``pyarrow.Schema`` aligned with them.  Tombstones are applied as a
+    ``pyarrow.Schema`` aligned with them; ``rg_bounds`` skips row
+    groups the pushed bounds prove empty
+    (:func:`_parquet_row_groups`).  Tombstones are applied as a
     vectorized anti-membership filter on doc_id (NULL doc_id rows are
     kept — a NULL key is never in a tombstone set, matching the JSONL
     reader); missing columns null-extend; narrower on-disk types
@@ -515,48 +586,51 @@ def _iter_parquet_batches(value, fields: tuple[str, ...], target):
     if need_doc and "doc_id" not in read_cols:
         read_cols = read_cols + ["doc_id"]
     drop_arr = pa.array(sorted(drop)) if drop else None
-    pos = 0  # global parsed-row position for the DV mask
-    try:
-        for batch in pf.iter_batches(
-            columns=read_cols, batch_size=65536
-        ):
-            if dv is not None:
-                # vectorized positional mask: unpack the bitset slice
-                # covering this batch (bit i of the shard = row i)
-                import numpy as np
+    def _emit(batch, pos):
+        if dv is not None:
+            # vectorized positional mask: unpack the bitset slice
+            # covering this batch (bit i of the shard = row i)
+            import numpy as np
 
-                nrows = batch.num_rows
-                bits = np.unpackbits(
-                    np.frombuffer(dv, dtype=np.uint8), bitorder="little"
+            nrows = batch.num_rows
+            bits = np.unpackbits(
+                np.frombuffer(dv, dtype=np.uint8), bitorder="little"
+            )
+            seg = bits[pos : pos + nrows]
+            if len(seg) < nrows:
+                seg = np.concatenate(
+                    [seg, np.zeros(nrows - len(seg), dtype=np.uint8)]
                 )
-                seg = bits[pos : pos + nrows]
-                if len(seg) < nrows:
-                    seg = np.concatenate(
-                        [seg, np.zeros(nrows - len(seg), dtype=np.uint8)]
-                    )
-                pos += nrows
-                batch = batch.filter(pa.array(seg == 0))
-            if drop_arr is not None and "doc_id" in batch.schema.names:
-                keep = pc.fill_null(
-                    pc.invert(
-                        pc.is_in(
-                            batch.column("doc_id"), value_set=drop_arr
-                        )
-                    ),
-                    True,
-                )
-                batch = batch.filter(keep)
-            names = set(batch.schema.names)
-            arrays = []
-            for phys, field in zip(fields, target):
-                if phys in names:
-                    col = batch.column(phys)
-                    if col.type != field.type:
-                        col = pc.cast(col, field.type)
-                else:
-                    col = pa.nulls(batch.num_rows, type=field.type)
-                arrays.append(col)
-            yield pa.RecordBatch.from_arrays(arrays, schema=target)
+            batch = batch.filter(pa.array(seg == 0))
+        if drop_arr is not None and "doc_id" in batch.schema.names:
+            keep = pc.fill_null(
+                pc.invert(
+                    pc.is_in(batch.column("doc_id"), value_set=drop_arr)
+                ),
+                True,
+            )
+            batch = batch.filter(keep)
+        names = set(batch.schema.names)
+        arrays = []
+        for phys, field in zip(fields, target):
+            if phys in names:
+                col = batch.column(phys)
+                if col.type != field.type:
+                    col = pc.cast(col, field.type)
+            else:
+                col = pa.nulls(batch.num_rows, type=field.type)
+            arrays.append(col)
+        return pa.RecordBatch.from_arrays(arrays, schema=target)
+
+    try:
+        for rg, start in _parquet_row_groups(pf, rg_bounds):
+            pos = start  # global parsed-row position for the DV mask
+            for batch in pf.iter_batches(
+                row_groups=[rg], columns=read_cols, batch_size=65536
+            ):
+                n = batch.num_rows
+                yield _emit(batch, pos)
+                pos += n
     finally:
         pf.close()
 

@@ -1784,13 +1784,27 @@ class JsonlDocsReader(DataSourceReader):
                 _iter_parquet_rows,
             )
 
+            # ROW-GROUP skipping inside the surviving shard: the
+            # pushed bounds (already shard-pruned against _STATS)
+            # re-test each row group's parquet footer min/max — the
+            # reader object is pickled to the executor with its
+            # pushdown state, so this costs no extra plumbing.
+            # Physical names: footer columns are the shard's keys.
+            rgb = {}
+            if self._lo is not None or self._hi is not None:
+                rgb["doc_id"] = (self._lo, self._hi)
+            for col, (lo, hi) in self._col_rng.items():
+                if lo is not None or hi is not None:
+                    rgb[self._cmap.get(col, col)] = (lo, hi)
             if self._pa_target is not None:
                 yield from _iter_parquet_batches(
-                    value, self.phys_fields, self._pa_target
+                    value, self.phys_fields, self._pa_target,
+                    rg_bounds=rgb or None,
                 )
             else:
                 yield from _iter_parquet_rows(
-                    value, self.phys_fields, self.convs
+                    value, self.phys_fields, self.convs,
+                    rg_bounds=rgb or None,
                 )
             return
         yield from _iter_jsonl(
