@@ -834,12 +834,29 @@ def purge_jsonl_dir(
         .option("path", stage)
     )
     # preserve the purged shards' payload format; keep writing the
-    # table's physical keys (same invariants as compaction's rewrite)
+    # table's physical keys; rebuild any bloom index the purged shards
+    # carried (same invariants as compaction's rewrite)
     if all(f.endswith(".parquet") for f in purged):
         w = w.option("payload_format", "parquet")
     mapping = _mapping_of(m)
     if mapping:
         w = w.option("physical_map", _json.dumps(mapping))
+    stats_path = os.path.join(path, "_STATS")
+    if os.path.exists(stats_path):
+        with open(stats_path) as fh:
+            _pre_bloom = _json.load(fh).get("_bloom", {})
+        bloom_phys = set()
+        for f in purged:
+            bloom_phys.update(_pre_bloom.get(f, {}))
+        if bloom_phys:
+            p2l = {p: l for l, p in mapping.items()}
+            bl = sorted(
+                p2l.get(p, p)
+                for p in bloom_phys
+                if p2l.get(p, p) in before.columns
+            )
+            if bl:
+                w = w.option("bloom_filter_columns", ",".join(bl))
     w.mode("overwrite").save()
     with open(os.path.join(stage, "_MANIFEST")) as fh:
         staged = {

@@ -233,3 +233,31 @@ def test_clone_carries_deletion_vectors(spark, tmp_path):
     assert sorted(r["doc_id"] for r in back.collect()) == [
         i for i in range(20) if i != 3
     ]
+
+
+def test_purge_rebuilds_blooms(spark, tmp_path):
+    """PURGE carries the bloom index across its rewrite like
+    compaction does — rewritten shards get fresh blooms for columns
+    the purged shards had indexed."""
+    out = str(tmp_path / "pb")
+    P.register_pyds(spark)
+    rows = [(i, f"d{i}", "en", "s", i) for i in range(40)]
+    spark.createDataFrame(rows, DDL).coalesce(2).write.format(
+        "jsonl_docs"
+    ).option("path", out).option(
+        "bloom_filter_columns", "doc_id"
+    ).mode("overwrite").save()
+    P.delete_from_jsonl_dir(out, [3], spark=spark, deletion_vectors=True)
+    v = P.purge_jsonl_dir(spark, out)
+    with open(os.path.join(out, f"_MANIFEST.v{v}")) as fh:
+        m = json.load(fh)
+    new_files = [f for f in m if not f.startswith("_")]
+    with open(os.path.join(out, "_STATS")) as fh:
+        bloom = json.load(fh).get("_bloom", {})
+    # the DV'd (hence rewritten) shard's replacement carries a bloom;
+    # untouched shards keep their original entries
+    rebuilt = [f for f in new_files if f in bloom]
+    assert rebuilt, "purge dropped the bloom index"
+    r = JsonlDocsReader({"path": out})
+    r._eq_sets = {"doc_id": [{999_999}]}
+    assert len(r.partitions()) == 0
