@@ -91,9 +91,10 @@ DRIVER_FIRST = [
     # (rate-floor seeding, DV retraction, format dispatch), DML
     # (DV delete), and maintenance (zorder quantile fusion, bloom
     # rebuild, purge, feature carry); (C) cheapest witnessed fillers.
-    # -- A: the 3 r14-new queries ------------------------------------------
+    # -- A: the 4 r14-new queries ------------------------------------------
     "fmt_pyds_parquet_roundtrip",
     "fmt_pyds_parquet_mixed",
+    "fmt_pyds_parquet_projection",
     "fmt_pyds_deletion_vectors",
     # -- B: re-verification of the r14-touched lake surface ----------------
     "fmt_pyds_multicol_pruning",
@@ -143,7 +144,6 @@ DRIVER_FIRST = [
     "pu_binarize_traditional",         # 0.134
     "text_length_histogram",           # 0.137
     "customer_running_spend",          # 0.171
-    "pu_iteration_stats",              # 0.171
 ]
 
 

@@ -822,6 +822,32 @@ def _effective_schema_ddl(options) -> str:
     return _effective_manifest(options).get(SCHEMA_KEY, DOCS_DDL)
 
 
+def _project_ddl(ddl: str, columns: str | None) -> str:
+    """Apply the reader's ``columns`` option (comma list) to a table
+    DDL — COLUMN PROJECTION AT THE SOURCE.  Spark 4.1's Python
+    DataSource API has no Catalyst column pruning (the scan always
+    requests the full declared schema), so narrowing must be declared
+    here: the source then SERVES only these columns, and the parquet
+    payload reads only their pages — at 100 TB the difference between
+    scanning 2 columns and 30.  Unknown names fail loudly; the listed
+    order is the served order."""
+    if not columns:
+        return ddl
+    want = [c.strip() for c in columns.split(",") if c.strip()]
+    typed = dict(_typed_fields_of_ddl(ddl))
+    unknown = [c for c in want if c not in typed]
+    if unknown:
+        raise ValueError(
+            f"jsonl_docs: option('columns') names unknown columns "
+            f"{unknown} — table schema is ({ddl})"
+        )
+    if len(set(want)) != len(want):
+        raise ValueError(
+            "jsonl_docs: option('columns') lists a column twice"
+        )
+    return ", ".join(f"{c} {typed[c]}" for c in want)
+
+
 #: reserved manifest key holding the table's COLUMN MAPPING —
 #: Delta's columnMapping (name mode): ``{"map": {logical: physical},
 #: "retired": [physical, ...]}``.  Shard JSON keys are PHYSICAL names;

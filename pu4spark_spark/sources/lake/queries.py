@@ -197,6 +197,57 @@ GROUP BY lang
 """
 
 
+def q_fmt_pyds_parquet_projection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SOURCE-LEVEL COLUMN PROJECTION over the columnar payload:
+    Spark 4.1's Python DataSource API has no Catalyst column pruning
+    (the scan always requests the declared schema), so the projection
+    is declared at the source — ``option("columns", "lang,n_chars")``
+    narrows the SERVED schema and the parquet payload reads only
+    those columns' pages (SCALING.md §payload: the 100 TB lever).
+    The oracle aggregates the same two columns from the parquet
+    truth, so a projection that reorders, drops, or misbinds columns
+    hash-mismatches."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_pyds_pj_{tag}_{os.getpid()}"
+    )
+    register_pyds(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    (
+        docs.repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out)
+        .option("payload_format", "parquet")
+        .mode("overwrite")
+        .save()
+    )
+    back = (
+        spark.read.format("jsonl_docs")
+        .option("path", out)
+        .option("columns", "lang,n_chars")
+        .load()
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.avg("n_chars").alias("avg_chars"),
+    )
+
+
+SQL_FMT_PYDS_PARQUET_PROJECTION = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       AVG(n_chars) AS avg_chars
+FROM documents
+GROUP BY lang
+"""
+
+
 #: the mixed-payload demo's delete predicate — constant so the oracle
 #: is fixed SQL
 PARQUET_MIXED_DELETE_MOD = 9
@@ -2506,6 +2557,7 @@ QUERIES = {
     "fmt_pyds_cdf_clone": q_fmt_pyds_cdf_clone,
     "fmt_pyds_parquet_roundtrip": q_fmt_pyds_parquet_roundtrip,
     "fmt_pyds_parquet_mixed": q_fmt_pyds_parquet_mixed,
+    "fmt_pyds_parquet_projection": q_fmt_pyds_parquet_projection,
     "fmt_pyds_deletion_vectors": q_fmt_pyds_deletion_vectors,
 }
 
@@ -2515,6 +2567,8 @@ ORACLE_SQL = {
     # mixed jsonl+parquet table, tombstones on both formats, then the
     # jsonl→parquet migration rewrite
     "fmt_pyds_parquet_mixed": SQL_FMT_PYDS_PARQUET_MIXED,
+    # source-level column projection (option('columns')) off parquet
+    "fmt_pyds_parquet_projection": SQL_FMT_PYDS_PARQUET_PROJECTION,
     # positional deletion vectors: pre-delete travel / post-DV mask /
     # post-purge physical reclaim all hash-checked
     "fmt_pyds_deletion_vectors": SQL_FMT_PYDS_DELETION_VECTORS,

@@ -56,6 +56,7 @@ from pu4spark_spark.sources.lake.protocol import (
     _manifest_files,
     _mapping_of,
     _physical_fields,
+    _project_ddl,
     _shard_path,
     _tomb_sources_for,
     _tombstones_of,
@@ -84,11 +85,21 @@ class JsonlDocsDataSource(DataSource):
         # manifest (honoring version / as_of_ts pins) and serve its
         # recorded ``_schema``, so time travel to a pre-evolution
         # version reads the OLD shape.  Legacy / manifest-less
-        # directories serve the documents DDL.
+        # directories serve the documents DDL.  option("columns")
+        # projects the served schema at the source (_project_ddl —
+        # the Python DS API has no Catalyst column pruning).
         ddl = _effective_schema_ddl(self.options)
         if self.options.get("read_change_feed", "").lower() == "true":
+            if self.options.get("columns"):
+                raise ValueError(
+                    "jsonl_docs: option('columns') is a batch-read "
+                    "projection; the change feed serves its full "
+                    "typed-change schema"
+                )
             # the change-feed stream's rows carry the CDF tags
             ddl += ", _change_type string, _commit_version bigint"
+        else:
+            ddl = _project_ddl(ddl, self.options.get("columns"))
         return ddl
 
     def reader(self, schema) -> "JsonlDocsReader":
@@ -109,6 +120,15 @@ class JsonlDocsDataSource(DataSource):
         return JsonlDocsReader(self.options)
 
     def streamReader(self, schema) -> "DataSourceStreamReader":
+        if self.options.get("columns"):
+            # a stream's row shape is fixed at start and checked
+            # against each commit's schema (prefix rule) — a projected
+            # shape would break that contract silently; project with
+            # select() on the stream instead
+            raise ValueError(
+                "jsonl_docs: option('columns') is a batch-read "
+                "projection; use select() on the stream"
+            )
         if self.options.get("read_change_feed", "").lower() == "true":
             return JsonlDocsChangeFeedStreamReader(self.options)
         if self.options.get("versioned", "").lower() == "true":
@@ -1379,7 +1399,11 @@ class JsonlDocsReader(DataSourceReader):
         # required feature must refuse the table at PLAN time, never
         # silently misread it (Delta's minReaderVersion semantics)
         _check_features(_m)
-        _ddl = _m.get(SCHEMA_KEY, DOCS_DDL)
+        # option("columns"): source-level projection — MUST mirror
+        # schema() exactly (the scan's declared schema is this list)
+        _ddl = _project_ddl(
+            _m.get(SCHEMA_KEY, DOCS_DDL), options.get("columns")
+        )
         self.fields = _fields_of_ddl(_ddl)
         #: logical→physical mapping of the pinned commit — _prune
         #: translates pushed (logical) column names through it before

@@ -458,3 +458,52 @@ def test_parquet_row_group_pruning(spark, tmp_path):
         .load().filter("doc_id >= 390").collect()
     )
     assert got == [390, 391, 392, 393, 394, 396, 397, 398, 399]
+
+
+def test_columns_option_source_projection(spark, tmp_path):
+    """option('columns'): source-level projection (the Python DS API
+    has no Catalyst column pruning, so narrowing must narrow the
+    DECLARED schema) — served columns and order match the list,
+    tombstones/DVs still apply (doc_id rides internally even when
+    unprojected), unknown names fail loudly, streams refuse it."""
+    P.register_pyds(spark)
+    out = str(tmp_path / "cols")
+    rows = [(i, f"d{i}", "en", "s", i) for i in range(30)]
+    _write(spark, rows, DDL, out, parts=1)
+    df = (
+        spark.read.format("jsonl_docs")
+        .option("path", out)
+        .option("columns", "n_chars,doc_id")
+        .load()
+    )
+    assert df.columns == ["n_chars", "doc_id"]
+    assert sorted((r["doc_id"], r["n_chars"]) for r in df.collect()) == [
+        (i, i) for i in range(30)
+    ]
+    P.delete_from_jsonl_dir(out, [3])  # ledger tombstone
+    P.delete_from_jsonl_dir(out, [4], spark=spark, deletion_vectors=True)
+    got = sorted(
+        r["n_chars"]
+        for r in spark.read.format("jsonl_docs").option("path", out)
+        .option("columns", "n_chars").load().collect()
+    )
+    assert got == [i for i in range(30) if i not in (3, 4)]
+    with pytest.raises(Exception, match="unknown columns"):
+        spark.read.format("jsonl_docs").option("path", out).option(
+            "columns", "nope"
+        ).load().collect()
+    # a stream with the option fails loudly when it starts
+    s = (
+        spark.readStream.format("jsonl_docs")
+        .option("path", out)
+        .option("columns", "n_chars")
+        .load()
+    )
+    q = (
+        s.writeStream.format("memory")
+        .queryName("cols_refused")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="batch-read projection"):
+        q.awaitTermination(60)

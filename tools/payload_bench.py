@@ -63,11 +63,14 @@ def main() -> None:
         )
 
     def timed(fmt: str, narrow: bool) -> float:
-        df = (
-            spark.read.format("jsonl_docs")
-            .option("path", dirs[fmt])
-            .load()
-        )
+        r = spark.read.format("jsonl_docs").option("path", dirs[fmt])
+        if narrow:
+            # Spark 4.1's Python DataSource API has no Catalyst column
+            # pruning, so projection must be declared at the SOURCE:
+            # option("columns") narrows the served schema itself — the
+            # parquet payload then reads only those columns' pages
+            r = r.option("columns", "c1,c7")
+        df = r.load()
         if narrow:
             q = df.selectExpr("sum(c1) as s1", "sum(c7) as s7")
         else:
