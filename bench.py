@@ -630,8 +630,21 @@ def main() -> None:
         elif p is not None and elapsed < p / 1.5 and p - elapsed > 1.0:
             elapsed2, write_elapsed2 = run_one(spark, name)
             reruns[name] = [round(elapsed, 3), round(elapsed2, 3)]
-            if elapsed2 > elapsed:
+            # record the MEDIAN of {run1, run2, prior}: the prior
+            # bounds a lucky-pair downward ratchet, and an ABERRANT
+            # rerun can't ratchet the series upward either (r14: a
+            # 3.6s first run triggered the fast-side rerun, the rerun
+            # hit a 38.5s GC/host aberration, and the old max-of-2
+            # rule recorded 5.1x the prior for an unchanged query)
+            med = sorted([elapsed, elapsed2, p])[1]
+            if med == elapsed2:
                 elapsed, write_elapsed = elapsed2, write_elapsed2
+            elif med == p:
+                # prior is the median: record the bounded value with
+                # the closer measured run's write split
+                if abs(elapsed2 - p) <= abs(elapsed - p):
+                    write_elapsed = write_elapsed2
+                elapsed = p
         per_query[name] = round(elapsed, 3)
         if name in R1_SUBSET:
             r1_conv[name] = round(write_elapsed, 3)
@@ -727,7 +740,12 @@ def main() -> None:
             "slower early-run); min-of-2 guard kept the lower value; "
             "dedup.py unchanged in r13 — the r14 per-60-query "
             "calibration checkpoints make this class of drift "
-            "directly attributable",
+            "directly attributable.  r14 follow-up: the first local "
+            "r14 run measured 3.57s, the FAST-side rerun guard's "
+            "second run hit a 38.5s aberration and the old max-of-2 "
+            "rule recorded it (5.1x prior, code unchanged) — the "
+            "fast side now records the prior-bounded MEDIAN of "
+            "{run1, run2, prior}",
         },
         # write-once artifact builds (setup, NOT in any query's time):
         # per-builder seconds, so probe-path regressions can't hide
