@@ -334,14 +334,47 @@ def delete_from_jsonl_dir(
                 "job)"
             )
         if key_files and files:
-            dv_new = _scan_dv_positions(
-                spark,
-                path,
-                manifest,
-                files,
-                tuple(os.path.join(path, kf) for kf in key_files),
-                (),
-            )
+            # prune the scan with the doc_id ZONEMAP first: shards
+            # whose recorded [min, max] cannot hold any key are never
+            # opened, so a targeted delete's position scan costs
+            # O(candidate shards), not O(table) — the same stats the
+            # reader prunes with (advisory: no entry → scan it).  The
+            # key hull is one bounded job for DataFrame keys (1-row
+            # scalar) and free for iterables.
+            import json as _json
+
+            if isinstance(doc_ids, DataFrame):
+                hull = doc_ids.agg(
+                    F.min("doc_id"), F.max("doc_id")
+                ).collect()[0]
+                kmin, kmax = hull[0], hull[1]
+            else:
+                srt = sorted({int(i) for i in doc_ids})
+                kmin = srt[0] if srt else None
+                kmax = srt[-1] if srt else None
+            scan_files = files
+            spath = os.path.join(path, "_STATS")
+            if kmin is not None and os.path.exists(spath):
+                with open(spath) as fh:
+                    stats = _json.load(fh)
+                scan_files = [
+                    f
+                    for f in files
+                    if not (
+                        isinstance(stats.get(f), list)
+                        and stats[f][0] is not None
+                        and (stats[f][0] > kmax or stats[f][1] < kmin)
+                    )
+                ]
+            if scan_files:
+                dv_new = _scan_dv_positions(
+                    spark,
+                    path,
+                    manifest,
+                    scan_files,
+                    tuple(os.path.join(path, kf) for kf in key_files),
+                    (),
+                )
 
     def _drop_key_files() -> None:
         for kf in key_files + cdc_files:

@@ -261,3 +261,32 @@ def test_purge_rebuilds_blooms(spark, tmp_path):
     r = JsonlDocsReader({"path": out})
     r._eq_sets = {"doc_id": [{999_999}]}
     assert len(r.partitions()) == 0
+
+
+def test_dv_scan_prunes_by_zonemap(spark, tmp_path, monkeypatch):
+    """The DV position scan never opens shards whose doc_id zonemap
+    cannot hold any key — a targeted delete costs O(candidate
+    shards), not O(table)."""
+    from pu4spark_spark.sources.lake import dml as _dml
+
+    out = str(tmp_path / "zp")
+    P.register_pyds(spark)
+    rows = [(i, f"d{i}", "en", "s", i) for i in range(100)]
+    # range-clustered: 4 shards with disjoint doc_id ranges
+    spark.createDataFrame(rows, DDL).repartitionByRange(4, "doc_id") \
+        .write.format("jsonl_docs").option("path", out) \
+        .mode("overwrite").save()
+
+    scanned: list = []
+    orig = _dml._scan_dv_positions
+
+    def spying(spark_, path_, manifest_, files_, kfp, inline):
+        scanned.extend(files_)
+        return orig(spark_, path_, manifest_, files_, kfp, inline)
+
+    monkeypatch.setattr(_dml, "_scan_dv_positions", spying)
+    P.delete_from_jsonl_dir(out, [97, 99], spark=spark,
+                            deletion_vectors=True)
+    assert len(scanned) == 1, scanned  # only the top-range shard
+    back = spark.read.format("jsonl_docs").option("path", out).load()
+    assert back.count() == 98
