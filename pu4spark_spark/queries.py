@@ -77,25 +77,27 @@ if missing:
 #: ``CORRECTNESS_FULL_r0N``).
 DRIVER_FIRST = [
     # Round-14 rotation (tools/rotation.py after CORRECTNESS_r13: the
-    # only never-witnessed entries are the three r14 additions).
+    # only never-witnessed entries are the five r14 additions).
     # r15 PLAN: once the driver writes CORRECTNESS_r14.json, re-run
     # tools/rotation.py — the only never-witnessed entries should be
     # whatever r15 itself adds; fill the rest with re-verification of
-    # whatever code r15 touches.  Window = (A) the 3 r14-NEW queries
-    # (columnar parquet shard payloads — roundtrip and the
-    # mixed-format + migration path — and positional deletion vectors
-    # with the REORG purge); (B) re-verification of EVERY lake query:
+    # whatever code r15 touches.  Window = (A) the 5 r14-NEW queries
+    # (columnar parquet shard payloads — roundtrip, the mixed-format +
+    # migration path, and source-level column projection — positional
+    # deletion vectors with the REORG purge, and partition-scoped
+    # OPTIMIZE WHERE); (B) re-verification of EVERY lake query:
     # r14 touched the reader (format dispatch, shard-subset option,
     # DV masks, feature gate), both writers (parquet staging, schema
     # recording, feature stamps, bloom buffer), every stream reader
     # (rate-floor seeding, DV retraction, format dispatch), DML
     # (DV delete), and maintenance (zorder quantile fusion, bloom
     # rebuild, purge, feature carry); (C) cheapest witnessed fillers.
-    # -- A: the 4 r14-new queries ------------------------------------------
+    # -- A: the 5 r14-new queries ------------------------------------------
     "fmt_pyds_parquet_roundtrip",
     "fmt_pyds_parquet_mixed",
     "fmt_pyds_parquet_projection",
     "fmt_pyds_deletion_vectors",
+    "fmt_pyds_optimize_where",
     # -- B: re-verification of the r14-touched lake surface ----------------
     "fmt_pyds_multicol_pruning",
     "streaming_pyds_sink_mapped",
@@ -143,7 +145,6 @@ DRIVER_FIRST = [
     "mm_pack_stats",                   # 0.123
     "pu_binarize_traditional",         # 0.134
     "text_length_histogram",           # 0.137
-    "customer_running_spend",          # 0.171
 ]
 
 

@@ -804,9 +804,6 @@ def purge_jsonl_dir(
     it, exactly like compaction.  Same base-pinned claim-or-conflict
     transactionality as compaction.  Returns the new version, or the
     current one when no shard carries a vector."""
-    import json as _json
-    import uuid as _uuid
-
     register_pyds(spark)
     base = _latest_manifest_version(path)
     if base <= 0:
@@ -816,27 +813,56 @@ def purge_jsonl_dir(
     m = _manifest_at(path, base)
     _check_features(m)
     live = set(_manifest_files(m))
-    dvs = {f: e for f, e in _dv_of(m).items() if f in live}
-    if not dvs:
+    subset = sorted(f for f in _dv_of(m) if f in live)
+    if not subset:
         return base  # nothing to purge
-    purged = sorted(dvs)
+    return _subset_rewrite(
+        spark, path, base, m, subset, target_shards, op="purge"
+    )
+
+
+def _subset_rewrite(
+    spark: SparkSession,
+    path: str,
+    base: int,
+    m: dict,
+    subset: list[str],
+    target_shards: int | None,
+    op: str,
+    extra_writer_opts: dict | None = None,
+) -> int:
+    """Rewrite EXACTLY the named shard subset and commit ``base + 1``
+    replacing those files (everything else carried verbatim) — the
+    shared core of :func:`purge_jsonl_dir` (subset = DV-carrying
+    shards) and :func:`compact_partitions_jsonl_dir` (subset = one
+    partition's shards).  Applies tombstones/DVs during the read (the
+    reader does), drops the subset's ``_dv`` entries, re-anchors the
+    ledger's added-map, preserves payload format / physical keys /
+    bloom indexes, and commits under the ``.rewrite`` marker
+    (dataChange=false — streams skip it) with the same base-pinned
+    claim-or-conflict transactionality as full compaction."""
+    import json as _json
+    import uuid as _uuid
+
     before = (
         spark.read.format("jsonl_docs")
         .option("path", path)
         .option("version", base)
-        .option("shards", ",".join(purged))
+        .option("shards", ",".join(subset))
         .load()
     )
-    stage = path + f".purge-{_uuid.uuid4().hex[:8]}"
+    stage = path + f".{op}-{_uuid.uuid4().hex[:8]}"
     w = (
-        before.repartition(target_shards or len(purged))
+        before.repartition(target_shards or len(subset))
         .write.format("jsonl_docs")
         .option("path", stage)
     )
-    # preserve the purged shards' payload format; keep writing the
-    # table's physical keys; rebuild any bloom index the purged shards
-    # carried (same invariants as compaction's rewrite)
-    if all(f.endswith(".parquet") for f in purged):
+    for k, v in (extra_writer_opts or {}).items():
+        w = w.option(k, v)
+    # preserve the subset's payload format; keep writing the table's
+    # physical keys; rebuild any bloom index the subset carried (same
+    # invariants as compaction's rewrite)
+    if all(f.endswith(".parquet") for f in subset):
         w = w.option("payload_format", "parquet")
     mapping = _mapping_of(m)
     if mapping:
@@ -846,7 +872,7 @@ def purge_jsonl_dir(
         with open(stats_path) as fh:
             _pre_bloom = _json.load(fh).get("_bloom", {})
         bloom_phys = set()
-        for f in purged:
+        for f in subset:
             bloom_phys.update(_pre_bloom.get(f, {}))
         if bloom_phys:
             p2l = {p: l for l, p in mapping.items()}
@@ -872,23 +898,22 @@ def purge_jsonl_dir(
     for f in staged:
         os.replace(
             os.path.join(stage, f),
-            os.path.join(path, "_tmp-purge-" + f),
+            os.path.join(path, f"_tmp-{op}-" + f),
         )
     for f in staged:
         os.replace(
-            os.path.join(path, "_tmp-purge-" + f),
+            os.path.join(path, f"_tmp-{op}-" + f),
             os.path.join(path, f),
         )
     import shutil
 
     shutil.rmtree(stage, ignore_errors=True)
     version = base + 1
-    new_manifest = {
-        k: v for k, v in m.items() if k not in dvs
-    }
+    sub = set(subset)
+    new_manifest = {k: v for k, v in m.items() if k not in sub}
     new_manifest.update(staged)
     remaining_dv = {
-        f: e for f, e in _dv_of(m).items() if f not in dvs
+        f: e for f, e in _dv_of(m).items() if f not in sub
     }
     if remaining_dv:
         new_manifest[DV_KEY] = remaining_dv
@@ -899,14 +924,14 @@ def purge_jsonl_dir(
         added = {
             f: v
             for f, v in tombs.get("added", {}).items()
-            if f not in dvs
+            if f not in sub
         }
         # replacement rows were read with every entry applied — exempt
         # them from the whole retained ledger
         added.update({f: version for f in staged})
         tombs["added"] = added
         new_manifest[TOMBSTONE_KEY] = tombs
-    new_manifest[OP_KEY] = "purge"
+    new_manifest[OP_KEY] = op
     import hashlib as _hashlib
     import time as _time
 
@@ -938,7 +963,7 @@ def purge_jsonl_dir(
         _rollback()
         raise ManifestCommitConflict(
             f"concurrent commit: _MANIFEST.v{version}.rewrite is "
-            "already claimed; the purge was rolled back"
+            f"already claimed; the {op} was rolled back"
         ) from None
     try:
         _write_atomic_excl(
@@ -954,11 +979,10 @@ def purge_jsonl_dir(
             pass
         raise ManifestCommitConflict(
             f"concurrent commit: _MANIFEST.v{version} was claimed by "
-            "another writer during purge; the rewrite was rolled back "
+            f"another writer during {op}; the rewrite was rolled back "
             "— re-plan against the new table state"
         ) from None
     if _latest_manifest_version(path) == version:
-        stats_path = os.path.join(path, "_STATS")
         stats = {}
         if os.path.exists(stats_path):
             with open(stats_path) as fh:
@@ -970,6 +994,79 @@ def purge_jsonl_dir(
         _write_atomic(stats_path, _json.dumps(stats))
         _write_atomic(os.path.join(path, "_MANIFEST"), body)
     return version
+
+
+def compact_partitions_jsonl_dir(
+    spark: SparkSession,
+    path: str,
+    partition_where: dict,
+    target_shards: int | None = None,
+) -> int:
+    """``OPTIMIZE <table> WHERE part = value`` — PARTITION-SCOPED
+    compaction: rewrite ONLY the shards whose recorded partition
+    values (``_STATS["_parts"]``, written by ``partition_by`` writes)
+    match EVERY ``{column: value}`` pair, leaving the rest of the
+    table untouched.  The hourly-ingest maintenance shape at 100 TB:
+    the day's hot partition accumulates small streaming-sink shards
+    and gets consolidated nightly — without rescanning the years of
+    cold partitions a full OPTIMIZE would touch (Delta restricts the
+    WHERE to partition columns for exactly this reason; so does this:
+    a shard with NO recorded partition value for a named column never
+    matches, because membership can't be proven from metadata).
+    The rewrite stays partitioned (``partition_by`` rides the stage
+    write, so the consolidated shards keep their ``_parts`` pruning
+    metadata).  Tombstones/DVs applying to the subset are folded in
+    (their entries re-anchored like purge); commit carries the
+    ``.rewrite`` marker.  Returns the new version, or the current one
+    when nothing matches."""
+    import json as _json
+
+    register_pyds(spark)
+    if not partition_where:
+        raise ValueError(
+            "compact_partitions_jsonl_dir: partition_where must name "
+            "at least one {column: value} pair (use compact_jsonl_dir "
+            "for a full OPTIMIZE)"
+        )
+    base = _latest_manifest_version(path)
+    if base <= 0:
+        raise ValueError(
+            f"compact_partitions_jsonl_dir: no committed version "
+            f"under {path}"
+        )
+    m = _manifest_at(path, base)
+    _check_features(m)
+    mapping = _mapping_of(m)
+    phys_where = {
+        mapping.get(c, c): v for c, v in partition_where.items()
+    }
+    parts_map: dict = {}
+    spath = os.path.join(path, "_STATS")
+    if os.path.exists(spath):
+        with open(spath) as fh:
+            parts_map = _json.load(fh).get("_parts", {})
+    subset = sorted(
+        f
+        for f in _manifest_files(m)
+        if parts_map.get(f)
+        and all(
+            parts_map[f].get(pc) == pv for pc, pv in phys_where.items()
+        )
+    )
+    if not subset:
+        return base  # no shard provably in the partition
+    return _subset_rewrite(
+        spark,
+        path,
+        base,
+        m,
+        subset,
+        target_shards,
+        op="compact-partition",
+        extra_writer_opts={
+            "partition_by": ",".join(partition_where)
+        },
+    )
 
 
 def vacuum_jsonl_dir(

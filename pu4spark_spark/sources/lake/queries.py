@@ -38,6 +38,7 @@ from pu4spark_spark.sources.lake.maintenance import (
     append_with_retry,
     clone_jsonl_dir,
     compact_jsonl_dir,
+    compact_partitions_jsonl_dir,
     describe_history_jsonl_dir,
     evolve_jsonl_schema,
     purge_jsonl_dir,
@@ -324,6 +325,77 @@ SELECT lang,
 FROM documents
 WHERE doc_id % {PARQUET_MIXED_DELETE_MOD} <> 0
 GROUP BY lang
+"""
+
+
+def q_fmt_pyds_optimize_where(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITION-SCOPED OPTIMIZE (Delta's ``OPTIMIZE ... WHERE part =
+    value``): documents written partitioned by ``lang`` (one shard
+    per lang per task — deliberately fragmented), then
+    ``compact_partitions_jsonl_dir(..., {"lang": "en"})`` rewrites
+    ONLY the 'en' shards; every other partition keeps its exact
+    files.  Result = the per-lang aggregate over the whole table plus
+    a second pass restricted to the compacted partition (scanning the
+    rewritten shards through partition pruning) — the oracle
+    re-derives both from the parquet truth, so a scoped rewrite that
+    loses, duplicates, or leaks rows across the partition boundary
+    hash-mismatches.  The only-the-named-partition-is-rewritten file
+    contract is pinned in pytest (`test_partition_scoped_optimize`)."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_pyds_ow_{tag}_{os.getpid()}"
+    )
+    register_pyds(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    (
+        docs.repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out)
+        .option("partition_by", "lang")
+        .mode("overwrite")
+        .save()
+    )
+    v = compact_partitions_jsonl_dir(
+        spark, out, {"lang": "en"}, target_shards=1
+    )
+    if v != 2:
+        raise AssertionError(f"scoped optimize committed v{v}, want 2")
+
+    def agg(df: DataFrame, snap: str) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        ).select(F.lit(snap).alias("snapshot"), "*")
+
+    whole = spark.read.format("jsonl_docs").option("path", out).load()
+    # fresh load for the filtered pass (pushdown-sharing rule)
+    en = (
+        spark.read.format("jsonl_docs")
+        .option("path", out)
+        .load()
+        .filter(F.col("lang") == "en")
+    )
+    return agg(whole, "all").unionByName(agg(en, "en_partition"))
+
+
+SQL_FMT_PYDS_OPTIMIZE_WHERE = """
+SELECT 'all' AS snapshot, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM documents GROUP BY lang
+UNION ALL
+SELECT 'en_partition' AS snapshot, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM documents WHERE lang = 'en' GROUP BY lang
 """
 
 
@@ -2559,6 +2631,7 @@ QUERIES = {
     "fmt_pyds_parquet_mixed": q_fmt_pyds_parquet_mixed,
     "fmt_pyds_parquet_projection": q_fmt_pyds_parquet_projection,
     "fmt_pyds_deletion_vectors": q_fmt_pyds_deletion_vectors,
+    "fmt_pyds_optimize_where": q_fmt_pyds_optimize_where,
 }
 
 ORACLE_SQL = {
@@ -2572,6 +2645,9 @@ ORACLE_SQL = {
     # positional deletion vectors: pre-delete travel / post-DV mask /
     # post-purge physical reclaim all hash-checked
     "fmt_pyds_deletion_vectors": SQL_FMT_PYDS_DELETION_VECTORS,
+    # partition-scoped OPTIMIZE: whole-table + compacted-partition
+    # passes both content-exact after the scoped rewrite
+    "fmt_pyds_optimize_where": SQL_FMT_PYDS_OPTIMIZE_WHERE,
     "fmt_pyds_update": SQL_FMT_PYDS_UPDATE,
     "fmt_pyds_column_mapping": SQL_FMT_PYDS_COLUMN_MAPPING,
     "fmt_pyds_type_widening": SQL_FMT_PYDS_TYPE_WIDENING,

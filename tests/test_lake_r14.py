@@ -329,3 +329,60 @@ def test_table_features_gate(spark, tmp_path):
     )
     with pytest.raises(Exception, match="unsupported feature"):
         JsonlDocsVersionStreamReader({"path": fut})
+
+
+def test_partition_scoped_optimize(spark, tmp_path):
+    """OPTIMIZE WHERE (Delta's partition-scoped compaction): only the
+    named partition's shards are rewritten — cold partitions keep
+    their exact files — the consolidated shards keep their _parts
+    pruning metadata, tombstones fold in, and the commit is a
+    stream-skipped rewrite."""
+    P.register_pyds(spark)
+    out = str(tmp_path / "pw")
+    rows = [
+        (i, f"d{i}", "en" if i % 2 else "fr", "s", i) for i in range(40)
+    ]
+    # partitioned write scattered over tasks: many small shards per lang
+    spark.createDataFrame(rows, DDL).repartition(4).write.format(
+        "jsonl_docs"
+    ).option("path", out).option("partition_by", "lang").mode(
+        "overwrite"
+    ).save()
+    with open(os.path.join(out, "_MANIFEST.v1")) as fh:
+        m1 = json.load(fh)
+    with open(os.path.join(out, "_STATS")) as fh:
+        parts = json.load(fh)["_parts"]
+    en_shards = {f for f, p in parts.items() if p.get("lang") == "en"}
+    fr_shards = {
+        f for f in m1 if not f.startswith("_") and f not in en_shards
+    }
+    assert len(en_shards) > 1 and fr_shards
+    # a delete folds into the rewrite
+    P.delete_from_jsonl_dir(out, [1])
+    v = P.compact_partitions_jsonl_dir(
+        spark, out, {"lang": "en"}, target_shards=1
+    )
+    with open(os.path.join(out, f"_MANIFEST.v{v}")) as fh:
+        m = json.load(fh)
+    post = {f for f in m if not f.startswith("_")}
+    assert fr_shards <= post, "cold partition must keep its files"
+    assert not (en_shards & post), "hot partition must be rewritten"
+    new = post - fr_shards
+    assert len(new) == 1
+    assert m["_op"] == "compact-partition"
+    assert os.path.exists(os.path.join(out, f"_MANIFEST.v{v}.rewrite"))
+    # rewritten shard keeps partition metadata (still prunable)
+    with open(os.path.join(out, "_STATS")) as fh:
+        parts2 = json.load(fh)["_parts"]
+    assert all(parts2.get(f, {}).get("lang") == "en" for f in new)
+    back = spark.read.format("jsonl_docs").option("path", out).load()
+    assert sorted(r["doc_id"] for r in back.collect()) == [
+        i for i in range(40) if i != 1
+    ]
+    # no recorded partition value -> nothing provably matches -> no-op
+    assert P.compact_partitions_jsonl_dir(
+        spark, out, {"source": "s"}
+    ) == v
+    # empty predicate refused
+    with pytest.raises(ValueError, match="at least one"):
+        P.compact_partitions_jsonl_dir(spark, out, {})

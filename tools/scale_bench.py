@@ -146,6 +146,8 @@ REPS = [
     "fmt_pyds_parquet_roundtrip",  # parquet shards, RecordBatch read
     "fmt_pyds_parquet_mixed",    # mixed payload + delete + migration
     "fmt_pyds_deletion_vectors",  # DV position scan + mask + purge
+    "fmt_pyds_parquet_projection",  # source-level column projection
+    "fmt_pyds_optimize_where",   # partition-scoped OPTIMIZE rewrite
 ]
 
 #: reps whose FIRST run at an sf builds a persistent build-once layout
