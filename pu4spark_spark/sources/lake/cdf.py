@@ -28,6 +28,7 @@ from pu4spark_spark.sources.lake.protocol import (
     OP_KEY,
     SCHEMA_KEY,
     _cell_converter,
+    _dv_of,
     _fields_of_ddl,
     _latest_manifest_version,
     _manifest_at,
@@ -312,6 +313,36 @@ def table_changes_jsonl_dir(
             )
             continue
         m_prev = _manifest_at(path, v - 1)
+        # DELETION-VECTOR commits (delete_from with
+        # deletion_vectors=True, cdf=False) add no shards and no
+        # ledger entries — invisible to the added/keys derivation
+        # below, so without this guard the EXACT batch feed would
+        # silently classify them as metadata-only and emit no delete
+        # changes.  Mirror the stream reader: DV growth with no CDC
+        # files is un-streamable pre-images → refuse loudly; DV
+        # SHRINK without a rewrite marker (rewrites `continue`d
+        # above) is a metadata un-delete → refuse like the
+        # ledger-shrink check.
+        dvn_v = sum(int(e.get("n", 0)) for e in _dv_of(m_v).values())
+        dvn_prev = sum(
+            int(e.get("n", 0)) for e in _dv_of(m_prev).values()
+        )
+        if dvn_v < dvn_prev:
+            raise ValueError(
+                f"table_changes: version {v} shrank the table's "
+                "deletion vectors without a rewrite marker (metadata "
+                "un-delete); the exact change feed cannot represent "
+                "it — re-sync from a snapshot read"
+            )
+        if dvn_v > dvn_prev:
+            raise ValueError(
+                f"table_changes: version {v} deleted rows via "
+                "deletion vectors but carries no CDC files — its "
+                "pre-images cannot be derived from file diffs.  Run "
+                "DELETE with cdf=True on tables that feed a change "
+                "feed, or re-sync from a snapshot read at or after "
+                f"version {v}"
+            )
         added_files = sorted(
             set(_manifest_files(m_v)) - set(_manifest_files(m_prev))
         )

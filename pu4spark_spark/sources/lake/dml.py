@@ -353,10 +353,12 @@ def delete_from_jsonl_dir(
                 kmin = srt[0] if srt else None
                 kmax = srt[-1] if srt else None
             scan_files = files
-            spath = os.path.join(path, "_STATS")
-            if kmin is not None and os.path.exists(spath):
-                with open(spath) as fh:
-                    stats = _json.load(fh)
+            if kmin is not None:
+                from pu4spark_spark.sources.lake.checkpoint import (
+                    assemble_stats,
+                )
+
+                stats = assemble_stats(path, families={"zonemap"})
                 scan_files = [
                     f
                     for f in files
@@ -484,11 +486,9 @@ def _stage_data_shards(
             for f, v in _json.load(fh).items()
             if not f.startswith("_")
         }
-    stage_stats = {}
-    sp = os.path.join(stage, "_STATS")
-    if os.path.exists(sp):
-        with open(sp) as fh:
-            stage_stats = _json.load(fh)
+    from pu4spark_spark.sources.lake.checkpoint import assemble_stats
+
+    stage_stats = assemble_stats(stage)
     for f in staged:
         os.replace(
             os.path.join(stage, f), os.path.join(path, "_tmp-merge-" + f)
@@ -630,14 +630,12 @@ def merge_into_jsonl_dir(
                 "the new base"
             )
             continue
+        from pu4spark_spark.sources.lake.checkpoint import (
+            write_stats_delta,
+        )
+
+        write_stats_delta(path, version, stage_stats)
         if _latest_manifest_version(path) == version:
-            stats_path = os.path.join(path, "_STATS")
-            stats = {}
-            if os.path.exists(stats_path):
-                with open(stats_path) as fh:
-                    stats = _json.load(fh)
-            stats.update(stage_stats)
-            _write_atomic(stats_path, _json.dumps(stats))
             _write_atomic(os.path.join(path, "_MANIFEST"), body)
         return version
     # every claim lost: roll back the staged shards (in no committed
@@ -825,14 +823,12 @@ def _merge_clauses(
             f"version {base}; the matched/not-matched split is stale — "
             "staged shards were rolled back, re-run the merge"
         ) from None
+    from pu4spark_spark.sources.lake.checkpoint import (
+        write_stats_delta,
+    )
+
+    write_stats_delta(path, version, stage_stats)
     if _latest_manifest_version(path) == version:
-        stats_path = os.path.join(path, "_STATS")
-        stats = {}
-        if os.path.exists(stats_path):
-            with open(stats_path) as fh:
-                stats = _json.load(fh)
-        stats.update(stage_stats)
-        _write_atomic(stats_path, _json.dumps(stats))
         _write_atomic(os.path.join(path, "_MANIFEST"), body)
     return version
 

@@ -616,13 +616,17 @@ def compact_jsonl_dir(
     # LOGICAL, so translate back through the mapping (a retired
     # physical — dropped column — has no logical name and is skipped:
     # its data is gone from the rewrite anyway).
-    stats_path = os.path.join(path, "_STATS")
+    from pu4spark_spark.sources.lake.checkpoint import (
+        assemble_stats,
+        write_stats_delta,
+    )
+
     pre_bloom_phys: set[str] = set()
-    if os.path.exists(stats_path):
-        with open(stats_path) as fh:
-            _pre_bloom = _json.load(fh).get("_bloom", {})
-        for f in _manifest_files(pre_m):
-            pre_bloom_phys.update(_pre_bloom.get(f, {}))
+    _pre_bloom = assemble_stats(path, families={"_bloom"}).get(
+        "_bloom", {}
+    )
+    for f in _manifest_files(pre_m):
+        pre_bloom_phys.update(_pre_bloom.get(f, {}))
     if pre_bloom_phys:
         phys_to_logical = {p: l for l, p in pre_mapping.items()}
         bloom_logical = sorted(
@@ -662,24 +666,11 @@ def compact_jsonl_dir(
             os.path.join(path, "_tmp-compact-" + f),
             os.path.join(path, f),
         )
-    # carry the consolidated shards' zonemaps over (old entries stay —
-    # harmless for vacuumed files, still valid for snapshot reads)
-    stats = {}
-    if os.path.exists(stats_path):
-        with open(stats_path) as fh:
-            stats = _json.load(fh)
-    stage_stats = os.path.join(stage, "_STATS")
-    if os.path.exists(stage_stats):
-        with open(stage_stats) as fh:
-            staged = _json.load(fh)
-        # nested maps (_parts / _cols / _nulls / _bloom) merge per
-        # SHARD — a flat update would replace the whole map with the
-        # stage's and silently drop the old shards' entries, which
-        # snapshot (time-travel) reads still prune with
-        for k in ("_parts", "_cols", "_nulls", "_bloom"):
-            if k in staged:
-                stats.setdefault(k, {}).update(staged.pop(k))
-        stats.update(staged)
+    # the consolidated shards' stats ride the commit as a per-version
+    # DELTA (r15); the replaced shards' old entries stay in their own
+    # deltas — harmless for vacuumed files, still valid for snapshot
+    # reads, and dropped at the next CHECKPOINT
+    ck_delta = assemble_stats(stage)
     import shutil
 
     shutil.rmtree(stage, ignore_errors=True)
@@ -778,8 +769,8 @@ def compact_jsonl_dir(
             "another writer during compaction; the rewrite was rolled "
             "back — re-plan against the new table state"
         ) from None
+    write_stats_delta(path, version, ck_delta)
     if _latest_manifest_version(path) == version:
-        _write_atomic(stats_path, _json.dumps(stats))
         _write_atomic(os.path.join(path, "_MANIFEST"), body)
     return version
 
@@ -859,30 +850,53 @@ def _subset_rewrite(
     )
     for k, v in (extra_writer_opts or {}).items():
         w = w.option(k, v)
-    # preserve the subset's payload format; keep writing the table's
-    # physical keys; rebuild any bloom index the subset carried (same
-    # invariants as compaction's rewrite)
-    if all(f.endswith(".parquet") for f in subset):
-        w = w.option("payload_format", "parquet")
+    from pu4spark_spark.sources.lake.checkpoint import (
+        assemble_stats,
+        write_stats_delta,
+    )
+
+    # preserve the subset's payload format — a rewrite must NEVER
+    # downgrade data the writer opted into parquet, so ANY parquet
+    # shard in the subset keeps the rewrite columnar (a mixed
+    # jsonl+parquet subset — the exact shape a DV purge over a mixed
+    # table creates — previously fell back to JSONL).  Guarded on the
+    # schema being parquet-batch-representable: a mixed table whose
+    # DDL the parquet writer would refuse (context-dependent types)
+    # still rewrites as JSONL rather than failing the maintenance job.
+    if any(f.endswith(".parquet") for f in subset):
+        from pu4spark_spark.sources.lake.protocol import (
+            _arrow_type_of_ddl,
+            _typed_fields_of_ddl,
+        )
+
+        try:  # the WRITER's own parquet gate, probed plan-side
+            for _nm, _t in _typed_fields_of_ddl(
+                m.get(SCHEMA_KEY, DOCS_DDL)
+            ):
+                _arrow_type_of_ddl(_t)
+            w = w.option("payload_format", "parquet")
+        except ValueError:
+            pass  # schema the parquet payload refuses: keep JSONL
     mapping = _mapping_of(m)
     if mapping:
         w = w.option("physical_map", _json.dumps(mapping))
-    stats_path = os.path.join(path, "_STATS")
-    if os.path.exists(stats_path):
-        with open(stats_path) as fh:
-            _pre_bloom = _json.load(fh).get("_bloom", {})
-        bloom_phys = set()
-        for f in subset:
-            bloom_phys.update(_pre_bloom.get(f, {}))
-        if bloom_phys:
-            p2l = {p: l for l, p in mapping.items()}
-            bl = sorted(
-                p2l.get(p, p)
-                for p in bloom_phys
-                if p2l.get(p, p) in before.columns
-            )
-            if bl:
-                w = w.option("bloom_filter_columns", ",".join(bl))
+    # rebuild any bloom index the subset carried (same invariant as
+    # compaction's rewrite)
+    _pre_bloom = assemble_stats(path, families={"_bloom"}).get(
+        "_bloom", {}
+    )
+    bloom_phys = set()
+    for f in subset:
+        bloom_phys.update(_pre_bloom.get(f, {}))
+    if bloom_phys:
+        p2l = {p: l for l, p in mapping.items()}
+        bl = sorted(
+            p2l.get(p, p)
+            for p in bloom_phys
+            if p2l.get(p, p) in before.columns
+        )
+        if bl:
+            w = w.option("bloom_filter_columns", ",".join(bl))
     w.mode("overwrite").save()
     with open(os.path.join(stage, "_MANIFEST")) as fh:
         staged = {
@@ -890,11 +904,7 @@ def _subset_rewrite(
             for f, v in _json.load(fh).items()
             if not f.startswith("_")
         }
-    stage_stats = {}
-    sp = os.path.join(stage, "_STATS")
-    if os.path.exists(sp):
-        with open(sp) as fh:
-            stage_stats = _json.load(fh)
+    stage_stats = assemble_stats(stage)
     for f in staged:
         os.replace(
             os.path.join(stage, f),
@@ -982,16 +992,8 @@ def _subset_rewrite(
             f"another writer during {op}; the rewrite was rolled back "
             "— re-plan against the new table state"
         ) from None
+    write_stats_delta(path, version, stage_stats)
     if _latest_manifest_version(path) == version:
-        stats = {}
-        if os.path.exists(stats_path):
-            with open(stats_path) as fh:
-                stats = _json.load(fh)
-        for k in ("_parts", "_cols", "_nulls", "_bloom"):
-            if k in stage_stats:
-                stats.setdefault(k, {}).update(stage_stats.pop(k))
-        stats.update(stage_stats)
-        _write_atomic(stats_path, _json.dumps(stats))
         _write_atomic(os.path.join(path, "_MANIFEST"), body)
     return version
 
@@ -1040,11 +1042,14 @@ def compact_partitions_jsonl_dir(
     phys_where = {
         mapping.get(c, c): v for c, v in partition_where.items()
     }
-    parts_map: dict = {}
-    spath = os.path.join(path, "_STATS")
-    if os.path.exists(spath):
-        with open(spath) as fh:
-            parts_map = _json.load(fh).get("_parts", {})
+    # partition membership from the assembled stats view (checkpoint +
+    # tail deltas) — the metadata-proven subset selection, now served
+    # columnar-first with only the _parts family deserialized
+    from pu4spark_spark.sources.lake.checkpoint import assemble_stats
+
+    parts_map: dict = assemble_stats(
+        path, families={"_parts"}
+    ).get("_parts", {})
     subset = sorted(
         f
         for f in _manifest_files(m)
@@ -1177,6 +1182,20 @@ def vacuum_jsonl_dir(
             live.update(fl)
     removed = 0
     would_remove: list[str] = []
+    # checkpoint-aware retention: stats DELTAS are reclaimable only
+    # once a checkpoint at-or-above their version has compacted them
+    # (removing an unsubsumed delta would silently lose pruning for
+    # still-live shards); SUPERSEDED checkpoint parquets are
+    # reclaimable under the stale grace window (a freshly written
+    # checkpoint whose pointer flip hasn't landed is inside it); the
+    # CURRENT checkpoint and the _LAST_CHECKPOINT pointer are never
+    # touched.
+    from pu4spark_spark.sources.lake.checkpoint import (
+        CHECKPOINT_PREFIX,
+        last_checkpoint_version,
+    )
+
+    ckv = last_checkpoint_version(path)
 
     def _rm(f: str) -> bool:
         # two vacuums racing the same orphan must not crash the loser
@@ -1206,6 +1225,14 @@ def vacuum_jsonl_dir(
                 vn = v[: -len(".rewrite")]
                 if vn.isdigit() and int(vn) < cutoff:
                     _rm(f)
+        elif f.startswith("_STATS.v"):
+            v = f[len("_STATS.v"):]
+            if v.isdigit() and int(v) < cutoff and int(v) <= ckv:
+                _rm(f)
+        elif f.startswith(CHECKPOINT_PREFIX) and f.endswith(".parquet"):
+            v = f[len(CHECKPOINT_PREFIX):-len(".parquet")]
+            if v.isdigit() and int(v) < ckv and _stale(f):
+                _rm(f)
         elif f.startswith("_tmp-"):
             # orphan from a crashed compaction/write — never visible
             # to readers; the grace window keeps a LIVE job's staging
@@ -1377,12 +1404,16 @@ def clone_jsonl_dir(
             f"concurrent commit: _MANIFEST.v1 of {dst} was claimed by "
             "another writer during clone"
         ) from None
-    # copy the zonemap sidecar: entries are keyed by immutable shard
-    # name, so they stay valid for the shared files
-    spath = os.path.join(src, "_STATS")
-    if os.path.exists(spath):
-        with open(spath) as fh:
-            _write_atomic(os.path.join(dst, "_STATS"), fh.read())
+    # carry the SOURCE's assembled stats view as the clone's own v1
+    # delta: entries are keyed by immutable shard name, so they stay
+    # valid for the shared files — and the clone starts life on the
+    # pure delta+checkpoint plane (no legacy root _STATS)
+    from pu4spark_spark.sources.lake.checkpoint import (
+        assemble_stats,
+        write_stats_delta,
+    )
+
+    write_stats_delta(dst, 1, assemble_stats(src))
     if _latest_manifest_version(dst) == 1:
         _write_atomic(os.path.join(dst, "_MANIFEST"), body)
     return 1
@@ -1497,9 +1528,39 @@ def describe_history_jsonl_dir(
     Driver-side metadata build: O(retained versions × files-per-
     manifest) — the same cost Delta's DESCRIBE HISTORY pays reading
     its log, fine at any table size."""
+    from pu4spark_spark.sources.lake.checkpoint import (
+        checkpoint_history,
+        last_checkpoint_version,
+    )
+
     rows = []
     latest = _latest_manifest_version(path)
-    for v in range(_earliest_manifest_version(path), latest + 1):
+    earliest = _earliest_manifest_version(path)
+    # versions at-or-below the checkpoint are served from its embedded
+    # history — O(checkpoint + tail) file opens, never history-length ×
+    # manifest-size driver JSON parsing (r14 "What's wrong #1")
+    ck = last_checkpoint_version(path)
+    served_to = 0
+    hist = checkpoint_history(path, ck) if ck > 0 else []
+    if hist:
+        for r in hist:
+            v = r.get("v")
+            if not isinstance(v, int) or v < earliest or v > latest:
+                continue
+            rows.append(
+                (
+                    v,
+                    r.get("op", "unknown"),
+                    r.get("n_files"),
+                    r.get("n_rows"),
+                    r.get("ledger_entries"),
+                    bool(r.get("has_cdc")),
+                )
+            )
+        # every version ≤ ck is the checkpoint's responsibility (a
+        # gap there was vacuumed before the checkpoint was written)
+        served_to = ck
+    for v in range(max(earliest, served_to + 1), latest + 1):
         try:
             m = _manifest_at(path, v)
         except OSError:
@@ -1516,6 +1577,7 @@ def describe_history_jsonl_dir(
                 bool(m.get(CDC_KEY, {}).get(str(v))),
             )
         )
+    rows.sort(key=lambda r: r[0])
     return spark.createDataFrame(
         rows,
         "version bigint, op string, n_files bigint, n_rows bigint, "
@@ -1635,6 +1697,56 @@ def widen_jsonl_column(
     return _claim_metadata_commit(path, base, new_manifest, "widen")
 
 
+def checkpoint_jsonl_dir(path: str) -> int:
+    """``CHECKPOINT <table>`` — compact the metadata plane (manifest +
+    per-commit stats deltas) into ONE columnar parquet snapshot and
+    flip the ``_LAST_CHECKPOINT`` pointer (Delta's checkpoint
+    semantics on this lake's log; see
+    :mod:`pu4spark_spark.sources.lake.checkpoint`).  After this, scan
+    planning, DESCRIBE HISTORY/DETAIL and TIMESTAMP AS OF resolution
+    read O(checkpoint + tail) instead of O(history × manifest) —
+    the 100 TB metadata-plane fix.  Returns the checkpointed
+    version.  Pure driver-side metadata op; safe beside live writers
+    (the checkpoint is derived — the commit log stays authoritative)."""
+    from pu4spark_spark.sources.lake.checkpoint import write_checkpoint
+
+    return write_checkpoint(path)
+
+
+def read_checkpoint_df(spark: SparkSession, path: str) -> DataFrame:
+    """The current checkpoint AS A DATAFRAME — one row per live shard
+    (file, rows, doc_id zonemap, stats families as JSON strings), the
+    same inspectability Delta gives its checkpoint parquets.  A
+    metadata AUDIT over a million-shard table is then itself a
+    distributed scan, not a driver JSON parse."""
+    from pu4spark_spark.sources.lake.checkpoint import (
+        _checkpoint_file,
+        last_checkpoint_version,
+    )
+
+    ck = last_checkpoint_version(path)
+    if ck <= 0:
+        raise ValueError(
+            f"read_checkpoint_df: no checkpoint under {path} — run "
+            "checkpoint_jsonl_dir first"
+        )
+    src = os.path.join(path, _checkpoint_file(ck))
+    # Spark's file index skips '_'-prefixed paths (metadata-file
+    # convention) — expose the immutable checkpoint under a visible
+    # name in a scratch dir (hard link when possible, copy across
+    # filesystems)
+    import shutil
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="pu4spark-ckpt-")
+    dst = os.path.join(scratch, f"checkpoint-v{ck}.parquet")
+    try:
+        os.link(src, dst)
+    except OSError:
+        shutil.copyfile(src, dst)
+    return spark.read.parquet(dst)
+
+
 def describe_detail_jsonl_dir(spark: SparkSession, path: str) -> DataFrame:
     """DESCRIBE DETAIL — Delta's one-row table summary, from manifest
     metadata only (no data scan): current version, file/row counts
@@ -1644,6 +1756,10 @@ def describe_detail_jsonl_dir(spark: SparkSession, path: str) -> DataFrame:
     version span.  Driver-side metadata build, O(files) stat calls —
     the cost Delta pays reading its log."""
     import json as _json
+
+    from pu4spark_spark.sources.lake.checkpoint import (
+        last_checkpoint_version,
+    )
 
     register_pyds(spark)
     v = _latest_manifest_version(path)
@@ -1688,6 +1804,7 @@ def describe_detail_jsonl_dir(spark: SparkSession, path: str) -> DataFrame:
         len(dvs),
         sum(int(e.get("n", 0)) for e in dvs.values()),
         ",".join(m.get(FEATURES_KEY, [])),
+        last_checkpoint_version(path),
     )
     return spark.createDataFrame(
         [row],
@@ -1696,5 +1813,6 @@ def describe_detail_jsonl_dir(spark: SparkSession, path: str) -> DataFrame:
         "schema string, has_column_mapping boolean, n_constraints bigint, "
         "n_tombstone_entries bigint, is_shallow_clone boolean, "
         "last_operation string, payload string, n_dv_shards bigint, "
-        "n_dv_rows bigint, table_features string",
+        "n_dv_rows bigint, table_features string, "
+        "last_checkpoint_version bigint",
     )

@@ -512,19 +512,16 @@ class JsonlDocsWriter(DataSourceWriter):
                         # row count unknown without a scan; None marks
                         # "listed, not counted" (readers only use keys)
                         manifest[f] = None
-        # per-shard zonemap sidecar: merged like the manifest on append
-        # (shards are immutable, so old entries stay valid); a shard
-        # with NO entry is simply never pruned — partial stats are
-        # always safe.  Unlike the manifest it MAY seed from the live
-        # _STATS (a racing writer's lost entries only disable pruning
-        # for those shards; extra entries for shards outside the
-        # manifest are never consulted)
-        stats = {}
-        if not self.overwrite:
-            spath = _os.path.join(self.path, "_STATS")
-            if _os.path.exists(spath):
-                with open(spath) as fh:
-                    stats = _json.load(fh)
+        # per-shard stats are committed as a PER-COMMIT DELTA
+        # (_STATS.v{N}, r15): this commit's own shards' entries only —
+        # O(commit) metadata, never the r14 O(table) read-modify-
+        # rewrite of one root _STATS (which also let racing writers
+        # lose each other's entries; a version-keyed delta has exactly
+        # one writer, the _MANIFEST.v{N} claimant).  Readers assemble
+        # checkpoint + deltas (sources/lake/checkpoint.py); a shard
+        # with NO entry is simply never pruned — partial stats stay
+        # advisory and safe.
+        stats: dict = {}
         # an append whose seeded base is EMPTY (fresh dir: no prior
         # commit, no listed legacy shards) CREATES the table — decided
         # before our own shards are merged in below
@@ -662,18 +659,22 @@ class JsonlDocsWriter(DataSourceWriter):
                 "this job's shards were rolled back — re-run the append "
                 "against the new table state"
             ) from None
+        # stats delta rides the won claim: version-keyed, exactly one
+        # writer, written even when a newer version already landed
+        # (assembly merges every delta; a crash before this write only
+        # loses pruning for our shards — advisory)
+        from pu4spark_spark.sources.lake.checkpoint import (
+            write_stats_delta,
+        )
+
+        write_stats_delta(self.path, version, stats)
         # the live _MANIFEST is a CACHE: unpinned readers resolve the
         # highest _MANIFEST.v{N} first (JsonlDocsReader._resolve), so
         # correctness never depends on this pointer.  Still, only flip
         # it while this commit is the latest — a winner that claimed
         # v{N} then stalled while others committed v{N+1..} must not
-        # swing the cache (and legacy consumers of it) backwards.  The
-        # skipped _STATS merge only disables pruning for our shards —
-        # zonemaps are advisory and partial stats are always safe.
+        # swing the cache (and legacy consumers of it) backwards.
         if _latest_manifest_version(self.path) == version:
-            _write_atomic(
-                _os.path.join(self.path, "_STATS"), _json.dumps(stats)
-            )
             _write_atomic(_os.path.join(self.path, "_MANIFEST"), body)
 
     def abort(self, messages) -> None:
@@ -1291,22 +1292,24 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
                 "contention is pathological; the engine will retry "
                 "the batch"
             )
+        # per-commit stats delta (r15): the micro-batch's own shards
+        # only — O(batch) metadata per trigger, and no root-_STATS
+        # read-modify-rewrite racing the batch writers
+        delta = dict(stats_new)
+        if cols_new:
+            delta["_cols"] = cols_new
+        if nulls_new:
+            delta["_nulls"] = nulls_new
+        if parts_new:
+            delta["_parts"] = parts_new
+        if bloom_new:
+            delta["_bloom"] = bloom_new
+        from pu4spark_spark.sources.lake.checkpoint import (
+            write_stats_delta,
+        )
+
+        write_stats_delta(self.path, version, delta)
         if _latest_manifest_version(self.path) == version:
-            spath = _os.path.join(self.path, "_STATS")
-            stats = {}
-            if _os.path.exists(spath):
-                with open(spath) as fh:
-                    stats = _json.load(fh)
-            stats.update(stats_new)
-            if cols_new:
-                stats.setdefault("_cols", {}).update(cols_new)
-            if nulls_new:
-                stats.setdefault("_nulls", {}).update(nulls_new)
-            if parts_new:
-                stats.setdefault("_parts", {}).update(parts_new)
-            if bloom_new:
-                stats.setdefault("_bloom", {}).update(bloom_new)
-            _write_atomic(spath, _json.dumps(stats))
             _write_atomic(_os.path.join(self.path, "_MANIFEST"), body)
 
     def abort(self, messages, batchId: int) -> None:
@@ -1600,13 +1603,30 @@ class JsonlDocsReader(DataSourceReader):
             and not self._eq_sets
         ):
             return files
-        spath = os.path.join(self.path, "_STATS")
-        if not os.path.exists(spath):
-            return files
-        import json as _json
+        # assemble the stats view LAZILY (only when filters pushed —
+        # the early return above) and PROJECTED: only the families the
+        # pushed filters actually consult are deserialized from the
+        # columnar checkpoint (a doc_id range scan never touches the
+        # ~11 KiB/shard bloom column).  O(checkpoint + tail) driver
+        # metadata — see sources/lake/checkpoint.py.
+        from pu4spark_spark.sources.lake.checkpoint import (
+            assemble_stats,
+        )
 
-        with open(spath) as fh:
-            stats = _json.load(fh)
+        fams = set()
+        if self._lo is not None or self._hi is not None:
+            fams.add("zonemap")
+        if self._part_in:
+            fams.add("_parts")
+        if self._col_rng:
+            fams.add("_cols")
+        if self._null_req:
+            fams.add("_nulls")
+        if self._eq_sets:
+            fams.add("_bloom")
+        stats = assemble_stats(self.path, families=fams)
+        if not stats:
+            return files
         parts = stats.get("_parts", {})
         colstats = stats.get("_cols", {})
         nullstats = stats.get("_nulls", {})
@@ -1814,9 +1834,17 @@ class JsonlDocsReader(DataSourceReader):
             # reader object is pickled to the executor with its
             # pushdown state, so this costs no extra plumbing.
             # Physical names: footer columns are the shard's keys.
+            # doc_id bounds key the PHYSICAL column like every other
+            # envelope: under column mapping a retired physical column
+            # literally named 'doc_id' may survive in old shard
+            # footers, and testing the logical bounds against ITS
+            # min/max could skip row groups holding live rows
             rgb = {}
             if self._lo is not None or self._hi is not None:
-                rgb["doc_id"] = (self._lo, self._hi)
+                rgb[self._cmap.get("doc_id", "doc_id")] = (
+                    self._lo,
+                    self._hi,
+                )
             for col, (lo, hi) in self._col_rng.items():
                 if lo is not None or hi is not None:
                     rgb[self._cmap.get(col, col)] = (lo, hi)

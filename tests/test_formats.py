@@ -556,13 +556,23 @@ def test_stats_pruning_skips_shards_and_loses_nothing(spark, tmp_path):
     import json as _json
     import os as _os
 
-    spath = _os.path.join(out, "_STATS")
-    stats = _json.load(open(spath))
+    from pu4spark_spark.sources.lake.checkpoint import (
+        assemble_stats,
+        stats_delta_path,
+        stats_delta_versions,
+    )
+
+    stats = assemble_stats(out)
     # lowest range — would otherwise be pruned (skip the reserved
     # "_"-prefixed maps: _parts/_cols/_nulls sort before shard names)
     victim = sorted(k for k in stats if not k.startswith("_"))[0]
-    del stats[victim]
-    open(spath, "w").write(_json.dumps(stats))
+    # drop the victim's entry from every per-commit delta it rides in
+    for dv in stats_delta_versions(out):
+        dp = stats_delta_path(out, dv)
+        d = _json.load(open(dp))
+        if victim in d:
+            del d[victim]
+            open(dp, "w").write(_json.dumps(d))
     blind = JsonlDocsReader({"path": out})
     list(blind.pushFilters([GreaterThanOrEqual(("doc_id",), 400)]))
     names = {p.value.rsplit("/", 1)[1] for p in blind.partitions()}
@@ -1677,7 +1687,9 @@ def test_stats_pruning_composes_with_tombstones(spark, tmp_path):
         .collect()
     )
     assert got == [i for i in range(75, 100) if i not in (80, 90, 95)]
-    assert _os.path.exists(_os.path.join(out, "_STATS"))
+    from pu4spark_spark.sources.lake.checkpoint import assemble_stats
+
+    assert assemble_stats(out)  # zonemap entries survived the delete
 
 
 def test_clustered_compaction_restores_zonemap_pruning(spark, tmp_path):
@@ -2819,7 +2831,9 @@ def test_partitioned_lake_write_and_pruning(spark, tmp_path):
     manifest = _json.load(open(_os.path.join(out, "_MANIFEST")))
     shards = [f for f in manifest if not f.startswith("_")]
     assert len(shards) == 3
-    parts = _json.load(open(_os.path.join(out, "_STATS")))["_parts"]
+    from pu4spark_spark.sources.lake.checkpoint import assemble_stats
+
+    parts = assemble_stats(out)["_parts"]
     assert sorted(parts[f]["lang"] for f in shards) == ["de", "en", "fr"]
 
     # pruning: the reader keeps exactly lang='en' shards
@@ -2846,9 +2860,7 @@ def test_partitioned_lake_write_and_pruning(spark, tmp_path):
     P.compact_jsonl_dir(spark, out, target_shards=1)
     m2 = _json.load(open(_os.path.join(out, "_MANIFEST")))
     new_shards = [f for f in m2 if not f.startswith("_")]
-    parts2 = _json.load(
-        open(_os.path.join(out, "_STATS"))
-    ).get("_parts", {})
+    parts2 = assemble_stats(out).get("_parts", {})
     assert not any(f in parts2 for f in new_shards)
     r3 = P.JsonlDocsReader({"path": out})
     r3.pushFilters([EqualTo(("lang",), "en")])
@@ -4791,7 +4803,9 @@ def test_multicol_zonemap_pruning(spark, tmp_path):
         "overwrite"
     ).save()
 
-    stats = _json.load(open(_os.path.join(out, "_STATS")))
+    from pu4spark_spark.sources.lake.checkpoint import assemble_stats
+
+    stats = assemble_stats(out)
     assert "_cols" in stats and stats["_cols"], "writer recorded no _cols"
     # every shard's lang/n_chars envelope covers its rows
     total = len(JsonlDocsReader({"path": out}).partitions())
@@ -4827,7 +4841,7 @@ def test_multicol_zonemap_pruning(spark, tmp_path):
     ).repartition(1).write.format("jsonl_docs").option(
         "path", out2
     ).mode("overwrite").save()
-    s2 = _json.load(open(_os.path.join(out2, "_STATS")))
+    s2 = assemble_stats(out2)
     ent = next(iter(s2["_cols"].values()))
     assert "n_chars" not in ent and "text" not in ent
     r2 = JsonlDocsReader({"path": out2})
@@ -4867,7 +4881,9 @@ def test_multicol_stats_survive_compaction_and_stream_sink(
         tmp, final, 1, 1, 1, cols={"lang": ["en", "en"], "n_chars": [7, 7]}
     )
     w.commit([msg], batchId=0)
-    stats = _json.load(open(_os.path.join(out, "_STATS")))
+    from pu4spark_spark.sources.lake.checkpoint import assemble_stats
+
+    stats = assemble_stats(out)
     assert stats["_cols"][final]["n_chars"] == [7, 7]
 
     # real stream-writer task path records cols too (via write());
@@ -4880,7 +4896,7 @@ def test_multicol_stats_survive_compaction_and_stream_sink(
         "path", out
     ).mode("append").save()
     P.compact_jsonl_dir(spark, out, target_shards=1)
-    stats2 = _json.load(open(_os.path.join(out, "_STATS")))
+    stats2 = assemble_stats(out)
     for f, ent in old_cols.items():
         assert stats2["_cols"][f] == ent, "compaction dropped old _cols"
     # and the new compacted shard has an envelope spanning both rows
@@ -5269,7 +5285,9 @@ def test_nullcount_zonemap_pruning(spark, tmp_path):
         "path", out
     ).mode("append").save()
 
-    stats = _json.load(open(_os.path.join(out, "_STATS")))
+    from pu4spark_spark.sources.lake.checkpoint import assemble_stats
+
+    stats = assemble_stats(out)
     assert len(stats["_nulls"]) == 2
     total = len(JsonlDocsReader({"path": out}).partitions())
     assert total == 2
@@ -5565,7 +5583,9 @@ def test_stream_sink_partitioned(spark, tmp_path):
     q.awaitTermination(120)
     q.stop()
 
-    stats = _json.load(open(_os.path.join(lake, "_STATS")))
+    from pu4spark_spark.sources.lake.checkpoint import assemble_stats
+
+    stats = assemble_stats(lake)
     assert stats.get("_parts"), "sink recorded no partition values"
     langs = {tuple(p.items()) for p in stats["_parts"].values()}
     assert langs == {
@@ -5700,7 +5720,9 @@ def test_bloom_filter_pruning(spark, tmp_path):
         "bloom_filter_columns", "doc_id"
     ).mode("overwrite").save()
 
-    stats = _json.load(open(_os.path.join(out, "_STATS")))
+    from pu4spark_spark.sources.lake.checkpoint import assemble_stats
+
+    stats = assemble_stats(out)
     assert stats.get("_bloom"), "writer recorded no blooms"
     total = len(JsonlDocsReader({"path": out}).partitions())
     assert total == 8

@@ -252,8 +252,9 @@ def test_purge_rebuilds_blooms(spark, tmp_path):
     with open(os.path.join(out, f"_MANIFEST.v{v}")) as fh:
         m = json.load(fh)
     new_files = [f for f in m if not f.startswith("_")]
-    with open(os.path.join(out, "_STATS")) as fh:
-        bloom = json.load(fh).get("_bloom", {})
+    from pu4spark_spark.sources.lake.checkpoint import assemble_stats
+
+    bloom = assemble_stats(out).get("_bloom", {})
     # the DV'd (hence rewritten) shard's replacement carries a bloom;
     # untouched shards keep their original entries
     rebuilt = [f for f in new_files if f in bloom]

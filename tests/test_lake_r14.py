@@ -134,8 +134,9 @@ def test_compaction_rebuilds_blooms(spark, tmp_path):
         .write.format("jsonl_docs").option("path", out) \
         .option("bloom_filter_columns", "doc_id") \
         .mode("overwrite").save()
-    with open(os.path.join(out, "_STATS")) as fh:
-        pre_bloom = json.load(fh)["_bloom"]
+    from pu4spark_spark.sources.lake.checkpoint import assemble_stats
+
+    pre_bloom = assemble_stats(out)["_bloom"]
     assert len(pre_bloom) == 8
 
     key = "spark.sql.adaptive.coalescePartitions.enabled"
@@ -148,8 +149,7 @@ def test_compaction_rebuilds_blooms(spark, tmp_path):
 
     with open(os.path.join(out, "_MANIFEST.v2")) as fh:
         new_files = [f for f in json.load(fh) if not f.startswith("_")]
-    with open(os.path.join(out, "_STATS")) as fh:
-        bloom = json.load(fh)["_bloom"]
+    bloom = assemble_stats(out)["_bloom"]
     for f in new_files:
         assert "doc_id" in bloom.get(f, {}), f"no rebuilt bloom on {f}"
     for f in pre_bloom:  # old entries retained for snapshot reads
@@ -350,8 +350,9 @@ def test_partition_scoped_optimize(spark, tmp_path):
     ).save()
     with open(os.path.join(out, "_MANIFEST.v1")) as fh:
         m1 = json.load(fh)
-    with open(os.path.join(out, "_STATS")) as fh:
-        parts = json.load(fh)["_parts"]
+    from pu4spark_spark.sources.lake.checkpoint import assemble_stats
+
+    parts = assemble_stats(out)["_parts"]
     en_shards = {f for f, p in parts.items() if p.get("lang") == "en"}
     fr_shards = {
         f for f in m1 if not f.startswith("_") and f not in en_shards
@@ -372,8 +373,7 @@ def test_partition_scoped_optimize(spark, tmp_path):
     assert m["_op"] == "compact-partition"
     assert os.path.exists(os.path.join(out, f"_MANIFEST.v{v}.rewrite"))
     # rewritten shard keeps partition metadata (still prunable)
-    with open(os.path.join(out, "_STATS")) as fh:
-        parts2 = json.load(fh)["_parts"]
+    parts2 = assemble_stats(out)["_parts"]
     assert all(parts2.get(f, {}).get("lang") == "en" for f in new)
     back = spark.read.format("jsonl_docs").option("path", out).load()
     assert sorted(r["doc_id"] for r in back.collect()) == [
