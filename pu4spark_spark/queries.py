@@ -76,29 +76,32 @@ if missing:
 #: committed full-registry self-check (``tools/check_oracle.py`` →
 #: ``CORRECTNESS_FULL_r0N``).
 DRIVER_FIRST = [
-    # Round-14 rotation (tools/rotation.py after CORRECTNESS_r13: the
-    # only never-witnessed entries are the five r14 additions).
-    # r15 PLAN: once the driver writes CORRECTNESS_r14.json, re-run
-    # tools/rotation.py — the only never-witnessed entries should be
-    # whatever r15 itself adds; fill the rest with re-verification of
-    # whatever code r15 touches.  Window = (A) the 5 r14-NEW queries
-    # (columnar parquet shard payloads — roundtrip, the mixed-format +
-    # migration path, and source-level column projection — positional
-    # deletion vectors with the REORG purge, and partition-scoped
-    # OPTIMIZE WHERE); (B) re-verification of EVERY lake query:
-    # r14 touched the reader (format dispatch, shard-subset option,
-    # DV masks, feature gate), both writers (parquet staging, schema
-    # recording, feature stamps, bloom buffer), every stream reader
-    # (rate-floor seeding, DV retraction, format dispatch), DML
-    # (DV delete), and maintenance (zorder quantile fusion, bloom
-    # rebuild, purge, feature carry); (C) cheapest witnessed fillers.
-    # -- A: the 5 r14-new queries ------------------------------------------
+    # Round-15 rotation (CORRECTNESS_r14: 49/49 hash-green; the only
+    # never-witnessed entries are the three r15 additions).
+    # r16 PLAN: once the driver writes CORRECTNESS_r15.json, re-run
+    # tools/rotation.py — window = r16's new queries first, then
+    # re-verification of whatever r16 touches, then cheapest fillers.
+    # Window = (A) the 3 r15-NEW queries (the checkpointed metadata
+    # plane: per-commit _STATS.v{N} deltas + the columnar
+    # _CHECKPOINT.v{N}.parquet with its _LAST_CHECKPOINT pointer —
+    # roundtrip/time-travel/CDF across the boundary, post-checkpoint
+    # pruning from projected columnar stats, and DESCRIBE HISTORY
+    # from checkpoint + tail); (B) re-verification of EVERY lake
+    # query: r15 replaced the root-_STATS plane wholesale — both
+    # writers' commits, DML commits, compaction/purge/OPTIMIZE-WHERE
+    # stats handling, clone, vacuum retention, the reader's pruning
+    # assembly, the batch CDF's new DV guards, and the mixed-subset
+    # parquet-payload preservation; (C) cheapest witnessed fillers.
+    # -- A: the 3 r15-new queries ------------------------------------------
+    "fmt_pyds_metadata_checkpoint",
+    "fmt_pyds_checkpoint_pruning",
+    "fmt_pyds_checkpoint_history",
+    # -- B: re-verification of the r15-touched lake surface ----------------
     "fmt_pyds_parquet_roundtrip",
     "fmt_pyds_parquet_mixed",
     "fmt_pyds_parquet_projection",
     "fmt_pyds_deletion_vectors",
     "fmt_pyds_optimize_where",
-    # -- B: re-verification of the r14-touched lake surface ----------------
     "fmt_pyds_multicol_pruning",
     "streaming_pyds_sink_mapped",
     "streaming_pyds_sink_partitioned",

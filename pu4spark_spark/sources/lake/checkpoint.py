@@ -61,6 +61,27 @@ STATS_MAP_KEYS = ("_parts", "_cols", "_nulls", "_bloom")
 LAST_CHECKPOINT = "_LAST_CHECKPOINT"
 CHECKPOINT_PREFIX = "_CHECKPOINT.v"
 
+#: reserved manifest key: sticky auto-checkpoint interval (Delta's
+#: ``delta.checkpointInterval`` table property) — commits from either
+#: writer checkpoint the metadata plane whenever version % N == 0,
+#: bounding the delta tail every reader assembles
+CKPT_INTERVAL_KEY = "_checkpoint_interval"
+
+
+def _maybe_auto_checkpoint(
+    path: str, version: int, manifest: dict
+) -> None:
+    """Fire the sticky-interval checkpoint after a commit.  BEST
+    EFFORT by design: the commit already succeeded and the checkpoint
+    is derived metadata, so a failure here (e.g. a racing writer
+    claimed the same checkpoint) must never fail the write job."""
+    try:
+        n = manifest.get(CKPT_INTERVAL_KEY)
+        if isinstance(n, int) and n > 0 and version % n == 0:
+            write_checkpoint(path)
+    except Exception:
+        pass
+
 #: stats FAMILY → checkpoint parquet columns it needs (besides "file");
 #: the planner passes exactly the families its pushed filters consult,
 #: so e.g. a pure doc_id range scan never reads the bloom column

@@ -23,6 +23,9 @@ from pyspark.sql.datasource import (
 )
 
 from pu4spark_spark.sources.tables import load_table
+from pu4spark_spark.sources.lake.checkpoint import (
+    CKPT_INTERVAL_KEY,
+)
 from pu4spark_spark.sources.lake.protocol import (
     BASE_DIR_KEY,
     CDC_KEY,
@@ -707,6 +710,7 @@ def compact_jsonl_dir(
     pre_m = _manifest_at(path, version - 1)
     for carry in (
         SCHEMA_KEY, CONSTRAINT_KEY, TXN_KEY, MAPPING_KEY, FEATURES_KEY,
+        CKPT_INTERVAL_KEY,
     ):
         if carry in pre_m:
             new_manifest[carry] = pre_m[carry]
@@ -1331,6 +1335,7 @@ def clone_jsonl_dir(
     # normalize — a DV is scoped to its shard, not to a commit)
     for carry in (
         SCHEMA_KEY, CONSTRAINT_KEY, MAPPING_KEY, FEATURES_KEY, DV_KEY,
+        CKPT_INTERVAL_KEY,
     ):
         if carry in src_m:
             new_manifest[carry] = src_m[carry]

@@ -683,10 +683,29 @@ def _version_as_of(path: str, ts_ns: int) -> int:
         for f in os.listdir(path)
         if f.startswith("_MANIFEST.v") and f.rsplit(".v", 1)[1].isdigit()
     )
+    # versions at-or-below a checkpoint resolve from its embedded
+    # history (one parquet-footer read), tail versions from their
+    # manifests — O(checkpoint + tail), the r15 metadata-plane rule
+    ck_ts: dict[int, int] = {}
+    from pu4spark_spark.sources.lake.checkpoint import (
+        checkpoint_history,
+        last_checkpoint_version,
+    )
+
+    ck = last_checkpoint_version(path)
+    if ck > 0:
+        for r in checkpoint_history(path, ck):
+            v, t = r.get("v"), r.get("ts")
+            if isinstance(v, int) and isinstance(t, int):
+                ck_ts[v] = t
     best = 0
     running = 0
     for v in versions:
-        running = max(running, _manifest_at(path, v).get("_ts", 0))
+        if v in ck_ts:
+            stamp = ck_ts[v]
+        else:
+            stamp = _manifest_at(path, v).get("_ts", 0)
+        running = max(running, stamp)
         if running <= ts_ns:
             best = v
     if best == 0:

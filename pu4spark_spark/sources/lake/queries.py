@@ -2132,6 +2132,281 @@ SELECT 4, 'compact', 2,
 """
 
 
+#: checkpoint-demo predicates (constants so the oracles are fixed SQL)
+CK_DEL1_MOD, CK_DEL2_MOD = 10, 9  # v2: evens %10==2; v4: all %9==0
+CK_DEL1_VAL = 2
+
+
+def q_fmt_pyds_metadata_checkpoint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The r15 METADATA-PLANE CHECKPOINT end to end (Delta's
+    ``_last_checkpoint`` semantics on this lake's log — VERDICT r14
+    next #1): overwrite evens (v1) → DELETE evens %10==2 (v2) →
+    ``checkpoint_jsonl_dir`` compacts manifest + per-commit stats
+    deltas into ONE columnar parquet → append odds (v3) → DELETE
+    %9==0 (v4) → checkpoint again (supersede).  Result = union of
+    (a) the latest read (served from checkpoint + tail), (b) time
+    travel to v1 (below BOTH checkpoints), and (c) the batch CDF over
+    the post-first-checkpoint tail (insert + delete derivation across
+    the checkpoint boundary), each value-checked against the parquet
+    truth — a checkpoint that loses shards, stats, tombstones, or
+    history breaks one of the three legs.  The
+    O(checkpoint + tail) file-open contract and vacuum interaction
+    are pinned in ``tests/test_lake_checkpoint.py``."""
+    import hashlib
+
+    from pu4spark_spark.sources.lake.maintenance import (
+        checkpoint_jsonl_dir,
+    )
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_pyds_ck_{tag}_{os.getpid()}"
+    )
+    register_pyds(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    evens = docs.filter(F.col("doc_id") % 2 == 0)
+    (
+        evens.repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out)
+        .mode("overwrite")
+        .save()
+    )
+    delete_from_jsonl_dir(
+        out,
+        evens.filter(F.col("doc_id") % CK_DEL1_MOD == CK_DEL1_VAL)
+        .select("doc_id")
+        .repartition(2),
+        base_version=1,
+        spark=spark,
+    )
+    ck1 = checkpoint_jsonl_dir(out)
+    if ck1 != 2:
+        raise AssertionError(f"first checkpoint at v{ck1}, want 2")
+    (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out)
+        .option("base_version", 2)
+        .mode("append")
+        .save()
+    )
+    delete_from_jsonl_dir(
+        out,
+        docs.filter(F.col("doc_id") % CK_DEL2_MOD == 0)
+        .select("doc_id")
+        .repartition(2),
+        base_version=3,
+        spark=spark,
+    )
+    ck2 = checkpoint_jsonl_dir(out)
+    if ck2 != 4:
+        raise AssertionError(f"second checkpoint at v{ck2}, want 4")
+
+    def agg(df: DataFrame, snap: str, grp) -> DataFrame:
+        return df.groupBy(grp.alias("grp")).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        ).select(F.lit(snap).alias("snapshot"), "*")
+
+    latest = (
+        spark.read.format("jsonl_docs").option("path", out).load()
+    )
+    pre = (
+        spark.read.format("jsonl_docs")
+        .option("path", out)
+        .option("version", 1)
+        .load()
+    )
+    feed = table_changes_jsonl_dir(spark, out, starting_version=2)
+    return (
+        agg(latest, "latest", F.col("lang"))
+        .unionByName(agg(pre, "v1", F.col("lang")))
+        .unionByName(agg(feed, "cdf", F.col("_change_type")))
+    )
+
+
+SQL_FMT_PYDS_METADATA_CHECKPOINT = f"""
+WITH latest AS (
+  SELECT * FROM documents
+  WHERE ((doc_id % 2 = 0 AND doc_id % {CK_DEL1_MOD} <> {CK_DEL1_VAL})
+         OR doc_id % 2 = 1)
+    AND doc_id % {CK_DEL2_MOD} <> 0
+), v3_live AS (
+  SELECT * FROM documents
+  WHERE (doc_id % 2 = 0 AND doc_id % {CK_DEL1_MOD} <> {CK_DEL1_VAL})
+     OR doc_id % 2 = 1
+)
+SELECT 'latest' AS snapshot, lang AS grp,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM latest GROUP BY lang
+UNION ALL
+SELECT 'v1', lang, COUNT(*), CAST(SUM(n_chars) AS BIGINT),
+       MIN(doc_id), MAX(doc_id)
+FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+UNION ALL
+SELECT 'cdf', 'insert', COUNT(*), CAST(SUM(n_chars) AS BIGINT),
+       MIN(doc_id), MAX(doc_id)
+FROM documents WHERE doc_id % 2 = 1
+UNION ALL
+SELECT 'cdf', 'delete', COUNT(*), CAST(SUM(n_chars) AS BIGINT),
+       MIN(doc_id), MAX(doc_id)
+FROM v3_live WHERE doc_id % {CK_DEL2_MOD} = 0
+"""
+
+
+def q_fmt_pyds_checkpoint_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Post-checkpoint DATA SKIPPING from the COLUMNAR stats (r15
+    directive #2): documents written partitioned by lang with a
+    doc_id bloom index (v1) + an append (v2) → CHECKPOINT → VACUUM
+    reclaims the subsumed v1 stats delta — so the partition-pruned
+    and bloom/zonemap-pruned reads below are served from the
+    checkpoint parquet's projected stats columns (plus the one tail
+    delta), not from any root JSON.  Values re-derived from the
+    parquet truth; the planner-level only-pushed-families projection
+    and the file-open counts are plan-gated in
+    ``tests/test_lake_checkpoint.py``."""
+    import hashlib
+
+    from pu4spark_spark.sources.lake.maintenance import (
+        checkpoint_jsonl_dir,
+        vacuum_jsonl_dir,
+    )
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_pyds_ckpr_{tag}_{os.getpid()}"
+    )
+    register_pyds(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out)
+        .option("partition_by", "lang")
+        .option("bloom_filter_columns", "doc_id")
+        .mode("overwrite")
+        .save()
+    )
+    (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out)
+        .option("partition_by", "lang")
+        .option("bloom_filter_columns", "doc_id")
+        .option("base_version", 1)
+        .mode("append")
+        .save()
+    )
+    v = checkpoint_jsonl_dir(out)
+    if v != 2:
+        raise AssertionError(f"checkpoint at v{v}, want 2")
+    vacuum_jsonl_dir(out, keep_versions=1, stale_grace_s=600.0)
+
+    def agg(df: DataFrame, snap: str) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        ).select(F.lit(snap).alias("snapshot"), "*")
+
+    en = (
+        spark.read.format("jsonl_docs")
+        .option("path", out)
+        .load()
+        .filter(F.col("lang") == "en")
+    )
+    rng = (
+        spark.read.format("jsonl_docs")
+        .option("path", out)
+        .load()
+        .filter(
+            (F.col("doc_id") >= 100) & (F.col("doc_id") <= 500)
+        )
+    )
+    return agg(en, "en_partition").unionByName(agg(rng, "doc_range"))
+
+
+SQL_FMT_PYDS_CHECKPOINT_PRUNING = """
+SELECT 'en_partition' AS snapshot, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM documents WHERE lang = 'en' GROUP BY lang
+UNION ALL
+SELECT 'doc_range', lang, COUNT(*), CAST(SUM(n_chars) AS BIGINT),
+       MIN(doc_id), MAX(doc_id)
+FROM documents WHERE doc_id BETWEEN 100 AND 500 GROUP BY lang
+"""
+
+
+def q_fmt_pyds_checkpoint_history(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DESCRIBE HISTORY served from CHECKPOINT + TAIL (r15 directive
+    #5): the exact 4-commit fixture of ``fmt_pyds_describe_history``
+    with a checkpoint after v2 — rows ≤ 2 come from the checkpoint's
+    embedded history, rows 3-4 from the tail manifests, and the
+    assembled table must be INDISTINGUISHABLE from the
+    manifest-walked one (same oracle).  The ≤-checkpoint manifests
+    are never opened (file-open-count pinned in
+    ``tests/test_lake_checkpoint.py``)."""
+    import hashlib
+
+    from pu4spark_spark.sources.lake.maintenance import (
+        checkpoint_jsonl_dir,
+    )
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(
+        tempfile.gettempdir(), f"pu4spark_pyds_ckh_{tag}_{os.getpid()}"
+    )
+    register_pyds(spark)
+    docs = load_table(spark, "documents", sf_dir)
+    evens = docs.filter(F.col("doc_id") % 2 == 0)
+    (
+        evens.repartition(N_SHARDS, "doc_id")
+        .write.format("jsonl_docs")
+        .option("path", out).mode("overwrite").save()
+    )
+    delete_from_jsonl_dir(
+        out,
+        evens.filter(F.col("doc_id") % 10 == HIST_DEL_MOD)
+        .select("doc_id")
+        .repartition(2),
+        base_version=1,
+        spark=spark,
+        cdf=True,
+    )
+    v = checkpoint_jsonl_dir(out)
+    if v != 2:
+        raise AssertionError(f"checkpoint at v{v}, want 2")
+    upserts = evens.filter(
+        F.col("doc_id") % 10 == HIST_MERGE_MOD
+    ).select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        (F.col("n_chars") + F.lit(1000)).alias("n_chars"),
+    )
+    merge_into_jsonl_dir(spark, upserts.repartition(2, "doc_id"), out)
+    compact_jsonl_dir(spark, out, target_shards=2)
+    return describe_history_jsonl_dir(spark, out)
+
+
 def q_fmt_pyds_sql_surface(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2632,6 +2907,9 @@ QUERIES = {
     "fmt_pyds_parquet_projection": q_fmt_pyds_parquet_projection,
     "fmt_pyds_deletion_vectors": q_fmt_pyds_deletion_vectors,
     "fmt_pyds_optimize_where": q_fmt_pyds_optimize_where,
+    "fmt_pyds_metadata_checkpoint": q_fmt_pyds_metadata_checkpoint,
+    "fmt_pyds_checkpoint_pruning": q_fmt_pyds_checkpoint_pruning,
+    "fmt_pyds_checkpoint_history": q_fmt_pyds_checkpoint_history,
 }
 
 ORACLE_SQL = {
@@ -2648,6 +2926,15 @@ ORACLE_SQL = {
     # partition-scoped OPTIMIZE: whole-table + compacted-partition
     # passes both content-exact after the scoped rewrite
     "fmt_pyds_optimize_where": SQL_FMT_PYDS_OPTIMIZE_WHERE,
+    # r15 metadata checkpoint: latest read + pre-checkpoint time
+    # travel + cross-boundary CDF all exact after two checkpoints
+    "fmt_pyds_metadata_checkpoint": SQL_FMT_PYDS_METADATA_CHECKPOINT,
+    # post-checkpoint data skipping from the columnar stats (deltas
+    # vacuumed), partition + zonemap/bloom legs value-exact
+    "fmt_pyds_checkpoint_pruning": SQL_FMT_PYDS_CHECKPOINT_PRUNING,
+    # DESCRIBE HISTORY assembled from checkpoint-embedded rows + tail
+    # manifests — same oracle as the manifest-walked history
+    "fmt_pyds_checkpoint_history": SQL_FMT_PYDS_DESCRIBE_HISTORY,
     "fmt_pyds_update": SQL_FMT_PYDS_UPDATE,
     "fmt_pyds_column_mapping": SQL_FMT_PYDS_COLUMN_MAPPING,
     "fmt_pyds_type_widening": SQL_FMT_PYDS_TYPE_WIDENING,

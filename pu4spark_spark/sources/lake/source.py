@@ -64,6 +64,12 @@ from pu4spark_spark.sources.lake.protocol import (
     _write_atomic,
     _write_atomic_excl,
 )
+from pu4spark_spark.sources.lake.checkpoint import (
+    CKPT_INTERVAL_KEY,
+    _maybe_auto_checkpoint,
+    assemble_stats,
+    write_stats_delta,
+)
 from pu4spark_spark.sources.lake.streaming import (
     JsonlDocsChangeFeedStreamReader,
     JsonlDocsStreamReader,
@@ -372,6 +378,14 @@ class JsonlDocsWriter(DataSourceWriter):
                 "jsonl_docs writer: txn_app_id and txn_version must be "
                 "set together"
             )
+        # AUTO-CHECKPOINT interval (Delta's delta.checkpointInterval):
+        # option("checkpoint_interval", N) records a STICKY table
+        # property — this and every later commit (either writer)
+        # checkpoints the metadata plane whenever version % N == 0,
+        # bounding the stats-delta tail every reader assembles.  0
+        # clears the property.
+        ci = options.get("checkpoint_interval")
+        self.ckpt_interval = int(ci) if ci is not None else None
         # per-JOB token: assigned once driver-side, shared by all the
         # job's pickled task copies.  Temp shards carry it so commit's
         # orphan sweep only ever touches THIS job's leftovers — a
@@ -598,6 +612,15 @@ class JsonlDocsWriter(DataSourceWriter):
         if CONSTRAINT_KEY in manifest:
             feats.append("check-constraints")
         _stamp_features(manifest, *feats)
+        # sticky auto-checkpoint property (Delta's checkpointInterval):
+        # an explicit option records/clears it; otherwise the base
+        # manifest's value carries forward untouched (it is already in
+        # the seeded manifest)
+        if self.ckpt_interval is not None:
+            if self.ckpt_interval > 0:
+                manifest[CKPT_INTERVAL_KEY] = self.ckpt_interval
+            else:
+                manifest.pop(CKPT_INTERVAL_KEY, None)
         # commit wall-clock (ns) — the "TIMESTAMP AS OF" resolution key
         # (reserved key, skipped by every shard-list consumer)
         import time as _time
@@ -663,10 +686,6 @@ class JsonlDocsWriter(DataSourceWriter):
         # writer, written even when a newer version already landed
         # (assembly merges every delta; a crash before this write only
         # loses pruning for our shards — advisory)
-        from pu4spark_spark.sources.lake.checkpoint import (
-            write_stats_delta,
-        )
-
         write_stats_delta(self.path, version, stats)
         # the live _MANIFEST is a CACHE: unpinned readers resolve the
         # highest _MANIFEST.v{N} first (JsonlDocsReader._resolve), so
@@ -676,6 +695,7 @@ class JsonlDocsWriter(DataSourceWriter):
         # swing the cache (and legacy consumers of it) backwards.
         if _latest_manifest_version(self.path) == version:
             _write_atomic(_os.path.join(self.path, "_MANIFEST"), body)
+        _maybe_auto_checkpoint(self.path, version, manifest)
 
     def abort(self, messages) -> None:
         import os as _os
@@ -1038,6 +1058,11 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
 
             for _nm, _t in self.typed_fields:
                 _arrow_type_of_ddl(_t)
+        # sticky auto-checkpoint interval — same option and property
+        # as the batch writer (the MANY-commit shape where bounding
+        # the delta tail matters most)
+        ci = options.get("checkpoint_interval")
+        self.ckpt_interval = int(ci) if ci is not None else None
         import uuid as _uuid
 
         self.job_token = _uuid.uuid4().hex[:8]
@@ -1265,6 +1290,11 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
                 manifest[SCHEMA_KEY] = self.ddl
             manifest[TXN_KEY] = {"last_batch": batchId}
             manifest[OP_KEY] = "streaming-append"
+            if self.ckpt_interval is not None:
+                if self.ckpt_interval > 0:
+                    manifest[CKPT_INTERVAL_KEY] = self.ckpt_interval
+                else:
+                    manifest.pop(CKPT_INTERVAL_KEY, None)
             feats = (
                 ["payload-parquet"] if self.payload == "parquet" else []
             )
@@ -1304,13 +1334,10 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
             delta["_parts"] = parts_new
         if bloom_new:
             delta["_bloom"] = bloom_new
-        from pu4spark_spark.sources.lake.checkpoint import (
-            write_stats_delta,
-        )
-
         write_stats_delta(self.path, version, delta)
         if _latest_manifest_version(self.path) == version:
             _write_atomic(_os.path.join(self.path, "_MANIFEST"), body)
+        _maybe_auto_checkpoint(self.path, version, manifest)
 
     def abort(self, messages, batchId: int) -> None:
         self._sweep(set())
@@ -1609,10 +1636,6 @@ class JsonlDocsReader(DataSourceReader):
         # columnar checkpoint (a doc_id range scan never touches the
         # ~11 KiB/shard bloom column).  O(checkpoint + tail) driver
         # metadata — see sources/lake/checkpoint.py.
-        from pu4spark_spark.sources.lake.checkpoint import (
-            assemble_stats,
-        )
-
         fams = set()
         if self._lo is not None or self._hi is not None:
             fams.add("zonemap")

@@ -3428,10 +3428,16 @@ def test_minilake_random_ops_v2_full_surface(spark, tmp_path):
                         "base_version", commit_version()
                     ).mode("append").save()
                 # nothing committed: version is the constraint commit
-            elif op < 0.88:
+            elif op < 0.84:
                 P.compact_jsonl_dir(
                     spark, out, target_shards=rng.randint(1, 2)
                 )
+            elif op < 0.90:
+                # CHECKPOINT (r15): derived metadata only — commits no
+                # version, so the state model is untouched, but every
+                # later batch/time-travel/stream check now runs against
+                # the checkpointed plane (assembly, history serving)
+                P.checkpoint_jsonl_dir(out)
             else:  # restore to a random retained snapshot
                 kept = sorted(snapshots)
                 tgt = rng.choice(kept)

@@ -195,6 +195,49 @@ def test_post_checkpoint_reads_open_checkpoint_plus_tail_only(
     assert set(opened) == {10}, opened  # the pinned latest only
 
 
+def test_no_filter_read_skips_stats_entirely(
+    spark, tmp_path, monkeypatch
+):
+    """Directive r15 #2, last clause: planning a read with NO pushed
+    filters must not load stats at all — no _STATS delta, no
+    checkpoint parquet open."""
+    import pyarrow.parquet as pq
+
+    P.register_pyds(spark)
+    out = str(tmp_path / "nf")
+    _write(spark, out, 0, 10, mode="overwrite")
+    _write(spark, out, 10, 20)
+    P.checkpoint_jsonl_dir(out)
+
+    stats_opens: list[str] = []
+    real_open = builtins.open
+    real_read_table = pq.read_table
+
+    def counting_open(file, *a, **kw):
+        if isinstance(file, (str, os.PathLike)):
+            name = os.path.basename(str(file))
+            if name.startswith(("_STATS", "_CHECKPOINT")):
+                stats_opens.append(name)
+        return real_open(file, *a, **kw)
+
+    def counting_read_table(file, *a, **kw):
+        stats_opens.append(os.path.basename(str(file)))
+        return real_read_table(file, *a, **kw)
+
+    monkeypatch.setattr(builtins, "open", counting_open)
+    monkeypatch.setattr(pq, "read_table", counting_read_table)
+    parts = JsonlDocsReader({"path": out}).partitions()
+    monkeypatch.setattr(builtins, "open", real_open)
+    monkeypatch.setattr(pq, "read_table", real_read_table)
+    assert len(parts) == 2
+    assert stats_opens == [], stats_opens
+    # a FILTERED plan does consult them (sanity: the gate above is
+    # about laziness, not about pruning being off)
+    r = JsonlDocsReader({"path": out})
+    r._lo = r._hi = 15
+    assert len(r.partitions()) == 1
+
+
 def test_checkpoint_history_survives_vacuum_of_old_manifests(
     spark, tmp_path
 ):
@@ -355,6 +398,35 @@ def test_subset_rewrite_keeps_parquet_on_mixed_subset(spark, tmp_path):
     assert _read_ids(spark, out) == [
         i for i in range(20) if i not in (3, 13)
     ]
+
+
+def test_auto_checkpoint_interval_sticky_property(spark, tmp_path):
+    """``option("checkpoint_interval", N)`` is a STICKY table property
+    (Delta's checkpointInterval): later commits from EITHER writer —
+    and commits that never repeat the option — auto-checkpoint at
+    every Nth version, and compaction carries the property through
+    its rewrite."""
+    P.register_pyds(spark)
+    out = str(tmp_path / "ai")
+    (
+        spark.createDataFrame(_rows(0, 5), DDL)
+        .repartition(1)
+        .write.format("jsonl_docs")
+        .option("path", out)
+        .option("checkpoint_interval", "2")
+        .mode("overwrite")
+        .save()
+    )
+    assert last_checkpoint_version(out) == 0  # v1: 1 % 2 != 0
+    _write(spark, out, 5, 10)  # v2 — plain append, no option repeated
+    assert last_checkpoint_version(out) == 2
+    _write(spark, out, 10, 15)  # v3
+    assert last_checkpoint_version(out) == 2
+    P.compact_jsonl_dir(spark, out, target_shards=1)  # v4 carries prop
+    _write(spark, out, 15, 20)  # v5
+    _write(spark, out, 20, 25)  # v6 → auto-checkpoint
+    assert last_checkpoint_version(out) == 6
+    assert _read_ids(spark, out) == list(range(25))
 
 
 def test_merge_preserves_other_shards_family_stats(spark, tmp_path):
