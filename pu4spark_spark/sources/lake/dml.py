@@ -49,23 +49,136 @@ from pu4spark_spark.sources.lake.source import (
 
 
 
+#: Spark SQL types whose native-JSON-writer cell form ``json.loads``
+#: round-trips identically to the pyds writer's (plain JSON scalars —
+#: no string-encoded decimal/timestamp/date/binary forms to diverge on)
+_NATIVE_JSON_SAFE = (
+    "string", "bigint", "long", "int", "integer", "smallint",
+    "tinyint", "double", "float", "boolean",
+)
+
+
+def _write_rowcount_from_store(
+    spark: SparkSession, jobdesc: str, timeout_s: float = 10.0
+):
+    """Exact row count of a just-finished native file write, read from
+    the SQL status store: the execution whose description is
+    ``jobdesc`` (unique per staging call; set thread-locally around the
+    action) carries the write command node's ``number of output rows``
+    metric — the count rode the write job itself, no second pass and no
+    ``Observation`` (whose manager poisons MLlib closures; see
+    :func:`_stage_sidecar_shards`).  The store is fed by the async
+    listener bus, so poll briefly; returns ``None`` when the metric
+    can't be found (store disabled / timeout) and the caller falls back
+    to a count job.  Internal-API surface is pinned by
+    ``tests/test_lake_dv.py::test_dml_staging_counts_and_no_observation_poison``."""
+    import re as _re
+    import time as _time
+
+    try:
+        store = spark._jsparkSession.sharedState().statusStore()
+    except Exception:
+        return None
+    deadline = _time.monotonic() + timeout_s
+    while _time.monotonic() < deadline:
+        try:
+            lst = store.executionsList()
+            exec_id = None
+            for i in range(lst.size() - 1, -1, -1):
+                e = lst.apply(i)
+                if e.description() == jobdesc:
+                    exec_id = e.executionId()
+                    break
+            if exec_id is not None:
+                vals = {}
+                vit = store.executionMetrics(exec_id).iterator()
+                while vit.hasNext():
+                    kv = vit.next()
+                    vals[kv._1()] = kv._2()
+                nit = store.planGraph(exec_id).allNodes().iterator()
+                while nit.hasNext():
+                    node = nit.next()
+                    if "InsertIntoHadoopFsRelationCommand" not in node.name():
+                        continue
+                    mit = node.metrics().iterator()
+                    while mit.hasNext():
+                        m = mit.next()
+                        if m.name() == "number of output rows":
+                            v = vals.get(m.accumulatorId())
+                            if v is not None:
+                                return int(_re.sub(r"[^0-9]", "", str(v)))
+        except Exception:
+            return None
+        _time.sleep(0.05)
+    return None
+
+
 def _stage_sidecar_shards(
     df: DataFrame, path: str, token: str, prefix: str
 ) -> tuple[list[str], int]:
     """Write ``df`` as ``_{prefix}-{token}-*`` sidecar shards in the
-    table dir via a DISTRIBUTED job (the transactional writer into a
-    sibling stage dir, then renamed in) — the driver never
-    materializes a row, only file names + row counts.  The files are
-    invisible until manifest metadata references them: '_'-prefixed
-    (skipped by listing readers) and named by no committed manifest.
-    Returns ``(names, total_rows)``; empty task shards are dropped.
-    Used for DELETE key files (``_delete-``) and commit-time change-
-    data-feed files (``_cdc-``)."""
+    table dir via a DISTRIBUTED job — the driver never materializes a
+    row, only file names + row counts.  The files are invisible until
+    manifest metadata references them: '_'-prefixed (skipped by
+    listing readers) and named by no committed manifest.  Returns
+    ``(names, total_rows)``; empty task shards are dropped.  Used for
+    DELETE key files (``_delete-``) and commit-time change-data-feed
+    files (``_cdc-``).
+
+    Sidecar shards need none of the lake writer's machinery (no
+    manifest claim, no stats, no constraints) — when every column is a
+    plain JSON scalar they are written by Spark's NATIVE JSON sink
+    (whole-stage codegen, zero JVM→Python boundary — guide §4), with
+    the row count read from the write job's OWN ``number of output
+    rows`` metric (no second pass).  NEVER via ``Observation``: the
+    first Observation on a session instantiates the non-serializable
+    ``SparkSession.observationManager``, which poisons every later
+    MLlib-summary-carrying task closure in the process — see
+    ``q_pipeline_observed_metrics``'s session-isolation note, the house
+    rule this module must follow because DML shares the caller's
+    session.  Schemas with string-encoded cell forms (decimal/
+    timestamp/date/binary) keep the pyds writer, whose serialization
+    the readers' converters are matched to."""
     import json as _json
     import shutil
+    import uuid as _uuid
 
-    register_pyds(df.sparkSession)
     stage = path + f".{prefix}-stage-{token}"
+    simple = all(
+        f.dataType.simpleString() in _NATIVE_JSON_SAFE
+        for f in df.schema.fields
+    )
+    if simple:
+        spark = df.sparkSession
+        sc = spark.sparkContext
+        jobdesc = f"stage-{prefix}-{_uuid.uuid4().hex[:12]}"
+        prev_desc = sc.getLocalProperty("spark.job.description")
+        sc.setJobDescription(jobdesc)
+        try:
+            df.write.mode("overwrite").json(stage)
+        finally:
+            sc.setJobDescription(prev_desc)
+        n_rows = _write_rowcount_from_store(spark, jobdesc)
+        if n_rows is None:
+            # fallback: one native line-count job over the staged files
+            # (the sink writes exactly one JSON record per line)
+            n_rows = spark.read.text(stage).count()
+        n_rows = int(n_rows)
+        staged_names = sorted(
+            f
+            for f in os.listdir(stage)
+            if f.startswith("part-")
+            and not f.endswith((".crc", "_SUCCESS"))
+            and os.path.getsize(os.path.join(stage, f)) > 0
+        )
+        names = []
+        for i, f in enumerate(staged_names):
+            name = f"_{prefix}-{token}-{i:04d}.jsonl"
+            os.replace(os.path.join(stage, f), os.path.join(path, name))
+            names.append(name)
+        shutil.rmtree(stage, ignore_errors=True)
+        return names, n_rows
+    register_pyds(df.sparkSession)
     (
         df.write.format("jsonl_docs")
         .option("path", stage)
@@ -78,7 +191,7 @@ def _stage_sidecar_shards(
             for f, r in _json.load(fh).items()
             if not f.startswith("_")
         }
-    names: list[str] = []
+    names = []
     n_rows = 0
     for i, (f, rows) in enumerate(sorted(staged.items())):
         if not rows:

@@ -16,7 +16,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     DataSourceStreamWriter,
     DataSourceWriter,
@@ -142,10 +144,13 @@ class JsonlDocsDataSource(DataSource):
         return JsonlDocsStreamReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> "JsonlDocsWriter":
-        return JsonlDocsWriter(self.options, schema, overwrite)
+        # the Arrow subclass: Spark's worker hands write() the raw
+        # RecordBatches instead of building a pyspark Row per row
+        # (guide §4 — the batch-serving twin of the reader's path)
+        return JsonlDocsArrowWriter(self.options, schema, overwrite)
 
     def streamWriter(self, schema, overwrite: bool):
-        return JsonlDocsStreamWriter(self.options, schema)
+        return JsonlDocsStreamArrowWriter(self.options, schema)
 
 
 #: serializes first registration per session — re-registering is not
@@ -224,6 +229,9 @@ class JsonlDocsWriter(DataSourceWriter):
         if not self.path:
             raise ValueError("jsonl_docs writer requires option 'path'")
         self.fields = [f.name for f in schema.fields]
+        #: the written StructType — the Arrow subclass builds its
+        #: per-column cell converters from it (pickles with the writer)
+        self._struct = schema
         #: written shape as DDL — recorded as the table schema when an
         #: overwrite creates a non-documents table (appends instead
         #: carry the base manifest's _schema; evolve_jsonl_schema is
@@ -402,6 +410,16 @@ class JsonlDocsWriter(DataSourceWriter):
             shutil.rmtree(self.path, ignore_errors=True)
 
     def write(self, iterator) -> WriterCommitMessage:
+        # row-facing entry (kept for API parity / direct callers); the
+        # registered source serves the Arrow subclass below instead
+        fields = self.fields
+        return self._write_dicts(
+            {k: row[k] for k in fields} for row in iterator
+        )
+
+    def _write_dicts(self, dict_iter) -> WriterCommitMessage:
+        """Task body over an iterator of LOGICAL-name row dicts —
+        shared by the row and Arrow entry points."""
         import os as _os
 
         from pyspark import TaskContext
@@ -428,15 +446,15 @@ class JsonlDocsWriter(DataSourceWriter):
                 self.path, self.job_token, pid, self.fields, phys, None,
                 bloom_cols, payload, typed,
             )
-            for row in iterator:
-                shard.add(_validated({k: row[k] for k in self.fields}))
+            for d in dict_iter:
+                shard.add(_validated(d))
             return shard.close()
         # partitioned write: one shard per distinct partition value
         # seen by THIS task (callers repartition by the column, so
         # normally one value per task)
         shards: dict[tuple, _ShardSink] = {}
-        for row in iterator:
-            d = _validated({k: row[k] for k in self.fields})
+        for d in dict_iter:
+            d = _validated(d)
             key = tuple(d[c] for c in self.partition_by)
             s = shards.get(key)
             if s is None:
@@ -702,6 +720,45 @@ class JsonlDocsWriter(DataSourceWriter):
 
         if _os.path.isdir(self.path):
             self._sweep_tmp(set())
+
+
+def _arrow_batches_to_dicts(iterator, struct):
+    """RecordBatch iterator → LOGICAL-name row-dict iterator, applying
+    the SAME per-cell converters Spark's row-writer worker would
+    (``ArrowTableToRowsConversion``) so serialized shard bytes are
+    byte-identical to the row path — minus the pyspark ``Row``
+    construction and per-field name lookup the row path pays per row
+    (guide §4).  Identity converters (plain scalars — the common
+    documents shape) are skipped entirely."""
+    from pyspark.sql.conversion import ArrowTableToRowsConversion
+
+    convs = [
+        ArrowTableToRowsConversion._create_converter(
+            f.dataType, none_on_identity=True
+        )
+        for f in struct.fields
+    ]
+    names = [f.name for f in struct.fields]
+    for batch in iterator:
+        cols = [c.to_pylist() for c in batch.columns]
+        for i, cv in enumerate(convs):
+            if cv is not None:
+                cols[i] = [cv(x) for x in cols[i]]
+        for vals in zip(*cols):
+            yield dict(zip(names, vals))
+
+
+class JsonlDocsArrowWriter(DataSourceArrowWriter, JsonlDocsWriter):
+    """Arrow-serving twin of :class:`JsonlDocsWriter` — Spark's worker
+    dispatches on this base class and hands ``write()`` the raw
+    ``RecordBatch``es it already holds, instead of converting every
+    row to a pyspark ``Row`` first.  Same staging/commit protocol,
+    same shard bytes; only the task-side conversion chain shrinks."""
+
+    def write(self, iterator) -> WriterCommitMessage:
+        return self._write_dicts(
+            _arrow_batches_to_dicts(iterator, self._struct)
+        )
 
 
 class _ShardSink:
@@ -1014,6 +1071,8 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
         if not self.path:
             raise ValueError("jsonl_docs stream writer requires 'path'")
         self.fields = [f.name for f in schema.fields]
+        #: written StructType — the Arrow subclass's converter source
+        self._struct = schema
         #: written shape as DDL — recorded as the table schema when the
         #: FIRST commit into a fresh directory creates a non-documents
         #: table (mirrors the batch writer's overwrite path; appends
@@ -1068,6 +1127,14 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
         self.job_token = _uuid.uuid4().hex[:8]
 
     def write(self, iterator) -> WriterCommitMessage:
+        # row-facing entry (kept for direct callers — see the batch
+        # writer); the registered source serves the Arrow subclass
+        fields = self.fields
+        return self._write_dicts(
+            {k: row[k] for k in fields} for row in iterator
+        )
+
+    def _write_dicts(self, dict_iter) -> WriterCommitMessage:
         import os as _os
 
         from pyspark import TaskContext
@@ -1130,12 +1197,12 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
                 self.path, self.job_token, pid, self.fields, phys, None,
                 bloom_cols, payload, typed,
             )
-            for row in iterator:
-                shard.add(_validated({k: row[k] for k in self.fields}))
+            for d in dict_iter:
+                shard.add(_validated(d))
             return shard.close()
         shards: dict[tuple, _ShardSink] = {}
-        for row in iterator:
-            d = _validated({k: row[k] for k in self.fields})
+        for d in dict_iter:
+            d = _validated(d)
             key = tuple(d[c] for c in self.partition_by)
             s = shards.get(key)
             if s is None:
@@ -1343,6 +1410,20 @@ class JsonlDocsStreamWriter(DataSourceStreamWriter):
         self._sweep(set())
 
 
+class JsonlDocsStreamArrowWriter(
+    DataSourceStreamArrowWriter, JsonlDocsStreamWriter
+):
+    """Arrow-serving twin of :class:`JsonlDocsStreamWriter` — each
+    micro-batch's rows arrive as raw ``RecordBatch``es (no per-row
+    ``Row`` construction in the worker); same staging, same
+    exactly-once ``commit(messages, batchId)`` protocol."""
+
+    def write(self, iterator) -> WriterCommitMessage:
+        return self._write_dicts(
+            _arrow_batches_to_dicts(iterator, self._struct)
+        )
+
+
 class JsonlDocsReader(DataSourceReader):
     """Manifest-resolving batch reader (snapshot / time-travel pins,
     tombstone application, zonemap + partition pruning — see the
@@ -1453,6 +1534,18 @@ class JsonlDocsReader(DataSourceReader):
         )
 
         self._pa_target = _arrow_batch_schema_of_ddl(_ddl)
+        #: JSONL shards ALSO serve RecordBatches when every projected
+        #: column's JSON cell form needs no converter (plain scalars):
+        #: the worker then parses each shard once with pyarrow's C++
+        #: JSON reader instead of per-row json.loads → tuple → pickle
+        #: (guide §4 — same Arrow channel the parquet payload uses)
+        from pu4spark_spark.sources.lake.protocol import (
+            _jsonl_batch_safe,
+        )
+
+        self._jsonl_batch = (
+            self._pa_target is not None and _jsonl_batch_safe(_ddl)
+        )
 
     def pushFilters(self, filters):
         """Filter PUSHDOWN (Spark 4.1 Python DataSource API), four
@@ -1881,6 +1974,15 @@ class JsonlDocsReader(DataSourceReader):
                     value, self.phys_fields, self.convs,
                     rg_bounds=rgb or None,
                 )
+            return
+        if self._jsonl_batch:
+            from pu4spark_spark.sources.lake.protocol import (
+                _iter_jsonl_batches,
+            )
+
+            yield from _iter_jsonl_batches(
+                value, self.phys_fields, self._pa_target
+            )
             return
         yield from _iter_jsonl(
             value, self.phys_fields, self.convs

@@ -96,6 +96,16 @@ class JsonlDocsStreamReader(DataSourceStreamReader):
                 "jsonl_docs: max_files_per_trigger must be >= 1"
             )
         self._rate_floor: int | None = None
+        # the landing feed serves the fixed documents shape — plain
+        # scalars, so every microbatch scan can yield RecordBatches
+        # (guide §4: one C++ parse per shard instead of per-row
+        # json.loads → tuple → pickle)
+        from pu4spark_spark.sources.lake.protocol import (
+            _arrow_batch_schema_of_ddl,
+        )
+
+        self._pa_target = _arrow_batch_schema_of_ddl(DOCS_DDL)
+        self._fields = _fields_of_ddl(DOCS_DDL)
 
     def initialOffset(self) -> dict:
         # only a FRESH stream asks for this — seed the rate floor so
@@ -118,8 +128,15 @@ class JsonlDocsStreamReader(DataSourceStreamReader):
 
     def read(self, partition):
         # landing shards may be JSONL or parquet — dispatch by
-        # extension, fixed documents shape either way
-        yield from _iter_shard_rows(partition.value)
+        # extension, fixed documents shape either way; served as
+        # RecordBatches (plain-scalar schema, always batch-safe)
+        from pu4spark_spark.sources.lake.protocol import (
+            _iter_shard_batches,
+        )
+
+        yield from _iter_shard_batches(
+            partition.value, self._fields, self._pa_target
+        )
 
     def commit(self, end: dict) -> None:
         pass
@@ -197,6 +214,19 @@ class JsonlDocsVersionStreamReader(DataSourceStreamReader):
                 "jsonl_docs: max_versions_per_trigger must be >= 1"
             )
         self._rate_floor: int | None = None
+        # RecordBatch fast path when the stream's fixed schema is all
+        # plain scalars (no converters): each microbatch shard parses
+        # once in C++ instead of per-row Python (guide §4)
+        from pu4spark_spark.sources.lake.protocol import (
+            _arrow_batch_schema_of_ddl,
+            _jsonl_batch_safe,
+        )
+
+        self._pa_target = (
+            _arrow_batch_schema_of_ddl(_ddl)
+            if _jsonl_batch_safe(_ddl)
+            else None
+        )
 
     def initialOffset(self) -> dict:
         # only a FRESH stream asks for this — seed the rate floor so
@@ -421,6 +451,15 @@ class JsonlDocsVersionStreamReader(DataSourceStreamReader):
     def read(self, partition):
         if partition is None:
             return
+        if self._pa_target is not None:
+            from pu4spark_spark.sources.lake.protocol import (
+                _iter_shard_batches,
+            )
+
+            yield from _iter_shard_batches(
+                partition.value, self.phys_fields, self._pa_target
+            )
+            return
         yield from _iter_shard_rows(
             partition.value, self.phys_fields, self.convs
         )
@@ -484,6 +523,20 @@ class JsonlDocsChangeFeedStreamReader(DataSourceStreamReader):
                 "jsonl_docs: max_versions_per_trigger must be >= 1"
             )
         self._rate_floor: int | None = None
+        # RecordBatch fast path (guide §4): table columns must be
+        # plain scalars; the typed CDF tag columns are appended
+        # batch-side (_change_type parsed from CDC files / constant
+        # "insert", _commit_version a per-partition constant)
+        from pu4spark_spark.sources.lake.protocol import (
+            _arrow_batch_schema_of_ddl,
+            _jsonl_batch_safe,
+        )
+
+        self._pa_base = (
+            _arrow_batch_schema_of_ddl(base_ddl)
+            if _jsonl_batch_safe(base_ddl)
+            else None
+        )
 
     def initialOffset(self) -> dict:
         # fresh stream only — seed the floor (see the version stream)
@@ -658,6 +711,24 @@ class JsonlDocsChangeFeedStreamReader(DataSourceStreamReader):
             prev_dvn = dvn
         return parts
 
+    def _tagged_batches(self, batches, change_type, v):
+        """Append the CDF tag columns to table-column batches —
+        ``_change_type`` (constant or a parsed array) and the
+        per-partition-constant ``_commit_version``."""
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            ct = (
+                change_type
+                if isinstance(change_type, pa.Array)
+                else pa.array([change_type] * n, type=pa.string())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [*b.columns, ct, pa.array([v] * n, type=pa.int64())],
+                names=[*b.schema.names, "_change_type", "_commit_version"],
+            )
+
     def read(self, partition):
         import json
 
@@ -670,6 +741,48 @@ class JsonlDocsChangeFeedStreamReader(DataSourceStreamReader):
                 if len(partition.value) > 3
                 else self.fields
             )
+            if self._pa_base is not None:
+                import pyarrow as pa
+                from pyarrow import json as pa_json
+
+                # parse under the COMMIT's logical keys + the tag,
+                # rename to this stream's logical names (types from
+                # the fixed schema; missing keys null-extend)
+                try:
+                    tbl = pa_json.read_json(
+                        value,
+                        parse_options=pa_json.ParseOptions(
+                            explicit_schema=pa.schema(
+                                [
+                                    pa.field(k, f.type)
+                                    for k, f in zip(
+                                        keys, self._pa_base
+                                    )
+                                ]
+                                + [
+                                    pa.field(
+                                        "_change_type", pa.string()
+                                    )
+                                ]
+                            ),
+                            unexpected_field_behavior="ignore",
+                        ),
+                    )
+                except Exception:
+                    tbl = None
+                if tbl is not None:
+                    names = [f.name for f in self._pa_base]
+                    for b in tbl.to_batches():
+                        ct = b.column(b.num_columns - 1)  # _change_type
+                        body = pa.RecordBatch.from_arrays(
+                            [
+                                b.column(i)
+                                for i in range(b.num_columns - 1)
+                            ],
+                            names=names,
+                        )
+                        yield from self._tagged_batches([body], ct, v)
+                    return
             convs = self.convs or (None,) * len(keys)
             with open(value) as fh:
                 for line in fh:
@@ -684,6 +797,19 @@ class JsonlDocsChangeFeedStreamReader(DataSourceStreamReader):
         # snap / ins: plain rows typed as inserts of their commit;
         # table shards carry stable PHYSICAL keys (format-dispatched:
         # JSONL or parquet)
+        if self._pa_base is not None:
+            from pu4spark_spark.sources.lake.protocol import (
+                _iter_shard_batches,
+            )
+
+            yield from self._tagged_batches(
+                _iter_shard_batches(
+                    value, self.phys_fields, self._pa_base
+                ),
+                "insert",
+                v,
+            )
+            return
         for row in _iter_shard_rows(value, self.phys_fields, self.convs):
             yield tuple(row) + ("insert", v)
 

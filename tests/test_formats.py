@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from pu4spark_spark.sources import load_table
+from pu4spark_spark.sources.lake.protocol import iter_reader_rows
 from pu4spark_spark.sources.formats import (
     load_csv,
     load_json,
@@ -1032,7 +1033,7 @@ def test_fresh_version_stream_starts_at_earliest_kept_snapshot(
     # total rows delivered == the table (no dup, no loss)
     n = 0
     for p in r.partitions({"version": 0}, {"version": 3}):
-        n += sum(1 for _ in r.read(p))
+        n += sum(1 for _ in iter_reader_rows(r, p))
     assert n == docs.count()
 
 
@@ -1080,7 +1081,7 @@ def test_stale_rewrite_marker_does_not_reclassify_data_commit(
     assert parts, "stale marker swallowed the v2 data commit"
     n = 0
     for p in parts:
-        n += sum(1 for _ in r.read(p))
+        n += sum(1 for _ in iter_reader_rows(r, p))
     assert n == docs.filter("doc_id % 2 = 1").count()
 
 
@@ -1165,7 +1166,7 @@ def test_version_stream_starting_version_option(spark, tmp_path):
     assert r.initialOffset() == {"version": 1}
     n = 0
     for p in r.partitions(r.initialOffset(), r.latestOffset()):
-        n += sum(1 for _ in r.read(p))
+        n += sum(1 for _ in iter_reader_rows(r, p))
     # v2 + v3 additions only, never v1's rows
     expected = docs.filter("doc_id % 3 in (1, 2)").count()
     assert n == expected
@@ -1292,7 +1293,7 @@ def test_minilake_random_op_sequences(spark, tmp_path):
         )
         streamed = []
         for p in r.partitions(r.initialOffset(), r.latestOffset()):
-            streamed.extend((row[0], row[4]) for row in r.read(p))
+            streamed.extend((row[0], row[4]) for row in iter_reader_rows(r, p))
         assert sorted(streamed) == sorted(state.items()), (
             f"seed {seed}: fresh stream"
         )
@@ -1470,7 +1471,7 @@ def test_version_stream_delete_contract(spark, tmp_path):
     def drain(reader, start, end):
         ids = []
         for p in reader.partitions({"version": start}, {"version": end}):
-            ids.extend(row[0] for row in reader.read(p))
+            ids.extend(row[0] for row in iter_reader_rows(reader, p))
         return sorted(ids)
 
     # delete commit v2 fails a strict stream loudly
@@ -1821,7 +1822,7 @@ def test_stream_sink_batch_retry_is_idempotent(spark, tmp_path):
     def drain(a, b):
         ids = []
         for pt in r.partitions({"version": a}, {"version": b}):
-            ids.extend(row[0] for row in r.read(pt))
+            ids.extend(row[0] for row in iter_reader_rows(r, pt))
         return sorted(ids)
 
     assert drain(0, 1) == [0, 1, 2]
@@ -2391,7 +2392,7 @@ def test_version_stream_schema_boundary(spark, tmp_path):
     assert len(fresh.fields) == 6
     rows = []
     for p in fresh.partitions({"version": 0}, {"version": 3}):
-        rows.extend(fresh.read(p))
+        rows.extend(iter_reader_rows(fresh, p))
     by_id = {r[0]: r for r in rows}
     assert by_id[0] == (0, "a", "en", "s", 1, None)
     assert by_id[2] == (2, "c", "en", "s", 3, 9)
@@ -2680,7 +2681,7 @@ def test_minilake_threaded_dml_linearizable(spark, tmp_path):
         )
         streamed = []
         for p in r.partitions(r.initialOffset(), r.latestOffset()):
-            streamed.extend((row[0], row[4]) for row in r.read(p))
+            streamed.extend((row[0], row[4]) for row in iter_reader_rows(r, p))
         assert sorted(streamed) == sorted(state.items()), (
             f"seed {seed}: fresh stream"
         )
@@ -3128,7 +3129,7 @@ def test_change_data_feed_cdc_files(spark, tmp_path):
     r = P.JsonlDocsChangeFeedStreamReader({"path": out})
     rows = []
     for p in r.partitions(r.initialOffset(), r.latestOffset()):
-        rows.extend(r.read(p))
+        rows.extend(iter_reader_rows(r, p))
     by_type = {}
     for row in rows:
         by_type.setdefault(row[-2], []).append(row)
@@ -3485,11 +3486,11 @@ def test_minilake_random_ops_v2_full_surface(spark, tmp_path):
                 for p in r.partitions(
                     r.initialOffset(), r.latestOffset()
                 ):
-                    list(r.read(p))
+                    list(iter_reader_rows(r, p))
         else:
             streamed = []
             for p in r.partitions(r.initialOffset(), r.latestOffset()):
-                streamed.extend((row[0], row[4]) for row in r.read(p))
+                streamed.extend((row[0], row[4]) for row in iter_reader_rows(r, p))
             assert sorted(streamed) == sorted(state.items()), (
                 f"seed {seed}: fresh stream"
             )
@@ -4215,7 +4216,7 @@ def test_column_mapping_cdf_and_streams(spark, tmp_path):
     ).option("base_version", 3).mode("append").save()  # v4
     streamed = []
     for p in rdr3.partitions({"version": 3}, {"version": 4}):
-        streamed.extend((row[0], row[4]) for row in rdr3.read(p))
+        streamed.extend((row[0], row[4]) for row in iter_reader_rows(rdr3, p))
     assert sorted(streamed) == [(2, 6)]  # post-compaction append reads
 
 
@@ -4538,7 +4539,7 @@ def test_version_stream_rate_limit(spark, tmp_path):
         if end == off:
             break
         for p in rdr.partitions(off, end):
-            seen.extend((r[0], r[4]) for r in rdr.read(p))
+            seen.extend((r[0], r[4]) for r in iter_reader_rows(rdr, p))
         rdr.commit(end)
         ends.append(end["version"])
         off = end
@@ -4568,7 +4569,7 @@ def test_version_stream_rate_limit(spark, tmp_path):
         if end == off:
             break
         for p in rdr2.partitions(off, end):
-            seen2.extend((r[0], r[4]) for r in rdr2.read(p))
+            seen2.extend((r[0], r[4]) for r in iter_reader_rows(rdr2, p))
         ends2.append(end["version"])
         off = end
     assert ends2 == [2, 3, 4, 5]  # one version per trigger
@@ -5545,7 +5546,7 @@ def test_vacuum_record_history(spark, tmp_path):
     r = JsonlDocsVersionStreamReader({"path": out})
     parts = r.partitions({"version": 3}, {"version": 4})
     assert parts == [] or all(
-        not list(r.read(p)) for p in parts
+        not list(iter_reader_rows(r, p)) for p in parts
     ), "vacuum commit must stream no rows"
 
 

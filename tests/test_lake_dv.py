@@ -7,6 +7,8 @@ rewrites ONLY the DV-carrying shards."""
 
 from __future__ import annotations
 
+from pu4spark_spark.sources.lake.protocol import iter_reader_rows
+
 import json
 import os
 
@@ -192,7 +194,7 @@ def test_version_stream_dv_retraction_contract(spark, tmp_path):
     got = sorted(
         row[0]
         for p in parts
-        for row in r2.read(p)
+        for row in iter_reader_rows(r2, p)
     )
     assert got == [i for i in range(20) if i != 5]
 
@@ -219,7 +221,7 @@ def test_cdf_stream_dv_contract(spark, tmp_path):
     )
     r2 = JsonlDocsChangeFeedStreamReader({"path": out2})
     parts = r2.partitions({"version": 2}, {"version": 3})
-    changes = [row for p in parts for row in r2.read(p)]
+    changes = [row for p in parts for row in iter_reader_rows(r2, p)]
     assert [(c[0], c[-2], c[-1]) for c in changes] == [(7, "delete", 3)]
 
 
@@ -291,3 +293,35 @@ def test_dv_scan_prunes_by_zonemap(spark, tmp_path, monkeypatch):
     assert len(scanned) == 1, scanned  # only the top-range shard
     back = spark.read.format("jsonl_docs").option("path", out).load()
     assert back.count() == 98
+
+
+def test_dml_staging_counts_and_no_observation_poison(spark, tmp_path):
+    """The native-sink sidecar staging must (a) record the EXACT key
+    count in the ledger (surfaced by DESCRIBE HISTORY — hash-checked)
+    without a second pass, and (b) never instantiate the session's
+    ``ObservationManager``: that non-serializable field rides inside
+    every MLlib training summary's session reference, so one
+    ``Observation`` on the shared session breaks every later
+    summary-carrying model's task serialization (the r15 regression
+    this test pins)."""
+    from pyspark.sql import functions as F
+
+    from pu4spark_spark.sources.lake.protocol import _tombstones_of, _manifest_at
+
+    out = str(tmp_path / "dmlcount")
+    _mk(spark, out, n=40, parquet_half=False)
+    keys = spark.range(0, 40, 2).select(F.col("id").alias("doc_id"))
+    P.delete_from_jsonl_dir(out, keys, spark=spark)
+    entries = _tombstones_of(_manifest_at(out, 3))["entries"]
+    assert sum(e["n"] for e in entries) == 20
+    # an LR fit + transform + collect AFTER the DML must still serialize
+    cloud = spark.createDataFrame(
+        [(float(i % 7), float(i % 5), int(i % 3 == 0)) for i in range(60)],
+        "x double, y double, label int",
+    )
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    va = VectorAssembler(inputCols=["x", "y"], outputCol="features")
+    model = LogisticRegression(maxIter=2).fit(va.transform(cloud))
+    assert model.transform(va.transform(cloud)).count() == 60

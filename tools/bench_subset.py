@@ -1,0 +1,44 @@
+"""Targeted re-measurement of a query subset with bench.py's exact
+methodology (same warmup-at-sf0.001 → measure-at-target protocol, same
+state hygiene), for optimization-round before/after evidence without a
+full 336-query run.
+
+Usage: python tools/bench_subset.py name1 name2 ...   (or a @file of names)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+from pu4spark_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    names: list[str] = []
+    for a in sys.argv[1:]:
+        if a.startswith("@"):
+            names += open(a[1:]).read().split()
+        else:
+            names.append(a)
+    spark = get_spark(app_name="bench_subset")
+    spark.sparkContext.setLogLevel("ERROR")
+    bench.prime_page_cache(bench.SF_DIR)
+    out: dict[str, float] = {}
+    for name in names:
+        try:
+            bench.run_one(spark, name, bench.WARMUP_SF_DIR, unload_state=False)
+        except Exception:
+            pass
+        elapsed, _ = bench.run_one(spark, name)
+        out[name] = round(elapsed, 3)
+        print(f"{elapsed:8.3f}  {name}", flush=True)
+    print(json.dumps({"queries": out, "total": round(sum(out.values()), 3)}))
+
+
+if __name__ == "__main__":
+    main()
