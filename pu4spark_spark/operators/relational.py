@@ -705,22 +705,43 @@ def user_gap_stats(staged: DataFrame) -> DataFrame:
         | (F.col("r") == F.floor(F.col("n") / 2) + 1)
     ).select("user_id", "gap")
 
+    # The pandas groups are HASH BUCKETS of users, not single users
+    # (guide §4: applyInPandas pays a fixed per-group cost — pandas
+    # frame construction + one Python call — so thousands of ≤2-row
+    # user groups serialize on that overhead, measured ~3.5 s of the
+    # query's 4.7 s at sf0.1; one bucket holds many users and the
+    # per-user merge runs VECTORIZED inside).  Per-group Arrow state
+    # stays bounded: ≤2 rows per user × users/bucket, with the bucket
+    # count scaling with cluster parallelism, never with one user's
+    # history.  Median semantics are unchanged: min/max of a user's ≤2
+    # candidate gaps converted to float64 BEFORE the midpoint, exactly
+    # the scalar path's float(min)+float(max) over 2.
+    n_buckets = staged.sparkSession.sparkContext.defaultParallelism * 4
+
     # no type hints on purpose: applyInPandas tries to infer the eval
     # type from annotations and warns on partial ones
-    def merge_median(key, pdf):
+    def merge_median(pdf):
         import pandas as pd
 
-        (uid,) = key
-        g = pdf["gap"].to_numpy(dtype="int64")
-        med = float(g[0]) if len(g) == 1 else (
-            float(g.min()) + float(g.max())
+        g = pdf.groupby("user_id")["gap"]
+        med = (
+            g.min().astype("float64") + g.max().astype("float64")
         ) / 2.0
         return pd.DataFrame(
-            {"user_id": [uid], "median_gap_micros": [med]}
+            {
+                "user_id": med.index.to_numpy(dtype="int64"),
+                "median_gap_micros": med.to_numpy(dtype="float64"),
+            }
         )
 
-    medians = mid.groupBy("user_id").applyInPandas(
-        merge_median, "user_id long, median_gap_micros double"
+    medians = (
+        mid.withColumn(
+            "__bucket", F.pmod(F.hash("user_id"), F.lit(n_buckets))
+        )
+        .groupBy("__bucket")
+        .applyInPandas(
+            merge_median, "user_id long, median_gap_micros double"
+        )
     )
     return stats.join(medians, "user_id").select(
         "user_id",
