@@ -145,12 +145,18 @@ def q_pipeline_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load_table(spark, "documents", sf_dir))
     tok = tokens("text")
-    scored = docs.select(
-        "doc_id",
-        "lang",
-        "text",
-        F.size(tok).alias("n_tokens"),
-        _quality_score(tok).alias("quality_score"),
+    # ONE tokenize+score pass: the scored projection (interpreted
+    # stopword HOF — the chain's dominant per-row cost) feeds BOTH the
+    # dedup chain below and the final provenance join; without the
+    # cache Catalyst re-evaluates it corpus-wide on each branch
+    scored = cached(
+        docs.select(
+            "doc_id",
+            "lang",
+            "text",
+            F.size(tok).alias("n_tokens"),
+            _quality_score(tok).alias("quality_score"),
+        )
     )
     kept = scored.filter(
         (F.col("n_tokens") >= MIN_TOKENS)

@@ -1845,14 +1845,27 @@ def q_corpus_lang_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # directly (distinct∘distinct ≡ one distinct through the md5 map)
     # and the exact side's per-shingle collect_set dedups langs itself
     # — both map-side partial aggregations, one exchange each
-    raw = dl = docs.select(
+    dl = docs.select(
         "lang",
         F.explode(F.array_distinct(word_shingles(tokens("text")))).alias(
             "s"
         ),
     )
-    hashed = dl.select(
-        "lang",
+    # ONE corpus pass (r15): the per-shingle lang-set table `ls` (built
+    # below for the exact side) already holds every distinct (lang, s)
+    # pair — deriving the sketch side from it instead of a second
+    # explode over dl halves the corpus work.  cached(): both sides
+    # consume it; POST-aggregation (|shingles| rows, shingle-table
+    # scale — the same class the dedup family persists).
+    ls = cached(
+        dl.groupBy("s").agg(F.sort_array(F.collect_set("lang")).alias("ll"))
+    )
+    # the (lang, h) distinct is kept VERBATIM (md5-prefix collisions
+    # between different shingles must still collapse, exactly as the
+    # r7 shape did) — but its input is now served from the ls cache,
+    # not a corpus re-pass
+    hashed = ls.select(
+        F.explode("ll").alias("lang"),
         F.conv(F.substring(F.md5("s"), 1, 8), 16, 10)
         .cast("bigint")
         .alias("h"),
@@ -1910,9 +1923,7 @@ def q_corpus_lang_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact audit: per-shingle language sets (bounded by |langs|), then
     # one combo rollup — singles (a,a) carry per-language sizes, pairs
     # (a<b) carry intersections; the raw-shingle self-join is gone
-    ls = dl.groupBy("s").agg(
-        F.sort_array(F.collect_set("lang")).alias("ll")
-    )
+    # (`ls` built above, shared with the sketch side)
     m = F.size(F.col("ll"))
     combos = F.flatten(
         F.transform(
