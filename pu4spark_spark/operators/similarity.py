@@ -721,7 +721,15 @@ def q_ann_ivf_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     (queries × cells)-sized.  Cost column: ``avg_scanned`` = mean rows
     scanned per query at that nprobe, the recall-vs-work trade read
     directly against ``scanned_frac``."""
-    base = _quantized_base(spark, sf_dir)
+    from pu4spark_spark.plans import cached
+
+    # the quantized base feeds FOUR consumers (centroid pick, the
+    # distance table, the corpus count, and the exact-top-k side) and
+    # the 64-dim integer dot products are interpreted HOF folds — the
+    # dominant per-row cost.  Persist base once and the (vector ×
+    # centroid) distance table once instead of re-deriving them per
+    # branch (guide §5: cache multiply-consumed subtrees).
+    base = cached(_quantized_base(spark, sf_dir))
     w = Window.orderBy("vec_id")
     cents = (
         base.filter(F.col("vec_id") >= N_QUERIES)
@@ -739,15 +747,19 @@ def q_ann_ivf_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.col("cnorm2")
         - F.lit(2) * int_dot(F.col("q"), F.col("cq"))
     )
-    dists = base.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        F.col("cell"),
-        d2.alias("d2"),
+    dists = cached(
+        base.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            F.col("cell"),
+            d2.alias("d2"),
+        )
     )
-    assigned = dists.groupBy("vec_id").agg(
-        (F.min(F.col("d2") * F.lit(32) + F.col("cell")) % 32)
-        .cast("int")
-        .alias("cell")
+    assigned = cached(
+        dists.groupBy("vec_id").agg(
+            (F.min(F.col("d2") * F.lit(32) + F.col("cell")) % 32)
+            .cast("int")
+            .alias("cell")
+        )
     )
     cell_sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("sz"))
     wq = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
@@ -761,7 +773,12 @@ def q_ann_ivf_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n,) for n in IVF_TUNE_NPROBES], "nprobe int"
     )
 
-    exact = q_ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    # the exact side over the SAME cached base (identical computation
+    # to q_ann_cosine_topk, which would otherwise re-quantize the
+    # corpus from parquet)
+    exact = cosine_topk(
+        base, base.filter(F.col("vec_id") < N_QUERIES)
+    ).select("query_id", "neighbor_id")
     need = exact.join(
         assigned.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
     ).join(qpr, ["query_id", "cell"])
@@ -2237,7 +2254,11 @@ def q_embedding_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweeps the full corpus once with broadcast centroids — corpus-
     sized work is one pass, independent of rounds.  Output is all
     integers (counts, masses, norms, id ranges) — hash-exact."""
-    base = _kmeans_base(spark, sf_dir)
+    from pu4spark_spark.plans import cached
+
+    # base feeds the coreset fit and the final corpus sweep — persist
+    # the quantized projection once
+    base = cached(_kmeans_base(spark, sf_dir))
     cents = _kmeans_fit(base, KMEANS_K, KMEANS_ROUNDS)
     final = base.select("vec_id", _kmeans_assign_expr(cents).alias("j"))
     rollup = final.groupBy("j").agg(
@@ -2320,18 +2341,21 @@ def _kmeans_fit(base: DataFrame, k: int, rounds: int) -> list:
             assigned = coreset.select(
                 "vec_id", "q", _kmeans_assign_expr(cents).alias("j")
             )
+            # ONE collect per round (was two: component sums + counts —
+            # each re-evaluating the argmin over the coreset): the
+            # member count per cluster rides the pos-0 group of the
+            # same K×dims aggregation, since every member contributes
+            # exactly one value at every position
             comp = (
                 assigned.select("j", F.posexplode("q").alias("pos", "val"))
                 .groupBy("j", "pos")
-                .agg(F.sum("val").alias("sv"))
+                .agg(
+                    F.sum("val").alias("sv"),
+                    F.count(F.lit(1)).alias("n"),
+                )
                 .collect()
             )  # bounded: K×dims rows
-            cnt = {
-                r["j"]: r["n"]
-                for r in assigned.groupBy("j")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }  # bounded: K rows
+            cnt = {r["j"]: r["n"] for r in comp if r["pos"] == 0}
             sums: dict = {}
             for r in comp:
                 sums.setdefault(r["j"], [0] * KMEANS_DIMS)[r["pos"]] = r[
@@ -2539,7 +2563,11 @@ def q_ann_ivf_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (centroids inlined, argmin in the scan stage), queries broadcast,
     and the candidate join keys on probe_cell — each query scores
     ~nprobe/k of the corpus; top-k is two-phase as everywhere."""
-    base = _kmeans_base(spark, sf_dir)
+    from pu4spark_spark.plans import cached
+
+    # base feeds the coreset fit, the corpus cell sweep AND the query
+    # probe selection — persist the quantized projection once
+    base = cached(_kmeans_base(spark, sf_dir))
     cents = _kmeans_fit(base, IVF_EXACT_K, KMEANS_ROUNDS)
     cells = base.select(
         "vec_id", "q", _kmeans_assign_expr(cents).alias("cell")

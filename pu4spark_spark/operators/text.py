@@ -1275,12 +1275,16 @@ def q_text_kmv_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = arr.select(F.explode("sh").alias("s"))
 
-    # the slice table feeds BOTH the guard count and the k-th-minimum
-    # probe — persist it (slice-sized: ~1/16 of the distinct-shingle
-    # space, bounded by construction) so the corpus-wide explode+md5
-    # runs twice (slice + exact audit), not three times
+    # ONE corpus pass: distinct shingles first (both consumers — the
+    # exact audit count and the KMV slice — read this table), so md5
+    # runs over distinct VALUES only and the corpus-wide explode never
+    # repeats.  The post-md5 distinct is kept so a (theoretical) md5
+    # collision between distinct shingles still collapses exactly as
+    # the previous hash-first form did — values unchanged.
+    dsh = cached(sh.distinct())
+    exact = dsh.count()  # the audit side (exact distinct pass)
     h = cached(
-        sh.select(F.md5("s").alias("h"))
+        dsh.select(F.md5("s").alias("h"))
         .filter(F.col("h") < KMV_PREFIX_BOUND)
         .distinct()
     )
@@ -1295,7 +1299,6 @@ def q_text_kmv_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         nibble(F.col("h"), i + 1).cast("long") * (16 ** (7 - i))
         for i in range(8)
     )
-    exact = sh.distinct().count()  # the audit side (exact distinct pass)
     u = v.cast("double") / F.lit(float(1 << 32))
     est = F.lit(float(KMV_K - 1)) / u
     return kth.select(
