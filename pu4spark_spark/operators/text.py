@@ -1394,6 +1394,23 @@ def q_text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver loop is not one SQL query); a CPython reference BPE trainer
     must reproduce the exact merge sequence (``tests/test_text_bpe.py``).
     """
+    merges, persisted = _bpe_learn(spark, sf_dir)
+    persisted.unpersist()
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_freq bigint"
+    )
+
+
+def _bpe_learn(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """The BPE merge-learning driver loop, shared by
+    :func:`q_text_bpe_learn_merges` and :func:`q_text_bpe_encode`.
+    Returns ``(merges, vocab_final)`` where ``vocab_final`` is the
+    ``(w, wc, syms)`` vocabulary table with EVERY learned merge already
+    applied (lazily for the last round) — so the encoder can price
+    words from the work the learner already did instead of re-running
+    the whole merge-fold chain over the vocabulary (guide §1.2)."""
     from pu4spark_spark.plans import cached
 
     docs = load_table(spark, "documents", sf_dir)
@@ -1406,7 +1423,7 @@ def q_text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("w") >= 2)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wc"))
-        .select("wc", chars.alias("syms"))
+        .select("w", "wc", chars.alias("syms"))
     )
     persisted = cached(vocab)
     merges: list[tuple[int, str, str, str, int]] = []
@@ -1433,15 +1450,14 @@ def q_text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges.append((rank, left, right, left + right, freq))
         nxt = cached(
             persisted.select(
-                "wc", _bpe_apply_merge(F.col("syms"), left, right).alias("syms")
+                "w",
+                "wc",
+                _bpe_apply_merge(F.col("syms"), left, right).alias("syms"),
             ).localCheckpoint(eager=False)
         )
         persisted.unpersist()
         persisted = nxt
-    persisted.unpersist()
-    return spark.createDataFrame(
-        merges, "rank int, left string, right string, merged string, pair_freq bigint"
-    )
+    return merges, persisted
 
 
 def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1464,20 +1480,27 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the encoding algebra is pinned by the CPython reference tokenizer
     in ``tests/test_text_bpe.py``.
     """
-    merge_rows = q_text_bpe_learn_merges(spark, sf_dir).collect()
-    merges = [(r["left"], r["right"]) for r in sorted(merge_rows, key=lambda r: r["rank"])]
+    # the learner's final vocabulary table already carries every word's
+    # fully-merged symbol array — price words from IT instead of
+    # re-running the BPE_MERGES-deep merge-fold chain over a second
+    # distinct-word pass (guide §1.2: don't compute things twice).
+    # Words the learner never saw (length < 2 — merges can't apply)
+    # fall back to their raw character count, which is exactly what
+    # the fold chain degenerates to for them.
+    _merges, vocab_final = _bpe_learn(spark, sf_dir)
     docs = load_table(spark, "documents", sf_dir)
     words = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
     chars = F.transform(
         F.sequence(F.lit(1), F.length("w")),
         lambda i: F.col("w").substr(i, F.lit(1)),
     )
-    syms = chars
-    for left, right in merges:
-        syms = _bpe_apply_merge(syms, left, right)
-    vocab = words.select("w").distinct().select("w", F.size(syms).alias("__np"))
+    np_tbl = vocab_final.select("w", F.size("syms").alias("__np"))
     return (
-        words.join(vocab, "w")
+        words.join(np_tbl, "w", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__np"), F.size(chars)).alias("__np"),
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_words"),
