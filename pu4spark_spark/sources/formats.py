@@ -773,11 +773,33 @@ def audit_file_listing(
 
     footer_rows = parquet_footer_rows()
 
+    # bound the DISTRIBUTED listing job's task count (guide §6: file
+    # listing is planning cost): Spark's parallel partition discovery
+    # defaults to one task per directory (measured: a 1000-directory
+    # layout spent ~6 s scheduling 1000 single-`ls` tasks — far more
+    # than the listing itself).  Scale-adaptively cap it at 2× the
+    # cluster parallelism — on a real cluster listing stays fully
+    # distributed, locally it stops being a 1000-task job.
+    par_conf = "spark.sql.sources.parallelPartitionDiscovery.parallelism"
+    prev = spark.conf.get(par_conf, None)
+    spark.conf.set(
+        par_conf, str(2 * spark.sparkContext.defaultParallelism)
+    )
+    try:
+        listed = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .load(path)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(par_conf)
+        else:
+            spark.conf.set(par_conf, prev)
+
     return (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.parquet")
-        .option("recursiveFileLookup", "true")
-        .load(path)
+        listed
         .select(
             # slash-bounded + re.escape: a col name that is a suffix of
             # another ("suppkey" inside "l_suppkey=") or contains regex
