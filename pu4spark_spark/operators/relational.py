@@ -3103,7 +3103,12 @@ def q_part_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a self-equi-join on o_orderkey — co-partitioned after one
     shuffle of the (order, part) list, never a catalog×catalog
     product."""
-    li = _basket_items(spark, sf_dir)
+    # no .distinct() pre-pass here: _copurchase_topk's collect_set
+    # dedups (order, part) itself, so the raw projection costs ONE
+    # exchange instead of distinct-then-groupBy's two
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey"
+    )
     return _copurchase_topk(li)
 
 
@@ -3116,15 +3121,31 @@ def _basket_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _copurchase_topk(li: DataFrame) -> DataFrame:
-    a = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    # within-basket pairing as a per-row ARRAY expansion (r15, guide
+    # §2.4 — remove shuffles outright): one groupBy on the basket key
+    # collects each basket's distinct parts sorted ascending, and the
+    # (a < b) pairs fall out of a nested transform over that array —
+    # the previous self-equi-join on o_orderkey cost two more
+    # exchanges of the basket list to co-partition its sides.  Pair
+    # fan-out stays O(basket²) per row, the documented scale bound.
+    baskets = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
-    b = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    ps = F.col("ps")
+    pair_structs = F.flatten(
+        F.transform(
+            ps,
+            lambda x, i: F.transform(
+                F.slice(ps, i + F.lit(2), F.size(ps) - i - F.lit(1)),
+                lambda y: F.struct(
+                    x.alias("part_a"), y.alias("part_b")
+                ),
+            ),
+        )
     )
     pairs = (
-        a.join(b, "ok")
-        .filter(F.col("part_a") < F.col("part_b"))
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_baskets"))
     )
