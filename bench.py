@@ -776,6 +776,12 @@ def main() -> None:
     # headline set, plus as many per-query entries (in headline order)
     # as fit a hard 1850-char budget; the complete dict is one line up
     # and in BENCH_DETAIL.json.
+    # drift yardstick IN the one-line artifact (VERDICT r15 next #2):
+    # the frozen workload probe pre/post plus the per-60-query
+    # checkpoint band, so the driver/judge can normalize cross-round
+    # per-query deltas without opening BENCH_DETAIL.json.  Additions
+    # only — every pre-existing key is unchanged.
+    ck_vals = list(calib_checkpoints.values())
     out = {
         "metric": "headline_queries_total_sec",
         "value": detail["value"],
@@ -785,6 +791,12 @@ def main() -> None:
         "n_queries": len(per_query),
         "full_detail": "BENCH_DETAIL.json",
         **calib,
+        "calib_workload_sec_pre": calib_pre["calib_workload_sec_pre"],
+        "calib_workload_sec_post": calib_post["calib_workload_sec_post"],
+        "calib_checkpoint_band": [
+            min(ck_vals) if ck_vals else None,
+            max(ck_vals) if ck_vals else None,
+        ],
     }
     for name, secs in per_query.items():
         out["queries"][name] = secs

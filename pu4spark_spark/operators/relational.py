@@ -3098,11 +3098,11 @@ def q_part_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(Σ basket_size²), quadratic in the LARGEST basket, not the
     catalog — fine while baskets are small (retail orders: ≤ tens).
     A degenerate mega-basket (one "order" holding 10⁶ items) must be
-    capped or sampled before the self-join; the fixture's 7-line
-    orders keep fan-out ≤ 21 pairs/order.  The within-basket pairing
-    is a self-equi-join on o_orderkey — co-partitioned after one
-    shuffle of the (order, part) list, never a catalog×catalog
-    product."""
+    capped or sampled before pairing; the fixture's 7-line orders keep
+    fan-out ≤ 21 pairs/order.  The within-basket pairing is a per-order
+    ARRAY expansion (collect_set + nested transform, no self-join):
+    one shuffle of the (order, part) list builds the baskets and the
+    pairs fall out row-locally — never a catalog×catalog product."""
     # no .distinct() pre-pass here: _copurchase_topk's collect_set
     # dedups (order, part) itself, so the raw projection costs ONE
     # exchange instead of distinct-then-groupBy's two

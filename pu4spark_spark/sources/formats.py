@@ -780,6 +780,10 @@ def audit_file_listing(
     # than the listing itself).  Scale-adaptively cap it at 2× the
     # cluster parallelism — on a real cluster listing stays fully
     # distributed, locally it stops being a 1000-task job.
+    # NOTE: this mutates the session-global conf for the duration of
+    # the load (restored in `finally`).  Sound under the harness's
+    # single-threaded driver; if queries ever plan concurrently on the
+    # same SparkSession, scope the cap per-read (session clone) instead.
     par_conf = "spark.sql.sources.parallelPartitionDiscovery.parallelism"
     prev = spark.conf.get(par_conf, None)
     spark.conf.set(
